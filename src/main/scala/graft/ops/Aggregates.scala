@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.{Tables, Det}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gold-layer aggregations — the reference's two gold tables
+  * (`src/etl_pipeline.py:104-142`) on the fixture schema, plus
+  * sampling / rollup / distinct surface.
+  *
+  * All aggregates run as Catalyst partial+final HashAggregate: map-side
+  * combine before the shuffle, so network volume is O(groups), not
+  * O(rows) — the property that matters at 100 TB. Group keys are the
+  * natural shuffle keys; no repartition hints needed (AQE coalesces).
+  */
+object Aggregates {
+
+  /** daily_revenue gold table (reference `src/etl_pipeline.py:104-125`):
+    * groupBy(custkey, day) with sum/count/avg. Exactly the reference's
+    * shape: 2 id keys + a date_trunc('day') expression key, 4 aggregates.
+    */
+  def goldDailyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        col("o_custkey"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(
+        Det.dsum(col("o_totalprice")).as("daily_revenue"),
+        count(lit(1)).as("order_count"),
+        Det.davg(col("o_totalprice")).as("avg_order_value"))
+      .orderBy(col("o_custkey"), col("day"))
+
+  /** hourly_demand gold table (reference `src/etl_pipeline.py:127-142`):
+    * groupBy(event_type, hour(ts)) with count/avg.
+    */
+  def goldHourlyDemand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        Det.davg(col("value")).as("avg_value"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Deterministic head-N (reference `src/download_dataset.py:7`): global
+    * sort on the unique key + limit. At scale this is a TakeOrderedAndProject
+    * (per-partition top-N, then merge on the driver) — no full sort.
+    */
+  def sampleLimit(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .limit(n)
+
+  /** ROLLUP over (status, priority): subtotal + grand-total rows in one
+    * shuffle (Catalyst Expand + single aggregate). `grouping()` flags
+    * disambiguate NULL keys from NULL-as-subtotal.
+    */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        Det.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("order_count"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Distinct + set-op surface: customers with a finished order but no
+    * pending order. EXCEPT runs as a hash-aggregate-style dedup; both
+    * sides shuffle on the single projected key column only (projection
+    * before the set op → minimal shuffle width).
+    */
+  def finishedNoPending(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val pending = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    finished.except(pending).orderBy(col("o_custkey"))
+  }
+
+  /** Multi-distinct aggregate: per event_type, distinct users + rows. */
+  def eventTypeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("events"),
+        Det.dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+}
