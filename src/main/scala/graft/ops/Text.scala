@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{Tables, Det}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * operators (language stats, quality scoring, token counting, document
+  * fingerprinting). All built from codegen'd `functions._` — no UDFs, so
+  * every expression stays inside whole-stage codegen and the parquet scan
+  * reads only (doc_id, text, …) columns actually referenced.
+  *
+  * Scale notes: everything here is embarrassingly parallel per-document
+  * except the groupBy rollups, which aggregate map-side first. Token
+  * counting is a regex split (no vocabulary broadcast needed).
+  */
+object Text {
+
+  /** Whitespace tokenization; matches DuckDB string_split_regex. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Corpus stats per (lang, source): docs, chars, tokens, avg doc length.
+    * Sums over int64 are exact; avg via exact-sum/count (see graft.Det).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", tokenCount(col("text")).cast(LongType))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Per-document quality signals (reference-free heuristics used in
+    * LLM-data pipelines): length, token stats, punctuation density,
+    * mean token length, stopword ratio over a small fixed list.
+    * Pure per-row arithmetic — deterministic across engines.
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars_measured"),
+        nTok.as("n_tokens"),
+        (length(col("text")).cast(DoubleType) / nTok).as("avg_token_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("punct_chars"),
+        stopHits.as("stopword_hits"),
+        (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic n-gram language-ID heuristic: score each candidate
+    * language by stopword evidence and character classes; emit the argmax.
+    * (The fixture text is synthetic English-ish words for every `lang`
+    * label — the point is the operator shape: per-row scoring against a
+    * broadcast-free inline rule set, SQL-expressible for the oracle.)
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val es = hits(Seq("el", "la", "de", "que"))
+    val de = hits(Seq("der", "die", "und", "das"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_score"), es.as("es_score"), de.as("de_score"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es")
+          .otherwise("de").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 of the exact text plus a coarse structural
+    * fingerprint (md5 of the sorted distinct token set) that survives
+    * token reordering. md5 is identical across engines → oracle-exact.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+          .as("shingle_fp"))
+      .orderBy(col("doc_id"))
+}
