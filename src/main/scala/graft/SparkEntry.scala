@@ -42,6 +42,9 @@ object SparkEntry {
     "similarity_topk"    -> ((s, d) => Similarity.similarityTopk(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
+    "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
+    "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
+    "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -223,5 +226,18 @@ object SparkEntry {
                FROM s)
          SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id, sim
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         md5(text) AS content_fp,
+         CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+         CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels
+         FROM documents ORDER BY doc_id""",
+    "stream_hourly_demand" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+         COUNT(*) AS event_count,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
   )
 }

@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.ops.Aggregates
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Daily-revenue regression — the reference's ML stage
+  * (`src/utils.py:52-76`, `src/etl_pipeline.py:144-193`) rebuilt on
+  * spark.ml so the training data never leaves the executors (the
+  * reference collects the whole gold table to the driver via toPandas —
+  * `src/etl_pipeline.py:151` — which cannot work at 100 TB).
+  *
+  * Features mirror the reference (`src/utils.py:55-60`): entity key,
+  * day-of-week, month, avg order value; target = daily_revenue.
+  * RandomForest with the reference's hyperparameters: 20 trees, seed 42,
+  * 80/20 split (`src/utils.py:61-64`).
+  */
+object RevenueModel {
+
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    Aggregates.goldDailyRevenue(spark, sfDir)
+      .withColumn("day_of_week", dayofweek(col("day")).cast(DoubleType))
+      .withColumn("month", month(col("day")).cast(DoubleType))
+      .withColumn("custkey_f", col("o_custkey").cast(DoubleType))
+      .withColumn("avg_order_value_f", col("avg_order_value"))
+      .withColumn("label", col("daily_revenue"))
+
+  /** Train + evaluate; returns a single-row metrics DataFrame
+    * (mae / rmse / r2 — the reference's metric set, `src/utils.py:69-73`).
+    * Not oracle-checked (forest implementations differ numerically);
+    * the driver records rows>0 and ScalaTest asserts metric floors.
+    */
+  def trainEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = features(spark, sfDir)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("custkey_f", "day_of_week", "month", "avg_order_value_f"))
+      .setOutputCol("features")
+    val rf = new RandomForestRegressor()
+      .setNumTrees(20)
+      .setSeed(42)
+      .setLabelCol("label")
+      .setFeaturesCol("features")
+    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+    val pred = model.transform(test)
+
+    def metric(m: String): Double = new RegressionEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(pred)
+
+    import spark.implicits._
+    Seq((metric("mae"), metric("rmse"), metric("r2"), train.count(), test.count()))
+      .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming restatement of the gold hourly-demand aggregate
+  * (SURVEY §7.8): batch and stream share the aggregation definition, the
+  * stream adds a watermark for bounded state.
+  *
+  * The parquet file source replays the fixture as a stream; in
+  * production the same plan reads Kafka. State size is
+  * O(open windows × event types), bounded by the 1-hour watermark —
+  * this is what makes the aggregation runnable on an unbounded input,
+  * where the batch groupBy could not be.
+  */
+object EventsStream {
+
+  /** Shared aggregation: tumbling 1-hour windows per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        Det.dsum(col("value")).as("total_value"))
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run the streaming aggregation over the fixture parquet to
+    * completion (memory sink, complete mode) and return the result as a
+    * DataFrame with deterministic ordering. Returns hour-of-day rollup
+    * to match the batch gold_hourly_demand key space.
+    */
+  def hourlyDemandStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TimestampType (not NTZ): watermarks require an event-time TIMESTAMP
+    // column; with the session timezone pinned to UTC the wallclock values
+    // match the batch NTZ reading exactly.
+    // The file-stream source requires a directory; the fixture is a
+    // single file. Expose it through a temp directory of symlinks (no
+    // data copy) — in production this is just the table/topic directory.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts",
+        timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+
+    val qName = s"hourly_demand_${System.nanoTime()}"
+    val q = hourlyAgg(src).writeStream
+      .format("memory")
+      .queryName(qName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // Roll the tumbling windows up to hour-of-day so the result is
+    // comparable with the batch gold_hourly_demand oracle.
+    spark.table(qName)
+      .groupBy(col("event_type"), hour(col("window.start")).as("hour"))
+      .agg(
+        sum(col("event_count")).as("event_count"),
+        (sum(col("total_value").cast(Det.Dec)).cast(DoubleType) /
+          sum(col("event_count"))).as("avg_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+}

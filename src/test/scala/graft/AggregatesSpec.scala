@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Aggregates
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+
+  test("gold_daily_revenue: group keys unique, sums reconcile with source") {
+    val df = Aggregates.goldDailyRevenue(spark, sfTiny).cache()
+    val n = df.count()
+    assert(df.select(col("o_custkey"), col("day")).distinct().count() === n)
+    // total of group sums == global sum (both through exact decimals)
+    val total = df.agg(sum(col("daily_revenue").cast(Det.Dec))).head.getDecimal(0)
+    val expected = Tables.orders(spark, sfTiny)
+      .agg(sum(col("o_totalprice").cast(Det.Dec))).head.getDecimal(0)
+    assert(total.compareTo(expected) === 0)
+    // counts reconcile
+    val cnt = df.agg(sum(col("order_count"))).head.getLong(0)
+    assert(cnt === Tables.orders(spark, sfTiny).count())
+    df.unpersist()
+  }
+
+  test("gold_hourly_demand covers all events exactly once") {
+    val df = Aggregates.goldHourlyDemand(spark, sfTiny)
+    val total = df.agg(sum(col("event_count"))).head.getLong(0)
+    assert(total === Tables.events(spark, sfTiny).count())
+  }
+
+  test("sample_limit returns exactly n rows in key order") {
+    val rows = Aggregates.sampleLimit(spark, sfTiny, 17).collect()
+    assert(rows.length === 17)
+    val keys = rows.map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("rollup_revenue grand total equals detail total") {
+    val df = Aggregates.rollupRevenue(spark, sfTiny).cache()
+    val grand = df.filter(col("g_status") === 1 && col("g_priority") === 1)
+      .select(col("revenue")).head.getDouble(0)
+    val detail = df.filter(col("g_status") === 0 && col("g_priority") === 0)
+      .agg(sum(col("revenue").cast(Det.Dec)).cast("double")).head.getDouble(0)
+    assert(math.abs(grand - detail) < 1e-6)
+    df.unpersist()
+  }
+
+  test("finished_no_pending: no returned customer has a pending order") {
+    val res = Aggregates.finishedNoPending(spark, sfTiny)
+    val pending = Tables.orders(spark, sfTiny)
+      .filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+    assert(res.join(pending, "o_custkey").count() === 0)
+  }
+}

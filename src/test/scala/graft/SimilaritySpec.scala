@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val sim = df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0) === 0.0)
+  }
+
+  test("similarity_topk: k results per probe, descending sim, no self-match") {
+    val df = Similarity.similarityTopk(spark, sfTiny, numProbes = 5, k = 3).cache()
+    assert(df.count() === 15)
+    assert(df.filter(col("probe_id") === col("cand_id")).count() === 0)
+    val perProbe = df.groupBy("probe_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 3).count()
+    assert(perProbe === 0)
+    // rank 1 has the max sim within each probe
+    val bad = df.groupBy("probe_id")
+      .agg(max(col("sim")).as("mx"))
+      .join(df.filter(col("rank") === 1), "probe_id")
+      .filter(col("sim") =!= col("mx")).count()
+    assert(bad === 0)
+    df.unpersist()
+  }
+
+  test("ann_lsh results are a subset-quality approximation of brute force") {
+    val exact = Similarity.similarityTopk(spark, sfTiny, numProbes = 10, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLsh(spark, sfTiny, numProbes = 10, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    // every ANN pair shares the probe's bucket; sanity: non-empty and
+    // no self pairs (recall is data-dependent, assert it's measurable)
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"ANN recall@5 = $recall (${approx.size} approx pairs)")
+  }
+
+  test("embeddings are unit-norm (fixture invariant the ops rely on)") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val offUnit = emb.select(Similarity.norm(col("v")).as("n"))
+      .filter(abs(col("n") - 1.0) > 1e-3).count()
+    assert(offUnit === 0)
+  }
+}
