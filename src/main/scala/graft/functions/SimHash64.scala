@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing a 64-bit SimHash of a text
+  * column in one pass: whitespace-tokenize, xxhash64 each token
+  * (seed 42 — identical to Spark's `xxhash64` function), accumulate ±1
+  * votes per bit, sign → bit.
+  *
+  * Why an Expression and not composed built-ins: the composed form needs
+  * 64 `aggregate()` higher-order calls, each re-walking (and re-hashing)
+  * the token array — 64× redundant work and far outside codegen-friendly
+  * shapes. This expression hashes each token exactly once. Interpreted
+  * eval (CodegenFallback) is a tight primitive loop; the surrounding
+  * projection still codegens.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Registration + Column-API entry points for graft's native expressions. */
+object GraftFunctions {
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  def simhash64(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", c)
+  }
+}

@@ -65,13 +65,21 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val posting = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val pruned = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-    val a = pruned.select(col("doc_id").as("doc1"), col("n_sh").as("n1"), col("shingle"))
-    val b = pruned.select(col("doc_id").as("doc2"), col("n_sh").as("n2"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc1") < col("doc2"))
+    // One shuffle: gather each shingle's (small, df-capped) posting list,
+    // then expand i<j pairs inside the row — no window, no self-join.
+    // sort_array orders by doc_id, so pair order gives doc1 < doc2.
+    val lists = posting
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("lst"))
+      .filter(size(col("lst")) >= 2 && size(col("lst")) <= maxDf)
+    val pairs = lists.select(explode(
+      flatten(transform(col("lst"), (x, i) =>
+        transform(slice(col("lst"), i + lit(2), size(col("lst"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    pairs
+      .select(
+        col("p.a.doc_id").as("doc1"), col("p.b.doc_id").as("doc2"),
+        col("p.a.n_sh").as("n1"), col("p.b.n_sh").as("n2"))
       .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
