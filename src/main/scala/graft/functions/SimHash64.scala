@@ -23,7 +23,6 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def prettyName: String = "graft_simhash64"
 
   override def nullSafeEval(input: Any): Any = {
