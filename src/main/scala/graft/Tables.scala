@@ -42,6 +42,19 @@ object Tables {
   def lineitem(spark: SparkSession, d: String): DataFrame = t(spark, d, "lineitem")
   def documents(spark: SparkSession, d: String): DataFrame  = t(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
+
+  /** Spread a scan across all cores before a CPU-heavy narrow pipeline
+    * (shingling, hashing, per-row scoring). The local fixtures are single
+    * small parquet files → a single input split → one task doing all the
+    * work; the round-robin shuffle here is tiny (input bytes) and buys
+    * full parallelism for the expensive downstream expressions. At
+    * cluster scale inputs arrive already split, but the same guard
+    * applies whenever file count < cores (e.g. few huge row groups).
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }
 
 /** Helpers for DuckDB-oracle-deterministic aggregation.

@@ -60,27 +60,33 @@ object Dedup {
     */
   def dedupNgram(spark: SparkSession, sfDir: String,
                  threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.parallelize(Tables.documents(spark, sfDir))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // Inverted index: one row per (doc, shingle). Shingles are carried as
+    // xxhash64 longs from here on — constant-width shuffle keys instead of
+    // arbitrary-length strings (collision odds ~ pairs·2⁻⁶⁴, negligible).
     val posting = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    // One shuffle: gather each shingle's (small, df-capped) posting list,
-    // then expand i<j pairs inside the row — no window, no self-join.
-    // sort_array orders by doc_id, so pair order gives doc1 < doc2.
+      .select(col("doc_id"), col("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    // Gather each shingle's posting list in ONE shuffle, prune by list
+    // size (df < 2 → no pair; df > maxDf → hot-shingle skew bomb), then
+    // expand candidate pairs with two chained explodes — plain codegen'd
+    // Generate operators, no lambda eval, and, critically, a tree-shaped
+    // plan: a self-join formulation recomputes the posting branch once
+    // per join side (Catalyst can't reuse the exchange across the a/b
+    // alias renames), 4× the scan+shingle work at any scale.
     val lists = posting
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("lst"))
-      .filter(size(col("lst")) >= 2 && size(col("lst")) <= maxDf)
-    val pairs = lists.select(explode(
-      flatten(transform(col("lst"), (x, i) =>
-        transform(slice(col("lst"), i + lit(2), size(col("lst"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-    pairs
-      .select(
-        col("p.a.doc_id").as("doc1"), col("p.b.doc_id").as("doc2"),
-        col("p.a.n_sh").as("n1"), col("p.b.n_sh").as("n2"))
-      .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("lst"))
+      .filter(size(col("lst")).between(2, maxDf))
+    lists
+      .select(explode(col("lst")).as("a"), col("lst"))
+      .select(col("a"), explode(col("lst")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) /
@@ -103,8 +109,13 @@ object Dedup {
     * LSH layout. Seeds fixed for reproducibility.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    // Each shingle string is hashed ONCE; the numHashes independent
+    // min-hash families then re-hash the 8-byte value (seeded by index) —
+    // 16 long-hashes instead of 16 variable-length string-hashes per
+    // shingle, and the map-side partial min-agg shuffles one row per doc.
     val posting = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(transform(shingles(col("text")), s => xxhash64(s))).as("shingle"))
     val mins: Seq[Column] = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }
@@ -114,7 +125,8 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, sfDir: String,
                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(Tables.documents(spark, sfDir), numHashes)
+    val sig = minhashSignatures(
+      Tables.parallelize(Tables.documents(spark, sfDir)), numHashes)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
@@ -122,36 +134,36 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.select(col("doc_id").as("doc1"), col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("doc2"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    // Bucket-collect instead of self-join: one shuffle on the band key,
+    // pairs expanded by chained explodes (codegen Generates). A self-join
+    // would recompute the whole signature branch per side.
+    banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc1"), col("ds"))
+      .select(col("doc1"), explode(col("ds")).as("doc2"))
       .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"))
       .distinct()
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, sum ±1 votes per
-    * bit, sign → bit. Near-dups = pairs within Hamming distance
-    * `maxHamming`, found by exploding the signature into 4×16-bit blocks
-    * (pigeonhole: distance ≤3 ⇒ at least one identical block) and
-    * joining on block equality — again no cross join.
+  /** 64-bit SimHash per document: per-token xxhash64 (seed 42, same as
+    * Spark's `xxhash64`), sum ±1 votes per bit, sign → bit. Computed by
+    * the native [[graft.functions.SimHash64]] expression — one pass, one
+    * hash per token, vs the composed-builtin form's 64 `aggregate()`
+    * calls that each re-hash every token. Near-dups = pairs within
+    * Hamming distance `maxHamming`, found by exploding the signature
+    * into 4×16-bit blocks (pigeonhole: distance ≤3 ⇒ at least one
+    * identical block) and joining on block equality — no cross join.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val th = transform(toks, t => xxhash64(t))
-    val bitVotes: Seq[Column] = (0 until 64).map { bit =>
-      aggregate(th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    val sig = (0 until 64).map { bit =>
-      when(bitVotes(bit) > 0, shiftleft(lit(1L), bit)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    docs.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions
+        .simhash64(docs.sparkSession, col("text")).as("simhash"))
 
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(Tables.documents(spark, sfDir))
+    val sig = simhash(Tables.parallelize(Tables.documents(spark, sfDir)))
     val blocks: Seq[Column] = (0 until 4).map { blk =>
       struct(lit(blk).as("blk"),
         shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL).as("bv"))
@@ -159,12 +171,17 @@ object Dedup {
     val exploded = sig
       .select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
-    val a = exploded.select(col("doc_id").as("doc1"), col("simhash").as("s1"), col("blk"), col("bv"))
-    val b = exploded.select(col("doc_id").as("doc2"), col("simhash").as("s2"), col("blk"), col("bv"))
-    a.join(b, Seq("blk", "bv"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+    // Same bucket-collect shape as [[dedupMinhash]] — one shuffle, no
+    // self-join recompute of the signature branch.
+    exploded
+      .groupBy(col("blk"), col("bv"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc1"), col("doc2"))
