@@ -39,8 +39,10 @@ object SparkEntry {
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_embedding"    -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "similarity_topk"    -> ((s, d) => Similarity.similarityTopk(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "similarity_ivf"     -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),

@@ -36,7 +36,11 @@ object RevenueModel {
     * the driver records rows>0 and ScalaTest asserts metric floors.
     */
   def trainEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = features(spark, sfDir)
+    // Cache the feature table: the forest fit, the split, and the three
+    // metric evaluations would otherwise each re-run the gold aggregation
+    // lineage (the reference has the same multi-action recompute pattern,
+    // SURVEY §2a note on its triple count()).
+    val data = features(spark, sfDir).cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
 
     val assembler = new VectorAssembler()
@@ -48,14 +52,17 @@ object RevenueModel {
       .setLabelCol("label")
       .setFeaturesCol("features")
     val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
-    val pred = model.transform(test)
+    val pred = model.transform(test).select("label", "prediction").cache()
 
     def metric(m: String): Double = new RegressionEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
       .setMetricName(m).evaluate(pred)
 
     import spark.implicits._
-    Seq((metric("mae"), metric("rmse"), metric("r2"), train.count(), test.count()))
+    val out = Seq(
+      (metric("mae"), metric("rmse"), metric("r2"), train.count(), test.count()))
       .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
+    pred.unpersist(); data.unpersist()
+    out
   }
 }

@@ -148,6 +148,46 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** Embedding-cosine near-duplicates: pairs of vectors with cosine ≥
+    * `threshold`, found without an O(n²) cross join via multi-table
+    * random-hyperplane LSH — `tables` independent signature families of
+    * `planes` sign bits each; a pair is a candidate if its signatures
+    * collide in ANY table; candidates get an exact cosine re-rank.
+    *
+    * Multi-table is what makes moderate-similarity pairs findable: one
+    * k-bit table finds a pair with probability (1−θ/π)^k; L tables raise
+    * that to 1−(1−p)^L with L× the bucketing cost and unchanged shuffle
+    * shape (band key = (table, signature), exactly like MinHash banding).
+    * `maxBucket` caps degenerate buckets (skew guard). Deterministic:
+    * planes are hash-derived, no RNG state.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.4, tables: Int = 8,
+                     planes: Int = 6, maxBucket: Int = 1000): DataFrame = {
+    val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val sigs: Seq[Column] = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshSignature(col("v"), planes, t * planes).as("sig"))
+    }
+    emb
+      .select(col("vec_id"), col("v"), explode(array(sigs: _*)).as("b"))
+      .groupBy(col("b.tbl"), col("b.sig"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("bucket"))
+      .filter(size(col("bucket")).between(2, maxBucket))
+      .select(explode(col("bucket")).as("a"), col("bucket"))
+      .select(col("a"), explode(col("bucket")).as("c"))
+      .filter(col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("c.vec_id").as("vec2"),
+        Similarity.cosine(col("a.v"), col("c.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      // same pair can collide in several tables; cosine is a pure
+      // function of the pair (same fold order), so distinct is exact
+      .distinct()
+      .orderBy(col("vec1"), col("vec2"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64 (seed 42, same as
     * Spark's `xxhash64`), sum ±1 votes per bit, sign → bit. Computed by
     * the native [[graft.functions.SimHash64]] expression — one pass, one

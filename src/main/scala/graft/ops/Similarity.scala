@@ -76,10 +76,13 @@ object Similarity {
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** LSH bucket signature: numPlanes sign bits packed into a long. */
-  def lshSignature(v: Column, numPlanes: Int = 8): Column =
+  /** LSH bucket signature: numPlanes sign bits packed into a long.
+    * `planeOffset` selects an independent plane family — multi-table LSH
+    * uses offsets t·numPlanes for table t.
+    */
+  def lshSignature(v: Column, numPlanes: Int = 8, planeOffset: Int = 0): Column =
     (0 until numPlanes)
-      .map(p => shiftleft(planeBit(v, p), p))
+      .map(p => shiftleft(planeBit(v, planeOffset + p), p))
       .reduce(_.bitwiseOR(_))
 
   /** ANN via random-hyperplane LSH: bucket corpus + probes by signature,
@@ -101,6 +104,55 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("cand_id"),
         cosine(col("pv"), col("v")).as("sim"))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is coarsely partitioned into
+    * cells; a probe searches only its `nprobe` nearest cells.
+    *
+    * Cell assignment here is the `label` column (standing in for an
+    * offline-trained k-means coarse quantizer); centroids are the exact
+    * per-cell mean vectors, computed distributively by position
+    * (posexplode → per-(cell,pos) avg → re-assemble ordered array).
+    *
+    * Scale shape: the centroid table is tiny (cells × dim) → broadcast;
+    * the corpus never shuffles — candidates are selected by a broadcast
+    * semi-join on the cell id, and only candidate rows pay the exact
+    * cosine. Wrong-cell misses are the recall trade-off (spec measures
+    * recall against [[similarityTopk]]).
+    */
+  def annIvf(spark: SparkSession, sfDir: String,
+             numProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
+    // Exact per-cell centroid, assembled in dimension order.
+    val centroids = emb
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    // Probe → nprobe nearest cells (centroid table broadcast).
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.join(broadcast(centroids))
+      .select(col("probe_id"), col("pv"), col("cell"),
+        cosine(col("pv"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cell"))
+    // Exact re-rank inside the selected cells only.
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    emb.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        cosine(col("pv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
       .orderBy(col("probe_id"), col("rank"))

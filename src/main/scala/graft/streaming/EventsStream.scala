@@ -58,11 +58,19 @@ object EventsStream {
         timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
 
     val qName = s"hourly_demand_${System.nanoTime()}"
-    val q = hourlyAgg(src).writeStream
-      .format("memory")
-      .queryName(qName)
-      .outputMode("complete")
-      .start()
+    // State-store partition count is fixed at query start from
+    // spark.sql.shuffle.partitions. The state key space here is tiny
+    // (event types × open windows), so a handful of stores suffices —
+    // each store costs checkpoint I/O per micro-batch commit.
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try hourlyAgg(src).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("complete")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
     finally q.stop()
 

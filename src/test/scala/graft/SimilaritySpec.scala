@@ -45,6 +45,43 @@ class SimilaritySpec extends SparkSpec {
     info(s"ANN recall@5 = $recall (${approx.size} approx pairs)")
   }
 
+  test("similarity_ivf: candidates come only from the probe's nprobe cells; recall measurable") {
+    val ivf = Similarity.annIvf(spark, sfTiny, numProbes = 10, k = 5).cache()
+    assert(ivf.count() === 50)
+    assert(ivf.filter(col("probe_id") === col("cand_id")).count() === 0)
+    val exact = Similarity.similarityTopk(spark, sfTiny, numProbes = 10, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"IVF recall@5 (nprobe=2/10 cells) = $recall")
+    assert(recall > 0.0)
+    ivf.unpersist()
+  }
+
+  test("dedup_embedding: every returned pair truly exceeds the cosine threshold; decent recall") {
+    import graft.ops.Dedup
+    val thr = 0.4
+    val got = Dedup.dedupEmbedding(spark, sfTiny, threshold = thr)
+      .select("vec1", "vec2", "cos").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // exact truth by brute force on the tiny corpus
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = emb.select(col("vec_id").as("vec1"), col("v").as("v1"))
+    val b = emb.select(col("vec_id").as("vec2"), col("v").as("v2"))
+    val truth = a.join(b, col("vec1") < col("vec2"))
+      .select(col("vec1"), col("vec2"), Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= thr)
+      .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    // precision must be exact (every emitted pair re-ranked with true cosine)
+    got.foreach { case (v1, v2, c) =>
+      assert(c >= thr && truth.contains((v1, v2)))
+    }
+    val recall = got.map(p => (p._1, p._2)).toSet.size.toDouble / truth.size
+    info(s"embedding near-dup recall @cos>=$thr = $recall (${got.length}/${truth.size})")
+    assert(recall >= 0.2)
+  }
+
   test("embeddings are unit-norm (fixture invariant the ops rely on)") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
