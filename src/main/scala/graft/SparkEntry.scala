@@ -35,6 +35,7 @@ object SparkEntry {
     "text_quality"       -> ((s, d) => Text.textQuality(s, d)),
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
     "doc_fingerprint"    -> ((s, d) => Text.docFingerprint(s, d)),
+    "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -47,6 +48,7 @@ object SparkEntry {
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
+    "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -178,6 +180,20 @@ object SparkEntry {
          CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
               WHEN es_score >= de_score THEN 'es' ELSE 'de' END AS predicted_lang
          FROM documents ORDER BY doc_id""",
+    "token_bpe" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+               t -> CAST(floor((strlen(t)+3)/4) AS BIGINT))),
+           (a,b) -> a + b) AS BIGINT) AS n_pieces,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+               t -> CAST(ascii(t) AS BIGINT)*131 + strlen(t))),
+           (a,b) -> (a*31 + b) % 1000000007) AS BIGINT) AS rolling_fp
+         FROM documents ORDER BY doc_id""",
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_fp,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS shingle_fp
@@ -236,6 +252,24 @@ object SparkEntry {
          CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
+    "sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+           FROM events),
+         s AS (
+           SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 14400
+                              THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM t)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "stream_hourly_demand" ->
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
          COUNT(*) AS event_count,

@@ -28,9 +28,10 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, sfDir, "events")
+      // integer `div`, not `/`: nanos (~1.7e18) exceed double's exact
+      // integer range, so float division then cast flips the last µs
       .withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast(LongType))
-          .cast(TimestampNTZType))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
   def region(spark: SparkSession, d: String): DataFrame   = t(spark, d, "region")

@@ -84,6 +84,40 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenizer regex: letter runs | digit runs | single
+    * non-alphanumeric glyph — the (simplified) GPT-2 pre-tokenization
+    * shape. Same dialect subset compiles identically under Java regex
+    * (Spark) and RE2 (DuckDB), keeping the oracle exact.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token accounting the way an LLM-ingest pipeline needs it: regex
+    * pre-tokens, a subword-piece budget (≤4 chars per piece — a cheap
+    * deterministic stand-in for a learned BPE merge table), and a
+    * polynomial rolling-hash fingerprint over the token stream
+    * (order-sensitive, unlike [[docFingerprint]]'s sorted-set hash).
+    * All per-row narrow codegen'd expressions.
+    */
+  def tokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    val pieces = aggregate(
+      transform(toks, t => floor((length(t) + lit(3)) / lit(4)).cast(LongType)),
+      lit(0L), (a, b) => a + b)
+    // h ← (h·31 + ascii(tok[0])·131 + len(tok)) mod p, folded left to
+    // right — matches DuckDB list_reduce over a 0-prepended list.
+    val rolling = aggregate(
+      transform(toks, t =>
+        ascii(t).cast(LongType) * lit(131L) + length(t).cast(LongType)),
+      lit(0L), (a, b) => (a * lit(31L) + b) % lit(1000000007L))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_re_tokens"),
+        pieces.as("n_pieces"),
+        rolling.as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

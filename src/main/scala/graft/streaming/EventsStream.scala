@@ -54,8 +54,8 @@ object EventsStream {
     val src = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      // integer `div` (see graft.Tables.events): float division flips µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     val qName = s"hourly_demand_${System.nanoTime()}"
     // State-store partition count is fixed at query start from
