@@ -31,7 +31,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native [[graft.functions.CosineSim]] expression
+    * (bit-identical to [[cosineComposed]], which the spec cross-checks;
+    * same fold order as the DuckDB oracle's list_reduce).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cos(SparkSession.active, a, b)
+
+  /** Builtin-composed cosine — reference implementation for the spec. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))
@@ -78,9 +87,16 @@ object Similarity {
 
   /** LSH bucket signature: numPlanes sign bits packed into a long.
     * `planeOffset` selects an independent plane family — multi-table LSH
-    * uses offsets t·numPlanes for table t.
+    * uses offsets t·numPlanes for table t. Computed by the native
+    * [[graft.functions.HyperplaneSig]] expression (plane matrix cached
+    * per task); [[lshSignatureComposed]] is the builtin-composed
+    * reference implementation the spec cross-checks against.
     */
   def lshSignature(v: Column, numPlanes: Int = 8, planeOffset: Int = 0): Column =
+    graft.functions.HyperplaneSig.sig(SparkSession.active, v, numPlanes, planeOffset)
+
+  /** Builtin-composed LSH signature — same bits as [[lshSignature]]. */
+  def lshSignatureComposed(v: Column, numPlanes: Int = 8, planeOffset: Int = 0): Column =
     (0 until numPlanes)
       .map(p => shiftleft(planeBit(v, planeOffset + p), p))
       .reduce(_.bitwiseOR(_))

@@ -82,6 +82,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2)
   }
 
+  test("native CosineSim equals the composed-builtin cosine bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("i"), col("v").as("va"))
+    val b = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .select(col("vec_id").as("j"), col("v").as("vb"))
+    val mismatch = a.crossJoin(b)
+      .select(Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch === 0)
+  }
+
+  test("native HyperplaneSig equals the composed-builtin signature bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val mismatch = emb.select(
+        Similarity.lshSignature(col("v"), 6, 12).as("native"),
+        Similarity.lshSignatureComposed(col("v"), 6, 12).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch === 0)
+  }
+
   test("embeddings are unit-norm (fixture invariant the ops rely on)") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
