@@ -26,11 +26,13 @@ object SparkEntry {
     "rollup_revenue"     -> ((s, d) => Aggregates.rollupRevenue(s, d)),
     "finished_no_pending" -> ((s, d) => Aggregates.finishedNoPending(s, d)),
     "event_type_stats"   -> ((s, d) => Aggregates.eventTypeStats(s, d)),
+    "approx_stats"       -> ((s, d) => Aggregates.approxStats(s, d)),
     "star_join"          -> ((s, d) => Star.starJoin(s, d)),
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
     "customers_no_big_order" -> ((s, d) => Star.customersNoBigOrder(s, d)),
     "ship_lag_stats"     -> ((s, d) => Star.shipLagStats(s, d)),
+    "asof_event_order"   -> ((s, d) => AsOf.eventOrders(s, d)),
     "text_stats"         -> ((s, d) => Text.textStats(s, d)),
     "text_quality"       -> ((s, d) => Text.textQuality(s, d)),
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
@@ -145,6 +147,29 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderdate <= l_shipdate
          GROUP BY 1 ORDER BY lag_days""",
+    "asof_event_order" ->
+      """WITH u AS (
+           SELECT o_custkey AS key, o_orderdate AS t, 0 AS tag,
+                  o_orderkey AS tie, o_orderkey AS r_orderkey,
+                  o_orderdate AS r_orderdate, o_totalprice AS r_totalprice,
+                  CAST(NULL AS BIGINT) AS event_id,
+                  CAST(NULL AS VARCHAR) AS event_type
+           FROM orders
+           UNION ALL
+           SELECT user_id, ts, 1, event_id, NULL, NULL, NULL,
+                  event_id, event_type
+           FROM events),
+         w AS (
+           SELECT *,
+             last_value(r_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+             last_value(r_orderdate IGNORE NULLS) OVER win AS asof_orderdate,
+             last_value(r_totalprice IGNORE NULLS) OVER win AS asof_totalprice
+           FROM u
+           WINDOW win AS (PARTITION BY key ORDER BY t, tag, tie
+                          ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, key AS user_id, t AS ts,
+                asof_orderkey, asof_orderdate, asof_totalprice
+         FROM w WHERE tag = 1 ORDER BY event_id""",
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS docs,
          SUM(n_chars) AS total_chars,

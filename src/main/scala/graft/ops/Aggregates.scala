@@ -89,4 +89,22 @@ object Aggregates {
         count(lit(1)).as("events"),
         Det.dsum(col("value")).as("total_value"))
       .orderBy(col("event_type"))
+
+  /** Sketch-based statistics — what exact aggregation cannot afford at
+    * 100 TB: `approx_count_distinct` (HyperLogLog++, fixed-size sketch,
+    * order-independent merge) and `percentile_approx` (quantile summary,
+    * ε-bounded). A COUNT(DISTINCT) over billions of users shuffles every
+    * distinct value; the HLL sketch shuffles ~kilobytes per group.
+    * Declared rows-only (approx values have no cross-engine oracle);
+    * spec bounds error against exact on the small fixture.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"),
+        count(lit(1)).as("events"))
+      .orderBy(col("event_type"))
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.{Aggregates, Skew}
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, sfTiny).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfTiny).select("o_orderkey", "o_totalprice")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salted aggregation merges to the exact result for algebraic aggs") {
+    val ev = Tables.events(spark, sfTiny)
+    val exact = ev.groupBy(col("event_type").as("_k"))
+      .agg(count(lit(1)).as("agg"))
+    val salted = Skew.saltedAgg(ev, col("event_type"), 8,
+      partial = c => count(c), merge = c => sum(c), valueCol = lit(1))
+    assert(salted.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(salted).count() === 0)
+  }
+
+  test("approx_stats: HLL distinct within rsd bounds, quantiles within range") {
+    val approx = Aggregates.approxStats(spark, sfTiny).cache()
+    val exact = Aggregates.eventTypeStats(spark, sfTiny)
+      .select(col("event_type"), col("distinct_users"))
+    val joined = approx.join(exact, "event_type")
+    val offBounds = joined.filter(
+      abs(col("approx_users") - col("distinct_users")) >
+        col("distinct_users") * 0.1 + 2).count()
+    assert(offBounds === 0)
+    val badQuantile = approx.filter(
+      col("p50_value") > col("p95_value")).count()
+    assert(badQuantile === 0)
+    approx.unpersist()
+  }
+}
