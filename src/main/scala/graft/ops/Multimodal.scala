@@ -67,6 +67,73 @@ object Multimodal {
       }
   }
 
+  /** Typed rows for the remaining media stages. */
+  case class MediaFeatures(doc_id: Long, dim: Int, features: Array[Float])
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB feature extractor: a deterministic hash-derived vector stands
+    * in for a CNN/audio embedding. Real deployments swap the kernel; the
+    * batch shape (fixed dim, Array[Float], partition-local model init)
+    * is the real contract.
+    */
+  def featureExtract(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model load would go here (once per task)
+        it.map { case (id, payload) =>
+          val f = new Array[Float](dim)
+          var i = 0
+          while (i < payload.length) {
+            f(i % dim) += (payload(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          MediaFeatures(id, dim, f)
+        }
+      }
+  }
+
+  /** STUB frame sampler: every `stride`-th fixed-size byte window stands
+    * in for decoded video frames. Emits an iterator per row — frames
+    * stream through the task, the full frame set is never materialized
+    * (the property that matters when one video is thousands of frames).
+    */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 64, stride: Int = 4): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = math.max(payload.length / frameBytes, 0)
+        (0 until nFrames by stride).iterator.map { fi =>
+          MediaFrame(id, fi, java.util.Arrays.copyOfRange(
+            payload, fi * frameBytes, math.min((fi + 1) * frameBytes, payload.length)))
+        }
+      }
+  }
+
+  /** STUB resize: recompute target dimensions and truncate the payload
+    * proportionally — stands in for a pixel resample. Plumbing contract:
+    * binary in, binary out, new typed dims alongside.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int = 64, targetH: Int = 48): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, _) = StubCodec.decode(payload)
+          val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
+          val keep = math.max(1, math.min(payload.length, (payload.length * scale).toInt))
+          ResizedMedia(id, (w * scale).toInt.max(1), (h * scale).toInt.max(1),
+            java.util.Arrays.copyOf(payload, keep))
+        }
+      }
+  }
+
   /** Declared query: metadata extraction expressed with codegen'd
     * built-ins only (octet_length/md5 + arithmetic), so it is
     * SQL-oracle-checkable; semantically identical to [[decodeMeta]] on

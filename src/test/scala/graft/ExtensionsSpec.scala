@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions makes native functions callable from pure SQL") {
+    // force the shared context to exist first, then build an extended
+    // session on the same SparkContext (getOrCreate would return the
+    // shared session, bypassing extensions)
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extended =
+      try SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(base)
+        SparkSession.setActiveSession(base)
+      }
+
+    val r = extended.sql(
+      """SELECT graft_simhash64('the quick brown fox') AS sh,
+                graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+                graft_hyperplane_sig(array(0.5d, -0.5d), 4, 0) AS hp""").head
+    assert(r.getDouble(1) === 1.0)
+    // cross-check against the Column-API entry points on the base session
+    import org.apache.spark.sql.functions._
+    import base.implicits._
+    val viaApi = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.GraftFunctions.simhash64(base, col("t"))).head.getLong(0)
+    assert(r.getLong(0) === viaApi)
+    SparkSession.setActiveSession(base)
+  }
+}
