@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
 object RevenueModel {
 
   def features(spark: SparkSession, sfDir: String): DataFrame =
-    Aggregates.goldDailyRevenue(spark, sfDir)
+    Aggregates.goldDailyRevenueUnsorted(spark, sfDir)
       .withColumn("day_of_week", dayofweek(col("day")).cast(DoubleType))
       .withColumn("month", month(col("day")).cast(DoubleType))
       .withColumn("custkey_f", col("o_custkey").cast(DoubleType))

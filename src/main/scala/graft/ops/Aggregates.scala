@@ -21,6 +21,14 @@ object Aggregates {
     * shape: 2 id keys + a date_trunc('day') expression key, 4 aggregates.
     */
   def goldDailyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    goldDailyRevenueUnsorted(spark, sfDir)
+      .orderBy(col("o_custkey"), col("day"))
+
+  /** Same aggregate without the deterministic output sort — for
+    * downstream consumers (ML featurization) where the global
+    * range-shuffle+sort buys nothing.
+    */
+  def goldDailyRevenueUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy(
         col("o_custkey"),
@@ -29,7 +37,6 @@ object Aggregates {
         Det.dsum(col("o_totalprice")).as("daily_revenue"),
         count(lit(1)).as("order_count"),
         Det.davg(col("o_totalprice")).as("avg_order_value"))
-      .orderBy(col("o_custkey"), col("day"))
 
   /** hourly_demand gold table (reference `src/etl_pipeline.py:127-142`):
     * groupBy(event_type, hour(ts)) with count/avg.
