@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.ops.Aggregates
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.RandomForestRegressor
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -52,17 +51,28 @@ object RevenueModel {
       .setLabelCol("label")
       .setFeaturesCol("features")
     val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
-    val pred = model.transform(test).select("label", "prediction").cache()
+    val pred = model.transform(test).select("label", "prediction")
 
-    def metric(m: String): Double = new RegressionEvaluator()
-      .setLabelCol("label").setPredictionCol("prediction")
-      .setMetricName(m).evaluate(pred)
+    // All three metrics from ONE aggregation pass (RegressionEvaluator
+    // would scan the predictions once per metric): mae = E|l−p|,
+    // rmse = √E(l−p)², r2 = 1 − SS_res/SS_tot — the same formulas the
+    // evaluator implements.
+    val m = pred.agg(
+      avg(abs(col("label") - col("prediction"))).as("mae"),
+      sqrt(avg(pow(col("label") - col("prediction"), 2))).as("rmse"),
+      sum(pow(col("label") - col("prediction"), 2)).as("ss_res"),
+      sum(pow(col("label"), 2)).as("sl2"),
+      sum(col("label")).as("sl"),
+      count(lit(1)).as("test_rows")).head
+    val n = m.getLong(5).toDouble
+    val ssTot = m.getDouble(3) - m.getDouble(4) * m.getDouble(4) / n
+    val r2 = 1.0 - m.getDouble(2) / ssTot
 
     import spark.implicits._
-    val out = Seq(
-      (metric("mae"), metric("rmse"), metric("r2"), train.count(), test.count()))
+    val out = Seq((m.getDouble(0), m.getDouble(1), r2,
+      train.count(), m.getLong(5)))
       .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
-    pred.unpersist(); data.unpersist()
+    data.unpersist()
     out
   }
 }

@@ -34,6 +34,18 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming exact dedup: drop event_id duplicates arriving within the
+    * watermark horizon. State is one key per event inside the watermark
+    * window — bounded regardless of stream length (the unbounded-state
+    * variant, plain `dropDuplicates`, is a leak on infinite streams).
+    * At-least-once upstream delivery (Kafka redelivery, file re-listing)
+    * becomes exactly-once downstream of this operator.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup

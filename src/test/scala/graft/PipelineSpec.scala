@@ -23,6 +23,15 @@ class PipelineSpec extends SparkSpec {
     // gold daily group keys unique after round-trip
     val gd = spark.read.parquet(m.goldDailyPath)
     assert(gd.select("o_custkey", "day").distinct().count() === counts("gold_daily"))
+    // partition pruning actually fires: a (year, month) predicate reaches
+    // the scan as a PartitionFilter and the file list shrinks to the one
+    // matching directory (pruned at listing time, before any I/O)
+    val bronze = spark.read.parquet(m.bronzePath)
+    val pruned = bronze.filter(col("year") === 2024 && col("month") === 1)
+    val scanStr = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("year"),
+      s"expected partition filters in scan:\n$scanStr")
+    assert(pruned.count() === counts("bronze")) // fixture spans one month
   }
 
   test("silver clustering: row-group stats enable pruning on leading key") {

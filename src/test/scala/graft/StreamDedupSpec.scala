@@ -1,0 +1,34 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamDedupSpec extends SparkSpec {
+
+  test("streaming dedup collapses a twice-delivered stream to distinct events") {
+    // two links to the same file = exact at-least-once redelivery
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(name), java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = EventsStream.dedupStream(src)
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = spark.table("dedup_stream_test")
+    val expected = Tables.events(spark, sfTiny).count()
+    assert(got.count() === expected)
+    assert(got.select("event_id").distinct().count() === expected)
+  }
+}
