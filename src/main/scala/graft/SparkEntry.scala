@@ -38,6 +38,7 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
     "doc_fingerprint"    -> ((s, d) => Text.docFingerprint(s, d)),
     "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
+    "heavy_tokens"       -> ((s, d) => Text.heavyTokens(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -219,6 +220,13 @@ object SparkEntry {
                t -> CAST(ascii(t) AS BIGINT)*131 + strlen(t))),
            (a,b) -> (a*31 + b) % 1000000007) AS BIGINT) AS rolling_fp
          FROM documents ORDER BY doc_id""",
+    "heavy_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS occurrences
+         FROM toks GROUP BY 1
+         ORDER BY occurrences DESC, token LIMIT 10""",
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_fp,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS shingle_fp

@@ -118,6 +118,23 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus heavy hitters via the native Misra–Gries sketch aggregate
+    * ([[graft.functions.MisraGries]]): top-k tokens with count
+    * estimates. Shuffles ≤ capacity counters per partition instead of
+    * one row per distinct token — the scale path for frequent-n-gram
+    * mining. On the fixture vocabulary (≪ capacity) the sketch incurs
+    * no decrements, so counts are exact and the DuckDB oracle matches.
+    */
+  def heavyTokens(spark: SparkSession, sfDir: String,
+                  k: Int = 10, capacity: Int = 256): DataFrame =
+    Tables.parallelize(Tables.documents(spark, sfDir))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(graft.functions.MisraGries
+        .heavyHitters(spark, col("tok"), k, capacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est").as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token"))
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.
