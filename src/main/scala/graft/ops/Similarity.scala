@@ -143,13 +143,17 @@ object Similarity {
              numProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
-    // Exact per-cell centroid, assembled in dimension order.
+    // Exact per-cell centroid in ONE aggregation pass: ml.stat.Summarizer
+    // computes the mean vector with a map-side-combined buffer (the
+    // posexplode → per-(cell,pos) avg → reassemble formulation costs two
+    // sequential shuffles and dim× the shuffle rows).
     val centroids = emb
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .select(col("cell"),
+        org.apache.spark.ml.functions.array_to_vector(col("v")).as("mv"))
       .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("cv"))
+      .agg(org.apache.spark.ml.stat.Summarizer.mean(col("mv")).as("cmean"))
+      .select(col("cell"),
+        org.apache.spark.ml.functions.vector_to_array(col("cmean")).as("cv"))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     // Probe → nprobe nearest cells (centroid table broadcast).

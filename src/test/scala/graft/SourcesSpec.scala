@@ -32,6 +32,17 @@ class SourcesSpec extends SparkSpec {
         src.agg(sum("r_regionkey")).head.getLong(0))
   }
 
+  test("csv roundtrip survives quoting hazards (commas, quotes, JSON payloads)") {
+    val src = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("event_type"), col("props"))
+    val dir = tmpDir("graft_csv_quote")
+    Csv.write(src, dir)
+    val back = Csv.read(spark, dir, src.schema)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("jsonl roundtrip preserves values including nested-ish string props") {
     val src = Tables.events(spark, sfTiny)
       .select(col("event_id"), col("event_type"), col("value"), col("props"))
