@@ -27,6 +27,10 @@ object SparkEntry {
     "finished_no_pending" -> ((s, d) => Aggregates.finishedNoPending(s, d)),
     "event_type_stats"   -> ((s, d) => Aggregates.eventTypeStats(s, d)),
     "approx_stats"       -> ((s, d) => Aggregates.approxStats(s, d)),
+    "cube_demand"        -> ((s, d) => Aggregates.cubeDemand(s, d)),
+    "pivot_revenue"      -> ((s, d) => Aggregates.pivotRevenue(s, d)),
+    "repeat_buyers"      -> ((s, d) => Aggregates.repeatBuyers(s, d)),
+    "moving_avg_revenue" -> ((s, d) => Aggregates.movingAvgRevenue(s, d)),
     "star_join"          -> ((s, d) => Star.starJoin(s, d)),
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
@@ -110,6 +114,36 @@ object SparkEntry {
          COUNT(*) AS events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "cube_demand" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+         COUNT(*) AS events,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+         CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         CAST(GROUPING(hour(ts)) AS INTEGER) AS g_hour
+         FROM events GROUP BY CUBE(event_type, hour(ts))
+         ORDER BY g_type, g_hour, event_type, hour""",
+    "pivot_revenue" ->
+      """SELECT o_orderstatus,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_urgent,
+         CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_high,
+         CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_medium,
+         CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_notspec,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_low
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "repeat_buyers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "moving_avg_revenue" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1)
+         SELECT day, revenue,
+           AVG(revenue) OVER (ORDER BY CAST(floor(epoch(day)) AS BIGINT)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS revenue_7d_avg
+         FROM daily ORDER BY day""",
     "star_join" ->
       """SELECT r_name, n_name,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -97,6 +97,61 @@ object Aggregates {
         Det.dsum(col("value")).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** Full cube over (event_type, hour): all 4 grouping-set combinations
+    * in one pass — Catalyst expands the sets and still runs partial+final
+    * hash aggregation (shuffle stays O(groups × sets)).
+    */
+  def cubeDemand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("hour", hour(col("ts")))
+      .cube(col("event_type"), col("hour"))
+      .agg(
+        count(lit(1)).as("events"),
+        Det.dsum(col("value")).as("total_value"),
+        grouping(col("event_type")).cast(IntegerType).as("g_type"),
+        grouping(col("hour")).cast(IntegerType).as("g_hour"))
+      .orderBy(col("g_type"), col("g_hour"), col("event_type"), col("hour"))
+
+  /** Pivot: order revenue status × priority matrix. Pivot values are
+    * pinned (never inferred — inference costs an extra distinct scan and
+    * makes the output schema data-dependent, both wrong at scale).
+    */
+  def pivotRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(Det.dsum(col("o_totalprice")))
+      .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Set-intersection: customers ordering in both 1995 and 1996. */
+  def repeatBuyers(spark: SparkSession, sfDir: String): DataFrame = {
+    val byYear = (y: Int) => Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    byYear(1995).intersect(byYear(1996)).orderBy(col("o_custkey"))
+  }
+
+  /** 7-day moving average of global daily revenue: a RANGE window frame
+    * over epoch seconds. Unpartitioned window on the already-aggregated
+    * day series (≤ a few thousand rows at any source scale — aggregate
+    * first, window after is the scale-correct order).
+    */
+  def movingAvgRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(Det.dsum(col("o_totalprice")).as("revenue"))
+    val w = Window
+      .orderBy(col("day").cast(TimestampType).cast(LongType))
+      .rangeBetween(-6L * 86400, 0)
+    daily
+      .withColumn("revenue_7d_avg", avg(col("revenue")).over(w))
+      .orderBy(col("day"))
+  }
+
   /** Sketch-based statistics — what exact aggregation cannot afford at
     * 100 TB: `approx_count_distinct` (HyperLogLog++, fixed-size sketch,
     * order-independent merge) and `percentile_approx` (quantile summary,
