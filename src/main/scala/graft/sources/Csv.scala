@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** File sources/sinks beyond parquet — the reference's ingest boundary.
   *
@@ -35,6 +35,22 @@ object Csv {
     spark.read
       .option("header", header.toString)
       .option("inferSchema", "true")
+      .csv(path)
+
+  /** Quarantining read for dirty feeds: malformed rows land in a
+    * `_corrupt` column (PERMISSIVE mode) instead of failing the job or
+    * being silently dropped — callers split the frame on
+    * `_corrupt IS NULL` into clean rows and a quarantine sink. At 100 TB
+    * a single bad row must never kill a multi-hour ingest, and dropping
+    * it unrecorded is a silent data loss.
+    */
+  def readQuarantining(spark: SparkSession, path: String, schema: StructType,
+                       header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add(StructField("_corrupt", StringType, nullable = true)))
       .csv(path)
 
   /** Header CSV sink (`mode=overwrite`), one file per partition —

@@ -43,6 +43,32 @@ class SourcesSpec extends SparkSpec {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("quarantining csv read isolates malformed rows without losing clean ones") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_csv_dirty")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      """id,qty,price
+        |1,5,10.5
+        |2,not_a_number,3.25
+        |3,7,oops
+        |4,2,99.0
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("price", DoubleType)))
+    val df = Csv.readQuarantining(spark, dir, schema).cache()
+    val clean = df.filter(col("_corrupt").isNull)
+    val quarantined = df.filter(col("_corrupt").isNotNull)
+    assert(clean.count() === 2)
+    assert(quarantined.count() === 2)
+    assert(clean.select(sum("qty")).head.getLong(0) === 7)
+    // the corrupt column preserves the raw line for forensic replay
+    assert(quarantined.select("_corrupt").collect()
+      .forall(_.getString(0).nonEmpty))
+    df.unpersist()
+  }
+
   test("jsonl roundtrip preserves values including nested-ish string props") {
     val src = Tables.events(spark, sfTiny)
       .select(col("event_id"), col("event_type"), col("value"), col("props"))
