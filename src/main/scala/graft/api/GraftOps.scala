@@ -1,0 +1,77 @@
+package graft.api
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** DataFrame-first library facade: every operator over YOUR columns, not
+  * the fixture schema. Thin renames into the `graft.ops` cores — no
+  * extra plan nodes beyond a projection (collapsed by Catalyst).
+  *
+  * Example:
+  * {{{
+  *   import graft.api.GraftOps._
+  *   val unique = dedupExact(crawl, contentCol = "body", keepLowest = "url_id")
+  *   val nearDups = ngramNearDups(crawl, idCol = "url_id", textCol = "body", threshold = 0.8)
+  *   val knn = cosineTopK(corpus, probes, idCol = "id", vecCol = "emb", k = 10)
+  * }}}
+  */
+object GraftOps {
+
+  /** Drop duplicate rows by content, keeping the smallest `keepLowest`. */
+  def dedupExact(df: DataFrame, contentCol: String, keepLowest: String): DataFrame =
+    Dedup.exactDedup(df, contentCol, keepLowest)
+
+  /** Near-duplicate id pairs by word-n-gram Jaccard ≥ threshold. */
+  def ngramNearDups(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    Dedup.ngramPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, maxDf)
+
+  /** MinHash-LSH candidate id pairs (band collision). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4): DataFrame =
+    Dedup.minhashCandidates(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      numHashes, bands)
+
+  /** SimHash id pairs within a Hamming-distance bound. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      maxHamming)
+
+  /** Embedding-cosine near-dup id pairs ≥ threshold (multi-table LSH +
+    * exact re-rank). `vecCol` may be array<float> or array<double>.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.4, tables: Int = 8,
+                     planes: Int = 6, maxBucket: Int = 1000): DataFrame =
+    Dedup.cosinePairs(
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
+      threshold, tables, planes, maxBucket)
+
+  /** Exact cosine top-k neighbors of each probe row against the corpus.
+    * Probes are broadcast; the corpus is scanned once, never shuffled.
+    */
+  def cosineTopK(corpus: DataFrame, probes: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("cand_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        Similarity.cosine(col("pv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+}

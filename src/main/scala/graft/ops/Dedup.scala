@@ -25,13 +25,19 @@ object Dedup {
     * on the dedup key. At 100 TB the window key becomes md5(text)
     * (constant-width shuffle rows); doc_id ordering keeps it deterministic.
     */
-  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    exactDedup(Tables.documents(spark, sfDir), "text", "doc_id")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** DataFrame-first core: drop duplicate rows by `contentCol`, keeping
+    * the row with the smallest `tieBreakCol` (first-writer-wins).
+    */
+  def exactDedup(df: DataFrame, contentCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(tieBreakCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 
   /** Word 3-gram shingles of a text column (distinct). */
@@ -59,8 +65,13 @@ object Dedup {
     * appearing in > maxDf docs generates O(maxDf²) pairs at most.
     */
   def dedupNgram(spark: SparkSession, sfDir: String,
+                 threshold: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    ngramPairs(Tables.parallelize(Tables.documents(spark, sfDir)), threshold, maxDf)
+
+  /** DataFrame-first core over (doc_id, text) rows. */
+  def ngramPairs(input: DataFrame,
                  threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(spark, sfDir))
+    val docs = input
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     // Inverted index: one row per (doc, shingle). Shingles are carried as
@@ -123,10 +134,15 @@ object Dedup {
   }
 
   def dedupMinhash(spark: SparkSession, sfDir: String,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidates(
+      Tables.parallelize(Tables.documents(spark, sfDir)), numHashes, bands)
+
+  /** DataFrame-first core over (doc_id, text) rows. */
+  def minhashCandidates(docs: DataFrame,
+                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(
-      Tables.parallelize(Tables.documents(spark, sfDir)), numHashes)
+    val sig = minhashSignatures(docs, numHashes)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
@@ -163,10 +179,17 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String,
                      threshold: Double = 0.4, tables: Int = 8,
-                     planes: Int = 6, maxBucket: Int = 1000): DataFrame = {
-    val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+                     planes: Int = 6, maxBucket: Int = 1000): DataFrame =
+    cosinePairs(
+      Tables.parallelize(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
+      threshold, tables, planes, maxBucket)
+
+  /** DataFrame-first core over (vec_id, v: array<double>) rows. */
+  def cosinePairs(emb: DataFrame,
+                  threshold: Double = 0.4, tables: Int = 8,
+                  planes: Int = 6, maxBucket: Int = 1000): DataFrame = {
     val sigs: Seq[Column] = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         Similarity.lshSignature(col("v"), planes, t * planes).as("sig"))
@@ -202,8 +225,12 @@ object Dedup {
       graft.functions.GraftFunctions
         .simhash64(docs.sparkSession, col("text")).as("simhash"))
 
-  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(Tables.parallelize(Tables.documents(spark, sfDir)))
+  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairs(Tables.parallelize(Tables.documents(spark, sfDir)), maxHamming)
+
+  /** DataFrame-first core over (doc_id, text) rows. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
     val blocks: Seq[Column] = (0 until 4).map { blk =>
       struct(lit(blk).as("blk"),
         shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL).as("bv"))
