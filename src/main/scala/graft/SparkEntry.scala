@@ -311,6 +311,15 @@ object SparkEntry {
                FROM s)
          SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id, sim
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "embedding_stats" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT label,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM e)
+         SELECT label, COUNT(*) AS vectors,
+           CAST(SUM(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE) / COUNT(nrm) AS avg_norm
+         FROM n GROUP BY 1 ORDER BY label""",
     "multimodal_meta" ->
       """SELECT doc_id,
          CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -55,6 +55,24 @@ object GraftOps {
         transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
       threshold, tables, planes, maxBucket)
 
+  /** Gap-based sessionization over caller columns (batch; for the
+    * streaming twin see `graft.streaming.Sessionize.sessionStream`).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String,
+                 gapSeconds: Long = 1800L): DataFrame =
+    graft.streaming.Sessionize.sessionsOf(df, keyCol, tsCol, tieCol, valueCol, gapSeconds)
+
+  /** Top-k most frequent values of a column via the bounded-memory
+    * Misra–Gries sketch (see `graft.functions.MisraGries`).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   k: Int = 10, capacity: Int = 256): DataFrame =
+    df.agg(graft.functions.MisraGries
+        .heavyHitters(df.sparkSession, col(valueCol), k, capacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("value"), col("h.est").as("occurrences"))
+
   /** Exact cosine top-k neighbors of each probe row against the corpus.
     * Probes are broadcast; the corpus is scanned once, never shuffled.
     */

@@ -188,8 +188,7 @@ object Similarity {
     emb.groupBy(col("label"))
       .agg(
         count(lit(1)).as("vectors"),
-        avg(norm(col("v"))).as("avg_norm"))
-      .withColumn("avg_norm", round(col("avg_norm"), 6))
+        graft.Det.davg(norm(col("v"))).as("avg_norm"))
       .orderBy(col("label"))
   }
 }

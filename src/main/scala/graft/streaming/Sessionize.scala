@@ -37,22 +37,27 @@ object Sessionize {
   /** Batch sessionization: session boundary where the per-user gap
     * exceeds GapSeconds; session_id = running count of boundaries.
     */
-  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val runs = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val es = epochSec(col("ts"))
-    val prev = lag(es, 1).over(byUser)
-    val isNew = when(prev.isNull || es - prev > GapSeconds, 1L).otherwise(0L)
-    Tables.events(spark, sfDir)
-      .withColumn("session_id", sum(isNew).over(runs))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"),
-        Det.dsum(col("value")).as("total_value"))
+  def sessions(spark: SparkSession, sfDir: String): DataFrame =
+    sessionsOf(Tables.events(spark, sfDir),
+      "user_id", "ts", "event_id", "value", GapSeconds)
       .orderBy(col("user_id"), col("session_id"))
+
+  /** DataFrame-first core: gap-based sessions over caller columns. */
+  def sessionsOf(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val runs = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val es = epochSec(col(tsCol))
+    val prev = lag(es, 1).over(byKey)
+    val isNew = when(prev.isNull || es - prev > gapSeconds, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(isNew).over(runs))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Det.dsum(col(valueCol)).as("total_value"))
   }
 
   // ---- streaming path ----
