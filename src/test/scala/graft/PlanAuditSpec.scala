@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the SCALE.md claims, held true by CI.
+  * Each assertion pins a physical-plan property that silently regressing
+  * would cost orders of magnitude at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfTiny)
+      .queryExecution.explainString(FormattedMode)
+
+  test("silver_clean: validity predicates push into the parquet scan") {
+    val p = planOf("silver_clean")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_quantity,0.0)"),
+      s"quantity filter not pushed:\n${p.take(2000)}")
+    // column pruning: untouched wide column never read
+    assert(!p.contains("l_comment"))
+  }
+
+  test("star_join: dimensions broadcast; fact scan reads only needed columns") {
+    val p = planOf("star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    val lineitemSchema = "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+    assert(p.contains(lineitemSchema), "fact scan not pruned to 3 columns")
+  }
+
+  test("gold_daily_revenue: partial+final hash aggregation, pruned scan") {
+    val p = planOf("gold_daily_revenue")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, "partial+final aggregation expected")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz"))
+  }
+
+  test("similarity_topk: probe side broadcast, corpus not shuffled before the join") {
+    val p = planOf("similarity_topk")
+    assert(p.contains("BroadcastExchange"), "probes should broadcast")
+    // the only hash-partition exchange allowed is the per-probe window
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("probe_id")),
+      s"corpus shuffled unexpectedly: $exchanges")
+  }
+
+  test("dedup_ngram: tree-shaped plan — the documents scan appears exactly once") {
+    val p = planOf("dedup_ngram")
+    // formatted mode lists every operator once in the numbered details
+    // section: "(n) Scan parquet"
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"posting branch recomputed: $scans scans")
+  }
+}
