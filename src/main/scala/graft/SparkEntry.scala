@@ -35,6 +35,7 @@ object SparkEntry {
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
     "customers_no_big_order" -> ((s, d) => Star.customersNoBigOrder(s, d)),
+    "customers_with_events"  -> ((s, d) => Star.customersWithEvents(s, d)),
     "ship_lag_stats"     -> ((s, d) => Star.shipLagStats(s, d)),
     "asof_event_order"   -> ((s, d) => AsOf.eventOrders(s, d)),
     "text_stats"         -> ((s, d) => Text.textStats(s, d)),
@@ -175,6 +176,10 @@ object SparkEntry {
     "customers_no_big_order" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+         ORDER BY c_custkey""",
+    "customers_with_events" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type = 'purchase')
          ORDER BY c_custkey""",
     "ship_lag_stats" ->
       """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS lag_days,

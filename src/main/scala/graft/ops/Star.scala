@@ -83,6 +83,21 @@ object Star {
     * side is pushed into the scan; the anti join shuffles only the
     * surviving keys (or broadcasts them when small).
     */
+  /** Left-semi join: customers with at least one purchase event —
+    * existence check without materializing matches (the dual of
+    * [[customersNoBigOrder]]'s left_anti). The events side reduces to a
+    * distinct key set before the join.
+    */
+  def customersWithEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    c.join(e, c("c_custkey") === e("user_id"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   def customersNoBigOrder(spark: SparkSession, sfDir: String,
                           threshold: Double = 350000.0): DataFrame = {
     val c = Tables.customer(spark, sfDir)
