@@ -46,6 +46,30 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases correlated to a prior view by
+    * the same user within one hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance — together they bound the
+    * buffered state (each side holds ≤ watermark+interval of history);
+    * without the interval condition a stream-stream join must buffer
+    * one side forever.
+    */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup

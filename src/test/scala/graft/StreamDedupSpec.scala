@@ -6,6 +6,33 @@ import org.apache.spark.sql.types._
 
 class StreamDedupSpec extends SparkSpec {
 
+  test("stream-stream interval join equals the batch join on a finite replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = EventsStream.viewToPurchase(src)
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("ss_join_test")
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val batch = EventsStream.viewToPurchase(
+      Tables.events(spark, sfTiny).withColumn("ts", col("ts").cast(TimestampType)))
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming dedup collapses a twice-delivered stream to distinct events") {
     // two links to the same file = exact at-least-once redelivery
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
