@@ -85,3 +85,41 @@ class Medallion(spark: SparkSession, sfDir: String, warehouse: String) {
     Map("bronze" -> b, "silver" -> s, "gold_daily" -> gd, "gold_hourly" -> gh)
   }
 }
+
+object Medallion {
+
+  /** Small-file compaction — the OPTIMIZE analog a streaming/append
+    * bronze layer needs: micro-batch appends accumulate thousands of
+    * KB-scale files whose per-file open/footer cost eventually dominates
+    * scans. Rewrites the table into ⌈bytes / targetFileBytes⌉ files via
+    * a round-robin repartition (no key skew — file sizes stay uniform).
+    * Write-then-swap keeps the table readable if the job dies mid-way
+    * (single-directory-rename exposure; a table format with a commit log
+    * would make it fully atomic — no Delta jars here, SURVEY §1).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (BigDecimal(bytes) / targetFileBytes).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+    val tmp = path + "_compacting"
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path + "_precompact")
+    if (bak.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(bak) }
+    fs.renameTo(bak)
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(bak)
+    nFiles
+  }
+
+  /** Schema-evolution read: union the physical schemas of all files in
+    * the table (`mergeSchema`) so older files lacking newly-added
+    * columns read as NULLs — the append-only evolution contract
+    * (add-only, no renames/retypes) that keeps historical data readable
+    * without rewriting 100 TB.
+    */
+  def readEvolved(spark: SparkSession, path: String) =
+    spark.read.option("mergeSchema", "true").parquet(path)
+}

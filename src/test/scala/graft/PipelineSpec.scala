@@ -47,6 +47,39 @@ class PipelineSpec extends SparkSpec {
       expect.filter(col("l_suppkey") === 3).count())
   }
 
+  test("compaction shrinks file count and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate micro-batch appends: 40 tiny files
+    val src = Tables.orders(spark, sfTiny).limit(2000)
+    src.repartition(40).write.mode("overwrite").parquet(dir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files(dir)
+    assert(before >= 30)
+    Medallion.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+    val after = files(dir)
+    assert(after < before / 4, s"$before -> $after files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("schema-evolution read: old files surface new columns as NULLs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    val v1 = Tables.region(spark, sfTiny).select("r_regionkey", "r_name")
+    v1.write.mode("overwrite").parquet(dir)
+    val v2 = Tables.region(spark, sfTiny)
+      .select(col("r_regionkey"), col("r_name"))
+      .withColumn("r_priority", col("r_regionkey") * 10)
+    v2.write.mode("append").parquet(dir)
+    val merged = Medallion.readEvolved(spark, dir)
+    assert(merged.columns.contains("r_priority"))
+    assert(merged.count() === v1.count() * 2)
+    // old files: NULL priority; new files: populated
+    assert(merged.filter(col("r_priority").isNull).count() === v1.count())
+    assert(merged.filter(col("r_priority").isNotNull).count() === v1.count())
+  }
+
   test("multimodal: mapPartitions decode plumbing matches declared query") {
     val viaDs = Multimodal.decodeMeta(spark, Multimodal.mediaTable(spark, sfTiny))
       .toDF().orderBy("doc_id")
