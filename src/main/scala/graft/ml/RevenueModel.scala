@@ -75,4 +75,45 @@ object RevenueModel {
     data.unpersist()
     out
   }
+
+  /** Per-feature importance of a fitted pipeline's forest (reference
+    * `src/etl_pipeline.py:172-178`, which collects
+    * `feature_importances_` into a matplotlib chart) — here a small
+    * DataFrame, queryable like everything else.
+    */
+  def featureImportances(spark: SparkSession,
+                         model: org.apache.spark.ml.PipelineModel): DataFrame = {
+    import spark.implicits._
+    val rf = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val names = model.stages.head
+      .asInstanceOf[org.apache.spark.ml.feature.VectorAssembler].getInputCols
+    names.zip(rf.featureImportances.toArray).toSeq
+      .toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  /** Train, persist the model, and write metrics + importances as JSON —
+    * the reference's MLflow tracking (`src/etl_pipeline.py:147-191`)
+    * replaced by plain files: the model via `MLWritable.save` (reloadable
+    * with `PipelineModel.load`), the run record as one JSON line.
+    */
+  def trainAndSave(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val data = features(spark, sfDir).cache()
+    val Array(train, _) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("custkey_f", "day_of_week", "month", "avg_order_value_f"))
+      .setOutputCol("features")
+    val rf = new RandomForestRegressor()
+      .setNumTrees(20).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+    model.write.overwrite().save(s"$outDir/model")
+    val metrics = trainEval(spark, sfDir)
+    metrics.coalesce(1).write.mode("overwrite").json(s"$outDir/metrics")
+    featureImportances(spark, model)
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/importances")
+    data.unpersist()
+    metrics
+  }
 }

@@ -106,4 +106,17 @@ class PipelineSpec extends SparkSpec {
     assert(!mae.isNaN && !rmse.isNaN)
     assert(r2 > 0.5, s"r2=$r2")
   }
+
+  test("trainAndSave persists a reloadable model plus metrics and importances") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ml").toString
+    graft.ml.RevenueModel.trainAndSave(spark, sfTiny, out)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(s"$out/model")
+    val imps = graft.ml.RevenueModel.featureImportances(spark, reloaded)
+    assert(imps.count() === 4)
+    val total = imps.agg(sum("importance")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    val metrics = spark.read.json(s"$out/metrics")
+    assert(metrics.columns.toSet ===
+      Set("mae", "rmse", "r2", "train_rows", "test_rows"))
+  }
 }
