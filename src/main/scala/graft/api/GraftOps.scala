@@ -55,6 +55,18 @@ object GraftOps {
         transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
       threshold, tables, planes, maxBucket)
 
+  /** Per-row text quality signals appended to the frame (length, token
+    * stats, punctuation density, stopword ratio).
+    */
+  def textQuality(df: DataFrame, textCol: String): DataFrame =
+    df.select((df.columns.map(col).toSeq ++
+      graft.ops.Text.qualityColumns(col(textCol))): _*)
+
+  /** Stopword-evidence language scores + argmax prediction appended. */
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    df.select((df.columns.map(col).toSeq ++
+      graft.ops.Text.langIdColumns(col(textCol))): _*)
+
   /** Gap-based sessionization over caller columns (batch; for the
     * streaming twin see `graft.streaming.Sessionize.sessionStream`).
     */

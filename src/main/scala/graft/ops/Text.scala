@@ -41,23 +41,28 @@ object Text {
     * mean token length, stopword ratio over a small fixed list.
     * Pure per-row arithmetic — deterministic across engines.
     */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((col("doc_id") +: col("lang") +: qualityColumns(col("text"))): _*)
+      .orderBy(col("doc_id"))
+
+  /** DataFrame-first core: the per-row quality signal columns for any
+    * text column (length, token stats, punctuation density, stopword
+    * ratio over a small fixed list).
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-    val toks = tokens(col("text"))
+    val toks = tokens(text)
     val nTok = size(toks)
     val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        length(col("text")).as("n_chars_measured"),
-        nTok.as("n_tokens"),
-        (length(col("text")).cast(DoubleType) / nTok).as("avg_token_len"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .as("punct_chars"),
-        stopHits.as("stopword_hits"),
-        (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"))
-      .orderBy(col("doc_id"))
+    Seq(
+      length(text).as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      (length(text).cast(DoubleType) / nTok).as("avg_token_len"),
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .as("punct_chars"),
+      stopHits.as("stopword_hits"),
+      (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"))
   }
 
   /** Deterministic n-gram language-ID heuristic: score each candidate
@@ -66,22 +71,28 @@ object Text {
     * label — the point is the operator shape: per-row scoring against a
     * broadcast-free inline rule set, SQL-expressible for the oracle.)
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = concat(lit(" "), lower(col("text")), lit(" "))
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((col("doc_id") +: col("lang").as("labeled_lang") +:
+        langIdColumns(col("text"))): _*)
+      .orderBy(col("doc_id"))
+
+  /** DataFrame-first core: per-language stopword-evidence scores and the
+    * argmax prediction for any text column.
+    */
+  def langIdColumns(text: Column): Seq[Column] = {
+    val t = concat(lit(" "), lower(text), lit(" "))
     def hits(words: Seq[String]): Column =
       words.map(w => when(t.contains(s" $w "), 1).otherwise(0))
         .reduce(_ + _)
     val en = hits(Seq("the", "and", "of", "is"))
     val es = hits(Seq("el", "la", "de", "que"))
     val de = hits(Seq("der", "die", "und", "das"))
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        en.as("en_score"), es.as("es_score"), de.as("de_score"),
-        when(en >= es && en >= de, "en")
-          .when(es >= de, "es")
-          .otherwise("de").as("predicted_lang"))
-      .orderBy(col("doc_id"))
+    Seq(
+      en.as("en_score"), es.as("es_score"), de.as("de_score"),
+      when(en >= es && en >= de, "en")
+        .when(es >= de, "es")
+        .otherwise("de").as("predicted_lang"))
   }
 
   /** BPE-style pre-tokenizer regex: letter runs | digit runs | single

@@ -26,6 +26,21 @@ class GraftOpsSpec extends SparkSpec {
     assert(viaApi === fixture)
   }
 
+  test("facade textQuality/langId over renamed columns match fixture-bound queries") {
+    val q = GraftOps.textQuality(renamed, "body")
+      .select(col("url_id"), col("n_tokens"), col("stopword_ratio"))
+      .as[(Long, Int, Double)].collect().toSet
+    val fq = graft.ops.Text.textQuality(spark, sfTiny)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      .as[(Long, Int, Double)].collect().toSet
+    assert(q === fq)
+    val l = GraftOps.langId(renamed, "body")
+      .select(col("url_id"), col("predicted_lang")).as[(Long, String)].collect().toSet
+    val fl = graft.ops.Text.langId(spark, sfTiny)
+      .select(col("doc_id"), col("predicted_lang")).as[(Long, String)].collect().toSet
+    assert(l === fl)
+  }
+
   test("facade cosineTopK with a separate probe frame matches similarity_topk") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
