@@ -23,15 +23,24 @@ object Bench {
     // Untimed warm-up: JIT/codegen the common scan→agg→join→window paths
     // once so per-query timings measure the engine, not JVM cold start.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // surface instead of silently timing a failure
+          errors.update(name, Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
   }
 }
