@@ -143,24 +143,34 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, numHashes)
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
+    val bandHashes: Seq[Column] = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+      xxhash64(hs: _*)
     }
+    // carry ALL band hashes with each banded row (bands longs — cheap) so
+    // pair emission can be restricted to the FIRST matching band below
     val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .withColumn("bhs", array(bandHashes: _*))
+      .select(col("doc_id"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
     // Bucket-collect instead of self-join: one shuffle on the band key,
     // pairs expanded by chained explodes (codegen Generates). A self-join
-    // would recompute the whole signature branch per side.
+    // would recompute the whole signature branch per side. Duplicate
+    // collisions (same pair, several bands) are eliminated shuffle-free
+    // by the first-matching-band test instead of a distinct().
+    val firstMatch = (0 until bands).map { e =>
+      when(col("band") > e,
+        element_at(col("a.bhs"), e + 1) =!= element_at(col("b.bhs"), e + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     banded
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("bhs"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("doc1"), col("ds"))
-      .select(col("doc1"), explode(col("ds")).as("doc2"))
-      .filter(col("doc1") < col("doc2"))
-      .distinct()
+      .select(col("band"), explode(col("ds")).as("a"), col("ds"))
+      .select(col("band"), col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") && firstMatch)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
@@ -190,24 +200,30 @@ object Dedup {
   def cosinePairs(emb: DataFrame,
                   threshold: Double = 0.4, tables: Int = 8,
                   planes: Int = 6, maxBucket: Int = 1000): DataFrame = {
-    val sigs: Seq[Column] = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        Similarity.lshSignature(col("v"), planes, t * planes).as("sig"))
+    val sigCols: Seq[Column] = (0 until tables).map { t =>
+      Similarity.lshSignature(col("v"), planes, t * planes)
     }
+    // all table signatures ride along (tables longs) so a pair colliding
+    // in several tables is emitted only from the FIRST matching table —
+    // no distinct() shuffle, and the exact cosine runs once per pair
+    val firstMatch = (0 until tables).map { e =>
+      when(col("tbl") > e,
+        element_at(col("a.sigs"), e + 1) =!= element_at(col("c.sigs"), e + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     emb
-      .select(col("vec_id"), col("v"), explode(array(sigs: _*)).as("b"))
-      .groupBy(col("b.tbl"), col("b.sig"))
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("bucket"))
+      .withColumn("sigs", array(sigCols: _*))
+      .select(col("vec_id"), col("v"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .groupBy(col("tbl"), col("sig"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("sigs"))).as("bucket"))
       .filter(size(col("bucket")).between(2, maxBucket))
-      .select(explode(col("bucket")).as("a"), col("bucket"))
-      .select(col("a"), explode(col("bucket")).as("c"))
-      .filter(col("a.vec_id") < col("c.vec_id"))
+      .select(col("tbl"), explode(col("bucket")).as("a"), col("bucket"))
+      .select(col("tbl"), col("a"), explode(col("bucket")).as("c"))
+      .filter(col("a.vec_id") < col("c.vec_id") && firstMatch)
       .select(col("a.vec_id").as("vec1"), col("c.vec_id").as("vec2"),
         Similarity.cosine(col("a.v"), col("c.v")).as("cos"))
       .filter(col("cos") >= threshold)
-      // same pair can collide in several tables; cosine is a pure
-      // function of the pair (same fold order), so distinct is exact
-      .distinct()
       .orderBy(col("vec1"), col("vec2"))
   }
 
@@ -239,17 +255,26 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
     // Same bucket-collect shape as [[dedupMinhash]] — one shuffle, no
-    // self-join recompute of the signature branch.
+    // self-join recompute of the signature branch. A pair colliding in
+    // several blocks would duplicate; instead of a distinct() shuffle,
+    // emit each pair only from its FIRST matching block (computable
+    // per row — both signatures are in hand), which is shuffle-free.
+    def blockOf(s: org.apache.spark.sql.Column, e: Int) =
+      shiftright(s, e * 16).bitwiseAND(0xFFFFL)
+    val firstMatch = (0 until 4).map { e =>
+      when(col("blk") > e,
+        blockOf(col("a.simhash"), e) =!= blockOf(col("b.simhash"), e))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     exploded
       .groupBy(col("blk"), col("bv"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("blk"), explode(col("ds")).as("a"), col("ds"))
+      .select(col("blk"), col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") && firstMatch)
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc1"), col("doc2"))
   }
