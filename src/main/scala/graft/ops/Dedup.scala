@@ -71,15 +71,18 @@ object Dedup {
   /** DataFrame-first core over (doc_id, text) rows. */
   def ngramPairs(input: DataFrame,
                  threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    // Shingles are computed AND hashed by the native ShingleHashes
+    // expression (one pass; spec-cross-checked against the composed
+    // [[shingles]]+xxhash64 form) and carried as longs from here on —
+    // constant-width shuffle keys instead of arbitrary-length strings
+    // (collision odds ~ pairs·2⁻⁶⁴, negligible).
     val docs = input
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(SparkSession.active, col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // Inverted index: one row per (doc, shingle). Shingles are carried as
-    // xxhash64 longs from here on — constant-width shuffle keys instead of
-    // arbitrary-length strings (collision odds ~ pairs·2⁻⁶⁴, negligible).
     val posting = docs
-      .select(col("doc_id"), col("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
     // Gather each shingle's posting list in ONE shuffle, prune by list
     // size (df < 2 → no pair; df > maxDf → hot-shingle skew bomb), then
     // expand candidate pairs with two chained explodes — plain codegen'd
@@ -120,13 +123,15 @@ object Dedup {
     * LSH layout. Seeds fixed for reproducibility.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
-    // Each shingle string is hashed ONCE; the numHashes independent
-    // min-hash families then re-hash the 8-byte value (seeded by index) —
-    // 16 long-hashes instead of 16 variable-length string-hashes per
-    // shingle, and the map-side partial min-agg shuffles one row per doc.
+    // Each shingle is tokenized+hashed ONCE by the native ShingleHashes
+    // expression; the numHashes independent min-hash families then
+    // re-hash the 8-byte value (seeded by index) — 16 long-hashes
+    // instead of 16 variable-length string-hashes per shingle, and the
+    // map-side partial min-agg shuffles one row per doc.
     val posting = docs
       .select(col("doc_id"),
-        explode(transform(shingles(col("text")), s => xxhash64(s))).as("shingle"))
+        explode(graft.functions.ShingleHashes
+          .shingleHashes(docs.sparkSession, col("text"))).as("shingle"))
     val mins: Seq[Column] = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }

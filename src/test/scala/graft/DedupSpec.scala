@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native ShingleHashes equals composed shingles+xxhash64 as a set, incl. edge inputs") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      "  padded   text  here  ", "x x x x x").toDF("text")
+    val docs = Tables.documents(spark, sfTiny).select(col("text"))
+      .unionAll(edge)
+    val mismatch = docs.select(
+        sort_array(graft.functions.ShingleHashes
+          .shingleHashes(spark, col("text"))).as("native"),
+        sort_array(array_distinct(
+          transform(Dedup.shingles(col("text")), s => xxhash64(s)))).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch === 0)
+  }
+
   test("shingles: short and empty docs produce empty arrays, no crash") {
     val df = Seq("", "one", "one two", "one two three", "a b c d")
       .toDF("text")
