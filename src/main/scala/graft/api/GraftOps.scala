@@ -67,6 +67,17 @@ object GraftOps {
     df.select((df.columns.map(col).toSeq ++
       graft.ops.Text.langIdColumns(col(textCol))): _*)
 
+  /** As-of (point-in-time) join over caller columns — see
+    * `graft.ops.AsOf.asofJoin` for semantics and the union+window plan.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               leftTie: String, rightTie: String,
+               rightValueCols: Seq[String]): DataFrame =
+    graft.ops.AsOf.asofJoin(left, right, leftKey, rightKey,
+      leftTime, rightTime, leftTie, rightTie, rightValueCols)
+
   /** Gap-based sessionization over caller columns (batch; for the
     * streaming twin see `graft.streaming.Sessionize.sessionStream`).
     */

@@ -29,6 +29,44 @@ import org.apache.spark.sql.types._
   */
 object AsOf {
 
+  /** Generic as-of join: every `left` row gains `prefix`-named copies of
+    * `rightValueCols` from the latest `right` row with the same key and
+    * `rightTime` ≤ `leftTime` (left-outer: no prior right row → NULLs).
+    *
+    * `rightTie` breaks ties among equal-time right rows (largest wins,
+    * matching "latest"); `leftTie` makes the output deterministic when a
+    * left row and right row share a timestamp (right-before-left,
+    * inclusive ≤). One shuffle on the key; see class doc.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               leftTie: String, rightTie: String,
+               rightValueCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightValueCols
+    val l = left.select(
+      (col(leftKey).as("_k") +: col(leftTime).as("_t") +:
+        lit(1).as("_tag") +: col(leftTie).cast(LongType).as("_tie") +:
+        leftCols.map(col)) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r = right.select(
+      (col(rightKey).as("_k") +: col(rightTime).as("_t") +:
+        lit(0).as("_tag") +: col(rightTie).cast(LongType).as("_tie") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        carried.map(c => col(c).as(s"_r_$c")): _*)
+    val run = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarry = carried.foldLeft(r.unionAll(l)) { (df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"_r_$c"), ignoreNulls = true).over(run))
+    }
+    withCarry
+      .filter(col("_tag") === 1)
+      .select((leftCols.map(col) ++ carried.map(c => col(s"$prefix$c"))): _*)
+  }
+
   /** Declared query: each event joined as-of to the user's most recent
     * order at or before the event time (events.user_id and o_custkey
     * share the 0..149 id space in the fixtures; users without a prior

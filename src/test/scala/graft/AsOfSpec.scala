@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 
 class AsOfSpec extends SparkSpec {
 
+  test("generic asofJoin reproduces the declared asof_event_order query") {
+    val events = Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "ts")
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val generic = AsOf.asofJoin(
+      events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      leftTie = "event_id", rightTie = "o_orderkey",
+      rightValueCols = Seq("o_orderkey", "o_totalprice"))
+    val declared = AsOf.eventOrders(spark, sfTiny)
+    val diff = generic
+      .select(col("event_id"),
+        col("asof_o_orderkey").as("g_key"), col("asof_o_totalprice").as("g_price"))
+      .join(declared.select(col("event_id"), col("asof_orderkey"), col("asof_totalprice")),
+        "event_id")
+      .filter(
+        (col("g_key").isNull =!= col("asof_orderkey").isNull) ||
+        (col("g_key").isNotNull &&
+          (col("g_key") =!= col("asof_orderkey") ||
+           col("g_price") =!= col("asof_totalprice"))))
+      .count()
+    assert(diff === 0)
+  }
+
   test("as-of join equals the brute-force correlated definition") {
     val got = AsOf.eventOrders(spark, sfTiny).cache()
     val events = Tables.events(spark, sfTiny)
