@@ -28,6 +28,7 @@ object SparkEntry {
     "event_type_stats"   -> ((s, d) => Aggregates.eventTypeStats(s, d)),
     "approx_stats"       -> ((s, d) => Aggregates.approxStats(s, d)),
     "cube_demand"        -> ((s, d) => Aggregates.cubeDemand(s, d)),
+    "grouping_sets_demand" -> ((s, d) => Aggregates.groupingSetsDemand(s, d)),
     "pivot_revenue"      -> ((s, d) => Aggregates.pivotRevenue(s, d)),
     "repeat_buyers"      -> ((s, d) => Aggregates.repeatBuyers(s, d)),
     "moving_avg_revenue" -> ((s, d) => Aggregates.movingAvgRevenue(s, d)),
@@ -122,6 +123,14 @@ object SparkEntry {
          CAST(GROUPING(event_type) AS INTEGER) AS g_type,
          CAST(GROUPING(hour(ts)) AS INTEGER) AS g_hour
          FROM events GROUP BY CUBE(event_type, hour(ts))
+         ORDER BY g_type, g_hour, event_type, hour""",
+    "grouping_sets_demand" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+         COUNT(*) AS events,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+         CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         CAST(GROUPING(hour(ts)) AS INTEGER) AS g_hour
+         FROM events GROUP BY GROUPING SETS ((event_type), (hour(ts)))
          ORDER BY g_type, g_hour, event_type, hour""",
     "pivot_revenue" ->
       """SELECT o_orderstatus,

@@ -112,6 +112,22 @@ object Aggregates {
         grouping(col("hour")).cast(IntegerType).as("g_hour"))
       .orderBy(col("g_type"), col("g_hour"), col("event_type"), col("hour"))
 
+  /** Explicit GROUPING SETS — the two marginal rollups (by type, by
+    * hour) in ONE input pass, without cube's full cross combination.
+    */
+  def groupingSetsDemand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("hour", hour(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("hour"))),
+        col("event_type"), col("hour"))
+      .agg(
+        count(lit(1)).as("events"),
+        Det.dsum(col("value")).as("total_value"),
+        grouping(col("event_type")).cast(IntegerType).as("g_type"),
+        grouping(col("hour")).cast(IntegerType).as("g_hour"))
+      .orderBy(col("g_type"), col("g_hour"), col("event_type"), col("hour"))
+
   /** Pivot: order revenue status × priority matrix. Pivot values are
     * pinned (never inferred — inference costs an extra distinct scan and
     * makes the output schema data-dependent, both wrong at scale).
