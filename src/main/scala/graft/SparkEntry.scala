@@ -35,6 +35,18 @@ object SparkEntry {
     "star_join"          -> ((s, d) => Star.starJoin(s, d)),
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
+    "grouped_topk"       -> ((s, d) => {
+      // the custom bounded-heap operator (graft.plans.GroupedTopK);
+      // projecting to (group, value) makes the output the top-k VALUE
+      // multiset — deterministic under ties on both engines
+      import org.apache.spark.sql.functions.col
+      graft.plans.GroupedTopK
+        .of(graft.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          Seq("o_orderpriority"), "o_totalprice", 3)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc)
+    }),
     "customers_no_big_order" -> ((s, d) => Star.customersNoBigOrder(s, d)),
     "customers_with_events"  -> ((s, d) => Star.customersWithEvents(s, d)),
     "ship_lag_stats"     -> ((s, d) => Star.shipLagStats(s, d)),
@@ -182,6 +194,14 @@ object SparkEntry {
            FROM orders)
          WHERE rank_in_priority <= 3
          ORDER BY o_orderpriority, rank_in_priority""",
+    "grouped_topk" ->
+      """SELECT o_orderpriority, o_totalprice FROM (
+           SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_orderpriority, o_totalprice DESC""",
     "customers_no_big_order" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
