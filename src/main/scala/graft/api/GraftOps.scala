@@ -67,6 +67,15 @@ object GraftOps {
     df.select((df.columns.map(col).toSeq ++
       graft.ops.Text.langIdColumns(col(textCol))): _*)
 
+  /** Top-k rows per group by a numeric column, via the custom
+    * bounded-heap physical operator (`graft.plans.GroupedTopK`):
+    * O(n log k) single pass, no per-partition sort. Row order is
+    * unspecified; ties at the k boundary resolve arbitrarily.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCol: String, k: Int): DataFrame =
+    graft.plans.GroupedTopK.of(df, groupCols, orderCol, k)
+
   /** As-of (point-in-time) join over caller columns — see
     * `graft.ops.AsOf.asofJoin` for semantics and the union+window plan.
     */
