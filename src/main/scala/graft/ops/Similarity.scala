@@ -102,23 +102,36 @@ object Similarity {
       .reduce(_.bitwiseOR(_))
 
   /** ANN via random-hyperplane LSH: bucket corpus + probes by signature,
-    * exact cosine re-rank within the bucket, top-k per probe. Recall
-    * trades off with bucket count (numPlanes); multi-probe (flipping one
-    * bit) would raise recall — kept single-probe here for determinism.
+    * exact cosine re-rank within the bucket, top-k per probe.
+    *
+    * Multi-probe: each probe additionally searches the `multiProbe`
+    * buckets at Hamming distance 1 from its own signature (one sign bit
+    * flipped) — near neighbors most often land one plane away, so recall
+    * rises steeply for a (multiProbe+1)× probe-side fan-out while the
+    * CORPUS side is bucketed exactly once (the scale-relevant cost).
+    * Deterministic: bits are flipped in fixed order.
     */
   def annLsh(spark: SparkSession, sfDir: String,
-             numProbes: Int = 10, k: Int = 5, numPlanes: Int = 8): DataFrame = {
+             numProbes: Int = 10, k: Int = 5, numPlanes: Int = 8,
+             multiProbe: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", lshSignature(col("v"), numPlanes))
+    val probeSigs: Seq[Column] =
+      col("sig") +: (0 until math.min(multiProbe, numPlanes)).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)))
     val probes = emb.filter(col("vec_id") < numProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(array(probeSigs: _*)).as("sig"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     emb.join(probes, Seq("sig"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
         cosine(col("pv"), col("v")).as("sim"))
+      // a candidate can match in several probed buckets — dedupe before
+      // ranking (sim is a pure function of the pair, so distinct is exact)
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
@@ -140,9 +153,35 @@ object Similarity {
     * recall against [[similarityTopk]]).
     */
   def annIvf(spark: SparkSession, sfDir: String,
-             numProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+             numProbes: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfSearch(
+      Tables.parallelize(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("label").as("cell"),
+          asDouble(col("embedding")).as("v")),
+      numProbes, k, nprobe)
+
+  /** IVF with a trained coarse quantizer: seeded k-means (spark.ml)
+    * assigns the cells instead of the label stand-in — the production
+    * IVF layout where no natural partition exists.
+    */
+  def annIvfKmeans(spark: SparkSession, sfDir: String,
+                   cells: Int = 10, numProbes: Int = 10,
+                   k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("label").as("cell"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
+    val assigned = km.fit(emb).transform(emb)
+      .select(col("vec_id"), col("cell"), col("v"))
+    ivfSearch(assigned, numProbes, k, nprobe)
+  }
+
+  /** IVF search core over (vec_id, cell, v) rows. */
+  def ivfSearch(input: DataFrame,
+                numProbes: Int, k: Int, nprobe: Int): DataFrame = {
+    val emb = input
     // Exact per-cell centroid in ONE aggregation pass: ml.stat.Summarizer
     // computes the mean vector with a map-side-combined buffer (the
     // posexplode → per-(cell,pos) avg → reassemble formulation costs two

@@ -82,6 +82,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2)
   }
 
+  test("kmeans-quantized IVF: k results per probe from trained cells") {
+    val ivf = Similarity.annIvfKmeans(spark, sfTiny, cells = 8).cache()
+    assert(ivf.count() === 50)
+    assert(ivf.filter(col("probe_id") === col("cand_id")).count() === 0)
+    val exact = Similarity.similarityTopk(spark, sfTiny, numProbes = 10, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    info(s"kmeans-IVF recall@5 = ${exact.intersect(approx).size.toDouble / exact.size}")
+    ivf.unpersist()
+  }
+
   test("native CosineSim equals the composed-builtin cosine bit-for-bit") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
