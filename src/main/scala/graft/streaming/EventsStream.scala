@@ -46,6 +46,35 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest into the medallion bronze layer: micro-batches
+    * append partitioned parquet via `foreachBatch` (which may use the
+    * full batch writer — partitionBy, dynamic overwrite — that the
+    * streaming sink API lacks). `Trigger.AvailableNow` drains what
+    * exists and stops: the catch-up/backfill mode; drop the trigger for
+    * continuous tailing. Appends accumulate small files —
+    * `graft.pipeline.Medallion.compact` is the companion maintenance op.
+    * Returns the number of micro-batches committed.
+    */
+  def streamToBronze(spark: SparkSession, srcDir: String, bronzePath: String): Long = {
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = graft.ops.Relational.bronzeDerive(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.partitionBy("year", "month").mode("append").parquet(bronzePath)
+        batches.incrementAndGet(): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bronze_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Stream-stream inner join: purchases correlated to a prior view by
     * the same user within one hour. Both sides carry watermarks and the
     * join condition bounds event-time distance — together they bound the

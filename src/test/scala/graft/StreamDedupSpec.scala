@@ -6,6 +6,23 @@ import org.apache.spark.sql.types._
 
 class StreamDedupSpec extends SparkSpec {
 
+  test("streaming bronze ingest: AvailableNow drain equals the batch bronze, then compacts") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bronze_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_out").toString + "/t"
+    val batches = EventsStream.streamToBronze(spark, srcDir.toString, bronze)
+    assert(batches >= 1)
+    val streamed = spark.read.parquet(bronze)
+    val expected = graft.ops.Relational.bronzeDerive(Tables.events(spark, sfTiny))
+    assert(streamed.count() === expected.count())
+    assert(streamed.select("event_id", "year", "month", "hour")
+      .exceptAll(expected.select("event_id", "year", "month", "hour")).count() === 0)
+    // companion maintenance: compaction keeps the data identical
+    graft.pipeline.Medallion.compact(spark, bronze + "/year=2024/month=1")
+    assert(spark.read.parquet(bronze).count() === expected.count())
+  }
+
   test("stream-stream interval join equals the batch join on a finite replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
     java.nio.file.Files.createSymbolicLink(
