@@ -35,11 +35,18 @@ object RevenueModel {
     * the driver records rows>0 and ScalaTest asserts metric floors.
     */
   def trainEval(spark: SparkSession, sfDir: String): DataFrame = {
-    // Cache the feature table: the forest fit, the split, and the three
-    // metric evaluations would otherwise each re-run the gold aggregation
+    // Cache the feature table: the forest fit, the split, and the
+    // metric evaluation would otherwise each re-run the gold aggregation
     // lineage (the reference has the same multi-action recompute pattern,
     // SURVEY §2a note on its triple count()).
-    val data = features(spark, sfDir).cache()
+    // Pin partition count AND within-partition order before randomSplit:
+    // the split samples per partition in row order, so without this the
+    // train/test assignment — and every downstream metric — would change
+    // with the session's parallelism.
+    val data = features(spark, sfDir)
+      .repartition(32, col("o_custkey"), col("day"))
+      .sortWithinPartitions(col("o_custkey"), col("day"))
+      .cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
 
     val assembler = new VectorAssembler()
