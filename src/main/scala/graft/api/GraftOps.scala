@@ -67,6 +67,15 @@ object GraftOps {
     df.select((df.columns.map(col).toSeq ++
       graft.ops.Text.langIdColumns(col(textCol))): _*)
 
+  /** Regex pre-token count appended (BPE-style pre-tokenizer — letter
+    * runs | digit runs | single glyph; see `graft.ops.Text.BpePattern`).
+    */
+  def bpeTokenCount(df: DataFrame, textCol: String,
+                    as: String = "n_re_tokens"): DataFrame =
+    df.withColumn(as,
+      size(regexp_extract_all(col(textCol),
+        lit(graft.ops.Text.BpePattern), lit(0))).cast("long"))
+
   /** Top-k rows per group by a numeric column, via the custom
     * bounded-heap physical operator (`graft.plans.GroupedTopK`):
     * O(n log k) single pass, no per-partition sort. Row order is

@@ -41,6 +41,14 @@ class GraftOpsSpec extends SparkSpec {
     assert(l === fl)
   }
 
+  test("facade bpeTokenCount matches the declared token_bpe counts") {
+    val viaApi = GraftOps.bpeTokenCount(renamed, "body")
+      .select(col("url_id"), col("n_re_tokens")).as[(Long, Long)].collect().toSet
+    val fixture = graft.ops.Text.tokenBpe(spark, sfTiny)
+      .select(col("doc_id"), col("n_re_tokens")).as[(Long, Long)].collect().toSet
+    assert(viaApi === fixture)
+  }
+
   test("facade cosineTopK with a separate probe frame matches similarity_topk") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
