@@ -179,7 +179,7 @@ object SparkEntry {
     "json_props" ->
       """SELECT event_type,
          COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count,
-         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
          FROM events GROUP BY 1 ORDER BY event_type""",
@@ -241,8 +241,8 @@ object SparkEntry {
          FROM w WHERE tag = 1 ORDER BY event_id""",
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS docs,
-         SUM(n_chars) AS total_chars,
-         SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, source""",
     "text_quality" ->

@@ -3,7 +3,7 @@ package graft.api
 import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** DataFrame-first library facade: every operator over YOUR columns, not
   * the fixture schema. Thin renames into the `graft.ops` cores — no
@@ -110,7 +110,8 @@ object GraftOps {
   def heavyHitters(df: DataFrame, valueCol: String,
                    k: Int = 10, capacity: Int = 256): DataFrame =
     df.agg(graft.functions.MisraGries
-        .heavyHitters(df.sparkSession, col(valueCol), k, capacity).as("hh"))
+        .heavyHitters(df.sparkSession,
+          col(valueCol).cast(StringType), k, capacity).as("hh"))
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("value"), col("h.est").as("occurrences"))
 

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   * (`aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, +)` folded left-to-right,
   * norms the same way, then dot/(√·√)) so results are bit-identical to
   * both the composed Column version and DuckDB's list_reduce oracle —
-  * the similarity_topk hash-match stays exact.
+  * the similarity_topk hash-match stays exact. The one deliberate
+  * deviation: a zero-norm input yields 0.0 (not NaN) — NaN sorts above
+  * every double in Spark, so a degenerate all-zero embedding would
+  * otherwise beat genuine neighbors in every threshold/top-k path.
+  * [[graft.ops.Similarity.cosineComposed]] carries the same guard.
   *
   * Why native: the composed form allocates a zipped array and makes two
   * boxed lambda calls per element per pair; candidate re-rank evaluates
@@ -49,7 +53,9 @@ case class CosineSim(left: Expression, right: Expression)
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -69,7 +75,11 @@ case class CosineSim(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    // Zero-norm guard: a degenerate all-zero vector would otherwise give
+    // NaN, which Spark orders ABOVE every double — it would pass every
+    // `cos >= threshold` filter and rank first in top-k windows.
+    if (nx == 0.0 || ny == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
   override protected def withNewChildrenInternal(

@@ -65,8 +65,17 @@ case class MisraGries(
   }
 
   override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    // Non-string children are counted by their string rendering rather
+    // than failing with a ClassCastException mid-job (ExpectsInputTypes
+    // is off the table: AbstractDataType is private[sql] in Spark 4, see
+    // repo NOTES.md). The facade additionally casts to string so the
+    // declared output type is honest at analysis time.
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    v match {
+      case null              => ()
+      case u: UTF8String     => add(buf, u.toString, 1L)
+      case other             => add(buf, other.toString, 1L)
+    }
     buf
   }
 

@@ -34,21 +34,23 @@ object RevenueModel {
     * Not oracle-checked (forest implementations differ numerically);
     * the driver records rows>0 and ScalaTest asserts metric floors.
     */
-  def trainEval(spark: SparkSession, sfDir: String): DataFrame = {
-    // Cache the feature table: the forest fit, the split, and the
-    // metric evaluation would otherwise each re-run the gold aggregation
-    // lineage (the reference has the same multi-action recompute pattern,
-    // SURVEY §2a note on its triple count()).
-    // Pin partition count AND within-partition order before randomSplit:
-    // the split samples per partition in row order, so without this the
-    // train/test assignment — and every downstream metric — would change
-    // with the session's parallelism.
+  /** One pinned, parallelism-invariant train/test/fit: cache the feature
+    * table (the fit, split, and metric passes would otherwise each re-run
+    * the gold aggregation lineage — the reference has the same
+    * multi-action recompute pattern, SURVEY §2a note on its triple
+    * count()), pin partition count AND within-partition order before
+    * randomSplit (the split samples per partition in row order, so
+    * without this the train/test assignment — and every downstream
+    * metric — would change with the session's parallelism), then fit the
+    * reference-parameter forest. Caller must unpersist `data`.
+    */
+  private def fitPinned(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, org.apache.spark.ml.PipelineModel) = {
     val data = features(spark, sfDir)
       .repartition(32, col("o_custkey"), col("day"))
       .sortWithinPartitions(col("o_custkey"), col("day"))
       .cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-
     val assembler = new VectorAssembler()
       .setInputCols(Array("custkey_f", "day_of_week", "month", "avg_order_value_f"))
       .setOutputCol("features")
@@ -57,13 +59,18 @@ object RevenueModel {
       .setSeed(42)
       .setLabelCol("label")
       .setFeaturesCol("features")
-    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
-    val pred = model.transform(test).select("label", "prediction")
+    (data, train, test, new Pipeline().setStages(Array(assembler, rf)).fit(train))
+  }
 
-    // All three metrics from ONE aggregation pass (RegressionEvaluator
-    // would scan the predictions once per metric): mae = E|l−p|,
-    // rmse = √E(l−p)², r2 = 1 − SS_res/SS_tot — the same formulas the
-    // evaluator implements.
+  /** Metrics of a fitted model on a held-out test set. All three metrics
+    * from ONE aggregation pass (RegressionEvaluator would scan the
+    * predictions once per metric): mae = E|l−p|, rmse = √E(l−p)²,
+    * r2 = 1 − SS_res/SS_tot — the same formulas the evaluator implements.
+    */
+  private def metricsOf(spark: SparkSession,
+                        model: org.apache.spark.ml.PipelineModel,
+                        train: DataFrame, test: DataFrame): DataFrame = {
+    val pred = model.transform(test).select("label", "prediction")
     val m = pred.agg(
       avg(abs(col("label") - col("prediction"))).as("mae"),
       sqrt(avg(pow(col("label") - col("prediction"), 2))).as("rmse"),
@@ -74,11 +81,14 @@ object RevenueModel {
     val n = m.getLong(5).toDouble
     val ssTot = m.getDouble(3) - m.getDouble(4) * m.getDouble(4) / n
     val r2 = 1.0 - m.getDouble(2) / ssTot
-
     import spark.implicits._
-    val out = Seq((m.getDouble(0), m.getDouble(1), r2,
-      train.count(), m.getLong(5)))
+    Seq((m.getDouble(0), m.getDouble(1), r2, train.count(), m.getLong(5)))
       .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
+  }
+
+  def trainEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (data, train, test, model) = fitPinned(spark, sfDir)
+    val out = metricsOf(spark, model, train, test)
     data.unpersist()
     out
   }
@@ -106,17 +116,13 @@ object RevenueModel {
     * with `PipelineModel.load`), the run record as one JSON line.
     */
   def trainAndSave(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
-    val data = features(spark, sfDir).cache()
-    val Array(train, _) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-    val assembler = new VectorAssembler()
-      .setInputCols(Array("custkey_f", "day_of_week", "month", "avg_order_value_f"))
-      .setOutputCol("features")
-    val rf = new RandomForestRegressor()
-      .setNumTrees(20).setSeed(42)
-      .setLabelCol("label").setFeaturesCol("features")
-    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+    // ONE model: the same pinned-split fit that trainEval uses is saved,
+    // measured, and has its importances dumped — so the persisted
+    // metrics/importances describe the persisted model exactly (and the
+    // forest is trained once, not twice).
+    val (data, train, test, model) = fitPinned(spark, sfDir)
     model.write.overwrite().save(s"$outDir/model")
-    val metrics = trainEval(spark, sfDir)
+    val metrics = metricsOf(spark, model, train, test)
     metrics.coalesce(1).write.mode("overwrite").json(s"$outDir/metrics")
     featureImportances(spark, model)
       .coalesce(1).write.mode("overwrite").json(s"$outDir/importances")

@@ -33,14 +33,20 @@ object Similarity {
 
   /** Cosine similarity — native [[graft.functions.CosineSim]] expression
     * (bit-identical to [[cosineComposed]], which the spec cross-checks;
-    * same fold order as the DuckDB oracle's list_reduce).
+    * same fold order as the DuckDB oracle's list_reduce). Zero-norm
+    * inputs yield 0.0, not NaN — see the CosineSim scaladoc.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cos(SparkSession.active, a, b)
 
-  /** Builtin-composed cosine — reference implementation for the spec. */
-  def cosineComposed(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Builtin-composed cosine — reference implementation for the spec
+    * (same zero-norm guard as the native expression).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))

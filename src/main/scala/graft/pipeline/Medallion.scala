@@ -104,13 +104,26 @@ object Medallion {
     val nFiles = math.max(1, (BigDecimal(bytes) / targetFileBytes).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
     val tmp = path + "_compacting"
     df.repartition(nFiles.toInt).write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(path)
-    val bak = new java.io.File(path + "_precompact")
-    if (bak.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(bak) }
-    fs.renameTo(bak)
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    // Swap via java.nio moves, which THROW on failure (File.renameTo
+    // returns false silently — acting on an unchecked false here could
+    // delete the only surviving copy). Failure modes: if move #1 fails
+    // the table is untouched; if move #2 fails we put the original back
+    // and rethrow; the backup is removed only after the new table is
+    // verifiably in place.
+    import java.nio.file.{Files, Paths}
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(bak)
+    val cur = Paths.get(path)
+    val bak = Paths.get(path + "_precompact")
+    if (Files.exists(bak)) rm(bak.toFile)
+    Files.move(cur, bak)
+    try Files.move(Paths.get(tmp), cur)
+    catch {
+      case e: Throwable =>
+        Files.move(bak, cur) // restore; leaves tmp for inspection
+        throw e
+    }
+    require(Files.exists(cur), s"compact: swap left no table at $path")
+    rm(bak.toFile)
     nFiles
   }
 

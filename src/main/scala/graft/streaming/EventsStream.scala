@@ -54,8 +54,18 @@ object EventsStream {
     * continuous tailing. Appends accumulate small files —
     * `graft.pipeline.Medallion.compact` is the companion maintenance op.
     * Returns the number of micro-batches committed.
+    *
+    * `checkpointLocation` defaults to a sibling of the sink path, so
+    * re-running the ingest resumes from committed offsets instead of
+    * re-draining (and duplicating) the whole source — the append sink
+    * makes a stable checkpoint the idempotence mechanism. Pass a fresh
+    * directory explicitly to force a full replay.
     */
-  def streamToBronze(spark: SparkSession, srcDir: String, bronzePath: String): Long = {
+  def streamToBronze(spark: SparkSession, srcDir: String, bronzePath: String,
+                     checkpointLocation: String = null): Long = {
+    val ckpt =
+      if (checkpointLocation != null) checkpointLocation
+      else bronzePath.stripSuffix("/") + "_ckpt"
     val src = spark.readStream
       .schema(eventsSchema)
       .parquet(srcDir)
@@ -68,8 +78,7 @@ object EventsStream {
         batch.write.partitionBy("year", "month").mode("append").parquet(bronzePath)
         batches.incrementAndGet(): Unit
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_bronze_ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
     batches.get()

@@ -18,6 +18,12 @@ class StreamDedupSpec extends SparkSpec {
     assert(streamed.count() === expected.count())
     assert(streamed.select("event_id", "year", "month", "hour")
       .exceptAll(expected.select("event_id", "year", "month", "hour")).count() === 0)
+    // re-running the ingest is idempotent: the stable default checkpoint
+    // resumes from committed offsets, so nothing is re-drained into the
+    // append sink (this was a duplication bug when every call got a
+    // fresh temp checkpoint)
+    EventsStream.streamToBronze(spark, srcDir.toString, bronze)
+    assert(spark.read.parquet(bronze).count() === expected.count())
     // companion maintenance: compaction keeps the data identical
     graft.pipeline.Medallion.compact(spark, bronze + "/year=2024/month=1")
     assert(spark.read.parquet(bronze).count() === expected.count())
