@@ -55,10 +55,13 @@ object SparkEntry {
     "text_quality"       -> ((s, d) => Text.textQuality(s, d)),
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
     "doc_fingerprint"    -> ((s, d) => Text.docFingerprint(s, d)),
+    "pii_scrub"          -> ((s, d) => Text.piiScrub(s, d)),
+    "quality_filter"     -> ((s, d) => Text.qualityFilter(s, d)),
     "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
     "heavy_tokens"       -> ((s, d) => Text.heavyTokens(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "dedup_clusters"     -> ((s, d) => Components.dedupClusters(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -299,6 +302,36 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_fp,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS shingle_fp
          FROM documents ORDER BY doc_id""",
+    "pii_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ \t\n]+', '<URL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ \t\n]+', '<URL>', 'g'),
+           '[0-9]{6,}')) AS BIGINT) AS n_numbers
+         FROM documents ORDER BY doc_id""",
+    "quality_filter" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> t IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS score
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, score,
+             percent_rank() OVER (ORDER BY score, doc_id) AS q_rank
+           FROM q)
+         SELECT doc_id, lang, score, q_rank FROM r
+         WHERE q_rank >= 0.2 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -330,6 +363,45 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.5
          ORDER BY doc1, doc2""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  ELSE [] END) AS s
+           FROM toks),
+         posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pruned AS (
+           SELECT doc_id, n_sh, shingle,
+                  COUNT(*) OVER (PARTITION BY shingle) AS df
+           FROM posting),
+         pairs AS (
+           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                  a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS common
+           FROM (SELECT * FROM pruned WHERE df <= 1000) a
+           JOIN (SELECT * FROM pruned WHERE df <= 1000) b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         sel AS (
+           SELECT doc1, doc2 FROM pairs
+           WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.5),
+         edges AS (SELECT doc1 AS a, doc2 AS b FROM sel
+                   UNION ALL SELECT doc2, doc1 FROM sel),
+         reach AS (
+           SELECT a AS node, b AS m FROM edges
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a),
+         base AS (
+           SELECT d.doc_id,
+                  least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS cluster_id
+           FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+           GROUP BY d.doc_id)
+         SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+         FROM base ORDER BY doc_id""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          d AS (

@@ -55,6 +55,34 @@ object GraftOps {
         transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
       threshold, tables, planes, maxBucket)
 
+  /** Duplicate clusters from any id-pair frame: every id that appears in
+    * a pair gets its connected component's minimum id as `root`
+    * (alternating large-star/small-star contraction —
+    * `graft.ops.Components`). Join back and `coalesce(root, id)` to
+    * label a full table.
+    */
+  def dupClusters(pairs: DataFrame, id1Col: String, id2Col: String): DataFrame =
+    graft.ops.Components.connectedComponents(
+      pairs.select(col(id1Col).as("u"), col(id2Col).as("v")))
+
+  /** PII scrub columns (clean_text + per-category redaction counts)
+    * appended to the frame — emails, URLs, long digit runs, in that
+    * fixed order (see `graft.ops.Text.piiScrubColumns`).
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.select((df.columns.map(col).toSeq ++
+      graft.ops.Text.piiScrubColumns(col(textCol))): _*)
+
+  /** Quantile quality gate at scale: drop the worst `dropBelow` fraction
+    * of rows by stopword-ratio score using a percentile sketch cutoff —
+    * no global sort (see `graft.ops.Text.qualityFilterApprox`).
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    langCol: String, dropBelow: Double = 0.2): DataFrame =
+    graft.ops.Text.qualityFilterApprox(
+      df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("text")), dropBelow)
+
   /** Per-row text quality signals appended to the frame (length, token
     * stats, punctuation density, stopword ratio).
     */

@@ -146,6 +146,90 @@ object Text {
       .select(col("h.token").as("token"), col("h.est").as("occurrences"))
       .orderBy(col("occurrences").desc, col("token"))
 
+  /** PII patterns shared by the scrub op and its oracle: written in the
+    * regex subset that compiles identically under Java regex (Spark) and
+    * RE2 (DuckDB) — character classes, bounded/unbounded repeats, no
+    * backrefs or lookaround (RE2 has neither).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val LongDigitsPattern = "[0-9]{6,}"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text: emails → `<EMAIL>`,
+    * URLs → `<URL>`, long digit runs (ids, phone numbers) → `<NUM>`,
+    * with per-category redaction counts for audit. Order matters and is
+    * fixed: emails, then URLs, then digit runs — so digits inside an
+    * already-redacted email/URL are not double-counted. Pure per-row
+    * codegen'd `regexp_replace`/`regexp_count`; embarrassingly parallel,
+    * no shuffle at any scale.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((col("doc_id") +: piiScrubColumns(col("text"))): _*)
+      .orderBy(col("doc_id"))
+
+  /** DataFrame-first core: scrubbed text + per-category counts for any
+    * text column.
+    */
+  def piiScrubColumns(text: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlPattern, "<URL>")
+    val clean = regexp_replace(afterUrl, LongDigitsPattern, "<NUM>")
+    Seq(
+      clean.as("clean_text"),
+      regexp_count(text, lit(EmailPattern)).cast(LongType).as("n_emails"),
+      regexp_count(afterEmail, lit(UrlPattern)).cast(LongType).as("n_urls"),
+      regexp_count(afterUrl, lit(LongDigitsPattern)).cast(LongType).as("n_numbers"))
+  }
+
+  /** Quantile-based quality filtering: rank every document by its
+    * stopword-ratio quality signal and keep those above the `dropBelow`
+    * percentile — the "drop the worst X% of the corpus" gate standard in
+    * LLM-data curation. Exact corpus-wide percent_rank over a total
+    * order (score, doc_id), so the result is deterministic and
+    * SQL-expressible for the oracle.
+    *
+    * Scale note: a global percent_rank is a single-partition window —
+    * fine to define semantics, wrong to run on 100 TB. The production
+    * path is [[qualityFilterApprox]]: one `percentile_approx` sketch
+    * pass to find the score cutoff, then a parallel filter — no global
+    * sort, same decision up to sketch error at the boundary.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String,
+                    dropBelow: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("doc_id"))
+    scored(Tables.documents(spark, sfDir))
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= dropBelow)
+      .select(col("doc_id"), col("lang"), col("score"), col("q_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB variant: percentile cutoff from a fixed-size sketch
+    * (one aggregation), then an embarrassingly-parallel filter. No
+    * global window, no sort.
+    */
+  def qualityFilterApprox(docs: DataFrame, dropBelow: Double = 0.2,
+                          accuracy: Int = 10000): DataFrame = {
+    val s = scored(docs)
+    val cutoff = s.agg(
+      percentile_approx(col("score"), lit(dropBelow), lit(accuracy))).head.getDouble(0)
+    s.filter(col("score") >= cutoff)
+  }
+
+  /** Stopword-ratio quality score per document (shared by both filter
+    * variants).
+    */
+  private def scored(docs: DataFrame): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("lang"),
+      (size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) /
+        size(toks)).as("score"))
+  }
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

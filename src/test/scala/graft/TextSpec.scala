@@ -65,4 +65,61 @@ class TextSpec extends SparkSpec {
     val df = Text.langId(spark, sfTiny)
     assert(df.filter(!col("predicted_lang").isin("en", "es", "de")).count() === 0)
   }
+
+  test("pii_scrub redacts planted emails, urls, and digit runs in order") {
+    val planted = Seq(
+      (1L, "contact me at jane.doe+x@corp.example.com or on 5551234567 now"),
+      (2L, "see https://example.com/a?id=123456789 and http://x.io/y"),
+      (3L, "card 4111111111111111 pin 9876 short 12345 ok"),
+      (4L, "clean text with no pii at all"),
+      (5L, "mail a@b.co via https://a@b.co/path?q=999999"))
+      .toDF("doc_id", "text")
+    val got = planted
+      .select((col("doc_id") +: Text.piiScrubColumns(col("text"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L)._1 === "contact me at <EMAIL> or on <NUM> now")
+    assert(got(1L)._2 === 1L && got(1L)._3 === 0L && got(1L)._4 === 1L)
+    assert(got(2L)._1 === "see <URL> and <URL>")
+    // the url's digits are redacted inside <URL>, not counted again
+    assert(got(2L)._3 === 2L && got(2L)._4 === 0L)
+    assert(got(3L)._1 === "card <NUM> pin 9876 short 12345 ok") // {6,}: short runs stay
+    assert(got(3L)._4 === 1L)
+    assert(got(4L) === (("clean text with no pii at all", 0L, 0L, 0L)))
+    // email inside the url is scrubbed first (fixed category order);
+    // the remaining scheme://<EMAIL>/… then collapses under the url pass
+    assert(got(5L)._1 === "mail <EMAIL> via <URL>")
+    assert(got(5L)._2 === 2L && got(5L)._3 === 1L && got(5L)._4 === 0L)
+  }
+
+  test("quality_filter keeps exactly the top (1-dropBelow) of the corpus, worst scores dropped") {
+    val all = Tables.documents(spark, sfTiny).count()
+    val kept = Text.qualityFilter(spark, sfTiny, dropBelow = 0.2)
+    // percent_rank >= 0.2 keeps ~80%, exact count depends on rank layout
+    val k = kept.count()
+    assert(k < all && k >= (all * 0.75).toLong)
+    // no kept document scores worse than any dropped document
+    val minKept = kept.agg(min(col("score"))).head.getDouble(0)
+    val dropped = Tables.documents(spark, sfTiny)
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(dropped.count() === all - k)
+    val maxDroppedRow = Text.qualityFilter(spark, sfTiny, dropBelow = 0.0)
+      .join(dropped.select("doc_id"), Seq("doc_id"), "left_semi")
+      .agg(max(col("score"))).head
+    assert(maxDroppedRow.getDouble(0) <= minKept)
+  }
+
+  test("qualityFilterApprox agrees with the exact filter away from the cutoff boundary") {
+    val docs = Tables.documents(spark, sfTiny)
+    val exact = Text.qualityFilter(spark, sfTiny, dropBelow = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Text.qualityFilterApprox(docs, dropBelow = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // same decision except possibly AT the cutoff score (sketch boundary)
+    val diff = exact.diff(approx) ++ approx.diff(exact)
+    val cutoffScores = Text.qualityFilter(spark, sfTiny, dropBelow = 0.0)
+      .filter(col("doc_id").isInCollection(if (diff.isEmpty) Seq(-1L) else diff.toSeq))
+      .select("score").as[Double].collect().toSet
+    assert(cutoffScores.size <= 1, s"approx/exact diverge beyond one boundary score: $cutoffScores")
+  }
 }
