@@ -51,6 +51,7 @@ object SparkEntry {
     "customers_with_events"  -> ((s, d) => Star.customersWithEvents(s, d)),
     "ship_lag_stats"     -> ((s, d) => Star.shipLagStats(s, d)),
     "asof_event_order"   -> ((s, d) => AsOf.eventOrders(s, d)),
+    "range_join_transit" -> ((s, d) => RangeJoin.inTransitDaily(s, d)),
     "text_stats"         -> ((s, d) => Text.textStats(s, d)),
     "text_quality"       -> ((s, d) => Text.textQuality(s, d)),
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
@@ -242,6 +243,17 @@ object SparkEntry {
          SELECT event_id, key AS user_id, t AS ts,
                 asof_orderkey, asof_orderdate, asof_totalprice
          FROM w WHERE tag = 1 ORDER BY event_id""",
+    "range_join_transit" ->
+      """WITH iv AS (
+           SELECT lo, least(hi, lo + INTERVAL 6 DAY) AS hi FROM (
+             SELECT date_trunc('day', o.o_orderdate) AS lo,
+                    date_trunc('day', l.l_shipdate) AS hi
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE date_trunc('day', o.o_orderdate) <= date_trunc('day', l.l_shipdate))),
+         d AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders)
+         SELECT day, COUNT(*) AS in_transit
+         FROM d JOIN iv ON day >= lo AND day <= hi
+         GROUP BY 1 ORDER BY day""",
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -83,6 +83,23 @@ object GraftOps {
       df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(textCol).as("text")), dropBelow)
 
+  /** Point-in-interval range join on a long-valued domain with no equi
+    * key — bucketized so it plans as an equi-join on bucket id instead
+    * of a BroadcastNestedLoopJoin (see `graft.ops.RangeJoin`).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame =
+    graft.ops.RangeJoin.pointInInterval(points, intervals,
+      pointCol, loCol, hiCol, bucketWidth)
+
+  /** Cluster a frame along the Z-curve of two numeric columns before a
+    * write (the Delta OPTIMIZE ZORDER analog; native interleave-bits
+    * key, `graft.functions.ZOrderKey`).
+    */
+  def zorderCluster(df: DataFrame, c1: String, c2: String): DataFrame =
+    graft.functions.ZOrderKey.clusterBy(df, c1, c2)
+
   /** Per-row text quality signals appended to the frame (length, token
     * stats, punctuation density, stopword ratio).
     */

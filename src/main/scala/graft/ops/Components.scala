@@ -41,7 +41,9 @@ object Components {
       .select(col("m"),
         explode(filter(col("ns"), x => x > col("u"))).as("x"))
       .select(col("x").as("u"), col("m").as("v"))
-      .distinct()
+      // no distinct(): the following small-star's collect_set dedupes
+      // per node (partially map-side) — an extra global exchange here
+      // would only re-do that work
 
   /** One Small-Star round: with edges pointed large → small, every node
     * u connects its smaller neighbors (and itself) to m = min Γ(u).

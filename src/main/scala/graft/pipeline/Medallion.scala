@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   *  - partitioned overwrite Delta writes → `partitionBy(...).parquet`
   *    (same layout, same re-readability; ACID log dropped — the
   *    reference never uses time travel/MERGE, SURVEY §1).
-  *  - `OPTIMIZE ... ZORDER BY (k1, k2)` → `repartitionByRange(k1, k2)` +
-  *    `sortWithinPartitions(k1, k2)` before the write: linear
-  *    (lexicographic) clustering. Parquet row-group min/max stats on the
-  *    sorted columns then give the same data-skipping effect for
-  *    predicates on the leading key (Delta Lake paper §3.3, VLDB 2020).
+  *  - `OPTIMIZE ... ZORDER BY (k1, k2)` → range-partition + sort by the
+  *    native Morton key ([[graft.functions.ZOrderKey]]): true Z-curve
+  *    clustering, so parquet row-group min/max stats give data skipping
+  *    on BOTH keys (Delta Lake paper §3.3, VLDB 2020).
   *
   * Layers communicate only through storage paths (the reference's key
   * architectural contract, SURVEY §3) — each stage is restartable and
@@ -50,15 +49,18 @@ class Medallion(spark: SparkSession, sfDir: String, warehouse: String) {
     n
   }
 
-  /** Silver: cleaned lineitem, range-clustered on (l_suppkey, l_partkey)
-    * — the Z-order stand-in. Row groups become disjoint key ranges, so a
-    * filter on l_suppkey prunes row groups via parquet min/max stats.
+  /** Silver: cleaned lineitem, clustered along the true Z-curve of
+    * (l_suppkey, l_partkey) via the native interleave-bits key
+    * ([[graft.functions.ZOrderKey]]) — the actual Delta
+    * `OPTIMIZE ... ZORDER BY` layout: row-group min/max stats stay
+    * tight on BOTH keys, so point/range filters on either column prune
+    * row groups (lexicographic range clustering, the previous stand-in,
+    * only pruned on the leading key).
     */
   def runSilver(): Long = {
     val df = Relational.silverStage(Tables.lineitem(spark, sfDir)).cache()
     val n = df.count()
-    df.repartitionByRange(col("l_suppkey"), col("l_partkey"))
-      .sortWithinPartitions(col("l_suppkey"), col("l_partkey"))
+    graft.functions.ZOrderKey.clusterBy(df, "l_suppkey", "l_partkey")
       .write.mode("overwrite").parquet(silverPath)
     df.unpersist()
     n

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HyperplaneSig, SimHash64}
+import graft.functions.{CosineSim, HyperplaneSig, SimHash64, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => ZOrderKey(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),

@@ -53,4 +53,23 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans === 1, s"posting branch recomputed: $scans scans")
   }
+
+  test("range_join_transit: the range join plans as an equi-join, never a nested loop") {
+    val p = planOf("range_join_transit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketized range join degenerated to a nested-loop/cartesian plan")
+    val equiJoins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(equiJoins >= 2, s"expected lineitem⋈orders + bucket equi-join, got $equiJoins")
+  }
+
+  test("pii_scrub / quality_filter / multimodal_meta: scans pruned to referenced columns") {
+    val scrub = planOf("pii_scrub")
+    assert(scrub.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "pii_scrub should read only (doc_id, text)")
+    val qf = planOf("quality_filter")
+    assert(qf.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
+      || qf.contains("ReadSchema: struct<doc_id:bigint,lang:string,text:string>"),
+      "quality_filter should read only (doc_id, lang, text)")
+  }
 }
