@@ -59,6 +59,7 @@ object SparkEntry {
     "pii_scrub"          -> ((s, d) => Text.piiScrub(s, d)),
     "quality_filter"     -> ((s, d) => Text.qualityFilter(s, d)),
     "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
+    "token_bpe_learned"  -> ((s, d) => Bpe.tokenBpeLearned(s, d)),
     "heavy_tokens"       -> ((s, d) => Text.heavyTokens(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),

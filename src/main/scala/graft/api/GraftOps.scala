@@ -121,6 +121,21 @@ object GraftOps {
       size(regexp_extract_all(col(textCol),
         lit(graft.ops.Text.BpePattern), lit(0))).cast("long"))
 
+  /** Learn a BPE merge table from a corpus (one distributed aggregation
+    * per merge; only the winning pair returns to the driver).
+    */
+  def bpeLearn(df: DataFrame, textCol: String,
+               numMerges: Int): Seq[(String, String)] =
+    graft.ops.Bpe.learnMerges(df, textCol, numMerges)
+
+  /** Pre-token and learned-BPE piece counts per row (native
+    * `graft.functions.BpePieces` segmentation with the given merge
+    * table).
+    */
+  def bpePieceCount(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)] = graft.ops.Bpe.DefaultMerges): DataFrame =
+    graft.ops.Bpe.tokenBpeLearnedOf(df, idCol, textCol, merges)
+
   /** Top-k rows per group by a numeric column, via the custom
     * bounded-heap physical operator (`graft.plans.GroupedTopK`):
     * O(n log k) single pass, no per-partition sort. Row order is
