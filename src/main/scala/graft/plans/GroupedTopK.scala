@@ -16,21 +16,38 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * v) <= k`, used by the declared `window_topk` query) SORTS every
   * group's full row set: O(n log n) per partition and the whole input
   * buffered through the sort. This operator keeps a k-bounded heap per
-  * group: O(n log k) time, O(groups × k) memory, single pass, no sort —
-  * the difference between sorting 100 TB and streaming over it.
+  * group: O(n log k) time, single pass, no sort — the difference
+  * between sorting 100 TB and streaming over it.
   *
-  * Plumbing is the standard extension recipe: `requiredChildDistribution`
-  * asks Catalyst for clustering on the group key (Spark inserts — or,
-  * for bucketed inputs, elides — the exchange); the strategy registers
-  * via the public `spark.experimental.extraStrategies`; the logical node
-  * enters the plan through the one `private[sql]` access in the project
-  * (`graftshim.PlanShim.ofRows`, the standard third-party-operator
-  * mechanism).
+  * The strategy plans it like an aggregation, in TWO phases (top-k is
+  * mergeable: top-k of a union = top-k of per-part top-ks):
+  *
+  *   partial GroupedTopKExec   (map side, no distribution requirement)
+  *     → Exchange on the group key (Catalyst-inserted, or elided over
+  *       bucketed/pre-clustered input)
+  *   final GroupedTopKExec     (requires ClusteredDistribution)
+  *
+  * so the shuffle carries ≤ partitions × groups × k rows instead of
+  * the full input. The partial phase is memory-bounded: when its heap
+  * map reaches `flushGroups` distinct groups it EMITS everything held
+  * and starts a fresh epoch — correct under merge, so a task never
+  * holds more than flushGroups × k rows regardless of group
+  * cardinality or ordering (the spill-safety analog of a sort-based
+  * aggregation fallback, without the sort). The final phase holds the
+  * post-shuffle groups of one partition — the irreducible state of the
+  * operator's contract.
+  *
+  * Plumbing is the standard extension recipe: the strategy registers
+  * via the public `spark.experimental.extraStrategies`; the logical
+  * node enters the plan through the one `private[sql]` access in the
+  * project (`graftshim.PlanShim.ofRows`, the standard third-party
+  * -operator mechanism).
   */
 case class GroupedTopK(
     groupExprs: Seq[Expression], orderExpr: Expression, k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    flushGroups: Int, child: LogicalPlan) extends UnaryNode {
   require(k >= 1)
+  require(flushGroups >= 1)
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
     copy(child = newChild)
@@ -38,12 +55,13 @@ case class GroupedTopK(
 
 case class GroupedTopKExec(
     groupExprs: Seq[Expression], orderExpr: Expression, k: Int,
+    partial: Boolean, flushGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial || groupExprs.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -51,6 +69,9 @@ case class GroupedTopKExec(
     val orderE = orderExpr
     val limit = k
     val childOutput = child.output
+    // only the partial (pre-shuffle) phase flushes: its epochs merge in
+    // the final phase; the final phase must see each group whole
+    val flushAt = if (partial) flushGroups else Int.MaxValue
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val bound = BindReferences.bindReference(orderE, childOutput)
@@ -58,26 +79,54 @@ case class GroupedTopKExec(
       // smallest of the kept k is evicted first
       implicit val ord: Ordering[(Double, UnsafeRow)] =
         Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, UnsafeRow)]]()
-      while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
-        val v = bound.eval(row) match {
-          case null => Double.NegativeInfinity
-          case d: java.lang.Double => d.doubleValue()
-          case l: java.lang.Long => l.toDouble
-          case i: java.lang.Integer => i.toDouble
-          case other => other.toString.toDouble
+      type Heap = scala.collection.mutable.PriorityQueue[(Double, UnsafeRow)]
+
+      new Iterator[InternalRow] {
+        private val heaps = new java.util.HashMap[UnsafeRow, Heap]()
+        private var drain: Iterator[InternalRow] = Iterator.empty
+
+        private def add(row: UnsafeRow): Unit = {
+          val v = bound.eval(row) match {
+            case null => Double.NegativeInfinity
+            case d: java.lang.Double => d.doubleValue()
+            case l: java.lang.Long => l.toDouble
+            case i: java.lang.Integer => i.toDouble
+            case other => other.toString.toDouble
+          }
+          var heap = heaps.get(keyProj(row))
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[(Double, UnsafeRow)]
+            heaps.put(keyProj(row).copy(), heap)
+          }
+          if (heap.size < limit) heap.enqueue((v, row.copy()))
+          else if (v > heap.head._1) { heap.dequeue(); heap.enqueue((v, row.copy())) }
         }
-        var heap = heaps.get(keyProj(row))
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[(Double, UnsafeRow)]
-          heaps.put(keyProj(row).copy(), heap)
+
+        private def drainAndClear(): Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          val hs = heaps.values().asScala.toArray
+          heaps.clear()
+          hs.iterator.flatMap(_.iterator.map(_._2))
         }
-        if (heap.size < limit) heap.enqueue((v, row.copy()))
-        else if (v > heap.head._1) { heap.dequeue(); heap.enqueue((v, row.copy())) }
+
+        override def hasNext: Boolean = {
+          while (!drain.hasNext) {
+            if (!it.hasNext && heaps.isEmpty) return false
+            // fill until the epoch bound (new groups only grow the map)
+            // or the input ends, then emit the epoch
+            while (it.hasNext && heaps.size < flushAt) {
+              add(it.next().asInstanceOf[UnsafeRow])
+            }
+            drain = drainAndClear()
+          }
+          true
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          drain.next()
+        }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._2))
     }
   }
 
@@ -87,13 +136,19 @@ case class GroupedTopKExec(
 
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopK(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+    case GroupedTopK(g, o, k, flush, child) =>
+      val pre = GroupedTopKExec(g, o, k, partial = true, flush, planLater(child))
+      GroupedTopKExec(g, o, k, partial = false, flush, pre) :: Nil
     case _ => Nil
   }
 }
 
 object GroupedTopK {
+
+  /** Partial-phase epoch bound: at most this many distinct groups (×k
+    * rows each) held per map task before an emit-and-reset.
+    */
+  val DefaultFlushGroups: Int = 1 << 17
 
   /** Register the planner strategy once per session (idempotent). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -106,7 +161,8 @@ object GroupedTopK {
     * column). Output order within/across groups is unspecified — append
     * an `orderBy` for deterministic presentation.
     */
-  def of(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int): DataFrame = {
+  def of(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int,
+         flushGroups: Int = DefaultFlushGroups): DataFrame = {
     val spark = df.sparkSession
     install(spark)
     val dt = df.schema(orderCol).dataType
@@ -118,7 +174,7 @@ object GroupedTopK {
         throw new IllegalArgumentException(
           s"column $name not in ${analyzed.output.map(_.name)}"))
     val plan = GroupedTopK(
-      groupCols.map(attr), attr(orderCol), k, analyzed)
+      groupCols.map(attr), attr(orderCol), k, flushGroups, analyzed)
     org.apache.spark.sql.graftshim.PlanShim.ofRows(spark, plan)
   }
 }

@@ -35,6 +35,38 @@ class GroupedTopKSpec extends SparkSpec {
     }
   }
 
+  test("partial+final phases: two custom execs around the exchange; shuffle carries partial top-ks") {
+    val orders = Tables.orders(spark, sfTiny)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val plan = GroupedTopK.of(orders, Seq("o_orderpriority"), "o_totalprice", 3)
+      .queryExecution.executedPlan.toString
+    val execs = "GroupedTopK".r.findAllIn(plan).length
+    assert(execs >= 2, s"expected partial+final custom execs:\n$plan")
+    // the exchange sits between them (final requires clustering)
+    assert(plan.indexOf("GroupedTopK") < plan.indexOf("Exchange hashpartitioning"),
+      "final phase should be above the exchange")
+    assert(plan.lastIndexOf("GroupedTopK") > plan.indexOf("Exchange hashpartitioning"),
+      "partial phase should be below the exchange")
+  }
+
+  test("bounded-memory flushing (flushGroups=1) still yields exact top-k") {
+    val li = Tables.lineitem(spark, sfTiny)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    val k = 4
+    // flush after every new group in the partial phase: many epochs,
+    // results merged in the final phase — must equal the unflushed truth
+    val got = GroupedTopK.of(li, Seq("l_returnflag"), "l_extendedprice", k,
+        flushGroups = 1)
+      .select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.toSeq).toMap
+    val truth = li.select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.reverse.take(k).toSeq).toMap
+    assert(got === truth)
+  }
+
   test("GroupedTopK with empty group list = global top-k") {
     val li = Tables.lineitem(spark, sfTiny)
       .select("l_orderkey", "l_returnflag", "l_extendedprice")
