@@ -35,6 +35,12 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("connectedComponents on degenerate inputs: empty set, only self-loops, one pair") {
+    assert(ccOf(Seq.empty) === Map.empty)
+    assert(ccOf(Seq((7L, 7L))) === Map.empty) // self-loops carry no connectivity
+    assert(ccOf(Seq((9L, 4L))) === Map(9L -> 4L, 4L -> 4L))
+  }
+
   test("connectedComponents equals union-find on assorted shapes") {
     val edges: Seq[(Long, Long)] = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L),          // triangle

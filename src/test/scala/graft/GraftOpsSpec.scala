@@ -58,4 +58,51 @@ class GraftOpsSpec extends SparkSpec {
       .select("probe_id", "rank", "cand_id").as[(Long, Int, Long)].collect().toSet
     assert(viaApi === fixture)
   }
+
+  test("facade dupClusters over renamed pair columns equals components of ngram pairs") {
+    val pairs = GraftOps.ngramNearDups(renamed, "url_id", "body")
+      .select(col("doc1").as("left_id"), col("doc2").as("right_id"))
+    val viaApi = GraftOps.dupClusters(pairs, "left_id", "right_id")
+      .as[(Long, Long)].collect().toMap
+    val fixture = graft.ops.Components.connectedComponents(
+        graft.ops.Dedup.dedupNgram(spark, sfTiny)
+          .select(col("doc1").as("u"), col("doc2").as("v")))
+      .as[(Long, Long)].collect().toMap
+    assert(viaApi === fixture)
+  }
+
+  test("facade piiScrub appends scrub columns over renamed input") {
+    val out = GraftOps.piiScrub(
+      Seq((1L, "mail a@b.co or visit https://x.io now")).toDF("url_id", "body"), "body")
+    val r = out.head()
+    assert(out.columns.toSeq ===
+      Seq("url_id", "body", "clean_text", "n_emails", "n_urls", "n_numbers"))
+    assert(r.getAs[String]("clean_text") === "mail <EMAIL> or visit <URL> now")
+  }
+
+  test("facade qualityFilter (approx path) drops the worst-scoring rows") {
+    val kept = GraftOps.qualityFilter(renamed, "url_id", "body", "url_id", dropBelow = 0.2)
+    val total = renamed.count()
+    assert(kept.count() < total && kept.count() >= (total * 0.7).toLong)
+  }
+
+  test("facade rangeJoin and zorderCluster preserve rows") {
+    val pts = (0L until 50L).toDF("p")
+    val ivs = Seq((10L, 20L), (40L, 45L)).toDF("lo", "hi")
+    val matched = GraftOps.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 16)
+    assert(matched.count() === 11 + 6)
+    val z = GraftOps.zorderCluster(
+      Tables.lineitem(spark, sfTiny).select("l_suppkey", "l_partkey"),
+      "l_suppkey", "l_partkey")
+    assert(z.count() === Tables.lineitem(spark, sfTiny).count())
+    assert(z.columns.toSeq === Seq("l_suppkey", "l_partkey")) // helper key dropped
+  }
+
+  test("facade bpePieceCount matches the declared token_bpe_learned") {
+    val viaApi = GraftOps.bpePieceCount(renamed, "url_id", "body")
+      .select(col("url_id"), col("n_pieces")).as[(Long, Long)].collect().toSet
+    val fixture = graft.ops.Bpe.tokenBpeLearned(spark, sfTiny)
+      .select(col("doc_id"), col("n_pieces")).as[(Long, Long)].collect().toSet
+    assert(viaApi === fixture)
+  }
 }
