@@ -84,6 +84,6 @@ object BpePieces {
     val fn = s"graft_bpe_pieces_$tag"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn, exprs => BpePieces(exprs.head, merges), "built-in")
-    call_function(fn, c)
+    call_function(fn, c.cast(StringType))
   }
 }

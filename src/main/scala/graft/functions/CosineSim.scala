@@ -94,9 +94,14 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
 
-  /** Column-API entry point. */
+  /** Column-API entry point. The casts are analysis-time no-ops on
+    * array<double> inputs and coerce array<float>/other numerics —
+    * instead of a mid-job ClassCastException or silent getDouble
+    * misreads on non-double arrays.
+    */
   def cos(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
-    call_function("graft_cosine", a, b)
+    call_function("graft_cosine",
+      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
   }
 }

@@ -105,6 +105,9 @@ object HyperplaneSig {
   /** Column-API entry point. */
   def sig(spark: SparkSession, v: Column, numPlanes: Int, planeOffset: Int): Column = {
     register(spark)
-    call_function("graft_hyperplane_sig", v, lit(numPlanes), lit(planeOffset))
+    // cast → analysis-time coercion (no-op on array<double>) instead of
+    // a mid-job ClassCastException on other element types
+    call_function("graft_hyperplane_sig",
+      v.cast(ArrayType(DoubleType)), lit(numPlanes), lit(planeOffset))
   }
 }

@@ -79,9 +79,13 @@ object ShingleHashes {
       },
       "built-in")
 
-  /** Column-API entry point. */
+  /** Column-API entry point. The cast makes a non-string argument an
+    * analysis-time no-op/cast instead of a mid-job ClassCastException
+    * (ExpectsInputTypes is unavailable — AbstractDataType is
+    * private[sql] in Spark 4).
+    */
   def shingleHashes(spark: SparkSession, c: Column, n: Int = 3): Column = {
     register(spark)
-    call_function("graft_shingle_hashes", c, lit(n))
+    call_function("graft_shingle_hashes", c.cast(StringType), lit(n))
   }
 }

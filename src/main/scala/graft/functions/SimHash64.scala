@@ -62,6 +62,7 @@ object GraftFunctions {
 
   def simhash64(spark: SparkSession, c: Column): Column = {
     register(spark)
-    call_function("graft_simhash64", c)
+    // cast → analysis-time coercion instead of a mid-job CCE
+    call_function("graft_simhash64", c.cast(StringType))
   }
 }

@@ -58,8 +58,10 @@ object EventsStream {
     * `checkpointLocation` defaults to a sibling of the sink path, so
     * re-running the ingest resumes from committed offsets instead of
     * re-draining (and duplicating) the whole source — the append sink
-    * makes a stable checkpoint the idempotence mechanism. Pass a fresh
-    * directory explicitly to force a full replay.
+    * makes a stable checkpoint the idempotence mechanism. The
+    * checkpoint binds the (source, sink) pair: to ingest a DIFFERENT
+    * srcDir into the same bronze table, pass a distinct checkpoint per
+    * source; pass a fresh directory to force a full replay.
     */
   def streamToBronze(spark: SparkSession, srcDir: String, bronzePath: String,
                      checkpointLocation: String = null): Long = {

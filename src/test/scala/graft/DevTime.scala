@@ -57,6 +57,9 @@ object DevTime {
     time("ivf run2") { Similarity.annIvf(spark, sfDir).count() }
     time("dedup_embedding run1") { Dedup.dedupEmbedding(spark, sfDir).count() }
     time("dedup_embedding run2") { Dedup.dedupEmbedding(spark, sfDir).count() }
+    time("ngram pairs alone") { Dedup.dedupNgram(spark, sfDir).count() }
+    time("dedup_clusters run1") { Components.dedupClusters(spark, sfDir).count() }
+    time("dedup_clusters run2") { Components.dedupClusters(spark, sfDir).count() }
     spark.stop()
   }
 }
