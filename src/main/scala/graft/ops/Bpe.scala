@@ -47,6 +47,54 @@ object Bpe {
     merges
   }
 
+  /** Batched training — the 100 TB loop: adopt up to `batch`
+    * non-conflicting winners per corpus pass instead of one, cutting
+    * the number of distributed aggregations ~batch-fold. Two selected
+    * pairs conflict when they share a piece string (applying both in
+    * one round could then interact with each other's occurrences);
+    * restricting a round to piece-disjoint pairs makes the batch
+    * order-independent, so the learned table is deterministic.
+    * `batch = 1` reproduces the sequential published algorithm exactly.
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: String,
+                         numMerges: Int, batch: Int = 8): Seq[(String, String)] = {
+    require(batch >= 1)
+    val spark = docs.sparkSession
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // headroom: conflicts drop candidates, so over-fetch the round
+      val top = docs
+        .select(explode(BpePieces.pieces(spark, col(textCol), merges, "learnb"))
+          .as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("tok")) - 2),
+          k => struct(element_at(col("tok"), k + 1).as("a"),
+            element_at(col("tok"), k + 2).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(batch * 4).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        var adopted = 0
+        top.foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (adopted < batch && merges.size < numMerges &&
+              !used(a) && !used(b) && !used(a + b)) {
+            merges = merges :+ ((a, b))
+            used += a; used += b; used += (a + b)
+            adopted += 1
+          }
+        }
+        if (adopted == 0) done = true
+      }
+    }
+    merges
+  }
+
   /** The default table: 32 merges learned once from the sf0.001
     * documents fixture via [[learnMerges]] (regeneration guarded by
     * BpeSpec — BPE training is prefix-stable, so the spec re-learns a

@@ -48,6 +48,34 @@ class BpeSpec extends SparkSpec {
     assert(relearned === Bpe.DefaultMerges.take(8))
   }
 
+  test("batched training with batch=1 reproduces the sequential algorithm") {
+    val docs = Tables.documents(spark, sfTiny)
+    val seq6 = Bpe.learnMerges(docs, "text", numMerges = 6)
+    val bat1 = Bpe.learnMergesBatched(docs, "text", numMerges = 6, batch = 1)
+    assert(bat1 === seq6)
+  }
+
+  test("batched training rounds are piece-disjoint and compress comparably") {
+    val docs = Tables.documents(spark, sfTiny)
+    val merges = Bpe.learnMergesBatched(docs, "text", numMerges = 12, batch = 4)
+    assert(merges.size === 12)
+    // adjacent groups of ≤4 adopted per round share no piece strings
+    merges.grouped(4).foreach { round =>
+      val pieces = round.flatMap { case (a, b) => Seq(a, b, a + b) }
+      assert(pieces.distinct.size === pieces.size, s"conflicting round: $round")
+    }
+    def total(ms: Seq[(String, String)], tag: String): Long =
+      docs.select(aggregate(
+          transform(graft.functions.BpePieces.pieces(spark, col("text"), ms, tag),
+            a => size(a).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("n"))
+        .agg(sum("n")).head.getLong(0)
+    val seqTotal = total(Bpe.DefaultMerges.take(12), "cmpseq")
+    val batTotal = total(merges, "cmpbat")
+    // batched table compresses within 5% of the sequential one
+    assert(batTotal <= (seqTotal * 1.05).toLong, s"bat=$batTotal seq=$seqTotal")
+  }
+
   test("more merges monotonically shrink the piece count; zero merges = character count") {
     val docs = Tables.documents(spark, sfTiny)
     def totalPieces(merges: Seq[(String, String)], tag: String): Long =
