@@ -129,6 +129,51 @@ object Medallion {
     nFiles
   }
 
+  /** Upsert (MERGE analog) into a partitioned parquet table without a
+    * table format: rows in `updates` replace rows in the table sharing
+    * their `keyCols`; new keys append. Only the partitions PRESENT IN
+    * THE UPDATE are read, merged, and rewritten — Spark's dynamic
+    * partition-overwrite mode leaves every untouched partition's files
+    * alone, so a 100-partition update to a 100k-partition table costs
+    * 100 partitions of IO, not a full rewrite. The per-partition swap is
+    * what parquet can offer without a commit log: each partition
+    * directory flips atomically-enough (same caveat as [[compact]]);
+    * cross-partition atomicity needs a table format by design.
+    *
+    * `updates` must carry the table's partition column. Keys are
+    * assumed unique per partition (lakehouse upsert contract); rows
+    * whose key moves BETWEEN partitions would need a delete on the old
+    * partition — out of scope, like Delta's MERGE without a matched
+    * -delete clause.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        partitionCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val touched = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val current = spark.read.parquet(path)
+      .filter(col(partitionCol).isInCollection(touched))
+    // localCheckpoint (eager) materializes the merge AND truncates its
+    // lineage before the overwrite: the write can never re-read the
+    // files it is replacing (with cache() an evicted block would
+    // recompute from the just-clobbered input — silent corruption;
+    // with a checkpoint, block loss fails the job instead).
+    val merged = current
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+      .localCheckpoint()
+    val n = merged.count()
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    n
+  }
+
   /** Schema-evolution read: union the physical schemas of all files in
     * the table (`mergeSchema`) so older files lacking newly-added
     * columns read as NULLs — the append-only evolution contract

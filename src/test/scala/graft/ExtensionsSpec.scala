@@ -24,8 +24,14 @@ class ExtensionsSpec extends SparkSpec {
     val r = extended.sql(
       """SELECT graft_simhash64('the quick brown fox') AS sh,
                 graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
-                graft_hyperplane_sig(array(0.5d, -0.5d), 4, 0) AS hp""").head
+                graft_hyperplane_sig(array(0.5d, -0.5d), 4, 0) AS hp,
+                graft_zorder(3, 5) AS zk""").head
     assert(r.getDouble(1) === 1.0)
+    assert(r.getLong(3) ===
+      graft.functions.ZOrderKey(
+        org.apache.spark.sql.catalyst.expressions.Literal(3),
+        org.apache.spark.sql.catalyst.expressions.Literal(5))
+        .eval(null).asInstanceOf[Long])
     // cross-check against the Column-API entry points on the base session
     import org.apache.spark.sql.functions._
     import base.implicits._

@@ -47,6 +47,26 @@ class PipelineSpec extends SparkSpec {
       expect.filter(col("l_suppkey") === 3).count())
   }
 
+  test("upsertPartitioned: updates replace, inserts append, untouched partitions' files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 20), (5L, "e", 30))
+      .toDF("id", "v", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    def filesOf(p: Int) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    val before30 = filesOf(30)
+    // update id=1 (part 10), insert id=9 (part 20); part 30 untouched
+    val updates = Seq((1L, "A2", 10), (9L, "new", 20)).toDF("id", "v", "part")
+    val n = Medallion.upsertPartitioned(spark, dir, updates, Seq("id"), "part")
+    assert(n === 5) // merged rows across touched partitions 10+20: 2+3
+    val after = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(after === Set((1L, "A2", 10), (2L, "b", 10), (3L, "c", 20),
+      (4L, "d", 20), (9L, "new", 20), (5L, "e", 30)))
+    // dynamic overwrite left the untouched partition's physical files alone
+    assert(filesOf(30) === before30)
+  }
+
   test("compaction shrinks file count and preserves every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate micro-batch appends: 40 tiny files
