@@ -49,9 +49,14 @@ case class ZOrderKey(left: Expression, right: Expression)
          |}
        """.stripMargin)
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // simple local statements — janino rejects the fused multi-line
+      // expression form (parses the parenthesized shift as a cast type)
+      val zx = ctx.freshName("zx")
+      val zy = ctx.freshName("zy")
       s"""
-         |${ev.value} = (($spread((long)($y ^ 0x80000000) & 0xFFFFFFFFL) << 1)
-         |  | $spread((long)($x ^ 0x80000000) & 0xFFFFFFFFL)) ^ 0x8000000000000000L;
+         |long $zx = $spread(((long)($x ^ 0x80000000)) & 0xFFFFFFFFL);
+         |long $zy = $spread(((long)($y ^ 0x80000000)) & 0xFFFFFFFFL);
+         |${ev.value} = (($zy << 1) | $zx) ^ 0x8000000000000000L;
        """.stripMargin
     })
   }

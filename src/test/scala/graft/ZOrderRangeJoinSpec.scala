@@ -34,12 +34,26 @@ class ZOrderRangeJoinSpec extends SparkSpec {
     }
   }
 
-  test("ZOrderKey codegen and interpreted eval agree") {
+  test("ZOrderKey codegen and interpreted eval agree (codegen forced, no fallback)") {
     var s = 99L
     def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33).toInt }
     val rows = (0 until 500).map(_ => (next(), next()))
-    val viaExpr = rows.toDF("a", "b")
-      .select(ZOrderKey.zorder(spark, col("a"), col("b"))).as[Long].collect()
+    // forbid the silent interpreter fallback: a janino compile error in
+    // doGenCode must FAIL here, not quietly run interpreted (a prior
+    // codegen bug hid exactly this way)
+    val savedFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val savedFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val viaExpr =
+      try rows.toDF("a", "b")
+        .select(ZOrderKey.zorder(spark, col("a"), col("b"))).as[Long].collect()
+      finally {
+        savedFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+          spark.conf.set("spark.sql.codegen.factoryMode", _))
+        savedFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+          spark.conf.set("spark.sql.codegen.fallback", _))
+      }
     val viaEval = rows.map { case (a, b) =>
       graft.functions.ZOrderKey(
         org.apache.spark.sql.catalyst.expressions.Literal(a),
