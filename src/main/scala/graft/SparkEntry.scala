@@ -61,6 +61,11 @@ object SparkEntry {
     "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
     "token_bpe_learned"  -> ((s, d) => Bpe.tokenBpeLearned(s, d)),
     "heavy_tokens"       -> ((s, d) => Text.heavyTokens(s, d)),
+    "text_repetition"    -> ((s, d) => Curate.textRepetition(s, d)),
+    "decontaminate"      -> ((s, d) => Curate.decontaminate(s, d)),
+    "domain_mix"         -> ((s, d) => Curate.domainMix(s, d)),
+    "seq_pack"           -> ((s, d) => Curate.seqPack(s, d)),
+    "dedup_incremental"  -> ((s, d) => Curate.dedupIncremental(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_clusters"     -> ((s, d) => Components.dedupClusters(s, d)),
@@ -345,6 +350,71 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, lang, score, q_rank FROM r
          WHERE q_rank >= 0.2 ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= 2
+                      THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+                      ELSE [] END AS grams
+               FROM t)
+         SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(grams) > 0
+                THEN CAST(list_max(list_transform(list_distinct(grams),
+                       x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams)
+                ELSE 0.0 END AS top_2gram_frac
+         FROM g ORDER BY doc_id""",
+    "decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  ELSE [] END) AS s
+           FROM toks),
+         bench AS (SELECT doc_id AS bench_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+         corp AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0),
+         hits AS (
+           SELECT c.doc_id, b.bench_id, c.n_grams, COUNT(*) AS common
+           FROM corp c JOIN bench b USING (gram)
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, bench_id, CAST(common AS BIGINT) AS common,
+                CAST(common AS DOUBLE) / n_grams AS overlap_frac
+         FROM hits WHERE common >= 4
+         ORDER BY doc_id, bench_id""",
+    "domain_mix" ->
+      """SELECT doc_id, lang, source,
+           substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+         FROM documents
+         WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
+                     ELSE '80000000' END
+         ORDER BY doc_id""",
+    "seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CAST(floor(cb / 256.0) AS BIGINT) AS chunk_first,
+           CAST(floor((cb + n_tokens - 1) / 256.0) AS BIGINT) AS chunk_last,
+           CAST(cb % 256 AS BIGINT) AS chunk_offset
+         FROM c ORDER BY doc_id""",
+    "dedup_incremental" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents b
+         WHERE doc_id % 5 = 0
+           AND NOT EXISTS (SELECT 1 FROM documents e
+                           WHERE e.doc_id % 5 <> 0 AND e.text = b.text)
+         ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

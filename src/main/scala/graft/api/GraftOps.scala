@@ -175,6 +175,56 @@ object GraftOps {
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("value"), col("h.est").as("occurrences"))
 
+  /** Gopher-style repetition signals appended to the frame (duplicate
+    * token / duplicate-bigram / top-bigram fractions — see
+    * `graft.ops.Curate.repetitionColumns`).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame =
+    df.select((df.columns.map(col).toSeq ++
+      graft.ops.Curate.repetitionColumns(col(textCol))): _*)
+
+  /** Benchmark decontamination: (doc, benchmark) pairs sharing at least
+    * `minCommon` distinct word 3-grams. The benchmark side broadcasts;
+    * grams ride as xxhash64 longs (`graft.ops.Curate`).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    minCommon: Long = 4): DataFrame = {
+    val tagged = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("_side", lit(1))
+      .unionByName(benchmark
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("_side", lit(0)))
+    // reuse the modulo-split core by tagging: side 0 = benchmark
+    graft.ops.Curate.contaminatedPairsTagged(tagged, minCommon, hashed = true)
+  }
+
+  /** Deterministic per-stratum-rate sampling (domain mixing): a pure
+    * predicate on a salted hash of the key — partition-invariant,
+    * rerun-stable, no shuffle (`graft.ops.Curate.stratifiedSample`).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame =
+    graft.ops.Curate.stratifiedSample(df, keyCol, stratumCol, rates, defaultRate)
+
+  /** Sequence-packing layout (concatenate-and-chunk): each row's first
+    * chunk, last chunk, and offset when the corpus token stream is split
+    * into `chunkTokens` windows in `idCol` order. Distributed two-phase
+    * prefix sum — no global window (`graft.ops.Curate`).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int = 2048): DataFrame =
+    graft.ops.Curate.packChunksDistributed(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), chunkTokens)
+
+  /** Incremental-ingest dedup: batch rows whose `contentCol` is not in
+    * `existing` — Bloom pre-filter (no false negatives) + exact confirm
+    * anti-join on the hits only (`graft.ops.Curate.incrementalNew`).
+    */
+  def newRowsOnly(existing: DataFrame, batch: DataFrame, contentCol: String,
+                  expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
+    graft.ops.Curate.incrementalNew(existing, batch, contentCol, expectedItems, fpp)
+
   /** Exact cosine top-k neighbors of each probe row against the corpus.
     * Probes are broadcast; the corpus is scanned once, never shuffled.
     */

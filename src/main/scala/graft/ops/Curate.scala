@@ -1,0 +1,313 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: repetition scoring, benchmark
+  * decontamination, domain mixing, sequence packing, and incremental
+  * (cross-batch) dedup. Extends the reference's text surface
+  * (reference has none of these — its scope ends at
+  * `/root/reference/src/etl_pipeline.py` aggregates) along the
+  * BASELINE.json north star.
+  *
+  * Scale discipline shared with [[Dedup]]/[[Text]]: per-row work stays
+  * in codegen'd `functions._` expressions; joins go through inverted
+  * indexes or broadcasts, never a cross join; the only global orderings
+  * are declared-semantics anchors with a distributed twin.
+  */
+object Curate {
+
+  // ------------------------------------------------------------------
+  // Repetition signals (Gopher-style quality heuristics)
+  // ------------------------------------------------------------------
+
+  /** Per-document repetition signals: duplicate-token fraction,
+    * duplicate-2-gram fraction, and the most-frequent-2-gram fraction —
+    * the "excessive repetition" family of quality filters from the
+    * Gopher corpus pipeline (Rae et al. 2021, §A.1.1). High values mean
+    * boilerplate / generated spam; pipelines drop above a threshold.
+    *
+    * All per-row array expressions — embarrassingly parallel, no
+    * shuffle. The top-gram count is O(distinct·total) per row, bounded
+    * by document length (not data size), and stays inside whole-stage
+    * codegen.
+    */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val toks = Text.tokens(text)
+    val n = size(toks)
+    // bigram list; when-guard also avoids sequence(1, 0) which REVERSES
+    // instead of returning empty (Spark sequence semantics)
+    val grams = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val ng = size(grams)
+    val topGram = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    Seq(
+      n.as("n_tokens"),
+      ((n - size(array_distinct(toks))).cast(DoubleType) / n)
+        .as("dup_token_frac"),
+      when(ng > 0, (ng - size(array_distinct(grams))).cast(DoubleType) / ng)
+        .otherwise(0.0).as("dup_2gram_frac"),
+      when(ng > 0, topGram.cast(DoubleType) / ng)
+        .otherwise(0.0).as("top_2gram_frac"))
+  }
+
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((col("doc_id") +: repetitionColumns(col("text"))): _*)
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** Flag corpus documents sharing ≥ `minCommon` distinct word n-grams
+    * with any benchmark document — the test-set-overlap decontamination
+    * step every LLM data pipeline runs (13-grams at production scale;
+    * 3-grams here, proportional to the ~60-token fixture docs).
+    *
+    * Plan shape for 100 TB: the benchmark suite is tiny relative to the
+    * corpus, so its (gram → bench_id) posting list BROADCASTS; the
+    * corpus explodes its grams map-side and never shuffles for the
+    * join. Only matched rows reach the (doc, bench) count, which
+    * aggregates partial+final. Production carries xxhash64(gram) longs
+    * instead of strings ([[decontaminateHashed]], same discipline as
+    * [[Dedup.ngramPairs]]) — constant-width rows, collision odds
+    * ~ matches·2⁻⁶⁴.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    benchMod: Int = 25, minCommon: Long = 4): DataFrame =
+    contaminatedPairs(
+      Tables.parallelize(Tables.documents(spark, sfDir)), benchMod, minCommon,
+      hashed = false)
+
+  /** The production variant: grams ride as xxhash64 longs. */
+  def decontaminateHashed(spark: SparkSession, sfDir: String,
+                          benchMod: Int = 25, minCommon: Long = 4): DataFrame =
+    contaminatedPairs(
+      Tables.parallelize(Tables.documents(spark, sfDir)), benchMod, minCommon,
+      hashed = true)
+
+  /** DataFrame-first core over (doc_id, text) rows. The fixture has no
+    * separate benchmark table, so membership is derived from the id
+    * (`doc_id % benchMod == 0`); a real deployment passes two tables
+    * ([[contaminatedPairsTagged]] via the `GraftOps.decontaminate`
+    * facade) and skips the modulo split.
+    */
+  def contaminatedPairs(input: DataFrame, benchMod: Int, minCommon: Long,
+                        hashed: Boolean): DataFrame =
+    contaminatedPairsTagged(
+      input.select(col("doc_id"), col("text"),
+        when(col("doc_id") % benchMod === 0, 0).otherwise(1).as("_side")),
+      minCommon, hashed)
+
+  /** Core over (doc_id, text, _side) rows; `_side` 0 = benchmark,
+    * 1 = corpus. */
+  def contaminatedPairsTagged(input: DataFrame, minCommon: Long,
+                              hashed: Boolean): DataFrame = {
+    val docs = input.select(col("doc_id"), col("_side"),
+      Dedup.shingles(col("text")).as("s"))
+    def gram(c: Column): Column = if (hashed) xxhash64(c) else c
+    // explode_outer, not explode: for an attribute child Catalyst's
+    // InferFiltersFromGenerate would add size(s)>0 ∧ isnotnull(s),
+    // substitute the full shingle expression into it, and push it below
+    // the parallelize repartition — shingling the whole corpus twice on
+    // the single pre-shuffle scan task. Outer generators are exempt;
+    // the null rows (empty-shingle docs) are dropped on the cheap
+    // post-explode attribute instead.
+    val bench = docs.filter(col("_side") === 0)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("s")).as("g0"))
+      .filter(col("g0").isNotNull)
+      .select(col("bench_id"), gram(col("g0")).as("gram"))
+    val corpus = docs.filter(col("_side") === 1)
+      .select(col("doc_id"), size(col("s")).as("n_grams"),
+        explode_outer(col("s")).as("g0"))
+      .filter(col("g0").isNotNull)
+      .select(col("doc_id"), col("n_grams"), gram(col("g0")).as("gram"))
+    corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("bench_id"), col("n_grams"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .select(col("doc_id"), col("bench_id"), col("common"),
+        (col("common").cast(DoubleType) / col("n_grams")).as("overlap_frac"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Domain mixing (deterministic stratified sampling)
+  // ------------------------------------------------------------------
+
+  /** First 8 md5 hex chars of the salted key — a uniform draw in
+    * [0, 2³²) that is identical in Spark and DuckDB (md5 of the same
+    * bytes), deterministic, and independent of partitioning. */
+  def sampleKey(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast(StringType))), 1, 8)
+
+  /** Keep-threshold for a rate in [0, 1): the 8-hex-digit string the
+    * sample key must stay below. Hex strings compare correctly
+    * lexicographically (fixed width, 0-9 < a-f). */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0,1): $rate")
+    f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic stratified (per-stratum rate) sampling — the domain
+    * mixing step that rebalances an over-crawled corpus before
+    * training. `sample()` is seed+partitioning dependent; this is a
+    * pure per-row predicate on a salted hash of the key, so the same
+    * row makes the same decision at any parallelism, across reruns,
+    * and incrementally as new data arrives. Zero shuffles.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "mix:"): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.withColumn("sample_key", sampleKey(col(keyCol), salt))
+      .filter(col("sample_key") < threshold)
+  }
+
+  /** Declared mix: downweight the over-represented `en` (~44% of the
+    * fixture) to 25%, upweight `zh` to 75%, everything else 50%. */
+  val MixRates: Map[String, Double] = Map("en" -> 0.25, "zh" -> 0.75)
+  val MixDefault: Double = 0.5
+
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, sfDir), "doc_id", "lang",
+      MixRates, MixDefault)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // Sequence packing (concatenate-and-chunk)
+  // ------------------------------------------------------------------
+
+  /** GPT-style sequence packing: concatenate documents in doc_id order
+    * and split the token stream into fixed `chunkTokens` context
+    * windows; emit each document's (first chunk, last chunk, offset in
+    * first chunk). This is the packing layout a pretraining data loader
+    * needs to slice documents into training sequences.
+    *
+    * DECLARED form (this method): a global running sum over doc_id —
+    * a single-partition window, the semantics anchor the oracle can
+    * check. The 100 TB path is [[packChunksDistributed]]: the same
+    * numbers via a two-phase distributed prefix sum.
+    */
+  def seqPack(spark: SparkSession, sfDir: String,
+              chunkTokens: Int = 256): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkColumns(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .withColumn("cum_before",
+          sum(col("n_tokens")).over(w) - col("n_tokens")),
+      chunkTokens)
+  }
+
+  /** Distributed twin: range-partition by doc_id, per-partition running
+    * sums in parallel windows, then lift to global offsets via the
+    * per-partition totals — a classic two-phase prefix sum. The totals
+    * table is one row per partition (broadcast join); no global sort or
+    * single-partition window anywhere. localCheckpoint pins the range
+    * partitioning so the totals pass and the join pass see identical
+    * partition boundaries (range sampling is not otherwise guaranteed
+    * stable across re-evaluations).
+    */
+  def packChunksDistributed(docs: DataFrame, chunkTokens: Int = 256,
+                            partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val base = docs
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = base.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, tot)) => pid -> (acc + tot)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
+    val wp = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkColumns(
+      base.join(broadcast(offsetDf), "_pid")
+        .withColumn("cum_before",
+          col("_offset") + sum(col("n_tokens")).over(wp) - col("n_tokens")),
+      chunkTokens)
+  }
+
+  /** Shared chunk arithmetic over (doc_id, n_tokens, cum_before). */
+  private def chunkColumns(df: DataFrame, chunkTokens: Int): DataFrame = {
+    val c = lit(chunkTokens.toDouble)
+    df.select(
+      col("doc_id"),
+      col("n_tokens"),
+      floor(col("cum_before") / c).cast(LongType).as("chunk_first"),
+      floor((col("cum_before") + col("n_tokens") - 1) / c).cast(LongType)
+        .as("chunk_last"),
+      (col("cum_before") % lit(chunkTokens.toLong)).as("chunk_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental (cross-batch) dedup
+  // ------------------------------------------------------------------
+
+  /** New-rows-only filter for incremental ingest: which `batch` rows'
+    * content does NOT already exist in `existing`? The 100 TB pattern:
+    * build a Bloom filter over the existing corpus' content
+    * fingerprints ONCE (one aggregation pass; reusable across many
+    * batches), broadcast it, and drop the batch's definite-misses
+    * map-side — only might-contain hits (true dups + fpp false
+    * positives) pay the exact anti-join. The result is EXACT: false
+    * positives are eliminated by the confirm join, and Bloom filters
+    * have no false negatives.
+    *
+    * Sizing: ~1.2 GB per 10⁹ fingerprints at 1% fpp — a large but
+    * standard broadcast; shard the filter per key range if executor
+    * memory is tighter than that.
+    */
+  def incrementalNew(existing: DataFrame, batch: DataFrame, contentCol: String,
+                     expectedItems: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val fp = md5(col(contentCol))
+    val bloom = existing.select(fp.as("_fp")).stat
+      .bloomFilter("_fp", expectedItems, fpp)
+    val bloomB = existing.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomB.value.mightContain(s))
+    val tagged = batch.withColumn("_maybe", mightContain(fp))
+    val definiteNew = tagged.filter(!col("_maybe")).drop("_maybe")
+    val confirmed = tagged.filter(col("_maybe")).drop("_maybe")
+      .join(existing.select(col(contentCol)).distinct(), Seq(contentCol), "left_anti")
+    definiteNew.unionByName(confirmed)
+  }
+
+  /** Declared split: rows with `doc_id % batchMod == 0` arrive as the
+    * new batch; the rest are the already-ingested corpus. */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+                       batchMod: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalNew(
+      existing = docs.filter(col("doc_id") % batchMod =!= 0),
+      batch = docs.filter(col("doc_id") % batchMod === 0),
+      contentCol = "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -81,8 +81,15 @@ object Dedup {
         graft.functions.ShingleHashes
           .shingleHashes(SparkSession.active, col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // explode_outer: with an attribute child, InferFiltersFromGenerate
+    // would synthesize size(sh)>0 ∧ isnotnull(sh), substitute the full
+    // ShingleHashes expression into it, and push it below the
+    // parallelize repartition — hashing every document twice on the
+    // single pre-shuffle scan task. Outer generators are exempt; the
+    // null rows (shingle-less docs) drop on the exploded attribute.
     val posting = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     // Gather each shingle's posting list in ONE shuffle, prune by list
     // size (df < 2 → no pair; df > maxDf → hot-shingle skew bomb), then
     // expand candidate pairs with two chained explodes — plain codegen'd

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.{Curate, Dedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals on planted documents") {
+    val df = Seq(
+      (1L, "a a a a a"),            // all-duplicate tokens, one bigram
+      (2L, "w x y z"),              // fully distinct
+      (3L, "p")                     // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = df.select((col("doc_id") +: Curate.repetitionColumns(col("text"))): _*)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) == 5 && r1.getDouble(2) == 0.8)       // 4/5 dup tokens
+    assert(r1.getDouble(3) == 0.75 && r1.getDouble(4) == 1.0) // "a a" ×4 → 3/4 dup, top=1
+    val r2 = out(1)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+    assert(r2.getDouble(4) == 1.0 / 3)                        // 3 distinct bigrams
+    val r3 = out(2)
+    assert(r3.getInt(1) == 1 && r3.getDouble(3) == 0.0 && r3.getDouble(4) == 0.0)
+  }
+
+  test("decontaminate: hashed grams give identical pairs to string grams") {
+    val plain = Curate.decontaminate(spark, sfSmall).collect()
+    val hashed = Curate.decontaminateHashed(spark, sfSmall).collect()
+    assert(plain.nonEmpty)
+    assert(plain.toSeq == hashed.toSeq)
+  }
+
+  test("decontaminate flags a planted benchmark copy") {
+    // doc 0 is benchmark (0 % 25 == 0); doc 7 copies its text verbatim
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (0L, bench),
+      (7L, bench),
+      (9L, "nothing in common with anything here at all")
+    ).toDF("doc_id", "text")
+    val out = Curate.contaminatedPairs(df, benchMod = 25, minCommon = 4,
+      hashed = false).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 0L)))
+    assert(out.head.getDouble(3) == 1.0) // full overlap
+  }
+
+  test("stratifiedSample is partition-invariant and hits its rates") {
+    val docs = Tables.documents(spark, sfSmall)
+    def keys(parts: Int): Seq[Long] =
+      Curate.stratifiedSample(docs.repartition(parts), "doc_id", "lang",
+        Curate.MixRates, Curate.MixDefault)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = keys(3)
+    assert(a == keys(11)) // same decision at any parallelism
+    // en downsampled to ~25% of 218, default strata ~50%
+    val byLang = Curate.stratifiedSample(docs, "doc_id", "lang",
+      Curate.MixRates, Curate.MixDefault)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") > 218 * 0.10 && byLang("en") < 218 * 0.40)
+    assert(byLang("de") > 70 * 0.30 && byLang("de") < 70 * 0.70)
+  }
+
+  test("rateThreshold maps rates to 8-hex-digit keep bounds") {
+    assert(Curate.rateThreshold(0.25) == "40000000")
+    assert(Curate.rateThreshold(0.75) == "c0000000")
+    assert(Curate.rateThreshold(0.0) == "00000000")
+    intercept[IllegalArgumentException](Curate.rateThreshold(1.0))
+  }
+
+  test("seq_pack invariants: contiguous token stream, bounded offsets") {
+    val c = 256L
+    val rows = Curate.seqPack(spark, sfSmall).collect()
+    var cum = 0L
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val first = r.getLong(2); val last = r.getLong(3); val off = r.getLong(4)
+      assert(off == cum % c)
+      assert(first == cum / c)
+      assert(last == (cum + n - 1) / c)
+      assert(first <= last)
+      cum += n
+    }
+  }
+
+  test("distributed prefix-sum packing equals the declared global window") {
+    val declared = Curate.seqPack(spark, sfSmall).collect()
+    val dist = Curate.packChunksDistributed(
+      Tables.documents(spark, sfSmall)).collect()
+    assert(declared.toSeq == dist.toSeq)
+    // and at a partition count that doesn't divide the data evenly
+    val dist5 = Curate.packChunksDistributed(
+      Tables.documents(spark, sfSmall), partitions = 5).collect()
+    assert(declared.toSeq == dist5.toSeq)
+  }
+
+  test("incrementalNew equals the plain anti-join and survives bloom fpp") {
+    val docs = Tables.documents(spark, sfSmall)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val viaBloom = Curate.incrementalNew(existing, batch, "text",
+      expectedItems = 64, fpp = 0.5) // tiny+saturated filter → many false positives
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = batch.join(existing.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty)
+  }
+
+  test("incrementalNew drops a planted cross-batch duplicate") {
+    val existing = Seq((1L, "shared duplicate content"), (2L, "old news")).toDF("doc_id", "text")
+    val batch = Seq((10L, "shared duplicate content"), (11L, "genuinely new")).toDF("doc_id", "text")
+    val out = Curate.incrementalNew(existing, batch, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(11L))
+  }
+}

@@ -98,6 +98,46 @@ class GraftOpsSpec extends SparkSpec {
     assert(z.columns.toSeq === Seq("l_suppkey", "l_partkey")) // helper key dropped
   }
 
+  test("facade decontaminate over two renamed tables equals the declared split") {
+    val bench = renamed.filter(col("url_id") % 25 === 0)
+    val corpus = renamed.filter(col("url_id") % 25 =!= 0)
+    val viaApi = GraftOps.decontaminate(corpus, bench, "url_id", "body")
+      .select("doc_id", "bench_id", "common").as[(Long, Long, Long)]
+      .collect().toSet
+    val fixture = graft.ops.Curate.decontaminateHashed(spark, sfTiny)
+      .select("doc_id", "bench_id", "common").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(viaApi === fixture)
+  }
+
+  test("facade packSequences over renamed columns equals the declared seq_pack") {
+    val viaApi = GraftOps.packSequences(renamed, "url_id", "body", chunkTokens = 256)
+      .select("doc_id", "chunk_first", "chunk_last", "chunk_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fixture = graft.ops.Curate.seqPack(spark, sfTiny)
+      .select("doc_id", "chunk_first", "chunk_last", "chunk_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaApi === fixture)
+  }
+
+  test("facade repetitionSignals / stratifiedSample / newRowsOnly on renamed columns") {
+    val rep = GraftOps.repetitionSignals(renamed, "body")
+    assert(rep.columns.toSeq === Seq("url_id", "body", "n_tokens",
+      "dup_token_frac", "dup_2gram_frac", "top_2gram_frac"))
+    assert(rep.count() === renamed.count())
+    val sampled = GraftOps.stratifiedSample(renamed, "url_id", "body",
+      rates = Map.empty, defaultRate = 0.5)
+    assert(sampled.count() > 0 && sampled.count() < renamed.count())
+    val newOnly = GraftOps.newRowsOnly(
+      renamed.filter(col("url_id") % 5 =!= 0),
+      renamed.filter(col("url_id") % 5 === 0), "body")
+    val plain = renamed.filter(col("url_id") % 5 === 0)
+      .join(renamed.filter(col("url_id") % 5 =!= 0).select("body").distinct(),
+        Seq("body"), "left_anti")
+    assert(newOnly.select("url_id").as[Long].collect().sorted.toSeq ===
+      plain.select("url_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("facade bpePieceCount matches the declared token_bpe_learned") {
     val viaApi = GraftOps.bpePieceCount(renamed, "url_id", "body")
       .select(col("url_id"), col("n_pieces")).as[(Long, Long)].collect().toSet
