@@ -65,6 +65,8 @@ object SparkEntry {
     "decontaminate"      -> ((s, d) => Curate.decontaminate(s, d)),
     "domain_mix"         -> ((s, d) => Curate.domainMix(s, d)),
     "seq_pack"           -> ((s, d) => Curate.seqPack(s, d)),
+    "corpus_shuffle"     -> ((s, d) => Curate.corpusShuffle(s, d)),
+    "data_split"         -> ((s, d) => Curate.dataSplit(s, d)),
     "dedup_incremental"  -> ((s, d) => Curate.dedupIncremental(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -409,6 +411,16 @@ object SparkEntry {
            CAST(floor((cb + n_tokens - 1) / 256.0) AS BIGINT) AS chunk_last,
            CAST(cb % 256 AS BIGINT) AS chunk_offset
          FROM c ORDER BY doc_id""",
+    "corpus_shuffle" ->
+      """SELECT doc_id, substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key
+         FROM documents
+         ORDER BY shuffle_key, doc_id""",
+    "data_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "dedup_incremental" ->
       """SELECT doc_id, lang, source, n_chars FROM documents b
          WHERE doc_id % 5 = 0

@@ -217,6 +217,22 @@ object GraftOps {
     graft.ops.Curate.packChunksDistributed(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), chunkTokens)
 
+  /** Reproducible global shuffle (training-order randomization): sort
+    * by a salted hash of the key; vary `salt` per epoch for a fresh
+    * permutation (`graft.ops.Curate.deterministicShuffle`).
+    */
+  def shuffleCorpus(df: DataFrame, keyCol: String,
+                    salt: String = "shuf:"): DataFrame =
+    graft.ops.Curate.deterministicShuffle(df, keyCol, salt)
+
+  /** Deterministic train/val/test split column by salted key hash —
+    * disjoint, exhaustive, stable across reruns and incremental ingests
+    * (`graft.ops.Curate.hashSplit`).
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame =
+    graft.ops.Curate.hashSplit(df, keyCol, trainFrac, valFrac)
+
   /** Incremental-ingest dedup: batch rows whose `contentCol` is not in
     * `existing` — Bloom pre-filter (no false negatives) + exact confirm
     * anti-join on the hits only (`graft.ops.Curate.incrementalNew`).

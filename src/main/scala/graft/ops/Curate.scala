@@ -187,6 +187,52 @@ object Curate {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
+  // Deterministic corpus shuffle & train/val/test split
+  // ------------------------------------------------------------------
+
+  /** 16-hex-char salted md5 prefix — a deterministic pseudo-random sort
+    * key (collision odds ~ rows²·2⁻⁶⁴; ties broken by the key column
+    * anyway). */
+  def shuffleKey(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast(StringType))), 1, 16)
+
+  /** Training-order randomization: a deterministic global shuffle by
+    * salted content-key hash. `orderBy` plans as a range exchange +
+    * per-partition sort — the scalable global sort; vary `salt` per
+    * epoch for a fresh permutation without touching the data. Unlike
+    * `df.orderBy(rand())` this is reproducible and re-runnable.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           salt: String = "shuf:"): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(keyCol), salt))
+      .orderBy(col("shuffle_key"), col(keyCol))
+
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    deterministicShuffle(Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("shuffle_key"))
+
+  /** Deterministic train/val/test assignment by salted key hash —
+    * disjoint, exhaustive, partition-invariant, and STABLE: a document
+    * keeps its split across reruns and incremental ingests (the
+    * property `randomSplit` lacks), so evaluation data can never leak
+    * into training between pipeline runs.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                salt: String = "split:"): DataFrame = {
+    val k = sampleKey(col(keyCol), salt)
+    df.withColumn("split",
+      when(k < rateThreshold(trainFrac), "train")
+        .when(k < rateThreshold(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
+  def dataSplit(spark: SparkSession, sfDir: String): DataFrame =
+    hashSplit(Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
   // Sequence packing (concatenate-and-chunk)
   // ------------------------------------------------------------------
 

@@ -69,6 +69,34 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curate.rateThreshold(1.0))
   }
 
+  test("deterministicShuffle: a reproducible permutation; salt changes it") {
+    val docs = Tables.documents(spark, sfSmall)
+    def order(salt: String, parts: Int): Seq[Long] =
+      Curate.deterministicShuffle(docs.repartition(parts), "doc_id", salt)
+        .select("doc_id").as[Long].collect().toSeq
+    val a = order("shuf:", 3)
+    assert(a == order("shuf:", 13))            // partition-invariant
+    assert(a.sorted != a)                      // actually permuted
+    assert(a.toSet == order("epoch2:", 3).toSet)
+    assert(a != order("epoch2:", 3))           // new salt → new permutation
+  }
+
+  test("hashSplit: disjoint, exhaustive, stable under incremental ingest") {
+    val docs = Tables.documents(spark, sfSmall)
+    val split = Curate.hashSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 500)
+    assert(counts("train") > 350 && counts("train") < 450) // ~80%
+    assert(counts("val") > 20 && counts("test") > 20)
+    // stability: a doc's split doesn't change when computed on a subset
+    // (the incremental-ingest property randomSplit lacks)
+    val subset = Curate.hashSplit(docs.filter(col("doc_id") < 100), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
   test("seq_pack invariants: contiguous token stream, bounded offsets") {
     val c = 256L
     val rows = Curate.seqPack(spark, sfSmall).collect()

@@ -63,6 +63,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(equiJoins >= 2, s"expected lineitem⋈orders + bucket equi-join, got $equiJoins")
   }
 
+  test("shingle pipelines: no generator-inferred filter re-evaluates the shingle kernel pre-shuffle") {
+    // regression for the InferFiltersFromGenerate trap: an attribute
+    // explode child gets size(s)>0 ∧ isnotnull(s) inferred, the alias
+    // substituted, and the whole shingle expression pushed below the
+    // parallelize repartition — evaluated twice on ONE task. The fix is
+    // explode_outer; this pins it. A Filter containing the shingle
+    // kernel (concat_ws for the composed form, shingle_hashes for the
+    // native one) must never appear in these plans.
+    for (q <- Seq("decontaminate", "dedup_ngram", "dedup_clusters")) {
+      val filters = planOf(q).linesIterator
+        .filter(l => l.contains("Filter") || l.contains("Condition"))
+        .mkString("\n")
+      assert(!filters.contains("concat_ws") && !filters.contains("shingle_hashes"),
+        s"$q: shingle kernel leaked into a Filter:\n${filters.take(1500)}")
+    }
+  }
+
+  test("decontaminate: benchmark side broadcasts; corpus never hash-shuffles for the join") {
+    val p = planOf("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark posting list should broadcast")
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    // the only hash exchange is the (doc, bench) count aggregation
+    assert(exchanges.forall(e => e.startsWith("doc_id") || e.startsWith("bench_id")),
+      s"corpus shuffled before the join: $exchanges")
+  }
+
+  test("seq_pack distributed twin: no single-partition global window") {
+    val p = graft.ops.Curate.packChunksDistributed(
+      Tables.documents(spark, sfTiny), 256)
+      .queryExecution.explainString(FormattedMode)
+    // a global window plans as Exchange SinglePartition before Window;
+    // the distributed twin must not contain one feeding a Window
+    val single = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+    }.toList
+    assert(single.isEmpty,
+      s"distributed packing still has a single-partition exchange:\n${p.take(1200)}")
+  }
+
   test("pii_scrub / quality_filter / multimodal_meta: scans pruned to referenced columns") {
     val scrub = planOf("pii_scrub")
     assert(scrub.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
