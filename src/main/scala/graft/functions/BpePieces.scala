@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpePieces(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring null intolerance lets
+  // Catalyst's constraint inference rewrite isnotnull(f(x)) to
+  // isnotnull(x) instead of pushing a duplicated evaluation of this
+  // expression into a scan-level Filter.
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType =
     ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
   override def prettyName: String = "graft_bpe_pieces"

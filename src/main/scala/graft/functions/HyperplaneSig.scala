@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
 case class HyperplaneSig(child: Expression, numPlanes: Int, planeOffset: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring null intolerance lets
+  // Catalyst's constraint inference rewrite isnotnull(f(x)) to
+  // isnotnull(x) instead of pushing a duplicated evaluation of this
+  // expression into a scan-level Filter.
+  override def nullIntolerant: Boolean = true
+
   require(numPlanes >= 1 && numPlanes <= 64, "numPlanes in [1, 64]")
 
   override def dataType: DataType = LongType

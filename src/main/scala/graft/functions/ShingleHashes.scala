@@ -30,6 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring null intolerance lets
+  // Catalyst's constraint inference rewrite isnotnull(f(x)) to
+  // isnotnull(x) instead of pushing a duplicated evaluation of this
+  // expression into a scan-level Filter.
+  override def nullIntolerant: Boolean = true
+
   require(n >= 1, "shingle size >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

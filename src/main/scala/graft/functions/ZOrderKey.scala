@@ -26,6 +26,10 @@ import org.apache.spark.sql.types._
 case class ZOrderKey(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // null in -> null out (nullSafeEval): lets constraint inference use
+  // isnotnull(children) instead of duplicating this expression in filters
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zorder"
 

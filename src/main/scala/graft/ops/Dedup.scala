@@ -223,10 +223,16 @@ object Dedup {
         element_at(col("a.sigs"), e + 1) =!= element_at(col("c.sigs"), e + 1))
         .otherwise(lit(true))
     }.reduce(_ && _)
+    // posexplode_outer: a non-outer generate over the aliased sigs
+    // attribute gets size(sigs)>0 inferred, alias-substituted, and
+    // pushed below the parallelize repartition — all `tables`
+    // signatures evaluated a second time per row in a scan-level
+    // Filter (see the same trap in ngramPairs). Outer is exempt; the
+    // array is never empty (literal arity) so no null rows appear.
     emb
       .withColumn("sigs", array(sigCols: _*))
       .select(col("vec_id"), col("v"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("tbl", "sig")))
+        posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
       .groupBy(col("tbl"), col("sig"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("sigs"))).as("bucket"))
       .filter(size(col("bucket")).between(2, maxBucket))

@@ -128,10 +128,14 @@ object Similarity {
         col("sig").bitwiseXOR(lit(1L << b)))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        explode(array(probeSigs: _*)).as("sig"))
+        explode(array(probeSigs: _*)).as("psig"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
-    emb.join(probes, Seq("sig"))
+    // null-safe equality (<=>) is still a hash equi-join key but stops
+    // Catalyst inferring isnotnull(sig) — which pushdown would alias-
+    // substitute into a scan-level Filter re-running the signature
+    // expression on every corpus row before the parallelize repartition
+    emb.join(probes, col("sig") <=> col("psig"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
         cosine(col("pv"), col("v")).as("sim"))

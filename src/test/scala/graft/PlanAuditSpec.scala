@@ -63,20 +63,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(equiJoins >= 2, s"expected lineitem⋈orders + bucket equi-join, got $equiJoins")
   }
 
-  test("shingle pipelines: no generator-inferred filter re-evaluates the shingle kernel pre-shuffle") {
-    // regression for the InferFiltersFromGenerate trap: an attribute
-    // explode child gets size(s)>0 ∧ isnotnull(s) inferred, the alias
-    // substituted, and the whole shingle expression pushed below the
-    // parallelize repartition — evaluated twice on ONE task. The fix is
-    // explode_outer; this pins it. A Filter containing the shingle
-    // kernel (concat_ws for the composed form, shingle_hashes for the
-    // native one) must never appear in these plans.
-    for (q <- Seq("decontaminate", "dedup_ngram", "dedup_clusters")) {
+  test("no declared query re-evaluates an expensive kernel inside a Filter") {
+    // regression for two Catalyst inference traps: (1)
+    // InferFiltersFromGenerate on an attribute explode child infers
+    // size(s)>0 ∧ isnotnull(s), alias-substitutes the generating
+    // expression, and pushes it below the parallelize repartition —
+    // evaluated twice on ONE pre-shuffle task (fixed via explode_outer);
+    // (2) join-key isnotnull inference alias-substituted the same way
+    // (fixed via null-safe <=> join keys / nullIntolerant natives). A
+    // Filter containing any expensive kernel must never appear in any
+    // declared plan.
+    val kernels = Seq("lambdafunction", "hyperplane_sig", "graft_simhash",
+      "shingle_hashes", "concat_ws", "regexp_extract_all", "sequence(")
+    val skip = Set("ml_train", "stream_hourly_demand") // executing, not planning
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if !skip(q)) {
       val filters = planOf(q).linesIterator
-        .filter(l => l.contains("Filter") || l.contains("Condition"))
-        .mkString("\n")
-      assert(!filters.contains("concat_ws") && !filters.contains("shingle_hashes"),
-        s"$q: shingle kernel leaked into a Filter:\n${filters.take(1500)}")
+        .filter(l => l.contains("Filter ") || l.stripLeading.startsWith("Condition"))
+        .filter(l => kernels.exists(l.contains))
+        .toList
+      assert(filters.isEmpty,
+        s"$q: expensive kernel leaked into a Filter:\n${filters.mkString("\n").take(1500)}")
     }
   }
 
