@@ -57,14 +57,14 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => Text.langId(s, d)),
     "doc_fingerprint"    -> ((s, d) => Text.docFingerprint(s, d)),
     "pii_scrub"          -> ((s, d) => Text.piiScrub(s, d)),
-    "quality_filter"     -> ((s, d) => Text.qualityFilter(s, d)),
+    "quality_filter"     -> ((s, d) => Text.qualityFilterDist(s, d)),
     "token_bpe"          -> ((s, d) => Text.tokenBpe(s, d)),
     "token_bpe_learned"  -> ((s, d) => Bpe.tokenBpeLearned(s, d)),
     "heavy_tokens"       -> ((s, d) => Text.heavyTokens(s, d)),
     "text_repetition"    -> ((s, d) => Curate.textRepetition(s, d)),
     "decontaminate"      -> ((s, d) => Curate.decontaminate(s, d)),
     "domain_mix"         -> ((s, d) => Curate.domainMix(s, d)),
-    "seq_pack"           -> ((s, d) => Curate.seqPack(s, d)),
+    "seq_pack"           -> ((s, d) => Curate.seqPackDist(s, d)),
     "corpus_shuffle"     -> ((s, d) => Curate.corpusShuffle(s, d)),
     "data_split"         -> ((s, d) => Curate.dataSplit(s, d)),
     "dedup_incremental"  -> ((s, d) => Curate.dedupIncremental(s, d)),

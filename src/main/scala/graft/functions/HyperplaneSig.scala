@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -20,12 +20,13 @@ import org.apache.spark.sql.types._
   * Why native: the composed form re-derives every plane component by
   * hashing per row — planes×dims hashes per vector (48×64 here), inside
   * interpreted lambda folds. This expression derives the plane matrix
-  * once per task and projects in a tight primitive loop; the surrounding
-  * projection still whole-stage-codegens (CodegenFallback only for this
-  * scalar).
+  * once per task and projects in a tight primitive loop. `doGenCode`
+  * emits one call into [[project]] via an embedded reference — the
+  * whole-stage span stays unbroken and the per-instance plane-matrix
+  * cache is shared by the generated code.
   */
 case class HyperplaneSig(child: Expression, numPlanes: Int, planeOffset: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // null in -> null out (nullSafeEval): declaring null intolerance lets
   // Catalyst's constraint inference rewrite isnotnull(f(x)) to
@@ -70,8 +71,8 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, planeOffset: Int)
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by interpreted eval and generated code. */
+  def project(arr: ArrayData): Long = {
     val n = arr.numElements()
     val m = planeMatrix(n)
     var sig = 0L
@@ -86,7 +87,15 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, planeOffset: Int)
       if (acc >= 0) sig |= 1L << p
       p += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(project(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHplane", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.project($input);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
@@ -104,7 +113,7 @@ object HyperplaneSig {
       exprs => {
         val np = exprs(1) match { case Literal(v: Int, IntegerType) => v }
         val off = exprs(2) match { case Literal(v: Int, IntegerType) => v }
-        HyperplaneSig(exprs(0), np, off)
+        HyperplaneSig(Cast(exprs(0), ArrayType(DoubleType)), np, off)
       },
       "built-in")
 

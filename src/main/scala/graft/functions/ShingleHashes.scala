@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,9 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * slice per shingle, a joined string per shingle, and a distinct pass —
   * all through interpreted lambda calls. This is one tokenizer loop,
   * one StringBuilder per shingle, one hash set.
+  *
+  * Codegen: one call into [[compute]] via an embedded reference (the
+  * Spark regexp-expression shape) — keeps the whole-stage span unbroken
+  * while the kernel stays a JIT-compiled JVM loop.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // null in -> null out (nullSafeEval): declaring null intolerance lets
   // Catalyst's constraint inference rewrite isnotnull(f(x)) to
@@ -43,8 +47,9 @@ case class ShingleHashes(child: Expression, n: Int)
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString.trim
     val toks = ws.split(text, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -69,6 +74,14 @@ case class ShingleHashes(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingles", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -81,7 +94,7 @@ object ShingleHashes {
       "graft_shingle_hashes",
       exprs => {
         val n = exprs(1) match { case Literal(v: Int, IntegerType) => v }
-        ShingleHashes(exprs(0), n)
+        ShingleHashes(Cast(exprs(0), StringType), n)
       },
       "built-in")
 

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,12 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why an Expression and not composed built-ins: the composed form needs
   * 64 `aggregate()` higher-order calls, each re-walking (and re-hashing)
   * the token array — 64× redundant work and far outside codegen-friendly
-  * shapes. This expression hashes each token exactly once. Interpreted
-  * eval (CodegenFallback) is a tight primitive loop; the surrounding
-  * projection still codegens.
+  * shapes. This expression hashes each token exactly once.
+  *
+  * Codegen: `doGenCode` emits one call into [[compute]] through an
+  * embedded expression reference — the same shape Spark's own regexp
+  * expressions use. The whole-stage span stays unbroken (CodegenFallback
+  * would force an InternalRow materialization boundary per row) and the
+  * kernel loop is a JIT-compiled JVM method rather than janino source.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // null in -> null out (nullSafeEval): declaring null intolerance lets
   // Catalyst's constraint inference rewrite isnotnull(f(x)) to
@@ -31,9 +35,9 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): Long = {
+    val toks = input.toString.trim.split("\\s+")
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -51,7 +55,15 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -61,10 +73,12 @@ case class SimHash64(child: Expression)
 /** Registration + Column-API entry points for graft's native expressions. */
 object GraftFunctions {
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration (builder casts like the Column
+    * facade so SQL and Column surfaces agree on off-type args). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "graft_simhash64",
+      exprs => SimHash64(Cast(exprs.head, StringType)), "built-in")
 
   def simhash64(spark: SparkSession, c: Column): Column = {
     register(spark)

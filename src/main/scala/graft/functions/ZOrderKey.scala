@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, col}
 import org.apache.spark.sql.types._
@@ -83,10 +83,15 @@ object ZOrderKey {
     x
   }
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration. The builder casts to int like
+    * the Column facade — without it the SQL surface diverged on BIGINT
+    * args (interpreted threw ClassCastException, codegen truncated).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "built-in")
+      "graft_zorder",
+      exprs => ZOrderKey(Cast(exprs(0), IntegerType), Cast(exprs(1), IntegerType)),
+      "built-in")
 
   /** Column-API entry point; casts both keys to int. */
   def zorder(spark: SparkSession, a: Column, b: Column): Column = {

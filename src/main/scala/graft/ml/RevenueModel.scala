@@ -62,28 +62,41 @@ object RevenueModel {
     (data, train, test, new Pipeline().setStages(Array(assembler, rf)).fit(train))
   }
 
-  /** Metrics of a fitted model on a held-out test set. All three metrics
-    * from ONE aggregation pass (RegressionEvaluator would scan the
-    * predictions once per metric): mae = E|l−p|, rmse = √E(l−p)²,
-    * r2 = 1 − SS_res/SS_tot — the same formulas the evaluator implements.
+  /** Metrics of a fitted model on a held-out test set: mae = E|l−p|,
+    * rmse = √E(l−p)², r2 = 1 − SS_res/SS_tot — the same formulas
+    * RegressionEvaluator implements, but ONE pass over the (expensive)
+    * model predictions instead of one per metric. SS_tot uses the
+    * TWO-PASS form Σ(l−mean)² — the label-only mean pass is over the
+    * raw test set, no model transform — because the one-pass
+    * Σl² − (Σl)²/n identity cancels catastrophically when the label
+    * mean is large relative to its spread.
     */
   private def metricsOf(spark: SparkSession,
                         model: org.apache.spark.ml.PipelineModel,
                         train: DataFrame, test: DataFrame): DataFrame = {
+    val labelMean = test.agg(avg(col("label"))).head.getDouble(0)
     val pred = model.transform(test).select("label", "prediction")
+    val (mae, rmse, r2, n) = regressionMetrics(pred, labelMean)
+    import spark.implicits._
+    Seq((mae, rmse, r2, train.count(), n))
+      .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
+  }
+
+  /** Metric core over (label, prediction) rows with the label mean
+    * supplied by the caller's cheap first pass. Public for direct
+    * testing (the large-offset-label case that kills the one-pass
+    * SS_tot identity).
+    */
+  def regressionMetrics(pred: DataFrame,
+                        labelMean: Double): (Double, Double, Double, Long) = {
     val m = pred.agg(
       avg(abs(col("label") - col("prediction"))).as("mae"),
       sqrt(avg(pow(col("label") - col("prediction"), 2))).as("rmse"),
       sum(pow(col("label") - col("prediction"), 2)).as("ss_res"),
-      sum(pow(col("label"), 2)).as("sl2"),
-      sum(col("label")).as("sl"),
+      sum(pow(col("label") - lit(labelMean), 2)).as("ss_tot"),
       count(lit(1)).as("test_rows")).head
-    val n = m.getLong(5).toDouble
-    val ssTot = m.getDouble(3) - m.getDouble(4) * m.getDouble(4) / n
-    val r2 = 1.0 - m.getDouble(2) / ssTot
-    import spark.implicits._
-    Seq((m.getDouble(0), m.getDouble(1), r2, train.count(), m.getLong(5)))
-      .toDF("mae", "rmse", "r2", "train_rows", "test_rows")
+    (m.getDouble(0), m.getDouble(1), 1.0 - m.getDouble(2) / m.getDouble(3),
+      m.getLong(4))
   }
 
   def trainEval(spark: SparkSession, sfDir: String): DataFrame = {

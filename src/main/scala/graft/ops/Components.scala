@@ -57,16 +57,27 @@ object Components {
       .select(col("x").as("u"), col("m").as("v"))
       .distinct()
 
-  /** Order-insensitive edge-set fingerprint for the convergence test:
-    * (count, xor of per-edge hashes). One aggregation, no join; a false
-    * "stable" needs a 2⁻⁶⁴ xor collision on sets that already have equal
-    * cardinality.
+  /** Direct fixpoint test: the edge set is a DISJOINT STAR SET — every
+    * source points at exactly one root and no source is itself a
+    * target. Both conditions are required: sources∩targets=∅ alone
+    * admits a source feeding two different roots (out-degree 2), which
+    * is not yet converged and would mislabel the losing root's nodes.
+    * Per Kiveris et al. (SoCC'14) the only fixpoints of the alternating
+    * star contraction are disjoint star sets, so this test is exact —
+    * and unlike a round-over-round signature comparison it needs NO
+    * extra confirm round: convergence is visible on the round's own
+    * output. Cost: one partial+final aggregation keyed by node.
     */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
-    (r.getLong(0), r.getLong(1))
+  private def isStarSet(e: DataFrame): Boolean = {
+    val r = e.select(col("u").as("node"), lit(1L).as("s"), lit(0).as("t"))
+      .union(e.select(col("v").as("node"), lit(0L).as("s"), lit(1).as("t")))
+      .groupBy(col("node"))
+      .agg(sum(col("s")).as("outd"), max(col("t")).as("tgt"))
+      .agg(
+        coalesce(max(col("outd")), lit(0L)),
+        coalesce(max(when(col("outd") > 0 && col("tgt") > 0, 1).otherwise(0)),
+          lit(0))).head
+    r.getLong(0) <= 1L && r.getInt(1) == 0
   }
 
   /** Component labels for every node that appears in `edges` (columns
@@ -81,14 +92,12 @@ object Components {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint() // truncate lineage: each round's plan starts here
-    var sig = signature(e)
     var round = 0
-    var stable = false
+    var stable = isStarSet(e) // near-dup pair lists are often stars already
     while (!stable && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = signature(next)
-      stable = nextSig == sig
-      e = next; sig = nextSig; round += 1
+      e = smallStar(largeStar(e)).localCheckpoint()
+      stable = isStarSet(e)
+      round += 1
     }
     require(stable, s"connectedComponents did not converge in $maxRounds rounds")
     // At fixpoint e is a set of stars (node → component min). The min()

@@ -242,10 +242,11 @@ object Curate {
     * first chunk). This is the packing layout a pretraining data loader
     * needs to slice documents into training sequences.
     *
-    * DECLARED form (this method): a global running sum over doc_id —
-    * a single-partition window, the semantics anchor the oracle can
-    * check. The 100 TB path is [[packChunksDistributed]]: the same
-    * numbers via a two-phase distributed prefix sum.
+    * SEMANTICS ANCHOR (this method): a global running sum over doc_id —
+    * a single-partition window, trivially correct, used by specs to
+    * cross-check. The DECLARED/benched path is [[seqPackDist]] /
+    * [[packChunksDistributed]]: the same numbers via a two-phase
+    * distributed prefix sum.
     */
   def seqPack(spark: SparkSession, sfDir: String,
               chunkTokens: Int = 256): DataFrame = {
@@ -262,41 +263,31 @@ object Curate {
 
   /** Distributed twin: range-partition by doc_id, per-partition running
     * sums in parallel windows, then lift to global offsets via the
-    * per-partition totals — a classic two-phase prefix sum. The totals
-    * table is one row per partition (broadcast join); no global sort or
-    * single-partition window anywhere. localCheckpoint pins the range
-    * partitioning so the totals pass and the join pass see identical
-    * partition boundaries (range sampling is not otherwise guaranteed
-    * stable across re-evaluations).
+    * per-partition totals — a two-phase prefix sum ([[Prefix]]). The
+    * totals table is one row per partition (broadcast join); no global
+    * sort or single-partition window anywhere.
     */
   def packChunksDistributed(docs: DataFrame, chunkTokens: Int = 256,
                             partitions: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
-    val p = if (partitions > 0) partitions
-            else spark.sparkContext.defaultParallelism
-    val base = docs
-      .select(col("doc_id"),
-        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = base.groupBy(col("_pid"))
-      .agg(sum(col("n_tokens")).as("_ptotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft(0 -> 0L) {
-      case ((_, acc), (pid, tot)) => pid -> (acc + tot)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
+    val (base, _) = Prefix.withOffsets(
+      docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+      Seq(col("doc_id")), col("n_tokens"), partitions)
     val wp = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunkColumns(
-      base.join(broadcast(offsetDf), "_pid")
-        .withColumn("cum_before",
-          col("_offset") + sum(col("n_tokens")).over(wp) - col("n_tokens")),
+      base.withColumn("cum_before",
+        col("_offset") + sum(col("n_tokens")).over(wp) - col("n_tokens")),
       chunkTokens)
   }
+
+  /** The DECLARED/benched packing entry: the distributed twin over the
+    * documents table — the plan you'd run at 100 TB, checked against the
+    * same running-sum oracle as [[seqPack]] (identical output).
+    */
+  def seqPackDist(spark: SparkSession, sfDir: String,
+                  chunkTokens: Int = 256): DataFrame =
+    packChunksDistributed(Tables.documents(spark, sfDir), chunkTokens)
 
   /** Shared chunk arithmetic over (doc_id, n_tokens, cum_before). */
   private def chunkColumns(df: DataFrame, chunkTokens: Int): DataFrame = {
@@ -328,16 +319,22 @@ object Curate {
     * Sizing: ~1.2 GB per 10⁹ fingerprints at 1% fpp — a large but
     * standard broadcast; shard the filter per key range if executor
     * memory is tighter than that.
+    *
+    * The build and probe are Spark's NATIVE Bloom expressions
+    * ([[graft.functions.BloomNative]]): the filter rides the plan as a
+    * scalar subquery and the probe stays in whole-stage codegen — no
+    * Scala UDF, no manual broadcast. Null-content batch rows are NEW by
+    * definition (null never equals any existing content), which the
+    * confirm anti-join implements for free.
     */
   def incrementalNew(existing: DataFrame, batch: DataFrame, contentCol: String,
                      expectedItems: Long = 1L << 20,
                      fpp: Double = 0.01): DataFrame = {
     val fp = md5(col(contentCol))
-    val bloom = existing.select(fp.as("_fp")).stat
-      .bloomFilter("_fp", expectedItems, fpp)
-    val bloomB = existing.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomB.value.mightContain(s))
-    val tagged = batch.withColumn("_maybe", mightContain(fp))
+    val bloom = graft.functions.BloomNative.bloomOf(
+      existing, fp, expectedItems, fpp)
+    val tagged = batch.withColumn("_maybe",
+      graft.functions.BloomNative.mightContain(existing.sparkSession, bloom, fp))
     val definiteNew = tagged.filter(!col("_maybe")).drop("_maybe")
     val confirmed = tagged.filter(col("_maybe")).drop("_maybe")
       .join(existing.select(col(contentCol)).distinct(), Seq(contentCol), "left_anti")

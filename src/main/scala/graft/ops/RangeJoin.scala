@@ -54,9 +54,8 @@ object RangeJoin {
     * Σ(span) joined rows just to aggregate them away is the wrong plan
     * — the sweep is O(|I|) rows regardless of span. Returns
     * (boundary, active): the count holds on [boundary, next boundary).
-    * The global-order window is a single partition here; at scale it
-    * becomes range-partition + per-partition prefix + broadcast of
-    * partition totals (two passes, still O(|I|)).
+    * The running sum is a two-phase distributed prefix sum
+    * ([[Prefix]]) — no single-partition window at any scale.
     */
   def sweepActiveCounts(intervals: DataFrame,
                         loCol: String, hiCol: String): DataFrame = {
@@ -65,9 +64,11 @@ object RangeJoin {
       .select(col(loCol).as("boundary"), lit(1L).as("d"))
       .unionAll(intervals.select((col(hiCol) + 1).as("boundary"), lit(-1L).as("d")))
       .groupBy(col("boundary")).agg(sum(col("d")).as("d"))
-    val w = Window.orderBy(col("boundary"))
+    val (base, _) = Prefix.withOffsets(deltas, Seq(col("boundary")), col("d"))
+    val wp = Window.partitionBy(col("_pid")).orderBy(col("boundary"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("active", sum(col("d")).over(w)).drop("d")
+    base.withColumn("active", col("_offset") + sum(col("d")).over(wp))
+      .select(col("boundary"), col("active"))
   }
 
   /** Declared query: per order-date, how many lineitems are inside their

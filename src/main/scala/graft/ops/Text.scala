@@ -191,10 +191,11 @@ object Text {
     * SQL-expressible for the oracle.
     *
     * Scale note: a global percent_rank is a single-partition window —
-    * fine to define semantics, wrong to run on 100 TB. The production
-    * path is [[qualityFilterApprox]]: one `percentile_approx` sketch
-    * pass to find the score cutoff, then a parallel filter — no global
-    * sort, same decision up to sketch error at the boundary.
+    * fine to define semantics, wrong to run on 100 TB. This method is
+    * the SEMANTICS ANCHOR the specs cross-check; the DECLARED/benched
+    * path is [[qualityFilterDist]] (exact, distributed — same output,
+    * same oracle) and [[qualityFilterApprox]] is the sketch-cutoff
+    * variant for pipelines that don't need the rank column.
     */
   def qualityFilter(spark: SparkSession, sfDir: String,
                     dropBelow: Double = 0.2): DataFrame = {
@@ -207,9 +208,37 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** The 100 TB variant: percentile cutoff from a fixed-size sketch
-    * (one aggregation), then an embarrassingly-parallel filter. No
-    * global window, no sort.
+  /** DECLARED/benched variant: the exact global percent_rank computed
+    * DISTRIBUTED — range-partition by (score, doc_id), per-partition
+    * row_number in parallel windows, lift to a global rank via the
+    * per-partition counts ([[graft.ops.Prefix]] two-phase prefix sum).
+    * Identical output to [[qualityFilter]] (the oracle SQL is shared),
+    * but no single-partition window: the plan you'd run at 100 TB when
+    * the q_rank column itself is needed.
+    */
+  def qualityFilterDist(spark: SparkSession, sfDir: String,
+                        dropBelow: Double = 0.2,
+                        partitions: Int = 0): DataFrame = {
+    val (ranked, n) = Prefix.withOffsets(
+      scored(Tables.documents(spark, sfDir)),
+      Seq(col("score"), col("doc_id")), lit(1L), partitions)
+    // (score, doc_id) is a total order, so rank == row_number and
+    // percent_rank = (rank - 1) / (n - 1); n<=1 → rank 0 by definition
+    val denom = math.max(n - 1, 1L).toDouble
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("score"), col("doc_id"))
+    ranked
+      .withColumn("q_rank",
+        (col("_offset") + row_number().over(wp) - 1).cast(DoubleType) / denom)
+      .filter(col("q_rank") >= dropBelow)
+      .select(col("doc_id"), col("lang"), col("score"), col("q_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The cutoff-only 100 TB variant: percentile cutoff from a
+    * fixed-size sketch (one aggregation), then an embarrassingly
+    * -parallel filter. No global window, no sort — cheapest when the
+    * rank column is not needed downstream.
     */
   def qualityFilterApprox(docs: DataFrame, dropBelow: Double = 0.2,
                           accuracy: Int = 10000): DataFrame = {

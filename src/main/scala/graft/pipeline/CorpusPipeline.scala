@@ -76,8 +76,16 @@ object CorpusPipeline {
     // 6. Packing layout for the train split (token-stream chunking in
     //    shuffle order — distributed prefix sum, no global window)
     val train = shuffled.filter(col("split") === "train")
+    // pack by a UNIQUE key: shuffle_key alone can collide (md5 prefix),
+    // which would make per-partition window tie order — and thus
+    // chunk_first/chunk_offset — nondeterministic. Appending the
+    // zero-padded doc_id preserves shuffle order and breaks ties the
+    // same way deterministicShuffle does.
     val packed = Curate.packChunksDistributed(
-      train.select(col("shuffle_key").as("doc_id"), col("text")), chunkTokens)
+      train.select(
+        concat(col("shuffle_key"),
+          lpad(col("doc_id").cast("string"), 20, "0")).as("doc_id"),
+        col("text")), chunkTokens)
 
     // 7. Persist: corpus partitioned by split; packing layout alongside
     shuffled.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * equivalents:
   *
   *  - partitioned overwrite Delta writes → `partitionBy(...).parquet`
-  *    (same layout, same re-readability; ACID log dropped — the
-  *    reference never uses time travel/MERGE, SURVEY §1).
+  *    for bronze/silver (same layout, same re-readability); the gold
+  *    serving tables get Delta's observable ACID property back via the
+  *    commit-manifest protocol ([[ManifestTable]]: snapshot dirs +
+  *    atomic manifest rename, readers only ever see committed files).
   *  - `OPTIMIZE ... ZORDER BY (k1, k2)` → range-partition + sort by the
   *    native Morton key ([[graft.functions.ZOrderKey]]): true Z-curve
   *    clustering, so parquet row-group min/max stats give data skipping
@@ -70,14 +72,21 @@ class Medallion(spark: SparkSession, sfDir: String, warehouse: String) {
     * bucket of the group key (raw custkey would create one directory per
     * customer — fine at 150 keys, catastrophic at 15M; bucketing the
     * partition column is the scale-safe layout).
+    *
+    * Gold is the serving layer, so its overwrites go through the
+    * commit-manifest protocol ([[ManifestTable]]): a refresh that dies
+    * mid-write leaves dashboards reading the previous consistent
+    * version — the reference gets this from Delta's ACID overwrite
+    * (`src/etl_pipeline.py:118-123`).
     */
   def runGold(): (Long, Long) = {
     val daily = Aggregates.goldDailyRevenue(spark, sfDir)
       .withColumn("cust_bucket", pmod(col("o_custkey"), lit(16)))
-    daily.write.partitionBy("cust_bucket").mode("overwrite").parquet(goldDailyPath)
+    ManifestTable.write(daily, goldDailyPath, Seq("cust_bucket"))
     val hourly = Aggregates.goldHourlyDemand(spark, sfDir)
-    hourly.write.mode("overwrite").parquet(goldHourlyPath)
-    (spark.read.parquet(goldDailyPath).count(), spark.read.parquet(goldHourlyPath).count())
+    ManifestTable.write(hourly, goldHourlyPath)
+    (Medallion.readTable(spark, goldDailyPath).count(),
+      Medallion.readTable(spark, goldHourlyPath).count())
   }
 
   def runAll(): Map[String, Long] = {
@@ -140,9 +149,13 @@ object Medallion {
     * directory flips atomically-enough (same caveat as [[compact]]);
     * cross-partition atomicity needs a table format by design.
     *
-    * `updates` must carry the table's partition column. Keys are
-    * assumed unique per partition (lakehouse upsert contract); rows
-    * whose key moves BETWEEN partitions would need a delete on the old
+    * `updates` must carry the table's partition column. KEY IDENTITY
+    * INCLUDES THE PARTITION: the replace match is on
+    * `keyCols :+ partitionCol`, so the same key value living in two
+    * touched partitions only replaces the row in the update's own
+    * partition — matching on keyCols alone would silently delete the
+    * other partition's row while the update lands elsewhere. Rows whose
+    * key moves BETWEEN partitions would need a delete on the old
     * partition — out of scope, like Delta's MERGE without a matched
     * -delete clause.
     */
@@ -159,8 +172,10 @@ object Medallion {
     // files it is replacing (with cache() an evicted block would
     // recompute from the just-clobbered input — silent corruption;
     // with a checkpoint, block loss fails the job instead).
+    val mergeKeys =
+      if (keyCols.contains(partitionCol)) keyCols else keyCols :+ partitionCol
     val merged = current
-      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .join(updates.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
       .unionByName(updates)
       .localCheckpoint()
     val n = merged.count()
@@ -173,6 +188,44 @@ object Medallion {
     }
     n
   }
+
+  /** Bronze ingest from a dirty CSV feed with quarantine: malformed rows
+    * land in a quarantine sink (raw line + why preserved) instead of
+    * failing the job or vanishing — the production form of the
+    * reference's defensive schema introspection
+    * (`/root/reference/src/etl_pipeline.py:55,58`). At 100 TB one bad
+    * row must never kill a multi-hour ingest, and dropping it
+    * unrecorded is silent data loss.
+    *
+    * Returns (clean rows written, quarantined rows written). The split
+    * frame is cached: Spark disallows referencing the internal corrupt
+    * -record column from an uncached CSV scan, and the two branches
+    * would otherwise scan the feed twice.
+    */
+  def ingestCsvQuarantined(spark: SparkSession, csvPath: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           bronzePath: String,
+                           quarantinePath: String): (Long, Long) = {
+    val raw = graft.sources.Csv.readQuarantining(spark, csvPath, schema).cache()
+    try {
+      val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+      val bad = raw.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_line"))
+      val nBad = bad.count()
+      if (nBad > 0) bad.write.mode("overwrite").json(quarantinePath)
+      clean.write.mode("overwrite").parquet(bronzePath)
+      (spark.read.parquet(bronzePath).count(), nBad)
+    } finally raw.unpersist()
+  }
+
+  /** Manifest-aware table read: tables written through [[ManifestTable]]
+    * resolve via their committed manifest (readers never see a
+    * half-written refresh); plain parquet directories read directly.
+    */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    if (ManifestTable.currentVersion(spark, path).isDefined)
+      ManifestTable.read(spark, path)
+    else spark.read.parquet(path)
 
   /** Schema-evolution read: union the physical schemas of all files in
     * the table (`mergeSchema`) so older files lacking newly-added

@@ -3,8 +3,8 @@ package graft.plans
 import graft.functions.{CosineSim, HyperplaneSig, SimHash64, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** Session-extension entry point: registers graft's native expressions
   * as SQL functions for every session built with
@@ -30,22 +30,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Every builder coerces its inputs exactly like the Column facades
+    // do (`.cast(...)` at analysis time). Without the casts the SQL
+    // surface diverges from the Column surface on off-type arguments —
+    // e.g. graft_zorder(BIGINT, BIGINT) threw ClassCastException
+    // interpreted but silently truncated under codegen.
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(Cast(exprs.head, StringType))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSim(
+        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
-      (exprs: Seq[Expression]) => ZOrderKey(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ZOrderKey(
+        Cast(exprs(0), IntegerType), Cast(exprs(1), IntegerType))))
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
-      (exprs: Seq[Expression]) => HyperplaneSig(exprs(0),
+      (exprs: Seq[Expression]) => HyperplaneSig(
+        Cast(exprs(0), ArrayType(DoubleType)),
         intLit(exprs(1), "numPlanes"), intLit(exprs(2), "planeOffset"))))
   }
 }

@@ -163,6 +163,14 @@ object GroupedTopK {
     */
   def of(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int,
          flushGroups: Int = DefaultFlushGroups): DataFrame = {
+    // ungrouped (global) top-k is not this operator: with no group key
+    // both exec phases report UnspecifiedDistribution, no exchange is
+    // inserted, and each partition would emit its own k rows. Spark's
+    // own orderBy(...).limit(k) plans the global case optimally
+    // (TakeOrderedAndProject) — use that instead.
+    require(groupCols.nonEmpty,
+      "GroupedTopK requires at least one group column; " +
+        "for global top-k use orderBy(desc).limit(k)")
     val spark = df.sparkSession
     install(spark)
     val dt = df.schema(orderCol).dataType

@@ -54,6 +54,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("star test does not stop early on a source feeding two roots") {
+    // (10,1),(20,1),(10,2): sources {10,20} and targets {1,2} are
+    // disjoint, yet node 10 points at two roots — NOT a disjoint star
+    // set (1 and 2 share a component via 10). A convergence test of
+    // "no source is a target" alone would stop here and label 2 as its
+    // own root; the out-degree condition must force another round.
+    val got = ccOf(Seq((10L, 1L), (20L, 1L), (10L, 2L)))
+    assert(got === Map(10L -> 1L, 20L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("connectedComponents equals union-find on pseudo-random graphs") {
     // deterministic LCG — no external randomness in tests
     var s = 12345L

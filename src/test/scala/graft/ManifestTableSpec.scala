@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.{ManifestTable, Medallion}
+import org.apache.spark.sql.functions._
+
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a write that dies before commit is invisible: readers still see the previous version") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt").toString + "/t"
+    val v1rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val v1 = ManifestTable.write(v1rows.toDF("id", "v"), path)
+    assert(v1 === 1L)
+
+    // simulate a refresh job killed mid-write: the snapshot directory
+    // for version 2 exists (data fully or partially written) but the
+    // process died before the manifest rename — the commit never happened
+    Seq((9L, "CRASH"), (10L, "CRASH")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$path/snap-2")
+
+    assert(ManifestTable.currentVersion(spark, path) === Some(1L))
+    val seen = ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+    assert(seen === v1rows.toSet, "reader saw uncommitted files")
+    assert(Medallion.readTable(spark, path).count() === 3)
+
+    // the writer's retry commits version 2 over the orphan; readers flip
+    val v2rows = Seq((1L, "a2"), (4L, "d"))
+    assert(ManifestTable.write(v2rows.toDF("id", "v"), path) === 2L)
+    assert(ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+      === v2rows.toSet)
+    // time travel: the previous committed version is still intact
+    assert(ManifestTable.readVersion(spark, path, 1).as[(Long, String)]
+      .collect().toSet === v1rows.toSet)
+  }
+
+  test("partitioned snapshots keep their partition columns; vacuum drops only old versions") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt2").toString + "/t"
+    val rows = Seq((1L, 10, "x"), (2L, 10, "y"), (3L, 20, "z"))
+    ManifestTable.write(rows.toDF("id", "part", "v"), path, Seq("part"))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "part", "v").as[(Long, Int, String)].collect().toSet
+    assert(got === rows.toSet, "partition column lost through manifest read")
+
+    ManifestTable.write(rows.toDF("id", "part", "v")
+      .withColumn("v", upper(col("v"))), path, Seq("part"))
+    assert(ManifestTable.versions(spark, path) === Seq(1L, 2L))
+    assert(ManifestTable.vacuum(spark, path, keep = 1) === Seq(1L))
+    assert(ManifestTable.versions(spark, path) === Seq(2L))
+    assert(!new java.io.File(s"$path/snap-1").exists())
+    // current version unaffected
+    assert(ManifestTable.read(spark, path).count() === 3)
+    intercept[Exception](ManifestTable.readVersion(spark, path, 1).collect())
+  }
+
+  test("manifest lists exactly the snapshot's data files, relative to the table root") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt3").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)
+    val files = ManifestTable.manifestFiles(spark, path, 1)
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.startsWith("snap-1/") && f.endsWith(".parquet")))
+    assert(files.forall(f => new java.io.File(s"$path/$f").isFile))
+  }
+}

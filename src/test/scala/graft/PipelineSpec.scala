@@ -20,8 +20,8 @@ class PipelineSpec extends SparkSpec {
     // layers are re-readable and silver rows all satisfy the clean predicates
     val silver = spark.read.parquet(m.silverPath)
     assert(silver.filter(!(col("l_quantity") > 0)).count() === 0)
-    // gold daily group keys unique after round-trip
-    val gd = spark.read.parquet(m.goldDailyPath)
+    // gold daily group keys unique after round-trip (manifest-committed)
+    val gd = Medallion.readTable(spark, m.goldDailyPath)
     assert(gd.select("o_custkey", "day").distinct().count() === counts("gold_daily"))
     // partition pruning actually fires: a (year, month) predicate reaches
     // the scan as a PartitionFilter and the file list shrinks to the one
@@ -65,6 +65,22 @@ class PipelineSpec extends SparkSpec {
       (4L, "d", 20), (9L, "new", 20), (5L, "e", 30)))
     // dynamic overwrite left the untouched partition's physical files alone
     assert(filesOf(30) === before30)
+  }
+
+  test("upsertPartitioned: key identity includes the partition — a key in two touched partitions keeps both rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert2").toString + "/t"
+    // key 1 exists in BOTH partitions 10 and 20
+    Seq((1L, "p10", 10), (1L, "p20", 20), (2L, "b", 20))
+      .toDF("id", "v", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    // the update targets (1, part=10) only, but partition 20 is also
+    // touched by the insert — its (1, p20) row must survive the merge
+    val updates = Seq((1L, "P10v2", 10), (3L, "new", 20)).toDF("id", "v", "part")
+    Medallion.upsertPartitioned(spark, dir, updates, Seq("id"), "part")
+    val after = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(after === Set((1L, "P10v2", 10), (1L, "p20", 20),
+      (2L, "b", 20), (3L, "new", 20)))
   }
 
   test("compaction shrinks file count and preserves every row") {
@@ -125,6 +141,30 @@ class PipelineSpec extends SparkSpec {
     val (mae, rmse, r2) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
     assert(!mae.isNaN && !rmse.isNaN)
     assert(r2 > 0.5, s"r2=$r2")
+  }
+
+  test("regressionMetrics survives a large label offset (two-pass SS_tot)") {
+    import spark.implicits._
+    // mean ~1e9, spread ~1: the one-pass Σl²−(Σl)²/n identity loses all
+    // variance digits here; the two-pass form must stay exact
+    val base = 1e9
+    val rows = (0 until 200).map { i =>
+      val label = base + (i % 7) - 3.0       // spread in [-3, 3]
+      val prediction = label + (i % 3) - 1.0 // residuals in [-1, 1]
+      (label, prediction)
+    }
+    val pred = rows.toDF("label", "prediction")
+    val labelMean = rows.map(_._1).sum / rows.length
+    val (mae, rmse, r2, n) =
+      graft.ml.RevenueModel.regressionMetrics(pred, labelMean)
+    // exact driver-side two-pass reference
+    val ssRes = rows.map { case (l, p) => (l - p) * (l - p) }.sum
+    val ssTot = rows.map { case (l, _) => (l - labelMean) * (l - labelMean) }.sum
+    assert(n === 200L)
+    assert(math.abs(mae - rows.map { case (l, p) => math.abs(l - p) }.sum / 200) < 1e-9)
+    assert(math.abs(rmse - math.sqrt(ssRes / 200)) < 1e-9)
+    assert(math.abs(r2 - (1.0 - ssRes / ssTot)) < 1e-9, s"r2=$r2")
+    assert(r2 > 0 && r2 < 1)
   }
 
   test("trainAndSave persists a reloadable model plus metrics and importances") {

@@ -96,24 +96,27 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus shuffled before the join: $exchanges")
   }
 
-  test("seq_pack distributed twin: no single-partition global window") {
-    val p = graft.ops.Curate.packChunksDistributed(
-      Tables.documents(spark, sfTiny), 256)
-      .queryExecution.explainString(FormattedMode)
+  test("declared seq_pack and quality_filter: no single-partition global window") {
     // a global window plans as Exchange SinglePartition before Window;
-    // the distributed twin must not contain one feeding a Window
-    val single = p.linesIterator.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange SinglePartition") => i
-    }.toList
-    assert(single.isEmpty,
-      s"distributed packing still has a single-partition exchange:\n${p.take(1200)}")
+    // the DECLARED (benched, oracle-checked) entries must be the
+    // distributed twins, with no such exchange anywhere in the plan
+    for (q <- Seq("seq_pack", "quality_filter")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"declared $q still has a single-partition exchange:\n${p.take(1200)}")
+    }
   }
 
   test("pii_scrub / quality_filter / multimodal_meta: scans pruned to referenced columns") {
     val scrub = planOf("pii_scrub")
     assert(scrub.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "pii_scrub should read only (doc_id, text)")
-    val qf = planOf("quality_filter")
+    // the DECLARED quality_filter starts from a localCheckpoint (the
+    // prefix-sum pin), so its final explain shows a LogicalRDD, not the
+    // parquet scan — audit the scan on the anchor, which shares the
+    // same scored() projection feeding the checkpoint
+    val qf = graft.ops.Text.qualityFilter(spark, sfTiny)
+      .queryExecution.explainString(FormattedMode)
     assert(qf.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
       || qf.contains("ReadSchema: struct<doc_id:bigint,lang:string,text:string>"),
       "quality_filter should read only (doc_id, lang, text)")

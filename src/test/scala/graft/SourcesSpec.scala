@@ -69,6 +69,36 @@ class SourcesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("quarantining bronze ingest end-to-end: clean rows land in bronze, corrupt in quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_csv_dirty2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "feed.csv"),
+      """id,qty,price
+        |1,5,10.5
+        |2,not_a_number,3.25
+        |3,7,oops
+        |4,2,99.0
+        |5,1,1.0
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("price", DoubleType)))
+    val out = tmpDir("graft_bronze_q")
+    val (nClean, nBad) = graft.pipeline.Medallion.ingestCsvQuarantined(
+      spark, dir, schema, s"$out/bronze", s"$out/quarantine")
+    assert(nClean === 3 && nBad === 2)
+    // bronze round-trips with the pinned schema, no corrupt column
+    val bronze = spark.read.parquet(s"$out/bronze")
+    assert(bronze.columns.toSeq === Seq("id", "qty", "price"))
+    assert(bronze.select(sum("qty")).head.getLong(0) === 8)
+    // quarantine preserves the raw lines for forensic replay
+    val q = spark.read.json(s"$out/quarantine")
+    assert(q.count() === 2)
+    assert(q.select("raw_line").collect().map(_.getString(0)).toSet
+      === Set("2,not_a_number,3.25", "3,7,oops"))
+  }
+
   test("jsonl roundtrip preserves values including nested-ish string props") {
     val src = Tables.events(spark, sfTiny)
       .select(col("event_id"), col("event_type"), col("value"), col("props"))

@@ -109,6 +109,17 @@ class TextSpec extends SparkSpec {
     assert(maxDroppedRow.getDouble(0) <= minKept)
   }
 
+  test("qualityFilterDist (declared) row-for-row equals the single-partition anchor") {
+    val anchor = Text.qualityFilter(spark, sfTiny, dropBelow = 0.2)
+    val dist = Text.qualityFilterDist(spark, sfTiny, dropBelow = 0.2)
+    assert(dist.schema.fieldNames === anchor.schema.fieldNames)
+    assert(dist.exceptAll(anchor).isEmpty && anchor.exceptAll(dist).isEmpty)
+    // and at a parallelism the fixture doesn't default to
+    val dist3 = Text.qualityFilterDist(spark, sfTiny, dropBelow = 0.2,
+      partitions = 3)
+    assert(dist3.exceptAll(anchor).isEmpty && anchor.exceptAll(dist3).isEmpty)
+  }
+
   test("qualityFilterApprox agrees with the exact filter away from the cutoff boundary") {
     val docs = Tables.documents(spark, sfTiny)
     val exact = Text.qualityFilter(spark, sfTiny, dropBelow = 0.2)
