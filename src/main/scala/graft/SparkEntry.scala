@@ -80,7 +80,10 @@ object SparkEntry {
     "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
+    "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
+    "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
+    "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
   )
 
@@ -552,5 +555,36 @@ object SparkEntry {
          COUNT(*) AS event_count,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
+    "term_relevance" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         d AS (SELECT doc_id, token, tf,
+                 COUNT(*) OVER (PARTITION BY token) AS df
+               FROM tf),
+         s AS (SELECT doc_id, token, tf, df,
+                 CAST(tf AS DOUBLE) / df AS score
+               FROM d),
+         r AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS INTEGER) AS rank
+               FROM s)
+         SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf,
+                CAST(df AS BIGINT) AS df, score
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "skew_join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS events,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "stream_view_purchase" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+                v.ts AS view_ts, p.ts AS purchase_ts
+         FROM events v JOIN events p
+           ON p.user_id = v.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         ORDER BY view_id, purchase_id""",
   )
 }

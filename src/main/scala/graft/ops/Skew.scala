@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation primitives.
@@ -36,6 +37,25 @@ object Skew {
         salted("_salt") === replicated("_salt") &&
           probe(probeKey) === build(buildKey))
       .drop("_salt")
+  }
+
+  /** Declared query: per-market-segment event rollup through the salted
+    * join — events (the probe, where a hot user would concentrate a
+    * reducer) joined to customers across `salt` buckets, then
+    * aggregated. Row-identical to the plain join by construction, so
+    * the oracle is the unsalted SQL join — the correctness contract a
+    * skew mitigation must keep.
+    */
+  def skewJoinSalted(spark: SparkSession, sfDir: String,
+                     salt: Int = 8): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(events, cust, "user_id", "c_custkey", salt)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"), Det.dsum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Two-phase (salted) aggregation for a skewed group key: partial

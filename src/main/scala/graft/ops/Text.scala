@@ -259,6 +259,41 @@ object Text {
         size(toks)).as("score"))
   }
 
+  /** TF-IDF-style distinctive-term extraction: the top-k terms per
+    * document ranked by document-frequency-normalized term frequency
+    * (tf/df) — the keyword-extraction pass corpus tooling runs for
+    * topic tagging and quality triage. The score is the RATIONAL
+    * normalization rather than a log idf on purpose: `ln` differs in
+    * the last ulp across libm implementations, which would break the
+    * bit-exact oracle hash, and the ranking it induces here is the
+    * same "frequent in this doc, rare in the corpus" order.
+    *
+    * Plan shape: one explode pass → (doc, token) partial+final count →
+    * df via a count window keyed by token (NOT a self-join back onto
+    * the tf aggregate, which would evaluate the explode twice) → per
+    * -doc top-k window. Three key-partitioned shuffles, each on a key
+    * with corpus-scale cardinality — no single-partition stage.
+    */
+  def termRelevance(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

@@ -110,6 +110,45 @@ object EventsStream {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** Run the stream-stream view→purchase join over the fixture parquet
+    * to completion (memory sink, append mode) and return the matches
+    * with deterministic ordering. A stream-stream INNER join emits
+    * exactly the batch interval-join result once the source drains —
+    * watermarks only bound buffered state, they never drop inner
+    * matches — so this declared query is oracle-checked against
+    * DuckDB's batch self-join.
+    */
+  def viewPurchaseStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_vp")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qName = s"view_purchase_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try viewToPurchase(src).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    // NTZ casts: the watermark columns are TIMESTAMP (session-UTC);
+    // the oracle reads the parquet wallclock — same instants, NTZ type
+    spark.table(qName)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup

@@ -16,6 +16,20 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("declared skew_join_salted equals the plain-join rollup") {
+    val got = Skew.skewJoinSalted(spark, sfTiny).collect().toSeq
+    val plain = Tables.events(spark, sfTiny).select(col("user_id"), col("value"))
+      .join(Tables.customer(spark, sfTiny)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"), Det.dsum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(got === plain)
+    // a different salt count must not change the result
+    assert(Skew.skewJoinSalted(spark, sfTiny, salt = 3).collect().toSeq === plain)
+  }
+
   test("salted aggregation merges to the exact result for algebraic aggs") {
     val ev = Tables.events(spark, sfTiny)
     val exact = ev.groupBy(col("event_type").as("_k"))

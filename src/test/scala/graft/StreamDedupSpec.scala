@@ -56,6 +56,27 @@ class StreamDedupSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("declared stream_view_purchase equals the batch interval join, timestamps included") {
+    import spark.implicits._
+    val declared = EventsStream.viewPurchaseStream(spark, sfTiny)
+    assert(declared.schema.fieldNames === Array(
+      "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"))
+    val e = Tables.events(spark, sfTiny)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val batch = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+    assert(batch.count() > 0)
+    assert(declared.exceptAll(batch).isEmpty && batch.exceptAll(declared).isEmpty)
+  }
+
   test("streaming dedup collapses a twice-delivered stream to distinct events") {
     // two links to the same file = exact at-least-once redelivery
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")

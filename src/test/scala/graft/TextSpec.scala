@@ -109,6 +109,28 @@ class TextSpec extends SparkSpec {
     assert(maxDroppedRow.getDouble(0) <= minKept)
   }
 
+  test("termRelevance equals a driver-side recompute of df-normalized top-3") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tfMap = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").map(tok => (id, tok))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfMap = tfMap.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = tfMap.keys.groupBy(_._1).flatMap { case (id, keys) =>
+      keys.toSeq
+        .map { case (_, tok) =>
+          (id, tok, tfMap((id, tok)), dfMap(tok),
+            tfMap((id, tok)).toDouble / dfMap(tok))
+        }
+        .sortBy { case (_, tok, _, _, score) => (-score, tok) }
+        .take(3).zipWithIndex
+        .map { case ((i, tok, tf, df, score), r) => (i, r + 1, tok, tf, df, score) }
+    }.toSet
+    val got = graft.ops.Text.termRelevance(spark, sfTiny)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   test("qualityFilterDist (declared) row-for-row equals the single-partition anchor") {
     val anchor = Text.qualityFilter(spark, sfTiny, dropBelow = 0.2)
     val dist = Text.qualityFilterDist(spark, sfTiny, dropBelow = 0.2)
