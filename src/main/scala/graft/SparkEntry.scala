@@ -78,6 +78,7 @@ object SparkEntry {
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "similarity_ivf"     -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
+    "embedding_centroid" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
@@ -573,6 +574,16 @@ object SparkEntry {
          SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf,
                 CAST(df AS BIGINT) AS df, score
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "embedding_centroid" ->
+      """WITH ex AS (
+           SELECT label,
+                  unnest(CAST(embedding AS DOUBLE[])) AS val,
+                  unnest(range(len(embedding))) AS pos
+           FROM embeddings)
+         SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS centroid,
+           COUNT(*) AS vectors
+         FROM ex GROUP BY 1, 2 ORDER BY label, pos""",
     "skew_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value

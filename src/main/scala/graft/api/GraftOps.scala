@@ -241,6 +241,44 @@ object GraftOps {
                   expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
     graft.ops.Curate.incrementalNew(existing, batch, contentCol, expectedItems, fpp)
 
+  /** Top-k distinctive terms per document by df-normalized term
+    * frequency (TF-IDF-style keyword extraction; rational score).
+    */
+  def termRelevance(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame =
+    graft.ops.Text.termRelevanceOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
+  /** Per-label, per-dimension embedding centroids as (label, pos,
+    * centroid, vectors) rows — exact decimal accumulation, partition
+    * -order independent.
+    */
+  def embeddingCentroids(df: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame =
+    Similarity.embeddingCentroidsOf(
+      df.select(col(labelCol).as("label"), col(vecCol).as("embedding")))
+
+  /** Manual salted equi-join for hot probe keys beyond AQE's skew
+    * splitting; row-identical to the plain join.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: String, buildKey: String, salt: Int = 8): DataFrame =
+    graft.ops.Skew.saltedJoin(probe, build, probeKey, buildKey, salt)
+
+  /** Commit-manifest table write: the whole refresh becomes visible
+    * atomically (or not at all); previous versions stay readable.
+    */
+  def writeVersioned(df: DataFrame, path: String,
+                     partitionCols: Seq[String] = Nil): Long =
+    graft.pipeline.ManifestTable.write(df, path, partitionCols)
+
+  /** Read the current committed version of a manifest table (falls back
+    * to a plain parquet read for unversioned paths).
+    */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    graft.pipeline.Medallion.readTable(spark, path)
+
   /** Exact cosine top-k neighbors of each probe row against the corpus.
     * Probes are broadcast; the corpus is scanned once, never shuffled.
     */

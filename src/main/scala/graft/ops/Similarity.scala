@@ -240,4 +240,33 @@ object Similarity {
         graft.Det.davg(norm(col("v"))).as("avg_norm"))
       .orderBy(col("label"))
   }
+
+  /** Per-label, per-dimension embedding centroids — the class-centroid
+    * diagnostic an embedding-space curation pass runs (drift detection,
+    * nearest-centroid labeling, IVF seeding). Emitted as (label, pos,
+    * centroid) rows rather than reassembled arrays: the flat form is
+    * what downstream joins want, and each dimension's mean goes through
+    * the exact decimal accumulator ([[graft.Det.davg]]) so the result
+    * is independent of partition/accumulation order — float summation
+    * order would otherwise make the hash nondeterministic.
+    *
+    * Plan shape: one posexplode pass (dim × rows, map-side) into a
+    * partial+final aggregation on (label, pos) — cardinality
+    * labels × dims, tiny at any corpus scale. posexplode_outer keeps
+    * Catalyst's generator-filter inference from pushing an
+    * is-not-empty probe of the array child below the scan.
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingCentroidsOf(Tables.embeddings(spark, sfDir))
+
+  /** DataFrame-first core over (label, embedding) rows. */
+  def embeddingCentroidsOf(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode_outer(col("embedding")).as(Seq("pos", "val")))
+      .filter(col("val").isNotNull)
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        graft.Det.davg(col("val").cast(DoubleType)).as("centroid"),
+        count(lit(1)).as("vectors"))
+      .orderBy(col("label"), col("pos"))
 }

@@ -274,9 +274,13 @@ object Text {
     * -doc top-k window. Three key-partitioned shuffles, each on a key
     * with corpus-scale cardinality — no single-partition stage.
     */
-  def termRelevance(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def termRelevance(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    termRelevanceOf(Tables.documents(spark, sfDir), k)
+
+  /** DataFrame-first core over (doc_id, text) rows. */
+  def termRelevanceOf(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
+    val toks = docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull)
     val tf = toks.groupBy(col("doc_id"), col("token"))

@@ -80,6 +80,35 @@ class GraftOpsSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") === "mail <EMAIL> or visit <URL> now")
   }
 
+  test("facade termRelevance / embeddingCentroids / saltedJoin match declared queries") {
+    val viaApi = GraftOps.termRelevance(renamed, "url_id", "body")
+      .collect().toSeq
+    val declared = graft.ops.Text.termRelevance(spark, sfTiny).collect().toSeq
+    assert(viaApi === declared)
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("label").as("cls"), col("embedding").as("vec"))
+    assert(GraftOps.embeddingCentroids(emb, "cls", "vec").collect().toSeq
+      === graft.ops.Similarity.embeddingCentroids(spark, sfTiny).collect().toSeq)
+    val plain = Tables.events(spark, sfTiny).select(col("user_id"), col("value"))
+      .join(Tables.customer(spark, sfTiny).select(col("c_custkey")),
+        col("user_id") === col("c_custkey")).count()
+    assert(GraftOps.saltedJoin(
+      Tables.events(spark, sfTiny).select(col("user_id"), col("value")),
+      Tables.customer(spark, sfTiny).select(col("c_custkey")),
+      "user_id", "c_custkey", salt = 4).count() === plain)
+  }
+
+  test("facade writeVersioned/readVersioned round-trip through the manifest protocol") {
+    val path = java.nio.file.Files.createTempDirectory("graft_api_mt").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(GraftOps.writeVersioned(df, path) === 1L)
+    assert(GraftOps.readVersioned(spark, path).count() === 2)
+    // unversioned path falls back to plain parquet
+    val plainPath = java.nio.file.Files.createTempDirectory("graft_api_pq").toString + "/t"
+    df.write.parquet(plainPath)
+    assert(GraftOps.readVersioned(spark, plainPath).count() === 2)
+  }
+
   test("facade qualityFilter (approx path) drops the worst-scoring rows") {
     val kept = GraftOps.qualityFilter(renamed, "url_id", "body", "url_id", dropBelow = 0.2)
     val total = renamed.count()

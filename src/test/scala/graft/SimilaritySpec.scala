@@ -117,6 +117,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch === 0)
   }
 
+  test("embedding centroids match a driver-side per-dimension mean") {
+    val rows = Tables.embeddings(spark, sfTiny)
+      .select(col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val dims = rows.head._2.length
+    val expected = rows.groupBy(_._1).map { case (label, vs) =>
+      label -> (0 until dims).map { i =>
+        vs.map(v => BigDecimal(v._2(i).toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.length
+      }
+    }
+    val got = Similarity.embeddingCentroids(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size === expected.size * dims)
+    expected.foreach { case (label, means) =>
+      means.zipWithIndex.foreach { case (m, i) =>
+        val (c, n) = got((label, i))
+        assert(n === rows.count(_._1 == label).toLong)
+        assert(math.abs(c - m) < 1e-9, s"label=$label dim=$i")
+      }
+    }
+  }
+
   test("embeddings are unit-norm (fixture invariant the ops rely on)") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
