@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     // declared plan.
     val kernels = Seq("lambdafunction", "hyperplane_sig", "graft_simhash",
       "shingle_hashes", "concat_ws", "regexp_extract_all", "sequence(")
-    val skip = Set("ml_train", "stream_hourly_demand") // executing, not planning
+    val skip = Set("ml_train", "stream_hourly_demand",
+      "stream_view_purchase") // executing, not planning
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !skip(q)) {
       val filters = planOf(q).linesIterator
         .filter(l => l.contains("Filter ") || l.stripLeading.startsWith("Condition"))
@@ -105,6 +106,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"),
         s"declared $q still has a single-partition exchange:\n${p.take(1200)}")
     }
+  }
+
+  test("term_relevance: single documents scan — df via count window, not a self-join") {
+    val p = planOf("term_relevance")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"df branch re-scans/re-explodes the corpus: $scans scans")
+  }
+
+  test("embedding_centroid: scan pruned to (label, embedding); partial+final agg") {
+    val p = planOf("embedding_centroid")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>")
+      || p.contains("ReadSchema: struct<label:int,embedding:array<float>>"),
+      "centroid scan should read only (label, embedding)")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final aggregation on (label, pos)")
+  }
+
+  test("skew_join_salted: stays an equi-join (salt rides the key), no nested loop") {
+    val p = planOf("skew_join_salted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "salted join degenerated to a nested-loop/cartesian plan")
   }
 
   test("pii_scrub / quality_filter / multimodal_meta: scans pruned to referenced columns") {
