@@ -86,6 +86,7 @@ object SparkEntry {
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+    "stream_sessionize"  -> ((s, d) => graft.streaming.Sessionize.sessionsStreamed(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -589,6 +590,23 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    "stream_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+           FROM events),
+         s AS (
+           SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 14400
+                              THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM t)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "stream_view_purchase" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
                 v.ts AS view_ts, p.ts AS purchase_ts

@@ -63,39 +63,49 @@ object Sessionize {
   // ---- streaming path ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double) {
+    /** Epoch MICROSECONDS — full session_start/end fidelity (both Spark
+      * and DuckDB truncate the fixture's nano timestamps to micros, so
+      * micros is exactly the oracle's precision).
+      */
+    def tsUs: Long = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    /** Truncated seconds — the gap/timeout arithmetic, matching the
+      * batch path's `unix_timestamp` truncation. */
     def tsSec: Long = ts.getTime / 1000L
   }
-  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double) {
+    def endSec: Long = endUs / 1000000L
+  }
   case class Session(user_id: Long, session_start: Long, session_end: Long,
                      n_events: Long, total_value: Double)
 
   /** Per-user state transition: extend the open session with in-gap
     * events; emit + reset on a gap or on event-time timeout. Events may
     * arrive unordered within a micro-batch → sort the batch's slice
-    * (bounded by batch size, not stream length).
+    * (bounded by batch size, not stream length). Emitted start/end are
+    * epoch micros.
     */
   def updateUser(userId: Long, events: Iterator[Ev],
                  state: GroupState[SessionState]): Iterator[Session] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
     var cur = state.getOption.orNull
-    for (e <- events.toSeq.sortBy(_.tsSec)) {
+    for (e <- events.toSeq.sortBy(_.tsUs)) {
       cur match {
         case null =>
-          cur = SessionState(e.tsSec, e.tsSec, 1L, e.value)
-        case s if e.tsSec - s.end <= GapSeconds =>
-          cur = SessionState(s.start, math.max(s.end, e.tsSec), s.n + 1, s.sum + e.value)
+          cur = SessionState(e.tsUs, e.tsUs, 1L, e.value)
+        case s if e.tsSec - s.endSec <= GapSeconds =>
+          cur = SessionState(s.startUs, math.max(s.endUs, e.tsUs), s.n + 1, s.sum + e.value)
         case s =>
-          out += Session(userId, s.start, s.end, s.n, s.sum)
-          cur = SessionState(e.tsSec, e.tsSec, 1L, e.value)
+          out += Session(userId, s.startUs, s.endUs, s.n, s.sum)
+          cur = SessionState(e.tsUs, e.tsUs, 1L, e.value)
       }
     }
     if (state.hasTimedOut) {
       // watermark passed the open session's horizon → close it
-      state.getOption.foreach(s => out += Session(userId, s.start, s.end, s.n, s.sum))
+      state.getOption.foreach(s => out += Session(userId, s.startUs, s.endUs, s.n, s.sum))
       state.remove()
     } else if (cur != null) {
       state.update(cur)
-      state.setTimeoutTimestamp(cur.end * 1000 + GapSeconds * 1000)
+      state.setTimeoutTimestamp(cur.endSec * 1000 + GapSeconds * 1000)
     }
     out.iterator
   }
@@ -115,5 +125,68 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateUser)
+  }
+
+  /** Declared streaming twin of [[sessions]]: replay the fixture,
+    * CLOSE every session, and emit the batch shape (minus total_value,
+    * whose float accumulation order differs between the state machine
+    * and the batch decimal sum — start/end/count are order-exact).
+    *
+    * Closing the tail sessions uses an END-OF-STREAM SENTINEL: the
+    * watermark is global, so one synthetic event for a reserved user,
+    * placed past every possible open session's timeout horizon
+    * (max ts + gap + watermark delay + margin), advances the watermark
+    * far enough that the engine's final no-data micro-batch fires
+    * every event-time timeout. The sentinel's own session never closes
+    * and is filtered out. This is the standard drain pattern for
+    * proving a finite replay equals the batch computation; on an
+    * unbounded stream the watermark does the same job continuously.
+    */
+  def sessionsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).head.getLong(0)
+    val SentinelUser = -1L
+    val sentinelNanos = maxNanos + (GapSeconds + 3600L + 60L) * 1000000000L
+    import spark.implicits._
+    Seq((-1L, sentinelNanos, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(streamDir.toString)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // nanos-as-long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qName = s"sessions_stream_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessionStream(spark, src)
+        .filter(col("user_id") =!= SentinelUser)
+        .writeStream.format("memory").queryName(qName)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    // sessions of one user are disjoint → start order IS session order
+    spark.table(qName)
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start")))
+        .cast(LongType))
+      .select(col("user_id"), col("session_id"),
+        timestamp_micros(col("session_start")).cast(TimestampNTZType)
+          .as("session_start"),
+        timestamp_micros(col("session_end")).cast(TimestampNTZType)
+          .as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
   }
 }

@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
     val kernels = Seq("lambdafunction", "hyperplane_sig", "graft_simhash",
       "shingle_hashes", "concat_ws", "regexp_extract_all", "sequence(")
     val skip = Set("ml_train", "stream_hourly_demand",
-      "stream_view_purchase") // executing, not planning
+      "stream_view_purchase", "stream_sessionize") // executing, not planning
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !skip(q)) {
       val filters = planOf(q).linesIterator
         .filter(l => l.contains("Filter ") || l.stripLeading.startsWith("Condition"))

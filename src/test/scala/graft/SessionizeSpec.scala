@@ -50,8 +50,8 @@ class SessionizeSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     val batch = Sessionize.sessions(spark, sfTiny)
       .select(col("user_id"),
-        unix_timestamp(col("session_start").cast(TimestampType)),
-        unix_timestamp(col("session_end").cast(TimestampType)),
+        unix_micros(col("session_start").cast(TimestampType)),
+        unix_micros(col("session_end").cast(TimestampType)),
         col("n_events"))
       .as[(Long, Long, Long, Long)].collect().toSet
 
@@ -62,5 +62,16 @@ class SessionizeSpec extends SparkSpec {
     val coverage = streamed.size.toDouble / batch.size
     info(s"stream closed ${streamed.size}/${batch.size} sessions (coverage $coverage)")
     assert(coverage >= 0.9)
+  }
+
+  test("declared stream_sessionize equals batch sessions exactly (sentinel-closed)") {
+    val streamed = Sessionize.sessionsStreamed(spark, sfTiny)
+    assert(streamed.schema.fieldNames === Array(
+      "user_id", "session_id", "session_start", "session_end", "n_events"))
+    val batch = Sessionize.sessions(spark, sfTiny)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "sentinel-closed streamed sessions diverge from batch")
+    assert(streamed.count() === batch.count())
   }
 }
