@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     that no reader ever sees.
   *
   * Old versions stay readable ([[readVersion]] — time travel) until
-  * [[vacuum]] drops them. Single-writer per table, like the medallion
-  * contract; concurrent writers would need a lock service or a
-  * conditional-put log, by design out of scope.
+  * [[vacuum]] drops them. Concurrent writers are handled by OPTIMISTIC
+  * CONCURRENCY: the manifest rename is the conditional commit (rename
+  * onto an existing destination fails on HDFS/local filesystems), so a
+  * writer that loses the race re-stages its snapshot under the next
+  * version and retries — the Delta-style OCC loop without a log store.
   */
 object ManifestTable {
 
@@ -49,28 +51,51 @@ object ManifestTable {
     * committed version number. The snapshot directory is written first
     * (overwriting any orphan left by a previous failed attempt at the
     * same version); the manifest rename is the last — and only
-    * observable — step.
+    * observable — step, and it is CONDITIONAL: rename onto an existing
+    * destination fails, so losing a commit race to a concurrent writer
+    * is detected, the orphaned attempt is dropped, and the write
+    * re-stages under the next version (optimistic concurrency,
+    * bounded by `maxAttempts`).
     */
   def write(df: DataFrame, path: String,
-            partitionCols: Seq[String] = Nil): Long = {
+            partitionCols: Seq[String] = Nil, maxAttempts: Int = 3): Long = {
     val spark = df.sparkSession
-    val version = currentVersion(spark, path).getOrElse(0L) + 1L
-    val snapDir = s"$path/snap-$version"
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(snapDir)
     val f = fs(spark, path)
-    val files = listDataFiles(f, new Path(snapDir))
-      .map(p => relativize(new Path(path), p))
-    val manifest = new Path(path, s"$ManifestPrefix$version.json")
-    val tmp = new Path(path, s"$ManifestPrefix$version.json.tmp")
-    val json =
-      s"""{"version":$version,"files":[${files.map(q => "\"" + q + "\"").mkString(",")}]}"""
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, manifest),
-      s"manifest commit rename failed for version $version at $path")
-    version
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val version = currentVersion(spark, path).getOrElse(0L) + 1L
+      // WRITER-UNIQUE staging dir: two writers racing for version N
+      // must never stage into the same directory (an overwrite write
+      // would clobber the other's files before its commit). The
+      // committed manifest carries the full unique paths, so readers
+      // never care which writer's directory won.
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(snapDir)
+      val files = listDataFiles(f, new Path(snapDir))
+        .map(p => relativize(new Path(path), p))
+      val manifest = new Path(path, s"$ManifestPrefix$version.json")
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val json =
+        s"""{"version":$version,"files":[${files.map(q => "\"" + q + "\"").mkString(",")}]}"""
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      // conditional commit. On HDFS the rename itself fails if the
+      // destination exists (true conditional put); RawLocalFileSystem
+      // delegates to POSIX rename which overwrites, so the exists()
+      // pre-check carries the local case (a narrow check-then-rename
+      // window remains there — the same local-FS caveat Delta's log
+      // store documents; production object/HDFS stores are atomic).
+      if (!f.exists(manifest) && f.rename(tmp, manifest)) return version
+      // lost the race — drop this attempt's staging, re-stage on next N
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit lost $maxAttempts races at $path — giving up")
   }
 
   /** Read the table's current committed version. */
@@ -79,13 +104,17 @@ object ManifestTable {
       currentVersion(spark, path).getOrElse(
         throw new IllegalStateException(s"no committed version at $path")))
 
-  /** Time travel: read an explicit committed version. `basePath` keeps
+  /** Time travel: read an explicit committed version. `basePath` (the
+    * snapshot directory, taken from the manifest's own file list) keeps
     * partition columns derived from `k=v` directory names inside the
     * snapshot.
     */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val files = manifestFiles(spark, path, version).map(rel => s"$path/$rel")
-    spark.read.option("basePath", s"$path/snap-$version").parquet(files: _*)
+    val rel = manifestFiles(spark, path, version)
+    require(rel.nonEmpty, s"version $version at $path has no data files")
+    val files = rel.map(r => s"$path/$r")
+    spark.read.option("basePath", s"$path/${rel.head.split("/").head}")
+      .parquet(files: _*)
   }
 
   /** The data files a committed manifest names (table-relative). */
@@ -112,7 +141,14 @@ object ManifestTable {
     val f = fs(spark, path)
     val drop = versions(spark, path).dropRight(keep)
     drop.foreach { v =>
-      f.delete(new Path(path, s"snap-$v"), true)
+      // snapshot dirs are snap-<v> (legacy/crash orphans) or
+      // snap-<v>-<token> (unique staging); drop both forms for v
+      f.listStatus(new Path(path))
+        .filter { st =>
+          val n = st.getPath.getName
+          n == s"snap-$v" || n.startsWith(s"snap-$v-")
+        }
+        .foreach(st => f.delete(st.getPath, true))
       f.delete(new Path(path, s"$ManifestPrefix$v.json"), false)
     }
     drop

@@ -46,10 +46,48 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.versions(spark, path) === Seq(1L, 2L))
     assert(ManifestTable.vacuum(spark, path, keep = 1) === Seq(1L))
     assert(ManifestTable.versions(spark, path) === Seq(2L))
-    assert(!new java.io.File(s"$path/snap-1").exists())
+    assert(!new java.io.File(path).listFiles()
+      .exists(f => f.getName == "snap-1" || f.getName.startsWith("snap-1-")))
     // current version unaffected
     assert(ManifestTable.read(spark, path).count() === 3)
     intercept[Exception](ManifestTable.readVersion(spark, path, 1).collect())
+  }
+
+  test("a committed version from another writer is never clobbered; the next write lands after it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt4").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)
+    // another writer's committed version 2, with its own snapshot dir
+    val winnerSnap = s"$path/snap-2"
+    Seq((99L, "winner")).toDF("id", "v").write.parquet(winnerSnap)
+    val winnerFile = new java.io.File(winnerSnap).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_manifest-v2.json"),
+      s"""{"version":2,"files":["snap-2/$winnerFile"]}""")
+    val v = ManifestTable.write(Seq((2L, "b")).toDF("id", "v"), path)
+    assert(v === 3L)
+    assert(ManifestTable.readVersion(spark, path, 2)
+      .as[(Long, String)].collect().toSet === Set((99L, "winner")))
+    assert(ManifestTable.read(spark, path)
+      .as[(Long, String)].collect().toSet === Set((2L, "b")))
+    assert(ManifestTable.versions(spark, path) === Seq(1L, 2L, 3L))
+  }
+
+  test("two concurrent writers both commit, on distinct versions, neither lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = java.nio.file.Files.createTempDirectory("graft_mt5").toString + "/t"
+    ManifestTable.write(Seq((0L, "base")).toDF("id", "v"), path)
+    val w1 = Future(ManifestTable.write(Seq((1L, "w1")).toDF("id", "v"), path))
+    val w2 = Future(ManifestTable.write(Seq((2L, "w2")).toDF("id", "v"), path))
+    val vs = Await.result(Future.sequence(Seq(w1, w2)), 120.seconds)
+    assert(vs.toSet === Set(2L, 3L), s"versions: $vs")
+    assert(ManifestTable.versions(spark, path) === Seq(1L, 2L, 3L))
+    val payloads = Seq(2L, 3L).map(v =>
+      ManifestTable.readVersion(spark, path, v)
+        .as[(Long, String)].collect().toSet).toSet
+    assert(payloads === Set(Set((1L, "w1")), Set((2L, "w2"))))
   }
 
   test("manifest lists exactly the snapshot's data files, relative to the table root") {
@@ -57,7 +95,7 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)
     val files = ManifestTable.manifestFiles(spark, path, 1)
     assert(files.nonEmpty)
-    assert(files.forall(f => f.startsWith("snap-1/") && f.endsWith(".parquet")))
+    assert(files.forall(f => f.startsWith("snap-1") && f.endsWith(".parquet")))
     assert(files.forall(f => new java.io.File(s"$path/$f").isFile))
   }
 }
