@@ -26,7 +26,8 @@ object Bench {
     // Median of `reps` runs per query: single-run timings on a shared
     // container carry ±50% noise (NOTES round 3 — a "regression" that was
     // container variance); the median of 3 is stable round-over-round.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

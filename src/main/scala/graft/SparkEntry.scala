@@ -583,7 +583,7 @@ object SparkEntry {
            FROM embeddings)
          SELECT label, CAST(pos AS INTEGER) AS pos,
            CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS centroid,
-           COUNT(*) AS vectors
+           COUNT(val) AS vectors
          FROM ex GROUP BY 1, 2 ORDER BY label, pos""",
     "skew_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS events,

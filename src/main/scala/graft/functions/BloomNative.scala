@@ -43,12 +43,26 @@ object BloomNative {
     * over xxhash64 of `keyCol` across all rows of `df`. Null keys hash
     * to the xxhash64 seed — harmless: probes of genuinely-null keys
     * must be resolved by an exact confirm step anyway.
+    *
+    * Spark SILENTLY caps `BloomFilterAggregate` at the session limits
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (defaults 4M items / 67.1M bits — sized for runtime join filters,
+    * not corpus dedup). A capped filter saturates and quietly stops
+    * pruning, so the limits are raised here to the requested sizing.
     */
   def bloomOf(df: DataFrame, keyCol: Column,
               expectedItems: Long, fpp: Double): Column = {
-    register(df.sparkSession)
+    val spark = df.sparkSession
+    register(spark)
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsKey).toLong < expectedItems)
+      spark.conf.set(itemsKey, expectedItems.toString)
+    if (spark.conf.get(bitsKey).toLong < numBits)
+      spark.conf.set(bitsKey, numBits.toString)
     df.agg(call_function("graft_bloom_agg", xxhash64(keyCol),
-      lit(expectedItems), lit(optimalNumBits(expectedItems, fpp))).as("bf"))
+      lit(expectedItems), lit(numBits)).as("bf"))
       .scalar()
   }
 

@@ -33,6 +33,10 @@ object Prefix {
     */
   def withOffsets(df: DataFrame, sortCols: Seq[Column], weight: Column,
                   partitions: Int = 0): (DataFrame, Long) = {
+    val reserved = Seq("_w", "_pid", "_offset")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry the reserved columns ${reserved.mkString(", ")} " +
+        "(withColumn would silently replace them)")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism

@@ -267,6 +267,9 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(
         graft.Det.davg(col("val").cast(DoubleType)).as("centroid"),
-        count(lit(1)).as("vectors"))
+        // count of NON-NULL values per dimension — matches the mean's
+        // denominator and the oracle's COUNT(val) even if an embedding
+        // carries null elements
+        count(col("val")).as("vectors"))
       .orderBy(col("label"), col("pos"))
 }

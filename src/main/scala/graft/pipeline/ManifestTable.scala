@@ -74,21 +74,25 @@ object ManifestTable {
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snapDir)
-      val files = listDataFiles(f, new Path(snapDir))
-        .map(p => relativize(new Path(path), p))
+      var staged = listDataFiles(f, new Path(snapDir))
+      if (staged.isEmpty) {
+        // a PARTITIONED write of zero rows emits no files at all, which
+        // would commit an unreadable version — re-stage unpartitioned:
+        // an empty non-partitioned parquet write keeps a schema-bearing
+        // file (partition columns become ordinary empty columns)
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        staged = listDataFiles(f, new Path(snapDir))
+      }
+      val files = staged.map(p => relativize(new Path(path), p))
       val manifest = new Path(path, s"$ManifestPrefix$version.json")
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val json =
         s"""{"version":$version,"files":[${files.map(q => "\"" + q + "\"").mkString(",")}]}"""
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
-      // conditional commit. On HDFS the rename itself fails if the
-      // destination exists (true conditional put); RawLocalFileSystem
-      // delegates to POSIX rename which overwrites, so the exists()
-      // pre-check carries the local case (a narrow check-then-rename
-      // window remains there — the same local-FS caveat Delta's log
-      // store documents; production object/HDFS stores are atomic).
-      if (!f.exists(manifest) && f.rename(tmp, manifest)) return version
+      // conditional commit: must atomically fail if a concurrent
+      // writer already committed version N (see conditionalCommit)
+      if (conditionalCommit(f, tmp, manifest)) return version
       // lost the race — drop this attempt's staging, re-stage on next N
       f.delete(tmp, false)
       f.delete(new Path(snapDir), true)
@@ -153,6 +157,26 @@ object ManifestTable {
     }
     drop
   }
+
+  /** Atomic publish of `tmp` as `dst`, failing (false) if `dst` already
+    * exists. HDFS rename has exactly that contract. Local filesystems
+    * do NOT (POSIX rename overwrites — two racing writers could both
+    * "win"), so the local scheme commits via hard-link creation, which
+    * is atomic and raises EEXIST when the destination is present — the
+    * classic lock-file primitive.
+    */
+  private def conditionalCommit(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(dst) && f.rename(tmp, dst)
 
   private def listDataFiles(f: FileSystem, dir: Path): Seq[Path] = {
     val it = f.listFiles(dir, true)

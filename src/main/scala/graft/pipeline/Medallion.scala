@@ -213,6 +213,14 @@ object Medallion {
         .select(col("_corrupt").as("raw_line"))
       val nBad = bad.count()
       if (nBad > 0) bad.write.mode("overwrite").json(quarantinePath)
+      else {
+        // clean feed: remove a previous run's quarantine so the sink
+        // always reflects THIS run (a stale sink would attribute old
+        // corrupt lines to a clean feed)
+        val p = new org.apache.hadoop.fs.Path(quarantinePath)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+      }
       clean.write.mode("overwrite").parquet(bronzePath)
       (spark.read.parquet(bronzePath).count(), nBad)
     } finally raw.unpersist()

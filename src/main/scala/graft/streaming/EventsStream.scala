@@ -141,12 +141,17 @@ object EventsStream {
     try q.processAllAvailable()
     finally q.stop()
     // NTZ casts: the watermark columns are TIMESTAMP (session-UTC);
-    // the oracle reads the parquet wallclock — same instants, NTZ type
-    spark.table(qName)
+    // the oracle reads the parquet wallclock — same instants, NTZ type.
+    // localCheckpoint + dropTempView releases the memory sink's pinned
+    // copy of the full result.
+    val out = spark.table(qName)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
         col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
       .orderBy(col("view_id"), col("purchase_id"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
   }
 
   /** Run the streaming aggregation over the fixture parquet to
@@ -190,13 +195,18 @@ object EventsStream {
     finally q.stop()
 
     // Roll the tumbling windows up to hour-of-day so the result is
-    // comparable with the batch gold_hourly_demand oracle.
-    spark.table(qName)
+    // comparable with the batch gold_hourly_demand oracle; checkpoint
+    // and drop the memory-sink view (it pins the full result in the
+    // driver for the session's lifetime otherwise).
+    val out = spark.table(qName)
       .groupBy(col("event_type"), hour(col("window.start")).as("hour"))
       .agg(
         sum(col("event_count")).as("event_count"),
         (sum(col("total_value").cast(Det.Dec)).cast(DoubleType) /
           sum(col("event_count"))).as("avg_value"))
       .orderBy(col("event_type"), col("hour"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
   }
 }

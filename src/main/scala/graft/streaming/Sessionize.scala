@@ -176,8 +176,11 @@ object Sessionize {
       finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
     finally q.stop()
-    // sessions of one user are disjoint → start order IS session order
-    spark.table(qName)
+    // sessions of one user are disjoint → start order IS session order.
+    // localCheckpoint materializes the result so the memory-sink view
+    // (which pins the full output in the driver for the session's
+    // lifetime) can be dropped immediately.
+    val out = spark.table(qName)
       .withColumn("session_id", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("session_start")))
         .cast(LongType))
@@ -188,5 +191,8 @@ object Sessionize {
           .as("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
   }
 }

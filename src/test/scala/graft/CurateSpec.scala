@@ -136,6 +136,22 @@ class CurateSpec extends SparkSpec {
     assert(viaBloom.nonEmpty)
   }
 
+  test("corpus-scale Bloom sizing raises Spark's silent runtime-filter caps") {
+    // Spark's BloomFilterAggregate Math.min's against the session's
+    // runtime-join-filter limits (4M items / 67.1M bits) with no error;
+    // a capped filter saturates and silently stops pruning. bloomOf
+    // must lift the limits to the requested sizing.
+    val docs = Tables.documents(spark, sfTiny).select(col("text"))
+    val items = 100L * 1000 * 1000
+    val wantBits = graft.functions.BloomNative.optimalNumBits(items, 0.01)
+    assert(wantBits > 67108864L, "test premise: sizing must exceed the default cap")
+    graft.functions.BloomNative.bloomOf(docs, col("text"), items, 0.01)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= items)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong >= wantBits)
+  }
+
   test("incrementalNew drops a planted cross-batch duplicate") {
     val existing = Seq((1L, "shared duplicate content"), (2L, "old news")).toDF("doc_id", "text")
     val batch = Seq((10L, "shared duplicate content"), (11L, "genuinely new")).toDF("doc_id", "text")

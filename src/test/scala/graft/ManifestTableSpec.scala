@@ -90,6 +90,20 @@ class ManifestTableSpec extends SparkSpec {
     assert(payloads === Set(Set((1L, "w1")), Set((2L, "w2"))))
   }
 
+  test("committing an empty partitioned refresh keeps the table readable with full schema") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt6").toString + "/t"
+    ManifestTable.write(Seq((1L, 10, "x")).toDF("id", "part", "v"), path, Seq("part"))
+    // a refresh that filters down to zero rows: partitioned parquet
+    // writes of 0 rows emit NO files; the commit must still be readable
+    val empty = Seq((1L, 10, "x")).toDF("id", "part", "v").filter(col("id") < 0)
+    assert(ManifestTable.write(empty, path, Seq("part")) === 2L)
+    val cur = ManifestTable.read(spark, path)
+    assert(cur.count() === 0)
+    assert(cur.schema.fieldNames.toSet === Set("id", "part", "v"))
+    // previous version untouched
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 1)
+  }
+
   test("manifest lists exactly the snapshot's data files, relative to the table root") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt3").toString + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)
