@@ -25,13 +25,17 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT graft_simhash64('the quick brown fox') AS sh,
                 graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
                 graft_hyperplane_sig(array(0.5d, -0.5d), 4, 0) AS hp,
-                graft_zorder(3, 5) AS zk""").head
+                graft_zorder(3, 5) AS zk,
+                graft_zorder(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS zk_big""").head
     assert(r.getDouble(1) === 1.0)
     assert(r.getLong(3) ===
       graft.functions.ZOrderKey(
         org.apache.spark.sql.catalyst.expressions.Literal(3),
         org.apache.spark.sql.catalyst.expressions.Literal(5))
         .eval(null).asInstanceOf[Long])
+    // BIGINT args coerce like the Column facade (previously interpreted
+    // eval threw ClassCastException while codegen truncated — divergent)
+    assert(r.getLong(4) === r.getLong(3))
     // cross-check against the Column-API entry points on the base session
     import org.apache.spark.sql.functions._
     import base.implicits._

@@ -75,6 +75,13 @@ class GroupedTopKSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GroupedTopK.of(li, Seq("nope"), "l_extendedprice", 5).collect()
     }
+    // empty group list is rejected: with no group key neither exec
+    // phase requires a distribution, no exchange is inserted, and each
+    // partition would emit its own k rows — global top-k belongs to
+    // orderBy+limit (TakeOrderedAndProject)
+    intercept[IllegalArgumentException] {
+      GroupedTopK.of(li, Seq.empty, "l_extendedprice", 5)
+    }
     assert(topk.count() > 0)
   }
 }
