@@ -83,6 +83,10 @@ object SparkEntry {
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
+    "dup_spans"          -> ((s, d) => Curate.dupSpans(s, d)),
+    "fuzzy_dedup"        -> ((s, d) => Dedup.fuzzyDedup(s, d)),
+    "stratified_quota"   -> ((s, d) => Curate.stratifiedQuotaQuery(s, d)),
+    "unpivot_metrics"    -> ((s, d) => Aggregates.unpivotMetrics(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -615,5 +619,47 @@ object SparkEntry {
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          ORDER BY view_id, purchase_id""",
+    "dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ts) - 7, 0)),
+               i -> array_to_string(ts[i:i+7], ' '))) AS gram
+           FROM toks),
+         cnt AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY 1)
+         SELECT g.doc_id,
+           COUNT(*) AS total_spans,
+           CAST(COUNT(*) FILTER (WHERE c.c > 1) AS BIGINT) AS dup_spans
+         FROM grams g JOIN cnt c USING (gram)
+         GROUP BY 1 ORDER BY 1""",
+    "fuzzy_dedup" ->
+      """SELECT a.c_name, COUNT(*) AS n_close
+         FROM customer a JOIN customer b
+           ON a.c_name <> b.c_name
+          AND levenshtein(a.c_name, b.c_name) <= 1
+         GROUP BY 1 ORDER BY 1""",
+    "stratified_quota" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id,
+             CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS skey
+           FROM documents)
+         SELECT lang, doc_id FROM keyed
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY skey DESC) <= 20
+         ORDER BY lang, doc_id""",
+    "unpivot_metrics" ->
+      """WITH agg AS (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+           UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+           UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
+         ORDER BY l_returnflag, metric""",
   )
 }

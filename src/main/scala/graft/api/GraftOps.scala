@@ -207,6 +207,35 @@ object GraftOps {
                        rates: Map[String, Double], defaultRate: Double): DataFrame =
     graft.ops.Curate.stratifiedSample(df, keyCol, stratumCol, rates, defaultRate)
 
+  /** Deterministic EXACT-n-per-stratum sample (quota sampling): the n
+    * rows with the largest salted-hash keys per stratum, via the
+    * bounded-heap GroupedTopK operator — no per-stratum sort, shuffle
+    * carries ≤ partitions × strata × n rows (`graft.ops.Curate`).
+    */
+  def stratifiedQuota(df: DataFrame, keyCol: String, stratumCol: String,
+                      n: Int, salt: String = "quota:"): DataFrame =
+    graft.ops.Curate.stratifiedQuota(df, keyCol, stratumCol, n, salt)
+
+  /** Per-row duplicate-span counts (exact-substring dedup signal, Lee
+    * et al. ACL'22): of each row's n-token spans, how many occur more
+    * than once in the whole corpus. Span keys ride as xxhash64 longs
+    * (`graft.ops.Curate.dupSpanCounts`).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame =
+    graft.ops.Curate.dupSpanCounts(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      n, hashed = true)
+
+  /** Unordered key pairs at edit distance exactly 1 (typo-level fuzzy
+    * dedup / entity resolution), via SymSpell deletion-neighborhood
+    * blocking — one shuffle on the variant key, no all-pairs scan
+    * (`graft.ops.Dedup.fuzzyPairs`).
+    */
+  def fuzzyKeyPairs(df: DataFrame, keyCol: String,
+                    maxBucket: Int = 1000): DataFrame =
+    graft.ops.Dedup.fuzzyPairs(df, keyCol, maxBucket)
+
   /** Sequence-packing layout (concatenate-and-chunk): each row's first
     * chunk, last chunk, and offset when the corpus token stream is split
     * into `chunkTokens` windows in `idCol` order. Distributed two-phase

@@ -185,4 +185,22 @@ object Aggregates {
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"),
         count(lit(1)).as("events"))
       .orderBy(col("event_type"))
+
+  /** Wide→long reshaping (`Dataset.unpivot`, the inverse of
+    * [[pivotRevenue]]): per-returnflag decimal-exact measure sums
+    * melted to (flag, metric, value) rows. Unpivot is a pure
+    * projection+generate — zero additional shuffles beyond the
+    * feeding aggregation, so the shape is scale-free. */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        Det.dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
 }

@@ -353,4 +353,105 @@ object Curate {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Duplicate-span detection (exact-substring dedup signal)
+  // ------------------------------------------------------------------
+
+  /** Overlapping n-token spans of a text column, WITH multiplicity and
+    * in position order — unlike [[Dedup.shingles]], which is a distinct
+    * set. The unit of exact-substring duplication measurement (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — their 50-token spans, at a fixture-friendly n).
+    * `sequence(a, b)` REVERSES when a > b, so short docs are guarded
+    * explicitly to an empty array.
+    */
+  def spans(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Per-document duplicate-span counts: how many of a doc's n-token
+    * spans occur more than once in the whole corpus (boilerplate,
+    * templated text, verbatim copies that survive doc-level dedup).
+    *
+    * Plan shape (mirrors [[Text.termRelevanceOf]]): one explode pass →
+    * (doc, span) partial+final count `m` → corpus frequency via a
+    * sum-window keyed by the span (NOT a join back onto the span
+    * aggregate, which would evaluate the scan+explode twice) → per-doc
+    * rollup. Three shuffles, each on a corpus-cardinality key; the
+    * window's per-group state is bounded by the number of DISTINCT
+    * docs containing the span, not its total multiplicity. `hashed`
+    * shuffles xxhash64 longs instead of span strings — the production
+    * setting (collision odds ~ spans²·2⁻⁶⁴); the declared query keeps
+    * strings so the DuckDB oracle sees identical keys.
+    */
+  def dupSpanCounts(docs: DataFrame, n: Int = 8,
+                    hashed: Boolean = false): DataFrame = {
+    def gram(c: Column): Column = if (hashed) xxhash64(c) else c
+    val grams = docs
+      .select(col("doc_id"), explode_outer(spans(col("text"), n)).as("g0"))
+      .filter(col("g0").isNotNull)
+      .select(col("doc_id"), gram(col("g0")).as("gram"))
+    val perDocSpan = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("m"))
+    perDocSpan
+      .withColumn("freq", sum(col("m")).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("total_spans"),
+        sum(when(col("freq") > 1, col("m")).otherwise(0L)).as("dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanCounts(Tables.parallelize(Tables.documents(spark, sfDir)))
+
+  /** Production twin: span keys ride as longs. Spec-asserted equal to
+    * the declared string form. */
+  def dupSpansHashed(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanCounts(Tables.parallelize(Tables.documents(spark, sfDir)),
+      hashed = true)
+
+  // ------------------------------------------------------------------
+  // Stratified quota sampling (exact n per stratum)
+  // ------------------------------------------------------------------
+
+  /** 60-bit salted md5 prefix as a LONG — the numeric twin of
+    * [[sampleKey]], for operators that need a numeric order column.
+    * Oracle SQL equivalent:
+    * `CAST('0x' || substr(md5('salt' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)`.
+    */
+  def quotaKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 15),
+      16, 10).cast(LongType)
+
+  /** Deterministic EXACT-n-per-stratum sample (quota sampling) — the
+    * complement of rate-based [[stratifiedSample]]: build an eval slice
+    * of exactly n docs per language, a labeling batch of n per source,
+    * etc. Keeps the n rows with the LARGEST salted-hash keys per
+    * stratum — a uniform draw that is partition- and rerun-invariant.
+    *
+    * Runs on the custom bounded-heap operator
+    * ([[graft.plans.GroupedTopK]]): O(rows·log n) single pass +
+    * partial/final planning, so the shuffle carries ≤ partitions ×
+    * strata × n rows — no per-stratum sort, no full-input shuffle. The
+    * `row_number` window formulation (the oracle's) sorts every
+    * stratum's full row set instead.
+    */
+  def stratifiedQuota(df: DataFrame, keyCol: String, stratumCol: String,
+                      n: Int, salt: String = "quota:"): DataFrame =
+    graft.plans.GroupedTopK.of(
+      df.withColumn("skey", quotaKey(col(keyCol), salt)),
+      Seq(stratumCol), "skey", n)
+
+  def stratifiedQuotaQuery(spark: SparkSession, sfDir: String,
+                           n: Int = 20): DataFrame =
+    stratifiedQuota(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", n)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
 }

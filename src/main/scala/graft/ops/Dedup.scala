@@ -296,4 +296,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  // ------------------------------------------------------------------
+  // Fuzzy key dedup: edit-distance ≤ 1 via deletion neighborhoods
+  // ------------------------------------------------------------------
+
+  /** The SymSpell/FastSS candidate set of a string: itself plus every
+    * single-character deletion. Two strings at Levenshtein ≤ 1 ALWAYS
+    * share a member (substitution → both drop the edited position;
+    * insert/delete → the shorter string IS a deletion of the longer),
+    * and sharing one implies distance ≤ 2 — so an equi-join on
+    * variants plus one exact confirm replaces the O(n²) all-pairs
+    * scan with |s|+1 generated keys per row. `array_distinct` folds
+    * the duplicate variants repeated characters produce.
+    */
+  def deletionVariants(c: Column): Column =
+    array_distinct(concat(
+      array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1),
+          c.substr(i + 1, length(c))))))
+
+  /** Unordered pairs of `keyCol` values at edit distance exactly 1
+    * (equal keys are exact-dedup's job, not this operator's).
+    *
+    * Plan shape: explode deletion variants [narrow, ≤ |s|+1 rows each]
+    * → ONE shuffle gathering each variant's bucket → chained-explode
+    * pair expansion inside the bucket (tree-shaped: a self-join would
+    * recompute the variant branch per side — Catalyst cannot reuse the
+    * exchange across alias renames) → `levenshtein ≤ 1` confirm →
+    * distinct (a pair can share several variants). `maxBucket` prunes
+    * degenerate hot variants (the skew guard; buckets that large mean
+    * a near-constant key column, not typos).
+    */
+  def fuzzyPairs(input: DataFrame, keyCol: String,
+                 maxBucket: Int = 1000): DataFrame = {
+    // variants are derived BEFORE the rename: with an input column
+    // already named "k" the one-select form would read the alias as a
+    // lateral column reference and fail analysis. explode_outer, not
+    // explode: InferFiltersFromGenerate would substitute the variant
+    // expression into an inferred size>0 Filter — computed twice per
+    // row (the outer form is exempt; variants are never empty anyway).
+    val v = input
+      .withColumn("_dv", deletionVariants(col(keyCol)))
+      .select(col(keyCol).as("k"), explode_outer(col("_dv")).as("v"))
+      .filter(col("v").isNotNull)
+    v.groupBy(col("v"))
+      .agg(collect_set(col("k")).as("ks"))
+      .filter(size(col("ks")).between(2, maxBucket))
+      .select(explode(col("ks")).as("k1"), col("ks"))
+      .select(col("k1"), explode(col("ks")).as("k2"))
+      .filter(col("k1") < col("k2") &&
+        levenshtein(col("k1"), col("k2")) <= 1)
+      .distinct()
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  /** Declared query: per customer name, how many OTHER names sit at
+    * edit distance 1 (entity-resolution / typo-cluster signal on a key
+    * column). Counts both pair directions, so `n_close` is the degree
+    * of the name in the distance-1 graph — matching the oracle's
+    * directed self-join count. */
+  def fuzzyDedup(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyPairs(
+      Tables.customer(spark, sfDir).select(col("c_name")), "c_name")
+      // one explode over both endpoints — a union of two selects would
+      // recompute the whole pairs plan per branch
+      .select(explode(array(col("k1"), col("k2"))).as("c_name"))
+      .groupBy(col("c_name"))
+      .agg(count(lit(1)).as("n_close"))
+      .orderBy(col("c_name"))
 }

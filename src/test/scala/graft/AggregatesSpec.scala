@@ -49,4 +49,18 @@ class AggregatesSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
     assert(res.join(pending, "o_custkey").count() === 0)
   }
+
+  test("unpivot_metrics: three rows per flag, values reconcile with the wide aggregate") {
+    val out = Aggregates.unpivotMetrics(spark, sfTiny).collect()
+    val flags = out.map(_.getString(0)).distinct
+    assert(out.length == flags.length * 3)
+    assert(out.map(_.getString(1)).toSet ==
+      Set("sum_qty", "sum_price", "sum_disc"))
+    val qty = out.filter(r => r.getString(1) == "sum_qty")
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val wide = Tables.lineitem(spark, sfTiny).groupBy(col("l_returnflag"))
+      .agg(graft.Det.dsum(col("l_quantity")).as("q")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(qty == wide)
+  }
 }

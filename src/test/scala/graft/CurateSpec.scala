@@ -159,4 +159,40 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(out == Seq(11L))
   }
+
+  test("dupSpans: planted duplicate spans counted on every holder; hashed twin identical") {
+    val shared = "one two three four five six seven eight" // exactly one 8-token span
+    val df = Seq(
+      (1L, shared),
+      (2L, s"prefix $shared"),                  // 2 spans, 1 shared with doc 1
+      (3L, "a b c"),                            // < 8 tokens: no spans, no row
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),       // 2 spans, all unique
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8") // WITHIN-doc repeat
+    ).toDF("doc_id", "text")
+    def rows(hashed: Boolean) = Curate.dupSpanCounts(df, hashed = hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(hashed = false)
+    // doc 5: 9 spans; positions 1 and 9 are the same span (freq 2), the
+    // 7 boundary-crossing windows are unique
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 1L), (4L, 2L, 0L), (5L, 9L, 2L)))
+    assert(got == rows(hashed = true))
+  }
+
+  test("stratifiedQuota: exactly n per stratum, equals the window formulation, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sfSmall).select("doc_id", "lang")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = asSet(Curate.stratifiedQuota(docs, "doc_id", "lang", 20))
+    assert(got.groupBy(_._1).forall(_._2.size == 20),
+      s"per-stratum counts: ${got.groupBy(_._1).view.mapValues(_.size).toMap}")
+    val window = docs
+      .withColumn("skey", Curate.quotaKey(col("doc_id"), "quota:"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey").desc)))
+      .filter(col("rn") <= 20)
+    assert(got == asSet(window))
+    assert(got == asSet(Curate.stratifiedQuota(docs.repartition(13), "doc_id", "lang", 20)))
+  }
 }

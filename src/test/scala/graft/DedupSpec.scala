@@ -67,4 +67,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc1") >= col("doc2")).count() === 0)
     assert(pairs.filter(col("hamming") > 3).count() === 0)
   }
+
+  test("fuzzyPairs equals brute-force levenshtein<=1 on all edit cases") {
+    // substitution (abcd~abxd), deletion (abcd~abd), insertion
+    // (abcd~abcde), and the confirm-filter case: ab~ba share deletion
+    // variants ("a","b") but sit at distance 2 and must NOT pair
+    val names = Seq("abcd", "abxd", "abd", "abcde", "zzzz", "ab", "ba")
+    val pairs = Dedup.fuzzyPairs(names.toDF("c_name"), "c_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+    assert(brute.contains(("abcd", "abd")) && !brute.contains(("ab", "ba")))
+  }
+
+  test("fuzzyDedup degree count is even in total and positive") {
+    // every undirected pair contributes 2 to the total degree
+    val out = Dedup.fuzzyDedup(spark, sfTiny).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(1)).sum
+    assert(total % 2 == 0 && out.forall(_.getLong(1) > 0))
+  }
 }

@@ -174,4 +174,16 @@ class GraftOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("n_pieces")).as[(Long, Long)].collect().toSet
     assert(viaApi === fixture)
   }
+
+  test("facade stratifiedQuota / duplicateSpans / fuzzyKeyPairs on renamed columns") {
+    val strat = renamed.withColumn("bucket", (col("url_id") % 3).cast("string"))
+    val quota = GraftOps.stratifiedQuota(strat, "url_id", "bucket", 2)
+    assert(quota.count() === 6) // 3 buckets × exactly 2
+    val spans = GraftOps.duplicateSpans(renamed, "url_id", "body", n = 2)
+    assert(spans.columns.toSeq === Seq("doc_id", "total_spans", "dup_spans"))
+    val fuzzy = GraftOps.fuzzyKeyPairs(
+      Seq("abcd", "abd", "zz").toDF("k"), "k")
+    assert(fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("abcd", "abd")))
+  }
 }

@@ -143,4 +143,27 @@ class PlanAuditSpec extends SparkSpec {
       || qf.contains("ReadSchema: struct<doc_id:bigint,lang:string,text:string>"),
       "quality_filter should read only (doc_id, lang, text)")
   }
+
+  test("dup_spans: single corpus scan, frequency via window — no join-back double scan") {
+    val p = planOf("dup_spans")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"span-frequency branch re-scans the corpus: $scans scans")
+    assert(!p.contains("Exchange SinglePartition"),
+      "dup_spans must not plan a single-partition stage")
+  }
+
+  test("stratified_quota: runs on the bounded-heap operator, no per-stratum sort") {
+    val p = planOf("stratified_quota")
+    assert(p.contains("GroupedTopK"),
+      "quota sampling should plan through GroupedTopKExec")
+    assert(!p.contains("Window"), "fell back to a row_number window sort")
+  }
+
+  test("fuzzy_dedup: tree-shaped — one customer scan, no nested loop") {
+    val p = planOf("fuzzy_dedup")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"variant branch re-scans the input: $scans scans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair expansion degenerated to a nested-loop plan")
+  }
 }
