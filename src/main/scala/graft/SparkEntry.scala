@@ -87,6 +87,11 @@ object SparkEntry {
     "fuzzy_dedup"        -> ((s, d) => Dedup.fuzzyDedup(s, d)),
     "stratified_quota"   -> ((s, d) => Curate.stratifiedQuotaQuery(s, d)),
     "unpivot_metrics"    -> ((s, d) => Aggregates.unpivotMetrics(s, d)),
+    "span_scrub"         -> ((s, d) => Curate.spanScrubQuery(s, d)),
+    "funnel_conversion"  -> ((s, d) => Star.funnelConversion(s, d)),
+    "cohort_retention"   -> ((s, d) => Aggregates.cohortRetention(s, d)),
+    "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(s, d)),
+    "gap_fill"           -> ((s, d) => TimeSeries.gapFillQuery(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -661,5 +666,128 @@ object SparkEntry {
            UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
            UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
          ORDER BY l_returnflag, metric""",
+    "span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         seg AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 8
+               THEN list_transform(generate_series(0, CAST(len(ts)//8 - 1 AS BIGINT)),
+                      k -> array_to_string(ts[k*8+1:k*8+8], ' '))
+               ELSE [] END) AS segment,
+             unnest(CASE WHEN len(ts) >= 8
+               THEN generate_series(0, CAST(len(ts)//8 - 1 AS BIGINT))
+               ELSE [] END) AS seg_idx
+           FROM t),
+         mark AS (
+           SELECT doc_id, seg_idx, segment,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY doc_id, seg_idx) AS rn
+           FROM seg),
+         kept AS (
+           SELECT doc_id, COUNT(*) AS n_segs,
+             COUNT(*) FILTER (WHERE rn = 1) AS kept_segs,
+             COALESCE(string_agg(segment, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE rn = 1), '') AS kept_text
+           FROM mark GROUP BY 1),
+         rem AS (
+           SELECT doc_id,
+             array_to_string(ts[(len(ts)//8)*8+1:len(ts)], ' ') AS remainder
+           FROM t)
+         SELECT r.doc_id,
+           COALESCE(k.n_segs, 0) AS n_segs,
+           COALESCE(k.kept_segs, 0) AS kept_segs,
+           concat_ws(' ', nullif(COALESCE(k.kept_text, ''), ''),
+                          nullif(r.remainder, '')) AS clean_text
+         FROM rem r LEFT JOIN kept k ON r.doc_id = k.doc_id
+         ORDER BY r.doc_id""",
+    "funnel_conversion" ->
+      """WITH w1 AS (
+           SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS fv
+           FROM events),
+         w2 AS (
+           SELECT *,
+             min(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS fc
+           FROM w1),
+         u AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL THEN ts END) AS first_purchase
+           FROM w2 GROUP BY 1)
+         SELECT c_mktsegment, COUNT(*) AS users,
+           COUNT(first_view) AS viewed,
+           COUNT(first_click) AS clicked_after_view,
+           COUNT(first_purchase) AS purchased_after_click
+         FROM u JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "cohort_retention" ->
+      """WITH base AS (
+           SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS am
+           FROM orders),
+         coh AS (
+           SELECT o_custkey, am,
+             min(am) OVER (PARTITION BY o_custkey) AS cohort_month
+           FROM base),
+         agg AS (
+           SELECT cohort_month,
+             CAST((year(am) - year(cohort_month)) * 12
+                  + (month(am) - month(cohort_month)) AS INTEGER) AS months_since,
+             COUNT(*) AS active_customers
+           FROM coh GROUP BY 1, 2),
+         sz AS (
+           SELECT *,
+             max(CASE WHEN months_since = 0 THEN active_customers END)
+               OVER (PARTITION BY cohort_month) AS cohort_size
+           FROM agg)
+         SELECT cohort_month, months_since, active_customers, cohort_size,
+           CAST(active_customers AS DOUBLE) / cohort_size AS retention
+         FROM sz ORDER BY cohort_month, months_since""",
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ex AS (SELECT unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),
+         calib AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
+         cal AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM calib),
+         q AS (
+           SELECT vec_id, label, v,
+             list_transform(generate_series(1, len(v)),
+               i -> CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+                         ELSE CAST(least(greatest(
+                                floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i])),
+                                0.0), 255.0) AS BIGINT) END) AS codes
+           FROM e, cal)
+         SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_dims,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                (a, b) -> a + b) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max
+         FROM q ORDER BY vec_id""",
+    "gap_fill" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+         grid AS (
+           SELECT t.event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t, bounds),
+         j AS (
+           SELECT g.event_type, g.day,
+             COALESCE(d.events, 0) AS events,
+             COALESCE(d.day_value, 0.0) AS day_value,
+             d.events IS NULL AS filled,
+             d.avg_value AS avg_value
+           FROM grid g LEFT JOIN daily d
+             ON g.event_type = d.event_type AND g.day = d.day)
+         SELECT event_type, day, events, day_value, filled,
+           last_value(avg_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS carry_avg
+         FROM j ORDER BY event_type, day""",
   )
 }

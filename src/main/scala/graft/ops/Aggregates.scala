@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Tables, Det}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -203,4 +204,45 @@ object Aggregates {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Cohort retention: customers grouped by first-order month, counted
+    * in each subsequent activity month — the classic gold-layer
+    * retention triangle (cohort_month × months_since → active
+    * customers + retention vs the cohort's month-0 size).
+    *
+    * Plan: the (custkey, month) distinct collapses the fact table to
+    * customer-month grain FIRST (partial+final aggregate — at 100 TB
+    * the shuffle carries customer-months, not orders); the cohort month
+    * rides a window keyed on custkey; the final rollup shuffles the
+    * tiny (cohort, months_since) space. The month-0 cohort size is a
+    * second window over the aggregate (cardinality months², no extra
+    * scan). Retention is a single double division of two exact longs —
+    * deterministic, no accumulation order involved.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOf(Tables.orders(spark, sfDir))
+
+  /** DataFrame-first core over (o_custkey, o_orderdate) rows. */
+  def cohortRetentionOf(orders: DataFrame): DataFrame = {
+    val base = orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("am"))
+      .distinct()
+    val withCohort = base.withColumn("cohort_month",
+      min(col("am")).over(Window.partitionBy(col("o_custkey"))))
+    val agg = withCohort
+      .withColumn("months_since",
+        ((year(col("am")) - year(col("cohort_month"))) * 12 +
+          (month(col("am")) - month(col("cohort_month"))))
+          .cast(IntegerType))
+      .groupBy(col("cohort_month"), col("months_since"))
+      .agg(count(lit(1)).as("active_customers"))
+    agg
+      .withColumn("cohort_size",
+        max(when(col("months_since") === 0, col("active_customers")))
+          .over(Window.partitionBy(col("cohort_month"))))
+      .withColumn("retention",
+        col("active_customers").cast(DoubleType) / col("cohort_size"))
+      .orderBy(col("cohort_month"), col("months_since"))
+  }
 }

@@ -454,4 +454,74 @@ object Curate {
       "doc_id", "lang", n)
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // Exact duplicate-span REMOVAL (the rewrite step dupSpans only counts)
+  // ------------------------------------------------------------------
+
+  /** Rewrite each document with corpus-duplicate spans REMOVED — the
+    * "remove the duplicate, keep one copy" half of exact-substring
+    * dedup (Lee et al. ACL'22 §3.1 drop all-but-one occurrence;
+    * [[dupSpanCounts]] is the measurement half). Documents are cut into
+    * NON-overlapping `n`-token segments; a segment survives iff it is
+    * the globally first occurrence of its exact text in
+    * (doc_id, seg_idx) order; the trailing `len % n` tokens are always
+    * kept. Output per doc: segment/kept counts and the re-assembled
+    * scrubbed text.
+    *
+    * Plan: one scan+explode to (doc, seg_idx, segment) → first-writer
+    * marking via a `row_number` window keyed on the segment text (state
+    * per group = 1 row; shuffle key = segment content, the same key an
+    * exact-dedup shuffle uses) → per-doc re-assembly via
+    * `array_sort(collect_list(struct(idx, seg)))` (order restored
+    * after the shuffle, so the window's partitioning never constrains
+    * re-assembly). Production twin would shuffle xxhash64(segment)
+    * longs, as in [[dupSpansHashed]]; declared form keeps strings so
+    * the oracle sees identical keys.
+    */
+  def spanScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nSegs = floor(size(toks) / n).cast(IntegerType)
+    // non-overlapping segment k covers 1-based tokens [k*n+1, k*n+n]
+    val segs = when(size(toks) >= n,
+      transform(sequence(lit(0), nSegs - 1),
+        k => concat_ws(" ", slice(toks, k * n + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    // trailing `len % n` tokens, kept verbatim
+    val remainder = concat_ws(" ",
+      slice(toks, nSegs * n + 1, size(toks) - nSegs * n))
+
+    val exploded = docs
+      .withColumn("rem", remainder)
+      .select(col("doc_id"), col("rem"),
+        posexplode_outer(segs).as(Seq("seg_idx", "segment")))
+    val marked = exploded.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("segment"))
+          .orderBy(col("doc_id"), col("seg_idx"))))
+    marked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("segment")).as("n_segs"),
+        count(when(col("segment").isNotNull && col("rn") === 1, lit(1)))
+          .as("kept_segs"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("segment").isNotNull && col("rn") === 1,
+                struct(col("seg_idx"), col("segment"))))),
+            s => s.getField("segment")),
+          " ").as("kept_text"),
+        max(col("rem")).as("rem"))
+      .select(col("doc_id"), col("n_segs"), col("kept_segs"),
+        // concat_ws skips NULLs on both engines; '' sentinels avoid a
+        // stray separator when either side is empty
+        concat_ws(" ",
+          when(col("kept_text") =!= "", col("kept_text")),
+          when(col("rem") =!= "", col("rem"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
+    spanScrub(Tables.parallelize(Tables.documents(spark, sfDir)))
 }

@@ -272,4 +272,56 @@ object Similarity {
         // carries null elements
         count(col("val")).as("vectors"))
       .orderBy(col("label"), col("pos"))
+
+  /** Int8 scalar quantization of the embedding column with data-derived
+    * per-dimension calibration — the compression step a 100 TB embedding
+    * store runs before indexing (4× smaller than float32; IVF/ANN then
+    * scans codes, not floats). Each dimension is affinely mapped to
+    * [0, 255] by its global [min, max]; a constant dimension maps to 0.
+    * Emitted as integer code diagnostics (sum/min/max per vector) so the
+    * declared output is exact: every float op here is a single
+    * per-element IEEE expression with a fixed evaluation order —
+    * bit-identical across engines — and the aggregated outputs are pure
+    * long arithmetic.
+    *
+    * Plan: calibration = one posexplode pass into a partial+final
+    * (pos → min/max) aggregate — 1 row per dimension — folded to a
+    * single array row and BROADCAST back; quantization is then a
+    * per-row codegen'd `transform` over the original (never-exploded,
+    * never-shuffled) vectors. Total cost at scale: one corpus scan for
+    * calibration + one for coding, zero data shuffles.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val ex = emb
+      .select(posexplode_outer(v).as(Seq("pos", "val")))
+      .filter(col("val").isNotNull)
+    val calib = ex.groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    val calibRow = calib.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("maxs"))
+    val codes = transform(sequence(lit(1), size(col("v"))), i => {
+      val x  = element_at(col("v"), i)
+      val mn = element_at(col("mins"), i)
+      val mx = element_at(col("maxs"), i)
+      when(mx === mn, lit(0L)).otherwise(
+        least(greatest(floor((x - mn) * lit(255.0) / (mx - mn)), lit(0L)),
+          lit(255L)))
+    })
+    emb.select(col("vec_id"), col("label"), v.as("v"))
+      .crossJoin(broadcast(calibRow))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("label"),
+        size(col("v")).as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(spark, sfDir))
 }

@@ -126,4 +126,55 @@ object Star {
       .agg(count(lit(1)).as("lines"))
       .orderBy(col("lag_days"))
   }
+
+  /** Ordered-funnel conversion: per market segment, how many users
+    * progressed view → click → purchase, where each stage must follow
+    * the previous one in (ts, event_id) order. The canonical
+    * product-analytics query a lakehouse gold layer serves.
+    *
+    * Plan: ONE shuffle+sort of events on user_id drives both stacked
+    * window passes (same partitioning/ordering → Catalyst plans two
+    * Window operators over a single exchange+sort): pass 1 carries the
+    * running first-view timestamp, pass 2 the running first
+    * click-after-view; the per-user aggregate then reduces each user to
+    * one row BEFORE the (broadcast) customer join, so the join probe
+    * side is |users|, not |events|. Stage flags are conditional `min`s
+    * — no self-joins, no per-stage scans of the event log.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame =
+    funnelPerUser(Tables.events(spark, sfDir))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("users"),
+        count(col("first_view")).as("viewed"),
+        count(col("first_click")).as("clicked_after_view"),
+        count(col("first_purchase")).as("purchased_after_click"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Per-user funnel timestamps over (user_id, event_id, ts, event_type)
+    * rows: first view, first click strictly following a view, first
+    * purchase strictly following such a click — "following" meaning
+    * later in (ts, event_id) order.
+    */
+  def funnelPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("fv").isNotNull,
+          col("ts"))).over(w))
+      .groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click" && col("fv").isNotNull,
+          col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase" && col("fc").isNotNull,
+          col("ts"))).as("first_purchase"))
+  }
 }

@@ -166,4 +166,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "pair expansion degenerated to a nested-loop plan")
   }
+
+  test("span_scrub: single corpus scan; all windows/aggs keyed (no single partition)") {
+    val p = planOf("span_scrub")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"re-assembly branch re-scans the corpus: $scans scans")
+    assert(!p.contains("Exchange SinglePartition"),
+      "span_scrub must not plan a single-partition stage")
+  }
+
+  test("funnel_conversion: one user_id shuffle feeds both windows AND the per-user agg") {
+    val p = planOf("funnel_conversion")
+    assert(p.contains("BroadcastExchange"), "customer dim should broadcast")
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(e => e.startsWith("user_id") || e.startsWith("c_mktsegment")),
+      s"unexpected shuffle keys: $exchanges")
+    assert(exchanges.count(_.startsWith("user_id")) <= 1,
+      s"windows/agg should reuse ONE user_id exchange: $exchanges")
+  }
+
+  test("cohort_retention: shuffles only on grain/cohort keys, never a global window") {
+    val p = planOf("cohort_retention")
+    assert(!p.contains("Exchange SinglePartition"),
+      "cohort windows must stay keyed")
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(e => e.startsWith("o_custkey") || e.startsWith("am")
+      || e.startsWith("cohort_month") || e.startsWith("months_since")),
+      s"unexpected shuffle keys: $exchanges")
+  }
+
+  test("embedding_quantize: two scans (calibrate + code); coding side joins by broadcast") {
+    val p = planOf("embedding_quantize")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected calibration + coding scans, got $scans")
+    assert(p.contains("BroadcastExchange"),
+      "calibration row should broadcast back to the coding scan")
+    // the vectors themselves must never hash-shuffle — only the 64-row
+    // (pos, min, max) calibration aggregate may
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("pos")),
+      s"vector data shuffled unexpectedly: $exchanges")
+  }
+
+  test("gap_fill: the daily aggregate is computed once and reused via cache") {
+    val p = planOf("gap_fill")
+    assert(p.contains("InMemoryTableScan"),
+      "bounds/grid/probe should reuse the cached (series, day) aggregate")
+  }
 }
