@@ -298,8 +298,22 @@ object GraftOps {
     * atomically (or not at all); previous versions stay readable.
     */
   def writeVersioned(df: DataFrame, path: String,
-                     partitionCols: Seq[String] = Nil): Long =
-    graft.pipeline.ManifestTable.write(df, path, partitionCols)
+                     partitionCols: Seq[String] = Nil,
+                     statsCols: Seq[String] = Nil): Long =
+    graft.pipeline.ManifestTable.write(df, path, partitionCols,
+      statsCols = statsCols)
+
+  /** Stats-pruned read of a manifest table: only files whose recorded
+    * per-file [min, max] for `column` intersects [lower, upper] are
+    * scanned (Delta-style data skipping; sound — files without stats
+    * are kept). Pair with a range-clustered `writeVersioned(...,
+    * statsCols = ...)`.
+    */
+  def readVersionedRange(spark: org.apache.spark.sql.SparkSession,
+                         path: String, column: String,
+                         lower: Double, upper: Double): DataFrame =
+    graft.pipeline.ManifestTable.readNumericRange(spark, path, column,
+      lower, upper)
 
   /** Read the current committed version of a manifest table (falls back
     * to a plain parquet read for unversioned paths).
@@ -327,4 +341,49 @@ object GraftOps {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
   }
+
+  /** Remove corpus-duplicate n-token spans from each document, keeping
+    * the globally-first occurrence (the rewrite half of exact-substring
+    * dedup; `duplicateSpans` is the measurement half).
+    */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 8): DataFrame =
+    graft.ops.Curate.spanScrub(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), spanTokens)
+
+  /** Per-user ordered-funnel timestamps (first view, first click after
+    * a view, first purchase after such a click) — one shuffle+sort on
+    * the user key drives all stages.
+    */
+  def funnelStages(events: DataFrame, userCol: String, idCol: String,
+                   tsCol: String, typeCol: String): DataFrame =
+    graft.ops.Star.funnelPerUser(
+      events.select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        col(tsCol).as("ts"), col(typeCol).as("event_type")))
+
+  /** Cohort retention triangle over (entity, event-time) rows: first
+    * month cohorts × months-since with retention vs month 0.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame =
+    graft.ops.Aggregates.cohortRetentionOf(
+      df.select(col(keyCol).as("o_custkey"), col(tsCol).as("o_orderdate")))
+
+  /** Int8 scalar quantization diagnostics for an embedding column with
+    * global per-dimension calibration (code sum/min/max per vector).
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame =
+    Similarity.quantizeInt8(
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(labelCol).as("label")))
+
+  /** Dense daily grid per series with zero-filled gaps and a
+    * forward-filled average (`filled` marks synthesized rows).
+    */
+  def gapFillDaily(df: DataFrame, seriesCol: String, tsCol: String,
+                   valueCol: String): DataFrame =
+    graft.ops.TimeSeries.gapFillDaily(
+      df.select(col(seriesCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")))
 }

@@ -186,4 +186,47 @@ class GraftOpsSpec extends SparkSpec {
     assert(fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSeq
       === Seq(("abcd", "abd")))
   }
+
+  test("facade scrubDuplicateSpans / funnelStages / gapFillDaily on renamed columns") {
+    val scrub = GraftOps.scrubDuplicateSpans(renamed, "url_id", "body")
+    val fixture = graft.ops.Curate.spanScrub(Tables.documents(spark, sfTiny))
+    assert(scrub.select("doc_id", "kept_segs").as[(Long, Long)].collect().toSet
+      === fixture.select("doc_id", "kept_segs").as[(Long, Long)].collect().toSet)
+
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("user_id").as("uid"), col("event_id").as("eid"),
+        col("ts").as("at"), col("event_type").as("kind"))
+    val viaApi = GraftOps.funnelStages(ev, "uid", "eid", "at", "kind")
+    val direct = graft.ops.Star.funnelPerUser(Tables.events(spark, sfTiny))
+    assert(viaApi.collect().map(_.toSeq).toSet
+      === direct.collect().map(_.toSeq).toSet)
+
+    val gaps = GraftOps.gapFillDaily(
+      Tables.events(spark, sfTiny)
+        .select(col("event_type").as("series"), col("ts").as("at"),
+          col("value").as("amt")),
+      "series", "at", "amt")
+    assert(gaps.columns.toSeq === Seq("event_type", "day", "events",
+      "day_value", "filled", "carry_avg"))
+    assert(gaps.filter(col("filled") && col("events") =!= 0).count() === 0)
+  }
+
+  test("facade cohortRetention / quantizeEmbeddings match declared queries") {
+    val cohort = GraftOps.cohortRetention(
+      Tables.orders(spark, sfTiny)
+        .select(col("o_custkey").as("acct"), col("o_orderdate").as("first_seen")),
+      "acct", "first_seen")
+    val declared = graft.ops.Aggregates.cohortRetention(spark, sfTiny)
+    assert(cohort.collect().map(_.toSeq).toSeq
+      === declared.collect().map(_.toSeq).toSeq)
+
+    val q = GraftOps.quantizeEmbeddings(
+      Tables.embeddings(spark, sfTiny)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"),
+          col("label").as("cls")),
+      "id", "emb", "cls")
+    val declaredQ = graft.ops.Similarity.embeddingQuantize(spark, sfTiny)
+    assert(q.collect().map(_.toSeq).toSeq
+      === declaredQ.collect().map(_.toSeq).toSeq)
+  }
 }

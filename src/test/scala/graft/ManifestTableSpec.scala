@@ -112,4 +112,47 @@ class ManifestTableSpec extends SparkSpec {
     assert(files.forall(f => f.startsWith("snap-1") && f.endsWith(".parquet")))
     assert(files.forall(f => new java.io.File(s"$path/$f").isFile))
   }
+
+  test("file stats prune a range-clustered read to the overlapping files only") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt7").toString + "/t"
+    // range-cluster on id so files carry disjoint [min,max] — the layout
+    // Medallion's Z-order/range clustering produces
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id"))
+    ManifestTable.write(df, path, statsCols = Seq("id", "v"))
+
+    val stats = ManifestTable.manifestStats(spark, path, 1)
+    assert(stats.nonEmpty && stats.values.forall(_.contains("id")))
+    assert(stats.values.forall(_("id").complete))
+
+    val (kept, total) = ManifestTable.pruneCount(spark, path, "id", 100, 120)
+    assert(total === 8, s"expected 8 clustered files, got $total")
+    assert(kept <= 2, s"point-range read should touch <=2 of 8 files, kept $kept")
+
+    // pruned read returns exactly the rows a full-scan filter would
+    val pruned = ManifestTable.readNumericRange(spark, path, "id", 100, 120)
+      .filter(col("id").between(100, 120)).as[(Long, Long)].collect().toSet
+    val full = ManifestTable.read(spark, path)
+      .filter(col("id").between(100, 120)).as[(Long, Long)].collect().toSet
+    assert(pruned === full && full.size === 21)
+
+    // an out-of-domain range touches zero files but stays readable
+    val none = ManifestTable.readNumericRange(spark, path, "id", 5000, 6000)
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSet === Set("id", "v"))
+  }
+
+  test("reads stay sound when stats are absent or the column is unknown") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
+    ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols
+    assert(ManifestTable.manifestStats(spark, path, 1) === Map.empty)
+    // without stats nothing can be pruned — full data comes back
+    assert(ManifestTable.readNumericRange(spark, path, "id", 0, 1).count() === 100)
+    // stats recorded, but the queried column has none → no pruning either
+    ManifestTable.write(spark.range(0, 100).toDF("id"), path, statsCols = Seq("id"))
+    assert(ManifestTable
+      .readNumericRange(spark, path, "nope", 0, 1).count() === 100)
+  }
 }
