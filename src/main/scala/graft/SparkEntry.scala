@@ -92,6 +92,8 @@ object SparkEntry {
     "cohort_retention"   -> ((s, d) => Aggregates.cohortRetention(s, d)),
     "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "gap_fill"           -> ((s, d) => TimeSeries.gapFillQuery(s, d)),
+    "supplier_profit"    -> ((s, d) => Star.supplierProfit(s, d)),
+    "vocab_oov"          -> ((s, d) => Text.vocabOov(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -789,5 +791,31 @@ object SparkEntry {
              OVER (PARTITION BY event_type ORDER BY day
                    ROWS UNBOUNDED PRECEDING) AS carry_avg
          FROM j ORDER BY event_type, day""",
+    "supplier_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+                       - ((p_retailprice * l_quantity) / 100.0)
+                  AS DECIMAL(30,6))) AS DOUBLE) AS profit,
+         COUNT(*) AS lines
+         FROM lineitem
+         JOIN part     ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         WHERE contains(p_name, 'red')
+         GROUP BY 1, 2 ORDER BY nation, o_year""",
+    "vocab_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+         vocab AS (SELECT token FROM cnt ORDER BY freq DESC, token LIMIT 20),
+         j AS (
+           SELECT t.doc_id, v.token IS NOT NULL AS known
+           FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE NOT known) AS BIGINT) AS oov_tokens,
+           CAST(COUNT(*) FILTER (WHERE NOT known) AS DOUBLE) / COUNT(*) AS oov_frac
+         FROM j GROUP BY 1 ORDER BY doc_id""",
   )
 }

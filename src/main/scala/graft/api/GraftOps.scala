@@ -386,4 +386,12 @@ object GraftOps {
     graft.ops.TimeSeries.gapFillDaily(
       df.select(col(seriesCol).as("event_type"), col(tsCol).as("ts"),
         col(valueCol).as("value")))
+
+  /** Out-of-vocabulary rate per document against the deterministic
+    * top-V corpus vocabulary (tokenizer-fit / gibberish signal).
+    */
+  def vocabOov(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int = 20): DataFrame =
+    graft.ops.Text.vocabOovOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), vocabSize)
 }

@@ -154,6 +154,48 @@ object Star {
         count(col("first_purchase")).as("purchased_after_click"))
       .orderBy(col("c_mktsegment"))
 
+  /** Product-line profit per nation and year (TPC-H Q9 shape) over the
+    * so-far-unused part/supplier dimensions: lineitem ⋈ part(filtered)
+    * ⋈ supplier ⋈ nation ⋈ orders, profit = revenue − cost where cost
+    * is proxied by `p_retailprice·l_quantity/100` (the fixture carries
+    * no partsupp/supplycost table).
+    *
+    * Plan: part (pre-filtered on the LIKE predicate BEFORE the join —
+    * the filter prunes the build side, not post-join rows), supplier
+    * and nation all broadcast; the only shuffle is lineitem ⋈ orders on
+    * orderkey + the tiny (nation, year) aggregation. The profit
+    * expression is per-row IEEE arithmetic in a fixed order — exact
+    * across engines — and the sum goes through the decimal accumulator.
+    */
+  def supplierProfit(spark: SparkSession, sfDir: String,
+                     nameFilter: String = "red"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(nameFilter))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit_amt",
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+          ((col("p_retailprice") * col("l_quantity")) / lit(100.0)))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(
+        graft.Det.dsum(col("profit_amt")).as("profit"),
+        count(lit(1)).as("lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
   /** Per-user funnel timestamps over (user_id, event_id, ts, event_type)
     * rows: first view, first click strictly following a view, first
     * purchase strictly following such a click — "following" meaning

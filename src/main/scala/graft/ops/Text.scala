@@ -310,4 +310,43 @@ object Text {
         md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
           .as("shingle_fp"))
       .orderBy(col("doc_id"))
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the top-V
+    * corpus vocabulary by token frequency (ties broken by token text —
+    * fully deterministic) and score every document by the fraction of
+    * its tokens OUTSIDE that vocabulary. The standard tokenizer-fit /
+    * gibberish signal a curation pipeline computes before committing
+    * to a vocab size (high OOV → boilerplate, code, or wrong-language
+    * text relative to the corpus core).
+    *
+    * Two corpus passes BY DESIGN (at 100 TB vocab building is its own
+    * job): pass 1 = token partial+final count → global top-V via
+    * `TakeOrderedAndProject` (per-partition heaps, only V rows merge on
+    * the driver — never a full sort); pass 2 = re-explode and probe the
+    * BROADCAST vocabulary with a left join, then one per-doc rollup.
+    * The vocab is V rows regardless of corpus size; the big sides only
+    * ever shuffle on doc_id.
+    */
+  def vocabOovOf(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    val vocab = toks(docs)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks(docs)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("oov_tokens"))
+      .withColumn("oov_frac",
+        col("oov_tokens").cast(DoubleType) / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def vocabOov(spark: SparkSession, sfDir: String): DataFrame =
+    vocabOovOf(Tables.parallelize(Tables.documents(spark, sfDir)))
 }

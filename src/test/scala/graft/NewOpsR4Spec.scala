@@ -103,6 +103,37 @@ class NewOpsR4Spec extends SparkSpec {
     }
   }
 
+  test("vocabOovOf scores docs against the deterministic top-V vocabulary") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b z q")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=z=q=1 → top-2 vocab {a, b}
+    val got = graft.ops.Text.vocabOovOf(docs, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5), (3L, 3L, 2L, 2.0 / 3)))
+  }
+
+  test("vocabOov is partition-invariant; vocabulary ties break on token text") {
+    val docs = Tables.documents(spark, sfTiny)
+    val a = graft.ops.Text.vocabOovOf(docs.repartition(2)).collect().toSeq
+    assert(a == graft.ops.Text.vocabOovOf(docs.repartition(7)).collect().toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("supplierProfit line counts reconcile with an independent plain join") {
+    val got = graft.ops.Star.supplierProfit(spark, sfTiny)
+    val lines = got.agg(sum("lines")).collect()(0).getLong(0)
+    val expected = Tables.lineitem(spark, sfTiny)
+      .join(Tables.part(spark, sfTiny).filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfTiny), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(lines === expected && lines > 0)
+    // every (nation, year) row carries a finite profit
+    got.collect().foreach(r => assert(!r.getDouble(2).isNaN))
+  }
+
   test("gapFillDaily zero-fills gaps and carries the last average forward") {
     val ev = Seq(
       ("A", ts("2025-03-01 05:00:00"), 1.0), ("A", ts("2025-03-01 06:00:00"), 3.0),

@@ -216,4 +216,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "bounds/grid/probe should reuse the cached (series, day) aggregate")
   }
+
+  test("supplier_profit: three dims broadcast; part filter prunes before the join") {
+    val p = planOf("supplier_profit")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"part/supplier/nation should broadcast, got $broadcasts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the LIKE predicate reaches the part scan, not a post-join filter
+    assert(p.contains("Contains(p_name"), "p_name filter not pushed to the scan")
+  }
+
+  test("vocab_oov: two passes by design — vocab built once, probed via broadcast") {
+    val p = planOf("vocab_oov")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected vocab-build + scoring scans, got $scans")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocab should be a bounded TakeOrdered, not a full sort")
+    assert(p.contains("BroadcastExchange"), "vocabulary should broadcast")
+  }
 }
