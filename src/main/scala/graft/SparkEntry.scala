@@ -96,6 +96,7 @@ object SparkEntry {
     "vocab_oov"          -> ((s, d) => Text.vocabOov(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
+    "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "stream_sessionize"  -> ((s, d) => graft.streaming.Sessionize.sessionsStreamed(s, d)),
   )
@@ -804,6 +805,9 @@ object SparkEntry {
          JOIN orders   ON l_orderkey = o_orderkey
          WHERE contains(p_name, 'red')
          GROUP BY 1, 2 ORDER BY nation, o_year""",
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "vocab_oov" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -154,6 +154,47 @@ object EventsStream {
     out
   }
 
+  /** Declared streaming-dedup query: the source directory carries the
+    * SAME events file twice (symlinked — the at-least-once redelivery a
+    * Kafka rewind or file re-listing produces), and
+    * [[dedupStream]]'s watermark-bounded `dropDuplicatesWithinWatermark`
+    * must emit every event exactly once. Both copies are byte-identical,
+    * so the output is deterministic whichever copy wins (and a
+    * duplicate arriving behind the watermark is dropped as late data —
+    * the same exactly-once outcome by the other path). Oracle = the
+    * plain batch table: streaming dedup of a doubled feed ≡ the feed.
+    */
+  def dedupEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_dd")
+    for (copy <- Seq("events.parquet", "events_redelivered.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(copy), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qName = s"stream_dedup_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try dedupStream(src).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(qName)
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup

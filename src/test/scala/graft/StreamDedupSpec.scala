@@ -29,6 +29,13 @@ class StreamDedupSpec extends SparkSpec {
     assert(spark.read.parquet(bronze).count() === expected.count())
   }
 
+  test("declared stream_dedup: a doubled (redelivered) feed emits each event exactly once") {
+    val out = EventsStream.dedupEventsStream(spark, sfTiny)
+    val expected = Tables.events(spark, sfTiny)
+    assert(out.count() === expected.count(), "redelivered copies leaked through")
+    assert(out.select("event_id").distinct().count() === expected.count())
+  }
+
   test("stream-stream interval join equals the batch join on a finite replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
     java.nio.file.Files.createSymbolicLink(
