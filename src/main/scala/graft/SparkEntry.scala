@@ -94,6 +94,7 @@ object SparkEntry {
     "gap_fill"           -> ((s, d) => TimeSeries.gapFillQuery(s, d)),
     "supplier_profit"    -> ((s, d) => Star.supplierProfit(s, d)),
     "vocab_oov"          -> ((s, d) => Text.vocabOov(s, d)),
+    "order_event_reconcile" -> ((s, d) => Star.orderEventReconcile(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
@@ -808,6 +809,19 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "order_event_reconcile" ->
+      """WITH o AS (SELECT o_custkey AS key, COUNT(*) AS orders_cnt
+                    FROM orders GROUP BY 1),
+         e AS (SELECT user_id AS key, COUNT(*) AS events_cnt
+               FROM events GROUP BY 1)
+         SELECT COALESCE(o.key, e.key) AS key,
+           COALESCE(orders_cnt, 0) AS orders_cnt,
+           COALESCE(events_cnt, 0) AS events_cnt,
+           CASE WHEN o.key IS NOT NULL AND e.key IS NOT NULL THEN 'both'
+                WHEN o.key IS NOT NULL THEN 'orders_only'
+                ELSE 'events_only' END AS presence
+         FROM o FULL OUTER JOIN e ON o.key = e.key
+         ORDER BY key""",
     "vocab_oov" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

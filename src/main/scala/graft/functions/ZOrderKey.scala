@@ -104,9 +104,14 @@ object ZOrderKey {
     * follows inherits the layout (the Delta OPTIMIZE ZORDER analog).
     */
   def clusterBy(df: org.apache.spark.sql.DataFrame,
-                c1: String, c2: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("_zkey", zorder(df.sparkSession, col(c1), col(c2)))
-      .repartitionByRange(col("_zkey"))
-      .sortWithinPartitions(col("_zkey"))
-      .drop("_zkey")
+                c1: String, c2: String,
+                numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val keyed = df.withColumn("_zkey", zorder(df.sparkSession, col(c1), col(c2)))
+    // numPartitions > 0 pins the output file count (the OPTIMIZE-style
+    // target-file-size knob; 0 = planner/AQE-chosen)
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_zkey"))
+      else keyed.repartitionByRange(col("_zkey"))
+    ranged.sortWithinPartitions(col("_zkey")).drop("_zkey")
+  }
 }

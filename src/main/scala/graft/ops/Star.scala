@@ -196,6 +196,31 @@ object Star {
       .orderBy(col("nation"), col("o_year"))
   }
 
+  /** Cross-system reconciliation via FULL OUTER join — the audit query
+    * that finds keys present on one side only (orders without any
+    * events, event traffic from non-ordering users). Both sides
+    * collapse to per-key counts FIRST (partial+final agg), so the full
+    * outer join runs over |keys|, not |rows|, and both inputs arrive
+    * hash-partitioned on the same key — at 100 TB the join itself is
+    * the cheap step.
+    */
+  def orderEventReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("orders_cnt"))
+    val e = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("events_cnt"))
+    o.join(e, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("orders_cnt"), lit(0L)).as("orders_cnt"),
+        coalesce(col("events_cnt"), lit(0L)).as("events_cnt"),
+        when(col("orders_cnt").isNotNull && col("events_cnt").isNotNull, "both")
+          .when(col("orders_cnt").isNotNull, "orders_only")
+          .otherwise("events_only").as("presence"))
+      .orderBy(col("key"))
+  }
+
   /** Per-user funnel timestamps over (user_id, event_id, ts, event_type)
     * rows: first view, first click strictly following a view, first
     * purchase strictly following such a click — "following" meaning

@@ -68,6 +68,27 @@ class Medallion(spark: SparkSession, sfDir: String, warehouse: String) {
     n
   }
 
+  val silverVersionedPath = s"$warehouse/silver/lineitem_v"
+
+  /** Versioned silver: the same Z-clustered layout committed through
+    * [[ManifestTable]] with per-file stats on the Z-order keys — the
+    * FULL Delta silver story (`OPTIMIZE ZORDER` + ACID overwrite + the
+    * stats-based data-skipping index) in one write: Z-clustering makes
+    * per-file [min, max] tight on both keys, the manifest records them,
+    * and [[ManifestTable.readNumericRange]] prunes the file list before
+    * Spark ever plans the scan.
+    */
+  def runSilverVersioned(targetFiles: Int = 0): Long = {
+    val df = Relational.silverStage(Tables.lineitem(spark, sfDir)).cache()
+    val n = df.count()
+    ManifestTable.write(
+      graft.functions.ZOrderKey.clusterBy(df, "l_suppkey", "l_partkey",
+        targetFiles),
+      silverVersionedPath, statsCols = Seq("l_suppkey", "l_partkey"))
+    df.unpersist()
+    n
+  }
+
   /** Gold: the two aggregate tables, daily partitioned by a low-card
     * bucket of the group key (raw custkey would create one directory per
     * customer — fine at 150 keys, catastrophic at 15M; bucketing the

@@ -134,6 +134,22 @@ class NewOpsR4Spec extends SparkSpec {
     got.collect().foreach(r => assert(!r.getDouble(2).isNaN))
   }
 
+  test("orderEventReconcile partitions keys into both/orders_only/events_only exactly") {
+    val got = graft.ops.Star.orderEventReconcile(spark, sfTiny).collect()
+    val byPresence = got.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    val orderKeys = Tables.orders(spark, sfTiny)
+      .select("o_custkey").distinct().count()
+    val eventKeys = Tables.events(spark, sfTiny)
+      .select("user_id").distinct().count()
+    assert(byPresence.getOrElse("both", 0) + byPresence.getOrElse("orders_only", 0)
+      === orderKeys)
+    assert(byPresence.getOrElse("both", 0) + byPresence.getOrElse("events_only", 0)
+      === eventKeys)
+    // counts reconcile to the source totals
+    assert(got.map(_.getLong(1)).sum === Tables.orders(spark, sfTiny).count())
+    assert(got.map(_.getLong(2)).sum === Tables.events(spark, sfTiny).count())
+  }
+
   test("gapFillDaily zero-fills gaps and carries the last average forward") {
     val ev = Seq(
       ("A", ts("2025-03-01 05:00:00"), 1.0), ("A", ts("2025-03-01 06:00:00"), 3.0),

@@ -47,6 +47,29 @@ class PipelineSpec extends SparkSpec {
       expect.filter(col("l_suppkey") === 3).count())
   }
 
+  test("versioned silver: Z-clustering + manifest stats give file-level data skipping") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    val m = new Medallion(spark, sfTiny, wh)
+    m.runSilverVersioned(targetFiles = 8)
+    val stats = graft.pipeline.ManifestTable
+      .manifestStats(spark, m.silverVersionedPath, 1)
+    assert(stats.nonEmpty && stats.values.forall(s =>
+      s.contains("l_suppkey") && s.contains("l_partkey")))
+    // Z-clustered files carry tight per-file ranges: a narrow partkey
+    // range must skip files entirely, before any scan is planned
+    val (kept, total) = graft.pipeline.ManifestTable
+      .pruneCount(spark, m.silverVersionedPath, "l_partkey", 0, 24)
+    assert(total >= 2, s"expected a multi-file snapshot, got $total")
+    assert(kept < total, s"no files skipped ($kept of $total)")
+    // pruned read ≡ full-table filter
+    val pruned = graft.pipeline.ManifestTable
+      .readNumericRange(spark, m.silverVersionedPath, "l_partkey", 0, 24)
+      .filter(col("l_partkey").between(0, 24))
+    val full = graft.pipeline.ManifestTable.read(spark, m.silverVersionedPath)
+      .filter(col("l_partkey").between(0, 24))
+    assert(pruned.count() === full.count() && full.count() > 0)
+  }
+
   test("upsertPartitioned: updates replace, inserts append, untouched partitions' files untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
