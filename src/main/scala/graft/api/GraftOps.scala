@@ -315,6 +315,13 @@ object GraftOps {
     graft.pipeline.ManifestTable.readNumericRange(spark, path, column,
       lower, upper)
 
+  /** Row-level insert/delete change feed between two committed versions
+    * of a manifest table (CDC-lite; updates appear as delete+insert).
+    */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession, path: String,
+                 fromVersion: Long, toVersion: Long): DataFrame =
+    graft.pipeline.ManifestTable.diff(spark, path, fromVersion, toVersion)
+
   /** Read the current committed version of a manifest table (falls back
     * to a plain parquet read for unversioned paths).
     */

@@ -342,6 +342,49 @@ object ManifestTable {
     mapper.writeValueAsString(root)
   }
 
+  /** OPTIMIZE-style compaction: rewrite the CURRENT version into
+    * `targetFiles` files as a new committed version — readers flip
+    * atomically, the pre-compaction version stays time-travelable, and
+    * a compactor dying mid-rewrite is invisible (it never commits).
+    * With `sortCols` the rewrite also re-clusters (range partition +
+    * in-file sort — the `OPTIMIZE ... ZORDER` shape when passed a
+    * Z-key); otherwise files merge with a shuffle-free coalesce.
+    * `statsCols` refreshes the data-skipping stats on the new files.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
+              partitionCols: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil,
+              sortCols: Seq[String] = Nil): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cur = read(spark, path)
+    val packed =
+      if (sortCols.nonEmpty)
+        cur.repartitionByRange(targetFiles,
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else cur.coalesce(targetFiles)
+    write(packed, path, partitionCols, statsCols = statsCols)
+  }
+
+  /** Row-level change feed between two committed versions (CDC-lite —
+    * the observable core of Delta's change-data-feed for
+    * overwrite-refresh tables): rows only in `toVersion` are `insert`s,
+    * rows only in `fromVersion` are `delete`s; an updated row appears as
+    * its delete+insert pair. Multiset semantics (`exceptAll`), so
+    * duplicate rows diff by count. Both sides shuffle once on the full
+    * row hash — the same cost profile as the exact-dedup operator — and
+    * nothing is collected to the driver.
+    */
+  def diff(spark: SparkSession, path: String,
+           fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readVersion(spark, path, fromVersion)
+    val to = readVersion(spark, path, toVersion)
+    import org.apache.spark.sql.functions.lit
+    to.exceptAll(from).withColumn("_change", lit("insert"))
+      .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
+  }
+
   /** Drop all snapshots and manifests older than the newest `keep`
     * versions. Never touches uncommitted (orphan) snapshot directories
     * newer than the current version — a concurrent failed writer's

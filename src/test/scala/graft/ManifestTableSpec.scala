@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{ManifestTable, Medallion}
+import graft.pipeline.{Incremental, ManifestTable, Medallion}
 import org.apache.spark.sql.functions._
 
 class ManifestTableSpec extends SparkSpec {
@@ -142,6 +142,64 @@ class ManifestTableSpec extends SparkSpec {
     val none = ManifestTable.readNumericRange(spark, path, "id", 5000, 6000)
     assert(none.count() === 0)
     assert(none.schema.fieldNames.toSet === Set("id", "v"))
+  }
+
+  test("diff between versions yields the insert/delete change feed") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    // v2: update 2, delete 3, insert 4
+    ManifestTable.write(Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "v"), path)
+    val changes = ManifestTable.diff(spark, path, 1, 2)
+      .as[(Long, String, String)].collect().toSet
+    assert(changes === Set(
+      (2L, "B2", "insert"), (4L, "d", "insert"),
+      (2L, "b", "delete"), (3L, "c", "delete")))
+    // the reverse diff swaps the change labels
+    val reverse = ManifestTable.diff(spark, path, 2, 1)
+      .as[(Long, String, String)].collect().toSet
+    assert(reverse === Set(
+      (2L, "b", "insert"), (3L, "c", "insert"),
+      (2L, "B2", "delete"), (4L, "d", "delete")))
+  }
+
+  test("compact bin-packs into a new version; old version and skipping survive") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt10").toString + "/t"
+    val df = spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 3)
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+    ManifestTable.write(df, path, statsCols = Seq("id"))
+    assert(ManifestTable.manifestFiles(spark, path, 1).size === 8)
+
+    val v2 = ManifestTable.compact(spark, path, targetFiles = 2,
+      statsCols = Seq("id"), sortCols = Seq("id"))
+    assert(v2 === 2L)
+    assert(ManifestTable.manifestFiles(spark, path, 2).size === 2)
+    // identical data, refreshed stats, pruning still sound
+    assert(ManifestTable.read(spark, path).as[(Long, Long)].collect().toSet
+      === df.as[(Long, Long)].collect().toSet)
+    val (kept, total) = ManifestTable.pruneCount(spark, path, "id", 0, 100)
+    assert(total === 2 && kept === 1, s"re-clustered compact should skip: $kept/$total")
+    // pre-compaction version still time-travelable
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 1000)
+  }
+
+  test("incremental gold state merges exactly, any way the facts are sliced") {
+    val orders = Tables.orders(spark, sfTiny)
+    val h1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val h2 = orders.filter(col("o_orderkey") % 3 === 1)
+    val h3 = orders.filter(col("o_orderkey") % 3 === 2)
+    val full = Incremental.dailyState(orders)
+    val merged = Incremental.mergeDailyState(
+      Incremental.mergeDailyState(
+        Incremental.dailyState(h1), Incremental.dailyState(h2)),
+      Incremental.dailyState(h3))
+    // decimal state is associative: merged ≡ full, bit for bit
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // presentation view reproduces the declared gold table exactly
+    val viaState = Incremental.presentDaily(merged).collect().map(_.toSeq).toSeq
+    val declared = graft.ops.Aggregates.goldDailyRevenue(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(viaState === declared)
   }
 
   test("reads stay sound when stats are absent or the column is unknown") {

@@ -36,6 +36,16 @@ class NewOpsR4Spec extends SparkSpec {
     assert(a == b && a.nonEmpty)
     // scrubbing never grows a document and keeps every singleton corpus
     a.foreach { r => assert(r.getLong(2) <= r.getLong(1)) }
+    // conservation: total segments = Σ floor(len/8), and exactly ONE
+    // copy of every distinct segment survives the scrub
+    val toks = split(col("text"), " ")
+    val segExpr = when(size(toks) >= 8,
+      transform(sequence(lit(0), floor(size(toks) / 8).cast("int") - 1),
+        k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8)))))
+    val segs = docs.select(explode_outer(segExpr).as("s"))
+      .filter(col("s").isNotNull)
+    assert(a.map(_.getLong(1)).sum === segs.count())
+    assert(a.map(_.getLong(2)).sum === segs.distinct().count())
   }
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
