@@ -215,7 +215,8 @@ object ManifestTable {
     */
   def pruneCount(spark: SparkSession, path: String, column: String,
                  lower: Double, upper: Double): (Int, Int) = {
-    val version = currentVersion(spark, path).get
+    val version = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
     val all = manifestFiles(spark, path, version)
     val stats = manifestStats(spark, path, version)
     val kept = all.count { file =>

@@ -34,6 +34,58 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.count() === counts("bronze")) // fixture spans one month
   }
 
+  test("dynamic partition pruning: a runtime dim filter prunes bronze at execution") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_whdpp").toString
+    val m = new Medallion(spark, sfTiny, wh)
+    m.runBronze()
+    val bronze = spark.read.parquet(m.bronzePath)
+    // the dim's filter value is only known at runtime — static pruning
+    // can't fire; DPP must inject a subquery filter into the scan's
+    // PartitionFilters (reusing the broadcast, so it is always a win).
+    // The dim must be a REAL relation: a local Seq constant-folds its
+    // filter into a LocalTableScan and the pruning rule sees no
+    // selective predicate to propagate.
+    val dimPath = s"$wh/dim_years"
+    Seq((2024, "keep"), (1999, "drop")).toDF("y", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = bronze.join(dim, bronze("year") === dim("y"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic-pruning partition filter in:\n${plan.take(1500)}")
+    assert(joined.count() === bronze.count()) // fixture is all year 2024
+  }
+
+  test("silver carries a parquet bloom filter on the point-lookup key") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whbloom").toString
+    val m = new Medallion(spark, sfTiny, wh)
+    m.runSilver()
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(m.silverPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val orderkey = cols.find(_.getPath.toDotString == "l_orderkey").get
+      assert(orderkey.getBloomFilterOffset >= 0,
+        "l_orderkey should carry a bloom filter for equality skipping")
+      // a column without the option stays bloom-free (no blanket cost)
+      val qty = cols.find(_.getPath.toDotString == "l_quantity").get
+      assert(qty.getBloomFilterOffset < 0)
+    } finally reader.close()
+    // point lookup through the bloom-filtered key stays correct
+    val silver = spark.read.parquet(m.silverPath)
+    val probe = silver.filter(col("l_orderkey") === 42)
+    assert(probe.count() ===
+      Relational.silverStage(Tables.lineitem(spark, sfTiny))
+        .filter(col("l_orderkey") === 42).count())
+  }
+
   test("silver clustering: row-group stats enable pruning on leading key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val m = new Medallion(spark, sfTiny, wh)
