@@ -95,6 +95,10 @@ object SparkEntry {
     "supplier_profit"    -> ((s, d) => Star.supplierProfit(s, d)),
     "vocab_oov"          -> ((s, d) => Text.vocabOov(s, d)),
     "order_event_reconcile" -> ((s, d) => Star.orderEventReconcile(s, d)),
+    "anomaly_days"       -> ((s, d) => TimeSeries.anomalyQuery(s, d)),
+    "column_profile"     -> ((s, d) => Profile.lineitemProfile(s, d)),
+    "copurchase_pairs"   -> ((s, d) => Basket.copurchaseQuery(s, d)),
+    "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
@@ -835,5 +839,36 @@ object SparkEntry {
            CAST(COUNT(*) FILTER (WHERE NOT known) AS BIGINT) AS oov_tokens,
            CAST(COUNT(*) FILTER (WHERE NOT known) AS DOUBLE) / COUNT(*) AS oov_frac
          FROM j GROUP BY 1 ORDER BY doc_id""",
+    "anomaly_days" ->
+      """WITH d AS (
+           SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS events
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(events) AS HUGEINT) AS sm,
+             CAST(SUM(events * events) AS HUGEINT) AS ssq
+           FROM d GROUP BY 1)
+         SELECT d.event_type, d.day, d.events,
+           (n * d.events - sm) * (n * d.events - sm)
+             > 4 * (n * ssq - sm * sm) AS is_anomaly
+         FROM d JOIN m USING (event_type)
+         ORDER BY event_type, day""",
+    "column_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT($c) AS n_nulls,
+           COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"),
+    "copurchase_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+           COUNT(*) AS n_orders
+         FROM b x JOIN b y
+           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY item_a, item_b""",
   )
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table profiling (ANALYZE-style column statistics): per-column row /
+  * null / distinct counts in ONE scan of the table. The data-quality
+  * summary every lakehouse publishes next to a table (and the input to
+  * cardinality-based planning decisions); the reference's only profiling
+  * is row-count logging (`/root/reference/src/etl_pipeline.py:53,78`) —
+  * this is the per-column generalization.
+  *
+  * Plan shape: all columns profile in a single aggregate over one scan —
+  * never C per-column scans. The exact multi-distinct agg plans through
+  * Catalyst's Expand (one input row fans to C tagged rows before the
+  * partial agg), so the declared exact form costs C× the scan rows in
+  * the map stage but reads the table once. The [[profileApprox]] twin
+  * swaps exact distincts for HLL++ sketches (`approx_count_distinct`),
+  * which aggregate WITHOUT Expand — constant state per column, the form
+  * you run at 100 TB where a 2% distinct-count error is free accuracy to
+  * trade for an 11× smaller map stage.
+  */
+object Profile {
+
+  /** Long-format profile of `cols`: (col_name, n_rows, n_nulls,
+    * n_distinct) — distinct excludes nulls, matching SQL COUNT(DISTINCT).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    one.select(explode(array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Production twin: HLL++ distinct estimates (rsd 2%), no Expand in
+    * the plan. Spec-checked against [[profile]] within the error bound.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"_nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    one.select(explode(array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Declared query: full profile of the lineitem fact table. */
+  def lineitemProfile(spark: SparkSession, sfDir: String): DataFrame =
+    profile(Tables.lineitem(spark, sfDir), Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+}

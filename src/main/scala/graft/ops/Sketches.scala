@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches for the gold layer — the
+  * pre-aggregation pattern exact COUNT(DISTINCT) forbids: distinct
+  * counts don't add, so a lakehouse that wants "distinct users per day,
+  * week, month, all-time" from one pass must either rescan the fact
+  * table per granularity or store a MERGEABLE sketch per fine-grained
+  * cell and union upward. Spark 4 ships Apache DataSketches HLL as
+  * native aggregates (`hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate` — codegen'd, binary-typed state), so the
+  * sketch table is an ordinary DataFrame.
+  *
+  * Scale shape: the fact table is touched ONCE, shuffling only
+  * (series, day) cells each carrying a ≤ 2^lgK-register sketch; every
+  * coarser rollup aggregates the sketch table (cells × KB), never the
+  * log. Estimates carry ~1.04/√2^lgK relative error (~1.6% at lgK=12);
+  * the spec gates the error against exact counts and asserts
+  * merge-consistency (union of daily sketches ≡ sketch built directly
+  * on the month — same registers, same estimate).
+  */
+object Sketches {
+
+  /** Fine-grained sketch table: per (event_type, day) HLL sketch of
+    * user_id, plus exact row counts (counts DO add — they ride along
+    * for free).
+    */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(lgK)).as("user_sketch"),
+        count(lit(1)).as("events"))
+
+  /** Monthly rollup FROM THE SKETCH TABLE: distinct-user estimates via
+    * sketch union — no second pass over the log. Declared (rows-only:
+    * HLL register contents are engine-native, not SQL-expressible; the
+    * estimate-vs-exact and merge-consistency gates live in the spec).
+    */
+  def monthlyDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    dailyUserSketches(Tables.events(spark, sfDir))
+      .groupBy(col("event_type"), date_trunc("month", col("day")).as("month"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+          .as("approx_users"),
+        sum(col("events")).as("events"))
+      .orderBy(col("event_type"), col("month"))
+
+  /** The exact twin (rescans the log — what the sketch table avoids);
+    * the spec's error-gate reference.
+    */
+  def monthlyDistinctUsersExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("events"))
+      .orderBy(col("event_type"), col("month"))
+}

@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.{Tables, Det}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series regularization over the event log: resample to a fixed
   * daily grid, zero-fill gaps, and carry the last observed average
@@ -61,4 +62,46 @@ object TimeSeries {
 
   def gapFillQuery(spark: SparkSession, sfDir: String): DataFrame =
     gapFillDaily(Tables.events(spark, sfDir))
+
+  /** Volume-anomaly detection over the event log: flag (series, day)
+    * cells whose daily count deviates from the series mean by more than
+    * `k` population standard deviations — the monitoring query a
+    * lakehouse runs over every ingest feed (traffic spikes, dead
+    * sources).
+    *
+    * EXACT across engines by construction: the test
+    * `|c − μ| > k·σ`  ⇔  `(n·c − S)² > k²·(n·SS − S²)`
+    * is evaluated in DECIMAL(38,0) integer arithmetic (counts are
+    * integers, so S=Σc and SS=Σc² are too) — no float mean/stddev whose
+    * accumulation order could differ between Spark and the oracle.
+    * Headroom: n·c ≲ 4·10¹² even at 10⁹ events/day over a decade, and
+    * its square ≲ 1.6·10²⁵ ≪ 10³⁸.
+    *
+    * Plan shape: the raw log collapses to (series, day) counts in one
+    * partial+final agg; the per-series moments are a second agg over
+    * that tiny table; the moments broadcast back onto it. Nothing
+    * downstream of the first aggregate scales with input size.
+    */
+  def anomalyDays(events: DataFrame, k: Int = 2): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("events").cast(dec)).as("s"),
+        sum((col("events") * col("events")).cast(dec)).as("ss"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("events"),
+        (pow2(col("n") * col("events").cast(dec) - col("s")) >
+          lit(k * k) * (col("n") * col("ss") - pow2(col("s"))))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private def pow2(c: Column): Column = (c * c).cast(DecimalType(38, 0))
+
+  def anomalyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyDays(Tables.events(spark, sfDir))
 }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Basket, Profile, Sketches, TimeSeries}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Planted-data gates for the profiling / anomaly / basket / sketch
+  * additions: anomaly_days, column_profile, copurchase_pairs,
+  * sketch_distinct_rollup.
+  */
+class ProfileBasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int): Timestamp =
+    Timestamp.valueOf(f"2025-03-$day%02d 00:${i % 60}%02d:00")
+
+  test("anomalyDays flags a 3-sigma spike and nothing else") {
+    // type a: 9 days × 5 events + 1 day × 50 events → spike is 3σ out;
+    // quiet days sit at 0.33σ. type b: flat → σ=0, nothing flagged.
+    val rows =
+      (for (d <- 1 to 10; i <- 1 to (if (d == 10) 50 else 5))
+        yield ("a", ts(d, i))) ++
+      (for (d <- 1 to 6; i <- 1 to 7) yield ("b", ts(d, i)))
+    val ev = rows.toDF("event_type", "ts")
+    val out = TimeSeries.anomalyDays(ev).collect()
+    val flagged = out.filter(_.getBoolean(3))
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)))
+    assert(flagged.toSeq == Seq(("a", "2025-03-10")))
+    assert(out.length == 16)
+  }
+
+  test("anomalyDays: exactly-2-sigma deviation is NOT an anomaly (strict >)") {
+    // 4 equal days + 1 outlier puts the outlier at exactly 2σ for ANY
+    // outlier size (dev = 0.8(x−b), σ = 0.4|x−b|) — the boundary case.
+    val rows = for (d <- 1 to 5; i <- 1 to (if (d == 5) 50 else 5))
+      yield ("a", ts(d, i))
+    val out = TimeSeries.anomalyDays(rows.toDF("event_type", "ts")).collect()
+    assert(out.forall(!_.getBoolean(3)))
+  }
+
+  test("profile counts rows, nulls, and distincts per column in one scan") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (1L, "y"), (2L, null), (null, "y"), (null, null)
+    ).toDF("k", "v")
+    val out = Profile.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("k") == ((5L, 2L, 2L)))
+    assert(out("v") == ((5L, 2L, 2L)))
+  }
+
+  test("lineitem profile: one parquet scan feeds all 11 columns; approx twin within 5%") {
+    val exact = Profile.lineitemProfile(spark, sfTiny)
+    // count scans on the optimized logical plan (AQE wraps the physical
+    // tree, hiding FileSourceScanExec from a plain collect)
+    val scans = exact.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length == 1, "exact profile must read the table once")
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val a = Profile.profileApprox(
+      Tables.lineitem(spark, sfTiny),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    e.foreach { case (c, exactN) =>
+      assert(math.abs(a(c) - exactN) <= math.max(2L, (exactN * 0.05).toLong),
+        s"approx distinct for $c: ${a(c)} vs exact $exactN")
+    }
+  }
+
+  test("basket pairCounts: support threshold, ordering, multiplicity, skew guard") {
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 2L), // duplicate (order,item) ignored
+      (30L, 1L), (30L, 2L), (30L, 4L),
+      (40L, 3L)                        // singleton basket → no pairs
+    ).toDF("o", "it")
+    val out = Basket.pairCounts(items, "o", "it", minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+    // a basket over maxBasket contributes nothing (skew bomb dropped whole)
+    val big = (1 to 12).map(i => (99L, i.toLong)).toDF("o", "it")
+    assert(Basket.pairCounts(big, "o", "it", 1, maxBasket = 10).count() == 0)
+  }
+
+  test("sketch rollup: daily-union estimate equals direct monthly sketch; error < 5% of exact") {
+    val events = Tables.events(spark, sfSmall)
+    val viaDaily = Sketches.monthlyDistinctUsers(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val direct = events
+      .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(viaDaily.keySet == direct.keySet && viaDaily.nonEmpty)
+    viaDaily.foreach { case (k, est) =>
+      assert(est == direct(k), s"merge inconsistency at $k: $est vs ${direct(k)}")
+    }
+    val exact = Sketches.monthlyDistinctUsersExact(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(viaDaily(k) - n) <= math.max(2.0, n * 0.05),
+        s"estimate off at $k: ${viaDaily(k)} vs exact $n")
+    }
+  }
+}
