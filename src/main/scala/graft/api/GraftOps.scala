@@ -176,12 +176,12 @@ object GraftOps {
       .select(col("h.token").as("value"), col("h.est").as("occurrences"))
 
   /** Gopher-style repetition signals appended to the frame (duplicate
-    * token / duplicate-bigram / top-bigram fractions — see
-    * `graft.ops.Curate.repetitionColumns`).
+    * token / duplicate-bigram / top-bigram fractions — the staged
+    * `graft.ops.Curate.withRepetitionSignals`, which evaluates each
+    * intermediate array once per row).
     */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame =
-    df.select((df.columns.map(col).toSeq ++
-      graft.ops.Curate.repetitionColumns(col(textCol))): _*)
+    graft.ops.Curate.withRepetitionSignals(df, col(textCol))
 
   /** Benchmark decontamination: (doc, benchmark) pairs sharing at least
     * `minCommon` distinct word 3-grams. The benchmark side broadcasts;

@@ -32,9 +32,13 @@ object Curate {
     * boilerplate / generated spam; pipelines drop above a threshold.
     *
     * All per-row array expressions — embarrassingly parallel, no
-    * shuffle. The top-gram count is O(distinct·total) per row, bounded
-    * by document length (not data size), and stays inside whole-stage
-    * codegen.
+    * shuffle, and safe against optimizer inlining (see [[topRunCount]]
+    * for why the top-gram count is a fold, not a nested lambda). This
+    * single-projection form still duplicates the `toks`/`grams`
+    * subtrees across output columns (a constant ~4× per row);
+    * [[withRepetitionSignals]] stages the arrays as named columns so
+    * each evaluates once — the declared/pipeline path. The spec asserts
+    * the two forms equal.
     */
   def repetitionColumns(text: Column): Seq[Column] = {
     val toks = Text.tokens(text)
@@ -46,21 +50,84 @@ object Curate {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
     val ng = size(grams)
-    val topGram = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
     Seq(
       n.as("n_tokens"),
       ((n - size(array_distinct(toks))).cast(DoubleType) / n)
         .as("dup_token_frac"),
       when(ng > 0, (ng - size(array_distinct(grams))).cast(DoubleType) / ng)
         .otherwise(0.0).as("dup_2gram_frac"),
-      when(ng > 0, topGram.cast(DoubleType) / ng)
+      when(ng > 0, topRunCount(grams).cast(DoubleType) / ng)
         .otherwise(0.0).as("top_2gram_frac"))
   }
 
+  /** Multiplicity of the most frequent element, as a longest-equal-run
+    * fold over the SORTED array. Written this way — not as the obvious
+    * `array_max(transform(array_distinct(g), x => size(filter(g, ...))))`
+    * — because Spark's higher-order lambdas evaluate INTERPRETED and
+    * re-evaluate any non-attribute child expression per element: with
+    * the array argument inlined by the optimizer (CollapseProject /
+    * filter pushdown substitute alias definitions), the nested form
+    * re-runs the whole upstream chain (tokenizer, even a PII regex
+    * chain) O(elements) times PER ROW — a measured 500× blowup in the
+    * corpus pipeline. Here `aggregate` evaluates the array child once
+    * and the lambda touches only the accumulator and the element, so
+    * the cost is one O(n log n) sort + O(n) fold per evaluation no
+    * matter what the optimizer substitutes into the argument.
+    */
+  def topRunCount(grams: Column): Column = {
+    val folded = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, g) => {
+        val cur = when(g === acc.getField("prev"), acc.getField("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), cur.as("cur"),
+          greatest(cur, acc.getField("best")).as("best"))
+      })
+    folded.getField("best")
+  }
+
+  /** Staged twin of [[repetitionColumns]]: tokenization and the bigram
+    * list land in named `_toks`/`_grams` columns FIRST, and the signal
+    * expressions reference those attributes. Because both intermediates
+    * are non-cheap and multiply referenced, CollapseProject keeps the
+    * projections separate — each array is computed ONCE per row, and the
+    * interpreted higher-order lambdas (top-gram counting) touch cheap
+    * attributes instead of re-evaluating the tokenizer per element.
+    * Same output, ~n× less per-row work than the single-projection
+    * anchor on realistic documents.
+    */
+  def withRepetitionSignals(df: DataFrame, text: Column): DataFrame = {
+    val staged = df
+      .withColumn("_toks", Text.tokens(text))
+      .withColumn("_grams",
+        when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+            concat_ws(" ", element_at(col("_toks"), i),
+              element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))))
+    val n = size(col("_toks"))
+    val ng = size(col("_grams"))
+    val topGram = topRunCount(col("_grams"))
+    staged
+      .withColumn("n_tokens", n)
+      .withColumn("dup_token_frac",
+        (n - size(array_distinct(col("_toks")))).cast(DoubleType) / n)
+      .withColumn("dup_2gram_frac",
+        when(ng > 0,
+          (ng - size(array_distinct(col("_grams")))).cast(DoubleType) / ng)
+          .otherwise(0.0))
+      .withColumn("top_2gram_frac",
+        when(ng > 0, topGram.cast(DoubleType) / ng).otherwise(0.0))
+      .drop("_toks", "_grams")
+  }
+
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select((col("doc_id") +: repetitionColumns(col("text"))): _*)
+    withRepetitionSignals(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("dup_2gram_frac"), col("top_2gram_frac"))
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------

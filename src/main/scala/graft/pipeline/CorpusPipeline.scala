@@ -40,13 +40,28 @@ object CorpusPipeline {
 
     // 2. Per-doc quality gates: sketch-cutoff stopword-ratio filter
     //    (the production path — no global sort) + repetition caps
-    val rep = scrubbed.select(
-      (Seq(col("doc_id"), col("lang"), col("source"), col("text")) ++
-        Curate.repetitionColumns(col("text"))): _*)
+    // cache the SIGNALS frame, not the gated one: the gate predicate
+    // otherwise pushes below the projections with the signal
+    // definitions substituted in, re-deriving scrub+tokenize at the
+    // scan for every row (and the cache also serves qualityFilterApprox,
+    // which reads the frame twice: cutoff agg + filter)
+    val sig = Curate.withRepetitionSignals(
+        scrubbed.select(col("doc_id"), col("lang"), col("source"), col("text")),
+        col("text"))
+      .cache()
+    val rep = sig
       .filter(col("dup_token_frac") < 0.999 && col("top_2gram_frac") < 0.9)
       .select("doc_id", "lang", "source", "text")
+    // cache the stage anchors: the per-stage counts below and the two
+    // writes are separate actions, and without a cache each one re-runs
+    // the whole upstream chain — the reference's triple-count()
+    // recompute antipattern (`/root/reference/src/utils.py:26,34,48`,
+    // called out in SURVEY §4) scaled up to the priciest stages (PII
+    // regex + repetition signals are interpreted higher-order exprs).
+    // One cache per surviving stage = each stage computes once.
     val quality = Text.qualityFilterApprox(rep, dropBelow = 0.2)
       .select(col("doc_id")).join(rep, "doc_id")
+      .cache()
 
     // 3. Exact dedup (first-writer-wins), then near-dup clusters: keep
     //    only each cluster's canonical (minimum-id) document
@@ -57,6 +72,7 @@ object CorpusPipeline {
     val canonical = exact.join(
       roots.filter(col("node") =!= col("root")).select(col("node").as("doc_id")),
       Seq("doc_id"), "left_anti")
+      .cache()
 
     // 4. Benchmark decontamination (fixture benchmark = doc_id % 25)
     val contaminated = Curate.contaminatedPairsTagged(
@@ -64,7 +80,7 @@ object CorpusPipeline {
         when(col("doc_id") % 25 === 0, 0).otherwise(1).as("_side")),
       minCommon = 4, hashed = true)
       .select(col("doc_id")).distinct()
-    val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti").cache()
 
     // 5. Domain mix → stable split assignment → per-epoch shuffle order
     val mixed = Curate.stratifiedSample(clean, "doc_id", "lang",
@@ -72,6 +88,7 @@ object CorpusPipeline {
     val split = Curate.hashSplit(mixed, "doc_id")
     val shuffled = split
       .withColumn("shuffle_key", Curate.shuffleKey(col("doc_id"), "epoch0:"))
+      .cache()
 
     // 6. Packing layout for the train split (token-stream chunking in
     //    shuffle order — distributed prefix sum, no global window)
@@ -92,7 +109,7 @@ object CorpusPipeline {
     packed.write.mode("overwrite").parquet(s"$outDir/train_packing")
 
     val out = spark.read.parquet(s"$outDir/corpus")
-    Seq(
+    val counts = Seq(
       "01_raw" -> raw.count(),
       "02_quality" -> quality.count(),
       "03_exact_dedup" -> exact.count(),
@@ -104,6 +121,9 @@ object CorpusPipeline {
       "09_train_chunks" ->
         (spark.read.parquet(s"$outDir/train_packing")
           .agg(max(col("chunk_last"))).head.getLong(0) + 1))
+    Seq(sig, quality, canonical, clean, shuffled)
+      .foreach(_.unpersist(blocking = false))
+    counts
   }
 }
 

@@ -28,7 +28,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(corpus.filter(col("text").rlike(graft.ops.Text.EmailPattern)).count() == 0)
     // near-dups are gone: re-running pair generation finds nothing
     val residualPairs = graft.ops.Dedup.ngramPairs(
-      corpus.select(col("doc_id"), col("text"))).count()
+      Tables.parallelize(corpus.select(col("doc_id"), col("text")))).count()
     assert(residualPairs == 0, s"$residualPairs near-dup pairs survived")
 
     // packing covers every train doc exactly once, chunks contiguous

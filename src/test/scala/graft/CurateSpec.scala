@@ -25,6 +25,18 @@ class CurateSpec extends SparkSpec {
     assert(r3.getInt(1) == 1 && r3.getDouble(3) == 0.0 && r3.getDouble(4) == 0.0)
   }
 
+  test("staged repetition signals equal the single-projection anchor") {
+    val docs = Tables.documents(spark, sfTiny).select(col("doc_id"), col("text"))
+    val anchor = docs
+      .select((col("doc_id") +: Curate.repetitionColumns(col("text"))): _*)
+      .orderBy("doc_id").collect().toSeq
+    val staged = Curate.withRepetitionSignals(docs, col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("dup_2gram_frac"), col("top_2gram_frac"))
+      .orderBy("doc_id").collect().toSeq
+    assert(anchor.nonEmpty && anchor == staged)
+  }
+
   test("decontaminate: hashed grams give identical pairs to string grams") {
     val plain = Curate.decontaminate(spark, sfSmall).collect()
     val hashed = Curate.decontaminateHashed(spark, sfSmall).collect()
