@@ -435,9 +435,7 @@ object Curate {
     */
   def spans(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n, Dedup.slidingConcat(toks, n))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
@@ -547,7 +545,11 @@ object Curate {
     * the oracle sees identical keys.
     */
   def spanScrub(docs: DataFrame, n: Int = 8): DataFrame = {
-    val toks = split(col("text"), " ")
+    // stage the token array as a (multiply-referenced, so never
+    // collapse-inlined) column: the segment lambda below then slices an
+    // ATTRIBUTE per element instead of re-running the tokenizer per
+    // element (see [[topRunCount]] for the hazard)
+    val toks = col("_toks")
     val nSegs = floor(size(toks) / n).cast(IntegerType)
     // non-overlapping segment k covers 1-based tokens [k*n+1, k*n+n]
     val segs = when(size(toks) >= n,
@@ -559,6 +561,7 @@ object Curate {
       slice(toks, nSegs * n + 1, size(toks) - nSegs * n))
 
     val exploded = docs
+      .withColumn("_toks", split(col("text"), " "))
       .withColumn("rem", remainder)
       .select(col("doc_id"), col("rem"),
         posexplode_outer(segs).as(Seq("seg_idx", "segment")))

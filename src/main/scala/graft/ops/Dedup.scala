@@ -43,12 +43,24 @@ object Dedup {
   /** Word 3-gram shingles of a text column (distinct). */
   def shingles(c: Column, n: Int = 3): Column = {
     val toks = split(trim(c), "\\s+")
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    when(size(toks) >= n, array_distinct(slidingConcat(toks, n)))
       .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** All n-token sliding windows of `toks`, space-joined, built by
+    * zipping n shifted copies of the array. NOT the obvious
+    * `transform(sequence(...), i => concat_ws(slice(toks, i, n)))`:
+    * higher-order lambdas evaluate interpreted and re-evaluate
+    * non-attribute children per element, so that form re-runs the
+    * whole `toks` subtree (split+trim — or anything the optimizer
+    * substituted into it) once per window. `zip_with` evaluates its
+    * array arguments once per row; the lambda touches only elements.
+    * `toks` is evaluated n times per row (constant), not O(windows).
+    */
+  private[ops] def slidingConcat(toks: Column, n: Int): Column = {
+    val count = size(toks) - (n - 1)
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), count))
+    shifted.reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ threshold.
