@@ -96,6 +96,8 @@ object SparkEntry {
     "vocab_oov"          -> ((s, d) => Text.vocabOov(s, d)),
     "order_event_reconcile" -> ((s, d) => Star.orderEventReconcile(s, d)),
     "anomaly_days"       -> ((s, d) => TimeSeries.anomalyQuery(s, d)),
+    "rolling_users"      -> ((s, d) => TimeSeries.rollingUsersQuery(s, d)),
+    "order_value_quantiles" -> ((s, d) => Aggregates.orderValueQuantiles(s, d)),
     "column_profile"     -> ((s, d) => Profile.lineitemProfile(s, d)),
     "copurchase_pairs"   -> ((s, d) => Basket.copurchaseQuery(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
@@ -862,6 +864,28 @@ object SparkEntry {
            COUNT(*) - COUNT($c) AS n_nulls,
            COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
         .mkString("", " UNION ALL ", " ORDER BY col_name"),
+    "rolling_users" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         cells AS (
+           SELECT user_id, day + (i * INTERVAL 1 DAY) AS day
+           FROM ud, range(0, 7) t(i))
+         SELECT day, COUNT(DISTINCT user_id) AS users_7d
+         FROM cells
+         WHERE day <= (SELECT max(day) FROM ud)
+         GROUP BY 1 ORDER BY 1""",
+    "order_value_quantiles" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority, MAX(n) AS n_rows,
+           MAX(CASE WHEN rn = CEIL(0.5  * n) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CEIL(0.9  * n) THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CEIL(0.99 * n) THEN o_totalprice END) AS p99
+         FROM r GROUP BY 1 ORDER BY o_orderpriority""",
     "copurchase_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,

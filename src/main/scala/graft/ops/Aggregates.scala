@@ -245,4 +245,41 @@ object Aggregates {
         col("active_customers").cast(DoubleType) / col("cohort_size"))
       .orderBy(col("cohort_month"), col("months_since"))
   }
+
+  /** EXACT per-group quantiles (discrete / type-1: the smallest member
+    * whose cumulative rank reaches p — no interpolation, so the output
+    * is a real data value and bit-identical across engines) in ONE
+    * window pass per group. The alternative formulations all lose at
+    * scale or on the oracle: `percentile_approx` is approximate,
+    * Spark's exact `percentile` interpolates (float arithmetic that
+    * need not match another engine's), and a global sort-based rank is
+    * a single-partition window. Here each group sorts within its own
+    * window partition — the same shuffle any per-group quantile needs —
+    * and the selection `rn == ceil(p·n)` is integer-exact. Ties broken
+    * by `tiebreak` for full determinism.
+    */
+  def groupQuantilesOf(df: DataFrame, keyCol: String, valCol: String,
+                       tiebreak: String, ps: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col(valCol), col(tiebreak))))
+      .withColumn("_n", count(lit(1)).over(w))
+    ranked
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_rows"),
+        ps.map { case (name, p) =>
+          max(when(col("_rn") === ceil(lit(p) * col("_n")), col(valCol)))
+            .as(name)
+        }: _*)
+      .orderBy(col(keyCol))
+  }
+
+  /** Declared query: exact p50/p90/p99 order value per priority. */
+  def orderValueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    groupQuantilesOf(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      "o_orderpriority", "o_totalprice", "o_orderkey",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
 }

@@ -104,4 +104,38 @@ object TimeSeries {
 
   def anomalyQuery(spark: SparkSession, sfDir: String): DataFrame =
     anomalyDays(Tables.events(spark, sfDir))
+
+  /** Rolling `window`-day distinct users per day (the WAU / rolling-MAU
+    * family) — the aggregation plain GROUP BY cannot express because
+    * distinct counts don't add across days.
+    *
+    * Plan shape: the log collapses to distinct (user, day) cells in one
+    * partial+final agg — everything after runs on that cell table. Each
+    * cell then activates the `window` days it is visible to (a bounded
+    * ×window explode of the CELL table, not the log), and the final
+    * count-distinct shuffles (day, user) pairs once. Days beyond the
+    * last observed day are clamped via a broadcast 1-row bounds
+    * aggregate. A day with no active user in its trailing window is
+    * absent (reads as zero). At sketch-tolerant accuracy the same
+    * rollup unions the last `window` daily HLL sketches instead
+    * ([[graft.ops.Sketches]]) — no explode at all.
+    */
+  def rollingDistinctUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val bounds = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr(s"interval ${window - 1} days"),
+          expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(s"users_${window}d"))
+      .orderBy(col("day"))
+  }
+
+  def rollingUsersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rollingDistinctUsers(Tables.events(spark, sfDir))
 }

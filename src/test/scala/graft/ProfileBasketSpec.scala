@@ -85,6 +85,35 @@ class ProfileBasketSpec extends SparkSpec {
     assert(Basket.pairCounts(big, "o", "it", 1, maxBasket = 10).count() == 0)
   }
 
+  test("rollingDistinctUsers counts trailing-window users, clamped to last day") {
+    // u1 active day 1; u2 active days 1 and 3; u3 active day 9.
+    // 7-day windows: day1→{u1,u2}, days2-3→{u1,u2}, ... day8 (u1/u2 from
+    // day3 window? day 3 covers days 3..9) etc.
+    val ev = Seq(
+      (1L, ts(1, 1)), (2L, ts(1, 2)), (2L, ts(3, 1)), (3L, ts(9, 1))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.TimeSeries.rollingDistinctUsers(ev).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(out("2025-03-01") == 2)  // u1, u2 (both day 1)
+    assert(out("2025-03-07") == 2)  // day-1 activity still visible
+    assert(out("2025-03-08") == 1)  // only u2's day-3 activity remains
+    assert(out("2025-03-09") == 2)  // u2 (day 3) + u3 (day 9)
+    assert(!out.contains("2025-03-10"), "clamped at the last observed day")
+    assert(out.size == 9)
+  }
+
+  test("groupQuantiles picks exact members at ceil(p*n) with deterministic ties") {
+    val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("b", 5.0, 100L), ("b", 5.0, 101L), ("b", 7.0, 102L))
+    val out = graft.ops.Aggregates.groupQuantilesOf(
+      df.toDF("k", "v", "id"), "k", "v", "id",
+      Seq("p50" -> 0.5, "p90" -> 0.9)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") == ((10L, 5.0, 9.0)))  // ceil(.5*10)=5th=5, ceil(.9*10)=9th=9
+    assert(out("b") == ((3L, 5.0, 7.0)))   // ceil(1.5)=2nd=5.0, ceil(2.7)=3rd=7.0
+  }
+
   test("sketch rollup: daily-union estimate equals direct monthly sketch; error < 5% of exact") {
     val events = Tables.events(spark, sfSmall)
     val viaDaily = Sketches.monthlyDistinctUsers(spark, sfSmall).collect()
