@@ -401,4 +401,42 @@ object GraftOps {
                vocabSize: Int = 20): DataFrame =
     graft.ops.Text.vocabOovOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), vocabSize)
+
+  /** Per-(series, day) volume-anomaly flags: daily count deviating more
+    * than `k` population σ from the series mean, decided in exact
+    * integer arithmetic (`graft.ops.TimeSeries.anomalyDays`).
+    */
+  def anomalyDays(df: DataFrame, seriesCol: String, tsCol: String,
+                  k: Int = 2): DataFrame =
+    graft.ops.TimeSeries.anomalyDays(
+      df.select(col(seriesCol).as("event_type"), col(tsCol).as("ts")), k)
+
+  /** Rolling `window`-day distinct `actorCol` per day (WAU family). */
+  def rollingDistinct(df: DataFrame, actorCol: String, tsCol: String,
+                      window: Int = 7): DataFrame =
+    graft.ops.TimeSeries.rollingDistinctUsers(
+      df.select(col(actorCol).as("user_id"), col(tsCol).as("ts")), window)
+
+  /** Exact discrete per-group quantiles by rank selection — one window
+    * pass per group, deterministic ties via `tiebreak`.
+    */
+  def groupQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                     tiebreak: String,
+                     ps: Seq[(String, Double)] = Seq(
+                       "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): DataFrame =
+    graft.ops.Aggregates.groupQuantilesOf(df, keyCol, valCol, tiebreak, ps)
+
+  /** Single-scan per-column profile: rows / nulls / exact distincts.
+    * `approximate = true` swaps HLL++ estimates in (no Expand — the
+    * 100 TB form).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     approximate: Boolean = false): DataFrame =
+    if (approximate) graft.ops.Profile.profileApprox(df, cols)
+    else graft.ops.Profile.profile(df, cols)
+
+  /** Frequent co-occurring item pairs (≥ minSupport shared baskets). */
+  def copurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long = 2, maxBasket: Int = 10000): DataFrame =
+    graft.ops.Basket.pairCounts(df, basketCol, itemCol, minSupport, maxBasket)
 }

@@ -229,4 +229,43 @@ class GraftOpsSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSeq
       === declaredQ.collect().map(_.toSeq).toSeq)
   }
+
+  test("facade anomaly/rolling/quantiles/profile/basket match declared queries") {
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_type").as("series"), col("ts").as("at"),
+        col("user_id").as("actor"))
+
+    val anom = GraftOps.anomalyDays(ev, "series", "at")
+    assert(anom.collect().map(_.toSeq).toSeq
+      === graft.ops.TimeSeries.anomalyQuery(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq)
+
+    val roll = GraftOps.rollingDistinct(ev, "actor", "at")
+    assert(roll.collect().map(_.toSeq).toSeq
+      === graft.ops.TimeSeries.rollingUsersQuery(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq)
+
+    val quant = GraftOps.groupQuantiles(
+      Tables.orders(spark, sfTiny)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      "o_orderpriority", "o_totalprice", "o_orderkey")
+    assert(quant.collect().map(_.toSeq).toSeq
+      === graft.ops.Aggregates.orderValueQuantiles(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq)
+
+    val prof = GraftOps.profileColumns(
+      Tables.lineitem(spark, sfTiny), Seq("l_orderkey", "l_returnflag"))
+    assert(prof.collect().map(r => (r.getString(0), r.getLong(3))).toMap
+      === Map("l_orderkey" -> Tables.lineitem(spark, sfTiny)
+          .select("l_orderkey").distinct().count(),
+        "l_returnflag" -> 3L))
+
+    val pairs = GraftOps.copurchasePairs(
+      Tables.lineitem(spark, sfTiny)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      "basket", "item")
+    assert(pairs.collect().map(_.toSeq).toSeq
+      === graft.ops.Basket.copurchaseQuery(spark, sfTiny)
+        .collect().map(_.toSeq).toSeq)
+  }
 }
