@@ -87,6 +87,8 @@ object TimeSeries {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("events"))
+      .cache() // series×days rows; feeds both the moments and the join —
+               // without it the log is scanned and aggregated twice
     val stats = daily.groupBy(col("event_type"))
       .agg(
         count(lit(1)).cast(dec).as("n"),
@@ -124,7 +126,11 @@ object TimeSeries {
     val ud = events
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
-    val bounds = ud.agg(max(col("day")).as("mx"))
+    // bounds from the RAW log, not from `ud`: ud is users×days (too big
+    // to cache at scale), and deriving the max through it would pay its
+    // distinct shuffle twice. A max over the pruned 1-column scan is a
+    // partial+final agg with no shuffle of consequence.
+    val bounds = events.agg(max(date_trunc("day", col("ts"))).as("mx"))
     ud.select(col("user_id"),
         explode(sequence(col("day"),
           col("day") + expr(s"interval ${window - 1} days"),

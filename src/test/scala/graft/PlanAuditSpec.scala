@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("similarity_topk")
     assert(p.contains("BroadcastExchange"), "probes should broadcast")
     // the only hash-partition exchange allowed is the per-probe window
-    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+    val exchanges = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
     assert(exchanges.forall(_.startsWith("probe_id")),
       s"corpus shuffled unexpectedly: $exchanges")
@@ -90,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
   test("decontaminate: benchmark side broadcasts; corpus never hash-shuffles for the join") {
     val p = planOf("decontaminate")
     assert(p.contains("BroadcastHashJoin"), "benchmark posting list should broadcast")
-    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+    val exchanges = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
     // the only hash exchange is the (doc, bench) count aggregation
     assert(exchanges.forall(e => e.startsWith("doc_id") || e.startsWith("bench_id")),
@@ -178,7 +178,7 @@ class PlanAuditSpec extends SparkSpec {
   test("funnel_conversion: one user_id shuffle feeds both windows AND the per-user agg") {
     val p = planOf("funnel_conversion")
     assert(p.contains("BroadcastExchange"), "customer dim should broadcast")
-    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+    val exchanges = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
     assert(exchanges.forall(e => e.startsWith("user_id") || e.startsWith("c_mktsegment")),
       s"unexpected shuffle keys: $exchanges")
@@ -190,7 +190,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("cohort_retention")
     assert(!p.contains("Exchange SinglePartition"),
       "cohort windows must stay keyed")
-    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+    val exchanges = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
     assert(exchanges.forall(e => e.startsWith("o_custkey") || e.startsWith("am")
       || e.startsWith("cohort_month") || e.startsWith("months_since")),
@@ -205,7 +205,7 @@ class PlanAuditSpec extends SparkSpec {
       "calibration row should broadcast back to the coding scan")
     // the vectors themselves must never hash-shuffle — only the 64-row
     // (pos, min, max) calibration aggregate may
-    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+    val exchanges = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
     assert(exchanges.forall(_.startsWith("pos")),
       s"vector data shuffled unexpectedly: $exchanges")
@@ -233,5 +233,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-V vocab should be a bounded TakeOrdered, not a full sort")
     assert(p.contains("BroadcastExchange"), "vocabulary should broadcast")
+  }
+
+  test("column_profile: ONE fact scan feeds every column's profile (Expand, not C scans)") {
+    val p = planOf("column_profile")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"per-column rescans detected: $scans scans")
+    assert(p.contains("Expand"), "multi-distinct should plan through Expand")
+  }
+
+  test("copurchase_pairs: tree-shaped — one fact scan, no self-join") {
+    val p = planOf("copurchase_pairs")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"basket mining must not self-join the fact: $scans scans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join belongs in the chained-explode pair expansion")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "fact scan should prune to (orderkey, partkey)")
+  }
+
+  test("anomaly_days: log aggregated once (cached daily), moments broadcast back") {
+    val p = planOf("anomaly_days")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "daily counts should be cached, not recomputed per branch")
+    assert(p.contains("BroadcastHashJoin"), "per-series moments should broadcast")
+  }
+
+  test("order_value_quantiles: per-group window only — no single-partition stage") {
+    val p = planOf("order_value_quantiles")
+    assert(!p.contains("SinglePartition"),
+      "discrete quantiles must not plan a global single-partition window")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("o_orderpriority")),
+      s"only the group key may shuffle: $exchanges")
+  }
+
+  test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
+    val p = planOf("rolling_users")
+    // two scans by design: (user_id, ts) for cells + ts-only for bounds
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected cells + bounds scans, got $scans")
+    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+      "bounds scan should prune to the timestamp column")
+    assert(!p.contains("CartesianProduct"),
+      "bounds must attach via broadcast, not a cartesian")
   }
 }
