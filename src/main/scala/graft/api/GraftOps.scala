@@ -303,6 +303,21 @@ object GraftOps {
     graft.pipeline.ManifestTable.write(df, path, partitionCols,
       statsCols = statsCols)
 
+  /** Transactional append to a manifest table: the new version reads
+    * the previous version's files plus this batch's — atomic, previous
+    * versions untouched. With `idempotencyTag` set (e.g. a streaming
+    * batch id), replaying the same tag is a no-op — the exactly-once
+    * sink pattern (`graft.pipeline.ManifestTable.appendIdempotent`).
+    */
+  def appendVersioned(df: DataFrame, path: String,
+                      idempotencyTag: String = null,
+                      statsCols: Seq[String] = Nil): Long =
+    if (idempotencyTag == null)
+      graft.pipeline.ManifestTable.append(df, path, statsCols = statsCols)
+    else
+      graft.pipeline.ManifestTable.appendIdempotent(df, path, idempotencyTag,
+        statsCols = statsCols)
+
   /** Stats-pruned read of a manifest table: only files whose recorded
     * per-file [min, max] for `column` intersects [lower, upper] are
     * scanned (Delta-style data skipping; sound — files without stats

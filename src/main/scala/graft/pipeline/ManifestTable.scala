@@ -73,12 +73,55 @@ object ManifestTable {
     */
   def write(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-            statsCols: Seq[String] = Nil): Long = {
+            statsCols: Seq[String] = Nil): Long =
+    commit(df, path, partitionCols, maxAttempts, statsCols,
+      carryForward = false, tag = None)
+
+  /** Transactional APPEND: commit a new version whose file list is the
+    * current version's files PLUS this batch's — Delta-style `append`
+    * without Delta. The data files of previous versions are never
+    * touched or rewritten; an appender dying mid-stage is invisible.
+    * An optional `tag` (e.g. a streaming batch id) is recorded in the
+    * manifest for [[appendIdempotent]].
+    */
+  def append(df: DataFrame, path: String,
+             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
+             statsCols: Seq[String] = Nil, tag: Option[String] = None): Long =
+    commit(df, path, partitionCols, maxAttempts, statsCols,
+      carryForward = true, tag = tag)
+
+  /** Idempotent tagged append for exactly-once sinks: if any committed
+    * manifest already carries `tag`, the call is a no-op returning that
+    * version — a redelivered micro-batch (checkpoint loss, restarted
+    * query, at-least-once upstream) commits nothing twice. Idempotence
+    * is per serialized writer (a Structured Streaming query runs its
+    * batches serially); two CONCURRENT writers racing the same fresh
+    * tag are the one case this cannot collapse — the same boundary
+    * Delta's txn appId/version protocol draws.
+    */
+  def appendIdempotent(df: DataFrame, path: String, tag: String,
+                       partitionCols: Seq[String] = Nil,
+                       statsCols: Seq[String] = Nil): Long =
+    committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
+      append(df, path, partitionCols, statsCols = statsCols, tag = Some(tag)))
+
+  /** The committed version carrying `tag`, if any. */
+  def committedVersionOfTag(spark: SparkSession, path: String,
+                            tag: String): Option[Long] =
+    versions(spark, path).findLast { v =>
+      val t = manifestNode(spark, path, v).get("tag")
+      t != null && t.asText() == tag
+    }
+
+  private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
+                     maxAttempts: Int, statsCols: Seq[String],
+                     carryForward: Boolean, tag: Option[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     var attempt = 0
     while (attempt < maxAttempts) {
-      val version = currentVersion(spark, path).getOrElse(0L) + 1L
+      val prev = currentVersion(spark, path)
+      val version = prev.getOrElse(0L) + 1L
       // WRITER-UNIQUE staging dir: two writers racing for version N
       // must never stage into the same directory (an overwrite write
       // would clobber the other's files before its commit). The
@@ -90,21 +133,31 @@ object ManifestTable {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
-      if (staged.isEmpty) {
+      if (staged.isEmpty && !(carryForward && prev.nonEmpty)) {
         // a PARTITIONED write of zero rows emits no files at all, which
         // would commit an unreadable version — re-stage unpartitioned:
         // an empty non-partitioned parquet write keeps a schema-bearing
-        // file (partition columns become ordinary empty columns)
+        // file (partition columns become ordinary empty columns). An
+        // append onto existing history skips this: the carried files
+        // already make the version readable.
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
       }
-      val files = staged.map(p => relativize(new Path(path), p))
+      val carried: Seq[String] =
+        if (carryForward) prev.map(manifestFiles(spark, path, _)).getOrElse(Nil)
+        else Nil
+      val carriedStats: Map[String, Map[String, ColStats]] =
+        if (carryForward && statsCols.nonEmpty)
+          prev.map(manifestStats(spark, path, _)).getOrElse(Map.empty)
+        else Map.empty
+      val files = carried ++ staged.map(p => relativize(new Path(path), p))
       val manifest = new Path(path, s"$ManifestPrefix$version.json")
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val json = manifestJson(spark, version, files,
         if (statsCols.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsCols)).toMap)
+        else carriedStats ++ staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, statsCols)).toMap,
+        tag)
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
       // conditional commit: must atomically fail if a concurrent
@@ -134,8 +187,14 @@ object ManifestTable {
     val rel = manifestFiles(spark, path, version)
     require(rel.nonEmpty, s"version $version at $path has no data files")
     val files = rel.map(r => s"$path/$r")
-    spark.read.option("basePath", s"$path/${rel.head.split("/").head}")
-      .parquet(files: _*)
+    // single-snapshot version (overwrite write): basePath = the snapshot
+    // root so k=v partition dirs inside it are discovered. An APPENDED
+    // version spans several snapshot dirs — basePath must be their
+    // common ancestor (appends are unpartitioned by contract, so there
+    // are no k=v segments to discover).
+    val roots = rel.map(_.split("/").head).distinct
+    val base = if (roots.length == 1) s"$path/${roots.head}" else path
+    spark.read.option("basePath", base).parquet(files: _*)
   }
 
   /** The data files a committed manifest names (table-relative). */
@@ -311,10 +370,12 @@ object ManifestTable {
 
   private def manifestJson(spark: SparkSession, version: Long,
                            files: Seq[String],
-                           stats: Map[String, Map[String, ColStats]]): String = {
+                           stats: Map[String, Map[String, ColStats]],
+                           tag: Option[String] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
+    tag.foreach(root.put("tag", _))
     val arr = root.putArray("files")
     files.foreach(arr.add)
     if (stats.nonEmpty) {
@@ -390,22 +451,36 @@ object ManifestTable {
     * versions. Never touches uncommitted (orphan) snapshot directories
     * newer than the current version — a concurrent failed writer's
     * leftovers are rewritten by its retry, not vacuumed from under it.
+    * APPEND-aware: a kept (appended) version references files living in
+    * OLDER versions' snapshot directories, so a directory is deleted
+    * only when no surviving manifest names a file inside it.
     */
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, path)
-    val drop = versions(spark, path).dropRight(keep)
-    drop.foreach { v =>
-      // snapshot dirs are snap-<v> (legacy/crash orphans) or
-      // snap-<v>-<token> (unique staging); drop both forms for v
-      f.listStatus(new Path(path))
-        .filter { st =>
-          val n = st.getPath.getName
-          n == s"snap-$v" || n.startsWith(s"snap-$v-")
-        }
-        .foreach(st => f.delete(st.getPath, true))
-      f.delete(new Path(path, s"$ManifestPrefix$v.json"), false)
-    }
+    val all = versions(spark, path)
+    val drop = all.dropRight(keep)
+    val kept = all.takeRight(keep)
+    // snapshot dirs still referenced by any surviving version
+    val liveDirs: Set[String] =
+      kept.flatMap(v => manifestFiles(spark, path, v))
+        .map(_.split("/").head).toSet
+    drop.foreach(v => f.delete(new Path(path, s"$ManifestPrefix$v.json"), false))
+    // Sweep snapshot dirs: delete any dir below the kept-version floor
+    // that no surviving manifest references. Versions are matched on
+    // the dir-name prefix (snap-<v> legacy / snap-<v>-<token> staged),
+    // NOT on the dropped-manifest list — a dir kept in an earlier
+    // vacuum because an append still read it loses its manifest then,
+    // and must still be collectable once a later rewrite (compact /
+    // overwrite) drops the last reference.
+    val floor = kept.headOption.getOrElse(Long.MaxValue)
+    f.listStatus(new Path(path))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("snap-") && !liveDirs(n) &&
+          n.split("-").lift(1).flatMap(_.toLongOption).exists(_ < floor)
+      }
+      .foreach(st => f.delete(st.getPath, true))
     drop
   }
 

@@ -86,6 +86,58 @@ object EventsStream {
     batches.get()
   }
 
+  /** Streaming ingest with a TRANSACTIONAL sink: every micro-batch
+    * commits atomically through [[graft.pipeline.ManifestTable]] as a
+    * tagged append. Two failure modes the plain append sink
+    * ([[streamToBronze]]) cannot survive become safe:
+    *  - a batch dying mid-write leaves only an uncommitted snapshot
+    *    directory no reader ever sees (parquet append leaves partial
+    *    files IN the table);
+    *  - a REPLAYED batch no-ops against its already-committed tag.
+    *    Structured Streaming checkpoints offsets AFTER foreachBatch
+    *    returns, so a crash in that gap re-runs the last batch on
+    *    restart — the standard at-least-once hole in every
+    *    foreachBatch sink. The tag closes it: same batch id, same
+    *    data, already committed, skip. (This is Delta's
+    *    `txnAppId`/`txnVersion` idempotent-sink pattern without Delta;
+    *    like it, it assumes the same checkpoint lineage — batch ids
+    *    from a FRESH checkpoint number a different batching of the
+    *    source and get no replay protection.)
+    * Returns (batches committed, batches skipped as duplicates).
+    */
+  def streamToManifestBronze(spark: SparkSession, srcDir: String,
+                             tablePath: String,
+                             checkpointLocation: String = null): (Long, Long) = {
+    val ckpt =
+      if (checkpointLocation != null) checkpointLocation
+      else tablePath.stripSuffix("/") + "_ckpt"
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = graft.ops.Relational.bronzeDerive(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"events-bronze-batch-$id"
+          val before = graft.pipeline.ManifestTable
+            .committedVersionOfTag(batch.sparkSession, tablePath, tag)
+          if (before.isDefined) skipped.incrementAndGet()
+          else {
+            graft.pipeline.ManifestTable.appendIdempotent(batch, tablePath, tag)
+            committed.incrementAndGet()
+          }
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    (committed.get(), skipped.get())
+  }
+
   /** Stream-stream inner join: purchases correlated to a prior view by
     * the same user within one hour. Both sides carry watermarks and the
     * join condition bounds event-time distance — together they bound the

@@ -202,6 +202,85 @@ class ManifestTableSpec extends SparkSpec {
     assert(viaState === declared)
   }
 
+  test("append commits accumulate; idempotent tags replay as no-ops") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
+    assert(ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path) === 1L)
+    assert(ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), path) === 2L)
+    assert(ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // previous version untouched (time travel across an append)
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 1)
+    // the change feed between append versions is pure inserts
+    val feed = ManifestTable.diff(spark, path, 1, 2).collect()
+    assert(feed.map(_.getString(2)).toSeq === Seq("insert"))
+
+    // tagged append: replaying the same batch tag commits nothing
+    val v3 = ManifestTable.appendIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), path, tag = "batch-7")
+    assert(v3 === 3L)
+    val replay = ManifestTable.appendIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), path, tag = "batch-7")
+    assert(replay === 3L, "replayed tag must return the original commit")
+    assert(ManifestTable.currentVersion(spark, path) === Some(3L))
+    assert(ManifestTable.read(spark, path).count() === 3)
+    assert(ManifestTable.committedVersionOfTag(spark, path, "batch-7")
+      === Some(3L))
+  }
+
+  test("vacuum never deletes a snapshot an appended version still reads") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt10").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)    // v1
+    ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), path)   // v2 = v1 files + new
+    // dropping v1 must keep v1's snapshot DIRECTORY (v2 reads from it)
+    assert(ManifestTable.vacuum(spark, path, keep = 1) === Seq(1L))
+    assert(ManifestTable.versions(spark, path) === Seq(2L))
+    assert(ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")),
+      "vacuum deleted files still referenced by the surviving append")
+
+    // after a compaction (self-contained rewrite) the old dirs CAN go
+    ManifestTable.compact(spark, path, targetFiles = 1)          // v3
+    assert(ManifestTable.vacuum(spark, path, keep = 1) === Seq(2L))
+    assert(!new java.io.File(path).listFiles()
+      .exists(f => f.getName.startsWith("snap-1-") || f.getName.startsWith("snap-2-")),
+      "unreferenced snapshot dirs should be gone after compaction+vacuum")
+    assert(ManifestTable.read(spark, path).count() === 2)
+  }
+
+  test("streaming bronze through the manifest sink: atomic batches, replay-safe tags") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mt11").toString
+    val src = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+    val table = s"$base/bronze"
+    val (committed, skipped) = graft.streaming.EventsStream
+      .streamToManifestBronze(spark, src.toString, table, s"$base/ckpt")
+    assert(committed >= 1 && skipped === 0)
+    val viaStream = ManifestTable.read(spark, table)
+    val viaBatch = graft.ops.Relational.bronzeIngest(spark, sfTiny)
+    assert(viaStream.count() === viaBatch.count())
+    assert(viaStream.select("event_id").as[Long].collect().sorted.toSeq
+      === viaBatch.select("event_id").as[Long].collect().sorted.toSeq)
+
+    // same checkpoint, nothing new: no batches, no duplicates
+    val (c2, s2) = graft.streaming.EventsStream
+      .streamToManifestBronze(spark, src.toString, table, s"$base/ckpt")
+    assert(c2 === 0L && s2 === 0L)
+    assert(ManifestTable.read(spark, table).count() === viaBatch.count())
+
+    // simulate the crash-between-commit-and-checkpoint replay: the
+    // sink sees the same batch id again and must skip it
+    val tag = "events-bronze-batch-0"
+    val v = ManifestTable.committedVersionOfTag(spark, table, tag)
+    assert(v.nonEmpty, "batch 0 should have committed under its tag")
+    val replayed = ManifestTable.appendIdempotent(
+      viaBatch.limit(5), table, tag)
+    assert(replayed === v.get, "replayed batch must no-op onto its commit")
+    assert(ManifestTable.read(spark, table).count() === viaBatch.count())
+  }
+
   test("reads stay sound when stats are absent or the column is unknown") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
     ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols
