@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "dedup_semantic"     -> ((s, d) => Dedup.dedupSemantic(s, d)),
     "similarity_topk"    -> ((s, d) => Similarity.similarityTopk(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "similarity_ivf"     -> ((s, d) => Similarity.annIvf(s, d)),

@@ -257,6 +257,49 @@ object Dedup {
       .orderBy(col("vec1"), col("vec2"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv 2303.09540): k-means-cluster the embeddings (seeded, fixed
+    * init), then compare pairs ONLY within a cluster — the paper's
+    * trick for making all-pairs semantic comparison tractable: the
+    * quadratic term drops from n² to Σ cluster². Complements
+    * [[cosinePairs]]: LSH tables bound recall probabilistically per
+    * pair; the cluster route inherits k-means locality (a pair split
+    * across clusters is missed — the paper accepts exactly this
+    * trade). `maxCluster` guards degenerate clusters; at production
+    * scale `cells` grows with the corpus (the paper runs 11k clusters
+    * for 100M embeddings) so cluster populations stay bounded.
+    */
+  def semanticPairs(emb: DataFrame, cells: Int = 10,
+                    threshold: Double = 0.4,
+                    maxCluster: Int = 2000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFv = emb.withColumn("fv", array_to_vector(col("v")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
+    val assigned = km.fit(withFv).transform(withFv)
+      .select(col("cell"), col("vec_id"), col("v"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("bucket"))
+      .filter(size(col("bucket")).between(2, maxCluster))
+      .select(explode(col("bucket")).as("a"), col("bucket"))
+      .select(col("a"), explode(col("bucket")).as("c"))
+      .filter(col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("c.vec_id").as("vec2"),
+        Similarity.cosine(col("a.v"), col("c.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec1"), col("vec2"))
+  }
+
+  def dedupSemantic(spark: SparkSession, sfDir: String,
+                    cells: Int = 10, threshold: Double = 0.4): DataFrame =
+    semanticPairs(
+      Tables.parallelize(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
+      cells, threshold)
+
   /** 64-bit SimHash per document: per-token xxhash64 (seed 42, same as
     * Spark's `xxhash64`), sum ±1 votes per bit, sign → bit. Computed by
     * the native [[graft.functions.SimHash64]] expression — one pass, one

@@ -98,4 +98,30 @@ class DedupSpec extends SparkSpec {
     val total = out.map(_.getLong(1)).sum
     assert(total % 2 == 0 && out.forall(_.getLong(1) > 0))
   }
+
+  test("semanticPairs: planted duplicate recovered; every pair is a true pair") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0)
+        .select(lit(100000L).as("vec_id"), col("v")))
+    val pairs = Dedup.semanticPairs(planted, cells = 10, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // an identical clone shares the cluster of its original by
+    // construction (same point, same nearest centroid) → cos 1.0 pair
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100000L
+      && math.abs(p._3 - 1.0) < 1e-9), "planted clone not recovered")
+    // soundness: within-cluster pairs are a subset of the brute-force
+    // above-threshold pair set (recall is the documented k-means trade)
+    val a = planted.select(col("vec_id").as("i1"), col("v").as("v1"))
+    val b = planted.select(col("vec_id").as("i2"), col("v").as("v2"))
+    val brute = a.crossJoin(b).filter(col("i1") < col("i2"))
+      .select(col("i1"), col("i2"),
+        graft.ops.Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall(p => brute((p._1, p._2))),
+      "semantic pair not present in the exact pair set")
+  }
 }
