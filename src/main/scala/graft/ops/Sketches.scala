@@ -49,6 +49,31 @@ object Sketches {
         sum(col("events")).as("events"))
       .orderBy(col("event_type"), col("month"))
 
+  /** Sketch twin of [[graft.ops.TimeSeries.rollingDistinctUsers]]: the
+    * rolling 7-day distinct-user count as a RANGE-framed union of daily
+    * sketches — no ×window explode of the (user, day) cells at all; the
+    * window slides over the tiny daily-sketch table (rows = days). The
+    * range frame is keyed on epoch-day, so calendar gaps between
+    * observed days are handled exactly (a row-frame would slide over
+    * ROWS and silently widen across gaps). Only observed days are
+    * emitted, estimates carry HLL error — the trade vs the exact
+    * explode, spec-gated within 5%.
+    */
+  def rollingDistinctUsersSketch(events: DataFrame, window: Int = 7,
+                                 lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-(window - 1), 0)
+    daily
+      .withColumn(s"users_${window}d_est",
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w)))
+      .select(col("day"), col(s"users_${window}d_est"))
+      .orderBy(col("day"))
+  }
+
   /** The exact twin (rescans the log — what the sketch table avoids);
     * the spec's error-gate reference.
     */

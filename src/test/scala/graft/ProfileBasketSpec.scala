@@ -102,6 +102,19 @@ class ProfileBasketSpec extends SparkSpec {
     assert(out.size == 9)
   }
 
+  test("sketch-window rolling users matches the exact explode within 5% on observed days") {
+    val events = Tables.events(spark, sfSmall)
+    val exact = graft.ops.TimeSeries.rollingDistinctUsers(events).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val est = Sketches.rollingDistinctUsersSketch(events).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.keySet.subsetOf(exact.keySet))
+    est.foreach { case (d, e) =>
+      assert(math.abs(e - exact(d)) <= math.max(2.0, exact(d) * 0.05),
+        s"rolling estimate off at $d: $e vs exact ${exact(d)}")
+    }
+  }
+
   test("groupQuantiles picks exact members at ceil(p*n) with deterministic ties") {
     val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
       Seq(("b", 5.0, 100L), ("b", 5.0, 101L), ("b", 7.0, 102L))
