@@ -274,9 +274,19 @@ object Dedup {
                     threshold: Double = 0.4,
                     maxCluster: Int = 2000): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val withFv = emb.withColumn("fv", array_to_vector(col("v")))
+    // pinned partitioning AND in-partition order before the fit:
+    // k-means|| initialization samples rows per partition, so both the
+    // partition layout and the row order inside each partition must be
+    // parallelism-invariant or the clustering (and thus the pair set)
+    // drifts between runner configs — the same pin as
+    // graft.ml.RevenueModel.fitPinned. Few iterations on purpose — a
+    // coarse dedup partition needs locality, not convergence.
+    val withFv = emb.repartition(8, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .withColumn("fv", array_to_vector(col("v")))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
+      .setK(cells).setSeed(42).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
     val assigned = km.fit(withFv).transform(withFv)
       .select(col("cell"), col("vec_id"), col("v"))
     assigned
