@@ -122,6 +122,18 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       val prev = currentVersion(spark, path)
       val version = prev.getOrElse(0L) + 1L
+      // schema rides in the manifest (Delta keeps it in the log): an
+      // overwrite commits the batch's schema; an append commits the
+      // EVOLVED union — previous columns first, new columns appended —
+      // so readers of the new version see old files' missing columns as
+      // nulls instead of whichever file's footer the reader sampled.
+      // Computed BEFORE staging: an incompatible append (type change)
+      // fails fast, leaving no orphan files.
+      val schema =
+        if (carryForward)
+          prev.flatMap(manifestSchema(spark, path, _))
+            .map(evolve(_, df.schema)).getOrElse(df.schema)
+        else df.schema
       // WRITER-UNIQUE staging dir: two writers racing for version N
       // must never stage into the same directory (an overwrite write
       // would clobber the other's files before its commit). The
@@ -157,7 +169,7 @@ object ManifestTable {
         if (statsCols.isEmpty) Map.empty
         else carriedStats ++ staged.map(p => relativize(new Path(path), p) ->
           footerStats(spark, p, statsCols)).toMap,
-        tag)
+        tag, Some(schema))
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
       // conditional commit: must atomically fail if a concurrent
@@ -194,7 +206,14 @@ object ManifestTable {
     // are no k=v segments to discover).
     val roots = rel.map(_.split("/").head).distinct
     val base = if (roots.length == 1) s"$path/${roots.head}" else path
-    spark.read.option("basePath", base).parquet(files: _*)
+    val reader = spark.read.option("basePath", base)
+    // the manifest's recorded schema governs the read (Delta keeps it in
+    // the log): files predating an additive evolution read their missing
+    // columns as nulls, instead of the reader sampling one file's footer
+    manifestSchema(spark, path, version) match {
+      case Some(s) => reader.schema(s).parquet(files: _*)
+      case None    => reader.parquet(files: _*)
+    }
   }
 
   /** The data files a committed manifest names (table-relative). */
@@ -368,14 +387,43 @@ object ManifestTable {
     case _        => if (a.asInstanceOf[String] >= b.asInstanceOf[String]) a else b
   }
 
+  /** Additive schema evolution: previous columns keep their position
+    * and type; columns new in `incoming` append at the end. A shared
+    * name with a DIFFERENT type is rejected — silent coercion is how
+    * tables corrupt.
+    */
+  private[pipeline] def evolve(prev: org.apache.spark.sql.types.StructType,
+                               incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val prevNames = prev.fieldNames.toSet
+    incoming.fields.filter(f => prevNames.contains(f.name)).foreach { f =>
+      val p = prev(f.name)
+      require(p.dataType == f.dataType,
+        s"append changes type of '${f.name}': ${p.dataType} -> ${f.dataType}")
+    }
+    org.apache.spark.sql.types.StructType(
+      prev.fields ++ incoming.fields.filterNot(f => prevNames.contains(f.name)))
+  }
+
+  /** The schema a committed manifest records (absent on pre-schema
+    * manifests → readers fall back to footer inference). */
+  def manifestSchema(spark: SparkSession, path: String,
+                     version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val n = manifestNode(spark, path, version).get("schema")
+    Option(n).map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   private def manifestJson(spark: SparkSession, version: Long,
                            files: Seq[String],
                            stats: Map[String, Map[String, ColStats]],
-                           tag: Option[String] = None): String = {
+                           tag: Option[String] = None,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
     tag.foreach(root.put("tag", _))
+    schema.foreach(s => root.put("schema", s.json))
     val arr = root.putArray("files")
     files.foreach(arr.add)
     if (stats.nonEmpty) {

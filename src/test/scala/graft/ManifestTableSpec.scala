@@ -281,6 +281,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, table).count() === viaBatch.count())
   }
 
+  test("schema rides the manifest: additive evolution on append, type changes rejected") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt12").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)            // v1
+    // append a batch carrying a NEW column: table schema evolves
+    ManifestTable.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), path) // v2
+    val cur = ManifestTable.read(spark, path)
+    assert(cur.columns.toSeq === Seq("id", "v", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9.5)),
+      "pre-evolution rows must read the new column as null")
+    // time travel keeps the old shape
+    assert(ManifestTable.readVersion(spark, path, 1).columns.toSeq
+      === Seq("id", "v"))
+    // a type change on a shared column must refuse to commit
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.append(Seq((3, 7)).toDF("id", "v"), path)
+    }
+    assert(err.getMessage.contains("changes type"))
+    assert(ManifestTable.currentVersion(spark, path) === Some(2L),
+      "rejected append must not have committed")
+  }
+
   test("reads stay sound when stats are absent or the column is unknown") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
     ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols
