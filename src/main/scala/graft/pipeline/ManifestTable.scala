@@ -73,9 +73,9 @@ object ManifestTable {
     */
   def write(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-            statsCols: Seq[String] = Nil): Long =
+            statsCols: Seq[String] = Nil, tag: Option[String] = None): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = false, tag = None)
+      carryForward = false, tag = tag)
 
   /** Transactional APPEND: commit a new version whose file list is the
     * current version's files PLUS this batch's — Delta-style `append`

@@ -281,6 +281,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, table).count() === viaBatch.count())
   }
 
+  test("streaming incremental gold: stream-maintained state equals the batch gold, replay-safe") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mt13").toString
+    val src = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("orders.parquet"),
+      java.nio.file.Paths.get(s"$sfTiny/orders.parquet"))
+    val state = s"$base/gold_state"
+    val (merged, skipped) = graft.streaming.EventsStream
+      .streamGoldDaily(spark, src.toString, state, s"$base/ckpt")
+    assert(merged >= 1 && skipped === 0)
+
+    // the stream-maintained gold equals the batch gold, value for value
+    val viaStream = Incremental.presentDaily(ManifestTable.read(spark, state))
+      .collect().map(_.toSeq).toSeq
+    val viaBatch = graft.ops.Aggregates.goldDailyRevenue(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream === viaBatch)
+
+    // a second run over the same checkpoint drains nothing new
+    val (m2, s2) = graft.streaming.EventsStream
+      .streamGoldDaily(spark, src.toString, state, s"$base/ckpt")
+    assert(m2 === 0L && s2 === 0L)
+
+    // full replay (lost checkpoint): AvailableNow over the same files
+    // re-delivers the same batches under the same ids — every one must
+    // hit its committed tag and skip, never double-merging a delta
+    // (a double-merged sum would silently inflate the gold table)
+    val before = ManifestTable.currentVersion(spark, state)
+    val (m3, s3) = graft.streaming.EventsStream
+      .streamGoldDaily(spark, src.toString, state, s"$base/ckpt2")
+    assert(m3 === 0L && s3 === merged, s"expected $merged replay skips, got $s3")
+    assert(ManifestTable.currentVersion(spark, state) === before,
+      "replayed batches must commit nothing")
+    assert(Incremental.presentDaily(ManifestTable.read(spark, state))
+      .collect().map(_.toSeq).toSeq === viaBatch)
+  }
+
   test("schema rides the manifest: additive evolution on append, type changes rejected") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt12").toString + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)            // v1
