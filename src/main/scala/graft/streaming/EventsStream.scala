@@ -183,10 +183,19 @@ object EventsStream {
             // localCheckpoint before the overwrite commit: the merged
             // state reads the CURRENT version's files; without cutting
             // lineage the write could re-read what a concurrent vacuum
-            // of old versions might drop mid-job
-            graft.pipeline.ManifestTable.write(
-              state.localCheckpoint(), statePath, tag = Some(tag))
-            merged.incrementAndGet()
+            // of old versions might drop mid-job. The checkpoint blocks
+            // are freed after the commit — on a long-running stream
+            // they would otherwise accumulate one state copy per batch.
+            val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
+            val pinned = state.localCheckpoint()
+            try {
+              graft.pipeline.ManifestTable.write(pinned, statePath, tag = Some(tag))
+              merged.incrementAndGet(): Unit
+            } finally {
+              sp.sparkContext.getPersistentRDDs
+                .filterNot { case (id, _) => prevRdds(id) }
+                .valuesIterator.foreach(_.unpersist(blocking = false))
+            }
           }
         }: Unit
       }
