@@ -850,7 +850,7 @@ object SparkEntry {
            SELECT event_type,
              CAST(COUNT(*) AS HUGEINT) AS n,
              CAST(SUM(events) AS HUGEINT) AS sm,
-             CAST(SUM(events * events) AS HUGEINT) AS ssq
+             SUM(CAST(events AS HUGEINT) * CAST(events AS HUGEINT)) AS ssq
            FROM d GROUP BY 1)
          SELECT d.event_type, d.day, d.events,
            (n * d.events - sm) * (n * d.events - sm)

@@ -98,6 +98,15 @@ object Curate {
     * anchor on realistic documents.
     */
   def withRepetitionSignals(df: DataFrame, text: Column): DataFrame = {
+    // fail fast instead of silently replacing (and for the staging
+    // columns, silently DELETING) a caller's same-named columns — this
+    // is a public facade path (GraftOps.repetitionSignals)
+    val produced = Seq("_toks", "_grams", "n_tokens", "dup_token_frac",
+      "dup_2gram_frac", "top_2gram_frac")
+    val clash = df.columns.toSet.intersect(produced.toSet)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them " +
+        "before appending repetition signals")
     val staged = df
       .withColumn("_toks", Text.tokens(text))
       .withColumn("_grams",

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table profiling (ANALYZE-style column statistics): per-column row /
@@ -26,29 +26,22 @@ object Profile {
   /** Long-format profile of `cols`: (col_name, n_rows, n_nulls,
     * n_distinct) — distinct excludes nulls, matching SQL COUNT(DISTINCT).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
-    one.select(explode(array(cols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col("_rows").as("n_rows"),
-        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
-        col(s"_nd_$c").as("n_distinct"))
-    }: _*)).as("p"))
-      .select(col("p.*"))
-      .orderBy(col("col_name"))
-  }
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
 
   /** Production twin: HLL++ distinct estimates (rsd 2%), no Expand in
     * the plan. Spec-checked against [[profile]] within the error bound.
     */
-  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), 0.02))
+
+  /** Shared single-scan aggregate + long-format presentation; the two
+    * public forms differ only in the distinct-count aggregate.
+    */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_nn_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"_nd_$c"))
+      Seq(count(col(c)).as(s"_nn_$c"), distinctAgg(c).as(s"_nd_$c"))
     }
     val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
     one.select(explode(array(cols.map { c =>

@@ -78,25 +78,30 @@ object TimeSeries {
     * its square ≲ 1.6·10²⁵ ≪ 10³⁸.
     *
     * Plan shape: the raw log collapses to (series, day) counts in one
-    * partial+final agg; the per-series moments are a second agg over
-    * that tiny table; the moments broadcast back onto it. Nothing
-    * downstream of the first aggregate scales with input size.
+    * partial+final agg; the per-series moments ride as unbounded window
+    * aggregates over that tiny table (one shuffle on the series key; no
+    * second scan, no cache to own). Nothing downstream of the first
+    * aggregate scales with input size.
     */
   def anomalyDays(events: DataFrame, k: Int = 2): DataFrame = {
     val dec = DecimalType(38, 0)
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("events"))
-      .cache() // series×days rows; feeds both the moments and the join —
-               // without it the log is scanned and aggregated twice
-    val stats = daily.groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).cast(dec).as("n"),
-        sum(col("events").cast(dec)).as("s"),
-        sum((col("events") * col("events")).cast(dec)).as("ss"))
-    daily.join(broadcast(stats), Seq("event_type"))
+    val ev = col("events").cast(dec)
+    // per-series moments as unbounded window aggregates over the daily
+    // table: ONE pass, one shuffle on the series key, no second
+    // aggregation branch (which would rescan the log or need a cache a
+    // library callee has no way to unpersist). Window state is bounded
+    // by days-per-series. The c² term casts each FACTOR to decimal
+    // first — a long×long square wraps past ~3·10⁹ events/day.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast(dec))
+      .withColumn("s", sum(ev).over(w))
+      .withColumn("ss", sum((ev * ev).cast(dec)).over(w))
       .select(col("event_type"), col("day"), col("events"),
-        (pow2(col("n") * col("events").cast(dec) - col("s")) >
+        (pow2(col("n") * ev - col("s")) >
           lit(k * k) * (col("n") * col("ss") - pow2(col("s"))))
           .as("is_anomaly"))
       .orderBy(col("event_type"), col("day"))

@@ -105,10 +105,17 @@ object ManifestTable {
     committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
       append(df, path, partitionCols, statsCols = statsCols, tag = Some(tag)))
 
-  /** The committed version carrying `tag`, if any. */
+  /** The committed version carrying `tag`, if any. Scans manifests
+    * NEWEST-FIRST so the common replay case (the tag was just
+    * committed) answers after one or two manifest reads; a genuinely
+    * fresh tag still costs O(versions) — vacuum retention bounds that,
+    * and callers doing their own check should follow with plain
+    * [[append]] rather than paying the scan twice via
+    * [[appendIdempotent]].
+    */
   def committedVersionOfTag(spark: SparkSession, path: String,
                             tag: String): Option[Long] =
-    versions(spark, path).findLast { v =>
+    versions(spark, path).reverseIterator.find { v =>
       val t = manifestNode(spark, path, v).get("tag")
       t != null && t.asText() == tag
     }
@@ -118,10 +125,23 @@ object ManifestTable {
                      carryForward: Boolean, tag: Option[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
+    require(!carryForward || partitionCols.isEmpty,
+      "append is unpartitioned by contract: a partitioned append would mix " +
+        "k=v and flat snapshot layouts under one basePath, which Spark's " +
+        "partition discovery rejects at read time")
     var attempt = 0
     while (attempt < maxAttempts) {
       val prev = currentVersion(spark, path)
       val version = prev.getOrElse(0L) + 1L
+      // fail-fast twin of the require above: appending onto a base
+      // version whose files live in k=v partition dirs would commit an
+      // unreadable mixed layout
+      if (carryForward) prev.foreach { pv =>
+        require(!manifestFiles(spark, path, pv)
+            .exists(_.split("/").exists(_.contains("="))),
+          s"cannot append onto partitioned version $pv of $path — " +
+            "rewrite it unpartitioned first (compact) or overwrite")
+      }
       // schema rides in the manifest (Delta keeps it in the log): an
       // overwrite commits the batch's schema; an append commits the
       // EVOLVED union — previous columns first, new columns appended —
@@ -158,18 +178,23 @@ object ManifestTable {
       val carried: Seq[String] =
         if (carryForward) prev.map(manifestFiles(spark, path, _)).getOrElse(Nil)
         else Nil
+      // carried stats survive UNCONDITIONALLY: an append made without
+      // statsCols (e.g. a streaming batch) must not silently strip the
+      // data-skipping index off the whole history — only its own new
+      // files go unindexed (and are conservatively never pruned)
       val carriedStats: Map[String, Map[String, ColStats]] =
-        if (carryForward && statsCols.nonEmpty)
+        if (carryForward)
           prev.map(manifestStats(spark, path, _)).getOrElse(Map.empty)
         else Map.empty
       val files = carried ++ staged.map(p => relativize(new Path(path), p))
       val manifest = new Path(path, s"$ManifestPrefix$version.json")
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
-      val json = manifestJson(spark, version, files,
+      val newStats: Map[String, Map[String, ColStats]] =
         if (statsCols.isEmpty) Map.empty
-        else carriedStats ++ staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsCols)).toMap,
-        tag, Some(schema))
+        else staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, statsCols)).toMap
+      val json = manifestJson(spark, version, files,
+        carriedStats ++ newStats, tag, Some(schema))
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
       // conditional commit: must atomically fail if a concurrent
@@ -198,18 +223,24 @@ object ManifestTable {
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val rel = manifestFiles(spark, path, version)
     require(rel.nonEmpty, s"version $version at $path has no data files")
+    readFiles(spark, path, version, rel)
+  }
+
+  /** Shared file-list reader: basePath spans every named snapshot dir
+    * (single-snapshot overwrite versions keep the snapshot root so k=v
+    * partition dirs are discovered; appended versions span several dirs
+    * and are unpartitioned by contract), and the manifest's recorded
+    * schema governs the read — files predating an additive evolution
+    * surface their missing columns as nulls instead of whichever file's
+    * footer the reader samples. EVERY read path (full, time travel,
+    * stats-pruned) must come through here or drift on appended tables.
+    */
+  private def readFiles(spark: SparkSession, path: String, version: Long,
+                        rel: Seq[String]): DataFrame = {
     val files = rel.map(r => s"$path/$r")
-    // single-snapshot version (overwrite write): basePath = the snapshot
-    // root so k=v partition dirs inside it are discovered. An APPENDED
-    // version spans several snapshot dirs — basePath must be their
-    // common ancestor (appends are unpartitioned by contract, so there
-    // are no k=v segments to discover).
     val roots = rel.map(_.split("/").head).distinct
     val base = if (roots.length == 1) s"$path/${roots.head}" else path
     val reader = spark.read.option("basePath", base)
-    // the manifest's recorded schema governs the read (Delta keeps it in
-    // the log): files predating an additive evolution read their missing
-    // columns as nulls, instead of the reader sampling one file's footer
     manifestSchema(spark, path, version) match {
       case Some(s) => reader.schema(s).parquet(files: _*)
       case None    => reader.parquet(files: _*)
@@ -283,9 +314,7 @@ object ManifestTable {
     }
     require(all.nonEmpty, s"version $version at $path has no data files")
     if (keep.isEmpty) read(spark, path).limit(0)
-    else spark.read
-      .option("basePath", s"$path/${all.head.split("/").head}")
-      .parquet(keep.map(r => s"$path/$r"): _*)
+    else readFiles(spark, path, version, keep)
   }
 
   /** How many files [[readNumericRange]] would touch vs the total —

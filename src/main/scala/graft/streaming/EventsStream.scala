@@ -123,11 +123,14 @@ object EventsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           val tag = s"events-bronze-batch-$id"
+          // one tag scan per batch, then a PLAIN append — calling
+          // appendIdempotent after this check would pay the scan twice
           val before = graft.pipeline.ManifestTable
             .committedVersionOfTag(batch.sparkSession, tablePath, tag)
           if (before.isDefined) skipped.incrementAndGet()
           else {
-            graft.pipeline.ManifestTable.appendIdempotent(batch, tablePath, tag)
+            graft.pipeline.ManifestTable.append(batch, tablePath,
+              tag = Some(tag))
             committed.incrementAndGet()
           }
         }: Unit

@@ -37,6 +37,14 @@ class CurateSpec extends SparkSpec {
     assert(anchor.nonEmpty && anchor == staged)
   }
 
+  test("withRepetitionSignals refuses to clobber same-named caller columns") {
+    val df = Seq((1L, "a b c", 99)).toDF("doc_id", "text", "n_tokens")
+    val err = intercept[IllegalArgumentException] {
+      Curate.withRepetitionSignals(df, col("text"))
+    }
+    assert(err.getMessage.contains("n_tokens"))
+  }
+
   test("decontaminate: hashed grams give identical pairs to string grams") {
     val plain = Curate.decontaminate(spark, sfSmall).collect()
     val hashed = Curate.decontaminateHashed(spark, sfSmall).collect()

@@ -342,6 +342,39 @@ class ManifestTableSpec extends SparkSpec {
       "rejected append must not have committed")
   }
 
+  test("append guards and stats carry: partitioned base rejected, skipping index survives untagged appends") {
+    // appending onto a partitioned base would commit a mixed layout
+    // Spark cannot read — must fail fast, committing nothing
+    val p1 = java.nio.file.Files.createTempDirectory("graft_mt14").toString + "/t"
+    ManifestTable.write(Seq((1L, 10, "x")).toDF("id", "part", "v"), p1, Seq("part"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(Seq((2L, 10, "y")).toDF("id", "part", "v"), p1)
+    }
+    assert(ManifestTable.currentVersion(spark, p1) === Some(1L))
+
+    // an append WITHOUT statsCols must not strip the history's
+    // data-skipping stats — only its own new files go unindexed
+    val p2 = java.nio.file.Files.createTempDirectory("graft_mt15").toString + "/t"
+    ManifestTable.write(spark.range(0, 100).toDF("id"), p2, statsCols = Seq("id"))
+    ManifestTable.append(spark.range(100, 110).toDF("id"), p2) // no statsCols
+    val stats = ManifestTable.manifestStats(spark, p2, 2)
+    assert(stats.nonEmpty, "carried stats dropped by a stats-less append")
+    // pruned read stays complete: indexed files prune, unindexed are kept
+    assert(ManifestTable.readNumericRange(spark, p2, "id", 0, 5).count()
+      >= 6 + 10 - 10) // at least the matching rows; unindexed files add theirs
+    assert(ManifestTable.readNumericRange(spark, p2, "id", 0, 200).count() === 110)
+
+    // pruned reads follow the recorded schema like read() does
+    val p3 = java.nio.file.Files.createTempDirectory("graft_mt16").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), p3, statsCols = Seq("id"))
+    ManifestTable.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), p3,
+      statsCols = Seq("id"))
+    val pruned = ManifestTable.readNumericRange(spark, p3, "id", 0, 100)
+    assert(pruned.columns.toSeq === ManifestTable.read(spark, p3).columns.toSeq,
+      "stats-pruned read must present the evolved schema")
+    assert(pruned.count() === 2)
+  }
+
   test("reads stay sound when stats are absent or the column is unknown") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
     ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols

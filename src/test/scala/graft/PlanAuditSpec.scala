@@ -252,11 +252,13 @@ class PlanAuditSpec extends SparkSpec {
       "fact scan should prune to (orderkey, partkey)")
   }
 
-  test("anomaly_days: log aggregated once (cached daily), moments broadcast back") {
+  test("anomaly_days: one log scan; moments are window aggs on the daily table") {
     val p = planOf("anomaly_days")
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      "daily counts should be cached, not recomputed per branch")
-    assert(p.contains("BroadcastHashJoin"), "per-series moments should broadcast")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"moments branch must not rescan the log: $scans scans")
+    assert(p.contains("Window"), "per-series moments should be window aggregates")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the moments window partitions by series, never globally")
   }
 
   test("order_value_quantiles: per-group window only — no single-partition stage") {
