@@ -411,8 +411,13 @@ object Dedup {
       .filter(size(col("ks")).between(2, maxBucket))
       .select(explode(col("ks")).as("k1"), col("ks"))
       .select(col("k1"), explode(col("ks")).as("k2"))
+      // THRESHOLD-bounded levenshtein: the 3-arg form bails out of the
+      // DP once the distance must exceed 1 — O(len·1) per pair instead
+      // of O(len²), and the confirm step runs on every candidate pair
+      // (it returns -1 above the threshold, so ≥ 0 keeps d ∈ {0, 1};
+      // d = 0 is impossible under k1 < k2)
       .filter(col("k1") < col("k2") &&
-        levenshtein(col("k1"), col("k2")) <= 1)
+        levenshtein(col("k1"), col("k2"), 1) >= 0)
       .distinct()
       .orderBy(col("k1"), col("k2"))
   }
