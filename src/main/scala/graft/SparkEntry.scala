@@ -887,12 +887,18 @@ object SparkEntry {
            MAX(CASE WHEN rn = CEIL(0.9  * n) THEN o_totalprice END) AS p90,
            MAX(CASE WHEN rn = CEIL(0.99 * n) THEN o_totalprice END) AS p99
          FROM r GROUP BY 1 ORDER BY o_orderpriority""",
+    // the size bound mirrors the engine's maxBasket skew guard (baskets
+    // over 10000 distinct items are dropped whole) so the contract holds
+    // on ANY data, not just fixtures whose orders happen to be small
     "copurchase_pairs" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              ok AS (SELECT l_orderkey FROM b
+                     GROUP BY 1 HAVING COUNT(*) <= 10000)
          SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
            COUNT(*) AS n_orders
          FROM b x JOIN b y
            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         JOIN ok ON ok.l_orderkey = x.l_orderkey
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
          ORDER BY item_a, item_b""",
   )

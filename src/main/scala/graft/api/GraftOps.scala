@@ -454,4 +454,52 @@ object GraftOps {
   def copurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long = 2, maxBasket: Int = 10000): DataFrame =
     graft.ops.Basket.pairCounts(df, basketCol, itemCol, minSupport, maxBasket)
+
+  // ------------------------------------------------------------------
+  // Skew-guard audit twins. Every bounded operator above caps its worst
+  // case (hot shingles, degenerate LSH buckets, oversized baskets) by
+  // DROPPING the offending group whole — correct protection, but a user
+  // deduping real data cannot distinguish "no duplicates" from "the
+  // duplicates sat in a capped group". Each twin reports exactly what
+  // its operator suppressed, with the same inputs and parameters; an
+  // empty frame certifies nothing was dropped.
+  // ------------------------------------------------------------------
+
+  /** Shingles [[ngramNearDups]] drops for exceeding maxDf, with their
+    * document frequency (shingle reported as its 64-bit hash — the key
+    * the operator shuffles on).
+    */
+  def ngramNearDupsDropped(df: DataFrame, idCol: String, textCol: String,
+                           maxDf: Int = 1000): DataFrame =
+    Dedup.ngramDropped(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxDf)
+
+  /** LSH buckets [[cosineNearDups]] drops for exceeding maxBucket. */
+  def cosineNearDupsDropped(df: DataFrame, idCol: String, vecCol: String,
+                            tables: Int = 8, planes: Int = 6,
+                            maxBucket: Int = 1000): DataFrame =
+    Dedup.embeddingDropped(
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
+      tables, planes, maxBucket)
+
+  /** Variant buckets [[fuzzyKeyPairs]] drops for exceeding maxBucket. */
+  def fuzzyKeyPairsDropped(df: DataFrame, keyCol: String,
+                           maxBucket: Int = 1000): DataFrame =
+    graft.ops.Dedup.fuzzyDropped(df, keyCol, maxBucket)
+
+  /** Baskets [[copurchasePairs]] drops for exceeding maxBasket. */
+  def copurchasePairsDropped(df: DataFrame, basketCol: String, itemCol: String,
+                             maxBasket: Int = 10000): DataFrame =
+    graft.ops.Basket.basketsDropped(df, basketCol, itemCol, maxBasket)
+
+  /** K-means clusters `graft.ops.Dedup.semanticPairs` drops for
+    * exceeding maxCluster (same fit/assignment ⇒ same clusters).
+    */
+  def semanticNearDupsDropped(df: DataFrame, idCol: String, vecCol: String,
+                              cells: Int = 10, maxCluster: Int = 2000): DataFrame =
+    graft.ops.Dedup.semanticDropped(
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
+      cells, maxCluster)
 }

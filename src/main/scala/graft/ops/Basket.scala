@@ -29,12 +29,9 @@ object Basket {
     * multiplicity within a basket is ignored (array_distinct).
     */
   def pairCounts(items: DataFrame, basketCol: String, itemCol: String,
-                 minSupport: Long, maxBasket: Int = 10000): DataFrame = {
-    val baskets = items
-      .groupBy(col(basketCol))
-      .agg(array_sort(collect_set(col(itemCol))).as("its"))
+                 minSupport: Long, maxBasket: Int = 10000): DataFrame =
+    basketLists(items, basketCol, itemCol)
       .filter(size(col("its")).between(2, maxBasket))
-    baskets
       .select(explode(col("its")).as("a"), col("its"))
       .select(col("a"), explode(col("its")).as("b"))
       .filter(col("a") < col("b"))
@@ -42,7 +39,27 @@ object Basket {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
       .orderBy(col("item_a"), col("item_b"))
-  }
+
+  /** Distinct-item basket lists shared by [[pairCounts]] and
+    * [[basketsDropped]]: one shuffle of (basket_key, item).
+    */
+  private def basketLists(items: DataFrame, basketCol: String,
+                          itemCol: String): DataFrame =
+    items
+      .groupBy(col(basketCol))
+      .agg(array_sort(collect_set(col(itemCol))).as("its"))
+
+  /** Audit twin of [[pairCounts]]'s maxBasket guard: the baskets it
+    * drops whole, with their distinct-item count. Empty output =
+    * nothing was suppressed. Counts only — item lists never leave the
+    * aggregation.
+    */
+  def basketsDropped(items: DataFrame, basketCol: String, itemCol: String,
+                     maxBasket: Int = 10000): DataFrame =
+    basketLists(items, basketCol, itemCol)
+      .select(col(basketCol), size(col("its")).as("n_items"))
+      .filter(col("n_items") > maxBasket)
+      .orderBy(col("n_items").desc, col(basketCol))
 
   /** Declared query: part pairs co-purchased in ≥ 2 orders. */
   def copurchaseQuery(spark: SparkSession, sfDir: String,

@@ -83,25 +83,7 @@ object Dedup {
   /** DataFrame-first core over (doc_id, text) rows. */
   def ngramPairs(input: DataFrame,
                  threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // Shingles are computed AND hashed by the native ShingleHashes
-    // expression (one pass; spec-cross-checked against the composed
-    // [[shingles]]+xxhash64 form) and carried as longs from here on —
-    // constant-width shuffle keys instead of arbitrary-length strings
-    // (collision odds ~ pairs·2⁻⁶⁴, negligible).
-    val docs = input
-      .select(col("doc_id"),
-        graft.functions.ShingleHashes
-          .shingleHashes(SparkSession.active, col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    // explode_outer: with an attribute child, InferFiltersFromGenerate
-    // would synthesize size(sh)>0 ∧ isnotnull(sh), substitute the full
-    // ShingleHashes expression into it, and push it below the
-    // parallelize repartition — hashing every document twice on the
-    // single pre-shuffle scan task. Outer generators are exempt; the
-    // null rows (shingle-less docs) drop on the exploded attribute.
-    val posting = docs
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+    val posting = ngramPosting(input)
     // Gather each shingle's posting list in ONE shuffle, prune by list
     // size (df < 2 → no pair; df > maxDf → hot-shingle skew bomb), then
     // expand candidate pairs with two chained explodes — plain codegen'd
@@ -128,6 +110,46 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("common"), col("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  /** Inverted-index build shared by [[ngramPairs]] and [[ngramDropped]]:
+    * (doc_id, n_sh, shingle-hash) posting rows.
+    *
+    * Shingles are computed AND hashed by the native ShingleHashes
+    * expression (one pass; spec-cross-checked against the composed
+    * [[shingles]]+xxhash64 form) and carried as longs from here on —
+    * constant-width shuffle keys instead of arbitrary-length strings
+    * (collision odds ~ pairs·2⁻⁶⁴, negligible).
+    *
+    * explode_outer: with an attribute child, InferFiltersFromGenerate
+    * would synthesize size(sh)>0 ∧ isnotnull(sh), substitute the full
+    * ShingleHashes expression into it, and push it below the
+    * parallelize repartition — hashing every document twice on the
+    * single pre-shuffle scan task. Outer generators are exempt; the
+    * null rows (shingle-less docs) drop on the exploded attribute.
+    */
+  private def ngramPosting(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(SparkSession.active, col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+
+  /** Audit twin of [[ngramPairs]]'s df-pruning guard: the hot shingles
+    * it drops, with their document frequency. A shingle in > maxDf docs
+    * never generates candidate pairs in the main path — correct skew
+    * protection, but silent; a user deduping real data cannot otherwise
+    * distinguish "no duplicates" from "the duplicates shared a capped
+    * shingle". Run alongside the main query (same inputs/params) when
+    * the drop rate matters; empty output = nothing was suppressed.
+    */
+  def ngramDropped(input: DataFrame, maxDf: Int = 1000): DataFrame =
+    ngramPosting(input)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .orderBy(col("df").desc, col("shingle"))
 
   /** MinHash signature + LSH banding candidate pairs.
     *
@@ -224,9 +246,6 @@ object Dedup {
   def cosinePairs(emb: DataFrame,
                   threshold: Double = 0.4, tables: Int = 8,
                   planes: Int = 6, maxBucket: Int = 1000): DataFrame = {
-    val sigCols: Seq[Column] = (0 until tables).map { t =>
-      Similarity.lshSignature(col("v"), planes, t * planes)
-    }
     // all table signatures ride along (tables longs) so a pair colliding
     // in several tables is emitted only from the FIRST matching table —
     // no distinct() shuffle, and the exact cosine runs once per pair
@@ -235,16 +254,7 @@ object Dedup {
         element_at(col("a.sigs"), e + 1) =!= element_at(col("c.sigs"), e + 1))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    // posexplode_outer: a non-outer generate over the aliased sigs
-    // attribute gets size(sigs)>0 inferred, alias-substituted, and
-    // pushed below the parallelize repartition — all `tables`
-    // signatures evaluated a second time per row in a scan-level
-    // Filter (see the same trap in ngramPairs). Outer is exempt; the
-    // array is never empty (literal arity) so no null rows appear.
-    emb
-      .withColumn("sigs", array(sigCols: _*))
-      .select(col("vec_id"), col("v"), col("sigs"),
-        posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
+    lshExploded(emb, tables, planes)
       .groupBy(col("tbl"), col("sig"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("sigs"))).as("bucket"))
       .filter(size(col("bucket")).between(2, maxBucket))
@@ -272,24 +282,10 @@ object Dedup {
     */
   def semanticPairs(emb: DataFrame, cells: Int = 10,
                     threshold: Double = 0.4,
-                    maxCluster: Int = 2000): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    // pinned partitioning AND in-partition order before the fit:
-    // k-means|| initialization samples rows per partition, so both the
-    // partition layout and the row order inside each partition must be
-    // parallelism-invariant or the clustering (and thus the pair set)
-    // drifts between runner configs — the same pin as
-    // graft.ml.RevenueModel.fitPinned. Few iterations on purpose — a
-    // coarse dedup partition needs locality, not convergence.
-    val withFv = emb.repartition(8, col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
-      .withColumn("fv", array_to_vector(col("v")))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val assigned = km.fit(withFv).transform(withFv)
-      .select(col("cell"), col("vec_id"), col("v"))
-    assigned
+                    maxCluster: Int = 2000,
+                    sampleMod: Int = 4,
+                    pinParts: Int = 8): DataFrame =
+    assignCells(emb, cells, sampleMod, pinParts)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("bucket"))
       .filter(size(col("bucket")).between(2, maxCluster))
@@ -300,7 +296,102 @@ object Dedup {
         Similarity.cosine(col("a.v"), col("c.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("vec1"), col("vec2"))
+
+  /** Per-table LSH signature explode shared by [[cosinePairs]] and
+    * [[embeddingDropped]]: (vec_id, v, sigs, tbl, sig) rows.
+    *
+    * posexplode_outer: a non-outer generate over the aliased sigs
+    * attribute gets size(sigs)>0 inferred, alias-substituted, and
+    * pushed below the parallelize repartition — all `tables`
+    * signatures evaluated a second time per row in a scan-level
+    * Filter (see the same trap in ngramPairs). Outer is exempt; the
+    * array is never empty (literal arity) so no null rows appear.
+    */
+  private def lshExploded(emb: DataFrame, tables: Int, planes: Int): DataFrame = {
+    val sigCols: Seq[Column] = (0 until tables).map { t =>
+      Similarity.lshSignature(col("v"), planes, t * planes)
+    }
+    emb
+      .withColumn("sigs", array(sigCols: _*))
+      .select(col("vec_id"), col("v"), col("sigs"),
+        posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
   }
+
+  /** Audit twin of [[cosinePairs]]'s maxBucket guard: the LSH buckets
+    * it drops whole, with their population. Empty output = nothing was
+    * suppressed. Counts only — the vectors never shuffle here.
+    */
+  def embeddingDropped(emb: DataFrame, tables: Int = 8,
+                       planes: Int = 6, maxBucket: Int = 1000): DataFrame =
+    lshExploded(emb, tables, planes)
+      .groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+      .orderBy(col("n_members").desc, col("tbl"), col("sig"))
+
+  /** Cluster assignment for [[semanticPairs]]: k-means is FIT on a
+    * deterministic hash-sample of the corpus (keep rows where
+    * xxhash64(vec_id) ≡ 0 mod `sampleMod`), and every vector is then
+    * assigned by the native broadcast-centroid
+    * [[graft.functions.NearestCentroid]] expression — a narrow,
+    * embarrassingly parallel projection.
+    *
+    * Why the split: k-means|| initialization samples rows per
+    * partition, so the fit input needs pinned partitioning AND
+    * in-partition order (the same pin as
+    * graft.ml.RevenueModel.fitPinned) or the clustering drifts between
+    * runner configs. Pinning the WHOLE corpus to `pinParts` partitions
+    * — the pre-round-5 shape — capped the full-corpus assignment scan
+    * at `pinParts` tasks, a fixed bottleneck at 100 TB. Here the pin
+    * rides only the sample; the corpus is never repartitioned, and the
+    * assignment inherits whatever parallelism the input already has.
+    * Identical vectors still land in the same cell by construction
+    * (same point → same nearest centroid), which is what the planted-
+    * clone recovery property needs. Few iterations on purpose — a
+    * coarse dedup partition needs locality, not convergence.
+    */
+  private[ops] def assignCells(emb: DataFrame, cells: Int,
+                               sampleMod: Int, pinParts: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val hashSample =
+      emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
+    // tiny-corpus guard: the fit wants comfortably more rows than k;
+    // fall back to the full corpus when the sample undershoots (the
+    // probe is limit-bounded — it never scans past `need` rows)
+    val need = cells * 2L
+    val sample =
+      if (sampleMod <= 1) emb
+      else if (hashSample.limit(need.toInt).count() < need) emb
+      else hashSample
+    val pinned = sample.repartition(pinParts, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(42).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val centers = km.fit(pinned).clusterCenters.map(_.toArray)
+    emb.select(
+      graft.functions.NearestCentroid
+        .nearestCentroid(emb.sparkSession, col("v"), centers).as("cell"),
+      col("vec_id"), col("v"))
+  }
+
+  /** Audit twin of [[semanticPairs]]'s maxCluster guard: the clusters
+    * it drops whole, with their population. Same fit/assignment as the
+    * main path (same params ⇒ same centroids), so a non-empty result
+    * means real vectors were excluded from pair generation — the
+    * no-silent-truncation companion. Cheaper than the main path: only
+    * counts shuffle, never the vectors.
+    */
+  def semanticDropped(emb: DataFrame, cells: Int = 10,
+                      maxCluster: Int = 2000,
+                      sampleMod: Int = 4,
+                      pinParts: Int = 8): DataFrame =
+    assignCells(emb, cells, sampleMod, pinParts)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxCluster)
+      .orderBy(col("n_members").desc, col("cell"))
 
   def dedupSemantic(spark: SparkSession, sfDir: String,
                     cells: Int = 10, threshold: Double = 0.4): DataFrame =
@@ -396,18 +487,7 @@ object Dedup {
     */
   def fuzzyPairs(input: DataFrame, keyCol: String,
                  maxBucket: Int = 1000): DataFrame = {
-    // variants are derived BEFORE the rename: with an input column
-    // already named "k" the one-select form would read the alias as a
-    // lateral column reference and fail analysis. explode_outer, not
-    // explode: InferFiltersFromGenerate would substitute the variant
-    // expression into an inferred size>0 Filter — computed twice per
-    // row (the outer form is exempt; variants are never empty anyway).
-    val v = input
-      .withColumn("_dv", deletionVariants(col(keyCol)))
-      .select(col(keyCol).as("k"), explode_outer(col("_dv")).as("v"))
-      .filter(col("v").isNotNull)
-    v.groupBy(col("v"))
-      .agg(collect_set(col("k")).as("ks"))
+    variantBuckets(input, keyCol)
       .filter(size(col("ks")).between(2, maxBucket))
       .select(explode(col("ks")).as("k1"), col("ks"))
       .select(col("k1"), explode(col("ks")).as("k2"))
@@ -421,6 +501,37 @@ object Dedup {
       .distinct()
       .orderBy(col("k1"), col("k2"))
   }
+
+  /** Variant-bucket build shared by [[fuzzyPairs]] and [[fuzzyDropped]]:
+    * each deletion variant with the set of keys generating it.
+    *
+    * Variants are derived BEFORE the rename: with an input column
+    * already named "k" the one-select form would read the alias as a
+    * lateral column reference and fail analysis. explode_outer, not
+    * explode: InferFiltersFromGenerate would substitute the variant
+    * expression into an inferred size>0 Filter — computed twice per
+    * row (the outer form is exempt; variants are never empty anyway).
+    */
+  private def variantBuckets(input: DataFrame, keyCol: String): DataFrame =
+    input
+      .withColumn("_dv", deletionVariants(col(keyCol)))
+      .select(col(keyCol).as("k"), explode_outer(col("_dv")).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(collect_set(col("k")).as("ks"))
+
+  /** Audit twin of [[fuzzyPairs]]'s maxBucket guard: the variant
+    * buckets it drops whole, with their key count. A bucket over
+    * `maxBucket` distinct keys means a near-constant key column, not
+    * typos — but the pairs inside it are still silently suppressed;
+    * this reports them. Empty output = nothing was suppressed.
+    */
+  def fuzzyDropped(input: DataFrame, keyCol: String,
+                   maxBucket: Int = 1000): DataFrame =
+    variantBuckets(input, keyCol)
+      .select(col("v"), size(col("ks")).as("n_keys"))
+      .filter(col("n_keys") > maxBucket)
+      .orderBy(col("n_keys").desc, col("v"))
 
   /** Declared query: per customer name, how many OTHER names sit at
     * edit distance 1 (entity-resolution / typo-cluster signal on a key

@@ -9,17 +9,21 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the decode/feature-extract plumbing a training
   * pipeline needs.
   *
-  * The fixtures carry no real media, and this container has no
-  * image/audio codecs, so the *decode kernel* is a clearly-marked
-  * deterministic stub ([[StubCodec]]); everything Spark-side — schema,
-  * batching, partition-local iteration, typed output — is real and
-  * tested. Swapping [[StubCodec.decode]] for a JNI/FFmpeg/imageio call
-  * changes nothing in the plan shape.
+  * IMAGE decode is REAL since round 5: [[MediaCodec]] parses PNG / JPEG
+  * / GIF / BMP dimensions+channels through the JDK's own `javax.imageio`
+  * readers — header-only (`getWidth/getHeight/getImageTypes` read
+  * metadata, never pixel data), zero new dependencies. Payloads that are
+  * not a recognized image (the text fixtures, audio, video — this
+  * container ships no codecs for those) fall back to the
+  * clearly-marked deterministic [[StubCodec]], so non-image rows keep
+  * flowing with stable fake dimensions; feature-extract / frame-sample
+  * / resample kernels remain stubs with real Spark-side contracts.
   *
   * Scale notes: decode runs in `mapPartitions` (the Scala analog of
-  * `mapInPandas` batch UDFs) so per-partition setup (codec init) is paid
-  * once per task, not per row; binary payloads never shuffle — metadata
-  * is extracted first, and only the narrow typed columns flow downstream.
+  * `mapInPandas` batch UDFs) so per-partition setup — the
+  * [[MediaCodec]] reader instances — is paid once per task, not per
+  * row; binary payloads never shuffle — metadata is extracted first,
+  * and only the narrow typed columns flow downstream.
   */
 object Multimodal {
 
@@ -32,15 +36,71 @@ object Multimodal {
       height: Int,
       channels: Int)
 
-  /** Deterministic stand-in for a media decoder. Real deployments replace
-    * this object; the fake derives "decoded" dimensions from the payload
-    * so tests are stable. THIS IS A STUB — no actual media parsing.
+  /** Deterministic stand-in for payloads that are NOT a decodable image
+    * (no magic-byte match, or a corrupt header): derives fake dimensions
+    * from the payload length so tests are stable. THIS IS A STUB — no
+    * actual media parsing; real image bytes never reach it (see
+    * [[MediaCodec]]).
     */
   object StubCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       (n % 640 + 1, n % 480 + 1, 3)
     }
+  }
+
+  /** Real image metadata decoder over the JDK's `javax.imageio`.
+    * Instantiate ONCE PER TASK (inside `mapPartitions`) — ImageIO
+    * readers are stateful and not thread-safe, and the SPI lookup is
+    * the per-partition "codec init" cost this class exists to amortize;
+    * `setInput` then re-targets the same reader at each row's payload.
+    *
+    * Header-only by construction: `getWidth/getHeight/getImageTypes`
+    * parse the image header (PNG IHDR, JPEG SOFn, ...) without decoding
+    * pixels, so cost per row is O(header), not O(pixels) — the property
+    * that makes metadata extraction over 100 TB of media affordable.
+    */
+  final class MediaCodec {
+    import javax.imageio.ImageIO
+    import javax.imageio.stream.MemoryCacheImageInputStream
+    import java.io.ByteArrayInputStream
+
+    private def readerFor(fmt: String) = {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (it.hasNext) Some(it.next()) else None
+    }
+    private val png = readerFor("png")
+    private val jpeg = readerFor("jpeg")
+    private val gif = readerFor("gif")
+    private val bmp = readerFor("bmp")
+
+    /** Container detection by magic bytes — never guesses from content. */
+    private def select(p: Array[Byte]) =
+      if (p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') png
+      else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) jpeg
+      else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') gif
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') bmp
+      else None
+
+    /** (width, height, channels); [[StubCodec]] for non-image payloads
+      * or corrupt headers (a real pipeline would quarantine those — the
+      * caller sees stable dimensions either way).
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      select(payload).flatMap { r =>
+        try {
+          r.setInput(new MemoryCacheImageInputStream(
+            new ByteArrayInputStream(payload)), true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val c = if (types.hasNext) types.next().getNumComponents else 3
+          Some((w, h, c))
+        } catch { case _: Exception => None }
+      }.getOrElse(StubCodec.decode(payload))
+
+    def dispose(): Unit =
+      Seq(png, jpeg, gif, bmp).flatten.foreach(_.dispose())
   }
 
   /** Fabricate a binary media column from the documents fixture (UTF-8
@@ -51,17 +111,20 @@ object Multimodal {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Partition-local decode: binary payload → typed metadata. */
+  /** Partition-local decode: binary payload → typed metadata. Real
+    * image parsing (PNG/JPEG/GIF/BMP headers) via a per-task
+    * [[MediaCodec]]; non-image payloads get the stub's stable fakes.
+    */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec init would go here (once per task)
+        val codec = new MediaCodec // once per task
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          val (w, h, c) = StubCodec.decode(payload)
-          val fp = java.security.MessageDigest.getInstance("MD5")
-            .digest(payload).map("%02x".format(_)).mkString
+          val (w, h, c) = codec.decode(payload)
+          val fp = md5.digest(payload).map("%02x".format(_)).mkString
           MediaMeta(id, payload.length.toLong, fp, w, h, c)
         }
       }
@@ -114,9 +177,11 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: recompute target dimensions and truncate the payload
-    * proportionally — stands in for a pixel resample. Plumbing contract:
-    * binary in, binary out, new typed dims alongside.
+  /** Resize with REAL source dimensions (per-task [[MediaCodec]]) but a
+    * STUB resample kernel: target dims are computed from the decoded
+    * width/height; the payload is truncated proportionally instead of
+    * pixel-resampled. Plumbing contract: binary in, binary out, new
+    * typed dims alongside.
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int = 64, targetH: Int = 48): Dataset[ResizedMedia] = {
@@ -124,8 +189,9 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val codec = new MediaCodec // once per task
         it.map { case (id, payload) =>
-          val (w, h, _) = StubCodec.decode(payload)
+          val (w, h, _) = codec.decode(payload)
           val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
           val keep = math.max(1, math.min(payload.length, (payload.length * scale).toInt))
           ResizedMedia(id, (w * scale).toInt.max(1), (h * scale).toInt.max(1),
@@ -137,7 +203,10 @@ object Multimodal {
   /** Declared query: metadata extraction expressed with codegen'd
     * built-ins only (octet_length/md5 + arithmetic), so it is
     * SQL-oracle-checkable; semantically identical to [[decodeMeta]] on
-    * this payload shape.
+    * this payload shape (UTF-8 text payloads carry no image magic, so
+    * the decode path takes the stub branch — the MultimodalSpec
+    * equivalence test pins this, and a separate spec feeds real
+    * PNG/JPEG bytes through [[MediaCodec]]).
     */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir)

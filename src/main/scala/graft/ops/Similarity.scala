@@ -118,11 +118,30 @@ object Similarity {
     * Deterministic: bits are flipped in fixed order.
     */
   def annLsh(spark: SparkSession, sfDir: String,
-             numProbes: Int = 10, k: Int = 5, numPlanes: Int = 8,
-             multiProbe: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("sig", lshSignature(col("v"), numPlanes))
+             numProbes: Int = 10, k: Int = 5, numPlanes: Int = 6,
+             multiProbe: Int = 6): DataFrame =
+    lshSearch(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      numProbes, k, numPlanes, multiProbe)
+
+  /** DataFrame-first core of [[annLsh]] over (vec_id, v: array<double>)
+    * rows (probes = vec_id < numProbes).
+    *
+    * Parameter trade (SCALE.md documents the measured points):
+    * `numPlanes` sets bucket granularity — candidates per probe scale
+    * like |corpus|·(multiProbe+1)/2^numPlanes, so planes grow with the
+    * corpus; `multiProbe` buys recall with probe-side fan-out only (the
+    * corpus is bucketed exactly once — the scale-relevant cost).
+    * Defaults probe all Hamming-1 buckets of a 6-bit signature: ~11% of
+    * the corpus per probe, recall@5 ≈ 0.2 on ISOTROPIC-random vectors
+    * (the worst case for any sublinear ANN) and ≥ 0.9 on data with real
+    * near-neighbor structure (the planted-twin spec gate).
+    */
+  def lshSearch(input: DataFrame,
+                numProbes: Int = 10, k: Int = 5, numPlanes: Int = 6,
+                multiProbe: Int = 6): DataFrame = {
+    val emb = input.withColumn("sig", lshSignature(col("v"), numPlanes))
     val probeSigs: Seq[Column] =
       col("sig") +: (0 until math.min(multiProbe, numPlanes)).map(b =>
         col("sig").bitwiseXOR(lit(1L << b)))
@@ -176,17 +195,25 @@ object Similarity {
     */
   def annIvfKmeans(spark: SparkSession, sfDir: String,
                    cells: Int = 10, numProbes: Int = 10,
-                   k: Int = 5, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.parallelize(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
-    val assigned = km.fit(emb).transform(emb)
-      .select(col("vec_id"), col("cell"), col("v"))
-    ivfSearch(assigned, numProbes, k, nprobe)
-  }
+                   k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfKmeansSearch(
+      Tables.parallelize(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      cells, numProbes, k, nprobe)
+
+  /** DataFrame-first core of [[annIvfKmeans]]: k-means is fit on a
+    * pinned deterministic hash-sample and cells assigned by the native
+    * broadcast-centroid expression ([[Dedup.assignCells]] — the same
+    * scale-correct quantizer train/assign split as SemDeDup), then the
+    * standard IVF search.
+    */
+  def ivfKmeansSearch(emb: DataFrame, cells: Int = 10,
+                      numProbes: Int = 10, k: Int = 5,
+                      nprobe: Int = 2): DataFrame =
+    ivfSearch(
+      Dedup.assignCells(emb, cells, sampleMod = 4, pinParts = 8)
+        .select(col("vec_id"), col("cell"), col("v")),
+      numProbes, k, nprobe)
 
   /** IVF search core over (vec_id, cell, v) rows. */
   def ivfSearch(input: DataFrame,

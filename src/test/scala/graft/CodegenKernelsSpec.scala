@@ -65,6 +65,45 @@ class CodegenKernelsSpec extends SparkSpec {
     assert(nulls === 1L)
   }
 
+  test("NearestCentroid under forced codegen equals spark.ml transform and interpreted eval") {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pinned = emb.repartition(8, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(7).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(pinned)
+    val centers = model.clusterCenters.map(_.toArray)
+    val native = codegenForced {
+      emb.select(col("vec_id"),
+          graft.functions.NearestCentroid
+            .nearestCentroid(spark, col("v"), centers).as("cell"))
+        .as[(Long, Int)].collect().toMap
+    }
+    // parity with spark.ml's own assignment on the same centers —
+    // including tie behavior (strict <, first index wins)
+    val ml = model.transform(pinned)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(native === ml)
+    // interpreted eval path + tie break + null propagation
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val two = graft.functions.NearestCentroid(
+      Literal.create(Seq(0.9, 0.1), ArrayType(DoubleType)),
+      2, Seq(0.0, 0.0, 1.0, 0.0))
+    assert(two.eval(null) === 1)
+    val tied = graft.functions.NearestCentroid(
+      Literal.create(Seq(0.5, 0.5), ArrayType(DoubleType)),
+      2, Seq(1.0, 0.0, 1.0, 0.0))
+    assert(tied.eval(null) === 0, "ties must break to the lowest index")
+    val nul = graft.functions.NearestCentroid(
+      Literal.create(null, ArrayType(DoubleType)), 2, Seq(1.0, 0.0, 1.0, 0.0))
+    assert(nul.eval(null) == null)
+  }
+
   test("HyperplaneSig under forced codegen equals the composed-builtin signature") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -99,6 +99,51 @@ class DedupSpec extends SparkSpec {
     assert(total % 2 == 0 && out.forall(_.getLong(1) > 0))
   }
 
+  test("ngramDropped reports the df-capped hot shingles the pair path drops") {
+    // 5 docs share the hot shingle "x y z"; with maxDf=4 every pair it
+    // would generate is suppressed — the audit must say so
+    val docs = (0 until 5).map(i => (i.toLong, s"x y z tail$i"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.ngramDropped(docs, maxDf = 4).collect()
+    assert(dropped.length === 1 && dropped.head.getLong(1) === 5L)
+    // raise the cap above the df: nothing suppressed, audit certifies it
+    assert(Dedup.ngramDropped(docs, maxDf = 5).isEmpty)
+  }
+
+  test("fuzzyDropped reports the variant buckets the pair path drops whole") {
+    // all four keys share deletion variant "a" → bucket of 4 keys; with
+    // maxBucket=3 every distance-1 pair is suppressed (pairs empty) and
+    // the audit reports exactly that bucket
+    val names = Seq("ab", "ac", "ad", "ae").toDF("c_name")
+    assert(Dedup.fuzzyPairs(names, "c_name", maxBucket = 3).isEmpty)
+    val dropped = Dedup.fuzzyDropped(names, "c_name", maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(dropped.toSeq === Seq(("a", 4)))
+    assert(Dedup.fuzzyDropped(names, "c_name", maxBucket = 4).isEmpty)
+  }
+
+  test("semanticDropped reports exactly the clusters the pair path excludes") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dropped = Dedup.semanticDropped(emb, cells = 10, maxCluster = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // 500 vectors over 10 cells — some cluster must exceed 20
+    assert(dropped.nonEmpty && dropped.forall(_._2 > 20))
+    // cap above the corpus size: nothing to report
+    assert(Dedup.semanticDropped(emb, cells = 10, maxCluster = 600).isEmpty)
+  }
+
+  test("embeddingDropped reports over-cap LSH buckets; empty under a loose cap") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // cap 1: every ≥2 bucket is "dropped" — must be non-empty and sized right
+    val dropped = Dedup.embeddingDropped(emb, maxBucket = 1).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) > 1))
+    assert(Dedup.embeddingDropped(emb, maxBucket = 1000).isEmpty)
+  }
+
   test("semanticPairs: planted duplicate recovered; every pair is a true pair") {
     val emb = Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"),

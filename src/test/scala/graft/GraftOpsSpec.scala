@@ -268,4 +268,18 @@ class GraftOpsSpec extends SparkSpec {
       === graft.ops.Basket.copurchaseQuery(spark, sfTiny)
         .collect().map(_.toSeq).toSeq)
   }
+
+  test("facade skew-guard audit twins report suppressed groups on renamed columns") {
+    val names = Seq("ab", "ac", "ad", "ae").toDF("name")
+    assert(GraftOps.fuzzyKeyPairsDropped(names, "name", maxBucket = 3).count() === 1)
+    val items = (1 to 12).map(i => (99L, i.toLong)).toDF("ord", "itm")
+    assert(GraftOps.copurchasePairsDropped(items, "ord", "itm", maxBasket = 10)
+      .count() === 1)
+    val docs = (0 until 5).map(i => (i.toLong, s"x y z t$i")).toDF("id", "body")
+    assert(GraftOps.ngramNearDupsDropped(docs, "id", "body", maxDf = 4).count() === 1)
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id").as("i"), col("embedding").as("e"))
+    assert(GraftOps.cosineNearDupsDropped(emb, "i", "e", maxBucket = 1).count() > 0)
+    assert(GraftOps.semanticNearDupsDropped(emb, "i", "e", maxCluster = 20).count() > 0)
+  }
 }

@@ -33,6 +33,55 @@ class MultimodalSpec extends SparkSpec {
     frames.unpersist()
   }
 
+  test("MediaCodec: real PNG/JPEG/GIF headers decode true dims+channels; non-images fall back") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+    def img(w: Int, h: Int, typ: Int, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(new BufferedImage(w, h, typ), fmt, bos),
+        s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    val rgbPng  = img(17, 9, BufferedImage.TYPE_INT_RGB, "png")
+    val argbPng = img(5, 7, BufferedImage.TYPE_INT_ARGB, "png")
+    val grayPng = img(11, 13, BufferedImage.TYPE_BYTE_GRAY, "png")
+    val jpg     = img(33, 21, BufferedImage.TYPE_3BYTE_BGR, "jpg")
+    val gif     = img(8, 6, BufferedImage.TYPE_INT_RGB, "gif")
+    val text    = "just text, no image magic".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, rgbPng), (2L, argbPng), (3L, grayPng), (4L, jpg), (5L, gif),
+      (6L, text),
+      (7L, rgbPng.take(12))) // PNG magic but truncated header
+    val meta = Multimodal.decodeMeta(spark, rows.toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.channels))).toMap
+    assert(meta(1L) === ((17, 9, 3)))
+    assert(meta(2L) === ((5, 7, 4)), "alpha PNG must report 4 channels")
+    assert(meta(3L) === ((11, 13, 1)), "grayscale PNG must report 1 channel")
+    assert((meta(4L)._1, meta(4L)._2) === ((33, 21)))
+    assert(meta(4L)._3 === 3)
+    assert((meta(5L)._1, meta(5L)._2) === ((8, 6)))
+    // no magic → deterministic stub dims
+    assert(meta(6L) === ((text.length % 640 + 1, text.length % 480 + 1, 3)))
+    // corrupt header → stub fallback, not a task failure
+    assert(meta(7L) === ((12 % 640 + 1, 12 % 480 + 1, 3)))
+  }
+
+  test("resize targets real decoded dimensions for image payloads") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(new BufferedImage(200, 100, BufferedImage.TYPE_INT_RGB), "png", bos)
+    val out = Multimodal.resize(spark,
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"),
+      targetW = 64, targetH = 48).collect().head
+    // scale = min(64/200, 48/100) = 0.32 → 64 × 32
+    assert(out.width === 64 && out.height === 32)
+  }
+
   test("resize: dims within target box, payload truncated proportionally") {
     val r = Multimodal.resize(spark, media, targetW = 64, targetH = 48).cache()
     assert(r.count() === media.count())

@@ -108,6 +108,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: full-corpus assignment is narrow — no fixed-width hash pin") {
+    // the k-means pin (repartition(pinParts, vec_id) + sort) must ride
+    // only the fit SAMPLE (a separate, already-executed job); the
+    // declared plan assigns cells via the broadcast-centroid expression
+    // and shuffles only on the cell key for the bucket collect. Before
+    // round 5 the whole corpus ran through hashpartitioning(vec_id, 8) —
+    // an 8-task cap on a 100 TB scan.
+    val p = planOf("dedup_semantic")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("cell")),
+      s"corpus repartitioned outside the cell-bucket shuffle: $exchanges")
+    assert(p.contains("graft_nearest_centroid"),
+      "assignment should run through the native NearestCentroid expression")
+  }
+
   test("term_relevance: single documents scan — df via count window, not a self-join") {
     val p = planOf("term_relevance")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length

@@ -83,6 +83,11 @@ class ProfileBasketSpec extends SparkSpec {
     // a basket over maxBasket contributes nothing (skew bomb dropped whole)
     val big = (1 to 12).map(i => (99L, i.toLong)).toDF("o", "it")
     assert(Basket.pairCounts(big, "o", "it", 1, maxBasket = 10).count() == 0)
+    // ...and the audit twin reports exactly what was suppressed
+    val dropped = Basket.basketsDropped(big, "o", "it", maxBasket = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(dropped.toSeq === Seq((99L, 12)))
+    assert(Basket.basketsDropped(big, "o", "it", maxBasket = 12).isEmpty)
   }
 
   test("rollingDistinctUsers counts trailing-window users, clamped to last day") {

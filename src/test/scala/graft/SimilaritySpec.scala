@@ -39,10 +39,75 @@ class SimilaritySpec extends SparkSpec {
     val approx = Similarity.annLsh(spark, sfTiny, numProbes = 10, k = 5)
       .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
     // every ANN pair shares the probe's bucket; sanity: non-empty and
-    // no self pairs (recall is data-dependent, assert it's measurable)
+    // no self pairs
     assert(approx.nonEmpty)
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"ANN recall@5 = $recall (${approx.size} approx pairs)")
+    // HARD floor. Context for the number: this fixture is isotropic-
+    // random (5th-NN cos ≈ 0.29, per-bit agreement p ≈ 0.6) — the
+    // degenerate regime where ANY sublinear ANN has low recall by
+    // information-theoretic necessity; expected P(collide, Hamming ≤ 1
+    // of 6 bits) ≈ 0.23 per true neighbor, measured 0.2. The operative
+    // recall gate is the planted-structure test below; this floor
+    // catches the signature/bucketing math silently breaking (recall
+    // was 0.0 with 8 planes / multiProbe=3 before round 5 re-tuned the
+    // default fan-out).
+    assert(recall >= 0.12, s"fixture LSH recall collapsed: $recall")
+  }
+
+  test("planted near-neighbor structure: LSH and kmeans-IVF recall@5 hard floors") {
+    // The fixture is isotropic noise — real corpora are not. Plant, for
+    // each probe, 5 deterministic perturbed twins at cos ≈ 0.97 (the
+    // regime ANN indexes exist for: genuine near-duplicates). The exact
+    // top-5 of each probe is then its planted set, so recall@5 is exact
+    // and fully deterministic (seeded noise) — a hard floor that fails
+    // loudly if the signature math, bucketing join, or quantizer
+    // train/assign path regresses.
+    val base = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nProbes = 10
+    val perProbe = 5
+    val probeVecs = base.filter(col("vec_id") < nProbes)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val rnd = new scala.util.Random(42)
+    val planted: Seq[(Long, Seq[Double])] = for {
+      (pid, pv) <- probeVecs.toSeq
+      j <- 0 until perProbe
+    } yield {
+      val d = pv.length
+      val noisy = pv.map(x => x + 0.25 * rnd.nextGaussian() / math.sqrt(d.toDouble))
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (100000L + pid * 100 + j, noisy.map(_ / n))
+    }
+    val corpus = base.unionByName(planted.toDF("vec_id", "v"))
+    val truth: Set[(Long, Long)] = planted.map { case (id, _) =>
+      ((id - 100000L) / 100, id)
+    }.toSet
+    // sanity: the planted twins really are the exact top-5 (brute force)
+    val all = corpus.as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactTop: Set[(Long, Long)] = probeVecs.flatMap { case (pid, pv) =>
+      all.filter(_._1 != pid).map { case (cid, cv) => (cid, cos(pv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(perProbe)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    assert(exactTop === truth, "planted twins are not the exact top-5 — fixture broken")
+
+    val lsh = Similarity.lshSearch(corpus, numProbes = nProbes, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lshRecall = truth.intersect(lsh).size.toDouble / truth.size
+    info(s"planted LSH recall@5 = $lshRecall")
+    assert(lshRecall >= 0.8, s"LSH planted recall@5 $lshRecall < 0.8")
+
+    val ivf = Similarity.ivfKmeansSearch(corpus, cells = 10, numProbes = nProbes, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = truth.intersect(ivf).size.toDouble / truth.size
+    info(s"planted kmeans-IVF recall@5 = $ivfRecall")
+    assert(ivfRecall >= 0.8, s"kmeans-IVF planted recall@5 $ivfRecall < 0.8")
   }
 
   test("similarity_ivf: candidates come only from the probe's nprobe cells; recall measurable") {
@@ -54,7 +119,12 @@ class SimilaritySpec extends SparkSpec {
     val approx = ivf.select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"IVF recall@5 (nprobe=2/10 cells) = $recall")
-    assert(recall > 0.0)
+    // HARD floor. The label cells carry no geometric structure on this
+    // fixture (labels are metric-random), so nprobe=2 of 10 cells scans
+    // ~20% of the corpus and expected recall sits near 0.2-0.3; the
+    // planted-structure test carries the trustworthiness gate. This
+    // floor catches the cell-probe join or centroid math breaking.
+    assert(recall >= 0.2, s"fixture IVF recall collapsed: $recall")
     ivf.unpersist()
   }
 
