@@ -29,6 +29,20 @@ object CorpusPipeline {
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           chunkTokens: Int = 256): Seq[(String, Long)] = {
+    // every cached stage registers here; the finally block frees them on
+    // ANY exit — without it, an exception between a cache() and the end
+    // of the run leaks the cached blocks for the rest of the session
+    // (Verify sweeps persistent RDDs between queries, but direct library
+    // callers have no such sweeper)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { cached += df.cache(); df }
+    try runTracked(spark, sfDir, outDir, chunkTokens, tracked)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private def runTracked(spark: SparkSession, sfDir: String, outDir: String,
+                         chunkTokens: Int,
+                         cache: DataFrame => DataFrame): Seq[(String, Long)] = {
     val raw = Tables.parallelize(Tables.documents(spark, sfDir))
 
     // 1. PII scrub — redact, keep audit counts out of the hot path
@@ -45,10 +59,9 @@ object CorpusPipeline {
     // definitions substituted in, re-deriving scrub+tokenize at the
     // scan for every row (and the cache also serves qualityFilterApprox,
     // which reads the frame twice: cutoff agg + filter)
-    val sig = Curate.withRepetitionSignals(
-        scrubbed.select(col("doc_id"), col("lang"), col("source"), col("text")),
-        col("text"))
-      .cache()
+    val sig = cache(Curate.withRepetitionSignals(
+      scrubbed.select(col("doc_id"), col("lang"), col("source"), col("text")),
+      col("text")))
     val rep = sig
       .filter(col("dup_token_frac") < 0.999 && col("top_2gram_frac") < 0.9)
       .select("doc_id", "lang", "source", "text")
@@ -59,9 +72,8 @@ object CorpusPipeline {
     // called out in SURVEY §4) scaled up to the priciest stages (PII
     // regex + repetition signals are interpreted higher-order exprs).
     // One cache per surviving stage = each stage computes once.
-    val quality = Text.qualityFilterApprox(rep, dropBelow = 0.2)
-      .select(col("doc_id")).join(rep, "doc_id")
-      .cache()
+    val quality = cache(Text.qualityFilterApprox(rep, dropBelow = 0.2)
+      .select(col("doc_id")).join(rep, "doc_id"))
 
     // 3. Exact dedup (first-writer-wins), then near-dup clusters: keep
     //    only each cluster's canonical (minimum-id) document
@@ -69,10 +81,9 @@ object CorpusPipeline {
     val pairs = Dedup.ngramPairs(exact.select(col("doc_id"), col("text")))
       .select(col("doc1").as("u"), col("doc2").as("v"))
     val roots = Components.connectedComponents(pairs) // (node, root)
-    val canonical = exact.join(
+    val canonical = cache(exact.join(
       roots.filter(col("node") =!= col("root")).select(col("node").as("doc_id")),
-      Seq("doc_id"), "left_anti")
-      .cache()
+      Seq("doc_id"), "left_anti"))
 
     // 4. Benchmark decontamination (fixture benchmark = doc_id % 25)
     val contaminated = Curate.contaminatedPairsTagged(
@@ -80,15 +91,14 @@ object CorpusPipeline {
         when(col("doc_id") % 25 === 0, 0).otherwise(1).as("_side")),
       minCommon = 4, hashed = true)
       .select(col("doc_id")).distinct()
-    val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    val clean = cache(canonical.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5. Domain mix → stable split assignment → per-epoch shuffle order
     val mixed = Curate.stratifiedSample(clean, "doc_id", "lang",
       Curate.MixRates, Curate.MixDefault).drop("sample_key")
     val split = Curate.hashSplit(mixed, "doc_id")
-    val shuffled = split
-      .withColumn("shuffle_key", Curate.shuffleKey(col("doc_id"), "epoch0:"))
-      .cache()
+    val shuffled = cache(split
+      .withColumn("shuffle_key", Curate.shuffleKey(col("doc_id"), "epoch0:")))
 
     // 6. Packing layout for the train split (token-stream chunking in
     //    shuffle order — distributed prefix sum, no global window)
@@ -121,8 +131,6 @@ object CorpusPipeline {
       "09_train_chunks" ->
         (spark.read.parquet(s"$outDir/train_packing")
           .agg(max(col("chunk_last"))).head.getLong(0) + 1))
-    Seq(sig, quality, canonical, clean, shuffled)
-      .foreach(_.unpersist(blocking = false))
     counts
   }
 }

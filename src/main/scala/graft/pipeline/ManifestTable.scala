@@ -90,35 +90,63 @@ object ManifestTable {
     commit(df, path, partitionCols, maxAttempts, statsCols,
       carryForward = true, tag = tag)
 
-  /** Idempotent tagged append for exactly-once sinks: if any committed
-    * manifest already carries `tag`, the call is a no-op returning that
-    * version — a redelivered micro-batch (checkpoint loss, restarted
-    * query, at-least-once upstream) commits nothing twice. Idempotence
-    * is per serialized writer (a Structured Streaming query runs its
-    * batches serially); two CONCURRENT writers racing the same fresh
-    * tag are the one case this cannot collapse — the same boundary
-    * Delta's txn appId/version protocol draws.
+  /** Idempotent tagged append for exactly-once sinks: if the table has
+    * ever committed `tag`, the call is a no-op returning that version —
+    * a redelivered micro-batch (checkpoint loss, restarted query,
+    * at-least-once upstream) commits nothing twice. Idempotence is per
+    * serialized writer (a Structured Streaming query runs its batches
+    * serially); two CONCURRENT writers racing the same fresh tag are
+    * the one case this cannot collapse — the same boundary Delta's txn
+    * appId/version protocol draws.
+    *
+    * Replay protection SURVIVES [[vacuum]]: every commit carries the
+    * full tag→version map forward into its manifest (the way Delta
+    * retains txn versions in checkpoints), so dropping old manifests
+    * never forgets a tag — a batch replayed after its own manifest was
+    * vacuumed still no-ops.
     */
   def appendIdempotent(df: DataFrame, path: String, tag: String,
                        partitionCols: Seq[String] = Nil,
-                       statsCols: Seq[String] = Nil): Long =
+                       statsCols: Seq[String] = Nil,
+                       maxAttempts: Int = 3): Long =
     committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
-      append(df, path, partitionCols, statsCols = statsCols, tag = Some(tag)))
+      append(df, path, partitionCols, maxAttempts = maxAttempts,
+        statsCols = statsCols, tag = Some(tag)))
 
-  /** The committed version carrying `tag`, if any. Scans manifests
-    * NEWEST-FIRST so the common replay case (the tag was just
-    * committed) answers after one or two manifest reads; a genuinely
-    * fresh tag still costs O(versions) — vacuum retention bounds that,
-    * and callers doing their own check should follow with plain
-    * [[append]] rather than paying the scan twice via
-    * [[appendIdempotent]].
+  /** The committed version carrying `tag`, if any. One manifest read:
+    * the CURRENT manifest's carried tag map answers membership for the
+    * whole history (pre-tag-map legacy manifests fall back to a
+    * newest-first per-manifest scan of the own-tag field).
     */
   def committedVersionOfTag(spark: SparkSession, path: String,
                             tag: String): Option[Long] =
-    versions(spark, path).reverseIterator.find { v =>
-      val t = manifestNode(spark, path, v).get("tag")
-      t != null && t.asText() == tag
+    currentVersion(spark, path).flatMap { cur =>
+      val node = manifestNode(spark, path, cur)
+      if (node.has("tags")) Option(node.get("tags").get(tag)).map(_.asLong())
+      else versions(spark, path).reverseIterator.find { v =>
+        val t = manifestNode(spark, path, v).get("tag")
+        t != null && t.asText() == tag
+      }
     }
+
+  /** Full tag→version map as of `version` (carried map when present;
+    * reconstructed from per-manifest own tags on legacy tables).
+    */
+  private def manifestTags(spark: SparkSession, path: String,
+                           version: Long): Map[String, Long] = {
+    val node = manifestNode(spark, path, version)
+    if (node.has("tags")) {
+      val t = node.get("tags")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = t.fieldNames()
+      while (it.hasNext) { val k = it.next(); out += k -> t.get(k).asLong() }
+      out.toMap
+    } else
+      versions(spark, path).filter(_ <= version).flatMap { v =>
+        val t = manifestNode(spark, path, v).get("tag")
+        if (t == null) None else Some(t.asText() -> v)
+      }.toMap
+  }
 
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
@@ -193,8 +221,15 @@ object ManifestTable {
         if (statsCols.isEmpty) Map.empty
         else staged.map(p => relativize(new Path(path), p) ->
           footerStats(spark, p, statsCols)).toMap
+      // the FULL tag→version map rides every manifest (overwrites too —
+      // a replayed batch must no-op even after the data it wrote was
+      // replaced), so vacuum dropping old manifests never erases replay
+      // protection and tag membership is one manifest read
+      val allTags: Map[String, Long] =
+        prev.map(manifestTags(spark, path, _)).getOrElse(Map.empty) ++
+          tag.map(_ -> version)
       val json = manifestJson(spark, version, files,
-        carriedStats ++ newStats, tag, Some(schema))
+        carriedStats ++ newStats, tag, Some(schema), allTags)
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
       // conditional commit: must atomically fail if a concurrent
@@ -447,11 +482,16 @@ object ManifestTable {
                            files: Seq[String],
                            stats: Map[String, Map[String, ColStats]],
                            tag: Option[String] = None,
-                           schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
+                           schema: Option[org.apache.spark.sql.types.StructType] = None,
+                           tags: Map[String, Long] = Map.empty): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
     tag.foreach(root.put("tag", _))
+    // always present (possibly empty) so tag lookups on any post-legacy
+    // manifest are a single read, never a history scan
+    val tagsNode = root.putObject("tags")
+    tags.toSeq.sortBy(_._1).foreach { case (k, v) => tagsNode.put(k, v) }
     schema.foreach(s => root.put("schema", s.json))
     val arr = root.putArray("files")
     files.foreach(arr.add)

@@ -247,6 +247,72 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 2)
   }
 
+  test("stress: 8 concurrent tagged appenders, vacuum racing an old-version reader, replay after vacuum") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = java.nio.file.Files.createTempDirectory("graft_mt_stress").toString + "/t"
+    assert(ManifestTable.write(Seq((0L, "base")).toDF("id", "v"), path) === 1L)
+
+    // 8 writers race distinct tags concurrently; OCC must land each
+    // exactly once (attempts sized for the worst losing streak)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val committed = Await.result(
+      Future.sequence((1 to 8).map { i =>
+        Future(ManifestTable.appendIdempotent(
+          Seq((i.toLong, s"w$i")).toDF("id", "v"), path,
+          tag = s"batch-$i", maxAttempts = 64))
+      }), 180.seconds)
+    assert(committed.toSet.size === 8, s"duplicate/lost commits: $committed")
+    assert(ManifestTable.versions(spark, path) === (1L to 9L),
+      "every racer must land on a distinct consecutive version")
+    assert(ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+      === ((0L, "base") +: (1 to 8).map(i => (i.toLong, s"w$i"))).toSet,
+      "a committed batch was lost or duplicated")
+    (1 to 8).foreach { i =>
+      assert(ManifestTable.committedVersionOfTag(spark, path, s"batch-$i").isDefined)
+    }
+
+    // reader pinned at version 5 (file list resolved at construction)
+    // races a vacuum that drops every manifest but the newest; the
+    // append chain still references the old snapshot dirs, so the
+    // reader's snapshot stays exactly what version 5 committed
+    val expected5 = ManifestTable.readVersion(spark, path, 5)
+      .as[(Long, String)].collect().toSet
+    val raced = ManifestTable.readVersion(spark, path, 5)
+    val readF = Future(raced.as[(Long, String)].collect().toSet)
+    val vacF = Future(ManifestTable.vacuum(spark, path, keep = 1))
+    assert(Await.result(readF, 120.seconds) === expected5,
+      "racing reader saw an inconsistent snapshot")
+    assert(Await.result(vacF, 120.seconds) === (1L to 8L))
+    pool.shutdown()
+
+    // no dangling state: exactly the surviving manifest remains, every
+    // file it names exists, every snapshot dir on disk is referenced
+    assert(ManifestTable.versions(spark, path) === Seq(9L))
+    val files = ManifestTable.manifestFiles(spark, path, 9L)
+    files.foreach(f => assert(new java.io.File(s"$path/$f").exists(),
+      s"surviving manifest names a vacuumed file: $f"))
+    val referenced = files.map(_.split("/").head).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("snap-"))
+      .map(_.getName).toSet
+    assert(onDisk === referenced,
+      s"dangling snapshot dirs after vacuum: ${onDisk -- referenced}")
+
+    // replay protection SURVIVES the vacuum: the tag map rode forward,
+    // so a late redelivery of any batch still no-ops
+    (1 to 8).foreach { i =>
+      val v = ManifestTable.appendIdempotent(
+        Seq((99L, "dup")).toDF("id", "v"), path, tag = s"batch-$i")
+      assert(v === committed(i - 1),
+        s"batch-$i replayed after vacuum re-committed (got v$v)")
+    }
+    assert(ManifestTable.currentVersion(spark, path) === Some(9L))
+    assert(ManifestTable.read(spark, path).count() === 9)
+  }
+
   test("streaming bronze through the manifest sink: atomic batches, replay-safe tags") {
     val base = java.nio.file.Files.createTempDirectory("graft_mt11").toString
     val src = java.nio.file.Files.createDirectory(
