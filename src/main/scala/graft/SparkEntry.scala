@@ -112,8 +112,35 @@ object SparkEntry {
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
     * registered by table name). Column names/ordering aliases match the
     * Spark side exactly — the driver sorts columns by name before hashing.
+    *
+    * FROZEN-EXPECTED oracles: five queries compute with engine-native
+    * hashing (xxhash64 minhash/simhash/LSH signatures) or a learned BPE
+    * table that no SQL engine reproduces — but their outputs are fully
+    * deterministic (seeded hashes, per-row float math with fixed fold
+    * order, total-order sorts), so their oracle reads a frozen expected
+    * parquet committed under `expected/sf0.01/` (provenance + regen
+    * recipe in `expected/README.md`). That turns the former rows-only
+    * checks into exact regression gates; the SEMANTIC gates stay in the
+    * specs (recall vs exact jaccard, pigeonhole soundness, planted-twin
+    * recall floors, BPE brute-force properties). Valid at sf0.01 — the
+    * driver's correctness scale — by construction.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_minhash.parquet')
+         ORDER BY doc1, doc2""",
+    "dedup_simhash" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_simhash.parquet')
+         ORDER BY doc1, doc2""",
+    "token_bpe_learned" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/token_bpe_learned.parquet')
+         ORDER BY doc_id""",
+    "dedup_embedding" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_embedding.parquet')
+         ORDER BY vec1, vec2""",
+    "similarity_ann_lsh" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ann_lsh.parquet')
+         ORDER BY probe_id, rank""",
     "bronze_ingest" ->
       """SELECT event_id, user_id, event_type, value,
          CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
