@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: measures how the dedup-family queries scale
+  * from sf0.1 to a synthesized 10× corpus (the "sf1 analog"), in ONE
+  * JVM so both points share warm-up state. Evidence for the SCALE.md
+  * claims that the declared plans are ~linear in the input — a plan
+  * that quietly went quadratic (a lost pushdown, a degenerate bucket)
+  * shows up here as a super-linear sec or shuffle-bytes ratio long
+  * before it shows up on a cluster.
+  *
+  * The 10× corpus is derived, not fabricated: each replica k shifts the
+  * ids into a disjoint range and makes the content DISSIMILAR to every
+  * other replica — documents through a per-replica character rotation
+  * (`translate` over 10 letters; replica 0 is the identity) so replicas
+  * of one doc share almost no shingles, customer names through a 2-char
+  * replica suffix so replicas sit at edit distance 2. A plain suffix is
+  * NOT enough for the n-gram family: it leaves the text body identical,
+  * every doc gains 9 near-clones, posting-list sizes multiply by 10 and
+  * candidate pairs by ~100 — the probe would then measure a duplicate-
+  * saturated workload, not the plan's scaling. With dissimilar replicas
+  * the per-replica duplicate structure is preserved and output sizes
+  * scale ~10×. Everything is column-derived, deterministic, and written
+  * once to the probe dir in the fixture layout, so the declared queries
+  * run against it unchanged.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe
+  *   /root/testdata/sf0.1 /tmp/graft_sf1 [factor]"
+  * Prints one JSON line per query with sec + shuffle bytes at both
+  * scales and the ratios. Results table lives in SCALE.md.
+  */
+object ScaleProbe {
+
+  /** Accumulates shuffle write bytes across completed stages. */
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private val Queries = Seq(
+    "dedup_ngram", "dedup_clusters", "fuzzy_dedup", "seq_pack",
+    "quality_filter", "dedup_exact")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val probeDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- materialize the scaled corpus (idempotent) ----
+    val f = new java.io.File(s"$probeDir/documents.parquet")
+    if (!f.exists()) {
+      val docs = Tables.documents(spark, baseDir)
+      // two independent 10-letter rotations → 100 distinct per-replica
+      // text transforms (replica 0 = identity)
+      val r1 = "abcdefghij"
+      val r2 = "klmnopqrst"
+      def rotate(s: String, k: Int) = s.drop(k) + s.take(k)
+      val scaledDocs = (0 until factor).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
+          translate(translate(col("text"), r1, rotate(r1, k % 10)),
+            r2, rotate(r2, (k / 10) % 10)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      scaledDocs.write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      val cust = Tables.customer(spark, baseDir)
+      val scaledCust = (0 until factor).map { k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 1000000000L))
+          // 2-char suffix: replicas of one name sit at edit distance 2 —
+          // no cross-replica distance-1 pairs, per-replica pairs intact
+          .withColumn("c_name", concat(col("c_name"), lit(s"$k$k")))
+      }.reduce(_ unionByName _)
+      scaledCust.write.mode("overwrite").parquet(s"$probeDir/customer.parquet")
+    }
+
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    def run(name: String, dir: String): (Double, Long) = {
+      // settle the async listener queue so the previous query's stage
+      // events don't bleed into this query's meter (the public API has
+      // no flush; stage-completed events trail the action by <100 ms)
+      Thread.sleep(500)
+      meter.bytes.set(0L)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      (sec, meter.bytes.get())
+    }
+
+    // warm-up (JIT + codegen) on the small scale, untimed
+    Queries.foreach(q => try SparkEntry.queries(q)(spark, baseDir).count()
+      catch { case _: Throwable => () })
+
+    Queries.foreach { q =>
+      val (s1, b1) = run(q, baseDir)
+      val (s2, b2) = run(q, probeDir)
+      val secRatio = if (s1 > 0) s2 / s1 else Double.NaN
+      val byteRatio = if (b1 > 0) b2.toDouble / b1 else Double.NaN
+      println(f"""{"query":"$q","sf01_sec":$s1%.2f,"sf1_sec":$s2%.2f,"sec_ratio":$secRatio%.2f,"sf01_shuffle_mb":${b1 / 1e6}%.1f,"sf1_shuffle_mb":${b2 / 1e6}%.1f,"shuffle_ratio":$byteRatio%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -81,6 +81,7 @@ object SparkEntry {
     "embedding_stats"    -> ((s, d) => Similarity.embeddingStats(s, d)),
     "embedding_centroid" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
+    "multimodal_image_meta" -> ((s, d) => Multimodal.multimodalImageMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -140,6 +141,11 @@ object SparkEntry {
          ORDER BY vec1, vec2""",
     "similarity_ann_lsh" ->
       """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ann_lsh.parquet')
+         ORDER BY probe_id, rank""",
+    // freezable since round 5's exact-decimal centroids (order-
+    // independent means — no float Summarizer merge-order sensitivity)
+    "similarity_ivf" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ivf.parquet')
          ORDER BY probe_id, rank""",
     "bronze_ingest" ->
       """SELECT event_id, user_id, event_type, value,
@@ -579,6 +585,16 @@ object SparkEntry {
          md5(text) AS content_fp,
          CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
          CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels
+         FROM documents ORDER BY doc_id""",
+    // real PNG encode (imageTable) + real imageio header decode
+    // (MediaCodec); dimensions are a fixed function of doc_id, so the
+    // oracle recomputes the generating arithmetic — any drift in either
+    // codec path hash-mismatches
+    "multimodal_image_meta" ->
+      """SELECT doc_id,
+         CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 23 + 1 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
     "sessionize" ->

@@ -200,6 +200,55 @@ object Multimodal {
       }
   }
 
+  /** REAL-image media table: each doc_id becomes an actual PNG payload
+    * (TYPE_INT_RGB, dimensions a fixed function of the id, pixels a
+    * fixed function of position) encoded with the JDK's ImageIO inside
+    * `mapPartitions` — real image bytes without fixture media or
+    * external codecs. Deterministic end to end: the JDK PNG encoder
+    * writes no timestamps, so identical pixels give identical bytes.
+    *
+    * Scale shape: generation is narrow (one task-local encoder per
+    * partition, payloads never shuffle); in production this stage is
+    * the parquet binary-column scan instead.
+    */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bos = new java.io.ByteArrayOutputStream() // reused per task
+        it.map { id =>
+          val w = (id % 37 + 1).toInt
+          val h = (id % 23 + 1).toInt
+          val bi = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bi.setRGB(x, y, ((id + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          bos.reset()
+          javax.imageio.ImageIO.write(bi, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Declared query `multimodal_image_meta`: REAL PNG payloads
+    * ([[imageTable]]) decoded by the REAL [[MediaCodec]] header parse —
+    * and because the image dimensions are a fixed function of doc_id,
+    * the decoded metadata is SQL-oracle-checkable: the oracle recomputes
+    * the generating arithmetic, and any drift in the encode or decode
+    * path (a wrong header field, a channels misread) hash-mismatches.
+    */
+  def multimodalImageMeta(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(spark, imageTable(spark, sfDir))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+      .orderBy(col("doc_id"))
+
   /** Declared query: metadata extraction expressed with codegen'd
     * built-ins only (octet_length/md5 + arithmetic), so it is
     * SQL-oracle-checkable; semantically identical to [[decodeMeta]] on

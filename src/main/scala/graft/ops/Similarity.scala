@@ -219,17 +219,25 @@ object Similarity {
   def ivfSearch(input: DataFrame,
                 numProbes: Int, k: Int, nprobe: Int): DataFrame = {
     val emb = input
-    // Exact per-cell centroid in ONE aggregation pass: ml.stat.Summarizer
-    // computes the mean vector with a map-side-combined buffer (the
-    // posexplode → per-(cell,pos) avg → reassemble formulation costs two
-    // sequential shuffles and dim× the shuffle rows).
+    // Per-cell centroids via posexplode → (cell, pos) EXACT-DECIMAL
+    // mean → reassemble (the embedding_centroid shape). Two shuffles
+    // instead of Summarizer.mean's one — but the shuffled rows number
+    // cells×dim (tiny at any corpus scale; the map-side partial agg
+    // collapses the dim× row expansion before the exchange), and the
+    // decimal accumulator makes the centroids — and so the whole
+    // query — independent of shuffle-arrival order: float Summarizer
+    // means vary in final ulps with partial-merge order, which is
+    // invisible to rows-only checks but breaks the frozen-expected
+    // oracle this query now carries.
     val centroids = emb
-      .select(col("cell"),
-        org.apache.spark.ml.functions.array_to_vector(col("v")).as("mv"))
+      .select(col("cell"), posexplode_outer(col("v")).as(Seq("pos", "val")))
+      .filter(col("val").isNotNull)
+      .groupBy(col("cell"), col("pos"))
+      .agg(graft.Det.davg(col("val")).as("m"))
       .groupBy(col("cell"))
-      .agg(org.apache.spark.ml.stat.Summarizer.mean(col("mv")).as("cmean"))
-      .select(col("cell"),
-        org.apache.spark.ml.functions.vector_to_array(col("cmean")).as("cv"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     // Probe → nprobe nearest cells (centroid table broadcast).

@@ -68,6 +68,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(7L) === ((12 % 640 + 1, 12 % 480 + 1, 3)))
   }
 
+  test("multimodal_image_meta: real PNG roundtrip — decoded dims equal the generating arithmetic") {
+    val out = Multimodal.multimodalImageMeta(spark, sfTiny).collect()
+    assert(out.length === media.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (id % 37 + 1).toInt, s"width drift at doc $id")
+      assert(r.getInt(2) === (id % 23 + 1).toInt, s"height drift at doc $id")
+      assert(r.getInt(3) === 3)
+    }
+    // the payloads really are PNGs (magic bytes), not stub passthroughs
+    val first = Multimodal.imageTable(spark, sfTiny)
+      .orderBy("doc_id").head.getAs[Array[Byte]]("payload")
+    assert((first(0) & 0xFF) === 0x89 && first(1) === 'P'.toByte)
+  }
+
   test("resize targets real decoded dimensions for image payloads") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
