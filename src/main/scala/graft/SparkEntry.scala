@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_clusters"     -> ((s, d) => Components.dedupClusters(s, d)),
+    "dedup_incremental_ngram" -> ((s, d) => Dedup.dedupIncrementalNgram(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -516,6 +517,29 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.5
          ORDER BY doc1, doc2""",
+    "dedup_incremental_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  ELSE [] END) AS s
+           FROM toks),
+         posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         b AS (SELECT doc_id AS b_id, n_sh AS b_n, shingle FROM posting
+               WHERE doc_id % 20 = 0),
+         e AS (SELECT doc_id AS e_id, n_sh AS e_n, shingle FROM posting
+               WHERE doc_id % 20 <> 0),
+         pairs AS (
+           SELECT b_id, e_id, b_n, e_n, COUNT(*) AS common
+           FROM e JOIN b USING (shingle)
+           GROUP BY 1, 2, 3, 4)
+         SELECT b_id, e_id, common,
+                CAST(common AS DOUBLE) / (b_n + e_n - common) AS jaccard
+         FROM pairs
+         WHERE CAST(common AS DOUBLE) / (b_n + e_n - common) >= 0.5
+         ORDER BY b_id, e_id""",
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -450,6 +450,20 @@ object GraftOps {
     if (approximate) graft.ops.Profile.profileApprox(df, cols)
     else graft.ops.Profile.profile(df, cols)
 
+  /** Cross-batch NEAR-dup pairs: (batch id, existing id) at n-gram
+    * Jaccard ≥ threshold — "which of today's ingest are rewordings of
+    * the standing corpus". Batch posting broadcasts; the corpus scans
+    * once and never shuffles for the join
+    * (`graft.ops.Dedup.incrementalNearPairs`).
+    */
+  def incrementalNearDups(existing: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.5): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Dedup.incrementalNearPairs(norm(existing), norm(batch), threshold)
+  }
+
   /** Frequent co-occurring item pairs (≥ minSupport shared baskets). */
   def copurchasePairs(df: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long = 2, maxBasket: Int = 10000): DataFrame =

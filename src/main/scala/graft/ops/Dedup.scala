@@ -151,6 +151,61 @@ object Dedup {
       .filter(col("df") > maxDf)
       .orderBy(col("df").desc, col("shingle"))
 
+  /** Cross-batch NEAR-dup detection: pairs (batch doc, existing doc)
+    * with n-gram Jaccard ≥ threshold — the near-dup complement of the
+    * exact [[graft.ops.Curate]] incremental Bloom path, i.e. "which of
+    * today's ingest are rewordings of something already in the corpus".
+    *
+    * Plan shape for the 100 TB case (huge corpus, small daily batch):
+    * the BATCH posting list broadcasts; the corpus is scanned ONCE and
+    * never shuffles for the join — only rows whose shingle matches a
+    * batch shingle survive into the (b_id, e_id) pair aggregation, so
+    * the single real shuffle carries matched postings only. No
+    * quadratic term exists on either side: join output is bounded by
+    * the corpus posting rows that hit the batch shingle set (linear in
+    * the corpus, unlike the self-join family's df² blowup) — which is
+    * why this operator needs no maxDf guard.
+    */
+  def incrementalNearPairs(existing: DataFrame, batch: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    def posting(df: DataFrame, idAs: String, nAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        graft.functions.ShingleHashes
+          .shingleHashes(SparkSession.active, col("text")).as("sh"))
+      .withColumn(nAs, size(col("sh")))
+      .select(col(idAs), col(nAs), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    posting(existing, "e_id", "e_n")
+      .join(broadcast(posting(batch, "b_id", "b_n")), Seq("shingle"))
+      .groupBy(col("b_id"), col("e_id"), col("b_n"), col("e_n"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("b_n") + col("e_n") - col("common")))
+      // coalesce, not a bare `jaccard >= t`: the bare form lets
+      // constraint inference derive isnotnull(jaccard) → isnotnull(b_n)
+      // → alias-substitute size(graft_shingle_hashes(text)) into the
+      // SCAN filters of both sides — the whole shingle kernel evaluated
+      // twice per row (the PlanAuditSpec kernel-in-Filter trap).
+      // Null-intolerance analysis stops at coalesce (never null), and
+      // jaccard is never null here anyway (common ≥ 1, n's non-null).
+      .filter(coalesce(col("jaccard"), lit(-1.0)) >= threshold)
+      .select(col("b_id"), col("e_id"), col("common"), col("jaccard"))
+      .orderBy(col("b_id"), col("e_id"))
+  }
+
+  /** Declared query: every-20th document plays the incoming batch, the
+    * rest the standing corpus — near-dup matches across the boundary.
+    */
+  def dedupIncrementalNgram(spark: SparkSession, sfDir: String,
+                            threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"))
+    incrementalNearPairs(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), threshold)
+  }
+
   /** MinHash signature + LSH banding candidate pairs.
     *
     * numHashes independent min-hashes from xxhash64(shingle, seed) —

@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
     assert(total % 2 == 0 && out.forall(_.getLong(1) > 0))
   }
 
+  test("incrementalNearPairs finds cross-boundary rewordings, never within-side pairs") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content about spark physical plans"),
+      (3L, "the quick brown fox jumps over the lazy dog today")) // dup INSIDE existing
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup of 1,3
+      (101L, "fresh novel text with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearPairs(existing, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 100 matches BOTH existing copies; batch 101 matches nothing;
+    // the existing-internal dup (1,3) is not this operator's business
+    assert(got === Set((100L, 1L), (100L, 3L)))
+    // jaccard sanity: 8 shared of (8+8) distinct shingles each → 8/(16-8)=...
+    val j = Dedup.incrementalNearPairs(existing, batch, threshold = 0.5)
+      .filter(col("e_id") === 1L).head.getDouble(3)
+    assert(j > 0.5 && j < 1.0)
+  }
+
   test("ngramDropped reports the df-capped hot shingles the pair path drops") {
     // 5 docs share the hot shingle "x y z"; with maxDf=4 every pair it
     // would generate is suppressed — the audit must say so

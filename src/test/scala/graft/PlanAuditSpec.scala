@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_ngram: batch posting broadcasts; corpus never shuffles pre-join") {
+    val p = planOf("dedup_incremental_ngram")
+    assert(p.contains("BroadcastHashJoin"), "batch posting list should broadcast")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    // the only hash shuffle is the (b_id, e_id) pair aggregation
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("b_id")),
+      s"corpus shuffled before the join: $exchanges")
+  }
+
   test("dedup_semantic: full-corpus assignment is narrow — no fixed-width hash pin") {
     // the k-means pin (repartition(pinParts, vec_id) + sort) must ride
     // only the fit SAMPLE (a separate, already-executed job); the
