@@ -74,6 +74,21 @@ case class NearestCentroid(child: Expression, k: Int, flat: Seq[Double])
 
 object NearestCentroid {
 
+  /** Extract a constant double matrix from the registration argument:
+    * a folded array literal (the Column facade's `typedlit`) or a
+    * not-yet-folded `array(...)` of numeric literals (the SQL surface —
+    * function builders run before constant folding).
+    */
+  private[graft] def flatLiteral(e: Expression): Seq[Double] = e match {
+    case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
+      ad.toDoubleArray().toSeq
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+        if ca.children.forall(_.isInstanceOf[Literal]) =>
+      ca.children.map { case Literal(v, _) => v.toString.toDouble }
+    case other => throw new IllegalArgumentException(
+      s"centroid matrix must be an array<double> literal, got $other")
+  }
+
   /** Idempotent per-session registration. The centroid matrix and k
     * arrive as literals and are folded into the expression instance at
     * analysis time (same pattern as [[HyperplaneSig]]'s plane count).
@@ -83,11 +98,8 @@ object NearestCentroid {
       "graft_nearest_centroid",
       exprs => {
         val k = exprs(1) match { case Literal(v: Int, IntegerType) => v }
-        val flat = exprs(2) match {
-          case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
-            ad.toDoubleArray().toSeq
-        }
-        NearestCentroid(Cast(exprs(0), ArrayType(DoubleType)), k, flat)
+        NearestCentroid(Cast(exprs(0), ArrayType(DoubleType)), k,
+          flatLiteral(exprs(2)))
       },
       "built-in")
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HyperplaneSig, SimHash64, ZOrderKey}
+import graft.functions.{CosineSim, HyperplaneSig, MisraGries, NearestCentroid, ShingleHashes, SimHash64, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -55,5 +55,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HyperplaneSig(
         Cast(exprs(0), ArrayType(DoubleType)),
         intLit(exprs(1), "numPlanes"), intLit(exprs(2), "planeOffset"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(
+        Cast(exprs(0), StringType), intLit(exprs(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => MisraGries(exprs(0),
+        intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (exprs: Seq[Expression]) => NearestCentroid(
+        Cast(exprs(0), ArrayType(DoubleType)), intLit(exprs(1), "k"),
+        NearestCentroid.flatLiteral(exprs(2)))))
   }
 }

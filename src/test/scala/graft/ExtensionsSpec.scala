@@ -42,6 +42,20 @@ class ExtensionsSpec extends SparkSpec {
     val viaApi = Seq("the quick brown fox").toDF("t")
       .select(graft.functions.GraftFunctions.simhash64(base, col("t"))).head.getLong(0)
     assert(r.getLong(0) === viaApi)
+
+    // round-5 additions: shingle hashes, nearest centroid, and the
+    // Misra–Gries aggregate — the full native surface from pure SQL
+    val r2 = extended.sql(
+      """SELECT sort_array(graft_shingle_hashes('a b c d', 3)) AS sh,
+                graft_nearest_centroid(array(0.9d, 0.1d), 2,
+                  array(0.0d, 0.0d, 1.0d, 0.0d)) AS nc""").head
+    assert(r2.getSeq[Long](0).length === 2)
+    assert(r2.getInt(1) === 1)
+    val hh = extended.sql(
+      """SELECT graft_heavy_hitters(x, 2, 16) AS top
+         FROM VALUES ('a'),('a'),('a'),('b'),('b'),('c') AS t(x)""").head
+    val top = hh.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) === "a" && top.head.getLong(1) === 3L)
     SparkSession.setActiveSession(base)
   }
 }
