@@ -148,6 +148,11 @@ object SparkEntry {
     "similarity_ivf" ->
       """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ivf.parquet')
          ORDER BY probe_id, rank""",
+    // freezable since the exact-decimal k-means fit replaced spark.ml
+    // (salted-hash init + DECIMAL means: deterministic by construction)
+    "dedup_semantic" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_semantic.parquet')
+         ORDER BY vec1, vec2""",
     "bronze_ingest" ->
       """SELECT event_id, user_id, event_type, value,
          CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,

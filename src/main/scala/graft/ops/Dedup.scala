@@ -338,9 +338,8 @@ object Dedup {
   def semanticPairs(emb: DataFrame, cells: Int = 10,
                     threshold: Double = 0.4,
                     maxCluster: Int = 2000,
-                    sampleMod: Int = 4,
-                    pinParts: Int = 8): DataFrame =
-    assignCells(emb, cells, sampleMod, pinParts)
+                    sampleMod: Int = 4): DataFrame =
+    assignCells(emb, cells, sampleMod)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("bucket"))
       .filter(size(col("bucket")).between(2, maxCluster))
@@ -391,23 +390,16 @@ object Dedup {
     * [[graft.functions.NearestCentroid]] expression — a narrow,
     * embarrassingly parallel projection.
     *
-    * Why the split: k-means|| initialization samples rows per
-    * partition, so the fit input needs pinned partitioning AND
-    * in-partition order (the same pin as
-    * graft.ml.RevenueModel.fitPinned) or the clustering drifts between
-    * runner configs. Pinning the WHOLE corpus to `pinParts` partitions
-    * — the pre-round-5 shape — capped the full-corpus assignment scan
-    * at `pinParts` tasks, a fixed bottleneck at 100 TB. Here the pin
-    * rides only the sample; the corpus is never repartitioned, and the
-    * assignment inherits whatever parallelism the input already has.
-    * Identical vectors still land in the same cell by construction
-    * (same point → same nearest centroid), which is what the planted-
-    * clone recovery property needs. Few iterations on purpose — a
-    * coarse dedup partition needs locality, not convergence.
+    * Why the split: fitting on the whole corpus — the pre-round-5
+    * shape — scanned every vector through the iterative fit; here the
+    * fit touches only the sample, the corpus is never repartitioned,
+    * and the assignment inherits whatever parallelism the input
+    * already has. Identical vectors still land in the same cell by
+    * construction (same point → same nearest centroid), which is what
+    * the planted-clone recovery property needs.
     */
   private[ops] def assignCells(emb: DataFrame, cells: Int,
-                               sampleMod: Int, pinParts: Int): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
+                               sampleMod: Int): DataFrame = {
     val hashSample =
       emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
     // tiny-corpus guard: the fit wants comfortably more rows than k;
@@ -418,17 +410,63 @@ object Dedup {
       if (sampleMod <= 1) emb
       else if (hashSample.limit(need.toInt).count() < need) emb
       else hashSample
-    val pinned = sample.repartition(pinParts, col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
-      .withColumn("fv", array_to_vector(col("v")))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val centers = km.fit(pinned).clusterCenters.map(_.toArray)
+    val centers = kmeansFitExact(sample, cells, iters = 4)
     emb.select(
       graft.functions.NearestCentroid
         .nearestCentroid(emb.sparkSession, col("v"), centers).as("cell"),
       col("vec_id"), col("v"))
+  }
+
+  /** Deterministic-BY-CONSTRUCTION k-means over (vec_id, v) rows — the
+    * SemDeDup coarse quantizer without spark.ml's fit:
+    *
+    *  - init: the `cells` sample points with the smallest salted hash
+    *    (a deterministic scatter — no k-means|| partition sampling, so
+    *    no partition-layout pin is needed anywhere);
+    *  - assign: the codegen'd [[graft.functions.NearestCentroid]]
+    *    kernel (strict-< first-index ties);
+    *  - update: per-(cell, dim) means through the exact DECIMAL
+    *    accumulator ([[graft.Det.davg]]) — order-independent, so the
+    *    centers are bit-identical at any parallelism BY CONSTRUCTION,
+    *    where spark.ml's float treeAggregate is only stable for a
+    *    pinned partition layout. An emptied cell keeps its center.
+    *
+    * Per iteration: one narrow assign + one partial+final agg whose
+    * shuffle is cells×dims rows; only the centers (cells×dims doubles)
+    * reach the driver. Few iterations on purpose — a coarse dedup
+    * partition needs locality, not convergence.
+    */
+  private[ops] def kmeansFitExact(input: DataFrame, cells: Int,
+                                  iters: Int): Array[Array[Double]] = {
+    // one action per iteration plus init — cache the sample so each
+    // doesn't re-derive it from the source scan
+    val sample = input.cache()
+    try {
+      var centers: Array[Array[Double]] = sample
+        .orderBy(xxhash64(lit("kmeans-init"), col("vec_id")), col("vec_id"))
+        .limit(cells)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      var i = 0
+      while (i < iters) {
+        val means = sample
+          .select(
+          graft.functions.NearestCentroid
+            .nearestCentroid(sample.sparkSession, col("v"), centers).as("cell"),
+          col("v"))
+        .select(col("cell"), posexplode_outer(col("v")).as(Seq("pos", "val")))
+        .filter(col("val").isNotNull)
+        .groupBy(col("cell"), col("pos"))
+        .agg(graft.Det.davg(col("val")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        centers = centers.indices.map(c => means.getOrElse(c, centers(c))).toArray
+        i += 1
+      }
+      centers
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Audit twin of [[semanticPairs]]'s maxCluster guard: the clusters
@@ -440,9 +478,8 @@ object Dedup {
     */
   def semanticDropped(emb: DataFrame, cells: Int = 10,
                       maxCluster: Int = 2000,
-                      sampleMod: Int = 4,
-                      pinParts: Int = 8): DataFrame =
-    assignCells(emb, cells, sampleMod, pinParts)
+                      sampleMod: Int = 4): DataFrame =
+    assignCells(emb, cells, sampleMod)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxCluster)

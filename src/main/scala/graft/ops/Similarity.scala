@@ -201,17 +201,17 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("v")),
       cells, numProbes, k, nprobe)
 
-  /** DataFrame-first core of [[annIvfKmeans]]: k-means is fit on a
-    * pinned deterministic hash-sample and cells assigned by the native
-    * broadcast-centroid expression ([[Dedup.assignCells]] — the same
-    * scale-correct quantizer train/assign split as SemDeDup), then the
-    * standard IVF search.
+  /** DataFrame-first core of [[annIvfKmeans]]: the quantizer is fit
+    * on a deterministic hash-sample by the exact-decimal k-means
+    * ([[Dedup.assignCells]] — deterministic by construction at any
+    * parallelism, the same scale-correct train/assign split as
+    * SemDeDup), then the standard IVF search.
     */
   def ivfKmeansSearch(emb: DataFrame, cells: Int = 10,
                       numProbes: Int = 10, k: Int = 5,
                       nprobe: Int = 2): DataFrame =
     ivfSearch(
-      Dedup.assignCells(emb, cells, sampleMod = 4, pinParts = 8)
+      Dedup.assignCells(emb, cells, sampleMod = 4)
         .select(col("vec_id"), col("cell"), col("v")),
       numProbes, k, nprobe)
 
