@@ -43,7 +43,7 @@ object ScaleProbe {
 
   private val Queries = Seq(
     "dedup_ngram", "dedup_clusters", "fuzzy_dedup", "seq_pack",
-    "quality_filter", "dedup_exact")
+    "quality_filter", "dedup_exact", "dedup_embedding", "similarity_ann_lsh")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -78,6 +78,38 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
       scaledDocs.write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+      // embeddings: replica k > 0 adds deterministic hash-noise per
+      // (vec_id, replica, dim) and renormalizes. Noise amplitude 1.2
+      // puts a replica at cos ≈ 0.34 to its original — just BELOW the
+      // 0.4 near-dup threshold (|noise|² ≈ d·1.2²/12 ≈ 7.7 on a unit
+      // vector → cos ≈ 1/√8.7): replicas are dissimilar enough that
+      // pair density does not explode quadratically (a 0.5 amplitude
+      // left replicas at cos ≈ 0.87 — every vector gained 9 in-band
+      // clones and bucket sizes measured 13.8× at 10×, the same
+      // duplicate-saturation trap as the text suffix). Probes
+      // (vec_id < 10) stay the replica-0 originals.
+      val emb = Tables.embeddings(spark, baseDir)
+      val scaledEmb = (0 until factor).map { k =>
+        if (k == 0)
+          emb.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("embedding"),
+            col("label"))
+        else {
+          val noisy = transform(col("embedding"), (x, i) =>
+            x.cast("double") + lit(1.2) *
+              (pmod(xxhash64(col("vec_id"), lit(k), i), lit(1000L))
+                .cast("double") / 1000.0 - 0.5))
+          emb
+            .select((col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
+              noisy.as("nv"), col("label"))
+            .withColumn("nn",
+              sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+            .select(col("vec_id"),
+              transform(col("nv"), x => x / col("nn")).as("embedding"),
+              col("label"))
+        }
+      }.reduce(_ unionByName _)
+      scaledEmb.write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
       val cust = Tables.customer(spark, baseDir)
       val scaledCust = (0 until factor).map { k =>
         cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 1000000000L))

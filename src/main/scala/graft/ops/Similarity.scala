@@ -153,8 +153,13 @@ object Similarity {
     // null-safe equality (<=>) is still a hash equi-join key but stops
     // Catalyst inferring isnotnull(sig) — which pushdown would alias-
     // substitute into a scan-level Filter re-running the signature
-    // expression on every corpus row before the parallelize repartition
-    emb.join(probes, col("sig") <=> col("psig"))
+    // expression on every corpus row before the parallelize repartition.
+    // broadcast(): the probe side is definitionally tiny (probes ×
+    // (multiProbe+1) rows) but Catalyst ESTIMATES it from the corpus
+    // relation it derives from — the round-5 scale probe caught the
+    // planner flipping to a sort-merge join at 10× corpus, shuffling
+    // every corpus row for a 70-row build side
+    emb.join(broadcast(probes), col("sig") <=> col("psig"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
         cosine(col("pv"), col("v")).as("sim"))

@@ -108,6 +108,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("similarity_ann_lsh: probes broadcast; corpus never shuffles for the bucket join") {
+    // the round-5 scale probe caught Catalyst flipping this join to
+    // sort-merge at 10x corpus (probe-side size estimated from the
+    // corpus relation it derives from) — the corpus must never shuffle
+    // on the signature; only probe-keyed dedup/window exchanges remain
+    val p = planOf("similarity_ann_lsh")
+    assert(p.contains("BroadcastExchange"), "probe side should broadcast")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("probe_id")),
+      s"corpus shuffled for the LSH join: $exchanges")
+  }
+
   test("dedup_incremental_ngram: batch posting broadcasts; corpus never shuffles pre-join") {
     val p = planOf("dedup_incremental_ngram")
     assert(p.contains("BroadcastHashJoin"), "batch posting list should broadcast")
