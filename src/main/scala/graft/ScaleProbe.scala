@@ -62,8 +62,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- materialize the scaled corpus (idempotent) ----
-    val f = new java.io.File(s"$probeDir/documents.parquet")
-    if (!f.exists()) {
+    // regenerate unless EVERY table committed (a _SUCCESS-bearing dir):
+    // gating on one table's existence would let a crashed half-run be
+    // silently reused, measuring ratios against a partial corpus
+    val complete = Seq("documents", "customer", "embeddings").forall(t =>
+      new java.io.File(s"$probeDir/$t.parquet/_SUCCESS").exists())
+    if (!complete) {
       val docs = Tables.documents(spark, baseDir)
       // two independent 10-letter rotations → 100 distinct per-replica
       // text transforms (replica 0 = identity)

@@ -532,8 +532,10 @@ object SparkEntry {
                   ELSE [] END) AS s
            FROM toks),
          posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-         b AS (SELECT doc_id AS b_id, n_sh AS b_n, shingle FROM posting
-               WHERE doc_id % 20 = 0),
+         b0 AS (SELECT doc_id AS b_id, n_sh AS b_n, shingle FROM posting
+                WHERE doc_id % 20 = 0),
+         bok AS (SELECT shingle FROM b0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+         b AS (SELECT b0.* FROM b0 JOIN bok USING (shingle)),
          e AS (SELECT doc_id AS e_id, n_sh AS e_n, shingle FROM posting
                WHERE doc_id % 20 <> 0),
          pairs AS (

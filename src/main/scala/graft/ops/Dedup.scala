@@ -160,23 +160,22 @@ object Dedup {
     * the BATCH posting list broadcasts; the corpus is scanned ONCE and
     * never shuffles for the join — only rows whose shingle matches a
     * batch shingle survive into the (b_id, e_id) pair aggregation, so
-    * the single real shuffle carries matched postings only. No
-    * quadratic term exists on either side: join output is bounded by
-    * the corpus posting rows that hit the batch shingle set (linear in
-    * the corpus, unlike the self-join family's df² blowup) — which is
-    * why this operator needs no maxDf guard.
+    * the single real shuffle carries matched postings only.
+    *
+    * The blowup term is MULTIPLICATIVE per shingle: df_batch(s) ×
+    * df_corpus(s) joined rows. `maxBatchDf` caps the batch factor —
+    * shingles shared by more than that many BATCH docs (boilerplate
+    * headers/footers, the classic offender) are dropped from the
+    * broadcast, bounding join output at maxBatchDf × (corpus postings
+    * hitting the batch shingle set) — linear in the corpus with a
+    * caller-controlled constant. [[incrementalDropped]] is the audit
+    * twin reporting exactly which shingles the cap suppressed.
     */
   def incrementalNearPairs(existing: DataFrame, batch: DataFrame,
-                           threshold: Double = 0.5): DataFrame = {
-    def posting(df: DataFrame, idAs: String, nAs: String): DataFrame = df
-      .select(col("doc_id").as(idAs),
-        graft.functions.ShingleHashes
-          .shingleHashes(SparkSession.active, col("text")).as("sh"))
-      .withColumn(nAs, size(col("sh")))
-      .select(col(idAs), col(nAs), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+                           threshold: Double = 0.5,
+                           maxBatchDf: Int = 1000): DataFrame = {
     posting(existing, "e_id", "e_n")
-      .join(broadcast(posting(batch, "b_id", "b_n")), Seq("shingle"))
+      .join(broadcast(batchPosting(batch, maxBatchDf)), Seq("shingle"))
       .groupBy(col("b_id"), col("e_id"), col("b_n"), col("e_n"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
@@ -193,6 +192,35 @@ object Dedup {
       .select(col("b_id"), col("e_id"), col("common"), col("jaccard"))
       .orderBy(col("b_id"), col("e_id"))
   }
+
+  /** Renamed [[ngramPosting]] — ONE shared posting builder (the
+    * explode_outer/InferFiltersFromGenerate discipline documented
+    * there must not fork).
+    */
+  private def posting(df: DataFrame, idAs: String, nAs: String): DataFrame =
+    ngramPosting(df).withColumnsRenamed(Map("doc_id" -> idAs, "n_sh" -> nAs))
+
+  /** Batch side of [[incrementalNearPairs]]: posting rows minus the
+    * shingles whose batch document frequency exceeds `maxBatchDf` (the
+    * multiplicative-blowup guard). One small window on the (already
+    * tiny) batch posting.
+    */
+  private def batchPosting(batch: DataFrame, maxBatchDf: Int): DataFrame =
+    posting(batch, "b_id", "b_n")
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("_df") <= maxBatchDf)
+      .drop("_df")
+
+  /** Audit twin of [[incrementalNearPairs]]'s maxBatchDf guard: the
+    * boilerplate shingles it drops from the batch, with their batch
+    * document frequency. Empty output = nothing was suppressed.
+    */
+  def incrementalDropped(batch: DataFrame, maxBatchDf: Int = 1000): DataFrame =
+    posting(batch, "b_id", "b_n")
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBatchDf)
+      .orderBy(col("df").desc, col("shingle"))
 
   /** Declared query: every-20th document plays the incoming batch, the
     * rest the standing corpus — near-dup matches across the boundary.

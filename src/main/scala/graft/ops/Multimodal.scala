@@ -74,12 +74,18 @@ object Multimodal {
     private val gif = readerFor("gif")
     private val bmp = readerFor("bmp")
 
-    /** Container detection by magic bytes — never guesses from content. */
+    /** Container detection by magic bytes — never guesses from content.
+      * BMP's 2-byte magic is too weak alone (any text starting "BM"
+      * matches), so it additionally requires the 4 reserved header
+      * bytes (offsets 6-9) to be zero — mandatory per the format,
+      * vanishingly unlikely in text.
+      */
     private def select(p: Array[Byte]) =
       if (p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') png
       else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) jpeg
       else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') gif
-      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') bmp
+      else if (p.length >= 14 && p(0) == 'B' && p(1) == 'M'
+        && p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0) bmp
       else None
 
     /** (width, height, channels); [[StubCodec]] for non-image payloads
@@ -88,20 +94,38 @@ object Multimodal {
       */
     def decode(payload: Array[Byte]): (Int, Int, Int) =
       select(payload).flatMap { r =>
+        val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
         try {
-          r.setInput(new MemoryCacheImageInputStream(
-            new ByteArrayInputStream(payload)), true, true)
+          r.setInput(in, true, true)
           val w = r.getWidth(0)
           val h = r.getHeight(0)
           val types = r.getImageTypes(0)
           val c = if (types.hasNext) types.next().getNumComponents else 3
           Some((w, h, c))
         } catch { case _: Exception => None }
+        finally in.close()
       }.getOrElse(StubCodec.decode(payload))
 
-    def dispose(): Unit =
+    private var disposed = false
+    def dispose(): Unit = if (!disposed) {
+      disposed = true
       Seq(png, jpeg, gif, bmp).flatten.foreach(_.dispose())
+    }
   }
+
+  /** Wrap a row iterator so `cleanup` fires once when it exhausts —
+    * how a `mapPartitions` stage releases per-task codec state.
+    */
+  private def onExhaust[A](it: Iterator[A])(cleanup: () => Unit): Iterator[A] =
+    new Iterator[A] {
+      private var done = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !done) { done = true; cleanup() }
+        h
+      }
+      override def next(): A = it.next()
+    }
 
   /** Fabricate a binary media column from the documents fixture (UTF-8
     * payload) — stands in for reading real image/audio bytes from a
@@ -122,11 +146,11 @@ object Multimodal {
       .mapPartitions { it =>
         val codec = new MediaCodec // once per task
         val md5 = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, payload) =>
+        onExhaust(it.map { case (id, payload) =>
           val (w, h, c) = codec.decode(payload)
           val fp = md5.digest(payload).map("%02x".format(_)).mkString
           MediaMeta(id, payload.length.toLong, fp, w, h, c)
-        }
+        })(() => codec.dispose())
       }
   }
 
@@ -190,13 +214,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val codec = new MediaCodec // once per task
-        it.map { case (id, payload) =>
+        onExhaust(it.map { case (id, payload) =>
           val (w, h, _) = codec.decode(payload)
           val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
           val keep = math.max(1, math.min(payload.length, (payload.length * scale).toInt))
           ResizedMedia(id, (w * scale).toInt.max(1), (h * scale).toInt.max(1),
             java.util.Arrays.copyOf(payload, keep))
-        }
+        })(() => codec.dispose())
       }
   }
 
@@ -215,6 +239,10 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        // once per task: with the default useCache=true, every
+        // ImageIO.write spools through a DISK-backed temp file — a
+        // per-row file create/write/delete in the generation hot loop
+        javax.imageio.ImageIO.setUseCache(false)
         val bos = new java.io.ByteArrayOutputStream() // reused per task
         it.map { id =>
           val w = (id % 37 + 1).toInt

@@ -35,6 +35,14 @@ object ManifestTable {
 
   private val ManifestPrefix = "_graft_manifest-v"
 
+  /** Replay-protection horizon: each manifest carries at most this many
+    * (newest-by-version) tags forward. A batch replayed after more than
+    * this many subsequent tagged commits re-appends — retention must
+    * exceed the maximum replay horizon, exactly the contract Delta's
+    * txn-retention duration draws. Overridable for tests.
+    */
+  private[graft] var MaxCarriedTags: Int = 100000
+
   /** Per-file column statistics carried by the manifest (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
     * file lacked statistics for the column — such files are never pruned.
@@ -100,10 +108,12 @@ object ManifestTable {
     * appId/version protocol draws.
     *
     * Replay protection SURVIVES [[vacuum]]: every commit carries the
-    * full tag→version map forward into its manifest (the way Delta
-    * retains txn versions in checkpoints), so dropping old manifests
-    * never forgets a tag — a batch replayed after its own manifest was
-    * vacuumed still no-ops.
+    * tag→version map forward into its manifest (the way Delta retains
+    * txn versions in checkpoints), so dropping old manifests never
+    * forgets a live tag — a batch replayed after its own manifest was
+    * vacuumed still no-ops. The map is BOUNDED at [[MaxCarriedTags]]
+    * newest tags (the replay horizon); a replay arriving later than
+    * that re-appends.
     */
   def appendIdempotent(df: DataFrame, path: String, tag: String,
                        partitionCols: Seq[String] = Nil,
@@ -221,13 +231,19 @@ object ManifestTable {
         if (statsCols.isEmpty) Map.empty
         else staged.map(p => relativize(new Path(path), p) ->
           footerStats(spark, p, statsCols)).toMap
-      // the FULL tag→version map rides every manifest (overwrites too —
-      // a replayed batch must no-op even after the data it wrote was
+      // the tag→version map rides every manifest (overwrites too — a
+      // replayed batch must no-op even after the data it wrote was
       // replaced), so vacuum dropping old manifests never erases replay
-      // protection and tag membership is one manifest read
+      // protection and tag membership is one manifest read. BOUNDED:
+      // only the newest MaxCarriedTags survive (evicted by commit
+      // version — the replay horizon, same boundary Delta draws with
+      // txn retention); unbounded carry would grow every manifest and
+      // every commit by O(total batches ever) on a long-lived sink.
       val allTags: Map[String, Long] =
-        prev.map(manifestTags(spark, path, _)).getOrElse(Map.empty) ++
-          tag.map(_ -> version)
+        (prev.map(manifestTags(spark, path, _)).getOrElse(Map.empty) ++
+          tag.map(_ -> version))
+          .toSeq.sortBy { case (t, v) => (-v, t) }
+          .take(MaxCarriedTags).toMap
       val json = manifestJson(spark, version, files,
         carriedStats ++ newStats, tag, Some(schema), allTags)
       val out = f.create(tmp, true)

@@ -120,6 +120,27 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("incrementalNearPairs: boilerplate batch shingles are capped and audited") {
+    // every batch doc shares one header shingle (the multiplicative
+    // blowup term); the only overlap with existing is that shingle
+    val batch = (0 until 4)
+      .map(i => (100L + i, s"common header shingle unique$i tail words here"))
+      .toDF("doc_id", "text")
+    val existing = Seq((1L, "common header shingle")).toDF("doc_id", "text")
+    // guard below the df: the hot shingle is dropped from the broadcast,
+    // so no pair survives — and the audit twin reports exactly it
+    assert(Dedup.incrementalNearPairs(existing, batch,
+      threshold = 0.1, maxBatchDf = 2).isEmpty)
+    // two shingles span all 4 docs: "common header shingle" AND the
+    // shared tail "tail words here"
+    val dropped = Dedup.incrementalDropped(batch, maxBatchDf = 2).collect()
+    assert(dropped.length === 2 && dropped.forall(_.getLong(1) === 4L))
+    // guard above the df: all four matches come back, nothing audited
+    assert(Dedup.incrementalNearPairs(existing, batch,
+      threshold = 0.1, maxBatchDf = 4).count() === 4)
+    assert(Dedup.incrementalDropped(batch, maxBatchDf = 4).isEmpty)
+  }
+
   test("ngramDropped reports the df-capped hot shingles the pair path drops") {
     // 5 docs share the hot shingle "x y z"; with maxDf=4 every pair it
     // would generate is suppressed — the audit must say so

@@ -247,6 +247,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 2)
   }
 
+  test("carried tag map is bounded by the replay horizon; evicted tags re-append") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mt_tags").toString + "/t"
+    val saved = ManifestTable.MaxCarriedTags
+    ManifestTable.MaxCarriedTags = 2
+    try {
+      ManifestTable.write(Seq((0L, "x")).toDF("id", "v"), path) // v1
+      (1 to 3).foreach(i => ManifestTable.appendIdempotent(
+        Seq((i.toLong, "w")).toDF("id", "v"), path, tag = s"t$i")) // v2..v4
+      // the two newest tags stay replay-protected
+      assert(ManifestTable.committedVersionOfTag(spark, path, "t3") === Some(4L))
+      assert(ManifestTable.committedVersionOfTag(spark, path, "t2") === Some(3L))
+      // the oldest fell off the horizon: a late replay re-appends (the
+      // documented boundary — retention must exceed the replay horizon)
+      assert(ManifestTable.committedVersionOfTag(spark, path, "t1").isEmpty)
+      assert(ManifestTable.appendIdempotent(
+        Seq((9L, "r")).toDF("id", "v"), path, tag = "t1") === 5L)
+    } finally ManifestTable.MaxCarriedTags = saved
+  }
+
   test("stress: 8 concurrent tagged appenders, vacuum racing an old-version reader, replay after vacuum") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}

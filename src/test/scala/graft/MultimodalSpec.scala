@@ -66,6 +66,13 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(6L) === ((text.length % 640 + 1, text.length % 480 + 1, 3)))
     // corrupt header → stub fallback, not a task failure
     assert(meta(7L) === ((12 % 640 + 1, 12 % 480 + 1, 3)))
+    // text starting "BM" must NOT be routed to the BMP reader: the
+    // reserved-bytes check (offsets 6-9 zero) rejects it → stub
+    val bmText = "BMarker prose, definitely not a bitmap".getBytes("UTF-8")
+    val bm = Multimodal.decodeMeta(spark,
+      Seq((8L, bmText)).toDF("doc_id", "payload")).collect().head
+    assert((bm.width, bm.height, bm.channels)
+      === ((bmText.length % 640 + 1, bmText.length % 480 + 1, 3)))
   }
 
   test("multimodal_image_meta: real PNG roundtrip — decoded dims equal the generating arithmetic") {
