@@ -507,6 +507,15 @@ object GraftOps {
                              maxBasket: Int = 10000): DataFrame =
     graft.ops.Basket.basketsDropped(df, basketCol, itemCol, maxBasket)
 
+  /** Boilerplate batch shingles [[incrementalNearDups]] drops for
+    * exceeding maxBatchDf, with their batch document frequency.
+    */
+  def incrementalNearDupsDropped(batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxBatchDf: Int = 1000): DataFrame =
+    Dedup.incrementalDropped(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxBatchDf)
+
   /** K-means clusters `graft.ops.Dedup.semanticPairs` drops for
     * exceeding maxCluster (same fit/assignment ⇒ same clusters).
     */

@@ -103,4 +103,28 @@ class NewKernelsPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("NearestCentroid equals brute-force argmin on random vectors and matrices") {
+    val dimGen = Gen.choose(1, 6)
+    val cfg = for {
+      d <- dimGen
+      k <- Gen.choose(1, 5)
+      centers <- Gen.listOfN(k, Gen.listOfN(d, Gen.choose(-3.0, 3.0)))
+      vectors <- Gen.listOfN(12, Gen.listOfN(d, Gen.choose(-3.0, 3.0)))
+    } yield (d, centers, vectors)
+    forAll(cfg, n = 8) { case (d, centers, vectors) =>
+      val m = centers.map(_.toArray).toArray
+      val got = vectors.toDF("v")
+        .select(graft.functions.NearestCentroid
+          .nearestCentroid(spark, col("v"), m).as("c"))
+        .as[Int].collect().toSeq
+      val want = vectors.map { v =>
+        // strict < scan — ties to the lowest index, like the kernel
+        centers.zipWithIndex.minBy { case (c, i) =>
+          (c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, i)
+        }._2
+      }
+      assert(got === want, s"d=$d k=${centers.length}")
+    }
+  }
 }
