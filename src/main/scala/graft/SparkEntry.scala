@@ -103,9 +103,12 @@ object SparkEntry {
     "order_value_quantiles" -> ((s, d) => Aggregates.orderValueQuantiles(s, d)),
     "column_profile"     -> ((s, d) => Profile.lineitemProfile(s, d)),
     "copurchase_pairs"   -> ((s, d) => Basket.copurchaseQuery(s, d)),
+    "pagerank_copurchase" -> ((s, d) => Graph.pagerankCopurchase(s, d)),
+    "embedding_project"  -> ((s, d) => Similarity.embeddingProject(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
+    "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "stream_sessionize"  -> ((s, d) => graft.streaming.Sessionize.sessionsStreamed(s, d)),

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the operator family
+  * (PageRank/centrality) a lakehouse engine needs once relationships
+  * (co-purchase, link graphs, citation graphs) enter the pipeline.
+  * Reference analog: none (the reference is a linear ETL,
+  * `/root/reference/src/etl_pipeline.py`); this extends the engine the
+  * same way the dedup/similarity families do.
+  *
+  * Determinism discipline: every quantity is a BIGINT. Ranks live at a
+  * fixed-point scale (`scale`, default 10^12), per-node contributions
+  * use integer division, and the damping factor is an exact rational
+  * (`dampNum/dampDen` = 85/100). Integer sums are associative under any
+  * shuffle arrival order, so the result is bit-identical at any
+  * parallelism AND reproducible by any other engine that follows the
+  * same arithmetic — which is what makes the declared query
+  * DuckDB-oracle-checkable where a double-typed PageRank never could be
+  * (float contribution sums would be shuffle-order-sensitive).
+  *
+  * Plan shape (per iteration): one join of the rank table to the degree
+  * table on the node key (both are node-cardinality — co-partitioned
+  * after the first iteration's exchange), one shuffle join of edges to
+  * contributions on the source key, one partial+final aggregation on
+  * the destination key. That is the textbook distributed PageRank data
+  * flow (Malewicz et al., Pregel, SIGMOD'10 — here expressed as
+  * relational ops so Catalyst handles partial aggregation and AQE
+  * handles skewed hubs). Edges are scanned once per iteration; nothing
+  * is ever collected to the driver. At 100 TB: pre-partition `edges` by
+  * `src` (bucketing or a one-time repartition) and the per-iteration
+  * edge shuffle disappears — only the node-cardinality rank exchange
+  * remains, which is the known lower bound for synchronous PageRank.
+  */
+object Graph {
+
+  /** `iters` synchronous PageRank rounds over directed `edges`
+    * (`src`, `dst` BIGINT columns). Returns (node, score): the
+    * fixed-point rank at scale `scale`. Node set = nodes with at least
+    * one outgoing edge; on a symmetrized graph that is every node.
+    *
+    * Dangling mass: nodes without out-edges are excluded from the node
+    * set entirely (callers symmetrize when they want everything
+    * ranked), so no dangling redistribution term is needed — the same
+    * contract as GraphX's default `staticPageRank` graph restriction.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "pageRank: iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // teleport base, integer-exact: scale - damp*scale (both engines
+    // evaluate the same truncating division on non-negative operands)
+    val base = scale - (dampNum * scale) / dampDen
+    var ranks = deg.select(col("node"), lit(scale).as("score"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(col("node").as("src"), expr("score DIV deg").as("c"))
+      ranks = e.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * m) DIV $dampDen")).as("score"))
+    }
+    ranks
+  }
+
+  /** Driver-side brute-force twin for specs: same integer arithmetic
+    * over an in-memory edge list.
+    */
+  def pageRankLocal(edges: Seq[(Long, Long)], iters: Int,
+                    scale: Long = 1000000000000L,
+                    dampNum: Long = 85L, dampDen: Long = 100L): Map[Long, Long] = {
+    val out = edges.groupBy(_._1)
+    val base = scale - (dampNum * scale) / dampDen
+    var ranks: Map[Long, Long] = out.keysIterator.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contribs = ranks.toSeq.flatMap { case (n, r) =>
+        val targets = out.getOrElse(n, Nil)
+        targets.map { case (_, t) => t -> r / targets.size }
+      }
+      ranks = contribs.groupBy(_._1).map { case (n, cs) =>
+        n -> (base + (dampNum * cs.map(_._2).sum) / dampDen)
+      }
+    }
+    ranks
+  }
+
+  /** Declared query: PageRank centrality of parts in the co-purchase
+    * graph ([[Basket.pairCounts]] edges symmetrized), 3 rounds.
+    * "Which parts sit at the center of the bought-together graph" —
+    * the ranking a recommender bootstraps from.
+    */
+  def pagerankCopurchase(spark: SparkSession, sfDir: String,
+                         iters: Int = 3): DataFrame = {
+    val pairs = Basket.pairCounts(
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2)
+    val sym = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+    pageRank(sym, iters)
+      .select(col("node").as("item"), col("score"))
+      .orderBy(col("score").desc, col("item"))
+  }
+}

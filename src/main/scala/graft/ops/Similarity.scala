@@ -364,4 +364,48 @@ object Similarity {
 
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
     quantizeInt8(Tables.embeddings(spark, sfDir))
+
+  /** Seeded random-sign projection (Achlioptas'01 / Johnson–Lindenstrauss
+    * dense ±1 variant): reduce `embedding` to `outDims` dimensions with
+    * a pseudo-random {-1, 0, +1} matrix derived from an integer LCG on
+    * the (input-dim, output-dim) index pair — the dimensionality cut a
+    * pipeline applies before ANN indexing or pairwise dedup when 64+
+    * dims are overkill. No materialized matrix, no randomness source:
+    * the "matrix" is arithmetic on the indices, so any engine (and the
+    * DuckDB oracle) regenerates it exactly.
+    *
+    * Determinism: sign(i,j) is pure BIGINT arithmetic; each output
+    * coordinate is a fixed left-to-right fold of per-element IEEE
+    * doubles (same order as the oracle's 0.0-prepended list_reduce) —
+    * bit-identical at any parallelism. Output is long form
+    * (vec_id, dim, val) with a total order on (vec_id, dim).
+    *
+    * Plan: per-row expression over the source array — one corpus scan,
+    * ZERO shuffles (the sort at the end is the declared-determinism
+    * tail, not part of the operator). At 100 TB this is the ideal
+    * shape: embarrassingly parallel, O(inDims · outDims) flops per row,
+    * vectors never leave their partition.
+    */
+  def projectSigns(emb: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, "projectSigns: outDims must be >= 1")
+    val sign: (Column, Column) => Column = (i, j) =>
+      (((lit(1103515245L) * (i * lit(outDims.toLong) + j) + lit(12345L))
+        % lit(2147483648L)) % lit(3L) - lit(1L)).cast(DoubleType)
+    val proj = transform(sequence(lit(0L), lit((outDims - 1).toLong)), j =>
+      aggregate(
+        sequence(lit(0L), (size(col("embedding")) - 1).cast(LongType)),
+        lit(0.0),
+        (acc, i) => acc +
+          element_at(col("embedding"), (i + 1).cast(IntegerType))
+            .cast(DoubleType) * sign(i, j)))
+    emb.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "val")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"), col("val"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** Declared query: 64-dim fixture embeddings down to 16 dims. */
+  def embeddingProject(spark: SparkSession, sfDir: String,
+                       outDims: Int = 16): DataFrame =
+    projectSigns(Tables.embeddings(spark, sfDir), outDims)
 }

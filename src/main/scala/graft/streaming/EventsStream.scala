@@ -215,7 +215,8 @@ object EventsStream {
     * without the interval condition a stream-stream join must buffer
     * one side forever.
     */
-  def viewToPurchase(events: DataFrame): DataFrame = {
+  def viewToPurchase(events: DataFrame,
+                     joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -227,7 +228,8 @@ object EventsStream {
     views.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") > col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
   }
@@ -271,6 +273,69 @@ object EventsStream {
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
         col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
       .orderBy(col("view_id"), col("purchase_id"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
+  /** Declared stream-stream LEFT-OUTER join: every view, with its
+    * converting purchase where one exists within the hour, and NULL
+    * purchase columns where none does — the "which impressions did NOT
+    * convert" question the inner join cannot answer. Unmatched left
+    * rows are emitted only once the watermark proves no match can
+    * still arrive (state eviction time), so draining a finite replay
+    * needs the watermark pushed past every view's match horizon: an
+    * END-OF-STREAM SENTINEL pair (one far-future 'view' + one
+    * far-future 'purchase' for a reserved user — BOTH sides' watermark
+    * columns must advance, the join watermark is their min) triggers
+    * the engine's final no-data micro-batch, which evicts and emits
+    * every unmatched view. Same drain pattern as
+    * [[Sessionize.sessionsStreamed]]; on an unbounded stream the
+    * advancing watermark does this continuously. Once drained, the
+    * output equals the batch LEFT JOIN exactly — the DuckDB oracle.
+    */
+  def viewPurchaseLeftStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_vpl")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).head.getLong(0)
+    val SentinelUser = -1L
+    // past max view_ts + 1 h (join interval) + 1 h (watermark delay),
+    // with an hour of margin
+    val sentinelNanos = maxNanos + 3L * 3600L * 1000000000L
+    import spark.implicits._
+    Seq((-1L, sentinelNanos, SentinelUser, "view", 0.0, "{}"),
+        (-2L, sentinelNanos, SentinelUser, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(streamDir.toString)
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qName = s"view_purchase_left_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try viewToPurchase(src, "leftOuter")
+        .filter(col("user_id") =!= SentinelUser)
+        .writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    // NULLS FIRST explicitly: the oracle compare is positional and
+    // DuckDB's ASC default is NULLS LAST.
+    val out = spark.table(qName)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
       .localCheckpoint()
     spark.catalog.dropTempView(qName)
     out
