@@ -978,5 +978,76 @@ object SparkEntry {
          JOIN ok ON ok.l_orderkey = x.l_orderkey
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
          ORDER BY item_a, item_b""",
+    // PageRank, 3 unrolled synchronous rounds of the SAME integer
+    // fixed-point arithmetic as graft.ops.Graph.pageRank (scale 10^12,
+    // damping 85/100, base = scale - 85*scale/100 = 150000000000; all
+    // operands non-negative, so DuckDB's `//` and Spark's `DIV` agree).
+    // The node frame is `deg` (nodes with out-edges), held stable with a
+    // LEFT JOIN + COALESCE(0) per round — mass conservation on
+    // asymmetric graphs; identical on this symmetrized one.
+    "pagerank_copurchase" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              ok AS (SELECT l_orderkey FROM b
+                     GROUP BY 1 HAVING COUNT(*) <= 10000),
+              pairs AS (
+                SELECT x.l_partkey AS item_a, y.l_partkey AS item_b
+                FROM b x JOIN b y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+                JOIN ok ON ok.l_orderkey = x.l_orderkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              e AS (SELECT item_a AS src, item_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT item_b AS src, item_a AS dst FROM pairs),
+              deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+              r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM deg),
+              r1 AS (SELECT d.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS score
+                     FROM deg d LEFT JOIN (
+                       SELECT e.dst AS node, SUM(r.score // g.deg) AS m
+                       FROM e JOIN r0 r ON r.node = e.src
+                              JOIN deg g ON g.node = e.src
+                       GROUP BY 1) s ON s.node = d.node),
+              r2 AS (SELECT d.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS score
+                     FROM deg d LEFT JOIN (
+                       SELECT e.dst AS node, SUM(r.score // g.deg) AS m
+                       FROM e JOIN r1 r ON r.node = e.src
+                              JOIN deg g ON g.node = e.src
+                       GROUP BY 1) s ON s.node = d.node),
+              r3 AS (SELECT d.node,
+                       CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS score
+                     FROM deg d LEFT JOIN (
+                       SELECT e.dst AS node, SUM(r.score // g.deg) AS m
+                       FROM e JOIN r2 r ON r.node = e.src
+                              JOIN deg g ON g.node = e.src
+                       GROUP BY 1) s ON s.node = d.node)
+         SELECT node AS item, score FROM r3 ORDER BY score DESC, item""",
+    // Random-sign JL projection: the +-1/0 "matrix" is regenerated from
+    // the same BIGINT LCG on (input-dim, output-dim), and each output
+    // coordinate is the same left-to-right IEEE-double fold as the Spark
+    // side's `aggregate` (0.0-seeded, so list_reduce gets 0.0 prepended).
+    "embedding_project" ->
+      """SELECT vec_id, j AS dim,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(0, len(embedding) - 1),
+                 i -> CAST(embedding[i+1] AS DOUBLE) *
+                      CAST(((1103515245 * (i * 16 + j) + 12345) % 2147483648) % 3 - 1 AS DOUBLE))),
+             (a, x) -> a + x) AS val
+         FROM embeddings, generate_series(0, 15) AS t(j)
+         WHERE len(embedding) > 0
+         ORDER BY vec_id, dim""",
+    // Batch LEFT JOIN with the interval predicate: exactly what the
+    // drained stream-stream left-outer join must equal. NULLS FIRST to
+    // match the Spark side's asc_nulls_first (DuckDB defaults NULLS LAST).
+    "stream_left_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+                v.ts AS view_ts, p.ts AS purchase_ts
+         FROM events v LEFT JOIN events p
+           ON p.user_id = v.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view'
+         ORDER BY view_id, purchase_id NULLS FIRST""",
   )
 }

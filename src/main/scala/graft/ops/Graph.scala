@@ -39,12 +39,21 @@ object Graph {
   /** `iters` synchronous PageRank rounds over directed `edges`
     * (`src`, `dst` BIGINT columns). Returns (node, score): the
     * fixed-point rank at scale `scale`. Node set = nodes with at least
-    * one outgoing edge; on a symmetrized graph that is every node.
+    * one outgoing edge, held STABLE across iterations: a node that
+    * receives no in-bound contribution in some round keeps its row
+    * (contribution sum coalesced to 0) and keeps contributing its own
+    * teleport-base rank in later rounds — mass from source-only nodes
+    * is conserved on asymmetric graphs, not silently dropped after
+    * iteration 1. Destination-only nodes (no out-edges) are excluded
+    * from the node set entirely (callers symmetrize when they want
+    * everything ranked), so no dangling redistribution term is
+    * needed — the same contract as GraphX's default `staticPageRank`
+    * graph restriction.
     *
-    * Dangling mass: nodes without out-edges are excluded from the node
-    * set entirely (callers symmetrize when they want everything
-    * ranked), so no dangling redistribution term is needed — the same
-    * contract as GraphX's default `staticPageRank` graph restriction.
+    * Lineage: `ranks` is `localCheckpoint`ed each round (as
+    * [[Components]] does), so the logical plan — and Catalyst
+    * re-analysis cost — stays constant in `iters` instead of
+    * compounding join→agg→join nesting until the planner blows up.
     */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
@@ -54,6 +63,7 @@ object Graph {
       col("dst").cast("long").as("dst"))
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // scanned twice per round: compute once
     // teleport base, integer-exact: scale - damp*scale (both engines
     // evaluate the same truncating division on non-negative operands)
     val base = scale - (dampNum * scale) / dampDen
@@ -61,11 +71,15 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = ranks.join(deg, Seq("node"))
         .select(col("node").as("src"), expr("score DIV deg").as("c"))
-      ranks = e.join(contrib, Seq("src"))
+      val sums = e.join(contrib, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("m"))
+      ranks = deg.select(col("node"))
+        .join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampNum * m) DIV $dampDen")).as("score"))
+          (lit(base) +
+            expr(s"($dampNum * coalesce(m, 0L)) DIV $dampDen")).as("score"))
+        .localCheckpoint() // truncate lineage: next round's plan starts here
     }
     ranks
   }
@@ -77,16 +91,20 @@ object Graph {
                     scale: Long = 1000000000000L,
                     dampNum: Long = 85L, dampDen: Long = 100L): Map[Long, Long] = {
     val out = edges.groupBy(_._1)
+    val nodes = out.keySet // stable node frame, as in [[pageRank]]
     val base = scale - (dampNum * scale) / dampDen
-    var ranks: Map[Long, Long] = out.keysIterator.map(_ -> scale).toMap
+    var ranks: Map[Long, Long] = nodes.iterator.map(_ -> scale).toMap
     for (_ <- 1 to iters) {
       val contribs = ranks.toSeq.flatMap { case (n, r) =>
-        val targets = out.getOrElse(n, Nil)
+        val targets = out(n)
         targets.map { case (_, t) => t -> r / targets.size }
       }
-      ranks = contribs.groupBy(_._1).map { case (n, cs) =>
-        n -> (base + (dampNum * cs.map(_._2).sum) / dampDen)
+      val sums = contribs.groupBy(_._1).map { case (n, cs) =>
+        n -> cs.map(_._2).sum
       }
+      ranks = nodes.iterator.map { n =>
+        n -> (base + (dampNum * sums.getOrElse(n, 0L)) / dampDen)
+      }.toMap
     }
     ranks
   }

@@ -26,6 +26,23 @@ object EventsStream {
         count(lit(1)).as("event_count"),
         Det.dsum(col("value")).as("total_value"))
 
+  /** Run `f` with a session conf temporarily overridden, restoring the
+    * prior value (or unsetting) afterwards — the declared streaming
+    * queries read the nanos-typed fixture parquet and must not leak
+    * `spark.sql.legacy.parquet.nanosAsLong` (or anything else) into the
+    * caller's session.
+    */
+  private[streaming] def withConf[T](spark: SparkSession, key: String,
+                                     value: String)(f: => T): T = {
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
@@ -242,8 +259,8 @@ object EventsStream {
     * matches — so this declared query is oracle-checked against
     * DuckDB's batch self-join.
     */
-  def viewPurchaseStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def viewPurchaseStream(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_vp")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
@@ -293,9 +310,20 @@ object EventsStream {
     * [[Sessionize.sessionsStreamed]]; on an unbounded stream the
     * advancing watermark does this continuously. Once drained, the
     * output equals the batch LEFT JOIN exactly — the DuckDB oracle.
+    *
+    * PUSHDOWN TRAP (round-5 bug, caught by the oracle): the sentinel
+    * filter must run AFTER the memory sink, never inside the streaming
+    * plan. `user_id` is not the watermark column, so Catalyst pushes a
+    * `user_id =!= sentinel` predicate below the EventTimeWatermark
+    * operators and into the scan — the sentinel rows are gone before
+    * they can advance the watermark, the final eviction batch never
+    * covers the last watermark-window of views, and the tail of the
+    * replay is silently missing from the output (8 rows at sf0.01).
+    * [[Sessionize.sessionsStreamed]] is immune only because its filter
+    * sits above `flatMapGroupsWithState`, which predicates cannot cross.
     */
-  def viewPurchaseLeftStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def viewPurchaseLeftStream(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_vpl")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
@@ -320,7 +348,6 @@ object EventsStream {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
       try viewToPurchase(src, "leftOuter")
-        .filter(col("user_id") =!= SentinelUser)
         .writeStream
         .format("memory")
         .queryName(qName)
@@ -329,9 +356,12 @@ object EventsStream {
       finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
     finally q.stop()
+    // Sentinel rows are dropped HERE, on the drained batch result (see
+    // scaladoc: an in-plan filter would be pushed below the watermark).
     // NULLS FIRST explicitly: the oracle compare is positional and
     // DuckDB's ASC default is NULLS LAST.
     val out = spark.table(qName)
+      .filter(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
         col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
@@ -351,8 +381,8 @@ object EventsStream {
     * the same exactly-once outcome by the other path). Oracle = the
     * plain batch table: streaming dedup of a doubled feed ≡ the feed.
     */
-  def dedupEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def dedupEventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_dd")
     for (copy <- Seq("events.parquet", "events_redelivered.parquet"))
       java.nio.file.Files.createSymbolicLink(
@@ -387,8 +417,8 @@ object EventsStream {
     * DataFrame with deterministic ordering. Returns hour-of-day rollup
     * to match the batch gold_hourly_demand key space.
     */
-  def hourlyDemandStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def hourlyDemandStream(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     // TimestampType (not NTZ): watermarks require an event-time TIMESTAMP
     // column; with the session timezone pinned to UTC the wallclock values
     // match the batch NTZ reading exactly.

@@ -142,8 +142,8 @@ object Sessionize {
     * proving a finite replay equals the batch computation; on an
     * unbounded stream the watermark does the same job continuously.
     */
-  def sessionsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def sessionsStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStream.withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
