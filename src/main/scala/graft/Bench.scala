@@ -3,15 +3,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Measurement core, separated from main for unit testing: per query,
-    * the median over SUCCESSFUL reps only (None when every rep failed —
-    * a failed rep's duration measures the failure path, not the query,
-    * so it must never enter the median) plus the last error message per
-    * failing query.
+    * the sorted durations of SUCCESSFUL reps only (empty when every rep
+    * failed — a failed rep's duration measures the failure path, not the
+    * query, so it must never enter the stats) plus the last error message
+    * per failing query.
     */
   def measure(spark: SparkSession, sfDir: String,
               queries: Seq[(String, (SparkSession, String) => DataFrame)],
               reps: Int)
-      : (Seq[(String, Option[Double])], Map[String, String]) = {
+      : (Seq[(String, Seq[Double])], Map[String, String]) = {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -32,10 +32,20 @@ object Bench {
       // aren't benched under accumulated memory pressure
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
+      name -> times
     }
     (results, errors.toMap)
   }
+
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable) — a
+    * bench captured on a loaded container self-identifies instead of
+    * reading as a regression next round (round-5 verdict: 4 of 5 apparent
+    * regressions were load noise that cost a re-adjudication).
+    */
+  def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +66,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    val loadStart = loadAvg1m()
     // Untimed warm-up: JIT/codegen the common scan→agg→join→window paths
     // once so per-query timings measure the engine, not JVM cold start.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -65,16 +76,26 @@ object Bench {
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val (results, errors) = measure(spark, sfDir, selected.toSeq, reps)
-    val qs = results.map { case (k, v) =>
+    val medians = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
+    }
+    val qs = medians.map { case (k, v) =>
       // an all-reps-failed query reports as its error string, never a time
       "\"" + k + "\":" + v.map(_.toString).getOrElse(
         "\"ERR: " + errors.getOrElse(k, "failed") + "\"")
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    // Per-rep spread (max-min seconds over successful reps): a noisy run
+    // shows wide spreads and is self-identifying, so a slow median can be
+    // adjudicated from the artifact alone.
+    val spread = results.collect { case (k, ts) if ts.length >= 2 =>
+      f""""$k":${ts.last - ts.head}%.3f"""
+    }.mkString("{", ",", "}")
+    val total = medians.flatMap(_._2).sum
+    val loadEnd = loadAvg1m()
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"rep_spread_sec":$spread$errJson}""")
     spark.stop()
   }
 }

@@ -43,7 +43,14 @@ object ScaleProbe {
 
   private val Queries = Seq(
     "dedup_ngram", "dedup_clusters", "fuzzy_dedup", "seq_pack",
-    "quality_filter", "dedup_exact", "dedup_embedding", "similarity_ann_lsh")
+    "quality_filter", "dedup_exact", "dedup_embedding", "similarity_ann_lsh",
+    // iterative family: per-iteration edge shuffle must scale with the
+    // edge count, not super-linearly (round-5 verdict #5)
+    "pagerank_copurchase",
+    // the round-5 fix's core claim, measured: fit cost is bounded by
+    // sampleMod (constant), assignment is narrow codegen — shuffle
+    // bytes must scale ~linearly with the corpus
+    "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -62,12 +69,23 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- materialize the scaled corpus (idempotent) ----
-    // regenerate unless EVERY table committed (a _SUCCESS-bearing dir):
-    // gating on one table's existence would let a crashed half-run be
-    // silently reused, measuring ratios against a partial corpus
-    val complete = Seq("documents", "customer", "embeddings").forall(t =>
-      new java.io.File(s"$probeDir/$t.parquet/_SUCCESS").exists())
+    // regenerate unless EVERY table committed (a _SUCCESS-bearing dir)
+    // AND the recorded factor matches: gating on one table's existence
+    // would let a crashed half-run be silently reused, and reusing a
+    // corpus generated with a DIFFERENT factor would report ratios for
+    // the wrong scale (round-5 advice)
+    val factorFile = java.nio.file.Paths.get(s"$probeDir/_factor")
+    val recordedFactor =
+      try java.nio.file.Files.readString(factorFile).trim.toInt
+      catch { case _: Throwable => -1 }
+    val complete = recordedFactor == factor &&
+      Seq("documents", "customer", "embeddings", "lineitem").forall(t =>
+        new java.io.File(s"$probeDir/$t.parquet/_SUCCESS").exists())
     if (!complete) {
+      // stale marker first: a crash mid-regeneration must read as
+      // incomplete, never as the old factor's corpus
+      java.nio.file.Files.createDirectories(factorFile.getParent)
+      java.nio.file.Files.deleteIfExists(factorFile)
       val docs = Tables.documents(spark, baseDir)
       // two independent 10-letter rotations → 100 distinct per-replica
       // text transforms (replica 0 = identity)
@@ -122,6 +140,22 @@ object ScaleProbe {
           .withColumn("c_name", concat(col("c_name"), lit(s"$k$k")))
       }.reduce(_ unionByName _)
       scaledCust.write.mode("overwrite").parquet(s"$probeDir/customer.parquet")
+      // lineitem, basket columns only (pagerank_copurchase projects just
+      // these — column pruning makes the rest dead weight): each replica
+      // shifts BOTH the basket key and the item key into a disjoint
+      // range, so the co-purchase graph becomes `factor` disjoint copies
+      // — edges scale by `factor`, per-replica graph structure intact
+      // (the same disjoint-replica discipline as the other tables).
+      val li = Tables.lineitem(spark, baseDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val scaledLi = (0 until factor).map { k =>
+        li.select(
+          (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(k.toLong * 1000000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+      scaledLi.write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
+      // marker last: its presence certifies a COMPLETE corpus at `factor`
+      java.nio.file.Files.writeString(factorFile, factor.toString)
     }
 
     val meter = new ShuffleMeter

@@ -207,6 +207,14 @@ object SparkEntry {
          COUNT(*) AS events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // Banded sketch oracle: exact anchors recomputed here; the sketch
+    // columns arrive as booleans already checked against their error
+    // bands inside the Spark aggregation (see Aggregates.approxStats).
+    "approx_stats" ->
+      """SELECT event_type, COUNT(*) AS events,
+         COUNT(DISTINCT user_id) AS distinct_users,
+         TRUE AS users_within_5pct, TRUE AS p50_in_band, TRUE AS p95_in_band
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "cube_demand" ->
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
          COUNT(*) AS events,

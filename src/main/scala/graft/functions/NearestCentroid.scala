@@ -38,10 +38,16 @@ case class NearestCentroid(child: Expression, k: Int, flat: Seq[Double])
   @transient private lazy val m: Array[Double] = flat.toArray
   @transient private lazy val dims: Int = flat.length / k
 
-  /** Kernel shared by interpreted eval and generated code. */
+  /** Kernel shared by interpreted eval and generated code. A vector
+    * whose width differs from the centroids' is a malformed corpus row:
+    * fail loudly rather than assign it by prefix distance — a
+    * plausible-but-wrong cell is the silent-corruption failure mode.
+    */
   def nearest(arr: ArrayData): Int = {
     val d = dims
-    val n = math.min(arr.numElements(), d)
+    if (arr.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: vector has ${arr.numElements()} dims, centroids have $d")
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0
@@ -49,7 +55,7 @@ case class NearestCentroid(child: Expression, k: Int, flat: Seq[Double])
       val base = c * d
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < d) {
         val diff = arr.getDouble(i) - m(base + i)
         acc += diff * diff
         i += 1

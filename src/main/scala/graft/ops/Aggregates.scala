@@ -174,17 +174,38 @@ object Aggregates {
     * order-independent merge) and `percentile_approx` (quantile summary,
     * ε-bounded). A COUNT(DISTINCT) over billions of users shuffles every
     * distinct value; the HLL sketch shuffles ~kilobytes per group.
-    * Declared rows-only (approx values have no cross-engine oracle);
-    * spec bounds error against exact on the small fixture.
+    *
+    * ORACLE DESIGN (banded, round-5 verdict #6): raw sketch outputs have
+    * no cross-engine oracle, so the declared query verifies the sketches
+    * against exact anchors computed IN THE SAME aggregation and outputs
+    * the verdicts: exact distinct count + a boolean per sketch asserting
+    * it landed inside its documented error band (HLL rsd 0.02 → ±5%
+    * ≈ 2.5σ; percentile_approx accuracy 1000 → rank error ≤ 0.001, so
+    * the returned element must sit between the exact 10×-slack rank
+    * band's quantiles). DuckDB recomputes the exact anchors and expects
+    * literal TRUE — the former rows-only row is now hash-checked. The
+    * exact twins exist for the oracle gate; a 100 TB user keeps only the
+    * sketch columns (drop the `count_distinct`/`percentile` anchors and
+    * the plan is the pure-sketch shape this operator exists for).
     */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"),
-        count(lit(1)).as("events"))
+        count(lit(1)).as("events"),
+        count_distinct(col("user_id")).as("distinct_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+        expr("percentile(value, 0.49)").as("p49"),
+        expr("percentile(value, 0.51)").as("p51"),
+        expr("percentile(value, 0.94)").as("p94"),
+        expr("percentile(value, 0.96)").as("p96"))
+      .select(col("event_type"), col("events"), col("distinct_users"),
+        (abs(col("au") - col("distinct_users")) <=
+          col("distinct_users").cast("double") * 0.05).as("users_within_5pct"),
+        col("p50").between(col("p49"), col("p51")).as("p50_in_band"),
+        col("p95").between(col("p94"), col("p96")).as("p95_in_band"))
       .orderBy(col("event_type"))
 
   /** Wide→long reshaping (`Dataset.unpivot`, the inverse of

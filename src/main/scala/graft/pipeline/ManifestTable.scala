@@ -35,13 +35,17 @@ object ManifestTable {
 
   private val ManifestPrefix = "_graft_manifest-v"
 
-  /** Replay-protection horizon: each manifest carries at most this many
-    * (newest-by-version) tags forward. A batch replayed after more than
-    * this many subsequent tagged commits re-appends — retention must
-    * exceed the maximum replay horizon, exactly the contract Delta's
-    * txn-retention duration draws. Overridable for tests.
+  /** Default replay-protection horizon: each manifest carries at most
+    * this many (newest-by-version) tags forward. A batch replayed after
+    * more than this many subsequent tagged commits re-appends —
+    * retention must exceed the maximum replay horizon, exactly the
+    * contract Delta's txn-retention duration draws. Per-call (a
+    * parameter of write/append/appendIdempotent, not mutable static
+    * state): concurrent writers in one JVM each get the horizon they
+    * asked for — a test shrinking it can never truncate the tag map of
+    * a production table racing it.
     */
-  private[graft] var MaxCarriedTags: Int = 100000
+  val DefaultTagHorizon: Int = 100000
 
   /** Per-file column statistics carried by the manifest (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
@@ -81,9 +85,10 @@ object ManifestTable {
     */
   def write(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-            statsCols: Seq[String] = Nil, tag: Option[String] = None): Long =
+            statsCols: Seq[String] = Nil, tag: Option[String] = None,
+            tagHorizon: Int = DefaultTagHorizon): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = false, tag = tag)
+      carryForward = false, tag = tag, tagHorizon = tagHorizon)
 
   /** Transactional APPEND: commit a new version whose file list is the
     * current version's files PLUS this batch's — Delta-style `append`
@@ -94,9 +99,10 @@ object ManifestTable {
     */
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-             statsCols: Seq[String] = Nil, tag: Option[String] = None): Long =
+             statsCols: Seq[String] = Nil, tag: Option[String] = None,
+             tagHorizon: Int = DefaultTagHorizon): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = true, tag = tag)
+      carryForward = true, tag = tag, tagHorizon = tagHorizon)
 
   /** Idempotent tagged append for exactly-once sinks: if the table has
     * ever committed `tag`, the call is a no-op returning that version —
@@ -111,17 +117,18 @@ object ManifestTable {
     * tag→version map forward into its manifest (the way Delta retains
     * txn versions in checkpoints), so dropping old manifests never
     * forgets a live tag — a batch replayed after its own manifest was
-    * vacuumed still no-ops. The map is BOUNDED at [[MaxCarriedTags]]
-    * newest tags (the replay horizon); a replay arriving later than
-    * that re-appends.
+    * vacuumed still no-ops. The map is BOUNDED at `tagHorizon` newest
+    * tags (the replay horizon, default [[DefaultTagHorizon]]); a replay
+    * arriving later than that re-appends.
     */
   def appendIdempotent(df: DataFrame, path: String, tag: String,
                        partitionCols: Seq[String] = Nil,
                        statsCols: Seq[String] = Nil,
-                       maxAttempts: Int = 3): Long =
+                       maxAttempts: Int = 3,
+                       tagHorizon: Int = DefaultTagHorizon): Long =
     committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
       append(df, path, partitionCols, maxAttempts = maxAttempts,
-        statsCols = statsCols, tag = Some(tag)))
+        statsCols = statsCols, tag = Some(tag), tagHorizon = tagHorizon))
 
   /** The committed version carrying `tag`, if any. One manifest read:
     * the CURRENT manifest's carried tag map answers membership for the
@@ -160,7 +167,8 @@ object ManifestTable {
 
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
-                     carryForward: Boolean, tag: Option[String]): Long = {
+                     carryForward: Boolean, tag: Option[String],
+                     tagHorizon: Int = DefaultTagHorizon): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -235,7 +243,7 @@ object ManifestTable {
       // replayed batch must no-op even after the data it wrote was
       // replaced), so vacuum dropping old manifests never erases replay
       // protection and tag membership is one manifest read. BOUNDED:
-      // only the newest MaxCarriedTags survive (evicted by commit
+      // only the newest tagHorizon survive (evicted by commit
       // version — the replay horizon, same boundary Delta draws with
       // txn retention); unbounded carry would grow every manifest and
       // every commit by O(total batches ever) on a long-lived sink.
@@ -243,7 +251,7 @@ object ManifestTable {
         (prev.map(manifestTags(spark, path, _)).getOrElse(Map.empty) ++
           tag.map(_ -> version))
           .toSeq.sortBy { case (t, v) => (-v, t) }
-          .take(MaxCarriedTags).toMap
+          .take(tagHorizon).toMap
       val json = manifestJson(spark, version, files,
         carriedStats ++ newStats, tag, Some(schema), allTags)
       val out = f.create(tmp, true)

