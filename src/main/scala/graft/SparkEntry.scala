@@ -106,6 +106,7 @@ object SparkEntry {
     "pagerank_copurchase" -> ((s, d) => Graph.pagerankCopurchase(s, d)),
     "embedding_project"  -> ((s, d) => Similarity.embeddingProject(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
+    "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
@@ -1045,6 +1046,27 @@ object SparkEntry {
          FROM embeddings, generate_series(0, 15) AS t(j)
          WHERE len(embedding) > 0
          ORDER BY vec_id, dim""",
+    // CDC between two gold refreshes: recompute both snapshots from the
+    // source feed and EXCEPT ALL them both ways — the Spark side routes
+    // the same two aggregates through ManifestTable commit + time-travel
+    // read + diff, so the ACID layer itself is under the hash check.
+    "change_feed_gold" ->
+      """WITH g1 AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monthly_revenue,
+             COUNT(*) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+           FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1),
+         g2 AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monthly_revenue,
+             COUNT(*) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+           FROM orders GROUP BY 1)
+         SELECT *, 'insert' AS "_change" FROM (SELECT * FROM g2 EXCEPT ALL SELECT * FROM g1)
+         UNION ALL
+         SELECT *, 'delete' AS "_change" FROM (SELECT * FROM g1 EXCEPT ALL SELECT * FROM g2)
+         ORDER BY "_change", month""",
     // Batch LEFT JOIN with the interval predicate: exactly what the
     // drained stream-stream left-outer join must equal. NULLS FIRST to
     // match the Spark side's asc_nulls_first (DuckDB defaults NULLS LAST).

@@ -240,6 +240,7 @@ object Medallion {
                            quarantinePath: String): (Long, Long) = {
     val raw = graft.sources.Csv.readQuarantining(spark, csvPath, schema).cache()
     try {
+      val total = raw.count()
       val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
       val bad = raw.filter(col("_corrupt").isNotNull)
         .select(col("_corrupt").as("raw_line"))
@@ -254,8 +255,77 @@ object Medallion {
         if (f.exists(p)) f.delete(p, true)
       }
       clean.write.mode("overwrite").parquet(bronzePath)
-      (spark.read.parquet(bronzePath).count(), nBad)
+      val written = spark.read.parquet(bronzePath).count()
+      // conservation ledger (no silent truncation, same discipline as
+      // the dedup family's audit twins): every feed row is accounted
+      // for as either a bronze row — counted from the SINK, so the
+      // write path is inside the check — or a quarantined line
+      require(written + nBad == total,
+        s"quarantine ledger mismatch at $csvPath: " +
+          s"$total feed rows != $written bronze + $nBad quarantined")
+      (written, nBad)
     } finally raw.unpersist()
+  }
+
+  /** Audit twin of [[ingestCsvQuarantined]]: the quarantine ledger as a
+    * one-row frame — feed/clean/quarantined counts plus the rate — from
+    * one pass over the quarantining scan (cached: Spark disallows
+    * querying the internal corrupt-record column of a raw CSV scan
+    * uncached, the same constraint the ingest path carries; the cache is
+    * released once the one-row ledger materializes). Run it before
+    * promoting a feed: a quarantine rate that jumps is an upstream
+    * schema drift, not row-level noise.
+    */
+  def quarantineAudit(spark: SparkSession, csvPath: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = graft.sources.Csv.readQuarantining(spark, csvPath, schema).cache()
+    try raw
+      .agg(
+        count(lit(1)).as("feed_rows"),
+        count(when(col("_corrupt").isNull, 1)).as("clean_rows"),
+        count(col("_corrupt")).as("quarantined_rows"))
+      .select(col("feed_rows"), col("clean_rows"), col("quarantined_rows"),
+        (col("quarantined_rows").cast("double") /
+          greatest(col("feed_rows"), lit(1L)).cast("double"))
+          .as("quarantine_rate"))
+      .localCheckpoint()
+    finally raw.unpersist(blocking = false)
+  }
+
+  /** Declared change-feed query: the row-level CDC between two committed
+    * gold refreshes, THROUGH the ACID layer — refresh 1 aggregates the
+    * on-time order feed (urgent orders late, the classic late-arriving
+    * facts scenario), refresh 2 the complete feed; each commits as a
+    * [[ManifestTable]] version and [[ManifestTable.diff]] emits the
+    * delete+insert pairs a downstream consumer would replay. This puts
+    * commit → time-travel read → diff under the DuckDB oracle (which
+    * recomputes both snapshots from `orders` and EXCEPT ALLs them the
+    * same way): a value that fails to round-trip the manifest write/read
+    * path bit-exactly, or a diff that mis-pairs versions, hash-fails.
+    *
+    * Scale shape: two partial+final aggregations over the fact table,
+    * one exceptAll-style shuffle per diff side on the full-row key (the
+    * exact-dedup cost profile), nothing driver-side. Total order on
+    * (_change, month) — month is the agg key, unique within each side.
+    */
+  def changeFeedGold(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cdc_gold").toString + "/gold_monthly"
+    val orders = graft.Tables.orders(spark, sfDir)
+    // month grain (not per-customer/day): every month mixes urgent and
+    // non-urgent orders, so the refresh CHANGES existing rows — the diff
+    // carries real delete+insert pairs, not just appended keys
+    def gold(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        graft.Det.dsum(col("o_totalprice")).as("monthly_revenue"),
+        count(lit(1)).as("order_count"),
+        graft.Det.davg(col("o_totalprice")).as("avg_order_value"))
+    val v1 = ManifestTable.write(
+      gold(orders.filter(col("o_orderpriority") =!= "1-URGENT")), path)
+    val v2 = ManifestTable.write(gold(orders), path)
+    ManifestTable.diff(spark, path, v1, v2)
+      .orderBy(col("_change"), col("month"))
   }
 
   /** Manifest-aware table read: tables written through [[ManifestTable]]

@@ -242,6 +242,29 @@ class PipelineSpec extends SparkSpec {
     assert(r2 > 0 && r2 < 1)
   }
 
+  test("declared change_feed_gold: CDC through the manifest equals the recomputed diff, both change kinds present") {
+    val feed = Medallion.changeFeedGold(spark, sfTiny)
+    assert(feed.schema.fieldNames === Array("month",
+      "monthly_revenue", "order_count", "avg_order_value", "_change"))
+    val byKind = feed.groupBy("_change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.getOrElse("insert", 0L) > 0, "no inserts - test is vacuous")
+    assert(byKind.getOrElse("delete", 0L) > 0,
+      "no deletes - the late-arriving-facts scenario must change existing rows")
+    // diff through the ACID layer == diff of the two recomputed aggregates
+    val orders = Tables.orders(spark, sfTiny)
+    def gold(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(Det.dsum(col("o_totalprice")).as("monthly_revenue"),
+        count(lit(1)).as("order_count"),
+        Det.davg(col("o_totalprice")).as("avg_order_value"))
+    val g1 = gold(orders.filter(col("o_orderpriority") =!= "1-URGENT"))
+    val g2 = gold(orders)
+    val expected = g2.exceptAll(g1).withColumn("_change", lit("insert"))
+      .unionAll(g1.exceptAll(g2).withColumn("_change", lit("delete")))
+    assert(feed.exceptAll(expected).isEmpty && expected.exceptAll(feed).isEmpty)
+  }
+
   test("trainAndSave persists a reloadable model plus metrics and importances") {
     val out = java.nio.file.Files.createTempDirectory("graft_ml").toString
     graft.ml.RevenueModel.trainAndSave(spark, sfTiny, out)

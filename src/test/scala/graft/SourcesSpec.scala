@@ -97,6 +97,14 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() === 2)
     assert(q.select("raw_line").collect().map(_.getString(0)).toSet
       === Set("2,not_a_number,3.25", "3,7,oops"))
+    // the ledger audit twin: every feed row accounted for, rate exact
+    val audit = graft.pipeline.Medallion.quarantineAudit(spark, dir, schema)
+      .collect()(0)
+    assert(audit.getLong(0) === 5 && audit.getLong(1) === 3 &&
+      audit.getLong(2) === 2)
+    assert(audit.getDouble(3) === 0.4)
+    assert(nClean + nBad === audit.getLong(0),
+      "ingest counts must reconcile with the feed ledger")
   }
 
   test("jsonl roundtrip preserves values including nested-ish string props") {
