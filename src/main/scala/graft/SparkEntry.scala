@@ -107,6 +107,8 @@ object SparkEntry {
     "embedding_project"  -> ((s, d) => Similarity.embeddingProject(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
+    "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
+    "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
@@ -1046,6 +1048,52 @@ object SparkEntry {
          FROM embeddings, generate_series(0, 15) AS t(j)
          WHERE len(embedding) > 0
          ORDER BY vec_id, dim""",
+    // BM25 (k1=1.2, b=0.75) over whitespace tokens, same fixed term
+    // order and operation order as the Spark side — tf/df/dl/N exact
+    // integers, avgdl one double division, idf = ln of an identical
+    // double, so scores are bit-identical.
+    "bm25_rank" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, len(ts) AS dl,
+                 len(list_filter(ts, x -> x = 'spark'))  AS tf0,
+                 len(list_filter(ts, x -> x = 'join'))   AS tf1,
+                 len(list_filter(ts, x -> x = 'vector')) AS tf2
+               FROM t),
+         s AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               FROM d),
+         scored AS (SELECT doc_id,
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             AS score
+           FROM d, s)
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+           score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    // Exact in-cell k-NN: same list_zip/list_reduce cosine idiom as the
+    // similarity_topk oracle (proven bit-identical to CosineSim).
+    "embedding_knn" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (
+           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (x,y) -> x+y) AS dp,
+             list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (x,y) -> x+y) AS aa,
+             list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (x,y) -> x+y) AS bb
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         s AS (SELECT vec_id, neighbor_id, dp / (sqrt(aa) * sqrt(bb)) AS sim FROM d),
+         r AS (SELECT vec_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT vec_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
     // CDC between two gold refreshes: recompute both snapshots from the
     // source feed and EXCEPT ALL them both ways — the Spark side routes
     // the same two aggregates through ManifestTable commit + time-travel

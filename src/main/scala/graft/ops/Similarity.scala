@@ -408,4 +408,42 @@ object Similarity {
   def embeddingProject(spark: SparkSession, sfDir: String,
                        outDims: Int = 16): DataFrame =
     projectSigns(Tables.embeddings(spark, sfDir), outDims)
+
+  /** Exact k-NN graph WITHIN partition cells (here the `label` column —
+    * in the full pipeline, the IVF cell id from [[annIvf]]'s quantizer):
+    * each vector's top-k cosine neighbors among its cell's members. This
+    * is the in-cell exact refinement step every cell-partitioned ANN
+    * system runs after coarse quantization, and the graph a semantic
+    * dedup / diversity-sampling stage consumes.
+    *
+    * Scale shape: ONE shuffle of the corpus on the cell key, then a
+    * per-cell self-join — cost Σ|cell|², bounded by the quantizer's cell
+    * size (the reason k-NN graphs are built per-cell and not all-pairs:
+    * at 100 TB an all-pairs join is 10²⁴ row pairs; cells cap it at
+    * |cell|·|corpus|). Skewed cells → AQE skew-join split, and the cell
+    * width is the quantizer's k knob. Per-vector top-k via window inside
+    * the cell partition; native codegen'd [[graft.functions.CosineSim]]
+    * per pair.
+    */
+  def knnWithinCell(emb: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col(cellCol).as("cell"),
+      asDouble(col("embedding")).as("v"))
+    val pairs = v.select(col("vec_id"), col("cell"), col("v"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("nv")), Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("v"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Declared query: top-3 in-label neighbors over the fixture corpus. */
+  def embeddingKnn(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    knnWithinCell(Tables.embeddings(spark, sfDir), "label", k)
 }

@@ -298,6 +298,74 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 ranking (Robertson/Spärck Jones, k1=1.2 b=0.75) of the corpus
+    * against a fixed term set — the retrieval scorer a curation pipeline
+    * uses for query-based decontamination and targeted quality slices.
+    *
+    * Determinism: tf/df/dl/N are exact integers; avgdl is one double
+    * division of exact integers; idf is `ln` of an identical double on
+    * both engines and the per-term partial scores sum in FIXED term
+    * order — every float op is a same-input IEEE op, so the score is
+    * bit-reproducible at any parallelism and DuckDB-recomputable
+    * (unlike a float AGGREGATION, whose order varies; this is the same
+    * argument as [[graft.ops.Similarity.projectSigns]]' fold).
+    *
+    * Plan shape: one explode → groupBy(doc) with map-side partial agg
+    * (token rows never cross the wire: conditional sums collapse to one
+    * row per doc per mapper), corpus stats as one broadcast scalar row,
+    * then a narrow per-row score projection and a single top-N. The
+    * corpus is scanned once; no token-level shuffle, no driver data.
+    */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+             b: Double = 0.75, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Of: need at least one query term")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"),
+        explode_outer(col("ts")).as("token"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"), tfCols: _*)
+    val statCols = Seq(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val avgdl = col("sdl").cast(DoubleType) / col("n")
+    // fixed left-to-right term order — the oracle sums the same order
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val dfT = col(s"df$i").cast(DoubleType)
+      // graft_ln, not builtin ln: Spark's Log is StrictMath (fdlibm),
+      // 1 ulp off libm/DuckDB on some inputs — see functions.MathLn
+      val idf = graft.functions.MathLn.ln(SparkSession.active, lit(1.0) +
+        (col("n").cast(DoubleType) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
+    }.reduce(_ + _)
+    // top-N FIRST via sort+limit (TakeOrderedAndProject: per-partition
+    // heaps, no corpus-cardinality single-partition window), then rank
+    // the <= topN survivors — the bounded-rows window is scale-free
+    val top = scored.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Declared query: BM25 top-20 for a 3-term query over the fixture
+    * corpus.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Of(Tables.documents(spark, sfDir), Seq("spark", "join", "vector"))
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

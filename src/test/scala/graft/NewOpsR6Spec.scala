@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: BM25 ranking and the in-cell exact k-NN graph. */
+class NewOpsR6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Of is bit-identical to a driver-side BM25 over the fixture corpus") {
+    val terms = Seq("spark", "join", "vector")
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val local = docs.collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = local.length.toDouble
+    val avgdl = local.map(_._2.length).sum.toDouble / local.length
+    val dfs = terms.map(t => local.count(_._2.contains(t)).toDouble)
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.length.toDouble
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.reduce(_ + _)
+    }
+    val expected = local.map { case (id, toks) => (id, score(toks)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Text.bm25Of(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq === (1 to 20))
+    got.zip(expected).foreach { case ((gid, _, gs), (eid, es)) =>
+      assert(gid === eid, "rank order drifted from the local twin")
+      assert(java.lang.Double.doubleToLongBits(gs) ===
+        java.lang.Double.doubleToLongBits(es), s"score drift at doc $gid")
+    }
+    // top docs actually contain query terms (non-vacuous corpus)
+    assert(expected.head._2 > 0.0)
+  }
+
+  test("knnWithinCell equals brute force per cell; neighbors never cross cells") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 0, Array(-1.0f, 0.0f, 0.0f)),
+      (5L, 1, Array(0.0f, 0.0f, 1.0f)),
+      (6L, 1, Array(0.0f, 0.1f, 0.9f)),
+      (7L, 1, Array(0.0f, 1.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = Similarity.knnWithinCell(df, "label", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    for ((id, _, cell, _) <- vecs.map(v => (v._1, 0, v._2, 0))) {
+      val mine = out.filter(_._1 == id)
+      val expect = vecs.filter(v => v._2 == cell && v._1 != id)
+        .map(v => (v._1, cos(byId(id)._3, v._3)))
+        .sortBy { case (nid, s) => (-s, nid) }.take(2)
+      assert(mine.map(_._3).toSeq === expect.map(_._1),
+        s"neighbor set mismatch for vec $id")
+      mine.map(_._4).zip(expect.map(_._2)).foreach { case (g, e) =>
+        assert(java.lang.Double.doubleToLongBits(g) ===
+          java.lang.Double.doubleToLongBits(e))
+      }
+    }
+    // ranks are 1..k and never reference a different cell
+    assert(out.forall { case (id, r, nid, _) =>
+      r >= 1 && r <= 2 && byId(id)._2 == byId(nid)._2 })
+  }
+
+  test("declared embedding_knn: every fixture vector gets k in-label neighbors") {
+    val out = Similarity.embeddingKnn(spark, sfTiny).cache()
+    val emb = Tables.embeddings(spark, sfTiny)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val perVec = rows.groupBy(_._1)
+    // labels have >= 4 members in the fixture, so everyone has 3 neighbors
+    assert(perVec.size === labelOf.size)
+    assert(perVec.values.forall(_.map(_._2).sorted.toSeq === Seq(1, 2, 3)))
+    assert(rows.forall { case (v, _, n) => labelOf(v) == labelOf(n) })
+    out.unpersist()
+  }
+}

@@ -158,6 +158,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"df branch re-scans/re-explodes the corpus: $scans scans")
   }
 
+  test("bm25_rank: token rows never cross the wire; top-N is heap-based, not a global sort") {
+    val p = planOf("bm25_rank")
+    // the only KEYED exchange is the per-doc tf aggregate — map-side
+    // partial agg collapses exploded tokens to one row per doc per
+    // mapper (the 1-row stats agg and the <=20-row rank window are the
+    // two inherently-single-partition bounded stages)
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("doc_id")),
+      s"token-level or score-level shuffle leaked in: $exchanges")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must be per-partition heaps, not a corpus-wide sort")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final aggregation expected for the tf rollup")
+  }
+
+  test("embedding_knn: shuffles only on the cell key; never a cartesian plan") {
+    val p = planOf("embedding_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "in-cell self-join degenerated to an all-pairs plan")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.startsWith("cell") || e.startsWith("vec_id")),
+      s"unexpected shuffle keys: $exchanges")
+  }
+
   test("embedding_centroid: scan pruned to (label, embedding); partial+final agg") {
     val p = planOf("embedding_centroid")
     assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>")
