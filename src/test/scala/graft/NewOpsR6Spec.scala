@@ -75,6 +75,63 @@ class NewOpsR6Spec extends SparkSpec {
       r >= 1 && r <= 2 && byId(id)._2 == byId(nid)._2 })
   }
 
+  test("bm25Of property: bit-identical to the twin on random corpora, any parallelism") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("spark", "join", "vector", "table", "scan", "row",
+      "agg", "key", "batch", "the", "a")
+    val docGen = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, docGen))
+    val terms = Seq("spark", "join", "vector")
+    var seed = Seed(13L)
+    var checked = 0
+    while (checked < 4) {
+      corpusGen.apply(Gen.Parameters.default, seed).foreach { texts =>
+        val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val n = rows.length.toDouble
+        val toksOf = rows.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+        val avgdl = toksOf.values.map(_.length).sum.toDouble / n
+        val dfs = terms.map(t => toksOf.values.count(_.contains(t)).toDouble)
+        def score(toks: Seq[String]): Double =
+          terms.zip(dfs).map { case (t, df) =>
+            val tf = toks.count(_ == t).toDouble
+            math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+              (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length.toDouble / avgdl))
+          }.reduce(_ + _)
+        val expected = rows.map { case (id, _) => (id, score(toksOf(id))) }
+          .sortBy { case (id, s) => (-s, id) }.take(20)
+        val saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try for (p <- Seq("2", "7")) {
+          spark.conf.set("spark.sql.shuffle.partitions", p)
+          val got = Text.bm25Of(rows.toDF("doc_id", "text"), terms).collect()
+            .map(r => (r.getLong(0), r.getDouble(2)))
+          assert(got.map(_._1).toSeq === expected.map(_._1),
+            s"ranking drift at partitions=$p")
+          got.zip(expected).foreach { case ((_, g), (_, e)) =>
+            assert(java.lang.Double.doubleToLongBits(g) ===
+              java.lang.Double.doubleToLongBits(e), s"score drift at partitions=$p")
+          }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+        checked += 1
+      }
+      seed = seed.next
+    }
+  }
+
+  test("knnWithinCell is parallelism-invariant on the fixture") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[String] =
+      Similarity.embeddingKnn(spark, sfTiny).collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run()
+      assert(a === b, "k-NN graph depends on shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("declared embedding_knn: every fixture vector gets k in-label neighbors") {
     val out = Similarity.embeddingKnn(spark, sfTiny).cache()
     val emb = Tables.embeddings(spark, sfTiny)
