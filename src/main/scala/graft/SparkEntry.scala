@@ -210,6 +210,13 @@ object SparkEntry {
          COUNT(*) AS events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // Banded sketch oracle (see Sketches.monthlyDistinctUsers): exact
+    // anchors recomputed; in-query verdicts expected literal TRUE.
+    "sketch_distinct_rollup" ->
+      """SELECT event_type, date_trunc('month', ts) AS month,
+         COUNT(*) AS events, COUNT(DISTINCT user_id) AS distinct_users,
+         TRUE AS users_within_5pct, TRUE AS merge_consistent
+         FROM events GROUP BY 1, 2 ORDER BY event_type, month""",
     // Banded sketch oracle: exact anchors recomputed here; the sketch
     // columns arrive as booleans already checked against their error
     // bands inside the Spark aggregation (see Aggregates.approxStats).

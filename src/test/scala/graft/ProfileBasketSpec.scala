@@ -132,24 +132,19 @@ class ProfileBasketSpec extends SparkSpec {
     assert(out("b") == ((3L, 5.0, 7.0)))   // ceil(1.5)=2nd=5.0, ceil(2.7)=3rd=7.0
   }
 
-  test("sketch rollup: daily-union estimate equals direct monthly sketch; error < 5% of exact") {
-    val events = Tables.events(spark, sfSmall)
-    val viaDaily = Sketches.monthlyDistinctUsers(spark, sfSmall).collect()
-      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
-    val direct = events
-      .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
-        .as("approx_users"))
-      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
-    assert(viaDaily.keySet == direct.keySet && viaDaily.nonEmpty)
-    viaDaily.foreach { case (k, est) =>
-      assert(est == direct(k), s"merge inconsistency at $k: $est vs ${direct(k)}")
+  test("sketch rollup: self-verification verdicts TRUE; exact anchor matches the exact twin") {
+    val out = Sketches.monthlyDistinctUsers(spark, sfSmall).collect()
+    assert(out.nonEmpty)
+    // every in-query verdict must hold (the oracle expects literal TRUE)
+    out.foreach { r =>
+      assert(r.getBoolean(4), s"estimate out of band at ${r.get(0)}/${r.get(1)}")
+      assert(r.getBoolean(5), s"merge inconsistency at ${r.get(0)}/${r.get(1)}")
     }
+    // the exact anchor column really is the exact distinct count
+    val anchors = out
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
     val exact = Sketches.monthlyDistinctUsersExact(spark, sfSmall).collect()
       .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(viaDaily(k) - n) <= math.max(2.0, n * 0.05),
-        s"estimate off at $k: ${viaDaily(k)} vs exact $n")
-    }
+    assert(anchors === exact)
   }
 }
