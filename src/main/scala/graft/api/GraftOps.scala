@@ -525,4 +525,30 @@ object GraftOps {
       df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
       cells, maxCluster)
+
+  /** BM25 top-N of the corpus against a fixed query term set
+    * (k1=1.2, b=0.75; bit-reproducible scores — see `Text.bm25Of`).
+    */
+  def bm25TopN(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topN: Int = 20): DataFrame =
+    graft.ops.Text.bm25Of(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      terms, topN = topN)
+
+  /** Exact top-k cosine neighbors of every vector WITHIN its cell
+    * (IVF cell id, label, shard — whatever bounds the quadratic).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               cellCol: String, k: Int = 3): DataFrame =
+    Similarity.knnWithinCell(
+      df.select(col(idCol).as("vec_id"), col(cellCol),
+        col(vecCol).as("embedding")), cellCol, k)
+
+  /** Integer fixed-point PageRank over (src, dst) edges — bit-identical
+    * at any parallelism; see `graft.ops.Graph.pageRank`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame =
+    graft.ops.Graph.pageRank(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
 }

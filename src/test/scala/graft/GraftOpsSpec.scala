@@ -230,6 +230,33 @@ class GraftOpsSpec extends SparkSpec {
       === declaredQ.collect().map(_.toSeq).toSeq)
   }
 
+  test("facade bm25TopN / knnGraph / pageRank match declared queries on renamed columns") {
+    val bm = GraftOps.bm25TopN(
+      Tables.documents(spark, sfTiny)
+        .select(col("doc_id").as("id"), col("text").as("body")),
+      "id", "body", Seq("spark", "join", "vector"))
+    val declaredBm = graft.ops.Text.bm25Rank(spark, sfTiny)
+    assert(bm.collect().map(_.toSeq).toSeq
+      === declaredBm.collect().map(_.toSeq).toSeq)
+
+    val knn = GraftOps.knnGraph(
+      Tables.embeddings(spark, sfTiny)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"),
+          col("label").as("cell")),
+      "id", "emb", "cell")
+    val declaredKnn = graft.ops.Similarity.embeddingKnn(spark, sfTiny)
+    assert(knn.collect().map(_.toSeq).toSeq
+      === declaredKnn.collect().map(_.toSeq).toSeq)
+
+    import spark.implicits._
+    val pr = GraftOps.pageRank(
+      Seq((5L, 1L), (1L, 2L), (2L, 1L)).toDF("from", "to"), "from", "to",
+      iters = 2)
+    assert(pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === graft.ops.Graph.pageRankLocal(
+        Seq((5L, 1L), (1L, 2L), (2L, 1L)), iters = 2))
+  }
+
   test("facade anomaly/rolling/quantiles/profile/basket match declared queries") {
     val ev = Tables.events(spark, sfTiny)
       .select(col("event_type").as("series"), col("ts").as("at"),
