@@ -79,3 +79,46 @@ object Jsonl {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 }
+
+/** ORC source/sink — the other columnar format a lakehouse meets in the
+  * wild (Hive-era tables). Same pushdown story as parquet: predicates
+  * and column pruning reach the ORC reader, so migrating a table
+  * between the two formats doesn't change any declared plan shape.
+  */
+object Orc {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+}
+
+/** Raw-blob ingest for the multimodal layer: Spark's `binaryFile`
+  * source reads a directory of files as (path, modificationTime,
+  * length, content) rows — the entry point that turns an image/audio
+  * dump into the `binary`-column table [[graft.ops.Multimodal]]
+  * operates on. `pathGlobFilter` pushes the extension filter into the
+  * LISTING (files that don't match are never opened); at 100 TB the
+  * same scan runs against an object store with the driver listing
+  * parallelized by Spark's file index.
+  */
+object BinaryDir {
+
+  /** (doc_id, media, n_bytes) rows from a directory of blob files —
+    * doc_id = the file name, the natural join key back to a metadata
+    * table. Column names line up with the multimodal fixture so
+    * [[graft.ops.Multimodal]] kernels apply unchanged.
+    */
+  def read(spark: SparkSession, dir: String,
+           glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("doc_id"),
+        col("content").as("media"),
+        col("length").as("n_bytes"))
+  }
+}

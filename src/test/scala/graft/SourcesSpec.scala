@@ -107,6 +107,46 @@ class SourcesSpec extends SparkSpec {
       "ingest counts must reconcile with the feed ledger")
   }
 
+  test("orc roundtrip preserves values and prunes columns like parquet") {
+    val dir = tmpDir("graft_orc")
+    val src = Tables.orders(spark, sfTiny)
+    graft.sources.Orc.write(src, dir)
+    val back = graft.sources.Orc.read(spark, dir)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // pushdown parity with parquet: pruned read schema + pushed filter
+    val plan = back.filter(col("o_orderkey") === 1L).select("o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && !plan.contains("o_comment"),
+      "ORC scan must push filters and prune columns")
+  }
+
+  test("binaryFile ingest: a blob directory becomes a multimodal binary-column table") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = tmpDir("graft_blobs")
+    def png(name: String, w: Int, h: Int): Unit =
+      assert(ImageIO.write(new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB),
+        "png", new java.io.File(dir, name)))
+    png("a.png", 17, 9)
+    png("b.png", 5, 7)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "notes.txt"), "not an image")
+    val blobs = graft.sources.BinaryDir.read(spark, dir, glob = "*.png")
+    val rows = blobs.collect().map(r =>
+      r.getString(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2)))).toMap
+    // the glob filter keeps the listing to matching files only
+    assert(rows.keySet === Set("a.png", "b.png"))
+    rows.foreach { case (_, (bytes, n)) => assert(bytes.length.toLong === n) }
+    // the blob column feeds the multimodal decode kernel unchanged
+    val withIds = blobs.select(
+      when(col("doc_id") === "a.png", 1L).otherwise(2L).as("doc_id"),
+      col("media").as("payload"))
+    val dims = graft.ops.Multimodal.decodeMeta(spark, withIds)
+      .collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(dims(1L) === ((17, 9)) && dims(2L) === ((5, 7)))
+  }
+
   test("jsonl roundtrip preserves values including nested-ish string props") {
     val src = Tables.events(spark, sfTiny)
       .select(col("event_id"), col("event_type"), col("value"), col("props"))
