@@ -83,6 +83,7 @@ object SparkEntry {
     "embedding_centroid" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "multimodal_image_meta" -> ((s, d) => Multimodal.multimodalImageMeta(s, d)),
+    "multimodal_blob_ingest" -> ((s, d) => Multimodal.multimodalBlobIngest(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -644,6 +645,14 @@ object SparkEntry {
     // oracle recomputes the generating arithmetic — any drift in either
     // codec path hash-mismatches
     "multimodal_image_meta" ->
+      """SELECT doc_id,
+         CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels
+         FROM documents ORDER BY doc_id""",
+    // blob-dir ingest must round-trip the SAME generating arithmetic:
+    // file write -> binaryFile listing -> id-from-filename -> decode
+    "multimodal_blob_ingest" ->
       """SELECT doc_id,
          CAST(doc_id % 37 + 1 AS INTEGER) AS width,
          CAST(doc_id % 23 + 1 AS INTEGER) AS height,

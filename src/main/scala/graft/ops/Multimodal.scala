@@ -277,6 +277,44 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
       .orderBy(col("doc_id"))
 
+  /** Declared query `multimodal_blob_ingest`: the raw-blob ingest path
+    * end to end — the fixture PNGs written out as FILES (one
+    * `<doc_id>.png` per row), listed and read back through the
+    * `binaryFile` source ([[graft.sources.BinaryDir]], extension glob
+    * pushed into the listing), ids recovered from the file names, bytes
+    * decoded by the real [[MediaCodec]]. The oracle recomputes the
+    * generating arithmetic from doc_id, so the file write, the listing,
+    * the blob read, AND the decode must all round-trip exactly — this
+    * is the "turn an image dump into a table" entry point a multimodal
+    * pipeline starts from.
+    *
+    * The dump is executor-local file writes; in local mode that is the
+    * one filesystem (same honesty note as the streaming symlink feeds);
+    * at scale this stage is an object-store PUT per blob and the same
+    * `binaryFile` listing runs distributed.
+    */
+  def multimodalBlobIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blob_ingest").toString
+    imageTable(spark, sfDir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        it.foreach { case (id, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$id.png"), bytes): Unit
+        }
+      }
+    val blobs = graft.sources.BinaryDir.read(spark, dir, glob = "*.png")
+      .select(
+        regexp_replace(col("doc_id"), "\\.png$", "")
+          .cast(LongType).as("doc_id"),
+        col("media").as("payload"))
+    decodeMeta(spark, blobs)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Declared query: metadata extraction expressed with codegen'd
     * built-ins only (octet_length/md5 + arithmetic), so it is
     * SQL-oracle-checkable; semantically identical to [[decodeMeta]] on

@@ -90,6 +90,15 @@ class MultimodalSpec extends SparkSpec {
     assert((first(0) & 0xFF) === 0x89 && first(1) === 'P'.toByte)
   }
 
+  test("multimodal_blob_ingest: file dump -> binaryFile listing -> decode equals the in-memory path") {
+    val viaBlobs = Multimodal.multimodalBlobIngest(spark, sfTiny)
+    val inMemory = Multimodal.multimodalImageMeta(spark, sfTiny)
+    assert(viaBlobs.count() === inMemory.count())
+    assert(viaBlobs.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(viaBlobs).isEmpty,
+      "blob-directory round trip drifted from the in-memory decode")
+  }
+
   test("resize targets real decoded dimensions for image payloads") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
