@@ -109,6 +109,8 @@ object SparkEntry {
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
+    "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
+    "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
     "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
@@ -1094,6 +1096,47 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
            score
          FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    // Laplace-smoothed unigram NLL: integer counts -> identical rational
+    // -> identical ln (MathLn/libm) -> exact DECIMAL(30,6) sum (order-
+    // free) -> double division. Same Det discipline as every other
+    // aggregated double.
+    "unigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+           FROM documents),
+         s AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT token) AS v_size
+               FROM toks),
+         w AS (SELECT doc_id,
+                 -ln((CAST(COUNT(*) OVER (PARTITION BY token) AS DOUBLE) + 1.0)
+                     / (CAST(n_total AS DOUBLE) + CAST(v_size AS DOUBLE))) AS nll
+               FROM toks, s)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
+    // Overlapping-window chunking: pure integer arithmetic + string
+    // slicing — oracle-exact with no float anywhere. range(0, n) is
+    // DuckDB's [0, n) integer list; list_slice caps at the list end
+    // exactly like Spark's slice.
+    "doc_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+           FROM t),
+         e AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, n_chunks)) AS k
+           FROM c)
+         SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(k * 24 + 1 AS INTEGER) AS tok_start,
+           CAST(least(32, n - k * 24) AS INTEGER) AS n_toks,
+           array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')
+             AS chunk_text
+         FROM e ORDER BY doc_id, chunk_idx""",
     // Exact in-cell k-NN: same list_zip/list_reduce cosine idiom as the
     // similarity_topk oracle (proven bit-identical to CosineSim).
     "embedding_knn" ->

@@ -603,4 +603,65 @@ object Curate {
 
   def spanScrubQuery(spark: SparkSession, sfDir: String): DataFrame =
     spanScrub(Tables.parallelize(Tables.documents(spark, sfDir)))
+
+  // ------------------------------------------------------------------
+  // Overlapping token-window chunking (RAG / context-window prep)
+  // ------------------------------------------------------------------
+
+  /** Cut each document into overlapping `window`-token chunks advanced
+    * by `stride` tokens — the standard context-window preparation for
+    * retrieval corpora and long-document pretraining (the overlapping
+    * complement of [[seqPack]]'s disjoint packing; `window - stride`
+    * tokens of overlap preserve cross-boundary context). Chunk starts
+    * are 0, stride, 2·stride, …; the last start is the smallest
+    * multiple of `stride` with start + window ≥ n, so the tail is
+    * always covered and no chunk starts past the text. Docs shorter
+    * than one window yield exactly one (short) chunk.
+    *
+    * Output per (doc, chunk): 0-based `chunk_idx`, 1-based `tok_start`,
+    * the chunk's own `n_toks` (= window except a short tail), and the
+    * re-joined `chunk_text`.
+    *
+    * Plan shape: strictly per-row — tokenize once into a staged column,
+    * `posexplode` a `sequence(0, n_chunks−1)`, then slice/join per
+    * chunk. ZERO shuffles before the declared-semantics ORDER BY; at
+    * 100 TB this is a map-only pass whose output is input ×
+    * (window/stride) amplification, and the chunker composes with any
+    * downstream keyed op without imposing a partitioning.
+    *
+    * Oracle-exact by construction: pure integer arithmetic + string
+    * slicing, no floats anywhere (the chunk-count ceil is integer
+    * `(n − window + stride − 1) div stride`).
+    */
+  def docChunk(docs: DataFrame, window: Int = 32, stride: Int = 24)
+      : DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = col("_toks")
+    val n = size(toks)
+    // integer ceil((n - window) / stride) + 1, clamped to 1 chunk for
+    // docs that fit a single window (sequence(0, -k) would REVERSE —
+    // see the spans() guard)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      (n - lit(window) + lit(stride - 1)) / lit(stride) + lit(1))
+    docs
+      .withColumn("_toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), nChunks.cast(IntegerType) - 1))
+          .as(Seq("chunk_idx", "_k")),
+        col("_toks"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+        (col("_k") * stride + 1).cast(IntegerType).as("tok_start"),
+        least(lit(window), size(toks) - col("_k") * stride)
+          .cast(IntegerType).as("n_toks"),
+        concat_ws(" ", slice(toks, col("_k") * stride + 1, lit(window)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Declared query: 32-token windows, 24-token stride (8 overlap). */
+  def docChunkQuery(spark: SparkSession, sfDir: String): DataFrame =
+    docChunk(Tables.parallelize(Tables.documents(spark, sfDir)))
 }

@@ -366,6 +366,51 @@ object Text {
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame =
     bm25Of(Tables.documents(spark, sfDir), Seq("spark", "join", "vector"))
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * perplexity-filter proxy an LLM curation pipeline scores with
+    * (CCNet / Gopher style: docs whose tokens are improbable under the
+    * corpus distribution are boilerplate, gibberish, or wrong-language).
+    * Laplace-smoothed over the corpus's own vocabulary:
+    * p(t) = (count_t + 1) / (N + V), score = Σ −ln p(t) / n_tokens.
+    *
+    * Determinism: counts/N/V are exact integers; p is the same rational
+    * on both engines; −ln p goes through [[graft.functions.MathLn]]
+    * (libm parity — builtin ln is fdlibm, 1 ulp off); and the per-doc
+    * SUM routes each −ln p through an exact DECIMAL(30,6) — the [[Det]]
+    * discipline — because a float sum's accumulation order varies with
+    * partitioning while decimal addition is exact and order-free.
+    *
+    * Plan shape (same as [[termRelevance]]): one explode pass → token
+    * counts via a count window keyed on token (no second scan, no
+    * probs-table join) → per-doc partial+final agg. Two key-partitioned
+    * shuffles, both on corpus-cardinality keys.
+    */
+  def unigramNllOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkSession.active
+    val toks = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    val scalars = toks.agg(
+      count(lit(1)).as("n_total"),
+      count_distinct(col("token")).as("v_size"))
+    val withP = toks
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(scalars))
+      .withColumn("nll", negate(graft.functions.MathLn.ln(spark,
+        (col("c").cast(DoubleType) + lit(1.0)) /
+          (col("n_total").cast(DoubleType) + col("v_size").cast(DoubleType)))))
+    withP.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (Det.dsum(col("nll")) / count(lit(1))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared query: unigram NLL over the fixture corpus. */
+  def unigramNll(spark: SparkSession, sfDir: String): DataFrame =
+    unigramNllOf(Tables.documents(spark, sfDir))
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

@@ -132,6 +132,79 @@ class NewOpsR6Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("unigramNll equals a driver-side twin bit-for-bit; rarity raises the score") {
+    val docs = Seq(
+      (1L, "the the the the"),          // most common token only
+      (2L, "the zzquux"),               // contains the rarest token
+      (3L, "the table scan the table")).toDF("doc_id", "text")
+    val out = graft.ops.Text.unigramNllOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver twin: identical arithmetic incl. the DECIMAL(30,6) rounding
+    val toks = Seq(1L -> Seq("the", "the", "the", "the"),
+      2L -> Seq("the", "zzquux"),
+      3L -> Seq("the", "table", "scan", "the", "table"))
+    val all = toks.flatMap(_._2)
+    val n = all.size.toDouble
+    val v = all.distinct.size.toDouble
+    val cnt = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    for ((id, ts) <- toks) {
+      val sum = ts.map(t => dec6(-math.log((cnt(t) + 1.0) / (n + v))))
+        .reduce(_ add _)
+      val expect = sum.doubleValue() / ts.size
+      assert(out(id)._1 === ts.size.toLong)
+      assert(java.lang.Double.doubleToLongBits(out(id)._2) ===
+        java.lang.Double.doubleToLongBits(expect), s"nll drift at doc $id")
+    }
+    // semantics: the rare-token doc scores strictly higher than the
+    // common-token doc
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("docChunk covers every token exactly, overlaps by window-stride, tail short") {
+    // window=4, stride=3: doc 1 has 10 toks -> starts 0,3,6 (ceil(6/3)+1=3
+    // chunks, last covers tokens 7..10 exactly); doc 2 fits one window;
+    // doc 3 is exactly one window; doc 4 (n=8) forces a short tail:
+    // starts 0,3,6 with the last chunk holding just 2 tokens
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"),
+      (3L, "p q r s"),
+      (4L, "t u v w a b c d")).toDF("doc_id", "text")
+    val out = graft.ops.Curate.docChunk(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val expected = Seq(
+      (1L, 0, 1, 4, "a b c d"), (1L, 1, 4, 4, "d e f g"),
+      (1L, 2, 7, 4, "g h i j"),
+      (2L, 0, 1, 2, "x y"),
+      (3L, 0, 1, 4, "p q r s"),
+      (4L, 0, 1, 4, "t u v w"), (4L, 1, 4, 4, "w a b c"),
+      (4L, 2, 7, 2, "c d"))
+    assert(out.toSeq === expected)
+    // invariants on the declared query at fixture scale: chunk 0 starts at
+    // token 1, consecutive starts advance by exactly the stride, the last
+    // chunk reaches the end of the doc, and reassembling non-overlapped
+    // prefixes reproduces the document
+    val full = graft.ops.Curate.docChunkQuery(spark, sfTiny).cache()
+    val byDoc = full.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    val lens = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet === lens.keySet)
+    for ((id, chunks) <- byDoc) {
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+      sorted.foreach { case (_, k, start, _, _) => assert(start === k * 24 + 1) }
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN - 1 === lens(id), s"doc $id tail not covered")
+      if (sorted.size > 1) assert(sorted.init.forall(_._4 === 32))
+    }
+    full.unpersist()
+  }
+
   test("declared embedding_knn: every fixture vector gets k in-label neighbors") {
     val out = Similarity.embeddingKnn(spark, sfTiny).cache()
     val emb = Tables.embeddings(spark, sfTiny)
