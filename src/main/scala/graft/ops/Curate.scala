@@ -639,11 +639,12 @@ object Curate {
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val toks = col("_toks")
     val n = size(toks)
-    // integer ceil((n - window) / stride) + 1, clamped to 1 chunk for
-    // docs that fit a single window (sequence(0, -k) would REVERSE —
-    // see the spans() guard)
-    val nChunks = when(n <= window, lit(1)).otherwise(
-      (n - lit(window) + lit(stride - 1)) / lit(stride) + lit(1))
+    // integer ceil((n - window) / stride) + 1 — `div` keeps the whole
+    // formula integral (Column./ would detour through doubles); clamped
+    // to 1 chunk for docs that fit a single window (sequence(0, -k)
+    // would REVERSE — see the spans() guard)
+    val nChunks = when(n <= window, lit(1L)).otherwise(
+      expr(s"(size(_toks) - ${window - stride + 1}) div $stride") + lit(1L))
     docs
       .withColumn("_toks", Text.tokens(col("text")))
       .select(col("doc_id"),

@@ -380,30 +380,39 @@ object Text {
     * discipline — because a float sum's accumulation order varies with
     * partitioning while decimal addition is exact and order-free.
     *
-    * Plan shape (same as [[termRelevance]]): one explode pass → token
-    * counts via a count window keyed on token (no second scan, no
-    * probs-table join) → per-doc partial+final agg. Two key-partitioned
-    * shuffles, both on corpus-cardinality keys.
+    * Plan shape: ONE corpus scan. Occurrences shrink to (doc, token)
+    * multiplicity pairs first — the partial agg gets map-side combine,
+    * so the shuffle carries distinct pairs, never every occurrence.
+    * Corpus totals (N, V) come from a global agg over the SAME pair
+    * aggregate, whose exchange Spark dedups (`ReusedExchange`) — no
+    * second scan, no probs-table join-back. Per-token corpus counts via
+    * a sum-window on the pair rows (state per token = docs containing
+    * it, the [[Curate.dupSpanCounts]] pattern). The per-doc sum routes
+    * dec6(nll)·m through DECIMAL — decimal × integer is exact, so this
+    * equals the per-occurrence decimal sum bit-for-bit.
     */
   def unigramNllOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = SparkSession.active
-    val toks = docs
+    val pairs = docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull)
-    val scalars = toks.agg(
-      count(lit(1)).as("n_total"),
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("m"))
+    val scalars = pairs.agg(
+      sum(col("m")).as("n_total"),
       count_distinct(col("token")).as("v_size"))
-    val withP = toks
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val withP = pairs
+      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(scalars))
       .withColumn("nll", negate(graft.functions.MathLn.ln(spark,
         (col("c").cast(DoubleType) + lit(1.0)) /
           (col("n_total").cast(DoubleType) + col("v_size").cast(DoubleType)))))
     withP.groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        (Det.dsum(col("nll")) / count(lit(1))).as("avg_nll"))
+        sum(col("m")).as("n_tokens"),
+        (sum(col("nll").cast(Det.Dec) * col("m")).cast(DoubleType) /
+          sum(col("m"))).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 

@@ -342,6 +342,35 @@ class PlanAuditSpec extends SparkSpec {
       s"only the group key may shuffle: $exchanges")
   }
 
+  test("unigram_nll: one corpus scan at runtime — N/V scalars reuse the pair exchange") {
+    // exchange reuse across the scalars branch is an AQE-time rewrite,
+    // so audit the FINAL adaptive plan, not the static one
+    val df = SparkEntry.queries("unigram_nll")(spark, sfTiny)
+    df.collect()
+    val full = df.queryExecution.explainString(FormattedMode)
+    val p = full.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"scalars branch re-scans the corpus: $scans scans")
+    assert(p.contains("ReusedExchange"),
+      "corpus totals should reuse the (doc, token) pair exchange")
+    assert(p.contains("BroadcastExchange"), "scalars row should broadcast")
+  }
+
+  test("doc_chunk: map-only — no join, no aggregate, no keyed shuffle") {
+    val p = planOf("doc_chunk")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "chunking must stay a per-row pipeline")
+    // allowed exchanges: the fixture-parallelism round-robin and the
+    // declared ORDER BY's range partitioning — never a keyed shuffle
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not impose a hash partitioning")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges === 2, s"expected repartition + ORDER BY only, got $exchanges")
+    assert(p.contains("rangepartitioning") && p.contains("RoundRobinPartitioning"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan not pruned to (doc_id, text)")
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
