@@ -111,6 +111,8 @@ object SparkEntry {
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
+    "domain_resample"    -> ((s, d) => Curate.domainResample(s, d)),
+    "bigram_pmi"         -> ((s, d) => Text.bigramPmi(s, d)),
     "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
@@ -1137,6 +1139,57 @@ object SparkEntry {
            array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')
              AS chunk_text
          FROM e ORDER BY doc_id, chunk_idx""",
+    // Temperature resampling: base epochs + fractional extra decided by
+    // the same salted-md5 uniform as domain_mix (md5 of identical bytes
+    // on both engines; fixed-width hex compares lexicographically).
+    // Weights: en 0.5, zh 2.5, default 1.0 -> thresholds 80000000 on
+    // the fractional halves, 00000000 (never) elsewhere.
+    "domain_resample" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             (CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END)
+             + (CASE WHEN skey < (CASE lang WHEN 'en' THEN '80000000'
+                                            WHEN 'zh' THEN '80000000'
+                                            ELSE '00000000' END)
+                     THEN 1 ELSE 0 END) AS reps
+           FROM d)
+         SELECT doc_id, lang, CAST(unnest(range(reps)) AS INTEGER) AS rep_idx
+         FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""",
+    // PMI collocations: integer counts -> identical rationals -> the
+    // same division order. ln can differ from glibc by 1 ulp even via
+    // MathLn (measured at arg 1.2816829596764632), so BOTH engines snap
+    // the score to the Det DECIMAL(30,6) grid before ordering/output.
+    // Ties at the top-k boundary break by (a, b).
+    "bigram_pmi" ->
+      """WITH t AS (
+           SELECT string_split(trim(text), ' ') AS t FROM documents),
+         uni AS (
+           SELECT token, COUNT(*) AS c
+           FROM (SELECT unnest(t) AS token FROM t) GROUP BY token),
+         bi AS (
+           SELECT a, b, COUNT(*) AS c_ab
+           FROM (SELECT t[k] AS a, t[k + 1] AS b
+                 FROM (SELECT t, unnest(range(1, len(t))) AS k FROM t))
+           GROUP BY a, b),
+         tot AS (
+           SELECT (SELECT SUM(c_ab) FROM bi) AS n_bi,
+                  (SELECT SUM(c) FROM uni) AS n_uni)
+         SELECT bi.a, bi.b, bi.c_ab,
+           CAST(CAST(
+             ln((CAST(bi.c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE))
+                / ((CAST(ca.c AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                   * (CAST(cb.c AS DOUBLE) / CAST(n_uni AS DOUBLE))))
+             AS DECIMAL(30,6)) AS DOUBLE) AS pmi
+         FROM bi
+         JOIN uni ca ON bi.a = ca.token
+         JOIN uni cb ON bi.b = cb.token
+         CROSS JOIN tot
+         WHERE bi.c_ab >= 5
+         ORDER BY pmi DESC, bi.a, bi.b LIMIT 100""",
     // Exact in-cell k-NN: same list_zip/list_reduce cosine idiom as the
     // similarity_topk oracle (proven bit-identical to CosineSim).
     "embedding_knn" ->

@@ -262,6 +262,58 @@ object Curate {
       .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-weighted resampling WITH repetition — the "epochs per
+    * domain" half of data mixing that [[stratifiedSample]]'s keep/drop
+    * predicate can't express (Gopher/LLaMA-style recipes upsample
+    * high-quality domains past 1.0). A domain weight `w` emits
+    * `floor(w)` copies of every doc plus one more with probability
+    * `frac(w)`, decided by the same salted-md5 uniform as
+    * [[sampleKey]]: E[copies] = w exactly, and the decision is a pure
+    * per-row function of the key — partition-, rerun- and
+    * arrival-order-invariant, so an incremental pipeline resamples new
+    * docs consistently with old ones. Output carries `rep_idx`
+    * (0-based copy number) so downstream shuffles/packs treat copies
+    * as distinct rows.
+    *
+    * Plan shape: strictly per-row (when-chain + hex compare +
+    * `posexplode(sequence)`), zero shuffles before the declared ORDER
+    * BY — composes with any downstream keyed op without imposing a
+    * partitioning. Docs with 0 copies are filtered BEFORE the sequence
+    * (sequence(0, -1) would REVERSE — the [[spans]] guard).
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, domainCol: String,
+                          weights: Map[String, Double], defaultWeight: Double,
+                          salt: String = "resample:"): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "domain weights must be non-negative")
+    def base(w: Double): Long = math.floor(w).toLong
+    def frac(w: Double): Double = w - math.floor(w)
+    val baseCol = weights.foldLeft(lit(base(defaultWeight))) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(base(w))).otherwise(acc)
+    }
+    val fracThresh = weights.foldLeft(lit(rateThreshold(frac(defaultWeight)))) {
+      case (acc, (d, w)) =>
+        when(col(domainCol) === d, lit(rateThreshold(frac(w)))).otherwise(acc)
+    }
+    df.withColumn("reps", baseCol +
+        when(sampleKey(col(keyCol), salt) < fracThresh, 1L).otherwise(0L))
+      .filter(col("reps") > 0)
+      .select(col(keyCol), col(domainCol),
+        posexplode(sequence(lit(0L), col("reps") - 1L)).as(Seq("rep_idx", "_r")))
+      .select(col(keyCol), col(domainCol),
+        col("rep_idx").cast(IntegerType).as("rep_idx"))
+  }
+
+  /** Declared resample: halve `en` (the over-crawled ~44%), give `zh`
+    * 2.5 epochs, everything else exactly 1. */
+  val ResampleWeights: Map[String, Double] = Map("en" -> 0.5, "zh" -> 2.5)
+  val ResampleDefault: Double = 1.0
+
+  def domainResample(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureResample(Tables.documents(spark, sfDir), "doc_id", "lang",
+      ResampleWeights, ResampleDefault)
+      .orderBy(col("doc_id"), col("rep_idx"))
+
   // ------------------------------------------------------------------
   // Deterministic corpus shuffle & train/val/test split
   // ------------------------------------------------------------------

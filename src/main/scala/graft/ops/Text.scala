@@ -420,6 +420,70 @@ object Text {
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame =
     unigramNllOf(Tables.documents(spark, sfDir))
 
+  /** Top PMI collocations: adjacent-bigram pointwise mutual information
+    * over the corpus — pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with
+    * p(a,b) from bigram counts and p(·) from unigram counts (Church &
+    * Hanks 1990). The standard phrase-mining / tokenizer-vocabulary
+    * signal: bigrams that co-occur far above chance are units ("new
+    * york") and survive; incidental neighbors score ≈ 0.
+    *
+    * Determinism: all counts are exact integers and the pmi ratio is
+    * evaluated in the same division order on both engines (per-row IEEE
+    * is bit-stable), but `Math.log` is NOT universally libm-parity —
+    * measured 1 ulp above glibc at arg 1.2816829596764632 (BM25's
+    * inputs never hit such a case; PMI's did). So the score is snapped
+    * to the [[graft.Det]] DECIMAL(30,6) grid before ordering and
+    * output: a 1-ulp input difference rounds identically on both
+    * engines, and the top-k boundary breaks (rounded) pmi ties by
+    * (a, b).
+    *
+    * Plan shape: two corpus passes BY DESIGN (the [[vocabOov]]
+    * precedent) — bigram and unigram tables each shrink via
+    * map-side-combined partial aggs, so both shuffles carry distinct
+    * keys, never occurrences; a pos-tagged single-pass variant would
+    * instead shuffle every token occurrence on doc_id for the lead()
+    * window. Corpus totals reuse their aggregate's exchange (AQE
+    * `ReusedExchange`, as in [[unigramNllOf]]); the unigram table
+    * joins by its key on both sides of the bigram (keyed shuffles —
+    * broadcast would cap vocabulary size); top-k plans as
+    * `TakeOrderedAndProject`, never a global sort.
+    */
+  def bigramPmiOf(docs: DataFrame, minCount: Long = 5, k: Int = 100)
+      : DataFrame = {
+    val spark = SparkSession.active
+    val toks = col("_toks")
+    val bi = docs.withColumn("_toks", tokens(col("text")))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val joined = bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+    joined
+      .select(col("a"), col("b"), col("c_ab"),
+        graft.functions.MathLn.ln(spark,
+          (col("c_ab").cast(DoubleType) / col("n_bi").cast(DoubleType)) /
+            ((col("c_a").cast(DoubleType) / col("n_uni").cast(DoubleType)) *
+              (col("c_b").cast(DoubleType) / col("n_uni").cast(DoubleType))))
+          .cast(graft.Det.Dec).cast(DoubleType).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Declared query: collocations with ≥5 occurrences, top 100 by PMI. */
+  def bigramPmi(spark: SparkSession, sfDir: String): DataFrame =
+    bigramPmiOf(Tables.documents(spark, sfDir))
+
   /** Content fingerprint: md5 of the exact text plus a coarse structural
     * fingerprint (md5 of the sorted distinct token set) that survives
     * token reordering. md5 is identical across engines → oracle-exact.

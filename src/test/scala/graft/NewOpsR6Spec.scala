@@ -205,6 +205,70 @@ class NewOpsR6Spec extends SparkSpec {
     full.unpersist()
   }
 
+  test("temperatureResample: exact md5-twin rep counts; E[copies] tracks the weight") {
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "lang")
+    val local = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val out = graft.ops.Curate.domainResample(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // driver twin: identical weights, salt, and hex threshold compare
+    val expected = local.flatMap { case (id, lang) =>
+      val (base, thresh) = lang match {
+        case "en" => (0, "80000000")
+        case "zh" => (2, "80000000")
+        case _    => (1, "00000000")
+      }
+      val reps = base + (if (md5hex8("resample:" + id) < thresh) 1 else 0)
+      (0 until reps).map(r => (id, lang, r))
+    }.sortBy(t => (t._1, t._3))
+    assert(out.toSeq === expected.toSeq)
+    // the fractional coin is actually fair-ish at fixture scale
+    val en = local.filter(_._2 == "en").map(_._1).toSet
+    val enKept = out.count(t => en.contains(t._1)).toDouble / en.size
+    assert(enKept > 0.35 && enKept < 0.65, s"en keep rate $enKept far from 0.5")
+    // whole-weight domains replicate exactly
+    val zhReps = out.filter(_._2 == "zh").groupBy(_._1).map(_._2.length).toSet
+    assert(zhReps.subsetOf(Set(2, 3)), s"zh copies out of range: $zhReps")
+  }
+
+  test("bigramPmiOf is bit-identical to a driver-side PMI; collocations rank top") {
+    // "new york" always adjacent (planted collocation); "the" everywhere
+    val docs = Seq(
+      (1L, "new york is big and the city of new york is old"),
+      (2L, "the new york subway and the new york harbor"),
+      (3L, "the city and the harbor and the subway"),
+      (4L, "big old city new york and new york again")).toDF("doc_id", "text")
+    val got = graft.ops.Text.bigramPmiOf(docs, minCount = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // driver twin with the same counts and division order
+    val toks = docs.collect().map(_.getString(1).trim.split("\\s+").toSeq)
+    val unis = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = toks.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = unis.values.sum.toDouble
+    val nBi = bis.values.sum.toDouble
+    // same Det-decimal snap as the operator (Math.log is not universally
+    // libm-parity, so pmi is rounded to 6 decimals before ordering)
+    def dec6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = bis.filter(_._2 >= 2).map { case ((a, b), cab) =>
+      val pmi = dec6(math.log((cab.toDouble / nBi) /
+        ((unis(a).toDouble / nUni) * (unis(b).toDouble / nUni))))
+      (a, b, cab, pmi)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(10)
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((ga, gb, gc, gp), (ea, eb, ec, ep)) =>
+      assert((ga, gb, gc) === ((ea, eb, ec)))
+      assert(java.lang.Double.doubleToLongBits(gp) ===
+        java.lang.Double.doubleToLongBits(ep), s"pmi drift at ($ga,$gb)")
+    }
+    // the planted collocation beats the stopword bigrams
+    assert(got.head._1 === "new" && got.head._2 === "york")
+  }
+
   test("declared embedding_knn: every fixture vector gets k in-label neighbors") {
     val out = Similarity.embeddingKnn(spark, sfTiny).cache()
     val emb = Tables.embeddings(spark, sfTiny)
