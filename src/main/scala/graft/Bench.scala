@@ -88,7 +88,10 @@ object Bench {
     // shows wide spreads and is self-identifying, so a slow median can be
     // adjudicated from the artifact alone.
     val spread = results.collect { case (k, ts) if ts.length >= 2 =>
-      f""""$k":${ts.last - ts.head}%.3f"""
+      // Locale.ROOT: the f-interpolator honors the default locale, and a
+      // comma decimal separator would corrupt the machine-parsed JSON
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(ts.last - ts.head))
     }.mkString("{", ",", "}")
     val total = medians.flatMap(_._2).sum
     val loadEnd = loadAvg1m()

@@ -50,7 +50,11 @@ object ScaleProbe {
     // the round-5 fix's core claim, measured: fit cost is bounded by
     // sampleMod (constant), assignment is narrow codegen — shuffle
     // bytes must scale ~linearly with the corpus
-    "dedup_semantic")
+    "dedup_semantic",
+    // round-6 text/curation family: the two map-only ops must show
+    // ~zero shuffle growth; the two counting ops shuffle distinct
+    // keys (sub-linear in rows once vocab saturates), never occurrences
+    "doc_chunk", "domain_resample", "unigram_nll", "bigram_pmi")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -545,10 +545,14 @@ object GraftOps {
         col(vecCol).as("embedding")), cellCol, k)
 
   /** Integer fixed-point PageRank over (src, dst) edges — bit-identical
-    * at any parallelism; see `graft.ops.Graph.pageRank`.
+    * at any parallelism; see `graft.ops.Graph.pageRank`. Pass
+    * `materializeEdges = false` when `edges` is already materialized
+    * (cached/bucketed): construction then runs no jobs and pins no
+    * second edge copy in executor storage.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame =
+               iters: Int = 3, materializeEdges: Boolean = true): DataFrame =
     graft.ops.Graph.pageRank(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters,
+      materializeEdges = materializeEdges)
 }

@@ -28,7 +28,14 @@ object Sketches {
     * user_id, plus exact row counts (counts DO add — they ride along
     * for free).
     */
-  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+  /** One lgK for every sketch in the rollup family: `hll_union_agg`
+    * with allowDifferentLgConfigK=false rejects mixed precisions, so
+    * the daily sketches and the direct monthly twin must always agree
+    * on this value.
+    */
+  val DefaultLgK: Int = 12
+
+  def dailyUserSketches(events: DataFrame, lgK: Int = DefaultLgK): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(
@@ -59,7 +66,7 @@ object Sketches {
     val direct = ev
       .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"))
       .agg(
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(DefaultLgK)))
           .as("est_direct"),
         countDistinct(col("user_id")).as("distinct_users"))
     viaDaily.join(direct, Seq("event_type", "month"))

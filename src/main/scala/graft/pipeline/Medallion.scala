@@ -309,8 +309,23 @@ object Medallion {
     * (_change, month) — month is the agg key, unique within each side.
     */
   def changeFeedGold(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_cdc_gold").toString + "/gold_monthly"
+    // deterministic path keyed by the source sf, wiped before each
+    // build: disk stays bounded at one two-version table per sf instead
+    // of accumulating a fresh snapshot pair per invocation (bench reps,
+    // oracle runs, specs). Callers consume the returned diff before the
+    // next invocation (Verify/Bench do) — the wipe invalidates earlier
+    // frames, whose content was identical anyway (pure function of
+    // sfDir).
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_cdc_gold_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/gold_monthly"
     val orders = graft.Tables.orders(spark, sfDir)
     // month grain (not per-customer/day): every month mixes urgent and
     // non-urgent orders, so the refresh CHANGES existing rows — the diff

@@ -97,6 +97,15 @@ class MultimodalSpec extends SparkSpec {
     assert(viaBlobs.exceptAll(inMemory).isEmpty &&
       inMemory.exceptAll(viaBlobs).isEmpty,
       "blob-directory round trip drifted from the in-memory decode")
+    // repeated invocations reuse the completed dump (marker-gated):
+    // file count stays bounded at docs + marker, result unchanged
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_blob_ingest_" + Integer.toHexString(sfTiny.hashCode))
+    val filesBefore = java.nio.file.Files.list(dir).count()
+    val again = Multimodal.multimodalBlobIngest(spark, sfTiny)
+    assert(java.nio.file.Files.list(dir).count() === filesBefore,
+      "second invocation re-dumped the corpus instead of reusing it")
+    assert(again.exceptAll(viaBlobs).isEmpty, "reused dump drifted")
   }
 
   test("resize targets real decoded dimensions for image payloads") {

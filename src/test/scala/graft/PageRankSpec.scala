@@ -65,4 +65,19 @@ class PageRankSpec extends SparkSpec {
     val again = Graph.pagerankCopurchase(spark, sfTiny).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("materializeEdges=false: construction runs no jobs, result identical") {
+    import spark.implicits._
+    val edges = (0L until 30L).flatMap(i => Seq((i, (i + 1) % 30), (i, (i * 3 + 1) % 30)))
+    // iters <= 4: below the lineage-checkpoint cadence, so the whole
+    // construction is plan-only (longer runs still checkpoint ranks)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val lazyDf = Graph.pageRank(edges.toDF("src", "dst"), iters = 3,
+      materializeEdges = false)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore,
+      "plan construction must not run Spark jobs when edges are pre-materialized")
+    val got = lazyDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Graph.pageRankLocal(edges, iters = 3))
+  }
 }
