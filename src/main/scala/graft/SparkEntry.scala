@@ -113,6 +113,7 @@ object SparkEntry {
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
     "domain_resample"    -> ((s, d) => Curate.domainResample(s, d)),
     "bigram_pmi"         -> ((s, d) => Text.bigramPmi(s, d)),
+    "token_entropy"      -> ((s, d) => Text.tokenEntropy(s, d)),
     "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
@@ -1114,6 +1115,27 @@ object SparkEntry {
                FROM toks, s)
          SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
+    // Per-doc Shannon entropy: each -(m/n)ln(m/n) term snaps to the Det
+    // DECIMAL(30,6) grid before the order-free decimal sum (ln is not
+    // cross-engine bit-stable; the 1-ulp lesson from bigram_pmi).
+    "token_entropy" ->
+      """WITH pairs AS (
+           SELECT doc_id, token, COUNT(*) AS m
+           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                 FROM documents)
+           GROUP BY doc_id, token),
+         w AS (
+           SELECT doc_id, m, SUM(m) OVER (PARTITION BY doc_id) AS n
+           FROM pairs)
+         SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_tokens,
+           CAST(SUM(CAST(-((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS DECIMAL(30,6))) AS DOUBLE) AS entropy,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+             AS type_token_ratio
          FROM w GROUP BY doc_id ORDER BY doc_id""",
     // Overlapping-window chunking: pure integer arithmetic + string
     // slicing — oracle-exact with no float anywhere. range(0, n) is

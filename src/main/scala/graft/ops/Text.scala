@@ -420,6 +420,57 @@ object Text {
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame =
     unigramNllOf(Tables.documents(spark, sfDir))
 
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * doc's OWN token distribution (low entropy = repetitive boilerplate
+    * or single-token spam; high = lexically diverse) and the type-token
+    * ratio — the information-theoretic quality pair next to the Gopher
+    * repetition fractions ([[Curate.repetitionColumns]] measures
+    * specific patterns; entropy measures the whole distribution).
+    *
+    * entropy = Σ_t −(m_t/n)·ln(m_t/n), over the doc's distinct tokens.
+    *
+    * Determinism: m and n are exact integers, each term's IEEE
+    * arithmetic is per-row (bit-stable given the same rational), each
+    * term snaps to the [[graft.Det]] DECIMAL(30,6) grid before the
+    * per-doc sum (ln is not cross-engine bit-stable — the bigram_pmi
+    * lesson — and decimal addition is order-free, so the sum survives
+    * any partitioning).
+    *
+    * Plan shape: occurrences collapse to (doc, token, m) pairs map-side
+    * (the [[unigramNllOf]] discipline — distinct pairs on the wire,
+    * never occurrences); n via a sum-window keyed on doc_id over the
+    * pair rows; one per-doc partial+final agg. Two keyed shuffles.
+    */
+  def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkSession.active
+    val pairs = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("m"))
+    val withN = pairs
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(col("doc_id"))))
+    val p = col("m").cast(DoubleType) / col("n").cast(DoubleType)
+    withN
+      .withColumn("term",
+        negate(p * graft.functions.MathLn.ln(spark, p)).cast(Det.Dec))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("term")).cast(DoubleType).as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        col("entropy"),
+        (col("distinct_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("type_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared query: token entropy over the fixture corpus. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropyOf(Tables.documents(spark, sfDir))
+
   /** Top PMI collocations: adjacent-bigram pointwise mutual information
     * over the corpus — pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with
     * p(a,b) from bigram counts and p(·) from unigram counts (Church &

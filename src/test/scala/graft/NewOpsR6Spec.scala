@@ -269,6 +269,71 @@ class NewOpsR6Spec extends SparkSpec {
     assert(got.head._1 === "new" && got.head._2 === "york")
   }
 
+  test("tokenEntropy equals a driver-side twin bit-for-bit; uniform > repetitive") {
+    val docs = Seq(
+      (1L, "a a a a a a"),                  // zero entropy
+      (2L, "a b c d e f"),                  // maximal for n=6
+      (3L, "a a b b c d")).toDF("doc_id", "text")
+    val out = graft.ops.Text.tokenEntropyOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    for ((id, toks) <- Seq(1L -> Seq("a","a","a","a","a","a"),
+        2L -> Seq("a","b","c","d","e","f"), 3L -> Seq("a","a","b","b","c","d"))) {
+      val n = toks.size.toDouble
+      val ms = toks.groupBy(identity).map(_._2.size.toDouble)
+      val ent = ms.map { m =>
+        val p = m / n; dec6(-(p * math.log(p)))
+      }.reduce(_ add _).doubleValue()
+      val (gn, gd, ge, gr) = out(id)
+      assert(gn === toks.size.toLong && gd === ms.size.toLong)
+      assert(java.lang.Double.doubleToLongBits(ge) ===
+        java.lang.Double.doubleToLongBits(ent), s"entropy drift at doc $id")
+      assert(java.lang.Double.doubleToLongBits(gr) ===
+        java.lang.Double.doubleToLongBits(ms.size / n), s"ttr drift at doc $id")
+    }
+    assert(out(1L)._3 === 0.0)
+    assert(out(2L)._3 > out(3L)._3 && out(3L)._3 > out(1L)._3)
+  }
+
+  test("docChunk property: coverage, stride, and tail hold on random docs/params") {
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 25) {
+      val window = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(window)
+      val docs = (1L to 12L).map { id =>
+        val n = 1 + rnd.nextInt(40)
+        (id, Seq.fill(n)("t" + rnd.nextInt(5)).mkString(" "))
+      }
+      val lens = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+      val out = graft.ops.Curate.docChunk(docs.toDF("doc_id", "text"), window, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+        .groupBy(_._1)
+      assert(out.keySet === lens.keySet, s"trial $trial lost docs")
+      for ((id, chunks) <- out) {
+        val sorted = chunks.sortBy(_._2)
+        val n = lens(id)
+        // indices contiguous from 0; starts advance by exactly stride
+        assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+        sorted.foreach { case (_, k, start, nt, text) =>
+          assert(start === k * stride + 1)
+          assert(nt === math.min(window, n - k * stride))
+          assert(text.split(" ").length === nt)
+        }
+        // full coverage: last chunk reaches the end; no start beyond it
+        val (_, _, lastStart, lastN, _) = sorted.last
+        assert(lastStart + lastN - 1 === n, s"trial $trial doc $id tail")
+        assert(lastStart <= n)
+        // no chunk before the last already covered the end
+        if (sorted.size > 1) {
+          val (_, _, prevStart, _, _) = sorted(sorted.size - 2)
+          assert(prevStart + window - 1 < n, s"trial $trial doc $id overshoot")
+        }
+      }
+    }
+  }
+
   test("declared embedding_knn: every fixture vector gets k in-label neighbors") {
     val out = Similarity.embeddingKnn(spark, sfTiny).cache()
     val emb = Tables.embeddings(spark, sfTiny)
