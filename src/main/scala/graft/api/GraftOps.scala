@@ -544,6 +544,51 @@ object GraftOps {
       df.select(col(idCol).as("vec_id"), col(cellCol),
         col(vecCol).as("embedding")), cellCol, k)
 
+  /** Overlapping token-window chunks of `textCol` — RAG / long-context
+    * preparation (window tokens, advancing by stride; the short tail is
+    * always covered). Map-only; see `Curate.docChunk`.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 24): DataFrame =
+    graft.ops.Curate.docChunk(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      window, stride)
+
+  /** Temperature-weighted resampling WITH repetition: weight w emits
+    * floor(w) copies + one more with probability frac(w), decided by a
+    * salted-md5 coin — deterministic at any parallelism and across
+    * incremental batches. See `Curate.temperatureResample`.
+    */
+  def resampleByDomain(df: DataFrame, keyCol: String, domainCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0,
+                       salt: String = "resample:"): DataFrame =
+    graft.ops.Curate.temperatureResample(
+      df, keyCol, domainCol, weights, defaultWeight, salt)
+
+  /** Laplace-smoothed unigram-LM average NLL per row — the
+    * perplexity-proxy quality score (CCNet/Gopher style); higher =
+    * less probable under the corpus distribution.
+    */
+  def unigramNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Text.unigramNllOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Per-row Shannon entropy of the row's own token distribution +
+    * type-token ratio (low entropy = boilerplate/spam).
+    */
+  def tokenEntropyScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Text.tokenEntropyOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Top-k adjacent-bigram PMI collocations of the corpus (phrase
+    * mining / tokenizer-vocabulary signal).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 100): DataFrame =
+    graft.ops.Text.bigramPmiOf(
+      df.select(col(textCol).as("text")), minCount, k)
+
   /** Integer fixed-point PageRank over (src, dst) edges — bit-identical
     * at any parallelism; see `graft.ops.Graph.pageRank`. Pass
     * `materializeEdges = false` when `edges` is already materialized

@@ -296,6 +296,25 @@ class GraftOpsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("facade chunk/resample/nll/entropy/pmi match declared queries on renamed columns") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("lang").as("language"))
+    assert(GraftOps.chunkDocuments(docs, "id", "body").collect().map(_.toSeq).toSeq
+      === graft.ops.Curate.docChunkQuery(spark, sfTiny).collect().map(_.toSeq).toSeq)
+    assert(GraftOps.resampleByDomain(docs.select(col("id"), col("language")),
+        "id", "language", graft.ops.Curate.ResampleWeights,
+        graft.ops.Curate.ResampleDefault)
+        .orderBy("id", "rep_idx").collect().map(_.toSeq).toSeq
+      === graft.ops.Curate.domainResample(spark, sfTiny).collect().map(_.toSeq).toSeq)
+    assert(GraftOps.unigramNllScores(docs, "id", "body").collect().map(_.toSeq).toSeq
+      === graft.ops.Text.unigramNll(spark, sfTiny).collect().map(_.toSeq).toSeq)
+    assert(GraftOps.tokenEntropyScores(docs, "id", "body").collect().map(_.toSeq).toSeq
+      === graft.ops.Text.tokenEntropy(spark, sfTiny).collect().map(_.toSeq).toSeq)
+    assert(GraftOps.pmiCollocations(docs, "body").collect().map(_.toSeq).toSeq
+      === graft.ops.Text.bigramPmi(spark, sfTiny).collect().map(_.toSeq).toSeq)
+  }
+
   test("facade skew-guard audit twins report suppressed groups on renamed columns") {
     val names = Seq("ab", "ac", "ad", "ae").toDF("name")
     assert(GraftOps.fuzzyKeyPairsDropped(names, "name", maxBucket = 3).count() === 1)
