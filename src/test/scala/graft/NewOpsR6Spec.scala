@@ -132,6 +132,21 @@ class NewOpsR6Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("unigramNll / tokenEntropy / bigramPmi are parallelism-invariant (Det sums)") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[String] =
+      (graft.ops.Text.unigramNll(spark, sfTiny).collect() ++
+        graft.ops.Text.tokenEntropy(spark, sfTiny).collect() ++
+        graft.ops.Text.bigramPmi(spark, sfTiny).collect()).map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = run()
+      assert(a === b, "a decimal-routed score depends on shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("unigramNll equals a driver-side twin bit-for-bit; rarity raises the score") {
     val docs = Seq(
       (1L, "the the the the"),          // most common token only
