@@ -114,6 +114,7 @@ object SparkEntry {
     "domain_resample"    -> ((s, d) => Curate.domainResample(s, d)),
     "bigram_pmi"         -> ((s, d) => Text.bigramPmi(s, d)),
     "token_entropy"      -> ((s, d) => Text.tokenEntropy(s, d)),
+    "bigram_nll"         -> ((s, d) => Text.bigramNll(s, d)),
     "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
@@ -1116,6 +1117,31 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_nll
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    // Bigram-LM conditional NLL: every count derives from the one
+    // bigram pair table (c_ab, c_a via windows; V_b = distinct second
+    // tokens); per-term Det snap before the m-weighted decimal sum.
+    // Docs with <2 tokens have no transitions -> absent on both engines.
+    "bigram_nll" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, t[k] AS a, t[k + 1] AS b
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS k FROM t)),
+         p AS (
+           SELECT doc_id, a, b, COUNT(*) AS m FROM bi GROUP BY doc_id, a, b),
+         w AS (
+           SELECT doc_id, a, b, m,
+             SUM(m) OVER (PARTITION BY a, b) AS c_ab,
+             SUM(m) OVER (PARTITION BY a) AS c_a
+           FROM p),
+         s AS (SELECT COUNT(DISTINCT b) AS v_b FROM p)
+         SELECT doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m * CAST(
+             -ln((CAST(c_ab AS DOUBLE) + 1.0)
+                 / (CAST(c_a AS DOUBLE) + CAST(v_b AS DOUBLE)))
+             AS DECIMAL(30,6))) AS DOUBLE) / SUM(m) AS avg_nll
+         FROM w, s GROUP BY doc_id ORDER BY doc_id""",
     // Per-doc Shannon entropy: each -(m/n)ln(m/n) term snaps to the Det
     // DECIMAL(30,6) grid before the order-free decimal sum (ln is not
     // cross-engine bit-stable; the 1-ulp lesson from bigram_pmi).

@@ -581,6 +581,14 @@ object GraftOps {
     graft.ops.Text.tokenEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Laplace-smoothed bigram-LM average conditional NLL per row — the
+    * ORDER-sensitive perplexity proxy (`unigramNllScores` passes
+    * shuffled text; this catches it). Rows with <2 tokens are absent.
+    */
+  def bigramNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Text.bigramNllOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Top-k adjacent-bigram PMI collocations of the corpus (phrase
     * mining / tokenizer-vocabulary signal).
     */

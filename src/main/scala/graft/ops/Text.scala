@@ -420,6 +420,69 @@ object Text {
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame =
     unigramNllOf(Tables.documents(spark, sfDir))
 
+  /** Bigram-LM average negative log-likelihood per document — the
+    * CONDITIONAL upgrade of [[unigramNllOf]]: a doc full of common
+    * tokens in improbable ORDER (shuffled text, keyword stuffing)
+    * scores high here while the unigram filter passes it. Laplace-
+    * smoothed conditional over the corpus's own transitions:
+    * p(b|a) = (c(a,b) + 1) / (c(a·) + V_b), where c(a,b) is the corpus
+    * count of the adjacent bigram, c(a·) the count of bigrams starting
+    * with `a`, and V_b the number of distinct second tokens — the
+    * outcome space of the conditional, so every quantity derives from
+    * ONE bigram pair table. Docs with fewer than 2 tokens have no
+    * transitions and are absent from the output (same on both engines).
+    *
+    * Determinism: integer counts → identical rationals; −ln through
+    * [[graft.functions.MathLn]] snapped per-term to the [[graft.Det]]
+    * grid before the m-weighted decimal sum (the bigram_pmi lesson —
+    * ln is not cross-engine bit-stable).
+    *
+    * Plan shape: ONE corpus scan. Occurrences collapse to
+    * (doc, a, b, m) pairs map-side; corpus c(a,b) and c(a·) via
+    * sum-windows over the pair rows (keyed on (a,b) and (a)); V_b
+    * aggregates the SAME pair exchange (AQE `ReusedExchange`, as in
+    * [[unigramNllOf]]); one per-doc partial+final agg.
+    */
+  def bigramNllOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = SparkSession.active
+    val toks = col("_toks")
+    val pairs = docs.withColumn("_toks", tokens(col("text")))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"),
+            element_at(toks, i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    // m >= 1 always, so this is count_distinct(b) — but referencing m
+    // keeps column pruning from collapsing this branch into a separate
+    // distinct-only corpus scan, so it shares (ReusedExchange) the pair
+    // exchange with the window branch: ONE corpus scan, as documented
+    val scalars = pairs.agg(
+      count_distinct(when(col("m") >= 1, col("b"))).as("v_b"))
+    val w = pairs
+      .withColumn("c_ab",
+        sum(col("m")).over(Window.partitionBy(col("a"), col("b"))))
+      .withColumn("c_a", sum(col("m")).over(Window.partitionBy(col("a"))))
+      .crossJoin(broadcast(scalars))
+      .withColumn("nll", negate(graft.functions.MathLn.ln(spark,
+        (col("c_ab").cast(DoubleType) + lit(1.0)) /
+          (col("c_a").cast(DoubleType) + col("v_b").cast(DoubleType))))
+        .cast(Det.Dec))
+    w.groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        (sum(col("nll") * col("m")).cast(DoubleType) / sum(col("m")))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared query: bigram NLL over the fixture corpus. */
+  def bigramNll(spark: SparkSession, sfDir: String): DataFrame =
+    bigramNllOf(Tables.documents(spark, sfDir))
+
   /** Per-document token-distribution statistics: Shannon entropy of the
     * doc's OWN token distribution (low entropy = repetitive boilerplate
     * or single-token spam; high = lexically diverse) and the type-token

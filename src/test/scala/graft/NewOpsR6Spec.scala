@@ -137,6 +137,7 @@ class NewOpsR6Spec extends SparkSpec {
     def run(): Seq[String] =
       (graft.ops.Text.unigramNll(spark, sfTiny).collect() ++
         graft.ops.Text.tokenEntropy(spark, sfTiny).collect() ++
+        graft.ops.Text.bigramNll(spark, sfTiny).collect() ++
         graft.ops.Text.bigramPmi(spark, sfTiny).collect()).map(_.toString).toSeq
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "3")
@@ -282,6 +283,41 @@ class NewOpsR6Spec extends SparkSpec {
     }
     // the planted collocation beats the stopword bigrams
     assert(got.head._1 === "new" && got.head._2 === "york")
+  }
+
+  test("bigramNll equals a driver-side twin bit-for-bit; improbable order scores higher") {
+    // docs 1-2 share the frequent transitions (a b), (b a); doc 3 uses
+    // the same TOKENS in transitions seen nowhere else; doc 4 is too
+    // short for any bigram and must be absent
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b"),
+      (3L, "b b a a b b"),
+      (4L, "a")).toDF("doc_id", "text")
+    val out = graft.ops.Text.bigramNllOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L), "a 1-token doc has no transitions")
+    // driver twin: same counts, same division order, same Det snap
+    val toksOf = Map(1L -> "a b a b a b", 2L -> "a b a b", 3L -> "b b a a b b")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val allBis = toksOf.values.flatMap(t => t.sliding(2).map(p => (p(0), p(1)))).toSeq
+    val cab = allBis.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ca = allBis.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val vb = allBis.map(_._2).distinct.size.toDouble
+    def dec6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    for ((id, toks) <- toksOf) {
+      val bis = toks.sliding(2).map(p => (p(0), p(1))).toSeq
+      val sum = bis.map { bg =>
+        dec6(-math.log((cab(bg) + 1.0) / (ca(bg._1) + vb)))
+      }.reduce(_ add _)
+      val expect = sum.doubleValue() / bis.size
+      assert(out(id)._1 === bis.size.toLong, s"n_bigrams at doc $id")
+      assert(java.lang.Double.doubleToLongBits(out(id)._2) ===
+        java.lang.Double.doubleToLongBits(expect), s"nll drift at doc $id")
+    }
+    // same tokens, unseen-elsewhere transitions -> strictly higher NLL
+    assert(out(3L)._2 > out(1L)._2)
   }
 
   test("tokenEntropy equals a driver-side twin bit-for-bit; uniform > repetitive") {

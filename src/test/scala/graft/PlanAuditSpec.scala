@@ -356,6 +356,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "scalars row should broadcast")
   }
 
+  test("bigram_nll: one corpus scan at runtime — V_b scalar reuses the pair exchange") {
+    // same AQE-time rewrite as unigram_nll: the scalars branch must
+    // reuse the (doc, a, b) pair exchange, not re-scan the corpus
+    // (the count_distinct(when(m >= 1, b)) form exists to block the
+    // column-pruning rewrite that would plan a second scan)
+    val df = SparkEntry.queries("bigram_nll")(spark, sfTiny)
+    df.collect()
+    val full = df.queryExecution.explainString(FormattedMode)
+    val p = full.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"scalars branch re-scans the corpus: $scans scans")
+    assert(p.contains("ReusedExchange"),
+      "V_b should reuse the (doc, a, b) pair exchange")
+    assert(p.contains("BroadcastExchange"), "scalars row should broadcast")
+  }
+
   test("doc_chunk: map-only — no join, no aggregate, no keyed shuffle") {
     val p = planOf("doc_chunk")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
