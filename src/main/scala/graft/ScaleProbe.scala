@@ -54,7 +54,11 @@ object ScaleProbe {
     // round-6 text/curation family: the two map-only ops must show
     // ~zero shuffle growth; the two counting ops shuffle distinct
     // keys (sub-linear in rows once vocab saturates), never occurrences
-    "doc_chunk", "domain_resample", "unigram_nll", "bigram_pmi")
+    "doc_chunk", "domain_resample", "unigram_nll", "bigram_pmi",
+    // bigram pair keys grow faster than unigram vocab (pair space) but
+    // the shuffle still carries distinct (doc,a,b) keys, never
+    // occurrences, and the V_b branch reuses the pair exchange
+    "bigram_nll")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -120,6 +120,7 @@ object SparkEntry {
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
+    "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "stream_sessionize"  -> ((s, d) => graft.streaming.Sessionize.sessionsStreamed(s, d)),
   )
@@ -1287,5 +1288,22 @@ object SparkEntry {
           AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          WHERE v.event_type = 'view'
          ORDER BY view_id, purchase_id NULLS FIRST""",
+    // Streaming MG heavy hitters: exact on the fixture (distinct users
+    // per hour window << sketch capacity — see heavyUsersAgg scaladoc),
+    // so the oracle is the exact per-window top-k. Ties rank by user-id
+    // STRING ascending, the sketch's eval order.
+    "stream_heavy_users" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', ts) AS w, user_id, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT w, user_id, n,
+             row_number() OVER (
+               PARTITION BY w
+               ORDER BY n DESC, CAST(user_id AS VARCHAR)) AS rank
+           FROM c)
+         SELECT CAST(w AS TIMESTAMP) AS window_start,
+                CAST(rank AS INTEGER) AS rank, user_id, n AS n_events
+         FROM r WHERE rank <= 5 ORDER BY window_start, rank""",
   )
 }

@@ -412,6 +412,94 @@ object EventsStream {
     out
   }
 
+  /** Streaming windowed heavy hitters: per tumbling 1-hour window, the
+    * top-`k` most active users by the [[graft.functions.MisraGries]]
+    * sketch running INSIDE the streaming aggregation. The
+    * `TypedImperativeAggregate` buffer is the state-store value, so each
+    * open window holds ≤ `capacity` counters — a fixed few KB —
+    * regardless of how many distinct users the window sees. The exact
+    * alternative (`groupBy(window, user).count` + per-window rank)
+    * keeps one state row per DISTINCT (window, user): unbounded on a
+    * 100 TB stream and needing a second stateful rank stage the
+    * streaming engine cannot append after an agg. The sketch gives the
+    * standard MG guarantee per window (every user with > n/(capacity+1)
+    * of the window's events survives, estimates are lower bounds) and
+    * is EXACT whenever a window's distinct-user count stays ≤ capacity
+    * — true for the fixtures at every declared SF, which is what makes
+    * the query oracle-checkable (same contract as batch
+    * `heavy_tokens`).
+    *
+    * Watermark-bounded: windows close and emit (append mode) once the
+    * watermark passes their end; closed-window state is evicted.
+    */
+  def heavyUsersAgg(events: DataFrame, k: Int = 5,
+                    capacity: Int = 4096): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGries.heavyHitters(
+        SparkSession.active, col("user_id").cast(StringType),
+        k, capacity).as("top"))
+
+  /** Declared streaming heavy-hitters query: drain the fixture replay
+    * through [[heavyUsersAgg]] and return (window_start, rank, user_id,
+    * n_events) per hour window. Append mode emits each window exactly
+    * once, on close; draining a finite replay therefore needs the
+    * END-OF-STREAM SENTINEL (one far-future event pushing the watermark
+    * past every real window's close — the [[viewPurchaseLeftStream]]
+    * pattern). The sentinel's own window never closes (the watermark
+    * trails its event time by the delay) so it never reaches the sink;
+    * the post-sink window_start guard is belt-and-braces. No predicate
+    * sits between source and watermark (the round-5 pushdown trap).
+    *
+    * Ties rank by user-id STRING ascending — the sketch's eval order —
+    * and the oracle mirrors it (`ORDER BY n DESC, CAST(user_id AS
+    * VARCHAR)`).
+    */
+  def heavyUsersStream(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).head.getLong(0)
+    // 1 h watermark delay + 1 h window + margin
+    val sentinelNanos = maxNanos + 3L * 3600L * 1000000000L
+    import spark.implicits._
+    Seq((-1L, sentinelNanos, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(streamDir.toString)
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val qName = s"heavy_users_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try heavyUsersAgg(src).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(qName)
+      .filter(col("window.start") < timestamp_micros(lit(sentinelNanos / 1000L)))
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("window_start"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("hit.token").cast(LongType).as("user_id"),
+        col("hit.est").as("n_events"))
+      .orderBy(col("window_start"), col("rank"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup
