@@ -116,6 +116,7 @@ object SparkEntry {
     "token_entropy"      -> ((s, d) => Text.tokenEntropy(s, d)),
     "bigram_nll"         -> ((s, d) => Text.bigramNll(s, d)),
     "embedding_knn"      -> ((s, d) => Similarity.embeddingKnn(s, d)),
+    "similarity_ivf_rq"  -> ((s, d) => Similarity.annIvfRq(s, d)),
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
@@ -167,6 +168,12 @@ object SparkEntry {
     "dedup_semantic" ->
       """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_semantic.parquet')
          ORDER BY vec1, vec2""",
+    // freezable for the same reasons as similarity_ivf plus: residual
+    // codes are integer outputs of fixed-order IEEE expressions and the
+    // min/max calibration is order-independent (no float summation)
+    "similarity_ivf_rq" ->
+      """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ivf_rq.parquet')
+         ORDER BY probe_id, rank""",
     "bronze_ingest" ->
       """SELECT event_id, user_id, event_type, value,
          CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,

@@ -544,6 +544,19 @@ object GraftOps {
       df.select(col(idCol).as("vec_id"), col(cellCol),
         col(vecCol).as("embedding")), cellCol, k)
 
+  /** IVF-SQ8 compressed ANN: deterministic k-means cells + int8-coded
+    * residuals (1 byte/dim index), asymmetric reconstruct-and-re-rank
+    * search. Probes = rows with id < numProbes (the declared-query
+    * contract); see `Similarity.ivfRqSearch` for the scale shape.
+    */
+  def annIvfRq(df: DataFrame, idCol: String, vecCol: String,
+               cells: Int = 10, numProbes: Int = 10,
+               k: Int = 5, nprobe: Int = 2): DataFrame =
+    Similarity.ivfRqSearch(
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v")),
+      cells, numProbes, k, nprobe)
+
   /** Overlapping token-window chunks of `textCol` — RAG / long-context
     * preparation (window tokens, advancing by stride; the short tail is
     * always covered). Map-only; see `Curate.docChunk`.

@@ -428,6 +428,20 @@ object Dedup {
     */
   private[ops] def assignCells(emb: DataFrame, cells: Int,
                                sampleMod: Int): DataFrame = {
+    val centers = fitCenters(emb, cells, sampleMod)
+    emb.select(
+      graft.functions.NearestCentroid
+        .nearestCentroid(emb.sparkSession, col("v"), centers).as("cell"),
+      col("vec_id"), col("v"))
+  }
+
+  /** Sample-guarded coarse-quantizer fit over (vec_id, v) rows — the
+    * driver-side centers [[assignCells]] assigns with, exposed so
+    * callers that also need the center VECTORS (IVF-RQ residuals,
+    * probe-cell ranking) fit exactly once instead of re-deriving them.
+    */
+  private[ops] def fitCenters(emb: DataFrame, cells: Int,
+                              sampleMod: Int): Array[Array[Double]] = {
     val hashSample =
       emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
     // tiny-corpus guard: the fit wants comfortably more rows than k;
@@ -438,11 +452,7 @@ object Dedup {
       if (sampleMod <= 1) emb
       else if (hashSample.limit(need.toInt).count() < need) emb
       else hashSample
-    val centers = kmeansFitExact(sample, cells, iters = 4)
-    emb.select(
-      graft.functions.NearestCentroid
-        .nearestCentroid(emb.sparkSession, col("v"), centers).as("cell"),
-      col("vec_id"), col("v"))
+    kmeansFitExact(sample, cells, iters = 4)
   }
 
   /** Deterministic-BY-CONSTRUCTION k-means over (vec_id, v) rows — the

@@ -267,6 +267,130 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF with int8 residual quantization — the memory-compressed ANN
+    * index a 100 TB embedding store actually serves from (FAISS
+    * IVF+SQ8 shape: Johnson et al., "Billion-scale similarity search
+    * with GPUs", and the reference's ANN surface re-expressed for
+    * Spark). The corpus is coarsely quantized into `cells` by the
+    * deterministic exact-decimal k-means ([[Dedup.fitCenters]]), each
+    * vector is stored as its cell id plus the int8-coded RESIDUAL
+    * (v − centroid): 1 byte/dim instead of 8 — the index for a
+    * 100 TB float corpus fits in ~12.5 TB and each query touches only
+    * `nprobe` cells of it.
+    *
+    * Search is asymmetric (ADC): the probe stays full-precision; each
+    * candidate is reconstructed as centroid + dequantized residual
+    * (mid-rise: mn + (code+0.5)·w) and scored by exact cosine against
+    * the probe. Reconstruction error ≤ half a quantization step per
+    * dimension, so ranking matches the float index except at
+    * near-ties (the spec bounds |sim − exact cos| and floors planted
+    * recall alongside the float IVF).
+    *
+    * Scale shape: fit touches a bounded hash-sample; calibration is
+    * one posexplode pass collapsed map-side to dims rows; coding is a
+    * per-row expression (corpus never shuffles); search = broadcast of
+    * (probe × nprobe) cell picks into the index, exact re-rank on the
+    * candidates only. The only corpus-wide shuffle anywhere is the
+    * calibration agg's dims-row exchange.
+    *
+    * Determinism (frozen-expected oracle): centers are deterministic
+    * by construction (salted-hash init + DECIMAL means), codes are
+    * integer outputs of single fixed-order IEEE expressions, min/max
+    * calibration is order-independent, reconstruction + cosine are
+    * per-row fixed-fold, ranks tie-break on cand_id.
+    */
+  def ivfRqSearch(emb: DataFrame, cells: Int = 10, numProbes: Int = 10,
+                  k: Int = 5, nprobe: Int = 2,
+                  sampleMod: Int = 4): DataFrame = {
+    val centers = Dedup.fitCenters(emb, cells, sampleMod)
+    val centersLit = typedlit(centers.map(_.toSeq).toSeq)
+    val assigned = emb.select(
+        graft.functions.NearestCentroid
+          .nearestCentroid(emb.sparkSession, col("v"), centers).as("cell"),
+        col("vec_id"), col("v"))
+      .withColumn("r",
+        zip_with(col("v"), element_at(centersLit, col("cell") + 1),
+          (x, c) => x - c))
+    // Per-dimension residual calibration: one posexplode pass whose
+    // map-side partial collapses to dims rows before the exchange,
+    // folded to a single (mins, maxs) row and broadcast back.
+    val calibRow = assigned
+      .select(posexplode_outer(col("r")).as(Seq("pos", "val")))
+      .filter(col("val").isNotNull)
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+    val codes = transform(sequence(lit(1), size(col("r"))), i => {
+      val x  = element_at(col("r"), i)
+      val mn = element_at(col("mins"), i)
+      val mx = element_at(col("maxs"), i)
+      when(mx === mn, lit(0L)).otherwise(
+        least(greatest(floor((x - mn) * lit(255.0) / (mx - mn)), lit(0L)),
+          lit(255L)))
+    })
+    // The compressed index: (vec_id, cell, codes) — at scale this is
+    // the table that persists; v and r never leave the build stage.
+    val index = assigned.crossJoin(broadcast(calibRow))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    // Probe → nprobe nearest cells by cosine against the FIT centers
+    // (driver-side literal table — cells × dims doubles).
+    import emb.sparkSession.implicits._
+    val centroidDf = centers.zipWithIndex.toSeq
+      .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv")
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.join(broadcast(centroidDf))
+      .select(col("probe_id"), col("pv"), col("cell"),
+        cosine(col("pv"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cell"))
+    // ADC re-rank: reconstruct centroid + mid-rise dequantized residual.
+    val recon = transform(sequence(lit(1), size(col("codes"))), i => {
+      val cvi  = element_at(element_at(centersLit, col("cell") + 1), i)
+      val mn   = element_at(col("mins"), i)
+      val mx   = element_at(col("maxs"), i)
+      val code = element_at(col("codes"), i)
+      cvi + when(mx === mn, mn).otherwise(
+        mn + (code.cast(DoubleType) + 0.5) * (mx - mn) / 255.0)
+    })
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    // null-safe equality (<=>) is still a hash equi-join key but stops
+    // Catalyst inferring isnotnull(cell) — which alias-substitution
+    // would push into a scan-level Filter re-running the
+    // NearestCentroid kernel on every corpus row (the lshSearch trap)
+    index.join(broadcast(probeCells.withColumnRenamed("cell", "pcell")),
+        col("cell") <=> col("pcell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .crossJoin(broadcast(calibRow))
+      .withColumn("recon", recon)
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        cosine(col("pv"), col("recon")).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Declared query: IVF-RQ over the fixture corpus (same probe/k
+    * contract as [[annIvf]]/[[annIvfKmeans]]).
+    */
+  def annIvfRq(spark: SparkSession, sfDir: String,
+               cells: Int = 10, numProbes: Int = 10,
+               k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfRqSearch(
+      Tables.parallelize(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      cells, numProbes, k, nprobe)
+
   /** Corpus-level embedding stats: per label, centroid norm and count —
     * the aggregation shape used for IVF coarse-centroid training
     * (element-wise array mean via per-dimension exact sums).

@@ -248,6 +248,16 @@ class GraftOpsSpec extends SparkSpec {
     assert(knn.collect().map(_.toSeq).toSeq
       === declaredKnn.collect().map(_.toSeq).toSeq)
 
+    // facade feeds the raw (un-parallelized) table: bit-equality with
+    // the declared query IS the determinism-by-construction claim
+    val rq = GraftOps.annIvfRq(
+      Tables.embeddings(spark, sfTiny)
+        .select(col("vec_id").as("id"), col("embedding").as("emb")),
+      "id", "emb")
+    val declaredRq = graft.ops.Similarity.annIvfRq(spark, sfTiny)
+    assert(rq.collect().map(_.toSeq).toSeq
+      === declaredRq.collect().map(_.toSeq).toSeq)
+
     import spark.implicits._
     val pr = GraftOps.pageRank(
       Seq((5L, 1L), (1L, 2L), (2L, 1L)).toDF("from", "to"), "from", "to",

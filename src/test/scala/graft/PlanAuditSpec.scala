@@ -152,6 +152,24 @@ class PlanAuditSpec extends SparkSpec {
       "assignment should run through the native NearestCentroid expression")
   }
 
+  test("similarity_ivf_rq: probe cells broadcast into the index; corpus shuffles only for calibration") {
+    // the candidate join must be broadcast (probeCells is probes×nprobe
+    // rows — Catalyst would estimate it from the corpus relation it
+    // derives from, the lshSearch round-5 trap); the only corpus-wide
+    // exchange allowed is the dims-row calibration agg (keyed on pos)
+    // plus the probe-keyed rank windows
+    val p = planOf("similarity_ivf_rq")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus shuffled into a non-broadcast join")
+    assert(p.contains("graft_nearest_centroid"),
+      "cell assignment should run through the native NearestCentroid expression")
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.startsWith("probe_id") || e.startsWith("pos")),
+      s"unexpected shuffle keys: $exchanges")
+  }
+
   test("term_relevance: single documents scan — df via count window, not a self-join") {
     val p = planOf("term_relevance")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length

@@ -108,6 +108,49 @@ class SimilaritySpec extends SparkSpec {
     val ivfRecall = truth.intersect(ivf).size.toDouble / truth.size
     info(s"planted kmeans-IVF recall@5 = $ivfRecall")
     assert(ivfRecall >= 0.8, s"kmeans-IVF planted recall@5 $ivfRecall < 0.8")
+
+    // the int8-residual index must not lose recall vs the float IVF:
+    // reconstruction error is <= half a quantization step per dim,
+    // far below the planted cos≈0.97 separation
+    val rq = Similarity.ivfRqSearch(corpus, cells = 10, numProbes = nProbes, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rqRecall = truth.intersect(rq).size.toDouble / truth.size
+    info(s"planted IVF-RQ recall@5 = $rqRecall")
+    assert(rqRecall >= 0.8, s"IVF-RQ planted recall@5 $rqRecall < 0.8")
+  }
+
+  test("similarity_ivf_rq: ADC scores track exact cosine within quantization error; deterministic across parallelism") {
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = Similarity.ivfRqSearch(emb, cells = 8, numProbes = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 50)
+    // driver-side exact cosines for the returned pairs
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val worst = out.map { case (p, c, sim) =>
+      math.abs(sim - cos(vecs(p), vecs(c)))
+    }.max
+    info(s"worst |ADC sim - exact cos| = $worst")
+    // 64 dims, per-dim residual error <= w/2 with w = range/255: the
+    // dot-product error bound is sqrt(64)*w/2 ~ 0.01 on this fixture;
+    // 0.05 catches a broken dequantizer without flaking on geometry
+    assert(worst <= 0.05, s"ADC reconstruction error too large: $worst")
+
+    // deterministic by construction at any parallelism — same rows,
+    // same float bits, under a different shuffle layout
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val again =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        Similarity.ivfRqSearch(emb, cells = 8, numProbes = 10, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert(again.toSeq === out.toSeq, "IVF-RQ output varies with shuffle parallelism")
   }
 
   test("similarity_ivf: candidates come only from the probe's nprobe cells; recall measurable") {
