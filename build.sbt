@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Unprefixed stdout for forked runMain: the default LoggedOutput strategy
+// prepends "[info] " to every line, which breaks any machine parser doing
+// a strict per-line json.loads on the Bench/Verify output (six rounds of
+// BENCH_r*.json carried "parsed": null because of exactly this).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,6 +47,76 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Locale-safe fixed-point formatting — the f-interpolator honors the
+    * default locale and a comma decimal separator corrupts JSON.
+    */
+  def fmt(d: Double, dp: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
+
+  /** The full one-line JSON artifact: every query's median (3 dp), run
+    * metadata, load averages, noisy-rep spreads over 100 ms, errors. The
+    * queries map is sorted ASCENDING by time so that when a bounded tail
+    * capture clips the line's head, the visible end holds the slowest —
+    * i.e. the interesting — queries.
+    */
+  def renderFull(medians: Seq[(String, Option[Double])], total: Double,
+                 sfDir: String, reps: Int, loadStart: Double, loadEnd: Double,
+                 spreads: Map[String, Double],
+                 errors: Map[String, String]): String = {
+    val qs = medians.sortBy(_._2.getOrElse(Double.MaxValue)).map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt(_)).getOrElse(
+        "\"ERR: " + errors.getOrElse(k, "failed") + "\"")
+    }.mkString("{", ",", "}")
+    val noisy = spreads.toSeq.filter(_._2 > 0.1).sortBy(-_._2)
+      .map { case (k, s) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    val errJson = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(",\"errors\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
+  }
+
+  /** A compact twin of [[renderFull]] guaranteed to fit `budgetChars`:
+    * the driver's artifact keeps only the last ~2000 chars of run output,
+    * and with 90+ queries the full line outgrew that window (BENCH_r06's
+    * head was clipped mid-line). Emitted LAST so it always lands complete
+    * inside the window; carries the total plus as many slowest-first
+    * queries as fit, and says how many were cut.
+    */
+  def renderCompact(medians: Seq[(String, Option[Double])], total: Double,
+                    sfDir: String, reps: Int, loadStart: Double,
+                    loadEnd: Double, nErrors: Int,
+                    budgetChars: Int = 1400): String = {
+    val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    def line(kept: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfShort","reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+    // keep the slowest-first prefix that fits the budget
+    var kept = entries
+    while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
+      kept = kept.dropRight(1)
+    line(kept, entries.length - kept.length)
+  }
+
+  /** Full-fidelity dump (per-rep times, spreads, errors) for the humans
+    * and for round-over-round diffing — stdout only carries medians.
+    */
+  def writeDetail(path: String, results: Seq[(String, Seq[Double])],
+                  sfDir: String, reps: Int, loadStart: Double,
+                  loadEnd: Double, errors: Map[String, String]): Unit = {
+    val qs = results.map { case (k, ts) =>
+      val med = if (ts.isEmpty) "null" else fmt(ts(ts.length / 2))
+      val spread = if (ts.length >= 2) fmt(ts.last - ts.head) else "0.0"
+      s""""$k":{"median":$med,"spread":$spread,"reps":[${ts.map(fmt(_)).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
