@@ -53,6 +53,18 @@ object Bench {
   def fmt(d: Double, dp: Int = 3): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
 
+  /** JSON string literal with escaping (backslash, quote, control chars).
+    * Query names are builder-authored, but `sfDir` arrives from an env
+    * var — a quote or backslash in a path must not corrupt the one-line
+    * artifact the driver machine-parses.
+    */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** The full one-line JSON artifact: every query's median (3 dp), run
     * metadata, load averages, noisy-rep spreads over 100 ms, errors. The
     * queries map is sorted ASCENDING by time so that when a bounded tail
@@ -64,15 +76,15 @@ object Bench {
                  spreads: Map[String, Double],
                  errors: Map[String, String]): String = {
     val qs = medians.sortBy(_._2.getOrElse(Double.MaxValue)).map { case (k, v) =>
-      "\"" + k + "\":" + v.map(fmt(_)).getOrElse(
-        "\"ERR: " + errors.getOrElse(k, "failed") + "\"")
+      jstr(k) + ":" + v.map(fmt(_)).getOrElse(
+        jstr("ERR: " + errors.getOrElse(k, "failed")))
     }.mkString("{", ",", "}")
     val noisy = spreads.toSeq.filter(_._2 > 0.1).sortBy(-_._2)
-      .map { case (k, s) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+      .map { case (k, s) => jstr(k) + ":" + fmt(s) }.mkString("{", ",", "}")
     val errJson = if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s""""$k":"$v"""" }
+      else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
   }
 
   /** A compact twin of [[renderFull]] guaranteed to fit `budgetChars`:
@@ -81,6 +93,11 @@ object Bench {
     * head was clipped mid-line). Emitted LAST so it always lands complete
     * inside the window; carries the total plus as many slowest-first
     * queries as fit, and says how many were cut.
+    *
+    * The fit guarantee holds when the fixed metadata header itself fits
+    * `budgetChars` — true by construction for the default 1400 (the
+    * header is ~200 chars) — since the trim loop can only drop query
+    * entries, never the header.
     */
   def renderCompact(medians: Seq[(String, Option[Double])], total: Double,
                     sfDir: String, reps: Int, loadStart: Double,
@@ -88,9 +105,9 @@ object Bench {
                     budgetChars: Int = 1400): String = {
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .map { case (k, v) => jstr(k) + ":" + fmt(v, 2) }
     def line(kept: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfShort","reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
     // keep the slowest-first prefix that fits the budget
     var kept = entries
     while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
@@ -107,12 +124,12 @@ object Bench {
     val qs = results.map { case (k, ts) =>
       val med = if (ts.isEmpty) "null" else fmt(ts(ts.length / 2))
       val spread = if (ts.length >= 2) fmt(ts.last - ts.head) else "0.0"
-      s""""$k":{"median":$med,"spread":$spread,"reps":[${ts.map(fmt(_)).mkString(",")}]}"""
+      s"""${jstr(k)}:{"median":$med,"spread":$spread,"reps":[${ts.map(fmt(_)).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"queries":$qs}"""
+      s"""{"sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -149,26 +166,23 @@ object Bench {
     val medians = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
     }
-    val qs = medians.map { case (k, v) =>
-      // an all-reps-failed query reports as its error string, never a time
-      "\"" + k + "\":" + v.map(_.toString).getOrElse(
-        "\"ERR: " + errors.getOrElse(k, "failed") + "\"")
-    }.mkString("{", ",", "}")
     // Per-rep spread (max-min seconds over successful reps): a noisy run
     // shows wide spreads and is self-identifying, so a slow median can be
     // adjudicated from the artifact alone.
-    val spread = results.collect { case (k, ts) if ts.length >= 2 =>
-      // Locale.ROOT: the f-interpolator honors the default locale, and a
-      // comma decimal separator would corrupt the machine-parsed JSON
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(ts.last - ts.head))
-    }.mkString("{", ",", "}")
+    val spreads = results.collect { case (k, ts) if ts.length >= 2 =>
+      k -> (ts.last - ts.head)
+    }.toMap
     val total = medians.flatMap(_._2).sum
     val loadEnd = loadAvg1m()
-    val errJson = if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
-        .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"rep_spread_sec":$spread$errJson}""")
+    // Full fidelity to a file, full line for humans, compact line LAST:
+    // the driver's artifact keeps only the tail of the run output, so
+    // the budget-bounded compact line must be the final stdout write.
+    writeDetail("bench_detail.json", results, sfDir, reps, loadStart,
+      loadEnd, errors)
+    println(renderFull(medians, total, sfDir, reps, loadStart, loadEnd,
+      spreads, errors))
+    println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,
+      errors.size))
     spark.stop()
   }
 }

@@ -17,21 +17,55 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-    * TIMESTAMP_NTZ — the same naive-wallclock semantics DuckDB gives the
-    * column. Sub-microsecond precision is truncated (grouping/sorting in the
-    * declared queries is at hour/day granularity, so this is lossless for
-    * query semantics).
+  /** The events feed's `ts` physical type is NOT under the engine's
+    * control — fixture generations have shipped it as INT64
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects unless
+    * nanos are read as long) and as TIMESTAMP(MICROS). A lakehouse
+    * ingests feeds it doesn't own, so the loader sniffs the footer
+    * schema and adapts instead of hardcoding one generation's layout
+    * (the reference re-introspects schemas on every run the same way:
+    * `/root/reference/src/etl_pipeline.py:55-58`).
+    *
+    * [[rawEventsSchema]] pins `spark.sql.legacy.parquet.nanosAsLong` so
+    * a NANOS-typed fixture sniffs as LongType instead of failing; the
+    * conf is harmless for all other layouts. [[tsToNtz]]/[[tsToEventTime]]
+    * are the two normalizers every events consumer (batch and streaming)
+    * routes through — one place to extend when the feed drifts again.
     */
+  def rawEventsSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
+
+  /** Normalize a raw `ts` column to microsecond TIMESTAMP_NTZ — the
+    * naive-wallclock semantics DuckDB gives the column (batch reads).
+    * Sub-microsecond precision is truncated: grouping/sorting in the
+    * declared queries is at hour/day granularity, so lossless there.
+    */
+  def tsToNtz(raw: DataType): Column = raw match {
+    // integer `div`, not `/`: nanos (~1.7e18) exceed double's exact
+    // integer range, so float division then cast flips the last µs
+    case LongType         => timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)
+    case TimestampNTZType => col("ts")
+    // session tz is pinned UTC everywhere → wallclock-preserving cast
+    case _                => col("ts").cast(TimestampNTZType)
+  }
+
+  /** Normalize a raw `ts` column to event-time TIMESTAMP (streaming:
+    * watermarks need TimestampType; with the session tz pinned UTC the
+    * wallclock matches the batch NTZ reading exactly).
+    */
+  def tsToEventTime(raw: DataType): Column = raw match {
+    case LongType      => timestamp_micros(expr("ts div 1000"))
+    case TimestampType => col("ts")
+    case _             => col("ts").cast(TimestampType)
+  }
+
+  /** Schema-adaptive events loader (see [[rawEventsSchema]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      // integer `div`, not `/`: nanos (~1.7e18) exceed double's exact
-      // integer range, so float division then cast flips the last µs
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val df = t(spark, sfDir, "events")
+    df.withColumn("ts", tsToNtz(df.schema("ts").dataType))
   }
 
   def region(spark: SparkSession, d: String): DataFrame   = t(spark, d, "region")

@@ -43,13 +43,48 @@ object EventsStream {
     }
   }
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming source over an events directory. The file-stream source
+    * needs a fixed schema, but the feed's `ts` physical type is not the
+    * engine's to assume (fixture generations have shipped INT64 nanos
+    * and TIMESTAMP(MICROS) — see [[graft.Tables.rawEventsSchema]]), so
+    * the caller sniffs the footer once and this builder normalizes `ts`
+    * to event-time TIMESTAMP for watermarks.
+    */
+  def eventsSource(spark: SparkSession, dir: String,
+                   raw: StructType): DataFrame =
+    spark.readStream.schema(raw).parquet(dir)
+      .withColumn("ts", graft.Tables.tsToEventTime(raw("ts").dataType))
+
+  /** Max event time of a parquet events file in epoch MICROS, whatever
+    * the raw ts type — sentinel placement needs an absolute horizon.
+    */
+  private[graft] def maxEventMicros(spark: SparkSession, path: String): Long = {
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType => df.agg(max(col("ts"))).head.getLong(0) / 1000L
+      case _ => df.agg(max(unix_micros(col("ts").cast(TimestampType))))
+        .head.getLong(0)
+    }
+  }
+
+  /** Append end-of-stream sentinel rows (`us` = event time in epoch
+    * MICROS) to a replay directory, written in the SAME physical `ts`
+    * layout as the feed so the stream's fixed schema reads both files.
+    */
+  private[graft] def appendSentinels(spark: SparkSession, dir: String,
+      raw: StructType,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val ts = raw("ts").dataType match {
+      case LongType         => (col("us") * 1000L).as("ts") // micros → nanos-as-long
+      case TimestampNTZType => timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")
+      case _                => timestamp_micros(col("us")).as("ts")
+    }
+    df.select(col("event_id"), ts, col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
 
   /** Streaming exact dedup: drop event_id duplicates arriving within the
     * watermark horizon. State is one key per event inside the watermark
@@ -85,10 +120,9 @@ object EventsStream {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else bronzePath.stripSuffix("/") + "_ckpt"
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = graft.Tables.rawEventsSchema(spark, srcDir)
+    val src = spark.readStream.schema(raw).parquet(srcDir)
+      .withColumn("ts", graft.Tables.tsToNtz(raw("ts").dataType))
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = graft.ops.Relational.bronzeDerive(src)
       .writeStream
@@ -128,10 +162,9 @@ object EventsStream {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else tablePath.stripSuffix("/") + "_ckpt"
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = graft.Tables.rawEventsSchema(spark, srcDir)
+    val src = spark.readStream.schema(raw).parquet(srcDir)
+      .withColumn("ts", graft.Tables.tsToNtz(raw("ts").dataType))
     val committed = new java.util.concurrent.atomic.AtomicLong(0)
     val skipped = new java.util.concurrent.atomic.AtomicLong(0)
     val q = graft.ops.Relational.bronzeDerive(src)
@@ -265,10 +298,8 @@ object EventsStream {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = eventsSource(spark, streamDir.toString, raw)
     val qName = s"view_purchase_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -328,21 +359,16 @@ object EventsStream {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).head.getLong(0)
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val maxUs = maxEventMicros(spark, s"$sfDir/events.parquet")
     val SentinelUser = -1L
     // past max view_ts + 1 h (join interval) + 1 h (watermark delay),
     // with an hour of margin
-    val sentinelNanos = maxNanos + 3L * 3600L * 1000000000L
-    import spark.implicits._
-    Seq((-1L, sentinelNanos, SentinelUser, "view", 0.0, "{}"),
-        (-2L, sentinelNanos, SentinelUser, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("append").parquet(streamDir.toString)
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sentinelUs = maxUs + 3L * 3600L * 1000000L
+    appendSentinels(spark, streamDir.toString, raw,
+      Seq((-1L, sentinelUs, SentinelUser, "view", 0.0, "{}"),
+          (-2L, sentinelUs, SentinelUser, "purchase", 0.0, "{}")))
+    val src = eventsSource(spark, streamDir.toString, raw)
     val qName = s"view_purchase_left_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -387,10 +413,8 @@ object EventsStream {
     for (copy <- Seq("events.parquet", "events_redelivered.parquet"))
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve(copy), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = eventsSource(spark, streamDir.toString, raw)
     val qName = s"stream_dedup_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -462,18 +486,13 @@ object EventsStream {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).head.getLong(0)
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val maxUs = maxEventMicros(spark, s"$sfDir/events.parquet")
     // 1 h watermark delay + 1 h window + margin
-    val sentinelNanos = maxNanos + 3L * 3600L * 1000000000L
-    import spark.implicits._
-    Seq((-1L, sentinelNanos, -1L, "view", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("append").parquet(streamDir.toString)
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sentinelUs = maxUs + 3L * 3600L * 1000000L
+    appendSentinels(spark, streamDir.toString, raw,
+      Seq((-1L, sentinelUs, -1L, "view", 0.0, "{}")))
+    val src = eventsSource(spark, streamDir.toString, raw)
     val qName = s"heavy_users_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -487,7 +506,7 @@ object EventsStream {
     try q.processAllAvailable()
     finally q.stop()
     val out = spark.table(qName)
-      .filter(col("window.start") < timestamp_micros(lit(sentinelNanos / 1000L)))
+      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("window_start"),
@@ -517,11 +536,8 @@ object EventsStream {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      // integer `div` (see graft.Tables.events): float division flips µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = eventsSource(spark, streamDir.toString, raw)
 
     val qName = s"hourly_demand_${System.nanoTime()}"
     // State-store partition count is fixed at query start from

@@ -148,23 +148,13 @@ object Sessionize {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).head.getLong(0)
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val maxUs = EventsStream.maxEventMicros(spark, s"$sfDir/events.parquet")
     val SentinelUser = -1L
-    val sentinelNanos = maxNanos + (GapSeconds + 3600L + 60L) * 1000000000L
-    import spark.implicits._
-    Seq((-1L, sentinelNanos, SentinelUser, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("append").parquet(streamDir.toString)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // nanos-as-long
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sentinelUs = maxUs + (GapSeconds + 3600L + 60L) * 1000000L
+    EventsStream.appendSentinels(spark, streamDir.toString, raw,
+      Seq((-1L, sentinelUs, SentinelUser, "sentinel", 0.0, "{}")))
+    val src = EventsStream.eventsSource(spark, streamDir.toString, raw)
     val qName = s"sessions_stream_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -39,4 +39,47 @@ class BenchSpec extends SparkSpec {
     // output order preserved for the JSON line
     assert(res.map(_._1) === Seq("good", "bad_build", "bad_exec"))
   }
+
+  /** Valid-JSON gate via Spark's own parser: FAILFAST json read of the
+    * single line throws on any malformation, no extra dependency.
+    */
+  private def parseJson(line: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.option("mode", "FAILFAST").json(Seq(line).toDS)
+    df.collect() // force the parse
+    df
+  }
+
+  test("renderCompact: fits the budget, parses as JSON, accounts for every query") {
+    val medians = (1 to 90).map(i => s"query_name_$i" ->
+      (if (i % 17 == 0) None else Some(i * 0.037)))
+    val line = Bench.renderCompact(medians, 12.345, "/root/testdata/sf0.1",
+      reps = 3, loadStart = 1.0, loadEnd = 2.0, nErrors = 5)
+    assert(line.length <= 1400, s"over budget: ${line.length}")
+    val row = parseJson(line).head()
+    def l(name: String): Long = row.getAs[Long](name)
+    assert(l("n_queries") === 90)
+    val kept = parseJson(line).select("queries.*").schema.length
+    assert(kept + l("queries_omitted") === medians.count(_._2.isDefined),
+      "kept + omitted must cover every timed query")
+    // slowest-first: the kept entries are the most expensive ones
+    assert(line.contains("query_name_89"), "slowest queries must survive the trim")
+  }
+
+  test("renderFull and writeDetail emit parseable JSON with escaped interpolations") {
+    val medians = Seq("q_ok" -> Some(0.5), "q_err" -> None)
+    val errors = Map("q_err" -> "boom with \"quotes\" and back\\slash")
+    val evil = "/tmp/sf\"quoted\\path"
+    val full = Bench.renderFull(medians, 0.5, evil, 3, 1.0, 1.0,
+      Map("q_ok" -> 0.2), errors)
+    assert(parseJson(full).head().getAs[String]("sf") === evil)
+    val tmp = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    Bench.writeDetail(tmp.toString,
+      Seq("q_ok" -> Seq(0.4, 0.5, 0.6), "q_err" -> Seq.empty),
+      evil, 3, 1.0, 1.0, errors)
+    val detail = java.nio.file.Files.readString(tmp)
+    val row = parseJson(detail).head()
+    assert(row.getAs[String]("sf") === evil)
+    assert(parseJson(detail).select("queries.q_ok.median").head().getDouble(0) === 0.5)
+  }
 }

@@ -410,7 +410,9 @@ class PlanAuditSpec extends SparkSpec {
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans === 2, s"expected cells + bounds scans, got $scans")
-    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+    // physical ts type varies by fixture generation (nanos-long vs
+    // timestamp) — assert the pruning, not the layout
+    assert("ReadSchema: struct<ts:[a-z_]+>".r.findFirstIn(p).isDefined,
       "bounds scan should prune to the timestamp column")
     assert(!p.contains("CartesianProduct"),
       "bounds must attach via broadcast, not a cartesian")

@@ -33,12 +33,8 @@ class SessionizeSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.rawEventsSchema(spark, s"$sfTiny/events.parquet")
+    val src = graft.streaming.EventsStream.eventsSource(spark, dir.toString, raw)
     val q = Sessionize.sessionStream(spark, src)
       .writeStream.format("memory").queryName("sess_test")
       .outputMode("append").start()

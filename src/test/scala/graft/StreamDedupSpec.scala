@@ -40,12 +40,8 @@ class StreamDedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.rawEventsSchema(spark, s"$sfTiny/events.parquet")
+    val src = EventsStream.eventsSource(spark, dir.toString, raw)
 
     val q = EventsStream.viewToPurchase(src)
       .writeStream.format("memory").queryName("ss_join_test")
@@ -91,12 +87,8 @@ class StreamDedupSpec extends SparkSpec {
       java.nio.file.Files.createSymbolicLink(
         dir.resolve(name), java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val src = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.rawEventsSchema(spark, s"$sfTiny/events.parquet")
+    val src = EventsStream.eventsSource(spark, dir.toString, raw)
 
     val q = EventsStream.dedupStream(src)
       .writeStream.format("memory").queryName("dedup_stream_test")
