@@ -84,7 +84,7 @@ object SparkEntry {
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "multimodal_image_meta" -> ((s, d) => Multimodal.multimodalImageMeta(s, d)),
     "multimodal_blob_ingest" -> ((s, d) => Multimodal.multimodalBlobIngest(s, d)),
-    "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEval(s, d)),
+    "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
     "dup_spans"          -> ((s, d) => Curate.dupSpans(s, d)),
@@ -143,6 +143,15 @@ object SparkEntry {
     * driver's correctness scale — by construction.
     */
   def oracleSql: Map[String, String] = Map(
+    // Banded contract check (RevenueModel.trainEvalChecked scaladoc):
+    // the oracle recomputes the gold group count the split must cover
+    // exactly and expects every model-quality clause true.
+    "ml_train" ->
+      """SELECT (SELECT COUNT(*) FROM (
+           SELECT o_custkey, date_trunc('day', o_orderdate) AS day
+           FROM orders GROUP BY 1, 2)) AS n_rows,
+         true AS split_ok, true AS mae_le_rmse_ok,
+         true AS beats_mean_ok, true AS r2_ok""",
     "dedup_minhash" ->
       """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/dedup_minhash.parquet')
          ORDER BY doc1, doc2""",

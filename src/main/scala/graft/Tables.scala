@@ -32,7 +32,13 @@ object Tables {
     * are the two normalizers every events consumer (batch and streaming)
     * routes through — one place to extend when the feed drifts again.
     */
-  def rawEventsSchema(spark: SparkSession, path: String): StructType = {
+  def rawEventsSchema(spark: SparkSession, path: String): StructType =
+    rawSchemaOf(spark, path)
+
+  /** Footer schema of any parquet path, with nanos-as-long pinned so
+    * NANOS-typed columns sniff as LongType instead of failing the read.
+    */
+  def rawSchemaOf(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path).schema
   }
@@ -88,7 +94,12 @@ object Tables {
     */
   def parallelize(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // inputFiles is metadata-only (the scan's file listing); the earlier
+    // df.rdd.getNumPartitions forced a physical planning + RDD
+    // conversion per call — pointless at cluster scale, where inputs
+    // arrive already split. Non-file sources (0 files) pass through.
+    val files = df.inputFiles.length
+    if (files == 0 || files >= p) df else df.repartition(p)
   }
 }
 

@@ -16,6 +16,37 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-drift canary (round 7: a regenerated fixture flipped
+    // events.ts from INT64 nanos to TIMESTAMP(MICROS); 20 queries broke
+    // with a cryptic analysis error). One line per table so the NEXT
+    // regeneration fails loudly with the drifted column named — physical
+    // types are reported, not asserted, because loaders adapt
+    // (graft.Tables.rawEventsSchema); missing/renamed columns are the
+    // hard failure the queries cannot adapt to.
+    val expectedCols = Map(
+      "region" -> "r_regionkey r_name",
+      "nation" -> "n_nationkey n_name n_regionkey",
+      "customer" -> "c_custkey c_name c_nationkey c_acctbal c_mktsegment",
+      "supplier" -> "s_suppkey s_name s_nationkey s_acctbal",
+      "part" -> "p_partkey p_name p_brand p_type p_size p_retailprice",
+      "orders" -> "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority",
+      "lineitem" -> "l_orderkey l_partkey l_suppkey l_linenumber l_quantity l_extendedprice l_discount l_tax l_returnflag l_linestatus l_shipdate",
+      "events" -> "event_id ts user_id event_type value props",
+      "documents" -> "doc_id text lang source n_chars",
+      "embeddings" -> "vec_id embedding label")
+    expectedCols.toSeq.sortBy(_._1).foreach { case (t, want) =>
+      try {
+        val s = Tables.rawSchemaOf(spark, s"$sfDir/$t.parquet")
+        val got = s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+        println(s"[schema] $t ${got.mkString(" ")}")
+        val missing = want.split(" ").filterNot(s.fieldNames.contains)
+        if (missing.nonEmpty)
+          System.err.println(
+            s"[schema] DRIFT $t missing/renamed columns: ${missing.mkString(", ")}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[schema] DRIFT $t unreadable: ${e.getMessage}")
+      }
+    }
     // Dev loop: SPARK_GRAFT_QUERIES=a,b,c restricts the dump (and the
     // oracle json) to a subset. The driver leaves it unset → full run.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")

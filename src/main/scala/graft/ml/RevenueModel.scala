@@ -106,6 +106,42 @@ object RevenueModel {
     out
   }
 
+  /** Oracle-checkable verdict of the ML stage. Forest numerics are
+    * implementation-specific (an sklearn forest and an MLlib forest
+    * disagree in every decimal — the reference's metrics can never be
+    * hash-matched), but the stage's CONTRACT is exactly checkable:
+    *  - the 80/20 split covers the gold table exactly, no row lost or
+    *    duplicated (`n_rows` = the gold group count, recomputed
+    *    independently by the DuckDB oracle from the same aggregation);
+    *  - the holdout fraction lands near the declared 20%;
+    *  - MAE ≤ RMSE (Jensen — violated only by a broken metric pass);
+    *  - the model beats the constant-mean predictor on held-out data
+    *    (the weakest sane model gate);
+    *  - r² clears the 0.5 floor the spec has pinned since round 2
+    *    (measured ≈0.97 at sf0.001/sf0.01 — wide margin, not tuned).
+    * Each clause is a boolean column; the oracle expects all true. The
+    * query hash-matches iff the trained model actually works.
+    */
+  def trainEvalChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val (data, train, test, model) = fitPinned(spark, sfDir)
+    val labelMean = test.agg(avg(col("label"))).head.getDouble(0)
+    val pred = model.transform(test).select("label", "prediction")
+    val (mae, rmse, r2, nTest) = regressionMetrics(pred, labelMean)
+    // strongest constant predictor ON the holdout: its own label mean
+    val naiveMae = test.agg(avg(abs(col("label") - lit(labelMean))))
+      .head.getDouble(0)
+    val nTrain = train.count()
+    data.unpersist()
+    val frac = nTest.toDouble / (nTrain + nTest)
+    import spark.implicits._
+    Seq((nTrain + nTest,
+         frac >= 0.1 && frac <= 0.3,
+         mae > 0.0 && mae <= rmse,
+         mae < naiveMae,
+         r2 > 0.5 && r2 <= 1.0))
+      .toDF("n_rows", "split_ok", "mae_le_rmse_ok", "beats_mean_ok", "r2_ok")
+  }
+
   /** Per-feature importance of a fitted pipeline's forest (reference
     * `src/etl_pipeline.py:172-178`, which collects
     * `feature_importances_` into a matplotlib chart) — here a small

@@ -218,6 +218,16 @@ class PipelineSpec extends SparkSpec {
     assert(r2 > 0.5, s"r2=$r2")
   }
 
+  test("ml_train banded verdict: split covers the gold table, all clauses true") {
+    val row = graft.ml.RevenueModel.trainEvalChecked(spark, sfTiny).head()
+    val goldRows = graft.ops.Aggregates
+      .goldDailyRevenueUnsorted(spark, sfTiny).count()
+    assert(row.getAs[Long]("n_rows") === goldRows,
+      "train+test must cover the gold table exactly")
+    for (c <- Seq("split_ok", "mae_le_rmse_ok", "beats_mean_ok", "r2_ok"))
+      assert(row.getAs[Boolean](c), s"clause $c failed")
+  }
+
   test("regressionMetrics survives a large label offset (two-pass SS_tot)") {
     import spark.implicits._
     // mean ~1e9, spread ~1: the one-pass Σl²−(Σl)²/n identity loses all

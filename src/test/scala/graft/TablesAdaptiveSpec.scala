@@ -65,6 +65,26 @@ class TablesAdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("streamed event times land in the fixture's year range (1970-collapse canary)") {
+    // Round 7: a silent micros-read-as-millis bug collapsed every window
+    // to ~1970 while the queries kept "passing" their own machinery. Any
+    // unit slip (ns/µs/ms) throws the year out of the fixture's range,
+    // so this catches the whole class, whatever the next drift is.
+    val b = Tables.events(spark, sfTiny)
+      .agg(year(min(col("ts"))).as("lo"), year(max(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getInt(0), b.getInt(1))
+    val hh = graft.streaming.EventsStream.heavyUsersStream(spark, sfTiny)
+      .agg(year(min(col("window_start"))).as("lo"),
+        year(max(col("window_start"))).as("hi")).head()
+    assert(hh.getInt(0) >= lo && hh.getInt(1) <= hi,
+      s"streamed windows [${hh.getInt(0)},${hh.getInt(1)}] outside fixture years [$lo,$hi]")
+    val ss = graft.streaming.Sessionize.sessionsStreamed(spark, sfTiny)
+      .agg(year(min(col("session_start"))).as("lo"),
+        year(max(col("session_end"))).as("hi")).head()
+    assert(ss.getInt(0) >= lo && ss.getInt(1) <= hi,
+      s"streamed sessions [${ss.getInt(0)},${ss.getInt(1)}] outside fixture years [$lo,$hi]")
+  }
+
   test("appendSentinels writes the feed's own physical layout") {
     for (mk <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
         _ * 1000L,
