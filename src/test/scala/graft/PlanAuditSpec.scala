@@ -21,6 +21,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_comment"))
   }
 
+  test("events ts-range filter pushes into the parquet scan (timestamp generation)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // Under the nanos-long generation ts is a DERIVED column (div 1000
+    // rebuild) — pushdown is impossible by construction, so this win
+    // only exists (and is only asserted) for timestamp-typed fixtures.
+    val raw = Tables.rawEventsSchema(spark, s"$sfTiny/events.parquet")
+    assume(raw("ts").dataType == TimestampNTZType ||
+      raw("ts").dataType == TimestampType)
+    val p = Tables.events(spark, sfTiny)
+      .filter(col("ts") >= lit("2024-03-01").cast("timestamp_ntz"))
+      .select("event_id", "ts")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"event-time predicate must reach the scan (row-group skipping):\n${p.take(1500)}")
+  }
+
   test("star_join: dimensions broadcast; fact scan reads only needed columns") {
     val p = planOf("star_join")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
