@@ -65,6 +65,7 @@ object SparkEntry {
     "decontaminate"      -> ((s, d) => Curate.decontaminate(s, d)),
     "domain_mix"         -> ((s, d) => Curate.domainMix(s, d)),
     "seq_pack"           -> ((s, d) => Curate.seqPackDist(s, d)),
+    "export_manifest"    -> ((s, d) => graft.pipeline.CorpusExport.exportManifest(s, d)),
     "corpus_shuffle"     -> ((s, d) => Curate.corpusShuffle(s, d)),
     "data_split"         -> ((s, d) => Curate.dataSplit(s, d)),
     "dedup_incremental"  -> ((s, d) => Curate.dedupIncremental(s, d)),
@@ -520,6 +521,22 @@ object SparkEntry {
            CAST(floor((cb + n_tokens - 1) / 256.0) AS BIGINT) AS chunk_last,
            CAST(cb % 256 AS BIGINT) AS chunk_offset
          FROM c ORDER BY doc_id""",
+    "export_manifest" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CASE WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' THEN 0
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' THEN 1
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < '60000000' THEN 2
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' THEN 3
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'a0000000' THEN 4
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 5
+                  WHEN substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e0000000' THEN 6
+                  ELSE 7 END AS shard
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+         FROM s GROUP BY shard ORDER BY shard""",
     "corpus_shuffle" ->
       """SELECT doc_id, substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key
          FROM documents
