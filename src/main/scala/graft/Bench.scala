@@ -47,6 +47,21 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Host-speed ruler: seconds for a fixed CPU-bound Spark job (sum of
+    * 2×10⁸ codegen'd multiplies). Round-over-round bench totals have
+    * moved ~2.5× with ZERO code change purely from landing on a
+    * different host (round 8 vs round 6); dividing query times by this
+    * calibration makes cross-round comparison meaningful again. Min of
+    * two runs — the ruler must not itself be noise.
+    */
+  def calibrate(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      // xor-of-hashes: one xxhash64 per row, no ANSI overflow possible
+      spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   /** Locale-safe fixed-point formatting — the f-interpolator honors the
     * default locale and a comma decimal separator corrupts JSON.
     */
@@ -74,7 +89,8 @@ object Bench {
   def renderFull(medians: Seq[(String, Option[Double])], total: Double,
                  sfDir: String, reps: Int, loadStart: Double, loadEnd: Double,
                  spreads: Map[String, Double],
-                 errors: Map[String, String]): String = {
+                 errors: Map[String, String],
+                 calib: Double = -1.0): String = {
     val qs = medians.sortBy(_._2.getOrElse(Double.MaxValue)).map { case (k, v) =>
       jstr(k) + ":" + v.map(fmt(_)).getOrElse(
         jstr("ERR: " + errors.getOrElse(k, "failed")))
@@ -84,7 +100,7 @@ object Bench {
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
   }
 
   /** A compact twin of [[renderFull]] guaranteed to fit `budgetChars`:
@@ -102,12 +118,13 @@ object Bench {
   def renderCompact(medians: Seq[(String, Option[Double])], total: Double,
                     sfDir: String, reps: Int, loadStart: Double,
                     loadEnd: Double, nErrors: Int,
-                    budgetChars: Int = 1400): String = {
+                    budgetChars: Int = 1400,
+                    calib: Double = -1.0): String = {
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 2) }
     def line(kept: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
     // keep the slowest-first prefix that fits the budget
     var kept = entries
     while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
@@ -120,7 +137,8 @@ object Bench {
     */
   def writeDetail(path: String, results: Seq[(String, Seq[Double])],
                   sfDir: String, reps: Int, loadStart: Double,
-                  loadEnd: Double, errors: Map[String, String]): Unit = {
+                  loadEnd: Double, errors: Map[String, String],
+                  calib: Double = -1.0): Unit = {
     val qs = results.map { case (k, ts) =>
       val med = if (ts.isEmpty) "null" else fmt(ts(ts.length / 2))
       val spread = if (ts.length >= 2) fmt(ts.last - ts.head) else "0.0"
@@ -129,7 +147,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"queries":$qs}"""
+      s"""{"sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"errors":$errJson,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -157,6 +175,7 @@ object Bench {
     // Untimed warm-up: JIT/codegen the common scan→agg→join→window paths
     // once so per-query timings measure the engine, not JVM cold start.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val calib = calibrate(spark)
     // Median of `reps` runs per query: single-run timings on a shared
     // container carry ±50% noise (NOTES round 3 — a "regression" that was
     // container variance); the median of 3 is stable round-over-round.
@@ -178,11 +197,11 @@ object Bench {
     // the driver's artifact keeps only the tail of the run output, so
     // the budget-bounded compact line must be the final stdout write.
     writeDetail("bench_detail.json", results, sfDir, reps, loadStart,
-      loadEnd, errors)
+      loadEnd, errors, calib)
     println(renderFull(medians, total, sfDir, reps, loadStart, loadEnd,
-      spreads, errors))
+      spreads, errors, calib))
     println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,
-      errors.size))
+      errors.size, calib = calib))
     spark.stop()
   }
 }
