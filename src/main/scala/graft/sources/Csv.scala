@@ -76,6 +76,21 @@ object Jsonl {
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Quarantining JSONL read — same contract as [[Csv.readQuarantining]]:
+    * malformed lines land whole in `_corrupt` instead of killing the job
+    * or vanishing. This is the ingest half of the
+    * [[graft.pipeline.CorpusExport]] loop: shards written by one site are
+    * re-ingested by another, and a truncated upload must surface as
+    * quarantine rows, not a dead pipeline.
+    */
+  def readQuarantining(spark: SparkSession, path: String,
+                       schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add(StructField("_corrupt", StringType, nullable = true)))
+      .json(path)
+
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 }

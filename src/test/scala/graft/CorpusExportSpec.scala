@@ -57,4 +57,30 @@ class CorpusExportSpec extends SparkSpec {
     assert(back.count() === Tables.documents(spark, sfTiny).count())
     assert(back.select("shard").distinct().count() === 4)
   }
+
+  test("export -> re-ingest loop: quarantining JSONL read surfaces a corrupt line") {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_export_rt").toString + "/corpus"
+    CorpusExport.exportShards(spark, sfTiny, out, numShards = 2, format = "json")
+    // a truncated upload landing in shard 0 as its own part file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/shard=0/part-zz-truncated.json"),
+      "{\"doc_id\": 13, \"text\": \"unterminat")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = graft.sources.Jsonl
+      .readQuarantining(spark, s"$out/shard=0", schema).cache()
+    val bad = back.filter(col("_corrupt").isNotNull)
+    assert(bad.count() === 1, "the corrupt line must surface, not vanish")
+    val clean = back.filter(col("_corrupt").isNull).drop("_corrupt")
+    val m = CorpusExport.exportManifest(spark, sfTiny, numShards = 2)
+      .filter(col("shard") === 0).head()
+    assert(clean.count() === m.getAs[Long]("n_docs"),
+      "clean rows must match the shard manifest")
+    assert(clean.agg(sum("doc_id")).head.getLong(0) ===
+      m.getAs[Long]("doc_checksum"))
+    back.unpersist()
+  }
 }
