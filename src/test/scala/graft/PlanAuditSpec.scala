@@ -422,6 +422,18 @@ class PlanAuditSpec extends SparkSpec {
       "scan not pruned to (doc_id, text)")
   }
 
+  test("export_manifest: map-side shard assignment, one keyed exchange, no join") {
+    val p = planOf("export_manifest")
+    assert(!p.contains("Join"), "shard assignment must be a pure projection")
+    assert(p.contains("hashpartitioning(shard"),
+      "partial+final agg keyed on shard expected")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges === 2,
+      s"agg hash exchange + ORDER BY range only, got $exchanges")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan not pruned to (doc_id, text)")
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
