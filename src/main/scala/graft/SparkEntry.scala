@@ -108,6 +108,7 @@ object SparkEntry {
     "pagerank_copurchase" -> ((s, d) => Graph.pagerankCopurchase(s, d)),
     "embedding_project"  -> ((s, d) => Similarity.embeddingProject(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
+    "quantile_histogram_rollup" -> ((s, d) => Sketches.monthlyValueQuantiles(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
@@ -242,6 +243,24 @@ object SparkEntry {
          COUNT(*) AS events, COUNT(DISTINCT user_id) AS distinct_users,
          TRUE AS users_within_5pct, TRUE AS merge_consistent
          FROM events GROUP BY 1, 2 ORDER BY event_type, month""",
+    // Direct monthly recompute: the Spark side goes through the DAILY
+    // histogram state, so a hash match proves the merge is lossless.
+    "quantile_histogram_rollup" ->
+      """WITH h AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(floor(o_totalprice / 100.0) AS BIGINT) AS bin, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2),
+         c AS (
+           SELECT month, bin, n,
+             SUM(n) OVER (PARTITION BY month ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY month) AS total
+           FROM h),
+         p AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p)
+         SELECT month, p,
+           CAST(MIN(bin) * 100.0 AS DOUBLE) AS value_floor,
+           CAST(MAX(total) AS BIGINT) AS n_orders
+         FROM c, p WHERE cum >= ceil(p * total)
+         GROUP BY month, p ORDER BY month, p""",
     // Banded sketch oracle: exact anchors recomputed here; the sketch
     // columns arrive as booleans already checked against their error
     // bands inside the Spark aggregation (see Aggregates.approxStats).

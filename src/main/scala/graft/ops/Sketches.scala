@@ -104,6 +104,55 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  /** Mergeable QUANTILE state — the percentile slot of the sketch
+    * family (where t-digest/KLL would sit), built instead as a
+    * fixed-width histogram so it is exact by construction and therefore
+    * oracle-checkable: bin = floor(value / width), integer state
+    * (day, bin, n). Counts add, so any coarser granularity merges by
+    * summing — the fact table is scanned once, every rollup reads the
+    * tiny histogram table. A quantile reads off the merged CDF as the
+    * lower edge of the first bin whose cumulative count reaches
+    * ceil(p·n): deterministic, no interpolation, error bounded by
+    * `width` (the spec pins the exact identity
+    * floor(exact_quantile/width)·width == reported value). At 100 TB
+    * the trade vs t-digest is explicit: state is O(value_range/width)
+    * per cell instead of O(compression), in exchange for exactness,
+    * engine-portability, and bit-stable merges.
+    */
+  def dailyValueHistogram(orders: DataFrame, width: Double = 100.0): DataFrame =
+    orders.groupBy(
+        date_trunc("day", col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") / lit(width)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Monthly p50/p90/p99 of order value FROM THE DAILY HISTOGRAM STATE
+    * (the merge path — the log is never rescanned). The DuckDB oracle
+    * recomputes the same quantiles DIRECTLY from the orders table, so a
+    * hash match is a proof that daily→monthly merge loses nothing.
+    */
+  def monthlyValueQuantiles(spark: SparkSession, sfDir: String,
+                            width: Double = 100.0,
+                            ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val monthly = dailyValueHistogram(Tables.orders(spark, sfDir), width)
+      .groupBy(date_trunc("month", col("day")).as("month"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+    val w = Window.partitionBy(col("month")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = monthly
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("month"))))
+    cdf.join(broadcast(ps.toDF("p")))
+      .filter(col("cum") >= ceil(col("p") * col("total")))
+      .groupBy(col("month"), col("p"))
+      .agg(
+        (min(col("bin")) * lit(width)).as("value_floor"),
+        max(col("total")).as("n_orders"))
+      .orderBy(col("month"), col("p"))
+  }
+
   /** The exact twin (rescans the log — what the sketch table avoids);
     * the spec's error-gate reference.
     */

@@ -147,4 +147,38 @@ class ProfileBasketSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
     assert(anchors === exact)
   }
+
+  test("quantile_histogram_rollup: merged bins equal floor(exact quantile), error < width") {
+    val width = 100.0
+    val got = Sketches.monthlyValueQuantiles(spark, sfTiny, width).collect()
+    assert(got.nonEmpty)
+    // exact discrete quantile per (month, p): the smallest value whose
+    // rank reaches ceil(p*n) — driver-side over the tiny fixture
+    val orders = Tables.orders(spark, sfTiny)
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_totalprice"))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (m, vs) => m -> vs.map(_._2).sorted }
+    for (r <- got) {
+      val m = r.getTimestamp(0)
+      val p = r.getDouble(1)
+      val vf = r.getDouble(2)
+      val vals = orders(m)
+      assert(r.getLong(3) === vals.length.toLong, s"n_orders at $m")
+      val exactQ = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(vf === math.floor(exactQ / width) * width,
+        s"($m, $p): value_floor $vf vs exact $exactQ")
+      assert(vf <= exactQ && exactQ < vf + width)
+    }
+    // merge losslessness inside Spark too: daily->month == direct month
+    import org.apache.spark.sql.expressions.Window
+    val direct = Tables.orders(spark, sfTiny)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        floor(col("o_totalprice") / lit(width)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val merged = Sketches.dailyValueHistogram(Tables.orders(spark, sfTiny), width)
+      .groupBy(date_trunc("month", col("day")).as("month"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
 }
