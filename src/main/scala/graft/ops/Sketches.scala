@@ -132,10 +132,20 @@ object Sketches {
     */
   def monthlyValueQuantiles(spark: SparkSession, sfDir: String,
                             width: Double = 100.0,
-                            ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                            ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    quantilesFromState(
+      dailyValueHistogram(Tables.orders(spark, sfDir), width), width, ps)
+
+  /** Monthly quantiles read off any (day, bin, n) histogram state —
+    * shared by the declared query and the incremental-gold refresh path
+    * ([[graft.pipeline.Incremental.histogramState]]), so "recompute from
+    * facts" and "merge maintained state" provably present identically.
+    */
+  def quantilesFromState(state: DataFrame, width: Double = 100.0,
+                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val monthly = dailyValueHistogram(Tables.orders(spark, sfDir), width)
+    import state.sparkSession.implicits._
+    val monthly = state
       .groupBy(date_trunc("month", col("day")).as("month"), col("bin"))
       .agg(sum(col("n")).as("n"))
     val w = Window.partitionBy(col("month")).orderBy(col("bin"))

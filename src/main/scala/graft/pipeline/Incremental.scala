@@ -58,4 +58,20 @@ object Incremental {
         col("cnt_rows").as("order_count"),
         (col("rev_dec").cast(DoubleType) / col("cnt_vals")).as("avg_order_value"))
       .orderBy(col("o_custkey"), col("day"))
+
+  /** Exact mergeable HISTOGRAM state — the quantile slot of the gold
+    * layer ([[graft.ops.Sketches.dailyValueHistogram]]): (day, bin, n)
+    * integer counts. Counts add, so like the decimal revenue state the
+    * merge is associative and bit-exact under any slicing of ingestion;
+    * percentile presentation
+    * ([[graft.ops.Sketches.quantilesFromState]]) reads the merged state
+    * — history is never rescanned to refresh a quantile dashboard.
+    */
+  def histogramState(orders: DataFrame, width: Double = 100.0): DataFrame =
+    graft.ops.Sketches.dailyValueHistogram(orders, width)
+
+  def mergeHistogramState(current: DataFrame, delta: DataFrame): DataFrame =
+    current.unionByName(delta)
+      .groupBy(col("day"), col("bin"))
+      .agg(sum(col("n")).as("n"))
 }

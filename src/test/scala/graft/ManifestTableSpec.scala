@@ -202,6 +202,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(viaState === declared)
   }
 
+  test("incremental histogram state: merge is bit-exact; quantiles match the declared query") {
+    val orders = Tables.orders(spark, sfTiny)
+    val slices = (0 to 2).map(k =>
+      orders.filter(col("o_orderkey") % 3 === k))
+    val full = Incremental.histogramState(orders)
+    val merged = slices.map(Incremental.histogramState(_))
+      .reduce(Incremental.mergeHistogramState)
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // quantile presentation from maintained state == declared recompute
+    val viaState = graft.ops.Sketches.quantilesFromState(merged)
+      .collect().map(_.toSeq).toSeq
+    val declared = graft.ops.Sketches.monthlyValueQuantiles(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(viaState === declared)
+  }
+
   test("append commits accumulate; idempotent tags replay as no-ops") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
     assert(ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path) === 1L)
