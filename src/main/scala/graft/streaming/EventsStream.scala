@@ -208,28 +208,58 @@ object EventsStream {
     */
   def streamGoldDaily(spark: SparkSession, ordersDir: String,
                       statePath: String,
-                      checkpointLocation: String = null): (Long, Long) = {
+                      checkpointLocation: String = null): (Long, Long) =
+    streamMergeableGold(spark, ordersDir, statePath, checkpointLocation,
+      "gold-daily-batch",
+      graft.pipeline.Incremental.dailyState,
+      graft.pipeline.Incremental.mergeDailyState)
+
+  /** The quantile twin: the SAME exactly-once refresh loop maintains the
+    * mergeable histogram state
+    * ([[graft.pipeline.Incremental.histogramState]]) — every mergeable
+    * gold state gets streaming maintenance for free through
+    * [[streamMergeableGold]]; percentile dashboards read
+    * [[graft.ops.Sketches.quantilesFromState]] over the committed state.
+    */
+  def streamGoldQuantiles(spark: SparkSession, ordersDir: String,
+                          statePath: String,
+                          checkpointLocation: String = null): (Long, Long) =
+    streamMergeableGold(spark, ordersDir, statePath, checkpointLocation,
+      "gold-quantile-batch",
+      graft.pipeline.Incremental.histogramState(_),
+      graft.pipeline.Incremental.mergeHistogramState)
+
+  /** Shared exactly-once streaming maintenance of ANY associative
+    * mergeable gold state: `stateOf` aggregates a fact micro-batch to
+    * its delta state, `merge` folds it into the committed state, and
+    * each refresh commits atomically under the batch's tag (replays
+    * no-op — see the class doc on the at-least-once foreachBatch hole).
+    */
+  private def streamMergeableGold(spark: SparkSession, srcDir: String,
+      statePath: String, checkpointLocation: String, tagPrefix: String,
+      stateOf: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): (Long, Long) = {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
-    val schema = spark.read.parquet(ordersDir).schema
-    val src = spark.readStream.schema(schema).parquet(ordersDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(schema).parquet(srcDir)
     val merged = new java.util.concurrent.atomic.AtomicLong(0)
     val skipped = new java.util.concurrent.atomic.AtomicLong(0)
     val q = src.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
-          val tag = s"gold-daily-batch-$id"
+          val tag = s"$tagPrefix-$id"
           val sp = batch.sparkSession
           if (graft.pipeline.ManifestTable
               .committedVersionOfTag(sp, statePath, tag).isDefined)
             skipped.incrementAndGet()
           else {
-            val delta = graft.pipeline.Incremental.dailyState(batch)
+            val delta = stateOf(batch)
             val state = graft.pipeline.ManifestTable
               .currentVersion(sp, statePath) match {
-              case Some(_) => graft.pipeline.Incremental.mergeDailyState(
+              case Some(_) => merge(
                 graft.pipeline.ManifestTable.read(sp, statePath), delta)
               case None => delta
             }

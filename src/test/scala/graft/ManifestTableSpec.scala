@@ -420,6 +420,31 @@ class ManifestTableSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === viaBatch)
   }
 
+  test("streaming quantile gold: stream-maintained histogram equals the declared rollup, replay-safe") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mt14").toString
+    val src = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("orders.parquet"),
+      java.nio.file.Paths.get(s"$sfTiny/orders.parquet"))
+    val state = s"$base/q_state"
+    val (merged, skipped) = graft.streaming.EventsStream
+      .streamGoldQuantiles(spark, src.toString, state, s"$base/ckpt")
+    assert(merged >= 1 && skipped === 0)
+    val viaStream = graft.ops.Sketches
+      .quantilesFromState(ManifestTable.read(spark, state))
+      .collect().map(_.toSeq).toSeq
+    val declared = graft.ops.Sketches.monthlyValueQuantiles(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream === declared)
+    // lost-checkpoint replay: every batch hits its tag, state unchanged
+    val before = ManifestTable.currentVersion(spark, state)
+    val (m2, s2) = graft.streaming.EventsStream
+      .streamGoldQuantiles(spark, src.toString, state, s"$base/ckpt2")
+    assert(m2 === 0L && s2 === merged)
+    assert(ManifestTable.currentVersion(spark, state) === before)
+  }
+
   test("schema rides the manifest: additive evolution on append, type changes rejected") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt12").toString + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)            // v1
