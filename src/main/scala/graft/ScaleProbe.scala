@@ -58,7 +58,11 @@ object ScaleProbe {
     // bigram pair keys grow faster than unigram vocab (pair space) but
     // the shuffle still carries distinct (doc,a,b) keys, never
     // occurrences, and the V_b branch reuses the pair exchange
-    "bigram_nll")
+    "bigram_nll",
+    // round-8 additions: export assignment is map-only (shuffle carries
+    // 8 shard rows); histogram state shuffles (month, bin) cells —
+    // sub-linear once the bin space saturates
+    "export_manifest", "quantile_histogram_rollup")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -87,8 +91,9 @@ object ScaleProbe {
       try java.nio.file.Files.readString(factorFile).trim.toInt
       catch { case _: Throwable => -1 }
     val complete = recordedFactor == factor &&
-      Seq("documents", "customer", "embeddings", "lineitem").forall(t =>
-        new java.io.File(s"$probeDir/$t.parquet/_SUCCESS").exists())
+      Seq("documents", "customer", "embeddings", "lineitem", "orders")
+        .forall(t =>
+          new java.io.File(s"$probeDir/$t.parquet/_SUCCESS").exists())
     if (!complete) {
       // stale marker first: a crash mid-regeneration must read as
       // incomplete, never as the old factor's corpus
@@ -162,6 +167,17 @@ object ScaleProbe {
           (col("l_partkey") + lit(k.toLong * 1000000000L)).as("l_partkey"))
       }.reduce(_ unionByName _)
       scaledLi.write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
+      // orders: keys shift into disjoint ranges, dates/values unchanged —
+      // per-day order volume scales by `factor`, the histogram bin space
+      // does NOT (same value distribution), which is exactly the
+      // saturation the quantile-state probe should exhibit
+      val ord = Tables.orders(spark, baseDir)
+      val scaledOrd = (0 until factor).map { k =>
+        ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 1000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+      scaledOrd.write.mode("overwrite").parquet(s"$probeDir/orders.parquet")
       // marker last: its presence certifies a COMPLETE corpus at `factor`
       java.nio.file.Files.writeString(factorFile, factor.toString)
     }
