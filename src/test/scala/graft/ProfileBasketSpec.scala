@@ -181,4 +181,32 @@ class ProfileBasketSpec extends SparkSpec {
       .agg(sum(col("n")).as("n"))
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
+
+  test("quantilesFromState property: floor identity holds on random data, negatives included") {
+    // deterministic LCG (the offline dep set has no scalacheck bridge)
+    var seed = 0x5DEECE66DL
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    for (round <- 1 to 5) {
+      val width = Seq(1.0, 10.0, 100.0)(round % 3)
+      val n = 50 + (math.abs(next()) % 200).toInt
+      // values in [-500, 1500): crosses zero — floor must round toward
+      // negative infinity, not truncate (the bug this test exists for)
+      val vals = Seq.fill(n)(math.abs(next() % 2000000) / 1000.0 - 500.0)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (ts(1 + i % 28, i), v)
+      }
+      val orders = rows.toDF("o_orderdate", "o_totalprice")
+      val got = Sketches.quantilesFromState(
+        Sketches.dailyValueHistogram(orders, width), width).collect()
+      assert(got.length === 3, "one month, three quantiles")
+      val sorted = vals.sorted
+      for (r <- got) {
+        val p = r.getDouble(1)
+        val exactQ = sorted(math.ceil(p * n).toInt - 1)
+        assert(r.getDouble(2) === math.floor(exactQ / width) * width,
+          s"round $round width $width p $p: ${r.getDouble(2)} vs exact $exactQ")
+        assert(r.getLong(3) === n.toLong)
+      }
+    }
+  }
 }
