@@ -122,6 +122,7 @@ object SparkEntry {
     "stream_hourly_demand" -> ((s, d) => graft.streaming.EventsStream.hourlyDemandStream(s, d)),
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
+    "stream_enrich"      -> ((s, d) => graft.streaming.EventsStream.enrichEventsStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1340,6 +1341,13 @@ object SparkEntry {
           AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          WHERE v.event_type = 'view'
          ORDER BY view_id, purchase_id NULLS FIRST""",
+    // Stream-static enrichment is STATELESS: the drained append output
+    // is exactly the batch dimension join.
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+                e.event_type, e.value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     // Streaming MG heavy hitters: exact on the fixture (distinct users
     // per hour window << sketch capacity — see heavyUsersAgg scaladoc),
     // so the oracle is the exact per-window top-k. Ties rank by user-id

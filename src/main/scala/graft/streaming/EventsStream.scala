@@ -466,6 +466,51 @@ object EventsStream {
     out
   }
 
+  /** Stream-static enrichment join — the streaming analog of the star
+    * join and the remaining join class the engine declares: each event
+    * picks up its customer dimension row. The static side is
+    * `broadcast()` and the join is STATELESS — no watermark, no
+    * buffered state, each micro-batch joins like a batch star join — so
+    * it composes freely with downstream stateful stages. On a cluster
+    * the dim broadcast is shipped once per executor, not per batch.
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("event_type"), col("value"))
+
+  /** Declared stream-static query: drain the fixture replay through
+    * [[enrichWithCustomer]]; the drained append output equals the batch
+    * join exactly (stateless — nothing is ever held back or evicted),
+    * which is the DuckDB oracle.
+    */
+  def enrichEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_enrich")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = eventsSource(spark, streamDir.toString, raw)
+    val dim = graft.Tables.customer(spark, sfDir)
+    val qName = s"enrich_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try enrichWithCustomer(src, dim).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(qName)
+      .orderBy(col("event_id"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Streaming windowed heavy hitters: per tumbling 1-hour window, the
     * top-`k` most active users by the [[graft.functions.MisraGries]]
     * sketch running INSIDE the streaming aggregation. The

@@ -80,6 +80,22 @@ class StreamDedupSpec extends SparkSpec {
     assert(declared.exceptAll(batch).isEmpty && batch.exceptAll(declared).isEmpty)
   }
 
+  test("declared stream_enrich: stateless stream-static join equals the batch dim join") {
+    val declared = EventsStream.enrichEventsStream(spark, sfTiny)
+    assert(declared.schema.fieldNames === Array(
+      "event_id", "user_id", "c_name", "c_mktsegment", "event_type", "value"))
+    val batch = EventsStream.enrichWithCustomer(
+      Tables.events(spark, sfTiny), Tables.customer(spark, sfTiny))
+    // stateless: every event must come through, exactly once
+    assert(declared.count() === Tables.events(spark, sfTiny).count())
+    assert(declared.exceptAll(batch).isEmpty && batch.exceptAll(declared).isEmpty)
+    // the dim side must broadcast, never shuffle the stream
+    val plan = EventsStream.enrichWithCustomer(
+      Tables.events(spark, sfTiny), Tables.customer(spark, sfTiny))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), "dim join must broadcast")
+  }
+
   test("streaming dedup collapses a twice-delivered stream to distinct events") {
     // two links to the same file = exact at-least-once redelivery
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
