@@ -74,7 +74,12 @@ object CorpusExport {
                    numShards: Int = 8, format: String = "parquet"): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     docs.withColumn("shard", shardCol(numShards))
-      .repartition(numShards, col("shard"))
+      // range, not hash: hashing N distinct shard ids over N partitions
+      // collides (birthday) — ~1/e of tasks idle and some carry two
+      // shards' bytes; the range split lands shards 1:1. Shard-dir
+      // BYTES are reproducible either way (partitionBy splits by value,
+      // the sort orders within), this is purely task balance.
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.partitionBy("shard").mode("overwrite").format(format)
       .save(outDir)
