@@ -28,9 +28,9 @@ object EventsStream {
 
   /** Run `f` with a session conf temporarily overridden, restoring the
     * prior value (or unsetting) afterwards — the declared streaming
-    * queries read the nanos-typed fixture parquet and must not leak
-    * `spark.sql.legacy.parquet.nanosAsLong` (or anything else) into the
-    * caller's session.
+    * queries may pin `spark.sql.legacy.parquet.nanosAsLong` (needed
+    * when the fixture generation is nanos-typed; harmless otherwise)
+    * and must not leak it (or anything else) into the caller's session.
     */
   private[streaming] def withConf[T](spark: SparkSession, key: String,
                                      value: String)(f: => T): T = {
