@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_view_purchase" -> ((s, d) => graft.streaming.EventsStream.viewPurchaseStream(s, d)),
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
     "stream_enrich"      -> ((s, d) => graft.streaming.EventsStream.enrichEventsStream(s, d)),
+    "stream_hourly_quantiles" -> ((s, d) => graft.streaming.EventsStream.hourlyQuantilesStream(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1341,6 +1342,25 @@ object SparkEntry {
           AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          WHERE v.event_type = 'view'
          ORDER BY view_id, purchase_id NULLS FIRST""",
+    // Streaming histogram quantiles: the drained windowed bin counts
+    // equal the batch binned distribution, so per-hour p50/p95 read off
+    // the same CDF selection match the direct recompute exactly.
+    "stream_hourly_quantiles" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS w,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT w, bin, n,
+             SUM(n) OVER (PARTITION BY w ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY w) AS total
+           FROM h),
+         p AS (SELECT UNNEST([0.5, 0.95]) AS p)
+         SELECT CAST(w AS TIMESTAMP) AS window_start, p,
+           CAST(MIN(bin) * 10.0 AS DOUBLE) AS value_floor,
+           CAST(MAX(total) AS BIGINT) AS n_events
+         FROM c, p WHERE cum >= ceil(p * total)
+         GROUP BY w, p ORDER BY window_start, p""",
     // Stream-static enrichment is STATELESS: the drained append output
     // is exactly the batch dimension join.
     "stream_enrich" ->

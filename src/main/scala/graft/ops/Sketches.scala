@@ -142,25 +142,35 @@ object Sketches {
     * facts" and "merge maintained state" provably present identically.
     */
   def quantilesFromState(state: DataFrame, width: Double = 100.0,
-                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    quantilesFromBinned(
+      state.groupBy(date_trunc("month", col("day")).as("month"), col("bin"))
+        .agg(sum(col("n")).as("n")),
+      "month", width, ps, countName = "n_orders")
+
+  /** Quantile readoff over ANY (key, bin, n) binned distribution — the
+    * CDF selection shared by the monthly gold rollup and the streaming
+    * hourly twin ([[graft.streaming.EventsStream.hourlyQuantilesStream]]):
+    * per key, the lower edge of the first bin whose cumulative count
+    * reaches ceil(p·total), for each probe p.
+    */
+  def quantilesFromBinned(binned: DataFrame, keyName: String, width: Double,
+                          ps: Seq[Double], countName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import state.sparkSession.implicits._
-    val monthly = state
-      .groupBy(date_trunc("month", col("day")).as("month"), col("bin"))
-      .agg(sum(col("n")).as("n"))
-    val w = Window.partitionBy(col("month")).orderBy(col("bin"))
+    import binned.sparkSession.implicits._
+    val w = Window.partitionBy(col(keyName)).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = monthly
+    val cdf = binned
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("total",
-        sum(col("n")).over(Window.partitionBy(col("month"))))
+        sum(col("n")).over(Window.partitionBy(col(keyName))))
     cdf.join(broadcast(ps.toDF("p")))
       .filter(col("cum") >= ceil(col("p") * col("total")))
-      .groupBy(col("month"), col("p"))
+      .groupBy(col(keyName), col("p"))
       .agg(
         (min(col("bin")) * lit(width)).as("value_floor"),
-        max(col("total")).as("n_orders"))
-      .orderBy(col("month"), col("p"))
+        max(col("total")).as(countName))
+      .orderBy(col(keyName), col("p"))
   }
 
   /** The exact twin (rescans the log — what the sketch table avoids);

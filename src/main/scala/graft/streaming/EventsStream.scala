@@ -594,6 +594,63 @@ object EventsStream {
     out
   }
 
+  /** Streaming windowed value-HISTOGRAM aggregation: per tumbling
+    * 1-hour window, per fixed-width value bin, an event count — the
+    * streaming face of the mergeable quantile state
+    * ([[graft.ops.Sketches.dailyValueHistogram]]). State is
+    * (open windows × occupied bins) cells, bounded by the watermark and
+    * the value range — percentiles over an unbounded stream with
+    * bounded state, which no exact rank-based method can offer.
+    */
+  def hourlyValueHistAgg(events: DataFrame,
+                         width: Double = 10.0): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"),
+        floor(col("value") / lit(width)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Declared streaming hourly quantiles: drain the fixture replay
+    * through [[hourlyValueHistAgg]] (complete mode) and read p50/p95
+    * per hour window off the drained histogram with the SAME CDF
+    * selection as the batch gold rollup
+    * ([[graft.ops.Sketches.quantilesFromBinned]]) — the oracle
+    * recomputes from the raw table, so a hash match proves the
+    * streaming histogram lost nothing.
+    */
+  def hourlyQuantilesStream(spark: SparkSession, sfDir: String,
+                            width: Double = 10.0,
+                            ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_hq")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = eventsSource(spark, streamDir.toString, raw)
+    val qName = s"hourly_quantiles_${System.nanoTime()}"
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try hourlyValueHistAgg(src, width).writeStream
+        .format("memory")
+        .queryName(qName)
+        .outputMode("complete")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    val binned = spark.table(qName)
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("bin"), col("n"))
+    val out = graft.ops.Sketches
+      .quantilesFromBinned(binned, "window_start", width, ps,
+        countName = "n_events")
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Run the streaming aggregation over the fixture parquet to
     * completion (memory sink, complete mode) and return the result as a
     * DataFrame with deterministic ordering. Returns hour-of-day rollup

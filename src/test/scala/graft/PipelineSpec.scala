@@ -211,6 +211,23 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("streaming hourly quantiles equal the batch binned recompute") {
+    val width = 10.0
+    val streamed = EventsStream.hourlyQuantilesStream(spark, sfTiny, width)
+    val batchBinned = Tables.events(spark, sfTiny)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("window_start"),
+        floor(col("value") / lit(width)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val batch = graft.ops.Sketches.quantilesFromBinned(
+      batchBinned, "window_start", width, Seq(0.5, 0.95),
+      countName = "n_events")
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+    // sanity: quantiles land inside the observed value range
+    val vf = streamed.agg(min("value_floor"), max("value_floor")).head()
+    assert(vf.getDouble(0) >= 0.0 && vf.getDouble(1) <= 490.02)
+  }
+
   test("ml_train metrics clear quality floor") {
     val m = graft.ml.RevenueModel.trainEval(spark, sfTiny).head()
     val (mae, rmse, r2) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
