@@ -34,6 +34,11 @@ object CorpusExport {
     * ANSI SQL without hex parsing.
     */
   def shardCol(n: Int, salt: String = "shard"): Column = {
+    // the threshold ladder is an (n-1)-branch CASE: exact, and the same
+    // expression an ANSI oracle can state. Codegen splits oversized
+    // methods automatically, but a many-thousand-way export should
+    // shard hierarchically (two nested ladders of √n) rather than lean
+    // on one giant CASE — hence the cap.
     require(n >= 1 && n <= 4096, s"numShards $n out of range")
     val prefix = substring(
       md5(concat(lit(salt + ":"), col("doc_id").cast(StringType))), 1, 8)

@@ -617,6 +617,12 @@ object EventsStream {
     * ([[graft.ops.Sketches.quantilesFromBinned]]) — the oracle
     * recomputes from the raw table, so a hash match proves the
     * streaming histogram lost nothing.
+    *
+    * Complete mode retains every window's state for this finite replay
+    * (the memory-sink table is the full histogram, read once after the
+    * drain); an unbounded production deployment runs the same agg in
+    * APPEND mode, where the declared watermark evicts closed windows
+    * and state stays bounded — the [[heavyUsersStream]] drain pattern.
     */
   def hourlyQuantilesStream(spark: SparkSession, sfDir: String,
                             width: Double = 10.0,

@@ -434,6 +434,17 @@ class PlanAuditSpec extends SparkSpec {
       "scan not pruned to (doc_id, text)")
   }
 
+  test("quantile_histogram_rollup: fact scan once, pruned to two columns; probes broadcast") {
+    val p = planOf("quantile_histogram_rollup")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"the fact table must be read once, got $scans scans")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp_ntz>"),
+      "scan not pruned to (o_totalprice, o_orderdate)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "quantile probes must broadcast, never shuffle the CDF")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
