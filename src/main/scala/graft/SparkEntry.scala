@@ -110,6 +110,7 @@ object SparkEntry {
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "quantile_histogram_rollup" -> ((s, d) => Sketches.monthlyValueQuantiles(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
+    "merge_upsert"       -> ((s, d) => graft.pipeline.Medallion.mergeUpsertOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1330,6 +1331,33 @@ object SparkEntry {
          UNION ALL
          SELECT *, 'delete' AS "_change" FROM (SELECT * FROM g1 EXCEPT ALL SELECT * FROM g2)
          ORDER BY "_change", month""",
+    // Relational recompute of the keyed copy-on-write MERGE
+    // (Medallion.mergeUpsertOrders): base minus updated/deleted keys,
+    // union updates and inserts. A hash match proves update-wins,
+    // insert-on-no-match, and delete-drops-key through the full
+    // write → merge → manifest-read round trip.
+    "merge_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice,
+                  o_orderdate, '0-MERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0),
+         ins AS (
+           SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '6-INSERTED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+         base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 97 <> 0
+             AND NOT (o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0))
+         SELECT * FROM (
+           SELECT * FROM base
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
     // Batch LEFT JOIN with the interval predicate: exactly what the
     // drained stream-stream left-outer join must equal. NULLS FIRST to
     // match the Spark side's asc_nulls_first (DuckDB defaults NULLS LAST).

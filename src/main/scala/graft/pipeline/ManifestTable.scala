@@ -545,6 +545,173 @@ object ManifestTable {
     mapper.writeValueAsString(root)
   }
 
+  /** Row-level keyed MERGE (copy-on-write upsert/delete) — the
+    * delta-spark flagship write op (`MERGE INTO`, the operation the
+    * reference wires Delta for: `/root/reference/src/etl_pipeline.py:36-41`)
+    * re-expressed over the manifest protocol. Semantics per key:
+    * an `updates` row whose key matches a base row REPLACES it; a
+    * non-matching row INSERTS; a row flagged true in `deleteCol`
+    * DELETES its key (no insert). The merged table is the next
+    * committed version; failure anywhere before the manifest rename is
+    * invisible.
+    *
+    * Copy-on-write file selection — the part that decides whether this
+    * works at 100 TB:
+    *
+    *  1. STATS PRUNE (metadata-only, driver): files whose recorded
+    *     [min,max] for `key` cannot intersect the updates' key range
+    *     are untouched by construction — on a key-clustered table
+    *     (write with `statsCols = Seq(key)` after range-partitioning;
+    *     or [[compact]] with `sortCols`) a 0.1%-of-keys merge prunes
+    *     almost every file without reading a byte of data.
+    *  2. SEMI-JOIN CONFIRM (one distributed job over the SURVIVORS
+    *     only): scan the candidate files with `input_file_name`,
+    *     broadcast-semi-join the update keys, collect the distinct
+    *     file names that actually contain a matching key. O(candidate
+    *     bytes), never O(table).
+    *  3. REWRITE touched files only: surviving rows (anti-join on key)
+    *     plus ALL upsert rows stage into a fresh snapshot dir; the new
+    *     manifest lists untouched files VERBATIM (same paths — the
+    *     spec asserts they are physically the same bytes) plus the
+    *     staged rewrites. Untouched files keep their carried stats;
+    *     staged files are re-indexed when `statsCols` is passed.
+    *
+    * A matched key living in an untouched file is impossible — step 2
+    * touches every file containing any update key — so "insert = key
+    * matched nowhere" needs no global key scan. The update side is
+    * broadcast (merges are small-vs-big by nature; a merge whose
+    * update side rivals the table should be an overwrite).
+    *
+    * Schema contract: `updates` must carry exactly the table's columns
+    * (plus `deleteCol`) with identical types — merge never evolves
+    * schema (that is [[append]]'s contract). Unpartitioned tables only,
+    * same as append, and the same OCC retry loop as every commit. An
+    * optional `tag` makes the merge replay-idempotent ([[appendIdempotent]]
+    * semantics: a redelivered merge with a committed tag no-ops).
+    */
+  def merge(updates: DataFrame, path: String, key: String,
+            deleteCol: Option[String] = None,
+            statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+            tag: Option[String] = None,
+            tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max => smax, min => smin}
+    val spark = updates.sparkSession
+    val alreadyCommitted = tag.flatMap(committedVersionOfTag(spark, path, _))
+    if (alreadyCommitted.isDefined) return alreadyCommitted.get
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path to merge into"))
+      val version = prevV + 1L
+      val all = manifestFiles(spark, path, prevV)
+      require(!all.exists(_.split("/").exists(_.contains("="))),
+        s"cannot merge into partitioned version $prevV of $path — " +
+          "rewrite it unpartitioned first (compact) or overwrite")
+      val schema = manifestSchema(spark, path, prevV).getOrElse(
+        readVersion(spark, path, prevV).schema)
+      // schema contract: exactly the table's columns (+ deleteCol)
+      val updCols = updates.schema.fields
+        .filterNot(fd => deleteCol.contains(fd.name))
+      require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
+          schema.fields.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq,
+        s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
+          s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
+      val stats = manifestStats(spark, path, prevV)
+      // 1) stats prune against the updates' key range (one tiny agg).
+      // Only NUMERIC keys prune on stats (string min/max ordering is
+      // collation-dependent); non-numeric keys fall through to the
+      // semi-join confirm with every file as candidate — still
+      // O(table) at worst, never wrong.
+      val numericKey = schema(key).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+      val candidates: Seq[String] =
+        if (bounds.isNullAt(0)) Nil // no update keys → nothing touched
+        else if (!numericKey) all
+        else {
+          val kLo = bounds.get(0).toString.toDouble
+          val kHi = bounds.get(1).toString.toDouble
+          all.filter { file =>
+            stats.get(file).flatMap(_.get(key)) match {
+              case Some(s) if s.complete && s.typ != "string" =>
+                s.max.toString.toDouble >= kLo && s.min.toString.toDouble <= kHi
+              case _ => true // no/partial stats → must be confirmed
+            }
+          }
+        }
+      // 2) semi-join confirm over candidate files only
+      val updKeys = updates.select(col(key)).distinct()
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else {
+          val hit = readFiles(spark, path, prevV, candidates)
+            .select(input_file_name().as("_graft_file"), col(key))
+            .join(broadcast(updKeys), Seq(key), "left_semi")
+            .select(col("_graft_file")).distinct()
+            .collect().map(_.getString(0)) // bounded by candidate file count
+          // input_file_name yields absolute URIs; map back by suffix
+          candidates.filter(rel => hit.exists(_.endsWith(rel)))
+        }
+      val untouched = all.filterNot(touched.contains)
+      // 3) rewrite only the touched rows
+      val upserts = deleteCol match {
+        case Some(dc) => updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
+        case None     => updates
+      }
+      val ordered = upserts.select(schema.fieldNames.map(col).toSeq: _*)
+      val newData =
+        if (touched.isEmpty) ordered
+        else readFiles(spark, path, prevV, touched)
+          .join(broadcast(updKeys), Seq(key), "left_anti")
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .unionByName(ordered)
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      // stage in ~as many files as were touched (shuffle-free coalesce):
+      // a merge must not fragment the rewrite into shuffle.partitions
+      // slivers — file count stays stable across repeated merges
+      newData.coalesce(math.max(1, touched.size))
+        .write.mode("overwrite").parquet(snapDir)
+      var staged = listDataFiles(f, new Path(snapDir))
+      if (staged.isEmpty && untouched.isEmpty) {
+        // all rows deleted: commit a readable empty version
+        newData.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        staged = listDataFiles(f, new Path(snapDir))
+      }
+      val stagedRel = staged.map(p => relativize(new Path(path), p))
+      val newStats: Map[String, Map[String, ColStats]] =
+        if (statsCols.isEmpty) Map.empty
+        else staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, statsCols)).toMap
+      val carriedStats = stats.view.filterKeys(untouched.contains).toMap
+      val allTags: Map[String, Long] =
+        (manifestTags(spark, path, prevV) ++ tag.map(_ -> version))
+          .toSeq.sortBy { case (t, v) => (-v, t) }
+          .take(tagHorizon).toMap
+      val json = manifestJson(spark, version, untouched ++ stagedRel,
+        carriedStats ++ newStats, tag, Some(schema), allTags)
+      val manifest = new Path(path, s"$ManifestPrefix$version.json")
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifest)) return version
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"merge commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** The files [[merge]] would rewrite for these update keys, split as
+    * (statsCandidates, total) — the pruning diagnostic the spec asserts
+    * on (how many files the metadata prune alone excluded).
+    */
+  def mergeCandidateCount(spark: SparkSession, path: String, key: String,
+                          lower: Double, upper: Double): (Int, Int) =
+    pruneCount(spark, path, key, lower, upper)
+
   /** OPTIMIZE-style compaction: rewrite the CURRENT version into
     * `targetFiles` files as a new committed version — readers flip
     * atomically, the pre-compaction version stays time-travelable, and

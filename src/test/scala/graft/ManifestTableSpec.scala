@@ -501,6 +501,85 @@ class ManifestTableSpec extends SparkSpec {
     assert(pruned.count() === 2)
   }
 
+  test("keyed merge: update wins, insert on no-match, delete drops the key") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg1").toString + "/t"
+    ManifestTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "v", "x"), path)
+    val updates = Seq(
+      (2L, "B2", 99.0, false),  // update
+      (9L, "new", 1.0, false),  // insert (matches nothing)
+      (3L, "c", 30.0, true))    // delete
+      .toDF("id", "v", "x", "_del")
+    val v = ManifestTable.merge(updates, path, "id", deleteCol = Some("_del"))
+    assert(v === 2L)
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "x").as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "B2", 99.0),
+      (4L, "d", 40.0), (9L, "new", 1.0)))
+    // time travel: pre-merge version intact
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 4)
+    // schema contract: extra/missing columns refuse to commit
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(Seq((1L, "z")).toDF("id", "v"), path, "id")
+    }
+    assert(ManifestTable.currentVersion(spark, path) === Some(2L))
+  }
+
+  test("merge is copy-on-write: untouched files are physically the same bytes, pruned by key stats") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg2").toString + "/t"
+    // key-clustered base: 4 files with disjoint id ranges + key stats
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val baseFiles = ManifestTable.manifestFiles(spark, path, 1)
+    assert(baseFiles.size === 4)
+    val sig = baseFiles.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> (f.length, f.lastModified)
+    }.toMap
+
+    // update keys 10..19 — they live in exactly one range file
+    val updates = spark.range(10, 20).toDF("id")
+      .withColumn("v", lit(-1L))
+    ManifestTable.merge(updates, path, "id", statsCols = Seq("id"))
+    val after = ManifestTable.manifestFiles(spark, path, 2)
+    val kept = after.filter(baseFiles.contains)
+    val rewritten = baseFiles.filterNot(after.contains)
+    assert(rewritten.size === 1,
+      s"narrow-range merge must rewrite exactly the one touched file, got $rewritten")
+    // untouched files: same paths, same bytes on disk (never rewritten)
+    kept.foreach { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel),
+        s"untouched file $rel was rewritten")
+    }
+    // merged content is right
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got.size === 400)
+    (10L until 20L).foreach(k => assert(got(k) === -1L))
+    assert(got(9L) === 18L && got(20L) === 40L)
+    // the data-skipping index survives the merge on both sides
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id", 10, 19)
+    assert(total === after.size && cand < total,
+      "merged table lost its key stats — future merges cannot prune")
+  }
+
+  test("merge replays idempotently by tag and stays in the OCC loop") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg3").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val updates = Seq((2L, "B")).toDF("id", "v")
+    val v = ManifestTable.merge(updates, path, "id", tag = Some("batch-7"))
+    assert(v === 2L)
+    // redelivered merge with the committed tag: no-op, same version back
+    assert(ManifestTable.merge(updates, path, "id", tag = Some("batch-7")) === 2L)
+    assert(ManifestTable.currentVersion(spark, path) === Some(2L))
+    assert(ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "B")))
+  }
+
   test("reads stay sound when stats are absent or the column is unknown") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
     ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols
