@@ -109,6 +109,7 @@ object SparkEntry {
     "embedding_project"  -> ((s, d) => Similarity.embeddingProject(s, d)),
     "sketch_distinct_rollup" -> ((s, d) => Sketches.monthlyDistinctUsers(s, d)),
     "quantile_histogram_rollup" -> ((s, d) => Sketches.monthlyValueQuantiles(s, d)),
+    "quantile_sketch_rollup" -> ((s, d) => Sketches.quantileSketchRollup(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "merge_upsert"       -> ((s, d) => graft.pipeline.Medallion.mergeUpsertOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
@@ -264,6 +265,16 @@ object SparkEntry {
            CAST(MAX(total) AS BIGINT) AS n_orders
          FROM c, p WHERE cum >= ceil(p * total)
          GROUP BY month, p ORDER BY month, p""",
+    // Banded sketch oracle (Sketches.quantileSketchRollup): exact
+    // anchors recomputed; within_alpha (log-bin relative-error bound)
+    // and merge_consistent (daily→monthly state merge losslessness)
+    // are in-query verdicts the oracle expects literal TRUE.
+    "quantile_sketch_rollup" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, p,
+         COUNT(*) AS n_orders,
+         TRUE AS within_alpha, TRUE AS merge_consistent
+         FROM orders, (SELECT UNNEST([0.5, 0.9, 0.99]) AS p)
+         GROUP BY 1, 2 ORDER BY month, p""",
     // Banded sketch oracle: exact anchors recomputed here; the sketch
     // columns arrive as booleans already checked against their error
     // bands inside the Spark aggregation (see Aggregates.approxStats).
