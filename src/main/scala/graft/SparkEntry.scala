@@ -126,6 +126,7 @@ object SparkEntry {
     "stream_left_outer"  -> ((s, d) => graft.streaming.EventsStream.viewPurchaseLeftStream(s, d)),
     "stream_enrich"      -> ((s, d) => graft.streaming.EventsStream.enrichEventsStream(s, d)),
     "stream_hourly_quantiles" -> ((s, d) => graft.streaming.EventsStream.hourlyQuantilesStream(s, d)),
+    "stream_table_feed"  -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeed(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1342,6 +1343,33 @@ object SparkEntry {
          UNION ALL
          SELECT *, 'delete' AS "_change" FROM (SELECT * FROM g1 EXCEPT ALL SELECT * FROM g2)
          ORDER BY "_change", month""",
+    // Relational recompute of the table-as-stream change feed
+    // (TableFeedSource.streamTableFeed): the three loads key their
+    // commit version by o_orderkey mod 3; the merge at version 4
+    // surfaces as a delete+insert pair per updated key.
+    "stream_table_feed" ->
+      """WITH ins AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'insert' AS _change,
+                  CAST(1 + o_orderkey % 3 AS BIGINT) AS _commit_version
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'insert' AS _change, CAST(4 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0),
+         del AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'delete' AS _change, CAST(4 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT * FROM (
+           SELECT * FROM ins
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM del)
+         ORDER BY o_orderkey, _commit_version, _change""",
     // Relational recompute of the keyed copy-on-write MERGE
     // (Medallion.mergeUpsertOrders): base minus updated/deleted keys,
     // union updates and inserts. A hash match proves update-wins,

@@ -755,6 +755,43 @@ object ManifestTable {
       .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
   }
 
+  /** Row-level changes committed BY `version` (the per-version unit the
+    * table-feed stream replays, [[graft.streaming.TableFeedSource]]).
+    * Three cases, cheapest first:
+    *
+    *  - the FIRST committed version: every row is an `insert`;
+    *  - an APPEND commit (previous file list ⊂ current): exactly the
+    *    freshly appended files read as `insert`s — no carried file is
+    *    rescanned, so a feed over an append-mostly table is O(new data)
+    *    per version, never O(table);
+    *  - anything else (overwrite / compact / merge): the full multiset
+    *    [[diff]] against the previous version (delete+insert pairs).
+    *
+    * Requires `version - 1` to still be committed (not [[vacuum]]ed) —
+    * the same retention-vs-consumption contract a Delta change feed
+    * draws.
+    */
+  def changesForVersion(spark: SparkSession, path: String,
+                        version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.contains(version), s"version $version not committed at $path")
+    if (version == vs.head)
+      readVersion(spark, path, version).withColumn("_change", lit("insert"))
+    else {
+      val prev = manifestFiles(spark, path, version - 1).toSet
+      val cur = manifestFiles(spark, path, version)
+      if (prev.subsetOf(cur.toSet)) {
+        val fresh = cur.filterNot(prev)
+        if (fresh.isEmpty)
+          readVersion(spark, path, version).limit(0)
+            .withColumn("_change", lit("insert"))
+        else readFiles(spark, path, version, fresh)
+          .withColumn("_change", lit("insert"))
+      } else diff(spark, path, version - 1, version)
+    }
+  }
+
   /** Drop all snapshots and manifests older than the newest `keep`
     * versions. Never touches uncommitted (orphan) snapshot directories
     * newer than the current version — a concurrent failed writer's

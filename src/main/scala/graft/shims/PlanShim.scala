@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a fully-planned BATCH frame as a streaming micro-batch —
+    * what a V1 streaming `Source.getBatch` must hand the engine (the
+    * same `internalCreateDataFrame(isStreaming = true)` call Spark's
+    * own FileStreamSource makes; private[sql], hence this shim).
+    */
+  def asMicroBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

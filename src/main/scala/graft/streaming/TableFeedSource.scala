@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.PlanShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** [[ManifestTable]] as a Structured Streaming SOURCE — the
+  * table-as-stream / change-feed subscription that closes the CDC loop
+  * [[ManifestTable.diff]] opens: a downstream incremental pipeline
+  * subscribes to a committed table and receives each new VERSION as one
+  * micro-batch of row-level changes, exactly once, resumable from a
+  * checkpoint.
+  *
+  * Offsets ARE commit versions (the natural total order the manifest
+  * protocol already provides — the same identification delta-spark's
+  * own streaming source draws): `getOffset` is the table's current
+  * committed version; `getBatch(v₁, v₂)` replays versions v₁+1..v₂ via
+  * [[ManifestTable.changesForVersion]] — appended files read as
+  * `insert`s (O(new data), carried files never rescanned), overwrite /
+  * merge commits surface as delete+insert [[ManifestTable.diff]] pairs.
+  * Each row carries `_change` and `_commit_version`.
+  *
+  * V1 `Source` rather than a DSv2 `MicroBatchStream` deliberately:
+  * `getBatch` returns a DataFrame, so each micro-batch IS the
+  * manifest-governed parquet scan (full Catalyst pushdown, vectorized
+  * reader, AQE) instead of a hand-rolled row reader — the Spark-first
+  * choice. The engine sees a streaming plan via the same
+  * `internalCreateDataFrame(isStreaming = true)` re-tag Spark's own
+  * FileStreamSource uses ([[PlanShim.asMicroBatch]]).
+  *
+  * Schema is pinned at stream start (current version's manifest
+  * schema + the two change columns); an additive evolution mid-stream
+  * surfaces its new columns on restart, matching the checkpoint
+  * contract. Consumption must stay within [[ManifestTable.vacuum]]
+  * retention — the Delta change-feed contract.
+  *
+  * Registered as `format("graft-table-feed")` with `option("path", …)`
+  * (full provider class name; DataSourceRegister short names need a
+  * META-INF services entry, and the library keeps resources out of the
+  * jar — callers use [[TableFeedSource.readStream]]).
+  */
+class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table-feed"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), TableFeedSource.feedSchema(
+      sqlContext.sparkSession, TableFeedSource.pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new TableFeedSource(sqlContext.sparkSession,
+      TableFeedSource.pathOf(parameters))
+}
+
+class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
+                      path: String) extends Source {
+
+  override val schema: StructType = TableFeedSource.feedSchema(spark, path)
+
+  /** Latest committed version — the manifest listing IS the offset
+    * authority, so an uncommitted (orphan) snapshot can never be
+    * offered to the engine.
+    */
+  override def getOffset: Option[V1Offset] =
+    ManifestTable.currentVersion(spark, path).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(TableFeedSource.versionOf).getOrElse(0L)
+    val to = TableFeedSource.versionOf(end)
+    val committed = ManifestTable.versions(spark, path)
+      .filter(v => v > from && v <= to)
+    val tableCols = schema.fields.dropRight(1).map(f => col(f.name)).toSeq
+    val batch = committed
+      .map(v => ManifestTable.changesForVersion(spark, path, v)
+        .withColumn("_commit_version", lit(v))
+        .select(tableCols :+ col("_commit_version"): _*))
+      .reduceOption(_ unionByName _)
+      .getOrElse(ManifestTable.read(spark, path).limit(0)
+        .withColumn("_change", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .select(schema.fieldNames.map(col).toSeq: _*))
+    PlanShim.asMicroBatch(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object TableFeedSource {
+
+  private[streaming] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table-feed needs option(\"path\", …)"))
+
+  /** Pinned feed schema: the table's committed schema plus the change
+    * metadata columns.
+    */
+  def feedSchema(spark: org.apache.spark.sql.SparkSession,
+                 path: String): StructType = {
+    val v = ManifestTable.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version at $path — commit before subscribing"))
+    val table = ManifestTable.manifestSchema(spark, path, v)
+      .getOrElse(ManifestTable.readVersion(spark, path, v).schema)
+    StructType(table.fields
+      :+ StructField("_change", StringType, nullable = false)
+      :+ StructField("_commit_version", LongType, nullable = false))
+  }
+
+  private[graft] def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other               => other.json.trim.toLong
+  }
+
+  /** Subscribe to a committed table: `readStream` on the feed source. */
+  def readStream(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    spark.readStream
+      .format(classOf[TableFeedProvider].getName)
+      .option("path", path)
+      .load()
+
+  /** Declared table-as-stream query: four commit styles — initial
+    * overwrite, two appends, one keyed copy-on-write merge — land in a
+    * [[ManifestTable]], then ONE streaming subscription replays the
+    * whole history as change rows. The DuckDB oracle recomputes every
+    * version's contribution relationally (version = 1 + key mod 3 for
+    * the three loads; the merge's delete+insert pair at version 4), so
+    * a hash match proves offset bookkeeping (each row tagged with the
+    * right `_commit_version`), the append fast path (appended files as
+    * inserts), and the diff fallback (merge surfacing as delete+insert)
+    * in one gate.
+    *
+    * Scale shape: per micro-batch the feed reads ONLY the files the
+    * version appended (append path) or the two-version diff (rewrite
+    * path) — a subscriber tails a 100 TB append-mostly table at the
+    * cost of the new data, never the table.
+    */
+  def streamTableFeed(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_table_feed_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/orders_feed"
+    val orders = graft.Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)  // v1
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 1), path) // v2
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 2), path) // v3
+    ManifestTable.merge(                                                   // v4
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      path, "o_orderkey")
+    val qName = s"table_feed_${System.nanoTime()}"
+    val q = readStream(spark, path).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(qName)
+      .orderBy(col("o_orderkey"), col("_commit_version"), col("_change"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+}
