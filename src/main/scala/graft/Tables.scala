@@ -35,12 +35,21 @@ object Tables {
   def rawEventsSchema(spark: SparkSession, path: String): StructType =
     rawSchemaOf(spark, path)
 
-  /** Footer schema of any parquet path, with nanos-as-long pinned so
-    * NANOS-typed columns sniff as LongType instead of failing the read.
+  /** Footer schema of any parquet path, with nanos-as-long pinned FOR
+    * THE SNIFF ONLY (schema inference is eager, so the conf can be
+    * restored immediately — nothing leaks into the caller's session;
+    * callers that go on to READ a nanos-typed fixture pin the conf
+    * around their own read, e.g. the streaming queries' withConf).
     */
   def rawSchemaOf(spark: SparkSession, path: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.read.parquet(path).schema
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Normalize a raw `ts` column to microsecond TIMESTAMP_NTZ — the

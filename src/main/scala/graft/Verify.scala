@@ -19,10 +19,12 @@ object Verify {
     // Schema-drift canary (round 7: a regenerated fixture flipped
     // events.ts from INT64 nanos to TIMESTAMP(MICROS); 20 queries broke
     // with a cryptic analysis error). One line per table so the NEXT
-    // regeneration fails loudly with the drifted column named — physical
-    // types are reported, not asserted, because loaders adapt
-    // (graft.Tables.rawEventsSchema); missing/renamed columns are the
-    // hard failure the queries cannot adapt to.
+    // regeneration is DIAGNOSABLE at a glance: physical types are
+    // reported, not asserted, because loaders adapt
+    // (graft.Tables.rawEventsSchema). Missing/renamed columns are
+    // REPORTED (DRIFT line), not enforced — the run continues so the
+    // unaffected queries still produce a partial correctness record;
+    // the affected queries' own failures carry the enforcement.
     val expectedCols = Map(
       "region" -> "r_regionkey r_name",
       "nation" -> "n_nationkey n_name n_regionkey",

@@ -153,6 +153,15 @@ object Sketches {
     * hourly twin ([[graft.streaming.EventsStream.hourlyQuantilesStream]]):
     * per key, the lower edge of the first bin whose cumulative count
     * reaches ceil(p·total), for each probe p.
+    *
+    * PINNED-PROBE ASSUMPTION: the rank is ceil(p·total) in DOUBLE
+    * arithmetic while the DuckDB oracle evaluates the same expression
+    * in exact DECIMAL. For the declared probes (0.5/0.9/0.95/0.99 —
+    * exactly representable) the products round identically, so the
+    * readoffs agree; a caller-supplied p sitting on a representation
+    * boundary could pick a rank off by one vs an exact-decimal oracle.
+    * New declared queries must keep their probes in this exact set (or
+    * extend the oracle to double arithmetic).
     */
   def quantilesFromBinned(binned: DataFrame, keyName: String, width: Double,
                           ps: Seq[Double], countName: String): DataFrame = {

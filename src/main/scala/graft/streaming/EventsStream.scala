@@ -471,8 +471,10 @@ object EventsStream {
     * picks up its customer dimension row. The static side is
     * `broadcast()` and the join is STATELESS — no watermark, no
     * buffered state, each micro-batch joins like a batch star join — so
-    * it composes freely with downstream stateful stages. On a cluster
-    * the dim broadcast is shipped once per executor, not per batch.
+    * it composes freely with downstream stateful stages. NOTE: Spark
+    * re-evaluates the static side's plan (including the broadcast
+    * exchange) on every micro-batch; callers that care about per-batch
+    * rebuild cost persist() the dim first — the declared query does.
     */
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer), col("user_id") === col("c_custkey"))
@@ -491,7 +493,9 @@ object EventsStream {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
     val src = eventsSource(spark, streamDir.toString, raw)
-    val dim = graft.Tables.customer(spark, sfDir)
+    // persisted: stream-static joins rebuild the static plan (and its
+    // broadcast) per micro-batch; the cache makes that a memory read
+    val dim = graft.Tables.customer(spark, sfDir).persist()
     val qName = s"enrich_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -503,7 +507,7 @@ object EventsStream {
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
-    finally q.stop()
+    finally { q.stop(); dim.unpersist(blocking = false) }
     val out = spark.table(qName)
       .orderBy(col("event_id"))
       .localCheckpoint()
@@ -611,18 +615,22 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
 
   /** Declared streaming hourly quantiles: drain the fixture replay
-    * through [[hourlyValueHistAgg]] (complete mode) and read p50/p95
-    * per hour window off the drained histogram with the SAME CDF
-    * selection as the batch gold rollup
-    * ([[graft.ops.Sketches.quantilesFromBinned]]) — the oracle
-    * recomputes from the raw table, so a hash match proves the
-    * streaming histogram lost nothing.
+    * through [[hourlyValueHistAgg]] in APPEND mode — each (window, bin)
+    * cell is emitted exactly once when the watermark closes its window
+    * and its state is EVICTED, so no query retains all-windows state —
+    * then read p50/p95 per hour window off the drained histogram with
+    * the SAME CDF selection as the batch gold rollup
+    * ([[graft.ops.Sketches.quantilesFromBinned]]). The oracle recomputes
+    * from the raw table, so a hash match proves the streaming histogram
+    * (and every append-mode eviction) lost nothing.
     *
-    * Complete mode retains every window's state for this finite replay
-    * (the memory-sink table is the full histogram, read once after the
-    * drain); an unbounded production deployment runs the same agg in
-    * APPEND mode, where the declared watermark evicts closed windows
-    * and state stays bounded — the [[heavyUsersStream]] drain pattern.
+    * Draining a finite replay in append mode needs the END-OF-STREAM
+    * SENTINEL (one far-future event pushing the watermark past every
+    * real window's close — the [[heavyUsersStream]] pattern); the
+    * sentinel's own window never closes, so it never reaches the sink,
+    * and the post-sink window_start guard is belt-and-braces. On an
+    * unbounded stream the advancing watermark does this continuously —
+    * the declared artifact IS the production form.
     */
   def hourlyQuantilesStream(spark: SparkSession, sfDir: String,
                             width: Double = 10.0,
@@ -633,6 +641,11 @@ object EventsStream {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val maxUs = maxEventMicros(spark, s"$sfDir/events.parquet")
+    // 1 h watermark delay + 1 h window + margin
+    val sentinelUs = maxUs + 3L * 3600L * 1000000L
+    appendSentinels(spark, streamDir.toString, raw,
+      Seq((-1L, sentinelUs, -1L, "view", 0.0, "{}")))
     val src = eventsSource(spark, streamDir.toString, raw)
     val qName = s"hourly_quantiles_${System.nanoTime()}"
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -641,12 +654,13 @@ object EventsStream {
       try hourlyValueHistAgg(src, width).writeStream
         .format("memory")
         .queryName(qName)
-        .outputMode("complete")
+        .outputMode("append")
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
     finally q.stop()
     val binned = spark.table(qName)
+      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("bin"), col("n"))
     val out = graft.ops.Sketches
@@ -658,9 +672,18 @@ object EventsStream {
   }
 
   /** Run the streaming aggregation over the fixture parquet to
-    * completion (memory sink, complete mode) and return the result as a
-    * DataFrame with deterministic ordering. Returns hour-of-day rollup
-    * to match the batch gold_hourly_demand key space.
+    * completion in APPEND mode — each (window, event_type) row is
+    * emitted exactly once when the watermark closes its window and its
+    * state is EVICTED, so state stays bounded at (open windows × types)
+    * on an unbounded stream — and return the hour-of-day rollup that
+    * matches the batch gold_hourly_demand key space.
+    *
+    * Draining a finite replay in append mode needs the END-OF-STREAM
+    * SENTINEL (far-future event pushing the watermark past every real
+    * window's close — the [[heavyUsersStream]] pattern); the sentinel's
+    * own window never closes so it never reaches the sink; the
+    * post-sink guard is belt-and-braces. The declared artifact IS the
+    * production form.
     */
   def hourlyDemandStream(spark: SparkSession, sfDir: String): DataFrame =
     withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
@@ -675,6 +698,11 @@ object EventsStream {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val maxUs = maxEventMicros(spark, s"$sfDir/events.parquet")
+    // 1 h watermark delay + 1 h window + margin
+    val sentinelUs = maxUs + 3L * 3600L * 1000000L
+    appendSentinels(spark, streamDir.toString, raw,
+      Seq((-1L, sentinelUs, -1L, "view", 0.0, "{}")))
     val src = eventsSource(spark, streamDir.toString, raw)
 
     val qName = s"hourly_demand_${System.nanoTime()}"
@@ -688,17 +716,18 @@ object EventsStream {
       try hourlyAgg(src).writeStream
         .format("memory")
         .queryName(qName)
-        .outputMode("complete")
+        .outputMode("append")
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     try q.processAllAvailable()
     finally q.stop()
 
-    // Roll the tumbling windows up to hour-of-day so the result is
-    // comparable with the batch gold_hourly_demand oracle; checkpoint
+    // Roll the closed tumbling windows up to hour-of-day so the result
+    // is comparable with the batch gold_hourly_demand oracle; checkpoint
     // and drop the memory-sink view (it pins the full result in the
     // driver for the session's lifetime otherwise).
     val out = spark.table(qName)
+      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
       .groupBy(col("event_type"), hour(col("window.start")).as("hour"))
       .agg(
         sum(col("event_count")).as("event_count"),
