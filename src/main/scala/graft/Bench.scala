@@ -47,8 +47,9 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Host-speed ruler: seconds for a fixed CPU-bound Spark job (sum of
-    * 2×10⁸ codegen'd multiplies). Round-over-round bench totals have
+  /** Host-speed ruler: seconds for a fixed CPU-bound Spark job
+    * (bit_xor of xxhash64 over a 2×10⁸-row range — codegen'd, no ANSI
+    * overflow possible). Round-over-round bench totals have
     * moved ~2.5× with ZERO code change purely from landing on a
     * different host (round 8 vs round 6); dividing query times by this
     * calibration makes cross-round comparison meaningful again. Min of
@@ -61,6 +62,17 @@ object Bench {
       spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").head()
       (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Pinned calibration anchor: `calib_sec` of the round-8 reference
+    * run (BASELINE.md "Calibration anchor"). `total_calib_normalized`
+    * = total × (anchor / this run's calib_sec) — bench totals become
+    * cross-round comparable by reading one field instead of
+    * re-deriving a host factor each round.
+    */
+  val CalibAnchorSec: Double = 0.394
+
+  def calibNormalized(total: Double, calib: Double): Double =
+    if (calib > 0) total * (CalibAnchorSec / calib) else -1.0
 
   /** Locale-safe fixed-point formatting — the f-interpolator honors the
     * default locale and a comma decimal separator corrupts JSON.
@@ -100,7 +112,7 @@ object Bench {
     val errJson = if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},"spread_gt_100ms":$noisy$errJson,"queries":$qs}"""
   }
 
   /** A compact twin of [[renderFull]] guaranteed to fit `budgetChars`:
@@ -124,7 +136,7 @@ object Bench {
     val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 2) }
     def line(kept: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
     // keep the slowest-first prefix that fits the budget
     var kept = entries
     while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
