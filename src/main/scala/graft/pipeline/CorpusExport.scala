@@ -32,20 +32,49 @@ object CorpusExport {
     * comparison IS unsigned-32-bit comparison here (same length, same
     * alphabet), which is what makes the same ladder expressible in
     * ANSI SQL without hex parsing.
+    *
+    * Two physical forms of ONE function (the spec proves them equal):
+    *
+    *  - small n: the (n−1)-branch threshold CASE — the form an ANSI
+    *    oracle states verbatim (`export_manifest`, n=8). Capped at 64:
+    *    Spark 4's column-node converter recurses per nested
+    *    when/otherwise, and a many-hundred-branch chain overflows the
+    *    stack before codegen even sees it (measured at 512);
+    *  - larger n: closed arithmetic — shard = ⌊(u·n + n−1) / 2³²⌋ with
+    *    u the prefix as an unsigned 32-bit integer. Counting the CASE's
+    *    thresholds t_k = ⌊k·2³²/n⌋ with t_k ≤ u gives exactly
+    *    ⌈(u+1)·n/2³²⌉ − 1 = that expression, so the arithmetic form IS
+    *    the ladder, O(1) per row. This supersedes the two-level √n
+    *    nested-CASE sketch the cap comment used to carry: same
+    *    function, no ~2√n comparison chain, no deep expression tree —
+    *    a 100k-shard export costs one multiply-shift per row.
+    *
+    * Because the two forms are the same function, the cutoff is purely
+    * physical — moving it can never re-shard an existing corpus.
     */
   def shardCol(n: Int, salt: String = "shard"): Column = {
-    // the threshold ladder is an (n-1)-branch CASE: exact, and the same
-    // expression an ANSI oracle can state. Codegen splits oversized
-    // methods automatically, but a many-thousand-way export should
-    // shard hierarchically (two nested ladders of √n) rather than lean
-    // on one giant CASE — hence the cap.
-    require(n >= 1 && n <= 4096, s"numShards $n out of range")
-    val prefix = substring(
-      md5(concat(lit(salt + ":"), col("doc_id").cast(StringType))), 1, 8)
+    require(n >= 1 && n <= (1 << 20), s"numShards $n out of range")
+    if (n <= 64) shardColLadder(n, salt) else shardColArith(n, salt)
+  }
+
+  private def saltedPrefix(salt: String): Column = substring(
+    md5(concat(lit(salt + ":"), col("doc_id").cast(StringType))), 1, 8)
+
+  /** The explicit threshold CASE (oracle-stateable form). */
+  private[graft] def shardColLadder(n: Int, salt: String = "shard"): Column = {
+    val prefix = saltedPrefix(salt)
     val thresholds = (1 until n).map(k => f"${(k.toLong << 32) / n}%08x")
     thresholds.zipWithIndex.reverse.foldLeft(lit(n - 1): Column) {
       case (acc, (t, i)) => when(prefix < lit(t), lit(i)).otherwise(acc)
     }
+  }
+
+  /** The closed arithmetic form — identical function, any n. u·n + n
+    * stays < 2⁵² for n ≤ 2²⁰: exact long arithmetic, no overflow.
+    */
+  private[graft] def shardColArith(n: Int, salt: String = "shard"): Column = {
+    val u = conv(saltedPrefix(salt), 16, 10).cast(LongType)
+    shiftright(u * lit(n.toLong) + lit(n.toLong - 1L), 32).cast(IntegerType)
   }
 
   /** Per-shard accounting over the documents table: doc count, token

@@ -58,6 +58,37 @@ class CorpusExportSpec extends SparkSpec {
     assert(back.select("shard").distinct().count() === 4)
   }
 
+  test("shard ladder beyond 4096: arithmetic form equals the flat threshold definition") {
+    val docs = Tables.documents(spark, sfTiny)
+
+    // (a) where both physical forms are defined they are the same
+    // function — checked value-by-value on the whole fixture (64 is
+    // the CASE form's cap; deeper when/otherwise chains overflow
+    // Spark 4's column-node converter)
+    val both = docs.select(col("doc_id"),
+        CorpusExport.shardColLadder(64).as("ladder"),
+        CorpusExport.shardColArith(64).as("arith"))
+      .filter(col("ladder") =!= col("arith"))
+    assert(both.count() === 0, "ladder and arithmetic forms diverge at n=64")
+
+    // (b) 10k shards: the arithmetic form matches the LITERAL flat
+    // definition (count of thresholds t_k = floor(k*2^32/n) at or below
+    // the prefix), recomputed independently on the driver per doc
+    val n = 10000
+    val got = docs.select(col("doc_id"), CorpusExport.shardCol(n).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (docId, shard) =>
+      val hex = md.digest(s"shard:$docId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val flat = (1 until n).count(k => (k.toLong << 32) / n <= u)
+      assert(shard === flat, s"doc $docId: arith=$shard flat=$flat")
+    }
+    // (c) shard ids cover [0, n) and stay in range
+    assert(got.values.forall(s => s >= 0 && s < n))
+  }
+
   test("export -> re-ingest loop: quarantining JSONL read surfaces a corrupt line") {
     import org.apache.spark.sql.types._
     val out = java.nio.file.Files.createTempDirectory("graft_export_rt").toString + "/corpus"
