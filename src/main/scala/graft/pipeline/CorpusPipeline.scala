@@ -43,7 +43,11 @@ object CorpusPipeline {
   private def runTracked(spark: SparkSession, sfDir: String, outDir: String,
                          chunkTokens: Int,
                          cache: DataFrame => DataFrame): Seq[(String, Long)] = {
-    val raw = Tables.parallelize(Tables.documents(spark, sfDir))
+    // the documents quality battery rides THIS pass via observe — the
+    // feed's health metrics compute inside the actions the pipeline
+    // already runs (no second scan) and land in the returned counts
+    val (raw, docQuality) = Quality.observedDocuments(
+      Tables.parallelize(Tables.documents(spark, sfDir)))
 
     // 1. PII scrub — redact, keep audit counts out of the hot path
     val scrubbed = raw.select(
@@ -131,7 +135,16 @@ object CorpusPipeline {
       "09_train_chunks" ->
         (spark.read.parquet(s"$outDir/train_packing")
           .agg(max(col("chunk_last"))).head.getLong(0) + 1))
-    counts
+    // observed on the pass above ("01_raw"'s count ran the plan); the
+    // battery rows ride the same artifact as the stage counts
+    val q = docQuality.get
+    counts ++ Seq(
+      "10_q_empty_text" -> q("empty_text_rows").asInstanceOf[Long],
+      "11_q_null_key" -> q("null_key_rows").asInstanceOf[Long],
+      "12_q_bad_lang" -> q("bad_lang_rows").asInstanceOf[Long],
+      "13_q_min_chars" -> q("min_chars").asInstanceOf[Long],
+      "14_q_max_chars" -> q("max_chars").asInstanceOf[Long],
+      "15_q_lang_est" -> q("lang_est").asInstanceOf[Long])
   }
 }
 

@@ -47,4 +47,31 @@ object Quality {
   def observedEventsStream(events: DataFrame,
                            name: String = "bronze_quality"): DataFrame =
     events.observe(name, eventMetrics.head, eventMetrics.tail: _*)
+
+  /** The documents-feed quality battery (the corpus-pipeline twin of
+    * [[eventMetrics]]): row count, null/empty text, null keys, text
+    * length bounds, malformed language tags, and an estimated language
+    * cardinality (`approx_count_distinct` — HLL, no DISTINCT keyword,
+    * so it satisfies the observe contract). A feed that silently
+    * truncates text, drops languages, or ships empty rows surfaces in
+    * the same pass that curates it.
+    */
+  def documentMetrics: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("rows"),
+    sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+      .otherwise(0L)).as("empty_text_rows"),
+    sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("null_key_rows"),
+    sum(when(col("lang").isNull || length(col("lang")) =!= 2, 1L)
+      .otherwise(0L)).as("bad_lang_rows"),
+    min(length(col("text")).cast("long")).as("min_chars"),
+    max(length(col("text")).cast("long")).as("max_chars"),
+    approx_count_distinct(col("lang")).as("lang_est"))
+
+  /** Attach the documents battery to a batch plan (read `obs.get` after
+    * an action — the corpus pipeline rides it on its existing pass).
+    */
+  def observedDocuments(docs: DataFrame): (DataFrame, Observation) = {
+    val obs = Observation()
+    (docs.observe(obs, documentMetrics.head, documentMetrics.tail: _*), obs)
+  }
 }

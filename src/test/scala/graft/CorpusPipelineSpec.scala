@@ -38,5 +38,17 @@ class CorpusPipelineSpec extends SparkSpec {
       min(col("chunk_first")), max(col("chunk_last")), sum(col("n_tokens"))).head
     assert(span.getLong(0) == 0)
     assert(span.getLong(1) == (span.getLong(2) - 1) / 256) // last chunk = ceil(tokens/C)-1
+
+    // documents quality battery rode the same pass (Dataset.observe —
+    // no extra scan) and its verdicts land with the stage counts
+    assert(byStage("10_q_empty_text") == 0, "fixture has no empty docs")
+    assert(byStage("11_q_null_key") == 0)
+    assert(byStage("12_q_bad_lang") == 0, "fixture langs are 2-letter tags")
+    assert(byStage("13_q_min_chars") > 0)
+    assert(byStage("14_q_max_chars") >= byStage("13_q_min_chars"))
+    val exactLangs = Tables.documents(spark, sfSmall)
+      .select("lang").distinct().count()
+    assert(math.abs(byStage("15_q_lang_est") - exactLangs) <= 1,
+      s"lang cardinality estimate ${byStage("15_q_lang_est")} vs $exactLangs")
   }
 }
