@@ -1,0 +1,149 @@
+package graft
+
+import graft.streaming.{EventsStream, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[ScaleProbe]]: replays the events feed at sf0.1
+  * and at a synthesized `factor`× corpus through the three stateful
+  * stream families and records what a cluster operator actually
+  * capacity-plans on — input rows/sec and PEAK STATE ROWS
+  * (`StreamingQueryProgress.stateOperators`), at both scales, with
+  * ratios. The batch probe proves the plans stay ~linear; this one
+  * proves the STATE stays bounded by what the watermark/keys imply:
+  *
+  *  - `stream_hourly_demand` (windowed agg): state = open windows ×
+  *    event types — INDEPENDENT of input volume; the 10× replay must
+  *    show a ~1× state ratio (10× rows through the same cells).
+  *  - `stream_dedup` (dropDuplicatesWithinWatermark): state = event
+  *    keys inside the watermark horizon — scales with arrival RATE
+  *    (~10× here, where the replay compresses 10× rows into the same
+  *    event-time span), never with stream length.
+  *  - `stream_sessionize` (flatMapGroupsWithState): state = one
+  *    (start, end, n, sum) record per LIVE USER — scales with the
+  *    key space (~10× disjoint users here), never with events.
+  *
+  * The `factor`× events corpus is derived like the batch probe's
+  * tables: replica k shifts event_id and user_id into disjoint ranges,
+  * keeps ts/type/value — so window structure is preserved (the ~1×
+  * claim is testable) while dedup keys and user keys genuinely
+  * multiply. Sinks are `noop`: the probe times the stateful operators,
+  * not a memory sink's driver copy.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamScaleProbe
+  *   /root/testdata/sf0.1 /tmp/graft_sf1_stream [factor]"
+  * One JSON line per (query, scale) pair + a ratio line; results table
+  * lives in SCALE.md.
+  */
+object StreamScaleProbe {
+
+  final case class Probe(sec: Double, inputRows: Long, peakStateRows: Long) {
+    def rowsPerSec: Double = if (sec > 0) inputRows / sec else Double.NaN
+  }
+
+  /** Drain `plan(src)` over a replay of `eventsPath` with a noop sink;
+    * report wall, input rows, peak state rows. `sentinel` appends the
+    * end-of-stream row that append-mode aggregations need to flush
+    * (and evict) every real window/session.
+    */
+  def probe(spark: SparkSession, eventsPath: String,
+            plan: DataFrame => DataFrame, sentinel: Boolean): Probe = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sprobe")
+    // the file-stream source lists FILES in its directory (it does not
+    // recurse through a directory symlink): a single-file fixture links
+    // as-is, a multi-file corpus links part file by part file
+    val src0 = java.nio.file.Paths.get(eventsPath)
+    if (java.nio.file.Files.isDirectory(src0)) {
+      java.nio.file.Files.list(src0).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(p.getFileName.toString), p)
+      }
+    } else
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), src0)
+    val raw = Tables.rawEventsSchema(spark, eventsPath)
+    if (sentinel) {
+      val maxUs = EventsStream.maxEventMicros(spark, eventsPath)
+      // past every window close AND session timeout horizon
+      val sentinelUs = maxUs +
+        (Sessionize.GapSeconds + 2L * 3600L + 60L) * 1000000L
+      EventsStream.appendSentinels(spark, streamDir.toString, raw,
+        Seq((-1L, sentinelUs, -1L, "sentinel", 0.0, "{}")))
+    }
+    val src = EventsStream.eventsSource(spark, streamDir.toString, raw)
+    val t0 = System.nanoTime()
+    val q = plan(src).writeStream.format("noop").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progresses = q.recentProgress.toSeq
+    val input = progresses.map(_.numInputRows).sum
+    val peakState = progresses
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .foldLeft(0L)(math.max)
+    Probe(sec, input, peakState)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val probeDir = if (args.length > 1) args(1) else "/tmp/graft_sf1_stream"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-scale-probe")
+      // state-store count is fixed at query start; 8 stores match the
+      // declared queries' setting so state metrics are comparable
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- scaled events corpus (idempotent, ScaleProbe discipline) ----
+    val eventsOut = s"$probeDir/events.parquet"
+    val factorFile = java.nio.file.Paths.get(s"$probeDir/_factor")
+    val recorded =
+      try java.nio.file.Files.readString(factorFile).trim.toInt
+      catch { case _: Throwable => -1 }
+    if (recorded != factor ||
+        !new java.io.File(s"$eventsOut/_SUCCESS").exists()) {
+      java.nio.file.Files.createDirectories(factorFile.getParent)
+      java.nio.file.Files.deleteIfExists(factorFile)
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      // disjoint key ranges per replica; ts/type/value unchanged →
+      // same window structure, multiplied dedup keys and users
+      val scaled = (0 until factor).map { k =>
+        ev.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(k.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(eventsOut)
+      java.nio.file.Files.writeString(factorFile, factor.toString)
+    }
+
+    val plans: Seq[(String, DataFrame => DataFrame, Boolean)] = Seq(
+      ("stream_hourly_demand",
+        (src: DataFrame) => EventsStream.hourlyAgg(src), true),
+      ("stream_dedup",
+        (src: DataFrame) => EventsStream.dedupStream(src), false),
+      ("stream_sessionize",
+        (src: DataFrame) => Sessionize.sessionStream(spark, src)
+          .filter(col("user_id") =!= -1L).toDF(), true))
+
+    // warm-up: JIT/codegen the streaming runtime once, untimed
+    plans.foreach { case (_, plan, s) =>
+      try probe(spark, s"$baseDir/events.parquet", plan, s)
+      catch { case _: Throwable => () }
+    }
+
+    plans.foreach { case (name, plan, sentinel) =>
+      val p1 = probe(spark, s"$baseDir/events.parquet", plan, sentinel)
+      val p2 = probe(spark, eventsOut, plan, sentinel)
+      def r(a: Double, b: Double) = if (a > 0) b / a else Double.NaN
+      println(f"""{"query":"$name","sf01_sec":${p1.sec}%.2f,"sf1_sec":${p2.sec}%.2f,"sf01_rows_sec":${p1.rowsPerSec}%.0f,"sf1_rows_sec":${p2.rowsPerSec}%.0f,"sf01_peak_state":${p1.peakStateRows},"sf1_peak_state":${p2.peakStateRows},"state_ratio":${r(p1.peakStateRows.toDouble, p2.peakStateRows.toDouble)}%.2f,"sec_ratio":${r(p1.sec, p2.sec)}%.2f}""")
+    }
+    spark.stop()
+  }
+}
