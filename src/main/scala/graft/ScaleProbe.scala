@@ -62,7 +62,13 @@ object ScaleProbe {
     // round-8 additions: export assignment is map-only (shuffle carries
     // 8 shard rows); histogram state shuffles (month, bin) cells —
     // sub-linear once the bin space saturates
-    "export_manifest", "quantile_histogram_rollup")
+    "export_manifest", "quantile_histogram_rollup",
+    // round-9 additions: merge cost must track the TOUCHED fraction
+    // (update keys mod 97 → ~1% of rows; the rewrite reads candidate
+    // files once + stages the touched rewrite); the log-bin sketch
+    // state shuffles (month, bin) cells like the histogram — saturating
+    // bin space, sub-linear shuffle growth
+    "merge_upsert", "quantile_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

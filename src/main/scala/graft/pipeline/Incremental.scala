@@ -48,6 +48,20 @@ object Incremental {
         sum(col("cnt_rows")).as("cnt_rows"),
         sum(col("cnt_vals")).as("cnt_vals"))
 
+  /** Negated daily state — the RETRACTION delta a change feed's
+    * `delete` rows contribute: decimal sums and counts negate exactly,
+    * so merge(state, negate(state(deleted rows))) removes precisely
+    * what those rows once added (bit-exact, same associativity
+    * argument as the forward merge). Consumers drop groups whose
+    * cnt_rows reaches 0 — a fully retracted group leaves no tombstone.
+    */
+  def negateDailyState(state: DataFrame): DataFrame =
+    state.select(
+      col("o_custkey"), col("day"),
+      (-col("rev_dec")).as("rev_dec"),
+      (-col("cnt_rows")).as("cnt_rows"),
+      (-col("cnt_vals")).as("cnt_vals"))
+
   /** Presentation view of the state — the exact schema/values of
     * [[graft.ops.Aggregates.goldDailyRevenue]].
     */

@@ -52,6 +52,54 @@ class TableFeedSpec extends SparkSpec {
       "a content-preserving rewrite must feed zero changes")
   }
 
+  test("closed CDC loop: feed-maintained gold equals the full recompute through append and merge-with-deletes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_gold").toString
+    val table = s"$base/orders"
+    val state = s"$base/gold"
+    val orders = Tables.orders(spark, sfTiny)
+
+    def recompute() = graft.pipeline.Incremental
+      .dailyState(ManifestTable.read(spark, table))
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+    def maintained() = ManifestTable.read(spark, state)
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+
+    // v1: initial load → first incremental refresh
+    ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), table)
+    val (m1, s1) = TableFeedSource.feedGoldDaily(spark, table, state)
+    assert(m1 === 1L && s1 === 0L)
+    assert(maintained() === recompute())
+
+    // v2 append + v3 keyed merge (updates AND deletes) land upstream;
+    // the SAME checkpoint resumes and consumes only the new versions
+    ManifestTable.append(orders.filter(col("o_orderkey") % 2 =!= 0), table)
+    val upd = orders.filter(col("o_orderkey") % 41 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      .withColumn("_del", lit(false))
+    val del = orders
+      .filter(col("o_orderkey") % 43 === 0 && col("o_orderkey") % 41 =!= 0)
+      .withColumn("_del", lit(true))
+    ManifestTable.merge(upd.unionByName(del), table, "o_orderkey",
+      deleteCol = Some("_del"))
+    val (m2, s2) = TableFeedSource.feedGoldDaily(spark, table, state)
+    assert(m2 >= 1L && s2 === 0L)
+    // retractions folded exactly: maintained state ≡ recompute, bit-level
+    assert(maintained() === recompute())
+
+    // a fresh-checkpoint replay re-offers old versions; committed tags
+    // make every batch a no-op — state untouched (the exactly-once hole
+    // a crash between commit and offset checkpoint would otherwise open)
+    val before = ManifestTable.currentVersion(spark, state)
+    val (m3, s3) = TableFeedSource.feedGoldDaily(spark, table, state,
+      s"$base/ckpt_replay")
+    assert(m3 === 0L && s3 >= 1L)
+    assert(ManifestTable.currentVersion(spark, state) === before)
+  }
+
   test("offsets are commit versions and survive serialization round-trip") {
     assert(TableFeedSource.versionOf(LongOffset(7L)) === 7L)
     assert(TableFeedSource.versionOf(SerializedOffset(LongOffset(7L).json)) === 7L)
