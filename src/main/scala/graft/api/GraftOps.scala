@@ -175,6 +175,24 @@ object GraftOps {
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("value"), col("h.est").as("occurrences"))
 
+  /** Per-group quantiles of a numeric column via the log-binned
+    * mergeable sketch (`graft.functions.DdSketch`): guaranteed
+    * relative error `alpha`, state O(log range / alpha) per group —
+    * the heavy-tailed-domain member of the sketch family. Returns one
+    * row per (group, p) with the estimate and the group count.
+    */
+  def sketchQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      alpha: Double = 0.01): DataFrame = {
+    val state = df.groupBy(col(groupCol))
+      .agg(graft.functions.DdSketch
+        .sketch(df.sparkSession, col(valueCol), alpha).as("sk"))
+      .select(col(groupCol), explode(col("sk")).as("cell"))
+      .select(col(groupCol), col("cell.bin").as("bin"), col("cell.n").as("n"))
+    graft.ops.Sketches.ddQuantilesFromBinned(state, groupCol, alpha, ps,
+      countName = "n_values")
+  }
+
   /** Gopher-style repetition signals appended to the frame (duplicate
     * token / duplicate-bigram / top-bigram fractions — the staged
     * `graft.ops.Curate.withRepetitionSignals`, which evaluates each

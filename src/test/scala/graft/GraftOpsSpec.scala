@@ -325,6 +325,25 @@ class GraftOpsSpec extends SparkSpec {
       === graft.ops.Text.bigramPmi(spark, sfTiny).collect().map(_.toSeq).toSeq)
   }
 
+  test("facade sketchQuantiles: within relative alpha of exact group quantiles on renamed columns") {
+    val alpha = 0.01
+    val df = Tables.orders(spark, sfTiny)
+      .select(col("o_orderpriority").as("bucket"),
+        col("o_totalprice").as("amount"))
+    val est = GraftOps.sketchQuantiles(df, "bucket", "amount", alpha = alpha)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("est")).toMap
+    // exact discrete quantile at the same rank definition, per group
+    val groups = df.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    for ((g, vs) <- groups; p <- Seq(0.5, 0.9, 0.99)) {
+      val exact = vs(math.ceil(p * vs.length).toInt - 1)
+      val e = est((g, p))
+      assert(math.abs(e - exact) <= alpha * exact * (1 + 1e-9),
+        s"group $g p=$p est=$e exact=$exact")
+    }
+  }
+
   test("facade skew-guard audit twins report suppressed groups on renamed columns") {
     val names = Seq("ab", "ac", "ad", "ae").toDF("name")
     assert(GraftOps.fuzzyKeyPairsDropped(names, "name", maxBucket = 3).count() === 1)
