@@ -776,9 +776,19 @@ object ManifestTable {
     import org.apache.spark.sql.functions.lit
     val vs = versions(spark, path)
     require(vs.contains(version), s"version $version not committed at $path")
-    if (version == vs.head)
+    // ONLY the true first commit (version numbering starts at 1) is a
+    // snapshot of inserts. The oldest SURVIVING version after a vacuum
+    // must NOT silently reinterpret as a snapshot — a subscriber
+    // resuming from a vacuumed offset would double-count the whole
+    // table; it must fail loudly instead (the failOnDataLoss contract;
+    // bootstrap-from-snapshot is the feed's getBatch(from=0) path).
+    if (version == 1L)
       readVersion(spark, path, version).withColumn("_change", lit("insert"))
     else {
+      require(vs.contains(version - 1),
+        s"version ${version - 1} of $path was vacuumed — cannot compute " +
+          s"changes for $version; resume is out of retention (re-bootstrap " +
+          "from the current snapshot)")
       val prev = manifestFiles(spark, path, version - 1).toSet
       val cur = manifestFiles(spark, path, version)
       if (prev.subsetOf(cur.toSet)) {

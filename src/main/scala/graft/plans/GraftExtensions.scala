@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HyperplaneSig, MisraGries, NearestCentroid, ShingleHashes, SimHash64, ZOrderKey}
+import graft.functions.{CosineSim, DdSketch, HyperplaneSig, MisraGries, NearestCentroid, ShingleHashes, SimHash64, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -27,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** SQL fractional literals parse as DECIMAL (0.01 → DECIMAL(3,2)),
+    * not DOUBLE — both spellings must reach the expression.
+    */
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -65,6 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0),
         intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dd_sketch"),
+      new ExpressionInfo(classOf[DdSketch].getName, "graft_dd_sketch"),
+      (exprs: Seq[Expression]) => DdSketch(Cast(exprs(0), DoubleType),
+        doubleLit(exprs(1), "alpha"), intLit(exprs(2), "maxBins"))
         .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_nearest_centroid"),

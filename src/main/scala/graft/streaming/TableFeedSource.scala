@@ -88,13 +88,30 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(TableFeedSource.versionOf).getOrElse(0L)
     val to = TableFeedSource.versionOf(end)
-    val committed = ManifestTable.versions(spark, path)
-      .filter(v => v > from && v <= to)
+    val vs = ManifestTable.versions(spark, path)
+    // retention contract (failOnDataLoss): a resume point older than
+    // the oldest surviving version cannot be replayed incrementally —
+    // fail loudly rather than silently re-deliver the whole table
+    require(from == 0L || vs.isEmpty || from >= vs.head,
+      s"resume offset $from of $path is out of retention (oldest " +
+        s"surviving version ${vs.headOption.getOrElse(-1L)}) — " +
+        "re-bootstrap the subscription from the current snapshot")
+    val committed = vs.filter(v => v > from && v <= to)
     val tableCols = schema.fields.dropRight(1).map(f => col(f.name)).toSeq
     val batch = committed
-      .map(v => ManifestTable.changesForVersion(spark, path, v)
-        .withColumn("_commit_version", lit(v))
-        .select(tableCols :+ col("_commit_version"): _*))
+      .map { v =>
+        // fresh subscription onto a vacuumed history: the oldest
+        // surviving version bootstraps as a snapshot of inserts (its
+        // predecessor is gone, and a fresh subscriber holds nothing to
+        // double-count); every later version replays incrementally
+        val changes =
+          if (from == 0L && v == vs.head && v != 1L)
+            ManifestTable.readVersion(spark, path, v)
+              .withColumn("_change", lit("insert"))
+          else ManifestTable.changesForVersion(spark, path, v)
+        changes.withColumn("_commit_version", lit(v))
+          .select(tableCols :+ col("_commit_version"): _*)
+      }
       .reduceOption(_ unionByName _)
       .getOrElse(ManifestTable.read(spark, path).limit(0)
         .withColumn("_change", lit("insert"))

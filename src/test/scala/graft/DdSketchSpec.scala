@@ -99,6 +99,45 @@ class DdSketchSpec extends SparkSpec {
     assert(math.abs(est - exact) <= alpha * exact * (1 + 1e-9))
   }
 
+  test("the sketch aggregates inside a streaming windowed state store; drained state equals batch") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+    val raw = Tables.rawEventsSchema(spark, s"$sfTiny/events.parquet")
+    val maxUs = graft.streaming.EventsStream
+      .maxEventMicros(spark, s"$sfTiny/events.parquet")
+    val sentinelUs = maxUs + 3L * 3600L * 1000000L
+    graft.streaming.EventsStream.appendSentinels(spark, dir.toString, raw,
+      Seq((-1L, sentinelUs, -1L, "sentinel", 0.0, "{}")))
+    val src = graft.streaming.EventsStream.eventsSource(spark, dir.toString, raw)
+    val qName = s"dd_stream_${System.nanoTime()}"
+    val q = src.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(DdSketch.sketch(spark, $"value", alpha).as("sk"))
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(qName)
+      .filter($"window.start" < timestamp_micros(lit(sentinelUs)))
+      .select($"window.start".cast(TimestampNTZType).as("h"),
+        explode($"sk").as("cell"))
+      .select($"h".cast("string").as("h"), $"cell.bin", $"cell.n")
+      .collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView(qName)
+    // order-independent count-adding merges: the state-store path must
+    // build EXACTLY the batch sketch, bin for bin
+    val batch = Tables.events(spark, sfTiny)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(DdSketch.sketch(spark, $"value", alpha).as("sk"))
+      .select($"h".cast("string").as("h"), explode($"sk").as("cell"))
+      .select($"h", $"cell.bin", $"cell.n")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("declared quantile_sketch_rollup: every verdict TRUE on the fixtures") {
     val out = Sketches.quantileSketchRollup(spark, sfTiny).collect()
     assert(out.nonEmpty)

@@ -56,6 +56,17 @@ class ExtensionsSpec extends SparkSpec {
          FROM VALUES ('a'),('a'),('a'),('b'),('b'),('c') AS t(x)""").head
     val top = hh.getSeq[org.apache.spark.sql.Row](0)
     assert(top.head.getString(0) === "a" && top.head.getLong(1) === 3L)
+
+    // round-9 addition: the log-bin quantile sketch aggregate — both
+    // the DECIMAL (0.01) and DOUBLE (0.01d) alpha spellings must bind
+    val dd = extended.sql(
+      """SELECT graft_dd_sketch(x, 0.01, 2048) AS sk,
+                graft_dd_sketch(x, 0.01d, 2048) AS sk2
+         FROM VALUES (1.0d),(10.0d),(100.0d),(100.0d) AS t(x)""").head
+    val cells = dd.getSeq[org.apache.spark.sql.Row](0)
+    assert(cells.map(_.getLong(1)).sum === 4L, "sketch must count every row")
+    assert(dd.getSeq[org.apache.spark.sql.Row](1) === cells,
+      "decimal and double alpha literals must build the same sketch")
     SparkSession.setActiveSession(base)
   }
 }

@@ -567,6 +567,30 @@ class ManifestTableSpec extends SparkSpec {
       "merged table lost its key stats — future merges cannot prune")
   }
 
+  test("merge operates on an additively evolved table") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg4").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)   // v1
+    ManifestTable.append(Seq((3L, "c", 9.5)).toDF("id", "v", "score"), path) // v2 evolves
+    // updates must carry the EVOLVED schema; pre-evolution rows read
+    // score as null through the rewrite
+    val updates = Seq(
+      (1L, "A", Some(1.5), false),   // update a pre-evolution row
+      (4L, "d", None, false),        // insert
+      (3L, "c", None, true))         // delete the evolved row
+      .toDF("id", "v", "score", "_del")
+    ManifestTable.merge(updates, path, "id", deleteCol = Some("_del"))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      (1L, "A", Some(1.5)), (2L, "b", None), (4L, "d", None)))
+    // pre-evolution shape refused (merge never evolves schema)
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(Seq((2L, "x")).toDF("id", "v"), path, "id")
+    }
+  }
+
   test("merge replays idempotently by tag and stays in the OCC loop") {
     val path = java.nio.file.Files.createTempDirectory("graft_mg3").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)

@@ -100,6 +100,39 @@ class TableFeedSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, state) === before)
   }
 
+  test("retention contract: fresh subscribers bootstrap from a vacuumed history, stale resumes fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tf3").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)      // v1
+    ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), path)     // v2
+    ManifestTable.merge(Seq((1L, "A")).toDF("id", "v"), path, "id") // v3 (rewrite)
+    ManifestTable.append(Seq((3L, "c")).toDF("id", "v"), path)     // v4
+    ManifestTable.vacuum(spark, path, keep = 2)                    // v1, v2 gone
+
+    // the oldest surviving version must NOT masquerade as a first-commit
+    // snapshot for incremental consumers
+    intercept[IllegalArgumentException] {
+      ManifestTable.changesForVersion(spark, path, 3)
+    }
+    // v4's predecessor survives: incremental replay still works
+    assert(ManifestTable.changesForVersion(spark, path, 4)
+      .select($"id", $"v", $"_change").as[(Long, String, String)]
+      .collect().toSet === Set((3L, "c", "insert")))
+
+    // a FRESH subscription bootstraps: snapshot of v3, then v4's delta
+    val qName = s"tf_boot_${System.nanoTime()}"
+    val q = TableFeedSource.readStream(spark, path).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(qName)
+        .select($"id", $"v", $"_change", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got === Set(
+        (1L, "A", "insert", 3L), (2L, "b", "insert", 3L),
+        (3L, "c", "insert", 4L)))
+    } finally { q.stop(); spark.catalog.dropTempView(qName) }
+  }
+
   test("offsets are commit versions and survive serialization round-trip") {
     assert(TableFeedSource.versionOf(LongOffset(7L)) === 7L)
     assert(TableFeedSource.versionOf(SerializedOffset(LongOffset(7L).json)) === 7L)
