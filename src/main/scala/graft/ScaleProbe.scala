@@ -188,6 +188,15 @@ object ScaleProbe {
       java.nio.file.Files.writeString(factorFile, factor.toString)
     }
 
+    // Dev-only subset filter (the Bench/Verify convention): re-probing
+    // one new query at 100× must not re-run the whole family.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probed = only match {
+      case Some(names) => Queries.filter(names)
+      case None        => Queries
+    }
+
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
@@ -207,10 +216,10 @@ object ScaleProbe {
     }
 
     // warm-up (JIT + codegen) on the small scale, untimed
-    Queries.foreach(q => try SparkEntry.queries(q)(spark, baseDir).count()
+    probed.foreach(q => try SparkEntry.queries(q)(spark, baseDir).count()
       catch { case _: Throwable => () })
 
-    Queries.foreach { q =>
+    probed.foreach { q =>
       val (s1, b1) = run(q, baseDir)
       val (s2, b2) = run(q, probeDir)
       val secRatio = if (s1 > 0) s2 / s1 else Double.NaN

@@ -588,6 +588,9 @@ object ManifestTable {
     * same as append, and the same OCC retry loop as every commit. An
     * optional `tag` makes the merge replay-idempotent ([[appendIdempotent]]
     * semantics: a redelivered merge with a committed tag no-ops).
+    * NULL keys follow SQL join semantics end to end: a null-keyed
+    * update row matches nothing (it inserts), and null-keyed base rows
+    * are never touched or deleted.
     */
   def merge(updates: DataFrame, path: String, key: String,
             deleteCol: Option[String] = None,

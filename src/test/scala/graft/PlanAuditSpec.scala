@@ -445,6 +445,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("quantile_sketch_rollup: three pruned scans by design; probes broadcast; no cartesian") {
+    val p = planOf("quantile_sketch_rollup")
+    // three fact scans BY DESIGN — merged-daily sketch, direct monthly
+    // twin, exact anchor: the self-verifying oracle shape. A production
+    // dashboard keeps only the merged path (one scan + the tiny state).
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 3, s"expected merged+direct+exact scans, got $scans")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp_ntz>"),
+      "every scan must prune to (o_totalprice, o_orderdate)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "quantile probes must broadcast into the CDF")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
