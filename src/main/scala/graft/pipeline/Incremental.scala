@@ -88,4 +88,11 @@ object Incremental {
     current.unionByName(delta)
       .groupBy(col("day"), col("bin"))
       .agg(sum(col("n")).as("n"))
+
+  /** Retraction delta for the histogram state (integer counts negate
+    * exactly — same contract as [[negateDailyState]]; consumers drop
+    * emptied (day, bin) cells).
+    */
+  def negateHistogramState(state: DataFrame): DataFrame =
+    state.select(col("day"), col("bin"), (-col("n")).as("n"))
 }

@@ -186,6 +186,40 @@ object TableFeedSource {
                     tablePath: String, statePath: String,
                     checkpointLocation: String = null): (Long, Long) = {
     import graft.pipeline.Incremental
+    feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
+      "feed-gold-daily",
+      Incremental.dailyState, Incremental.negateDailyState,
+      Incremental.mergeDailyState, col("cnt_rows") > 0)
+  }
+
+  /** The quantile twin: the SAME retraction-aware feed loop maintains
+    * the mergeable histogram state — percentile dashboards read
+    * [[graft.ops.Sketches.quantilesFromState]] over the committed
+    * state, refreshed by upstream commits only.
+    */
+  def feedGoldQuantiles(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String, statePath: String,
+                        checkpointLocation: String = null): (Long, Long) = {
+    import graft.pipeline.Incremental
+    feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
+      "feed-gold-quantile",
+      Incremental.histogramState(_), Incremental.negateHistogramState,
+      Incremental.mergeHistogramState, col("n") > 0)
+  }
+
+  /** Shared retraction-aware exactly-once maintenance of ANY mergeable
+    * gold state from a table feed ([[feedGoldDaily]] /
+    * [[feedGoldQuantiles]]): delta = state(inserts) merged with
+    * negate(state(deletes)); groups failing `live` (fully retracted)
+    * drop; each refresh commits atomically under the batch tag.
+    */
+  private def feedMergeableGold(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, statePath: String, checkpointLocation: String,
+      tagPrefix: String,
+      stateOf: DataFrame => DataFrame,
+      negate: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      live: org.apache.spark.sql.Column): (Long, Long) = {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
@@ -195,21 +229,18 @@ object TableFeedSource {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
-          val tag = s"feed-gold-daily-$id"
+          val tag = s"$tagPrefix-$id"
           val sp = batch.sparkSession
           if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
             skipped.incrementAndGet()
           else {
-            val delta = Incremental.mergeDailyState(
-              Incremental.dailyState(batch.filter(col("_change") === "insert")),
-              Incremental.negateDailyState(
-                Incremental.dailyState(batch.filter(col("_change") === "delete"))))
-            val state = ManifestTable.currentVersion(sp, statePath) match {
-              case Some(_) =>
-                Incremental.mergeDailyState(ManifestTable.read(sp, statePath), delta)
-                  .filter(col("cnt_rows") > 0)
-              case None => delta.filter(col("cnt_rows") > 0)
-            }
+            val delta = merge(
+              stateOf(batch.filter(col("_change") === "insert")),
+              negate(stateOf(batch.filter(col("_change") === "delete"))))
+            val state = (ManifestTable.currentVersion(sp, statePath) match {
+              case Some(_) => merge(ManifestTable.read(sp, statePath), delta)
+              case None    => delta
+            }).filter(live)
             // same lineage-cut + block-release discipline as
             // EventsStream.streamMergeableGold (state reads the files
             // the overwrite replaces)

@@ -100,6 +100,31 @@ class TableFeedSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, state) === before)
   }
 
+  test("quantile twin: feed-maintained histogram state equals the recompute through retractions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_hist").toString
+    val table = s"$base/orders"
+    val state = s"$base/hist"
+    val orders = Tables.orders(spark, sfTiny)
+
+    ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), table)
+    TableFeedSource.feedGoldQuantiles(spark, table, state)
+    ManifestTable.append(orders.filter(col("o_orderkey") % 2 =!= 0), table)
+    ManifestTable.merge(
+      orders.filter(col("o_orderkey") % 43 === 0).withColumn("_d", lit(true)),
+      table, "o_orderkey", deleteCol = Some("_d"))
+    val (m2, _) = TableFeedSource.feedGoldQuantiles(spark, table, state)
+    assert(m2 >= 1L)
+    val maintained = ManifestTable.read(spark, state)
+      .select(col("day").cast("string"), col("bin"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val recomputed = graft.pipeline.Incremental
+      .histogramState(ManifestTable.read(spark, table))
+      .select(col("day").cast("string"), col("bin"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained === recomputed,
+      "deleted rows' bins must retract exactly; emptied cells must drop")
+  }
+
   test("retention contract: fresh subscribers bootstrap from a vacuumed history, stale resumes fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft_tf3").toString + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)      // v1
