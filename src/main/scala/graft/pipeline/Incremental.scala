@@ -95,4 +95,27 @@ object Incremental {
     */
   def negateHistogramState(state: DataFrame): DataFrame =
     state.select(col("day"), col("bin"), (-col("n")).as("n"))
+
+  /** Log-bin sketch state (day, bin, n) — the HEAVY-TAILED quantile
+    * slot ([[graft.functions.DdSketch]]) in the same mergeable-state
+    * family: cells are integer counts over γ-spaced bins, so they add,
+    * negate, and merge exactly like the fixed-width histogram's while
+    * holding O(log range / α) cells per day on an unbounded value
+    * domain. Readoff via
+    * [[graft.ops.Sketches.ddQuantilesFromBinned]] (key = day, or any
+    * rollup of it — counts add upward too).
+    */
+  def ddSketchState(orders: DataFrame, alpha: Double = 0.01): DataFrame =
+    orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(graft.functions.DdSketch
+        .sketch(orders.sparkSession, col("o_totalprice"), alpha).as("sk"))
+      .select(col("day"), explode(col("sk")).as("cell"))
+      .select(col("day"), col("cell.bin").as("bin"), col("cell.n").as("n"))
+
+  def mergeDdSketchState(current: DataFrame, delta: DataFrame): DataFrame =
+    mergeHistogramState(current, delta)
+
+  def negateDdSketchState(state: DataFrame): DataFrame =
+    negateHistogramState(state)
 }

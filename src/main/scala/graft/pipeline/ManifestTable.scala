@@ -596,7 +596,8 @@ object ManifestTable {
             deleteCol: Option[String] = None,
             statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
             tag: Option[String] = None,
-            tagHorizon: Int = DefaultTagHorizon): Long = {
+            tagHorizon: Int = DefaultTagHorizon,
+            sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max => smax, min => smin}
     val spark = updates.sparkSession
     val alreadyCommitted = tag.flatMap(committedVersionOfTag(spark, path, _))
@@ -673,8 +674,16 @@ object ManifestTable {
       val snapDir = s"$path/snap-$version-$token"
       // stage in ~as many files as were touched (shuffle-free coalesce):
       // a merge must not fragment the rewrite into shuffle.partitions
-      // slivers — file count stays stable across repeated merges
-      newData.coalesce(math.max(1, touched.size))
+      // slivers — file count stays stable across repeated merges.
+      // `sortCols` re-sorts the rewritten files in place (no extra
+      // shuffle), so a clustered table keeps tight per-file stats
+      // through update churn instead of degrading until the next
+      // compact(sortCols) — pass the table's cluster key here.
+      val packed = newData.coalesce(math.max(1, touched.size))
+      (if (sortCols.nonEmpty)
+         packed.sortWithinPartitions(
+           sortCols.map(org.apache.spark.sql.functions.col): _*)
+       else packed)
         .write.mode("overwrite").parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
       if (staged.isEmpty && untouched.isEmpty) {

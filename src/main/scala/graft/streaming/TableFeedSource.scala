@@ -207,6 +207,20 @@ object TableFeedSource {
       Incremental.mergeHistogramState, col("n") > 0)
   }
 
+  /** The heavy-tailed twin: feed-maintained LOG-BIN sketch state
+    * ([[graft.pipeline.Incremental.ddSketchState]]) — bounded cells on
+    * unbounded value domains, same retraction-aware loop.
+    */
+  def feedGoldSketch(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, statePath: String,
+                     checkpointLocation: String = null): (Long, Long) = {
+    import graft.pipeline.Incremental
+    feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
+      "feed-gold-sketch",
+      Incremental.ddSketchState(_), Incremental.negateDdSketchState,
+      Incremental.mergeDdSketchState, col("n") > 0)
+  }
+
   /** Shared retraction-aware exactly-once maintenance of ANY mergeable
     * gold state from a table feed ([[feedGoldDaily]] /
     * [[feedGoldQuantiles]]): delta = state(inserts) merged with

@@ -567,6 +567,27 @@ class ManifestTableSpec extends SparkSpec {
       "merged table lost its key stats — future merges cannot prune")
   }
 
+  test("cluster-aware merge: the rewritten file is re-sorted in place") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg5").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 200).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val before = ManifestTable.manifestFiles(spark, path, 1)
+    ManifestTable.merge(
+      spark.range(10, 20).toDF("id").withColumn("v", lit(-1L)),
+      path, "id", statsCols = Seq("id"), sortCols = Seq("id"))
+    val staged = ManifestTable.manifestFiles(spark, path, 2)
+      .filterNot(before.contains)
+    assert(staged.size === 1)
+    // the rewritten file keeps the table's clustering: ids ascending
+    // inside the file (what keeps row-group stats tight under churn)
+    val ids = spark.read.parquet(s"$path/${staged.head}")
+      .select("id").as[Long].collect()
+    assert(ids.toSeq === ids.sorted.toSeq, "rewrite lost the sort order")
+    assert(ids.toSet === (0L until 100L).toSet)
+  }
+
   test("merge operates on an additively evolved table") {
     val path = java.nio.file.Files.createTempDirectory("graft_mg4").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)   // v1

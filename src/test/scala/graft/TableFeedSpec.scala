@@ -123,6 +123,19 @@ class TableFeedSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(maintained === recomputed,
       "deleted rows' bins must retract exactly; emptied cells must drop")
+
+    // the heavy-tailed twin over the same history: log-bin sketch cells
+    // retract the same way (one more feedMergeableGold instance)
+    val skState = s"$base/sketch"
+    TableFeedSource.feedGoldSketch(spark, table, skState)
+    val skMaintained = ManifestTable.read(spark, skState)
+      .select(col("day").cast("string"), col("bin"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val skRecomputed = graft.pipeline.Incremental
+      .ddSketchState(ManifestTable.read(spark, table))
+      .select(col("day").cast("string"), col("bin"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(skMaintained === skRecomputed)
   }
 
   test("retention contract: fresh subscribers bootstrap from a vacuumed history, stale resumes fail loudly") {
