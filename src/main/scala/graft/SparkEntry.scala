@@ -112,6 +112,7 @@ object SparkEntry {
     "quantile_sketch_rollup" -> ((s, d) => Sketches.quantileSketchRollup(s, d)),
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "merge_upsert"       -> ((s, d) => graft.pipeline.Medallion.mergeUpsertOrders(s, d)),
+    "merge_conditional"  -> ((s, d) => graft.pipeline.Medallion.mergeConditionalOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1370,6 +1371,39 @@ object SparkEntry {
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM del)
          ORDER BY o_orderkey, _commit_version, _change""",
+    // Relational recompute of the CONDITIONAL merge
+    // (Medallion.mergeConditionalOrders): delete-before-update clause
+    // precedence, withheld matches keeping base rows, and guarded
+    // inserts, all recomputed from orders.
+    "merge_conditional" ->
+      """WITH upd AS (SELECT * FROM orders WHERE o_orderkey % 59 = 0),
+         del AS (
+           SELECT o_orderkey FROM upd
+           WHERE o_orderstatus = 'P' AND o_totalprice < 50000.0),
+         chg AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 0.9 AS o_totalprice, o_orderdate,
+                  '0-DISCOUNTED' AS o_orderpriority
+           FROM upd
+           WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 50000.0)
+             AND o_totalprice > 200000.0),
+         keep AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+             AND o_orderkey NOT IN (SELECT o_orderkey FROM chg)),
+         ins AS (
+           SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '7-CONDINS' AS o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 61 = 0 AND o_totalprice < 150000.0)
+         SELECT * FROM (
+           SELECT * FROM keep
+           UNION ALL SELECT * FROM chg
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
     // Relational recompute of the keyed copy-on-write MERGE
     // (Medallion.mergeUpsertOrders): base minus updated/deleted keys,
     // union updates and inserts. A hash match proves update-wins,

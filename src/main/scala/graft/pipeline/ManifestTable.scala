@@ -716,6 +716,87 @@ object ManifestTable {
       s"merge commit lost $maxAttempts races at $path — giving up")
   }
 
+  /** Conditional keyed MERGE — delta-spark's multi-clause form
+    * (`WHEN MATCHED AND cond THEN UPDATE / DELETE`,
+    * `WHEN NOT MATCHED AND cond THEN INSERT`) layered as relational
+    * preprocessing over the unconditional copy-on-write [[merge]]:
+    *
+    *  1. resolve each update row's match state and current base values
+    *     in ONE pruned read (key-stats-sliced via the same metadata
+    *     index the rewrite uses — the findTouchedFiles/rewrite
+    *     two-phase shape Delta itself runs);
+    *  2. compile the clauses row-wise: matched + `whenMatchedDelete` →
+    *     delete verdict; else matched + `whenMatchedUpdate` → update
+    *     row; matched with NO firing clause → the row is WITHHELD, so
+    *     the base row survives untouched; unmatched +
+    *     `whenNotMatchedInsert` → insert; unmatched otherwise →
+    *     dropped;
+    *  3. feed the compiled row set to [[merge]] — pruning, semi-join
+    *     confirm, byte-identical untouched files, OCC, tags all apply
+    *     unchanged.
+    *
+    * Conditions are Columns over the RESOLVED frame: the update row's
+    * columns under their own names, the matched base row's columns as
+    * `_b_<name>` (null when unmatched) — e.g.
+    * `whenMatchedUpdate = Some(col("o_totalprice") > col("_b_o_totalprice"))`
+    * updates only rows that grew. Delete is evaluated before update
+    * (fixed clause order; make conditions disjoint if both fire).
+    * `updates` must be key-unique — multiple matches per key are
+    * ambiguous under conditions and refuse to commit (Delta's
+    * multiple-match error).
+    *
+    * Isolation boundary: clause resolution is snapshot-consistent with
+    * the version current at entry. If a concurrent writer commits
+    * between resolution and this merge's commit, the compiled rows
+    * apply to the newer version (serialized-writer deployments — the
+    * tag contract's assumption — never see this; full re-execution on
+    * conflict is how Delta closes the same window).
+    */
+  def mergeConditional(updates: DataFrame, path: String, key: String,
+                       whenMatchedUpdate: Option[org.apache.spark.sql.Column] = None,
+                       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+                       whenNotMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+                       statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                       tag: Option[String] = None,
+                       tagHorizon: Int = DefaultTagHorizon,
+                       sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    val spark = updates.sparkSession
+    val alreadyCommitted = tag.flatMap(committedVersionOfTag(spark, path, _))
+    if (alreadyCommitted.isDefined) return alreadyCommitted.get
+    require(updates.groupBy(col(key)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"conditional merge requires key-unique updates on '$key' — " +
+        "multiple source rows match the same target row (ambiguous clauses)")
+    val prevV = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path to merge into"))
+    val schema = manifestSchema(spark, path, prevV).getOrElse(
+      readVersion(spark, path, prevV).schema)
+    // match-state resolution over the stats-pruned base slice
+    val numericKey = schema(key).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+    val baseSlice =
+      if (bounds.isNullAt(0)) read(spark, path).limit(0)
+      else if (!numericKey) read(spark, path)
+      else readNumericRange(spark, path, key,
+        bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)
+    val b = baseSlice.select(
+      schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+    val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
+    val matched = col(s"_b_$key").isNotNull
+    val delC = whenMatchedDelete.getOrElse(lit(false))
+    val updC = whenMatchedUpdate.getOrElse(lit(true))
+    val insC = whenNotMatchedInsert.getOrElse(lit(true))
+    val compiled = resolved
+      .withColumn("_graft_del", matched && delC)
+      .filter((matched && (delC || (!delC && updC))) || (!matched && insC))
+      .select(schema.fieldNames.map(col).toSeq :+ col("_graft_del"): _*)
+    merge(compiled, path, key, deleteCol = Some("_graft_del"),
+      statsCols = statsCols, maxAttempts = maxAttempts, tag = tag,
+      tagHorizon = tagHorizon, sortCols = sortCols)
+  }
+
   /** The files [[merge]] would rewrite for these update keys, split as
     * (statsCandidates, total) — the pruning diagnostic the spec asserts
     * on (how many files the metadata prune alone excluded).

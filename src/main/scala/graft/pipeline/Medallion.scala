@@ -404,6 +404,55 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared CONDITIONAL-merge query ([[ManifestTable.mergeConditional]]
+    * — delta-spark's `WHEN MATCHED AND cond` multi-clause form): one
+    * merge where every clause is guarded and the guards read the BASE
+    * row's current values (`_b_*`):
+    *
+    *  - keys ≡ 0 (mod 59): DELETE where the base row is a pending
+    *    order under 50k; else UPDATE (10% discount, re-flagged) where
+    *    the base price exceeds 200k; else NO clause fires — the base
+    *    row must survive byte-for-byte;
+    *  - fresh keys (base + 2·10⁸) from keys ≡ 0 (mod 61): INSERT only
+    *    where the incoming price is under 150k; the rest are dropped.
+    *
+    * The oracle recomputes all four verdicts relationally, so the hash
+    * match proves clause precedence (delete before update), the
+    * withheld-match path (conditions failing ⇒ base row untouched),
+    * and conditional insert filtering in one gate.
+    */
+  def mergeConditionalOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_merge_cond_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/orders_cond"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val upd = orders.filter(col("o_orderkey") % 59 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+      .withColumn("o_orderpriority", lit("0-DISCOUNTED"))
+    val ins = orders.filter(col("o_orderkey") % 61 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_orderpriority", lit("7-CONDINS"))
+    ManifestTable.mergeConditional(upd.unionByName(ins), path, "o_orderkey",
+      whenMatchedUpdate = Some(col("_b_o_totalprice") > 200000.0),
+      whenMatchedDelete = Some(col("_b_o_orderstatus") === "P" &&
+        col("_b_o_totalprice") < 50000.0),
+      whenNotMatchedInsert = Some(col("o_totalprice") < 150000.0),
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

@@ -612,6 +612,45 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("conditional merge: clauses fire per row; unfired matches keep the base row") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg6").toString + "/t"
+    ManifestTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "v", "x"), path)
+    // conditions see update columns plainly and base columns as _b_*
+    val updates = Seq(
+      (1L, "A", 5.0),    // matched, update fires (x < base x)
+      (2L, "B", 99.0),   // matched, NO clause fires → base row kept
+      (3L, "c", 0.0),    // matched, delete fires (update x == 0)
+      (8L, "new", 1.0),  // unmatched, insert fires (x < 50)
+      (9L, "no", 77.0))  // unmatched, insert condition fails → dropped
+      .toDF("id", "v", "x")
+    ManifestTable.mergeConditional(updates, path, "id",
+      whenMatchedUpdate = Some(col("x") < col("_b_x")),
+      whenMatchedDelete = Some(col("x") === 0.0),
+      whenNotMatchedInsert = Some(col("x") < 50.0))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "x").as[(Long, String, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "A", 5.0),    // updated
+      (2L, "b", 20.0),   // base kept (update withheld)
+      (4L, "d", 40.0),   // untouched
+      (8L, "new", 1.0))) // inserted; 3 deleted, 9 dropped
+    // ambiguous multi-match refuses to commit
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeConditional(
+        Seq((1L, "p", 1.0), (1L, "q", 2.0)).toDF("id", "v", "x"), path, "id")
+    }
+    assert(ManifestTable.currentVersion(spark, path) === Some(2L))
+    // replay idempotence composes through the conditional layer
+    val v3 = ManifestTable.mergeConditional(
+      Seq((4L, "D", 1.0)).toDF("id", "v", "x"), path, "id",
+      tag = Some("cond-1"))
+    assert(ManifestTable.mergeConditional(
+      Seq((4L, "D", 1.0)).toDF("id", "v", "x"), path, "id",
+      tag = Some("cond-1")) === v3)
+  }
+
   test("merge replays idempotently by tag and stays in the OCC loop") {
     val path = java.nio.file.Files.createTempDirectory("graft_mg3").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
