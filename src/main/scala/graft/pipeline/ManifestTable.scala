@@ -830,6 +830,27 @@ object ManifestTable {
     write(packed, path, partitionCols, statsCols = statsCols)
   }
 
+  /** OPTIMIZE scheduling policy: compact only when the current
+    * version's file count exceeds `maxFiles` — the maintenance loop
+    * counterpart of [[compact]]. Merge/append churn grows the file
+    * list by ~1 file per commit; calling this after each write bounds
+    * the table at `maxFiles` files with amortized O(table/maxFiles)
+    * rewrite work per trigger, and `sortCols` restores clustering the
+    * churn eroded. Returns the compaction's committed version when it
+    * ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int, targetFiles: Int = 1,
+                          statsCols: Seq[String] = Nil,
+                          sortCols: Seq[String] = Nil): Option[Long] = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    if (manifestFiles(spark, path, cur).size <= maxFiles) None
+    else Some(compact(spark, path, targetFiles,
+      statsCols = statsCols, sortCols = sortCols))
+  }
+
   /** Row-level change feed between two committed versions (CDC-lite —
     * the observable core of Delta's change-data-feed for
     * overwrite-refresh tables): rows only in `toVersion` are `insert`s,

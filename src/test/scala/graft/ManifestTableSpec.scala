@@ -612,6 +612,50 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("merge churn is bounded by the compaction policy; clustering and pruning restored") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg7").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    // churn: update merges replace files 1:1 (the coalesce discipline —
+    // file count must NOT grow), then insert-only merges, which add one
+    // staged file each
+    ManifestTable.merge(
+      spark.range(10, 15).toDF("id").withColumn("v", lit(-1L)),
+      path, "id", statsCols = Seq("id"))
+    assert(ManifestTable.manifestFiles(spark, path,
+      ManifestTable.currentVersion(spark, path).get).size === 4,
+      "an update merge must replace files 1:1, not fragment")
+    (0 until 6).foreach { i =>
+      ManifestTable.merge(
+        spark.range(1000 + i * 10, 1000 + i * 10 + 5).toDF("id")
+          .withColumn("v", lit(-1L)),
+        path, "id", statsCols = Seq("id"))
+      // under the threshold nothing compacts
+      assert(ManifestTable.compactIfFragmented(spark, path, maxFiles = 64,
+        statsCols = Seq("id")).isEmpty)
+    }
+    val cur = ManifestTable.currentVersion(spark, path).get
+    val before = ManifestTable.manifestFiles(spark, path, cur).size
+    assert(before > 4, "insert churn should have grown the file list")
+    // policy triggers: re-clustered, re-indexed, file count restored
+    val v = ManifestTable.compactIfFragmented(spark, path, maxFiles = 4,
+      targetFiles = 4, statsCols = Seq("id"), sortCols = Seq("id"))
+    assert(v.isDefined)
+    assert(ManifestTable.manifestFiles(spark, path, v.get).size === 4)
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got.size === 430)
+    (10 until 15).foreach(k => assert(got(k.toLong) === -1L))
+    (0 until 6).foreach(i =>
+      (1000 + i * 10 until 1000 + i * 10 + 5).foreach(k =>
+        assert(got(k.toLong) === -1L)))
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id", 0, 50)
+    assert(total === 4 && cand < total,
+      "compaction must restore the data-skipping index")
+  }
+
   test("conditional merge: clauses fire per row; unfired matches keep the base row") {
     val path = java.nio.file.Files.createTempDirectory("graft_mg6").toString + "/t"
     ManifestTable.write(
