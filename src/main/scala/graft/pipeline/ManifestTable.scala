@@ -590,7 +590,10 @@ object ManifestTable {
     * semantics: a redelivered merge with a committed tag no-ops).
     * NULL keys follow SQL join semantics end to end: a null-keyed
     * update row matches nothing (it inserts), and null-keyed base rows
-    * are never touched or deleted.
+    * are never touched or deleted. Duplicate keys in `updates` write
+    * ALL their rows (the matched base row is dropped once) — callers
+    * needing Delta's multiple-match error use [[mergeConditional]],
+    * which enforces key-uniqueness (clause arbitration demands it).
     */
   def merge(updates: DataFrame, path: String, key: String,
             deleteCol: Option[String] = None,
