@@ -708,6 +708,48 @@ class ManifestTableSpec extends SparkSpec {
       === Set((1L, "a"), (2L, "B")))
   }
 
+  test("merge model check: random upsert/delete sequences match a reference Map, every version time-travelable") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mg_prop").toString + "/t"
+    // deterministic LCG (house convention — scalatest-plus bridge is
+    // not in the offline dep set)
+    var seed = 0x5DEECE66DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    // base: 30 keys
+    val base = (0 until 30).map(k => (k.toLong, next(1000).toLong))
+    base.foreach { case (k, v) => model(k) = v }
+    ManifestTable.write(base.toDF("id", "v"), path, statsCols = Seq("id"))
+
+    (1 to 8).foreach { round =>
+      // random batch: 1-6 key-unique ops over keys 0..39 (some miss)
+      val nOps = 1 + next(6)
+      val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (keys.size < nOps) keys += next(40).toLong
+      val ops = keys.toSeq.map { k =>
+        val del = next(4) == 0
+        val v = next(1000).toLong
+        (k, v, del)
+      }
+      ops.foreach { case (k, v, del) =>
+        if (del) model.remove(k) else model(k) = v
+      }
+      ManifestTable.merge(ops.toDF("id", "v", "_del"), path, "id",
+        deleteCol = Some("_del"), statsCols = Seq("id"))
+      val got = ManifestTable.read(spark, path)
+        .as[(Long, Long)].collect().toMap
+      assert(got === model.toMap, s"divergence after round $round: $ops")
+    }
+    // every intermediate version still reads (no merge broke history),
+    // and the version count is base + rounds
+    val vs = ManifestTable.versions(spark, path)
+    assert(vs === (1L to 9L))
+    vs.foreach(v =>
+      assert(ManifestTable.readVersion(spark, path, v).count() > 0))
+  }
+
   test("reads stay sound when stats are absent or the column is unknown") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt8").toString + "/t"
     ManifestTable.write(spark.range(0, 100).toDF("id"), path) // no statsCols
