@@ -1,65 +1,100 @@
 package graft.pipeline
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
-/** Minimal commit-manifest table protocol — the observable core of the
-  * reference's Delta ACID overwrite (`/root/reference/src/etl_pipeline.py:66-69`)
+/** Minimal commit-log table protocol — the observable core of the
+  * reference's Delta ACID layer (`/root/reference/src/etl_pipeline.py:36-69`)
   * without Delta jars (none ship in this environment, SURVEY §1):
   *
-  *  1. every write lands in a fresh `snap-<version>/` directory — data
-  *     files of the previous version are never touched;
-  *  2. the commit point is ONE atomic rename: a manifest listing the
-  *     snapshot's data files is written to `_graft_manifest-v<N>.json.tmp`
-  *     and renamed into place (rename is atomic on HDFS and local
-  *     filesystems — the object-store caveat is the same one Delta's
-  *     own log has);
-  *  3. readers list the committed manifests, pick the highest version,
-  *     and read exactly the files it names — a writer dying ANYWHERE
-  *     before the rename leaves only an orphaned snapshot directory
-  *     that no reader ever sees.
+  *  1. every write lands in a fresh `snap-<version>-<token>/` directory —
+  *     data files of previous versions are never touched;
+  *  2. the commit point is ONE atomic publish of
+  *     `_graft_manifest-v<N>.json` (hard-link / rename, conditional on
+  *     the destination not existing), so a writer dying ANYWHERE before
+  *     it leaves only an orphaned snapshot directory no reader sees,
+  *     and two racing writers cannot both win a version (OCC retry);
+  *  3. since round 10 the committed manifest is an INCREMENTAL LOG
+  *     ENTRY (the `_delta_log` shape, Delta paper VLDB 2020 §3): it
+  *     records only the commit's `adds`/`removes` (+ per-add stats +
+  *     its own tag + schema), so commit cost is O(changed files), not
+  *     O(table files). Readers resolve a version by loading the newest
+  *     `_graft_checkpoint-v<K>.json` ≤ it (a folded full state, written
+  *     every [[CheckpointInterval]] commits and by [[vacuum]] at the
+  *     retention floor) and replaying the ≤interval delta entries above
+  *     it. A driver-side LRU keyed by (path, version, manifest
+  *     mtime/len) makes repeated resolution O(1). Round-9 full
+  *     manifests (`files` field) still read: they act as inline
+  *     snapshots during replay, so pre-upgrade tables and foreign
+  *     writers keep working.
   *
-  * Old versions stay readable ([[readVersion]] — time travel) until
-  * [[vacuum]] drops them. A write may additionally record per-file
-  * column min/max/null-count statistics in the manifest (`statsCols`,
-  * read metadata-only from the parquet footers) which
-  * [[readNumericRange]] uses for Delta-style data skipping: predicate
-  * reads on a clustered table touch only the files whose stats
-  * intervals intersect the query range. Concurrent writers are handled by OPTIMISTIC
-  * CONCURRENCY: the manifest rename is the conditional commit (rename
-  * onto an existing destination fails on HDFS/local filesystems), so a
-  * writer that loses the race re-stages its snapshot under the next
-  * version and retries — the Delta-style OCC loop without a log store.
+  * Old versions stay readable ([[readVersion]], and by wall-clock via
+  * [[readAsOfTimestamp]] — every commit stamps `ts`) until [[vacuum]]
+  * drops them. Per-file column min/max/null statistics (`statsCols`,
+  * footer-read) give Delta-style data skipping ([[readNumericRange]]),
+  * partition-aware since round 10. Row-level writes: copy-on-write
+  * keyed [[merge]] (now on partitioned tables too), multi-clause
+  * [[mergeConditional]] (clause resolution inside the OCC loop), and
+  * merge-on-read DELETION VECTORS (`deleteVectors = true`): sparse
+  * deletes commit a per-file deleted-key sidecar instead of rewriting
+  * data files; reads anti-join the DV; [[compact]] folds DVs away.
   */
 object ManifestTable {
 
   private val ManifestPrefix = "_graft_manifest-v"
+  private val CheckpointPrefix = "_graft_checkpoint-v"
 
-  /** Default replay-protection horizon: each manifest carries at most
-    * this many (newest-by-version) tags forward. A batch replayed after
-    * more than this many subsequent tagged commits re-appends —
-    * retention must exceed the maximum replay horizon, exactly the
-    * contract Delta's txn-retention duration draws. Per-call (a
-    * parameter of write/append/appendIdempotent, not mutable static
-    * state): concurrent writers in one JVM each get the horizon they
-    * asked for — a test shrinking it can never truncate the tag map of
-    * a production table racing it.
+  /** Fold the delta log into a full checkpoint every N commits: readers
+    * replay at most N delta entries above the newest checkpoint, and a
+    * commit writes O(Δ) bytes always (the checkpoint is a separate,
+    * advisory file published AFTER the commit — losing it costs replay
+    * length, never correctness).
+    */
+  val CheckpointInterval: Int = 16
+
+  /** Default replay-protection horizon: the carried tag→version map is
+    * bounded at this many newest tags; a batch replayed after more than
+    * this many subsequent tagged commits re-appends — retention must
+    * exceed the maximum replay horizon, exactly the contract Delta's
+    * txn-retention duration draws. Per-call, not mutable static state.
     */
   val DefaultTagHorizon: Int = 100000
 
-  /** Per-file column statistics carried by the manifest (the Delta-style
+  /** Per-file column statistics carried by the log (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
     * file lacked statistics for the column — such files are never pruned.
-    * Numeric stats are widened to double for comparison; `typ` is one of
+    * Numeric stats are widened for comparison; `typ` is one of
     * "long", "double", "string".
     */
   final case class ColStats(typ: String, min: Any, max: Any,
                             nulls: Long, complete: Boolean)
 
+  /** A version's fully-resolved metadata: the file list, the
+    * data-skipping stats, the committed schema, the replay-protection
+    * tag map, and the live deletion-vector sidecars. Immutable once the
+    * version is committed — which is what makes the LRU cache sound.
+    */
+  final case class TableState(version: Long, ts: Long,
+                              files: Seq[String],
+                              stats: Map[String, Map[String, ColStats]],
+                              schema: Option[StructType],
+                              tags: Map[String, Long],
+                              dvFiles: Seq[String],
+                              dvKey: Option[String])
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed versions present at `path`, ascending. */
+  private def manifestPath(path: String, v: Long) =
+    new Path(path, s"$ManifestPrefix$v.json")
+  private def checkpointPath(path: String, v: Long) =
+    new Path(path, s"$CheckpointPrefix$v.json")
+
+  /** Committed versions present at `path`, ascending (manifests only —
+    * checkpoints are derived artifacts, never the commit point).
+    */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(path)
     val f = fs(spark, path)
@@ -70,256 +105,63 @@ object ManifestTable {
       .sorted.toSeq
   }
 
+  private def checkpointVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(CheckpointPrefix) && n.endsWith(".json"))
+      .map(n => n.stripPrefix(CheckpointPrefix).stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Write `df` as the table's next version and commit it. Returns the
-    * committed version number. The snapshot directory is written first
-    * (overwriting any orphan left by a previous failed attempt at the
-    * same version); the manifest rename is the last — and only
-    * observable — step, and it is CONDITIONAL: rename onto an existing
-    * destination fails, so losing a commit race to a concurrent writer
-    * is detected, the orphaned attempt is dropped, and the write
-    * re-stages under the next version (optimistic concurrency,
-    * bounded by `maxAttempts`).
-    */
-  def write(df: DataFrame, path: String,
-            partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-            statsCols: Seq[String] = Nil, tag: Option[String] = None,
-            tagHorizon: Int = DefaultTagHorizon): Long =
-    commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = false, tag = tag, tagHorizon = tagHorizon)
+  // ------------------------------------------------------------------
+  // State resolution (checkpoint + delta replay, LRU-cached)
+  // ------------------------------------------------------------------
 
-  /** Transactional APPEND: commit a new version whose file list is the
-    * current version's files PLUS this batch's — Delta-style `append`
-    * without Delta. The data files of previous versions are never
-    * touched or rewritten; an appender dying mid-stage is invisible.
-    * An optional `tag` (e.g. a streaming batch id) is recorded in the
-    * manifest for [[appendIdempotent]].
-    */
-  def append(df: DataFrame, path: String,
-             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
-             statsCols: Seq[String] = Nil, tag: Option[String] = None,
-             tagHorizon: Int = DefaultTagHorizon): Long =
-    commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = true, tag = tag, tagHorizon = tagHorizon)
-
-  /** Idempotent tagged append for exactly-once sinks: if the table has
-    * ever committed `tag`, the call is a no-op returning that version —
-    * a redelivered micro-batch (checkpoint loss, restarted query,
-    * at-least-once upstream) commits nothing twice. Idempotence is per
-    * serialized writer (a Structured Streaming query runs its batches
-    * serially); two CONCURRENT writers racing the same fresh tag are
-    * the one case this cannot collapse — the same boundary Delta's txn
-    * appId/version protocol draws.
-    *
-    * Replay protection SURVIVES [[vacuum]]: every commit carries the
-    * tag→version map forward into its manifest (the way Delta retains
-    * txn versions in checkpoints), so dropping old manifests never
-    * forgets a live tag — a batch replayed after its own manifest was
-    * vacuumed still no-ops. The map is BOUNDED at `tagHorizon` newest
-    * tags (the replay horizon, default [[DefaultTagHorizon]]); a replay
-    * arriving later than that re-appends.
-    */
-  def appendIdempotent(df: DataFrame, path: String, tag: String,
-                       partitionCols: Seq[String] = Nil,
-                       statsCols: Seq[String] = Nil,
-                       maxAttempts: Int = 3,
-                       tagHorizon: Int = DefaultTagHorizon): Long =
-    committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
-      append(df, path, partitionCols, maxAttempts = maxAttempts,
-        statsCols = statsCols, tag = Some(tag), tagHorizon = tagHorizon))
-
-  /** The committed version carrying `tag`, if any. One manifest read:
-    * the CURRENT manifest's carried tag map answers membership for the
-    * whole history (pre-tag-map legacy manifests fall back to a
-    * newest-first per-manifest scan of the own-tag field).
-    */
-  def committedVersionOfTag(spark: SparkSession, path: String,
-                            tag: String): Option[Long] =
-    currentVersion(spark, path).flatMap { cur =>
-      val node = manifestNode(spark, path, cur)
-      if (node.has("tags")) Option(node.get("tags").get(tag)).map(_.asLong())
-      else versions(spark, path).reverseIterator.find { v =>
-        val t = manifestNode(spark, path, v).get("tag")
-        t != null && t.asText() == tag
-      }
+  private final case class CacheKey(path: String, version: Long, sig: Long)
+  private val stateCache =
+    new java.util.LinkedHashMap[CacheKey, TableState](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, TableState]): Boolean = size() > 128
     }
+  private def cacheGet(k: CacheKey): Option[TableState] =
+    stateCache.synchronized(Option(stateCache.get(k)))
+  private def cachePut(k: CacheKey, st: TableState): Unit =
+    stateCache.synchronized { stateCache.put(k, st); () }
 
-  /** Full tag→version map as of `version` (carried map when present;
-    * reconstructed from per-manifest own tags on legacy tables).
+  /** Identity of a committed version on disk: mtime/len of its manifest
+    * (or checkpoint, when the manifest was vacuumed). Guards the cache
+    * against a table being deleted and re-created at the same path.
     */
-  private def manifestTags(spark: SparkSession, path: String,
-                           version: Long): Map[String, Long] = {
-    val node = manifestNode(spark, path, version)
-    if (node.has("tags")) {
-      val t = node.get("tags")
-      val out = scala.collection.mutable.Map.empty[String, Long]
-      val it = t.fieldNames()
-      while (it.hasNext) { val k = it.next(); out += k -> t.get(k).asLong() }
-      out.toMap
-    } else
-      versions(spark, path).filter(_ <= version).flatMap { v =>
-        val t = manifestNode(spark, path, v).get("tag")
-        if (t == null) None else Some(t.asText() -> v)
-      }.toMap
+  private def sigOf(f: FileSystem, path: String, v: Long): Option[Long] = {
+    def s(p: Path): Option[Long] =
+      try { val st = f.getFileStatus(p)
+            Some(st.getModificationTime * 31L + st.getLen) }
+      catch { case _: java.io.FileNotFoundException => None }
+    s(manifestPath(path, v)).orElse(s(checkpointPath(path, v)))
   }
 
-  private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
-                     maxAttempts: Int, statsCols: Seq[String],
-                     carryForward: Boolean, tag: Option[String],
-                     tagHorizon: Int = DefaultTagHorizon): Long = {
-    val spark = df.sparkSession
-    val f = fs(spark, path)
-    require(!carryForward || partitionCols.isEmpty,
-      "append is unpartitioned by contract: a partitioned append would mix " +
-        "k=v and flat snapshot layouts under one basePath, which Spark's " +
-        "partition discovery rejects at read time")
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val prev = currentVersion(spark, path)
-      val version = prev.getOrElse(0L) + 1L
-      // fail-fast twin of the require above: appending onto a base
-      // version whose files live in k=v partition dirs would commit an
-      // unreadable mixed layout
-      if (carryForward) prev.foreach { pv =>
-        require(!manifestFiles(spark, path, pv)
-            .exists(_.split("/").exists(_.contains("="))),
-          s"cannot append onto partitioned version $pv of $path — " +
-            "rewrite it unpartitioned first (compact) or overwrite")
-      }
-      // schema rides in the manifest (Delta keeps it in the log): an
-      // overwrite commits the batch's schema; an append commits the
-      // EVOLVED union — previous columns first, new columns appended —
-      // so readers of the new version see old files' missing columns as
-      // nulls instead of whichever file's footer the reader sampled.
-      // Computed BEFORE staging: an incompatible append (type change)
-      // fails fast, leaving no orphan files.
-      val schema =
-        if (carryForward)
-          prev.flatMap(manifestSchema(spark, path, _))
-            .map(evolve(_, df.schema)).getOrElse(df.schema)
-        else df.schema
-      // WRITER-UNIQUE staging dir: two writers racing for version N
-      // must never stage into the same directory (an overwrite write
-      // would clobber the other's files before its commit). The
-      // committed manifest carries the full unique paths, so readers
-      // never care which writer's directory won.
-      val token = java.util.UUID.randomUUID.toString.take(8)
-      val snapDir = s"$path/snap-$version-$token"
-      val w = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(snapDir)
-      var staged = listDataFiles(f, new Path(snapDir))
-      if (staged.isEmpty && !(carryForward && prev.nonEmpty)) {
-        // a PARTITIONED write of zero rows emits no files at all, which
-        // would commit an unreadable version — re-stage unpartitioned:
-        // an empty non-partitioned parquet write keeps a schema-bearing
-        // file (partition columns become ordinary empty columns). An
-        // append onto existing history skips this: the carried files
-        // already make the version readable.
-        df.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
-        staged = listDataFiles(f, new Path(snapDir))
-      }
-      val carried: Seq[String] =
-        if (carryForward) prev.map(manifestFiles(spark, path, _)).getOrElse(Nil)
-        else Nil
-      // carried stats survive UNCONDITIONALLY: an append made without
-      // statsCols (e.g. a streaming batch) must not silently strip the
-      // data-skipping index off the whole history — only its own new
-      // files go unindexed (and are conservatively never pruned)
-      val carriedStats: Map[String, Map[String, ColStats]] =
-        if (carryForward)
-          prev.map(manifestStats(spark, path, _)).getOrElse(Map.empty)
-        else Map.empty
-      val files = carried ++ staged.map(p => relativize(new Path(path), p))
-      val manifest = new Path(path, s"$ManifestPrefix$version.json")
-      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
-      val newStats: Map[String, Map[String, ColStats]] =
-        if (statsCols.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsCols)).toMap
-      // the tag→version map rides every manifest (overwrites too — a
-      // replayed batch must no-op even after the data it wrote was
-      // replaced), so vacuum dropping old manifests never erases replay
-      // protection and tag membership is one manifest read. BOUNDED:
-      // only the newest tagHorizon survive (evicted by commit
-      // version — the replay horizon, same boundary Delta draws with
-      // txn retention); unbounded carry would grow every manifest and
-      // every commit by O(total batches ever) on a long-lived sink.
-      val allTags: Map[String, Long] =
-        (prev.map(manifestTags(spark, path, _)).getOrElse(Map.empty) ++
-          tag.map(_ -> version))
-          .toSeq.sortBy { case (t, v) => (-v, t) }
-          .take(tagHorizon).toMap
-      val json = manifestJson(spark, version, files,
-        carriedStats ++ newStats, tag, Some(schema), allTags)
-      val out = f.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      // conditional commit: must atomically fail if a concurrent
-      // writer already committed version N (see conditionalCommit)
-      if (conditionalCommit(f, tmp, manifest)) return version
-      // lost the race — drop this attempt's staging, re-stage on next N
-      f.delete(tmp, false)
-      f.delete(new Path(snapDir), true)
-      attempt += 1
-    }
-    throw new IllegalStateException(
-      s"manifest commit lost $maxAttempts races at $path — giving up")
+  private def readNode(f: FileSystem, p: Path): JsonNode = {
+    val in = f.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
   }
 
-  /** Read the table's current committed version. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    readVersion(spark, path,
-      currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(s"no committed version at $path")))
+  private def readNodeIfExists(f: FileSystem, p: Path): Option[JsonNode] =
+    try Some(readNode(f, p))
+    catch { case _: java.io.FileNotFoundException => None }
 
-  /** Time travel: read an explicit committed version. `basePath` (the
-    * snapshot directory, taken from the manifest's own file list) keeps
-    * partition columns derived from `k=v` directory names inside the
-    * snapshot.
-    */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val rel = manifestFiles(spark, path, version)
-    require(rel.nonEmpty, s"version $version at $path has no data files")
-    readFiles(spark, path, version, rel)
+  private def strArr(n: JsonNode, field: String): Seq[String] = {
+    val a = n.get(field)
+    if (a == null) Nil else (0 until a.size()).map(a.get(_).asText())
   }
 
-  /** Shared file-list reader: basePath spans every named snapshot dir
-    * (single-snapshot overwrite versions keep the snapshot root so k=v
-    * partition dirs are discovered; appended versions span several dirs
-    * and are unpartitioned by contract), and the manifest's recorded
-    * schema governs the read — files predating an additive evolution
-    * surface their missing columns as nulls instead of whichever file's
-    * footer the reader samples. EVERY read path (full, time travel,
-    * stats-pruned) must come through here or drift on appended tables.
-    */
-  private def readFiles(spark: SparkSession, path: String, version: Long,
-                        rel: Seq[String]): DataFrame = {
-    val files = rel.map(r => s"$path/$r")
-    val roots = rel.map(_.split("/").head).distinct
-    val base = if (roots.length == 1) s"$path/${roots.head}" else path
-    val reader = spark.read.option("basePath", base)
-    manifestSchema(spark, path, version) match {
-      case Some(s) => reader.schema(s).parquet(files: _*)
-      case None    => reader.parquet(files: _*)
-    }
-  }
-
-  /** The data files a committed manifest names (table-relative). */
-  def manifestFiles(spark: SparkSession, path: String, version: Long): Seq[String] = {
-    val node = manifestNode(spark, path, version)
-    val arr = node.get("files")
-    (0 until arr.size()).map(arr.get(_).asText())
-  }
-
-  /** Per-file column statistics recorded by a committed manifest
-    * (empty map when the version was written without `statsCols`).
-    */
-  def manifestStats(spark: SparkSession, path: String,
-                    version: Long): Map[String, Map[String, ColStats]] = {
-    val node = manifestNode(spark, path, version)
-    val stats = node.get("stats")
+  private def parseStatsNode(stats: JsonNode): Map[String, Map[String, ColStats]] =
     if (stats == null) Map.empty
     else {
       val out = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
@@ -345,35 +187,318 @@ object ManifestTable {
       }
       out.toMap
     }
+
+  private def parseSchema(n: JsonNode): Option[StructType] =
+    Option(n.get("schema")).map(s =>
+      DataType.fromJson(s.asText()).asInstanceOf[StructType])
+
+  /** A full-state node: a checkpoint, or a round-9/legacy manifest
+    * (whose `files` field lists the complete snapshot). Acts as a
+    * replay RESET. A legacy manifest without a carried `tags` map
+    * contributes only its own tag (the pre-upgrade fallback scanned
+    * per-manifest tags; post-upgrade tables always carry the map
+    * through checkpoints).
+    */
+  private def stateFromFull(n: JsonNode, version: Long): TableState = {
+    val tags: Map[String, Long] =
+      if (n.has("tags")) {
+        val t = n.get("tags")
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        val it = t.fieldNames()
+        while (it.hasNext) { val k = it.next(); out += k -> t.get(k).asLong() }
+        out.toMap
+      } else Option(n.get("tag")).map(t => t.asText() -> version).toMap
+    TableState(version,
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      strArr(n, "files"), parseStatsNode(n.get("stats")), parseSchema(n),
+      tags, strArr(n, "dvFiles"),
+      Option(n.get("dvKey")).map(_.asText()))
   }
 
+  private def truncateTags(tags: Map[String, Long], horizon: Int): Map[String, Long] =
+    if (tags.size <= horizon) tags
+    else tags.toSeq.sortBy { case (t, v) => (-v, t) }.take(horizon).toMap
+
+  /** Apply one delta log entry on top of the previous state. */
+  private def applyDelta(prev: TableState, n: JsonNode, version: Long): TableState = {
+    val removes = strArr(n, "removes").toSet
+    val dvRemoves = strArr(n, "dvRemoves").toSet
+    val tag = Option(n.get("tag")).map(_.asText())
+    val horizon = Option(n.get("tagHorizon")).map(_.asInt())
+      .getOrElse(DefaultTagHorizon)
+    TableState(
+      version,
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      prev.files.filterNot(removes) ++ strArr(n, "adds"),
+      (prev.stats -- removes) ++ parseStatsNode(n.get("stats")),
+      parseSchema(n).orElse(prev.schema),
+      truncateTags(prev.tags ++ tag.map(_ -> version), horizon),
+      prev.dvFiles.filterNot(dvRemoves) ++ strArr(n, "dvAdds"),
+      Option(n.get("dvKey")).map(_.asText()).orElse(prev.dvKey))
+  }
+
+  /** Resolve the full metadata of a committed version: walk back from
+    * `version` until a cached state, a checkpoint, a full (legacy)
+    * manifest, or version 0 (empty table) — then replay the collected
+    * delta entries forward, caching every intermediate. Amortized O(1)
+    * per new commit; worst case O([[CheckpointInterval]]) JSON reads.
+    */
+  private[graft] def resolveState(spark: SparkSession, path: String,
+                                  version: Long): TableState = {
+    val f = fs(spark, path)
+    var v = version
+    var deltas = List.empty[(Long, JsonNode, Long)] // ascending after prepends
+    var base: TableState = null
+    while (base == null) {
+      if (v == 0L)
+        base = TableState(0L, 0L, Nil, Map.empty, None, Map.empty, Nil, None)
+      else {
+        val sig = sigOf(f, path, v).getOrElse(throw new IllegalStateException(
+          s"version $v of $path is not resolvable — its manifest and " +
+            "checkpoint are both absent (vacuumed or never committed)"))
+        cacheGet(CacheKey(path, v, sig)) match {
+          case Some(st) => base = st
+          case None =>
+            readNodeIfExists(f, checkpointPath(path, v)) match {
+              case Some(ck) =>
+                base = stateFromFull(ck, v)
+                cachePut(CacheKey(path, v, sig), base)
+              case None =>
+                val n = readNode(f, manifestPath(path, v))
+                require(n.get("version").asLong() == v,
+                  s"manifest for version $v at $path names version " +
+                    s"${n.get("version")} — corrupt table")
+                if (n.has("files")) {
+                  base = stateFromFull(n, v)
+                  cachePut(CacheKey(path, v, sig), base)
+                } else {
+                  deltas ::= ((v, n, sig))
+                  v -= 1
+                }
+            }
+        }
+      }
+    }
+    var st = base
+    deltas.foreach { case (dv, n, sig) =>
+      st = applyDelta(st, n, dv)
+      cachePut(CacheKey(path, dv, sig), st)
+    }
+    st
+  }
+
+  // ------------------------------------------------------------------
+  // Reads
+  // ------------------------------------------------------------------
+
+  /** Read the table's current committed version. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path,
+      currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path")))
+
+  /** Time travel: read an explicit committed version. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val st = resolveState(spark, path, version)
+    require(st.files.nonEmpty, s"version $version at $path has no data files")
+    readStateDf(spark, path, st)
+  }
+
+  /** Timestamp time travel: the newest version whose commit wall-clock
+    * `ts` is ≤ `tsMillis` (timestamps are read off the log newest-first
+    * and used as recorded — the same best-effort clock contract
+    * delta-spark's `timestampAsOf` draws). Errors when every surviving
+    * commit is newer than the asked instant.
+    */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+                        tsMillis: Long): DataFrame = {
+    val v = versionAsOfTimestamp(spark, path, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version at $path as of ts=$tsMillis — oldest " +
+          s"surviving commit is ${versions(spark, path).headOption.map(v0 =>
+            s"v$v0 (ts=${commitTimestamp(spark, path, v0)})").getOrElse("none")}"))
+    readVersion(spark, path, v)
+  }
+
+  /** The version [[readAsOfTimestamp]] would resolve, if any. */
+  def versionAsOfTimestamp(spark: SparkSession, path: String,
+                           tsMillis: Long): Option[Long] =
+    versions(spark, path).reverseIterator
+      .find(v => commitTimestamp(spark, path, v) <= tsMillis)
+
+  /** Wall-clock commit time recorded by a version (0 on pre-round-10
+    * manifests, which carried no timestamp).
+    */
+  def commitTimestamp(spark: SparkSession, path: String, version: Long): Long = {
+    val f = fs(spark, path)
+    readNodeIfExists(f, manifestPath(path, version))
+      .orElse(readNodeIfExists(f, checkpointPath(path, version)))
+      .flatMap(n => Option(n.get("ts")).map(_.asLong())).getOrElse(0L)
+  }
+
+  /** Shared file-list reader: basePath spans every named snapshot dir,
+    * so `k=v` partition directories inside a snapshot are discovered;
+    * the recorded schema governs the read (files predating an additive
+    * evolution surface missing columns as nulls). Files from SEVERAL
+    * partitioned snapshots (post-merge partitioned tables) are read
+    * per-snapshot-root and unioned by name — partition inference is
+    * only defined under a single base. EVERY read path must come
+    * through here or [[readStateDf]] or drift on appended tables.
+    */
+  private def readFilesOf(spark: SparkSession, path: String,
+                          schema: Option[StructType],
+                          rel: Seq[String]): DataFrame = {
+    val roots = rel.map(_.split("/").head).distinct
+    val partitioned = rel.exists(_.split("/").dropRight(1).exists(_.contains("=")))
+    def scan(base: String, files: Seq[String]): DataFrame = {
+      val reader = spark.read.option("basePath", base)
+      val paths = files.map(r => s"$path/$r")
+      schema match {
+        case Some(s) => reader.schema(s).parquet(paths: _*)
+        case None    => reader.parquet(paths: _*)
+      }
+    }
+    if (roots.length == 1) scan(s"$path/${roots.head}", rel)
+    else if (!partitioned) scan(path, rel)
+    else {
+      val byRoot = rel.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+      val unioned = byRoot.map { case (root, fl) => scan(s"$path/$root", fl) }
+        .reduce(_ unionByName _)
+      schema.map(s => unioned.select(s.fieldNames.map(org.apache.spark.sql
+        .functions.col).toSeq: _*)).getOrElse(unioned)
+    }
+  }
+
+  /** State-aware read: the resolved file list, with the live deletion
+    * vectors anti-joined away. DV match is (file basename, key) — part
+    * file basenames carry a writer UUID, so they identify a physical
+    * file for the table's lifetime; the DV side is broadcast (sparse
+    * deletes are small by contract). Null-keyed base rows never match
+    * a DV entry (SQL join semantics) — they are never deleted.
+    */
+  private def readStateDf(spark: SparkSession, path: String,
+                          st: TableState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+    val base = readFilesOf(spark, path, st.schema, st.files)
+    if (st.dvFiles.isEmpty) base
+    else {
+      val dv = spark.read.parquet(st.dvFiles.map(r => s"$path/$r"): _*)
+      // input_file_name is non-deterministic: project it to a column
+      // BEFORE the join (a join condition must be deterministic)
+      val withF = base.withColumn("_graft_dv_f",
+        element_at(split(input_file_name(), "/"), -1))
+      withF.join(broadcast(dv),
+        withF("_graft_dv_f") === dv("_graft_dv_file")
+          && withF(st.dvKey.get) === dv("_graft_dv_key"),
+        "left_anti")
+        .drop("_graft_dv_f")
+    }
+  }
+
+  /** The data files a committed version resolves to (table-relative). */
+  def manifestFiles(spark: SparkSession, path: String, version: Long): Seq[String] =
+    resolveState(spark, path, version).files
+
+  /** Per-file column statistics a committed version resolves to. */
+  def manifestStats(spark: SparkSession, path: String,
+                    version: Long): Map[String, Map[String, ColStats]] =
+    resolveState(spark, path, version).stats
+
+  /** The schema a committed version records (absent on pre-schema
+    * manifests → readers fall back to footer inference). */
+  def manifestSchema(spark: SparkSession, path: String,
+                     version: Long): Option[StructType] =
+    resolveState(spark, path, version).schema
+
+  /** The committed version carrying `tag`, if any — one cached state
+    * resolution against the current version's carried tag map.
+    */
+  def committedVersionOfTag(spark: SparkSession, path: String,
+                            tag: String): Option[Long] =
+    currentVersion(spark, path)
+      .flatMap(resolveState(spark, path, _).tags.get(tag))
+
+  // ------------------------------------------------------------------
+  // Data skipping
+  // ------------------------------------------------------------------
+
+  /** Only these key types prune on footer stats: parquet footers for
+    * DECIMAL columns record UNSCALED integers while query-side bounds
+    * are scaled BigDecimals — comparing them can wrongly prune a file
+    * that contains matches (silent lost updates). Dates/strings have
+    * collation/encoding hazards of their own. Everything else falls
+    * through to the full candidate set — slower, never wrong.
+    */
+  private def statsPrunable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType                        => true
+    case _                                             => false
+  }
+
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
+
+  private def partitionColsOf(files: Seq[String]): Seq[String] =
+    files.headOption.map(_.split("/").dropRight(1).filter(_.contains("="))
+      .map(_.takeWhile(_ != '=')).toSeq).getOrElse(Nil)
+
+  /** Files of `st` whose recorded evidence (partition value, then
+    * footer stats) can intersect [lo, hi] on `column`. Files without
+    * complete evidence are kept — pruning must be sound, not complete.
+    * `prunableType` gates the numeric comparisons (see
+    * [[statsPrunable]]); partition values prune only when they parse
+    * numerically.
+    */
+  private def pruneFilesByRange(st: TableState, column: String,
+                                prunableType: Boolean,
+                                lo: Double, hi: Double): Seq[String] = {
+    if (!prunableType) st.files
+    else {
+      val isPart = partitionColsOf(st.files).contains(column)
+      st.files.filter { file =>
+        val pOk = if (!isPart) true
+        else partitionValuesOf(file).get(column) match {
+          case Some(v) => v.toDoubleOption.forall(d => d >= lo && d <= hi)
+          case None    => true
+        }
+        val sOk = st.stats.get(file).flatMap(_.get(column)) match {
+          case Some(s) if s.complete && s.typ != "string" =>
+            s.max.toString.toDouble >= lo && s.min.toString.toDouble <= hi
+          case _ => true
+        }
+        pOk && sOk
+      }
+    }
+  }
+
+  private def prunableColumn(st: TableState, column: String): Boolean =
+    st.schema match {
+      case Some(s) => s.fields.find(_.name == column)
+        .map(f => statsPrunable(f.dataType)).getOrElse(true)
+      case None => true // legacy table without recorded schema
+    }
+
   /** Data-skipping read: the current version restricted to files whose
-    * recorded [min, max] for `column` intersects [lower, upper] — the
-    * observable half of Delta's stats-based file pruning. Files without
-    * complete stats for the column are kept (pruning must be sound, not
-    * complete). The caller still applies its own row-level filter; this
-    * only shrinks the file list the scan touches — on a Z-ordered or
-    * range-clustered table that is the 100 TB "read 4 files, not 4000"
-    * win.
+    * recorded partition value / [min, max] stats for `column` intersect
+    * [lower, upper] — the observable half of Delta's stats-based file
+    * pruning. The caller still applies its own row-level filter; this
+    * only shrinks the file list the scan touches — on a clustered or
+    * partitioned table that is the 100 TB "read 4 files, not 4000" win.
+    * Decimal/string/date columns never prune (see [[statsPrunable]]).
     */
   def readNumericRange(spark: SparkSession, path: String, column: String,
                        lower: Double, upper: Double): DataFrame = {
     val version = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    val all = manifestFiles(spark, path, version)
-    val stats = manifestStats(spark, path, version)
-    val keep = all.filter { file =>
-      stats.get(file).flatMap(_.get(column)) match {
-        case Some(s) if s.complete && s.typ != "string" =>
-          val mn = s.min.toString.toDouble
-          val mx = s.max.toString.toDouble
-          mx >= lower && mn <= upper
-        case _ => true // no/partial stats → cannot prune soundly
-      }
-    }
-    require(all.nonEmpty, s"version $version at $path has no data files")
-    if (keep.isEmpty) read(spark, path).limit(0)
-    else readFiles(spark, path, version, keep)
+    val st = resolveState(spark, path, version)
+    require(st.files.nonEmpty, s"version $version at $path has no data files")
+    val keep = pruneFilesByRange(st, column, prunableColumn(st, column),
+      lower, upper)
+    if (keep.isEmpty) readStateDf(spark, path, st).limit(0)
+    else readStateDf(spark, path, st.copy(files = keep))
   }
 
   /** How many files [[readNumericRange]] would touch vs the total —
@@ -383,30 +508,14 @@ object ManifestTable {
                  lower: Double, upper: Double): (Int, Int) = {
     val version = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    val all = manifestFiles(spark, path, version)
-    val stats = manifestStats(spark, path, version)
-    val kept = all.count { file =>
-      stats.get(file).flatMap(_.get(column)) match {
-        case Some(s) if s.complete && s.typ != "string" =>
-          s.max.toString.toDouble >= lower && s.min.toString.toDouble <= upper
-        case _ => true
-      }
-    }
-    (kept, all.size)
+    val st = resolveState(spark, path, version)
+    (pruneFilesByRange(st, column, prunableColumn(st, column),
+      lower, upper).size, st.files.size)
   }
 
-  private def manifestNode(spark: SparkSession, path: String,
-                           version: Long): com.fasterxml.jackson.databind.JsonNode = {
-    val f = fs(spark, path)
-    val manifest = new Path(path, s"$ManifestPrefix$version.json")
-    val in = f.open(manifest)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    require(node.get("version").asLong() == version,
-      s"manifest $manifest names version ${node.get("version")} — corrupt table")
-    node
-  }
+  // ------------------------------------------------------------------
+  // Footer statistics (write-side index build)
+  // ------------------------------------------------------------------
 
   /** Per-file min/max/null-count for `statsCols`, read from the parquet
     * FOOTER row-group metadata — metadata-only, no data pages touched
@@ -414,7 +523,9 @@ object ManifestTable {
     * just-written files is the library-level equivalent, O(row groups)
     * regardless of data size). Columns with unsupported physical types
     * (int96, fixed binary) or with any stats-less row group are marked
-    * incomplete and never prune.
+    * incomplete and never prune. DECIMAL footers surface as unscaled
+    * integers — recorded as-is, and excluded from pruning by
+    * [[statsPrunable]] on the read/merge side.
     */
   private def footerStats(spark: SparkSession, file: Path,
                           statsCols: Seq[String]): Map[String, ColStats] = {
@@ -480,45 +591,24 @@ object ManifestTable {
     * name with a DIFFERENT type is rejected — silent coercion is how
     * tables corrupt.
     */
-  private[pipeline] def evolve(prev: org.apache.spark.sql.types.StructType,
-                               incoming: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType = {
+  private[pipeline] def evolve(prev: StructType,
+                               incoming: StructType): StructType = {
     val prevNames = prev.fieldNames.toSet
     incoming.fields.filter(f => prevNames.contains(f.name)).foreach { f =>
       val p = prev(f.name)
       require(p.dataType == f.dataType,
         s"append changes type of '${f.name}': ${p.dataType} -> ${f.dataType}")
     }
-    org.apache.spark.sql.types.StructType(
+    StructType(
       prev.fields ++ incoming.fields.filterNot(f => prevNames.contains(f.name)))
   }
 
-  /** The schema a committed manifest records (absent on pre-schema
-    * manifests → readers fall back to footer inference). */
-  def manifestSchema(spark: SparkSession, path: String,
-                     version: Long): Option[org.apache.spark.sql.types.StructType] = {
-    val n = manifestNode(spark, path, version).get("schema")
-    Option(n).map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
+  // ------------------------------------------------------------------
+  // Log entry / checkpoint serialization
+  // ------------------------------------------------------------------
 
-  private def manifestJson(spark: SparkSession, version: Long,
-                           files: Seq[String],
-                           stats: Map[String, Map[String, ColStats]],
-                           tag: Option[String] = None,
-                           schema: Option[org.apache.spark.sql.types.StructType] = None,
-                           tags: Map[String, Long] = Map.empty): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("version", version)
-    tag.foreach(root.put("tag", _))
-    // always present (possibly empty) so tag lookups on any post-legacy
-    // manifest are a single read, never a history scan
-    val tagsNode = root.putObject("tags")
-    tags.toSeq.sortBy(_._1).foreach { case (k, v) => tagsNode.put(k, v) }
-    schema.foreach(s => root.put("schema", s.json))
-    val arr = root.putArray("files")
-    files.foreach(arr.add)
+  private def putStats(root: com.fasterxml.jackson.databind.node.ObjectNode,
+                       stats: Map[String, Map[String, ColStats]]): Unit =
     if (stats.nonEmpty) {
       val statsNode = root.putObject("stats")
       for ((file, cols) <- stats.toSeq.sortBy(_._1)) {
@@ -542,280 +632,543 @@ object ManifestTable {
         }
       }
     }
+
+  /** One O(Δ) commit-log entry: only this commit's adds/removes (+
+    * their stats, the commit's own tag and horizon, the schema — small,
+    * O(columns)). Never the table's file list.
+    */
+  private def deltaJson(version: Long, ts: Long,
+                        adds: Seq[String], removes: Seq[String],
+                        addStats: Map[String, Map[String, ColStats]],
+                        tag: Option[String], tagHorizon: Int,
+                        schema: Option[StructType],
+                        dvAdds: Seq[String] = Nil,
+                        dvRemoves: Seq[String] = Nil,
+                        dvKey: Option[String] = None): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    root.put("ts", ts)
+    tag.foreach(root.put("tag", _))
+    if (tag.isDefined || tagHorizon != DefaultTagHorizon)
+      root.put("tagHorizon", tagHorizon)
+    schema.foreach(s => root.put("schema", s.json))
+    dvKey.foreach(root.put("dvKey", _))
+    val addArr = root.putArray("adds"); adds.foreach(addArr.add)
+    val remArr = root.putArray("removes"); removes.foreach(remArr.add)
+    if (dvAdds.nonEmpty) { val a = root.putArray("dvAdds"); dvAdds.foreach(a.add) }
+    if (dvRemoves.nonEmpty) { val a = root.putArray("dvRemoves"); dvRemoves.foreach(a.add) }
+    putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
 
-  /** Row-level keyed MERGE (copy-on-write upsert/delete) — the
-    * delta-spark flagship write op (`MERGE INTO`, the operation the
-    * reference wires Delta for: `/root/reference/src/etl_pipeline.py:36-41`)
-    * re-expressed over the manifest protocol. Semantics per key:
-    * an `updates` row whose key matches a base row REPLACES it; a
+  private def checkpointJson(st: TableState): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", st.version)
+    root.put("ts", st.ts)
+    st.schema.foreach(s => root.put("schema", s.json))
+    st.dvKey.foreach(root.put("dvKey", _))
+    val tagsNode = root.putObject("tags")
+    st.tags.toSeq.sortBy(_._1).foreach { case (k, v) => tagsNode.put(k, v) }
+    val arr = root.putArray("files"); st.files.foreach(arr.add)
+    if (st.dvFiles.nonEmpty) {
+      val a = root.putArray("dvFiles"); st.dvFiles.foreach(a.add)
+    }
+    putStats(root, st.stats)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Publish a checkpoint for `st` (advisory — a reader losing it just
+    * replays more deltas). Only the committer of a version writes its
+    * checkpoint, so there is no publish race; an already-present file
+    * wins.
+    */
+  private def writeCheckpoint(spark: SparkSession, path: String,
+                              st: TableState): Unit = {
+    val f = fs(spark, path)
+    val dst = checkpointPath(path, st.version)
+    if (!f.exists(dst)) {
+      val tmp = new Path(path,
+        s"$CheckpointPrefix${st.version}.json.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(checkpointJson(st).getBytes("UTF-8")) finally out.close()
+      if (!conditionalCommit(f, tmp, dst)) f.delete(tmp, false)
+    }
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, path: String,
+                              version: Long): Unit =
+    if (version % CheckpointInterval == 0)
+      writeCheckpoint(spark, path, resolveState(spark, path, version))
+
+  // ------------------------------------------------------------------
+  // Write / append
+  // ------------------------------------------------------------------
+
+  /** Write `df` as the table's next version and commit it. Returns the
+    * committed version number. The snapshot directory is written first
+    * (under a writer-unique token so racing writers never cross-clobber);
+    * the manifest publish is the last — and only observable — step, and
+    * it is CONDITIONAL: losing a commit race is detected, the orphaned
+    * attempt dropped, and the write re-staged under the next version
+    * (optimistic concurrency, bounded by `maxAttempts`). The committed
+    * log entry removes every previous file (overwrite) but is still
+    * O(previous files) only in NAMES — stats are never re-serialized.
+    */
+  def write(df: DataFrame, path: String,
+            partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
+            statsCols: Seq[String] = Nil, tag: Option[String] = None,
+            tagHorizon: Int = DefaultTagHorizon): Long =
+    commit(df, path, partitionCols, maxAttempts, statsCols,
+      carryForward = false, tag = tag, tagHorizon = tagHorizon)
+
+  /** Transactional APPEND: commit a log entry adding this batch's files
+    * — O(new files) bytes, regardless of table size. Data files of
+    * previous versions are never touched; an appender dying mid-stage
+    * is invisible. An optional `tag` (e.g. a streaming batch id) is
+    * recorded for [[appendIdempotent]].
+    */
+  def append(df: DataFrame, path: String,
+             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
+             statsCols: Seq[String] = Nil, tag: Option[String] = None,
+             tagHorizon: Int = DefaultTagHorizon): Long =
+    commit(df, path, partitionCols, maxAttempts, statsCols,
+      carryForward = true, tag = tag, tagHorizon = tagHorizon)
+
+  /** Idempotent tagged append for exactly-once sinks: if the table has
+    * ever committed `tag` (within the tag horizon), the call is a no-op
+    * returning that version. Replay protection SURVIVES [[vacuum]]: the
+    * tag map rides the resolved state (carried into every checkpoint),
+    * so dropping old manifests never forgets a live tag. Idempotence is
+    * per serialized writer — the same boundary Delta's txn appId
+    * protocol draws.
+    */
+  def appendIdempotent(df: DataFrame, path: String, tag: String,
+                       partitionCols: Seq[String] = Nil,
+                       statsCols: Seq[String] = Nil,
+                       maxAttempts: Int = 3,
+                       tagHorizon: Int = DefaultTagHorizon): Long =
+    committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
+      append(df, path, partitionCols, maxAttempts = maxAttempts,
+        statsCols = statsCols, tag = Some(tag), tagHorizon = tagHorizon))
+
+  private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
+                     maxAttempts: Int, statsCols: Seq[String],
+                     carryForward: Boolean, tag: Option[String],
+                     tagHorizon: Int = DefaultTagHorizon): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    require(!carryForward || partitionCols.isEmpty,
+      "append is unpartitioned by contract: a partitioned append would mix " +
+        "k=v and flat snapshot layouts under one basePath, which Spark's " +
+        "partition discovery rejects at read time")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = currentVersion(spark, path)
+      val prevState = prev.map(resolveState(spark, path, _))
+      val version = prev.getOrElse(0L) + 1L
+      // fail-fast twin of the require above: appending onto a base
+      // version whose files live in k=v partition dirs would commit an
+      // unreadable mixed layout
+      if (carryForward) prevState.foreach { ps =>
+        require(!ps.files.exists(_.split("/").exists(_.contains("="))),
+          s"cannot append onto partitioned version ${ps.version} of $path — " +
+            "rewrite it unpartitioned first (compact) or overwrite")
+      }
+      // schema rides the log (Delta keeps it there too): an overwrite
+      // commits the batch's schema; an append commits the EVOLVED union.
+      // Computed BEFORE staging: an incompatible append fails fast,
+      // leaving no orphan files.
+      val schema =
+        if (carryForward)
+          prevState.flatMap(_.schema).map(evolve(_, df.schema))
+            .getOrElse(df.schema)
+        else df.schema
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(snapDir)
+      var staged = listDataFiles(f, new Path(snapDir))
+      if (staged.isEmpty && !(carryForward && prev.nonEmpty)) {
+        // a PARTITIONED write of zero rows emits no files at all, which
+        // would commit an unreadable version — re-stage unpartitioned:
+        // an empty non-partitioned parquet write keeps a schema-bearing
+        // file (partition columns become ordinary empty columns).
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        staged = listDataFiles(f, new Path(snapDir))
+      }
+      val adds = staged.map(p => relativize(new Path(path), p))
+      val newStats: Map[String, Map[String, ColStats]] =
+        if (statsCols.isEmpty) Map.empty
+        else staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, statsCols)).toMap
+      // overwrite: every previous file (and deletion vector) leaves the
+      // state; append: nothing leaves. Carried stats survive appends by
+      // construction — a stats-less streaming append only leaves its
+      // own files unindexed.
+      val removes = if (carryForward) Nil
+        else prevState.map(_.files).getOrElse(Nil)
+      val dvRemoves = if (carryForward) Nil
+        else prevState.map(_.dvFiles).getOrElse(Nil)
+      val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
+        newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves)
+      val manifest = manifestPath(path, version)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifest)) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      // lost the race — drop this attempt's staging, re-stage on next N
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit lost $maxAttempts races at $path — giving up")
+  }
+
+  // ------------------------------------------------------------------
+  // Keyed MERGE (copy-on-write + deletion vectors)
+  // ------------------------------------------------------------------
+
+  /** Row-level keyed MERGE (upsert/delete) — the delta-spark flagship
+    * write op re-expressed over the commit log. Semantics per key: an
+    * `updates` row whose key matches a base row REPLACES it; a
     * non-matching row INSERTS; a row flagged true in `deleteCol`
-    * DELETES its key (no insert). The merged table is the next
-    * committed version; failure anywhere before the manifest rename is
-    * invisible.
+    * DELETES its key (no insert).
     *
     * Copy-on-write file selection — the part that decides whether this
     * works at 100 TB:
     *
-    *  1. STATS PRUNE (metadata-only, driver): files whose recorded
-    *     [min,max] for `key` cannot intersect the updates' key range
-    *     are untouched by construction — on a key-clustered table
-    *     (write with `statsCols = Seq(key)` after range-partitioning;
-    *     or [[compact]] with `sortCols`) a 0.1%-of-keys merge prunes
-    *     almost every file without reading a byte of data.
+    *  1. PRUNE (metadata-only, driver): partition values, then per-file
+    *     key stats, against the updates' key range — on a partitioned
+    *     or key-clustered table a 0.1%-of-keys merge prunes almost
+    *     every file without reading a byte of data. Decimal/string/date
+    *     keys skip the numeric prune ([[statsPrunable]]) — slower,
+    *     never wrong.
     *  2. SEMI-JOIN CONFIRM (one distributed job over the SURVIVORS
-    *     only): scan the candidate files with `input_file_name`,
-    *     broadcast-semi-join the update keys, collect the distinct
-    *     file names that actually contain a matching key. O(candidate
-    *     bytes), never O(table).
-    *  3. REWRITE touched files only: surviving rows (anti-join on key)
-    *     plus ALL upsert rows stage into a fresh snapshot dir; the new
-    *     manifest lists untouched files VERBATIM (same paths — the
-    *     spec asserts they are physically the same bytes) plus the
-    *     staged rewrites. Untouched files keep their carried stats;
-    *     staged files are re-indexed when `statsCols` is passed.
+    *     only): scan candidates with `input_file_name`, broadcast-join
+    *     the update keys, collect the (file, key) matches — O(candidate
+    *     bytes) scan, O(matched update keys) driver data, `Set`-based
+    *     bookkeeping (no quadratic suffix scans).
+    *  3. REWRITE touched files only (partition layout preserved on
+    *     partitioned tables; rewrites land inside their partitions by
+    *     `partitionBy`): surviving rows plus ALL upsert rows stage into
+    *     a fresh snapshot dir; untouched files are carried VERBATIM
+    *     (physically the same bytes). With `deleteVectors = true`,
+    *     files touched ONLY by deletes are not rewritten at all: the
+    *     deleted (file, key) pairs commit as a deletion-vector sidecar
+    *     (merge-on-read — reads anti-join it, [[compact]] folds it);
+    *     a delete-only merge then writes ZERO data files.
     *
-    * A matched key living in an untouched file is impossible — step 2
-    * touches every file containing any update key — so "insert = key
-    * matched nowhere" needs no global key scan. The update side is
-    * broadcast (merges are small-vs-big by nature; a merge whose
-    * update side rivals the table should be an overwrite).
-    *
-    * Schema contract: `updates` must carry exactly the table's columns
+    * The update side is broadcast (merges are small-vs-big by nature; a
+    * merge whose update side rivals the table should be an overwrite).
+    * Schema contract: `updates` carries exactly the table's columns
     * (plus `deleteCol`) with identical types — merge never evolves
-    * schema (that is [[append]]'s contract). Unpartitioned tables only,
-    * same as append, and the same OCC retry loop as every commit. An
-    * optional `tag` makes the merge replay-idempotent ([[appendIdempotent]]
-    * semantics: a redelivered merge with a committed tag no-ops).
-    * NULL keys follow SQL join semantics end to end: a null-keyed
-    * update row matches nothing (it inserts), and null-keyed base rows
-    * are never touched or deleted. Duplicate keys in `updates` write
-    * ALL their rows (the matched base row is dropped once) — callers
-    * needing Delta's multiple-match error use [[mergeConditional]],
-    * which enforces key-uniqueness (clause arbitration demands it).
+    * schema. NULL keys follow SQL join semantics end to end: null-keyed
+    * update rows insert (upserts) or drop (deletes); null-keyed base
+    * rows are never touched. Duplicate keys in `updates` write ALL
+    * their rows (the matched base row is dropped once) — callers
+    * needing Delta's multiple-match error use [[mergeConditional]].
+    * Same OCC retry loop as every commit; an optional `tag` makes the
+    * merge replay-idempotent.
     */
   def merge(updates: DataFrame, path: String, key: String,
             deleteCol: Option[String] = None,
             statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
             tag: Option[String] = None,
             tagHorizon: Int = DefaultTagHorizon,
-            sortCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max => smax, min => smin}
+            sortCols: Seq[String] = Nil,
+            deleteVectors: Boolean = false): Long = {
     val spark = updates.sparkSession
-    val alreadyCommitted = tag.flatMap(committedVersionOfTag(spark, path, _))
-    if (alreadyCommitted.isDefined) return alreadyCommitted.get
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val prevV = currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version at $path to merge into"))
+        mergeAttempt(updates, path, key, deleteCol, statsCols, tag,
+          tagHorizon, sortCols, deleteVectors, prevV) match {
+          case Some(v) => return v
+          case None    => attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"merge commit lost $maxAttempts races at $path — giving up")
+    }
+  }
+
+  /** One merge attempt pinned against base version `prevV`; returns
+    * None when the conditional commit loses the race (caller retries
+    * with a re-read base — which is what lets [[mergeConditional]]
+    * re-resolve its clauses against the version the commit actually
+    * lands on).
+    */
+  private def mergeAttempt(updates: DataFrame, path: String, key: String,
+                           deleteCol: Option[String], statsCols: Seq[String],
+                           tag: Option[String], tagHorizon: Int,
+                           sortCols: Seq[String], deleteVectors: Boolean,
+                           prevV: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
+    val spark = updates.sparkSession
     val f = fs(spark, path)
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val prevV = currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(s"no committed version at $path to merge into"))
-      val version = prevV + 1L
-      val all = manifestFiles(spark, path, prevV)
-      require(!all.exists(_.split("/").exists(_.contains("="))),
-        s"cannot merge into partitioned version $prevV of $path — " +
-          "rewrite it unpartitioned first (compact) or overwrite")
-      val schema = manifestSchema(spark, path, prevV).getOrElse(
-        readVersion(spark, path, prevV).schema)
-      // schema contract: exactly the table's columns (+ deleteCol)
-      val updCols = updates.schema.fields
-        .filterNot(fd => deleteCol.contains(fd.name))
-      require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
-          schema.fields.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq,
-        s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
-          s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
-      val stats = manifestStats(spark, path, prevV)
-      // 1) stats prune against the updates' key range (one tiny agg).
-      // Only NUMERIC keys prune on stats (string min/max ordering is
-      // collation-dependent); non-numeric keys fall through to the
-      // semi-join confirm with every file as candidate — still
-      // O(table) at worst, never wrong.
-      val numericKey = schema(key).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
-      val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
-      val candidates: Seq[String] =
-        if (bounds.isNullAt(0)) Nil // no update keys → nothing touched
-        else if (!numericKey) all
-        else {
-          val kLo = bounds.get(0).toString.toDouble
-          val kHi = bounds.get(1).toString.toDouble
-          all.filter { file =>
-            stats.get(file).flatMap(_.get(key)) match {
-              case Some(s) if s.complete && s.typ != "string" =>
-                s.max.toString.toDouble >= kLo && s.min.toString.toDouble <= kHi
-              case _ => true // no/partial stats → must be confirmed
+    val st = resolveState(spark, path, prevV)
+    val version = prevV + 1L
+    val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+    // schema contract: exactly the table's columns (+ deleteCol)
+    val updCols = updates.schema.fields
+      .filterNot(fd => deleteCol.contains(fd.name))
+    require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
+        schema.fields.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq,
+      s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
+        s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
+    val partCols = partitionColsOf(st.files)
+    val delFlag = deleteCol.map(dc => coalesce(col(dc), lit(false)))
+      .getOrElse(lit(false))
+    // 1) prune: partition values + key stats vs the updates' key range
+    val prunable = statsPrunable(schema(key).dataType)
+    val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+    val candidates: Seq[String] =
+      if (bounds.isNullAt(0)) Nil // no non-null update keys → nothing touched
+      else if (!prunable) {
+        // non-numeric key: partition-value prune by exact match when the
+        // key IS a partition column (collecting the distinct keys is
+        // bounded by the broadcast contract); else all files
+        if (partCols.contains(key)) {
+          val keySet = updates.select(col(key)).distinct().collect()
+            .flatMap(r => Option(r.get(0)).map(_.toString)).toSet
+          st.files.filter { file =>
+            partitionValuesOf(file).get(key) match {
+              // escaped partition values ("%xx") are kept, not decoded
+              case Some(v) => v.contains("%") || keySet.contains(v)
+              case None    => true
             }
           }
-        }
-      // 2) semi-join confirm over candidate files only
-      val updKeys = updates.select(col(key)).distinct()
-      val touched: Seq[String] =
-        if (candidates.isEmpty) Nil
-        else {
-          val hit = readFiles(spark, path, prevV, candidates)
-            .select(input_file_name().as("_graft_file"), col(key))
-            .join(broadcast(updKeys), Seq(key), "left_semi")
-            .select(col("_graft_file")).distinct()
-            .collect().map(_.getString(0)) // bounded by candidate file count
-          // input_file_name yields absolute URIs; map back by suffix
-          candidates.filter(rel => hit.exists(_.endsWith(rel)))
-        }
-      val untouched = all.filterNot(touched.contains)
-      // 3) rewrite only the touched rows
-      val upserts = deleteCol match {
-        case Some(dc) => updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
-        case None     => updates
-      }
-      val ordered = upserts.select(schema.fieldNames.map(col).toSeq: _*)
-      val newData =
-        if (touched.isEmpty) ordered
-        else readFiles(spark, path, prevV, touched)
-          .join(broadcast(updKeys), Seq(key), "left_anti")
-          .select(schema.fieldNames.map(col).toSeq: _*)
-          .unionByName(ordered)
-      val token = java.util.UUID.randomUUID.toString.take(8)
-      val snapDir = s"$path/snap-$version-$token"
+        } else st.files
+      } else pruneFilesByRange(st, key, prunable,
+        bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)
+    // 2) semi-join confirm over candidate files only: which files hold
+    // which matched keys, and whether each matched key updates/deletes.
+    // Bounded by matched (file, key) pairs ≤ |updates| × files-per-key —
+    // broadcast-small by the merge contract.
+    val updKeys = updates.select(col(key)).distinct()
+    val keyFlags = updates
+      .select(col(key), delFlag.as("_graft_d"))
+      .groupBy(col(key))
+      .agg(smax(when(col("_graft_d"), 0).otherwise(1)).as("_graft_u"),
+           smax(when(col("_graft_d"), 1).otherwise(0)).as("_graft_del"))
+    val matches: Array[(String, Any, Boolean, Boolean)] =
+      if (candidates.isEmpty) Array.empty
+      else readFilesOf(spark, path, st.schema, candidates)
+        .select(element_at(split(input_file_name(), "/"), -1).as("_graft_f"),
+          col(key))
+        .join(broadcast(keyFlags), Seq(key), "inner")
+        .select(col("_graft_f"), col(key), col("_graft_u"), col("_graft_del"))
+        .distinct()
+        .collect()
+        .map(r => (r.getString(0), r.get(1), r.getInt(2) == 1, r.getInt(3) == 1))
+    val byBase: Map[String, String] =
+      candidates.map(c => c.split("/").last -> c).toMap
+    // DV mode: only files holding an UPDATED key rewrite; delete-only
+    // files keep their bytes and gain DV entries. CoW mode: any match
+    // forces a rewrite.
+    val touchedBase: Set[String] =
+      if (deleteVectors) matches.collect { case (b, _, u, _) if u => b }.toSet
+      else matches.map(_._1).toSet
+    val touched: Seq[String] = candidates.filter(c => touchedBase(c.split("/").last))
+    val touchedSet = touched.toSet
+    val dvPairs: Array[(String, Any)] =
+      if (!deleteVectors) Array.empty
+      else matches.collect { case (b, k, _, d) if d && !touchedBase(b) => (b, k) }
+    // 3) rewrite only the touched rows (reading them DV-aware, so rows
+    // already deleted by an earlier sidecar never resurrect)
+    val upserts = deleteCol match {
+      case Some(dc) => updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
+      case None     => updates
+    }
+    val ordered = upserts.select(schema.fieldNames.map(col).toSeq: _*)
+    val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
+    val newData =
+      if (touched.isEmpty) ordered
+      else readStateDf(spark, path, st.copy(files = touched))
+        .join(broadcast(updKeys), Seq(key), "left_anti")
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .unionByName(ordered)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val snapDir = s"$path/snap-$version-$token"
+    val untouched = st.files.filterNot(touchedSet)
+    var staged: Seq[Path] = Nil
+    if (touched.nonEmpty || hasUpserts) {
       // stage in ~as many files as were touched (shuffle-free coalesce):
       // a merge must not fragment the rewrite into shuffle.partitions
-      // slivers — file count stays stable across repeated merges.
-      // `sortCols` re-sorts the rewritten files in place (no extra
-      // shuffle), so a clustered table keeps tight per-file stats
-      // through update churn instead of degrading until the next
-      // compact(sortCols) — pass the table's cluster key here.
+      // slivers. `sortCols` re-sorts rewritten files in place so a
+      // clustered table keeps tight stats through churn; partitioned
+      // tables rewrite INSIDE their partition layout.
       val packed = newData.coalesce(math.max(1, touched.size))
-      (if (sortCols.nonEmpty)
-         packed.sortWithinPartitions(
-           sortCols.map(org.apache.spark.sql.functions.col): _*)
-       else packed)
-        .write.mode("overwrite").parquet(snapDir)
-      var staged = listDataFiles(f, new Path(snapDir))
-      if (staged.isEmpty && untouched.isEmpty) {
+      val sorted = if (sortCols.nonEmpty)
+        packed.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else packed
+      val w = sorted.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(snapDir)
+      staged = listDataFiles(f, new Path(snapDir))
+      if (staged.isEmpty && untouched.isEmpty && dvPairs.isEmpty) {
         // all rows deleted: commit a readable empty version
         newData.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
       }
-      val stagedRel = staged.map(p => relativize(new Path(path), p))
-      val newStats: Map[String, Map[String, ColStats]] =
-        if (statsCols.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsCols)).toMap
-      val carriedStats = stats.view.filterKeys(untouched.contains).toMap
-      val allTags: Map[String, Long] =
-        (manifestTags(spark, path, prevV) ++ tag.map(_ -> version))
-          .toSeq.sortBy { case (t, v) => (-v, t) }
-          .take(tagHorizon).toMap
-      val json = manifestJson(spark, version, untouched ++ stagedRel,
-        carriedStats ++ newStats, tag, Some(schema), allTags)
-      val manifest = new Path(path, s"$ManifestPrefix$version.json")
-      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
-      val out = f.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (conditionalCommit(f, tmp, manifest)) return version
+    }
+    // deletion-vector sidecar for delete-only files
+    var dvAdds: Seq[String] = Nil
+    val dvDir = s"$path/dv-$version-$token"
+    if (dvPairs.nonEmpty) {
+      val dvSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("_graft_dv_file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_graft_dv_key",
+          schema(key).dataType)))
+      val rows = dvPairs.toSeq.map { case (b, k) =>
+        org.apache.spark.sql.Row(b, k) }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), dvSchema)
+        .write.mode("overwrite").parquet(dvDir)
+      dvAdds = listDataFiles(f, new Path(dvDir))
+        .map(p => relativize(new Path(path), p))
+    }
+    val stagedRel = staged.map(p => relativize(new Path(path), p))
+    val newStats: Map[String, Map[String, ColStats]] =
+      if (statsCols.isEmpty) Map.empty
+      else staged.map(p => relativize(new Path(path), p) ->
+        footerStats(spark, p, statsCols)).toMap
+    val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+      touched, newStats, tag, tagHorizon, Some(schema),
+      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(key) else None)
+    val manifest = manifestPath(path, version)
+    val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (conditionalCommit(f, tmp, manifest)) {
+      maybeCheckpoint(spark, path, version)
+      Some(version)
+    } else {
       f.delete(tmp, false)
       f.delete(new Path(snapDir), true)
-      attempt += 1
+      if (dvAdds.nonEmpty) f.delete(new Path(dvDir), true)
+      None
     }
-    throw new IllegalStateException(
-      s"merge commit lost $maxAttempts races at $path — giving up")
   }
 
   /** Conditional keyed MERGE — delta-spark's multi-clause form
     * (`WHEN MATCHED AND cond THEN UPDATE / DELETE`,
     * `WHEN NOT MATCHED AND cond THEN INSERT`) layered as relational
-    * preprocessing over the unconditional copy-on-write [[merge]]:
+    * preprocessing over the unconditional [[merge]]:
     *
     *  1. resolve each update row's match state and current base values
-    *     in ONE pruned read (key-stats-sliced via the same metadata
-    *     index the rewrite uses — the findTouchedFiles/rewrite
-    *     two-phase shape Delta itself runs);
-    *  2. compile the clauses row-wise: matched + `whenMatchedDelete` →
-    *     delete verdict; else matched + `whenMatchedUpdate` → update
-    *     row; matched with NO firing clause → the row is WITHHELD, so
-    *     the base row survives untouched; unmatched +
-    *     `whenNotMatchedInsert` → insert; unmatched otherwise →
-    *     dropped;
-    *  3. feed the compiled row set to [[merge]] — pruning, semi-join
-    *     confirm, byte-identical untouched files, OCC, tags all apply
-    *     unchanged.
+    *     in ONE pruned read of the base version;
+    *  2. compile the clauses row-wise: matched + delete-condition →
+    *     delete verdict; else matched + update-condition → update row;
+    *     matched with NO firing clause → the row is WITHHELD (base row
+    *     survives untouched); unmatched + insert-condition → insert;
+    *     unmatched otherwise → dropped;
+    *  3. feed the compiled rows to a single [[mergeAttempt]] PINNED to
+    *     the resolved version. If the commit loses an OCC race, the
+    *     WHOLE resolution re-runs against the new current version —
+    *     clause guards are always evaluated against the version the
+    *     commit lands on (the re-execute-on-conflict shape Delta runs;
+    *     closes the round-9 resolve/commit window).
     *
-    * Conditions are Columns over the RESOLVED frame: the update row's
-    * columns under their own names, the matched base row's columns as
-    * `_b_<name>` (null when unmatched) — e.g.
-    * `whenMatchedUpdate = Some(col("o_totalprice") > col("_b_o_totalprice"))`
-    * updates only rows that grew. Delete is evaluated before update
-    * (fixed clause order; make conditions disjoint if both fire).
-    * `updates` must be key-unique — multiple matches per key are
-    * ambiguous under conditions and refuse to commit (Delta's
-    * multiple-match error).
-    *
-    * Isolation boundary: clause resolution is snapshot-consistent with
-    * the version current at entry. If a concurrent writer commits
-    * between resolution and this merge's commit, the compiled rows
-    * apply to the newer version (serialized-writer deployments — the
-    * tag contract's assumption — never see this; full re-execution on
-    * conflict is how Delta closes the same window).
+    * Clause defaults are Delta's: an ABSENT clause is NO ACTION
+    * whenever any other clause is provided (a delete-only merge leaves
+    * non-matching matched rows untouched); only a call with NO clauses
+    * at all keeps the historical update-all/insert-all upsert reading.
+    * Conditions are Columns over the RESOLVED frame: update columns
+    * under their own names, matched base columns as `_b_<name>` (null
+    * when unmatched). Delete is evaluated before update. `updates`
+    * must be key-unique (Delta's multiple-match error otherwise).
     */
   def mergeConditional(updates: DataFrame, path: String, key: String,
-                       whenMatchedUpdate: Option[org.apache.spark.sql.Column] = None,
-                       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
-                       whenNotMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+                       whenMatchedUpdate: Option[Column] = None,
+                       whenMatchedDelete: Option[Column] = None,
+                       whenNotMatchedInsert: Option[Column] = None,
                        statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
                        tag: Option[String] = None,
                        tagHorizon: Int = DefaultTagHorizon,
-                       sortCols: Seq[String] = Nil): Long = {
+                       sortCols: Seq[String] = Nil,
+                       deleteVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
     val spark = updates.sparkSession
-    val alreadyCommitted = tag.flatMap(committedVersionOfTag(spark, path, _))
-    if (alreadyCommitted.isDefined) return alreadyCommitted.get
-    require(updates.groupBy(col(key)).count()
-        .filter(col("count") > 1).isEmpty,
-      s"conditional merge requires key-unique updates on '$key' — " +
-        "multiple source rows match the same target row (ambiguous clauses)")
-    val prevV = currentVersion(spark, path).getOrElse(
-      throw new IllegalStateException(s"no committed version at $path to merge into"))
-    val schema = manifestSchema(spark, path, prevV).getOrElse(
-      readVersion(spark, path, prevV).schema)
-    // match-state resolution over the stats-pruned base slice
-    val numericKey = schema(key).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
-    val baseSlice =
-      if (bounds.isNullAt(0)) read(spark, path).limit(0)
-      else if (!numericKey) read(spark, path)
-      else readNumericRange(spark, path, key,
-        bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)
-    val b = baseSlice.select(
-      schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
-    val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
-    val matched = col(s"_b_$key").isNotNull
-    val delC = whenMatchedDelete.getOrElse(lit(false))
-    val updC = whenMatchedUpdate.getOrElse(lit(true))
-    val insC = whenNotMatchedInsert.getOrElse(lit(true))
-    val compiled = resolved
-      .withColumn("_graft_del", matched && delC)
-      .filter((matched && (delC || (!delC && updC))) || (!matched && insC))
-      .select(schema.fieldNames.map(col).toSeq :+ col("_graft_del"): _*)
-    merge(compiled, path, key, deleteCol = Some("_graft_del"),
-      statsCols = statsCols, maxAttempts = maxAttempts, tag = tag,
-      tagHorizon = tagHorizon, sortCols = sortCols)
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      require(updates.groupBy(col(key)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"conditional merge requires key-unique updates on '$key' — " +
+          "multiple source rows match the same target row (ambiguous clauses)")
+      val anyClause = whenMatchedUpdate.isDefined ||
+        whenMatchedDelete.isDefined || whenNotMatchedInsert.isDefined
+      val delC = whenMatchedDelete.getOrElse(lit(false))
+      val updC = whenMatchedUpdate.getOrElse(
+        if (anyClause) lit(false) else lit(true))
+      val insC = whenNotMatchedInsert.getOrElse(
+        if (anyClause) lit(false) else lit(true))
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val prevV = currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version at $path to merge into"))
+        val st = resolveState(spark, path, prevV)
+        val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+        // match-state resolution over the pruned base slice, PINNED to prevV
+        val prunable = statsPrunable(schema(key).dataType)
+        val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+        val baseSlice =
+          if (bounds.isNullAt(0)) readStateDf(spark, path, st).limit(0)
+          else if (!prunable) readStateDf(spark, path, st)
+          else readStateDf(spark, path, st.copy(files =
+            pruneFilesByRange(st, key, prunable,
+              bounds.get(0).toString.toDouble,
+              bounds.get(1).toString.toDouble)))
+        val b = baseSlice.select(
+          schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+        val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
+        val matched = col(s"_b_$key").isNotNull
+        val compiled = resolved
+          .withColumn("_graft_del", matched && delC)
+          .filter((matched && (delC || (!delC && updC))) || (!matched && insC))
+          .select(schema.fieldNames.map(col).toSeq :+ col("_graft_del"): _*)
+        mergeAttempt(compiled, path, key, deleteCol = Some("_graft_del"),
+          statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
+          sortCols = sortCols, deleteVectors = deleteVectors,
+          prevV = prevV) match {
+          case Some(v) => return v
+          case None    => attempt += 1 // lost the race: RE-RESOLVE above
+        }
+      }
+      throw new IllegalStateException(
+        s"conditional merge lost $maxAttempts races at $path — giving up")
+    }
   }
 
-  /** The files [[merge]] would rewrite for these update keys, split as
-    * (statsCandidates, total) — the pruning diagnostic the spec asserts
-    * on (how many files the metadata prune alone excluded).
+  /** The files [[merge]] would treat as candidates for these update
+    * keys, split as (statsCandidates, total) — the pruning diagnostic
+    * the spec asserts on.
     */
   def mergeCandidateCount(spark: SparkSession, path: String, key: String,
                           lower: Double, upper: Double): (Int, Int) =
     pruneCount(spark, path, key, lower, upper)
 
-  /** OPTIMIZE-style compaction: rewrite the CURRENT version into
-    * `targetFiles` files as a new committed version — readers flip
-    * atomically, the pre-compaction version stays time-travelable, and
-    * a compactor dying mid-rewrite is invisible (it never commits).
-    * With `sortCols` the rewrite also re-clusters (range partition +
-    * in-file sort — the `OPTIMIZE ... ZORDER` shape when passed a
-    * Z-key); otherwise files merge with a shuffle-free coalesce.
-    * `statsCols` refreshes the data-skipping stats on the new files.
+  // ------------------------------------------------------------------
+  // Maintenance
+  // ------------------------------------------------------------------
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT version (deletion
+    * vectors folded in — the rewrite reads DV-filtered rows and the
+    * overwrite entry removes the sidecars) into `targetFiles` files as
+    * a new committed version. With `sortCols` the rewrite re-clusters
+    * (range partition + in-file sort); `statsCols` refreshes the
+    * data-skipping stats.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
               partitionCols: Seq[String] = Nil,
@@ -834,13 +1187,8 @@ object ManifestTable {
   }
 
   /** OPTIMIZE scheduling policy: compact only when the current
-    * version's file count exceeds `maxFiles` — the maintenance loop
-    * counterpart of [[compact]]. Merge/append churn grows the file
-    * list by ~1 file per commit; calling this after each write bounds
-    * the table at `maxFiles` files with amortized O(table/maxFiles)
-    * rewrite work per trigger, and `sortCols` restores clustering the
-    * churn eroded. Returns the compaction's committed version when it
-    * ran.
+    * version's file count (or deletion-vector sidecar count) exceeds
+    * `maxFiles` — the maintenance loop counterpart of [[compact]].
     */
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int, targetFiles: Int = 1,
@@ -849,19 +1197,17 @@ object ManifestTable {
     require(maxFiles >= 1, "maxFiles must be >= 1")
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    if (manifestFiles(spark, path, cur).size <= maxFiles) None
+    val st = resolveState(spark, path, cur)
+    if (st.files.size + st.dvFiles.size <= maxFiles) None
     else Some(compact(spark, path, targetFiles,
       statsCols = statsCols, sortCols = sortCols))
   }
 
-  /** Row-level change feed between two committed versions (CDC-lite —
-    * the observable core of Delta's change-data-feed for
-    * overwrite-refresh tables): rows only in `toVersion` are `insert`s,
-    * rows only in `fromVersion` are `delete`s; an updated row appears as
-    * its delete+insert pair. Multiset semantics (`exceptAll`), so
-    * duplicate rows diff by count. Both sides shuffle once on the full
-    * row hash — the same cost profile as the exact-dedup operator — and
-    * nothing is collected to the driver.
+  /** Row-level change feed between two committed versions (CDC-lite):
+    * rows only in `toVersion` are `insert`s, rows only in `fromVersion`
+    * are `delete`s; an updated row appears as its delete+insert pair.
+    * Multiset semantics (`exceptAll`). Reads are DV-aware on both
+    * sides, so deletion-vector deletes surface as `delete` rows.
     */
   def diff(spark: SparkSession, path: String,
            fromVersion: Long, toVersion: Long): DataFrame = {
@@ -873,59 +1219,86 @@ object ManifestTable {
   }
 
   /** Row-level changes committed BY `version` (the per-version unit the
-    * table-feed stream replays, [[graft.streaming.TableFeedSource]]).
-    * Three cases, cheapest first:
+    * table-feed stream replays). Cheapest first, decided off the
+    * version's own LOG ENTRY:
     *
     *  - the FIRST committed version: every row is an `insert`;
-    *  - an APPEND commit (previous file list ⊂ current): exactly the
-    *    freshly appended files read as `insert`s — no carried file is
-    *    rescanned, so a feed over an append-mostly table is O(new data)
-    *    per version, never O(table);
-    *  - anything else (overwrite / compact / merge): the full multiset
-    *    [[diff]] against the previous version (delete+insert pairs).
+    *  - a pure-append entry (no removes, no DV adds): exactly the added
+    *    files read as `insert`s — O(new data), never O(table);
+    *  - a DV-only entry (sparse delete): the deleted rows read from the
+    *    affected files only, as `delete`s — O(affected files);
+    *  - anything else (overwrite / compact / rewrite-merge): the full
+    *    multiset [[diff]] against the previous version.
     *
     * Requires `version - 1` to still be committed (not [[vacuum]]ed) —
-    * the same retention-vs-consumption contract a Delta change feed
-    * draws.
+    * the retention-vs-consumption contract a Delta change feed draws.
     */
   def changesForVersion(spark: SparkSession, path: String,
                         version: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
     val vs = versions(spark, path)
     require(vs.contains(version), s"version $version not committed at $path")
-    // ONLY the true first commit (version numbering starts at 1) is a
-    // snapshot of inserts. The oldest SURVIVING version after a vacuum
-    // must NOT silently reinterpret as a snapshot — a subscriber
-    // resuming from a vacuumed offset would double-count the whole
-    // table; it must fail loudly instead (the failOnDataLoss contract;
-    // bootstrap-from-snapshot is the feed's getBatch(from=0) path).
     if (version == 1L)
       readVersion(spark, path, version).withColumn("_change", lit("insert"))
     else {
       require(vs.contains(version - 1),
         s"version ${version - 1} of $path was vacuumed — cannot compute " +
-          s"changes for $version; resume is out of retention (re-bootstrap " +
-          "from the current snapshot)")
-      val prev = manifestFiles(spark, path, version - 1).toSet
-      val cur = manifestFiles(spark, path, version)
-      if (prev.subsetOf(cur.toSet)) {
-        val fresh = cur.filterNot(prev)
-        if (fresh.isEmpty)
-          readVersion(spark, path, version).limit(0)
+          s"changes for $version; resume is out of retention (oldest " +
+          s"surviving v${vs.head}, committed ts=${commitTimestamp(spark, path,
+            vs.head)}) — re-bootstrap from the current snapshot")
+      val node = readNode(fs(spark, path), manifestPath(path, version))
+      if (node.has("adds")) {
+        val adds = strArr(node, "adds")
+        val removes = strArr(node, "removes")
+        val dvAdds = strArr(node, "dvAdds")
+        val cur = resolveState(spark, path, version)
+        if (removes.isEmpty && dvAdds.isEmpty) {
+          if (adds.isEmpty)
+            readStateDf(spark, path, cur).limit(0)
+              .withColumn("_change", lit("insert"))
+          else readFilesOf(spark, path, cur.schema, adds)
             .withColumn("_change", lit("insert"))
-        else readFiles(spark, path, version, fresh)
-          .withColumn("_change", lit("insert"))
-      } else diff(spark, path, version - 1, version)
+        } else if (adds.isEmpty && removes.isEmpty && dvAdds.nonEmpty) {
+          // sparse DV delete: replay ONLY the rows the new sidecar kills
+          val prev = resolveState(spark, path, version - 1)
+          val dvNew = spark.read.parquet(dvAdds.map(r => s"$path/$r"): _*)
+          val bases = dvNew.select(col("_graft_dv_file")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val affected = prev.files.filter(f => bases(f.split("/").last))
+          val withF = readStateDf(spark, path, prev.copy(files = affected))
+            .withColumn("_graft_dv_f",
+              element_at(split(input_file_name(), "/"), -1))
+          withF.join(broadcast(dvNew),
+              withF("_graft_dv_f") === dvNew("_graft_dv_file")
+                && col(cur.dvKey.get) === dvNew("_graft_dv_key"),
+              "left_semi")
+            .drop("_graft_dv_f")
+            .withColumn("_change", lit("delete"))
+        } else diff(spark, path, version - 1, version)
+      } else {
+        // legacy full manifest: append iff the file list grew as a superset
+        val prevFiles = resolveState(spark, path, version - 1).files.toSet
+        val cur = resolveState(spark, path, version)
+        if (prevFiles.subsetOf(cur.files.toSet)) {
+          val fresh = cur.files.filterNot(prevFiles)
+          if (fresh.isEmpty)
+            readStateDf(spark, path, cur).limit(0)
+              .withColumn("_change", lit("insert"))
+          else readFilesOf(spark, path, cur.schema, fresh)
+            .withColumn("_change", lit("insert"))
+        } else diff(spark, path, version - 1, version)
+      }
     }
   }
 
-  /** Drop all snapshots and manifests older than the newest `keep`
-    * versions. Never touches uncommitted (orphan) snapshot directories
-    * newer than the current version — a concurrent failed writer's
-    * leftovers are rewritten by its retry, not vacuumed from under it.
-    * APPEND-aware: a kept (appended) version references files living in
-    * OLDER versions' snapshot directories, so a directory is deleted
-    * only when no surviving manifest names a file inside it.
+  /** Drop all log entries and snapshots older than the newest `keep`
+    * versions. Before deleting anything, a CHECKPOINT is published at
+    * the retention floor (the oldest kept version) so every kept
+    * version stays resolvable without the dropped delta chain — the
+    * Delta checkpoint-then-expire discipline. APPEND-aware: a snapshot
+    * (or deletion-vector) directory is deleted only when no surviving
+    * version references a file inside it. Never touches uncommitted
+    * orphan directories above the floor.
     */
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
@@ -933,28 +1306,38 @@ object ManifestTable {
     val all = versions(spark, path)
     val drop = all.dropRight(keep)
     val kept = all.takeRight(keep)
-    // snapshot dirs still referenced by any surviving version
+    // resolve surviving states BEFORE any deletion (they may need the
+    // chain being dropped), then pin the floor with a checkpoint
+    val keptStates = kept.map(v => resolveState(spark, path, v))
+    keptStates.headOption.foreach(writeCheckpoint(spark, path, _))
     val liveDirs: Set[String] =
-      kept.flatMap(v => manifestFiles(spark, path, v))
+      keptStates.flatMap(st => st.files ++ st.dvFiles)
         .map(_.split("/").head).toSet
-    drop.foreach(v => f.delete(new Path(path, s"$ManifestPrefix$v.json"), false))
-    // Sweep snapshot dirs: delete any dir below the kept-version floor
-    // that no surviving manifest references. Versions are matched on
-    // the dir-name prefix (snap-<v> legacy / snap-<v>-<token> staged),
-    // NOT on the dropped-manifest list — a dir kept in an earlier
-    // vacuum because an append still read it loses its manifest then,
-    // and must still be collectable once a later rewrite (compact /
-    // overwrite) drops the last reference.
+    drop.foreach { v =>
+      f.delete(manifestPath(path, v), false)
+      f.delete(checkpointPath(path, v), false): Unit
+    }
+    // stale checkpoints below the floor (from earlier vacuums/intervals)
     val floor = kept.headOption.getOrElse(Long.MaxValue)
+    checkpointVersions(spark, path).filter(_ < floor)
+      .foreach(v => f.delete(checkpointPath(path, v), false))
+    // Sweep snapshot + DV dirs below the floor that no surviving
+    // version references (matched on the dir-name version prefix:
+    // snap-<v>[-token] / dv-<v>-<token>)
     f.listStatus(new Path(path))
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isDirectory && n.startsWith("snap-") && !liveDirs(n) &&
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n.startsWith("snap-") || n.startsWith("dv-")) && !liveDirs(n) &&
           n.split("-").lift(1).flatMap(_.toLongOption).exists(_ < floor)
       }
-      .foreach(st => f.delete(st.getPath, true))
+      .foreach(s => f.delete(s.getPath, true))
     drop
   }
+
+  // ------------------------------------------------------------------
+  // Commit primitive + file helpers
+  // ------------------------------------------------------------------
 
   /** Atomic publish of `tmp` as `dst`, failing (false) if `dst` already
     * exists. HDFS rename has exactly that contract. Local filesystems

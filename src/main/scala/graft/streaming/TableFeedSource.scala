@@ -70,24 +70,76 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new TableFeedSource(sqlContext.sparkSession,
-      TableFeedSource.pathOf(parameters))
+      TableFeedSource.pathOf(parameters),
+      TableFeedSource.maxVersionsOf(parameters),
+      Some(metadataPath))
 }
 
 class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
-                      path: String) extends Source {
+                      path: String,
+                      maxVersionsPerBatch: Option[Int] = None,
+                      metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = TableFeedSource.feedSchema(spark, path)
 
+  /** ADMISSION CONTROL state: the highest version end this source has
+    * DELIVERED (≥ the engine's committed offset by construction). With
+    * `maxVersionsPerBatch` set, [[getOffset]] offers at most `lastEnd +
+    * n`, so a subscriber catching up over a long gap drains in bounded
+    * batches instead of one unbounded one. Persisted under the query's
+    * source-metadata dir (the V1 source-private-state slot, the same
+    * one FileStreamSource keeps its log in) so a RESTARTED subscriber
+    * stays bounded from its first post-restart batch; losing the file
+    * only costs one unbounded batch, never correctness.
+    */
+  private var lastEnd: Long = restoreLastEnd()
+
+  private def metaFile: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(mp => new org.apache.hadoop.fs.Path(mp, "graft-feed-last-end"))
+
+  private def restoreLastEnd(): Long =
+    (for {
+      p <- metaFile
+      f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      v <- try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } catch { case _: Throwable => None }
+    } yield v).getOrElse(0L)
+
+  private def persistLastEnd(v: Long): Unit =
+    if (maxVersionsPerBatch.isDefined) metaFile.foreach { p =>
+      try {
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.mkdirs(p.getParent)
+        val out = f.create(p, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      } catch { case _: Throwable => () } // advisory — see lastEnd scaladoc
+    }
+
   /** Latest committed version — the manifest listing IS the offset
     * authority, so an uncommitted (orphan) snapshot can never be
-    * offered to the engine.
+    * offered to the engine. Capped to `lastEnd + maxVersionsPerBatch`
+    * when admission control is on (never below the oldest surviving
+    * version, so a fresh subscription can always bootstrap).
     */
   override def getOffset: Option[V1Offset] =
-    ManifestTable.currentVersion(spark, path).map(LongOffset(_))
+    ManifestTable.currentVersion(spark, path).map { cur =>
+      val capped = maxVersionsPerBatch match {
+        case Some(n) =>
+          val floor = ManifestTable.versions(spark, path)
+            .headOption.getOrElse(cur)
+          math.min(cur, math.max(floor, lastEnd + n))
+        case None => cur
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(TableFeedSource.versionOf).getOrElse(0L)
     val to = TableFeedSource.versionOf(end)
+    if (to > lastEnd) { lastEnd = to; persistLastEnd(to) }
     val vs = ManifestTable.versions(spark, path)
     // retention contract (failOnDataLoss): a resume point older than
     // the oldest surviving version cannot be replayed incrementally —
@@ -129,6 +181,15 @@ object TableFeedSource {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table-feed needs option(\"path\", …)"))
 
+  /** Option keys arrive case-lowered through the DataSource API. */
+  private[streaming] def maxVersionsOf(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxversionsperbatch")
+      .orElse(parameters.get("maxVersionsPerBatch")).map { s =>
+        val n = s.toInt
+        require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n")
+        n
+      }
+
   /** Pinned feed schema: the table's committed schema plus the change
     * metadata columns.
     */
@@ -150,13 +211,21 @@ object TableFeedSource {
     case other               => other.json.trim.toLong
   }
 
-  /** Subscribe to a committed table: `readStream` on the feed source. */
+  /** Subscribe to a committed table: `readStream` on the feed source.
+    * `maxVersionsPerBatch` turns on admission control: a subscriber
+    * resuming after a long gap (or bootstrapping onto a deep history)
+    * catches up in batches of at most that many upstream versions,
+    * instead of one unbounded batch.
+    */
   def readStream(spark: org.apache.spark.sql.SparkSession,
-                 path: String): DataFrame =
-    spark.readStream
+                 path: String,
+                 maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
-      .load()
+    maxVersionsPerBatch.foreach(n => r.option("maxVersionsPerBatch", n.toString))
+    r.load()
+  }
 
   /** THE CLOSED CDC LOOP: subscribe to a committed orders
     * [[ManifestTable]] through this source and maintain the

@@ -1,0 +1,250 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** Round-10 ACID-layer surface: the incremental commit log (O(Δ) log
+  * entries + periodic checkpoints), timestamp time travel, merge on
+  * partitioned tables, deletion vectors (merge-on-read deletes), and
+  * conditional-merge clause resolution inside the OCC retry loop.
+  */
+class ManifestLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifestLen(path: String, v: Long): Long =
+    new java.io.File(s"$path/_graft_manifest-v$v.json").length
+
+  test("commits are O(delta): append log entries stay flat while the table grows; a checkpoint folds the log") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log1").toString + "/t"
+    ManifestTable.write(Seq((0L, "base")).toDF("id", "v"), path)
+    (1 to 20).foreach(i =>
+      ManifestTable.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), path))
+    // the 2nd append and the 20th append carry the same O(1 file) entry —
+    // a full-manifest protocol would grow the 20th by ~20x
+    val early = manifestLen(path, 3)
+    val late = manifestLen(path, 21)
+    assert(late <= early * 2,
+      s"append log entry grew with table size: v3=$early bytes, v21=$late bytes")
+    // the interval checkpoint landed and the state resolves identically
+    // through it (v16 = CheckpointInterval)
+    assert(new java.io.File(s"$path/_graft_checkpoint-v16.json").isFile,
+      "interval checkpoint missing")
+    assert(ManifestTable.read(spark, path).count() === 21)
+    assert(ManifestTable.readVersion(spark, path, 10).count() === 10)
+    // resolution through the checkpoint equals resolution through the
+    // full delta chain (same files, same count)
+    assert(ManifestTable.manifestFiles(spark, path, 21).size >= 21)
+  }
+
+  test("timestamp time travel: reads resolve to the newest commit at-or-before the instant") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log2").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)      // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManifestTable.write(Seq((1L, "b"), (2L, "b")).toDF("id", "v"), path) // v2
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManifestTable.append(Seq((3L, "c")).toDF("id", "v"), path)     // v3
+    assert(ManifestTable.versionAsOfTimestamp(spark, path, t1) === Some(1L))
+    assert(ManifestTable.readAsOfTimestamp(spark, path, t1).count() === 1)
+    assert(ManifestTable.versionAsOfTimestamp(spark, path, t2) === Some(2L))
+    assert(ManifestTable.readAsOfTimestamp(spark, path, t2).count() === 2)
+    assert(ManifestTable.readAsOfTimestamp(spark, path,
+      System.currentTimeMillis()).count() === 3)
+    // before the first commit: loud error naming the oldest commit
+    val err = intercept[IllegalStateException] {
+      ManifestTable.readAsOfTimestamp(spark, path, t1 - 86400000L)
+    }
+    assert(err.getMessage.contains("oldest surviving"))
+    // commit timestamps are recorded and monotone here
+    assert(ManifestTable.commitTimestamp(spark, path, 1) <=
+      ManifestTable.commitTimestamp(spark, path, 3))
+  }
+
+  test("merge on a partitioned table: partition pruning, in-partition rewrite, untouched partitions byte-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log3").toString + "/t"
+    val base = spark.range(0, 400).toDF("id")
+      .withColumn("part", (col("id") % 4).cast("int"))
+      .withColumn("v", col("id") * 2)
+    ManifestTable.write(base, path, partitionCols = Seq("part"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    assert(files1.forall(_.contains("part=")), "not a partitioned layout")
+    val sig = files1.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> (f.length, f.lastModified)
+    }.toMap
+
+    // keys 0 mod 4 live ONLY in part=0: update some, delete some, insert new
+    val upd = spark.range(0, 40, 4).toDF("id")
+      .withColumn("part", lit(0)).withColumn("v", lit(-1L))
+      .withColumn("_del", lit(false))
+    val del = spark.range(100, 120, 4).toDF("id")
+      .withColumn("part", lit(0)).withColumn("v", lit(0L))
+      .withColumn("_del", lit(true))
+    val ins = Seq((1000L, 7, 9L, false)).toDF("id", "part", "v", "_del")
+    ManifestTable.merge(upd.unionByName(del).unionByName(ins), path, "id",
+      deleteCol = Some("_del"))
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    // every part=1..3 file carried verbatim — same path, same bytes
+    val untouched = files2.filter(f => files1.contains(f))
+    assert(untouched.exists(_.contains("part=1")) &&
+      untouched.exists(_.contains("part=2")) && untouched.exists(_.contains("part=3")),
+      s"non-key partitions must carry verbatim, files2=$files2")
+    untouched.foreach { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    // part=0 was rewritten inside its partition; the insert landed under part=7
+    assert(files2.exists(f => f.contains("part=0") && !files1.contains(f)))
+    assert(files2.exists(_.contains("part=7")), "insert must land in its partition dir")
+    // content is right
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got.size === 400 - 5 + 1) // 5 deleted (100..116 step 4), 1 inserted
+    (0L until 40L by 4).foreach(k => assert(got(k) === -1L))
+    (100L until 120L by 4).foreach(k => assert(!got.contains(k)))
+    assert(got(1000L) === 9L && got(1L) === 2L)
+    // partition-value prune: a merge keyed INTO the partition column
+    // only treats that partition's files as candidates
+    val partKeyed = Seq((7, 1000L, 9L)).toDF("part", "id", "v")
+      .select("id", "part", "v")
+    // (diagnostic via pruneCount on the partition column)
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "part", 7, 7)
+    assert(cand < total, s"partition value prune inert: $cand/$total")
+    assert(partKeyed.count() === 1) // silence unused warning path
+  }
+
+  test("deletion vectors: a sparse delete writes no data files; reads, feed and compaction fold it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log4").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    val sig = files1.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> (f.length, f.lastModified)
+    }.toMap
+
+    // delete-only merge under DVs: ZERO data files staged or removed
+    val del = Seq(10L, 11L, 250L).toDF("id")
+      .withColumn("v", lit(0L)).withColumn("_del", lit(true))
+    ManifestTable.merge(del, path, "id", deleteCol = Some("_del"),
+      deleteVectors = true)
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    assert(files2 === files1, "a DV delete must not add or remove data files")
+    files1.foreach { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    // reads exclude the rows
+    val got = ManifestTable.read(spark, path).select("id").as[Long].collect().toSet
+    assert(got.size === 397 && !got(10L) && !got(11L) && !got(250L))
+    // time travel below the DV still sees them
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 400)
+    // the change feed surfaces exactly the deleted rows
+    val changes = ManifestTable.changesForVersion(spark, path, 2)
+      .select($"id", $"_change").as[(Long, String)].collect().toSet
+    assert(changes === Set((10L, "delete"), (11L, "delete"), (250L, "delete")))
+    // a later merge re-inserts a DV-deleted key: per-file DV semantics
+    // must NOT swallow the new row (the global-key-set failure mode)
+    ManifestTable.merge(Seq((10L, 77L)).toDF("id", "v"), path, "id")
+    val after = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(after(10L) === 77L && after.size === 398)
+    // mixed merge on a DV table: updates rewrite, DV-deleted rows never
+    // resurrect through the rewrite
+    ManifestTable.merge(Seq((12L, -5L)).toDF("id", "v"), path, "id")
+    val after2 = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(after2(12L) === -5L && !after2.contains(11L) && after2.size === 398)
+    // compact folds the DVs away: no dv dirs referenced, content stable
+    ManifestTable.compact(spark, path, targetFiles = 2, statsCols = Seq("id"))
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.dvFiles.isEmpty, "compact must fold deletion vectors")
+    assert(ManifestTable.read(spark, path).count() === 398)
+    // vacuum sweeps the now-unreferenced dv dirs
+    ManifestTable.vacuum(spark, path, keep = 1)
+    assert(!new java.io.File(path).listFiles().exists(_.getName.startsWith("dv-")),
+      "vacuum left orphaned deletion-vector dirs")
+    assert(ManifestTable.read(spark, path).count() === 398)
+  }
+
+  test("conditional merge re-resolves clauses when it loses the OCC race") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log5").toString + "/t"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), path) // v1
+    // a foreign writer commits version 2 BETWEEN our resolution and our
+    // commit (simulated by pre-publishing its manifest): row 1 now has
+    // x=100. Our clause `update when incoming x > base x` must be
+    // evaluated against THE VERSION THE COMMIT LANDS ON (v2's x=100),
+    // not the stale v1 snapshot (x=10).
+    val foreignSnap = s"$path/snap-2"
+    Seq((1L, 100.0), (2L, 20.0)).toDF("id", "x").coalesce(1)
+      .write.parquet(foreignSnap)
+    val foreignFiles = new java.io.File(foreignSnap).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map("snap-2/" + _.getName)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_manifest-v2.json"),
+      s"""{"version":2,"files":[${foreignFiles.map("\"" + _ + "\"").mkString(",")}]}""")
+    // incoming x=50: against v1 (x=10) the update WOULD fire; against
+    // the landed v2 (x=100) it must NOT — base row survives
+    ManifestTable.mergeConditional(Seq((1L, 50.0)).toDF("id", "x"), path, "id",
+      whenMatchedUpdate = Some(col("x") > col("_b_x")))
+    assert(ManifestTable.currentVersion(spark, path) === Some(3L))
+    val got = ManifestTable.read(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 100.0,
+      "clause was evaluated against a stale snapshot across an OCC conflict")
+  }
+
+  test("conditional merge absent clauses are no-action when any clause is given (delete-only merge corrupts nothing)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log6").toString + "/t"
+    ManifestTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "v", "x"), path)
+    // delete-only conditional merge: matched rows NOT deleted must keep
+    // their BASE values (not be overwritten by source values), and
+    // unmatched source rows must NOT insert
+    val updates = Seq(
+      (1L, "CLOBBER", 0.0),  // matched, delete fires (x == 0)
+      (2L, "CLOBBER", 9.0),  // matched, delete does not fire → base row kept
+      (9L, "CLOBBER", 0.0))  // unmatched → dropped (no insert clause)
+      .toDF("id", "v", "x")
+    ManifestTable.mergeConditional(updates, path, "id",
+      whenMatchedDelete = Some(col("x") === 0.0))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "x").as[(Long, String, Double)].collect().toSet
+    assert(got === Set((2L, "b", 20.0), (3L, "c", 30.0)),
+      "absent update/insert clauses must be no-action, not clobber")
+    // a call with NO clauses keeps the historical upsert reading
+    ManifestTable.mergeConditional(Seq((2L, "B!", 1.0), (7L, "new", 2.0))
+      .toDF("id", "v", "x"), path, "id")
+    val got2 = ManifestTable.read(spark, path)
+      .select("id", "v", "x").as[(Long, String, Double)].collect().toSet
+    assert(got2 === Set((2L, "B!", 1.0), (3L, "c", 30.0), (7L, "new", 2.0)))
+  }
+
+  test("decimal merge keys never stats-prune (unscaled footer stats would lose updates); merge stays correct") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log7").toString + "/t"
+    // decimal(12,2) key whose scaled values (10.00..) dwarf their
+    // unscaled footer encoding (1000..) — the round-9 prune compared
+    // these directly and could wrongly prune every file
+    val base = spark.range(0, 100).toDF("k0")
+      .withColumn("key", (col("k0") / 100.0).cast("decimal(12,2)"))
+      .withColumn("v", col("k0")).drop("k0")
+      .repartitionByRange(4, col("key")).sortWithinPartitions("key")
+    ManifestTable.write(base, path, statsCols = Seq("key"))
+    val upd = Seq((java.math.BigDecimal.valueOf(50, 2), -1L))
+      .toDF("key", "v").select(col("key").cast("decimal(12,2)").as("key"), col("v"))
+    ManifestTable.merge(upd, path, "key", statsCols = Seq("key"))
+    val got = ManifestTable.read(spark, path)
+      .select(col("key").cast("string"), col("v")).as[(String, Long)]
+      .collect().toMap
+    assert(got("0.50") === -1L, "decimal-keyed update was lost to a bad prune")
+    assert(got.size === 100)
+    // and the decimal column never prunes a range read
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "key", 0.0, 0.01)
+    assert(cand === total, "decimal stats must not prune (unsound encoding)")
+  }
+}

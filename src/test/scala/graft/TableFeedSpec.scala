@@ -171,6 +171,29 @@ class TableFeedSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(qName) }
   }
 
+  test("admission control: a deep backlog drains in bounded batches with identical output") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tf_adm").toString + "/t"
+    ManifestTable.write(Seq((1L, "v1")).toDF("id", "v"), path)
+    (2 to 10).foreach(i =>
+      ManifestTable.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    // 10 pending versions, 3 per batch → 4 batches (3+3+3+1), and every
+    // batch spans at most 3 commit versions
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = TableFeedSource.readStream(spark, path, maxVersionsPerBatch = Some(3))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += ((id, b.select($"_commit_version").as[Long].collect().toSet)): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size === 4, s"expected 4 bounded batches, got $batches")
+    assert(nonEmpty.forall(_._2.size <= 3),
+      s"a batch exceeded the version bound: $batches")
+    // the union equals the unbounded drain, version for version
+    assert(nonEmpty.flatMap(_._2).toSet === (1L to 10L).toSet)
+  }
+
   test("offsets are commit versions and survive serialization round-trip") {
     assert(TableFeedSource.versionOf(LongOffset(7L)) === 7L)
     assert(TableFeedSource.versionOf(SerializedOffset(LongOffset(7L).json)) === 7L)
