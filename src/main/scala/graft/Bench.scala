@@ -6,15 +6,28 @@ object Bench {
     * the sorted durations of SUCCESSFUL reps only (empty when every rep
     * failed — a failed rep's duration measures the failure path, not the
     * query, so it must never enter the stats) plus the last error message
-    * per failing query.
+    * per failing query, plus the 1-minute loadavg sampled at the START of
+    * every attempted rep (attempt order, so a slow rep can be adjudicated
+    * against the load it ran under — round-9 verdict: 4 s rep spreads from
+    * mid-run load cost a re-adjudication).
+    *
+    * `maxExtraReps` > 0 turns on ADAPTIVE re-repping: after the base reps,
+    * while the successful-rep spread (max−min) exceeds
+    * max(100 ms, `spreadTarget`×median) the query gets up to that many
+    * additional reps. The median over all successful reps is then far more
+    * likely to land on an uncontaminated rep; the statistic itself is
+    * unchanged (still the median), so totals stay comparable across rounds.
     */
   def measure(spark: SparkSession, sfDir: String,
               queries: Seq[(String, (SparkSession, String) => DataFrame)],
-              reps: Int)
-      : (Seq[(String, Seq[Double])], Map[String, String]) = {
+              reps: Int, maxExtraReps: Int = 0, spreadTarget: Double = 0.3)
+      : (Seq[(String, Seq[Double])], Map[String, String], Map[String, Seq[Double]]) = {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def oneRep(): Option[Double] = {
+        repLoads += loadAvg1m()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -26,15 +39,28 @@ object Bench {
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
             None
         }
-      }.sorted
+      }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach(_ => oneRep().foreach(times += _))
+      def noisy: Boolean = times.length >= 2 && {
+        val sorted = times.sorted
+        val med = sorted(sorted.length / 2)
+        sorted.last - sorted.head > math.max(0.1, spreadTarget * med)
+      }
+      var extra = 0
+      while (extra < maxExtraReps && noisy) {
+        oneRep().foreach(times += _)
+        extra += 1
+      }
       // release storage leaked by finished queries (localCheckpoint
       // blocks are otherwise freed only on driver GC) so later queries
       // aren't benched under accumulated memory pressure
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      name -> times
+      loads.update(name, repLoads.toSeq)
+      name -> times.toSeq.sorted
     }
-    (results, errors.toMap)
+    (results, errors.toMap, loads.toMap)
   }
 
   /** 1-minute load average from /proc/loadavg (-1.0 if unreadable) — a
@@ -150,11 +176,18 @@ object Bench {
   def writeDetail(path: String, results: Seq[(String, Seq[Double])],
                   sfDir: String, reps: Int, loadStart: Double,
                   loadEnd: Double, errors: Map[String, String],
-                  calib: Double = -1.0): Unit = {
+                  calib: Double = -1.0,
+                  loads: Map[String, Seq[Double]] = Map.empty): Unit = {
     val qs = results.map { case (k, ts) =>
       val med = if (ts.isEmpty) "null" else fmt(ts(ts.length / 2))
       val spread = if (ts.length >= 2) fmt(ts.last - ts.head) else "0.0"
-      s"""${jstr(k)}:{"median":$med,"spread":$spread,"reps":[${ts.map(fmt(_)).mkString(",")}]}"""
+      // per-rep loadavg in ATTEMPT order (`reps` is sorted ascending, so
+      // the two arrays don't align row-wise; loads exist to adjudicate
+      // whether the run as a whole was contaminated)
+      val ls = loads.get(k).filter(_.nonEmpty)
+        .map(l => s""","loads":[${l.map(fmt(_, 2)).mkString(",")}]""")
+        .getOrElse("")
+      s"""${jstr(k)}:{"median":$med,"spread":$spread,"reps":[${ts.map(fmt(_)).mkString(",")}]$ls}"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
@@ -193,7 +226,14 @@ object Bench {
     // container variance); the median of 3 is stable round-over-round.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
-    val (results, errors) = measure(spark, sfDir, selected.toSeq, reps)
+    // Up to 2 adaptive extra reps when a query's spread exceeds 30% of
+    // its median — mid-run host load contaminated round-9's medians
+    // (dup_spans spread 4.2 s); extra reps give the median more
+    // uncontaminated samples to land on without changing the statistic.
+    val maxExtra = math.max(0,
+      sys.env.get("SPARK_GRAFT_EXTRA_REPS").flatMap(_.toIntOption).getOrElse(2))
+    val (results, errors, repLoads) =
+      measure(spark, sfDir, selected.toSeq, reps, maxExtraReps = maxExtra)
     val medians = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
     }
@@ -209,7 +249,7 @@ object Bench {
     // the driver's artifact keeps only the tail of the run output, so
     // the budget-bounded compact line must be the final stdout write.
     writeDetail("bench_detail.json", results, sfDir, reps, loadStart,
-      loadEnd, errors, calib)
+      loadEnd, errors, calib, repLoads)
     println(renderFull(medians, total, sfDir, reps, loadStart, loadEnd,
       spreads, errors, calib))
     println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,

@@ -113,6 +113,10 @@ object SparkEntry {
     "change_feed_gold"   -> ((s, d) => graft.pipeline.Medallion.changeFeedGold(s, d)),
     "merge_upsert"       -> ((s, d) => graft.pipeline.Medallion.mergeUpsertOrders(s, d)),
     "merge_conditional"  -> ((s, d) => graft.pipeline.Medallion.mergeConditionalOrders(s, d)),
+    "merge_partitioned"  -> ((s, d) => graft.pipeline.Medallion.mergePartitionedOrders(s, d)),
+    "merge_delete_dv"    -> ((s, d) => graft.pipeline.Medallion.mergeDeleteDvOrders(s, d)),
+    "time_travel_timestamp" -> ((s, d) => graft.pipeline.Medallion.timeTravelOrders(s, d)),
+    "schema_evolution"   -> ((s, d) => graft.pipeline.Medallion.schemaEvolutionOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -128,6 +132,7 @@ object SparkEntry {
     "stream_enrich"      -> ((s, d) => graft.streaming.EventsStream.enrichEventsStream(s, d)),
     "stream_hourly_quantiles" -> ((s, d) => graft.streaming.EventsStream.hourlyQuantilesStream(s, d)),
     "stream_table_feed"  -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeed(s, d)),
+    "stream_feed_bounded" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedBounded(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1431,6 +1436,96 @@ object SparkEntry {
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // Relational recompute of the PARTITIONED copy-on-write merge
+    // (Medallion.mergePartitionedOrders): same three-verdict algebra as
+    // merge_upsert against a partitionBy(o_orderstatus) table — a hash
+    // match proves partition-pruned candidate selection dropped no
+    // matches, partition-preserving rewrites lost no rows, and the
+    // brand-new 'N' partition materialized.
+    "merge_partitioned" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 500.0 AS o_totalprice,
+                  o_orderdate, '0-PMERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 89 = 0),
+         ins AS (
+           SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '8-PINSERTED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 113 = 0),
+         base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 89 <> 0
+             AND NOT (o_orderkey % 107 = 0 AND o_orderkey % 89 <> 0))
+         SELECT * FROM (
+           SELECT * FROM base
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the stacked DELETION-VECTOR merges
+    // (Medallion.mergeDeleteDvOrders): the merged-on-read table equals
+    // the base minus both delete sets — DV anti-join correctness and
+    // sidecar stacking in one gate; the zero-data-files write-side
+    // property is asserted in ManifestTableSpec.
+    "merge_delete_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 83 <> 0 AND o_orderkey % 97 <> 0
+         ORDER BY o_orderkey""",
+    // Relational recompute of timestamp time travel
+    // (Medallion.timeTravelOrders): a read pinned strictly between the
+    // first (even-keys) and second (full) overwrite commits must
+    // resolve to the even-keys snapshot — newest version <= t, with
+    // later commits never leaking backward.
+    "time_travel_timestamp" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    // Relational recompute of additive schema evolution
+    // (Medallion.schemaEvolutionOrders): pre-evolution rows read the
+    // appended o_channel column as NULL; post-evolution rows carry it.
+    "schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority,
+                CAST(NULL AS VARCHAR) AS o_channel
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority,
+                'ch-' || CAST(o_orderkey % 5 AS VARCHAR) AS o_channel
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""",
+    // Admission-controlled feed drain (TableFeedSource
+    // .streamTableFeedBounded): the SAME relational recompute as
+    // stream_table_feed — maxVersionsPerBatch must change batching
+    // only, never content or version tags.
+    "stream_feed_bounded" ->
+      """WITH ins AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'insert' AS _change,
+                  CAST(1 + o_orderkey % 3 AS BIGINT) AS _commit_version
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'insert' AS _change, CAST(4 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0),
+         del AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'delete' AS _change, CAST(4 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT * FROM (
+           SELECT * FROM ins
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM del)
+         ORDER BY o_orderkey, _commit_version, _change""",
     // Batch LEFT JOIN with the interval predicate: exactly what the
     // drained stream-stream left-outer join must equal. NULLS FIRST to
     // match the Spark side's asc_nulls_first (DuckDB defaults NULLS LAST).

@@ -72,17 +72,41 @@ object StreamScaleProbe {
         Seq((-1L, sentinelUs, -1L, "sentinel", 0.0, "{}")))
     }
     val src = EventsStream.eventsSource(spark, streamDir.toString, raw)
+    // `recentProgress` is a RING BUFFER capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): a drain
+    // with more micro-batches would undercount input rows and could miss
+    // the true state peak. A listener sees EVERY progress event, so the
+    // rows/sec and peak-state numbers SCALE.md records are exact
+    // regardless of batch count.
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakStateRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    // One probe query runs at a time and the listener lives only for this
+    // call, so no id filter is needed (filtering on q.id would race the
+    // first micro-batch against `start()` returning).
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        inputRows.addAndGet(e.progress.numInputRows)
+        val state = e.progress.stateOperators.map(_.numRowsTotal).sum
+        peakStateRows.accumulateAndGet(state, math.max(_, _))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated.countDown()
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val q = plan(src).writeStream.format("noop").outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
-    val progresses = q.recentProgress.toSeq
-    val input = progresses.map(_.numInputRows).sum
-    val peakState = progresses
-      .map(_.stateOperators.map(_.numRowsTotal).sum)
-      .foldLeft(0L)(math.max)
-    Probe(sec, input, peakState)
+    // listener delivery is async but ORDERED: the terminated event landing
+    // means every progress event before it has been delivered, so the
+    // accumulators are complete once the latch opens
+    terminated.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    spark.streams.removeListener(listener)
+    Probe(sec, inputRows.get(), peakStateRows.get())
   }
 
   def main(args: Array[String]): Unit = {

@@ -146,13 +146,28 @@ object DdSketch {
   /** γ for a given α — needed by the readoff (estimate = 2γᵇ/(γ+1)). */
   def gammaOf(alpha: Double): Double = (1 + alpha) / (1 - alpha)
 
-  /** Idempotent per-session registration (alpha / maxBins as literals). */
+  /** Idempotent per-session registration (alpha / maxBins as literals).
+    * SQL fractional literals parse as DECIMAL (0.01 → DECIMAL(3,2)), not
+    * DOUBLE — both registration paths (this registry one and the
+    * GraftExtensions injection) must accept the same literal spellings,
+    * so the coercion here mirrors GraftExtensions.doubleLit/intLit.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dd_sketch",
       exprs => {
-        val alpha = exprs(1) match { case Literal(v: Double, DoubleType) => v }
-        val bins = exprs(2) match { case Literal(v: Int, IntegerType) => v }
+        val alpha = exprs(1) match {
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_dd_sketch alpha must be a numeric literal, got $other")
+        }
+        val bins = exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_dd_sketch maxBins must be an integer literal, got $other")
+        }
         DdSketch(Cast(exprs(0), DoubleType), alpha, bins).toAggregateExpression()
       },
       "built-in")

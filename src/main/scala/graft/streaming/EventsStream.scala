@@ -585,7 +585,11 @@ object EventsStream {
     try q.processAllAvailable()
     finally q.stop()
     val out = spark.table(qName)
-      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
+      // window.end <= sentinelUs excludes the sentinel's own window
+      // UNCONDITIONALLY (its hour-truncated start is < sentinelUs except
+      // when sentinelUs is hour-aligned, but its end is always > it),
+      // while every real window ends <= maxUs + 1 h < sentinelUs.
+      .filter(col("window.end") <= timestamp_micros(lit(sentinelUs)))
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("window_start"),
@@ -660,7 +664,11 @@ object EventsStream {
     try q.processAllAvailable()
     finally q.stop()
     val binned = spark.table(qName)
-      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
+      // window.end <= sentinelUs excludes the sentinel's own window
+      // UNCONDITIONALLY (its hour-truncated start is < sentinelUs except
+      // when sentinelUs is hour-aligned, but its end is always > it),
+      // while every real window ends <= maxUs + 1 h < sentinelUs.
+      .filter(col("window.end") <= timestamp_micros(lit(sentinelUs)))
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("bin"), col("n"))
     val out = graft.ops.Sketches
@@ -727,7 +735,11 @@ object EventsStream {
     // and drop the memory-sink view (it pins the full result in the
     // driver for the session's lifetime otherwise).
     val out = spark.table(qName)
-      .filter(col("window.start") < timestamp_micros(lit(sentinelUs)))
+      // window.end <= sentinelUs excludes the sentinel's own window
+      // UNCONDITIONALLY (its hour-truncated start is < sentinelUs except
+      // when sentinelUs is hour-aligned, but its end is always > it),
+      // while every real window ends <= maxUs + 1 h < sentinelUs.
+      .filter(col("window.end") <= timestamp_micros(lit(sentinelUs)))
       .groupBy(col("event_type"), hour(col("window.start")).as("hour"))
       .agg(
         sum(col("event_count")).as("event_count"),

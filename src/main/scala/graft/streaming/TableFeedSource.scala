@@ -392,4 +392,52 @@ object TableFeedSource {
     spark.catalog.dropTempView(qName)
     out
   }
+
+  /** Declared ADMISSION-CONTROLLED feed query: the same four-commit
+    * history as [[streamTableFeed]], drained with
+    * `maxVersionsPerBatch = 1` — a subscriber bootstrapping onto the
+    * full history catches up one upstream version per micro-batch
+    * (four batches) instead of one unbounded batch. The oracle is the
+    * SAME relational recompute as the unbounded drain: a hash match
+    * proves admission control changes BATCHING ONLY — every change row
+    * still arrives exactly once with its correct `_commit_version`,
+    * across batch boundaries and through the offset bookkeeping that
+    * caps each batch.
+    *
+    * Scale shape: this is the bound that makes resuming a lagged
+    * subscriber safe on a 100 TB table — catch-up cost per micro-batch
+    * is capped at `n` versions' worth of new data, never the whole
+    * backlog in one task graph.
+    */
+  def streamTableFeedBounded(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_table_feed_b_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/orders_feed_b"
+    val orders = graft.Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)  // v1
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 1), path) // v2
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 2), path) // v3
+    ManifestTable.merge(                                                   // v4
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      path, "o_orderkey")
+    val qName = s"table_feed_bounded_${System.nanoTime()}"
+    val q = readStream(spark, path, maxVersionsPerBatch = Some(1))
+      .writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(qName)
+      .orderBy(col("o_orderkey"), col("_commit_version"), col("_change"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
 }

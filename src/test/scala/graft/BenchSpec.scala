@@ -24,7 +24,7 @@ class BenchSpec extends SparkSpec {
         throw new RuntimeException("deliberate exec failure"); 0L
       }.toDF("x")
     }
-    val (res, errs) = Bench.measure(spark, "unused",
+    val (res, errs, loads) = Bench.measure(spark, "unused",
       Seq("good" -> ok, "bad_build" -> boomBuild, "bad_exec" -> boomExec),
       reps = 3)
     val m = res.toMap
@@ -38,6 +38,34 @@ class BenchSpec extends SparkSpec {
     assert(errs("bad_exec").nonEmpty)
     // output order preserved for the JSON line
     assert(res.map(_._1) === Seq("good", "bad_build", "bad_exec"))
+    // one load sample per ATTEMPTED rep, including failed ones
+    assert(loads("good").length === 3)
+    assert(loads("bad_build").length === 3)
+  }
+
+  test("measure: adaptive extra reps trigger on wide spread, respect the cap") {
+    // first rep sleeps 600 ms, later reps ~10 ms → spread > 30% of median
+    // and > the 100 ms absolute floor, so the adaptive loop must fire
+    var calls = 0
+    val spiky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      Thread.sleep(if (calls == 1) 600 else 10)
+      s.range(1).toDF("x")
+    }
+    val (res, _, loads) = Bench.measure(spark, "unused",
+      Seq("spiky" -> spiky), reps = 3, maxExtraReps = 2)
+    // spread stays ~590 ms however many reps run, so the loop must stop
+    // at exactly base + maxExtraReps
+    assert(res.toMap.apply("spiky").length === 5)
+    assert(loads("spiky").length === 5)
+
+    // a tight query must NOT re-rep (sub-100 ms spread floor)
+    val flat: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(5); s.range(1).toDF("x") }
+    val (res2, _, _) = Bench.measure(spark, "unused",
+      Seq("flat" -> flat), reps = 3, maxExtraReps = 2)
+    assert(res2.toMap.apply("flat").length === 3,
+      "sub-floor spread must not trigger extra reps")
   }
 
   /** Valid-JSON gate via Spark's own parser: FAILFAST json read of the
