@@ -117,6 +117,7 @@ object SparkEntry {
     "merge_delete_dv"    -> ((s, d) => graft.pipeline.Medallion.mergeDeleteDvOrders(s, d)),
     "time_travel_timestamp" -> ((s, d) => graft.pipeline.Medallion.timeTravelOrders(s, d)),
     "schema_evolution"   -> ((s, d) => graft.pipeline.Medallion.schemaEvolutionOrders(s, d)),
+    "change_feed_merge"  -> ((s, d) => graft.pipeline.Medallion.changeFeedMerge(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1464,6 +1465,39 @@ object SparkEntry {
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // Relational recompute of the update-image change feed
+    // (Medallion.changeFeedMerge): the merge version's CDC rows with
+    // Delta CDF's four-way classification — matched keys as
+    // update_preimage (old row) + update_postimage (new row),
+    // unmatched as insert/delete.
+    "change_feed_merge" ->
+      """WITH pre AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'update_preimage' AS _change
+           FROM orders WHERE o_orderkey % 73 = 0),
+         post AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 250.0 AS o_totalprice,
+                  o_orderdate, '0-CDF' AS o_orderpriority,
+                  'update_postimage' AS _change
+           FROM orders WHERE o_orderkey % 73 = 0),
+         ins AS (
+           SELECT o_orderkey + 400000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '9-CDFINS' AS o_orderpriority, 'insert' AS _change
+           FROM orders WHERE o_orderkey % 79 = 0),
+         del AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'delete' AS _change
+           FROM orders
+           WHERE o_orderkey % 71 = 0 AND o_orderkey % 73 <> 0)
+         SELECT * FROM (
+           SELECT * FROM pre
+           UNION ALL SELECT * FROM post
+           UNION ALL SELECT * FROM ins
+           UNION ALL SELECT * FROM del)
+         ORDER BY o_orderkey, _change""",
     // Relational recompute of the stacked DELETION-VECTOR merges
     // (Medallion.mergeDeleteDvOrders): the merged-on-read table equals
     // the base minus both delete sets — DV anti-join correctness and

@@ -644,7 +644,8 @@ object ManifestTable {
                         schema: Option[StructType],
                         dvAdds: Seq[String] = Nil,
                         dvRemoves: Seq[String] = Nil,
-                        dvKey: Option[String] = None): String = {
+                        dvKey: Option[String] = None,
+                        mergeKey: Option[String] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -654,6 +655,9 @@ object ManifestTable {
       root.put("tagHorizon", tagHorizon)
     schema.foreach(s => root.put("schema", s.json))
     dvKey.foreach(root.put("dvKey", _))
+    // not part of resolved state — read only by the change feed to
+    // classify this version's rewrites as row-level UPDATEs
+    mergeKey.foreach(root.put("mergeKey", _))
     val addArr = root.putArray("adds"); adds.foreach(addArr.add)
     val remArr = root.putArray("removes"); removes.foreach(remArr.add)
     if (dvAdds.nonEmpty) { val a = root.putArray("dvAdds"); dvAdds.foreach(a.add) }
@@ -1046,7 +1050,8 @@ object ManifestTable {
         footerStats(spark, p, statsCols)).toMap
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
-      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(key) else None)
+      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(key) else None,
+      mergeKey = Some(key))
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -1218,6 +1223,28 @@ object ManifestTable {
       .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
   }
 
+  /** Rows a batch of new DV sidecars kills: the affected files' rows
+    * live at `prev`, semi-joined against the new (file, key) entries —
+    * O(affected files), never O(table).
+    */
+  private def dvKilledRows(spark: SparkSession, path: String,
+                           prev: TableState, dvAdds: Seq[String],
+                           keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+    val dvNew = spark.read.parquet(dvAdds.map(r => s"$path/$r"): _*)
+    val bases = dvNew.select(col("_graft_dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = prev.files.filter(f => bases(f.split("/").last))
+    val withF = readStateDf(spark, path, prev.copy(files = affected))
+      .withColumn("_graft_dv_f",
+        element_at(split(input_file_name(), "/"), -1))
+    withF.join(broadcast(dvNew),
+        withF("_graft_dv_f") === dvNew("_graft_dv_file")
+          && col(keyCol) === dvNew("_graft_dv_key"),
+        "left_semi")
+      .drop("_graft_dv_f")
+  }
+
   /** Row-level changes committed BY `version` (the per-version unit the
     * table-feed stream replays). Cheapest first, decided off the
     * version's own LOG ENTRY:
@@ -1227,15 +1254,34 @@ object ManifestTable {
     *    files read as `insert`s — O(new data), never O(table);
     *  - a DV-only entry (sparse delete): the deleted rows read from the
     *    affected files only, as `delete`s — O(affected files);
-    *  - anything else (overwrite / compact / rewrite-merge): the full
-    *    multiset [[diff]] against the previous version.
+    *  - any other delta entry (overwrite / compact / rewrite-merge):
+    *    the multiset difference of the entry's OWN removed vs added
+    *    files (each read live at its version, so earlier DVs never
+    *    resurrect) — O(touched files), never O(table). Rows a rewrite
+    *    carried verbatim cancel; a pure compact yields zero change
+    *    rows. Falls back to the full [[diff]] only when the schema
+    *    changed across the boundary (multiset subtraction needs
+    *    aligned columns) or for legacy full-manifest commits.
+    *
+    * `updateImages = true` additionally classifies a MERGE version's
+    * changes the way Delta's change data feed does: a key present on
+    * both sides of the difference emits `update_preimage` (old row) +
+    * `update_postimage` (new row) instead of delete + insert; keys on
+    * one side only stay `insert`/`delete`. Only merge commits record
+    * the key (`mergeKey` in their log entry); other rewrites keep
+    * insert/delete. A matched update row carrying values identical to
+    * its base row cancels in the multiset difference and emits
+    * nothing — no observable change, no change row. Duplicate update
+    * keys (allowed by [[merge]]) emit one preimage and ALL postimages
+    * under the same key.
     *
     * Requires `version - 1` to still be committed (not [[vacuum]]ed) —
     * the retention-vs-consumption contract a Delta change feed draws.
     */
   def changesForVersion(spark: SparkSession, path: String,
-                        version: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
+                        version: Long,
+                        updateImages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, path)
     require(vs.contains(version), s"version $version not committed at $path")
     if (version == 1L)
@@ -1252,6 +1298,13 @@ object ManifestTable {
         val removes = strArr(node, "removes")
         val dvAdds = strArr(node, "dvAdds")
         val cur = resolveState(spark, path, version)
+        lazy val prev = resolveState(spark, path, version - 1)
+        def sameSchema: Boolean = (prev.schema, cur.schema) match {
+          case (Some(a), Some(b)) =>
+            a.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq ==
+              b.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+          case _ => false
+        }
         if (removes.isEmpty && dvAdds.isEmpty) {
           if (adds.isEmpty)
             readStateDf(spark, path, cur).limit(0)
@@ -1260,20 +1313,48 @@ object ManifestTable {
             .withColumn("_change", lit("insert"))
         } else if (adds.isEmpty && removes.isEmpty && dvAdds.nonEmpty) {
           // sparse DV delete: replay ONLY the rows the new sidecar kills
-          val prev = resolveState(spark, path, version - 1)
-          val dvNew = spark.read.parquet(dvAdds.map(r => s"$path/$r"): _*)
-          val bases = dvNew.select(col("_graft_dv_file")).distinct()
-            .collect().map(_.getString(0)).toSet
-          val affected = prev.files.filter(f => bases(f.split("/").last))
-          val withF = readStateDf(spark, path, prev.copy(files = affected))
-            .withColumn("_graft_dv_f",
-              element_at(split(input_file_name(), "/"), -1))
-          withF.join(broadcast(dvNew),
-              withF("_graft_dv_f") === dvNew("_graft_dv_file")
-                && col(cur.dvKey.get) === dvNew("_graft_dv_key"),
-              "left_semi")
-            .drop("_graft_dv_f")
+          dvKilledRows(spark, path, prev, dvAdds, cur.dvKey.get)
             .withColumn("_change", lit("delete"))
+        } else if (sameSchema) {
+          // rewrite entry: the change rows live entirely in the entry's
+          // own files — removed rows (live at prev) vs added rows (live
+          // at cur); untouched files never enter the computation
+          val cols = cur.schema.get.fieldNames.map(col).toSeq
+          val removedRows =
+            (if (removes.isEmpty) readStateDf(spark, path, prev).limit(0)
+             else readStateDf(spark, path, prev.copy(files = removes)))
+              .select(cols: _*)
+          val addedRows =
+            (if (adds.isEmpty) readStateDf(spark, path, cur).limit(0)
+             else readStateDf(spark, path, cur.copy(files = adds)))
+              .select(cols: _*)
+          val killed =
+            if (dvAdds.isEmpty) None
+            else Some(dvKilledRows(spark, path, prev, dvAdds, cur.dvKey.get)
+              .select(cols: _*))
+          val ins0 = addedRows.exceptAll(removedRows)
+          val del0 = killed.foldLeft(removedRows.exceptAll(addedRows))(_ unionAll _)
+          val mergeKey = Option(node.get("mergeKey")).map(_.asText())
+          mergeKey.filter(_ => updateImages) match {
+            case Some(k) =>
+              // matched keys (DISTINCT, null-free by join semantics) on
+              // both sides split into pre/post images; the rest keep
+              // their insert/delete verdicts
+              val matched = ins0.select(col(k)).intersect(del0.select(col(k)))
+              ins0.join(matched, Seq(k), "left_anti")
+                .select(cols: _*).withColumn("_change", lit("insert"))
+                .unionAll(ins0.join(matched, Seq(k), "left_semi")
+                  .select(cols: _*)
+                  .withColumn("_change", lit("update_postimage")))
+                .unionAll(del0.join(matched, Seq(k), "left_semi")
+                  .select(cols: _*)
+                  .withColumn("_change", lit("update_preimage")))
+                .unionAll(del0.join(matched, Seq(k), "left_anti")
+                  .select(cols: _*).withColumn("_change", lit("delete")))
+            case None =>
+              ins0.withColumn("_change", lit("insert"))
+                .unionAll(del0.withColumn("_change", lit("delete")))
+          }
         } else diff(spark, path, version - 1, version)
       } else {
         // legacy full manifest: append iff the file list grew as a superset

@@ -609,6 +609,47 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared CHANGE-DATA-FEED query with UPDATE IMAGES (Delta CDF's
+    * `update_preimage`/`update_postimage` row classification): one
+    * keyed merge commits updates, inserts, and deletes, then
+    * [[ManifestTable.changesForVersion]] with `updateImages = true`
+    * replays that version's changes — matched keys as pre+post image
+    * pairs, unmatched as plain insert/delete. The oracle recomputes
+    * all four verdicts relationally, so a hash match proves the
+    * key-split classification AND the O(touched-files) change
+    * computation (removed-vs-added multiset difference — carried rows
+    * cancel, untouched files never enter the plan) lost nothing.
+    *
+    * Scale shape: CDC for a merge version costs the merge's own
+    * touched files, never a two-snapshot table diff — the property
+    * that makes a change feed on a 100 TB table consumable.
+    */
+  def changeFeedMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_cdf_merge_", sfDir) + "/orders_cdf"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val upd = orders.filter(col("o_orderkey") % 73 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+      .withColumn("o_orderpriority", lit("0-CDF"))
+      .withColumn("_delete", lit(false))
+    val ins = orders.filter(col("o_orderkey") % 79 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(400000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_orderpriority", lit("9-CDFINS"))
+      .withColumn("_delete", lit(false))
+    val del = orders
+      .filter(col("o_orderkey") % 71 === 0 && col("o_orderkey") % 73 =!= 0)
+      .withColumn("_delete", lit(true))
+    val v = ManifestTable.merge(upd.unionByName(ins).unionByName(del), path,
+      "o_orderkey", deleteCol = Some("_delete"),
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.changesForVersion(spark, path, v, updateImages = true)
+      .orderBy(col("o_orderkey"), col("_change"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

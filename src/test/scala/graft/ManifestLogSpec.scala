@@ -247,4 +247,55 @@ class ManifestLogSpec extends SparkSpec {
     val (cand, total) = ManifestTable.pruneCount(spark, path, "key", 0.0, 0.01)
     assert(cand === total, "decimal stats must not prune (unsound encoding)")
   }
+
+  test("change feed: merge versions classify update images, scan only touched files; compact emits zero changes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log8").toString + "/t"
+    val base = spark.range(0, 400).toDF("id").withColumn("v", col("id") * 10)
+    ManifestTable.write(
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val v1Files = ManifestTable.manifestFiles(spark, path, 1)
+    assert(v1Files.size === 4)
+    // updates cluster in the first file's key range; delete + insert ride along
+    val upd = Seq.tabulate(5)(i => (i.toLong, i * 10L + 1L, false))
+      .toDF("id", "v", "_d")
+    val ins = Seq((1000L, 7L, false)).toDF("id", "v", "_d")
+    val del = Seq((390L, 0L, true)).toDF("id", "v", "_d")
+    val v = ManifestTable.merge(upd.union(ins).union(del), path, "id",
+      deleteCol = Some("_d"), statsCols = Seq("id"))
+    val ch = ManifestTable.changesForVersion(spark, path, v,
+      updateImages = true)
+    val got = ch.select("id", "v", "_change").as[(Long, Long, String)]
+      .collect().toSet
+    val expect =
+      (0 until 5).map(i => (i.toLong, i * 10L, "update_preimage")).toSet ++
+        (0 until 5).map(i => (i.toLong, i * 10L + 1L, "update_postimage")) +
+        ((1000L, 7L, "insert")) + ((390L, 3900L, "delete"))
+    assert(got === expect)
+    // O(touched): the change plan reads only the entry's own files —
+    // the untouched middle files (v1 files surviving into v) never
+    // enter any scan
+    val survived = ManifestTable.manifestFiles(spark, path, v)
+      .map(_.split("/").last).toSet
+    val untouched = v1Files.map(_.split("/").last).toSet.intersect(survived)
+    assert(untouched.size === 2, "merge should leave 2 of 4 files untouched")
+    val scannedFiles = ch.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(_.split("/").last).toSet
+    assert(untouched.forall(f => !scannedFiles.contains(f)),
+      s"change feed scanned untouched files: ${untouched.intersect(scannedFiles)}")
+    // without updateImages the same version reads as delete+insert pairs
+    val plain = ManifestTable.changesForVersion(spark, path, v)
+      .groupBy("_change").count().as[(String, Long)].collect().toMap
+    assert(plain === Map("insert" -> 6L, "delete" -> 6L))
+    // a compact rewrite carries every row verbatim -> ZERO change rows,
+    // computed from the entry's own files (no table diff)
+    val cv = ManifestTable.compact(spark, path, targetFiles = 2)
+    assert(ManifestTable.changesForVersion(spark, path, cv).count() === 0L)
+  }
 }
