@@ -118,6 +118,7 @@ object SparkEntry {
     "time_travel_timestamp" -> ((s, d) => graft.pipeline.Medallion.timeTravelOrders(s, d)),
     "schema_evolution"   -> ((s, d) => graft.pipeline.Medallion.schemaEvolutionOrders(s, d)),
     "change_feed_merge"  -> ((s, d) => graft.pipeline.Medallion.changeFeedMerge(s, d)),
+    "constraint_enforce" -> ((s, d) => graft.pipeline.Medallion.constraintEnforceOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1464,6 +1465,19 @@ object SparkEntry {
            SELECT * FROM base
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of CHECK-constraint enforcement
+    // (Medallion.constraintEnforceOrders): the violating append leaves
+    // ZERO rows (atomic rejection), the valid append all of its rows.
+    "constraint_enforce" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 600000000 AS o_orderkey, o_custkey,
+                o_orderstatus, o_totalprice, o_orderdate,
+                '5-CHECKED' AS o_orderpriority
+         FROM orders WHERE o_orderkey % 13 = 0
          ORDER BY o_orderkey""",
     // Relational recompute of the update-image change feed
     // (Medallion.changeFeedMerge): the merge version's CDC rows with

@@ -82,7 +82,8 @@ object ManifestTable {
                               schema: Option[StructType],
                               tags: Map[String, Long],
                               dvFiles: Seq[String],
-                              dvKey: Option[String])
+                              dvKey: Option[String],
+                              constraints: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -212,8 +213,20 @@ object ManifestTable {
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
       strArr(n, "files"), parseStatsNode(n.get("stats")), parseSchema(n),
       tags, strArr(n, "dvFiles"),
-      Option(n.get("dvKey")).map(_.asText()))
+      Option(n.get("dvKey")).map(_.asText()),
+      strMap(n, "constraints"))
   }
+
+  /** Parse a {name: string} object field into a Map (empty if absent). */
+  private def strMap(n: JsonNode, field: String): Map[String, String] =
+    if (!n.has(field)) Map.empty
+    else {
+      val o = n.get(field)
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val it = o.fieldNames()
+      while (it.hasNext) { val k = it.next(); out += k -> o.get(k).asText() }
+      out.toMap
+    }
 
   private def truncateTags(tags: Map[String, Long], horizon: Int): Map[String, Long] =
     if (tags.size <= horizon) tags
@@ -234,7 +247,9 @@ object ManifestTable {
       parseSchema(n).orElse(prev.schema),
       truncateTags(prev.tags ++ tag.map(_ -> version), horizon),
       prev.dvFiles.filterNot(dvRemoves) ++ strArr(n, "dvAdds"),
-      Option(n.get("dvKey")).map(_.asText()).orElse(prev.dvKey))
+      Option(n.get("dvKey")).map(_.asText()).orElse(prev.dvKey),
+      prev.constraints -- strArr(n, "constraintRemoves")
+        ++ strMap(n, "constraintAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -645,7 +660,9 @@ object ManifestTable {
                         dvAdds: Seq[String] = Nil,
                         dvRemoves: Seq[String] = Nil,
                         dvKey: Option[String] = None,
-                        mergeKey: Option[String] = None): String = {
+                        mergeKey: Option[String] = None,
+                        constraintAdds: Map[String, String] = Map.empty,
+                        constraintRemoves: Seq[String] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -662,6 +679,13 @@ object ManifestTable {
     val remArr = root.putArray("removes"); removes.foreach(remArr.add)
     if (dvAdds.nonEmpty) { val a = root.putArray("dvAdds"); dvAdds.foreach(a.add) }
     if (dvRemoves.nonEmpty) { val a = root.putArray("dvRemoves"); dvRemoves.foreach(a.add) }
+    if (constraintAdds.nonEmpty) {
+      val c = root.putObject("constraintAdds")
+      constraintAdds.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+    }
+    if (constraintRemoves.nonEmpty) {
+      val c = root.putArray("constraintRemoves"); constraintRemoves.foreach(c.add)
+    }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -678,6 +702,10 @@ object ManifestTable {
     val arr = root.putArray("files"); st.files.foreach(arr.add)
     if (st.dvFiles.nonEmpty) {
       val a = root.putArray("dvFiles"); st.dvFiles.foreach(a.add)
+    }
+    if (st.constraints.nonEmpty) {
+      val c = root.putObject("constraints")
+      st.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -757,6 +785,111 @@ object ManifestTable {
       append(df, path, partitionCols, maxAttempts = maxAttempts,
         statsCols = statsCols, tag = Some(tag), tagHorizon = tagHorizon))
 
+  // ------------------------------------------------------------------
+  // CHECK constraints (enforced at commit time)
+  // ------------------------------------------------------------------
+
+  /** Wrap `df` so any row violating a CHECK constraint FAILS the write
+    * job before a byte is committed — the Delta invariant-enforcement
+    * shape, fused into the single staging pass (no extra scan): each
+    * constraint compiles to a codegen'd `assert_true` filter that
+    * passes TRUE and NULL rows (SQL CHECK semantics) and raises with
+    * the constraint name, its expression, and the offending row
+    * otherwise. A failed write leaves no manifest — the table is
+    * untouched (the orphaned staging dir is invisible to readers).
+    */
+  private def constraintGuard(df: DataFrame,
+                              constraints: Map[String, String]): DataFrame =
+    if (constraints.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat, expr, lit, struct, to_json}
+      constraints.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+        d.filter(assert_true(
+          coalesce(expr(sql), lit(true)),
+          concat(lit(s"CHECK constraint '$name' ($sql) violated by row: "),
+            to_json(struct(df.columns.map(col).toSeq: _*)))).isNull)
+      }
+    }
+
+  /** The table's live CHECK constraints (name → SQL expression). */
+  def checkConstraints(spark: SparkSession, path: String): Map[String, String] =
+    currentVersion(spark, path)
+      .map(resolveState(spark, path, _).constraints).getOrElse(Map.empty)
+
+  /** Add a named CHECK constraint (`ALTER TABLE ... ADD CONSTRAINT ...
+    * CHECK (expr)`): existing rows are validated in ONE scan of the
+    * current version (violations abort with a count — the Delta
+    * contract), then the constraint commits as a METADATA-ONLY log
+    * entry. Every subsequent [[write]]/[[append]]/[[merge]] enforces
+    * it in its staging pass; constraints ride checkpoints, so they
+    * survive [[vacuum]]. NULL evaluations PASS (SQL CHECK semantics).
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+                         exprSql: String, maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version at $path to constrain"))
+      val st = resolveState(spark, path, prevV)
+      val violations = readStateDf(spark, path, st)
+        .filter(not(coalesce(expr(exprSql), lit(true)))).count()
+      require(violations == 0L,
+        s"cannot add CHECK constraint '$name' ($exprSql) at $path: " +
+          s"$violations existing rows violate it")
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        constraintAdds = Map(name -> exprSql))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"constraint commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Drop a named CHECK constraint (metadata-only commit). */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String,
+                          maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      require(st.constraints.contains(name),
+        s"no CHECK constraint '$name' at $path (live: " +
+          s"${st.constraints.keys.toSeq.sorted.mkString(", ")})")
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        constraintRemoves = Seq(name))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"constraint commit lost $maxAttempts races at $path — giving up")
+  }
+
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
@@ -791,7 +924,11 @@ object ManifestTable {
         else df.schema
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
-      val w = df.write.mode("overwrite")
+      // CHECK constraints enforce inside the staging pass: a violating
+      // row fails the write job, no manifest lands, readers see nothing
+      val guarded = constraintGuard(df,
+        prevState.map(_.constraints).getOrElse(Map.empty))
+      val w = guarded.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
@@ -994,7 +1131,10 @@ object ManifestTable {
       case Some(dc) => updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
       case None     => updates
     }
-    val ordered = upserts.select(schema.fieldNames.map(col).toSeq: _*)
+    // CHECK constraints enforce on the merge's upsert rows (carried
+    // rows were validated by the commit that wrote them)
+    val ordered = constraintGuard(
+      upserts.select(schema.fieldNames.map(col).toSeq: _*), st.constraints)
     val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
     val newData =
       if (touched.isEmpty) ordered

@@ -650,6 +650,43 @@ object Medallion {
       .orderBy(col("o_orderkey"), col("_change"))
   }
 
+  /** Declared CHECK-CONSTRAINT query (Delta `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK` invariant enforcement): a committed orders
+    * table takes a `o_totalprice > 0` constraint, then
+    *
+    *  - a VIOLATING append (negated prices) fails its write job and
+    *    commits NOTHING — atomicity is the point: readers never see a
+    *    partial batch;
+    *  - a VALID append (shifted keys, re-flagged) lands normally.
+    *
+    * The declared result is the final table; the oracle recomputes
+    * base ∪ valid-append relationally, so a hash match proves the bad
+    * batch left zero rows behind (enforcement + commit atomicity) and
+    * the good batch survived enforcement untouched. Enforcement is a
+    * codegen'd `assert_true` filter fused into the staging pass — no
+    * extra scan of the data, which is what makes constraints free at
+    * 100 TB write throughput.
+    */
+  def constraintEnforceOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_constraint_", sfDir) + "/orders_ck"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(orders, path)
+    ManifestTable.addCheckConstraint(spark, path, "positive_price",
+      "o_totalprice > 0")
+    val bad = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(500000000L))
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val rejected =
+      try { ManifestTable.append(bad, path); false }
+      catch { case _: Exception => true }
+    require(rejected, "violating append must be rejected")
+    val good = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(600000000L))
+      .withColumn("o_orderpriority", lit("5-CHECKED"))
+    ManifestTable.append(good, path)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

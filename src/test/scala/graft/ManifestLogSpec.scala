@@ -298,4 +298,59 @@ class ManifestLogSpec extends SparkSpec {
     val cv = ManifestTable.compact(spark, path, targetFiles = 2)
     assert(ManifestTable.changesForVersion(spark, path, cv).count() === 0L)
   }
+
+  test("CHECK constraints: enforced atomically on write/append/merge, survive vacuum, drop restores") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log9").toString + "/t"
+    ManifestTable.write(
+      Seq((1L, 10.0, "a"), (2L, 20.0, null)).toDF("id", "price", "note"),
+      path)
+    // NULL evaluations pass (SQL CHECK semantics): note IS NULL row is fine
+    ManifestTable.addCheckConstraint(spark, path, "pos_price", "price > 0")
+    ManifestTable.addCheckConstraint(spark, path, "short_note",
+      "length(note) < 10")
+    assert(ManifestTable.checkConstraints(spark, path).keySet ===
+      Set("pos_price", "short_note"))
+    // adding a constraint existing rows violate is refused
+    val exAdd = intercept[IllegalArgumentException] {
+      ManifestTable.addCheckConstraint(spark, path, "big_id", "id > 100")
+    }
+    assert(exAdd.getMessage.contains("2 existing rows violate"))
+    // violating append fails the JOB and commits nothing
+    val vBefore = ManifestTable.currentVersion(spark, path).get
+    val exApp = intercept[Exception] {
+      ManifestTable.append(Seq((3L, -5.0, "bad")).toDF("id", "price", "note"),
+        path)
+    }
+    assert(exApp.getMessage.contains("pos_price") ||
+      Option(exApp.getCause).exists(_.getMessage.contains("pos_price")))
+    assert(ManifestTable.currentVersion(spark, path).get === vBefore,
+      "violating append must not commit a version")
+    assert(ManifestTable.read(spark, path).count() === 2)
+    // valid append lands; violating MERGE upsert is rejected too
+    ManifestTable.append(Seq((3L, 30.0, "ok")).toDF("id", "price", "note"),
+      path)
+    val exMerge = intercept[Exception] {
+      ManifestTable.merge(Seq((2L, -1.0, "upd")).toDF("id", "price", "note"),
+        path, "id")
+    }
+    assert(exMerge.getMessage.contains("pos_price") ||
+      Option(exMerge.getCause).exists(_.getMessage.contains("pos_price")))
+    assert(ManifestTable.read(spark, path).count() === 3)
+    // constraints ride checkpoints: vacuum to one version, still enforced
+    ManifestTable.vacuum(spark, path, keep = 1)
+    assert(ManifestTable.checkConstraints(spark, path).keySet ===
+      Set("pos_price", "short_note"))
+    intercept[Exception] {
+      ManifestTable.append(Seq((4L, 1.0, "waytoolongnote")).toDF(
+        "id", "price", "note"), path)
+    }
+    // drop restores writability for the dropped rule only
+    ManifestTable.dropCheckConstraint(spark, path, "short_note")
+    ManifestTable.append(Seq((4L, 1.0, "waytoolongnote")).toDF(
+      "id", "price", "note"), path)
+    assert(ManifestTable.read(spark, path).count() === 4)
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropCheckConstraint(spark, path, "nope")
+    }
+  }
 }
