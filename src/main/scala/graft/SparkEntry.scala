@@ -119,6 +119,7 @@ object SparkEntry {
     "schema_evolution"   -> ((s, d) => graft.pipeline.Medallion.schemaEvolutionOrders(s, d)),
     "change_feed_merge"  -> ((s, d) => graft.pipeline.Medallion.changeFeedMerge(s, d)),
     "constraint_enforce" -> ((s, d) => graft.pipeline.Medallion.constraintEnforceOrders(s, d)),
+    "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1466,6 +1467,27 @@ object SparkEntry {
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // Relational recompute of the shallow-clone divergence
+    // (Medallion.tableCloneOrders): clone = orders with the %67 keys
+    // merged; source half = the SAME keys pristine — copy-on-write
+    // isolation in one hash.
+    "table_clone" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 67 = 0
+                       THEN o_totalprice + 125.0 ELSE o_totalprice END
+                    AS o_totalprice,
+                  o_orderdate,
+                  CASE WHEN o_orderkey % 67 = 0
+                       THEN '0-CLONED' ELSE o_orderpriority END
+                    AS o_orderpriority,
+                  'clone' AS _side
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'source' AS _side
+           FROM orders WHERE o_orderkey % 67 = 0)
+         ORDER BY o_orderkey, _side""",
     // Relational recompute of CHECK-constraint enforcement
     // (Medallion.constraintEnforceOrders): the violating append leaves
     // ZERO rows (atomic rejection), the valid append all of its rows.

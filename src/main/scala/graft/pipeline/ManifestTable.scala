@@ -93,6 +93,18 @@ object ManifestTable {
   private def checkpointPath(path: String, v: Long) =
     new Path(path, s"$CheckpointPrefix$v.json")
 
+  /** A file ref recorded by [[cloneShallow]] pointing OUTSIDE the table
+    * root (absolute path or full URI), vs the usual table-relative ref.
+    */
+  private def isExternalRef(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  /** Table-relative refs resolve under the table root; external refs
+    * (shallow clones) pass through untouched.
+    */
+  private def resolveRef(path: String, rel: String): String =
+    if (isExternalRef(rel)) rel else s"$path/$rel"
+
   /** Committed versions present at `path`, ascending (manifests only —
     * checkpoints are derived artifacts, never the commit point).
     */
@@ -367,13 +379,23 @@ object ManifestTable {
     val partitioned = rel.exists(_.split("/").dropRight(1).exists(_.contains("=")))
     def scan(base: String, files: Seq[String]): DataFrame = {
       val reader = spark.read.option("basePath", base)
-      val paths = files.map(r => s"$path/$r")
+      val paths = files.map(resolveRef(path, _))
       schema match {
         case Some(s) => reader.schema(s).parquet(paths: _*)
         case None    => reader.parquet(paths: _*)
       }
     }
-    if (roots.length == 1) scan(s"$path/${roots.head}", rel)
+    if (rel.exists(isExternalRef)) {
+      // shallow-clone refs point OUTSIDE the table root, so no single
+      // basePath covers them; clones are flat by contract (no k=v
+      // layout), so partition discovery — basePath's only job — is moot
+      val paths = rel.map(resolveRef(path, _))
+      schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None    => spark.read.parquet(paths: _*)
+      }
+    }
+    else if (roots.length == 1) scan(s"$path/${roots.head}", rel)
     else if (!partitioned) scan(path, rel)
     else {
       val byRoot = rel.groupBy(_.split("/").head).toSeq.sortBy(_._1)
@@ -397,7 +419,7 @@ object ManifestTable {
     val base = readFilesOf(spark, path, st.schema, st.files)
     if (st.dvFiles.isEmpty) base
     else {
-      val dv = spark.read.parquet(st.dvFiles.map(r => s"$path/$r"): _*)
+      val dv = spark.read.parquet(st.dvFiles.map(resolveRef(path, _)): _*)
       // input_file_name is non-deterministic: project it to a column
       // BEFORE the join (a join condition must be deterministic)
       val withF = base.withColumn("_graft_dv_f",
@@ -1315,6 +1337,56 @@ object ManifestTable {
     * (range partition + in-file sort); `statsCols` refreshes the
     * data-skipping stats.
     */
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): commit
+    * `dst`'s first version as a METADATA-ONLY log entry whose file refs
+    * point at the source version's data files — zero bytes copied, O(file
+    * count) driver work, so forking a 100 TB table for an experiment
+    * costs one manifest write. Per-file stats, schema, deletion vectors,
+    * and CHECK constraints all carry over, so data skipping, merge
+    * pruning, and enforcement work on the clone immediately.
+    *
+    * The clone then DIVERGES freely: appends add local files; a merge
+    * rewrites only the touched external files into local ones (dropping
+    * their refs — the source bytes are never modified); [[compact]]
+    * localizes everything. [[vacuum]] on either table never deletes the
+    * other's files (it only sweeps directories under its own root).
+    *
+    * Retention contract (same as Delta's): the clone references the
+    * source's PHYSICAL files — vacuuming the source below the cloned
+    * version dangles the clone. Localize with [[compact]] before
+    * shrinking source retention. Partitioned source versions are
+    * refused (clone refs are flat by contract); compact the source
+    * first.
+    */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+                   version: Option[Long] = None): Long = {
+    val f = fs(spark, dst)
+    require(versions(spark, dst).isEmpty,
+      s"cannot clone into $dst — it already has committed versions")
+    val srcV = version.getOrElse(currentVersion(spark, src).getOrElse(
+      throw new IllegalStateException(s"no committed version at $src to clone")))
+    val st = resolveState(spark, src, srcV)
+    require(partitionColsOf(st.files).isEmpty,
+      s"cannot shallow-clone partitioned version $srcV of $src — " +
+        "compact it unpartitioned first")
+    val srcRoot = new Path(src).toUri.getPath.stripSuffix("/")
+    def abs(rel: String): String = resolveRef(srcRoot, rel)
+    val json = deltaJson(1L, System.currentTimeMillis(),
+      st.files.map(abs), Nil,
+      st.stats.map { case (k, v) => abs(k) -> v },
+      None, DefaultTagHorizon, st.schema,
+      dvAdds = st.dvFiles.map(abs), dvKey = st.dvKey,
+      constraintAdds = st.constraints)
+    f.mkdirs(new Path(dst))
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(conditionalCommit(f, tmp, manifestPath(dst, 1L)),
+      s"clone commit lost the race at $dst")
+    1L
+  }
+
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
               partitionCols: Seq[String] = Nil,
               statsCols: Seq[String] = Nil,
@@ -1371,7 +1443,7 @@ object ManifestTable {
                            prev: TableState, dvAdds: Seq[String],
                            keyCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
-    val dvNew = spark.read.parquet(dvAdds.map(r => s"$path/$r"): _*)
+    val dvNew = spark.read.parquet(dvAdds.map(resolveRef(path, _)): _*)
     val bases = dvNew.select(col("_graft_dv_file")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = prev.files.filter(f => bases(f.split("/").last))

@@ -687,6 +687,46 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared SHALLOW-CLONE query (Delta `SHALLOW CLONE`): the orders
+    * table commits once, [[ManifestTable.cloneShallow]] forks it as a
+    * METADATA-ONLY second table (zero bytes copied — the clone's first
+    * version references the source's physical files), then a keyed
+    * merge DIVERGES the clone. The declared result is the clone's full
+    * merged table UNION the source's rows for the merged keys tagged
+    * by `_side` — so one hash match proves the fork read path
+    * (external refs resolve), the divergent merge (clone rows
+    * updated), AND copy-on-write isolation (the same keys in the
+    * source remain pristine — a clone that mutated shared files would
+    * corrupt the `source` half).
+    *
+    * Scale shape: cloning a 100 TB table costs one manifest write;
+    * the merge afterward localizes only the files it touches. This is
+    * the experiment-branch workflow (try a backfill on prod data,
+    * throw the branch away) at metadata cost.
+    */
+  def tableCloneOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch("graft_clone_", sfDir)
+    val src = root + "/orders_src"
+    val dst = root + "/orders_clone"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      src, statsCols = Seq("o_orderkey"))
+    ManifestTable.cloneShallow(spark, src, dst)
+    val upd = orders.filter(col("o_orderkey") % 67 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(125.0))
+      .withColumn("o_orderpriority", lit("0-CLONED"))
+    ManifestTable.merge(upd, dst, "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.read(spark, dst).withColumn("_side", lit("clone"))
+      .unionByName(
+        ManifestTable.read(spark, src)
+          .filter(col("o_orderkey") % 67 === 0)
+          .withColumn("_side", lit("source")))
+      .orderBy(col("o_orderkey"), col("_side"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

@@ -353,4 +353,67 @@ class ManifestLogSpec extends SparkSpec {
       ManifestTable.dropCheckConstraint(spark, path, "nope")
     }
   }
+
+  test("shallow clone: zero-copy fork carrying stats/DVs/constraints; divergence never touches the source; compact localizes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_log10").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    val base = spark.range(0, 400).toDF("id").withColumn("v", col("id") * 10)
+    ManifestTable.write(
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      src, statsCols = Seq("id"))
+    // source carries a DV delete and a constraint — both must ride the clone
+    ManifestTable.merge(Seq((7L, 0L, true)).toDF("id", "v", "_d"), src,
+      "id", deleteCol = Some("_d"), statsCols = Seq("id"),
+      deleteVectors = true)
+    ManifestTable.addCheckConstraint(spark, src, "nonneg_v", "v >= 0")
+    ManifestTable.cloneShallow(spark, src, dst)
+    // metadata-only: no data files under dst, every ref external
+    val dstDirs = new java.io.File(dst).listFiles.map(_.getName).toSeq
+    assert(dstDirs.forall(n => n.startsWith("_graft_")),
+      s"clone must write only manifests, found: $dstDirs")
+    assert(ManifestTable.manifestFiles(spark, dst, 1).forall(_.startsWith("/")))
+    // reads match (incl. the DV'd row absent), stats prune carried over
+    assert(ManifestTable.read(spark, dst).count() === 399)
+    assert(ManifestTable.read(spark, dst).filter(col("id") === 7).count() === 0)
+    val (cand, total) = ManifestTable.pruneCount(spark, dst, "id", 0.0, 10.0)
+    assert(cand < total, "carried stats must prune on the clone")
+    // constraint carried: violating append on the CLONE is rejected
+    intercept[Exception] {
+      ManifestTable.append(Seq((900L, -1L)).toDF("id", "v"), dst)
+    }
+    // record source bytes, then DIVERGE the clone with a merge
+    def srcSnapshot(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(src)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out += p.toString -> ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.toMap
+    }
+    val before = srcSnapshot()
+    val mv = ManifestTable.merge(Seq((5L, 5000L)).toDF("id", "v"),
+      dst, "id", statsCols = Seq("id"))
+    assert(srcSnapshot() === before, "merge on clone must not touch source bytes")
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("id") === 5).select("v").head().getLong(0) === 5000L)
+    assert(ManifestTable.read(spark, src)
+      .filter(col("id") === 5).select("v").head().getLong(0) === 50L)
+    // only the touched ref localized; the others still point at src
+    val refs = ManifestTable.manifestFiles(spark, dst, mv)
+    assert(refs.count(_.startsWith("/")) === 3,
+      s"merge must localize exactly the touched file, got $refs")
+    // compact localizes everything -> the clone survives source vacuum
+    ManifestTable.compact(spark, dst, targetFiles = 2)
+    assert(ManifestTable.manifestFiles(spark, dst,
+      ManifestTable.currentVersion(spark, dst).get).forall(!_.startsWith("/")))
+    ManifestTable.write(base.limit(1), src) // shrink source…
+    ManifestTable.vacuum(spark, src, keep = 1) // …and drop its history
+    assert(ManifestTable.read(spark, dst).count() === 399)
+    // cloning into a non-empty table is refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.cloneShallow(spark, src, dst)
+    }
+  }
 }
