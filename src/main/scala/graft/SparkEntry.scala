@@ -120,6 +120,7 @@ object SparkEntry {
     "change_feed_merge"  -> ((s, d) => graft.pipeline.Medallion.changeFeedMerge(s, d)),
     "constraint_enforce" -> ((s, d) => graft.pipeline.Medallion.constraintEnforceOrders(s, d)),
     "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
+    "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "stream_hourly_quantiles" -> ((s, d) => graft.streaming.EventsStream.hourlyQuantilesStream(s, d)),
     "stream_table_feed"  -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeed(s, d)),
     "stream_feed_bounded" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedBounded(s, d)),
+    "stream_feed_images" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedImages(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1467,6 +1469,14 @@ object SparkEntry {
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // Relational recompute of RESTORE (Medallion.tableRestoreOrders):
+    // the rollback target's content — the two good loads, none of the
+    // bad overwrite's rows.
+    "table_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 3 <> 2
+         ORDER BY o_orderkey""",
     // Relational recompute of the shallow-clone divergence
     // (Medallion.tableCloneOrders): clone = orders with the %67 keys
     // merged; source half = the SAME keys pristine — copy-on-write
@@ -1569,6 +1579,35 @@ object SparkEntry {
                 'ch-' || CAST(o_orderkey % 5 AS VARCHAR) AS o_channel
          FROM orders WHERE o_orderkey % 2 = 1
          ORDER BY o_orderkey""",
+    // Update-image feed drain (TableFeedSource.streamTableFeedImages):
+    // two loads by key mod 3 (v1 = keys%3=0, v2 = rest), then the v3
+    // merge's keys as pre/post image pairs.
+    "stream_feed_images" ->
+      """WITH ins AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'insert' AS _change,
+                  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END
+                    AS BIGINT) AS _commit_version
+           FROM orders),
+         pre AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'update_preimage' AS _change,
+                  CAST(3 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0),
+         post AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice,
+                  o_orderdate, '0-IMG' AS o_orderpriority,
+                  'update_postimage' AS _change,
+                  CAST(3 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT * FROM (
+           SELECT * FROM ins
+           UNION ALL SELECT * FROM pre
+           UNION ALL SELECT * FROM post)
+         ORDER BY o_orderkey, _commit_version, _change""",
     // Admission-controlled feed drain (TableFeedSource
     // .streamTableFeedBounded): the SAME relational recompute as
     // stream_table_feed — maxVersionsPerBatch must change batching

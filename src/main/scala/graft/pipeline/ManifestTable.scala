@@ -1387,6 +1387,59 @@ object ManifestTable {
     1L
   }
 
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF v`): commit a
+    * NEW version whose resolved state equals `toVersion`'s — a
+    * metadata-only rollback (the old data files are still on disk
+    * until [[vacuum]] drops them; restore re-references, never
+    * copies). History is preserved: the bad versions stay readable,
+    * the restore is itself a commit the change feed replays (its log
+    * entry removes current-only files and re-adds target-only files,
+    * so feed CDC stays O(difference)). Restoring beyond the vacuum
+    * horizon fails loudly when a target file is gone.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+              maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      require(toVersion <= prevV,
+        s"cannot restore $path to v$toVersion — current is v$prevV")
+      val target = resolveState(spark, path, toVersion)
+      // fail fast if vacuum already swept a file the restore needs
+      target.files.find(r => !f.exists(new Path(resolveRef(path, r))))
+        .foreach(missing => throw new IllegalStateException(
+          s"cannot restore $path to v$toVersion — data file $missing was " +
+            "vacuumed; restore is bounded by the retention horizon"))
+      val cur = resolveState(spark, path, prevV)
+      val curFiles = cur.files.toSet
+      val targetFiles = target.files.toSet
+      val adds = target.files.filterNot(curFiles)
+      val removes = cur.files.filterNot(targetFiles)
+      val addSet = adds.toSet
+      val addStats = target.stats.view.filterKeys(addSet).toMap
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
+        addStats, None, DefaultTagHorizon, target.schema,
+        dvAdds = target.dvFiles.filterNot(cur.dvFiles.toSet),
+        dvRemoves = cur.dvFiles.filterNot(target.dvFiles.toSet),
+        dvKey = target.dvKey)
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore commit lost $maxAttempts races at $path — giving up")
+  }
+
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
               partitionCols: Seq[String] = Nil,
               statsCols: Seq[String] = Nil,

@@ -727,6 +727,28 @@ object Medallion {
       .orderBy(col("o_orderkey"), col("_side"))
   }
 
+  /** Declared RESTORE query (Delta `RESTORE TABLE ... TO VERSION AS
+    * OF`): two good commits, a bad overwrite, then
+    * [[ManifestTable.restore]] rolls the table back to the last good
+    * version as a METADATA-ONLY commit — old files re-referenced,
+    * nothing copied, the bad version still in history. The oracle
+    * recomputes the last-good content, so a hash match proves the
+    * rollback restored exactly the pre-incident rows through the
+    * re-referenced files.
+    */
+  def tableRestoreOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_restore_", sfDir) + "/orders_rs"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)
+    val good = ManifestTable.append(
+      orders.filter(col("o_orderkey") % 3 === 1), path)
+    // the incident: a filtered overwrite drops most of the table
+    ManifestTable.write(orders.filter(col("o_orderkey") % 55 === 0)
+      .withColumn("o_orderpriority", lit("X-BAD")), path)
+    ManifestTable.restore(spark, path, good)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

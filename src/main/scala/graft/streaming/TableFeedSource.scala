@@ -72,13 +72,15 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
     new TableFeedSource(sqlContext.sparkSession,
       TableFeedSource.pathOf(parameters),
       TableFeedSource.maxVersionsOf(parameters),
-      Some(metadataPath))
+      Some(metadataPath),
+      TableFeedSource.updateImagesOf(parameters))
 }
 
 class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       maxVersionsPerBatch: Option[Int] = None,
-                      metadataPath: Option[String] = None) extends Source {
+                      metadataPath: Option[String] = None,
+                      updateImages: Boolean = false) extends Source {
 
   override val schema: StructType = TableFeedSource.feedSchema(spark, path)
 
@@ -160,7 +162,7 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
           if (from == 0L && v == vs.head && v != 1L)
             ManifestTable.readVersion(spark, path, v)
               .withColumn("_change", lit("insert"))
-          else ManifestTable.changesForVersion(spark, path, v)
+          else ManifestTable.changesForVersion(spark, path, v, updateImages)
         changes.withColumn("_commit_version", lit(v))
           .select(tableCols :+ col("_commit_version"): _*)
       }
@@ -189,6 +191,10 @@ object TableFeedSource {
         require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n")
         n
       }
+
+  private[streaming] def updateImagesOf(parameters: Map[String, String]): Boolean =
+    parameters.get("updateimages").orElse(parameters.get("updateImages"))
+      .exists(_.toBoolean)
 
   /** Pinned feed schema: the table's committed schema plus the change
     * metadata columns.
@@ -219,11 +225,13 @@ object TableFeedSource {
     */
   def readStream(spark: org.apache.spark.sql.SparkSession,
                  path: String,
-                 maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+                 maxVersionsPerBatch: Option[Int] = None,
+                 updateImages: Boolean = false): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
     maxVersionsPerBatch.foreach(n => r.option("maxVersionsPerBatch", n.toString))
+    if (updateImages) r.option("updateImages", "true")
     r.load()
   }
 
@@ -431,6 +439,50 @@ object TableFeedSource {
       path, "o_orderkey")
     val qName = s"table_feed_bounded_${System.nanoTime()}"
     val q = readStream(spark, path, maxVersionsPerBatch = Some(1))
+      .writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(qName)
+      .orderBy(col("o_orderkey"), col("_commit_version"), col("_change"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
+  /** Declared UPDATE-IMAGE feed query: the [[streamTableFeed]] history
+    * drained with `option("updateImages", "true")` — the merge commit's
+    * updated keys arrive as `update_preimage`/`update_postimage` PAIRS
+    * (Delta CDF's vocabulary) instead of delete+insert, so a consumer
+    * can distinguish an UPDATE from a genuine delete-then-insert
+    * without keeping its own key state. Appends are unaffected. The
+    * oracle recomputes the classification relationally; a hash match
+    * proves the image split survives the streaming path (offsets,
+    * batching, the schema pin) end to end.
+    */
+  def streamTableFeedImages(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_table_feed_i_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/orders_feed_i"
+    val orders = graft.Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path,
+      statsCols = Seq("o_orderkey"))                                   // v1
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 =!= 0), path,
+      statsCols = Seq("o_orderkey"))                                   // v2
+    ManifestTable.merge(                                               // v3
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderpriority", lit("0-IMG")),
+      path, "o_orderkey", statsCols = Seq("o_orderkey"))
+    val qName = s"table_feed_images_${System.nanoTime()}"
+    val q = readStream(spark, path, updateImages = true)
       .writeStream
       .format("memory").queryName(qName).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()

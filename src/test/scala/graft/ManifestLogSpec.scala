@@ -416,4 +416,38 @@ class ManifestLogSpec extends SparkSpec {
       ManifestTable.cloneShallow(spark, src, dst)
     }
   }
+
+  test("restore: metadata-only rollback, history preserved, feed replays it, vacuum horizon enforced") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log11").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "a")).toDF("id", "v"), path,
+      statsCols = Seq("id"))                                          // v1
+    ManifestTable.append(Seq((3L, "b")).toDF("id", "v"), path,
+      statsCols = Seq("id"))                                          // v2
+    ManifestTable.write(Seq((9L, "oops")).toDF("id", "v"), path)      // v3 (bad)
+    val rv = ManifestTable.restore(spark, path, 2L)                   // v4
+    assert(rv === 4L)
+    assert(ManifestTable.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // metadata-only: restore re-references v2's files verbatim
+    assert(ManifestTable.manifestFiles(spark, path, 4).toSet ===
+      ManifestTable.manifestFiles(spark, path, 2).toSet)
+    // history preserved: the bad v3 still reads
+    assert(ManifestTable.readVersion(spark, path, 3).count() === 1)
+    // the change feed replays the restore as delete(oops)+insert(1,2,3)
+    val ch = ManifestTable.changesForVersion(spark, path, 4)
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(ch === Set((9L, "delete"), (1L, "insert"), (2L, "insert"),
+      (3L, "insert")))
+    // carried stats still prune on the restored state
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id", 3.0, 3.0)
+    assert(cand < total)
+    // beyond the vacuum horizon the restore fails loudly
+    ManifestTable.write(Seq((10L, "c")).toDF("id", "v"), path)        // v5
+    ManifestTable.vacuum(spark, path, keep = 1)
+    val err = intercept[IllegalStateException] {
+      ManifestTable.restore(spark, path, 4L)
+    }
+    assert(err.getMessage.contains("vacuum") ||
+      err.getMessage.contains("not resolvable"))
+  }
 }
