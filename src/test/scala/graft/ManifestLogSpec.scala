@@ -450,4 +450,53 @@ class ManifestLogSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuum") ||
       err.getMessage.contains("not resolvable"))
   }
+
+  test("OCC under real thread concurrency: racing appends and merges all land exactly once") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log12").toString + "/t"
+    // base rows the mergers will update, on keys disjoint from appends
+    ManifestTable.write(
+      (0 until 8).map(i => (i.toLong, 0L)).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks: Seq[Runnable] =
+      // 4 appenders × 3 appends of one unique row each (ids 100+)
+      (0 until 4).map { t =>
+        new Runnable {
+          def run(): Unit = try {
+            (0 until 3).foreach { i =>
+              ManifestTable.append(
+                Seq((100L + t * 10 + i, 1L)).toDF("id", "v"), path,
+                maxAttempts = 64)
+            }
+          } catch { case e: Throwable => failures.add(e); () }
+        }
+      } ++
+      // 2 mergers upserting disjoint base keys to distinct values
+      (0 until 2).map { m =>
+        new Runnable {
+          def run(): Unit = try {
+            ManifestTable.merge(
+              (0 until 4).map(i => ((m * 4 + i).toLong, 7L + m))
+                .toDF("id", "v"),
+              path, "id", maxAttempts = 64)
+          } catch { case e: Throwable => failures.add(e); () }
+        }
+      }
+    tasks.foreach(pool.submit)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    // every committed version is contiguous (no lost or skipped commit)
+    val vs = ManifestTable.versions(spark, path)
+    assert(vs === (1L to (1 + 12 + 2)).toSeq,
+      s"expected 15 contiguous versions, got $vs")
+    // final content = serial equivalent: 8 merged base rows + 12 appends
+    val got = ManifestTable.read(spark, path)
+      .as[(Long, Long)].collect().toSet
+    val expect =
+      (0 until 4).map(i => (i.toLong, 7L)).toSet ++
+        (0 until 4).map(i => ((4 + i).toLong, 8L)) ++
+        (for (t <- 0 until 4; i <- 0 until 3) yield (100L + t * 10 + i, 1L))
+    assert(got === expect)
+  }
 }
