@@ -121,6 +121,7 @@ object SparkEntry {
     "constraint_enforce" -> ((s, d) => graft.pipeline.Medallion.constraintEnforceOrders(s, d)),
     "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
     "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
+    "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1468,6 +1469,15 @@ object SparkEntry {
            SELECT * FROM base
            UNION ALL SELECT * FROM upd
            UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the bloom-index point lookup
+    // (Medallion.pointLookupOrders): the customer's orders; the
+    // file-pruning arithmetic is spec-asserted (invisible to a
+    // correctness oracle by design).
+    "point_lookup_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_custkey = 101
          ORDER BY o_orderkey""",
     // Relational recompute of RESTORE (Medallion.tableRestoreOrders):
     // the rollback target's content — the two good loads, none of the

@@ -76,6 +76,11 @@ object ManifestTable {
     * tag map, and the live deletion-vector sidecars. Immutable once the
     * version is committed — which is what makes the LRU cache sound.
     */
+  /** File-level bloom index configuration: indexed columns, expected
+    * items per data file, and the false-positive rate.
+    */
+  final case class BloomSpec(cols: Seq[String], items: Long, fpp: Double)
+
   final case class TableState(version: Long, ts: Long,
                               files: Seq[String],
                               stats: Map[String, Map[String, ColStats]],
@@ -83,7 +88,9 @@ object ManifestTable {
                               tags: Map[String, Long],
                               dvFiles: Seq[String],
                               dvKey: Option[String],
-                              constraints: Map[String, String] = Map.empty)
+                              constraints: Map[String, String] = Map.empty,
+                              bloom: Option[BloomSpec] = None,
+                              bloomFiles: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -226,8 +233,14 @@ object ManifestTable {
       strArr(n, "files"), parseStatsNode(n.get("stats")), parseSchema(n),
       tags, strArr(n, "dvFiles"),
       Option(n.get("dvKey")).map(_.asText()),
-      strMap(n, "constraints"))
+      strMap(n, "constraints"),
+      parseBloomSpec(n), strArr(n, "bloomFiles"))
   }
+
+  private def parseBloomSpec(n: JsonNode): Option[BloomSpec] =
+    if (!n.has("bloomCols")) None
+    else Some(BloomSpec(strArr(n, "bloomCols"),
+      n.get("bloomItems").asLong(), n.get("bloomFpp").asDouble()))
 
   /** Parse a {name: string} object field into a Map (empty if absent). */
   private def strMap(n: JsonNode, field: String): Map[String, String] =
@@ -261,7 +274,10 @@ object ManifestTable {
       prev.dvFiles.filterNot(dvRemoves) ++ strArr(n, "dvAdds"),
       Option(n.get("dvKey")).map(_.asText()).orElse(prev.dvKey),
       prev.constraints -- strArr(n, "constraintRemoves")
-        ++ strMap(n, "constraintAdds"))
+        ++ strMap(n, "constraintAdds"),
+      parseBloomSpec(n).orElse(prev.bloom),
+      prev.bloomFiles.filterNot(strArr(n, "bloomRemoves").toSet)
+        ++ strArr(n, "bloomAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -684,7 +700,10 @@ object ManifestTable {
                         dvKey: Option[String] = None,
                         mergeKey: Option[String] = None,
                         constraintAdds: Map[String, String] = Map.empty,
-                        constraintRemoves: Seq[String] = Nil): String = {
+                        constraintRemoves: Seq[String] = Nil,
+                        bloomAdds: Seq[String] = Nil,
+                        bloomRemoves: Seq[String] = Nil,
+                        bloomSpec: Option[BloomSpec] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -708,6 +727,17 @@ object ManifestTable {
     if (constraintRemoves.nonEmpty) {
       val c = root.putArray("constraintRemoves"); constraintRemoves.foreach(c.add)
     }
+    if (bloomAdds.nonEmpty) {
+      val a = root.putArray("bloomAdds"); bloomAdds.foreach(a.add)
+    }
+    if (bloomRemoves.nonEmpty) {
+      val a = root.putArray("bloomRemoves"); bloomRemoves.foreach(a.add)
+    }
+    bloomSpec.foreach { bs =>
+      val a = root.putArray("bloomCols"); bs.cols.foreach(a.add)
+      root.put("bloomItems", bs.items)
+      root.put("bloomFpp", bs.fpp)
+    }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -728,6 +758,14 @@ object ManifestTable {
     if (st.constraints.nonEmpty) {
       val c = root.putObject("constraints")
       st.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+    }
+    st.bloom.foreach { bs =>
+      val a = root.putArray("bloomCols"); bs.cols.foreach(a.add)
+      root.put("bloomItems", bs.items)
+      root.put("bloomFpp", bs.fpp)
+    }
+    if (st.bloomFiles.nonEmpty) {
+      val a = root.putArray("bloomFiles"); st.bloomFiles.foreach(a.add)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -912,6 +950,151 @@ object ManifestTable {
       s"constraint commit lost $maxAttempts races at $path — giving up")
   }
 
+  // ------------------------------------------------------------------
+  // File-level bloom index (point-lookup pruning on unclustered keys)
+  // ------------------------------------------------------------------
+
+  /** Declare a FILE-LEVEL BLOOM INDEX on `cols` (the Delta bloom-filter
+    * index design): every subsequent commit condenses each staged data
+    * file's values into a per-file Bloom filter
+    * ([[graft.functions.BloomFileAgg]], one sidecar parquet per
+    * commit), and [[readWhereEquals]] consults the filters to skip
+    * files a point lookup cannot match. This prunes where min/max
+    * stats never can: a uniformly-scattered high-cardinality key (a
+    * customer id on an order-clustered table) is inside EVERY file's
+    * [min,max], but is absent from ~all files' bloom filters.
+    *
+    * Metadata-only commit; works on an EMPTY table (declare the index,
+    * then load). Files committed BEFORE the declaration carry no
+    * filter and are never bloom-pruned ([[compact]] rebuilds them with
+    * filters). `items` is the expected row count per data file — size
+    * it like `maxPartitionBytes`/row-width; the filter is ~1.2 bytes ×
+    * items at fpp 1%. Integral and string columns only.
+    */
+  def setBloomIndex(spark: SparkSession, path: String, cols: Seq[String],
+                    items: Long = 1L << 20, fpp: Double = 0.01,
+                    maxAttempts: Int = 3): Long = {
+    require(cols.nonEmpty, "need at least one bloom column")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        bloomSpec = Some(BloomSpec(cols, items, fpp)))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"bloom-index commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Build the per-file bloom sidecar for this commit's staged files:
+    * ONE distributed pass over the new data (group by file, one filter
+    * per (file, column)), written as a single small parquet under
+    * `bloom-<version>-<token>/`. Returns the sidecar's table-relative
+    * file refs. O(new data) — the cost of building any index; carried
+    * files keep their existing filters.
+    */
+  private def buildBloomSidecar(spark: SparkSession, path: String,
+                                staged: Seq[Path], spec: BloomSpec,
+                                version: Long, token: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, split}
+    if (staged.isEmpty) return Nil
+    val df = spark.read.parquet(staged.map(_.toString): _*)
+    val present = spec.cols.filter(df.columns.contains)
+    if (present.isEmpty) return Nil
+    val perCol = present.map { c =>
+      df.select(
+          element_at(split(input_file_name(), "/"), -1).as("_graft_bloom_file"),
+          col(c))
+        .groupBy("_graft_bloom_file")
+        .agg(graft.functions.BloomFileAgg.bloom(spark, col(c), spec.items,
+          spec.fpp).as("_graft_bloom_bits"))
+        .withColumn("_graft_bloom_col", lit(c))
+        .select("_graft_bloom_file", "_graft_bloom_col", "_graft_bloom_bits")
+    }
+    val bloomDir = s"$path/bloom-$version-$token"
+    perCol.reduce(_ unionByName _).coalesce(1)
+      .write.mode("overwrite").parquet(bloomDir)
+    listDataFiles(fs(spark, path), new Path(bloomDir))
+      .map(p => relativize(new Path(path), p))
+  }
+
+  /** Point lookup `column = value` with EVERY metadata prune applied
+    * before data is read: per-file min/max stats (equality is the
+    * degenerate range) and then the bloom index — a file is scanned
+    * only if its filter says "maybe". Files with no filter (committed
+    * before [[setBloomIndex]]) are conservatively kept. Returns the
+    * filtered rows; [[pointLookupCount]] exposes the prune arithmetic
+    * for specs and capacity math.
+    *
+    * Probe cost: the sidecars (KBs–MBs per commit) are read and tested
+    * on the driver — right for the interactive needle-in-haystack
+    * lookup this exists for. A high-QPS serving path would instead
+    * broadcast-join probes against the sidecar table distributively;
+    * the sidecar layout (file, col, bits) is already that table.
+    */
+  def readWhereEquals(spark: SparkSession, path: String, column: String,
+                      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (candidates, st) = pointLookupCandidates(spark, path, column, value)
+    readStateDf(spark, path, st.copy(files = candidates))
+      .filter(col(column) === lit(value))
+  }
+
+  /** (candidate files after stats+bloom pruning, total files). */
+  def pointLookupCount(spark: SparkSession, path: String, column: String,
+                       value: Any): (Int, Int) = {
+    val (candidates, st) = pointLookupCandidates(spark, path, column, value)
+    (candidates.size, st.files.size)
+  }
+
+  private def pointLookupCandidates(spark: SparkSession, path: String,
+                                    column: String,
+                                    value: Any): (Seq[String], TableState) = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    // 1) stats prune — equality as the degenerate range [v, v];
+    // prunableColumn gates decimal/string/date soundness hazards
+    val afterStats = value match {
+      case n: Number => pruneFilesByRange(st, column,
+        prunableColumn(st, column), n.doubleValue(), n.doubleValue())
+      case _ => st.files
+    }
+    // 2) bloom prune — only files that HAVE a filter can be excluded
+    val afterBloom = st.bloom.filter(_.cols.contains(column)) match {
+      case Some(_) if st.bloomFiles.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        val entries = spark.read
+          .parquet(st.bloomFiles.map(resolveRef(path, _)): _*)
+          .filter(col("_graft_bloom_col") === column)
+          .select("_graft_bloom_file", "_graft_bloom_bits")
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        afterStats.filter { f =>
+          entries.get(f.split("/").last) match {
+            case Some(bits) =>
+              graft.functions.BloomFileAgg.mightContain(bits, value)
+            case None => true // pre-index file: cannot prune
+          }
+        }
+      case _ => afterStats
+    }
+    (afterBloom, st)
+  }
+
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
@@ -975,8 +1158,18 @@ object ManifestTable {
         else prevState.map(_.files).getOrElse(Nil)
       val dvRemoves = if (carryForward) Nil
         else prevState.map(_.dvFiles).getOrElse(Nil)
+      // bloom index: one pass over the STAGED files builds their
+      // filters; an overwrite retires every previous sidecar
+      val bloomAdds = prevState.flatMap(_.bloom) match {
+        case Some(spec) => buildBloomSidecar(spark, path, staged, spec,
+          version, token)
+        case None => Nil
+      }
+      val bloomRemoves = if (carryForward) Nil
+        else prevState.map(_.bloomFiles).getOrElse(Nil)
       val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
-        newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves)
+        newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
+        bloomAdds = bloomAdds, bloomRemoves = bloomRemoves)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -988,6 +1181,8 @@ object ManifestTable {
       // lost the race — drop this attempt's staging, re-stage on next N
       f.delete(tmp, false)
       f.delete(new Path(snapDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1210,10 +1405,17 @@ object ManifestTable {
       if (statsCols.isEmpty) Map.empty
       else staged.map(p => relativize(new Path(path), p) ->
         footerStats(spark, p, statsCols)).toMap
+    // bloom index: rewritten files get fresh filters (stale entries for
+    // the removed files are dead weight until compact retires them)
+    val bloomAdds = st.bloom match {
+      case Some(spec) => buildBloomSidecar(spark, path, staged, spec,
+        version, token)
+      case None => Nil
+    }
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
       dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(key) else None,
-      mergeKey = Some(key))
+      mergeKey = Some(key), bloomAdds = bloomAdds)
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -1225,6 +1427,8 @@ object ManifestTable {
       f.delete(tmp, false)
       f.delete(new Path(snapDir), true)
       if (dvAdds.nonEmpty) f.delete(new Path(dvDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
       None
     }
   }
@@ -1376,7 +1580,8 @@ object ManifestTable {
       st.stats.map { case (k, v) => abs(k) -> v },
       None, DefaultTagHorizon, st.schema,
       dvAdds = st.dvFiles.map(abs), dvKey = st.dvKey,
-      constraintAdds = st.constraints)
+      constraintAdds = st.constraints,
+      bloomAdds = st.bloomFiles.map(abs), bloomSpec = st.bloom)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -1424,7 +1629,9 @@ object ManifestTable {
         addStats, None, DefaultTagHorizon, target.schema,
         dvAdds = target.dvFiles.filterNot(cur.dvFiles.toSet),
         dvRemoves = cur.dvFiles.filterNot(target.dvFiles.toSet),
-        dvKey = target.dvKey)
+        dvKey = target.dvKey,
+        bloomAdds = target.bloomFiles.filterNot(cur.bloomFiles.toSet),
+        bloomRemoves = cur.bloomFiles.filterNot(target.bloomFiles.toSet))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1657,7 +1864,7 @@ object ManifestTable {
     val keptStates = kept.map(v => resolveState(spark, path, v))
     keptStates.headOption.foreach(writeCheckpoint(spark, path, _))
     val liveDirs: Set[String] =
-      keptStates.flatMap(st => st.files ++ st.dvFiles)
+      keptStates.flatMap(st => st.files ++ st.dvFiles ++ st.bloomFiles)
         .map(_.split("/").head).toSet
     drop.foreach { v =>
       f.delete(manifestPath(path, v), false)

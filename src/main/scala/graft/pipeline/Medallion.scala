@@ -749,6 +749,37 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared BLOOM-INDEX point-lookup query (the Delta bloom-filter
+    * index design): the orders table is committed CLUSTERED BY
+    * `o_orderkey` with a file-level bloom index declared on
+    * `o_custkey` — a uniformly-scattered key that every file's
+    * [min,max] contains, so min/max stats can never prune a customer
+    * lookup. [[ManifestTable.readWhereEquals]] consults the per-file
+    * filters (built in one pass over each commit's staged files) and
+    * scans only the files that might hold the customer. The oracle
+    * recomputes the lookup relationally; the PRUNING arithmetic
+    * (candidates ≪ files for present values, ~zero for absent) is
+    * spec-asserted — invisible to a correctness oracle by design.
+    *
+    * Scale shape: a needle-in-haystack customer lookup on a 100 TB
+    * order-clustered table reads the sidecar filters (MBs) plus the
+    * ~handful of files whose blooms say "maybe", instead of every
+    * file. This is the index class for point access on unclustered
+    * high-cardinality keys; clustered keys already have min/max.
+    */
+  def pointLookupOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_bloom_", sfDir) + "/orders_bloom"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.setBloomIndex(spark, path, Seq("o_custkey"),
+      items = 1L << 17, fpp = 0.01)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.readWhereEquals(spark, path, "o_custkey", 101L)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

@@ -451,6 +451,61 @@ class ManifestLogSpec extends SparkSpec {
       err.getMessage.contains("not resolvable"))
   }
 
+  test("bloom file index: prunes point lookups where min/max can't; pre-index files conservative; merge/compact rebuild filters") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log13").toString + "/t"
+    // clustered by id; looked up by a SCATTERED key every file's
+    // [min,max] contains — the case stats pruning cannot touch
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("cust", (col("id") * 2654435761L) % 997)
+    // declare the index on the empty table, then load
+    ManifestTable.setBloomIndex(spark, path, Seq("cust"), items = 4096,
+      fpp = 0.01)
+    ManifestTable.write(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val expect123 = df.filter(col("cust") === 123).count()
+    val (cand, total) = ManifestTable.pointLookupCount(spark, path, "cust", 123L)
+    assert(total === 8)
+    assert(cand < total, "bloom must prune files for a present value " +
+      s"(~4 of 4000 rows match): $cand of $total")
+    assert(ManifestTable.readWhereEquals(spark, path, "cust", 123L)
+      .count() === expect123)
+    // absent value: nearly every filter says no (deterministic — same
+    // data, same hash seeds)
+    val (candAbsent, _) = ManifestTable.pointLookupCount(spark, path,
+      "cust", 99999L)
+    assert(candAbsent <= 2, s"absent value kept $candAbsent of 8 files")
+    assert(ManifestTable.readWhereEquals(spark, path, "cust", 99999L)
+      .count() === 0)
+    // a merge rewrites one file -> its filter rebuilds and finds the row
+    ManifestTable.merge(Seq((5L, 99999L)).toDF("id", "cust"), path, "id",
+      statsCols = Seq("id"))
+    val found = ManifestTable.readWhereEquals(spark, path, "cust", 99999L)
+      .select("id").as[Long].collect().toSeq
+    assert(found === Seq(5L))
+    // files committed BEFORE the index carry no filter and are never
+    // pruned; compact rebuilds everything with filters
+    val p2 = java.nio.file.Files.createTempDirectory("graft_log13b").toString + "/t"
+    ManifestTable.write(df.coalesce(2), p2)
+    ManifestTable.setBloomIndex(spark, p2, Seq("cust"), items = 4096,
+      fpp = 0.01)
+    ManifestTable.append(
+      spark.range(10000, 11000).toDF("id")
+        .withColumn("cust", lit(500000L) + col("id")).coalesce(1), p2)
+    // value living only in the PRE-INDEX files is still found
+    assert(ManifestTable.readWhereEquals(spark, p2, "cust", 123L)
+      .count() === expect123)
+    val (c2, t2) = ManifestTable.pointLookupCount(spark, p2, "cust", 99999L)
+    assert(t2 === 3 && c2 >= 2,
+      s"pre-index files must be kept conservatively: $c2 of $t2")
+    ManifestTable.compact(spark, p2, targetFiles = 2)
+    val (c3, t3) = ManifestTable.pointLookupCount(spark, p2, "cust", 99999L)
+    assert(t3 === 2 && c3 === 0,
+      s"after compact every file has a filter: $c3 of $t3")
+    assert(ManifestTable.readWhereEquals(spark, p2, "cust", 123L)
+      .count() === expect123)
+  }
+
   test("OCC under real thread concurrency: racing appends and merges all land exactly once") {
     val path = java.nio.file.Files.createTempDirectory("graft_log12").toString + "/t"
     // base rows the mergers will update, on keys disjoint from appends
