@@ -122,6 +122,7 @@ object SparkEntry {
     "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
     "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
     "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
+    "zorder_optimize"    -> ((s, d) => graft.pipeline.Medallion.zorderOptimizeOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1478,6 +1479,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders WHERE o_custkey = 101
+         ORDER BY o_orderkey""",
+    // Relational recompute of the OPTIMIZE-ZORDER 2-D range read
+    // (Medallion.zorderOptimizeOrders): content is layout-invariant;
+    // the file-prune improvement is spec-asserted (invisible to a
+    // correctness oracle by design).
+    "zorder_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate
+         FROM orders
+         WHERE o_custkey BETWEEN 1 AND 150
+           AND o_orderkey BETWEEN 1 AND 20000
          ORDER BY o_orderkey""",
     // Relational recompute of RESTORE (Medallion.tableRestoreOrders):
     // the rollback target's content — the two good loads, none of the

@@ -144,6 +144,48 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.schema.fieldNames.toSet === Set("id", "v"))
   }
 
+  test("optimizeZOrder makes file stats prune on BOTH dimensions; content and history survive") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mtz").toString + "/t"
+    // y is a bijective scramble of id: clustered-by-id files each span
+    // the FULL y domain, so a y-range read can prune nothing
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("y", pmod(col("id") * 2654435761L, lit(4096)))
+    ManifestTable.write(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id", "y"))
+    assert(ManifestTable.pruneCount(spark, path, "id", 0, 511)._1 <= 2)
+    assert(ManifestTable.pruneCount(spark, path, "y", 0, 511) === ((8, 8)),
+      "pre-optimize layout must not prune on the scattered dimension")
+
+    // 64 files = the top 6 Z bits = 3 significant bits PER dimension:
+    // each file's [min,max] covers ~1/8th of both domains
+    val v2 = ManifestTable.optimizeZOrder(spark, path, "y", "id",
+      targetFiles = 64)
+    assert(v2 === 2L)
+
+    // an eighth-of-domain range read now skips most files on BOTH axes
+    val (keptY, totY) = ManifestTable.pruneCount(spark, path, "y", 0, 511)
+    val (keptId, totId) = ManifestTable.pruneCount(spark, path, "id", 0, 511)
+    assert(totY === 64 && totId === 64)
+    assert(keptY <= 14, s"y-range read should touch <=14 of 64 z-ordered files, kept $keptY")
+    assert(keptId <= 14, s"id-range read should touch <=14 of 64 z-ordered files, kept $keptId")
+
+    // the rewrite is content-identical and the old layout time-travels
+    val before = ManifestTable.readVersion(spark, path, 1)
+      .as[(Long, Long)].collect().toSet
+    val after = ManifestTable.read(spark, path).as[(Long, Long)].collect().toSet
+    assert(after === before && after.size === 4096)
+
+    // pruned read ≡ full-scan filter on the 2-D range
+    val pruned = ManifestTable.readNumericRange(spark, path, "y", 0, 511)
+      .filter(col("y").between(0, 511) && col("id").between(0, 2047))
+      .as[(Long, Long)].collect().toSet
+    val full = ManifestTable.read(spark, path)
+      .filter(col("y").between(0, 511) && col("id").between(0, 2047))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned === full)
+  }
+
   test("diff between versions yields the insert/delete change feed") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
