@@ -123,6 +123,7 @@ object SparkEntry {
     "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
     "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
     "zorder_optimize"    -> ((s, d) => graft.pipeline.Medallion.zorderOptimizeOrders(s, d)),
+    "column_mapping"     -> ((s, d) => graft.pipeline.Medallion.columnMappingOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1490,6 +1491,19 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey BETWEEN 1 AND 150
            AND o_orderkey BETWEEN 1 AND 20000
+         ORDER BY o_orderkey""",
+    // Relational recompute of the column-mapping lifecycle
+    // (Medallion.columnMappingOrders): loads 1-2 predate the
+    // drop+re-add of o_custkey, so they surface NULL; load 3 carries
+    // it. The rename (o_totalprice -> price) is pure metadata — the
+    // identical-file-bytes contract is spec-asserted.
+    "column_mapping" ->
+      """SELECT o_orderkey, o_totalprice AS price,
+                CAST(NULL AS BIGINT) AS o_custkey
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         UNION ALL
+         SELECT o_orderkey, o_totalprice AS price, o_custkey
+         FROM orders WHERE o_orderkey % 3 = 2
          ORDER BY o_orderkey""",
     // Relational recompute of RESTORE (Medallion.tableRestoreOrders):
     // the rollback target's content — the two good loads, none of the

@@ -90,7 +90,25 @@ object ManifestTable {
                               dvKey: Option[String],
                               constraints: Map[String, String] = Map.empty,
                               bloom: Option[BloomSpec] = None,
-                              bloomFiles: Seq[String] = Nil)
+                              bloomFiles: Seq[String] = Nil,
+                              mapping: Map[String, String] = Map.empty,
+                              maxColId: Long = 0L) {
+    /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
+      * ran — from then on `schema` holds LOGICAL names, data files /
+      * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
+      * fresh physical names so a dropped-then-re-added logical name can
+      * never resurrect old file data. Unmapped tables have physical ≡
+      * logical and serialize byte-identically to before.
+      */
+    def mapped: Boolean = maxColId > 0 || mapping.nonEmpty
+    /** Physical column name of a logical name (identity when unmapped
+      * or for columns that existed when mapping was enabled). */
+    def phys(logical: String): String = mapping.getOrElse(logical, logical)
+    /** Logical name a physical column currently reads as. */
+    def logical(physical: String): String =
+      mapping.collectFirst { case (l, p) if p == physical => l }
+        .getOrElse(physical)
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -234,7 +252,9 @@ object ManifestTable {
       tags, strArr(n, "dvFiles"),
       Option(n.get("dvKey")).map(_.asText()),
       strMap(n, "constraints"),
-      parseBloomSpec(n), strArr(n, "bloomFiles"))
+      parseBloomSpec(n), strArr(n, "bloomFiles"),
+      strMap(n, "mapping"),
+      Option(n.get("maxColId")).map(_.asLong()).getOrElse(0L))
   }
 
   private def parseBloomSpec(n: JsonNode): Option[BloomSpec] =
@@ -277,7 +297,11 @@ object ManifestTable {
         ++ strMap(n, "constraintAdds"),
       parseBloomSpec(n).orElse(prev.bloom),
       prev.bloomFiles.filterNot(strArr(n, "bloomRemoves").toSet)
-        ++ strArr(n, "bloomAdds"))
+        ++ strArr(n, "bloomAdds"),
+      // a delta carries the FULL mapping when it changes it (O(columns),
+      // tiny); absent = inherit
+      if (n.has("mapping")) strMap(n, "mapping") else prev.mapping,
+      Option(n.get("maxColId")).map(_.asLong()).getOrElse(prev.maxColId))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -422,6 +446,28 @@ object ManifestTable {
     }
   }
 
+  /** Mapping-aware file scan: on a column-mapped table the files hold
+    * PHYSICAL names, so the scan applies the physical schema and then
+    * projects every field back to its logical name — one `select` on
+    * top of the plan, constant-folded into the scan by Catalyst (column
+    * pruning and filter pushdown still reach parquet under the physical
+    * names). Unmapped tables pass straight through.
+    */
+  private def readFilesMapped(spark: SparkSession, path: String,
+                              st: TableState,
+                              files: Seq[String]): DataFrame =
+    if (!st.mapped) readFilesOf(spark, path, st.schema, files)
+    else {
+      import org.apache.spark.sql.functions.col
+      val logical = st.schema.getOrElse(throw new IllegalStateException(
+        s"column-mapped table $path has no committed schema"))
+      val physSchema = StructType(
+        logical.fields.map(f => f.copy(name = st.phys(f.name))))
+      readFilesOf(spark, path, Some(physSchema), files)
+        .select(logical.fields.map(f =>
+          col(st.phys(f.name)).as(f.name)).toSeq: _*)
+    }
+
   /** State-aware read: the resolved file list, with the live deletion
     * vectors anti-joined away. DV match is (file basename, key) — part
     * file basenames carry a writer UUID, so they identify a physical
@@ -432,7 +478,7 @@ object ManifestTable {
   private def readStateDf(spark: SparkSession, path: String,
                           st: TableState): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
-    val base = readFilesOf(spark, path, st.schema, st.files)
+    val base = readFilesMapped(spark, path, st, st.files)
     if (st.dvFiles.isEmpty) base
     else {
       val dv = spark.read.parquet(st.dvFiles.map(resolveRef(path, _)): _*)
@@ -440,9 +486,11 @@ object ManifestTable {
       // BEFORE the join (a join condition must be deterministic)
       val withF = base.withColumn("_graft_dv_f",
         element_at(split(input_file_name(), "/"), -1))
+      // dvKey is recorded PHYSICAL (rename-safe); the base frame is
+      // logical, so join under the key's current logical name
       withF.join(broadcast(dv),
         withF("_graft_dv_f") === dv("_graft_dv_file")
-          && withF(st.dvKey.get) === dv("_graft_dv_key"),
+          && withF(st.logical(st.dvKey.get)) === dv("_graft_dv_key"),
         "left_anti")
         .drop("_graft_dv_f")
     }
@@ -510,14 +558,17 @@ object ManifestTable {
                                 lo: Double, hi: Double): Seq[String] = {
     if (!prunableType) st.files
     else {
-      val isPart = partitionColsOf(st.files).contains(column)
+      // stats (and partition dirs) carry PHYSICAL names; `column` is
+      // logical — identity on unmapped tables
+      val physCol = st.phys(column)
+      val isPart = partitionColsOf(st.files).contains(physCol)
       st.files.filter { file =>
         val pOk = if (!isPart) true
-        else partitionValuesOf(file).get(column) match {
+        else partitionValuesOf(file).get(physCol) match {
           case Some(v) => v.toDoubleOption.forall(d => d >= lo && d <= hi)
           case None    => true
         }
-        val sOk = st.stats.get(file).flatMap(_.get(column)) match {
+        val sOk = st.stats.get(file).flatMap(_.get(physCol)) match {
           case Some(s) if s.complete && s.typ != "string" =>
             s.max.toString.toDouble >= lo && s.min.toString.toDouble <= hi
           case _ => true
@@ -703,7 +754,9 @@ object ManifestTable {
                         constraintRemoves: Seq[String] = Nil,
                         bloomAdds: Seq[String] = Nil,
                         bloomRemoves: Seq[String] = Nil,
-                        bloomSpec: Option[BloomSpec] = None): String = {
+                        bloomSpec: Option[BloomSpec] = None,
+                        mapping: Option[Map[String, String]] = None,
+                        maxColId: Option[Long] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -738,6 +791,11 @@ object ManifestTable {
       root.put("bloomItems", bs.items)
       root.put("bloomFpp", bs.fpp)
     }
+    mapping.foreach { m =>
+      val o = root.putObject("mapping")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    }
+    maxColId.foreach(root.put("maxColId", _))
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -766,6 +824,11 @@ object ManifestTable {
     }
     if (st.bloomFiles.nonEmpty) {
       val a = root.putArray("bloomFiles"); st.bloomFiles.foreach(a.add)
+    }
+    if (st.mapped) {
+      val o = root.putObject("mapping")
+      st.mapping.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      root.put("maxColId", st.maxColId)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -951,6 +1014,150 @@ object ManifestTable {
   }
 
   // ------------------------------------------------------------------
+  // Column mapping (metadata-only RENAME / DROP COLUMN)
+  // ------------------------------------------------------------------
+
+  /** The live logical→physical column map (empty = identity). Columns
+    * that existed before mapping was enabled keep identity physicals
+    * and are omitted.
+    */
+  def columnMapping(spark: SparkSession, path: String): Map[String, String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    resolveState(spark, path, v).mapping
+  }
+
+  /** First live CHECK constraint whose expression references `column`
+    * as a word — conservative (a quoted string literal containing the
+    * name also blocks), which errs on refusing a rename, never on
+    * corrupting a constraint.
+    */
+  private def constraintReferencing(st: TableState,
+                                    column: String): Option[String] = {
+    val re = ("(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(column) + "(?![A-Za-z0-9_])").r
+    st.constraints.collectFirst {
+      case (n, sql) if re.findFirstIn(sql).isDefined => n }
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+    * rename, Delta paper §4.2's schema-evolution surface): no data file
+    * is touched — the column keeps its PHYSICAL name in every existing
+    * and future file, and the log's logical schema plus the
+    * logical→physical map change in one O(columns) commit. Reads,
+    * stats/bloom pruning, merges, DV anti-joins and the change feed all
+    * resolve through the map; time travel before the rename shows the
+    * old name. On a 100 TB table this is the difference between a
+    * catalog edit and a full rewrite.
+    *
+    * Refused when a CHECK constraint references the column (drop the
+    * constraint first — Delta's rule) and on partitioned layouts
+    * (mapped tables are flat-only; partition directories encode
+    * physical names in paths).
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+                   to: String, maxAttempts: Int = 3): Long = {
+    require(from != to, s"rename '$from' -> '$to' is a no-op")
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"table $path has no committed schema — cannot rename"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' at $path (live: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"column '$to' already exists at $path")
+      require(partitionColsOf(st.files).isEmpty,
+        s"cannot rename on partitioned version $prevV of $path — " +
+          "column mapping is flat-layout only (compact first)")
+      constraintReferencing(st, from).foreach(c => throw new
+        IllegalArgumentException(
+          s"cannot rename '$from' at $path: CHECK constraint '$c' " +
+            s"references it (${st.constraints(c)}) — drop it first"))
+      val newSchema = StructType(schema.fields.map(fd =>
+        if (fd.name == from) fd.copy(name = to) else fd))
+      val newMapping = ((st.mapping - from) + (to -> st.phys(from)))
+        .filterNot { case (l, p) => l == p }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, Some(newSchema),
+        mapping = Some(newMapping),
+        maxColId = Some(math.max(st.maxColId, 1L)))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"rename commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: existing files keep the
+    * physical column (dead bytes until a [[compact]] rewrite folds it
+    * away); reads stop projecting it immediately. A later append
+    * re-introducing the same logical name gets a FRESH physical name,
+    * so the old data never resurrects — old rows read NULL for the
+    * re-added column, exactly Delta's column-mapping drop semantics.
+    *
+    * Refused when a CHECK constraint references the column, when the
+    * column is the live deletion-vector key (compact the DVs away
+    * first), and on partitioned layouts.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"table $path has no committed schema — cannot drop"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' at $path (live: ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length >= 2,
+        s"cannot drop the only column of $path")
+      require(partitionColsOf(st.files).isEmpty,
+        s"cannot drop on partitioned version $prevV of $path — " +
+          "column mapping is flat-layout only (compact first)")
+      require(!(st.dvFiles.nonEmpty && st.dvKey.contains(st.phys(name))),
+        s"cannot drop '$name' at $path: live deletion vectors key on it " +
+          "— compact the DVs away first")
+      constraintReferencing(st, name).foreach(c => throw new
+        IllegalArgumentException(
+          s"cannot drop '$name' at $path: CHECK constraint '$c' " +
+            s"references it (${st.constraints(c)}) — drop it first"))
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, Some(newSchema),
+        mapping = Some(st.mapping - name),
+        maxColId = Some(math.max(st.maxColId, 1L)))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"drop-column commit lost $maxAttempts races at $path — giving up")
+  }
+
+  // ------------------------------------------------------------------
   // File-level bloom index (point-lookup pruning on unclustered keys)
   // ------------------------------------------------------------------
 
@@ -980,10 +1187,15 @@ object ManifestTable {
     var attempt = 0
     while (attempt < maxAttempts) {
       val prevV = currentVersion(spark, path).getOrElse(0L)
+      // the spec stores PHYSICAL names (rename-safe); identity on
+      // unmapped or empty tables
+      val physCols =
+        if (prevV == 0L) cols
+        else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
       val version = prevV + 1L
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
-        bloomSpec = Some(BloomSpec(cols, items, fpp)))
+        bloomSpec = Some(BloomSpec(physCols, items, fpp)))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1073,13 +1285,14 @@ object ManifestTable {
         prunableColumn(st, column), n.doubleValue(), n.doubleValue())
       case _ => st.files
     }
-    // 2) bloom prune — only files that HAVE a filter can be excluded
-    val afterBloom = st.bloom.filter(_.cols.contains(column)) match {
+    // 2) bloom prune — only files that HAVE a filter can be excluded;
+    // the spec and sidecars carry PHYSICAL column names
+    val afterBloom = st.bloom.filter(_.cols.contains(st.phys(column))) match {
       case Some(_) if st.bloomFiles.nonEmpty =>
         import org.apache.spark.sql.functions.col
         val entries = spark.read
           .parquet(st.bloomFiles.map(resolveRef(path, _)): _*)
-          .filter(col("_graft_bloom_col") === column)
+          .filter(col("_graft_bloom_col") === st.phys(column))
           .select("_graft_bloom_file", "_graft_bloom_bits")
           .collect()
           .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
@@ -1127,13 +1340,44 @@ object ManifestTable {
           prevState.flatMap(_.schema).map(evolve(_, df.schema))
             .getOrElse(df.schema)
         else df.schema
+      // column mapping: files hold PHYSICAL names. Retained logicals
+      // keep their physical; a logical name NEW to the table gets a
+      // FRESH physical from the monotone counter, so a column dropped
+      // and later re-added can never resurrect old file data.
+      val prevMapped = prevState.exists(_.mapped)
+      require(!prevMapped || partitionCols.isEmpty,
+        s"column-mapped table $path is flat-layout only (no partitionBy)")
+      val (newMapping, newMaxColId) =
+        if (!prevMapped) (Map.empty[String, String], 0L)
+        else {
+          val ps = prevState.get
+          val prevLogical = ps.schema.map(_.fieldNames.toSet)
+            .getOrElse(Set.empty[String])
+          val keep =
+            if (carryForward) ps.mapping
+            else ps.mapping.filter { case (l, _) =>
+              df.schema.fieldNames.contains(l) }
+          var id = ps.maxColId
+          val fresh = df.schema.fieldNames.filterNot(prevLogical).map { n =>
+            id += 1; n -> s"col-$id" }
+          (keep ++ fresh, id)
+        }
+      val statsColsPhys =
+        if (!prevMapped) statsCols
+        else statsCols.map(c => newMapping.getOrElse(c, c))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
       // CHECK constraints enforce inside the staging pass: a violating
       // row fails the write job, no manifest lands, readers see nothing
       val guarded = constraintGuard(df,
         prevState.map(_.constraints).getOrElse(Map.empty))
-      val w = guarded.write.mode("overwrite")
+      // rename logical -> physical as the last step before the write
+      val stagedDf =
+        if (!prevMapped) guarded
+        else guarded.select(guarded.schema.fieldNames.map(n =>
+          org.apache.spark.sql.functions.col(n)
+            .as(newMapping.getOrElse(n, n))).toSeq: _*)
+      val w = stagedDf.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
@@ -1142,14 +1386,14 @@ object ManifestTable {
         // would commit an unreadable version — re-stage unpartitioned:
         // an empty non-partitioned parquet write keeps a schema-bearing
         // file (partition columns become ordinary empty columns).
-        df.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        stagedDf.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
       }
       val adds = staged.map(p => relativize(new Path(path), p))
       val newStats: Map[String, Map[String, ColStats]] =
         if (statsCols.isEmpty) Map.empty
         else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsCols)).toMap
+          footerStats(spark, p, statsColsPhys)).toMap
       // overwrite: every previous file (and deletion vector) leaves the
       // state; append: nothing leaves. Carried stats survive appends by
       // construction — a stats-less streaming append only leaves its
@@ -1169,7 +1413,9 @@ object ManifestTable {
         else prevState.map(_.bloomFiles).getOrElse(Nil)
       val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
-        bloomAdds = bloomAdds, bloomRemoves = bloomRemoves)
+        bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
+        mapping = if (prevMapped) Some(newMapping) else None,
+        maxColId = if (prevMapped) Some(newMaxColId) else None)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1321,7 +1567,7 @@ object ManifestTable {
            smax(when(col("_graft_d"), 1).otherwise(0)).as("_graft_del"))
     val matches: Array[(String, Any, Boolean, Boolean)] =
       if (candidates.isEmpty) Array.empty
-      else readFilesOf(spark, path, st.schema, candidates)
+      else readFilesMapped(spark, path, st, candidates)
         .select(element_at(split(input_file_name(), "/"), -1).as("_graft_f"),
           col(key))
         .join(broadcast(keyFlags), Seq(key), "inner")
@@ -1374,13 +1620,19 @@ object ManifestTable {
         packed.sortWithinPartitions(
           sortCols.map(org.apache.spark.sql.functions.col): _*)
       else packed
-      val w = sorted.write.mode("overwrite")
+      // column-mapped tables stage under PHYSICAL names (identity
+      // otherwise); mapping never changes across a merge
+      val physOut =
+        if (!st.mapped) sorted
+        else sorted.select(sorted.schema.fieldNames.map(n =>
+          org.apache.spark.sql.functions.col(n).as(st.phys(n))).toSeq: _*)
+      val w = physOut.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(snapDir)
       staged = listDataFiles(f, new Path(snapDir))
       if (staged.isEmpty && untouched.isEmpty && dvPairs.isEmpty) {
         // all rows deleted: commit a readable empty version
-        newData.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        physOut.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
       }
     }
@@ -1404,7 +1656,7 @@ object ManifestTable {
     val newStats: Map[String, Map[String, ColStats]] =
       if (statsCols.isEmpty) Map.empty
       else staged.map(p => relativize(new Path(path), p) ->
-        footerStats(spark, p, statsCols)).toMap
+        footerStats(spark, p, statsCols.map(st.phys))).toMap
     // bloom index: rewritten files get fresh filters (stale entries for
     // the removed files are dead weight until compact retires them)
     val bloomAdds = st.bloom match {
@@ -1414,7 +1666,7 @@ object ManifestTable {
     }
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
-      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(key) else None,
+      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(st.phys(key)) else None,
       mergeKey = Some(key), bloomAdds = bloomAdds)
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
@@ -1581,7 +1833,9 @@ object ManifestTable {
       None, DefaultTagHorizon, st.schema,
       dvAdds = st.dvFiles.map(abs), dvKey = st.dvKey,
       constraintAdds = st.constraints,
-      bloomAdds = st.bloomFiles.map(abs), bloomSpec = st.bloom)
+      bloomAdds = st.bloomFiles.map(abs), bloomSpec = st.bloom,
+      mapping = if (st.mapped) Some(st.mapping) else None,
+      maxColId = if (st.mapped) Some(st.maxColId) else None)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -1631,7 +1885,15 @@ object ManifestTable {
         dvRemoves = cur.dvFiles.filterNot(target.dvFiles.toSet),
         dvKey = target.dvKey,
         bloomAdds = target.bloomFiles.filterNot(cur.bloomFiles.toSet),
-        bloomRemoves = cur.bloomFiles.filterNot(target.bloomFiles.toSet))
+        bloomRemoves = cur.bloomFiles.filterNot(target.bloomFiles.toSet),
+        // restore the target's column mapping too (overwrite cur's even
+        // when the target predates mapping); ids stay monotone forever
+        mapping =
+          if (cur.mapped || target.mapped) Some(target.mapping) else None,
+        maxColId =
+          if (cur.mapped || target.mapped)
+            Some(math.max(cur.maxColId, math.max(target.maxColId, 1L)))
+          else None)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1747,7 +2009,7 @@ object ManifestTable {
         element_at(split(input_file_name(), "/"), -1))
     withF.join(broadcast(dvNew),
         withF("_graft_dv_f") === dvNew("_graft_dv_file")
-          && col(keyCol) === dvNew("_graft_dv_key"),
+          && col(prev.logical(keyCol)) === dvNew("_graft_dv_key"),
         "left_semi")
       .drop("_graft_dv_f")
   }
@@ -1816,7 +2078,7 @@ object ManifestTable {
           if (adds.isEmpty)
             readStateDf(spark, path, cur).limit(0)
               .withColumn("_change", lit("insert"))
-          else readFilesOf(spark, path, cur.schema, adds)
+          else readFilesMapped(spark, path, cur, adds)
             .withColumn("_change", lit("insert"))
         } else if (adds.isEmpty && removes.isEmpty && dvAdds.nonEmpty) {
           // sparse DV delete: replay ONLY the rows the new sidecar kills
@@ -1872,7 +2134,7 @@ object ManifestTable {
           if (fresh.isEmpty)
             readStateDf(spark, path, cur).limit(0)
               .withColumn("_change", lit("insert"))
-          else readFilesOf(spark, path, cur.schema, fresh)
+          else readFilesMapped(spark, path, cur, fresh)
             .withColumn("_change", lit("insert"))
         } else diff(spark, path, version - 1, version)
       }

@@ -814,6 +814,40 @@ object Medallion {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared COLUMN-MAPPING query (Delta column-mapping rename/drop):
+    * a three-load orders table whose schema is reshaped METADATA-ONLY
+    * between loads — `o_totalprice` renamed to `price` after load 1
+    * (load 2 appends under the new name; load 1's files are untouched
+    * bytes), then `o_custkey` dropped and RE-ADDED by load 3 (the
+    * re-added column gets a fresh physical name, so loads 1–2 read
+    * NULL — the dropped values never resurrect even though their bytes
+    * still sit in the old files). The oracle recomputes the final
+    * logical surface relationally; the metadata-only-ness (identical
+    * file bytes across rename, fresh-physical on re-add) is
+    * spec-asserted ([[graft.ColumnMappingSpec]]).
+    *
+    * Scale shape: rename/drop on a 100 TB table is one O(columns) log
+    * commit — no rewrite — while every read path (stats prune, bloom,
+    * DV anti-join, merge, feed) resolves through the map.
+    */
+  def columnMappingOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_colmap_", sfDir) + "/orders_cm"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)
+    ManifestTable.renameColumn(spark, path, "o_totalprice", "price")
+    ManifestTable.append(
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("o_totalprice", "price"), path)
+    ManifestTable.dropColumn(spark, path, "o_custkey")
+    ManifestTable.append(
+      orders.filter(col("o_orderkey") % 3 === 2)
+        .withColumnRenamed("o_totalprice", "price"), path)
+    ManifestTable.read(spark, path)
+      .select(col("o_orderkey"), col("price"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.
