@@ -427,12 +427,36 @@ object ManifestTable {
     }
     if (rel.exists(isExternalRef)) {
       // shallow-clone refs point OUTSIDE the table root, so no single
-      // basePath covers them; clones are flat by contract (no k=v
-      // layout), so partition discovery — basePath's only job — is moot
+      // basePath covers them. Flat refs scan directly (partition
+      // discovery — basePath's only job — is moot). Refs with k=v
+      // segments (a clone of a PARTITIONED source) group by their scan
+      // base — the absolute prefix above the first k=v segment, i.e.
+      // the source's snapshot dir — so discovery re-derives the
+      // partition columns per group, exactly as the local multi-root
+      // branch does for native partitioned appends.
+      def baseOf(abs: String): String = {
+        val segs = abs.split("/")
+        val i = segs.indexWhere(_.contains("="))
+        if (i < 0) "" else segs.take(i).mkString("/")
+      }
       val paths = rel.map(resolveRef(path, _))
-      schema match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
-        case None    => spark.read.parquet(paths: _*)
+      if (!paths.exists(p => baseOf(p).nonEmpty)) {
+        schema match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+      } else {
+        val byBase = paths.groupBy(baseOf).toSeq.sortBy(_._1)
+        val unioned = byBase.map { case (base, fl) =>
+          val reader =
+            if (base.isEmpty) spark.read else spark.read.option("basePath", base)
+          schema match {
+            case Some(s) => reader.schema(s).parquet(fl: _*)
+            case None    => reader.parquet(fl: _*)
+          }
+        }.reduce(_ unionByName _)
+        schema.map(s => unioned.select(s.fieldNames.map(org.apache.spark.sql
+          .functions.col).toSeq: _*)).getOrElse(unioned)
       }
     }
     else if (roots.length == 1) scan(s"$path/${roots.head}", rel)
@@ -1810,9 +1834,10 @@ object ManifestTable {
     * Retention contract (same as Delta's): the clone references the
     * source's PHYSICAL files — vacuuming the source below the cloned
     * version dangles the clone. Localize with [[compact]] before
-    * shrinking source retention. Partitioned source versions are
-    * refused (clone refs are flat by contract); compact the source
-    * first.
+    * shrinking source retention. PARTITIONED sources clone too: the
+    * refs keep their k=v path segments and reads re-derive the
+    * partition columns by grouping refs under their snapshot-dir scan
+    * base, so partition-value pruning keeps working on the clone.
     */
   def cloneShallow(spark: SparkSession, src: String, dst: String,
                    version: Option[Long] = None): Long = {
@@ -1822,9 +1847,9 @@ object ManifestTable {
     val srcV = version.getOrElse(currentVersion(spark, src).getOrElse(
       throw new IllegalStateException(s"no committed version at $src to clone")))
     val st = resolveState(spark, src, srcV)
-    require(partitionColsOf(st.files).isEmpty,
-      s"cannot shallow-clone partitioned version $srcV of $src — " +
-        "compact it unpartitioned first")
+    // partitioned sources clone too: the external refs keep their k=v
+    // segments, and the read path re-derives partition columns by
+    // grouping refs under their snapshot-dir scan base
     val srcRoot = new Path(src).toUri.getPath.stripSuffix("/")
     def abs(rel: String): String = resolveRef(srcRoot, rel)
     val json = deltaJson(1L, System.currentTimeMillis(),

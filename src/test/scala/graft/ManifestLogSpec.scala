@@ -417,6 +417,46 @@ class ManifestLogSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone of a PARTITIONED source: partition columns re-derive, partition prune works, merge stays inside its partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_log10p").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    val base = spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("int"))
+      .withColumn("v", col("id") * 10)
+    ManifestTable.write(base, src, partitionCols = Seq("part"))
+    // a second partitioned snapshot via overwrite history (two k=v roots
+    // never arise on one version for partitioned tables — appends are
+    // refused — but the clone must at least handle the single-root case
+    // with mixed partition dirs)
+    ManifestTable.cloneShallow(spark, src, dst)
+    val refs = ManifestTable.manifestFiles(spark, dst, 1)
+    assert(refs.forall(_.startsWith("/")) && refs.forall(_.contains("part=")),
+      s"partitioned refs must keep their k=v segments: $refs")
+    // content identical, partition column re-derived with its value
+    val got = ManifestTable.read(spark, dst)
+    assert(got.schema.fieldNames.toSet === Set("id", "part", "v"))
+    assert(got.count() === 300)
+    assert(got.filter(col("part") === 1).count() === 100)
+    assert(got.filter(col("part") === col("id") % 3).count() === 300)
+    // partition-value prune on the clone: only part=2's files survive
+    val (cand, total) = ManifestTable.pruneCount(spark, dst, "part", 2.0, 2.0)
+    assert(cand < total && cand >= 1,
+      s"partition prune on the clone: $cand of $total")
+    // a keyed merge on the clone rewrites INSIDE the partition layout
+    // and leaves the source untouched
+    val mv = ManifestTable.merge(
+      Seq((6L, 0, -1L)).toDF("id", "part", "v"), dst, "id")
+    val after = ManifestTable.manifestFiles(spark, dst, mv)
+    assert(after.exists(r => !r.startsWith("/") && r.contains("part=")),
+      s"merge rewrite must land in a local partition dir: $after")
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("id") === 6).select("v").head().getLong(0) === -1L)
+    assert(ManifestTable.read(spark, src)
+      .filter(col("id") === 6).select("v").head().getLong(0) === 60L)
+    assert(ManifestTable.read(spark, dst).count() === 300)
+  }
+
   test("restore: metadata-only rollback, history preserved, feed replays it, vacuum horizon enforced") {
     val path = java.nio.file.Files.createTempDirectory("graft_log11").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "a")).toDF("id", "v"), path,
