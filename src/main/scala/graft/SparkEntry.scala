@@ -141,6 +141,7 @@ object SparkEntry {
     "stream_table_feed"  -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeed(s, d)),
     "stream_feed_bounded" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedBounded(s, d)),
     "stream_feed_images" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedImages(s, d)),
+    "feed_gold_images"   -> ((s, d) => graft.streaming.TableFeedSource.feedGoldImagesQuery(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -1357,6 +1358,21 @@ object SparkEntry {
          UNION ALL
          SELECT *, 'delete' AS "_change" FROM (SELECT * FROM g1 EXCEPT ALL SELECT * FROM g2)
          ORDER BY "_change", month""",
+    // Relational recompute of the image-aware gold maintenance
+    // (TableFeedSource.feedGoldImagesQuery): final daily state over the
+    // even-keyed load with %41 prices doubled; the cosmetic
+    // %7-priority merge contributes nothing (and its zero-commit
+    // cancellation is REQUIRED in-query).
+    "feed_gold_images" ->
+      """SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS daily_revenue,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) / COUNT(price) AS avg_order_value
+         FROM (SELECT o_custkey, o_orderdate,
+                 CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice * 2.0
+                      ELSE o_totalprice END AS price
+               FROM orders WHERE o_orderkey % 2 = 0)
+         GROUP BY 1, 2 ORDER BY o_custkey, day""",
     // Relational recompute of the table-as-stream change feed
     // (TableFeedSource.streamTableFeed): the three loads key their
     // commit version by o_orderkey mod 3; the merge at version 4

@@ -354,6 +354,99 @@ object TableFeedSource {
     (merged.get(), skipped.get())
   }
 
+  /** UPDATE-IMAGE-AWARE gold maintenance: the same closed CDC loop as
+    * [[feedGoldDaily]], consuming the feed with `updateImages = true`
+    * so a MERGE's matched keys arrive as update_preimage/postimage
+    * pairs instead of delete+insert — and exploiting them:
+    *
+    *  - per batch, the pre-image and post-image rows aggregate to
+    *    their group states; a multiset `exceptAll` in EACH direction
+    *    cancels every group whose contribution is IDENTICAL on both
+    *    sides (exact decimal/count state — equality is well-defined),
+    *    so an upstream merge that only touched aggregate-IRRELEVANT
+    *    columns contributes nothing;
+    *  - plain inserts/deletes fold as before (changed-group post
+    *    states merge forward, changed-group pre states negate);
+    *  - when the whole delta cancels, the batch commits NOTHING — no
+    *    state version, no tag (safe: a replay recomputes the same
+    *    empty delta). The insert/delete consumer would have negated
+    *    and re-added every touched group and rewritten the state
+    *    table for a net-zero change.
+    *
+    * Scale shape: metadata-churn merges (backfills of descriptive
+    * columns, typo fixes) on a 100 TB fact table stop costing gold
+    * refreshes entirely; only groups whose aggregate inputs actually
+    * changed pay the negate-merge cycle. Returns (merged, skipped,
+    * unchanged-batches).
+    */
+  def feedGoldDailyImages(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String, statePath: String,
+                          checkpointLocation: String = null): (Long, Long, Long) = {
+    import graft.pipeline.Incremental
+    feedMergeableGoldImages(spark, tablePath, statePath, checkpointLocation,
+      "feed-gold-daily-img",
+      Incremental.dailyState, Incremental.negateDailyState,
+      Incremental.mergeDailyState, col("cnt_rows") > 0)
+  }
+
+  private def feedMergeableGoldImages(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, statePath: String, checkpointLocation: String,
+      tagPrefix: String,
+      stateOf: DataFrame => DataFrame,
+      negate: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      live: org.apache.spark.sql.Column): (Long, Long, Long) = {
+    val ckpt =
+      if (checkpointLocation != null) checkpointLocation
+      else statePath.stripSuffix("/") + "_ckpt"
+    val merged = new java.util.concurrent.atomic.AtomicLong(0)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0)
+    val unchanged = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = readStream(spark, tablePath, updateImages = true).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"$tagPrefix-$id"
+          val sp = batch.sparkSession
+          if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
+            skipped.incrementAndGet()
+          else {
+            val pre = stateOf(batch.filter(col("_change") === "update_preimage"))
+            val post = stateOf(batch.filter(col("_change") === "update_postimage"))
+            // groups with identical pre/post contributions cancel HERE —
+            // exceptAll on exact state rows, one tiny aggregate each side
+            val delta = merge(
+              merge(stateOf(batch.filter(col("_change") === "insert")),
+                post.exceptAll(pre)),
+              negate(merge(stateOf(batch.filter(col("_change") === "delete")),
+                pre.exceptAll(post))))
+            if (delta.isEmpty) { unchanged.incrementAndGet(): Unit }
+            else {
+              val state = (ManifestTable.currentVersion(sp, statePath) match {
+                case Some(_) => merge(ManifestTable.read(sp, statePath), delta)
+                case None    => delta
+              }).filter(live)
+              val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
+              val pinned = state.localCheckpoint()
+              try {
+                ManifestTable.write(pinned, statePath, tag = Some(tag))
+                merged.incrementAndGet(): Unit
+              } finally {
+                sp.sparkContext.getPersistentRDDs
+                  .filterNot { case (rid, _) => prevRdds(rid) }
+                  .valuesIterator.foreach(_.unpersist(blocking = false))
+              }
+            }
+          }
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    (merged.get(), skipped.get(), unchanged.get())
+  }
+
   /** Declared table-as-stream query: four commit styles — initial
     * overwrite, two appends, one keyed copy-on-write merge — land in a
     * [[ManifestTable]], then ONE streaming subscription replays the
@@ -459,6 +552,54 @@ object TableFeedSource {
     * proves the image split survives the streaming path (offsets,
     * batching, the schema pin) end to end.
     */
+  /** Declared image-aware gold-maintenance query: the orders table
+    * takes (1) an initial load, (2) a COSMETIC merge touching only
+    * `o_orderpriority` — not an input of the daily state — and (3) a
+    * price-doubling merge; [[feedGoldDailyImages]] refreshes the gold
+    * state after each. The cosmetic refresh is REQUIRED in-query to
+    * commit no state version (the update images cancel), which the
+    * plain insert/delete consumer cannot do — it would negate and
+    * re-add every touched group for a net-zero delta. The oracle
+    * recomputes the final daily state relationally from the surviving
+    * facts.
+    */
+  def feedGoldImagesQuery(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_feed_gold_i_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val table = root.toString + "/orders_fgi"
+    val state = root.toString + "/gold_fgi"
+    val orders = graft.Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), table)
+    feedGoldDailyImages(spark, table, state)
+    // cosmetic: aggregate-irrelevant column only — must cancel
+    ManifestTable.merge(
+      ManifestTable.read(spark, table).filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("5-RECLASSIFIED")),
+      table, "o_orderkey")
+    val before = ManifestTable.currentVersion(spark, state)
+    val (_, _, unchanged) = feedGoldDailyImages(spark, table, state)
+    require(unchanged == 1L
+        && ManifestTable.currentVersion(spark, state) == before,
+      s"cosmetic merge must cancel in the image-aware consumer " +
+        s"(unchanged=$unchanged)")
+    // relevant: price doubled on a slice — folds exactly
+    ManifestTable.merge(
+      ManifestTable.read(spark, table).filter(col("o_orderkey") % 41 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+      table, "o_orderkey")
+    feedGoldDailyImages(spark, table, state)
+    graft.pipeline.Incremental.presentDaily(
+      ManifestTable.read(spark, state))
+  }
+
   def streamTableFeedImages(spark: org.apache.spark.sql.SparkSession,
                             sfDir: String): DataFrame = {
     val root = java.nio.file.Paths.get(

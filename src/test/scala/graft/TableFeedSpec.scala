@@ -100,6 +100,57 @@ class TableFeedSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, state) === before)
   }
 
+  test("image-aware CDC loop: aggregate-irrelevant merges commit NO state version; relevant ones stay bit-exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_img").toString
+    val table = s"$base/orders"
+    val state = s"$base/gold"
+    val orders = Tables.orders(spark, sfTiny)
+
+    def recompute() = graft.pipeline.Incremental
+      .dailyState(ManifestTable.read(spark, table))
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+    def maintained() = ManifestTable.read(spark, state)
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+
+    ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), table)
+    val (m1, s1, u1) = TableFeedSource.feedGoldDailyImages(spark, table, state)
+    assert(m1 === 1L && s1 === 0L && u1 === 0L)
+    assert(maintained() === recompute())
+
+    // an aggregate-IRRELEVANT merge: o_orderpriority is not an input of
+    // the daily state — pre/post group states cancel, nothing commits
+    val cosmetic = ManifestTable.read(spark, table)
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("5-RECLASSIFIED"))
+    ManifestTable.merge(cosmetic, table, "o_orderkey")
+    val stateVBefore = ManifestTable.currentVersion(spark, state)
+    val (m2, s2, u2) = TableFeedSource.feedGoldDailyImages(spark, table, state)
+    assert(m2 === 0L && s2 === 0L && u2 === 1L,
+      s"cosmetic merge must cancel: merged=$m2 skipped=$s2 unchanged=$u2")
+    assert(ManifestTable.currentVersion(spark, state) === stateVBefore,
+      "no state version may be committed for a cancelled batch")
+    assert(maintained() === recompute())
+
+    // an aggregate-RELEVANT merge (price doubled on a few keys, a couple
+    // deleted) folds exactly — same contract as the insert/delete loop
+    val upd = ManifestTable.read(spark, table)
+      .filter(col("o_orderkey") % 41 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      .withColumn("_del", lit(false))
+    val del = ManifestTable.read(spark, table)
+      .filter(col("o_orderkey") % 43 === 0 && col("o_orderkey") % 41 =!= 0)
+      .withColumn("_del", lit(true))
+    ManifestTable.merge(upd.unionByName(del), table, "o_orderkey",
+      deleteCol = Some("_del"))
+    val (m3, _, _) = TableFeedSource.feedGoldDailyImages(spark, table, state)
+    assert(m3 === 1L)
+    assert(maintained() === recompute())
+  }
+
   test("quantile twin: feed-maintained histogram state equals the recompute through retractions") {
     val base = java.nio.file.Files.createTempDirectory("graft_tf_hist").toString
     val table = s"$base/orders"
