@@ -2012,9 +2012,20 @@ object ManifestTable {
            fromVersion: Long, toVersion: Long): DataFrame = {
     val from = readVersion(spark, path, fromVersion)
     val to = readVersion(spark, path, toVersion)
-    import org.apache.spark.sql.functions.lit
-    to.exceptAll(from).withColumn("_change", lit("insert"))
-      .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
+    import org.apache.spark.sql.functions.{col, lit}
+    // across a schema boundary (evolving append, restore-downgrade,
+    // rename) change rows are emitted in the TO version's schema —
+    // Delta CDF's convention: columns the from-side lacks read NULL,
+    // columns it alone had leave the comparison
+    val alignedFrom =
+      if (from.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          to.schema.fields.map(f => (f.name, f.dataType)).toSeq) from
+      else from.select(to.schema.fields.map { f =>
+        if (from.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    to.exceptAll(alignedFrom).withColumn("_change", lit("insert"))
+      .unionAll(alignedFrom.exceptAll(to).withColumn("_change", lit("delete")))
   }
 
   /** Rows a batch of new DV sidecars kills: the affected files' rows

@@ -457,6 +457,33 @@ class ManifestLogSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dst).count() === 300)
   }
 
+  test("restore DOWNGRADES across schema evolution: pre-evolution schema returns, change feed replays the boundary") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log11s").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path) // v1
+    // v2 evolves: adds `extra`
+    ManifestTable.append(Seq((3L, "c", 30L)).toDF("id", "v", "extra"), path)
+    assert(ManifestTable.read(spark, path).schema.fieldNames.toSeq
+      === Seq("id", "v", "extra"))
+    val rv = ManifestTable.restore(spark, path, 1L)                     // v3
+    // the downgrade: restore commits the TARGET's schema, so the added
+    // column disappears from the logical surface
+    val cur = ManifestTable.read(spark, path)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(cur.as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // evolved history still time-travels with its own schema
+    assert(ManifestTable.readVersion(spark, path, 2)
+      .schema.fieldNames.toSeq === Seq("id", "v", "extra"))
+    // the change feed replays the boundary (schema changed across it,
+    // so the diff falls back to aligned-column comparison)
+    val ch = ManifestTable.changesForVersion(spark, path, rv)
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(ch === Set((3L, "delete")))
+    // and evolution works again after the downgrade
+    ManifestTable.append(Seq((4L, "d", 40L)).toDF("id", "v", "extra"), path)
+    assert(ManifestTable.read(spark, path).count() === 3)
+  }
+
   test("restore: metadata-only rollback, history preserved, feed replays it, vacuum horizon enforced") {
     val path = java.nio.file.Files.createTempDirectory("graft_log11").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "a")).toDF("id", "v"), path,
