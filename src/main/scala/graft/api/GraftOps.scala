@@ -639,4 +639,58 @@ object GraftOps {
     graft.ops.Graph.pageRank(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters,
       materializeEdges = materializeEdges)
+
+  // --- ACID table verbs (thin renames into graft.pipeline.ManifestTable) ---
+
+  /** Keyed copy-on-write MERGE (upsert/delete) into a manifest table;
+    * `deleteVectors = true` commits sparse deletes as merge-on-read
+    * sidecars instead of rewriting files.
+    */
+  def mergeVersioned(updates: DataFrame, path: String, key: String,
+                     deleteCol: String = null,
+                     statsCols: Seq[String] = Nil,
+                     deleteVectors: Boolean = false): Long =
+    graft.pipeline.ManifestTable.merge(updates, path, key,
+      Option(deleteCol), statsCols = statsCols,
+      deleteVectors = deleteVectors)
+
+  /** Metadata-only RENAME COLUMN (Delta column mapping): no data file
+    * is touched; stats/bloom/DV pruning resolve through the map.
+    */
+  def renameTableColumn(spark: org.apache.spark.sql.SparkSession,
+                        path: String, from: String, to: String): Long =
+    graft.pipeline.ManifestTable.renameColumn(spark, path, from, to)
+
+  /** Metadata-only DROP COLUMN; a re-added name never resurrects the
+    * dropped data.
+    */
+  def dropTableColumn(spark: org.apache.spark.sql.SparkSession,
+                      path: String, name: String): Long =
+    graft.pipeline.ManifestTable.dropColumn(spark, path, name)
+
+  /** OPTIMIZE ZORDER BY (c1, c2): rewrite the table Morton-clustered
+    * with per-file stats on both dimensions, as one atomic commit.
+    */
+  def optimizeZOrderTable(spark: org.apache.spark.sql.SparkSession,
+                          path: String, c1: String, c2: String,
+                          targetFiles: Int): Long =
+    graft.pipeline.ManifestTable.optimizeZOrder(spark, path, c1, c2,
+      targetFiles)
+
+  /** Zero-copy SHALLOW CLONE of a manifest table version. */
+  def cloneTable(spark: org.apache.spark.sql.SparkSession,
+                 src: String, dst: String,
+                 version: java.lang.Long = null): Long =
+    graft.pipeline.ManifestTable.cloneShallow(spark, src, dst,
+      Option(version).map(_.longValue))
+
+  /** Metadata-only RESTORE to an earlier committed version. */
+  def restoreTable(spark: org.apache.spark.sql.SparkSession,
+                   path: String, toVersion: Long): Long =
+    graft.pipeline.ManifestTable.restore(spark, path, toVersion)
+
+  /** Stats- then bloom-pruned point lookup `column = value`. */
+  def pointLookup(spark: org.apache.spark.sql.SparkSession,
+                  path: String, column: String, value: Any): DataFrame =
+    graft.pipeline.ManifestTable.readWhereEquals(spark, path, column, value)
 }

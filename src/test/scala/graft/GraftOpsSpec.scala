@@ -357,4 +357,31 @@ class GraftOpsSpec extends SparkSpec {
     assert(GraftOps.cosineNearDupsDropped(emb, "i", "e", maxBucket = 1).count() > 0)
     assert(GraftOps.semanticNearDupsDropped(emb, "i", "e", maxCluster = 20).count() > 0)
   }
+
+  test("facade ACID verbs: merge, rename/drop, zorder optimize, clone, restore, point lookup") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ops_acid").toString
+    val path = s"$root/t"
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("k", pmod(col("id") * 2654435761L, lit(200)))
+      .withColumn("v", col("id") * 3)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    GraftOps.writeVersioned(df, path, statsCols = Seq("id", "k"))
+    GraftOps.mergeVersioned(
+      Seq((7L, 7L, -1L)).toDF("id", "k", "v"), path, "id")
+    assert(GraftOps.readVersioned(spark, path)
+      .filter(col("id") === 7).select("v").head().getLong(0) === -1L)
+    GraftOps.renameTableColumn(spark, path, "v", "value")
+    GraftOps.optimizeZOrderTable(spark, path, "k", "id", targetFiles = 4)
+    assert(GraftOps.pointLookup(spark, path, "k", 42L).count() === 1L)
+    val preDrop = graft.pipeline.ManifestTable.currentVersion(spark, path).get
+    GraftOps.dropTableColumn(spark, path, "value")
+    assert(GraftOps.readVersioned(spark, path).schema.fieldNames.toSeq
+      === Seq("id", "k"))
+    GraftOps.restoreTable(spark, path, preDrop)
+    assert(GraftOps.readVersioned(spark, path).schema.fieldNames.toSeq
+      === Seq("id", "k", "value"))
+    val dst = s"$root/c"
+    GraftOps.cloneTable(spark, path, dst)
+    assert(GraftOps.readVersioned(spark, dst).count() === 200)
+  }
 }
