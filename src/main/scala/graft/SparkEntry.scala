@@ -124,6 +124,7 @@ object SparkEntry {
     "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
     "zorder_optimize"    -> ((s, d) => graft.pipeline.Medallion.zorderOptimizeOrders(s, d)),
     "column_mapping"     -> ((s, d) => graft.pipeline.Medallion.columnMappingOrders(s, d)),
+    "generated_columns"  -> ((s, d) => graft.pipeline.Medallion.generatedColumnOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1507,6 +1508,16 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey BETWEEN 1 AND 150
            AND o_orderkey BETWEEN 1 AND 20000
+         ORDER BY o_orderkey""",
+    // Relational recompute of the generated-partition-column read
+    // (Medallion.generatedColumnOrders): the declared o_year is
+    // year(o_orderdate); the partition prune and write-side
+    // enforcement are spec-asserted.
+    "generated_columns" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                CAST(year(o_orderdate) AS INTEGER) AS o_year
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1994 AND 1995
          ORDER BY o_orderkey""",
     // Relational recompute of the column-mapping lifecycle
     // (Medallion.columnMappingOrders): loads 1-2 predate the

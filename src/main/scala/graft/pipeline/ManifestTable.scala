@@ -92,7 +92,8 @@ object ManifestTable {
                               bloom: Option[BloomSpec] = None,
                               bloomFiles: Seq[String] = Nil,
                               mapping: Map[String, String] = Map.empty,
-                              maxColId: Long = 0L) {
+                              maxColId: Long = 0L,
+                              generated: Map[String, String] = Map.empty) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -254,7 +255,8 @@ object ManifestTable {
       strMap(n, "constraints"),
       parseBloomSpec(n), strArr(n, "bloomFiles"),
       strMap(n, "mapping"),
-      Option(n.get("maxColId")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("maxColId")).map(_.asLong()).getOrElse(0L),
+      strMap(n, "generated"))
   }
 
   private def parseBloomSpec(n: JsonNode): Option[BloomSpec] =
@@ -301,7 +303,9 @@ object ManifestTable {
       // a delta carries the FULL mapping when it changes it (O(columns),
       // tiny); absent = inherit
       if (n.has("mapping")) strMap(n, "mapping") else prev.mapping,
-      Option(n.get("maxColId")).map(_.asLong()).getOrElse(prev.maxColId))
+      Option(n.get("maxColId")).map(_.asLong()).getOrElse(prev.maxColId),
+      prev.generated -- strArr(n, "generatedRemoves")
+        ++ strMap(n, "generatedAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -780,7 +784,9 @@ object ManifestTable {
                         bloomRemoves: Seq[String] = Nil,
                         bloomSpec: Option[BloomSpec] = None,
                         mapping: Option[Map[String, String]] = None,
-                        maxColId: Option[Long] = None): String = {
+                        maxColId: Option[Long] = None,
+                        generatedAdds: Map[String, String] = Map.empty,
+                        generatedRemoves: Seq[String] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -820,6 +826,13 @@ object ManifestTable {
       m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
     }
     maxColId.foreach(root.put("maxColId", _))
+    if (generatedAdds.nonEmpty) {
+      val g = root.putObject("generatedAdds")
+      generatedAdds.toSeq.sortBy(_._1).foreach { case (k, v) => g.put(k, v) }
+    }
+    if (generatedRemoves.nonEmpty) {
+      val g = root.putArray("generatedRemoves"); generatedRemoves.foreach(g.add)
+    }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -853,6 +866,10 @@ object ManifestTable {
       val o = root.putObject("mapping")
       st.mapping.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
       root.put("maxColId", st.maxColId)
+    }
+    if (st.generated.nonEmpty) {
+      val g = root.putObject("generated")
+      st.generated.toSeq.sortBy(_._1).foreach { case (k, v) => g.put(k, v) }
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -957,6 +974,118 @@ object ManifestTable {
             to_json(struct(df.columns.map(col).toSeq: _*)))).isNull)
       }
     }
+
+  /** Apply the table's GENERATED columns to an incoming batch: an
+    * ABSENT generated column is COMPUTED from its expression; a PRESENT
+    * one is ENFORCED equal to it (null-safe), failing the write job on
+    * the first divergent row — Delta's generated-column write
+    * semantics. Runs before [[constraintGuard]] so constraints may
+    * reference generated columns.
+    */
+  private def generatedGuard(df: DataFrame,
+                             generated: Map[String, String]): DataFrame =
+    if (generated.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{assert_true, col, concat, expr, lit, struct, to_json}
+      generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+        if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+        else d.filter(assert_true(col(name) <=> expr(sql),
+          concat(lit(s"generated column '$name' = ($sql) violated by row: "),
+            to_json(struct(d.columns.map(col).toSeq: _*)))).isNull)
+      }
+    }
+
+  /** The table's live GENERATED columns (name → SQL expression). */
+  def generatedColumns(spark: SparkSession, path: String): Map[String, String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    resolveState(spark, path, v).generated
+  }
+
+  /** Declare a GENERATED column (Delta `GENERATED ALWAYS AS (expr)`):
+    * every subsequent write/append/merge COMPUTES the column when the
+    * batch omits it and ENFORCES equality when the batch carries it.
+    * Metadata-only commit; works on an EMPTY table (declare, then
+    * load — the generated column may then serve as the PARTITION
+    * column, Delta's headline use: writers never materialize it, yet
+    * partition pruning works on it). On a non-empty table the column
+    * must already exist and every existing row is validated ONCE
+    * against the expression.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+                         exprSql: String, maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    require(name.nonEmpty, "generated column name must be non-empty")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      if (prevV > 0L) {
+        val st = resolveState(spark, path, prevV)
+        val schema = st.schema
+        if (schema.exists(_.fieldNames.nonEmpty) && st.files.nonEmpty) {
+          require(schema.exists(_.fieldNames.contains(name)),
+            s"cannot declare generated column '$name' on non-empty $path: " +
+              "existing rows lack it (backfill with a rewrite first)")
+          val divergent = readStateDf(spark, path, st)
+            .filter(not(col(name) <=> expr(exprSql))).count()
+          require(divergent == 0L,
+            s"cannot declare generated column '$name' = ($exprSql) at " +
+              s"$path: $divergent existing rows diverge")
+        }
+      }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        generatedAdds = Map(name -> exprSql))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"generated-column commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Un-declare a generated column (metadata-only; the column itself
+    * stays an ordinary column).
+    */
+  def dropGeneratedColumn(spark: SparkSession, path: String, name: String,
+                          maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      require(st.generated.contains(name),
+        s"no generated column '$name' at $path (live: " +
+          s"${st.generated.keys.toSeq.sorted.mkString(", ")})")
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        generatedRemoves = Seq(name))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"generated-column commit lost $maxAttempts races at $path — giving up")
+  }
 
   /** The table's live CHECK constraints (name → SQL expression). */
   def checkConstraints(spark: SparkSession, path: String): Map[String, String] =
@@ -1064,6 +1193,17 @@ object ManifestTable {
       case (n, sql) if re.findFirstIn(sql).isDefined => n }
   }
 
+  /** First generated column whose EXPRESSION references `column` (the
+    * generated column itself is handled separately by rename/drop).
+    */
+  private def generatedReferencing(st: TableState,
+                                   column: String): Option[String] = {
+    val re = ("(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(column) + "(?![A-Za-z0-9_])").r
+    st.generated.collectFirst {
+      case (n, sql) if n != column && re.findFirstIn(sql).isDefined => n }
+  }
+
   /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
     * rename, Delta paper §4.2's schema-evolution surface): no data file
     * is touched — the column keeps its PHYSICAL name in every existing
@@ -1101,15 +1241,23 @@ object ManifestTable {
         IllegalArgumentException(
           s"cannot rename '$from' at $path: CHECK constraint '$c' " +
             s"references it (${st.constraints(c)}) — drop it first"))
+      generatedReferencing(st, from).foreach(g => throw new
+        IllegalArgumentException(
+          s"cannot rename '$from' at $path: generated column '$g' " +
+            s"references it (${st.generated(g)}) — drop it first"))
       val newSchema = StructType(schema.fields.map(fd =>
         if (fd.name == from) fd.copy(name = to) else fd))
       val newMapping = ((st.mapping - from) + (to -> st.phys(from)))
         .filterNot { case (l, p) => l == p }
       val version = prevV + 1L
+      // a generated column renames WITH its declaration
+      val genMove = st.generated.get(from)
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(newMapping),
-        maxColId = Some(math.max(st.maxColId, 1L)))
+        maxColId = Some(math.max(st.maxColId, 1L)),
+        generatedAdds = genMove.map(e => to -> e).toMap,
+        generatedRemoves = genMove.map(_ => from).toSeq)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1160,12 +1308,17 @@ object ManifestTable {
         IllegalArgumentException(
           s"cannot drop '$name' at $path: CHECK constraint '$c' " +
             s"references it (${st.constraints(c)}) — drop it first"))
+      generatedReferencing(st, name).foreach(g => throw new
+        IllegalArgumentException(
+          s"cannot drop '$name' at $path: generated column '$g' " +
+            s"references it (${st.generated(g)}) — drop it first"))
       val newSchema = StructType(schema.fields.filterNot(_.name == name))
       val version = prevV + 1L
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(st.mapping - name),
-        maxColId = Some(math.max(st.maxColId, 1L)))
+        maxColId = Some(math.max(st.maxColId, 1L)),
+        generatedRemoves = if (st.generated.contains(name)) Seq(name) else Nil)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1359,11 +1512,16 @@ object ManifestTable {
       // commits the batch's schema; an append commits the EVOLVED union.
       // Computed BEFORE staging: an incompatible append fails fast,
       // leaving no orphan files.
+      // generated columns first: an omitted generated column is computed
+      // (it must exist before schema/mapping/stats are derived), a
+      // present one is enforced inside the staging pass
+      val genApplied = generatedGuard(df,
+        prevState.map(_.generated).getOrElse(Map.empty))
       val schema =
         if (carryForward)
-          prevState.flatMap(_.schema).map(evolve(_, df.schema))
-            .getOrElse(df.schema)
-        else df.schema
+          prevState.flatMap(_.schema).map(evolve(_, genApplied.schema))
+            .getOrElse(genApplied.schema)
+        else genApplied.schema
       // column mapping: files hold PHYSICAL names. Retained logicals
       // keep their physical; a logical name NEW to the table gets a
       // FRESH physical from the monotone counter, so a column dropped
@@ -1380,10 +1538,10 @@ object ManifestTable {
           val keep =
             if (carryForward) ps.mapping
             else ps.mapping.filter { case (l, _) =>
-              df.schema.fieldNames.contains(l) }
+              genApplied.schema.fieldNames.contains(l) }
           var id = ps.maxColId
-          val fresh = df.schema.fieldNames.filterNot(prevLogical).map { n =>
-            id += 1; n -> s"col-$id" }
+          val fresh = genApplied.schema.fieldNames.filterNot(prevLogical)
+            .map { n => id += 1; n -> s"col-$id" }
           (keep ++ fresh, id)
         }
       val statsColsPhys =
@@ -1393,7 +1551,7 @@ object ManifestTable {
       val snapDir = s"$path/snap-$version-$token"
       // CHECK constraints enforce inside the staging pass: a violating
       // row fails the write job, no manifest lands, readers see nothing
-      val guarded = constraintGuard(df,
+      val guarded = constraintGuard(genApplied,
         prevState.map(_.constraints).getOrElse(Map.empty))
       // rename logical -> physical as the last step before the write
       val stagedDf =
@@ -1621,7 +1779,8 @@ object ManifestTable {
     // CHECK constraints enforce on the merge's upsert rows (carried
     // rows were validated by the commit that wrote them)
     val ordered = constraintGuard(
-      upserts.select(schema.fieldNames.map(col).toSeq: _*), st.constraints)
+      generatedGuard(upserts.select(schema.fieldNames.map(col).toSeq: _*),
+        st.generated), st.constraints)
     val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
     val newData =
       if (touched.isEmpty) ordered
@@ -1860,7 +2019,8 @@ object ManifestTable {
       constraintAdds = st.constraints,
       bloomAdds = st.bloomFiles.map(abs), bloomSpec = st.bloom,
       mapping = if (st.mapped) Some(st.mapping) else None,
-      maxColId = if (st.mapped) Some(st.maxColId) else None)
+      maxColId = if (st.mapped) Some(st.maxColId) else None,
+      generatedAdds = st.generated)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -1918,7 +2078,10 @@ object ManifestTable {
         maxColId =
           if (cur.mapped || target.mapped)
             Some(math.max(cur.maxColId, math.max(target.maxColId, 1L)))
-          else None)
+          else None,
+        generatedAdds = target.generated,
+        generatedRemoves =
+          (cur.generated.keySet -- target.generated.keySet).toSeq.sorted)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)

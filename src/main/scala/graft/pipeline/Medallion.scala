@@ -848,6 +848,33 @@ object Medallion {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared GENERATED-COLUMN query (Delta `GENERATED ALWAYS AS`, the
+    * generated-partition-column headline): `o_year` is DECLARED as
+    * `year(o_orderdate)` on an empty table, then orders load WITHOUT
+    * materializing it — the staging pass computes it and partitions by
+    * it. The read back is partition-value pruned on the generated
+    * column ([[ManifestTable.readNumericRange]]) with the row filter
+    * applied on the real date column — writers never compute the
+    * partition key, readers still skip partitions. The oracle
+    * recomputes the column relationally; the prune arithmetic and the
+    * enforcement path (a batch carrying a WRONG o_year fails the write
+    * job) are spec-asserted ([[graft.GeneratedColumnsSpec]]).
+    */
+  def generatedColumnOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_gencol_", sfDir) + "/orders_gen"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    ManifestTable.addGeneratedColumn(spark, path, "o_year",
+      "year(o_orderdate)")
+    ManifestTable.write(orders, path, partitionCols = Seq("o_year"))
+    ManifestTable.readNumericRange(spark, path, "o_year", 1994, 1995)
+      .filter(year(col("o_orderdate")).between(1994, 1995))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.
