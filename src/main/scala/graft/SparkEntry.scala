@@ -125,6 +125,7 @@ object SparkEntry {
     "zorder_optimize"    -> ((s, d) => graft.pipeline.Medallion.zorderOptimizeOrders(s, d)),
     "column_mapping"     -> ((s, d) => graft.pipeline.Medallion.columnMappingOrders(s, d)),
     "generated_columns"  -> ((s, d) => graft.pipeline.Medallion.generatedColumnOrders(s, d)),
+    "ndv_stats"          -> ((s, d) => graft.pipeline.Medallion.ndvStatsOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1509,6 +1510,20 @@ object SparkEntry {
          WHERE o_custkey BETWEEN 1 AND 150
            AND o_orderkey BETWEEN 1 AND 20000
          ORDER BY o_orderkey""",
+    // Banded NDV-index oracle (house pattern of approx_stats): exact
+    // distinct/row counts recompute here; the sketch-merge estimate
+    // arrives as a boolean checked against its 5% band in Spark.
+    "ndv_stats" ->
+      """SELECT 'o_custkey' AS col_name,
+                COUNT(DISTINCT o_custkey) AS exact_distinct,
+                COUNT(*) AS n_rows,
+                TRUE AS ndv_within_5pct, TRUE AS full_coverage
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey), COUNT(*),
+                TRUE, TRUE
+         FROM orders
+         ORDER BY col_name""",
     // Relational recompute of the generated-partition-column read
     // (Medallion.generatedColumnOrders): the declared o_year is
     // year(o_orderdate); the partition prune and write-side

@@ -93,7 +93,9 @@ object ManifestTable {
                               bloomFiles: Seq[String] = Nil,
                               mapping: Map[String, String] = Map.empty,
                               maxColId: Long = 0L,
-                              generated: Map[String, String] = Map.empty) {
+                              generated: Map[String, String] = Map.empty,
+                              ndvCols: Seq[String] = Nil,
+                              ndvFiles: Seq[String] = Nil) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -256,7 +258,8 @@ object ManifestTable {
       parseBloomSpec(n), strArr(n, "bloomFiles"),
       strMap(n, "mapping"),
       Option(n.get("maxColId")).map(_.asLong()).getOrElse(0L),
-      strMap(n, "generated"))
+      strMap(n, "generated"),
+      strArr(n, "ndvCols"), strArr(n, "ndvFiles"))
   }
 
   private def parseBloomSpec(n: JsonNode): Option[BloomSpec] =
@@ -305,7 +308,10 @@ object ManifestTable {
       if (n.has("mapping")) strMap(n, "mapping") else prev.mapping,
       Option(n.get("maxColId")).map(_.asLong()).getOrElse(prev.maxColId),
       prev.generated -- strArr(n, "generatedRemoves")
-        ++ strMap(n, "generatedAdds"))
+        ++ strMap(n, "generatedAdds"),
+      if (n.has("ndvCols")) strArr(n, "ndvCols") else prev.ndvCols,
+      prev.ndvFiles.filterNot(strArr(n, "ndvRemoves").toSet)
+        ++ strArr(n, "ndvAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -786,7 +792,10 @@ object ManifestTable {
                         mapping: Option[Map[String, String]] = None,
                         maxColId: Option[Long] = None,
                         generatedAdds: Map[String, String] = Map.empty,
-                        generatedRemoves: Seq[String] = Nil): String = {
+                        generatedRemoves: Seq[String] = Nil,
+                        ndvCols: Option[Seq[String]] = None,
+                        ndvAdds: Seq[String] = Nil,
+                        ndvRemoves: Seq[String] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -833,6 +842,15 @@ object ManifestTable {
     if (generatedRemoves.nonEmpty) {
       val g = root.putArray("generatedRemoves"); generatedRemoves.foreach(g.add)
     }
+    ndvCols.foreach { cs =>
+      val a = root.putArray("ndvCols"); cs.foreach(a.add)
+    }
+    if (ndvAdds.nonEmpty) {
+      val a = root.putArray("ndvAdds"); ndvAdds.foreach(a.add)
+    }
+    if (ndvRemoves.nonEmpty) {
+      val a = root.putArray("ndvRemoves"); ndvRemoves.foreach(a.add)
+    }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -870,6 +888,12 @@ object ManifestTable {
     if (st.generated.nonEmpty) {
       val g = root.putObject("generated")
       st.generated.toSeq.sortBy(_._1).foreach { case (k, v) => g.put(k, v) }
+    }
+    if (st.ndvCols.nonEmpty) {
+      val a = root.putArray("ndvCols"); st.ndvCols.foreach(a.add)
+    }
+    if (st.ndvFiles.nonEmpty) {
+      val a = root.putArray("ndvFiles"); st.ndvFiles.foreach(a.add)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1485,6 +1509,148 @@ object ManifestTable {
     (afterBloom, st)
   }
 
+  // ------------------------------------------------------------------
+  // NDV statistics index (mergeable per-file HLL sketches + row counts)
+  // ------------------------------------------------------------------
+
+  /** Declare an NDV STATISTICS INDEX on `cols` (ANALYZE TABLE as
+    * incremental metadata, the Delta/CBO column-statistics design):
+    * every subsequent commit condenses each staged data file's values
+    * into a per-file HyperLogLog sketch (Spark's public DataSketches
+    * `hll_sketch_agg`) plus an exact per-file row count, written as one
+    * sidecar parquet per commit. [[ndvEstimate]] then answers
+    * distinct-count questions by UNIONING the live files' sketches —
+    * O(files) metadata, ZERO data scan — and [[rowCountFromStats]]
+    * sums the counts. Sketch union is exactly how per-file NDV composes
+    * (HLL registers max-merge), so the estimate equals a single-pass
+    * sketch of the whole table within the sketch's error (~2% at the
+    * default lgK). Metadata-only commit; works on an empty table.
+    *
+    * Scale shape: ANALYZE on a 100 TB table becomes a per-commit
+    * O(new data) side effect plus an O(files) driver merge at query
+    * time — the statistics that size broadcast joins and drive CBO
+    * never require a table rescan.
+    */
+  def setNdvStats(spark: SparkSession, path: String, cols: Seq[String],
+                  maxAttempts: Int = 3): Long = {
+    require(cols.nonEmpty, "need at least one NDV column")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      val physCols =
+        if (prevV == 0L) cols
+        else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        ndvCols = Some(physCols))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ndv-stats commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Build the per-file NDV sidecar for this commit's staged files: one
+    * distributed pass over the new data (per (file, column): HLL sketch
+    * + row count). O(new data); carried files keep their entries.
+    */
+  private def buildNdvSidecar(spark: SparkSession, path: String,
+                              staged: Seq[Path], cols: Seq[String],
+                              version: Long, token: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, element_at, hll_sketch_agg, input_file_name, lit, split}
+    if (staged.isEmpty) return Nil
+    val df = spark.read.parquet(staged.map(_.toString): _*)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Nil
+    val perCol = present.map { c =>
+      df.select(
+          element_at(split(input_file_name(), "/"), -1).as("_graft_ndv_file"),
+          col(c))
+        .groupBy("_graft_ndv_file")
+        .agg(hll_sketch_agg(col(c)).as("_graft_ndv_sketch"),
+          count(lit(1)).as("_graft_ndv_rows"))
+        .withColumn("_graft_ndv_col", lit(c))
+        .select("_graft_ndv_file", "_graft_ndv_col", "_graft_ndv_sketch",
+          "_graft_ndv_rows")
+    }
+    val ndvDir = s"$path/ndv-$version-$token"
+    perCol.reduce(_ unionByName _).coalesce(1)
+      .write.mode("overwrite").parquet(ndvDir)
+    listDataFiles(fs(spark, path), new Path(ndvDir))
+      .map(p => relativize(new Path(path), p))
+  }
+
+  /** Distinct-count estimate for `column` from the live files' merged
+    * HLL sketches — no data scan. Returns (estimate, coveredFiles,
+    * totalFiles): files committed before [[setNdvStats]] carry no
+    * sketch and are NOT counted — callers treat covered < total as a
+    * partial estimate (a [[compact]] rebuilds full coverage). Rows
+    * deleted by live deletion vectors are still counted (sketches
+    * describe the base files) — the same honesty contract as any
+    * file-level statistic.
+    */
+  def ndvEstimate(spark: SparkSession, path: String,
+                  column: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg}
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    val physCol = st.phys(column)
+    require(st.ndvCols.contains(physCol),
+      s"no NDV index on '$column' at $path (declared: " +
+        s"${st.ndvCols.mkString(", ")})")
+    if (st.ndvFiles.isEmpty) return (0L, 0, st.files.size)
+    val live = st.files.map(_.split("/").last).toSet
+    val entries = spark.read
+      .parquet(st.ndvFiles.map(resolveRef(path, _)): _*)
+      .filter(col("_graft_ndv_col") === physCol)
+      .filter(col("_graft_ndv_file").isInCollection(live))
+      // rewrites re-sketch their files; keep one entry per file
+      .dropDuplicates("_graft_ndv_file")
+    val covered = entries.count().toInt
+    if (covered == 0) return (0L, 0, st.files.size)
+    val est = entries
+      .agg(hll_sketch_estimate(hll_union_agg(col("_graft_ndv_sketch")))
+        .as("est"))
+      .head().getLong(0)
+    (est, covered, st.files.size)
+  }
+
+  /** Exact row count of the covered live files from the NDV sidecar —
+    * no data scan. Same (count, covered, total) coverage contract as
+    * [[ndvEstimate]]; DV-deleted rows are included (base-file counts).
+    */
+  def rowCountFromStats(spark: SparkSession,
+                        path: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    require(st.ndvCols.nonEmpty, s"no NDV index declared at $path")
+    if (st.ndvFiles.isEmpty) return (0L, 0, st.files.size)
+    val live = st.files.map(_.split("/").last).toSet
+    val entries = spark.read
+      .parquet(st.ndvFiles.map(resolveRef(path, _)): _*)
+      .filter(col("_graft_ndv_col") === st.ndvCols.head)
+      .filter(col("_graft_ndv_file").isInCollection(live))
+      .dropDuplicates("_graft_ndv_file")
+    val covered = entries.count().toInt
+    if (covered == 0) return (0L, 0, st.files.size)
+    val n = entries.agg(sum(col("_graft_ndv_rows"))).head().getLong(0)
+    (n, covered, st.files.size)
+  }
+
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
@@ -1593,11 +1759,18 @@ object ManifestTable {
       }
       val bloomRemoves = if (carryForward) Nil
         else prevState.map(_.bloomFiles).getOrElse(Nil)
+      val ndvAdds = prevState.map(_.ndvCols).getOrElse(Nil) match {
+        case Nil  => Nil
+        case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+      }
+      val ndvRemoves = if (carryForward) Nil
+        else prevState.map(_.ndvFiles).getOrElse(Nil)
       val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
         mapping = if (prevMapped) Some(newMapping) else None,
-        maxColId = if (prevMapped) Some(newMaxColId) else None)
+        maxColId = if (prevMapped) Some(newMaxColId) else None,
+        ndvAdds = ndvAdds, ndvRemoves = ndvRemoves)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1611,6 +1784,8 @@ object ManifestTable {
       f.delete(new Path(snapDir), true)
       if (bloomAdds.nonEmpty)
         f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1847,10 +2022,14 @@ object ManifestTable {
         version, token)
       case None => Nil
     }
+    val ndvAdds = st.ndvCols match {
+      case Nil  => Nil
+      case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+    }
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
       dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(st.phys(key)) else None,
-      mergeKey = Some(key), bloomAdds = bloomAdds)
+      mergeKey = Some(key), bloomAdds = bloomAdds, ndvAdds = ndvAdds)
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -1864,6 +2043,8 @@ object ManifestTable {
       if (dvAdds.nonEmpty) f.delete(new Path(dvDir), true)
       if (bloomAdds.nonEmpty)
         f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
       None
     }
   }
@@ -2020,7 +2201,9 @@ object ManifestTable {
       bloomAdds = st.bloomFiles.map(abs), bloomSpec = st.bloom,
       mapping = if (st.mapped) Some(st.mapping) else None,
       maxColId = if (st.mapped) Some(st.maxColId) else None,
-      generatedAdds = st.generated)
+      generatedAdds = st.generated,
+      ndvCols = if (st.ndvCols.nonEmpty) Some(st.ndvCols) else None,
+      ndvAdds = st.ndvFiles.map(abs))
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -2081,7 +2264,11 @@ object ManifestTable {
           else None,
         generatedAdds = target.generated,
         generatedRemoves =
-          (cur.generated.keySet -- target.generated.keySet).toSeq.sorted)
+          (cur.generated.keySet -- target.generated.keySet).toSeq.sorted,
+        ndvCols = if (cur.ndvCols != target.ndvCols) Some(target.ndvCols)
+          else None,
+        ndvAdds = target.ndvFiles.filterNot(cur.ndvFiles.toSet),
+        ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2360,7 +2547,8 @@ object ManifestTable {
     val keptStates = kept.map(v => resolveState(spark, path, v))
     keptStates.headOption.foreach(writeCheckpoint(spark, path, _))
     val liveDirs: Set[String] =
-      keptStates.flatMap(st => st.files ++ st.dvFiles ++ st.bloomFiles)
+      keptStates.flatMap(st =>
+          st.files ++ st.dvFiles ++ st.bloomFiles ++ st.ndvFiles)
         .map(_.split("/").head).toSet
     drop.foreach { v =>
       f.delete(manifestPath(path, v), false)
@@ -2377,7 +2565,8 @@ object ManifestTable {
       .filter { s =>
         val n = s.getPath.getName
         s.isDirectory &&
-          (n.startsWith("snap-") || n.startsWith("dv-")) && !liveDirs(n) &&
+          (n.startsWith("snap-") || n.startsWith("dv-") ||
+            n.startsWith("bloom-") || n.startsWith("ndv-")) && !liveDirs(n) &&
           n.split("-").lift(1).flatMap(_.toLongOption).exists(_ < floor)
       }
       .foreach(s => f.delete(s.getPath, true))

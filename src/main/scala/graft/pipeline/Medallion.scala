@@ -875,6 +875,48 @@ object Medallion {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Declared NDV-STATISTICS query (ANALYZE TABLE as incremental
+    * metadata): orders commit with an NDV index on (o_custkey,
+    * o_orderkey) — each commit sketches its own files; the estimate
+    * merges the per-file HLL sketches with NO data rescan. Banded
+    * oracle (house pattern of `approx_stats`): exact distinct counts
+    * and row counts recompute relationally; the sketch estimate
+    * arrives as a boolean already checked against its 5% band, and
+    * full sidecar coverage is asserted alongside.
+    *
+    * Scale shape: the statistics that size broadcast joins on a
+    * 100 TB table cost O(new data) at write time and O(files) at
+    * question time — never a rescan.
+    */
+  def ndvStatsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("graft_ndv_", sfDir) + "/orders_ndv"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.setNdvStats(spark, path, Seq("o_custkey", "o_orderkey"))
+    ManifestTable.write(
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path)
+    ManifestTable.append(
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path)
+    val live = ManifestTable.read(spark, path)
+    val rows = Seq("o_custkey", "o_orderkey").map { c =>
+      val (est, covered, total) = ManifestTable.ndvEstimate(spark, path, c)
+      val exact = live.select(col(c)).distinct().count()
+      val (n, _, _) = ManifestTable.rowCountFromStats(spark, path)
+      (c, exact, n,
+        math.abs(est - exact) <= 0.05 * exact,
+        covered == total)
+    }
+    rows.toDF("col_name", "exact_distinct", "n_rows",
+        "ndv_within_5pct", "full_coverage")
+      .orderBy(col("col_name"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.
