@@ -693,4 +693,35 @@ object GraftOps {
   def pointLookup(spark: org.apache.spark.sql.SparkSession,
                   path: String, column: String, value: Any): DataFrame =
     graft.pipeline.ManifestTable.readWhereEquals(spark, path, column, value)
+
+  /** Join against a manifest table with the build-side strategy decided
+    * from the table's COMMITTED STATISTICS (`setNdvStats` row counts) —
+    * the CBO broadcast decision without scanning or size-guessing the
+    * build side: fully-covered row count ≤ `broadcastMaxRows` applies
+    * an explicit broadcast hint; anything else (no index, partial
+    * sidecar coverage, too big) falls through to Spark's own planning.
+    * At 100 TB this is the difference between shuffling a fact table
+    * against a dimension Spark mis-sized and a map-side join chosen
+    * from metadata.
+    */
+  def joinWithStats(left: DataFrame, rightPath: String,
+                    usingColumns: Seq[String],
+                    broadcastMaxRows: Long = 1L << 22,
+                    joinType: String = "inner"): DataFrame = {
+    val spark = left.sparkSession
+    val right = graft.pipeline.ManifestTable.read(spark, rightPath)
+    val smallByStats =
+      try {
+        val (rows, covered, total) =
+          graft.pipeline.ManifestTable.rowCountFromStats(spark, rightPath)
+        covered == total && rows <= broadcastMaxRows
+      } catch {
+        case _: IllegalStateException => false    // no committed version
+        case _: IllegalArgumentException => false // no NDV index declared
+      }
+    if (smallByStats)
+      left.join(org.apache.spark.sql.functions.broadcast(right),
+        usingColumns, joinType)
+    else left.join(right, usingColumns, joinType)
+  }
 }

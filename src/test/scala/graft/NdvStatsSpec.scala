@@ -72,4 +72,28 @@ class NdvStatsSpec extends SparkSpec {
       s"vacuum must sweep dead ndv sidecar dirs: ${names.toSeq}")
     assert(within(ManifestTable.ndvEstimate(spark, path, "k")._1, 50, 0.05))
   }
+
+  test("joinWithStats: committed row counts drive the broadcast decision (no build-side scan or size guess)") {
+    val path = tmp("graft_ndv3")
+    ManifestTable.setNdvStats(spark, path, Seq("k"))
+    ManifestTable.write(spark.range(0, 500).toDF("k")
+      .withColumn("dim_v", col("k") * 7), path)
+    val facts = spark.range(0, 5000).toDF("k")
+    // disable Spark's own size-based auto-broadcast so the plan shape
+    // can only come from the stats-driven hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val small = graft.api.GraftOps.joinWithStats(facts, path, Seq("k"))
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "stats say 500 rows -> the dimension must broadcast")
+      assert(small.count() === 500)
+      val big = graft.api.GraftOps.joinWithStats(facts, path, Seq("k"),
+        broadcastMaxRows = 10)
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "stats above the bound must fall through to Spark's planning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

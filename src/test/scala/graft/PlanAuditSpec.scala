@@ -459,6 +459,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("column-mapped read: filter on the RENAMED name pushes into the scan under the PHYSICAL name; pruning intact") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_pa_cm").toString + "/t"
+    graft.pipeline.ManifestTable.write(
+      spark.range(0, 1000).toDF("id")
+        .withColumn("amount", col("id") * 2)
+        .withColumn("wide", concat(lit("padding-"), col("id"))),
+      path)
+    graft.pipeline.ManifestTable.renameColumn(spark, path, "amount", "price")
+    val q = graft.pipeline.ManifestTable.read(spark, path)
+      .filter(col("price") > 100).select("id", "price")
+    val p = q.queryExecution.explainString(FormattedMode)
+    // the logical->physical projection must FOLD into the scan: the
+    // filter reaches parquet under the stable physical name...
+    assert(p.contains("GreaterThan(amount,100)"),
+      s"renamed-column filter not pushed under physical name:\n${p.take(2500)}")
+    // ...and column pruning still drops the untouched wide column
+    assert(p.contains("ReadSchema: struct<id:bigint,amount:bigint>"),
+      s"scan must prune to (id, amount):\n${p.take(2500)}")
+    assert(!p.contains("wide"))
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
