@@ -68,7 +68,14 @@ object ScaleProbe {
     // files once + stages the touched rewrite); the log-bin sketch
     // state shuffles (month, bin) cells like the histogram — saturating
     // bin space, sub-linear shuffle growth
-    "merge_upsert", "quantile_sketch_rollup")
+    "merge_upsert", "quantile_sketch_rollup",
+    // round-10 additions: the zorder rewrite is one range-shuffle of
+    // the table (shuffle ~linear in rows); the column-mapping
+    // lifecycle is metadata + three loads (shuffle ~0 growth beyond
+    // the loads' own staging); the NDV index adds one sketch pass per
+    // commit whose shuffle carries (file, col) sketch rows — constant
+    // cells, never occurrences
+    "zorder_optimize", "column_mapping", "ndv_stats")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2327,10 +2327,30 @@ object ManifestTable {
   def optimizeZOrder(spark: SparkSession, path: String,
                      c1: String, c2: String, targetFiles: Int,
                      extraStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val cur = read(spark, path)
-    val clustered = graft.functions.ZOrderKey.clusterBy(cur, c1, c2,
-      targetFiles)
+    // the Morton key interleaves 32-bit coordinates; arbitrary numeric
+    // domains (bigint keys, doubles) first normalize equi-width onto
+    // the int grid from their observed [min, max] — one cheap agg pass
+    // before the O(table) rewrite. Monotone per column, so file-level
+    // clustering (the only consumer) is unaffected by the scaling;
+    // under heavy key skew a rank-based normalization would cluster
+    // tighter — the documented upgrade path.
+    val b = cur.agg(smin(col(c1)), smax(col(c1)),
+      smin(col(c2)), smax(col(c2))).head()
+    def d(i: Int): Double =
+      if (b.isNullAt(i)) 0.0 else b.get(i).toString.toDouble
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0)
+      else (((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+        * lit(4294967000.0) - lit(2147483500.0)).cast("long").cast("int")
+    val keyed = cur
+      .withColumn("_graft_z1", norm(c1, d(0), d(1)))
+      .withColumn("_graft_z2", norm(c2, d(2), d(3)))
+    val clustered = graft.functions.ZOrderKey
+      .clusterBy(keyed, "_graft_z1", "_graft_z2", targetFiles)
+      .drop("_graft_z1", "_graft_z2")
     write(clustered, path,
       statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
   }
