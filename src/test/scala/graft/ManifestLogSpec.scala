@@ -621,4 +621,105 @@ class ManifestLogSpec extends SparkSpec {
         (for (t <- 0 until 4; i <- 0 until 3) yield (100L + t * 10 + i, 1L))
     assert(got === expect)
   }
+
+  test("every ACID feature composed on ONE table: bloom + ndv + generated + constraint + rename + merge + DV + zorder + clone + restore") {
+    val root = java.nio.file.Files.createTempDirectory("graft_log13").toString
+    val path = s"$root/t"
+    // declare everything up front (all metadata-only, empty-table ok)
+    ManifestTable.setBloomIndex(spark, path, Seq("user"), items = 1L << 12)
+    ManifestTable.setNdvStats(spark, path, Seq("user", "id"))
+    ManifestTable.addGeneratedColumn(spark, path, "bucket", "pmod(id, 8)")
+    // load: generated column computed; sidecars built; stats recorded
+    ManifestTable.write(
+      spark.range(0, 2000).toDF("id")
+        .withColumn("user", pmod(col("id") * 2654435761L, lit(500)))
+        .withColumn("v", col("id") * 3)
+        .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id"))
+    // rename FIRST (a constraint on the old name would rightly block
+    // it), then constrain the NEW name
+    ManifestTable.renameColumn(spark, path, "v", "value")
+    ManifestTable.addCheckConstraint(spark, path, "nonneg_value", "value >= 0")
+    // keyed merge with updates AND a DV delete, through all the guards
+    // (generated bucket enforced, constraint enforced, mapping staged
+    // physical, bloom + ndv sidecars rebuilt for touched files)
+    ManifestTable.merge(
+      Seq((5L, 40L, 123L, 5L, false), (6L, 41L, 0L, 6L, true))
+        .toDF("id", "user", "value", "bucket", "_d"),
+      path, "id", deleteCol = Some("_d"), statsCols = Seq("id"),
+      deleteVectors = true)
+    val after = ManifestTable.read(spark, path)
+    assert(after.count() === 1999)
+    assert(after.filter(col("id") === 5).select("value").head().getLong(0) === 123L)
+    assert(after.filter(col("id") === 6).count() === 0)
+    // every metadata consumer answers through the mapping on the live DV'd state
+    assert(ManifestTable.readWhereEquals(spark, path, "user", 42L).count()
+      === after.filter(col("user") === 42L).count())
+    val (est, cov, tot) = ManifestTable.ndvEstimate(spark, path, "user")
+    assert(cov === tot && math.abs(est - 500L) <= 25L)
+    // the constraint bites a violating append; the generated column
+    // catches a wrong bucket; both leave no version behind
+    val vBefore = ManifestTable.currentVersion(spark, path)
+    intercept[Exception] {
+      ManifestTable.append(Seq((9000L, 1L, -1L, 0L))
+        .toDF("id", "user", "value", "bucket"), path) }
+    intercept[Exception] {
+      ManifestTable.append(Seq((9000L, 1L, 1L, 5L))
+        .toDF("id", "user", "value", "bucket"), path) }
+    assert(ManifestTable.currentVersion(spark, path) === vBefore)
+    // zorder the whole thing; content invariant, everything still works
+    ManifestTable.optimizeZOrder(spark, path, "user", "id", targetFiles = 8)
+    assert(ManifestTable.read(spark, path).count() === 1999)
+    assert(ManifestTable.readWhereEquals(spark, path, "user", 42L).count()
+      === after.filter(col("user") === 42L).count())
+    assert(ManifestTable.ndvEstimate(spark, path, "user")._2 === 8)
+    // clone carries the whole feature set; restore rolls everything back
+    val dst = s"$root/c"
+    ManifestTable.cloneShallow(spark, path, dst)
+    assert(ManifestTable.read(spark, dst).count() === 1999)
+    assert(ManifestTable.generatedColumns(spark, dst).keySet === Set("bucket"))
+    assert(ManifestTable.checkConstraints(spark, dst).keySet === Set("nonneg_value"))
+    assert(ManifestTable.columnMapping(spark, dst) === Map("value" -> "v"))
+    val vZ = ManifestTable.currentVersion(spark, path).get
+    ManifestTable.restore(spark, path, vZ - 1) // back before the zorder
+    assert(ManifestTable.read(spark, path).count() === 1999)
+  }
+
+  test("OCC races across METADATA commit types: rename, constraint, generated, appends all serialize") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log14").toString + "/t"
+    ManifestTable.write(
+      (0 until 8).map(i => (i.toLong, i.toLong, 0L)).toDF("id", "a", "b"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def task(f: () => Unit): Runnable = new Runnable {
+      def run(): Unit = try f() catch { case e: Throwable => failures.add(e); () }
+    }
+    val tasks = Seq(
+      task(() => ManifestTable.renameColumn(spark, path, "a", "alpha",
+        maxAttempts = 64)),
+      task(() => ManifestTable.addCheckConstraint(spark, path, "b_ok",
+        "b >= 0", maxAttempts = 64)),
+      task(() => ManifestTable.addGeneratedColumn(spark, path, "b",
+        "0", maxAttempts = 64)),
+      // appenders omit the column being renamed (a batch speaking the
+      // OLD name after the rename lands would legally evolve a second
+      // column — correct, but not what this race is probing)
+      task(() => (0 until 3).foreach { i =>
+        ManifestTable.append(Seq((100L + i, 0L))
+          .toDF("id", "b"), path, maxAttempts = 64) }),
+      task(() => (0 until 3).foreach { i =>
+        ManifestTable.append(Seq((200L + i, 0L))
+          .toDF("id", "b"), path, maxAttempts = 64) }))
+    tasks.foreach(pool.submit)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    val vs = ManifestTable.versions(spark, path)
+    assert(vs === (1L to vs.length.toLong).toSeq,
+      s"versions must be contiguous, got $vs")
+    val st = ManifestTable.read(spark, path)
+    assert(st.schema.fieldNames.contains("alpha"))
+    assert(ManifestTable.checkConstraints(spark, path).keySet === Set("b_ok"))
+    assert(ManifestTable.generatedColumns(spark, path) === Map("b" -> "0"))
+  }
 }
