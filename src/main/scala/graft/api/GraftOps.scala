@@ -677,6 +677,13 @@ object GraftOps {
     graft.pipeline.ManifestTable.optimizeZOrder(spark, path, c1, c2,
       targetFiles)
 
+  /** N-column OPTIMIZE ZORDER (3-8 dims, round-robin Morton interleave). */
+  def optimizeZOrderTableN(spark: org.apache.spark.sql.SparkSession,
+                           path: String, cols: Seq[String],
+                           targetFiles: Int): Long =
+    graft.pipeline.ManifestTable.optimizeZOrderN(spark, path, cols,
+      targetFiles)
+
   /** Zero-copy SHALLOW CLONE of a manifest table version. */
   def cloneTable(spark: org.apache.spark.sql.SparkSession,
                  src: String, dst: String,

@@ -2355,6 +2355,43 @@ object ManifestTable {
       statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
   }
 
+  /** N-column OPTIMIZE ZORDER (3–8 columns): the same normalize-then-
+    * interleave rewrite over the N-ary Morton key
+    * ([[graft.functions.ZOrderKeyN]] — round-robin bit interleave,
+    * ⌊63/N⌋ bits per dimension). Per-file stats recorded for EVERY
+    * listed column, so range reads prune on any of them. The
+    * two-column overload keeps the faster spread-based kernel.
+    */
+  def optimizeZOrderN(spark: SparkSession, path: String,
+                      cols: Seq[String], targetFiles: Int,
+                      extraStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    require(cols.length >= 2 && cols.length <= 8,
+      s"optimizeZOrderN takes 2..8 columns, got ${cols.length}")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    if (cols.length == 2)
+      return optimizeZOrder(spark, path, cols(0), cols(1), targetFiles,
+        extraStatsCols)
+    val cur = read(spark, path)
+    val b = cur.agg(
+      cols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).head,
+      cols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).tail: _*).head()
+    def d(i: Int): Double =
+      if (b.isNullAt(i)) 0.0 else b.get(i).toString.toDouble
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0)
+      else (((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+        * lit(4294967000.0) - lit(2147483500.0)).cast("long").cast("int")
+    val zNames = cols.indices.map(i => s"_graft_z$i")
+    val keyed = cols.zipWithIndex.foldLeft(cur) { case (df0, (c, i)) =>
+      df0.withColumn(zNames(i), norm(c, d(2 * i), d(2 * i + 1))) }
+    val clustered = graft.functions.ZOrderKeyN
+      .clusterByN(keyed, zNames, targetFiles)
+      .drop(zNames: _*)
+    write(clustered, path,
+      statsCols = (cols ++ extraStatsCols).distinct)
+  }
+
   /** OPTIMIZE scheduling policy: compact only when the current
     * version's file count (or deletion-vector sidecar count) exceeds
     * `maxFiles` — the maintenance loop counterpart of [[compact]].

@@ -186,6 +186,62 @@ class ManifestTableSpec extends SparkSpec {
     assert(pruned === full)
   }
 
+  test("optimizeZOrderN: three-dimension Morton clustering prunes on ALL axes; key is order-sound") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mtz3").toString + "/t"
+    // three mutually-scrambled 12-bit dimensions over 4096 rows
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("y", pmod(col("id") * 2654435761L, lit(4096)))
+      .withColumn("z", pmod(col("id") * 40503L + 7, lit(4096)))
+    ManifestTable.write(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id", "y", "z"))
+    assert(ManifestTable.pruneCount(spark, path, "y", 0, 511) === ((8, 8)))
+    assert(ManifestTable.pruneCount(spark, path, "z", 0, 511) === ((8, 8)))
+
+    // 64 files = 6 leading Z bits = TWO significant bits per dimension:
+    // each file spans ~a quarter of every domain
+    ManifestTable.optimizeZOrderN(spark, path, Seq("id", "y", "z"),
+      targetFiles = 64)
+    // 2 bits/dim = quarter-block granularity; unaligned range-partition
+    // boundaries make files straddle adjacent blocks, so the honest
+    // bound for a quarter-domain read is ~a straddled quarter of files
+    // per axis — versus NO pruning at all on y/z before the rewrite
+    Seq("id", "y", "z").foreach { c =>
+      val (kept, total) = ManifestTable.pruneCount(spark, path, c, 0, 1023)
+      assert(total === 64, s"$c total $total")
+      assert(kept <= 32,
+        s"quarter-domain range on '$c' should skip at least half of 64 " +
+          s"3-D z-ordered files, kept $kept")
+    }
+    // content invariant
+    assert(ManifestTable.read(spark, path).count() === 4096)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("y") === pmod(col("id") * 2654435761L, lit(4096)))
+      .count() === 4096)
+
+    // the N-ary key itself: interpreted ≡ codegen, and ordering follows
+    // the leading dimension bits (order-preservation sanity)
+    // probes must differ in the TOP ⌊63/3⌋ bits (the key truncates
+    // low bits by design — file clustering only needs leading bits)
+    import graft.functions.ZOrderKeyN
+    val lo = Int.MinValue
+    val mid = 0
+    val hi = Int.MaxValue
+    val probe = Seq((lo, lo, lo), (mid, mid, mid), (hi, hi, hi))
+      .toDF("a", "b", "c")
+    val keys = probe.select(ZOrderKeyN.zorderN(spark,
+        Seq(col("a"), col("b"), col("c"))).as("k"))
+      .as[Long].collect()
+    assert(keys(0) < keys(1) && keys(1) < keys(2),
+      s"diagonal points must order along the curve: ${keys.toSeq}")
+    val interp = ZOrderKeyN(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(hi),
+      org.apache.spark.sql.catalyst.expressions.Literal(hi),
+      org.apache.spark.sql.catalyst.expressions.Literal(hi)))
+      .eval(null).asInstanceOf[Long]
+    assert(interp === keys(2), "interpreted eval must equal codegen result")
+  }
+
   test("diff between versions yields the insert/delete change feed") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
