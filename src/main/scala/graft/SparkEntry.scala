@@ -126,6 +126,7 @@ object SparkEntry {
     "column_mapping"     -> ((s, d) => graft.pipeline.Medallion.columnMappingOrders(s, d)),
     "generated_columns"  -> ((s, d) => graft.pipeline.Medallion.generatedColumnOrders(s, d)),
     "ndv_stats"          -> ((s, d) => graft.pipeline.Medallion.ndvStatsOrders(s, d)),
+    "table_history"      -> ((s, d) => graft.pipeline.Medallion.tableHistoryOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1510,6 +1511,16 @@ object SparkEntry {
          WHERE o_custkey BETWEEN 1 AND 150
            AND o_orderkey BETWEEN 1 AND 20000
          ORDER BY o_orderkey""",
+    // DESCRIBE HISTORY oracle: the seven-commit lifecycle is fully
+    // deterministic (operations recorded in the log entries
+    // themselves); timestamps excluded by design.
+    "table_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, operation, tag
+         FROM (VALUES (1, 'WRITE', 'load1'), (2, 'APPEND', NULL),
+                      (3, 'MERGE', NULL), (4, 'CONSTRAINT', NULL),
+                      (5, 'SCHEMA', NULL), (6, 'INDEX', NULL),
+                      (7, 'RESTORE', NULL)) AS t(v, operation, tag)
+         ORDER BY version""",
     // Banded NDV-index oracle (house pattern of approx_stats): exact
     // distinct/row counts recompute here; the sketch-merge estimate
     // arrives as a boolean checked against its 5% band in Spark.

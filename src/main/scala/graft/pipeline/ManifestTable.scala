@@ -795,11 +795,13 @@ object ManifestTable {
                         generatedRemoves: Seq[String] = Nil,
                         ndvCols: Option[Seq[String]] = None,
                         ndvAdds: Seq[String] = Nil,
-                        ndvRemoves: Seq[String] = Nil): String = {
+                        ndvRemoves: Seq[String] = Nil,
+                        op: Option[String] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("ts", ts)
+    op.foreach(root.put("op", _))
     tag.foreach(root.put("tag", _))
     if (tag.isDefined || tagHorizon != DefaultTagHorizon)
       root.put("tagHorizon", tagHorizon)
@@ -1770,7 +1772,8 @@ object ManifestTable {
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
         mapping = if (prevMapped) Some(newMapping) else None,
         maxColId = if (prevMapped) Some(newMaxColId) else None,
-        ndvAdds = ndvAdds, ndvRemoves = ndvRemoves)
+        ndvAdds = ndvAdds, ndvRemoves = ndvRemoves,
+        op = Some(if (carryForward) "APPEND" else "WRITE"))
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2203,7 +2206,8 @@ object ManifestTable {
       maxColId = if (st.mapped) Some(st.maxColId) else None,
       generatedAdds = st.generated,
       ndvCols = if (st.ndvCols.nonEmpty) Some(st.ndvCols) else None,
-      ndvAdds = st.ndvFiles.map(abs))
+      ndvAdds = st.ndvFiles.map(abs),
+      op = Some("CLONE"))
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -2268,7 +2272,8 @@ object ManifestTable {
         ndvCols = if (cur.ndvCols != target.ndvCols) Some(target.ndvCols)
           else None,
         ndvAdds = target.ndvFiles.filterNot(cur.ndvFiles.toSet),
-        ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet))
+        ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet),
+        op = Some("RESTORE"))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2282,6 +2287,73 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"restore commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version, newest first —
+    * (version, ts, operation, adds, removes, dvAdds, tag). The
+    * operation classifies from the version's own log entry the way
+    * Delta's history does from its commitInfo: APPEND (no removes),
+    * MERGE (entry carries its merge key), OVERWRITE/RESTORE/COMPACT
+    * fold into WRITE (removes present), DELETE_DV (DV-only), and the
+    * metadata family (CONSTRAINT / SCHEMA / INDEX / METADATA) for
+    * zero-file commits. Vacuumed versions (manifest gone, checkpoint
+    * only) report METADATA with zero counts. Driver-side O(versions)
+    * JSON reads — an operator console, not a data scan.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val rows = versions(spark, path).sorted(Ordering[Long].reverse).map { v =>
+      readNodeIfExists(f, manifestPath(path, v)) match {
+        case None => (v, commitTimestamp(spark, path, v), "METADATA",
+          0, 0, 0, null: String)
+        case Some(n) =>
+          val adds = strArr(n, "adds").size
+          val removes = strArr(n, "removes").size
+          val dvAdds = strArr(n, "dvAdds").size
+          val op =
+            if (n.has("op")) n.get("op").asText()
+            else if (Option(n.get("mergeKey")).isDefined) "MERGE"
+            else if (adds == 0 && removes == 0 && dvAdds == 0) {
+              if (n.has("constraintAdds") || n.has("constraintRemoves"))
+                "CONSTRAINT"
+              else if (n.has("mapping") || n.has("generatedAdds")
+                || n.has("generatedRemoves")) "SCHEMA"
+              else if (n.has("bloomCols") || n.has("ndvCols")) "INDEX"
+              else "METADATA"
+            }
+            else if (dvAdds > 0 && adds == 0) "DELETE_DV"
+            else if (removes == 0 && n.has("removes")) "APPEND"
+            else if (!n.has("removes")) "WRITE" // legacy full manifest
+            else "WRITE"
+          (v, Option(n.get("ts")).map(_.asLong()).getOrElse(0L), op,
+            adds, removes, dvAdds,
+            Option(n.get("tag")).map(_.asText()).orNull)
+      }
+    }
+    rows.toDF("version", "ts", "operation", "adds", "removes", "dv_adds",
+      "tag")
+  }
+
+  /** OPTIMIZE to a target FILE SIZE (Delta's `optimize.targetFileSize`
+    * knob): compact the current version into
+    * ⌈live bytes / targetBytes⌉ files. Live bytes come from the
+    * filesystem metadata of the version's own files — no data scan
+    * before the rewrite itself.
+    */
+  def compactToFileSize(spark: SparkSession, path: String,
+                        targetBytes: Long,
+                        statsCols: Seq[String] = Nil,
+                        sortCols: Seq[String] = Nil): Long = {
+    require(targetBytes >= 1L, "targetBytes must be >= 1")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    val f = fs(spark, path)
+    val total = st.files.map(r =>
+      f.getFileStatus(new Path(resolveRef(path, r))).getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+    compact(spark, path, n, statsCols = statsCols, sortCols = sortCols)
   }
 
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,

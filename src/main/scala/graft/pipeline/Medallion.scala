@@ -917,6 +917,35 @@ object Medallion {
       .orderBy(col("col_name"))
   }
 
+  /** Declared DESCRIBE-HISTORY query: a seven-commit lifecycle — write,
+    * append, keyed merge, CHECK constraint, metadata-only rename, NDV
+    * index declaration, RESTORE — read back as the operator console
+    * ([[ManifestTable.history]]): every commit class identified from
+    * its own log entry, tags surfaced, newest first (emitted ascending
+    * for the oracle's total order). Timestamps ride the real frame but
+    * are excluded here (nondeterministic by nature).
+    */
+  def tableHistoryOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_hist_", sfDir) + "/orders_h"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), path,
+      tag = Some("load1"))                                           // v1
+    ManifestTable.append(orders.filter(col("o_orderkey") % 2 =!= 0), path) // v2
+    ManifestTable.merge(
+      orders.filter(col("o_orderkey") % 1001 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      path, "o_orderkey")                                            // v3
+    ManifestTable.addCheckConstraint(spark, path, "pos_price",
+      "o_totalprice > 0")                                            // v4
+    ManifestTable.renameColumn(spark, path, "o_custkey", "customer_id") // v5
+    ManifestTable.setNdvStats(spark, path, Seq("o_orderkey"))        // v6
+    ManifestTable.restore(spark, path, 2L)                           // v7
+    ManifestTable.history(spark, path)
+      .select(col("version"), col("operation"), col("tag"))
+      .orderBy(col("version"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

@@ -685,6 +685,45 @@ class ManifestLogSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 1999)
   }
 
+  test("history classifies every commit type; compactToFileSize hits the byte target") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log15").toString + "/t"
+    ManifestTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id")), path, tag = Some("load1"))        // WRITE
+    ManifestTable.append(spark.range(100, 200).toDF("id")
+      .withColumn("v", col("id")), path)                             // APPEND
+    ManifestTable.merge(Seq((5L, 500L)).toDF("id", "v"), path, "id") // MERGE
+    ManifestTable.addCheckConstraint(spark, path, "ok", "v >= 0")    // CONSTRAINT
+    ManifestTable.renameColumn(spark, path, "id", "row_id")          // SCHEMA
+    ManifestTable.setNdvStats(spark, path, Seq("id"))                // INDEX
+    val h = ManifestTable.history(spark, path)
+      .select("version", "operation", "tag")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(h === Seq(
+      (6L, "INDEX", None), (5L, "SCHEMA", None), (4L, "CONSTRAINT", None),
+      (3L, "MERGE", None), (2L, "APPEND", None),
+      (1L, "WRITE", Some("load1"))), s"got $h")
+    // timestamps ride along, newest first, monotone non-decreasing back
+    val ts = ManifestTable.history(spark, path).select("ts")
+      .as[Long].collect()
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b })
+
+    // size-targeted compaction: ~2.4 MB of rows at a 1 MB target → 3 files
+    val p2 = java.nio.file.Files.createTempDirectory("graft_log15b").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 60000).toDF("id")
+        .withColumn("pad", concat(lit("x" * 200), col("id"))),
+      p2)
+    val before = ManifestTable.manifestFiles(spark, p2, 1)
+      .map(r => new java.io.File(p2, r).length).sum
+    val target = before / 3 + 1
+    ManifestTable.compactToFileSize(spark, p2, target)
+    val files = ManifestTable.manifestFiles(spark, p2,
+      ManifestTable.currentVersion(spark, p2).get)
+    assert(files.size >= 2 && files.size <= 4,
+      s"expected ~3 files at a third-of-table target, got ${files.size}")
+    assert(ManifestTable.read(spark, p2).count() === 60000)
+  }
+
   test("OCC races across METADATA commit types: rename, constraint, generated, appends all serialize") {
     val path = java.nio.file.Files.createTempDirectory("graft_log14").toString + "/t"
     ManifestTable.write(
