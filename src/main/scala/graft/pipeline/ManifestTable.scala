@@ -62,6 +62,16 @@ object ManifestTable {
     */
   val DefaultTagHorizon: Int = 100000
 
+  /** Protocol versions this library implements (Delta's
+    * minReaderVersion/minWriterVersion forward-compat gate): a table
+    * whose committed `minReader` exceeds ours refuses to RESOLVE
+    * (silently misreading a table with unknown semantics is the
+    * failure mode the gate exists to prevent); `minWriter` above ours
+    * refuses only WRITES — reading stays fine.
+    */
+  val SupportedReaderVersion: Int = 1
+  val SupportedWriterVersion: Int = 1
+
   /** Per-file column statistics carried by the log (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
     * file lacked statistics for the column — such files are never pruned.
@@ -95,7 +105,9 @@ object ManifestTable {
                               maxColId: Long = 0L,
                               generated: Map[String, String] = Map.empty,
                               ndvCols: Seq[String] = Nil,
-                              ndvFiles: Seq[String] = Nil) {
+                              ndvFiles: Seq[String] = Nil,
+                              minReader: Int = 1,
+                              minWriter: Int = 1) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -259,7 +271,17 @@ object ManifestTable {
       strMap(n, "mapping"),
       Option(n.get("maxColId")).map(_.asLong()).getOrElse(0L),
       strMap(n, "generated"),
-      strArr(n, "ndvCols"), strArr(n, "ndvFiles"))
+      strArr(n, "ndvCols"), strArr(n, "ndvFiles"),
+      Option(n.get("minReader")).map(_.asInt()).getOrElse(1),
+      Option(n.get("minWriter")).map(_.asInt()).getOrElse(1))
+  }
+
+  private def checkReadable(n: JsonNode, where: String): Unit = {
+    val mr = Option(n.get("minReader")).map(_.asInt()).getOrElse(1)
+    if (mr > SupportedReaderVersion) throw new IllegalStateException(
+      s"table at $where requires protocol reader version $mr; this " +
+        s"library implements $SupportedReaderVersion — upgrade the " +
+        "library before reading")
   }
 
   private def parseBloomSpec(n: JsonNode): Option[BloomSpec] =
@@ -311,7 +333,9 @@ object ManifestTable {
         ++ strMap(n, "generatedAdds"),
       if (n.has("ndvCols")) strArr(n, "ndvCols") else prev.ndvCols,
       prev.ndvFiles.filterNot(strArr(n, "ndvRemoves").toSet)
-        ++ strArr(n, "ndvAdds"))
+        ++ strArr(n, "ndvAdds"),
+      Option(n.get("minReader")).map(_.asInt()).getOrElse(prev.minReader),
+      Option(n.get("minWriter")).map(_.asInt()).getOrElse(prev.minWriter))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -338,10 +362,12 @@ object ManifestTable {
           case None =>
             readNodeIfExists(f, checkpointPath(path, v)) match {
               case Some(ck) =>
+                checkReadable(ck, path)
                 base = stateFromFull(ck, v)
                 cachePut(CacheKey(path, v, sig), base)
               case None =>
                 val n = readNode(f, manifestPath(path, v))
+                checkReadable(n, path)
                 require(n.get("version").asLong() == v,
                   s"manifest for version $v at $path names version " +
                     s"${n.get("version")} — corrupt table")
@@ -796,12 +822,15 @@ object ManifestTable {
                         ndvCols: Option[Seq[String]] = None,
                         ndvAdds: Seq[String] = Nil,
                         ndvRemoves: Seq[String] = Nil,
-                        op: Option[String] = None): String = {
+                        op: Option[String] = None,
+                        protocol: Option[(Int, Int)] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("ts", ts)
     op.foreach(root.put("op", _))
+    protocol.foreach { case (r, w) =>
+      root.put("minReader", r); root.put("minWriter", w): Unit }
     tag.foreach(root.put("tag", _))
     if (tag.isDefined || tagHorizon != DefaultTagHorizon)
       root.put("tagHorizon", tagHorizon)
@@ -896,6 +925,10 @@ object ManifestTable {
     }
     if (st.ndvFiles.nonEmpty) {
       val a = root.putArray("ndvFiles"); st.ndvFiles.foreach(a.add)
+    }
+    if (st.minReader > 1 || st.minWriter > 1) {
+      root.put("minReader", st.minReader)
+      root.put("minWriter", st.minWriter): Unit
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1653,6 +1686,56 @@ object ManifestTable {
     (n, covered, st.files.size)
   }
 
+  /** UPGRADE PROTOCOL (Delta `ALTER TABLE ... SET TBLPROPERTIES
+    * (delta.minReaderVersion...)`): a one-way metadata commit raising
+    * the versions a client must implement. Downgrades are refused.
+    */
+  def upgradeProtocol(spark: SparkSession, path: String,
+                      minReader: Int, minWriter: Int,
+                      maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      require(minReader >= st.minReader && minWriter >= st.minWriter,
+        s"protocol downgrade refused at $path: current " +
+          s"(${st.minReader}, ${st.minWriter}), requested " +
+          s"($minReader, $minWriter)")
+      require(minReader <= SupportedReaderVersion
+          && minWriter <= SupportedWriterVersion,
+        s"cannot upgrade $path past this library's own protocol " +
+          s"($SupportedReaderVersion, $SupportedWriterVersion); " +
+          s"requested ($minReader, $minWriter) — a client must " +
+          "implement the protocol it declares (Delta's rule)")
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        protocol = Some((minReader, minWriter)), op = Some("PROTOCOL"))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"protocol commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Writer-version gate, called by every data-write path. */
+  private def assertWritable(st: TableState, path: String): Unit =
+    if (st.minWriter > SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"table at $path requires protocol writer version " +
+          s"${st.minWriter}; this library implements " +
+          s"$SupportedWriterVersion — reading is allowed, writing is not")
+
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
@@ -1667,6 +1750,7 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       val prev = currentVersion(spark, path)
       val prevState = prev.map(resolveState(spark, path, _))
+      prevState.foreach(assertWritable(_, path))
       val version = prev.getOrElse(0L) + 1L
       // fail-fast twin of the require above: appending onto a base
       // version whose files live in k=v partition dirs would commit an
@@ -1881,6 +1965,7 @@ object ManifestTable {
     val spark = updates.sparkSession
     val f = fs(spark, path)
     val st = resolveState(spark, path, prevV)
+    assertWritable(st, path)
     val version = prevV + 1L
     val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
     // schema contract: exactly the table's columns (+ deleteCol)

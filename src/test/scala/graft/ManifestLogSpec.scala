@@ -724,6 +724,40 @@ class ManifestLogSpec extends SparkSpec {
     assert(ManifestTable.read(spark, p2).count() === 60000)
   }
 
+  test("protocol gate: a future-writer table refuses writes but reads; a future-reader table refuses resolution") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log16").toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), path)
+    // same-version upgrade is a no-op commit that records the protocol
+    ManifestTable.upgradeProtocol(spark, path, 1, 1)
+    assert(ManifestTable.read(spark, path).count() === 1)
+    // downgrades and beyond-own-implementation upgrades refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.upgradeProtocol(spark, path, 1, 99) }
+
+    // simulate a FUTURE writer's commit: minWriter beyond ours — reads
+    // still fine, writes refuse loudly
+    def forge(v: Long, mr: Int, mw: Int): Unit = {
+      val json = s"""{"version":$v,"ts":0,"minReader":$mr,"minWriter":$mw,"adds":[],"removes":[]}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/_graft_manifest-v$v.json"),
+        json.getBytes("UTF-8"))
+    }
+    forge(3L, 1, 99)
+    assert(ManifestTable.read(spark, path).count() === 1, "reads must survive a higher minWriter")
+    val ew = intercept[IllegalStateException] {
+      ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), path) }
+    assert(ew.getMessage.contains("writer version 99"))
+    val em = intercept[IllegalStateException] {
+      ManifestTable.merge(Seq((1L, "x")).toDF("id", "v"), path, "id") }
+    assert(em.getMessage.contains("writer version 99"))
+
+    // a higher minReader refuses resolution entirely
+    forge(4L, 99, 99)
+    val er = intercept[IllegalStateException] {
+      ManifestTable.read(spark, path) }
+    assert(er.getMessage.contains("reader version 99"))
+  }
+
   test("OCC races across METADATA commit types: rename, constraint, generated, appends all serialize") {
     val path = java.nio.file.Files.createTempDirectory("graft_log14").toString + "/t"
     ManifestTable.write(
