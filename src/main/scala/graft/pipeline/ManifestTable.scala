@@ -1637,7 +1637,7 @@ object ManifestTable {
     */
   def ndvEstimate(spark: SparkSession, path: String,
                   column: String): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg}
+    import org.apache.spark.sql.functions.{broadcast, col, hll_sketch_estimate, hll_union_agg}
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val st = resolveState(spark, path, v)
@@ -1646,11 +1646,16 @@ object ManifestTable {
       s"no NDV index on '$column' at $path (declared: " +
         s"${st.ndvCols.mkString(", ")})")
     if (st.ndvFiles.isEmpty) return (0L, 0, st.files.size)
-    val live = st.files.map(_.split("/").last).toSet
+    // live-file restriction as a broadcast semi-join, NOT an
+    // isInCollection literal list — at 10^6 files the latter is a
+    // million-literal filter expression (planner bloat), the former a
+    // small hashed relation
+    import spark.implicits._
+    val live = st.files.map(_.split("/").last).toDF("_graft_ndv_file")
     val entries = spark.read
       .parquet(st.ndvFiles.map(resolveRef(path, _)): _*)
       .filter(col("_graft_ndv_col") === physCol)
-      .filter(col("_graft_ndv_file").isInCollection(live))
+      .join(broadcast(live), Seq("_graft_ndv_file"), "left_semi")
       // rewrites re-sketch their files; keep one entry per file
       .dropDuplicates("_graft_ndv_file")
     val covered = entries.count().toInt
@@ -1668,17 +1673,18 @@ object ManifestTable {
     */
   def rowCountFromStats(spark: SparkSession,
                         path: String): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val st = resolveState(spark, path, v)
     require(st.ndvCols.nonEmpty, s"no NDV index declared at $path")
     if (st.ndvFiles.isEmpty) return (0L, 0, st.files.size)
-    val live = st.files.map(_.split("/").last).toSet
+    import spark.implicits._
+    val live = st.files.map(_.split("/").last).toDF("_graft_ndv_file")
     val entries = spark.read
       .parquet(st.ndvFiles.map(resolveRef(path, _)): _*)
       .filter(col("_graft_ndv_col") === st.ndvCols.head)
-      .filter(col("_graft_ndv_file").isInCollection(live))
+      .join(broadcast(live), Seq("_graft_ndv_file"), "left_semi")
       .dropDuplicates("_graft_ndv_file")
     val covered = entries.count().toInt
     if (covered == 0) return (0L, 0, st.files.size)
