@@ -127,6 +127,7 @@ object SparkEntry {
     "generated_columns"  -> ((s, d) => graft.pipeline.Medallion.generatedColumnOrders(s, d)),
     "ndv_stats"          -> ((s, d) => graft.pipeline.Medallion.ndvStatsOrders(s, d)),
     "table_history"      -> ((s, d) => graft.pipeline.Medallion.tableHistoryOrders(s, d)),
+    "row_tracking"       -> ((s, d) => graft.pipeline.Medallion.rowTrackingOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1511,6 +1512,15 @@ object SparkEntry {
          WHERE o_custkey BETWEEN 1 AND 150
            AND o_orderkey BETWEEN 1 AND 20000
          ORDER BY o_orderkey""",
+    // Banded row-tracking oracle: the deterministic half (row count)
+    // recomputes relationally; the id contracts arrive as booleans
+    // checked distributively in Spark (engine-assigned ids are
+    // invisible to a value oracle by design; see RowTrackingSpec).
+    "row_tracking" ->
+      """SELECT COUNT(*) + 3 AS n_rows,
+                TRUE AS ids_unique, TRUE AS updated_keep_ids,
+                TRUE AS carried_keep_ids, TRUE AS inserts_above_high_water
+         FROM orders WHERE o_orderkey % 2 = 0""",
     // DESCRIBE HISTORY oracle: the seven-commit lifecycle is fully
     // deterministic (operations recorded in the log entries
     // themselves); timestamps excluded by design.

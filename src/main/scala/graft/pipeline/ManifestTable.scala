@@ -72,6 +72,11 @@ object ManifestTable {
   val SupportedReaderVersion: Int = 1
   val SupportedWriterVersion: Int = 1
 
+  /** Physical column carrying the stable row id on row-tracked tables
+    * (hidden from the logical schema; see [[enableRowTracking]]).
+    */
+  val RowIdCol: String = "_graft_row_id"
+
   /** Per-file column statistics carried by the log (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
     * file lacked statistics for the column — such files are never pruned.
@@ -107,7 +112,9 @@ object ManifestTable {
                               ndvCols: Seq[String] = Nil,
                               ndvFiles: Seq[String] = Nil,
                               minReader: Int = 1,
-                              minWriter: Int = 1) {
+                              minWriter: Int = 1,
+                              rowTracking: Boolean = false,
+                              rowHighWater: Long = 0L) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -273,7 +280,9 @@ object ManifestTable {
       strMap(n, "generated"),
       strArr(n, "ndvCols"), strArr(n, "ndvFiles"),
       Option(n.get("minReader")).map(_.asInt()).getOrElse(1),
-      Option(n.get("minWriter")).map(_.asInt()).getOrElse(1))
+      Option(n.get("minWriter")).map(_.asInt()).getOrElse(1),
+      Option(n.get("rowTracking")).exists(_.asBoolean()),
+      Option(n.get("rowHighWater")).map(_.asLong()).getOrElse(0L))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -335,7 +344,11 @@ object ManifestTable {
       prev.ndvFiles.filterNot(strArr(n, "ndvRemoves").toSet)
         ++ strArr(n, "ndvAdds"),
       Option(n.get("minReader")).map(_.asInt()).getOrElse(prev.minReader),
-      Option(n.get("minWriter")).map(_.asInt()).getOrElse(prev.minWriter))
+      Option(n.get("minWriter")).map(_.asInt()).getOrElse(prev.minWriter),
+      Option(n.get("rowTracking")).map(_.asBoolean())
+        .getOrElse(prev.rowTracking),
+      Option(n.get("rowHighWater")).map(_.asLong())
+        .getOrElse(prev.rowHighWater))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -823,7 +836,9 @@ object ManifestTable {
                         ndvAdds: Seq[String] = Nil,
                         ndvRemoves: Seq[String] = Nil,
                         op: Option[String] = None,
-                        protocol: Option[(Int, Int)] = None): String = {
+                        protocol: Option[(Int, Int)] = None,
+                        rowTracking: Option[Boolean] = None,
+                        rowHighWater: Option[Long] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -831,6 +846,8 @@ object ManifestTable {
     op.foreach(root.put("op", _))
     protocol.foreach { case (r, w) =>
       root.put("minReader", r); root.put("minWriter", w): Unit }
+    rowTracking.foreach(root.put("rowTracking", _))
+    rowHighWater.foreach(root.put("rowHighWater", _))
     tag.foreach(root.put("tag", _))
     if (tag.isDefined || tagHorizon != DefaultTagHorizon)
       root.put("tagHorizon", tagHorizon)
@@ -929,6 +946,10 @@ object ManifestTable {
     if (st.minReader > 1 || st.minWriter > 1) {
       root.put("minReader", st.minReader)
       root.put("minWriter", st.minWriter): Unit
+    }
+    if (st.rowTracking) {
+      root.put("rowTracking", true)
+      root.put("rowHighWater", st.rowHighWater): Unit
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1734,6 +1755,99 @@ object ManifestTable {
       s"protocol commit lost $maxAttempts races at $path — giving up")
   }
 
+  /** ENABLE ROW TRACKING (Delta 3.x `delta.enableRowTracking`): every
+    * row gets a stable long id (hidden physical column [[RowIdCol]])
+    * assigned at first write and PRESERVED through copy-on-write
+    * rewrites — a merge's updated row keeps its base row's id, carried
+    * rows keep theirs verbatim, compaction and Z-order rewrites carry
+    * ids through, and fresh inserts draw ids above a monotone
+    * high-water mark that survives restore. The id never appears in
+    * the logical schema; [[readWithRowIds]] exposes it. Downstream
+    * this is what row-level incremental view maintenance and row
+    * lineage key on.
+    *
+    * Declare on an EMPTY table (no data files yet) — enabling later
+    * would require a backfill rewrite, which the caller can do
+    * explicitly (compact, then enable is still refused — ids must
+    * exist from the first write to be stable).
+    */
+  def enableRowTracking(spark: SparkSession, path: String,
+                        maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      if (prevV > 0L) {
+        val st = resolveState(spark, path, prevV)
+        require(st.files.isEmpty,
+          s"cannot enable row tracking on non-empty $path — ids must " +
+            "exist from the first write to be stable")
+      }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        rowTracking = Some(true), rowHighWater = Some(0L))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"row-tracking commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Read the current version WITH the stable row id exposed as
+    * [[RowIdCol]] (row-tracked tables only).
+    */
+  def readWithRowIds(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    require(st.rowTracking, s"row tracking is not enabled at $path")
+    val withId = st.schema.map(sc => StructType(sc.fields :+
+      org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+    readStateDf(spark, path, st.copy(schema = withId))
+  }
+
+  /** Assign fresh ids above the high-water mark to rows lacking one;
+    * rows that already carry [[RowIdCol]] keep it (rewrite paths).
+    * Returns the id-bearing frame; the caller computes the new
+    * high-water from the STAGED files afterwards.
+    */
+  private def assignRowIds(df: DataFrame, highWater: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id}
+    if (df.columns.contains(RowIdCol))
+      df.withColumn(RowIdCol,
+        coalesce(col(RowIdCol),
+          monotonically_increasing_id() + lit(highWater + 1L)))
+    else df.withColumn(RowIdCol,
+      monotonically_increasing_id() + lit(highWater + 1L))
+  }
+
+  /** New high-water after a tracked commit: max staged id + 1 — one
+    * columnar scan of the NEW files' id column only (O(new rows), a
+    * single long column).
+    */
+  private def stagedHighWater(spark: SparkSession, staged: Seq[Path],
+                              fallback: Long): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    if (staged.isEmpty) fallback
+    else {
+      val r = spark.read.parquet(staged.map(_.toString): _*)
+      if (!r.columns.contains(RowIdCol)) fallback
+      else Option(r.agg(smax(col(RowIdCol))).head().get(0))
+        .map(_.asInstanceOf[Long] + 1L).map(math.max(_, fallback))
+        .getOrElse(fallback)
+    }
+  }
+
   /** Writer-version gate, called by every data-write path. */
   private def assertWritable(st: TableState, path: String): Unit =
     if (st.minWriter > SupportedWriterVersion)
@@ -1775,11 +1889,15 @@ object ManifestTable {
       // present one is enforced inside the staging pass
       val genApplied = generatedGuard(df,
         prevState.map(_.generated).getOrElse(Map.empty))
+      val tracked = prevState.exists(_.rowTracking)
+      // the row id is PHYSICAL only — never part of the logical schema
+      val logicalIn = StructType(
+        genApplied.schema.fields.filterNot(_.name == RowIdCol))
       val schema =
         if (carryForward)
-          prevState.flatMap(_.schema).map(evolve(_, genApplied.schema))
-            .getOrElse(genApplied.schema)
-        else genApplied.schema
+          prevState.flatMap(_.schema).map(evolve(_, logicalIn))
+            .getOrElse(logicalIn)
+        else logicalIn
       // column mapping: files hold PHYSICAL names. Retained logicals
       // keep their physical; a logical name NEW to the table gets a
       // FRESH physical from the monotone counter, so a column dropped
@@ -1796,9 +1914,9 @@ object ManifestTable {
           val keep =
             if (carryForward) ps.mapping
             else ps.mapping.filter { case (l, _) =>
-              genApplied.schema.fieldNames.contains(l) }
+              logicalIn.fieldNames.contains(l) }
           var id = ps.maxColId
-          val fresh = genApplied.schema.fieldNames.filterNot(prevLogical)
+          val fresh = logicalIn.fieldNames.filterNot(prevLogical)
             .map { n => id += 1; n -> s"col-$id" }
           (keep ++ fresh, id)
         }
@@ -1809,9 +1927,16 @@ object ManifestTable {
       val snapDir = s"$path/snap-$version-$token"
       // CHECK constraints enforce inside the staging pass: a violating
       // row fails the write job, no manifest lands, readers see nothing
-      val guarded = constraintGuard(genApplied,
+      val guarded0 = constraintGuard(genApplied,
         prevState.map(_.constraints).getOrElse(Map.empty))
+      // row ids: fresh above the high-water mark for rows lacking one;
+      // rewrite paths (compact/zorder via readWithRowIds) keep theirs
+      val guarded =
+        if (tracked) assignRowIds(guarded0,
+          prevState.map(_.rowHighWater).getOrElse(0L))
+        else guarded0
       // rename logical -> physical as the last step before the write
+      // (the row id keeps its reserved physical name)
       val stagedDf =
         if (!prevMapped) guarded
         else guarded.select(guarded.schema.fieldNames.map(n =>
@@ -1857,13 +1982,18 @@ object ManifestTable {
       }
       val ndvRemoves = if (carryForward) Nil
         else prevState.map(_.ndvFiles).getOrElse(Nil)
+      val newHigh =
+        if (!tracked) None
+        else Some(stagedHighWater(spark, staged,
+          prevState.map(_.rowHighWater).getOrElse(0L)))
       val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
         mapping = if (prevMapped) Some(newMapping) else None,
         maxColId = if (prevMapped) Some(newMaxColId) else None,
         ndvAdds = ndvAdds, ndvRemoves = ndvRemoves,
-        op = Some(if (carryForward) "APPEND" else "WRITE"))
+        op = Some(if (carryForward) "APPEND" else "WRITE"),
+        rowHighWater = newHigh)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2047,15 +2177,50 @@ object ManifestTable {
     }
     // CHECK constraints enforce on the merge's upsert rows (carried
     // rows were validated by the commit that wrote them)
-    val ordered = constraintGuard(
+    val ordered0 = constraintGuard(
       generatedGuard(upserts.select(schema.fieldNames.map(col).toSeq: _*),
         st.generated), st.constraints)
+    // row tracking: an updated row KEEPS its base row's stable id (the
+    // Delta 3.x row-tracking contract); inserts draw fresh ids above
+    // the high-water mark. Requires key-unique updates — two update
+    // rows cannot both inherit one base id.
+    val idSchema = st.schema.map(sc => StructType(sc.fields :+
+      org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+    if (st.rowTracking) {
+      val dupKeys = updates.groupBy(col(key))
+        .count().filter(col("count") > 1).count()
+      require(dupKeys == 0L,
+        s"merge with row tracking requires key-unique updates at $path " +
+          s"($dupKeys duplicated keys) — two update rows cannot both " +
+          "inherit one base row id")
+    }
+    val ordered =
+      if (!st.rowTracking) ordered0
+      else {
+        val baseIds =
+          if (touched.isEmpty)
+            spark.createDataFrame(spark.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(schema(key),
+                org.apache.spark.sql.types.StructField(RowIdCol, LongType))))
+          else readStateDf(spark, path,
+              st.copy(files = touched, schema = idSchema))
+            .join(broadcast(updKeys), Seq(key), "left_semi")
+            .select(col(key), col(RowIdCol))
+        assignRowIds(ordered0.join(baseIds, Seq(key), "left"),
+          st.rowHighWater)
+      }
     val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
+    val carrySchema =
+      if (st.rowTracking) schema.fieldNames :+ RowIdCol
+      else schema.fieldNames
     val newData =
       if (touched.isEmpty) ordered
-      else readStateDf(spark, path, st.copy(files = touched))
+      else readStateDf(spark, path,
+          st.copy(files = touched,
+            schema = if (st.rowTracking) idSchema else st.schema))
         .join(broadcast(updKeys), Seq(key), "left_anti")
-        .select(schema.fieldNames.map(col).toSeq: _*)
+        .select(carrySchema.map(col).toSeq: _*)
         .unionByName(ordered)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val snapDir = s"$path/snap-$version-$token"
@@ -2123,7 +2288,10 @@ object ManifestTable {
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
       dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(st.phys(key)) else None,
-      mergeKey = Some(key), bloomAdds = bloomAdds, ndvAdds = ndvAdds)
+      mergeKey = Some(key), bloomAdds = bloomAdds, ndvAdds = ndvAdds,
+      rowHighWater =
+        if (!st.rowTracking) None
+        else Some(stagedHighWater(spark, staged, st.rowHighWater)))
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -2298,7 +2466,9 @@ object ManifestTable {
       generatedAdds = st.generated,
       ndvCols = if (st.ndvCols.nonEmpty) Some(st.ndvCols) else None,
       ndvAdds = st.ndvFiles.map(abs),
-      op = Some("CLONE"))
+      op = Some("CLONE"),
+      rowTracking = if (st.rowTracking) Some(true) else None,
+      rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -2364,7 +2534,16 @@ object ManifestTable {
           else None,
         ndvAdds = target.ndvFiles.filterNot(cur.ndvFiles.toSet),
         ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet),
-        op = Some("RESTORE"))
+        op = Some("RESTORE"),
+        rowTracking =
+          if (cur.rowTracking != target.rowTracking)
+            Some(target.rowTracking) else None,
+        // the high-water mark NEVER rolls back — ids assigned after the
+        // restore target must stay unique against rows it resurrects
+        rowHighWater =
+          if (cur.rowTracking || target.rowTracking)
+            Some(math.max(cur.rowHighWater, target.rowHighWater))
+          else None)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2452,7 +2631,13 @@ object ManifestTable {
               statsCols: Seq[String] = Nil,
               sortCols: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val cur = read(spark, path)
+    val curV = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    // row-tracked tables compact WITH their ids (carried verbatim)
+    val cur =
+      if (resolveState(spark, path, curV).rowTracking)
+        readWithRowIds(spark, path)
+      else read(spark, path)
     val packed =
       if (sortCols.nonEmpty)
         cur.repartitionByRange(targetFiles,
@@ -2492,7 +2677,12 @@ object ManifestTable {
                      extraStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val cur = read(spark, path)
+    val zv = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val cur =
+      if (resolveState(spark, path, zv).rowTracking)
+        readWithRowIds(spark, path)
+      else read(spark, path)
     // the Morton key interleaves 32-bit coordinates; arbitrary numeric
     // domains (bigint keys, doubles) first normalize equi-width onto
     // the int grid from their observed [min, max] — one cheap agg pass
@@ -2535,7 +2725,12 @@ object ManifestTable {
     if (cols.length == 2)
       return optimizeZOrder(spark, path, cols(0), cols(1), targetFiles,
         extraStatsCols)
-    val cur = read(spark, path)
+    val zv = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val cur =
+      if (resolveState(spark, path, zv).rowTracking)
+        readWithRowIds(spark, path)
+      else read(spark, path)
     val b = cur.agg(
       cols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).head,
       cols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).tail: _*).head()

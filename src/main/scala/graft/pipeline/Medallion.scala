@@ -946,6 +946,58 @@ object Medallion {
       .orderBy(col("version"))
   }
 
+  /** Declared ROW-TRACKING query (Delta 3.x `enableRowTracking`):
+    * orders load into a row-tracked table, then one keyed merge
+    * updates the %41 keys and inserts three synthetic orders. The
+    * banded oracle recomputes the deterministic half (row count)
+    * relationally; the id contracts — uniqueness, updated rows KEEP
+    * their pre-merge ids, carried rows untouched, inserts drawn above
+    * the pre-merge high water — arrive as booleans checked
+    * distributively in Spark (ids are engine-assigned, invisible to a
+    * value oracle by design). Full per-rewrite coverage (compaction,
+    * Z-order, clone, restore monotonicity) is spec-asserted
+    * ([[graft.RowTrackingSpec]]).
+    */
+  def rowTrackingOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("graft_rowtrack_", sfDir) + "/orders_rt"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val rid = ManifestTable.RowIdCol
+    val before = ManifestTable.readWithRowIds(spark, path)
+      .select(col("o_orderkey"), col(rid).as("rid_b"))
+      .localCheckpoint() // pin the pre-merge ids
+    val maxB = before.agg(max(col("rid_b"))).head().getLong(0)
+    val upd = ManifestTable.read(spark, path)
+      .filter(col("o_orderkey") % 41 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    val ins = Seq((900000001L, 1L, 10.0), (900000002L, 2L, 20.0),
+      (900000003L, 3L, 30.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    ManifestTable.merge(upd.unionByName(ins), path, "o_orderkey")
+    val after = ManifestTable.readWithRowIds(spark, path)
+      .select(col("o_orderkey"), col(rid).as("rid_a"))
+    val joined = after.join(before, Seq("o_orderkey"), "left")
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) === countDistinct(col("rid_a"))).as("ids_unique"),
+        (sum(when(col("o_orderkey") % 41 === 0
+            && col("o_orderkey") < 900000000L
+            && col("rid_a") =!= col("rid_b"), 1).otherwise(0)) === 0)
+          .as("updated_keep_ids"),
+        (sum(when(col("o_orderkey") % 41 =!= 0
+            && col("o_orderkey") < 900000000L
+            && col("rid_a") =!= col("rid_b"), 1).otherwise(0)) === 0)
+          .as("carried_keep_ids"),
+        (min(when(col("o_orderkey") >= 900000000L, col("rid_a")))
+          > lit(maxB)).as("inserts_above_high_water"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

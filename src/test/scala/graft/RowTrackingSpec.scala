@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** Row tracking (Delta 3.x `enableRowTracking`): stable hidden row ids
+  * assigned at first write, preserved through CoW merges, compaction,
+  * Z-order rewrites, clone, and restore; fresh ids stay above a
+  * monotone high-water mark.
+  */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def ids(path: String): Map[Long, Long] =
+    ManifestTable.readWithRowIds(spark, path)
+      .select(col("id"), col(ManifestTable.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+
+  test("ids are unique, hidden from the logical read, and stable through merge") {
+    val path = tmp("graft_rt1")
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 500).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id"))
+    // hidden from the plain read; exposed by readWithRowIds; unique
+    assert(!ManifestTable.read(spark, path).columns
+      .contains(ManifestTable.RowIdCol))
+    val before = ids(path)
+    assert(before.size === 500 && before.values.toSet.size === 500)
+
+    // merge: update 3 keys, delete 1, insert 1
+    val upd = Seq((10L, -1L, false), (11L, -2L, false), (450L, -3L, false),
+      (12L, 0L, true), (9999L, 9L, false)).toDF("id", "v", "_d")
+    ManifestTable.merge(upd, path, "id", deleteCol = Some("_d"))
+    val after = ids(path)
+    assert(after.size === 500) // 500 - 1 deleted + 1 inserted
+    // updated rows KEPT their ids
+    Seq(10L, 11L, 450L).foreach(k =>
+      assert(after(k) === before(k), s"updated key $k must keep its row id"))
+    // carried rows kept theirs
+    before.keys.filterNot(Set(10L, 11L, 12L, 450L)).foreach(k =>
+      assert(after(k) === before(k), s"carried key $k must keep its row id"))
+    // the insert drew a FRESH id above every pre-merge id
+    assert(after(9999L) > before.values.max,
+      "insert must draw above the high-water mark")
+    // updated values actually updated
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") === 10).select("v").head().getLong(0) === -1L)
+    // duplicate update keys refuse under tracking
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(Seq((1L, 0L), (1L, 1L)).toDF("id", "v"),
+        path, "id")
+    }
+  }
+
+  test("ids survive compaction, zorder rewrites, clone; restore keeps the high-water monotone") {
+    val path = tmp("graft_rt2")
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 300).toDF("id")
+        .withColumn("k", pmod(col("id") * 2654435761L, lit(300)))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id"))
+    ManifestTable.append(
+      spark.range(300, 400).toDF("id")
+        .withColumn("k", pmod(col("id") * 2654435761L, lit(300))), path)
+    val before = ids(path)
+    assert(before.size === 400 && before.values.toSet.size === 400)
+
+    ManifestTable.compact(spark, path, targetFiles = 2)
+    assert(ids(path) === before, "compaction must carry ids verbatim")
+
+    ManifestTable.optimizeZOrder(spark, path, "k", "id", targetFiles = 4)
+    assert(ids(path) === before, "zorder rewrite must carry ids verbatim")
+
+    // clone carries tracking + ids + high water
+    val dst = tmp("graft_rt2d")
+    ManifestTable.cloneShallow(spark, path, dst)
+    assert(ManifestTable.readWithRowIds(spark, dst)
+      .select(col("id"), col(ManifestTable.RowIdCol))
+      .as[(Long, Long)].collect().toMap === before)
+    // an insert on the clone draws above the cloned high water
+    ManifestTable.merge(Seq((5000L, 1L)).toDF("id", "k"), dst, "id")
+    val cloneIds = ManifestTable.readWithRowIds(spark, dst)
+      .select(col("id"), col(ManifestTable.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(cloneIds(5000L) > before.values.max)
+
+    // restore: ids roll back with the data, the high water does NOT —
+    // a post-restore insert cannot collide with restored rows
+    val preMerge = ManifestTable.currentVersion(spark, path).get
+    ManifestTable.merge(Seq((6000L, 2L)).toDF("id", "k"), path, "id")
+    val mergedMax = ids(path).values.max
+    ManifestTable.restore(spark, path, preMerge)
+    assert(ids(path) === before, "restore must return the target's ids")
+    ManifestTable.merge(Seq((7000L, 3L)).toDF("id", "k"), path, "id")
+    val post = ids(path)
+    assert(post(7000L) > mergedMax,
+      "post-restore insert must draw above the PRE-restore high water")
+  }
+
+  test("enabling on a non-empty table refuses; appends after enable get disjoint id ranges") {
+    val path = tmp("graft_rt3")
+    ManifestTable.write(spark.range(0, 10).toDF("id"), path)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.enableRowTracking(spark, path) }
+    assert(e.getMessage.contains("non-empty"))
+
+    val p2 = tmp("graft_rt3b")
+    ManifestTable.enableRowTracking(spark, p2)
+    ManifestTable.write(spark.range(0, 100).toDF("id"), p2)
+    ManifestTable.append(spark.range(100, 200).toDF("id"), p2)
+    ManifestTable.append(spark.range(200, 300).toDF("id"), p2)
+    val all = ManifestTable.readWithRowIds(spark, p2)
+      .select(col(ManifestTable.RowIdCol)).as[Long].collect()
+    assert(all.length === 300 && all.toSet.size === 300,
+      "ids must stay unique across appends")
+  }
+}
