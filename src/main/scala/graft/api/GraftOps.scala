@@ -696,6 +696,18 @@ object GraftOps {
                    path: String, toVersion: Long): Long =
     graft.pipeline.ManifestTable.restore(spark, path, toVersion)
 
+  /** Enable stable row ids on an empty manifest table (Delta 3.x row
+    * tracking); read them back with [[readRowIds]].
+    */
+  def enableRowTracking(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long =
+    graft.pipeline.ManifestTable.enableRowTracking(spark, path)
+
+  /** Current version WITH the stable `_graft_row_id` column exposed. */
+  def readRowIds(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    graft.pipeline.ManifestTable.readWithRowIds(spark, path)
+
   /** Stats- then bloom-pruned point lookup `column = value`. */
   def pointLookup(spark: org.apache.spark.sql.SparkSession,
                   path: String, column: String, value: Any): DataFrame =
