@@ -2942,6 +2942,98 @@ object ManifestTable {
     }
   }
 
+  /** Row-level changes for one version keyed by STABLE ROW ID
+    * (row-tracked tables only) — the CDC classification
+    * [[changesForVersion]] can only approximate: a rewrite's rows join
+    * by id across the boundary, so an UPDATE is recognized even when
+    * EVERY column changed (the multiset form would emit delete+insert)
+    * and regardless of whether the commit recorded a merge key
+    * (compactions that also changed rows, conditional merges, restores
+    * — all classify). Identical-id identical-value rows cancel exactly
+    * as carried rows should. Output columns: the logical schema +
+    * [[RowIdCol]] + `_change` in Delta CDF vocabulary.
+    *
+    * Same O(touched files) cost shape as [[changesForVersion]]: the
+    * join reads only the entry's own removed/added files, id-to-id —
+    * never the table.
+    */
+  def changesByRowId(spark: SparkSession, path: String,
+                     version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val vs = versions(spark, path)
+    require(vs.contains(version), s"version $version not committed at $path")
+    val cur = resolveState(spark, path, version)
+    require(cur.rowTracking, s"row tracking is not enabled at $path")
+    def withIds(st: TableState): Option[StructType] =
+      st.schema.map(sc => StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+    val outCols = cur.schema.get.fieldNames :+ RowIdCol
+    if (version == 1L)
+      return readStateDf(spark, path, cur.copy(schema = withIds(cur)))
+        .withColumn("_change", lit("insert"))
+    require(vs.contains(version - 1),
+      s"version ${version - 1} of $path was vacuumed — re-bootstrap")
+    val node = readNode(fs(spark, path), manifestPath(path, version))
+    val adds = strArr(node, "adds")
+    val removes = strArr(node, "removes")
+    val dvAdds = strArr(node, "dvAdds")
+    val prev = resolveState(spark, path, version - 1)
+    if (removes.isEmpty && dvAdds.isEmpty) {
+      val base = readStateDf(spark, path, cur.copy(schema = withIds(cur)))
+      if (adds.isEmpty) return base.limit(0).withColumn("_change", lit("insert"))
+      return readFilesMapped(spark, path,
+          cur.copy(schema = withIds(cur)), adds)
+        .withColumn("_change", lit("insert"))
+    }
+    if (adds.isEmpty && removes.isEmpty && dvAdds.nonEmpty)
+      return dvKilledRows(spark, path, prev.copy(schema = withIds(prev)),
+        dvAdds, cur.dvKey.get).withColumn("_change", lit("delete"))
+    // rewrite: id-to-id join over the entry's OWN files, both sides
+    // read live at their version (aligned on the TO schema across an
+    // evolution boundary, nulls for absent columns)
+    val valueCols = cur.schema.get.fieldNames
+    def aligned(df: DataFrame): DataFrame =
+      df.select((valueCols.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(cur.schema.get(c).dataType).as(c)
+      } :+ col(RowIdCol)).toSeq: _*)
+    val removed = aligned(
+      if (removes.isEmpty)
+        readStateDf(spark, path, prev.copy(schema = withIds(prev))).limit(0)
+      else readStateDf(spark, path,
+        prev.copy(files = removes, schema = withIds(prev))))
+    val added = aligned(
+      if (adds.isEmpty)
+        readStateDf(spark, path, cur.copy(schema = withIds(cur))).limit(0)
+      else readStateDf(spark, path,
+        cur.copy(files = adds, schema = withIds(cur))))
+    val r = removed.select(struct(valueCols.map(col).toSeq: _*).as("_pre"),
+      col(RowIdCol))
+    val a = added.select(struct(valueCols.map(col).toSeq: _*).as("_post"),
+      col(RowIdCol))
+    val j = r.join(a, Seq(RowIdCol), "full_outer")
+    val killed =
+      if (dvAdds.isEmpty) j.limit(0).select(col(RowIdCol), col("_pre"))
+      else dvKilledRows(spark, path, prev.copy(schema = withIds(prev)),
+          dvAdds, cur.dvKey.get)
+        .select(col(RowIdCol), struct(valueCols.map(col).toSeq: _*).as("_pre"))
+    def expand(side: String, change: org.apache.spark.sql.Column) =
+      valueCols.map(c => col(s"$side.$c").as(c)) ++
+        Seq(col(RowIdCol), change.as("_change"))
+    j.filter(col("_post").isNull)
+      .select(expand("_pre", lit("delete")): _*)
+      .unionAll(j.filter(col("_pre").isNull)
+        .select(expand("_post", lit("insert")): _*))
+      .unionAll(j.filter(col("_pre").isNotNull && col("_post").isNotNull
+          && !(col("_pre") <=> col("_post")))
+        .select(expand("_pre", lit("update_preimage")): _*))
+      .unionAll(j.filter(col("_pre").isNotNull && col("_post").isNotNull
+          && !(col("_pre") <=> col("_post")))
+        .select(expand("_post", lit("update_postimage")): _*))
+      .unionAll(killed.select(expand("_pre", lit("delete")): _*))
+      .select((outCols :+ "_change").map(col).toSeq: _*)
+  }
+
   /** Drop all log entries and snapshots older than the newest `keep`
     * versions. Before deleting anything, a CHECKPOINT is published at
     * the retention floor (the oldest kept version) so every kept

@@ -103,6 +103,43 @@ class RowTrackingSpec extends SparkSpec {
       "post-restore insert must draw above the PRE-restore high water")
   }
 
+  test("changesByRowId: updates classify by id even with EVERY column changed; carried rewrite rows cancel") {
+    val path = tmp("graft_rt4")
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 200).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      path, statsCols = Seq("id"))
+    val idOf = ids(path)
+
+    // an update through a merge rewrite — classified by the stable id
+    // alone, no merge-key metadata consulted (works for any rewrite)
+    val upd = Seq((7L, -999L)).toDF("id", "v")
+    val mv = ManifestTable.merge(upd, path, "id")
+    val ch = ManifestTable.changesByRowId(spark, path, mv)
+      .select(col("id"), col(ManifestTable.RowIdCol), col("_change"))
+      .as[(Long, Long, String)].collect().toSet
+    // exactly one pre/post pair under the stable id; rows the rewrite
+    // carried (same file, unchanged values) cancel
+    assert(ch === Set(
+      (7L, idOf(7L), "update_preimage"),
+      (7L, idOf(7L), "update_postimage")), s"got $ch")
+
+    // an insert + DV delete version classifies both
+    val del = Seq((11L, 0L, true), (5000L, 1L, false)).toDF("id", "v", "_d")
+    val mv2 = ManifestTable.merge(del, path, "id", deleteCol = Some("_d"),
+      deleteVectors = true)
+    val ch2 = ManifestTable.changesByRowId(spark, path, mv2)
+      .select(col("id"), col("_change")).as[(Long, String)].collect().toSet
+    assert(ch2 === Set((11L, "delete"), (5000L, "insert")), s"got $ch2")
+
+    // a pure compact emits ZERO by-id change rows
+    ManifestTable.compact(spark, path, targetFiles = 1)
+    val cv = ManifestTable.currentVersion(spark, path).get
+    assert(ManifestTable.changesByRowId(spark, path, cv).count() === 0L,
+      "compaction must cancel id-for-id")
+  }
+
   test("enabling on a non-empty table refuses; appends after enable get disjoint id ranges") {
     val path = tmp("graft_rt3")
     ManifestTable.write(spark.range(0, 10).toDF("id"), path)
