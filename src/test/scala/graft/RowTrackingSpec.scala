@@ -103,7 +103,7 @@ class RowTrackingSpec extends SparkSpec {
       "post-restore insert must draw above the PRE-restore high water")
   }
 
-  test("changesByRowId: updates classify by id even with EVERY column changed; carried rewrite rows cancel") {
+  test("changesByRowId: rewrite updates classify by stable id with no merge-key metadata; carried rows cancel") {
     val path = tmp("graft_rt4")
     ManifestTable.enableRowTracking(spark, path)
     ManifestTable.write(
