@@ -1816,6 +1816,18 @@ object ManifestTable {
     readStateDf(spark, path, st.copy(schema = withId))
   }
 
+  /** A committed version WITH row ids exposed ([[readWithRowIds]] for
+    * the current version).
+    */
+  def readVersionWithRowIds(spark: SparkSession, path: String,
+                            version: Long): DataFrame = {
+    val st = resolveState(spark, path, version)
+    require(st.rowTracking, s"row tracking is not enabled at $path")
+    val withId = st.schema.map(sc => StructType(sc.fields :+
+      org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+    readStateDf(spark, path, st.copy(schema = withId))
+  }
+
   /** Assign fresh ids above the high-water mark to rows lacking one;
     * rows that already carry [[RowIdCol]] keep it (rewrite paths).
     * Returns the id-bearing frame; the caller computes the new
@@ -2967,7 +2979,20 @@ object ManifestTable {
     def withIds(st: TableState): Option[StructType] =
       st.schema.map(sc => StructType(sc.fields :+
         org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
-    val outCols = cur.schema.get.fieldNames :+ RowIdCol
+    // metadata-only versions (e.g. the enable-tracking commit itself)
+    // carry no schema: their change set is empty, typed on the newest
+    // committed schema so feed consumers see stable columns
+    val schemaRes = cur.schema.orElse(
+      currentVersion(spark, path).flatMap(v0 =>
+        resolveState(spark, path, v0).schema)).getOrElse(
+      throw new IllegalStateException(s"no committed schema at $path"))
+    val outCols = schemaRes.fieldNames :+ RowIdCol
+    def emptyOut: DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schemaRes.fields :+
+          org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+      .withColumn("_change", lit("insert"))
+    if (cur.schema.isEmpty) return emptyOut
     if (version == 1L)
       return readStateDf(spark, path, cur.copy(schema = withIds(cur)))
         .withColumn("_change", lit("insert"))

@@ -62,7 +62,8 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     (shortName(), TableFeedSource.feedSchema(
-      sqlContext.sparkSession, TableFeedSource.pathOf(parameters)))
+      sqlContext.sparkSession, TableFeedSource.pathOf(parameters),
+      TableFeedSource.rowIdsOf(parameters)))
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -73,16 +74,19 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
       TableFeedSource.pathOf(parameters),
       TableFeedSource.maxVersionsOf(parameters),
       Some(metadataPath),
-      TableFeedSource.updateImagesOf(parameters))
+      TableFeedSource.updateImagesOf(parameters),
+      TableFeedSource.rowIdsOf(parameters))
 }
 
 class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       maxVersionsPerBatch: Option[Int] = None,
                       metadataPath: Option[String] = None,
-                      updateImages: Boolean = false) extends Source {
+                      updateImages: Boolean = false,
+                      rowIds: Boolean = false) extends Source {
 
-  override val schema: StructType = TableFeedSource.feedSchema(spark, path)
+  override val schema: StructType =
+    TableFeedSource.feedSchema(spark, path, rowIds)
 
   /** ADMISSION CONTROL state: the highest version end this source has
     * DELIVERED (≥ the engine's committed offset by construction). With
@@ -160,8 +164,10 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
         // double-count); every later version replays incrementally
         val changes =
           if (from == 0L && v == vs.head && v != 1L)
-            ManifestTable.readVersion(spark, path, v)
+            (if (rowIds) ManifestTable.readVersionWithRowIds(spark, path, v)
+             else ManifestTable.readVersion(spark, path, v))
               .withColumn("_change", lit("insert"))
+          else if (rowIds) ManifestTable.changesByRowId(spark, path, v)
           else ManifestTable.changesForVersion(spark, path, v, updateImages)
         changes.withColumn("_commit_version", lit(v))
           .select(tableCols :+ col("_commit_version"): _*)
@@ -196,17 +202,29 @@ object TableFeedSource {
     parameters.get("updateimages").orElse(parameters.get("updateImages"))
       .exists(_.toBoolean)
 
+  /** `option("rowIds", "true")`: row-tracked tables only — change rows
+    * carry the stable [[ManifestTable.RowIdCol]] and rewrite commits
+    * classify by id ([[ManifestTable.changesByRowId]]), so a consumer
+    * keys its state on row identity instead of full-row equality.
+    */
+  private[streaming] def rowIdsOf(parameters: Map[String, String]): Boolean =
+    parameters.get("rowids").orElse(parameters.get("rowIds"))
+      .exists(_.toBoolean)
+
   /** Pinned feed schema: the table's committed schema plus the change
     * metadata columns.
     */
   def feedSchema(spark: org.apache.spark.sql.SparkSession,
-                 path: String): StructType = {
+                 path: String, rowIds: Boolean = false): StructType = {
     val v = ManifestTable.currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed version at $path — commit before subscribing"))
     val table = ManifestTable.manifestSchema(spark, path, v)
       .getOrElse(ManifestTable.readVersion(spark, path, v).schema)
-    StructType(table.fields
+    val base =
+      if (!rowIds) table.fields
+      else table.fields :+ StructField(ManifestTable.RowIdCol, LongType)
+    StructType(base
       :+ StructField("_change", StringType, nullable = false)
       :+ StructField("_commit_version", LongType, nullable = false))
   }
@@ -226,12 +244,14 @@ object TableFeedSource {
   def readStream(spark: org.apache.spark.sql.SparkSession,
                  path: String,
                  maxVersionsPerBatch: Option[Int] = None,
-                 updateImages: Boolean = false): DataFrame = {
+                 updateImages: Boolean = false,
+                 rowIds: Boolean = false): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
     maxVersionsPerBatch.foreach(n => r.option("maxVersionsPerBatch", n.toString))
     if (updateImages) r.option("updateImages", "true")
+    if (rowIds) r.option("rowIds", "true")
     r.load()
   }
 

@@ -140,6 +140,43 @@ class RowTrackingSpec extends SparkSpec {
       "compaction must cancel id-for-id")
   }
 
+  test("the table feed with rowIds: change rows carry stable ids; a merge streams as one id-keyed update pair") {
+    val path = tmp("graft_rt5")
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 100).toDF("id").withColumn("v", col("id")), path) // v2
+    ManifestTable.append(
+      spark.range(100, 150).toDF("id").withColumn("v", col("id")), path) // v3
+    ManifestTable.merge(Seq((7L, -7L)).toDF("id", "v"), path, "id")     // v4
+    val idOf = ids(path)
+
+    val qName = s"rt_feed_${System.nanoTime()}"
+    val q = graft.streaming.TableFeedSource
+      .readStream(spark, path, rowIds = true)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(qName)
+      .select(col("id"), col(ManifestTable.RowIdCol).as("rid"),
+        col("_change"), col("_commit_version"))
+      .as[(Long, Long, String, Long)].collect()
+    spark.catalog.dropTempView(qName)
+
+    // 150 inserts across v1+v2, each carrying its live row id
+    val inserts = out.filter(_._3 == "insert")
+    assert(inserts.length === 150)
+    inserts.filterNot(_._1 == 7L).foreach { case (k, rid, _, _) =>
+      assert(rid === idOf(k), s"insert for key $k must carry its row id") }
+    // the merge (v4: enable=1, write=2, append=3) streams as ONE
+    // update pair under the same stable id
+    val v4 = out.filter(_._4 == 4L)
+    assert(v4.map(r => (r._1, r._2, r._3)).toSet ===
+      Set((7L, idOf(7L), "update_preimage"), (7L, idOf(7L), "update_postimage")),
+      s"got ${v4.toSeq}")
+  }
+
   test("enabling on a non-empty table refuses; appends after enable get disjoint id ranges") {
     val path = tmp("graft_rt3")
     ManifestTable.write(spark.range(0, 10).toDF("id"), path)
