@@ -2720,6 +2720,53 @@ object ManifestTable {
       statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
   }
 
+  /** RANK-normalized OPTIMIZE ZORDER: like [[optimizeZOrder]] but each
+    * dimension maps through its own QUANTILE grid (64 rank buckets
+    * from `approxQuantile`) instead of equi-width min/max scaling —
+    * the normalization that keeps per-file ranges tight under HEAVY
+    * KEY SKEW, where equi-width collapses most rows into a few Morton
+    * cells and the curve degenerates toward single-column clustering.
+    * 64 buckets = 6 significant bits per dimension, exactly the
+    * granularity file-level min/max skipping consumes; the bucket
+    * assignment compiles to a 64-branch CASE (within the documented
+    * safe codegen depth — SCALE.md's >512-branch hazard).
+    *
+    * Cost: one `approxQuantile` pass per column (sketch-based, no
+    * sort) on top of the O(table) rewrite.
+    */
+  def optimizeZOrderRanked(spark: SparkSession, path: String,
+                           c1: String, c2: String, targetFiles: Int,
+                           extraStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val zv = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val cur =
+      if (resolveState(spark, path, zv).rowTracking)
+        readWithRowIds(spark, path)
+      else read(spark, path)
+    val buckets = 64
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    def rankCol(c: String) = {
+      val cuts = cur.stat.approxQuantile(c, probs, 0.001)
+      // ascending CASE over the interior cuts; ties collapse branches
+      val distinctCuts = cuts.distinct
+      val base: org.apache.spark.sql.Column = lit(distinctCuts.length)
+      distinctCuts.zipWithIndex.reverse.foldLeft(base) {
+        case (acc, (cut, i)) =>
+          when(col(c).cast("double") <= cut, i).otherwise(acc)
+      } * lit(1 << 25) // spread bucket ids across the int domain
+    }
+    val keyed = cur
+      .withColumn("_graft_z1", rankCol(c1).cast("int"))
+      .withColumn("_graft_z2", rankCol(c2).cast("int"))
+    val clustered = graft.functions.ZOrderKey
+      .clusterBy(keyed, "_graft_z1", "_graft_z2", targetFiles)
+      .drop("_graft_z1", "_graft_z2")
+    write(clustered, path,
+      statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
+  }
+
   /** N-column OPTIMIZE ZORDER (3–8 columns): the same normalize-then-
     * interleave rewrite over the N-ary Morton key
     * ([[graft.functions.ZOrderKeyN]] — round-robin bit interleave,

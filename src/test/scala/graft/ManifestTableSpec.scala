@@ -242,6 +242,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(interp === keys(2), "interpreted eval must equal codegen result")
   }
 
+  test("optimizeZOrderRanked: quantile normalization keeps pruning tight under heavy key skew") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mtzr").toString + "/t"
+    // y is HEAVILY skewed (quadratic): under equi-width normalization
+    // three quarters of the rows land in the top quarter of the grid
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("y", col("id") * col("id"))
+      .withColumn("s", pmod(col("id") * 2654435761L, lit(4096)))
+    ManifestTable.write(
+      df.repartitionByRange(8, col("s")).sortWithinPartitions(col("s")),
+      path, statsCols = Seq("id", "y"))
+
+    ManifestTable.optimizeZOrderRanked(spark, path, "y", "id",
+      targetFiles = 64)
+    // a rank slice of the skewed dimension (the lowest eighth of ROWS:
+    // y <= 512^2 covers ids 0..512) touches few files despite covering
+    // a sliver of the VALUE domain
+    val (keptY, totY) = ManifestTable.pruneCount(spark, path, "y",
+      0, 512.0 * 512.0)
+    assert(totY >= 48, s"expected ~64 files, got $totY")
+    assert(keptY <= totY / 4,
+      s"rank-normalized skewed dim should prune: kept $keptY of $totY")
+    // and the uniform dimension prunes too — the curve stayed 2-D
+    val (keptId, totId) = ManifestTable.pruneCount(spark, path, "id", 0, 511)
+    assert(keptId <= totId / 4,
+      s"uniform dim should prune: kept $keptId of $totId")
+    // content invariant
+    assert(ManifestTable.read(spark, path).count() === 4096)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("y") =!= col("id") * col("id")).count() === 0)
+  }
+
   test("diff between versions yields the insert/delete change feed") {
     val path = java.nio.file.Files.createTempDirectory("graft_mt9").toString + "/t"
     ManifestTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
