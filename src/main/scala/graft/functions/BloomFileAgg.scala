@@ -91,10 +91,83 @@ case class BloomFileAgg(
     copy(child = newChildren.head)
 }
 
+/** Native scalar probe over a PER-ROW serialized filter — the executor
+  * side of the file-level bloom index. Spark's own
+  * `BloomFilterMightContain` cannot serve here: it requires its filter
+  * operand foldable (one filter for the whole plan, cached once on the
+  * driver), while the sidecar table carries a DIFFERENT filter per row
+  * (one per data file). This expression deserializes the row's bits and
+  * tests the probe value with the exact put convention of
+  * [[BloomFileAgg]] (integrals as long, strings as UTF-8 bytes).
+  *
+  * Scale shape: this is what lets a point lookup probe the index
+  * DISTRIBUTIVELY — the sidecar parquet is scanned executor-side, each
+  * task tests its own files' filters, and only file NAMES flow to the
+  * driver (KBs at 10⁶ files) instead of O(table-filter-bytes) blobs.
+  * Per-row deserialization is inherent to per-file filters and bounded
+  * by O(live files) rows total, not O(data).
+  *
+  * Codegen: one call into [[BloomFileAgg.probeLong]]/[[BloomFileAgg.probeUtf8]]
+  * via an embedded reference — same shape as [[SimHash64]]; the
+  * whole-stage span stays unbroken.
+  */
+case class BloomProbe(bits: Expression, value: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private val isString = value.dataType == StringType
+  private val isIntegral = value.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  require(isString || isIntegral,
+    s"bloom probe supports integral and string values, got ${value.dataType}")
+  require(bits.dataType == BinaryType,
+    s"bloom probe needs serialized filter bytes, got ${bits.dataType}")
+
+  override def left: Expression = bits
+  override def right: Expression = value
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    if (isString)
+      java.lang.Boolean.valueOf(BloomFileAgg.probeUtf8(
+        b.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String]))
+    else
+      java.lang.Boolean.valueOf(BloomFileAgg.probeLong(
+        b.asInstanceOf[Array[Byte]], v match {
+          case l: Long  => l
+          case i: Int   => i.toLong
+          case s: Short => s.toLong
+          case x: Byte  => x.toLong
+        }))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val obj = "graft.functions.BloomFileAgg"
+    if (isString)
+      nullSafeCodeGen(ctx, ev,
+        (b, v) => s"${ev.value} = $obj.probeUtf8($b, $v);")
+    else
+      nullSafeCodeGen(ctx, ev,
+        (b, v) => s"${ev.value} = $obj.probeLong($b, (long) $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(bits = newLeft, value = newRight)
+}
+
 object BloomFileAgg {
 
   /** Idempotent per-session registration (items / fpp as literals). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe",
+      exprs => BloomProbe(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_file_bloom",
       exprs => {
@@ -113,6 +186,7 @@ object BloomFileAgg {
         BloomFileAgg(exprs(0), items, fpp).toAggregateExpression()
       },
       "built-in")
+  }
 
   /** Column-API entry point (use inside `.agg(...)`). */
   def bloom(spark: SparkSession, c: Column, expectedItems: Long,
@@ -120,6 +194,24 @@ object BloomFileAgg {
     register(spark)
     call_function("graft_file_bloom", c, lit(expectedItems), lit(fpp))
   }
+
+  /** Column-API probe of a PER-ROW serialized filter (executor-side;
+    * see [[BloomProbe]]). `bits` is the sidecar's binary column; `value`
+    * the lookup literal. */
+  def probe(spark: SparkSession, bits: Column, value: Column): Column = {
+    register(spark)
+    call_function("graft_bloom_probe", bits, value)
+  }
+
+  /** Executor-side probe kernels (called from [[BloomProbe]] codegen).
+    * MUST mirror the put convention: integrals as long, strings as
+    * UTF-8 bytes. */
+  def probeLong(bits: Array[Byte], value: Long): Boolean =
+    BloomFilter.readFrom(new ByteArrayInputStream(bits)).mightContainLong(value)
+
+  def probeUtf8(bits: Array[Byte], value: UTF8String): Boolean =
+    BloomFilter.readFrom(new ByteArrayInputStream(bits))
+      .mightContainBinary(value.getBytes)
 
   /** Probe a serialized filter — MUST mirror the put convention above:
     * integrals as long, strings as UTF-8 bytes. False means the file

@@ -142,9 +142,12 @@ object ManifestTable {
 
   /** A file ref recorded by [[cloneShallow]] pointing OUTSIDE the table
     * root (absolute path or full URI), vs the usual table-relative ref.
+    * URI detection accepts both `scheme://authority/...` and Hadoop's
+    * authority-less `scheme:/...` rendering (LocalFileSystem qualifies
+    * to `file:/path`, not `file:///path`).
     */
   private def isExternalRef(rel: String): Boolean =
-    rel.startsWith("/") || rel.contains("://")
+    rel.startsWith("/") || rel.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*")
 
   /** Table-relative refs resolve under the table root; external refs
     * (shallow clones) pass through untouched.
@@ -1508,11 +1511,13 @@ object ManifestTable {
     * filtered rows; [[pointLookupCount]] exposes the prune arithmetic
     * for specs and capacity math.
     *
-    * Probe cost: the sidecars (KBs–MBs per commit) are read and tested
-    * on the driver — right for the interactive needle-in-haystack
-    * lookup this exists for. A high-QPS serving path would instead
-    * broadcast-join probes against the sidecar table distributively;
-    * the sidecar layout (file, col, bits) is already that table.
+    * Probe cost: the sidecar parquet is scanned EXECUTOR-SIDE — each
+    * task deserializes and tests its own files' filters via the native
+    * [[graft.functions.BloomProbe]] expression — and only the NAMES of
+    * files the index definitely excludes come back to the driver. At
+    * the 100 TB design point (~10⁶ files × ~MB filters) driver traffic
+    * is KBs of names, flat in filter size; the filter bytes never leave
+    * the executors.
     */
   def readWhereEquals(spark: SparkSession, path: String, column: String,
                       value: Any): DataFrame = {
@@ -1543,26 +1548,50 @@ object ManifestTable {
       case _ => st.files
     }
     // 2) bloom prune — only files that HAVE a filter can be excluded;
-    // the spec and sidecars carry PHYSICAL column names
+    // the spec and sidecars carry PHYSICAL column names. The probe runs
+    // executor-side (bloomExcludedFiles): only the names of
+    // definitely-absent files return to the driver, so a file with no
+    // sidecar entry (pre-index commit) is conservatively kept for free.
     val afterBloom = st.bloom.filter(_.cols.contains(st.phys(column))) match {
       case Some(_) if st.bloomFiles.nonEmpty =>
-        import org.apache.spark.sql.functions.col
-        val entries = spark.read
-          .parquet(st.bloomFiles.map(resolveRef(path, _)): _*)
-          .filter(col("_graft_bloom_col") === st.phys(column))
-          .select("_graft_bloom_file", "_graft_bloom_bits")
-          .collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-        afterStats.filter { f =>
-          entries.get(f.split("/").last) match {
-            case Some(bits) =>
-              graft.functions.BloomFileAgg.mightContain(bits, value)
-            case None => true // pre-index file: cannot prune
-          }
-        }
+        val excluded = bloomExcludedFiles(spark, path, st, column, value)
+        afterStats.filter(f => !excluded.contains(f.split("/").last))
       case _ => afterStats
     }
     (afterBloom, st)
+  }
+
+  /** Basenames of live files whose bloom filter says the value is
+    * DEFINITELY absent. The probe is distributed: the sidecar parquet
+    * (file, col, bits) is a table; each executor task deserializes and
+    * tests the filters of the rows it reads (native [[graft.functions.BloomProbe]]
+    * inside whole-stage codegen), and only excluded file names — never
+    * filter bytes — are collected. Exposed for the driver-bytes spec.
+    */
+  private[graft] def bloomExcludedFiles(spark: SparkSession, path: String,
+                                        st: TableState, column: String,
+                                        value: Any): Set[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    bloomProbeFrame(spark, path, st, column, value)
+      .filter(!col("_graft_bloom_maybe"))
+      .select("_graft_bloom_file")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** The distributed probe plan (file, maybe) — names + booleans only;
+    * the bits column dies inside the executor-side projection. Split
+    * out so specs can audit the plan shape and output schema. */
+  private[graft] def bloomProbeFrame(spark: SparkSession, path: String,
+                                     st: TableState, column: String,
+                                     value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.BloomFileAgg.register(spark)
+    spark.read
+      .parquet(st.bloomFiles.map(resolveRef(path, _)): _*)
+      .filter(col("_graft_bloom_col") === st.phys(column))
+      .select(col("_graft_bloom_file"),
+        graft.functions.BloomFileAgg.probe(spark,
+          col("_graft_bloom_bits"), lit(value)).as("_graft_bloom_maybe"))
   }
 
   // ------------------------------------------------------------------
@@ -2463,8 +2492,14 @@ object ManifestTable {
     val st = resolveState(spark, src, srcV)
     // partitioned sources clone too: the external refs keep their k=v
     // segments, and the read path re-derives partition columns by
-    // grouping refs under their snapshot-dir scan base
-    val srcRoot = new Path(src).toUri.getPath.stripSuffix("/")
+    // grouping refs under their snapshot-dir scan base.
+    // FULLY QUALIFY the source root: makeQualified keeps the scheme +
+    // authority (s3://bucket/..., hdfs://nn/...) so refs resolve against
+    // the SOURCE's filesystem, not the clone's default one, and turns a
+    // relative local src absolute so every ref passes isExternalRef.
+    val srcFs = fs(spark, src)
+    val srcRoot =
+      srcFs.makeQualified(new Path(src)).toString.stripSuffix("/")
     def abs(rel: String): String = resolveRef(srcRoot, rel)
     val json = deltaJson(1L, System.currentTimeMillis(),
       st.files.map(abs), Nil,
@@ -2529,8 +2564,21 @@ object ManifestTable {
         dvAdds = target.dvFiles.filterNot(cur.dvFiles.toSet),
         dvRemoves = cur.dvFiles.filterNot(target.dvFiles.toSet),
         dvKey = target.dvKey,
+        // constraints roll back WITH the state: dropping the ones added
+        // since the target (else a still-enforced constraint would
+        // govern resurrected rows it never validated) and re-adding the
+        // ones dropped since (else enforcement silently vanishes)
+        constraintAdds = target.constraints,
+        constraintRemoves =
+          (cur.constraints.keySet -- target.constraints.keySet).toSeq.sorted,
         bloomAdds = target.bloomFiles.filterNot(cur.bloomFiles.toSet),
         bloomRemoves = cur.bloomFiles.filterNot(target.bloomFiles.toSet),
+        // the bloom SPEC rolls back too; a pre-index target disables the
+        // index via an empty-cols spec (absent field = inherit, so None
+        // could not unset cur's spec)
+        bloomSpec =
+          if (cur.bloom == target.bloom) None
+          else target.bloom.orElse(Some(BloomSpec(Nil, 1L, 0.01))),
         // restore the target's column mapping too (overwrite cur's even
         // when the target predates mapping); ids stay monotone forever
         mapping =

@@ -372,7 +372,8 @@ class ManifestLogSpec extends SparkSpec {
     val dstDirs = new java.io.File(dst).listFiles.map(_.getName).toSeq
     assert(dstDirs.forall(n => n.startsWith("_graft_")),
       s"clone must write only manifests, found: $dstDirs")
-    assert(ManifestTable.manifestFiles(spark, dst, 1).forall(_.startsWith("/")))
+    assert(ManifestTable.manifestFiles(spark, dst, 1)
+      .forall(_.startsWith("file:/")), "clone refs must be fs-qualified")
     // reads match (incl. the DV'd row absent), stats prune carried over
     assert(ManifestTable.read(spark, dst).count() === 399)
     assert(ManifestTable.read(spark, dst).filter(col("id") === 7).count() === 0)
@@ -402,12 +403,13 @@ class ManifestLogSpec extends SparkSpec {
       .filter(col("id") === 5).select("v").head().getLong(0) === 50L)
     // only the touched ref localized; the others still point at src
     val refs = ManifestTable.manifestFiles(spark, dst, mv)
-    assert(refs.count(_.startsWith("/")) === 3,
+    assert(refs.count(_.startsWith("file:/")) === 3,
       s"merge must localize exactly the touched file, got $refs")
     // compact localizes everything -> the clone survives source vacuum
     ManifestTable.compact(spark, dst, targetFiles = 2)
     assert(ManifestTable.manifestFiles(spark, dst,
-      ManifestTable.currentVersion(spark, dst).get).forall(!_.startsWith("/")))
+      ManifestTable.currentVersion(spark, dst).get)
+      .forall(r => !r.startsWith("/") && !r.startsWith("file:")))
     ManifestTable.write(base.limit(1), src) // shrink source…
     ManifestTable.vacuum(spark, src, keep = 1) // …and drop its history
     assert(ManifestTable.read(spark, dst).count() === 399)
@@ -431,7 +433,7 @@ class ManifestLogSpec extends SparkSpec {
     // with mixed partition dirs)
     ManifestTable.cloneShallow(spark, src, dst)
     val refs = ManifestTable.manifestFiles(spark, dst, 1)
-    assert(refs.forall(_.startsWith("/")) && refs.forall(_.contains("part=")),
+    assert(refs.forall(_.startsWith("file:/")) && refs.forall(_.contains("part=")),
       s"partitioned refs must keep their k=v segments: $refs")
     // content identical, partition column re-derived with its value
     val got = ManifestTable.read(spark, dst)
@@ -448,7 +450,8 @@ class ManifestLogSpec extends SparkSpec {
     val mv = ManifestTable.merge(
       Seq((6L, 0, -1L)).toDF("id", "part", "v"), dst, "id")
     val after = ManifestTable.manifestFiles(spark, dst, mv)
-    assert(after.exists(r => !r.startsWith("/") && r.contains("part=")),
+    assert(after.exists(r => !r.startsWith("/") && !r.startsWith("file:") &&
+      r.contains("part=")),
       s"merge rewrite must land in a local partition dir: $after")
     assert(ManifestTable.read(spark, dst)
       .filter(col("id") === 6).select("v").head().getLong(0) === -1L)
@@ -571,6 +574,106 @@ class ManifestLogSpec extends SparkSpec {
       s"after compact every file has a filter: $c3 of $t3")
     assert(ManifestTable.readWhereEquals(spark, p2, "cust", 123L)
       .count() === expect123)
+  }
+
+  test("restore rolls back constraints and the bloom spec: post-target constraints stop enforcing, dropped ones re-enforce, a pre-index target disables the index") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log14").toString + "/t"
+    ManifestTable.write(Seq((1L, 10L)).toDF("id", "v"), path)          // v1
+    ManifestTable.addCheckConstraint(spark, path, "v_pos", "v > 0")    // v2
+    val v2 = ManifestTable.currentVersion(spark, path).get
+    ManifestTable.dropCheckConstraint(spark, path, "v_pos")            // v3
+    ManifestTable.addCheckConstraint(spark, path, "v_big", "v >= 10")  // v4
+    ManifestTable.setBloomIndex(spark, path, Seq("id"), items = 256,
+      fpp = 0.01)                                                      // v5
+    // restore to v2: v_pos must re-enforce, v_big must vanish, and the
+    // bloom index (declared after v2) must disable
+    ManifestTable.restore(spark, path, v2)
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.constraints.keySet === Set("v_pos"),
+      s"restored constraints: ${st.constraints.keySet}")
+    assert(st.bloom.forall(_.cols.isEmpty),
+      s"bloom spec must roll back with the state: ${st.bloom}")
+    // v_big (added after the target) no longer blocks small values...
+    ManifestTable.append(Seq((2L, 5L)).toDF("id", "v"), path)
+    // ...but v_pos (live at the target) still enforces
+    intercept[Exception] {
+      ManifestTable.append(Seq((3L, -1L)).toDF("id", "v"), path)
+    }
+    assert(ManifestTable.read(spark, path).count() === 2)
+  }
+
+  test("cloneShallow qualifies external refs with the source filesystem: relative sources resolve, refs carry a scheme") {
+    val base = java.nio.file.Files.createTempDirectory("graft_log15").toString
+    val src = s"$base/src"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    val dst = s"$base/dst"
+    ManifestTable.cloneShallow(spark, src, dst)
+    // refs are fully qualified (scheme-carrying) external paths, so a
+    // clone of an s3://-style source would resolve against the SOURCE
+    // filesystem rather than the destination's default one
+    val refs = ManifestTable.manifestFiles(spark, dst, 1L)
+    assert(refs.nonEmpty && refs.forall(_.startsWith("file:")),
+      s"clone refs must be filesystem-qualified: $refs")
+    assert(ManifestTable.read(spark, dst).count() === 2)
+    // a RELATIVE source path also yields resolvable external refs
+    val cwd = new java.io.File(".").getCanonicalPath
+    val relSrc = new java.io.File(cwd).toPath
+      .relativize(new java.io.File(src).toPath).toString
+    val dst2 = s"$base/dst2"
+    ManifestTable.cloneShallow(spark, relSrc, dst2)
+    assert(ManifestTable.read(spark, dst2).count() === 2)
+  }
+
+  test("bloom probe is distributed: sidecar scanned executor-side, only excluded NAMES reach the driver, filter bytes never collected") {
+    val path = java.nio.file.Files.createTempDirectory("graft_log13c").toString + "/t"
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("cust", (col("id") * 2654435761L) % 997)
+    ManifestTable.setBloomIndex(spark, path, Seq("cust"), items = 4096,
+      fpp = 0.01)
+    ManifestTable.write(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val v = ManifestTable.currentVersion(spark, path).get
+    val st = ManifestTable.resolveState(spark, path, v)
+    val probe = ManifestTable.bloomProbeFrame(spark, path, st, "cust", 99999L)
+    // 1) the collected schema is (file NAME, boolean) — the bits column
+    //    is projected away inside the executor-side plan, so driver
+    //    bytes are flat in filter size
+    assert(probe.schema.fieldNames.toSeq ===
+      Seq("_graft_bloom_file", "_graft_bloom_maybe"))
+    assert(!probe.schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType),
+      "probe output must not carry filter bytes to the driver")
+    // 2) plan shape: parquet scan of the sidecars + the native probe
+    //    expression, no driver-side materialization step
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Parquet") || plan.contains("parquet"),
+      s"probe must scan the sidecar parquet distributively:\n$plan")
+    assert(probe.queryExecution.analyzed.toString
+      .contains("graft_bloom_probe"),
+      "probe must evaluate via the native BloomProbe expression")
+    // 3) semantics unchanged: excluded names prune exactly like the
+    //    old driver-side probe — absent value excludes nearly all files
+    val excluded = ManifestTable.bloomExcludedFiles(spark, path, st,
+      "cust", 99999L)
+    assert(excluded.size >= 6, s"absent value excluded only ${excluded.size} of 8")
+    assert(excluded.forall(n => !n.contains("/")),
+      "excluded entries must be basenames, not paths")
+    // 4) string-valued probe goes through the same distributed path
+    val p2 = java.nio.file.Files.createTempDirectory("graft_log13d").toString + "/t"
+    ManifestTable.setBloomIndex(spark, p2, Seq("tag"), items = 1024,
+      fpp = 0.01)
+    ManifestTable.write(
+      spark.range(0, 100).toDF("id")
+        .withColumn("tag", concat(lit("t"), col("id"))).repartition(4),
+      p2)
+    assert(ManifestTable.readWhereEquals(spark, p2, "tag", "t42")
+      .count() === 1L)
+    val (cAbsent, tot) = ManifestTable.pointLookupCount(spark, p2, "tag",
+      "no-such-tag")
+    assert(tot === 4 && cAbsent <= 1,
+      s"string probe must prune: kept $cAbsent of $tot")
   }
 
   test("OCC under real thread concurrency: racing appends and merges all land exactly once") {
