@@ -50,4 +50,41 @@ object GraftSession {
     builder(appName, cores)
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
+
+  @volatile private var extCache: Option[SparkSession] = None
+
+  /** Run `f` against a session on the SAME SparkContext as `base` but
+    * with graft's SQL extensions applied (parser verbs + table
+    * functions — [[graft.plans.GraftExtensions]]), for apps whose base
+    * session was built without `.withExtensions`. Extensions bind at
+    * session CREATION, so `getOrCreate` on the base session can never
+    * acquire them — this builds one extended sibling (cached for the
+    * JVM; sessions are cheap, contexts are not) and restores the
+    * active/default sessions afterwards.
+    */
+  def withSqlExtensions[A](base: SparkSession)(f: SparkSession => A): A = {
+    val ext = extCache match {
+      case Some(s) if s.sparkContext eq base.sparkContext => s
+      case _ =>
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s =
+          try SparkSession.builder()
+            .withExtensions(new graft.plans.GraftExtensions)
+            .getOrCreate()
+          finally {
+            SparkSession.setDefaultSession(base)
+            SparkSession.setActiveSession(base)
+          }
+        extCache = Some(s)
+        s
+    }
+    SparkSession.setActiveSession(ext)
+    SparkSession.setDefaultSession(ext)
+    try f(ext)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

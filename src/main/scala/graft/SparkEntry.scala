@@ -128,6 +128,9 @@ object SparkEntry {
     "ndv_stats"          -> ((s, d) => graft.pipeline.Medallion.ndvStatsOrders(s, d)),
     "table_history"      -> ((s, d) => graft.pipeline.Medallion.tableHistoryOrders(s, d)),
     "row_tracking"       -> ((s, d) => graft.pipeline.Medallion.rowTrackingOrders(s, d)),
+    "update_where"       -> ((s, d) => graft.pipeline.Medallion.updateWhereOrders(s, d)),
+    "delete_where"       -> ((s, d) => graft.pipeline.Medallion.deleteWhereOrders(s, d)),
+    "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1487,6 +1490,53 @@ object SparkEntry {
            FROM orders
            WHERE o_orderkey % 89 <> 0
              AND NOT (o_orderkey % 107 = 0 AND o_orderkey % 89 <> 0))
+         SELECT * FROM (
+           SELECT * FROM base
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the keyless predicate UPDATE
+    // (Medallion.updateWhereOrders): the CASE algebra — the hash match
+    // proves touched-file detection missed no matching row and the
+    // rewrite corrupted no carried one.
+    "update_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'P' AND o_totalprice < 100000.0
+                     THEN o_totalprice + 500.0 ELSE o_totalprice
+                END AS o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderstatus = 'P' AND o_totalprice < 100000.0
+                     THEN '1-URGENT-UPD' ELSE o_orderpriority
+                END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    // Relational recompute of the keyless predicate DELETE
+    // (Medallion.deleteWhereOrders).
+    "delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+         ORDER BY o_orderkey""",
+    // Relational recompute of the SQL-TEXT MERGE INTO
+    // (Medallion.sqlMergeUpsert, through the injected parser): same
+    // three-verdict algebra as merge_upsert with the SQL markers.
+    "sql_merge_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice,
+                  o_orderdate, '0-SQLMERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0),
+         ins AS (
+           SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '9-SQLINS' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+         base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 97 <> 0
+             AND NOT (o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0))
          SELECT * FROM (
            SELECT * FROM base
            UNION ALL SELECT * FROM upd

@@ -2449,6 +2449,185 @@ object ManifestTable {
                           lower: Double, upper: Double): (Int, Int) =
     pruneCount(spark, path, key, lower, upper)
 
+  /** Predicate UPDATE (Delta `UPDATE tbl SET c = e, ... WHERE cond`) —
+    * keyless copy-on-write: touched files are discovered by ONE
+    * filter-pushed scan collecting file NAMES only (parquet row-group
+    * stats prune the scan for free; O(files) driver rows), then only
+    * those files rewrite with the SET applied to matching rows. Carried
+    * files are untouched bytes. `set` values and `cond` are Columns
+    * over the table's logical schema; rows where `cond` is NULL are
+    * unchanged (SQL semantics). SET targets may not be generated
+    * columns — those recompute from their declarations after the
+    * update, so a SET on a generated-column SOURCE stays consistent.
+    * Returns the committed version (or the current one when no row
+    * matches — a no-op commits nothing).
+    *
+    * Scale shape: cost is O(matching files rewritten + one prune-scan
+    * of candidates), identical to [[merge]]'s CoW fraction; the
+    * detection scan reads only `cond`'s columns (column-pruned) and
+    * skips row groups whose stats exclude the predicate.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  set: Seq[(String, Column)], cond: Column,
+                  statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                  tag: Option[String] = None,
+                  tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      rewriteWhere(spark, path, cond, op = "UPDATE",
+        statsCols, maxAttempts, tag, tagHorizon,
+        transform = (df, st) => {
+          set.foreach { case (c, _) =>
+            require(!st.generated.contains(c),
+              s"cannot UPDATE generated column '$c' — it recomputes from " +
+                s"its declaration (${st.generated.getOrElse(c, "")})")
+            require(df.schema.fieldNames.contains(c),
+              s"UPDATE SET targets unknown column '$c'")
+          }
+          // drop generated columns, apply SET under the condition, then
+          // let generatedGuard recompute them from the updated sources.
+          // Every RHS evaluates against the OLD row (SQL semantics —
+          // `SET a = b, b = a` swaps): stage all values into temp
+          // columns first, then overwrite.
+          val stripped = st.generated.keys.foldLeft(df)(_ drop _)
+          val staged = set.foldLeft(stripped) { case (d, (c, e)) =>
+            d.withColumn(s"_graft_set_$c",
+              when(cond, e.cast(df.schema(c).dataType)).otherwise(col(c)))
+          }
+          val updated = set.foldLeft(staged) { case (d, (c, _)) =>
+            d.withColumn(c, col(s"_graft_set_$c")).drop(s"_graft_set_$c")
+          }
+          constraintGuard(generatedGuard(updated, st.generated),
+            st.constraints)
+        })
+    }
+  }
+
+  /** Predicate DELETE (Delta `DELETE FROM tbl WHERE cond`) — keyless
+    * copy-on-write: touched files discovered by one filter-pushed
+    * name-only scan, then rewritten WITHOUT the matching rows; rows
+    * where `cond` is NULL survive (SQL semantics). Untouched files
+    * carry verbatim. Returns the committed version (current version
+    * when nothing matches — no commit).
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+                  statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                  tag: Option[String] = None,
+                  tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      rewriteWhere(spark, path, cond, op = "DELETE",
+        statsCols, maxAttempts, tag, tagHorizon,
+        transform = (df, _) => df.filter(!coalesce(cond, lit(false))))
+    }
+  }
+
+  /** Shared CoW engine for the keyless row-level verbs: OCC loop of
+    * (detect touched files → rewrite them via `transform` → commit
+    * adds/removes). Row tracking carries ids verbatim through the
+    * rewrite (`transform` never touches [[RowIdCol]]); stats columns
+    * default to the table's inherited stats schema so data skipping
+    * survives updates; bloom/NDV sidecars rebuild for staged files.
+    */
+  private def rewriteWhere(spark: SparkSession, path: String, cond: Column,
+                           op: String, statsCols: Seq[String],
+                           maxAttempts: Int, tag: Option[String],
+                           tagHorizon: Int,
+                           transform: (DataFrame, TableState) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      assertWritable(st, path)
+      val version = prevV + 1L
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      val partCols = partitionColsOf(st.files)
+      // 1) touched-file detection: filter-pushed scan, names only. The
+      // filter reaches the parquet scan, so row-group stats prune I/O;
+      // only O(matching files) names come back.
+      val touchedBase: Set[String] =
+        readFilesMapped(spark, path, st, st.files)
+          .filter(cond)
+          .select(element_at(split(input_file_name(), "/"), -1).as("_graft_f"))
+          .distinct().collect().map(_.getString(0)).toSet
+      val touched = st.files.filter(fl => touchedBase(fl.split("/").last))
+      if (touched.isEmpty) return prevV // no matches: nothing to commit
+      // 2) rewrite ONLY the touched files, DV-aware (already-deleted
+      // rows never resurrect); row ids ride along verbatim
+      val idSchema = st.schema.map(sc => StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+      val base = readStateDf(spark, path, st.copy(files = touched,
+        schema = if (st.rowTracking) idSchema else st.schema))
+      val carrySchema =
+        if (st.rowTracking) schema.fieldNames :+ RowIdCol
+        else schema.fieldNames
+      val newData = transform(base, st)
+        .select(carrySchema.map(col).toSeq: _*)
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      // stage in ~touched-file count (shuffle-free coalesce), physical
+      // names on mapped tables, inside the partition layout
+      val packed = newData.coalesce(math.max(1, touched.size))
+      val physOut =
+        if (!st.mapped) packed
+        else packed.select(packed.schema.fieldNames.map(n =>
+          col(n).as(st.phys(n))).toSeq: _*)
+      val w = physOut.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(snapDir)
+      var staged = listDataFiles(f, new Path(snapDir))
+      val untouched = st.files.filterNot(touched.toSet)
+      if (staged.isEmpty && untouched.isEmpty) {
+        // every row deleted: keep the version readable
+        physOut.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
+        staged = listDataFiles(f, new Path(snapDir))
+      }
+      val stagedRel = staged.map(p => relativize(new Path(path), p))
+      // stats columns: explicit > inherited (so skipping survives the
+      // rewrite without the caller re-declaring them); inherited keys
+      // are already PHYSICAL
+      val physStats =
+        if (statsCols.nonEmpty) statsCols.map(st.phys)
+        else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+      val newStats: Map[String, Map[String, ColStats]] =
+        if (physStats.isEmpty) Map.empty
+        else staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, physStats)).toMap
+      val bloomAdds = st.bloom match {
+        case Some(spec) if spec.cols.nonEmpty =>
+          buildBloomSidecar(spark, path, staged, spec, version, token)
+        case _ => Nil
+      }
+      val ndvAdds = st.ndvCols match {
+        case Nil  => Nil
+        case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+      }
+      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+        touched, newStats, tag, tagHorizon, Some(schema),
+        bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some(op))
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$op commit lost $maxAttempts races at $path — giving up")
+  }
+
   // ------------------------------------------------------------------
   // Maintenance
   // ------------------------------------------------------------------
@@ -2664,6 +2843,24 @@ object ManifestTable {
     rows.toDF("version", "ts", "operation", "adds", "removes", "dv_adds",
       "tag")
   }
+
+  /** The fixed schema of [[history]] — the SQL command surface
+    * (`DESCRIBE HISTORY`) needs it at PLAN time, before any run. */
+  val historySchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("ts", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("operation",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("adds", IntegerType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("removes", IntegerType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("dv_adds", IntegerType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("tag",
+      org.apache.spark.sql.types.StringType, nullable = true)))
 
   /** OPTIMIZE to a target FILE SIZE (Delta's `optimize.targetFileSize`
     * knob): compact the current version into

@@ -998,6 +998,84 @@ object Medallion {
           > lit(maxB)).as("inserts_above_high_water"))
   }
 
+  /** Declared predicate-UPDATE query ([[ManifestTable.updateWhere]] —
+    * Delta `UPDATE tbl SET ... WHERE cond` without a merge key):
+    * urgent-pending orders get a surcharge and a re-flag; every other
+    * row must carry through the copy-on-write rewrite untouched. The
+    * oracle recomputes the CASE algebra relationally, so the hash match
+    * proves the touched-file detection missed no matching row and the
+    * rewrite corrupted no carried one.
+    */
+  def updateWhereOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_upd_where_", sfDir) + "/orders_upd"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.updateWhere(spark, path,
+      Seq("o_totalprice" -> (col("o_totalprice") + lit(500.0)),
+        "o_orderpriority" -> lit("1-URGENT-UPD")),
+      col("o_orderstatus") === "P" && col("o_totalprice") < 100000.0)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared predicate-DELETE query ([[ManifestTable.deleteWhere]] —
+    * Delta `DELETE FROM tbl WHERE cond`): a keyless sparse delete over
+    * a scattered predicate; only files holding matches rewrite.
+    */
+  def deleteWhereOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_del_where_", sfDir) + "/orders_del"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.deleteWhere(spark, path,
+      col("o_orderkey") % 7 === 0 && col("o_orderstatus") === "F")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared SQL-surface query: the round-11 parser drives a full
+    * MERGE INTO from SQL TEXT (clause conditions, delete markers,
+    * inserts) against a path table — end-to-end through
+    * [[graft.plans.GraftSqlParser]] on an extended sibling session,
+    * proving SQL ≡ the Scala API the other merge queries exercise.
+    * Algebra mirrors `merge_upsert` with its own markers: keys ≡ 0
+    * (mod 97) update (price + 1000, '0-SQLMERGED'), keys ≡ 0 (mod 103,
+    * not 97) delete, keys ≡ 0 (mod 101) insert shifted +10⁸ with
+    * '9-SQLINS'.
+    */
+  def sqlMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_sql_merge_", sfDir) + "/orders_sqlm"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val src = Tables.orders(s, sfDir)
+      val upd = src.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderpriority", lit("0-SQLMERGED"))
+      val del = src
+        .filter(col("o_orderkey") % 103 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority", lit("X-DEL"))
+      val ins = src.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("9-SQLINS"))
+      upd.unionByName(del).unionByName(ins)
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(
+        s"""MERGE INTO '$path' USING sql_merge_src ON o_orderkey
+            WHEN MATCHED AND o_orderpriority = 'X-DEL' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

@@ -16,7 +16,23 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   * Column API, and on every executor without per-session registration
   * calls.
   *
-  * No optimizer rules or strategies are injected on purpose: the
+  * Round 11 adds the TABLE surface: [[GraftSqlParser]] (injectParser)
+  * gives SQL spellings for the ACID verbs (MERGE / UPDATE / DELETE /
+  * OPTIMIZE [ZORDER] / RESTORE / VACUUM / DESCRIBE HISTORY on
+  * path-addressed tables), and two injected TABLE FUNCTIONS serve
+  * reads incl. time travel from pure SQL:
+  *
+  *   SELECT * FROM graft_table('/path/t')           -- current version
+  *   SELECT * FROM graft_table('/path/t', 3)        -- VERSION AS OF
+  *   SELECT * FROM graft_table_at('/path/t', '2026-01-01 00:00:00')
+  *
+  * plus the sugar `graft.'/path/t' [VERSION AS OF n | TIMESTAMP AS OF
+  * 'ts']` the parser rewrites into those calls. The TVFs expand at
+  * ANALYSIS time into the manifest-governed read plan — the same
+  * pruned, DV-filtered, column-mapped scan the Scala API produces, so
+  * SQL reads inherit every optimization for free.
+  *
+  * No optimizer rules or strategies are injected beyond that: the
   * expressions declare determinism and foldability, so Catalyst's own
   * ConstantFolding / ColumnPruning / predicate pushdown already treat
   * them correctly (SURVEY §4 — "custom Catalyst work required: none").
@@ -88,5 +104,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => NearestCentroid(
         Cast(exprs(0), ArrayType(DoubleType)), intLit(exprs(1), "k"),
         NearestCentroid.flatLiteral(exprs(2)))))
+
+    // --- table surface: SQL verbs + path-table reads (round 11) ---
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = strLit(exprs.head, "graft_table path")
+        val df =
+          if (exprs.length >= 2)
+            graft.pipeline.ManifestTable.readVersion(spark, path,
+              longLit(exprs(1), "graft_table version"))
+          else graft.pipeline.ManifestTable.read(spark, path)
+        df.queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_at"),
+      new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table_at"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = strLit(exprs.head, "graft_table_at path")
+        val ms = exprs(1) match {
+          case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => GraftSqlCommands.parseTimestampMillis(
+            strLit(other, "graft_table_at timestamp"))
+        }
+        graft.pipeline.ManifestTable.readAsOfTimestamp(spark, path, ms)
+          .queryExecution.logical
+      }))
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

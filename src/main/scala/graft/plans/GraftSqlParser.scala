@@ -1,0 +1,369 @@
+package graft.plans
+
+import graft.pipeline.ManifestTable
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** SQL surface for the ACID table verbs — the user-facing layer the
+  * reference's platform exposes over its Delta tables
+  * (`/root/reference/src/etl_pipeline.py:36-37` wires the Delta SQL
+  * extension; a data engineer drives MERGE/OPTIMIZE/RESTORE from a SQL
+  * console, not a Scala API). Injected via the public
+  * `SparkSessionExtensions.injectParser` hook from [[GraftExtensions]].
+  *
+  * Tables are addressed BY PATH as a single-quoted string — the
+  * path-table idiom (Delta's `delta.`/path``) without requiring a
+  * catalog: standard SQL can never parse `MERGE INTO '<path>'`, so
+  * interception is unambiguous and EVERY other statement delegates
+  * byte-identical to Spark's parser. Statements:
+  *
+  *   DESCRIBE HISTORY '<path>'
+  *   OPTIMIZE '<path>' [INTO n FILES] [ZORDER BY (c1, c2 [, ...])]
+  *   RESTORE [TABLE] '<path>' TO VERSION AS OF n
+  *   RESTORE [TABLE] '<path>' TO TIMESTAMP AS OF '<ts>'
+  *   VACUUM '<path>' [RETAIN n VERSIONS]
+  *   DELETE FROM '<path>' WHERE <cond>
+  *   UPDATE '<path>' SET c = e [, ...] WHERE <cond>
+  *   MERGE INTO '<path>' USING <table|(subquery)> [AS] [alias] ON <key>
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
+  *     [WHEN MATCHED [AND <cond>] THEN DELETE]
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  *
+  * Reads, including time travel, go through the injected TABLE
+  * FUNCTIONS (`graft_table`, `graft_table_at` — see
+  * [[GraftExtensions]]), plus parser sugar rewriting the Delta-ish
+  * spelling `graft.'<path>' [VERSION AS OF n | TIMESTAMP AS OF '<ts>']`
+  * into those calls anywhere in a statement, so full SELECT syntax
+  * (joins, CTEs, windows) composes over path tables:
+  *
+  *   SELECT * FROM graft.'/data/events' VERSION AS OF 3 WHERE ...
+  *
+  * MERGE clause conditions may reference source columns bare (or via
+  * the source alias) and target columns as `target.<col>` (or via the
+  * target alias) — rewritten to [[ManifestTable.mergeConditional]]'s
+  * resolved-frame names (`_b_<col>`). Only `UPDATE SET *` / `INSERT *`
+  * forms are supported: the source must carry exactly the table's
+  * columns (the schema contract of keyed merge).
+  *
+  * Each verb compiles to a `LeafRunnableCommand` — driver-side O(1)
+  * dispatch into the existing ManifestTable operators, which do the
+  * distributed work; no second execution path to keep correct.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlStatements.parse(sqlText)
+      .getOrElse(delegate.parsePlan(GraftSqlStatements.rewriteReads(sqlText)))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(GraftSqlStatements.rewriteReads(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Statement recognition for [[GraftSqlParser]] — anchored regex
+  * dispatch (a verb keyword + a quoted path can never prefix-collide
+  * with standard SQL), then per-verb field extraction. Conditions and
+  * SET expressions stay TEXT here and compile with Spark's own
+  * `expr()` at run time, so the full Spark expression language is
+  * available inside every verb.
+  */
+object GraftSqlStatements {
+
+  private val P = "'([^']+)'" // quoted path capture
+
+  private val describeHistoryRe =
+    s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*$$".r
+  private val optimizeRe =
+    s"(?is)^\\s*OPTIMIZE\\s+$P(?:\\s+INTO\\s+(\\d+)\\s+FILES)?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$".r
+  private val restoreVersionRe =
+    s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+  private val restoreTimestampRe =
+    s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
+  private val vacuumRe =
+    s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
+  private val deleteRe =
+    s"(?is)^\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+  private val updateRe =
+    s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+  private val mergeRe =
+    s"(?is)^\\s*MERGE\\s+INTO\\s+$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$".r
+
+  /** Recognize a graft verb; None delegates to Spark's parser. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case describeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
+    case restoreVersionRe(path, v) =>
+      Some(GraftRestoreCommand(path, Some(v.toLong), None))
+    case restoreTimestampRe(path, ts) =>
+      Some(GraftRestoreCommand(path, None, Some(ts)))
+    case vacuumRe(path, keep) =>
+      Some(GraftVacuumCommand(path, Option(keep).map(_.toInt).getOrElse(1)))
+    case optimizeRe(path, n, zcols) =>
+      Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
+        Option(zcols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)))
+    case deleteRe(path, cond) => Some(GraftDeleteCommand(path, cond))
+    case updateRe(path, setText, cond) =>
+      Some(GraftUpdateCommand(path, splitTopLevel(setText).map(parseAssign),
+        cond))
+    case mergeRe(path, alias, source, on, clauses) =>
+      Some(parseMerge(path, Option(alias), source.trim, on.trim,
+        clauses.trim))
+    case _ => None
+  }
+
+  /** Rewrite the read sugar `graft.'<path>' [VERSION AS OF n |
+    * TIMESTAMP AS OF 'ts']` into the injected table functions anywhere
+    * in a statement; everything else passes through untouched.
+    */
+  def rewriteReads(sqlText: String): String = {
+    if (!sqlText.toLowerCase.contains("graft.'")) return sqlText
+    val ts = s"(?is)graft\\.$P\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+    val v = s"(?is)graft\\.$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    val bare = s"(?is)graft\\.$P".r
+    val s1 = ts.replaceAllIn(sqlText, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"graft_table_at('${m.group(1)}', '${m.group(2)}')"))
+    val s2 = v.replaceAllIn(s1, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"graft_table('${m.group(1)}', ${m.group(2)})"))
+    bare.replaceAllIn(s2, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"graft_table('${m.group(1)}')"))
+  }
+
+  /** Split on top-level commas (never inside parens or quotes). */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseAssign(a: String): (String, String) = {
+    val i = a.indexOf('=')
+    require(i > 0, s"malformed SET assignment: '$a'")
+    (a.take(i).trim, a.drop(i + 1).trim)
+  }
+
+  private val whenRe =
+    "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+(UPDATE\\s+SET\\s+\\*|DELETE|INSERT\\s+\\*)".r
+
+  private def parseMerge(path: String, targetAlias: Option[String],
+                         source: String, on: String,
+                         clauses: String): LogicalPlan = {
+    // ON: `k`, `t.k = s.k`, or `k = k` — extract the shared key name
+    val onIdent = "(?s)^\\s*(?:(\\w+)\\.)?(\\w+)\\s*$".r
+    val onEq =
+      "(?s)^\\s*(?:(\\w+)\\.)?(\\w+)\\s*=\\s*(?:(\\w+)\\.)?(\\w+)\\s*$".r
+    val key = on match {
+      case onIdent(_, k) => k
+      case onEq(_, k1, _, k2) =>
+        require(k1 == k2, s"MERGE ON must equate one shared column " +
+          s"name on both sides, got '$on'")
+        k1
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON supports a single equi-key (`t.k = s.k` or `k`), " +
+          s"got '$other'")
+    }
+    // source: bare table/view name or parenthesized subquery (run-time
+    // resolution via the session — full Spark SQL inside)
+    val (srcSql, srcAlias) = {
+      val sub = "(?s)^\\((.+)\\)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+      val tbl = "(?s)^([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+      source match {
+        case sub(q, a) => (Left(q.trim): Either[String, String], Option(a))
+        case tbl(t, a) => (Right(t): Either[String, String], Option(a))
+        case other => throw new IllegalArgumentException(
+          s"MERGE USING expects a table name or (subquery), got '$other'")
+      }
+    } match { case (e, a) => (e, a) }
+    var upd: Option[Option[String]] = None
+    var del: Option[Option[String]] = None
+    var ins: Option[Option[String]] = None
+    whenRe.findAllMatchIn(clauses).foreach { m =>
+      val not = m.group(1) != null
+      val cond = Option(m.group(2)).map(_.trim)
+      val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
+      (not, action) match {
+        case (false, "UPDATE SET *") => upd = Some(cond)
+        case (false, "DELETE")       => del = Some(cond)
+        case (true, "INSERT *")      => ins = Some(cond)
+        case other => throw new IllegalArgumentException(
+          s"unsupported MERGE clause: $other (UPDATE SET * / DELETE / " +
+            "INSERT * only)")
+      }
+    }
+    require(upd.isDefined || del.isDefined || ins.isDefined,
+      "MERGE needs at least one WHEN clause")
+    GraftMergeCommand(path, srcSql, key,
+      upd.map(rewriteMergeCond(_, targetAlias, srcAlias)),
+      del.map(rewriteMergeCond(_, targetAlias, srcAlias)),
+      ins.map(rewriteMergeCond(_, targetAlias, srcAlias)))
+  }
+
+  /** Clause conditions run over [[ManifestTable.mergeConditional]]'s
+    * resolved frame: source columns bare, target columns `_b_<col>`.
+    * Users write `target.<col>` (or the declared aliases); rewrite both
+    * spellings.
+    */
+  private def rewriteMergeCond(cond: Option[String],
+                               targetAlias: Option[String],
+                               srcAlias: Option[String]): String =
+    cond.fold("true") { c =>
+      val t = targetAlias.getOrElse("target")
+      val withTarget = c.replaceAll(s"(?i)\\b$t\\.", "_b_")
+      srcAlias.fold(withTarget)(s =>
+        withTarget.replaceAll(s"(?i)\\b$s\\.", ""))
+    }
+}
+
+/** DESCRIBE HISTORY '<path>' — the operator console row set, straight
+  * from [[ManifestTable.history]] (driver-side O(versions), like the
+  * operator it fronts). */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    ManifestTable.historySchema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestTable.history(session, path).collect().toSeq
+}
+
+case class GraftRestoreCommand(path: String, version: Option[Long],
+                               timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val target = version.getOrElse {
+      val ms = GraftSqlCommands.parseTimestampMillis(timestamp.get)
+      ManifestTable.versionAsOfTimestamp(session, path, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at or before '${timestamp.get}' at $path"))
+    }
+    Seq(Row(ManifestTable.restore(session, path, target)))
+  }
+}
+
+case class GraftVacuumCommand(path: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("swept_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestTable.vacuum(session, path, keep = keep).map(Row(_))
+}
+
+case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
+                                zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = zorderCols match {
+      case Nil =>
+        targetFiles match {
+          case Some(n) => ManifestTable.compact(session, path, targetFiles = n)
+          case None => // Delta's default OPTIMIZE shape: bin-pack to ~128 MiB
+            ManifestTable.compactToFileSize(session, path, 128L << 20)
+        }
+      case Seq(c1, c2) =>
+        ManifestTable.optimizeZOrder(session, path, c1, c2,
+          targetFiles.getOrElse(currentFileCount(session)))
+      case cols =>
+        ManifestTable.optimizeZOrderN(session, path, cols,
+          targetFiles.getOrElse(currentFileCount(session)))
+    }
+    Seq(Row(v))
+  }
+  private def currentFileCount(session: SparkSession): Int = {
+    val cur = ManifestTable.currentVersion(session, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    math.max(1, ManifestTable.manifestFiles(session, path, cur).size)
+  }
+}
+
+case class GraftDeleteCommand(path: String, cond: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.deleteWhere(session, path, expr(cond))))
+}
+
+case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
+                              cond: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.updateWhere(session, path,
+      set.map { case (c, e) => (c, expr(e)) }, expr(cond))))
+}
+
+/** MERGE INTO '<path>' — clause conditions are compiled with `expr()`
+  * at run time over the conditional-merge resolved frame; the source
+  * resolves through the live session (table/view name or subquery), so
+  * whatever SQL can SELECT can drive a merge.
+  */
+case class GraftMergeCommand(path: String, source: Either[String, String],
+                             key: String, whenMatchedUpdate: Option[String],
+                             whenMatchedDelete: Option[String],
+                             whenNotMatchedInsert: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = source match {
+      case Left(subquery) => session.sql(subquery)
+      case Right(table)   => session.table(table)
+    }
+    Seq(Row(ManifestTable.mergeConditional(src, path, key,
+      whenMatchedUpdate = whenMatchedUpdate.map(expr),
+      whenMatchedDelete = whenMatchedDelete.map(expr),
+      whenNotMatchedInsert = whenNotMatchedInsert.map(expr))))
+  }
+}
+
+object GraftSqlCommands {
+  /** `'yyyy-MM-dd HH:mm:ss[.fff]'` (or with a 'T') or epoch millis. */
+  def parseTimestampMillis(ts: String): Long = {
+    val t = ts.trim.replace("T", " ")
+    if (t.matches("\\d+")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.sql.Timestamp.valueOf(t + " 00:00:00").getTime
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-11 SQL surface: the ACID verbs and path-table reads from pure
+  * SQL text through the injected parser + table functions — the layer
+  * the reference's platform exposes over its tables
+  * (`/root/reference/src/etl_pipeline.py:36-37`). Each test proves SQL
+  * ≡ Scala API on the same table.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One extended session on the shared context (getOrCreate on the
+    * plain builder would return the shared session, bypassing
+    * extensions). */
+  private lazy val sqlSession: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+  private def withSql[A](f: SparkSession => A): A = {
+    val base = spark
+    val s = sqlSession
+    SparkSession.setActiveSession(s)
+    SparkSession.setDefaultSession(s)
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("graft_table TVF and graft.'path' sugar: current, VERSION AS OF, TIMESTAMP AS OF, full SELECT composes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sql1").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManifestTable.append(Seq((3L, "c")).toDF("id", "v"), path)
+    withSql { s =>
+      assert(s.sql(s"SELECT * FROM graft_table('$path')").count() === 3)
+      assert(s.sql(s"SELECT * FROM graft_table('$path', 1)").count() === 2)
+      // the Delta-ish sugar rewrites anywhere in the statement
+      assert(s.sql(s"SELECT count(*) AS n FROM graft.'$path'")
+        .head().getLong(0) === 3)
+      assert(s.sql(s"SELECT * FROM graft.'$path' VERSION AS OF 1")
+        .count() === 2)
+      val atT1 = s.sql(
+        s"SELECT * FROM graft.'$path' TIMESTAMP AS OF '$t1'")
+      assert(atT1.count() === 2, "epoch-millis time travel")
+      // full SELECT syntax composes: filter + join of two travel points
+      val joined = s.sql(
+        s"""SELECT cur.id, cur.v
+            FROM graft.'$path' cur
+            LEFT ANTI JOIN graft.'$path' VERSION AS OF 1 old
+              ON cur.id = old.id""")
+      assert(joined.as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+    }
+  }
+
+  test("UPDATE / DELETE / DESCRIBE HISTORY SQL verbs match the Scala API") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sql2").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(4, col("id")), path)
+    withSql { s =>
+      val uv = s.sql(s"UPDATE '$path' SET v = v + 1000 WHERE id < 10")
+      assert(uv.head().getLong(0) === 2L, "UPDATE returns the version")
+      val dv = s.sql(s"DELETE FROM '$path' WHERE id >= 90")
+      assert(dv.head().getLong(0) === 3L)
+      val got = s.sql(s"SELECT id, v FROM graft.'$path' ORDER BY id")
+        .as[(Long, Long)].collect()
+      assert(got.length === 90)
+      assert(got.take(10).forall { case (i, v) => v === i * 2 + 1000 })
+      assert(got.drop(10).forall { case (i, v) => v === i * 2 })
+      val hist = s.sql(s"DESCRIBE HISTORY '$path'")
+        .select("version", "operation").as[(Long, String)].collect().toMap
+      assert(hist === Map(1L -> "WRITE", 2L -> "UPDATE", 3L -> "DELETE"))
+      // multi-assignment with top-level comma inside a function call
+      s.sql(s"UPDATE '$path' SET v = greatest(v, 1), id = id WHERE id = 0")
+      assert(hist.size === 3) // previous snapshot unchanged
+    }
+  }
+
+  test("MERGE INTO SQL: subquery source, clause conditions with target.col, parity with mergeConditional") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql3").toString
+    val path = s"$root/t"
+    val apiPath = s"$root/api"
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    ManifestTable.write(base, path)
+    ManifestTable.write(base, apiPath)
+    withSql { s =>
+      // temp views are SESSION-scoped: register on the SQL session
+      s.createDataFrame(Seq((1L, 99L), (3L, 1L), (4L, 40L)))
+        .toDF("id", "v").createOrReplaceTempView("updates_src")
+      val mv = s.sql(
+        s"""MERGE INTO '$path' USING updates_src ON id
+            WHEN MATCHED AND v > target.v THEN UPDATE SET *
+            WHEN MATCHED AND v <= target.v THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *""")
+      assert(mv.head().getLong(0) === 2L)
+      // same clauses through the Scala API on the twin table
+      ManifestTable.mergeConditional(
+        Seq((1L, 99L), (3L, 1L), (4L, 40L)).toDF("id", "v"), apiPath, "id",
+        whenMatchedUpdate = Some(col("v") > col("_b_v")),
+        whenMatchedDelete = Some(col("v") <= col("_b_v")),
+        whenNotMatchedInsert = Some(lit(true)))
+      val viaSql = ManifestTable.read(s, path)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val viaApi = ManifestTable.read(s, apiPath)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(viaSql === viaApi)
+      assert(viaSql === Seq((1L, 99L), (2L, 20L), (4L, 40L)))
+      // subquery source with aliases
+      val mv2 = s.sql(
+        s"""MERGE INTO '$path' AS t
+            USING (SELECT id, v * 10 AS v FROM updates_src WHERE id = 4) AS u
+            ON t.id = u.id
+            WHEN MATCHED THEN UPDATE SET *""")
+      assert(ManifestTable.read(s, path).filter(col("id") === 4)
+        .select("v").head().getLong(0) === 400L)
+      assert(mv2.head().getLong(0) === 3L)
+    }
+  }
+
+  test("OPTIMIZE [ZORDER BY] / RESTORE / VACUUM SQL verbs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sql4").toString + "/t"
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("x", (col("id") % 64).cast("int"))
+      .withColumn("y", (col("id") / 64).cast("int"))
+    ManifestTable.write(df.repartition(8), path, statsCols = Seq("x", "y"))
+    withSql { s =>
+      // OPTIMIZE ZORDER clusters both axes: either-axis range prune works
+      val zv = s.sql(s"OPTIMIZE '$path' INTO 16 FILES ZORDER BY (x, y)")
+      assert(zv.head().getLong(0) === 2L)
+      val (cx, tx) = ManifestTable.pruneCount(s, path, "x", 0.0, 7.0)
+      val (cy, ty) = ManifestTable.pruneCount(s, path, "y", 0.0, 7.0)
+      assert(tx === 16 && cx < tx && cy < ty,
+        s"zorder must prune both axes: x $cx/$tx y $cy/$ty")
+      // RESTORE back to v1, then OPTIMIZE (plain bin-pack)
+      val rv = s.sql(s"RESTORE TABLE '$path' TO VERSION AS OF 1")
+      assert(rv.head().getLong(0) === 3L)
+      assert(ManifestTable.manifestFiles(s, path, 3).toSet ===
+        ManifestTable.manifestFiles(s, path, 1).toSet)
+      val ov = s.sql(s"OPTIMIZE '$path' INTO 2 FILES")
+      assert(ov.head().getLong(0) === 4L)
+      assert(ManifestTable.manifestFiles(s, path, 4).size === 2)
+      // VACUUM sweeps history
+      val swept = s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS")
+        .as[Long].collect()
+      assert(swept.nonEmpty)
+      assert(ManifestTable.read(s, path).count() === 4096)
+      // every OTHER statement still parses through Spark byte-identical
+      assert(s.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** Keyless predicate UPDATE / DELETE (round 11): copy-on-write rewrite
+  * of only the files holding matching rows, discovered by one
+  * filter-pushed name-only scan.
+  */
+class UpdateDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileSig(path: String, rels: Seq[String]): Map[String, (Long, Long)] =
+    rels.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> ((f.length, f.lastModified))
+    }.toMap
+
+  test("updateWhere rewrites ONLY matching files; untouched files carry byte-identical; null cond rows unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd1").toString + "/t"
+    // range-clustered on id so the predicate isolates one file
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("v", col("id") * 10)
+      .withColumn("flag", when(col("id") % 100 === 0, lit(null: String))
+        .otherwise(concat(lit("f"), col("id") % 2)))
+    ManifestTable.write(
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    assert(files1.size === 4)
+    val sig = fileSig(path, files1)
+    // predicate true only for ids 0..49 → exactly one file of the four
+    val v = ManifestTable.updateWhere(spark, path,
+      Seq("v" -> lit(-1L)), col("id") < 50 && col("flag").isNotNull)
+    assert(v === 2L)
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    val carried = files2.filter(files1.contains)
+    assert(carried.size === 3, s"3 of 4 files must carry: $files2")
+    carried.foreach { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got.size === 400)
+    // id=0 has NULL flag → cond NULL → unchanged (SQL semantics)
+    assert(got(0L) === 0L)
+    (1L until 50L).foreach(i => assert(got(i) === -1L, s"id=$i"))
+    (50L until 400L).foreach(i => assert(got(i) === i * 10))
+    // stats survived the rewrite without re-declaration: prune works
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id", 399.0, 399.0)
+    assert(cand < total, "inherited stats must keep pruning after UPDATE")
+    // no-match update: NO new version
+    val v2 = ManifestTable.updateWhere(spark, path,
+      Seq("v" -> lit(0L)), col("id") > 100000)
+    assert(v2 === 2L, "a no-match UPDATE must not commit")
+  }
+
+  test("deleteWhere removes matching rows only; generated columns and constraints recompute/enforce through updateWhere") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd2").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 100).toDF("id").withColumn("v", col("id") + 1000L)
+        .repartitionByRange(2, col("id")), path)
+    val dv = ManifestTable.deleteWhere(spark, path, col("id") % 10 === 3)
+    assert(dv === 2L)
+    val ids = ManifestTable.read(spark, path).select("id").as[Long]
+      .collect().toSet
+    assert(ids.size === 90 && !ids(3L) && !ids(13L) && ids(4L))
+    // history classifies the new verbs
+    val ops = ManifestTable.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(2L) === "DELETE")
+    // generated column recomputes when UPDATE touches its source
+    val p2 = java.nio.file.Files.createTempDirectory("graft_upd3").toString + "/t"
+    ManifestTable.addGeneratedColumn(spark, p2, "v2", "v * 2")
+    ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), p2)
+    assert(ManifestTable.read(spark, p2).filter(col("id") === 1)
+      .select("v2").head().getLong(0) === 20L)
+    ManifestTable.updateWhere(spark, p2, Seq("v" -> lit(100L)),
+      col("id") === 1)
+    assert(ManifestTable.read(spark, p2).filter(col("id") === 1)
+      .select("v2").head().getLong(0) === 200L,
+      "generated column must recompute from the updated source")
+    // SET directly on a generated column is refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, p2, Seq("v2" -> lit(0L)),
+        col("id") === 1)
+    }
+    // constraint blocks an UPDATE that would violate it
+    ManifestTable.addCheckConstraint(spark, p2, "v_pos", "v > 0")
+    intercept[Exception] {
+      ManifestTable.updateWhere(spark, p2, Seq("v" -> lit(-5L)),
+        col("id") === 2)
+    }
+    assert(ManifestTable.read(spark, p2).filter(col("id") === 2)
+      .select("v").head().getLong(0) === 20L, "failed UPDATE must not land")
+  }
+
+  test("updateWhere under row tracking keeps stable ids; deleteWhere drops them; change feed sees row-level updates") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd4").toString + "/t"
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 40).toDF("id").withColumn("v", lit(0L)), path)
+    val before = ManifestTable.readWithRowIds(spark, path)
+      .select("id", ManifestTable.RowIdCol).as[(Long, Long)].collect().toMap
+    ManifestTable.updateWhere(spark, path, Seq("v" -> lit(7L)),
+      col("id") < 10)
+    val after = ManifestTable.readWithRowIds(spark, path)
+      .select("id", ManifestTable.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(after === before, "UPDATE must preserve every stable row id")
+    // id-keyed CDC classifies the rewrite as updates, not delete+insert
+    val v = ManifestTable.currentVersion(spark, path).get
+    val ch = ManifestTable.changesByRowId(spark, path, v)
+      .select("_change").as[String].collect()
+    assert(ch.nonEmpty && ch.forall(c => c.startsWith("update")),
+      s"row-id CDC must classify UPDATE as updates: ${ch.toSet}")
+    ManifestTable.deleteWhere(spark, path, col("id") === 5)
+    val ids = ManifestTable.readWithRowIds(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(!ids(5L) && ids.size === 39)
+  }
+}
