@@ -12,10 +12,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   *  1. every write lands in a fresh `snap-<version>-<token>/` directory —
   *     data files of previous versions are never touched;
   *  2. the commit point is ONE atomic publish of
-  *     `_graft_manifest-v<N>.json` (hard-link / rename, conditional on
-  *     the destination not existing), so a writer dying ANYWHERE before
-  *     it leaves only an orphaned snapshot directory no reader sees,
-  *     and two racing writers cannot both win a version (OCC retry);
+  *     `_graft_manifest-v<N>.json` through the pluggable [[LogStore]]
+  *     (POSIX hard link / HDFS rename / object-store conditional PUT —
+  *     put-if-absent semantics per store), so a writer dying ANYWHERE
+  *     before it leaves only an orphaned snapshot directory no reader
+  *     sees, and two racing writers cannot both win a version (OCC
+  *     retry);
   *  3. since round 10 the committed manifest is an INCREMENTAL LOG
   *     ENTRY (the `_delta_log` shape, Delta paper VLDB 2020 §3): it
   *     records only the commit's `adds`/`removes` (+ per-add stats +
@@ -3408,18 +3410,26 @@ object ManifestTable {
     * is atomic and raises EEXIST when the destination is present — the
     * classic lock-file primitive.
     */
+  @volatile private var logStoreOverride: Option[LogStore] = None
+
+  /** Bind a non-default commit-publish protocol for the JVM (an
+    * S3-class deployment binds its conditional-PUT store here once at
+    * startup). See [[LogStore]] for the per-store atomicity contract. */
+  def setLogStore(store: Option[LogStore]): Unit = logStoreOverride = store
+
+  /** Scoped [[setLogStore]] — run `body` committing through `store`,
+    * then restore the default. Test harness for the OCC race suite. */
+  def withLogStore[A](store: LogStore)(body: => A): A = {
+    val prev = logStoreOverride
+    logStoreOverride = Some(store)
+    try body finally logStoreOverride = prev
+  }
+
+  /** THE commit point: every version publishes through exactly one
+    * [[LogStore.putIfAbsent]] — scheme-bound default, overridable. */
   private def conditionalCommit(f: FileSystem, tmp: Path, dst: Path): Boolean =
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else !f.exists(dst) && f.rename(tmp, dst)
+    logStoreOverride.getOrElse(LogStore.forScheme(f.getScheme))
+      .putIfAbsent(f, tmp, dst)
 
   private def listDataFiles(f: FileSystem, dir: Path): Seq[Path] = {
     val it = f.listFiles(dir, true)
