@@ -723,6 +723,16 @@ object GraftOps {
     * against a dimension Spark mis-sized and a map-side join chosen
     * from metadata.
     */
+  /** Read a manifest table with the broadcast decision injected from
+    * its committed NDV statistics — ANY join written against the
+    * returned frame plans map-side when metadata proves the table
+    * small (see [[graft.pipeline.ManifestTable.readAuto]]).
+    */
+  def readTableAuto(spark: org.apache.spark.sql.SparkSession,
+                    path: String,
+                    broadcastMaxRows: Long = 1L << 22): DataFrame =
+    graft.pipeline.ManifestTable.readAuto(spark, path, broadcastMaxRows)
+
   def joinWithStats(left: DataFrame, rightPath: String,
                     usingColumns: Seq[String],
                     broadcastMaxRows: Long = 1L << 22,

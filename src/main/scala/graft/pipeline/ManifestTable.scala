@@ -79,6 +79,12 @@ object ManifestTable {
     */
   val RowIdCol: String = "_graft_row_id"
 
+  /** Reserved NDV-sidecar entry name carrying the per-file ROW COUNT —
+    * written for every staged file regardless of which declared NDV
+    * columns its batch carries, so [[rowCountFromStats]] coverage is
+    * table coverage. Underscore-reserved like [[RowIdCol]]. */
+  val RowCountStatCol: String = "_graft_ndv_rowcount"
+
   /** Per-file column statistics carried by the log (the Delta-style
     * data-skipping index). `complete` is false when any row group of the
     * file lacked statistics for the column — such files are never pruned.
@@ -773,16 +779,41 @@ object ManifestTable {
     * name with a DIFFERENT type is rejected — silent coercion is how
     * tables corrupt.
     */
+  /** Lossless WIDENING promotions an append may introduce (Delta 3.x
+    * type widening): the committed schema takes the wider type and OLD
+    * files read up through Spark 4's parquet type-widening reads
+    * (int32→int64, float→double etc. inside the vectorized reader), so
+    * no historical byte rewrites. The reverse direction (a NARROWER
+    * batch into a widened column) also lands: the staged file keeps its
+    * narrow physical type and reads up under the committed schema.
+    */
+  private[pipeline] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+
   private[pipeline] def evolve(prev: StructType,
                                incoming: StructType): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
     val prevNames = prev.fieldNames.toSet
-    incoming.fields.filter(f => prevNames.contains(f.name)).foreach { f =>
-      val p = prev(f.name)
-      require(p.dataType == f.dataType,
-        s"append changes type of '${f.name}': ${p.dataType} -> ${f.dataType}")
+    val merged = prev.fields.map { p =>
+      byName.get(p.name) match {
+        case Some(f) if p.dataType == f.dataType        => p
+        case Some(f) if widens(p.dataType, f.dataType)  =>
+          p.copy(dataType = f.dataType) // widen the committed schema
+        case Some(f) if widens(f.dataType, p.dataType)  => p // batch reads up
+        case Some(f) => throw new IllegalArgumentException(
+          s"append changes type of '${p.name}': ${p.dataType} -> " +
+            s"${f.dataType} (only lossless widenings evolve)")
+        case None => p
+      }
     }
     StructType(
-      prev.fields ++ incoming.fields.filterNot(f => prevNames.contains(f.name)))
+      merged ++ incoming.fields.filterNot(f => prevNames.contains(f.name)))
   }
 
   // ------------------------------------------------------------------
@@ -1319,9 +1350,9 @@ object ManifestTable {
         s"no column '$from' at $path (live: ${schema.fieldNames.mkString(", ")})")
       require(!schema.fieldNames.contains(to),
         s"column '$to' already exists at $path")
-      require(partitionColsOf(st.files).isEmpty,
-        s"cannot rename on partitioned version $prevV of $path — " +
-          "column mapping is flat-layout only (compact first)")
+      // partitioned layouts rename fine: k=v dirs keep the PHYSICAL
+      // name (like footers); readFilesMapped's physical-schema read
+      // discovers them and projects back to the new logical name
       constraintReferencing(st, from).foreach(c => throw new
         IllegalArgumentException(
           s"cannot rename '$from' at $path: CHECK constraint '$c' " +
@@ -1383,9 +1414,12 @@ object ManifestTable {
         s"no column '$name' at $path (live: ${schema.fieldNames.mkString(", ")})")
       require(schema.fields.length >= 2,
         s"cannot drop the only column of $path")
-      require(partitionColsOf(st.files).isEmpty,
-        s"cannot drop on partitioned version $prevV of $path — " +
-          "column mapping is flat-layout only (compact first)")
+      // data columns drop fine on partitioned layouts; the PARTITION
+      // column itself cannot (its k=v dirs define the file layout —
+      // rewrite unpartitioned first)
+      require(!partitionColsOf(st.files).contains(st.phys(name)),
+        s"cannot drop partition column '$name' of $path — its k=v " +
+          "directories define the layout; compact unpartitioned first")
       require(!(st.dvFiles.nonEmpty && st.dvKey.contains(st.phys(name))),
         s"cannot drop '$name' at $path: live deletion vectors key on it " +
           "— compact the DVs away first")
@@ -1659,7 +1693,20 @@ object ManifestTable {
     if (staged.isEmpty) return Nil
     val df = spark.read.parquet(staged.map(_.toString): _*)
     val present = cols.filter(df.columns.contains)
-    if (present.isEmpty) return Nil
+    // the reserved ROW-COUNT entry is written for EVERY staged file,
+    // independent of which declared NDV columns the batch carries — so
+    // rowCountFromStats coverage means table coverage, not
+    // head-column coverage (an evolved append omitting one column
+    // would otherwise silently shrink the count)
+    val rowsEntry = df
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("_graft_ndv_file"))
+      .groupBy("_graft_ndv_file")
+      .agg(hll_sketch_agg(lit(1L)).as("_graft_ndv_sketch"),
+        count(lit(1)).as("_graft_ndv_rows"))
+      .withColumn("_graft_ndv_col", lit(RowCountStatCol))
+      .select("_graft_ndv_file", "_graft_ndv_col", "_graft_ndv_sketch",
+        "_graft_ndv_rows")
     val perCol = present.map { c =>
       df.select(
           element_at(split(input_file_name(), "/"), -1).as("_graft_ndv_file"),
@@ -1672,7 +1719,7 @@ object ManifestTable {
           "_graft_ndv_rows")
     }
     val ndvDir = s"$path/ndv-$version-$token"
-    perCol.reduce(_ unionByName _).coalesce(1)
+    (rowsEntry +: perCol).reduce(_ unionByName _).coalesce(1)
       .write.mode("overwrite").parquet(ndvDir)
     listDataFiles(fs(spark, path), new Path(ndvDir))
       .map(p => relativize(new Path(path), p))
@@ -1733,15 +1780,52 @@ object ManifestTable {
     if (st.ndvFiles.isEmpty) return (0L, 0, st.files.size)
     import spark.implicits._
     val live = st.files.map(_.split("/").last).toDF("_graft_ndv_file")
-    val entries = spark.read
+    val all = spark.read
       .parquet(st.ndvFiles.map(resolveRef(path, _)): _*)
-      .filter(col("_graft_ndv_col") === st.ndvCols.head)
       .join(broadcast(live), Seq("_graft_ndv_file"), "left_semi")
+    // key on the reserved per-file ROW-COUNT entry (present for every
+    // file regardless of which NDV columns its batch carried); sidecars
+    // from before the reserved entry fall back to the head column
+    def entriesFor(c: String) = all
+      .filter(col("_graft_ndv_col") === c)
       .dropDuplicates("_graft_ndv_file")
-    val covered = entries.count().toInt
+    var entries = entriesFor(RowCountStatCol)
+    var covered = entries.count().toInt
+    if (covered == 0) {
+      entries = entriesFor(st.ndvCols.head)
+      covered = entries.count().toInt
+    }
     if (covered == 0) return (0L, 0, st.files.size)
     val n = entries.agg(sum(col("_graft_ndv_rows"))).head().getLong(0)
     (n, covered, st.files.size)
+  }
+
+  /** Read with the BROADCAST decision injected from committed
+    * statistics — the generalization of the `joinWithStats` facade to
+    * ANY join the caller writes: when the NDV index's row count fully
+    * covers the table and proves it broadcast-small, the returned frame
+    * carries an explicit broadcast hint, so even under
+    * `autoBroadcastJoinThreshold = -1` (or a fact-side mis-estimate)
+    * every join against it plans map-side. No index / partial coverage
+    * / too big → plain read, Spark plans as usual.
+    *
+    * Scale shape: the decision costs one O(live files) sidecar read at
+    * PLAN time and closes the CBO loop the NDV index exists for — a
+    * dimension proven 10⁵ rows by metadata never shuffles a 100 TB
+    * fact table.
+    */
+  def readAuto(spark: SparkSession, path: String,
+               broadcastMaxRows: Long = 1L << 22): DataFrame = {
+    val df = read(spark, path)
+    val smallByStats =
+      try {
+        val (rows, covered, total) = rowCountFromStats(spark, path)
+        covered == total && rows > 0 && rows <= broadcastMaxRows
+      } catch {
+        case _: IllegalStateException    => false // no committed version
+        case _: IllegalArgumentException => false // no NDV index
+      }
+    if (smallByStats) df.hint("broadcast") else df
   }
 
   /** UPGRADE PROTOCOL (Delta `ALTER TABLE ... SET TBLPROPERTIES
@@ -1946,8 +2030,6 @@ object ManifestTable {
       // FRESH physical from the monotone counter, so a column dropped
       // and later re-added can never resurrect old file data.
       val prevMapped = prevState.exists(_.mapped)
-      require(!prevMapped || partitionCols.isEmpty,
-        s"column-mapped table $path is flat-layout only (no partitionBy)")
       val (newMapping, newMaxColId) =
         if (!prevMapped) (Map.empty[String, String], 0L)
         else {
@@ -1978,6 +2060,24 @@ object ManifestTable {
         if (tracked) assignRowIds(guarded0,
           prevState.map(_.rowHighWater).getOrElse(0L))
         else guarded0
+      // a batch ARRIVING with row ids is either an internal rewrite
+      // (compact/zorder carry ids verbatim — unique by construction) or
+      // an external caller asserting id authority it may not have:
+      // validate uniqueness before anything lands, so a buggy caller
+      // cannot silently corrupt the contract changesByRowId and feed
+      // consumers key on. One aggregate over the staging batch, only on
+      // tracked tables whose input carries the column.
+      if (tracked && df.columns.contains(RowIdCol)) {
+        val chk = guarded.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.col(RowIdCol)).as("d")).head()
+        require(chk.getLong(0) == chk.getLong(1),
+          s"batch carries duplicate $RowIdCol values " +
+            s"(${chk.getLong(0)} rows, ${chk.getLong(1)} distinct ids) — " +
+            "caller-supplied row ids must be unique")
+      }
       // rename logical -> physical as the last step before the write
       // (the row id keeps its reserved physical name)
       val stagedDf =
@@ -1985,8 +2085,13 @@ object ManifestTable {
         else guarded.select(guarded.schema.fieldNames.map(n =>
           org.apache.spark.sql.functions.col(n)
             .as(newMapping.getOrElse(n, n))).toSeq: _*)
+      // partition DIRS carry physical names on mapped tables (k=v is
+      // file layout, like footers) — reads translate via the mapping
+      val partColsPhys =
+        if (!prevMapped) partitionCols
+        else partitionCols.map(c => newMapping.getOrElse(c, c))
       val w = stagedDf.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      (if (partColsPhys.nonEmpty) w.partitionBy(partColsPhys: _*) else w)
         .parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
       if (staged.isEmpty && !(carryForward && prev.nonEmpty)) {
@@ -2166,11 +2271,11 @@ object ManifestTable {
         // non-numeric key: partition-value prune by exact match when the
         // key IS a partition column (collecting the distinct keys is
         // bounded by the broadcast contract); else all files
-        if (partCols.contains(key)) {
+        if (partCols.contains(st.phys(key))) {
           val keySet = updates.select(col(key)).distinct().collect()
             .flatMap(r => Option(r.get(0)).map(_.toString)).toSet
           st.files.filter { file =>
-            partitionValuesOf(file).get(key) match {
+            partitionValuesOf(file).get(st.phys(key)) match {
               // escaped partition values ("%xx") are kept, not decoded
               case Some(v) => v.contains("%") || keySet.contains(v)
               case None    => true

@@ -215,6 +215,64 @@ class ColumnMappingSpec extends SparkSpec {
       === (0L until 30L).map(i => (i, i * 5)).toSet)
   }
 
+  test("PARTITIONED tables rename: data column, partition column itself, prune under the new name, merge and overwrite keep the physical layout") {
+    val path = tmp("graft_cm_part")
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("int"))
+      .withColumn("v", col("id") * 10)
+    ManifestTable.write(df, path, partitionCols = Seq("part"))
+    // 1) rename a DATA column on the partitioned layout: metadata-only
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    ManifestTable.renameColumn(spark, path, "v", "amount")
+    assert(ManifestTable.manifestFiles(spark, path, 2) === files1,
+      "rename on a partitioned table must be metadata-only")
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema.fieldNames.toSet === Set("id", "part", "amount"))
+    assert(got.filter(col("part") === 1).count() === 100)
+    // 2) rename the PARTITION column itself: dirs keep the physical
+    //    name, reads surface the logical one, value prune still works
+    ManifestTable.renameColumn(spark, path, "part", "bucket")
+    val got2 = ManifestTable.read(spark, path)
+    assert(got2.schema.fieldNames.toSet === Set("id", "bucket", "amount"))
+    assert(got2.filter(col("bucket") === 2).count() === 100)
+    assert(got2.filter(col("bucket") === col("id") % 3).count() === 300)
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "bucket",
+      2.0, 2.0)
+    assert(cand < total && cand >= 1,
+      s"partition prune under the RENAMED name: $cand of $total")
+    // 3) merge keyed on the renamed partition column's table: rewrite
+    //    stays inside the physical partition layout
+    val mv = ManifestTable.merge(
+      Seq((7L, 1, -5L)).toDF("id", "bucket", "amount"), path, "id")
+    val after = ManifestTable.manifestFiles(spark, path, mv)
+    assert(after.exists(r => r.contains("part=") && !files1.contains(r)),
+      s"merge rewrite must land in the physical (part=) layout: $after")
+    assert(ManifestTable.read(spark, path).filter(col("id") === 7)
+      .select("amount").head().getLong(0) === -5L)
+    // 4) partitioned OVERWRITE on the mapped table: logical partition
+    //    name in, physical dirs out
+    ManifestTable.write(
+      ManifestTable.read(spark, path).filter(col("id") < 150),
+      path, partitionCols = Seq("bucket"))
+    val files5 = ManifestTable.manifestFiles(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(files5.forall(_.contains("part=")),
+      s"overwrite must write PHYSICAL partition dirs: $files5")
+    assert(ManifestTable.read(spark, path).count() === 150)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("bucket") === col("id") % 3).count() === 150)
+    // 5) dropping the partition column is refused; a data column drops
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, path, "bucket")
+    }
+    ManifestTable.dropColumn(spark, path, "amount")
+    assert(ManifestTable.read(spark, path).schema.fieldNames.toSet ===
+      Set("id", "bucket"))
+    // time travel still reads pre-rename names
+    assert(ManifestTable.readVersion(spark, path, 1)
+      .schema.fieldNames.toSet === Set("id", "part", "v"))
+  }
+
   test("compact folds dropped physical columns out of the files") {
     val path = tmp("graft_cm9")
     ManifestTable.write(

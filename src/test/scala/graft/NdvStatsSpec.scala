@@ -96,4 +96,40 @@ class NdvStatsSpec extends SparkSpec {
         "stats above the bound must fall through to Spark's planning")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("readAuto closes the CBO loop: a star join over manifest sources broadcasts BOTH stats-proven dims with auto-broadcast disabled") {
+    val dim1 = tmp("graft_ndv4a")
+    val dim2 = tmp("graft_ndv4b")
+    val fact = tmp("graft_ndv4f")
+    ManifestTable.setNdvStats(spark, dim1, Seq("k1"))
+    ManifestTable.write(spark.range(0, 300).toDF("k1")
+      .withColumn("d1", col("k1") * 3), dim1)
+    ManifestTable.setNdvStats(spark, dim2, Seq("k2"))
+    ManifestTable.write(spark.range(0, 400).toDF("k2")
+      .withColumn("d2", col("k2") * 5), dim2)
+    // the fact table has NO ndv index — it must never hint
+    ManifestTable.write(spark.range(0, 20000).toDF("id")
+      .withColumn("k1", col("id") % 300)
+      .withColumn("k2", col("id") % 400), fact)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val star = ManifestTable.readAuto(spark, fact)
+        .join(ManifestTable.readAuto(spark, dim1), Seq("k1"))
+        .join(ManifestTable.readAuto(spark, dim2), Seq("k2"))
+      val plan = star.queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(broadcasts === 2,
+        s"both stats-proven dims must broadcast (got $broadcasts):\n$plan")
+      assert(star.count() === 20000)
+      // an evolved append that OMITS the indexed column must not shrink
+      // the row count (reserved per-file rowcount entry, not head-col)
+      ManifestTable.append(spark.range(0, 50).toDF("k1")
+        .withColumn("extra", col("k1") + 1).drop("k1")
+        .withColumn("k1", lit(5L)).select("k1", "extra"), dim1)
+      val (rows, covered, total) = ManifestTable.rowCountFromStats(spark, dim1)
+      assert(covered === total, s"evolved append must stay covered: $covered/$total")
+      assert(rows === 350L, s"row count must include the evolved append: $rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

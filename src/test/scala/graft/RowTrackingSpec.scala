@@ -194,4 +194,24 @@ class RowTrackingSpec extends SparkSpec {
     assert(all.length === 300 && all.toSet.size === 300,
       "ids must stay unique across appends")
   }
+
+  test("a caller-supplied batch with DUPLICATE row ids is rejected before anything lands") {
+    val path = tmp("graft_rt4")
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(spark.range(0, 10).toDF("id"), path)
+    val v1 = ManifestTable.currentVersion(spark, path).get
+    val evil = spark.range(0, 5).toDF("id")
+      .withColumn(ManifestTable.RowIdCol, lit(42L)) // all the same id
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(evil, path)
+    }
+    assert(ManifestTable.currentVersion(spark, path).get === v1,
+      "the rejected batch must not commit")
+    assert(ManifestTable.read(spark, path).count() === 10)
+    // internal rewrites (unique ids) still pass through the guard
+    ManifestTable.compact(spark, path, targetFiles = 1)
+    val ids = ManifestTable.readWithRowIds(spark, path)
+      .select(col(ManifestTable.RowIdCol)).as[Long].collect()
+    assert(ids.length === 10 && ids.toSet.size === 10)
+  }
 }
