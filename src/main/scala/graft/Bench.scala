@@ -18,18 +18,53 @@ object Bench {
     * likely to land on an uncontaminated rep; the statistic itself is
     * unchanged (still the median), so totals stay comparable across rounds.
     */
-  def measure(spark: SparkSession, sfDir: String,
-              queries: Seq[(String, (SparkSession, String) => DataFrame)],
-              reps: Int, maxExtraReps: Int = 0, spreadTarget: Double = 0.3)
-      : (Seq[(String, Seq[Double])], Map[String, String], Map[String, Seq[Double]]) = {
+  /** One query's measured run: sorted successful times, plus every
+    * attempt as (loadavg-at-start, Some(seconds) | None-on-failure) in
+    * ATTEMPT order — the alignment the quiet-rep statistics need.
+    * `baseReps` marks where the fixed-sample prefix ends (adaptive
+    * extras after it), so cross-round comparisons can use a statistic
+    * whose sample size never depended on observed noise.
+    */
+  final case class QueryRun(name: String, times: Seq[Double],
+                            attempts: Seq[(Double, Option[Double])],
+                            baseReps: Int) {
+    def median: Option[Double] =
+      if (times.isEmpty) None else Some(times(times.length / 2))
+    def spread: Double = if (times.length >= 2) times.last - times.head else 0.0
+    def loads: Seq[Double] = attempts.map(_._1)
+    /** Median over the FIXED first `baseReps` attempts only — immune to
+      * the adaptive loop's sample-size-conditioned-on-noise bias. */
+    def baseMedian: Option[Double] = {
+      val base = attempts.take(baseReps).flatMap(_._2).sorted
+      if (base.isEmpty) None else Some(base(base.length / 2))
+    }
+    /** Fastest rep among those started under loadavg ≤ `maxLoad` — the
+      * committed number a contaminated run can stand behind. None when
+      * no successful rep ran quiet (report the median, flagged). */
+    def minQuiet(maxLoad: Double): Option[Double] = {
+      val quiet = attempts.collect {
+        case (l, Some(t)) if l >= 0 && l <= maxLoad => t
+      }
+      if (quiet.isEmpty) None else Some(quiet.min)
+    }
+  }
+
+  /** Measurement core (rich form): per query, every attempt with its
+    * start loadavg; failed reps never contribute a timing. Adaptive
+    * re-repping as documented on [[measure]]. */
+  def measureRuns(spark: SparkSession, sfDir: String,
+                  queries: Seq[(String, (SparkSession, String) => DataFrame)],
+                  reps: Int, maxExtraReps: Int = 0,
+                  spreadTarget: Double = 0.3)
+      : (Seq[QueryRun], Map[String, String]) = {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = queries.map { case (name, fn) =>
-      val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def oneRep(): Option[Double] = {
-        repLoads += loadAvg1m()
+      val attempts =
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Option[Double])]
+      def oneRep(): Unit = {
+        val load = loadAvg1m()
         val t0 = System.nanoTime()
-        try {
+        val t = try {
           fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
@@ -39,17 +74,18 @@ object Bench {
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
             None
         }
+        attempts += ((load, t))
       }
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to reps).foreach(_ => oneRep().foreach(times += _))
+      (1 to reps).foreach(_ => oneRep())
+      def times = attempts.flatMap(_._2).toSeq.sorted
       def noisy: Boolean = times.length >= 2 && {
-        val sorted = times.sorted
+        val sorted = times
         val med = sorted(sorted.length / 2)
         sorted.last - sorted.head > math.max(0.1, spreadTarget * med)
       }
       var extra = 0
       while (extra < maxExtraReps && noisy) {
-        oneRep().foreach(times += _)
+        oneRep()
         extra += 1
       }
       // release storage leaked by finished queries (localCheckpoint
@@ -57,10 +93,22 @@ object Bench {
       // aren't benched under accumulated memory pressure
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      loads.update(name, repLoads.toSeq)
-      name -> times.toSeq.sorted
+      QueryRun(name, times, attempts.toSeq, reps)
     }
-    (results, errors.toMap, loads.toMap)
+    (results, errors.toMap)
+  }
+
+  /** Back-compat adapter over [[measureRuns]] (sorted times + per-rep
+    * loads in attempt order), kept for the unit specs and any caller
+    * that needs only the classic shape. */
+  def measure(spark: SparkSession, sfDir: String,
+              queries: Seq[(String, (SparkSession, String) => DataFrame)],
+              reps: Int, maxExtraReps: Int = 0, spreadTarget: Double = 0.3)
+      : (Seq[(String, Seq[Double])], Map[String, String], Map[String, Seq[Double]]) = {
+    val (runs, errors) =
+      measureRuns(spark, sfDir, queries, reps, maxExtraReps, spreadTarget)
+    (runs.map(r => r.name -> r.times), errors,
+      runs.map(r => r.name -> r.loads).toMap)
   }
 
   /** 1-minute load average from /proc/loadavg (-1.0 if unreadable) — a
@@ -157,17 +205,50 @@ object Bench {
                     sfDir: String, reps: Int, loadStart: Double,
                     loadEnd: Double, nErrors: Int,
                     budgetChars: Int = 1400,
-                    calib: Double = -1.0): String = {
+                    calib: Double = -1.0,
+                    totalMinQuiet: Double = -1.0,
+                    quietLoad: Double = -1.0): String = {
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 2) }
+    // total over per-query quiet minima (median fallback where no rep
+    // ran quiet): the host-load-robust twin of the adaptive-median total
+    val quietJson =
+      if (totalMinQuiet < 0) ""
+      else s""""total_min_quiet":${fmt(totalMinQuiet)},"quiet_load":${fmt(quietLoad, 2)},"""
     def line(kept: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},$quietJson"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
     // keep the slowest-first prefix that fits the budget
     var kept = entries
     while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
       kept = kept.dropRight(1)
     line(kept, entries.length - kept.length)
+  }
+
+  /** Full-fidelity dump from rich runs: per query the adaptive median,
+    * the fixed-sample BASE median (first `reps` attempts only — the
+    * statistic whose sample size never depended on observed noise, for
+    * round-over-round deltas), the MIN-QUIET rep (fastest rep started
+    * under `quietLoad` — the number a load-contaminated run can stand
+    * behind; null when no rep ran quiet), spread, per-rep times and
+    * loads in attempt order.
+    */
+  def writeDetailRuns(path: String, runs: Seq[QueryRun], sfDir: String,
+                      reps: Int, loadStart: Double, loadEnd: Double,
+                      errors: Map[String, String], calib: Double,
+                      quietLoad: Double): Unit = {
+    def opt(o: Option[Double]): String = o.map(fmt(_)).getOrElse("null")
+    val qs = runs.map { r =>
+      val ls = if (r.loads.isEmpty) ""
+        else s""","loads":[${r.loads.map(fmt(_, 2)).mkString(",")}]"""
+      s"""${jstr(r.name)}:{"median":${opt(r.median)},"base_median":${opt(r.baseMedian)},"min_quiet":${opt(r.minQuiet(quietLoad))},"spread":${fmt(r.spread)},"reps":[${r.times.map(fmt(_)).mkString(",")}]$ls}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"sf":${jstr(sfDir)},"reps":$reps,"quiet_load":${fmt(quietLoad, 2)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"errors":$errJson,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Full-fidelity dump (per-rep times, spreads, errors) for the humans
@@ -232,28 +313,37 @@ object Bench {
     // uncontaminated samples to land on without changing the statistic.
     val maxExtra = math.max(0,
       sys.env.get("SPARK_GRAFT_EXTRA_REPS").flatMap(_.toIntOption).getOrElse(2))
-    val (results, errors, repLoads) =
-      measure(spark, sfDir, selected.toSeq, reps, maxExtraReps = maxExtra)
-    val medians = results.map { case (k, ts) =>
-      k -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
-    }
+    // Quiet-rep threshold: a rep started under this 1-min loadavg counts
+    // as uncontaminated. Default 4.0 — background load on the shared
+    // container reached 12 mid-run in round 10 and bent medians 2-7x;
+    // reps under ~4 tracked the quiet-host numbers.
+    val quietLoad = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(4.0)
+    val (runs, errors) =
+      measureRuns(spark, sfDir, selected.toSeq, reps, maxExtraReps = maxExtra)
+    val medians = runs.map(r => r.name -> r.median)
     // Per-rep spread (max-min seconds over successful reps): a noisy run
     // shows wide spreads and is self-identifying, so a slow median can be
     // adjudicated from the artifact alone.
-    val spreads = results.collect { case (k, ts) if ts.length >= 2 =>
-      k -> (ts.last - ts.head)
+    val spreads = runs.collect {
+      case r if r.times.length >= 2 => r.name -> r.spread
     }.toMap
     val total = medians.flatMap(_._2).sum
+    // host-load-robust total: per query the fastest QUIET rep, falling
+    // back to the median where no rep ran under the threshold
+    val totalMinQuiet = runs.flatMap(r =>
+      r.minQuiet(quietLoad).orElse(r.median)).sum
     val loadEnd = loadAvg1m()
     // Full fidelity to a file, full line for humans, compact line LAST:
     // the driver's artifact keeps only the tail of the run output, so
     // the budget-bounded compact line must be the final stdout write.
-    writeDetail("bench_detail.json", results, sfDir, reps, loadStart,
-      loadEnd, errors, calib, repLoads)
+    writeDetailRuns("bench_detail.json", runs, sfDir, reps, loadStart,
+      loadEnd, errors, calib, quietLoad)
     println(renderFull(medians, total, sfDir, reps, loadStart, loadEnd,
       spreads, errors, calib))
     println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,
-      errors.size, calib = calib))
+      errors.size, calib = calib, totalMinQuiet = totalMinQuiet,
+      quietLoad = quietLoad))
     spark.stop()
   }
 }

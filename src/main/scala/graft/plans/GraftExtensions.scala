@@ -120,6 +120,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else graft.pipeline.ManifestTable.read(spark, path)
         df.queryExecution.logical
       }))
+    // CDF from SQL — Delta's table_changes TVF: one row per change in
+    // [fromVersion, toVersion] with its commit version attached. Each
+    // version's changes come from the O(touched-files) CDC unit; the
+    // union aligns by name across schema evolution (missing columns
+    // null, Delta CDF's convention).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table_changes"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = strLit(exprs.head, "graft_table_changes path")
+        val from = longLit(exprs(1), "graft_table_changes fromVersion")
+        val to =
+          if (exprs.length >= 3) longLit(exprs(2), "graft_table_changes toVersion")
+          else graft.pipeline.ManifestTable.currentVersion(spark, path)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed version at $path"))
+        require(from >= 1 && to >= from,
+          s"graft_table_changes needs 1 <= fromVersion <= toVersion, " +
+            s"got [$from, $to]")
+        val lit = org.apache.spark.sql.functions.lit _
+        (from to to).map { v =>
+          graft.pipeline.ManifestTable.changesForVersion(spark, path, v)
+            .withColumn("_commit_version", lit(v))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .queryExecution.logical
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_at"),
       new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table_at"),

@@ -35,6 +35,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  *   ALTER TABLE '<path>' RENAME COLUMN a TO b
+  *   ALTER TABLE '<path>' DROP COLUMN a
+  *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<expr>)
+  *   ALTER TABLE '<path>' DROP CONSTRAINT name
+  *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
+  *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -108,6 +114,18 @@ object GraftSqlStatements {
     s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
   private val mergeRe =
     s"(?is)^\\s*MERGE\\s+INTO\\s+$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$".r
+  private val renameColRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$".r
+  private val dropColRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$".r
+  private val addConstraintRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$".r
+  private val dropConstraintRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
+  private val cloneRe =
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+  private val analyzeRe =
+    s"(?is)^\\s*ANALYZE\\s+(?:TABLE\\s+)?$P\\s+FOR\\s+COLUMNS\\s+([\\w\\s,]+?)\\s*;?\\s*$$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -129,6 +147,19 @@ object GraftSqlStatements {
     case mergeRe(path, alias, source, on, clauses) =>
       Some(parseMerge(path, Option(alias), source.trim, on.trim,
         clauses.trim))
+    case renameColRe(path, from, to) =>
+      Some(GraftAlterCommand(path, "rename", Seq(from, to)))
+    case dropColRe(path, name) =>
+      Some(GraftAlterCommand(path, "drop_column", Seq(name)))
+    case addConstraintRe(path, name, check) =>
+      Some(GraftAlterCommand(path, "add_constraint", Seq(name, check.trim)))
+    case dropConstraintRe(path, name) =>
+      Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
+    case cloneRe(dst, src, v) =>
+      Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
+    case analyzeRe(path, cols) =>
+      Some(GraftAlterCommand(path, "analyze",
+        cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case _ => None
   }
 
@@ -355,6 +386,41 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       whenMatchedDelete = whenMatchedDelete.map(expr),
       whenNotMatchedInsert = whenNotMatchedInsert.map(expr))))
   }
+}
+
+/** ALTER TABLE family + ANALYZE — metadata-only verbs over one
+  * dispatch (each maps 1:1 onto a ManifestTable call; the variants
+  * share the version-returning shape). */
+case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = verb match {
+      case "rename" =>
+        ManifestTable.renameColumn(session, path, args(0), args(1))
+      case "drop_column" =>
+        ManifestTable.dropColumn(session, path, args(0))
+      case "add_constraint" =>
+        ManifestTable.addCheckConstraint(session, path, args(0), args(1))
+      case "drop_constraint" =>
+        ManifestTable.dropCheckConstraint(session, path, args(0))
+      case "analyze" =>
+        ManifestTable.setNdvStats(session, path, args)
+      case other => throw new IllegalStateException(s"unknown verb $other")
+    }
+    Seq(Row(v))
+  }
+}
+
+/** CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]. */
+case class GraftCloneCommand(dst: String, src: String,
+                             version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.cloneShallow(session, src, dst, version)))
 }
 
 object GraftSqlCommands {

@@ -13,6 +13,32 @@ object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Flattened predicate structure of a Column for driver-side stats
+    * pruning: the top-level AND conjuncts, each as (functionName,
+    * classified arguments) where an argument is Some(Left(attrName))
+    * for a column reference, Some(Right(value)) for a literal, None
+    * for anything else. Spark 4 Columns are `ColumnNode` graphs
+    * (comparisons arrive as `UnresolvedFunction(">=", ...)`), and the
+    * node API is private[sql] — hence this shim.
+    */
+  def predicateConjuncts(c: org.apache.spark.sql.Column)
+      : Seq[(String, Seq[Option[Either[String, Any]]])] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, UnresolvedAttribute => NAttr, UnresolvedFunction => NFun}
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: NFun if f.functionName.equalsIgnoreCase("and") =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def classify(n: ColumnNode): Option[Either[String, Any]] = n match {
+      case a: NAttr => Some(Left(a.nameParts.mkString(".")))
+      case l: NLit  => Some(Right(l.value))
+      case _        => None
+    }
+    conjuncts(c.node).collect {
+      case f: NFun => f.functionName -> f.arguments.map(classify).toSeq
+    }
+  }
+
   /** Re-tag a fully-planned BATCH frame as a streaming micro-batch —
     * what a V1 streaming `Source.getBatch` must hand the engine (the
     * same `internalCreateDataFrame(isStreaming = true)` call Spark's

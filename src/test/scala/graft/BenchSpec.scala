@@ -110,4 +110,34 @@ class BenchSpec extends SparkSpec {
     assert(row.getAs[String]("sf") === evil)
     assert(parseJson(detail).select("queries.q_ok.median").head().getDouble(0) === 0.5)
   }
+
+  test("QueryRun quiet statistics: base median is fixed-sample, min_quiet ignores loaded reps, detail carries both") {
+    // attempts: (load, time) — 3 base reps then 2 adaptive extras;
+    // the contaminated rep (load 12) is the slowest
+    val run = Bench.QueryRun("q",
+      times = Seq(1.0, 1.1, 1.2, 8.0, 9.0).sorted,
+      attempts = Seq(12.0 -> Some(9.0), 2.0 -> Some(1.1), 11.0 -> Some(8.0),
+        1.5 -> Some(1.0), 3.9 -> Some(1.2)),
+      baseReps = 3)
+    // base median = median over FIRST 3 attempts only: (9.0, 1.1, 8.0)
+    assert(run.baseMedian === Some(8.0))
+    // adaptive median over all 5 sorted times
+    assert(run.median === Some(1.2))
+    // min over reps started under load <= 4.0: {1.1, 1.0, 1.2} -> 1.0
+    assert(run.minQuiet(4.0) === Some(1.0))
+    // nothing quiet under an impossible threshold
+    assert(run.minQuiet(0.5) === None)
+    // failed attempts never contribute even when quiet
+    val failing = Bench.QueryRun("f", Seq.empty,
+      Seq(1.0 -> None, 2.0 -> None), 2)
+    assert(failing.minQuiet(4.0) === None && failing.baseMedian === None)
+    // the rich detail dump is valid JSON carrying the new statistics
+    val tmp2 = java.nio.file.Files.createTempFile("bench_detail2", ".json")
+    Bench.writeDetailRuns(tmp2.toString, Seq(run), "/sf", 3, 1.0, 1.0,
+      Map.empty, 0.4, quietLoad = 4.0)
+    val d = parseJson(java.nio.file.Files.readString(tmp2))
+    assert(d.select("queries.q.min_quiet").head().getDouble(0) === 1.0)
+    assert(d.select("queries.q.base_median").head().getDouble(0) === 8.0)
+    assert(d.select("quiet_load").head().getDouble(0) === 4.0)
+  }
 }

@@ -133,6 +133,47 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE / SHALLOW CLONE / ANALYZE / graft_table_changes: the full console surface from SQL text") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql5").toString
+    val path = s"$root/t"
+    ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    withSql { s =>
+      // rename + constraint lifecycle, pure SQL
+      s.sql(s"ALTER TABLE '$path' RENAME COLUMN v TO amount")
+      assert(ManifestTable.read(s, path).schema.fieldNames.toSet ===
+        Set("id", "amount"))
+      s.sql(s"ALTER TABLE '$path' ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+      intercept[Exception] {
+        ManifestTable.append(Seq((3L, -1L)).toDF("id", "amount"), path)
+      }
+      s.sql(s"ALTER TABLE '$path' DROP CONSTRAINT amt_pos")
+      ManifestTable.append(Seq((3L, -1L)).toDF("id", "amount"), path)
+      // ANALYZE declares the NDV index; later commits sketch
+      s.sql(s"ANALYZE TABLE '$path' FOR COLUMNS id, amount")
+      ManifestTable.append(Seq((4L, 40L)).toDF("id", "amount"), path)
+      val (_, covered, _) = ManifestTable.rowCountFromStats(s, path)
+      assert(covered >= 1, "ANALYZE must start sketching commits")
+      // SHALLOW CLONE via SQL, then a column drop on the clone only
+      val dst = s"$root/clone"
+      s.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$path'")
+      assert(ManifestTable.read(s, dst).count() ===
+        ManifestTable.read(s, path).count())
+      s.sql(s"ALTER TABLE '$dst' DROP COLUMN amount")
+      assert(ManifestTable.read(s, dst).schema.fieldNames.toSeq === Seq("id"))
+      assert(ManifestTable.read(s, path).schema.fieldNames.toSet ===
+        Set("id", "amount"), "dropping on the clone must not touch the source")
+      // CDF from SQL: all changes since v1 with their commit versions
+      val ch = s.sql(
+        s"SELECT * FROM graft_table_changes('$path', 2) ORDER BY _commit_version, id")
+      assert(ch.schema.fieldNames.contains("_change") &&
+        ch.schema.fieldNames.contains("_commit_version"))
+      val inserts = ch.filter(col("_change") === "insert")
+        .select("id").as[Long].collect().toSet
+      assert(inserts === Set(3L, 4L),
+        s"appends after v1 must replay as inserts: $inserts")
+    }
+  }
+
   test("OPTIMIZE [ZORDER BY] / RESTORE / VACUUM SQL verbs") {
     val path = java.nio.file.Files.createTempDirectory("graft_sql4").toString + "/t"
     val df = spark.range(0, 4096).toDF("id")

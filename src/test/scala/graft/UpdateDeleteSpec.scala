@@ -96,6 +96,47 @@ class UpdateDeleteSpec extends SparkSpec {
       .select("v").head().getLong(0) === 20L, "failed UPDATE must not land")
   }
 
+  test("condBounds extracts necessary ranges from conjuncts (sound: OR contributes nothing, non-numeric leaves ignored)") {
+    val b1 = ManifestTable.condBounds(
+      col("id") >= 10 && col("id") < 50 && col("flag") === "x")
+    assert(b1("id") === ((10.0, 50.0)))
+    assert(!b1.contains("flag"), "string equality must not bound")
+    // reversed operand order and equality
+    val b2 = ManifestTable.condBounds(lit(100) > col("v") && col("k") === 7)
+    assert(b2("v") === ((Double.NegativeInfinity, 100.0)))
+    assert(b2("k") === ((7.0, 7.0)))
+    // an OR is ONE conjunct — no necessary range may escape it
+    val b3 = ManifestTable.condBounds(col("a") < 5 || col("a") > 100)
+    assert(b3.isEmpty, s"disjunction must not bound: $b3")
+    // contradictory conjuncts yield an empty interval (prunes all)
+    val b4 = ManifestTable.condBounds(col("a") > 10 && col("a") < 5)
+    assert(b4("a")._1 > b4("a")._2)
+  }
+
+  test("updateWhere pre-prunes whole files from manifest stats before the detection scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd5").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    // the necessary range id in [0, 49] intersects exactly 1 of 8 files
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id", 0.0, 49.0)
+    assert(total === 8 && cand === 1, s"fixture: $cand/$total")
+    // the same prune drives the rewrite: correct result, one rewritten
+    // file, 7 carried verbatim
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    ManifestTable.updateWhere(spark, path, Seq("v" -> lit(-1L)),
+      col("id") <= 49 && col("id") >= 0 && col("v") % 2 === 0)
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    assert(files2.count(files1.contains) === 7,
+      "stats-pruned files must carry verbatim")
+    val got = ManifestTable.read(spark, path).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach(i =>
+      assert(got(i) === (if (i % 2 == 0) -1L else i)))
+    (50L until 400L).foreach(i => assert(got(i) === i))
+  }
+
   test("updateWhere under row tracking keeps stable ids; deleteWhere drops them; change feed sees row-level updates") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd4").toString + "/t"
     ManifestTable.enableRowTracking(spark, path)
