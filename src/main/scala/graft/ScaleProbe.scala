@@ -75,7 +75,13 @@ object ScaleProbe {
     // the loads' own staging); the NDV index adds one sketch pass per
     // commit whose shuffle carries (file, col) sketch rows — constant
     // cells, never occurrences
-    "zorder_optimize", "column_mapping", "ndv_stats")
+    "zorder_optimize", "column_mapping", "ndv_stats",
+    // round-11 additions: the keyless predicate UPDATE's cost must
+    // track the MATCHING-file fraction (stats pre-prune + filter-pushed
+    // detection + CoW rewrite of touched files only); the SQL-text
+    // merge must match merge_upsert's shape (same engine underneath —
+    // the parser adds driver-side O(1))
+    "update_where", "sql_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -723,6 +723,13 @@ object GraftOps {
     * against a dimension Spark mis-sized and a map-side join chosen
     * from metadata.
     */
+  /** Declare the table's persistent stats schema: every subsequent
+    * commit records per-file min/max stats for these columns without
+    * per-call `statsCols` (Delta's `dataSkippingStatsColumns`). */
+  def setStatsColumns(spark: org.apache.spark.sql.SparkSession,
+                      path: String, cols: Seq[String]): Long =
+    graft.pipeline.ManifestTable.setStatsColumns(spark, path, cols)
+
   /** Read a manifest table with the broadcast decision injected from
     * its committed NDV statistics — ANY join written against the
     * returned frame plans map-side when metadata proves the table

@@ -122,7 +122,8 @@ object ManifestTable {
                               minReader: Int = 1,
                               minWriter: Int = 1,
                               rowTracking: Boolean = false,
-                              rowHighWater: Long = 0L) {
+                              rowHighWater: Long = 0L,
+                              statsSchemaCols: Seq[String] = Nil) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -293,7 +294,8 @@ object ManifestTable {
       Option(n.get("minReader")).map(_.asInt()).getOrElse(1),
       Option(n.get("minWriter")).map(_.asInt()).getOrElse(1),
       Option(n.get("rowTracking")).exists(_.asBoolean()),
-      Option(n.get("rowHighWater")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("rowHighWater")).map(_.asLong()).getOrElse(0L),
+      strArr(n, "statsSchema"))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -359,7 +361,9 @@ object ManifestTable {
       Option(n.get("rowTracking")).map(_.asBoolean())
         .getOrElse(prev.rowTracking),
       Option(n.get("rowHighWater")).map(_.asLong())
-        .getOrElse(prev.rowHighWater))
+        .getOrElse(prev.rowHighWater),
+      if (n.has("statsSchema")) strArr(n, "statsSchema")
+      else prev.statsSchemaCols)
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -874,7 +878,8 @@ object ManifestTable {
                         op: Option[String] = None,
                         protocol: Option[(Int, Int)] = None,
                         rowTracking: Option[Boolean] = None,
-                        rowHighWater: Option[Long] = None): String = {
+                        rowHighWater: Option[Long] = None,
+                        statsSchema: Option[Seq[String]] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -884,6 +889,9 @@ object ManifestTable {
       root.put("minReader", r); root.put("minWriter", w): Unit }
     rowTracking.foreach(root.put("rowTracking", _))
     rowHighWater.foreach(root.put("rowHighWater", _))
+    statsSchema.foreach { cols =>
+      val a = root.putArray("statsSchema"); cols.foreach(a.add)
+    }
     tag.foreach(root.put("tag", _))
     if (tag.isDefined || tagHorizon != DefaultTagHorizon)
       root.put("tagHorizon", tagHorizon)
@@ -986,6 +994,9 @@ object ManifestTable {
     if (st.rowTracking) {
       root.put("rowTracking", true)
       root.put("rowHighWater", st.rowHighWater): Unit
+    }
+    if (st.statsSchemaCols.nonEmpty) {
+      val a = root.putArray("statsSchema"); st.statsSchemaCols.foreach(a.add)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1652,6 +1663,48 @@ object ManifestTable {
     * time — the statistics that size broadcast joins and drive CBO
     * never require a table rescan.
     */
+  /** Declare the table's PERSISTENT STATS SCHEMA (Delta's
+    * `dataSkippingStatsColumns`): every subsequent commit — write,
+    * append, merge, UPDATE/DELETE, compact, Z-order — records per-file
+    * min/max/null footer stats for these columns WITHOUT the caller
+    * passing `statsCols` each time. An explicit `statsCols` argument
+    * still overrides per-commit. Stored under PHYSICAL names, so the
+    * declaration survives renames. Metadata-only commit; empty-table
+    * OK; `cols = Nil` clears the declaration.
+    *
+    * Scale shape: data skipping stops depending on every writer
+    * remembering the right columns — the one-writer-forgot failure
+    * mode that silently turns a pruned 100 TB scan into a full one.
+    */
+  def setStatsColumns(spark: SparkSession, path: String,
+                      cols: Seq[String], maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      val physCols =
+        if (prevV == 0L) cols
+        else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        op = Some("SET_STATS"), statsSchema = Some(physCols))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"stats-schema commit lost $maxAttempts races at $path — giving up")
+  }
+
   def setNdvStats(spark: SparkSession, path: String, cols: Seq[String],
                   maxAttempts: Int = 3): Long = {
     require(cols.nonEmpty, "need at least one NDV column")
@@ -2045,9 +2098,13 @@ object ManifestTable {
             .map { n => id += 1; n -> s"col-$id" }
           (keep ++ fresh, id)
         }
+      // stats columns: per-commit argument overrides; else the table's
+      // declared stats schema (stored physical — rename-safe)
       val statsColsPhys =
-        if (!prevMapped) statsCols
-        else statsCols.map(c => newMapping.getOrElse(c, c))
+        if (statsCols.nonEmpty) {
+          if (!prevMapped) statsCols
+          else statsCols.map(c => newMapping.getOrElse(c, c))
+        } else prevState.map(_.statsSchemaCols).getOrElse(Nil)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
       // CHECK constraints enforce inside the staging pass: a violating
@@ -2104,7 +2161,7 @@ object ManifestTable {
       }
       val adds = staged.map(p => relativize(new Path(path), p))
       val newStats: Map[String, Map[String, ColStats]] =
-        if (statsCols.isEmpty) Map.empty
+        if (statsColsPhys.isEmpty) Map.empty
         else staged.map(p => relativize(new Path(path), p) ->
           footerStats(spark, p, statsColsPhys)).toMap
       // overwrite: every previous file (and deletion vector) leaves the
@@ -2418,10 +2475,14 @@ object ManifestTable {
         .map(p => relativize(new Path(path), p))
     }
     val stagedRel = staged.map(p => relativize(new Path(path), p))
+    // explicit statsCols override; else the declared stats schema
+    val mergeStatsPhys =
+      if (statsCols.nonEmpty) statsCols.map(st.phys)
+      else st.statsSchemaCols
     val newStats: Map[String, Map[String, ColStats]] =
-      if (statsCols.isEmpty) Map.empty
+      if (mergeStatsPhys.isEmpty) Map.empty
       else staged.map(p => relativize(new Path(path), p) ->
-        footerStats(spark, p, statsCols.map(st.phys))).toMap
+        footerStats(spark, p, mergeStatsPhys)).toMap
     // bloom index: rewritten files get fresh filters (stale entries for
     // the removed files are dead weight until compact retires them)
     val bloomAdds = st.bloom match {
@@ -2761,11 +2822,12 @@ object ManifestTable {
         staged = listDataFiles(f, new Path(snapDir))
       }
       val stagedRel = staged.map(p => relativize(new Path(path), p))
-      // stats columns: explicit > inherited (so skipping survives the
-      // rewrite without the caller re-declaring them); inherited keys
-      // are already PHYSICAL
+      // stats columns: explicit > declared stats schema > inherited
+      // from existing file stats (so skipping survives the rewrite
+      // without the caller re-declaring); stored keys already PHYSICAL
       val physStats =
         if (statsCols.nonEmpty) statsCols.map(st.phys)
+        else if (st.statsSchemaCols.nonEmpty) st.statsSchemaCols
         else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
       val newStats: Map[String, Map[String, ColStats]] =
         if (physStats.isEmpty) Map.empty
@@ -2866,6 +2928,8 @@ object ManifestTable {
       generatedAdds = st.generated,
       ndvCols = if (st.ndvCols.nonEmpty) Some(st.ndvCols) else None,
       ndvAdds = st.ndvFiles.map(abs),
+      statsSchema =
+        if (st.statsSchemaCols.nonEmpty) Some(st.statsSchemaCols) else None,
       op = Some("CLONE"),
       rowTracking = if (st.rowTracking) Some(true) else None,
       rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None)
@@ -2945,6 +3009,9 @@ object ManifestTable {
           (cur.generated.keySet -- target.generated.keySet).toSeq.sorted,
         ndvCols = if (cur.ndvCols != target.ndvCols) Some(target.ndvCols)
           else None,
+        statsSchema =
+          if (cur.statsSchemaCols == target.statsSchemaCols) None
+          else Some(target.statsSchemaCols),
         ndvAdds = target.ndvFiles.filterNot(cur.ndvFiles.toSet),
         ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet),
         op = Some("RESTORE"),
@@ -3002,7 +3069,8 @@ object ManifestTable {
                 "CONSTRAINT"
               else if (n.has("mapping") || n.has("generatedAdds")
                 || n.has("generatedRemoves")) "SCHEMA"
-              else if (n.has("bloomCols") || n.has("ndvCols")) "INDEX"
+              else if (n.has("bloomCols") || n.has("ndvCols")
+                || n.has("statsSchema")) "INDEX"
               else "METADATA"
             }
             else if (dvAdds > 0 && adds == 0) "DELETE_DV"

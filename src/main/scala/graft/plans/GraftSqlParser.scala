@@ -41,6 +41,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
+  *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -126,6 +127,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val analyzeRe =
     s"(?is)^\\s*ANALYZE\\s+(?:TABLE\\s+)?$P\\s+FOR\\s+COLUMNS\\s+([\\w\\s,]+?)\\s*;?\\s*$$".r
+  private val setStatsRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+STATS\\s+COLUMNS\\s+([\\w\\s,]*?)\\s*;?\\s*$$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -159,6 +162,9 @@ object GraftSqlStatements {
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
     case analyzeRe(path, cols) =>
       Some(GraftAlterCommand(path, "analyze",
+        cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
+    case setStatsRe(path, cols) =>
+      Some(GraftAlterCommand(path, "set_stats",
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case _ => None
   }
@@ -407,6 +413,8 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.dropCheckConstraint(session, path, args(0))
       case "analyze" =>
         ManifestTable.setNdvStats(session, path, args)
+      case "set_stats" =>
+        ManifestTable.setStatsColumns(session, path, args)
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
     Seq(Row(v))
