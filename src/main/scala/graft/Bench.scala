@@ -38,12 +38,21 @@ object Bench {
       val base = attempts.take(baseReps).flatMap(_._2).sorted
       if (base.isEmpty) None else Some(base(base.length / 2))
     }
-    /** Fastest rep among those started under loadavg ≤ `maxLoad` — the
-      * committed number a contaminated run can stand behind. None when
-      * no successful rep ran quiet (report the median, flagged). */
+    /** Fastest rep among those started QUIET — under
+      * max(`maxLoad`, this query's calmest observed load + 2.0). The
+      * absolute floor alone cannot work: the bench's own local[32]
+      * execution keeps the 1-min loadavg elevated for the whole run
+      * (124/124 queries read > 4 mid-run), so background contamination
+      * is visible only as WITHIN-query load variance — self-load is
+      * the same for every rep of one query and subtracts out. None
+      * only when every rep failed. */
     def minQuiet(maxLoad: Double): Option[Double] = {
+      val observed = attempts.collect { case (l, _) if l >= 0 => l }
+      val threshold =
+        if (observed.isEmpty) maxLoad
+        else math.max(maxLoad, observed.min + 2.0)
       val quiet = attempts.collect {
-        case (l, Some(t)) if l >= 0 && l <= maxLoad => t
+        case (l, Some(t)) if l >= 0 && l <= threshold => t
       }
       if (quiet.isEmpty) None else Some(quiet.min)
     }
