@@ -131,6 +131,7 @@ object SparkEntry {
     "update_where"       -> ((s, d) => graft.pipeline.Medallion.updateWhereOrders(s, d)),
     "delete_where"       -> ((s, d) => graft.pipeline.Medallion.deleteWhereOrders(s, d)),
     "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
+    "cluster_incremental" -> ((s, d) => graft.pipeline.Medallion.clusterIncrementalOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1540,6 +1541,22 @@ object SparkEntry {
          SELECT * FROM (
            SELECT * FROM base
            UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the incremental-clustering lifecycle
+    // (Medallion.clusterIncrementalOrders): content is layout-invariant;
+    // the touched-file arithmetic is spec-asserted (ClusteringSpec).
+    "cluster_incremental" ->
+      """WITH ins AS (
+           SELECT o_orderkey + 500000000 AS o_orderkey,
+                  o_custkey + 1000000 AS o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate,
+                  '5-CLUSTERED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 11 = 0)
+         SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
     // Relational recompute of the bloom-index point lookup

@@ -123,7 +123,9 @@ object ManifestTable {
                               minWriter: Int = 1,
                               rowTracking: Boolean = false,
                               rowHighWater: Long = 0L,
-                              statsSchemaCols: Seq[String] = Nil) {
+                              statsSchemaCols: Seq[String] = Nil,
+                              clusterCols: Seq[String] = Nil,
+                              clusteredFiles: Seq[String] = Nil) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -295,7 +297,8 @@ object ManifestTable {
       Option(n.get("minWriter")).map(_.asInt()).getOrElse(1),
       Option(n.get("rowTracking")).exists(_.asBoolean()),
       Option(n.get("rowHighWater")).map(_.asLong()).getOrElse(0L),
-      strArr(n, "statsSchema"))
+      strArr(n, "statsSchema"),
+      strArr(n, "clusterCols"), strArr(n, "clusteredFiles"))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -363,7 +366,15 @@ object ManifestTable {
       Option(n.get("rowHighWater")).map(_.asLong())
         .getOrElse(prev.rowHighWater),
       if (n.has("statsSchema")) strArr(n, "statsSchema")
-      else prev.statsSchemaCols)
+      else prev.statsSchemaCols,
+      if (n.has("clusterCols")) strArr(n, "clusterCols")
+      else prev.clusterCols,
+      // CLUSTERED ⊆ FILES invariant: any rewrite that removes a file
+      // also retires its clustered mark; only cluster commits add marks
+      // (clusteredRemoves exists for restore's exact rollback)
+      prev.clusteredFiles.filterNot(removes)
+        .filterNot(strArr(n, "clusteredRemoves").toSet)
+        ++ strArr(n, "clusteredAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -879,7 +890,10 @@ object ManifestTable {
                         protocol: Option[(Int, Int)] = None,
                         rowTracking: Option[Boolean] = None,
                         rowHighWater: Option[Long] = None,
-                        statsSchema: Option[Seq[String]] = None): String = {
+                        statsSchema: Option[Seq[String]] = None,
+                        clusterCols: Option[Seq[String]] = None,
+                        clusteredAdds: Seq[String] = Nil,
+                        clusteredRemoves: Seq[String] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -891,6 +905,16 @@ object ManifestTable {
     rowHighWater.foreach(root.put("rowHighWater", _))
     statsSchema.foreach { cols =>
       val a = root.putArray("statsSchema"); cols.foreach(a.add)
+    }
+    clusterCols.foreach { cols =>
+      val a = root.putArray("clusterCols"); cols.foreach(a.add)
+    }
+    if (clusteredAdds.nonEmpty) {
+      val a = root.putArray("clusteredAdds"); clusteredAdds.foreach(a.add)
+    }
+    if (clusteredRemoves.nonEmpty) {
+      val a = root.putArray("clusteredRemoves")
+      clusteredRemoves.foreach(a.add)
     }
     tag.foreach(root.put("tag", _))
     if (tag.isDefined || tagHorizon != DefaultTagHorizon)
@@ -997,6 +1021,12 @@ object ManifestTable {
     }
     if (st.statsSchemaCols.nonEmpty) {
       val a = root.putArray("statsSchema"); st.statsSchemaCols.foreach(a.add)
+    }
+    if (st.clusterCols.nonEmpty) {
+      val a = root.putArray("clusterCols"); st.clusterCols.foreach(a.add)
+    }
+    if (st.clusteredFiles.nonEmpty) {
+      val a = root.putArray("clusteredFiles"); st.clusteredFiles.foreach(a.add)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1705,6 +1735,218 @@ object ManifestTable {
       s"stats-schema commit lost $maxAttempts races at $path — giving up")
   }
 
+  /** Declare CLUSTER COLUMNS (the Delta 3.x liquid-clustering shape,
+    * simplified to range-overlap maintenance): from this commit on,
+    *
+    *  1. every staged batch SORTS LOCALLY by the cluster key (zero
+    *     shuffle — each new file gets tight per-file stats on the key
+    *     from its first commit);
+    *  2. the cluster columns join the persistent stats schema, so the
+    *     skipping index those stats feed never lapses;
+    *  3. [[optimizeClustered]] INCREMENTALLY reclusters: only files
+    *     not yet clustered, plus the clustered files whose key ranges
+    *     overlap them, are rewritten — an append-mostly 100 TB table
+    *     pays O(new data) per maintenance run, never a full rewrite.
+    *
+    * Unlike a one-shot OPTIMIZE ZORDER, clustering declared this way
+    * SURVIVES ingestion: the manifest tracks which live files are
+    * products of a cluster rewrite (`clusteredFiles`, retired
+    * automatically when any rewrite removes them), so maintenance
+    * always knows exactly what is left to do. Stored physical —
+    * rename-safe. Metadata-only commit; empty-table OK; 1–8 columns.
+    */
+  def setClusterColumns(spark: SparkSession, path: String,
+                        cols: Seq[String], maxAttempts: Int = 3): Long = {
+    require(cols.nonEmpty && cols.length <= 8,
+      s"cluster columns: 1..8 supported, got ${cols.length}")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      val (physCols, statsUnion) =
+        if (prevV == 0L) (cols, cols)
+        else {
+          val st = resolveState(spark, path, prevV)
+          val pc = cols.map(st.phys)
+          (pc, (st.statsSchemaCols ++ pc).distinct)
+        }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        op = Some("CLUSTER_BY"), clusterCols = Some(physCols),
+        statsSchema = Some(statsUnion))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"cluster-by commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Incremental cluster maintenance (liquid clustering's OPTIMIZE):
+    * rewrite ONLY (a) live files that are not products of a previous
+    * cluster rewrite, plus (b) clustered files whose per-file stats
+    * box on the cluster columns OVERLAPS the unclustered data's
+    * bounding box (their key ranges interleave, so merging them is
+    * what keeps file ranges disjoint); everything else carries
+    * byte-identical. The rewrite Z-orders the selected rows (Morton
+    * key over min/max-normalized dimensions for ≥2 columns; plain
+    * range sort for 1) into ~input-file-count outputs and commits them
+    * as the new clustered set. A fully-clustered table is a NO-OP
+    * (returns the current version, no commit).
+    *
+    * Scale shape: an append-mostly table pays O(appended bytes +
+    * overlapping tail) per run — the full-table OPTIMIZE ZORDER cost
+    * only ever recurs if ingestion scatters keys across the whole
+    * domain (in which case the overlap IS the table, and a global
+    * recluster is genuinely what maintenance means).
+    */
+  def optimizeClustered(spark: SparkSession, path: String,
+                        targetFiles: Int = 0,
+                        maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      assertWritable(st, path)
+      require(st.clusterCols.nonEmpty,
+        s"no cluster columns declared at $path — setClusterColumns first")
+      val clusteredSet = st.clusteredFiles.toSet
+      val unclustered = st.files.filterNot(clusteredSet)
+      if (unclustered.isEmpty) return prevV // fully clustered: no-op
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      val logicalCols = st.clusterCols.map(st.logical)
+      // bounding box of the UNCLUSTERED data per cluster column — from
+      // manifest stats when every unclustered file has complete stats,
+      // else one min/max scan of just those files
+      def statsBox: Option[Seq[(Double, Double)]] = {
+        val per = st.clusterCols.map { c =>
+          val rs = unclustered.map(fl => st.stats.get(fl).flatMap(_.get(c)))
+          if (rs.exists(r => !r.exists(s => s.complete && s.typ != "string")))
+            None
+          else Some((rs.flatten.map(_.min.toString.toDouble).min,
+            rs.flatten.map(_.max.toString.toDouble).max))
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten) else None
+      }
+      val box: Seq[(Double, Double)] = statsBox.getOrElse {
+        val b = readStateDf(spark, path, st.copy(files = unclustered))
+          .agg(logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).head,
+            logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).tail: _*)
+          .head()
+        logicalCols.indices.map { i =>
+          val lo = if (b.isNullAt(2 * i)) Double.NegativeInfinity
+            else b.get(2 * i).toString.toDouble
+          val hi = if (b.isNullAt(2 * i + 1)) Double.PositiveInfinity
+            else b.get(2 * i + 1).toString.toDouble
+          (lo, hi)
+        }
+      }
+      // clustered files whose stats box INTERSECTS the unclustered box
+      // on every dimension must merge in (missing/incomplete stats →
+      // conservative overlap: clustering quality beats skipping a file)
+      val overlapping = st.clusteredFiles.filter { fl =>
+        st.clusterCols.zip(box).forall { case (c, (lo, hi)) =>
+          st.stats.get(fl).flatMap(_.get(c)) match {
+            case Some(s) if s.complete && s.typ != "string" =>
+              s.max.toString.toDouble >= lo && s.min.toString.toDouble <= hi
+            case _ => true
+          }
+        }
+      }
+      val rewrite = unclustered ++ overlapping
+      // read the selected rows (DV-aware; ids ride through) and Z-order
+      // them over THIS subset's observed domain
+      val idSchema = st.schema.map(sc => StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+      val rows = readStateDf(spark, path, st.copy(files = rewrite,
+        schema = if (st.rowTracking) idSchema else st.schema))
+      val nOut = if (targetFiles > 0) targetFiles
+        else math.max(1, rewrite.size)
+      val clustered =
+        if (logicalCols.length == 1)
+          rows.repartitionByRange(nOut, col(logicalCols.head))
+            .sortWithinPartitions(col(logicalCols.head))
+        else {
+          val b = rows.agg(
+            logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).head,
+            logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).tail: _*)
+            .head()
+          def d(i: Int): Double =
+            if (b.isNullAt(i)) 0.0 else b.get(i).toString.toDouble
+          def norm(c: String, lo: Double, hi: Double) =
+            if (hi <= lo) lit(0)
+            else (((col(c).cast("double") - lit(lo)) / lit(hi - lo))
+              * lit(4294967000.0) - lit(2147483500.0)).cast("long").cast("int")
+          val zNames = logicalCols.indices.map(i => s"_graft_cz$i")
+          val keyed = logicalCols.zipWithIndex.foldLeft(rows) {
+            case (df0, (c, i)) =>
+              df0.withColumn(zNames(i), norm(c, d(2 * i), d(2 * i + 1)))
+          }
+          val out =
+            if (logicalCols.length == 2)
+              graft.functions.ZOrderKey.clusterBy(keyed,
+                zNames(0), zNames(1), nOut)
+            else graft.functions.ZOrderKeyN.clusterByN(keyed, zNames, nOut)
+          out.drop(zNames: _*)
+        }
+      val version = prevV + 1L
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      val physOut =
+        if (!st.mapped) clustered
+        else clustered.select(clustered.schema.fieldNames.map(n =>
+          col(n).as(st.phys(n))).toSeq: _*)
+      physOut.write.mode("overwrite").parquet(snapDir)
+      val staged = listDataFiles(f, new Path(snapDir))
+      val stagedRel = staged.map(p => relativize(new Path(path), p))
+      val physStats = (st.statsSchemaCols ++ st.clusterCols).distinct
+      val newStats: Map[String, Map[String, ColStats]] =
+        staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, physStats)).toMap
+      val bloomAdds = st.bloom match {
+        case Some(spec) if spec.cols.nonEmpty =>
+          buildBloomSidecar(spark, path, staged, spec, version, token)
+        case _ => Nil
+      }
+      val ndvAdds = st.ndvCols match {
+        case Nil  => Nil
+        case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+      }
+      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+        rewrite, newStats, None, DefaultTagHorizon, Some(schema),
+        bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("CLUSTER"),
+        clusteredAdds = stagedRel)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"cluster commit lost $maxAttempts races at $path — giving up")
+  }
+
   def setNdvStats(spark: SparkSession, path: String, cols: Seq[String],
                   maxAttempts: Int = 3): Long = {
     require(cols.nonEmpty, "need at least one NDV column")
@@ -2147,7 +2389,17 @@ object ManifestTable {
       val partColsPhys =
         if (!prevMapped) partitionCols
         else partitionCols.map(c => newMapping.getOrElse(c, c))
-      val w = stagedDf.write.mode("overwrite")
+      // ingestion-time clustering (liquid-clustering shape): declared
+      // cluster columns sort each staged file LOCALLY — zero shuffle,
+      // tight per-file stats on the cluster key from the first commit;
+      // [[optimizeClustered]] does the global incremental recluster
+      val clusterPhys = prevState.map(_.clusterCols).getOrElse(Nil)
+        .filter(stagedDf.columns.contains)
+      val toStage =
+        if (clusterPhys.isEmpty) stagedDf
+        else stagedDf.sortWithinPartitions(
+          clusterPhys.map(org.apache.spark.sql.functions.col): _*)
+      val w = toStage.write.mode("overwrite")
       (if (partColsPhys.nonEmpty) w.partitionBy(partColsPhys: _*) else w)
         .parquet(snapDir)
       var staged = listDataFiles(f, new Path(snapDir))
@@ -2930,6 +3182,9 @@ object ManifestTable {
       ndvAdds = st.ndvFiles.map(abs),
       statsSchema =
         if (st.statsSchemaCols.nonEmpty) Some(st.statsSchemaCols) else None,
+      clusterCols =
+        if (st.clusterCols.nonEmpty) Some(st.clusterCols) else None,
+      clusteredAdds = st.clusteredFiles.map(abs),
       op = Some("CLONE"),
       rowTracking = if (st.rowTracking) Some(true) else None,
       rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None)
@@ -3012,6 +3267,13 @@ object ManifestTable {
         statsSchema =
           if (cur.statsSchemaCols == target.statsSchemaCols) None
           else Some(target.statsSchemaCols),
+        clusterCols =
+          if (cur.clusterCols == target.clusterCols) None
+          else Some(target.clusterCols),
+        clusteredAdds =
+          target.clusteredFiles.filterNot(cur.clusteredFiles.toSet),
+        clusteredRemoves =
+          cur.clusteredFiles.filterNot(target.clusteredFiles.toSet),
         ndvAdds = target.ndvFiles.filterNot(cur.ndvFiles.toSet),
         ndvRemoves = cur.ndvFiles.filterNot(target.ndvFiles.toSet),
         op = Some("RESTORE"),
@@ -3070,7 +3332,7 @@ object ManifestTable {
               else if (n.has("mapping") || n.has("generatedAdds")
                 || n.has("generatedRemoves")) "SCHEMA"
               else if (n.has("bloomCols") || n.has("ndvCols")
-                || n.has("statsSchema")) "INDEX"
+                || n.has("statsSchema") || n.has("clusterCols")) "INDEX"
               else "METADATA"
             }
             else if (dvAdds > 0 && adds == 0) "DELETE_DV"

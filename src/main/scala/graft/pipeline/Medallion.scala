@@ -1076,6 +1076,33 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared INCREMENTAL-CLUSTERING query
+    * ([[ManifestTable.setClusterColumns]] / [[ManifestTable.optimizeClustered]]
+    * — the Delta 3.x liquid-clustering shape): declare cluster columns,
+    * load scattered, run maintenance, append a disjoint batch, run
+    * maintenance again (the incremental run — only the new file and any
+    * range-overlapping tail rewrite; byte-identical carry is
+    * spec-asserted in ClusteringSpec). The oracle recomputes the final
+    * content relationally — clustering must be layout-only.
+    */
+  def clusterIncrementalOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_cluster_inc_", sfDir) + "/orders_cl"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.setClusterColumns(spark, path,
+      Seq("o_custkey", "o_orderkey"))
+    // scattered load: no statsCols argument — the cluster declaration's
+    // stats schema must cover it
+    ManifestTable.write(orders.repartition(8), path)
+    ManifestTable.optimizeClustered(spark, path)
+    val ins = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(500000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+      .withColumn("o_orderpriority", lit("5-CLUSTERED"))
+    ManifestTable.append(ins.coalesce(1), path)
+    ManifestTable.optimizeClustered(spark, path)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

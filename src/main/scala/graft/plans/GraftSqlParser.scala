@@ -42,6 +42,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
+  *   ALTER TABLE '<path>' CLUSTER BY (a, b)
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -127,6 +128,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val analyzeRe =
     s"(?is)^\\s*ANALYZE\\s+(?:TABLE\\s+)?$P\\s+FOR\\s+COLUMNS\\s+([\\w\\s,]+?)\\s*;?\\s*$$".r
+  private val clusterByRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*;?\\s*$$".r
   private val setStatsRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+STATS\\s+COLUMNS\\s+([\\w\\s,]*?)\\s*;?\\s*$$".r
 
@@ -165,6 +168,9 @@ object GraftSqlStatements {
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case setStatsRe(path, cols) =>
       Some(GraftAlterCommand(path, "set_stats",
+        cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
+    case clusterByRe(path, cols) =>
+      Some(GraftAlterCommand(path, "cluster_by",
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case _ => None
   }
@@ -331,7 +337,15 @@ case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
   override def run(session: SparkSession): Seq[Row] = {
     val v = zorderCols match {
       case Nil =>
-        targetFiles match {
+        val clustered = ManifestTable.currentVersion(session, path)
+          .exists(cv => ManifestTable
+            .resolveState(session, path, cv).clusterCols.nonEmpty)
+        if (clustered)
+          // Delta semantics: OPTIMIZE on a clustered table runs the
+          // INCREMENTAL recluster, not a bin-pack
+          ManifestTable.optimizeClustered(session, path,
+            targetFiles.getOrElse(0))
+        else targetFiles match {
           case Some(n) => ManifestTable.compact(session, path, targetFiles = n)
           case None => // Delta's default OPTIMIZE shape: bin-pack to ~128 MiB
             ManifestTable.compactToFileSize(session, path, 128L << 20)
@@ -415,6 +429,8 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.setNdvStats(session, path, args)
       case "set_stats" =>
         ManifestTable.setStatsColumns(session, path, args)
+      case "cluster_by" =>
+        ManifestTable.setClusterColumns(session, path, args)
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
     Seq(Row(v))
