@@ -1398,22 +1398,30 @@ object ManifestTable {
         IllegalArgumentException(
           s"cannot rename '$from' at $path: CHECK constraint '$c' " +
             s"references it (${st.constraints(c)}) — drop it first"))
-      generatedReferencing(st, from).foreach(g => throw new
-        IllegalArgumentException(
-          s"cannot rename '$from' at $path: generated column '$g' " +
-            s"references it (${st.generated(g)}) — drop it first"))
       val newSchema = StructType(schema.fields.map(fd =>
         if (fd.name == from) fd.copy(name = to) else fd))
       val newMapping = ((st.mapping - from) + (to -> st.phys(from)))
         .filterNot { case (l, p) => l == p }
       val version = prevV + 1L
-      // a generated column renames WITH its declaration
+      // a generated column renames WITH its declaration, and any
+      // generated column whose EXPRESSION references the renamed source
+      // has the identifier rewritten in place (same word-boundary
+      // discipline as the reference detector) — declarations follow the
+      // logical schema instead of blocking it
+      val identRe = "(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(from) + "(?![A-Za-z0-9_])"
       val genMove = st.generated.get(from)
+      val genRewrites = st.generated.collect {
+        case (g, exprText)
+            if g != from && identRe.r.findFirstIn(exprText).isDefined =>
+          g -> exprText.replaceAll(identRe,
+            java.util.regex.Matcher.quoteReplacement(to))
+      }
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(newMapping),
         maxColId = Some(math.max(st.maxColId, 1L)),
-        generatedAdds = genMove.map(e => to -> e).toMap,
+        generatedAdds = genMove.map(e => to -> e).toMap ++ genRewrites,
         generatedRemoves = genMove.map(_ => from).toSeq)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")

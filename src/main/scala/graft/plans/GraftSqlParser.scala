@@ -111,9 +111,9 @@ object GraftSqlStatements {
   private val vacuumRe =
     s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
   private val deleteRe =
-    s"(?is)^\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+    s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
-    s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$$".r
+    s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val mergeRe =
     s"(?is)^\\s*MERGE\\s+INTO\\s+$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$".r
   private val renameColRe =
@@ -146,10 +146,12 @@ object GraftSqlStatements {
       Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
         Option(zcols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
           .getOrElse(Nil)))
-    case deleteRe(path, cond) => Some(GraftDeleteCommand(path, cond))
+    // an absent WHERE is SQL's all-rows form (DELETE = truncate)
+    case deleteRe(path, cond) =>
+      Some(GraftDeleteCommand(path, Option(cond).getOrElse("true")))
     case updateRe(path, setText, cond) =>
       Some(GraftUpdateCommand(path, splitTopLevel(setText).map(parseAssign),
-        cond))
+        Option(cond).getOrElse("true")))
     case mergeRe(path, alias, source, on, clauses) =>
       Some(parseMerge(path, Option(alias), source.trim, on.trim,
         clauses.trim))

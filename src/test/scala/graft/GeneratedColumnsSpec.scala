@@ -88,15 +88,30 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(e2.getMessage.contains("lack"))
   }
 
-  test("rename moves the declaration; referenced columns refuse rename/drop; clone and restore carry it") {
+  test("rename moves the declaration and REWRITES referencing expressions; referenced columns refuse drop; clone and restore carry it") {
     val path = tmp("graft_gen5")
     ManifestTable.addGeneratedColumn(spark, path, "double_v", "v * 2")
     ManifestTable.write(spark.range(0, 10).toDF("id")
       .withColumn("v", col("id")), path)
-    // the referenced column refuses rename/drop
-    val e = intercept[IllegalArgumentException] {
-      ManifestTable.renameColumn(spark, path, "v", "w") }
-    assert(e.getMessage.contains("double_v"))
+    // renaming the REFERENCED source column rewrites the declaration
+    // in place (r11; was a refusal) — enforcement follows the new name
+    ManifestTable.renameColumn(spark, path, "v", "w")
+    assert(ManifestTable.generatedColumns(spark, path) ===
+      Map("double_v" -> "w * 2"))
+    ManifestTable.append(spark.range(20, 25).toDF("id")
+      .withColumn("w", col("id")), path)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("double_v") =!= col("w") * 2).count() === 0)
+    // a VIOLATING append against the rewritten declaration still fails
+    intercept[Exception] {
+      ManifestTable.append(spark.range(0, 1).toDF("id")
+        .withColumn("w", col("id")).withColumn("double_v", lit(999L)), path)
+    }
+    ManifestTable.renameColumn(spark, path, "w", "v") // back for the rest
+    assert(ManifestTable.generatedColumns(spark, path) ===
+      Map("double_v" -> "v * 2"))
+    // dropping the referenced column still refuses (no expression can
+    // survive losing its input)
     intercept[IllegalArgumentException] {
       ManifestTable.dropColumn(spark, path, "v") }
     // the generated column itself renames WITH its declaration

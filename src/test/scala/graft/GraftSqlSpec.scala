@@ -89,6 +89,17 @@ class GraftSqlSpec extends SparkSpec {
       // multi-assignment with top-level comma inside a function call
       s.sql(s"UPDATE '$path' SET v = greatest(v, 1), id = id WHERE id = 0")
       assert(hist.size === 3) // previous snapshot unchanged
+      // WHERE-less forms: UPDATE touches every row, DELETE truncates
+      val p2 = java.nio.file.Files.createTempDirectory("graft_sql2b")
+        .toString + "/t"
+      ManifestTable.write(s.range(0, 20).toDF("id")
+        .withColumn("v", lit(1L)), p2)
+      s.sql(s"UPDATE '$p2' SET v = v * 10")
+      assert(ManifestTable.read(s, p2).agg(sum("v")).head().getLong(0)
+        === 200L)
+      s.sql(s"DELETE FROM '$p2'")
+      assert(ManifestTable.read(s, p2).count() === 0,
+        "WHERE-less DELETE must truncate to a readable empty version")
     }
   }
 
