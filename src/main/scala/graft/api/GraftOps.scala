@@ -723,6 +723,20 @@ object GraftOps {
     * against a dimension Spark mis-sized and a map-side join chosen
     * from metadata.
     */
+  /** Declare cluster columns (liquid-clustering shape): staged batches
+    * sort locally by the key; [[optimizeClusteredTable]] maintains
+    * global disjointness incrementally. */
+  def setClusterColumns(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cols: Seq[String]): Long =
+    graft.pipeline.ManifestTable.setClusterColumns(spark, path, cols)
+
+  /** Incremental cluster maintenance: rewrites only unclustered files
+    * plus the range-overlapping clustered tail; no-op when fully
+    * clustered. */
+  def optimizeClusteredTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String, targetFiles: Int = 0): Long =
+    graft.pipeline.ManifestTable.optimizeClustered(spark, path, targetFiles)
+
   /** Declare the table's persistent stats schema: every subsequent
     * commit records per-file min/max stats for these columns without
     * per-call `statsCols` (Delta's `dataSkippingStatsColumns`). */
