@@ -1776,6 +1776,11 @@ object ManifestTable {
         if (prevV == 0L) (cols, cols)
         else {
           val st = resolveState(spark, path, prevV)
+          // Delta's rule: clustering REPLACES partitioning — a k=v
+          // layout already fixes file boundaries by partition value
+          require(partitionColsOf(st.files).isEmpty,
+            s"cannot cluster partitioned table $path — clustering " +
+              "replaces partitioning (rewrite unpartitioned first)")
           val pc = cols.map(st.phys)
           (pc, (st.statsSchemaCols ++ pc).distinct)
         }
@@ -2403,6 +2408,9 @@ object ManifestTable {
       // [[optimizeClustered]] does the global incremental recluster
       val clusterPhys = prevState.map(_.clusterCols).getOrElse(Nil)
         .filter(stagedDf.columns.contains)
+      require(clusterPhys.isEmpty || partColsPhys.isEmpty,
+        s"table $path has cluster columns declared — clustering " +
+          "replaces partitioning (write without partitionBy)")
       val toStage =
         if (clusterPhys.isEmpty) stagedDf
         else stagedDf.sortWithinPartitions(

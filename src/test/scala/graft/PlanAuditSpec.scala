@@ -481,6 +481,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("wide"))
   }
 
+  test("SQL reads through graft_table inherit pushdown and pruning: filters reach the parquet scan, untouched columns never read") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_pa_sql").toString + "/t"
+    graft.pipeline.ManifestTable.write(
+      spark.range(0, 1000).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .withColumn("wide", concat(lit("padding-"), col("id"))), path)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val df = s.sql(
+        s"SELECT id, v FROM graft.'$path' WHERE id > 500")
+      val p = df.queryExecution.explainString(FormattedMode)
+      // the TVF expands at analysis time into the manifest-governed
+      // parquet scan — Catalyst's pushdown and pruning apply untouched
+      assert(p.contains("PushedFilters") && p.contains("GreaterThan(id,500)"),
+        s"SQL filter must reach the scan:\n${p.take(1500)}")
+      assert(!p.contains("wide"),
+        "unprojected column must be pruned from the SQL read")
+      assert(df.count() === 499)
+    }
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
