@@ -3887,6 +3887,186 @@ object ManifestTable {
     * version references a file inside it. Never touches uncommitted
     * orphan directories above the floor.
     */
+  /** What [[vacuum]] WOULD do, with zero mutation (Delta's `VACUUM ...
+    * DRY RUN`): the versions whose manifests would drop and the
+    * snapshot/sidecar directories that would be swept. Safe to run on
+    * a live table — it writes nothing, not even the floor checkpoint.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+                   keep: Int = 1): (Seq[Long], Seq[String]) = {
+    require(keep >= 1, "must keep at least the current version")
+    val f = fs(spark, path)
+    val all = versions(spark, path)
+    val drop = all.dropRight(keep)
+    val kept = all.takeRight(keep)
+    val keptStates = kept.map(v => resolveState(spark, path, v))
+    val liveDirs: Set[String] =
+      keptStates.flatMap(st =>
+          st.files ++ st.dvFiles ++ st.bloomFiles ++ st.ndvFiles)
+        .map(_.split("/").head).toSet
+    val floor = kept.headOption.getOrElse(Long.MaxValue)
+    val sweepDirs = f.listStatus(new Path(path))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n.startsWith("snap-") || n.startsWith("dv-") ||
+            n.startsWith("bloom-") || n.startsWith("ndv-")) && !liveDirs(n) &&
+          n.split("-").lift(1).flatMap(_.toLongOption).exists(_ < floor)
+      }
+      .map(_.getPath.getName).toSeq.sorted
+    (drop, sweepDirs)
+  }
+
+  /** DESCRIBE DETAIL (Delta's one-row table summary): current version,
+    * commit time, counts and byte sizes from fs metadata, the layout
+    * (partition vs cluster columns, logical names), and every declared
+    * index/feature — the operator's one-glance answer to "what IS this
+    * table". Driver-side O(files) metadata calls, zero data scan.
+    */
+  def describeDetail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sizeBytes = st.files.map { r =>
+      val p = new Path(resolveRef(path, r))
+      try p.getFileSystem(conf).getFileStatus(p).getLen catch {
+        case _: java.io.IOException => 0L
+      }
+    }.sum
+    Seq((v, st.ts, st.files.size.toLong, sizeBytes,
+      partitionColsOf(st.files).map(st.logical).mkString(","),
+      st.clusterCols.map(st.logical).mkString(","),
+      st.clusteredFiles.size.toLong,
+      st.statsSchemaCols.map(st.logical).mkString(","),
+      st.ndvCols.map(st.logical).mkString(","),
+      st.bloom.map(_.cols.map(st.logical).mkString(",")).getOrElse(""),
+      st.dvFiles.size.toLong, st.constraints.size.toLong,
+      st.generated.size.toLong, st.rowTracking, st.mapped,
+      st.minReader, st.minWriter))
+      .toDF("version", "ts", "num_files", "size_bytes",
+        "partition_columns", "cluster_columns", "num_clustered_files",
+        "stats_columns", "ndv_columns", "bloom_columns", "num_dv_files",
+        "num_constraints", "num_generated_columns", "row_tracking",
+        "column_mapping", "min_reader", "min_writer")
+  }
+
+  /** The fixed schema of [[describeDetail]] (SQL needs it at plan time). */
+  val describeDetailSchema: StructType = StructType(Seq(
+    ("version", LongType, false), ("ts", LongType, false),
+    ("num_files", LongType, false), ("size_bytes", LongType, false),
+    ("partition_columns", org.apache.spark.sql.types.StringType, true),
+    ("cluster_columns", org.apache.spark.sql.types.StringType, true),
+    ("num_clustered_files", LongType, false),
+    ("stats_columns", org.apache.spark.sql.types.StringType, true),
+    ("ndv_columns", org.apache.spark.sql.types.StringType, true),
+    ("bloom_columns", org.apache.spark.sql.types.StringType, true),
+    ("num_dv_files", LongType, false),
+    ("num_constraints", LongType, false),
+    ("num_generated_columns", LongType, false),
+    ("row_tracking", org.apache.spark.sql.types.BooleanType, false),
+    ("column_mapping", org.apache.spark.sql.types.BooleanType, false),
+    ("min_reader", IntegerType, false),
+    ("min_writer", IntegerType, false)).map { case (n, t, nl) =>
+    org.apache.spark.sql.types.StructField(n, t, nl) })
+
+  /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE tbl WHERE part = v`):
+    * compact ONLY the files whose PARTITION VALUES satisfy `cond` —
+    * the daily-maintenance shape ("bin-pack yesterday's partition")
+    * that never touches the other 10⁶ files of a 100 TB table. `cond`
+    * is evaluated over a driver-local (file → partition values) frame,
+    * so the full Spark expression language applies; partition values
+    * surface as strings (the dir encoding) with Spark's usual implicit
+    * casts. Rewrites stay inside the partition layout; a cond matching
+    * nothing commits nothing.
+    */
+  def compactWhere(spark: SparkSession, path: String, cond: Column,
+                   targetFiles: Int = 1, maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      assertWritable(st, path)
+      val partCols = partitionColsOf(st.files)
+      require(partCols.nonEmpty,
+        s"compactWhere targets partitioned layouts — $path is flat " +
+          "(use compact)")
+      val logicalParts = partCols.map(st.logical)
+      val fileRows = st.files.map { fl =>
+        val pv = partitionValuesOf(fl)
+        org.apache.spark.sql.Row.fromSeq(
+          fl +: partCols.map(c => pv.get(c).orNull))
+      }
+      val pvSchema = StructType(
+        org.apache.spark.sql.types.StructField("_graft_file",
+          org.apache.spark.sql.types.StringType) +:
+          logicalParts.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      val selected = spark.createDataFrame(
+          spark.sparkContext.parallelize(fileRows, 1), pvSchema)
+        .filter(cond).select("_graft_file")
+        .collect().map(_.getString(0)).toSeq
+      if (selected.isEmpty) return prevV
+      val version = prevV + 1L
+      val idSchema = st.schema.map(sc => StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+      val rows = readStateDf(spark, path, st.copy(files = selected,
+        schema = if (st.rowTracking) idSchema else st.schema))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val snapDir = s"$path/snap-$version-$token"
+      val packed = rows.coalesce(targetFiles)
+      val physOut =
+        if (!st.mapped) packed
+        else packed.select(packed.schema.fieldNames.map(n =>
+          col(n).as(st.phys(n))).toSeq: _*)
+      physOut.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(snapDir)
+      val staged = listDataFiles(f, new Path(snapDir))
+      val stagedRel = staged.map(p => relativize(new Path(path), p))
+      val physStats =
+        if (st.statsSchemaCols.nonEmpty) st.statsSchemaCols
+        else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+      val newStats: Map[String, Map[String, ColStats]] =
+        if (physStats.isEmpty) Map.empty
+        else staged.map(p => relativize(new Path(path), p) ->
+          footerStats(spark, p, physStats)).toMap
+      val bloomAdds = st.bloom match {
+        case Some(spec) if spec.cols.nonEmpty =>
+          buildBloomSidecar(spark, path, staged, spec, version, token)
+        case _ => Nil
+      }
+      val ndvAdds = st.ndvCols match {
+        case Nil  => Nil
+        case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+      }
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+        selected, newStats, None, DefaultTagHorizon, Some(schema),
+        bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("COMPACT"))
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compactWhere commit lost $maxAttempts races at $path — giving up")
+  }
+
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, path)

@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * byte-identical to Spark's parser. Statements:
   *
   *   DESCRIBE HISTORY '<path>'
+  *   DESCRIBE DETAIL '<path>'
   *   OPTIMIZE '<path>' [INTO n FILES] [ZORDER BY (c1, c2 [, ...])]
+  *   OPTIMIZE '<path>' [INTO n FILES] WHERE <partition cond>
   *   RESTORE [TABLE] '<path>' TO VERSION AS OF n
   *   RESTORE [TABLE] '<path>' TO TIMESTAMP AS OF '<ts>'
-  *   VACUUM '<path>' [RETAIN n VERSIONS]
+  *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
   *   DELETE FROM '<path>' WHERE <cond>
   *   UPDATE '<path>' SET c = e [, ...] WHERE <cond>
   *   MERGE INTO '<path>' USING <table|(subquery)> [AS] [alias] ON <key>
@@ -102,14 +104,16 @@ object GraftSqlStatements {
 
   private val describeHistoryRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*$$".r
+  private val describeDetailRe =
+    s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*$$".r
   private val optimizeRe =
-    s"(?is)^\\s*OPTIMIZE\\s+$P(?:\\s+INTO\\s+(\\d+)\\s+FILES)?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$".r
+    s"(?is)^\\s*OPTIMIZE\\s+$P(?:\\s+INTO\\s+(\\d+)\\s+FILES)?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val restoreVersionRe =
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
   private val restoreTimestampRe =
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
   private val vacuumRe =
-    s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$$".r
+    s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
   private val deleteRe =
     s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
@@ -136,16 +140,18 @@ object GraftSqlStatements {
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
+    case describeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
     case restoreVersionRe(path, v) =>
       Some(GraftRestoreCommand(path, Some(v.toLong), None))
     case restoreTimestampRe(path, ts) =>
       Some(GraftRestoreCommand(path, None, Some(ts)))
-    case vacuumRe(path, keep) =>
-      Some(GraftVacuumCommand(path, Option(keep).map(_.toInt).getOrElse(1)))
-    case optimizeRe(path, n, zcols) =>
+    case vacuumRe(path, keep, dry) =>
+      Some(GraftVacuumCommand(path, Option(keep).map(_.toInt).getOrElse(1),
+        dryRun = dry != null))
+    case optimizeRe(path, n, zcols, where) =>
       Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
         Option(zcols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-          .getOrElse(Nil)))
+          .getOrElse(Nil), Option(where)))
     // an absent WHERE is SQL's all-rows form (DELETE = truncate)
     case deleteRe(path, cond) =>
       Some(GraftDeleteCommand(path, Option(cond).getOrElse("true")))
@@ -323,21 +329,41 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
   }
 }
 
-case class GraftVacuumCommand(path: String, keep: Int)
+case class GraftVacuumCommand(path: String, keep: Int,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("swept_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    ManifestTable.vacuum(session, path, keep = keep).map(Row(_))
+    if (dryRun) ManifestTable.vacuumDryRun(session, path, keep)._1.map(Row(_))
+    else ManifestTable.vacuum(session, path, keep = keep).map(Row(_))
+}
+
+/** DESCRIBE DETAIL '<path>' — the one-row table summary. */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    ManifestTable.describeDetailSchema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestTable.describeDetail(session, path).collect().toSeq
 }
 
 case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
-                                zorderCols: Seq[String])
+                                zorderCols: Seq[String],
+                                where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val v = zorderCols match {
+    val v = (zorderCols, where) match {
+      case (Nil, Some(cond)) =>
+        // partition-scoped bin-pack: only matching partitions rewrite
+        ManifestTable.compactWhere(session, path, expr(cond),
+          targetFiles.getOrElse(1))
+      case (_, Some(_)) => throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE composes with bin-packing only (no ZORDER)")
+      case (zc, None) => zc match {
       case Nil =>
         val clustered = ManifestTable.currentVersion(session, path)
           .exists(cv => ManifestTable
@@ -358,6 +384,7 @@ case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
       case cols =>
         ManifestTable.optimizeZOrderN(session, path, cols,
           targetFiles.getOrElse(currentFileCount(session)))
+      }
     }
     Seq(Row(v))
   }

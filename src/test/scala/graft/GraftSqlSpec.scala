@@ -185,6 +185,58 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE DETAIL / VACUUM DRY RUN / partition-scoped OPTIMIZE WHERE") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sql6").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("int"))
+      .withColumn("v", col("id") * 2)
+    ManifestTable.write(df.repartition(4), path,
+      partitionCols = Seq("part"))                                     // v1
+    // fragment ONE partition via an overwrite keeping the layout
+    ManifestTable.write(df.repartition(6), path,
+      partitionCols = Seq("part"))                                     // v2
+    withSql { s =>
+      // one-row summary with the layout and counts
+      val det = s.sql(s"DESCRIBE DETAIL '$path'").head()
+      assert(det.getAs[Long]("version") === 2L)
+      assert(det.getAs[String]("partition_columns") === "part")
+      assert(det.getAs[Long]("num_files") >= 3L)
+      assert(det.getAs[Long]("size_bytes") > 0L)
+      // partition-scoped OPTIMIZE: only part=1's files rewrite
+      val st2 = ManifestTable.resolveState(s, path, 2L)
+      val others = st2.files.filterNot(_.contains("part=1"))
+      val sig = others.map { rel =>
+        val f = new java.io.File(s"$path/$rel")
+        rel -> ((f.length, f.lastModified))
+      }.toMap
+      val ov = s.sql(s"OPTIMIZE '$path' WHERE part = 1")
+      assert(ov.head().getLong(0) === 3L)
+      val st3 = ManifestTable.resolveState(s, path, 3L)
+      others.foreach { rel =>
+        assert(st3.files.contains(rel), s"$rel must carry")
+        val f = new java.io.File(s"$path/$rel")
+        assert((f.length, f.lastModified) === sig(rel),
+          s"non-matching partition file $rel was rewritten")
+      }
+      assert(st3.files.count(_.contains("part=1")) === 1,
+        "the matching partition must bin-pack to one file")
+      assert(ManifestTable.read(s, path).count() === 300)
+      // a cond matching nothing commits nothing
+      assert(s.sql(s"OPTIMIZE '$path' WHERE part = 99")
+        .head().getLong(0) === 3L)
+      // DRY RUN reports what vacuum would sweep, sweeps nothing
+      val dry = s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS DRY RUN")
+        .as[Long].collect().toSeq
+      assert(dry === Seq(1L, 2L))
+      assert(ManifestTable.versions(s, path) === Seq(1L, 2L, 3L),
+        "dry run must not delete manifests")
+      assert(ManifestTable.readVersion(s, path, 1).count() === 300)
+      // the real sweep matches the dry-run report
+      assert(s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS")
+        .as[Long].collect().toSeq === dry)
+    }
+  }
+
   test("OPTIMIZE [ZORDER BY] / RESTORE / VACUUM SQL verbs") {
     val path = java.nio.file.Files.createTempDirectory("graft_sql4").toString + "/t"
     val df = spark.range(0, 4096).toDF("id")
