@@ -45,6 +45,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
   *   ALTER TABLE '<path>' CLUSTER BY (a, b)
+  *   INSERT INTO '<path>' SELECT ...        -- transactional append
+  *   INSERT OVERWRITE '<path>' SELECT ...   -- snapshot replace
+  *   CREATE TABLE '<path>' AS SELECT ...    -- CTAS (must not exist)
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -130,6 +133,10 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
   private val cloneRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+  private val insertRe =
+    s"(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$P\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
+  private val ctasRe =
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+AS\\s+(SELECT\\s+.+|WITH\\s+.+)$$".r
   private val analyzeRe =
     s"(?is)^\\s*ANALYZE\\s+(?:TABLE\\s+)?$P\\s+FOR\\s+COLUMNS\\s+([\\w\\s,]+?)\\s*;?\\s*$$".r
   private val clusterByRe =
@@ -171,6 +178,12 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
     case cloneRe(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
+    case insertRe(mode, path, query) =>
+      Some(GraftInsertCommand(path, query.trim,
+        overwrite = mode.equalsIgnoreCase("OVERWRITE")))
+    case ctasRe(path, query) =>
+      Some(GraftInsertCommand(path, query.trim, overwrite = true,
+        mustBeNew = true))
     case analyzeRe(path, cols) =>
       Some(GraftAlterCommand(path, "analyze",
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
@@ -462,6 +475,36 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.setClusterColumns(session, path, args)
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
+    Seq(Row(v))
+  }
+}
+
+/** INSERT INTO/OVERWRITE '<path>' <query> and CREATE TABLE '<path>'
+  * AS <query> — the everyday write verbs. The query is resolved by
+  * the live session (its text may itself read path tables through the
+  * graft_table sugar, which the parser rewrites before this command is
+  * built), so SQL pipelines compose end-to-end: read a path table,
+  * transform, land in another, all in one statement. INSERT INTO is a
+  * transactional APPEND (O(new files) commit); OVERWRITE replaces the
+  * snapshot; CTAS additionally requires the table to not exist.
+  * Column resolution is BY NAME (the append/evolve contract — an
+  * unknown column evolves additively), not by position; alias inline
+  * rows accordingly.
+  */
+case class GraftInsertCommand(path: String, query: String,
+                              overwrite: Boolean,
+                              mustBeNew: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    if (mustBeNew)
+      require(ManifestTable.versions(session, path).isEmpty,
+        s"CREATE TABLE AS: $path already has committed versions " +
+          "(use INSERT OVERWRITE)")
+    val df = session.sql(query)
+    val v = if (overwrite) ManifestTable.write(df, path)
+      else ManifestTable.append(df, path)
     Seq(Row(v))
   }
 }

@@ -185,6 +185,41 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / CREATE TABLE AS SELECT: SQL pipelines over path tables compose end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql7").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    ManifestTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id") * 2), src)
+    withSql { s =>
+      // CTAS reading a path table THROUGH the sugar in the same statement
+      val cv = s.sql(
+        s"CREATE TABLE '$dst' AS SELECT id, v FROM graft.'$src' WHERE id < 50")
+      assert(cv.head().getLong(0) === 1L)
+      assert(ManifestTable.read(s, dst).count() === 50)
+      // CTAS refuses an existing table
+      intercept[IllegalArgumentException] {
+        s.sql(s"CREATE TABLE '$dst' AS SELECT 1 AS id, 2 AS v")
+      }
+      // INSERT INTO appends transactionally (one O(new files) commit)
+      val iv = s.sql(
+        s"INSERT INTO '$dst' SELECT id, v FROM graft.'$src' WHERE id >= 90")
+      assert(iv.head().getLong(0) === 2L)
+      assert(ManifestTable.read(s, dst).count() === 60)
+      // history shows APPEND, time travel shows the pre-insert snapshot
+      assert(ManifestTable.readVersion(s, dst, 1).count() === 50)
+      // INSERT OVERWRITE replaces the snapshot
+      s.sql(s"INSERT OVERWRITE '$dst' SELECT id, v FROM graft.'$src'")
+      assert(ManifestTable.read(s, dst).count() === 100)
+      // inline-row form — resolution is BY NAME (the append contract),
+      // so inline rows alias their columns
+      s.sql(s"INSERT INTO '$dst' " +
+        "SELECT CAST(999 AS BIGINT) AS id, CAST(0 AS BIGINT) AS v")
+      assert(ManifestTable.read(s, dst).filter(col("id") === 999)
+        .count() === 1)
+    }
+  }
+
   test("DESCRIBE DETAIL / VACUUM DRY RUN / partition-scoped OPTIMIZE WHERE") {
     val path = java.nio.file.Files.createTempDirectory("graft_sql6").toString + "/t"
     val df = spark.range(0, 300).toDF("id")
