@@ -137,6 +137,64 @@ class UpdateDeleteSpec extends SparkSpec {
     (50L until 400L).foreach(i => assert(got(i) === i))
   }
 
+  test("OCC across the round-11 commit classes: racing appends, predicate updates, and cluster maintenance all serialize") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd6").toString + "/t"
+    ManifestTable.setClusterColumns(spark, path, Seq("id"))
+    ManifestTable.write(
+      (0 until 16).map(i => (i.toLong, 0L)).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks: Seq[Runnable] =
+      // 2 appenders of disjoint fresh keys
+      (0 until 2).map { t =>
+        new Runnable {
+          def run(): Unit = try {
+            (0 until 2).foreach { i =>
+              ManifestTable.append(
+                Seq((100L + t * 10 + i, 1L)).toDF("id", "v"), path,
+                maxAttempts = 64)
+            }
+          } catch { case e: Throwable => failures.add(e); () }
+        }
+      } ++
+      // 2 predicate updaters on disjoint base ranges
+      (0 until 2).map { u =>
+        new Runnable {
+          def run(): Unit = try {
+            ManifestTable.updateWhere(spark, path,
+              Seq("v" -> org.apache.spark.sql.functions.lit(7L + u)),
+              col("id") >= u * 8 && col("id") < (u + 1) * 8 &&
+                col("id") < 16, maxAttempts = 64)
+          } catch { case e: Throwable => failures.add(e); () }
+        }
+      } :+
+      // 1 cluster maintainer
+      (new Runnable {
+        def run(): Unit = try {
+          ManifestTable.optimizeClustered(spark, path, maxAttempts = 64)
+        } catch { case e: Throwable => failures.add(e); () }
+      }: Runnable)
+    tasks.foreach(pool.submit)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    // contiguous versions; serial-equivalent final content
+    val vs = ManifestTable.versions(spark, path)
+    assert(vs === (1L to vs.length.toLong).toSeq,
+      s"versions must stay contiguous: $vs")
+    val got = ManifestTable.read(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 20)
+    (0 until 8).foreach(i => assert(got(i.toLong) === 7L, s"id=$i"))
+    (8 until 16).foreach(i => assert(got(i.toLong) === 8L, s"id=$i"))
+    Seq(100L, 101L, 110L, 111L).foreach(k => assert(got(k) === 1L))
+    // a final maintenance pass converges to full cluster coverage
+    ManifestTable.optimizeClustered(spark, path)
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.clusteredFiles.toSet === st.files.toSet)
+  }
+
   test("updateWhere under row tracking keeps stable ids; deleteWhere drops them; change feed sees row-level updates") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd4").toString + "/t"
     ManifestTable.enableRowTracking(spark, path)
