@@ -81,7 +81,11 @@ object ScaleProbe {
     // detection + CoW rewrite of touched files only); the SQL-text
     // merge must match merge_upsert's shape (same engine underneath —
     // the parser adds driver-side O(1))
-    "update_where", "sql_merge_upsert")
+    "update_where", "sql_merge_upsert",
+    // the incremental-cluster lifecycle: the declared query's cost is
+    // dominated by the initial load + first full cluster (linear); the
+    // second (incremental) run must stay O(appended batch + overlap)
+    "cluster_incremental")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -21,9 +21,9 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Spark's own `sketch.BloomFilter` supplies the bit math (public
   * `spark-sketch` API); this aggregate only adapts it to Catalyst.
-  * PUT CONVENTION (the probe side [[BloomFileAgg.mightContain]] must
-  * mirror it exactly): integral types put as LONG; strings put as
-  * UTF-8 BYTES. Other types are rejected at construction — floating
+  * PUT CONVENTION (the probe kernels [[BloomFileAgg.probeLong]] /
+  * [[BloomFileAgg.probeUtf8]] must mirror it exactly): integral types
+  * put as LONG; strings put as UTF-8 BYTES. Other types are rejected at construction — floating
   * keys round badly in equality lookups anyway.
   *
   * Merge unions bit sets (both buffers are created with identical
@@ -212,22 +212,4 @@ object BloomFileAgg {
   def probeUtf8(bits: Array[Byte], value: UTF8String): Boolean =
     BloomFilter.readFrom(new ByteArrayInputStream(bits))
       .mightContainBinary(value.getBytes)
-
-  /** Probe a serialized filter — MUST mirror the put convention above:
-    * integrals as long, strings as UTF-8 bytes. False means the file
-    * definitely lacks the value; true means "maybe" at the index fpp.
-    */
-  def mightContain(bits: Array[Byte], value: Any): Boolean = {
-    val bf = BloomFilter.readFrom(new ByteArrayInputStream(bits))
-    value match {
-      case l: Long   => bf.mightContainLong(l)
-      case i: Int    => bf.mightContainLong(i.toLong)
-      case s: Short  => bf.mightContainLong(s.toLong)
-      case b: Byte   => bf.mightContainLong(b.toLong)
-      case s: String => bf.mightContainBinary(s.getBytes("UTF-8"))
-      case other => throw new IllegalArgumentException(
-        s"bloom probe supports integral and string values, got " +
-          s"${Option(other).map(_.getClass.getName).getOrElse("null")}")
-    }
-  }
 }
