@@ -95,6 +95,25 @@ class ClusteringSpec extends SparkSpec {
       .select("v").head().getLong(0) === -1L)
   }
 
+  test("cluster maintenance is CDC-silent: the change feed replays a CLUSTER commit as zero rows") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cl3").toString + "/t"
+    ManifestTable.setClusterColumns(spark, path, Seq("id"))
+    ManifestTable.write(spark.range(0, 200).toDF("id")
+      .withColumn("v", col("id")).repartition(3), path)               // v2
+    val cv = ManifestTable.optimizeClustered(spark, path)             // v3
+    // a pure layout rewrite must cancel multiset-exactly — a feed
+    // consumer sees NOTHING from maintenance
+    assert(ManifestTable.changesForVersion(spark, path, cv).count() === 0,
+      "CLUSTER commits must replay as zero changes")
+    // while a real append right after still replays as its inserts
+    ManifestTable.append(spark.range(200, 210).toDF("id")
+      .withColumn("v", col("id")).coalesce(1), path)
+    val v4 = ManifestTable.currentVersion(spark, path).get
+    assert(ManifestTable.changesForVersion(spark, path, v4)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (200L until 210L).toSeq)
+  }
+
   test("2-D clustering, SQL surface, clone/restore carry, row ids survive") {
     val root = java.nio.file.Files.createTempDirectory("graft_cl2").toString
     val path = s"$root/t"
