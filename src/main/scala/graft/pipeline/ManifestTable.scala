@@ -1843,39 +1843,56 @@ object ManifestTable {
       // bounding box of the UNCLUSTERED data per cluster column — from
       // manifest stats when every unclustered file has complete stats,
       // else one min/max scan of just those files
-      def statsBox: Option[Seq[(Double, Double)]] = {
-        val per = st.clusterCols.map { c =>
-          val rs = unclustered.map(fl => st.stats.get(fl).flatMap(_.get(c)))
-          if (rs.exists(r => !r.exists(s => s.complete && s.typ != "string")))
-            None
-          else Some((rs.flatten.map(_.min.toString.toDouble).min,
-            rs.flatten.map(_.max.toString.toDouble).max))
+      // the overlap arithmetic only exists for NUMERIC-prunable
+      // dimensions (the same soundness gate as every other prune —
+      // decimal/string/date comparisons are hazards, see statsPrunable);
+      // a non-numeric dimension contributes "overlaps everything",
+      // which degrades gracefully toward a fuller recluster, never a
+      // wrong one. The Z-key itself is fine with any type (cast-to-
+      // double nulls collapse to one grid cell; 1-column string
+      // clustering range-sorts natively).
+      val numericDims: Seq[Boolean] = logicalCols.map(prunableColumn(st, _))
+      def statsBox: Option[Seq[Option[(Double, Double)]]] = {
+        val per = st.clusterCols.zip(numericDims).map {
+          case (_, false) => Some(None)
+          case (c, true) =>
+            val rs = unclustered.map(fl => st.stats.get(fl).flatMap(_.get(c)))
+            if (rs.exists(r => !r.exists(s => s.complete && s.typ != "string")))
+              None
+            else Some(Some((rs.flatten.map(_.min.toString.toDouble).min,
+              rs.flatten.map(_.max.toString.toDouble).max)))
         }
         if (per.forall(_.isDefined)) Some(per.flatten) else None
       }
-      val box: Seq[(Double, Double)] = statsBox.getOrElse {
+      val box: Seq[Option[(Double, Double)]] = statsBox.getOrElse {
         val b = readStateDf(spark, path, st.copy(files = unclustered))
           .agg(logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).head,
             logicalCols.flatMap(c => Seq(smin(col(c)), smax(col(c)))).tail: _*)
           .head()
         logicalCols.indices.map { i =>
-          val lo = if (b.isNullAt(2 * i)) Double.NegativeInfinity
-            else b.get(2 * i).toString.toDouble
-          val hi = if (b.isNullAt(2 * i + 1)) Double.PositiveInfinity
-            else b.get(2 * i + 1).toString.toDouble
-          (lo, hi)
+          if (!numericDims(i)) None
+          else {
+            val lo = if (b.isNullAt(2 * i)) Double.NegativeInfinity
+              else b.get(2 * i).toString.toDouble
+            val hi = if (b.isNullAt(2 * i + 1)) Double.PositiveInfinity
+              else b.get(2 * i + 1).toString.toDouble
+            Some((lo, hi))
+          }
         }
       }
       // clustered files whose stats box INTERSECTS the unclustered box
-      // on every dimension must merge in (missing/incomplete stats →
-      // conservative overlap: clustering quality beats skipping a file)
+      // on every dimension must merge in (missing/incomplete stats and
+      // non-numeric dimensions → conservative overlap: clustering
+      // quality beats skipping a file)
       val overlapping = st.clusteredFiles.filter { fl =>
-        st.clusterCols.zip(box).forall { case (c, (lo, hi)) =>
-          st.stats.get(fl).flatMap(_.get(c)) match {
-            case Some(s) if s.complete && s.typ != "string" =>
-              s.max.toString.toDouble >= lo && s.min.toString.toDouble <= hi
-            case _ => true
-          }
+        st.clusterCols.zip(box).forall {
+          case (_, None) => true
+          case (c, Some((lo, hi))) =>
+            st.stats.get(fl).flatMap(_.get(c)) match {
+              case Some(s) if s.complete && s.typ != "string" =>
+                s.max.toString.toDouble >= lo && s.min.toString.toDouble <= hi
+              case _ => true
+            }
         }
       }
       val rewrite = unclustered ++ overlapping

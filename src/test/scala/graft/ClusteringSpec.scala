@@ -95,6 +95,32 @@ class ClusteringSpec extends SparkSpec {
       .select("v").head().getLong(0) === -1L)
   }
 
+  test("STRING cluster columns: maintenance range-sorts without numeric box arithmetic; non-numeric dims overlap conservatively") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cl4").toString + "/t"
+    ManifestTable.setClusterColumns(spark, path, Seq("name"))
+    ManifestTable.write(
+      spark.range(0, 300).toDF("id")
+        .withColumn("name", concat(lit("user-"),
+          format_string("%03d", col("id"))))
+        .repartition(3), path)
+    val v = ManifestTable.optimizeClustered(spark, path)
+    val st = ManifestTable.resolveState(spark, path, v)
+    assert(st.clusteredFiles.toSet === st.files.toSet)
+    assert(ManifestTable.read(spark, path).count() === 300)
+    // append + second run: a string dimension has no numeric box, so
+    // the clustered set conservatively merges — still correct, still
+    // converges to full coverage
+    ManifestTable.append(spark.range(300, 310).toDF("id")
+      .withColumn("name", concat(lit("zzz-"), col("id").cast("string")))
+      .coalesce(1), path)
+    val v2 = ManifestTable.optimizeClustered(spark, path)
+    val st2 = ManifestTable.resolveState(spark, path, v2)
+    assert(st2.clusteredFiles.toSet === st2.files.toSet)
+    assert(ManifestTable.read(spark, path).count() === 310)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("name") === "user-042").count() === 1)
+  }
+
   test("cluster maintenance is CDC-silent: the change feed replays a CLUSTER commit as zero rows") {
     val path = java.nio.file.Files.createTempDirectory("graft_cl3").toString + "/t"
     ManifestTable.setClusterColumns(spark, path, Seq("id"))
