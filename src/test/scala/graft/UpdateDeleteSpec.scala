@@ -137,6 +137,40 @@ class UpdateDeleteSpec extends SparkSpec {
     (50L until 400L).foreach(i => assert(got(i) === i))
   }
 
+  test("updateWhere on a PARTITIONED table: untouched partitions carry; SET on the partition column moves rows across dirs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd7").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("int"))
+      .withColumn("v", col("id"))
+    ManifestTable.write(df, path, partitionCols = Seq("part"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    val others = files1.filterNot(_.contains("part=2"))
+    val sig = others.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> ((f.length, f.lastModified))
+    }.toMap
+    // cond isolates part=2 (partition-value prune via condBounds on
+    // the partition column); SET MOVES matching rows into part=7
+    ManifestTable.updateWhere(spark, path,
+      Seq("part" -> lit(7)), col("part") === 2 && col("id") < 30)
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    others.foreach { rel =>
+      assert(files2.contains(rel), s"$rel must carry")
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    assert(files2.exists(_.contains("part=7")),
+      s"moved rows must land in their new partition dir: $files2")
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() === 300)
+    assert(got.filter(col("part") === 7).select("id").as[Long]
+      .collect().toSet === (0L until 30L).filter(_ % 3 == 2).toSet)
+    assert(got.filter(col("part") === 2).count() === 100 - 10)
+    // partition-value prune drives the next read
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "part", 7, 7)
+    assert(cand < total)
+  }
+
   test("OCC across the round-11 commit classes: racing appends, predicate updates, and cluster maintenance all serialize") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd6").toString + "/t"
     ManifestTable.setClusterColumns(spark, path, Seq("id"))
