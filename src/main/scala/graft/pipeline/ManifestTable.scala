@@ -3988,6 +3988,24 @@ object ManifestTable {
     ("min_writer", IntegerType, false)).map { case (n, t, nl) =>
     org.apache.spark.sql.types.StructField(n, t, nl) })
 
+  /** Distinct partition-value tuples of the current version, from the
+    * manifest's file paths alone (driver metadata, zero data scan) —
+    * `SHOW PARTITIONS`. The k=v/k=v spelling under LOGICAL column
+    * names, sorted; empty for flat tables.
+    */
+  def showPartitions(spark: SparkSession, path: String): Seq[String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    val partCols = partitionColsOf(st.files)
+    if (partCols.isEmpty) Nil
+    else st.files.map { fl =>
+      val pv = partitionValuesOf(fl)
+      partCols.flatMap(c => pv.get(c).map(x => s"${st.logical(c)}=$x"))
+        .mkString("/")
+    }.filter(_.nonEmpty).distinct.sorted
+  }
+
   /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE tbl WHERE part = v`):
     * compact ONLY the files whose PARTITION VALUES satisfy `cond` —
     * the daily-maintenance shape ("bin-pack yesterday's partition")

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   *   DESCRIBE HISTORY '<path>'
   *   DESCRIBE DETAIL '<path>'
+  *   SHOW PARTITIONS '<path>'
   *   OPTIMIZE '<path>' [INTO n FILES] [ZORDER BY (c1, c2 [, ...])]
   *   OPTIMIZE '<path>' [INTO n FILES] WHERE <partition cond>
   *   RESTORE [TABLE] '<path>' TO VERSION AS OF n
@@ -107,6 +108,8 @@ object GraftSqlStatements {
 
   private val describeHistoryRe =
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*$$".r
+  private val showPartitionsRe =
+    s"(?is)^\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*$$".r
   private val describeDetailRe =
     s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*$$".r
   private val optimizeRe =
@@ -148,6 +151,7 @@ object GraftSqlStatements {
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
     case describeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
+    case showPartitionsRe(path) => Some(GraftShowPartitionsCommand(path))
     case restoreVersionRe(path, v) =>
       Some(GraftRestoreCommand(path, Some(v.toLong), None))
     case restoreTimestampRe(path, ts) =>
@@ -350,6 +354,19 @@ case class GraftVacuumCommand(path: String, keep: Int,
   override def run(session: SparkSession): Seq[Row] =
     if (dryRun) ManifestTable.vacuumDryRun(session, path, keep)._1.map(Row(_))
     else ManifestTable.vacuum(session, path, keep = keep).map(Row(_))
+}
+
+/** SHOW PARTITIONS '<path>' — distinct partition-value tuples of the
+  * current version, straight from the manifest's file paths (driver
+  * metadata, zero data scan); one `partition` string per row in the
+  * k=v/k=v dir spelling, logical column names. Empty result for flat
+  * tables. */
+case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestTable.showPartitions(session, path).map(Row(_))
 }
 
 /** DESCRIBE DETAIL '<path>' — the one-row table summary. */

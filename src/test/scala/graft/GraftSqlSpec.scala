@@ -259,6 +259,10 @@ class GraftSqlSpec extends SparkSpec {
       // a cond matching nothing commits nothing
       assert(s.sql(s"OPTIMIZE '$path' WHERE part = 99")
         .head().getLong(0) === 3L)
+      // SHOW PARTITIONS: distinct tuples from the manifest, no scan
+      val parts = s.sql(s"SHOW PARTITIONS '$path'")
+        .as[String].collect().toSeq
+      assert(parts === Seq("part=0", "part=1", "part=2"), s"$parts")
       // DRY RUN reports what vacuum would sweep, sweeps nothing
       val dry = s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS DRY RUN")
         .as[Long].collect().toSeq
