@@ -121,6 +121,45 @@ class ClusteringSpec extends SparkSpec {
       .filter(col("name") === "user-042").count() === 1)
   }
 
+  test("clustering + stats-schema state rides CHECKPOINTS: resolution through a folded log keeps every round-11 field") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cl5").toString + "/t"
+    ManifestTable.setClusterColumns(spark, path, Seq("id"))            // v1
+    ManifestTable.setStatsColumns(spark, path, Seq("id", "v"))         // v2
+    ManifestTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id")).repartition(2), path)                // v3
+    ManifestTable.optimizeClustered(spark, path)                       // v4
+    // push past the checkpoint interval (16) with appends
+    (1 to 14).foreach(i => ManifestTable.append(
+      spark.range(100L + i, 101L + i).toDF("id")
+        .withColumn("v", col("id")).coalesce(1), path))                // v18
+    val cur = ManifestTable.currentVersion(spark, path).get
+    assert(cur >= 17L)
+    assert(new java.io.File(s"$path/_graft_checkpoint-v16.json").isFile,
+      "interval checkpoint must exist")
+    // drop history BELOW the checkpoint so resolution MUST go through it
+    ManifestTable.vacuum(spark, path, keep = 2)
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.clusterCols === Seq("id"),
+      "cluster columns must survive the checkpoint fold")
+    assert(st.statsSchemaCols.toSet === Set("id", "v"),
+      "stats schema must survive the checkpoint fold")
+    assert(st.clusteredFiles.nonEmpty &&
+      st.clusteredFiles.toSet.subsetOf(st.files.toSet),
+      "clustered marks must survive and stay a subset of live files")
+    // ...and still DRIVE behavior: an append auto-collects stats and
+    // the next maintenance run converges
+    ManifestTable.append(spark.range(500, 510).toDF("id")
+      .withColumn("v", col("id")).coalesce(1), path)
+    val (cand, total) = ManifestTable.pruneCount(spark, path, "id",
+      500.0, 510.0)
+    assert(cand < total, "post-checkpoint appends must keep auto-stats")
+    ManifestTable.optimizeClustered(spark, path)
+    val st2 = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st2.clusteredFiles.toSet === st2.files.toSet)
+  }
+
   test("cluster maintenance is CDC-silent: the change feed replays a CLUSTER commit as zero rows") {
     val path = java.nio.file.Files.createTempDirectory("graft_cl3").toString + "/t"
     ManifestTable.setClusterColumns(spark, path, Seq("id"))
