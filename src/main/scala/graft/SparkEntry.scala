@@ -130,6 +130,7 @@ object SparkEntry {
     "row_tracking"       -> ((s, d) => graft.pipeline.Medallion.rowTrackingOrders(s, d)),
     "update_where"       -> ((s, d) => graft.pipeline.Medallion.updateWhereOrders(s, d)),
     "delete_where"       -> ((s, d) => graft.pipeline.Medallion.deleteWhereOrders(s, d)),
+    "delete_where_dv"    -> ((s, d) => graft.pipeline.Medallion.deleteWhereDvOrders(s, d)),
     "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
     "cluster_incremental" -> ((s, d) => graft.pipeline.Medallion.clusterIncrementalOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
@@ -1517,6 +1518,15 @@ object SparkEntry {
                 o_orderdate, o_orderpriority
          FROM orders
          WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+         ORDER BY o_orderkey""",
+    // Relational recompute of the merge-on-read predicate delete
+    // (Medallion.deleteWhereDvOrders): the sidecar anti-join must
+    // reconstruct exactly the surviving multiset.
+    "delete_where_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderkey % 13 = 0 AND o_orderstatus = 'O')
          ORDER BY o_orderkey""",
     // Relational recompute of the SQL-TEXT MERGE INTO
     // (Medallion.sqlMergeUpsert, through the injected parser): same

@@ -723,6 +723,14 @@ object GraftOps {
     * against a dimension Spark mis-sized and a map-side join chosen
     * from metadata.
     */
+  /** Merge-on-read predicate DELETE: matching rows killed by a
+    * deletion-vector sidecar, zero data files touched; `key` must be
+    * row-unique per file (see ManifestTable.deleteWhereDV). */
+  def deleteWhereDV(spark: org.apache.spark.sql.SparkSession,
+                    path: String, cond: org.apache.spark.sql.Column,
+                    key: String): Long =
+    graft.pipeline.ManifestTable.deleteWhereDV(spark, path, cond, key)
+
   /** Declare cluster columns (liquid-clustering shape): staged batches
     * sort locally by the key; [[optimizeClusteredTable]] maintains
     * global disjointness incrementally. */

@@ -3029,6 +3029,97 @@ object ManifestTable {
     }
   }
 
+  /** Merge-on-read predicate DELETE (`DELETE ... WHERE` with deletion
+    * vectors): matching rows are killed by a DV SIDECAR — ZERO data
+    * files written or removed — built DISTRIBUTIVELY from one
+    * stats-pre-pruned, filter-pushed scan emitting (file, key) pairs.
+    * `key` must uniquely identify rows within a file (the same
+    * contract as keyed merge under DVs — a DV entry kills every row of
+    * that file with that key); a table with live DVs must keep using
+    * the same key. Reads, the change feed (the sparse-delete CDC
+    * branch replays exactly the killed rows), and [[compact]] (which
+    * folds DVs away) all compose. No match → no commit.
+    *
+    * Scale shape: the cheapest possible sparse delete at 100 TB —
+    * I/O is the pruned detection scan plus a KB-scale sidecar write;
+    * the sidecar stays broadcast-small by the sparse-delete contract
+    * (bulk deletes belong to [[deleteWhere]]'s CoW rewrite).
+    */
+  def deleteWhereDV(spark: SparkSession, path: String, cond: Column,
+                    key: String, maxAttempts: Int = 3,
+                    tag: Option[String] = None,
+                    tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
+    val f = fs(spark, path)
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val prevV = currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(s"no committed version at $path"))
+        val st = resolveState(spark, path, prevV)
+        assertWritable(st, path)
+        val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+        require(schema.fieldNames.contains(key),
+          s"no column '$key' at $path to key deletion vectors on")
+        st.dvKey.filter(_ => st.dvFiles.nonEmpty).foreach(dk =>
+          require(dk == st.phys(key),
+            s"table $path has live deletion vectors keyed on " +
+              s"'${st.logical(dk)}' — a second DV key would corrupt " +
+              "the read-side anti-join"))
+        val version = prevV + 1L
+        val candidates = condBounds(cond).foldLeft(st.files) {
+          case (files, (c, (lo, hi))) =>
+            if (files.isEmpty || !prunableColumn(st, c)) files
+            else pruneFilesByRange(st.copy(files = files), c,
+              prunableType = true, lo, hi)
+        }
+        if (candidates.isEmpty) return prevV
+        // DV-aware matching scan (already-deleted rows never re-enter a
+        // sidecar), emitting (file basename, key) pairs DISTRIBUTIVELY.
+        // The file name is projected BEFORE any join (input_file_name
+        // is task-scoped — the same discipline as readStateDf's own DV
+        // anti-join).
+        val base = readFilesMapped(spark, path, st, candidates)
+          .withColumn("_graft_dv_file",
+            element_at(split(input_file_name(), "/"), -1))
+        val alive =
+          if (st.dvFiles.isEmpty) base
+          else {
+            import org.apache.spark.sql.functions.broadcast
+            val dv = spark.read
+              .parquet(st.dvFiles.map(resolveRef(path, _)): _*)
+            base.join(broadcast(dv),
+              base("_graft_dv_file") === dv("_graft_dv_file") &&
+                base(key) === dv("_graft_dv_key"), "left_anti")
+          }
+        val pairs = alive.filter(cond)
+          .select(col("_graft_dv_file"), col(key).as("_graft_dv_key"))
+          .dropDuplicates("_graft_dv_file", "_graft_dv_key")
+        if (pairs.isEmpty) return prevV // no match: nothing to commit
+        val token = java.util.UUID.randomUUID.toString.take(8)
+        val dvDir = s"$path/dv-$version-$token"
+        pairs.coalesce(1).write.mode("overwrite").parquet(dvDir)
+        val dvAdds = listDataFiles(f, new Path(dvDir))
+          .map(p => relativize(new Path(path), p))
+        val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+          Map.empty, tag, tagHorizon, Some(schema),
+          dvAdds = dvAdds, dvKey = Some(st.phys(key)), op = Some("DELETE_DV"))
+        val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+        val out = f.create(tmp, true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+          maybeCheckpoint(spark, path, version)
+          return version
+        }
+        f.delete(tmp, false)
+        f.delete(new Path(dvDir), true)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"DV-delete commit lost $maxAttempts races at $path — giving up")
+    }
+  }
+
   /** Shared CoW engine for the keyless row-level verbs: OCC loop of
     * (detect touched files → rewrite them via `transform` → commit
     * adds/removes). Detection first PRE-PRUNES the candidate files with

@@ -1036,6 +1036,25 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared MERGE-ON-READ predicate delete
+    * ([[ManifestTable.deleteWhereDV]]): the same relational outcome as
+    * `delete_where` but committed as a deletion-vector sidecar — zero
+    * data files written (spec-asserted); the oracle proves the
+    * read-side anti-join reconstructs the exact surviving multiset.
+    */
+  def deleteWhereDvOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_del_dv_", sfDir) + "/orders_deldv"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.deleteWhereDV(spark, path,
+      col("o_orderkey") % 13 === 0 && col("o_orderstatus") === "O",
+      key = "o_orderkey")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Declared SQL-surface query: the round-11 parser drives a full
     * MERGE INTO from SQL TEXT (clause conditions, delete markers,
     * inserts) against a path table — end-to-end through

@@ -137,6 +137,56 @@ class UpdateDeleteSpec extends SparkSpec {
     (50L until 400L).foreach(i => assert(got(i) === i))
   }
 
+  test("deleteWhereDV: predicate delete as a deletion-vector sidecar — zero data files touched; reads, CDC, and compact fold it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd8").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id") * 3)
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    val sig = files1.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> ((f.length, f.lastModified))
+    }.toMap
+    // sparse predicate delete → DV sidecar only
+    val v = ManifestTable.deleteWhereDV(spark, path,
+      col("id") % 50 === 3, key = "id")
+    assert(v === 2L)
+    val files2 = ManifestTable.manifestFiles(spark, path, 2)
+    assert(files2 === files1, "a DV delete must not add or remove data files")
+    files1.foreach { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    val ids = ManifestTable.read(spark, path).select("id").as[Long]
+      .collect().toSet
+    assert(ids.size === 392 && !ids(3L) && !ids(53L) && ids(4L))
+    // CDC replays exactly the killed rows as deletes
+    val ch = ManifestTable.changesForVersion(spark, path, 2)
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(ch === (3L until 400L by 50).map(i => (i, "delete")).toSet)
+    // a second DV delete stacks; time travel below both still sees all
+    ManifestTable.deleteWhereDV(spark, path, col("id") === 100, key = "id")
+    assert(ManifestTable.read(spark, path).count() === 391)
+    assert(ManifestTable.readVersion(spark, path, 1).count() === 400)
+    // history classifies; a mismatched second key is refused
+    val ops = ManifestTable.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(2L) === "DELETE_DV" && ops(3L) === "DELETE_DV")
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhereDV(spark, path, col("v") === 0, key = "v")
+    }
+    // no-match predicate: no commit, no sidecar debris
+    assert(ManifestTable.deleteWhereDV(spark, path,
+      col("id") === 999999, key = "id") === 3L)
+    // compact folds every vector away
+    ManifestTable.compact(spark, path, targetFiles = 2)
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.dvFiles.isEmpty, "compact must fold the deletion vectors")
+    assert(ManifestTable.read(spark, path).count() === 391)
+  }
+
   test("updateWhere on a PARTITIONED table: untouched partitions carry; SET on the partition column moves rows across dirs") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd7").toString + "/t"
     val df = spark.range(0, 300).toDF("id")
