@@ -131,6 +131,7 @@ object SparkEntry {
     "update_where"       -> ((s, d) => graft.pipeline.Medallion.updateWhereOrders(s, d)),
     "delete_where"       -> ((s, d) => graft.pipeline.Medallion.deleteWhereOrders(s, d)),
     "delete_where_dv"    -> ((s, d) => graft.pipeline.Medallion.deleteWhereDvOrders(s, d)),
+    "update_where_dv"    -> ((s, d) => graft.pipeline.Medallion.updateWhereDvOrders(s, d)),
     "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
     "cluster_incremental" -> ((s, d) => graft.pipeline.Medallion.clusterIncrementalOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
@@ -1519,6 +1520,19 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
          ORDER BY o_orderkey""",
+    // Relational recompute of the merge-on-read predicate UPDATE
+    // (Medallion.updateWhereDvOrders): DV fold + appended images must
+    // reconstruct the CASE algebra exactly.
+    "update_where_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 17 = 0 AND o_orderstatus = 'F'
+                     THEN o_totalprice + 250.0 ELSE o_totalprice
+                END AS o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey % 17 = 0 AND o_orderstatus = 'F'
+                     THEN '2-MOR-UPD' ELSE o_orderpriority
+                END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     // Relational recompute of the merge-on-read predicate delete
     // (Medallion.deleteWhereDvOrders): the sidecar anti-join must
     // reconstruct exactly the surviving multiset.

@@ -731,6 +731,15 @@ object GraftOps {
                     key: String): Long =
     graft.pipeline.ManifestTable.deleteWhereDV(spark, path, cond, key)
 
+  /** Merge-on-read predicate UPDATE: old images deletion-vectored,
+    * transformed new images appended — no data file rewritten (see
+    * ManifestTable.updateWhereDV for the key contract). */
+  def updateWhereDV(spark: org.apache.spark.sql.SparkSession,
+                    path: String,
+                    set: Seq[(String, org.apache.spark.sql.Column)],
+                    cond: org.apache.spark.sql.Column, key: String): Long =
+    graft.pipeline.ManifestTable.updateWhereDV(spark, path, set, cond, key)
+
   /** Declare cluster columns (liquid-clustering shape): staged batches
     * sort locally by the key; [[optimizeClusteredTable]] maintains
     * global disjointness incrementally. */

@@ -3120,6 +3120,160 @@ object ManifestTable {
     }
   }
 
+  /** Merge-on-read predicate UPDATE (`UPDATE ... SET ... WHERE` with
+    * deletion vectors): matching rows' OLD images are killed by a DV
+    * sidecar while their transformed NEW images land as ONE appended
+    * file — no existing data file is rewritten or removed. The
+    * write-amplification inverse of [[updateWhere]]: CoW pays
+    * O(touched files), MoR pays O(matching ROWS) — the right shape
+    * when a sparse predicate scatters across many large files. Same
+    * `key` contract as [[deleteWhereDV]] (row-unique per file, one DV
+    * key per table); SET semantics identical to [[updateWhere]] (every
+    * RHS sees the old row; generated columns recompute; constraints
+    * enforce on the new images; row ids carry verbatim). Readers fold
+    * both sides; [[compact]] folds the vectors away entirely.
+    */
+  def updateWhereDV(spark: SparkSession, path: String,
+                    set: Seq[(String, Column)], cond: Column, key: String,
+                    maxAttempts: Int = 3, tag: Option[String] = None,
+                    tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val f = fs(spark, path)
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val prevV = currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(s"no committed version at $path"))
+        val st = resolveState(spark, path, prevV)
+        assertWritable(st, path)
+        val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+        require(schema.fieldNames.contains(key),
+          s"no column '$key' at $path to key deletion vectors on")
+        st.dvKey.filter(_ => st.dvFiles.nonEmpty).foreach(dk =>
+          require(dk == st.phys(key),
+            s"table $path has live deletion vectors keyed on " +
+              s"'${st.logical(dk)}' — a second DV key would corrupt " +
+              "the read-side anti-join"))
+        set.foreach { case (c, _) =>
+          require(!st.generated.contains(c),
+            s"cannot UPDATE generated column '$c' — it recomputes from " +
+              s"its declaration (${st.generated.getOrElse(c, "")})")
+          require(c != key,
+            s"cannot SET the DV key column '$key' under merge-on-read " +
+              "— the old image's vector is keyed on it (use updateWhere)")
+        }
+        require(partitionColsOf(st.files).isEmpty,
+          s"merge-on-read UPDATE is flat-layout only at $path — the " +
+            "appended images file has no partition home (use updateWhere)")
+        val version = prevV + 1L
+        val candidates = condBounds(cond).foldLeft(st.files) {
+          case (files, (c, (lo, hi))) =>
+            if (files.isEmpty || !prunableColumn(st, c)) files
+            else pruneFilesByRange(st.copy(files = files), c,
+              prunableType = true, lo, hi)
+        }
+        if (candidates.isEmpty) return prevV
+        val idSchema = st.schema.map(sc => StructType(sc.fields :+
+          org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+        val base = readFilesMapped(spark, path,
+            st.copy(schema = if (st.rowTracking) idSchema else st.schema),
+            candidates)
+          .withColumn("_graft_dv_file",
+            element_at(split(input_file_name(), "/"), -1))
+        val alive =
+          if (st.dvFiles.isEmpty) base
+          else {
+            val dv = spark.read
+              .parquet(st.dvFiles.map(resolveRef(path, _)): _*)
+            base.join(broadcast(dv),
+              base("_graft_dv_file") === dv("_graft_dv_file") &&
+                base(key) === dv("_graft_dv_key"), "left_anti")
+          }
+        val matching = alive.filter(cond)
+        // the DV pairs (old images to kill) and the new images come
+        // from ONE cached matching frame — the scan runs once
+        val cached = matching.cache()
+        try {
+          if (cached.isEmpty) return prevV
+          val pairs = cached
+            .select(col("_graft_dv_file"), col(key).as("_graft_dv_key"))
+            .dropDuplicates("_graft_dv_file", "_graft_dv_key")
+          // SET semantics as in updateWhere: stage all RHS against the
+          // OLD row, then overwrite (cond is TRUE on every cached row,
+          // so no per-row guard is needed); generated columns recompute
+          val stripped = st.generated.keys.foldLeft(
+            cached.drop("_graft_dv_file"))(_ drop _)
+          val stagedSet = set.foldLeft(stripped) { case (d, (c, e)) =>
+            d.withColumn(s"_graft_set_$c", e.cast(schema(c).dataType))
+          }
+          val updated0 = set.foldLeft(stagedSet) { case (d, (c, _)) =>
+            d.withColumn(c, col(s"_graft_set_$c")).drop(s"_graft_set_$c")
+          }
+          val carrySchema =
+            if (st.rowTracking) schema.fieldNames :+ RowIdCol
+            else schema.fieldNames
+          val newImages = constraintGuard(
+            generatedGuard(updated0, st.generated), st.constraints)
+            .select(carrySchema.map(col).toSeq: _*)
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          val snapDir = s"$path/snap-$version-$token"
+          val physOut =
+            if (!st.mapped) newImages
+            else newImages.select(newImages.schema.fieldNames.map(n =>
+              col(n).as(st.phys(n))).toSeq: _*)
+          physOut.coalesce(1).write.mode("overwrite").parquet(snapDir)
+          val staged = listDataFiles(f, new Path(snapDir))
+          val stagedRel = staged.map(p => relativize(new Path(path), p))
+          val dvDir = s"$path/dv-$version-$token"
+          pairs.coalesce(1).write.mode("overwrite").parquet(dvDir)
+          val dvAdds = listDataFiles(f, new Path(dvDir))
+            .map(p => relativize(new Path(path), p))
+          val physStats =
+            if (st.statsSchemaCols.nonEmpty) st.statsSchemaCols
+            else st.stats.values.headOption.map(_.keys.toSeq.sorted)
+              .getOrElse(Nil)
+          val newStats: Map[String, Map[String, ColStats]] =
+            if (physStats.isEmpty) Map.empty
+            else staged.map(p => relativize(new Path(path), p) ->
+              footerStats(spark, p, physStats)).toMap
+          val bloomAdds = st.bloom match {
+            case Some(spec) if spec.cols.nonEmpty =>
+              buildBloomSidecar(spark, path, staged, spec, version, token)
+            case _ => Nil
+          }
+          val ndvAdds = st.ndvCols match {
+            case Nil  => Nil
+            case cols => buildNdvSidecar(spark, path, staged, cols,
+              version, token)
+          }
+          val json = deltaJson(version, System.currentTimeMillis(),
+            stagedRel, Nil, newStats, tag, tagHorizon, Some(schema),
+            dvAdds = dvAdds, dvKey = Some(st.phys(key)),
+            bloomAdds = bloomAdds, ndvAdds = ndvAdds,
+            op = Some("UPDATE_DV"))
+          val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+          val out = f.create(tmp, true)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+          if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+            maybeCheckpoint(spark, path, version)
+            return version
+          }
+          f.delete(tmp, false)
+          f.delete(new Path(snapDir), true)
+          f.delete(new Path(dvDir), true)
+          if (bloomAdds.nonEmpty)
+            f.delete(new Path(s"$path/bloom-$version-$token"), true)
+          if (ndvAdds.nonEmpty)
+            f.delete(new Path(s"$path/ndv-$version-$token"), true)
+        } finally cached.unpersist(blocking = false)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"MoR-update commit lost $maxAttempts races at $path — giving up")
+    }
+  }
+
   /** Shared CoW engine for the keyless row-level verbs: OCC loop of
     * (detect touched files → rewrite them via `transform` → commit
     * adds/removes). Detection first PRE-PRUNES the candidate files with

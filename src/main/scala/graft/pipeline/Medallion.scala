@@ -1055,6 +1055,27 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared MERGE-ON-READ predicate update
+    * ([[ManifestTable.updateWhereDV]]): old images deletion-vectored,
+    * new images appended as one file, no data file rewritten
+    * (spec-asserted) — the oracle proves the fold reconstructs the
+    * exact CASE algebra.
+    */
+  def updateWhereDvOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_upd_dv_", sfDir) + "/orders_upddv"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.updateWhereDV(spark, path,
+      Seq("o_totalprice" -> (col("o_totalprice") + lit(250.0)),
+        "o_orderpriority" -> lit("2-MOR-UPD")),
+      col("o_orderkey") % 17 === 0 && col("o_orderstatus") === "F",
+      key = "o_orderkey")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Declared SQL-surface query: the round-11 parser drives a full
     * MERGE INTO from SQL TEXT (clause conditions, delete markers,
     * inserts) against a path table — end-to-end through

@@ -187,6 +187,69 @@ class UpdateDeleteSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 391)
   }
 
+  test("updateWhereDV: merge-on-read UPDATE — old images DV'd, new images appended, no data file rewritten; ids carry; CDC and compact fold") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd9").toString + "/t"
+    ManifestTable.enableRowTracking(spark, path)
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 2)
+    val sig = files1.map { rel =>
+      val f = new java.io.File(s"$path/$rel")
+      rel -> ((f.length, f.lastModified))
+    }.toMap
+    val idsBefore = ManifestTable.readWithRowIds(spark, path)
+      .select("id", ManifestTable.RowIdCol).as[(Long, Long)]
+      .collect().toMap
+    // sparse scattered update: MoR touches no existing file
+    val v = ManifestTable.updateWhereDV(spark, path,
+      Seq("v" -> (col("v") + lit(10000L))),
+      col("id") % 100 === 7, key = "id")
+    assert(v === 3L)
+    val files2 = ManifestTable.manifestFiles(spark, path, v)
+    files1.foreach { rel =>
+      assert(files2.contains(rel), s"$rel must stay live")
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    assert(files2.size === files1.size + 1,
+      "exactly one appended images file")
+    val got = ManifestTable.read(spark, path).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 400)
+    Seq(7L, 107L, 207L, 307L).foreach(i => assert(got(i) === i + 10000L))
+    assert(got(8L) === 8L)
+    // stable ids carry onto the new images (update, not delete+insert)
+    val idsAfter = ManifestTable.readWithRowIds(spark, path)
+      .select("id", ManifestTable.RowIdCol).as[(Long, Long)]
+      .collect().toMap
+    assert(idsAfter === idsBefore, "MoR update must keep every row id")
+    // CDC: old images delete, new images insert — multiset-consistent
+    val ch = ManifestTable.changesForVersion(spark, path, v)
+      .select("id", "v", "_change").as[(Long, Long, String)]
+      .collect().toSet
+    assert(ch === Seq(7L, 107L, 207L, 307L).flatMap(i =>
+      Seq((i, i, "delete"), (i, i + 10000L, "insert"))).toSet)
+    // SET on the DV key is refused (the vector is keyed on it)
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhereDV(spark, path,
+        Seq("id" -> lit(0L)), col("v") === 0, key = "id")
+    }
+    // no-match: no commit
+    assert(ManifestTable.updateWhereDV(spark, path,
+      Seq("v" -> lit(0L)), col("id") === 999999, key = "id") === v)
+    // compact folds vectors; content and ids survive
+    ManifestTable.compact(spark, path, targetFiles = 2)
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(st.dvFiles.isEmpty)
+    assert(ManifestTable.read(spark, path).count() === 400)
+    assert(ManifestTable.readWithRowIds(spark, path)
+      .select("id", ManifestTable.RowIdCol).as[(Long, Long)]
+      .collect().toMap === idsBefore)
+  }
+
   test("updateWhere on a PARTITIONED table: untouched partitions carry; SET on the partition column moves rows across dirs") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd7").toString + "/t"
     val df = spark.range(0, 300).toDF("id")
