@@ -63,28 +63,34 @@ object GraftSession {
     * active/default sessions afterwards.
     */
   def withSqlExtensions[A](base: SparkSession)(f: SparkSession => A): A = {
-    val ext = extCache match {
-      case Some(s) if s.sparkContext eq base.sparkContext => s
-      case _ =>
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        val s =
-          try SparkSession.builder()
-            .withExtensions(new graft.plans.GraftExtensions)
-            .getOrCreate()
-          finally {
-            SparkSession.setDefaultSession(base)
-            SparkSession.setActiveSession(base)
-          }
-        extCache = Some(s)
-        s
+    // Build+swap runs under the object lock: getOrCreate consults the
+    // JVM-GLOBAL default-session slot, so the clear/build/restore window
+    // must not interleave with a concurrent builder (which could hand
+    // back the wrong session or observe no default at all) — and the
+    // check-then-act on extCache must not build duplicate siblings.
+    val ext = this.synchronized {
+      extCache match {
+        case Some(s) if s.sparkContext eq base.sparkContext => s
+        case _ =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          val s =
+            try SparkSession.builder()
+              .withExtensions(new graft.plans.GraftExtensions)
+              .getOrCreate()
+            finally {
+              SparkSession.setDefaultSession(base)
+              SparkSession.setActiveSession(base)
+            }
+          extCache = Some(s)
+          s
+      }
     }
+    // Only the THREAD-LOCAL active session swaps for the call window —
+    // the global default stays `base`, so concurrent threads running
+    // queries on the base session never observe the extended sibling.
     SparkSession.setActiveSession(ext)
-    SparkSession.setDefaultSession(ext)
     try f(ext)
-    finally {
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
+    finally SparkSession.setActiveSession(base)
   }
 }

@@ -64,6 +64,19 @@ object ManifestTable {
     */
   val DefaultTagHorizon: Int = 100000
 
+  /** Matched-row ceiling for the merge-on-read verbs' SPARSE contract:
+    * above this many matching rows, [[updateWhereDV]]/[[deleteWhereDV]]
+    * fall back to the copy-on-write rewrite instead of committing a
+    * sidecar. The MoR shape is only cheaper when the match set is small
+    * — its single-task sidecar/images write and the readers' perpetual
+    * anti-join both scale with matched rows, while CoW scales with
+    * touched FILES — so the threshold makes the contract
+    * self-enforcing rather than doc-enforced. ~4M (file, key) pairs is
+    * a few hundred MB staged through one task: the upper edge of
+    * acceptable. Overridable per call.
+    */
+  val DefaultSparseRowLimit: Long = 4L * 1000 * 1000
+
   /** Protocol versions this library implements (Delta's
     * minReaderVersion/minWriterVersion forward-compat gate): a table
     * whose committed `minReader` exceeds ours refuses to RESOLVE
@@ -1290,6 +1303,46 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"constraint commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Reserved CHECK-constraint name prefix carrying the NOT NULL
+    * column invariants (see [[setNotNull]]). */
+  val NotNullPrefix = "graft_nn_"
+
+  /** NOT NULL column invariant (Delta's per-column invariant class):
+    * a metadata-only commit after which every write/append/merge
+    * REJECTS batches carrying a NULL in `column`, atomically, in the
+    * same staging-pass guard as CHECK constraints. Declaring on a
+    * table with existing NULLs is refused (same one-time validation
+    * scan CHECK runs). Implemented AS a reserved CHECK constraint
+    * (`graft_nn_<col>` → `<col> IS NOT NULL`), so it rides the same
+    * log entries and survives restore/clone/checkpoint exactly like
+    * CHECK — one enforcement path, nothing new to keep correct.
+    */
+  def setNotNull(spark: SparkSession, path: String, column: String,
+                 maxAttempts: Int = 3): Long = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+    require(schema.fieldNames.contains(column),
+      s"no column '$column' at $path to declare NOT NULL")
+    addCheckConstraint(spark, path, s"$NotNullPrefix$column",
+      s"$column IS NOT NULL", maxAttempts)
+  }
+
+  /** Drop a [[setNotNull]] invariant (metadata-only commit). */
+  def dropNotNull(spark: SparkSession, path: String, column: String,
+                  maxAttempts: Int = 3): Long =
+    dropCheckConstraint(spark, path, s"$NotNullPrefix$column", maxAttempts)
+
+  /** Columns currently under a NOT NULL invariant. */
+  def notNullColumns(spark: SparkSession, path: String): Seq[String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    resolveState(spark, path, v).constraints.keys
+      .filter(_.startsWith(NotNullPrefix))
+      .map(_.stripPrefix(NotNullPrefix)).toSeq.sorted
   }
 
   /** Drop a named CHECK constraint (metadata-only commit). */
@@ -2841,8 +2894,10 @@ object ManifestTable {
                        tag: Option[String] = None,
                        tagHorizon: Int = DefaultTagHorizon,
                        sortCols: Seq[String] = Nil,
-                       deleteVectors: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+                       deleteVectors: Boolean = false,
+                       updateSet: Seq[(String, Column)] = Nil,
+                       insertValues: Seq[(String, Column)] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when, max => smax, min => smin}
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       require(updates.groupBy(col(key)).count()
@@ -2877,10 +2932,39 @@ object ManifestTable {
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
         val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
         val matched = col(s"_b_$key").isNotNull
+        // Per-clause expression projection (delta-spark's `SET c = expr`
+        // / `INSERT (cols) VALUES (exprs)` forms): an assigned column
+        // takes its expression (which sees source columns bare and the
+        // matched base row as `_b_<col>`); an UNASSIGNED column keeps
+        // the TARGET's current value on update and inserts NULL — the
+        // SQL MERGE defaults. Empty seqs keep the `SET *` / `INSERT *`
+        // schema-contract reading (image = the source row wholesale).
+        val updMap = updateSet.toMap
+        val insMap = insertValues.toMap
+        updateSet.foreach { case (c, _) =>
+          require(schema.fieldNames.contains(c),
+            s"MERGE UPDATE SET targets unknown column '$c'") }
+        insertValues.foreach { case (c, _) =>
+          require(schema.fieldNames.contains(c),
+            s"MERGE INSERT targets unknown column '$c'") }
+        def imageCol(c: String): Column = {
+          val dt = schema(c).dataType
+          val updV =
+            if (updateSet.isEmpty) col(c)
+            else updMap.get(c).map(_.cast(dt)).getOrElse(col(s"_b_$c"))
+          val insV =
+            if (insertValues.isEmpty) col(c)
+            else insMap.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+          when(matched, updV).otherwise(insV).as(c)
+        }
+        val imageCols =
+          if (updateSet.isEmpty && insertValues.isEmpty)
+            schema.fieldNames.map(col).toSeq
+          else schema.fieldNames.map(imageCol).toSeq
         val compiled = resolved
           .withColumn("_graft_del", matched && delC)
           .filter((matched && (delC || (!delC && updC))) || (!matched && insC))
-          .select(schema.fieldNames.map(col).toSeq :+ col("_graft_del"): _*)
+          .select(imageCols :+ col("_graft_del"): _*)
         mergeAttempt(compiled, path, key, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
           sortCols = sortCols, deleteVectors = deleteVectors,
@@ -2938,17 +3022,19 @@ object ManifestTable {
             require(df.schema.fieldNames.contains(c),
               s"UPDATE SET targets unknown column '$c'")
           }
-          // drop generated columns, apply SET under the condition, then
-          // let generatedGuard recompute them from the updated sources.
           // Every RHS evaluates against the OLD row (SQL semantics —
           // `SET a = b, b = a` swaps): stage all values into temp
-          // columns first, then overwrite.
-          val stripped = st.generated.keys.foldLeft(df)(_ drop _)
-          val staged = set.foldLeft(stripped) { case (d, (c, e)) =>
+          // columns first, then overwrite. Staging happens BEFORE the
+          // generated columns strip, so both the WHERE predicate and a
+          // SET RHS may reference a generated column (Delta permits
+          // both); generatedGuard then recomputes the generated values
+          // from the updated sources.
+          val staged = set.foldLeft(df) { case (d, (c, e)) =>
             d.withColumn(s"_graft_set_$c",
               when(cond, e.cast(df.schema(c).dataType)).otherwise(col(c)))
           }
-          val updated = set.foldLeft(staged) { case (d, (c, _)) =>
+          val stripped = st.generated.keys.foldLeft(staged)(_ drop _)
+          val updated = set.foldLeft(stripped) { case (d, (c, _)) =>
             d.withColumn(c, col(s"_graft_set_$c")).drop(s"_graft_set_$c")
           }
           constraintGuard(generatedGuard(updated, st.generated),
@@ -2973,6 +3059,57 @@ object ManifestTable {
       rewriteWhere(spark, path, cond, op = "DELETE",
         statsCols, maxAttempts, tag, tagHorizon,
         transform = (df, _) => df.filter(!coalesce(cond, lit(false))))
+    }
+  }
+
+  /** Selective overwrite (Delta's `replaceWhere` /
+    * `INSERT OVERWRITE ... WHERE`): atomically replace EXACTLY the
+    * rows matching `cond` with `batch` — the idiomatic
+    * backfill-one-slice write. One commit does both halves: files
+    * holding matching rows rewrite WITHOUT them (discovered by the
+    * same stats-pre-pruned, filter-pushed detection
+    * [[updateWhere]]/[[deleteWhere]] run; untouched files carry
+    * byte-identical), and the incoming batch stages as new files with
+    * its own partitioning. The batch must itself satisfy `cond` —
+    * Delta's replaceWhere validation — so the operation is a true
+    * slice replacement, refused otherwise before anything stages.
+    * Generated columns compute/enforce and CHECK constraints enforce
+    * on the batch; under row tracking the batch draws fresh ids above
+    * the high-water mark while carried rows keep theirs.
+    *
+    * Scale shape: cost is O(files overlapping the slice + the new
+    * slice) — a one-partition backfill on a 100 TB table touches that
+    * partition's files and nothing else, where a plain overwrite
+    * rewrites the world.
+    */
+  def overwriteWhere(batch: DataFrame, path: String, cond: Column,
+                     statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                     tag: Option[String] = None,
+                     tagHorizon: Int = DefaultTagHorizon): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val spark = batch.sparkSession
+    tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version at $path to overwrite into"))
+      val st = resolveState(spark, path, prevV)
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      require(batch.schema.fieldNames.sorted.toSeq ==
+          schema.fieldNames.sorted.toSeq,
+        s"replaceWhere batch columns ${batch.schema.fieldNames.mkString("(", ",", ")")} " +
+          s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
+      val offenders = batch.filter(!coalesce(cond, lit(false))).count()
+      require(offenders == 0L,
+        s"replaceWhere batch violates its own predicate: $offenders rows " +
+          "do not satisfy the WHERE condition (Delta's replaceWhere rule)")
+      val guarded = constraintGuard(
+        generatedGuard(batch.select(schema.fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*), st.generated),
+        st.constraints)
+      rewriteWhere(spark, path, cond, op = "REPLACE_WHERE",
+        statsCols, maxAttempts, tag, tagHorizon,
+        transform = (df, _) => df.filter(!coalesce(cond, lit(false))),
+        extra = Some(guarded))
     }
   }
 
@@ -3048,7 +3185,8 @@ object ManifestTable {
   def deleteWhereDV(spark: SparkSession, path: String, cond: Column,
                     key: String, maxAttempts: Int = 3,
                     tag: Option[String] = None,
-                    tagHorizon: Int = DefaultTagHorizon): Long = {
+                    tagHorizon: Int = DefaultTagHorizon,
+                    sparseRowLimit: Long = DefaultSparseRowLimit): Long = {
     import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
     val f = fs(spark, path)
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
@@ -3092,27 +3230,46 @@ object ManifestTable {
               base("_graft_dv_file") === dv("_graft_dv_file") &&
                 base(key) === dv("_graft_dv_key"), "left_anti")
           }
+        // the emptiness check, the sparse-contract guard, and the
+        // sidecar write all read ONE cached frame — the pruned
+        // detection scan runs once (a nondeterministic or
+        // time-sensitive predicate could otherwise commit a vector
+        // that diverges from the emptiness check; mirrors
+        // updateWhereDV's cached pattern)
         val pairs = alive.filter(cond)
           .select(col("_graft_dv_file"), col(key).as("_graft_dv_key"))
           .dropDuplicates("_graft_dv_file", "_graft_dv_key")
-        if (pairs.isEmpty) return prevV // no match: nothing to commit
-        val token = java.util.UUID.randomUUID.toString.take(8)
-        val dvDir = s"$path/dv-$version-$token"
-        pairs.coalesce(1).write.mode("overwrite").parquet(dvDir)
-        val dvAdds = listDataFiles(f, new Path(dvDir))
-          .map(p => relativize(new Path(path), p))
-        val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
-          Map.empty, tag, tagHorizon, Some(schema),
-          dvAdds = dvAdds, dvKey = Some(st.phys(key)), op = Some("DELETE_DV"))
-        val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
-        val out = f.create(tmp, true)
-        try out.write(json.getBytes("UTF-8")) finally out.close()
-        if (conditionalCommit(f, tmp, manifestPath(path, version))) {
-          maybeCheckpoint(spark, path, version)
-          return version
-        }
-        f.delete(tmp, false)
-        f.delete(new Path(dvDir), true)
+          .cache()
+        try {
+          val matched = pairs.count()
+          if (matched == 0L) return prevV // no match: nothing to commit
+          if (matched > sparseRowLimit) {
+            // the predicate is BULK, not sparse: a coalesce(1) sidecar
+            // of this size would funnel through one task and readers
+            // would pay a huge anti-join forever — the CoW rewrite is
+            // the right shape, so take it (self-enforcing contract)
+            pairs.unpersist(blocking = false)
+            return deleteWhere(spark, path, cond,
+              maxAttempts = maxAttempts, tag = tag, tagHorizon = tagHorizon)
+          }
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          val dvDir = s"$path/dv-$version-$token"
+          pairs.coalesce(1).write.mode("overwrite").parquet(dvDir)
+          val dvAdds = listDataFiles(f, new Path(dvDir))
+            .map(p => relativize(new Path(path), p))
+          val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+            Map.empty, tag, tagHorizon, Some(schema),
+            dvAdds = dvAdds, dvKey = Some(st.phys(key)), op = Some("DELETE_DV"))
+          val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+          val out = f.create(tmp, true)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+          if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+            maybeCheckpoint(spark, path, version)
+            return version
+          }
+          f.delete(tmp, false)
+          f.delete(new Path(dvDir), true)
+        } finally pairs.unpersist(blocking = false)
         attempt += 1
       }
       throw new IllegalStateException(
@@ -3136,7 +3293,8 @@ object ManifestTable {
   def updateWhereDV(spark: SparkSession, path: String,
                     set: Seq[(String, Column)], cond: Column, key: String,
                     maxAttempts: Int = 3, tag: Option[String] = None,
-                    tagHorizon: Int = DefaultTagHorizon): Long = {
+                    tagHorizon: Int = DefaultTagHorizon,
+                    sparseRowLimit: Long = DefaultSparseRowLimit): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split, when}
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val f = fs(spark, path)
@@ -3163,9 +3321,10 @@ object ManifestTable {
             s"cannot SET the DV key column '$key' under merge-on-read " +
               "— the old image's vector is keyed on it (use updateWhere)")
         }
-        require(partitionColsOf(st.files).isEmpty,
-          s"merge-on-read UPDATE is flat-layout only at $path — the " +
-            "appended images file has no partition home (use updateWhere)")
+        // partitioned layouts: the appended images write goes through
+        // partitionBy, so every new image lands in its partition home
+        // (including rows a SET moves ACROSS partitions)
+        val partCols = partitionColsOf(st.files)
         val version = prevV + 1L
         val candidates = condBounds(cond).foldLeft(st.files) {
           case (files, (c, (lo, hi))) =>
@@ -3195,19 +3354,31 @@ object ManifestTable {
         // from ONE cached matching frame — the scan runs once
         val cached = matching.cache()
         try {
-          if (cached.isEmpty) return prevV
+          val matchedRows = cached.count()
+          if (matchedRows == 0L) return prevV
+          if (matchedRows > sparseRowLimit) {
+            // bulk predicate: the MoR shape's single-task images write
+            // and perpetual read-side anti-join would both be the wrong
+            // cost curve — fall through to the CoW rewrite instead
+            // (self-enforcing sparse contract)
+            cached.unpersist(blocking = false)
+            return updateWhere(spark, path, set, cond,
+              maxAttempts = maxAttempts, tag = tag, tagHorizon = tagHorizon)
+          }
           val pairs = cached
             .select(col("_graft_dv_file"), col(key).as("_graft_dv_key"))
             .dropDuplicates("_graft_dv_file", "_graft_dv_key")
           // SET semantics as in updateWhere: stage all RHS against the
-          // OLD row, then overwrite (cond is TRUE on every cached row,
-          // so no per-row guard is needed); generated columns recompute
-          val stripped = st.generated.keys.foldLeft(
-            cached.drop("_graft_dv_file"))(_ drop _)
-          val stagedSet = set.foldLeft(stripped) { case (d, (c, e)) =>
-            d.withColumn(s"_graft_set_$c", e.cast(schema(c).dataType))
+          // OLD row — BEFORE generated columns strip, so a RHS may
+          // reference them — then overwrite (cond is TRUE on every
+          // cached row, so no per-row guard is needed); generated
+          // columns recompute from the updated sources
+          val stagedSet = set.foldLeft(cached.drop("_graft_dv_file")) {
+            case (d, (c, e)) =>
+              d.withColumn(s"_graft_set_$c", e.cast(schema(c).dataType))
           }
-          val updated0 = set.foldLeft(stagedSet) { case (d, (c, _)) =>
+          val stripped = st.generated.keys.foldLeft(stagedSet)(_ drop _)
+          val updated0 = set.foldLeft(stripped) { case (d, (c, _)) =>
             d.withColumn(c, col(s"_graft_set_$c")).drop(s"_graft_set_$c")
           }
           val carrySchema =
@@ -3222,7 +3393,9 @@ object ManifestTable {
             if (!st.mapped) newImages
             else newImages.select(newImages.schema.fieldNames.map(n =>
               col(n).as(st.phys(n))).toSeq: _*)
-          physOut.coalesce(1).write.mode("overwrite").parquet(snapDir)
+          val imgW = physOut.coalesce(1).write.mode("overwrite")
+          (if (partCols.nonEmpty) imgW.partitionBy(partCols: _*) else imgW)
+            .parquet(snapDir)
           val staged = listDataFiles(f, new Path(snapDir))
           val stagedRel = staged.map(p => relativize(new Path(path), p))
           val dvDir = s"$path/dv-$version-$token"
@@ -3289,7 +3462,8 @@ object ManifestTable {
                            op: String, statsCols: Seq[String],
                            maxAttempts: Int, tag: Option[String],
                            tagHorizon: Int,
-                           transform: (DataFrame, TableState) => DataFrame): Long = {
+                           transform: (DataFrame, TableState) => DataFrame,
+                           extra: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
     val f = fs(spark, path)
     var attempt = 0
@@ -3320,23 +3494,35 @@ object ManifestTable {
           .select(element_at(split(input_file_name(), "/"), -1).as("_graft_f"))
           .distinct().collect().map(_.getString(0)).toSet
       val touched = candidates.filter(fl => touchedBase(fl.split("/").last))
-      if (touched.isEmpty) return prevV // no matches: nothing to commit
+      // no matches AND no staged batch: nothing to commit
+      if (touched.isEmpty && extra.forall(_.isEmpty)) return prevV
       // 2) rewrite ONLY the touched files, DV-aware (already-deleted
       // rows never resurrect); row ids ride along verbatim
       val idSchema = st.schema.map(sc => StructType(sc.fields :+
         org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
-      val base = readStateDf(spark, path, st.copy(files = touched,
-        schema = if (st.rowTracking) idSchema else st.schema))
       val carrySchema =
         if (st.rowTracking) schema.fieldNames :+ RowIdCol
         else schema.fieldNames
-      val newData = transform(base, st)
-        .select(carrySchema.map(col).toSeq: _*)
+      // rewritten survivors pack into ~touched-file count (shuffle-free
+      // coalesce); an extra staged batch (replaceWhere's incoming
+      // slice) keeps ITS OWN partitioning — its size is unrelated to
+      // the files it displaces. Extra rows are inserts: under row
+      // tracking they draw fresh ids above the high-water mark.
+      val rewritten: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else Some(transform(readStateDf(spark, path, st.copy(files = touched,
+            schema = if (st.rowTracking) idSchema else st.schema)), st)
+          .select(carrySchema.map(col).toSeq: _*)
+          .coalesce(math.max(1, touched.size)))
+      val extraPrep: Option[DataFrame] = extra.map { e =>
+        val withId = if (st.rowTracking) assignRowIds(e, st.rowHighWater) else e
+        withId.select(carrySchema.map(col).toSeq: _*)
+      }
+      val newData = (rewritten.toSeq ++ extraPrep.toSeq).reduce(_ unionByName _)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
-      // stage in ~touched-file count (shuffle-free coalesce), physical
-      // names on mapped tables, inside the partition layout
-      val packed = newData.coalesce(math.max(1, touched.size))
+      // physical names on mapped tables, inside the partition layout
+      val packed = newData
       val physOut =
         if (!st.mapped) packed
         else packed.select(packed.schema.fieldNames.map(n =>
@@ -3374,7 +3560,10 @@ object ManifestTable {
       }
       val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
         touched, newStats, tag, tagHorizon, Some(schema),
-        bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some(op))
+        bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some(op),
+        rowHighWater =
+          if (!st.rowTracking || extra.isEmpty) None
+          else Some(stagedHighWater(spark, staged, st.rowHighWater)))
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -4345,6 +4534,37 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"compactWhere commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS`
+    * contract): resolve the retention horizon against the commit
+    * WALL-TIMES already recorded in the log, then delegate to the
+    * version-based sweep. Every version committed at-or-after
+    * `now − retainHours` survives; versions wholly outside the window
+    * drop (the current version always survives — a table never
+    * vacuums itself unreadable). Time travel past the horizon then
+    * fails loudly, same rule [[restore]] draws.
+    */
+  def vacuumHours(spark: SparkSession, path: String, retainHours: Double,
+                  nowMillis: Long = System.currentTimeMillis()): Seq[Long] =
+    vacuum(spark, path, keepForHours(spark, path, retainHours, nowMillis))
+
+  /** [[vacuumHours]] with zero mutation — the dry-run twin. */
+  def vacuumHoursDryRun(spark: SparkSession, path: String,
+                        retainHours: Double,
+                        nowMillis: Long = System.currentTimeMillis())
+      : (Seq[Long], Seq[String]) =
+    vacuumDryRun(spark, path, keepForHours(spark, path, retainHours, nowMillis))
+
+  /** Newest-N count whose commit timestamps fall inside the retention
+    * window (commit times are monotone — versions serialize), floored
+    * at 1 so the current version always survives. */
+  private def keepForHours(spark: SparkSession, path: String,
+                           retainHours: Double, nowMillis: Long): Int = {
+    require(retainHours >= 0.0, "retention hours must be non-negative")
+    val horizon = nowMillis - (retainHours * 3600.0 * 1000.0).toLong
+    math.max(1, versions(spark, path)
+      .count(v => commitTimestamp(spark, path, v) >= horizon))
   }
 
   def vacuum(spark: SparkSession, path: String, keep: Int = 1): Seq[Long] = {

@@ -119,7 +119,9 @@ object GraftSqlStatements {
   private val restoreTimestampRe =
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
   private val vacuumRe =
-    s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
+    s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
+  private val setNotNullRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*$$".r
   private val deleteRe =
     s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
@@ -138,6 +140,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val insertRe =
     s"(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$P\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
+  private val insertOverwriteWhereRe =
+    s"(?is)^\\s*INSERT\\s+OVERWRITE\\s+$P\\s+WHERE\\s+(.+?)\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
   private val ctasRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+AS\\s+(SELECT\\s+.+|WITH\\s+.+)$$".r
   private val analyzeRe =
@@ -156,9 +160,14 @@ object GraftSqlStatements {
       Some(GraftRestoreCommand(path, Some(v.toLong), None))
     case restoreTimestampRe(path, ts) =>
       Some(GraftRestoreCommand(path, None, Some(ts)))
-    case vacuumRe(path, keep, dry) =>
+    case vacuumRe(path, keep, unit, dry) =>
       Some(GraftVacuumCommand(path, Option(keep).map(_.toInt).getOrElse(1),
-        dryRun = dry != null))
+        dryRun = dry != null,
+        hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))))
+    case setNotNullRe(path, colName, verb) =>
+      Some(GraftAlterCommand(path,
+        if (verb.equalsIgnoreCase("SET")) "set_not_null" else "drop_not_null",
+        Seq(colName)))
     case optimizeRe(path, n, zcols, where) =>
       Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
         Option(zcols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
@@ -182,6 +191,9 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
     case cloneRe(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
+    case insertOverwriteWhereRe(path, cond, query) =>
+      Some(GraftInsertCommand(path, query.trim, overwrite = true,
+        replaceCond = Some(cond.trim)))
     case insertRe(mode, path, query) =>
       Some(GraftInsertCommand(path, query.trim,
         overwrite = mode.equalsIgnoreCase("OVERWRITE")))
@@ -206,18 +218,34 @@ object GraftSqlStatements {
     */
   def rewriteReads(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.'")) return sqlText
-    val ts = s"(?is)graft\\.$P\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    val v = s"(?is)graft\\.$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
-    val bare = s"(?is)graft\\.$P".r
-    val s1 = ts.replaceAllIn(sqlText, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"graft_table_at('${m.group(1)}', '${m.group(2)}')"))
-    val s2 = v.replaceAllIn(s1, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"graft_table('${m.group(1)}', ${m.group(2)})"))
-    bare.replaceAllIn(s2, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"graft_table('${m.group(1)}')"))
+    // Scanner, not global replaceAll: `graft.'...'` inside an ORDINARY
+    // string literal is data and must pass through untouched, so the
+    // sugar only triggers when the quote it opens is the sugar's own.
+    val ts = s"(?is)^graft\\.$P\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+    val v = s"(?is)^graft\\.$P\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    val bare = s"(?is)^graft\\.$P".r
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val n = sqlText.length
+    while (i < n) {
+      val c = sqlText.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (sqlText.regionMatches(true, i, "graft.'", 0, 7)) {
+        val rest = sqlText.substring(i)
+        val hit = ts.findPrefixMatchOf(rest).map(m =>
+            (s"graft_table_at('${m.group(1)}', '${m.group(2)}')", m.end))
+          .orElse(v.findPrefixMatchOf(rest).map(m =>
+            (s"graft_table('${m.group(1)}', ${m.group(2)})", m.end)))
+          .orElse(bare.findPrefixMatchOf(rest).map(m =>
+            (s"graft_table('${m.group(1)}')", m.end)))
+        hit match {
+          case Some((repl, len)) => sb ++= repl; i += len
+          case None => sb += c; i += 1
+        }
+      } else { sb += c; if (c == '\'') inStr = true; i += 1 }
+    }
+    sb.toString
   }
 
   /** Split on top-level commas (never inside parens or quotes). */
@@ -247,7 +275,10 @@ object GraftSqlStatements {
   }
 
   private val whenRe =
-    "(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+(UPDATE\\s+SET\\s+\\*|DELETE|INSERT\\s+\\*)".r
+    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*|" +
+      "INSERT\\s*\\(.+?\\)\\s*VALUES\\s*\\(.+?\\))\\s*" +
+      "(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
 
   private def parseMerge(path: String, targetAlias: Option[String],
                          source: String, on: String,
@@ -278,44 +309,130 @@ object GraftSqlStatements {
           s"MERGE USING expects a table name or (subquery), got '$other'")
       }
     } match { case (e, a) => (e, a) }
-    var upd: Option[Option[String]] = None
-    var del: Option[Option[String]] = None
-    var ins: Option[Option[String]] = None
-    whenRe.findAllMatchIn(clauses).foreach { m =>
-      val not = m.group(1) != null
-      val cond = Option(m.group(2)).map(_.trim)
-      val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
-      (not, action) match {
-        case (false, "UPDATE SET *") => upd = Some(cond)
-        case (false, "DELETE")       => del = Some(cond)
-        case (true, "INSERT *")      => ins = Some(cond)
-        case other => throw new IllegalArgumentException(
-          s"unsupported MERGE clause: $other (UPDATE SET * / DELETE / " +
-            "INSERT * only)")
+    // Clauses in STATEMENT order — SQL/Delta first-clause-wins. The
+    // engine evaluates DELETE before UPDATE (ManifestTable's fixed
+    // precedence), so when an UPDATE clause textually PRECEDES a
+    // DELETE, the delete condition is AND-NOT'ed with the update's
+    // (a row the earlier clause claims never reaches the later one);
+    // DELETE-before-UPDATE already matches engine order. Duplicate
+    // clauses of one kind are rejected, and a MATCHED clause with no
+    // condition must be the LAST matched clause (anything after it is
+    // unreachable) — both Delta's own rules.
+    final case class Clause(not: Boolean, cond: Option[String],
+                            action: String, payload: String)
+    val parsed = whenRe.findAllMatchIn(clauses).map { m =>
+      val action = m.group(3).trim
+      val up = action.toUpperCase.replaceAll("\\s+", " ")
+      val kind =
+        if (up.startsWith("UPDATE SET")) "UPDATE"
+        else if (up == "DELETE") "DELETE"
+        else "INSERT"
+      Clause(m.group(1) != null, Option(m.group(2)).map(_.trim), kind,
+        action)
+    }.toSeq
+    require(parsed.nonEmpty, "MERGE needs at least one WHEN clause")
+    parsed.groupBy(c => (c.not, c.action)).foreach { case (k, cs) =>
+      require(cs.size == 1,
+        s"duplicate MERGE clause ${if (k._1) "WHEN NOT MATCHED" else "WHEN MATCHED"} ${k._2} — each clause kind may appear once") }
+    parsed.foreach { c =>
+      require(c.not == (c.action == "INSERT"),
+        s"MERGE clause ${c.action} on the wrong match side " +
+          "(UPDATE/DELETE need MATCHED, INSERT needs NOT MATCHED)") }
+    val matchedClauses = parsed.filter(!_.not)
+    matchedClauses.dropRight(1).foreach(c =>
+      require(c.cond.isDefined,
+        s"WHEN MATCHED THEN ${c.action} without a condition must be " +
+          "the last matched clause — later matched clauses are unreachable"))
+    val updClause = parsed.find(c => !c.not && c.action == "UPDATE")
+    val delClause = parsed.find(c => !c.not && c.action == "DELETE")
+    val insClause = parsed.find(_.not)
+    // first-clause-wins: UPDATE textually before DELETE claims its rows
+    val delCond: Option[Option[String]] = delClause.map { d =>
+      val updFirst = updClause.exists(u =>
+        matchedClauses.indexOf(u) < matchedClauses.indexOf(d))
+      if (!updFirst) d.cond
+      else {
+        val u = updClause.get.cond.getOrElse("true")
+        Some(s"(${d.cond.getOrElse("true")}) AND NOT coalesce(($u), false)")
       }
     }
-    require(upd.isDefined || del.isDefined || ins.isDefined,
-      "MERGE needs at least one WHEN clause")
+    val rw: String => String = rewriteRefs(_, targetAlias, srcAlias)
+    // UPDATE SET payload: `*` keeps the schema-contract image; an
+    // assignment list compiles per-column expressions
+    val updateSet: Seq[(String, String)] = updClause.toSeq.flatMap { c =>
+      val body = c.payload.replaceFirst("(?is)^UPDATE\\s+SET\\s*", "").trim
+      if (body == "*") Nil
+      else splitTopLevel(body).map(parseAssign).map { case (l, r) =>
+        (stripQualifier(l, targetAlias), rw(r))
+      }
+    }
+    val insertValues: Seq[(String, String)] = insClause.toSeq.flatMap { c =>
+      if (c.payload.toUpperCase.replaceAll("\\s+", " ") == "INSERT *") Nil
+      else {
+        val ivRe = "(?is)^INSERT\\s*\\((.+?)\\)\\s*VALUES\\s*\\((.+)\\)\\s*$".r
+        c.payload match {
+          case ivRe(cols, vals) =>
+            val cs = splitTopLevel(cols).map(stripQualifier(_, targetAlias))
+            val vs = splitTopLevel(vals).map(rw)
+            require(cs.size == vs.size,
+              s"INSERT column list (${cs.size}) and VALUES list " +
+                s"(${vs.size}) differ in length")
+            cs.zip(vs)
+          case other => throw new IllegalArgumentException(
+            s"malformed MERGE INSERT clause: '$other'")
+        }
+      }
+    }
     GraftMergeCommand(path, srcSql, key,
-      upd.map(rewriteMergeCond(_, targetAlias, srcAlias)),
-      del.map(rewriteMergeCond(_, targetAlias, srcAlias)),
-      ins.map(rewriteMergeCond(_, targetAlias, srcAlias)))
+      updClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
+      delCond.map(rewriteMergeCond(_, targetAlias, srcAlias)),
+      insClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
+      updateSet, insertValues)
+  }
+
+  /** Strip a `target.`/alias qualifier off an assignment LHS. */
+  private def stripQualifier(name: String,
+                             targetAlias: Option[String]): String = {
+    val t = targetAlias.getOrElse("target")
+    name.trim.replaceAll(s"(?i)^(?:$t|target)\\.", "")
   }
 
   /** Clause conditions run over [[ManifestTable.mergeConditional]]'s
     * resolved frame: source columns bare, target columns `_b_<col>`.
     * Users write `target.<col>` (or the declared aliases); rewrite both
-    * spellings.
+    * spellings — OUTSIDE string literals only (a literal `'target.x'`
+    * is data, not a reference).
     */
   private def rewriteMergeCond(cond: Option[String],
                                targetAlias: Option[String],
                                srcAlias: Option[String]): String =
-    cond.fold("true") { c =>
+    cond.fold("true")(rewriteRefs(_, targetAlias, srcAlias))
+
+  private def rewriteRefs(c: String, targetAlias: Option[String],
+                          srcAlias: Option[String]): String =
+    mapOutsideQuotes(c) { seg =>
       val t = targetAlias.getOrElse("target")
-      val withTarget = c.replaceAll(s"(?i)\\b$t\\.", "_b_")
+      val withTarget = seg.replaceAll(s"(?i)\\b$t\\.", "_b_")
       srcAlias.fold(withTarget)(s =>
         withTarget.replaceAll(s"(?i)\\b$s\\.", ""))
     }
+
+  /** Apply `f` to the spans of `s` OUTSIDE single-quoted string
+    * literals (SQL quote-doubling composes naturally: the closing and
+    * reopening quotes are two adjacent literal spans). */
+  private[plans] def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    s.foreach { ch =>
+      if (inStr) { out += ch; if (ch == '\'') inStr = false }
+      else if (ch == '\'') {
+        out ++= f(seg.toString); seg.clear(); out += ch; inStr = true
+      } else seg += ch
+    }
+    out ++= f(seg.toString)
+    out.toString
+  }
 }
 
 /** DESCRIBE HISTORY '<path>' — the operator console row set, straight
@@ -347,13 +464,17 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
 }
 
 case class GraftVacuumCommand(path: String, keep: Int,
-                              dryRun: Boolean = false)
+                              dryRun: Boolean = false,
+                              hours: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("swept_version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    if (dryRun) ManifestTable.vacuumDryRun(session, path, keep)._1.map(Row(_))
-    else ManifestTable.vacuum(session, path, keep = keep).map(Row(_))
+  override def run(session: SparkSession): Seq[Row] = ((hours, dryRun) match {
+    case (true, true)   => ManifestTable.vacuumHoursDryRun(session, path, keep)._1
+    case (true, false)  => ManifestTable.vacuumHours(session, path, keep)
+    case (false, true)  => ManifestTable.vacuumDryRun(session, path, keep)._1
+    case (false, false) => ManifestTable.vacuum(session, path, keep = keep)
+  }).map(Row(_))
 }
 
 /** SHOW PARTITIONS '<path>' — distinct partition-value tuples of the
@@ -451,7 +572,9 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
 case class GraftMergeCommand(path: String, source: Either[String, String],
                              key: String, whenMatchedUpdate: Option[String],
                              whenMatchedDelete: Option[String],
-                             whenNotMatchedInsert: Option[String])
+                             whenNotMatchedInsert: Option[String],
+                             updateSet: Seq[(String, String)] = Nil,
+                             insertValues: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -463,7 +586,9 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
     Seq(Row(ManifestTable.mergeConditional(src, path, key,
       whenMatchedUpdate = whenMatchedUpdate.map(expr),
       whenMatchedDelete = whenMatchedDelete.map(expr),
-      whenNotMatchedInsert = whenNotMatchedInsert.map(expr))))
+      whenNotMatchedInsert = whenNotMatchedInsert.map(expr),
+      updateSet = updateSet.map { case (c, e) => (c, expr(e)) },
+      insertValues = insertValues.map { case (c, e) => (c, expr(e)) })))
   }
 }
 
@@ -490,6 +615,10 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.setStatsColumns(session, path, args)
       case "cluster_by" =>
         ManifestTable.setClusterColumns(session, path, args)
+      case "set_not_null" =>
+        ManifestTable.setNotNull(session, path, args(0))
+      case "drop_not_null" =>
+        ManifestTable.dropNotNull(session, path, args(0))
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
     Seq(Row(v))
@@ -510,7 +639,8 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
   */
 case class GraftInsertCommand(path: String, query: String,
                               overwrite: Boolean,
-                              mustBeNew: Boolean = false)
+                              mustBeNew: Boolean = false,
+                              replaceCond: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -520,8 +650,12 @@ case class GraftInsertCommand(path: String, query: String,
         s"CREATE TABLE AS: $path already has committed versions " +
           "(use INSERT OVERWRITE)")
     val df = session.sql(query)
-    val v = if (overwrite) ManifestTable.write(df, path)
-      else ManifestTable.append(df, path)
+    val v = replaceCond match {
+      case Some(cond) => ManifestTable.overwriteWhere(df, path, expr(cond))
+      case None =>
+        if (overwrite) ManifestTable.write(df, path)
+        else ManifestTable.append(df, path)
+    }
     Seq(Row(v))
   }
 }

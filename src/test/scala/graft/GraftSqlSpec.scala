@@ -144,6 +144,88 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE SQL expression clauses: SET c = expr keeps target values, INSERT (cols) VALUES fills NULLs (r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql8").toString
+    val path = s"$root/t"
+    ManifestTable.write(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("id", "v", "tagc"), path)
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 5L), (4L, 40L)))
+        .toDF("id", "delta").createOrReplaceTempView("deltas_src")
+      // SET v = target.v + delta: unassigned `tagc` keeps the TARGET
+      // value; INSERT list omits tagc -> NULL
+      s.sql(
+        s"""MERGE INTO '$path' AS t USING deltas_src AS u ON t.id = u.id
+            WHEN MATCHED THEN UPDATE SET v = t.v + u.delta
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.delta)""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v", "tagc").as[(Long, Long, Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 15L, Some("a")), (2L, 20L, Some("b")),
+        (3L, 30L, Some("c")), (4L, 40L, None)))
+    }
+  }
+
+  test("MERGE SQL clause order is first-clause-wins; duplicates and unreachable clauses rejected (r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql9").toString
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 100L), (2L, 1L)))
+        .toDF("id", "v").createOrReplaceTempView("ord_src")
+      // UPDATE textually first: a row matching BOTH conditions updates
+      // (delta-spark first-clause-wins), never deletes
+      val p1 = s"$root/t1"
+      ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), p1)
+      s.sql(
+        s"""MERGE INTO '$p1' USING ord_src ON id
+            WHEN MATCHED AND v > 50 THEN UPDATE SET *
+            WHEN MATCHED THEN DELETE""")
+      assert(ManifestTable.read(s, p1).select("id", "v")
+        .as[(Long, Long)].collect().toSeq.sorted === Seq((1L, 100L)),
+        "id=1 matches the earlier UPDATE clause and must not delete")
+      // DELETE first: the same rows delete
+      val p2 = s"$root/t2"
+      ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), p2)
+      s.sql(
+        s"""MERGE INTO '$p2' USING ord_src ON id
+            WHEN MATCHED AND v > 50 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *""")
+      assert(ManifestTable.read(s, p2).select("id", "v")
+        .as[(Long, Long)].collect().toSeq.sorted === Seq((2L, 1L)),
+        "id=1 matches the earlier DELETE clause; id=2 updates")
+      // duplicate clause kinds are rejected, not silently dropped
+      intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO '$p2' USING ord_src ON id
+              WHEN MATCHED AND v > 5 THEN UPDATE SET *
+              WHEN MATCHED THEN UPDATE SET v = 0""")
+      }
+      // an unconditional matched clause must be last (Delta's rule)
+      intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO '$p2' USING ord_src ON id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN MATCHED THEN DELETE""")
+      }
+      // a string literal containing `target.` is data, not a reference
+      val p3 = s"$root/t3"
+      ManifestTable.write(Seq((1L, "x"), (2L, "target.v"))
+        .toDF("id", "note"), p3)
+      s.createDataFrame(Seq((1L, "n1"), (2L, "n2"))).toDF("id", "note")
+        .createOrReplaceTempView("note_src")
+      s.sql(
+        s"""MERGE INTO '$p3' USING note_src ON id
+            WHEN MATCHED AND target.note = 'target.v' THEN UPDATE SET *""")
+      assert(ManifestTable.read(s, p3).select("id", "note")
+        .as[(Long, String)].collect().toSeq.sorted ===
+        Seq((1L, "x"), (2L, "n2")),
+        "only the row whose note LITERALLY equals 'target.v' updates")
+      // graft.'path' inside an ordinary string literal passes through
+      assert(s.sql(s"SELECT 'graft.''$p3''' AS lit_text").head().getString(0)
+        === s"graft.'$p3'")
+    }
+  }
+
   test("ALTER TABLE / SHALLOW CLONE / ANALYZE / graft_table_changes: the full console surface from SQL text") {
     val root = java.nio.file.Files.createTempDirectory("graft_sql5").toString
     val path = s"$root/t"

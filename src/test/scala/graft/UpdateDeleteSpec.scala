@@ -250,6 +250,108 @@ class UpdateDeleteSpec extends SparkSpec {
       .collect().toMap === idsBefore)
   }
 
+  test("MoR sparse-contract guard: a bulk predicate falls back to the CoW rewrite (r12)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd12a").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 400).toDF("id").withColumn("v", col("id"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      path, statsCols = Seq("id"))
+    // 200 matching rows against a limit of 10: the MoR verb must take
+    // the CoW path — no deletion vectors, matching files rewritten
+    val v = ManifestTable.updateWhereDV(spark, path,
+      Seq("v" -> lit(-1L)), col("id") % 2 === 0, key = "id",
+      sparseRowLimit = 10L)
+    assert(v === 2L)
+    val st = ManifestTable.resolveState(spark, path, v)
+    assert(st.dvFiles.isEmpty, "bulk update must not commit a sidecar")
+    val ops = ManifestTable.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(ops(2L) === "UPDATE", s"CoW fallback must classify as UPDATE: $ops")
+    val got = ManifestTable.read(spark, path).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 400L).forall(i => got(i) === (if (i % 2 == 0) -1L else i)))
+    // same for DELETE: bulk predicate → CoW delete, no vectors
+    val v2 = ManifestTable.deleteWhereDV(spark, path,
+      col("id") < 200, key = "id", sparseRowLimit = 10L)
+    assert(v2 === 3L)
+    val st2 = ManifestTable.resolveState(spark, path, v2)
+    assert(st2.dvFiles.isEmpty, "bulk delete must not commit a sidecar")
+    assert(ManifestTable.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect()
+      .toMap.apply(3L) === "DELETE")
+    assert(ManifestTable.read(spark, path).count() === 200)
+    // under the limit the MoR shape still engages
+    val v3 = ManifestTable.deleteWhereDV(spark, path,
+      col("id") === 250, key = "id", sparseRowLimit = 10L)
+    assert(ManifestTable.resolveState(spark, path, v3).dvFiles.nonEmpty,
+      "a genuinely sparse delete keeps the sidecar path")
+  }
+
+  test("updateWhereDV on a PARTITIONED table: images land in partition homes, no data file rewritten (r12)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd12b").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") % 3).cast("int"))
+      .withColumn("v", col("id"))
+    ManifestTable.write(df.repartition(2), path,
+      partitionCols = Seq("part"), statsCols = Seq("id"))
+    val files1 = ManifestTable.manifestFiles(spark, path, 1)
+    val sig = fileSig(path, files1)
+    val v = ManifestTable.updateWhereDV(spark, path,
+      Seq("v" -> (col("v") + lit(10000L))),
+      col("id") % 100 === 7, key = "id")
+    assert(v === 2L)
+    val files2 = ManifestTable.manifestFiles(spark, path, v)
+    files1.foreach { rel =>
+      assert(files2.contains(rel), s"$rel must stay live")
+      val f = new java.io.File(s"$path/$rel")
+      assert((f.length, f.lastModified) === sig(rel), s"$rel was rewritten")
+    }
+    val images = files2.filterNot(files1.contains)
+    assert(images.nonEmpty && images.forall(_.contains("part=")),
+      s"appended images must live inside partition dirs: $images")
+    val got = ManifestTable.read(spark, path).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 300)
+    Seq(7L, 107L, 207L).foreach(i => assert(got(i) === i + 10000L))
+    assert(got(8L) === 8L)
+    // partition-value pruning still works across the mixed generations
+    val hit = ManifestTable.read(spark, path).filter(col("part") === 1)
+    assert(hit.count() === 100)
+    // CDC classifies delete(old)+insert(new) pairs
+    val ch = ManifestTable.changesForVersion(spark, path, v)
+      .select("id", "_change").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(ch("delete") === Set(7L, 107L, 207L) &&
+      ch("insert") === Set(7L, 107L, 207L))
+  }
+
+  test("updateWhere WHERE and SET RHS may reference generated columns (r12)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_upd12c").toString + "/t"
+    ManifestTable.write(
+      spark.range(0, 100).toDF("id").withColumn("v", col("id"))
+        .withColumn("double_v", col("v") * 2), path)
+    ManifestTable.addGeneratedColumn(spark, path, "double_v", "v * 2")
+    // predicate over the GENERATED column (Delta permits this); the
+    // RHS reads it too — both must survive the generated-column strip
+    val v = ManifestTable.updateWhere(spark, path,
+      Seq("v" -> (col("double_v") + lit(1L))), col("double_v") >= 180)
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "double_v").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    got.foreach { case (i, vv, dv) =>
+      if (i >= 90) { assert(vv === i * 2 + 1); assert(dv === vv * 2) }
+      else { assert(vv === i); assert(dv === i * 2) }
+    }
+    assert(v === 3L)
+    // the MoR twin honors the same contract
+    val v2 = ManifestTable.updateWhereDV(spark, path,
+      Seq("v" -> (col("double_v") + lit(5L))), col("double_v") === 0,
+      key = "id")
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") === 0).select("v").as[Long].head() === 5L)
+    assert(v2 === 4L)
+  }
+
   test("updateWhere on a PARTITIONED table: untouched partitions carry; SET on the partition column moves rows across dirs") {
     val path = java.nio.file.Files.createTempDirectory("graft_upd7").toString + "/t"
     val df = spark.range(0, 300).toDF("id")
