@@ -134,6 +134,8 @@ object SparkEntry {
     "update_where_dv"    -> ((s, d) => graft.pipeline.Medallion.updateWhereDvOrders(s, d)),
     "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
     "cluster_incremental" -> ((s, d) => graft.pipeline.Medallion.clusterIncrementalOrders(s, d)),
+    "replace_where"      -> ((s, d) => graft.pipeline.Medallion.replaceWhereOrders(s, d)),
+    "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -152,6 +154,7 @@ object SparkEntry {
     "stream_feed_bounded" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedBounded(s, d)),
     "stream_feed_images" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedImages(s, d)),
     "feed_gold_images"   -> ((s, d) => graft.streaming.TableFeedSource.feedGoldImagesQuery(s, d)),
+    "stream_sink_ingest" -> ((s, d) => graft.streaming.EventsStream.streamSinkIngest(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
     "stream_heavy_users" -> ((s, d) => graft.streaming.EventsStream.heavyUsersStream(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -216,6 +219,15 @@ object SparkEntry {
       """SELECT * FROM read_parquet('/root/repo/expected/sf0.01/similarity_ivf_rq.parquet')
          ORDER BY probe_id, rank""",
     "bronze_ingest" ->
+      """SELECT event_id, user_id, event_type, value,
+         CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+         CAST(dayofmonth(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour
+         FROM events ORDER BY event_id""",
+    // The named-format streaming sink (EventsStream.streamSinkIngest,
+    // writeStream.format over GraftSinkProvider) must land EXACTLY the
+    // batch bronze derivation — no lost, duplicated, or reordered rows
+    // across its tagged micro-batch commits.
+    "stream_sink_ingest" ->
       """SELECT event_id, user_id, event_type, value,
          CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
          CAST(dayofmonth(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour
@@ -1565,6 +1577,46 @@ object SparkEntry {
          SELECT * FROM (
            SELECT * FROM base
            UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the selective overwrite
+    // (Medallion.replaceWhereOrders — Delta's replaceWhere): the final
+    // table must equal old∖cond ∪ new exactly; the byte-identical
+    // carry of non-matching files is spec-asserted (ReplaceWhereSpec).
+    "replace_where" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderstatus <> 'P'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2.0 AS o_totalprice, o_orderdate,
+                  '3-REPLACED' AS o_orderpriority
+           FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the catalog-name lifecycle
+    // (Medallion.catalogTableVerbs): CTAS + UPDATE + expression-clause
+    // MERGE + INSERT INTO, every verb and the final SELECT addressing
+    // the table BY NAME (graft.g12.orders_cat) — a hash match proves
+    // name resolution reaches the same table the algebra describes.
+    "catalog_table_verbs" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 79 = 0
+                       THEN o_totalprice + 111.0 ELSE o_totalprice
+                  END AS o_totalprice,
+                  o_orderdate,
+                  CASE WHEN o_orderkey % 83 = 0
+                       THEN '8-CATUPD' ELSE o_orderpriority
+                  END AS o_orderpriority
+           FROM orders),
+         ins AS (
+           SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '7-CATINS' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT * FROM (
+           SELECT * FROM base
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
     // Relational recompute of the incremental-clustering lifecycle

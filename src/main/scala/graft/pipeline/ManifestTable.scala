@@ -2947,14 +2947,27 @@ object ManifestTable {
         insertValues.foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
             s"MERGE INSERT targets unknown column '$c'") }
+        // Defaults honor which clauses EXIST, so an expression-clause
+        // merge may use a NARROW source (just the key + referenced
+        // columns): a `SET *` update image needs the full source row,
+        // but with no update clause the matched image is the base row
+        // (`_b_`), and with no insert clause unmatched rows are all
+        // filtered — their image is never read, so it must merely
+        // typecheck.
+        val hasUpd = whenMatchedUpdate.isDefined || !anyClause
+        val hasIns = whenNotMatchedInsert.isDefined || !anyClause
         def imageCol(c: String): Column = {
           val dt = schema(c).dataType
           val updV =
-            if (updateSet.isEmpty) col(c)
-            else updMap.get(c).map(_.cast(dt)).getOrElse(col(s"_b_$c"))
+            if (updateSet.nonEmpty)
+              updMap.get(c).map(_.cast(dt)).getOrElse(col(s"_b_$c"))
+            else if (hasUpd) col(c)
+            else col(s"_b_$c")
           val insV =
-            if (insertValues.isEmpty) col(c)
-            else insMap.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+            if (insertValues.nonEmpty)
+              insMap.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt))
+            else if (hasIns) col(c)
+            else lit(null).cast(dt)
           when(matched, updV).otherwise(insV).as(c)
         }
         val imageCols =

@@ -1116,6 +1116,65 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared SELECTIVE-OVERWRITE query
+    * ([[ManifestTable.overwriteWhere]] — Delta's `replaceWhere`, the
+    * idiomatic backfill-one-slice write): atomically replace the
+    * `o_orderstatus = 'P'` slice with a corrected batch (doubled
+    * price, marker priority, and a DIFFERENT row count — only even
+    * keys survive the backfill). Files without P rows carry
+    * byte-identical (spec-asserted in ReplaceWhereSpec); the oracle
+    * recomputes old∖cond ∪ new relationally.
+    */
+  def replaceWhereOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_replace_", sfDir) + "/orders_rw"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val batch = orders
+      .filter(col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      .withColumn("o_orderpriority", lit("3-REPLACED"))
+    ManifestTable.overwriteWhere(batch, path, col("o_orderstatus") === "P")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared CATALOG-NAME query: the full table lifecycle driven BY
+    * NAME (`graft.g12.orders_cat`), never by path — the surface the
+    * reference's platform exposes through its Delta catalog
+    * (`/root/reference/src/etl_pipeline.py:36-37`). CTAS creates the
+    * managed table at the warehouse-convention location; UPDATE,
+    * MERGE (with a round-12 `SET c = expr` clause), and INSERT INTO
+    * all address the name; the declared result is a SELECT FROM the
+    * name, resolved by the injected analyzer rule into the same
+    * manifest-governed scan as the path API. The oracle recomputes
+    * the lifecycle relationally.
+    */
+  def catalogTableVerbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = scratch("graft_catalog_", sfDir)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      s.conf.set("spark.graft.warehouse", wh)
+      Tables.orders(s, sfDir).createOrReplaceTempView("orders_cat_src")
+      s.sql("CREATE TABLE graft.g12.orders_cat AS " +
+        "SELECT * FROM orders_cat_src")
+      s.sql("UPDATE graft.g12.orders_cat SET o_orderpriority = '8-CATUPD' " +
+        "WHERE o_orderkey % 83 = 0")
+      s.sql(
+        """MERGE INTO graft.g12.orders_cat AS t
+           USING (SELECT o_orderkey FROM orders_cat_src
+                  WHERE o_orderkey % 79 = 0) AS u
+           ON t.o_orderkey = u.o_orderkey
+           WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 111.0""")
+      s.sql("INSERT INTO graft.g12.orders_cat " +
+        "SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey, " +
+        "'N' AS o_orderstatus, o_totalprice, o_orderdate, " +
+        "'7-CATINS' AS o_orderpriority " +
+        "FROM orders_cat_src WHERE o_orderkey % 89 = 0")
+      s.sql("SELECT * FROM graft.g12.orders_cat ORDER BY o_orderkey")
+    }
+  }
+
   /** Declared INCREMENTAL-CLUSTERING query
     * ([[ManifestTable.setClusterColumns]] / [[ManifestTable.optimizeClustered]]
     * — the Delta 3.x liquid-clustering shape): declare cluster columns,

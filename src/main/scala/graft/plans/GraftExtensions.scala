@@ -107,12 +107,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     // --- table surface: SQL verbs + path-table reads (round 11) ---
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // --- catalog-name resolution (round 12): spark.table("graft.db.t")
+    // and `FROM graft.db.t` resolve to the SAME manifest-governed scan
+    // as the path API — see GraftNameResolution / GraftCatalog. The
+    // catalog PLUGIN reserves the `graft` prefix (without it, Spark
+    // misparses the identifier as a session-catalog namespace and
+    // errors before any rule runs); auto-wired here so
+    // `.withExtensions` alone is a complete setup ---
+    ext.injectResolutionRule { session =>
+      if (!session.conf.getOption("spark.sql.catalog.graft")
+          .contains(classOf[graft.catalog.GraftCatalogPlugin].getName) &&
+          session.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        session.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalogPlugin].getName)
+      GraftNameResolution(session)
+    }
     ext.injectTableFunction((
       FunctionIdentifier("graft_table"),
       new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table"),
       (exprs: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = strLit(exprs.head, "graft_table path")
+        val path = graft.catalog.GraftCatalog.resolvePathSpec(spark,
+          strLit(exprs.head, "graft_table path"))
         val df =
           if (exprs.length >= 2)
             graft.pipeline.ManifestTable.readVersion(spark, path,
@@ -130,7 +146,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table_changes"),
       (exprs: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = strLit(exprs.head, "graft_table_changes path")
+        val path = graft.catalog.GraftCatalog.resolvePathSpec(spark,
+          strLit(exprs.head, "graft_table_changes path"))
         val from = longLit(exprs(1), "graft_table_changes fromVersion")
         val to =
           if (exprs.length >= 3) longLit(exprs(2), "graft_table_changes toVersion")
@@ -152,7 +169,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table_at"),
       (exprs: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = strLit(exprs.head, "graft_table_at path")
+        val path = graft.catalog.GraftCatalog.resolvePathSpec(spark,
+          strLit(exprs.head, "graft_table_at path"))
         val ms = exprs(1) match {
           case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
           case Literal(v: Int, IntegerType) => v.toLong

@@ -31,24 +31,45 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   OPTIMIZE '<path>' [INTO n FILES] WHERE <partition cond>
   *   RESTORE [TABLE] '<path>' TO VERSION AS OF n
   *   RESTORE [TABLE] '<path>' TO TIMESTAMP AS OF '<ts>'
-  *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
+  *   VACUUM '<path>' [RETAIN n VERSIONS|HOURS] [DRY RUN]
   *   DELETE FROM '<path>' WHERE <cond>
   *   UPDATE '<path>' SET c = e [, ...] WHERE <cond>
   *   MERGE INTO '<path>' USING <table|(subquery)> [AS] [alias] ON <key>
-  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET *|SET c = e [, ...]]
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
-  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *|(cols) VALUES (es)]
   *   ALTER TABLE '<path>' RENAME COLUMN a TO b
   *   ALTER TABLE '<path>' DROP COLUMN a
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<expr>)
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
+  *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
   *   ALTER TABLE '<path>' CLUSTER BY (a, b)
   *   INSERT INTO '<path>' SELECT ...        -- transactional append
   *   INSERT OVERWRITE '<path>' SELECT ...   -- snapshot replace
+  *   INSERT OVERWRITE '<path>' WHERE <cond> SELECT ...  -- replaceWhere
   *   CREATE TABLE '<path>' AS SELECT ...    -- CTAS (must not exist)
+  *
+  * CATALOG NAMES (round 12): every verb target also accepts the
+  * name spelling `graft.db.t` / `graft.t` (normalized by
+  * [[GraftSqlStatements.rewriteNames]] to a `graft:db.t` spec and
+  * resolved through [[graft.catalog.GraftCatalog]] at run time), plus
+  * the catalog-admin verbs:
+  *
+  *   CREATE TABLE graft.db.t LOCATION '<path>'  -- adopt external
+  *   DROP TABLE graft.db.t [PURGE]
+  *   SHOW TABLES IN graft[.db]
+  *
+  * Name READS (`SELECT ... FROM graft.db.t`, `spark.table`) resolve
+  * through the injected analyzer rule [[GraftNameResolution]], not
+  * this parser.
+  *
+  * MERGE clause order follows SQL/Delta FIRST-CLAUSE-WINS: a row
+  * claimed by an earlier matched clause never reaches a later one;
+  * duplicate clauses of one kind are rejected; an unconditional
+  * matched clause must be last.
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -73,7 +94,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlStatements.parse(sqlText)
+    GraftSqlStatements.parse(GraftSqlStatements.rewriteNames(sqlText))
       .getOrElse(delegate.parsePlan(GraftSqlStatements.rewriteReads(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -150,6 +171,12 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*;?\\s*$$".r
   private val setStatsRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+STATS\\s+COLUMNS\\s+([\\w\\s,]*?)\\s*;?\\s*$$".r
+  private val createLocationRe =
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+LOCATION\\s+$P\\s*;?\\s*$$".r
+  private val dropTableRe =
+    s"(?is)^\\s*DROP\\s+TABLE\\s+$P(\\s+PURGE)?\\s*;?\\s*$$".r
+  private val showTablesRe =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft(?:\\.(\\w+))?\\s*;?\\s*$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -191,6 +218,12 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
     case cloneRe(dst, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
+    case createLocationRe(name, location) =>
+      Some(GraftRegisterTableCommand(name, location))
+    case dropTableRe(name, purge) =>
+      Some(GraftDropTableCommand(name, purge != null))
+    case showTablesRe(db) =>
+      Some(GraftShowTablesCommand(Option(db).getOrElse("default")))
     case insertOverwriteWhereRe(path, cond, query) =>
       Some(GraftInsertCommand(path, query.trim, overwrite = true,
         replaceCond = Some(cond.trim)))
@@ -210,6 +243,37 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "cluster_by",
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case _ => None
+  }
+
+  /** Normalize CATALOG-NAME spellings (`graft.db.t` / `graft.t` —
+    * bare identifiers, not the quoted-path sugar) in verb TARGET
+    * position into `'graft:db.t'` path-spec targets the verb regexes
+    * capture like any path;
+    * [[graft.catalog.GraftCatalog.resolvePathSpec]] maps them to
+    * storage paths at command run time. POSITIONAL on purpose: only a
+    * name directly following a verb keyword rewrites, so names in a
+    * verb's inner QUERY (`INSERT INTO graft.dst SELECT ... FROM
+    * graft.src`) stay bare for the injected analyzer rule to resolve
+    * — one resolution path for reads everywhere. Never inside string
+    * literals; never when another dot follows (a qualified column
+    * reference — alias the table instead).
+    */
+  private val targetKeywords = Seq(
+    "MERGE\\s+INTO", "INSERT\\s+INTO", "INSERT\\s+OVERWRITE", "UPDATE",
+    "DELETE\\s+FROM", "OPTIMIZE", "RESTORE(?:\\s+TABLE)?", "VACUUM",
+    "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
+    "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
+    "SHALLOW\\s+CLONE")
+
+  def rewriteNames(sqlText: String): String = {
+    if (!sqlText.toLowerCase.contains("graft.")) return sqlText
+    mapOutsideQuotes(sqlText) { seg =>
+      targetKeywords.foldLeft(seg) { (t, kw) =>
+        t.replaceAll(
+          s"(?i)\\b($kw)\\s+graft\\.(\\w+(?:\\.\\w+)?)(?![\\w.])",
+          "$1 'graft:$2'")
+      }
+    }
   }
 
   /** Rewrite the read sugar `graft.'<path>' [VERSION AS OF n |
@@ -444,7 +508,8 @@ case class GraftDescribeHistoryCommand(path: String)
     ManifestTable.historySchema.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(session: SparkSession): Seq[Row] =
-    ManifestTable.history(session, path).collect().toSeq
+    ManifestTable.history(session,
+      GraftSqlCommands.rp(session, path)).collect().toSeq
 }
 
 case class GraftRestoreCommand(path: String, version: Option[Long],
@@ -453,13 +518,14 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
     val target = version.getOrElse {
       val ms = GraftSqlCommands.parseTimestampMillis(timestamp.get)
-      ManifestTable.versionAsOfTimestamp(session, path, ms).getOrElse(
+      ManifestTable.versionAsOfTimestamp(session, tp, ms).getOrElse(
         throw new IllegalArgumentException(
-          s"no committed version at or before '${timestamp.get}' at $path"))
+          s"no committed version at or before '${timestamp.get}' at $tp"))
     }
-    Seq(Row(ManifestTable.restore(session, path, target)))
+    Seq(Row(ManifestTable.restore(session, tp, target)))
   }
 }
 
@@ -469,12 +535,15 @@ case class GraftVacuumCommand(path: String, keep: Int,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("swept_version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] = ((hours, dryRun) match {
-    case (true, true)   => ManifestTable.vacuumHoursDryRun(session, path, keep)._1
-    case (true, false)  => ManifestTable.vacuumHours(session, path, keep)
-    case (false, true)  => ManifestTable.vacuumDryRun(session, path, keep)._1
-    case (false, false) => ManifestTable.vacuum(session, path, keep = keep)
-  }).map(Row(_))
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    ((hours, dryRun) match {
+      case (true, true)   => ManifestTable.vacuumHoursDryRun(session, tp, keep)._1
+      case (true, false)  => ManifestTable.vacuumHours(session, tp, keep)
+      case (false, true)  => ManifestTable.vacuumDryRun(session, tp, keep)._1
+      case (false, false) => ManifestTable.vacuum(session, tp, keep = keep)
+    }).map(Row(_))
+  }
 }
 
 /** SHOW PARTITIONS '<path>' — distinct partition-value tuples of the
@@ -487,7 +556,8 @@ case class GraftShowPartitionsCommand(path: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("partition", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    ManifestTable.showPartitions(session, path).map(Row(_))
+    ManifestTable.showPartitions(session,
+      GraftSqlCommands.rp(session, path)).map(Row(_))
 }
 
 /** DESCRIBE DETAIL '<path>' — the one-row table summary. */
@@ -497,7 +567,8 @@ case class GraftDescribeDetailCommand(path: String)
     ManifestTable.describeDetailSchema.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(session: SparkSession): Seq[Row] =
-    ManifestTable.describeDetail(session, path).collect().toSeq
+    ManifestTable.describeDetail(session,
+      GraftSqlCommands.rp(session, path)).collect().toSeq
 }
 
 case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
@@ -507,42 +578,43 @@ case class GraftOptimizeCommand(path: String, targetFiles: Option[Int],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
     val v = (zorderCols, where) match {
       case (Nil, Some(cond)) =>
         // partition-scoped bin-pack: only matching partitions rewrite
-        ManifestTable.compactWhere(session, path, expr(cond),
+        ManifestTable.compactWhere(session, tp, expr(cond),
           targetFiles.getOrElse(1))
       case (_, Some(_)) => throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE composes with bin-packing only (no ZORDER)")
       case (zc, None) => zc match {
       case Nil =>
-        val clustered = ManifestTable.currentVersion(session, path)
+        val clustered = ManifestTable.currentVersion(session, tp)
           .exists(cv => ManifestTable
-            .resolveState(session, path, cv).clusterCols.nonEmpty)
+            .resolveState(session, tp, cv).clusterCols.nonEmpty)
         if (clustered)
           // Delta semantics: OPTIMIZE on a clustered table runs the
           // INCREMENTAL recluster, not a bin-pack
-          ManifestTable.optimizeClustered(session, path,
+          ManifestTable.optimizeClustered(session, tp,
             targetFiles.getOrElse(0))
         else targetFiles match {
-          case Some(n) => ManifestTable.compact(session, path, targetFiles = n)
+          case Some(n) => ManifestTable.compact(session, tp, targetFiles = n)
           case None => // Delta's default OPTIMIZE shape: bin-pack to ~128 MiB
-            ManifestTable.compactToFileSize(session, path, 128L << 20)
+            ManifestTable.compactToFileSize(session, tp, 128L << 20)
         }
       case Seq(c1, c2) =>
-        ManifestTable.optimizeZOrder(session, path, c1, c2,
-          targetFiles.getOrElse(currentFileCount(session)))
+        ManifestTable.optimizeZOrder(session, tp, c1, c2,
+          targetFiles.getOrElse(currentFileCount(session, tp)))
       case cols =>
-        ManifestTable.optimizeZOrderN(session, path, cols,
-          targetFiles.getOrElse(currentFileCount(session)))
+        ManifestTable.optimizeZOrderN(session, tp, cols,
+          targetFiles.getOrElse(currentFileCount(session, tp)))
       }
     }
     Seq(Row(v))
   }
-  private def currentFileCount(session: SparkSession): Int = {
-    val cur = ManifestTable.currentVersion(session, path).getOrElse(
-      throw new IllegalStateException(s"no committed version at $path"))
-    math.max(1, ManifestTable.manifestFiles(session, path, cur).size)
+  private def currentFileCount(session: SparkSession, tp: String): Int = {
+    val cur = ManifestTable.currentVersion(session, tp).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tp"))
+    math.max(1, ManifestTable.manifestFiles(session, tp, cur).size)
   }
 }
 
@@ -551,7 +623,8 @@ case class GraftDeleteCommand(path: String, cond: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.deleteWhere(session, path, expr(cond))))
+    Seq(Row(ManifestTable.deleteWhere(session,
+      GraftSqlCommands.rp(session, path), expr(cond))))
 }
 
 case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
@@ -560,7 +633,8 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.updateWhere(session, path,
+    Seq(Row(ManifestTable.updateWhere(session,
+      GraftSqlCommands.rp(session, path),
       set.map { case (c, e) => (c, expr(e)) }, expr(cond))))
 }
 
@@ -583,7 +657,8 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       case Left(subquery) => session.sql(subquery)
       case Right(table)   => session.table(table)
     }
-    Seq(Row(ManifestTable.mergeConditional(src, path, key,
+    Seq(Row(ManifestTable.mergeConditional(src,
+      GraftSqlCommands.rp(session, path), key,
       whenMatchedUpdate = whenMatchedUpdate.map(expr),
       whenMatchedDelete = whenMatchedDelete.map(expr),
       whenNotMatchedInsert = whenNotMatchedInsert.map(expr),
@@ -600,6 +675,7 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlCommands.rp(session, this.path)
     val v = verb match {
       case "rename" =>
         ManifestTable.renameColumn(session, path, args(0), args(1))
@@ -645,16 +721,17 @@ case class GraftInsertCommand(path: String, query: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
     if (mustBeNew)
-      require(ManifestTable.versions(session, path).isEmpty,
-        s"CREATE TABLE AS: $path already has committed versions " +
+      require(ManifestTable.versions(session, tp).isEmpty,
+        s"CREATE TABLE AS: $tp already has committed versions " +
           "(use INSERT OVERWRITE)")
     val df = session.sql(query)
     val v = replaceCond match {
-      case Some(cond) => ManifestTable.overwriteWhere(df, path, expr(cond))
+      case Some(cond) => ManifestTable.overwriteWhere(df, tp, expr(cond))
       case None =>
-        if (overwrite) ManifestTable.write(df, path)
-        else ManifestTable.append(df, path)
+        if (overwrite) ManifestTable.write(df, tp)
+        else ManifestTable.append(df, tp)
     }
     Seq(Row(v))
   }
@@ -667,10 +744,62 @@ case class GraftCloneCommand(dst: String, src: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.cloneShallow(session, src, dst, version)))
+    Seq(Row(ManifestTable.cloneShallow(session,
+      GraftSqlCommands.rp(session, src),
+      GraftSqlCommands.rp(session, dst), version)))
+}
+
+/** CREATE TABLE graft.db.t LOCATION '<path>' — adopt an existing
+  * path table under a catalog name (external registration; one tiny
+  * registry write, zero data I/O). */
+case class GraftRegisterTableCommand(nameSpec: String, location: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("registered", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = GraftSqlCommands.nameOf(nameSpec)
+    graft.catalog.GraftCatalog.registerExternal(session, name, location)
+    Seq(Row(name))
+  }
+}
+
+/** DROP TABLE graft.db.t [PURGE]. */
+case class GraftDropTableCommand(nameSpec: String, purge: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = GraftSqlCommands.nameOf(nameSpec)
+    graft.catalog.GraftCatalog.dropTable(session, name, purge)
+    Seq(Row(name))
+  }
+}
+
+/** SHOW TABLES IN graft[.db] — (table, location) rows, name-sorted. */
+case class GraftShowTablesCommand(db: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.catalog.GraftCatalog.listTables(session, db)
+      .map { case (t, p) => Row(t, p) }
 }
 
 object GraftSqlCommands {
+  /** Resolve a verb target: a literal path passes through, a
+    * `graft:db.t` name spec maps through the catalog. */
+  def rp(session: SparkSession, spec: String): String =
+    graft.catalog.GraftCatalog.resolvePathSpec(session, spec)
+
+  /** A `graft:db.t` spec → the `db.t` name; refuses plain paths where
+    * a catalog NAME is required (DROP TABLE / CREATE ... LOCATION). */
+  def nameOf(spec: String): String = {
+    require(spec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix),
+      s"this verb needs a catalog name (graft.db.t), got '$spec'")
+    spec.stripPrefix(graft.catalog.GraftCatalog.PathSpecPrefix)
+  }
+
   /** `'yyyy-MM-dd HH:mm:ss[.fff]'` (or with a 'T') or epoch millis. */
   def parseTimestampMillis(ts: String): Long = {
     val t = ts.trim.replace("T", " ")

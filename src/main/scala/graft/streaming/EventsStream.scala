@@ -191,6 +191,41 @@ object EventsStream {
     (committed.get(), skipped.get())
   }
 
+  /** Declared NAMED-FORMAT sink query (round 12): the
+    * [[streamToManifestBronze]] exactly-once ingest, driven through
+    * `writeStream.format(GraftSinkProvider)` instead of a hand-rolled
+    * foreachBatch — users get the transactional tagged-append contract
+    * from the format string alone. The oracle is the BATCH bronze
+    * derivation over the same events fixture: a hash match proves the
+    * named sink lost, duplicated, and reordered nothing across its
+    * micro-batch commits.
+    */
+  def streamSinkIngest(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sink_fmt")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val tablePath = streamDir.resolve("bronze_sink").toString
+    val raw = graft.Tables.rawEventsSchema(spark, s"$sfDir/events.parquet")
+    val src = spark.readStream.schema(raw).parquet(streamDir.toString)
+      .withColumn("ts", graft.Tables.tsToNtz(raw("ts").dataType))
+    val q = graft.ops.Relational.bronzeDerive(src)
+      .writeStream
+      .format(classOf[GraftSinkProvider].getName)
+      .option("path", tablePath)
+      .option("tagPrefix", "bronze-sink")
+      .option("checkpointLocation",
+        streamDir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.pipeline.ManifestTable.read(spark, tablePath)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("year"), col("month"), col("day"), col("hour"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming INCREMENTAL gold maintenance, exactly-once: each
     * micro-batch of order facts folds into the daily-revenue gold table
     * through [[graft.pipeline.Incremental]]'s exact mergeable state

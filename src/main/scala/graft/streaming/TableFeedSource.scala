@@ -286,7 +286,8 @@ object TableFeedSource {
     feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
       "feed-gold-daily",
       Incremental.dailyState, Incremental.negateDailyState,
-      Incremental.mergeDailyState, col("cnt_rows") > 0)
+      Incremental.mergeDailyState, col("cnt_rows") > 0,
+      Seq("o_custkey", "day"))
   }
 
   /** The quantile twin: the SAME retraction-aware feed loop maintains
@@ -301,7 +302,7 @@ object TableFeedSource {
     feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
       "feed-gold-quantile",
       Incremental.histogramState(_), Incremental.negateHistogramState,
-      Incremental.mergeHistogramState, col("n") > 0)
+      Incremental.mergeHistogramState, col("n") > 0, Seq("day", "bin"))
   }
 
   /** The heavy-tailed twin: feed-maintained LOG-BIN sketch state
@@ -315,7 +316,54 @@ object TableFeedSource {
     feedMergeableGold(spark, tablePath, statePath, checkpointLocation,
       "feed-gold-sketch",
       Incremental.ddSketchState(_), Incremental.negateDdSketchState,
-      Incremental.mergeDdSketchState, col("n") > 0)
+      Incremental.mergeDdSketchState, col("n") > 0, Seq("day", "bin"))
+  }
+
+  /** Commit one mergeable-state DELTA as a KEYED copy-on-write merge
+    * (round 12 — closes the per-batch full-state rewrite): the state
+    * table carries a synthesized single-column group key (`_gkey`,
+    * the group columns concatenated — [[ManifestTable.merge]] keys on
+    * one column), and each batch
+    *
+    *  1. semi-joins the CURRENT state to the delta's group keys (a
+    *     column-pruned read; only touched groups' rows materialize),
+    *  2. merges the delta into exactly those rows (tiny aggregate),
+    *  3. commits them through the keyed CoW merge: update-wins for
+    *     changed groups, insert for new ones, delete-flag for fully
+    *     retracted ones — so only state FILES holding touched groups
+    *     rewrite, untouched files carry byte-identical
+    *     (spec-asserted).
+    *
+    * At high-cardinality gold this turns O(state) write amplification
+    * per batch into O(changed groups) — the difference between a gold
+    * table that scales with history and one that rewrites itself on
+    * every upstream commit. The first batch (no committed state)
+    * writes the delta directly.
+    */
+  private def commitStateDelta(sp: org.apache.spark.sql.SparkSession,
+      statePath: String, delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      live: org.apache.spark.sql.Column,
+      keyCols: Seq[String], tag: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, concat_ws, not}
+    def withKey(df: DataFrame): DataFrame =
+      df.withColumn("_gkey",
+        concat_ws("", keyCols.map(c => col(c).cast("string")): _*))
+    ManifestTable.currentVersion(sp, statePath) match {
+      case None =>
+        ManifestTable.write(withKey(delta.filter(live)), statePath,
+          tag = Some(tag)): Unit
+      case Some(_) =>
+        val current = ManifestTable.read(sp, statePath)
+        val deltaKeys = withKey(delta).select("_gkey").distinct()
+        val touched = current
+          .join(broadcast(deltaKeys), Seq("_gkey"), "left_semi")
+          .drop("_gkey")
+        val newTotal = withKey(merge(touched, delta))
+        val upserts = newTotal.withColumn("_graft_dead", not(live))
+        ManifestTable.merge(upserts, statePath, key = "_gkey",
+          deleteCol = Some("_graft_dead"), tag = Some(tag)): Unit
+    }
   }
 
   /** Shared retraction-aware exactly-once maintenance of ANY mergeable
@@ -330,7 +378,8 @@ object TableFeedSource {
       stateOf: DataFrame => DataFrame,
       negate: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
-      live: org.apache.spark.sql.Column): (Long, Long) = {
+      live: org.apache.spark.sql.Column,
+      keyCols: Seq[String]): (Long, Long) = {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
@@ -348,23 +397,9 @@ object TableFeedSource {
             val delta = merge(
               stateOf(batch.filter(col("_change") === "insert")),
               negate(stateOf(batch.filter(col("_change") === "delete"))))
-            val state = (ManifestTable.currentVersion(sp, statePath) match {
-              case Some(_) => merge(ManifestTable.read(sp, statePath), delta)
-              case None    => delta
-            }).filter(live)
-            // same lineage-cut + block-release discipline as
-            // EventsStream.streamMergeableGold (state reads the files
-            // the overwrite replaces)
-            val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
-            val pinned = state.localCheckpoint()
-            try {
-              ManifestTable.write(pinned, statePath, tag = Some(tag))
-              merged.incrementAndGet(): Unit
-            } finally {
-              sp.sparkContext.getPersistentRDDs
-                .filterNot { case (rid, _) => prevRdds(rid) }
-                .valuesIterator.foreach(_.unpersist(blocking = false))
-            }
+            commitStateDelta(sp, statePath, delta, merge, live,
+              keyCols, tag)
+            merged.incrementAndGet(): Unit
           }
         }: Unit
       }
@@ -406,7 +441,8 @@ object TableFeedSource {
     feedMergeableGoldImages(spark, tablePath, statePath, checkpointLocation,
       "feed-gold-daily-img",
       Incremental.dailyState, Incremental.negateDailyState,
-      Incremental.mergeDailyState, col("cnt_rows") > 0)
+      Incremental.mergeDailyState, col("cnt_rows") > 0,
+      Seq("o_custkey", "day"))
   }
 
   private def feedMergeableGoldImages(
@@ -416,7 +452,8 @@ object TableFeedSource {
       stateOf: DataFrame => DataFrame,
       negate: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
-      live: org.apache.spark.sql.Column): (Long, Long, Long) = {
+      live: org.apache.spark.sql.Column,
+      keyCols: Seq[String]): (Long, Long, Long) = {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
@@ -443,20 +480,9 @@ object TableFeedSource {
                 pre.exceptAll(post))))
             if (delta.isEmpty) { unchanged.incrementAndGet(): Unit }
             else {
-              val state = (ManifestTable.currentVersion(sp, statePath) match {
-                case Some(_) => merge(ManifestTable.read(sp, statePath), delta)
-                case None    => delta
-              }).filter(live)
-              val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
-              val pinned = state.localCheckpoint()
-              try {
-                ManifestTable.write(pinned, statePath, tag = Some(tag))
-                merged.incrementAndGet(): Unit
-              } finally {
-                sp.sparkContext.getPersistentRDDs
-                  .filterNot { case (rid, _) => prevRdds(rid) }
-                  .valuesIterator.foreach(_.unpersist(blocking = false))
-              }
+              commitStateDelta(sp, statePath, delta, merge, live,
+                keyCols, tag)
+              merged.incrementAndGet(): Unit
             }
           }
         }: Unit

@@ -1,0 +1,157 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-12 catalog surface: NAME-based tables over ManifestTable —
+  * `spark.table("graft.db.t")`, `FROM graft.db.t`, and every ACID verb
+  * on catalog names, resolving to the same manifest-governed plans as
+  * the path API (the platform surface the reference wires via its
+  * Delta catalog, `/root/reference/src/etl_pipeline.py:36-37`).
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouseRoot =
+    java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+
+  /** One extended session on the shared context with the warehouse
+    * pinned (extensions bind at session creation). */
+  private lazy val sqlSession: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.graft.warehouse", warehouseRoot)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+  private def withSql[A](f: SparkSession => A): A = {
+    val base = spark
+    val s = sqlSession
+    SparkSession.setActiveSession(s)
+    try f(s)
+    finally SparkSession.setActiveSession(base)
+  }
+
+  test("name resolution: spark.table and FROM graft.db.t reach the manifest scan") {
+    withSql { s =>
+      GraftCatalog.saveAsTable(
+        s.range(0, 50).toDF("id").withColumn("v", col("id") * 2),
+        "res.t1")
+      // DataFrame API by name
+      assert(s.table("graft.res.t1").count() === 50)
+      // SQL relation by name (3-part and the 2-part default-db form)
+      assert(s.sql("SELECT count(*) AS n FROM graft.res.t1")
+        .head().getLong(0) === 50)
+      GraftCatalog.saveAsTable(s.range(0, 7).toDF("id"), "t_default")
+      assert(s.sql("SELECT * FROM graft.t_default").count() === 7)
+      assert(s.table("graft.t_default").count() === 7)
+      // joins over two name relations compose
+      GraftCatalog.saveAsTable(
+        s.range(0, 10).toDF("id").withColumn("lbl", concat(lit("x"), col("id"))),
+        "res.t2")
+      val j = s.sql(
+        """SELECT a.id, b.lbl FROM graft.res.t1 a
+           JOIN graft.res.t2 b ON a.id = b.id""")
+      assert(j.count() === 10)
+      // an unknown graft name raises the standard not-found analysis error
+      intercept[Exception] { s.sql("SELECT * FROM graft.res.nope").collect() }
+    }
+  }
+
+  test("catalog verbs by name: CTAS, INSERT, MERGE, UPDATE, OPTIMIZE, DESCRIBE HISTORY, SHOW TABLES, DROP") {
+    withSql { s =>
+      // CTAS by name — the managed location materializes by convention
+      s.sql("CREATE TABLE graft.verbs.orders AS " +
+        "SELECT id AS o_id, CAST(id * 10 AS BIGINT) AS amount " +
+        "FROM range(100)")
+      assert(new java.io.File(s"$warehouseRoot/verbs/orders").isDirectory)
+      assert(s.table("graft.verbs.orders").count() === 100)
+      // INSERT INTO by name, reading another NAME in the inner query
+      s.sql("INSERT INTO graft.verbs.orders " +
+        "SELECT o_id + 1000 AS o_id, amount FROM graft.verbs.orders " +
+        "WHERE o_id < 5")
+      assert(s.table("graft.verbs.orders").count() === 105)
+      // UPDATE by name
+      s.sql("UPDATE graft.verbs.orders SET amount = 0 WHERE o_id = 7")
+      assert(s.sql(
+        "SELECT amount FROM graft.verbs.orders WHERE o_id = 7")
+        .head().getLong(0) === 0L)
+      // MERGE INTO by name
+      s.createDataFrame(Seq((1L, 111L), (2000L, 5L)))
+        .toDF("o_id", "amount").createOrReplaceTempView("m_src")
+      s.sql(
+        """MERGE INTO graft.verbs.orders USING m_src ON o_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      val got = s.table("graft.verbs.orders")
+        .filter(col("o_id").isin(1L, 2000L))
+        .select("o_id", "amount").as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 111L, 2000L -> 5L))
+      // OPTIMIZE + DESCRIBE HISTORY by name
+      s.sql("OPTIMIZE graft.verbs.orders INTO 1 FILES")
+      val ops = s.sql("DESCRIBE HISTORY graft.verbs.orders")
+        .select("operation").as[String].collect().toSeq
+      assert(ops.contains("MERGE") && ops.contains("UPDATE"))
+      // SHOW TABLES lists it; DROP removes the managed dir
+      val listed = s.sql("SHOW TABLES IN graft.verbs")
+        .select("table").as[String].collect().toSeq
+      assert(listed === Seq("orders"))
+      s.sql("DROP TABLE graft.verbs.orders")
+      assert(!new java.io.File(s"$warehouseRoot/verbs/orders").exists)
+      assert(s.sql("SHOW TABLES IN graft.verbs").collect().isEmpty)
+    }
+  }
+
+  test("external tables: CREATE TABLE ... LOCATION adopts a path; DROP unregisters without deleting") {
+    val ext = java.nio.file.Files.createTempDirectory("graft_cat_ext")
+      .toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), ext)
+    withSql { s =>
+      s.sql(s"CREATE TABLE graft.ext.adopted LOCATION '$ext'")
+      assert(s.table("graft.ext.adopted").count() === 2)
+      assert(GraftCatalog.listTables(s, "ext") ===
+        Seq("adopted" -> ext))
+      // the name and the path address the SAME table
+      s.sql("INSERT INTO graft.ext.adopted SELECT 3 AS id, 'c' AS v")
+      assert(ManifestTable.read(s, ext).count() === 3)
+      // registering over an existing name is refused
+      intercept[IllegalArgumentException] {
+        GraftCatalog.registerExternal(s, "ext.adopted", ext)
+      }
+      // DROP unregisters but leaves external data
+      s.sql("DROP TABLE graft.ext.adopted")
+      assert(GraftCatalog.listTables(s, "ext").isEmpty)
+      assert(ManifestTable.read(s, ext).count() === 3,
+        "external data must survive a non-purge drop")
+    }
+  }
+
+  test("time travel and CDF by name through the TVFs; path verbs unchanged") {
+    withSql { s =>
+      GraftCatalog.saveAsTable(s.range(0, 10).toDF("id"), "tt.t")
+      GraftCatalog.saveAsTable(s.range(10, 15).toDF("id"), "tt.t",
+        mode = "append")
+      assert(s.sql("SELECT * FROM graft_table('graft:tt.t', 1)")
+        .count() === 10)
+      assert(s.sql("SELECT * FROM graft_table('graft:tt.t')")
+        .count() === 15)
+      val ch = s.sql(
+        "SELECT * FROM graft_table_changes('graft:tt.t', 2)")
+      assert(ch.count() === 5)
+      // plain path spelling still works end to end
+      val p = java.nio.file.Files.createTempDirectory("graft_cat_p")
+        .toString + "/t"
+      ManifestTable.write(Seq((1L, 2L)).toDF("a", "b"), p)
+      assert(s.sql(s"SELECT * FROM graft.'$p'").count() === 1)
+    }
+  }
+}

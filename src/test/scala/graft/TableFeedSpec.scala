@@ -151,6 +151,60 @@ class TableFeedSpec extends SparkSpec {
     assert(maintained() === recompute())
   }
 
+  test("state commits are keyed merges: untouched state files carry byte-identical across a narrow refresh (r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_carry").toString
+    val table = s"$base/orders"
+    val state = s"$base/gold"
+    val orders = Tables.orders(spark, sfTiny)
+    // two feeds over DISJOINT group sets → two state files (the second
+    // feed's groups are all inserts, staged as their own file while the
+    // first file carries)
+    ManifestTable.write(orders.filter(col("o_custkey") % 2 === 0), table)
+    TableFeedSource.feedGoldDaily(spark, table, state)
+    ManifestTable.append(orders.filter(col("o_custkey") % 2 =!= 0), table)
+    TableFeedSource.feedGoldDaily(spark, table, state)
+    val files1 = ManifestTable.manifestFiles(spark, state,
+      ManifestTable.currentVersion(spark, state).get)
+    assert(files1.size >= 2, s"fixture needs ≥2 state files: $files1")
+    val sig = files1.map { rel =>
+      val f = new java.io.File(s"$state/$rel")
+      rel -> ((f.length, f.lastModified))
+    }.toMap
+    // a merge touching ONE even-custkey order → one (custkey, day)
+    // group changes, living in exactly one of the state files
+    val one = orders.filter(col("o_custkey") % 2 === 0)
+      .orderBy(col("o_orderkey")).limit(1)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    ManifestTable.merge(one, table, "o_orderkey")
+    TableFeedSource.feedGoldDaily(spark, table, state)
+    val files2 = ManifestTable.manifestFiles(spark, state,
+      ManifestTable.currentVersion(spark, state).get)
+    val carried = files2.filter(files1.contains)
+    assert(carried.nonEmpty &&
+      files2.size - carried.size <= files1.size - carried.size + 1,
+      s"a one-group refresh must not rewrite the world: " +
+        s"v1=${files1.size} v2=${files2.size} carried=${carried.size}")
+    assert(files1.size - carried.size <= 1,
+      s"at most one state file may rewrite for one touched group " +
+        s"(${files1.size - carried.size} rewrote)")
+    carried.foreach { rel =>
+      val f = new java.io.File(s"$state/$rel")
+      assert((f.length, f.lastModified) === sig(rel),
+        s"untouched state file $rel was rewritten")
+    }
+    // and the maintained state still equals the recompute
+    val recompute = graft.pipeline.Incremental
+      .dailyState(ManifestTable.read(spark, table))
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+    val maintained = ManifestTable.read(spark, state)
+      .select(col("o_custkey"), col("day"),
+        col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained === recompute)
+  }
+
   test("quantile twin: feed-maintained histogram state equals the recompute through retractions") {
     val base = java.nio.file.Files.createTempDirectory("graft_tf_hist").toString
     val table = s"$base/orders"
