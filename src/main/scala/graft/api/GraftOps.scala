@@ -791,4 +791,42 @@ object GraftOps {
         usingColumns, joinType)
     else left.join(right, usingColumns, joinType)
   }
+
+  // --- round-12 surface ---
+
+  /** Selective overwrite (Delta `replaceWhere`): atomically replace
+    * exactly the rows matching `cond` with `batch` — the
+    * backfill-one-slice write. */
+  def overwriteWhere(batch: DataFrame, path: String,
+                     cond: org.apache.spark.sql.Column): Long =
+    graft.pipeline.ManifestTable.overwriteWhere(batch, path, cond)
+
+  /** NOT NULL column invariant: violating writes reject atomically. */
+  def setNotNull(spark: org.apache.spark.sql.SparkSession,
+                 path: String, column: String): Long =
+    graft.pipeline.ManifestTable.setNotNull(spark, path, column)
+
+  /** Time-based retention: sweep versions older than `retainHours`
+    * against the commit wall-times in the log. */
+  def vacuumHours(spark: org.apache.spark.sql.SparkSession,
+                  path: String, retainHours: Double): Seq[Long] =
+    graft.pipeline.ManifestTable.vacuumHours(spark, path, retainHours)
+
+  /** IDENTITY column (BY DEFAULT): engine-assigned unique step-spaced
+    * values whenever a write batch omits the column. */
+  def setIdentityColumn(spark: org.apache.spark.sql.SparkSession,
+                        path: String, column: String,
+                        startWith: Long = 1L, step: Long = 1L): Long =
+    graft.pipeline.ManifestTable.setIdentityColumn(spark, path, column,
+      startWith, step)
+
+  /** Read a catalog-name table (`db.t` under the graft warehouse). */
+  def table(spark: org.apache.spark.sql.SparkSession,
+            name: String): DataFrame =
+    graft.catalog.GraftCatalog.table(spark, name)
+
+  /** Write/append a DataFrame under a catalog name. */
+  def saveAsTable(df: DataFrame, name: String,
+                  mode: String = "overwrite"): Long =
+    graft.catalog.GraftCatalog.saveAsTable(df, name, mode)
 }

@@ -138,7 +138,10 @@ object ManifestTable {
                               rowHighWater: Long = 0L,
                               statsSchemaCols: Seq[String] = Nil,
                               clusterCols: Seq[String] = Nil,
-                              clusteredFiles: Seq[String] = Nil) {
+                              clusteredFiles: Seq[String] = Nil,
+                              identityCol: Option[String] = None,
+                              identityStep: Long = 1L,
+                              identityHighWater: Long = 0L) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -311,7 +314,10 @@ object ManifestTable {
       Option(n.get("rowTracking")).exists(_.asBoolean()),
       Option(n.get("rowHighWater")).map(_.asLong()).getOrElse(0L),
       strArr(n, "statsSchema"),
-      strArr(n, "clusterCols"), strArr(n, "clusteredFiles"))
+      strArr(n, "clusterCols"), strArr(n, "clusteredFiles"),
+      Option(n.get("identityCol")).map(_.asText()),
+      Option(n.get("identityStep")).map(_.asLong()).getOrElse(1L),
+      Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -387,7 +393,12 @@ object ManifestTable {
       // (clusteredRemoves exists for restore's exact rollback)
       prev.clusteredFiles.filterNot(removes)
         .filterNot(strArr(n, "clusteredRemoves").toSet)
-        ++ strArr(n, "clusteredAdds"))
+        ++ strArr(n, "clusteredAdds"),
+      Option(n.get("identityCol")).map(_.asText()).orElse(prev.identityCol),
+      Option(n.get("identityStep")).map(_.asLong())
+        .getOrElse(prev.identityStep),
+      Option(n.get("identityHighWater")).map(_.asLong())
+        .getOrElse(prev.identityHighWater))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -906,7 +917,9 @@ object ManifestTable {
                         statsSchema: Option[Seq[String]] = None,
                         clusterCols: Option[Seq[String]] = None,
                         clusteredAdds: Seq[String] = Nil,
-                        clusteredRemoves: Seq[String] = Nil): String = {
+                        clusteredRemoves: Seq[String] = Nil,
+                        identity: Option[(String, Long)] = None,
+                        identityHighWater: Option[Long] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -916,6 +929,9 @@ object ManifestTable {
       root.put("minReader", r); root.put("minWriter", w): Unit }
     rowTracking.foreach(root.put("rowTracking", _))
     rowHighWater.foreach(root.put("rowHighWater", _))
+    identity.foreach { case (c, step) =>
+      root.put("identityCol", c); root.put("identityStep", step): Unit }
+    identityHighWater.foreach(root.put("identityHighWater", _))
     statsSchema.foreach { cols =>
       val a = root.putArray("statsSchema"); cols.foreach(a.add)
     }
@@ -1040,6 +1056,11 @@ object ManifestTable {
     }
     if (st.clusteredFiles.nonEmpty) {
       val a = root.putArray("clusteredFiles"); st.clusteredFiles.foreach(a.add)
+    }
+    st.identityCol.foreach { c =>
+      root.put("identityCol", c)
+      root.put("identityStep", st.identityStep)
+      root.put("identityHighWater", st.identityHighWater): Unit
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1343,6 +1364,88 @@ object ManifestTable {
     resolveState(spark, path, v).constraints.keys
       .filter(_.startsWith(NotNullPrefix))
       .map(_.stripPrefix(NotNullPrefix)).toSeq.sorted
+  }
+
+  /** IDENTITY column (Delta's `GENERATED BY DEFAULT AS IDENTITY`): a
+    * BIGINT column the engine assigns automatically when a write
+    * batch OMITS it — monotone above a high-water mark the log
+    * carries, unique across commits, step-spaced, gaps allowed
+    * (Delta's identity contract: uniqueness and direction, never
+    * gaplessness). A batch that CARRIES the column keeps its values
+    * (the BY DEFAULT reading — the writer asserts value authority and
+    * the high water advances past them), which is also what lets
+    * compaction, Z-order, CoW merges and restores carry existing
+    * identities verbatim with zero special-casing.
+    *
+    * Declare on an EMPTY (or not-yet-written) table, or on a table
+    * whose column already holds values — existing non-null values set
+    * the initial high water; NULLs are refused (they could never be
+    * distinguished from "assign me"). One identity column per table.
+    * The declaration and high water ride the log like row tracking's;
+    * clone carries them, restore never rolls the high water back.
+    */
+  def setIdentityColumn(spark: SparkSession, path: String, column: String,
+                        startWith: Long = 1L, step: Long = 1L,
+                        maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    require(step > 0, "identity step must be positive")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(0L)
+      var water = startWith - step
+      if (prevV > 0L) {
+        val st = resolveState(spark, path, prevV)
+        require(st.identityCol.isEmpty,
+          s"table $path already has identity column " +
+            s"'${st.identityCol.map(st.logical).getOrElse("")}'")
+        if (st.files.nonEmpty) {
+          val sc = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+          require(sc.fieldNames.contains(column),
+            s"no column '$column' at $path to declare IDENTITY " +
+              "(declare before the first write to have it assigned)")
+          val df = readStateDf(spark, path, st)
+          val nulls = df.filter(col(column).isNull).count()
+          require(nulls == 0L,
+            s"cannot declare IDENTITY on '$column': $nulls existing " +
+              "NULLs (a NULL is indistinguishable from 'assign me')")
+          water = Option(df.agg(smax(col(column).cast("long"))).head().get(0))
+            .map(_.asInstanceOf[Long]).map(math.max(_, water))
+            .getOrElse(water)
+        }
+      }
+      val version = prevV + 1L
+      val st0 = if (prevV > 0L) Some(resolveState(spark, path, prevV)) else None
+      val physCol = st0.map(_.phys(column)).getOrElse(column)
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        op = Some("METADATA"),
+        identity = Some((physCol, step)),
+        identityHighWater = Some(water))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"identity commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** The declared identity column (logical name), step, and current
+    * high water — None when no identity is declared. */
+  def identityInfo(spark: SparkSession, path: String): Option[(String, Long, Long)] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    st.identityCol.map(c => (st.logical(c), st.identityStep,
+      st.identityHighWater))
   }
 
   /** Drop a named CHECK constraint (metadata-only commit). */
@@ -2353,6 +2456,22 @@ object ManifestTable {
     }
   }
 
+  /** Max of a staged files' LONG column (identity high-water scan) —
+    * one columnar read of the new files only; `fallback` when the
+    * column is absent or all-null. */
+  private def stagedColMax(spark: SparkSession, staged: Seq[Path],
+                           colName: String, fallback: Long): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    if (staged.isEmpty) fallback
+    else {
+      val r = spark.read.parquet(staged.map(_.toString): _*)
+      if (!r.columns.contains(colName)) fallback
+      else Option(r.agg(smax(col(colName).cast("long"))).head().get(0))
+        .map(v => math.max(v.asInstanceOf[Long], fallback))
+        .getOrElse(fallback)
+    }
+  }
+
   /** Writer-version gate, called by every data-write path. */
   private def assertWritable(st: TableState, path: String): Unit =
     if (st.minWriter > SupportedWriterVersion)
@@ -2392,8 +2511,23 @@ object ManifestTable {
       // generated columns first: an omitted generated column is computed
       // (it must exist before schema/mapping/stats are derived), a
       // present one is enforced inside the staging pass
-      val genApplied = generatedGuard(df,
+      val genApplied0 = generatedGuard(df,
         prevState.map(_.generated).getOrElse(Map.empty))
+      // IDENTITY column: assigned when the batch omits it (BY DEFAULT
+      // semantics — a present column keeps its values and the high
+      // water advances past them after staging). Values are unique by
+      // construction: hw + (monotonic id + 1) × step, gaps allowed.
+      val identDecl = prevState.flatMap(st =>
+        st.identityCol.map(c =>
+          (st.logical(c), c, st.identityStep, st.identityHighWater)))
+      val genApplied = identDecl match {
+        case Some((lc, _, step, hw)) if !genApplied0.columns.contains(lc) =>
+          genApplied0.withColumn(lc,
+            (org.apache.spark.sql.functions.lit(hw) +
+              (org.apache.spark.sql.functions.monotonically_increasing_id()
+                + 1L) * step).cast(LongType))
+        case _ => genApplied0
+      }
       val tracked = prevState.exists(_.rowTracking)
       // the row id is PHYSICAL only — never part of the logical schema
       val logicalIn = StructType(
@@ -2529,6 +2663,11 @@ object ManifestTable {
         if (!tracked) None
         else Some(stagedHighWater(spark, staged,
           prevState.map(_.rowHighWater).getOrElse(0L)))
+      // identity high water from the STAGED files' own column (one
+      // long-column scan of the new files), so supplied values advance
+      // it too
+      val newIdentHigh = identDecl.map { case (_, physCol, _, hw) =>
+        stagedColMax(spark, staged, physCol, hw) }
       val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
@@ -2536,7 +2675,8 @@ object ManifestTable {
         maxColId = if (prevMapped) Some(newMaxColId) else None,
         ndvAdds = ndvAdds, ndvRemoves = ndvRemoves,
         op = Some(if (carryForward) "APPEND" else "WRITE"),
-        rowHighWater = newHigh)
+        rowHighWater = newHigh,
+        identityHighWater = newIdentHigh)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -3667,7 +3807,10 @@ object ManifestTable {
       clusteredAdds = st.clusteredFiles.map(abs),
       op = Some("CLONE"),
       rowTracking = if (st.rowTracking) Some(true) else None,
-      rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None)
+      rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None,
+      identity = st.identityCol.map(c => (c, st.identityStep)),
+      identityHighWater =
+        if (st.identityCol.isDefined) Some(st.identityHighWater) else None)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -3765,6 +3908,13 @@ object ManifestTable {
         rowHighWater =
           if (cur.rowTracking || target.rowTracking)
             Some(math.max(cur.rowHighWater, target.rowHighWater))
+          else None,
+        // identity follows the same rule: the declaration stays, the
+        // high water never rolls back (post-restore inserts must not
+        // collide with values the rollback resurrects or removes)
+        identityHighWater =
+          if (cur.identityCol.isDefined || target.identityCol.isDefined)
+            Some(math.max(cur.identityHighWater, target.identityHighWater))
           else None)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")

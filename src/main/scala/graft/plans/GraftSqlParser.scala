@@ -171,6 +171,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*;?\\s*$$".r
   private val setStatsRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+STATS\\s+COLUMNS\\s+([\\w\\s,]*?)\\s*;?\\s*$$".r
+  private val identityRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$$".r
   private val createLocationRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+LOCATION\\s+$P\\s*;?\\s*$$".r
   private val dropTableRe =
@@ -191,6 +193,10 @@ object GraftSqlStatements {
       Some(GraftVacuumCommand(path, Option(keep).map(_.toInt).getOrElse(1),
         dryRun = dry != null,
         hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))))
+    case identityRe(path, colName, start, step) =>
+      Some(GraftAlterCommand(path, "identity",
+        Seq(colName, Option(start).getOrElse("1"),
+          Option(step).getOrElse("1"))))
     case setNotNullRe(path, colName, verb) =>
       Some(GraftAlterCommand(path,
         if (verb.equalsIgnoreCase("SET")) "set_not_null" else "drop_not_null",
@@ -691,6 +697,9 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.setStatsColumns(session, path, args)
       case "cluster_by" =>
         ManifestTable.setClusterColumns(session, path, args)
+      case "identity" =>
+        ManifestTable.setIdentityColumn(session, path, args(0),
+          startWith = args(1).toLong, step = args(2).toLong)
       case "set_not_null" =>
         ManifestTable.setNotNull(session, path, args(0))
       case "drop_not_null" =>

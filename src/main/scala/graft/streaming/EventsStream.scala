@@ -247,7 +247,8 @@ object EventsStream {
     streamMergeableGold(spark, ordersDir, statePath, checkpointLocation,
       "gold-daily-batch",
       graft.pipeline.Incremental.dailyState,
-      graft.pipeline.Incremental.mergeDailyState)
+      graft.pipeline.Incremental.mergeDailyState,
+      Seq("o_custkey", "day"))
 
   /** The quantile twin: the SAME exactly-once refresh loop maintains the
     * mergeable histogram state
@@ -262,7 +263,8 @@ object EventsStream {
     streamMergeableGold(spark, ordersDir, statePath, checkpointLocation,
       "gold-quantile-batch",
       graft.pipeline.Incremental.histogramState(_),
-      graft.pipeline.Incremental.mergeHistogramState)
+      graft.pipeline.Incremental.mergeHistogramState,
+      Seq("day", "bin"))
 
   /** Shared exactly-once streaming maintenance of ANY associative
     * mergeable gold state: `stateOf` aggregates a fact micro-batch to
@@ -273,7 +275,8 @@ object EventsStream {
   private def streamMergeableGold(spark: SparkSession, srcDir: String,
       statePath: String, checkpointLocation: String, tagPrefix: String,
       stateOf: DataFrame => DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): (Long, Long) = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
@@ -291,29 +294,12 @@ object EventsStream {
               .committedVersionOfTag(sp, statePath, tag).isDefined)
             skipped.incrementAndGet()
           else {
-            val delta = stateOf(batch)
-            val state = graft.pipeline.ManifestTable
-              .currentVersion(sp, statePath) match {
-              case Some(_) => merge(
-                graft.pipeline.ManifestTable.read(sp, statePath), delta)
-              case None => delta
-            }
-            // localCheckpoint before the overwrite commit: the merged
-            // state reads the CURRENT version's files; without cutting
-            // lineage the write could re-read what a concurrent vacuum
-            // of old versions might drop mid-job. The checkpoint blocks
-            // are freed after the commit — on a long-running stream
-            // they would otherwise accumulate one state copy per batch.
-            val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
-            val pinned = state.localCheckpoint()
-            try {
-              graft.pipeline.ManifestTable.write(pinned, statePath, tag = Some(tag))
-              merged.incrementAndGet(): Unit
-            } finally {
-              sp.sparkContext.getPersistentRDDs
-                .filterNot { case (id, _) => prevRdds(id) }
-                .valuesIterator.foreach(_.unpersist(blocking = false))
-            }
+            // keyed CoW state commit (round 12, shared with the feed
+            // consumers): only state files holding touched groups
+            // rewrite — O(changed groups) per batch, never O(state)
+            TableFeedSource.commitStateDelta(sp, statePath,
+              stateOf(batch), merge, lit(true), keyCols, tag)
+            merged.incrementAndGet(): Unit
           }
         }: Unit
       }

@@ -340,29 +340,68 @@ object TableFeedSource {
     * every upstream commit. The first batch (no committed state)
     * writes the delta directly.
     */
-  private def commitStateDelta(sp: org.apache.spark.sql.SparkSession,
-      statePath: String, delta: DataFrame,
+  /** Bytes of live state below which [[commitStateDelta]] prefers one
+    * plain rewrite over the keyed merge. The keyed path wins
+    * asymptotically (O(changed groups) I/O) but carries fixed
+    * per-commit machinery (key scan, semi-join confirm, per-file
+    * stats); while the whole state is a handful of small files, a
+    * single read-merge-write commit is strictly cheaper. Override with
+    * `spark.graft.stateMergeBytes` (set 0 to force the keyed path).
+    */
+  val DefaultStateMergeBytes: Long = 256L * 1024 * 1024
+
+  private[streaming] def commitStateDelta(sp: org.apache.spark.sql.SparkSession,
+      statePath: String, delta0: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
       live: org.apache.spark.sql.Column,
       keyCols: Seq[String], tag: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, concat_ws, not}
     def withKey(df: DataFrame): DataFrame =
       df.withColumn("_gkey",
-        concat_ws("", keyCols.map(c => col(c).cast("string")): _*))
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
     ManifestTable.currentVersion(sp, statePath) match {
       case None =>
-        ManifestTable.write(withKey(delta.filter(live)), statePath,
+        ManifestTable.write(withKey(delta0.filter(live)), statePath,
           tag = Some(tag)): Unit
-      case Some(_) =>
-        val current = ManifestTable.read(sp, statePath)
-        val deltaKeys = withKey(delta).select("_gkey").distinct()
-        val touched = current
-          .join(broadcast(deltaKeys), Seq("_gkey"), "left_semi")
-          .drop("_gkey")
-        val newTotal = withKey(merge(touched, delta))
-        val upserts = newTotal.withColumn("_graft_dead", not(live))
-        ManifestTable.merge(upserts, statePath, key = "_gkey",
-          deleteCol = Some("_graft_dead"), tag = Some(tag)): Unit
+      case Some(v) =>
+        // the delta feeds 2-3 consumers below — materialize once
+        val delta = delta0.cache()
+        try {
+          val threshold = sp.conf.getOption("spark.graft.stateMergeBytes")
+            .map(_.toLong).getOrElse(DefaultStateMergeBytes)
+          val st = ManifestTable.resolveState(sp, statePath, v)
+          val conf = sp.sparkContext.hadoopConfiguration
+          val liveBytes = st.files.map { r =>
+            val fp = new org.apache.hadoop.fs.Path(s"$statePath/$r")
+            try fp.getFileSystem(conf).getFileStatus(fp).getLen
+            catch { case _: java.io.IOException => 0L }
+          }.sum
+          if (liveBytes < threshold) {
+            // small-state fast path: one read-merge-write commit (the
+            // keyed machinery would cost more than it saves)
+            val current = ManifestTable.read(sp, statePath).drop("_gkey")
+            val state = withKey(merge(current, delta).filter(live))
+            // lineage cut: the merged state reads the files the
+            // overwrite replaces (concurrent-vacuum safety); blocks
+            // freed right after the commit
+            val prevRdds = sp.sparkContext.getPersistentRDDs.keySet
+            val pinned = state.localCheckpoint()
+            try ManifestTable.write(pinned, statePath, tag = Some(tag)): Unit
+            finally sp.sparkContext.getPersistentRDDs
+              .filterNot { case (rid, _) => prevRdds(rid) }
+              .valuesIterator.foreach(_.unpersist(blocking = false))
+          } else {
+            val current = ManifestTable.read(sp, statePath)
+            val deltaKeys = withKey(delta).select("_gkey").distinct()
+            val touched = current
+              .join(broadcast(deltaKeys), Seq("_gkey"), "left_semi")
+              .drop("_gkey")
+            val newTotal = withKey(merge(touched, delta))
+            val upserts = newTotal.withColumn("_graft_dead", not(live))
+            ManifestTable.merge(upserts, statePath, key = "_gkey",
+              deleteCol = Some("_graft_dead"), tag = Some(tag)): Unit
+          }
+        } finally delta.unpersist(blocking = false)
     }
   }
 
@@ -394,12 +433,17 @@ object TableFeedSource {
           if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
             skipped.incrementAndGet()
           else {
-            val delta = merge(
-              stateOf(batch.filter(col("_change") === "insert")),
-              negate(stateOf(batch.filter(col("_change") === "delete"))))
-            commitStateDelta(sp, statePath, delta, merge, live,
-              keyCols, tag)
-            merged.incrementAndGet(): Unit
+            // the batch feeds two aggregates — materialize its CDC
+            // scan once instead of re-executing it per consumer
+            val b = batch.cache()
+            try {
+              val delta = merge(
+                stateOf(b.filter(col("_change") === "insert")),
+                negate(stateOf(b.filter(col("_change") === "delete"))))
+              commitStateDelta(sp, statePath, delta, merge, live,
+                keyCols, tag)
+              merged.incrementAndGet(): Unit
+            } finally b.unpersist(blocking = false)
           }
         }: Unit
       }
@@ -469,21 +513,26 @@ object TableFeedSource {
           if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
             skipped.incrementAndGet()
           else {
-            val pre = stateOf(batch.filter(col("_change") === "update_preimage"))
-            val post = stateOf(batch.filter(col("_change") === "update_postimage"))
-            // groups with identical pre/post contributions cancel HERE —
-            // exceptAll on exact state rows, one tiny aggregate each side
-            val delta = merge(
-              merge(stateOf(batch.filter(col("_change") === "insert")),
-                post.exceptAll(pre)),
-              negate(merge(stateOf(batch.filter(col("_change") === "delete")),
-                pre.exceptAll(post))))
-            if (delta.isEmpty) { unchanged.incrementAndGet(): Unit }
-            else {
-              commitStateDelta(sp, statePath, delta, merge, live,
-                keyCols, tag)
-              merged.incrementAndGet(): Unit
-            }
+            // four aggregates read this batch — materialize its CDC
+            // scan once instead of re-executing it per consumer
+            val b = batch.cache()
+            try {
+              val pre = stateOf(b.filter(col("_change") === "update_preimage"))
+              val post = stateOf(b.filter(col("_change") === "update_postimage"))
+              // groups with identical pre/post contributions cancel HERE —
+              // exceptAll on exact state rows, one tiny aggregate each side
+              val delta = merge(
+                merge(stateOf(b.filter(col("_change") === "insert")),
+                  post.exceptAll(pre)),
+                negate(merge(stateOf(b.filter(col("_change") === "delete")),
+                  pre.exceptAll(post))))
+              if (delta.isEmpty) { unchanged.incrementAndGet(): Unit }
+              else {
+                commitStateDelta(sp, statePath, delta, merge, live,
+                  keyCols, tag)
+                merged.incrementAndGet(): Unit
+              }
+            } finally b.unpersist(blocking = false)
           }
         }: Unit
       }

@@ -156,6 +156,10 @@ class TableFeedSpec extends SparkSpec {
     val table = s"$base/orders"
     val state = s"$base/gold"
     val orders = Tables.orders(spark, sfTiny)
+    // force the keyed path (the size-adaptive default would take the
+    // small-state rewrite at fixture scale)
+    spark.conf.set("spark.graft.stateMergeBytes", "0")
+    try {
     // two feeds over DISJOINT group sets → two state files (the second
     // feed's groups are all inserts, staged as their own file while the
     // first file carries)
@@ -203,6 +207,7 @@ class TableFeedSpec extends SparkSpec {
         col("rev_dec").cast("string"), col("cnt_rows"), col("cnt_vals"))
       .collect().map(_.toSeq).toSet
     assert(maintained === recompute)
+    } finally spark.conf.unset("spark.graft.stateMergeBytes")
   }
 
   test("quantile twin: feed-maintained histogram state equals the recompute through retractions") {
