@@ -85,7 +85,14 @@ object ScaleProbe {
     // the incremental-cluster lifecycle: the declared query's cost is
     // dominated by the initial load + first full cluster (linear); the
     // second (incremental) run must stay O(appended batch + overlap)
-    "cluster_incremental")
+    "cluster_incremental",
+    // round-12 additions: replaceWhere's cost must track the SLICE
+    // fraction (stats-pruned detection + slice rewrite + batch stage,
+    // never the whole table beyond the fixture's own base write); the
+    // catalog lifecycle adds name RESOLUTION (driver-side O(1) against
+    // the registry) on top of the same CTAS/UPDATE/MERGE/INSERT
+    // engine ops — shuffle must match the path-addressed equivalents
+    "replace_where", "catalog_table_verbs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

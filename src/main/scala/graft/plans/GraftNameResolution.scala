@@ -36,7 +36,19 @@ case class GraftNameResolution(session: SparkSession)
         GraftCatalog.resolve(session, u.multipartIdentifier) match {
           case Some(path)
               if ManifestTable.currentVersion(session, path).isDefined =>
-            ManifestTable.read(session, path).queryExecution.analyzed
+            // Delta's read-option time travel composes with names:
+            //   spark.read.option("versionAsOf", 3).table("graft.db.t")
+            //   spark.read.option("timestampAsOf", ts).table(...)
+            val df =
+              if (u.options.containsKey("versionAsOf"))
+                ManifestTable.readVersion(session, path,
+                  u.options.get("versionAsOf").toLong)
+              else if (u.options.containsKey("timestampAsOf"))
+                ManifestTable.readAsOfTimestamp(session, path,
+                  GraftSqlCommands.parseTimestampMillis(
+                    u.options.get("timestampAsOf")))
+              else ManifestTable.read(session, path)
+            df.queryExecution.analyzed
           case _ => u
         }
     }

@@ -135,6 +135,25 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("read-option time travel on names: versionAsOf / timestampAsOf (r12)") {
+    withSql { s =>
+      GraftCatalog.saveAsTable(s.range(0, 6).toDF("id"), "ttro.t")
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(20)
+      GraftCatalog.saveAsTable(s.range(6, 10).toDF("id"), "ttro.t",
+        mode = "append")
+      assert(s.table("graft.ttro.t").count() === 10)
+      assert(s.read.option("versionAsOf", 1)
+        .table("graft.ttro.t").count() === 6)
+      // Spark's own option validation requires a CASTABLE timestamp
+      // string (epoch millis are rejected before any rule runs)
+      val tsStr = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+        .format(new java.util.Date(t1))
+      assert(s.read.option("timestampAsOf", tsStr)
+        .table("graft.ttro.t").count() === 6)
+    }
+  }
+
   test("time travel and CDF by name through the TVFs; path verbs unchanged") {
     withSql { s =>
       GraftCatalog.saveAsTable(s.range(0, 10).toDF("id"), "tt.t")
