@@ -92,7 +92,16 @@ object ScaleProbe {
     // catalog lifecycle adds name RESOLUTION (driver-side O(1) against
     // the registry) on top of the same CTAS/UPDATE/MERGE/INSERT
     // engine ops — shuffle must match the path-addressed equivalents
-    "replace_where", "catalog_table_verbs")
+    "replace_where", "catalog_table_verbs",
+    // round-13 additions: the named-format lifecycle is the SAME
+    // engine ops (overwrite + tagged append + replaceWhere) behind the
+    // format facade — shuffle must match the path-addressed
+    // equivalents; the evolving merge's cost must track the touched
+    // fraction exactly like merge_upsert (evolution is a schema
+    // metadata change + NULL-fill projection, never a table rewrite);
+    // the image-aware gold fold reads O(changed files) per upstream
+    // commit and aggregates at group cardinality
+    "format_roundtrip", "merge_evolution", "feed_gold_images")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -135,6 +135,8 @@ object SparkEntry {
     "sql_merge_upsert"   -> ((s, d) => graft.pipeline.Medallion.sqlMergeUpsert(s, d)),
     "cluster_incremental" -> ((s, d) => graft.pipeline.Medallion.clusterIncrementalOrders(s, d)),
     "replace_where"      -> ((s, d) => graft.pipeline.Medallion.replaceWhereOrders(s, d)),
+    "format_roundtrip"   -> ((s, d) => graft.pipeline.Medallion.formatRoundtrip(s, d)),
+    "merge_evolution"    -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionOrders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
@@ -1593,6 +1595,44 @@ object SparkEntry {
                   o_totalprice * 2.0 AS o_totalprice, o_orderdate,
                   '3-REPLACED' AS o_orderpriority
            FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the merge-evolution lifecycle
+    // (Medallion.mergeEvolutionOrders): the base committed without
+    // o_orderpriority; the evolving merge upserts every %3 key with
+    // the column populated, all other rows read it as NULL.
+    "merge_evolution" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 0)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the named-format lifecycle
+    // (Medallion.formatRoundtrip — write.format("graft") overwrite +
+    // replayed tagged append + replaceWhere option, read back via
+    // read.format("graft")): final table = non-'P' originals ∪ non-'P'
+    // appended slice ∪ the replaceWhere batch; the replayed append
+    // contributes NOTHING (exactly-once) and every appended 'P' row is
+    // swapped out by the selective overwrite.
+    "format_roundtrip" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderstatus <> 'P'
+           UNION ALL
+           SELECT o_orderkey + 400000000 AS o_orderkey, o_custkey,
+                  o_orderstatus, o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 97 = 0 AND o_orderstatus <> 'P'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, '4-FMTRW' AS o_orderpriority
+           FROM orders
+           WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
          ORDER BY o_orderkey""",
     // Relational recompute of the catalog-name lifecycle
     // (Medallion.catalogTableVerbs): CTAS + UPDATE + expression-clause

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{EventsStream, Sessionize}
+import graft.streaming.{EventsStream, GraftSinkProvider, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,55 @@ object StreamScaleProbe {
     Probe(sec, inputRows.get(), peakStateRows.get())
   }
 
+  /** `stream_sink_ingest` contract probe: per-BATCH sink cost must
+    * stay FLAT as the target table grows — each micro-batch is one
+    * tag lookup (O(recent manifests), driver metadata) plus one
+    * O(new files) append commit, nothing scaling with table size.
+    * Drives the REAL [[GraftSinkProvider]] over a
+    * `maxFilesPerTrigger=1` replay of an N-way split corpus, so batch
+    * k appends onto a table already holding k−1 batches; reports the
+    * mean batch seconds of the first vs second half (flatness ratio)
+    * and total rows.
+    */
+  def sinkProbe(spark: SparkSession, eventsPath: String,
+                splits: Int): (Double, Double, Long) = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkprobe")
+    val feedDir = s"$root/feed"
+    val table = s"$root/table"
+    val raw = Tables.rawEventsSchema(spark, eventsPath)
+    spark.read.schema(raw).parquet(eventsPath)
+      .repartition(splits).write.parquet(feedDir)
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          batches.add((e.progress.numInputRows,
+            Option(e.progress.durationMs.get("triggerExecution"))
+              .map(_.toDouble / 1000.0).getOrElse(0.0))): Unit
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = spark.readStream.schema(raw)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .format(classOf[GraftSinkProvider].getName)
+      .option("path", table)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); spark.streams.removeListener(listener) }
+    val seq = batches.asScala.toSeq
+    val secs = seq.map(_._2)
+    val half = math.max(1, secs.size / 2)
+    val firstMean = secs.take(half).sum / half
+    val secondMean = secs.drop(secs.size - half).sum / half
+    (firstMean, secondMean, seq.map(_._1).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val probeDir = if (args.length > 1) args(1) else "/tmp/graft_sf1_stream"
@@ -168,6 +217,15 @@ object StreamScaleProbe {
       def r(a: Double, b: Double) = if (a > 0) b / a else Double.NaN
       println(f"""{"query":"$name","sf01_sec":${p1.sec}%.2f,"sf1_sec":${p2.sec}%.2f,"sf01_rows_sec":${p1.rowsPerSec}%.0f,"sf1_rows_sec":${p2.rowsPerSec}%.0f,"sf01_peak_state":${p1.peakStateRows},"sf1_peak_state":${p2.peakStateRows},"state_ratio":${r(p1.peakStateRows.toDouble, p2.peakStateRows.toDouble)}%.2f,"sec_ratio":${r(p1.sec, p2.sec)}%.2f}""")
     }
+
+    // r13: stream_sink_ingest flatness probe — 16 single-file batches,
+    // per-batch cost must not grow with the accumulated table
+    Seq("sf01" -> s"$baseDir/events.parquet", "sfX" -> eventsOut)
+      .foreach { case (label, path) =>
+        val (first, second, rows) = sinkProbe(spark, path, splits = 16)
+        val flat = if (first > 0) second / first else Double.NaN
+        println(f"""{"query":"stream_sink_ingest","scale":"$label","rows":$rows,"first_half_batch_sec":$first%.3f,"second_half_batch_sec":$second%.3f,"flatness_ratio":$flat%.2f}""")
+      }
     spark.stop()
   }
 }

@@ -118,6 +118,69 @@ object GraftCatalog {
     }
   }
 
+  /** Declare-schema-then-ingest (Delta's plain `CREATE TABLE t (cols)`
+    * empty-table DDL): commit an EMPTY manifest carrying `schema` at
+    * the name's managed location, so constraints / identity /
+    * clustering can be declared before the first byte of data and
+    * every later write is schema-checked against the declaration.
+    * `partitionCols` is validated against the schema and RECORDED in
+    * the manifest (`partitionColsDecl`): the physical k=v layout
+    * materializes with the first data overwrite, which inherits the
+    * declaration unless the caller partitions explicitly.
+    */
+  def createTable(spark: SparkSession, name: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String] = Nil): Unit = {
+    val (db, t) = splitName(name)
+    require(!externals(spark, db).contains(t) && !managedExists(spark, db, t),
+      s"table '$db.$t' already exists")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the declared schema"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ManifestTable.write(empty, tablePath(spark, db, t),
+      partitionColsDecl = partitionCols): Unit
+  }
+
+  /** Rename a table (Delta's `ALTER TABLE ... RENAME TO`), across
+    * databases too. A MANAGED table moves its directory (one
+    * filesystem rename — O(1) on posix/HDFS-class stores, no data
+    * rewrite); an EXTERNAL table re-points its registration and the
+    * data never moves. NOTE: same-warehouse shallow clones reference
+    * the managed directory by absolute path — renaming the clone
+    * SOURCE breaks them (the same hazard as DROP; external clones are
+    * unaffected because refs are filesystem-qualified).
+    */
+  def renameTable(spark: SparkSession, oldName: String,
+                  newName: String): Unit = {
+    val (odb, ot) = splitName(oldName)
+    val (ndb, nt) = splitName(newName)
+    require(!externals(spark, ndb).contains(nt) &&
+        !managedExists(spark, ndb, nt),
+      s"rename target '$ndb.$nt' already exists")
+    val oldExt = externals(spark, odb)
+    if (oldExt.contains(ot)) {
+      // external: registry re-point only (two atomic registry swaps
+      // when crossing databases; rare driver-side admin op)
+      val path = oldExt(ot)
+      if (odb == ndb)
+        writeRegistry(spark, odb, oldExt - ot + (nt -> path))
+      else {
+        writeRegistry(spark, ndb, externals(spark, ndb) + (nt -> path))
+        writeRegistry(spark, odb, oldExt - ot)
+      }
+    } else {
+      require(managedExists(spark, odb, ot), s"no table '$odb.$ot'")
+      val src = new Path(s"${warehouse(spark)}/$odb/$ot")
+      val dst = new Path(s"${warehouse(spark)}/$ndb/$nt")
+      val f = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(dst.getParent)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(
+          s"could not rename $src to $dst")
+    }
+  }
+
   /** Adopt an EXISTING table path under a catalog name (the external
     * table form — `CREATE TABLE graft.db.t LOCATION '<path>'`). The
     * path must hold a committed manifest; the registration is one

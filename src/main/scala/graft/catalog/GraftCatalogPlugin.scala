@@ -48,9 +48,31 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     GraftCatalog.listTables(spark, db(namespace))
       .map { case (t, _) => Identifier.of(namespace, t) }.toArray
 
-  /** Resolution is the analyzer rule's job — see class doc. */
-  override def loadTable(ident: Identifier): Table =
-    throw new NoSuchTableException(ident)
+  /** Returns a METADATA SHELL (name + manifest schema, no read/write
+    * capabilities): enough for third-party tooling that inspects
+    * tables through the TableCatalog API, and for Spark's
+    * ResolveRelations to claim the identifier BEFORE ResolveSQLOnFile
+    * can misread 2-part `graft.t` as SQL-on-file (the `graft` short
+    * name is a registered data source since round 13). The resulting
+    * DataSourceV2Relation is swapped for the manifest-governed
+    * vectorized scan by [[graft.plans.GraftNameResolution]] in the
+    * same resolution batch — physical planning never sees the shell.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val parts = catalogName +: ident.namespace.toSeq :+ ident.name
+    GraftCatalog.resolve(spark, parts)
+      .filter(p => graft.pipeline.ManifestTable
+        .currentVersion(spark, p).isDefined)
+      .map { p =>
+        val v = graft.pipeline.ManifestTable.currentVersion(spark, p).get
+        val schema = graft.pipeline.ManifestTable
+          .manifestSchema(spark, p, v)
+          .getOrElse(graft.pipeline.ManifestTable.read(spark, p).schema)
+        GraftShellTable((ident.namespace.toSeq :+ ident.name).mkString("."),
+          schema, Some(p))
+      }
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     GraftCatalog.resolve(spark,
@@ -58,12 +80,24 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       .exists(p => graft.pipeline.ManifestTable
         .currentVersion(spark, p).isDefined)
 
+  /** Plain empty-table DDL (`CREATE TABLE graft.db.t (cols...)`) —
+    * declare-schema-then-ingest, the Delta norm. Identity transforms
+    * only (k=v partition columns); the returned Table is a metadata
+    * shell for CreateTableExec's contract — reads keep resolving
+    * through the analyzer rule (class doc). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create graft tables with CREATE TABLE graft.db.t AS SELECT ... " +
-        "or GraftCatalog.saveAsTable (the graft SQL verbs)")
+                           properties: java.util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1,
+        s"graft tables partition by plain columns only, got $t")
+      refs.head.fieldNames().mkString(".")
+    }
+    val nm = (ident.namespace.toSeq :+ ident.name).mkString(".")
+    GraftCatalog.createTable(spark, nm, schema, partCols)
+    GraftShellTable(nm, schema, None)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -76,11 +110,26 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     catch { case _: IllegalArgumentException => false }
   }
 
+  /** `DROP TABLE graft.db.t PURGE` routed through Spark's catalog path
+    * (the default TableCatalog.purgeTable throws
+    * UnsupportedOperationException — external tables would otherwise
+    * be undroppable-with-data via SQL). */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val nm = (ident.namespace.toSeq :+ ident.name).mkString(".")
+    try { GraftCatalog.dropTable(spark, nm, purge = true); true }
+    catch { case _: IllegalArgumentException => false }
+  }
+
+  /** `ALTER TABLE graft.db.t RENAME TO graft.db2.t2` — managed tables
+    * move their directory (one fs rename), external tables re-point
+    * the registration. Same-warehouse shallow clones of the source
+    * break, exactly as under DROP (see [[GraftCatalog.renameTable]]).
+    */
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft tables rename by external re-registration " +
-        "(CREATE TABLE graft.db.new LOCATION ...; DROP TABLE graft.db.old)")
+    GraftCatalog.renameTable(spark,
+      (oldIdent.namespace.toSeq :+ oldIdent.name).mkString("."),
+      (newIdent.namespace.toSeq :+ newIdent.name).mkString("."))
 
   // --- namespaces: warehouse subdirectories ---
 
@@ -124,6 +173,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "graft namespaces carry no metadata to alter")
 
+  /** CASCADE deletes the warehouse subdirectory recursively — standard
+    * Spark semantics, with one graft-specific hazard worth naming:
+    * SAME-WAREHOUSE shallow clones referencing files under the dropped
+    * database break (clone refs are filesystem-qualified, so external
+    * clones survive). Audit clones before a cascade drop, as before
+    * VACUUM.
+    */
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     val d = db(namespace)
@@ -133,4 +189,22 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       s"${GraftCatalog.warehouse(spark)}/$d")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+}
+
+/** Metadata-only Table handed back by [[GraftCatalogPlugin]] to
+  * satisfy the TableCatalog contract (createTable's return,
+  * loadTable's claim on the identifier). It advertises NO read/write
+  * capabilities on purpose: resolution stays with the analyzer rule
+  * (one read path), and writes go through the graft verbs / format.
+  * `path` carries the resolved storage location so the rule swaps the
+  * relation without a second catalog lookup.
+  */
+private[graft] case class GraftShellTable(
+    tableName: String, tableSchema: StructType,
+    path: Option[String]) extends Table {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
 }

@@ -141,7 +141,8 @@ object ManifestTable {
                               clusteredFiles: Seq[String] = Nil,
                               identityCol: Option[String] = None,
                               identityStep: Long = 1L,
-                              identityHighWater: Long = 0L) {
+                              identityHighWater: Long = 0L,
+                              partitionColsDecl: Seq[String] = Nil) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -317,7 +318,8 @@ object ManifestTable {
       strArr(n, "clusterCols"), strArr(n, "clusteredFiles"),
       Option(n.get("identityCol")).map(_.asText()),
       Option(n.get("identityStep")).map(_.asLong()).getOrElse(1L),
-      Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L),
+      strArr(n, "partitionColsDecl"))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -398,7 +400,9 @@ object ManifestTable {
       Option(n.get("identityStep")).map(_.asLong())
         .getOrElse(prev.identityStep),
       Option(n.get("identityHighWater")).map(_.asLong())
-        .getOrElse(prev.identityHighWater))
+        .getOrElse(prev.identityHighWater),
+      if (n.has("partitionColsDecl")) strArr(n, "partitionColsDecl")
+      else prev.partitionColsDecl)
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -919,7 +923,8 @@ object ManifestTable {
                         clusteredAdds: Seq[String] = Nil,
                         clusteredRemoves: Seq[String] = Nil,
                         identity: Option[(String, Long)] = None,
-                        identityHighWater: Option[Long] = None): String = {
+                        identityHighWater: Option[Long] = None,
+                        partitionColsDecl: Option[Seq[String]] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -932,6 +937,9 @@ object ManifestTable {
     identity.foreach { case (c, step) =>
       root.put("identityCol", c); root.put("identityStep", step): Unit }
     identityHighWater.foreach(root.put("identityHighWater", _))
+    partitionColsDecl.foreach { cols =>
+      val a = root.putArray("partitionColsDecl"); cols.foreach(a.add)
+    }
     statsSchema.foreach { cols =>
       val a = root.putArray("statsSchema"); cols.foreach(a.add)
     }
@@ -1062,6 +1070,10 @@ object ManifestTable {
       root.put("identityStep", st.identityStep)
       root.put("identityHighWater", st.identityHighWater): Unit
     }
+    if (st.partitionColsDecl.nonEmpty) {
+      val a = root.putArray("partitionColsDecl")
+      st.partitionColsDecl.foreach(a.add)
+    }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
   }
@@ -1106,9 +1118,11 @@ object ManifestTable {
   def write(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
             statsCols: Seq[String] = Nil, tag: Option[String] = None,
-            tagHorizon: Int = DefaultTagHorizon): Long =
+            tagHorizon: Int = DefaultTagHorizon,
+            partitionColsDecl: Seq[String] = Nil): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = false, tag = tag, tagHorizon = tagHorizon)
+      carryForward = false, tag = tag, tagHorizon = tagHorizon,
+      partitionColsDecl = partitionColsDecl)
 
   /** Transactional APPEND: commit a log entry adding this batch's files
     * — O(new files) bytes, regardless of table size. Data files of
@@ -2443,16 +2457,45 @@ object ManifestTable {
     * columnar scan of the NEW files' id column only (O(new rows), a
     * single long column).
     */
+  /** Footer-statistics fast path for the staged-file long-column
+    * maxima (row-id / identity high waters): INT64 row-group stats
+    * are EXACT, so the max comes from the footers alone — driver
+    * metadata, ZERO Spark jobs per commit (r13; this was one extra
+    * columnar scan job on every row-tracked/identity commit). Returns
+    * None when any file's stats are unusable (mixed all-null groups,
+    * non-long physical type) — the caller falls back to the scan,
+    * never a partial mix.  Inner Option: Some(max) when the column
+    * holds values, None when it is absent/value-free everywhere.
+    */
+  private def stagedLongMaxViaFooters(spark: SparkSession,
+                                      staged: Seq[Path],
+                                      colName: String): Option[Option[Long]] = {
+    var best = Long.MinValue
+    var any = false
+    staged.foreach { p =>
+      footerStats(spark, p, Seq(colName)).get(colName) match {
+        case Some(s) if s.complete && s.typ == "long" =>
+          best = math.max(best, s.max.asInstanceOf[Long]); any = true
+        case Some(_) => return None // untrustworthy stats → scan
+        case None    => ()          // column absent here: contributes nothing
+      }
+    }
+    Some(if (any) Some(best) else None)
+  }
+
   private def stagedHighWater(spark: SparkSession, staged: Seq[Path],
                               fallback: Long): Long = {
     import org.apache.spark.sql.functions.{col, max => smax}
     if (staged.isEmpty) fallback
-    else {
-      val r = spark.read.parquet(staged.map(_.toString): _*)
-      if (!r.columns.contains(RowIdCol)) fallback
-      else Option(r.agg(smax(col(RowIdCol))).head().get(0))
-        .map(_.asInstanceOf[Long] + 1L).map(math.max(_, fallback))
-        .getOrElse(fallback)
+    else stagedLongMaxViaFooters(spark, staged, RowIdCol) match {
+      case Some(vs) =>
+        vs.map(v => math.max(v + 1L, fallback)).getOrElse(fallback)
+      case None =>
+        val r = spark.read.parquet(staged.map(_.toString): _*)
+        if (!r.columns.contains(RowIdCol)) fallback
+        else Option(r.agg(smax(col(RowIdCol))).head().get(0))
+          .map(_.asInstanceOf[Long] + 1L).map(math.max(_, fallback))
+          .getOrElse(fallback)
     }
   }
 
@@ -2463,12 +2506,14 @@ object ManifestTable {
                            colName: String, fallback: Long): Long = {
     import org.apache.spark.sql.functions.{col, max => smax}
     if (staged.isEmpty) fallback
-    else {
-      val r = spark.read.parquet(staged.map(_.toString): _*)
-      if (!r.columns.contains(colName)) fallback
-      else Option(r.agg(smax(col(colName).cast("long"))).head().get(0))
-        .map(v => math.max(v.asInstanceOf[Long], fallback))
-        .getOrElse(fallback)
+    else stagedLongMaxViaFooters(spark, staged, colName) match {
+      case Some(vs) => vs.map(math.max(_, fallback)).getOrElse(fallback)
+      case None =>
+        val r = spark.read.parquet(staged.map(_.toString): _*)
+        if (!r.columns.contains(colName)) fallback
+        else Option(r.agg(smax(col(colName).cast("long"))).head().get(0))
+          .map(v => math.max(v.asInstanceOf[Long], fallback))
+          .getOrElse(fallback)
     }
   }
 
@@ -2483,7 +2528,8 @@ object ManifestTable {
   private def commit(df: DataFrame, path: String, partitionCols: Seq[String],
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
-                     tagHorizon: Int = DefaultTagHorizon): Long = {
+                     tagHorizon: Int = DefaultTagHorizon,
+                     partitionColsDecl: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -2601,11 +2647,18 @@ object ManifestTable {
         else guarded.select(guarded.schema.fieldNames.map(n =>
           org.apache.spark.sql.functions.col(n)
             .as(newMapping.getOrElse(n, n))).toSeq: _*)
+      // DECLARED partitioning (empty-table DDL / first-write
+      // declaration): an overwrite that names no layout inherits the
+      // table's declaration; an explicit partitionBy always wins
+      val effPartCols =
+        if (partitionCols.nonEmpty || carryForward) partitionCols
+        else if (partitionColsDecl.nonEmpty) partitionColsDecl
+        else prevState.map(_.partitionColsDecl).getOrElse(Nil)
       // partition DIRS carry physical names on mapped tables (k=v is
       // file layout, like footers) — reads translate via the mapping
       val partColsPhys =
-        if (!prevMapped) partitionCols
-        else partitionCols.map(c => newMapping.getOrElse(c, c))
+        if (!prevMapped) effPartCols
+        else effPartCols.map(c => newMapping.getOrElse(c, c))
       // ingestion-time clustering (liquid-clustering shape): declared
       // cluster columns sort each staged file LOCALLY — zero shuffle,
       // tight per-file stats on the cluster key from the first commit;
@@ -2676,7 +2729,9 @@ object ManifestTable {
         ndvAdds = ndvAdds, ndvRemoves = ndvRemoves,
         op = Some(if (carryForward) "APPEND" else "WRITE"),
         rowHighWater = newHigh,
-        identityHighWater = newIdentHigh)
+        identityHighWater = newIdentHigh,
+        partitionColsDecl =
+          if (partitionColsDecl.nonEmpty) Some(partitionColsDecl) else None)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2750,7 +2805,8 @@ object ManifestTable {
             tag: Option[String] = None,
             tagHorizon: Int = DefaultTagHorizon,
             sortCols: Seq[String] = Nil,
-            deleteVectors: Boolean = false): Long = {
+            deleteVectors: Boolean = false,
+            schemaEvolution: Boolean = false): Long = {
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       var attempt = 0
@@ -2759,7 +2815,8 @@ object ManifestTable {
           throw new IllegalStateException(
             s"no committed version at $path to merge into"))
         mergeAttempt(updates, path, key, deleteCol, statsCols, tag,
-          tagHorizon, sortCols, deleteVectors, prevV) match {
+          tagHorizon, sortCols, deleteVectors, prevV,
+          schemaEvolution = schemaEvolution) match {
           case Some(v) => return v
           case None    => attempt += 1
         }
@@ -2779,21 +2836,52 @@ object ManifestTable {
                            deleteCol: Option[String], statsCols: Seq[String],
                            tag: Option[String], tagHorizon: Int,
                            sortCols: Seq[String], deleteVectors: Boolean,
-                           prevV: Long): Option[Long] = {
+                           prevV: Long,
+                           schemaEvolution: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
     val spark = updates.sparkSession
     val f = fs(spark, path)
     val st = resolveState(spark, path, prevV)
     assertWritable(st, path)
     val version = prevV + 1L
-    val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-    // schema contract: exactly the table's columns (+ deleteCol)
+    val tableSchema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
     val updCols = updates.schema.fields
       .filterNot(fd => deleteCol.contains(fd.name))
-    require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
-        schema.fields.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq,
-      s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
-        s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
+    // schema contract: exactly the table's columns (+ deleteCol) — or,
+    // WITH SCHEMA EVOLUTION, a superset: additive source columns (and
+    // lossless widenings) evolve the committed schema IN THE MERGE
+    // COMMIT itself; untouched files read the new columns as NULL
+    // through the schema-on-read path (delta-spark's
+    // withSchemaEvolution() semantics).
+    val schema =
+      if (!schemaEvolution) {
+        require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
+            tableSchema.fields.map(fd => fd.name -> fd.dataType)
+              .sortBy(_._1).toSeq,
+          s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
+            s"must carry exactly the table columns ${tableSchema.fieldNames.mkString("(", ",", ")")}")
+        tableSchema
+      } else {
+        require(tableSchema.fieldNames
+            .forall(n => updCols.exists(_.name == n)),
+          "merge with schema evolution is ADDITIVE: the source must " +
+            s"carry every table column (missing: ${tableSchema.fieldNames
+              .filterNot(n => updCols.exists(_.name == n)).mkString(",")})")
+        evolve(tableSchema, StructType(updCols.toSeq))
+      }
+    val evolvedNew = schema.fields
+      .filterNot(fd => tableSchema.fieldNames.contains(fd.name)).toSeq
+    // column-mapped tables assign FRESH physical names to evolved
+    // columns (same counter discipline as append evolution — a
+    // dropped-then-re-added logical can never resurrect old file data)
+    val (mergeMapping, mergeMaxColId) =
+      if (!st.mapped || evolvedNew.isEmpty) (st.mapping, st.maxColId)
+      else {
+        var id = st.maxColId
+        (st.mapping ++ evolvedNew.map { fd => id += 1; fd.name -> s"col-$id" },
+          id)
+      }
+    def physEvolved(n: String): String = mergeMapping.getOrElse(n, n)
     val partCols = partitionColsOf(st.files)
     val delFlag = deleteCol.map(dc => coalesce(col(dc), lit(false)))
       .getOrElse(lit(false))
@@ -2859,9 +2947,12 @@ object ManifestTable {
       case None     => updates
     }
     // CHECK constraints enforce on the merge's upsert rows (carried
-    // rows were validated by the commit that wrote them)
+    // rows were validated by the commit that wrote them); the cast is
+    // the identity without evolution and lifts narrow update batches
+    // onto a widened committed type with it
     val ordered0 = constraintGuard(
-      generatedGuard(upserts.select(schema.fieldNames.map(col).toSeq: _*),
+      generatedGuard(upserts.select(schema.fields.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*),
         st.generated), st.constraints)
     // row tracking: an updated row KEEPS its base row's stable id (the
     // Delta 3.x row-tracking contract); inserts draw fresh ids above
@@ -2897,13 +2988,23 @@ object ManifestTable {
     val carrySchema =
       if (st.rowTracking) schema.fieldNames :+ RowIdCol
       else schema.fieldNames
+    // carried base rows are READ UNDER THE OLD SCHEMA (their files
+    // know nothing else), then projected up to the evolved one —
+    // evolved columns NULL, widened columns cast (no-op without
+    // evolution: the select is the identity projection)
+    val oldNames = tableSchema.fieldNames.toSet
+    def carryUp(base: DataFrame): DataFrame =
+      base.select(carrySchema.map { n =>
+        if (n == RowIdCol) col(n)
+        else if (oldNames.contains(n)) col(n).cast(schema(n).dataType).as(n)
+        else lit(null).cast(schema(n).dataType).as(n)
+      }.toSeq: _*)
     val newData =
       if (touched.isEmpty) ordered
-      else readStateDf(spark, path,
+      else carryUp(readStateDf(spark, path,
           st.copy(files = touched,
             schema = if (st.rowTracking) idSchema else st.schema))
-        .join(broadcast(updKeys), Seq(key), "left_anti")
-        .select(carrySchema.map(col).toSeq: _*)
+        .join(broadcast(updKeys), Seq(key), "left_anti"))
         .unionByName(ordered)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val snapDir = s"$path/snap-$version-$token"
@@ -2921,11 +3022,13 @@ object ManifestTable {
           sortCols.map(org.apache.spark.sql.functions.col): _*)
       else packed
       // column-mapped tables stage under PHYSICAL names (identity
-      // otherwise); mapping never changes across a merge
+      // otherwise); the mapping only changes when schema evolution
+      // added columns (fresh physicals assigned above)
       val physOut =
         if (!st.mapped) sorted
         else sorted.select(sorted.schema.fieldNames.map(n =>
-          org.apache.spark.sql.functions.col(n).as(st.phys(n))).toSeq: _*)
+          org.apache.spark.sql.functions.col(n)
+            .as(physEvolved(n))).toSeq: _*)
       val w = physOut.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(snapDir)
@@ -2976,9 +3079,18 @@ object ManifestTable {
       touched, newStats, tag, tagHorizon, Some(schema),
       dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(st.phys(key)) else None,
       mergeKey = Some(key), bloomAdds = bloomAdds, ndvAdds = ndvAdds,
+      mapping =
+        if (st.mapped && evolvedNew.nonEmpty) Some(mergeMapping) else None,
+      maxColId =
+        if (st.mapped && evolvedNew.nonEmpty) Some(mergeMaxColId) else None,
       rowHighWater =
         if (!st.rowTracking) None
-        else Some(stagedHighWater(spark, staged, st.rowHighWater)))
+        else Some(stagedHighWater(spark, staged, st.rowHighWater)),
+      // identity uniqueness contract: MERGE-supplied identity values
+      // must advance the high water too (same staged-column scan as
+      // commit()), or later engine-assigned ids could collide with them
+      identityHighWater = st.identityCol.map(pc =>
+        stagedColMax(spark, staged, pc, st.identityHighWater)))
     val manifest = manifestPath(path, version)
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -3036,7 +3148,8 @@ object ManifestTable {
                        sortCols: Seq[String] = Nil,
                        deleteVectors: Boolean = false,
                        updateSet: Seq[(String, Column)] = Nil,
-                       insertValues: Seq[(String, Column)] = Nil): Long = {
+                       insertValues: Seq[(String, Column)] = Nil,
+                       schemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, when, max => smax, min => smin}
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
@@ -3044,6 +3157,14 @@ object ManifestTable {
           .filter(col("count") > 1).isEmpty,
         s"conditional merge requires key-unique updates on '$key' — " +
           "multiple source rows match the same target row (ambiguous clauses)")
+      // Delta's WITH SCHEMA EVOLUTION applies to the star forms
+      // (UPDATE SET * / INSERT * / the clause-free upsert): an
+      // explicit assignment list targets known columns by definition
+      require(!schemaEvolution ||
+          (updateSet.isEmpty && insertValues.isEmpty),
+        "MERGE WITH SCHEMA EVOLUTION requires the star forms " +
+          "(UPDATE SET * / INSERT *) — explicit assignment lists " +
+          "cannot add columns")
       val anyClause = whenMatchedUpdate.isDefined ||
         whenMatchedDelete.isDefined || whenNotMatchedInsert.isDefined
       val delC = whenMatchedDelete.getOrElse(lit(false))
@@ -3110,9 +3231,14 @@ object ManifestTable {
             else lit(null).cast(dt)
           when(matched, updV).otherwise(insV).as(c)
         }
+        // evolved columns ride the star-form image straight from the
+        // source; mergeAttempt commits the evolved schema
+        val imageNames =
+          if (!schemaEvolution) schema.fieldNames.toSeq
+          else evolve(schema, updates.schema).fieldNames.toSeq
         val imageCols =
           if (updateSet.isEmpty && insertValues.isEmpty)
-            schema.fieldNames.map(col).toSeq
+            imageNames.map(col)
           else schema.fieldNames.map(imageCol).toSeq
         val compiled = resolved
           .withColumn("_graft_del", matched && delC)
@@ -3121,7 +3247,7 @@ object ManifestTable {
         mergeAttempt(compiled, path, key, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
           sortCols = sortCols, deleteVectors = deleteVectors,
-          prevV = prevV) match {
+          prevV = prevV, schemaEvolution = schemaEvolution) match {
           case Some(v) => return v
           case None    => attempt += 1 // lost the race: RE-RESOLVE above
         }
@@ -3716,7 +3842,12 @@ object ManifestTable {
         bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some(op),
         rowHighWater =
           if (!st.rowTracking || extra.isEmpty) None
-          else Some(stagedHighWater(spark, staged, st.rowHighWater)))
+          else Some(stagedHighWater(spark, staged, st.rowHighWater)),
+        // replaceWhere's staged batch carries the identity column by
+        // schema contract — supplied values advance the high water
+        // exactly as commit() does, preserving id uniqueness
+        identityHighWater = st.identityCol.map(pc =>
+          stagedColMax(spark, staged, pc, st.identityHighWater)))
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -3942,6 +4073,15 @@ object ManifestTable {
     * only) report METADATA with zero counts. Driver-side O(versions)
     * JSON reads — an operator console, not a data scan.
     */
+  /** Whether a version's log entry is PURE-INSERT (adds, no removes,
+    * no DV adds) — consumers use this to skip retraction machinery on
+    * append commits. One driver-side JSON read, no data I/O. */
+  private[graft] def commitAddsOnly(spark: SparkSession, path: String,
+                                    version: Long): Boolean =
+    readNodeIfExists(fs(spark, path), manifestPath(path, version)).exists {
+      n => strArr(n, "removes").isEmpty && strArr(n, "dvAdds").isEmpty
+    }
+
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, path)
@@ -4340,35 +4480,54 @@ object ManifestTable {
             if (dvAdds.isEmpty) None
             else Some(dvKilledRows(spark, path, prev, dvAdds, cur.dvKey.get)
               .select(cols: _*))
-          val ins0 = addedRows.exceptAll(removedRows)
-          val del0 = killed.foldLeft(removedRows.exceptAll(addedRows))(_ unionAll _)
+          // BOTH multiset differences in ONE wide aggregate (r13 —
+          // was two exceptAll plans, each rescanning both sides): net
+          // copy-count per row = adds − removes; positive rows are
+          // inserts, negative deletes, zero cancels. The net frame is
+          // TINY (changed rows only) and cached — it feeds both
+          // classifications (and the matched-key probe under images).
+          import org.apache.spark.sql.functions.{abs => sabs, array_repeat, broadcast, explode, sum => ssum, when => swhen}
+          val net = addedRows.withColumn("_graft_s", lit(1))
+            .unionAll(killed.foldLeft(
+              removedRows.withColumn("_graft_s", lit(-1)))(
+              (d, kl) => d.unionAll(kl.withColumn("_graft_s", lit(-1)))))
+            .groupBy(cols: _*)
+            .agg(ssum(col("_graft_s")).as("_graft_n"))
+            .filter(col("_graft_n") =!= 0)
+            .cache()
+          def replicated(side: org.apache.spark.sql.DataFrame) =
+            side.withColumn("_dup",
+              explode(array_repeat(lit(1),
+                sabs(col("_graft_n")).cast("int"))))
           val mergeKey = Option(node.get("mergeKey")).map(_.asText())
           mergeKey.filter(_ => updateImages) match {
             case Some(k) =>
-              // the two multiset differences feed FIVE consumers below
-              // (matched + two joins each); cache them at touched-file
-              // scale so each exceptAll subtree runs its scans once, not
-              // per consumer (the bench harness unpersists between
-              // queries; feed blocks free on driver GC)
-              val ins = ins0.cache()
-              val del = del0.cache()
-              // matched keys (DISTINCT, null-free by join semantics) on
-              // both sides split into pre/post images; the rest keep
-              // their insert/delete verdicts
-              val matched = ins.select(col(k)).intersect(del.select(col(k)))
-              ins.join(matched, Seq(k), "left_anti")
-                .select(cols: _*).withColumn("_change", lit("insert"))
-                .unionAll(ins.join(matched, Seq(k), "left_semi")
-                  .select(cols: _*)
-                  .withColumn("_change", lit("update_postimage")))
-                .unionAll(del.join(matched, Seq(k), "left_semi")
-                  .select(cols: _*)
-                  .withColumn("_change", lit("update_preimage")))
-                .unionAll(del.join(matched, Seq(k), "left_anti")
-                  .select(cols: _*).withColumn("_change", lit("delete")))
+              // matched keys (appear with BOTH signs) split into
+              // pre/post images; single-sign keys keep insert/delete.
+              // Broadcast by the merge contract (matched ≤ |updates|).
+              val matched = broadcast(
+                net.filter(col("_graft_n") > 0).select(col(k))
+                  .join(net.filter(col("_graft_n") < 0).select(col(k)),
+                    Seq(k), "inner")
+                  .distinct().withColumn("_graft_m", lit(1)))
+              def classify(side: org.apache.spark.sql.DataFrame,
+                           hit: String, miss: String) =
+                replicated(side)
+                  .join(matched, Seq(k), "left")
+                  .withColumn("_change",
+                    swhen(col("_graft_m").isNotNull, lit(hit))
+                      .otherwise(lit(miss)))
+                  .select(cols :+ col("_change"): _*)
+              classify(net.filter(col("_graft_n") > 0),
+                  "update_postimage", "insert")
+                .unionAll(classify(net.filter(col("_graft_n") < 0),
+                  "update_preimage", "delete"))
             case None =>
-              ins0.withColumn("_change", lit("insert"))
-                .unionAll(del0.withColumn("_change", lit("delete")))
+              replicated(net.filter(col("_graft_n") > 0))
+                .withColumn("_change", lit("insert"))
+                .unionAll(replicated(net.filter(col("_graft_n") < 0))
+                  .withColumn("_change", lit("delete")))
+                .select(cols :+ col("_change"): _*)
           }
         } else diff(spark, path, version - 1, version)
       } else {
@@ -4549,8 +4708,12 @@ object ManifestTable {
         case _: java.io.IOException => 0L
       }
     }.sum
+    val partCols = partitionColsOf(st.files) match {
+      case Nil  => st.partitionColsDecl // declared, not yet materialized
+      case some => some
+    }
     Seq((v, st.ts, st.files.size.toLong, sizeBytes,
-      partitionColsOf(st.files).map(st.logical).mkString(","),
+      partCols.map(st.logical).mkString(","),
       st.clusterCols.map(st.logical).mkString(","),
       st.clusteredFiles.size.toLong,
       st.statsSchemaCols.map(st.logical).mkString(","),

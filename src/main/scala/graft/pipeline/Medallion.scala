@@ -1140,6 +1140,70 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared MERGE-SCHEMA-EVOLUTION query (round 13, delta-spark's
+    * `withSchemaEvolution()`): the base table commits WITHOUT
+    * `o_orderpriority`; the merge source carries it additively, so
+    * the merge commit itself evolves the schema — matched rows update
+    * in place with the new column populated, every untouched file is
+    * carried byte-untouched and reads the new column as NULL through
+    * schema-on-read (MergeEvolutionSpec asserts the carry and the
+    * mapped-table fresh-physical discipline). The oracle recomputes
+    * the evolved table relationally.
+    */
+  def mergeEvolutionOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_mev_", sfDir) + "/orders_ev"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.drop("o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val upd = orders.filter(col("o_orderkey") % 3 === 0)
+    ManifestTable.merge(upd, path, "o_orderkey", schemaEvolution = true)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared NAMED-FORMAT query (round 13): the reference's LITERAL
+    * I/O surface — `df.write.format(...).mode(...).save(p)` and
+    * `spark.read.format(...).load(p)`
+    * (`/root/reference/src/etl_pipeline.py:66-69,77`) — over
+    * [[graft.sources.GraftFormat]]:
+    *
+    *  1. overwrite-save the orders table through the format string;
+    *  2. tagged append (`option("txnTag", ...)`) — REPLAYED, proving
+    *     the exactly-once no-op;
+    *  3. selective overwrite through `option("replaceWhere", cond)`;
+    *  4. read back through `spark.read.format("graft").load`.
+    *
+    * FormatSpec plan-audits that the read is the SAME
+    * manifest-governed vectorized scan as the path API (the
+    * placeholder relation never reaches physical planning), and that
+    * replaceWhere carries non-matching files byte-identically. The
+    * oracle recomputes the lifecycle relationally.
+    */
+  def formatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_format_", sfDir) + "/orders_fmt"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val orders = Tables.orders(s, sfDir)
+      orders.write.format("graft").mode("overwrite").save(path)
+      // appended slice keyed far above real orderkeys; the replayed
+      // tagged save must be a silent no-op (no double rows)
+      val extra = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(400000000L))
+      extra.write.format("graft").mode("append")
+        .option("txnTag", "fmt-r13").save(path)
+      extra.write.format("graft").mode("append")
+        .option("txnTag", "fmt-r13").save(path)
+      // replaceWhere swaps the WHOLE 'P' slice (including appended 'P'
+      // rows) for the halved, re-prioritized batch
+      orders.filter(col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", lit("4-FMTRW"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "o_orderstatus = 'P'").save(path)
+      s.read.format("graft").load(path).orderBy(col("o_orderkey"))
+    }
+  }
+
   /** Declared CATALOG-NAME query: the full table lifecycle driven BY
     * NAME (`graft.g12.orders_cat`), never by path — the surface the
     * reference's platform exposes through its Delta catalog
@@ -1166,11 +1230,21 @@ object Medallion {
                   WHERE o_orderkey % 79 = 0) AS u
            ON t.o_orderkey = u.o_orderkey
            WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 111.0""")
-      s.sql("INSERT INTO graft.g12.orders_cat " +
+      // round 13: the insert batch routes through an EMPTY-DECLARED
+      // staging table (plain CREATE TABLE with schema + NOT NULL —
+      // declare-schema-then-ingest), proving the DDL verb end-to-end
+      // inside the lifecycle without changing the final content
+      s.sql("CREATE TABLE graft.g12.orders_stage (" +
+        "o_orderkey BIGINT NOT NULL, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)")
+      s.sql("INSERT INTO graft.g12.orders_stage " +
         "SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey, " +
         "'N' AS o_orderstatus, o_totalprice, o_orderdate, " +
         "'7-CATINS' AS o_orderpriority " +
         "FROM orders_cat_src WHERE o_orderkey % 89 = 0")
+      s.sql("INSERT INTO graft.g12.orders_cat " +
+        "SELECT * FROM graft.g12.orders_stage")
       s.sql("SELECT * FROM graft.g12.orders_cat ORDER BY o_orderkey")
     }
   }

@@ -5,12 +5,16 @@ import graft.pipeline.ManifestTable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Analyzer rule resolving graft-addressed TABLE NAMES —
   * `spark.table("graft.db.t")`, `SELECT ... FROM graft.db.t`,
-  * `FROM graft.t` — to the manifest-governed read plan.
+  * `FROM graft.t` — to the manifest-governed read plan, and
+  * `spark.read.format("graft")` placeholder relations
+  * ([[graft.sources.GraftRelation]]) to the same plan.
   *
   * Injected via the public `injectResolutionRule` hook
   * ([[GraftExtensions]]), the same mechanism Delta-class systems use
@@ -51,5 +55,41 @@ case class GraftNameResolution(session: SparkSession)
             df.queryExecution.analyzed
           case _ => u
         }
+
+      // ResolveRelations path: the catalog plugin's loadTable claims
+      // graft identifiers with a capability-less shell (so 2-part
+      // `graft.t` can't be misread as SQL-on-file now that `graft` is
+      // a registered source name); swap the shell relation for the
+      // manifest plan here, honoring Delta's read-option time travel.
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.catalog.GraftShellTable] =>
+        val shell = r.table.asInstanceOf[graft.catalog.GraftShellTable]
+        val path = shell.path.getOrElse(
+          GraftCatalog.tablePath(session, shell.tableName))
+        val df =
+          if (r.options.containsKey("versionAsOf"))
+            ManifestTable.readVersion(session, path,
+              r.options.get("versionAsOf").toLong)
+          else if (r.options.containsKey("timestampAsOf"))
+            ManifestTable.readAsOfTimestamp(session, path,
+              GraftSqlCommands.parseTimestampMillis(
+                r.options.get("timestampAsOf")))
+          else ManifestTable.read(session, path)
+        val plan = df.queryExecution.analyzed
+        Project(r.output.zip(plan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId) }, plan)
+
+      // format("graft") batch read: swap the V1 placeholder relation
+      // for the manifest-governed vectorized scan BEFORE any physical
+      // planning — name reads, path reads and format reads all share
+      // ONE read path. The Project re-binds the scan's fresh attributes
+      // onto the LogicalRelation's original exprIds so every operator
+      // already referencing them stays resolved.
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[graft.sources.GraftRelation] =>
+        val plan = lr.relation.asInstanceOf[graft.sources.GraftRelation]
+          .frame.queryExecution.analyzed
+        Project(lr.output.zip(plan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId) }, plan)
     }
 }

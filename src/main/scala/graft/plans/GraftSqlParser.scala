@@ -148,7 +148,9 @@ object GraftSqlStatements {
   private val updateRe =
     s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val mergeRe =
-    s"(?is)^\\s*MERGE\\s+INTO\\s+$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*;?\\s*$$".r
+    ("(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+" +
+      s"$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)" +
+      "\\s+(WHEN\\s+.+?)\\s*;?\\s*$").r
   private val renameColRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$".r
   private val dropColRe =
@@ -177,6 +179,21 @@ object GraftSqlStatements {
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+LOCATION\\s+$P\\s*;?\\s*$$".r
   private val dropTableRe =
     s"(?is)^\\s*DROP\\s+TABLE\\s+$P(\\s+PURGE)?\\s*;?\\s*$$".r
+  // Empty-table DDL: the WITH-partitioning alternative is tried first
+  // so the greedy column group cannot swallow the PARTITIONED BY
+  // clause (column DDL may contain parens — DECIMAL(10,2) — so the
+  // group must stay greedy).
+  private val createSchemaPartRe =
+    (s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+\\s+)?" +
+      "PARTITIONED\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*;?\\s*$").r
+  private val createSchemaRe =
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+)?\\s*;?\\s*$$".r
+  private val renameTableRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+TO\\s+(?:graft\\.)?([\\w.]+)\\s*;?\\s*$$".r
+  private val showCreateRe =
+    s"(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+$P\\s*;?\\s*$$".r
+  private val describeExtRe =
+    s"(?is)^\\s*DESCRIBE\\s+EXTENDED\\s+$P\\s*;?\\s*$$".r
   private val showTablesRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft(?:\\.(\\w+))?\\s*;?\\s*$".r
 
@@ -211,9 +228,9 @@ object GraftSqlStatements {
     case updateRe(path, setText, cond) =>
       Some(GraftUpdateCommand(path, splitTopLevel(setText).map(parseAssign),
         Option(cond).getOrElse("true")))
-    case mergeRe(path, alias, source, on, clauses) =>
+    case mergeRe(evo, path, alias, source, on, clauses) =>
       Some(parseMerge(path, Option(alias), source.trim, on.trim,
-        clauses.trim))
+        clauses.trim, schemaEvolution = evo != null))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -226,6 +243,16 @@ object GraftSqlStatements {
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
     case createLocationRe(name, location) =>
       Some(GraftRegisterTableCommand(name, location))
+    case createSchemaPartRe(name, cols, parts) =>
+      Some(GraftCreateTableCommand(name, cols,
+        parts.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
+    case createSchemaRe(name, cols)
+        if !cols.trim.toUpperCase.startsWith("SELECT") =>
+      Some(GraftCreateTableCommand(name, cols, Nil))
+    case renameTableRe(name, newName) =>
+      Some(GraftRenameTableCommand(name, newName))
+    case showCreateRe(name) => Some(GraftShowCreateCommand(name))
+    case describeExtRe(name) => Some(GraftDescribeExtendedCommand(name))
     case dropTableRe(name, purge) =>
       Some(GraftDropTableCommand(name, purge != null))
     case showTablesRe(db) =>
@@ -265,11 +292,13 @@ object GraftSqlStatements {
     * reference — alias the table instead).
     */
   private val targetKeywords = Seq(
-    "MERGE\\s+INTO", "INSERT\\s+INTO", "INSERT\\s+OVERWRITE", "UPDATE",
+    "MERGE\\s+INTO", "MERGE\\s+WITH\\s+SCHEMA\\s+EVOLUTION\\s+INTO",
+    "INSERT\\s+INTO", "INSERT\\s+OVERWRITE", "UPDATE",
     "DELETE\\s+FROM", "OPTIMIZE", "RESTORE(?:\\s+TABLE)?", "VACUUM",
     "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
+    "DESCRIBE\\s+EXTENDED", "SHOW\\s+CREATE\\s+TABLE",
     "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
-    "SHALLOW\\s+CLONE")
+    "SHALLOW\\s+CLONE", "DROP\\s+TABLE")
 
   def rewriteNames(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.")) return sqlText
@@ -344,15 +373,23 @@ object GraftSqlStatements {
     (a.take(i).trim, a.drop(i + 1).trim)
   }
 
+  // The clause-boundary lookahead requires a FULL clause head —
+  // `WHEN [NOT] MATCHED [AND ...] THEN <action keyword>` — not just
+  // `WHEN ... MATCHED`, so an UPDATE SET payload containing
+  // `CASE WHEN matched THEN 1 ...` (a column literally named
+  // `matched`) is not truncated mid-expression: the CASE arm's THEN
+  // is followed by a value, never by UPDATE SET/DELETE/INSERT.
   private val whenRe =
     ("(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
       "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*|" +
       "INSERT\\s*\\(.+?\\)\\s*VALUES\\s*\\(.+?\\))\\s*" +
-      "(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
+      "(?=WHEN\\s+(?:NOT\\s+)?MATCHED(?:\\s+AND\\s+.+?)?\\s+THEN\\s+" +
+      "(?:UPDATE\\s+SET|DELETE|INSERT)|$)").r
 
   private def parseMerge(path: String, targetAlias: Option[String],
                          source: String, on: String,
-                         clauses: String): LogicalPlan = {
+                         clauses: String,
+                         schemaEvolution: Boolean = false): LogicalPlan = {
     // ON: `k`, `t.k = s.k`, or `k = k` — extract the shared key name
     val onIdent = "(?s)^\\s*(?:(\\w+)\\.)?(\\w+)\\s*$".r
     val onEq =
@@ -457,7 +494,7 @@ object GraftSqlStatements {
       updClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
       delCond.map(rewriteMergeCond(_, targetAlias, srcAlias)),
       insClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
-      updateSet, insertValues)
+      updateSet, insertValues, schemaEvolution)
   }
 
   /** Strip a `target.`/alias qualifier off an assignment LHS. */
@@ -654,7 +691,8 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
                              whenMatchedDelete: Option[String],
                              whenNotMatchedInsert: Option[String],
                              updateSet: Seq[(String, String)] = Nil,
-                             insertValues: Seq[(String, String)] = Nil)
+                             insertValues: Seq[(String, String)] = Nil,
+                             schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -669,7 +707,8 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       whenMatchedDelete = whenMatchedDelete.map(expr),
       whenNotMatchedInsert = whenNotMatchedInsert.map(expr),
       updateSet = updateSet.map { case (c, e) => (c, expr(e)) },
-      insertValues = insertValues.map { case (c, e) => (c, expr(e)) })))
+      insertValues = insertValues.map { case (c, e) => (c, expr(e)) },
+      schemaEvolution = schemaEvolution)))
   }
 }
 
@@ -795,6 +834,74 @@ case class GraftShowTablesCommand(db: String)
       .map { case (t, p) => Row(t, p) }
 }
 
+/** `CREATE TABLE graft.db.t (col TYPE [NOT NULL], ...) [USING graft]
+  * [PARTITIONED BY (cols)]` — the Delta declare-schema-then-ingest
+  * norm: one EMPTY manifest commit carrying the schema (plus one
+  * metadata commit per NOT NULL invariant), so constraints / identity
+  * / clustering can be declared before the first data write.
+  */
+case class GraftCreateTableCommand(nameSpec: String, colsDdl: String,
+                                   partCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("created", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = GraftSqlCommands.nameOf(nameSpec)
+    val notNull = scala.collection.mutable.ArrayBuffer[String]()
+    val cleaned = GraftSqlStatements.splitTopLevel(colsDdl).map { e =>
+      val t = e.trim
+      val stripped = t.replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
+      if (stripped != t) notNull += stripped.trim.split("\\s+").head
+      stripped
+    }
+    val schema = StructType.fromDDL(cleaned.mkString(", "))
+    graft.catalog.GraftCatalog.createTable(session, name, schema, partCols)
+    val path = graft.catalog.GraftCatalog.tablePath(session, name)
+    notNull.foreach(c => ManifestTable.setNotNull(session, path, c): Unit)
+    Seq(Row(name))
+  }
+}
+
+/** ALTER TABLE graft.db.t RENAME TO [graft.]db2.t2. */
+case class GraftRenameTableCommand(nameSpec: String, newName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("renamed", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.catalog.GraftCatalog.renameTable(session,
+      GraftSqlCommands.nameOf(nameSpec), newName)
+    Seq(Row(newName))
+  }
+}
+
+/** SHOW CREATE TABLE — one deterministic `createtab_stmt` row (no
+  * timestamps) reconstructing the declared surface: columns with
+  * NOT NULL / IDENTITY / GENERATED annotations, partitioning,
+  * clustering, location for externals, CHECK constraints as
+  * `graft.constraints.*` properties (Delta's convention).
+  */
+case class GraftShowCreateCommand(nameSpec: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.renderCreate(session, nameSpec)))
+}
+
+/** DESCRIBE EXTENDED — Spark's (col_name, data_type, comment) shape:
+  * the columns, then a `# Detailed Table Information` section from
+  * manifest metadata only (deterministic — no timestamps).
+  */
+case class GraftDescribeExtendedCommand(nameSpec: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlCommands.describeExtendedRows(session, nameSpec)
+}
+
 object GraftSqlCommands {
   /** Resolve a verb target: a literal path passes through, a
     * `graft:db.t` name spec maps through the catalog. */
@@ -807,6 +914,112 @@ object GraftSqlCommands {
     require(spec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix),
       s"this verb needs a catalog name (graft.db.t), got '$spec'")
     spec.stripPrefix(graft.catalog.GraftCatalog.PathSpecPrefix)
+  }
+
+  /** Shared metadata snapshot for the introspection verbs — one state
+    * resolution, zero data I/O. */
+  private def tableMeta(session: SparkSession, nameSpec: String) = {
+    val path = rp(session, nameSpec)
+    val v = ManifestTable.currentVersion(session, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = ManifestTable.resolveState(session, path, v)
+    val schema = ManifestTable.manifestSchema(session, path, v)
+      .getOrElse(ManifestTable.read(session, path).schema)
+    val detail = ManifestTable.describeDetail(session, path).head()
+    (path, v, st, schema, detail)
+  }
+
+  private def displayName(session: SparkSession, nameSpec: String): String =
+    if (nameSpec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix))
+      s"graft.${nameSpec.stripPrefix(graft.catalog.GraftCatalog.PathSpecPrefix)}"
+    else s"graft.'$nameSpec'"
+
+  private def isExternal(session: SparkSession, nameSpec: String): Boolean =
+    nameSpec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix) && {
+      val (db, t) = graft.catalog.GraftCatalog.splitName(
+        nameSpec.stripPrefix(graft.catalog.GraftCatalog.PathSpecPrefix))
+      graft.catalog.GraftCatalog.externals(session, db).contains(t)
+    }
+
+  private def columnAnnotations(session: SparkSession, path: String)
+      : (Set[String], Map[String, String], Option[(String, Long, Long)]) =
+    (ManifestTable.notNullColumns(session, path).toSet,
+      ManifestTable.generatedColumns(session, path),
+      ManifestTable.identityInfo(session, path))
+
+  def renderCreate(session: SparkSession, nameSpec: String): String = {
+    val (path, _, st, schema, detail) = tableMeta(session, nameSpec)
+    val (nn, gen, ident) = columnAnnotations(session, path)
+    val cols = schema.fields.map { f =>
+      val base = s"  ${f.name} ${f.dataType.sql}"
+      val idPart = ident match {
+        case Some((c, step, _)) if c == f.name || st.logical(c) == f.name =>
+          s" GENERATED BY DEFAULT AS IDENTITY" +
+            (if (step != 1L) s" (STEP $step)" else "")
+        case _ => ""
+      }
+      val genPart = gen.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)")
+        .getOrElse("")
+      base + idPart + genPart +
+        (if (nn.contains(f.name)) " NOT NULL" else "")
+    }.mkString(",\n")
+    val partLine = Option(detail.getAs[String]("partition_columns"))
+      .filter(_.nonEmpty).map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
+    val clusterLine = Option(detail.getAs[String]("cluster_columns"))
+      .filter(_.nonEmpty).map(c => s"\nCLUSTER BY ($c)").getOrElse("")
+    val locLine =
+      if (isExternal(session, nameSpec) ||
+          !nameSpec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix))
+        s"\nLOCATION '$path'"
+      else ""
+    val checkProps = st.constraints.toSeq
+      .filterNot(_._1.startsWith(ManifestTable.NotNullPrefix))
+      .sortBy(_._1)
+      .map { case (n, e) => s"  'graft.constraints.$n' = '$e'" }
+    val propLine =
+      if (checkProps.isEmpty) ""
+      else checkProps.mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    s"CREATE TABLE ${displayName(session, nameSpec)} (\n$cols)\n" +
+      s"USING graft$partLine$clusterLine$locLine$propLine"
+  }
+
+  def describeExtendedRows(session: SparkSession,
+                           nameSpec: String): Seq[Row] = {
+    val (path, v, st, schema, detail) = tableMeta(session, nameSpec)
+    val (nn, gen, ident) = columnAnnotations(session, path)
+    val colRows = schema.fields.map { f =>
+      val notes = Seq(
+        if (nn.contains(f.name)) Some("not null") else None,
+        ident.collect { case (c, step, _)
+            if c == f.name || st.logical(c) == f.name =>
+          s"identity(step=$step)" },
+        gen.get(f.name).map(e => s"generated: $e")).flatten
+      Row(f.name, f.dataType.simpleString, notes.mkString("; "))
+    }.toSeq
+    val checks = st.constraints.toSeq
+      .filterNot(_._1.startsWith(ManifestTable.NotNullPrefix))
+      .sortBy(_._1).map { case (n, e) => s"$n CHECK ($e)" }
+    def kv(k: String, value: String) = Row(k, value, "")
+    colRows ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed Table Information", "", ""),
+      kv("Name", displayName(session, nameSpec)),
+      kv("Type",
+        if (!nameSpec.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix))
+          "PATH"
+        else if (isExternal(session, nameSpec)) "EXTERNAL" else "MANAGED"),
+      kv("Location", path),
+      kv("Provider", "graft"),
+      kv("Version", v.toString),
+      kv("Num Files", detail.getAs[Long]("num_files").toString),
+      kv("Partition Columns", detail.getAs[String]("partition_columns")),
+      kv("Cluster Columns", detail.getAs[String]("cluster_columns")),
+      kv("Stats Columns", detail.getAs[String]("stats_columns")),
+      kv("Constraints", checks.mkString("; ")),
+      kv("Row Tracking", st.rowTracking.toString),
+      kv("Column Mapping", st.mapped.toString),
+      kv("Protocol",
+        s"minReader=${st.minReader} minWriter=${st.minWriter}"))
   }
 
   /** `'yyyy-MM-dd HH:mm:ss[.fff]'` (or with a 'T') or epoch millis. */

@@ -48,10 +48,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * the default trigger, where each new version arrives as its own
   * micro-batch (the live-pickup spec).
   *
-  * Registered as `format("graft-table-feed")` with `option("path", …)`
-  * (full provider class name; DataSourceRegister short names need a
-  * META-INF services entry, and the library keeps resources out of the
-  * jar — callers use [[TableFeedSource.readStream]]).
+  * Reachable three ways: `format("graft")` (the registered short name
+  * — [[graft.sources.GraftFormat]] delegates its streaming-source role
+  * here), the full provider class name, or the
+  * [[TableFeedSource.readStream]] helper. `option("path", …)` takes a
+  * storage path or a `graft:db.t` catalog name, symmetric with the
+  * sink.
   */
 class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -185,9 +187,15 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
 
 object TableFeedSource {
 
+  /** Storage path or `graft:db.t` catalog name — the SAME addressing
+    * the sink accepts ([[GraftSink]]), so a name-addressed table can
+    * be written AND subscribed to by name. */
   private[streaming] def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-table-feed needs option(\"path\", …)"))
+    graft.catalog.GraftCatalog.resolvePathSpec(
+      org.apache.spark.sql.SparkSession.active,
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException(
+          "graft-table-feed needs option(\"path\", <table path or graft:db.t>)")))
 
   /** Option keys arrive case-lowered through the DataSource API. */
   private[streaming] def maxVersionsOf(parameters: Map[String, String]): Option[Int] =
@@ -355,10 +363,20 @@ object TableFeedSource {
       merge: (DataFrame, DataFrame) => DataFrame,
       live: org.apache.spark.sql.Column,
       keyCols: Seq[String], tag: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, concat_ws, not}
+    import org.apache.spark.sql.functions.{broadcast, concat, length, lit, not, when}
+    // Collision-safe group-key encoding: each key value becomes a
+    // LENGTH-PREFIXED segment `v<len>:<value>` (self-delimiting, so a
+    // value containing any separator character cannot fuse two
+    // segments), and NULL becomes the sentinel `n;` — distinct from
+    // every `v...` segment and from the empty string (`v0:`). A plain
+    // concat_ws would conflate ("a|b") with ("a","b") and silently
+    // DROP nulls, merging unrelated state groups.
     def withKey(df: DataFrame): DataFrame =
-      df.withColumn("_gkey",
-        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      df.withColumn("_gkey", concat(keyCols.map { c =>
+        val s = col(c).cast("string")
+        when(s.isNull, lit("n;"))
+          .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+      }: _*))
     ManifestTable.currentVersion(sp, statePath) match {
       case None =>
         ManifestTable.write(withKey(delta0.filter(live)), statePath,
@@ -489,6 +507,27 @@ object TableFeedSource {
       Seq("o_custkey", "day"))
   }
 
+  /** BATCH CDC FOLD (round 13 — replaces the AvailableNow streaming
+    * lifecycle this ran as through round 12): one call reads the
+    * change rows of every upstream version past the consumer's
+    * watermark DIRECTLY (the identical
+    * [[ManifestTable.changesForVersion]] unit the feed source serves),
+    * folds them through the pre/post-image cancellation, and commits
+    * at most ONE state delta. Same observable contract, none of the
+    * fixed per-call streaming machinery (query lifecycle, checkpoint
+    * dir, offset log, micro-batch scheduling — ~2/3 of the wall time
+    * at bench scale, measured by DevFeedTime).
+    *
+    * Exactly-once without an engine checkpoint: the watermark is the
+    * tag `<tagPrefix>-v<upstreamVersion>` COMMITTED ATOMICALLY with
+    * the state delta — recovery takes the highest surviving tag, so a
+    * crash between commit and the advisory watermark-file write can
+    * never double-fold. The advisory file covers the cancelled-batch
+    * case (nothing committed → nothing to tag; re-folding a cancelled
+    * range is a no-op anyway, the file just skips the recompute) and
+    * tag-horizon expiry. Returns (merged, skipped, unchanged) —
+    * merged/unchanged are at most 1 per call now (one combined fold).
+    */
   private def feedMergeableGoldImages(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String, statePath: String, checkpointLocation: String,
@@ -498,48 +537,100 @@ object TableFeedSource {
       merge: (DataFrame, DataFrame) => DataFrame,
       live: org.apache.spark.sql.Column,
       keyCols: Seq[String]): (Long, Long, Long) = {
-    val ckpt =
-      if (checkpointLocation != null) checkpointLocation
-      else statePath.stripSuffix("/") + "_ckpt"
-    val merged = new java.util.concurrent.atomic.AtomicLong(0)
-    val skipped = new java.util.concurrent.atomic.AtomicLong(0)
-    val unchanged = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = readStream(spark, tablePath, updateImages = true).writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val tag = s"$tagPrefix-$id"
-          val sp = batch.sparkSession
-          if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
-            skipped.incrementAndGet()
-          else {
-            // four aggregates read this batch — materialize its CDC
-            // scan once instead of re-executing it per consumer
-            val b = batch.cache()
-            try {
-              val pre = stateOf(b.filter(col("_change") === "update_preimage"))
-              val post = stateOf(b.filter(col("_change") === "update_postimage"))
-              // groups with identical pre/post contributions cancel HERE —
-              // exceptAll on exact state rows, one tiny aggregate each side
-              val delta = merge(
-                merge(stateOf(b.filter(col("_change") === "insert")),
-                  post.exceptAll(pre)),
-                negate(merge(stateOf(b.filter(col("_change") === "delete")),
-                  pre.exceptAll(post))))
-              if (delta.isEmpty) { unchanged.incrementAndGet(): Unit }
-              else {
-                commitStateDelta(sp, statePath, delta, merge, live,
-                  keyCols, tag)
-                merged.incrementAndGet(): Unit
-              }
-            } finally b.unpersist(blocking = false)
-          }
-        }: Unit
+    import org.apache.spark.sql.functions.lit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val markPath = new org.apache.hadoop.fs.Path(
+      if (checkpointLocation != null) s"$checkpointLocation/$tagPrefix.watermark"
+      else statePath.stripSuffix("/") + s"_$tagPrefix.watermark")
+    def readMark(): Long =
+      try {
+        val f = markPath.getFileSystem(conf)
+        if (!f.exists(markPath)) 0L
+        else {
+          val in = f.open(markPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong
+          finally in.close()
+        }
+      } catch { case _: Throwable => 0L }
+    def writeMark(v: Long): Unit =
+      try {
+        val f = markPath.getFileSystem(conf)
+        f.mkdirs(markPath.getParent)
+        val out = f.create(markPath, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      } catch { case _: Throwable => () } // advisory — tags are the truth
+    val cur = ManifestTable.currentVersion(spark, tablePath)
+      .getOrElse(return (0L, 0L, 0L))
+    val tagWater = ManifestTable.currentVersion(spark, statePath)
+      .map(v => ManifestTable.resolveState(spark, statePath, v).tags.keys
+        .filter(_.startsWith(s"$tagPrefix-v"))
+        .map(_.stripPrefix(s"$tagPrefix-v").toLong))
+      .getOrElse(Iterable.empty)
+    val last = (tagWater ++ Seq(readMark())).foldLeft(0L)(math.max)
+    if (cur <= last) return (0L, 1L, 0L)
+    val allVs = ManifestTable.versions(spark, tablePath)
+    // retention contract (the feed source's failOnDataLoss rule): a
+    // resume point older than the oldest surviving version cannot be
+    // replayed incrementally — fail loudly, never re-deliver silently
+    require(last == 0L || allVs.isEmpty || last + 1 >= allVs.head,
+      s"fold resume point $last of $tablePath is out of retention " +
+        s"(oldest surviving version ${allVs.headOption.getOrElse(-1L)}) — " +
+        "re-bootstrap the subscription from the current snapshot")
+    val vs = allVs.filter(v => v > last && v <= cur)
+    val batch0 = vs.map { v =>
+      // vacuumed-history bootstrap: the oldest surviving version of a
+      // FRESH subscription reads as a snapshot of inserts (its
+      // predecessor is gone) — the feed source's exact rule
+      val changes =
+        if (last == 0L && v == vs.head && v != 1L)
+          ManifestTable.readVersion(spark, tablePath, v)
+            .withColumn("_change", lit("insert"))
+        else ManifestTable.changesForVersion(spark, tablePath, v)
+      changes.withColumn("_commit_version", lit(v))
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(return (0L, 0L, 0L))
+    // an INSERT-ONLY fold (appends / the initial load / the snapshot
+    // bootstrap) has no retractions and no images by construction —
+    // its delta is ONE aggregate over the change rows, skipping the
+    // pre/post/exceptAll machinery entirely (manifest metadata says
+    // so; no data scan decides this)
+    val insertOnly = vs.forall(v => v == 1L ||
+      (last == 0L && v == vs.head) ||
+      ManifestTable.commitAddsOnly(spark, tablePath, v))
+    val toFree = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val delta =
+      if (insertOnly) stateOf(batch0)
+      else {
+        // NEW-side vs OLD-side state contributions (r13 — was a
+        // six-aggregate pre/post-image split): exact per-group ROW
+        // equality between the two sides cancels every group whose
+        // aggregate inputs did not change, so an aggregate-irrelevant
+        // rewrite yields an EMPTY delta and commits no state version —
+        // the image-awareness contract, at two aggregates instead of
+        // six (cancellation lives at the STATE level; the row-level
+        // pre/post vocabulary is only needed by consumers that must
+        // distinguish updates from delete+insert, not by this fold)
+        val b = batch0.cache(); toFree += b
+        val cNew = stateOf(b.filter(
+          col("_change").isin("insert", "update_postimage"))).cache()
+        val cOld = stateOf(b.filter(
+          col("_change").isin("delete", "update_preimage"))).cache()
+        toFree += cNew; toFree += cOld
+        merge(cNew.exceptAll(cOld), negate(cOld.exceptAll(cNew)))
       }
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    (merged.get(), skipped.get(), unchanged.get())
+    // one materialization serves the emptiness probe AND the commit —
+    // without it the deep delta DAG would execute twice more
+    val deltaC = delta.cache(); toFree += deltaC
+    try {
+      if (deltaC.isEmpty) { writeMark(cur); (0L, 0L, 1L) }
+      else {
+        commitStateDelta(spark, statePath, deltaC, merge, live,
+          keyCols, s"$tagPrefix-v$cur")
+        writeMark(cur)
+        (1L, 0L, 0L)
+      }
+    } finally toFree.foreach(_.unpersist(blocking = false))
   }
 
   /** Declared table-as-stream query: four commit styles — initial

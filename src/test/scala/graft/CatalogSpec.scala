@@ -135,6 +135,150 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("DROP TABLE ... PURGE deletes external data (r13: verb reachable on bare names)") {
+    val ext = java.nio.file.Files.createTempDirectory("graft_cat_prg")
+      .toString + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), ext)
+    withSql { s =>
+      s.sql(s"CREATE TABLE graft.prg.victim LOCATION '$ext'")
+      assert(s.table("graft.prg.victim").count() === 1)
+      s.sql("DROP TABLE graft.prg.victim PURGE")
+      assert(GraftCatalog.listTables(s, "prg").isEmpty)
+      assert(!new java.io.File(ext).exists,
+        "PURGE must delete the external data directory")
+    }
+  }
+
+  test("empty-table DDL lifecycle: declare schema -> constraint -> ingest -> rename -> read by new name (r13)") {
+    withSql { s =>
+      import s.implicits._
+      s.sql("CREATE TABLE graft.ddl.orders_decl " +
+        "(o_id BIGINT NOT NULL, o_amt DOUBLE, o_day STRING)")
+      // declared empty: readable, zero rows, schema committed
+      val empty = s.table("graft.ddl.orders_decl")
+      assert(empty.count() === 0)
+      assert(empty.schema.fieldNames.toSeq === Seq("o_id", "o_amt", "o_day"))
+      assert(ManifestTable.notNullColumns(s,
+        s"$warehouseRoot/ddl/orders_decl") === Seq("o_id"))
+      // constraint BEFORE any data
+      s.sql("ALTER TABLE graft.ddl.orders_decl " +
+        "ADD CONSTRAINT amt_pos CHECK (o_amt > 0)")
+      // ingest respects both the invariant and the constraint
+      s.sql("INSERT INTO graft.ddl.orders_decl " +
+        "SELECT 1L AS o_id, CAST(10.0 AS DOUBLE) AS o_amt, 'd1' AS o_day")
+      intercept[Exception] {
+        s.sql("INSERT INTO graft.ddl.orders_decl " +
+          "SELECT 2L AS o_id, CAST(-5.0 AS DOUBLE) AS o_amt, 'd1' AS o_day")
+      }
+      intercept[Exception] {
+        s.sql("INSERT INTO graft.ddl.orders_decl " +
+          "SELECT CAST(NULL AS BIGINT) AS o_id, " +
+          "CAST(5.0 AS DOUBLE) AS o_amt, 'd1' AS o_day")
+      }
+      assert(s.table("graft.ddl.orders_decl").count() === 1)
+      // rename (same db), read by the NEW name, old name gone
+      s.sql("ALTER TABLE graft.ddl.orders_decl RENAME TO graft.ddl.orders_live")
+      assert(s.table("graft.ddl.orders_live")
+        .select("o_id").as[Long].head() === 1L)
+      assert(!new java.io.File(s"$warehouseRoot/ddl/orders_decl").exists)
+      intercept[Exception] { s.table("graft.ddl.orders_decl").count() }
+      // cross-database rename moves the directory
+      s.sql("ALTER TABLE graft.ddl.orders_live RENAME TO graft.ddl2.orders_live")
+      assert(s.table("graft.ddl2.orders_live").count() === 1)
+      // PARTITIONED BY declaration is validated against the schema,
+      // recorded in the manifest, and INHERITED by the first data
+      // overwrite (which names no layout of its own)
+      s.sql("CREATE TABLE graft.ddl.part_decl (id BIGINT, y INT) " +
+        "PARTITIONED BY (y)")
+      assert(s.table("graft.ddl.part_decl").count() === 0)
+      assert(ManifestTable.describeDetail(s,
+          s"$warehouseRoot/ddl/part_decl")
+        .select("partition_columns").head().getString(0) === "y",
+        "declared partitioning must survive the empty commit")
+      s.sql("INSERT OVERWRITE graft.ddl.part_decl " +
+        "SELECT id, CAST(id % 2 AS INT) AS y FROM RANGE(10)")
+      val partDirs = new java.io.File(s"$warehouseRoot/ddl/part_decl")
+        .listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("y="))
+      assert(partDirs.toSet === Set("y=0", "y=1"),
+        s"first overwrite must inherit the declared k=v layout: ${partDirs.toSeq}")
+      assert(s.table("graft.ddl.part_decl").count() === 10)
+      intercept[Exception] {
+        s.sql("CREATE TABLE graft.ddl.bad_part (id BIGINT) " +
+          "PARTITIONED BY (nope)")
+      }
+      // external rename: registry re-point, data never moves
+      val ext = java.nio.file.Files.createTempDirectory("graft_cat_rn")
+        .toString + "/t"
+      ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), ext)
+      s.sql(s"CREATE TABLE graft.ddl.ext_old LOCATION '$ext'")
+      s.sql("ALTER TABLE graft.ddl.ext_old RENAME TO graft.ddl.ext_new")
+      assert(s.table("graft.ddl.ext_new").count() === 1)
+      assert(GraftCatalog.externals(s, "ddl").get("ext_new") === Some(ext))
+      assert(!GraftCatalog.externals(s, "ddl").contains("ext_old"))
+    }
+  }
+
+  test("DESCRIBE EXTENDED / SHOW CREATE TABLE are deterministic and carry the declared surface (r13)") {
+    withSql { s =>
+      import s.implicits._
+      s.sql("CREATE TABLE graft.intro.t " +
+        "(id BIGINT NOT NULL, amt DECIMAL(10,2), day STRING) " +
+        "PARTITIONED BY (day)")
+      s.sql("ALTER TABLE graft.intro.t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      s.sql("ALTER TABLE graft.intro.t ADD IDENTITY COLUMN id START WITH 10")
+      val ddl = s.sql("SHOW CREATE TABLE graft.intro.t")
+        .as[String].head()
+      assert(ddl.contains("CREATE TABLE graft.intro.t"), ddl)
+      assert(ddl.contains("id BIGINT GENERATED BY DEFAULT AS IDENTITY NOT NULL"), ddl)
+      assert(ddl.contains("amt DECIMAL(10,2)"), ddl)
+      assert(ddl.contains("USING graft"), ddl)
+      assert(ddl.contains("'graft.constraints.amt_pos' = 'amt > 0'"), ddl)
+      assert(!ddl.toLowerCase.contains("location"),
+        s"managed table must not render LOCATION: $ddl")
+      // twice -> byte-identical (determinism)
+      assert(s.sql("SHOW CREATE TABLE graft.intro.t").as[String].head() === ddl)
+      val desc = s.sql("DESCRIBE EXTENDED graft.intro.t").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(desc.take(3).toSeq === Seq(
+        ("id", "bigint", "not null; identity(step=1)"),
+        ("amt", "decimal(10,2)", ""),
+        ("day", "string", "")), desc.toSeq)
+      val info = desc.dropWhile(_._1 != "# Detailed Table Information")
+        .map { case (k, v, _) => k -> v }.toMap
+      assert(info("Name") === "graft.intro.t")
+      assert(info("Type") === "MANAGED")
+      assert(info("Provider") === "graft")
+      assert(info("Partition Columns") === "day")
+      assert(info("Constraints") === "amt_pos CHECK (amt > 0)")
+      assert(info("Protocol") === "minReader=1 minWriter=1")
+      // no timestamp field anywhere in the section
+      assert(!info.keys.exists(_.toLowerCase.contains("time")), info)
+    }
+  }
+
+  test("dropNamespace: non-empty refused without CASCADE; CASCADE deletes the dir and breaks same-warehouse clones (pinned hazard, r13)") {
+    withSql { s =>
+      GraftCatalog.saveAsTable(s.range(0, 3).toDF("id"), "dropns.t1")
+      // a same-warehouse shallow clone in ANOTHER namespace references
+      // files under dropns — the documented cascade-drop hazard
+      val cloneDst = s"$warehouseRoot/keepns/c1"
+      ManifestTable.cloneShallow(s, s"$warehouseRoot/dropns/t1", cloneDst)
+      assert(s.table("graft.keepns.c1").count() === 3)
+      // non-empty namespace without CASCADE is refused
+      intercept[Exception] { s.sql("DROP NAMESPACE graft.dropns") }
+      assert(new java.io.File(s"$warehouseRoot/dropns").isDirectory)
+      s.sql("DROP NAMESPACE graft.dropns CASCADE")
+      assert(!new java.io.File(s"$warehouseRoot/dropns").exists)
+      // pinned: the clone's external refs now dangle (external clones
+      // survive a source drop; SAME-WAREHOUSE clones do not — audit
+      // clones before a cascade drop, as before VACUUM)
+      intercept[Exception] {
+        ManifestTable.read(s, cloneDst).count()
+      }
+    }
+  }
+
   test("read-option time travel on names: versionAsOf / timestampAsOf (r12)") {
     withSql { s =>
       GraftCatalog.saveAsTable(s.range(0, 6).toDF("id"), "ttro.t")

@@ -167,6 +167,28 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE SET payload with a column literally named `matched` is not truncated (r13)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sql13m").toString
+    val path = s"$root/t"
+    ManifestTable.write(
+      Seq((1L, 10L, false), (2L, 20L, true), (3L, 30L, false))
+        .toDF("id", "v", "matched"), path)
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 0L, true), (2L, 0L, false), (4L, 40L, true)))
+        .toDF("id", "v", "matched").createOrReplaceTempView("m_src")
+      // the CASE arm's `WHEN matched THEN 100` must NOT be read as a
+      // new WHEN MATCHED clause head — the old lookahead split here
+      s.sql(
+        s"""MERGE INTO '$path' AS t USING m_src AS u ON t.id = u.id
+            WHEN MATCHED THEN UPDATE SET v = CASE WHEN matched THEN 100 ELSE -1 END
+            WHEN NOT MATCHED THEN INSERT *""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 100L), (2L, -1L), (3L, 30L), (4L, 40L)),
+        s"CASE WHEN matched payload mis-parsed: $got")
+    }
+  }
+
   test("MERGE SQL clause order is first-clause-wins; duplicates and unreachable clauses rejected (r12)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sql9").toString
     withSql { s =>
