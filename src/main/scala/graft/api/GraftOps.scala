@@ -829,4 +829,25 @@ object GraftOps {
   def saveAsTable(df: DataFrame, name: String,
                   mode: String = "overwrite"): Long =
     graft.catalog.GraftCatalog.saveAsTable(df, name, mode)
+
+  /** Declare an EMPTY table (schema + optional partitioning) under a
+    * catalog name — Delta's plain CREATE TABLE (r13). */
+  def createTable(spark: org.apache.spark.sql.SparkSession, name: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String] = Nil): Unit =
+    graft.catalog.GraftCatalog.createTable(spark, name, schema,
+      partitionCols)
+
+  /** Rename a catalog-name table (managed: one dir move; external:
+    * registry re-point) — `ALTER TABLE ... RENAME TO` (r13). */
+  def renameTable(spark: org.apache.spark.sql.SparkSession,
+                  oldName: String, newName: String): Unit =
+    graft.catalog.GraftCatalog.renameTable(spark, oldName, newName)
+
+  /** Keyed CoW MERGE with additive SCHEMA EVOLUTION — delta-spark's
+    * `withSchemaEvolution()` (r13). */
+  def mergeVersionedEvolving(updates: DataFrame, path: String,
+                             key: String): Long =
+    graft.pipeline.ManifestTable.merge(updates, path, key,
+      schemaEvolution = true)
 }

@@ -429,6 +429,14 @@ object TableFeedSource {
     * negate(state(deletes)); groups failing `live` (fully retracted)
     * drop; each refresh commits atomically under the batch tag.
     */
+  /** Non-image gold maintenance shares the SAME batch CDC fold as the
+    * images variant (r13 — through r12 this was its own AvailableNow
+    * streaming lifecycle per call): new-side/old-side state exceptAll
+    * gives these consumers the aggregate-irrelevant-rewrite
+    * cancellation for free, and the per-call fixed cost drops to the
+    * fold's own jobs. (merged, skipped) reading is unchanged —
+    * a cancelled fold reports (0, 0).
+    */
   private def feedMergeableGold(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, statePath: String, checkpointLocation: String,
       tagPrefix: String,
@@ -437,38 +445,9 @@ object TableFeedSource {
       merge: (DataFrame, DataFrame) => DataFrame,
       live: org.apache.spark.sql.Column,
       keyCols: Seq[String]): (Long, Long) = {
-    val ckpt =
-      if (checkpointLocation != null) checkpointLocation
-      else statePath.stripSuffix("/") + "_ckpt"
-    val merged = new java.util.concurrent.atomic.AtomicLong(0)
-    val skipped = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = readStream(spark, tablePath).writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val tag = s"$tagPrefix-$id"
-          val sp = batch.sparkSession
-          if (ManifestTable.committedVersionOfTag(sp, statePath, tag).isDefined)
-            skipped.incrementAndGet()
-          else {
-            // the batch feeds two aggregates — materialize its CDC
-            // scan once instead of re-executing it per consumer
-            val b = batch.cache()
-            try {
-              val delta = merge(
-                stateOf(b.filter(col("_change") === "insert")),
-                negate(stateOf(b.filter(col("_change") === "delete"))))
-              commitStateDelta(sp, statePath, delta, merge, live,
-                keyCols, tag)
-              merged.incrementAndGet(): Unit
-            } finally b.unpersist(blocking = false)
-          }
-        }: Unit
-      }
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    (merged.get(), skipped.get())
+    val (m, s, _) = feedMergeableGoldImages(spark, tablePath, statePath,
+      checkpointLocation, tagPrefix, stateOf, negate, merge, live, keyCols)
+    (m, s)
   }
 
   /** UPDATE-IMAGE-AWARE gold maintenance: the same closed CDC loop as

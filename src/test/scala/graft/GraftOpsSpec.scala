@@ -384,4 +384,26 @@ class GraftOpsSpec extends SparkSpec {
     GraftOps.cloneTable(spark, path, dst)
     assert(GraftOps.readVersioned(spark, dst).count() === 200)
   }
+
+  test("facade catalog/evolution verbs: createTable, renameTable, mergeVersionedEvolving (r13)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ops_cat").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      GraftOps.createTable(spark, "fac.decl",
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+      assert(GraftOps.table(spark, "fac.decl").count() === 0)
+      GraftOps.saveAsTable(Seq((1L, "a")).toDF("id", "v"), "fac.decl",
+        mode = "append")
+      GraftOps.renameTable(spark, "fac.decl", "fac.live")
+      assert(GraftOps.table(spark, "fac.live").count() === 1)
+      val path = s"$wh/fac/live"
+      GraftOps.mergeVersionedEvolving(
+        Seq((1L, "A", 9.5), (2L, "b", 0.5)).toDF("id", "v", "score"),
+        path, "id")
+      val got = GraftOps.table(spark, "fac.live")
+        .select("id", "v", "score").as[(Long, String, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, "A", 9.5), (2L, "b", 0.5)))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
 }
