@@ -101,7 +101,20 @@ object ScaleProbe {
     // metadata change + NULL-fill projection, never a table rewrite);
     // the image-aware gold fold reads O(changed files) per upstream
     // commit and aggregates at group cardinality
-    "format_roundtrip", "merge_evolution", "feed_gold_images")
+    "format_roundtrip", "merge_evolution", "feed_gold_images",
+    // late round-13 additions: the CDF range read costs O(touched
+    // files per version in range) — here the append's own files plus
+    // the delete's rewrites, linear in DATA via the probe's base
+    // write, never a two-snapshot diff; ADD COLUMNS is ONE metadata
+    // commit (zero data files — the probe's cost is the base write +
+    // populated append); SQL time travel on names resolves
+    // version→scan in driver metadata (cost = the CTAS/INSERT
+    // lifecycle's own staging); the startingVersion drain reads the
+    // at-or-after-floor versions' files only — v1's bootstrap never
+    // enters a batch, which must show as sub-proportional cost when
+    // the skipped fraction grows
+    "cdf_read_options", "add_columns", "catalog_time_travel",
+    "stream_feed_from")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

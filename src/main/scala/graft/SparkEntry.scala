@@ -138,6 +138,9 @@ object SparkEntry {
     "format_roundtrip"   -> ((s, d) => graft.pipeline.Medallion.formatRoundtrip(s, d)),
     "merge_evolution"    -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionOrders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
+    "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
+    "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
+    "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -155,6 +158,7 @@ object SparkEntry {
     "stream_table_feed"  -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeed(s, d)),
     "stream_feed_bounded" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedBounded(s, d)),
     "stream_feed_images" -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedImages(s, d)),
+    "stream_feed_from"   -> ((s, d) => graft.streaming.TableFeedSource.streamTableFeedFrom(s, d)),
     "feed_gold_images"   -> ((s, d) => graft.streaming.TableFeedSource.feedGoldImagesQuery(s, d)),
     "stream_sink_ingest" -> ((s, d) => graft.streaming.EventsStream.streamSinkIngest(s, d)),
     "stream_dedup"       -> ((s, d) => graft.streaming.EventsStream.dedupEventsStream(s, d)),
@@ -1596,6 +1600,48 @@ object SparkEntry {
                   '3-REPLACED' AS o_orderpriority
            FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
          ORDER BY o_orderkey""",
+    // Relational recompute of the CDF read-options range
+    // (Medallion.cdfReadOptions): startingVersion = 2 skips v1's
+    // bootstrap inserts; v2's append arrives as inserts, v3's
+    // predicate delete as plain delete rows — carried rows from the
+    // delete's file rewrites must cancel out of the multiset diff.
+    "cdf_read_options" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'insert' AS _change,
+                  CAST(2 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'delete' AS _change,
+                  CAST(3 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey % 97 = 0)
+         ORDER BY o_orderkey, _commit_version, _change""",
+    // Relational recompute of the metadata-only ADD COLUMNS evolution
+    // (Medallion.addColumnsOrders): even keys predate the ALTER and
+    // read both new columns as NULL; odd keys arrive populated.
+    "add_columns" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  CAST(NULL AS VARCHAR) AS o_channel,
+                  CAST(NULL AS DOUBLE) AS o_score
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  'ch-' || CAST(o_orderkey % 5 AS VARCHAR) AS o_channel,
+                  CAST(o_orderkey % 100 AS DOUBLE) / 10.0 AS o_score
+           FROM orders WHERE o_orderkey % 2 = 1)
+         ORDER BY o_orderkey""",
+    // Relational recompute of SQL VERSION AS OF on a catalog name
+    // (Medallion.catalogTimeTravel): version 1 is the CTAS half; the
+    // later INSERT must never leak backward through name resolution.
+    "catalog_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
     // Relational recompute of the merge-evolution lifecycle
     // (Medallion.mergeEvolutionOrders): the base committed without
     // o_orderpriority; the evolving merge upserts every %3 key with
@@ -1892,6 +1938,16 @@ object SparkEntry {
          ORDER BY o_orderkey, _commit_version, _change""",
     // Admission-controlled feed drain (TableFeedSource
     // .streamTableFeedBounded): the SAME relational recompute as
+    // startingVersion bounds the FIRST offset of a fresh subscription
+    // (TableFeedSource.streamTableFeedFrom): v1's bootstrap inserts
+    // never enter a batch; v2/v3 arrive tagged exactly once.
+    "stream_feed_from" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority, 'insert' AS _change,
+                CAST(CASE WHEN o_orderkey % 3 = 1 THEN 2 ELSE 3 END
+                  AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 3 <> 0
+         ORDER BY o_orderkey, _commit_version, _change""",
     // stream_table_feed — maxVersionsPerBatch must change batching
     // only, never content or version tags.
     "stream_feed_bounded" ->

@@ -74,6 +74,30 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new NoSuchTableException(ident))
   }
 
+  /** SQL time travel on names — `FROM graft.db.t VERSION AS OF n`.
+    * The shell pins the version; the analyzer rule swaps in the
+    * pinned manifest scan (schema = that version's committed schema,
+    * so evolution boundaries travel correctly). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftShellTable]
+    val v = version.toLong
+    val p = base.path.get
+    val schema = graft.pipeline.ManifestTable.manifestSchema(spark, p, v)
+      .getOrElse(graft.pipeline.ManifestTable
+        .readVersion(spark, p, v).schema)
+    base.copy(tableSchema = schema, pinnedVersion = Some(v))
+  }
+
+  /** `FROM graft.db.t TIMESTAMP AS OF ts` — `timestamp` arrives in
+    * MICROseconds since epoch (the TableCatalog contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftShellTable]
+    val ms = timestamp / 1000L
+    val schema = graft.pipeline.ManifestTable
+      .readAsOfTimestamp(spark, base.path.get, ms).schema
+    base.copy(tableSchema = schema, pinnedTimestampMs = Some(ms))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftCatalog.resolve(spark,
         catalogName +: ident.namespace.toSeq :+ ident.name)
@@ -201,7 +225,9 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   */
 private[graft] case class GraftShellTable(
     tableName: String, tableSchema: StructType,
-    path: Option[String]) extends Table {
+    path: Option[String],
+    pinnedVersion: Option[Long] = None,
+    pinnedTimestampMs: Option[Long] = None) extends Table {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[

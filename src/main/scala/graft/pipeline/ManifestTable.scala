@@ -1340,6 +1340,57 @@ object ManifestTable {
       s"constraint commit lost $maxAttempts races at $path — giving up")
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` — METADATA-ONLY additive schema
+    * evolution (Delta's shape, r13): the committed schema gains the
+    * columns in one log entry, ZERO data files are touched; every
+    * existing file reads the new columns as NULL through
+    * schema-on-read (the same contract an evolving append relies on).
+    * Column-mapped tables assign FRESH physical names from the
+    * monotone counter, so a dropped-then-re-added name can never
+    * resurrect old file data. The append/merge evolution paths stay
+    * available — this is the declare-without-data spelling.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: StructType, maxAttempts: Int = 3): Long = {
+    require(cols.fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version at $path to evolve"))
+      val st = resolveState(spark, path, prevV)
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      cols.fieldNames.foreach(n =>
+        require(!schema.fieldNames.contains(n),
+          s"column '$n' already exists at $path"))
+      val newSchema = StructType(schema.fields ++ cols.fields)
+      val (mapOpt, maxIdOpt) =
+        if (!st.mapped) (None, None)
+        else {
+          var id = st.maxColId
+          val fresh = cols.fieldNames.map { n => id += 1; n -> s"col-$id" }
+          (Some(st.mapping ++ fresh), Some(id))
+        }
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, Some(newSchema),
+        mapping = mapOpt, maxColId = maxIdOpt, op = Some("SCHEMA"))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ADD COLUMNS commit lost $maxAttempts races at $path — giving up")
+  }
+
   /** Reserved CHECK-constraint name prefix carrying the NOT NULL
     * column invariants (see [[setNotNull]]). */
   val NotNullPrefix = "graft_nn_"
@@ -4544,6 +4595,22 @@ object ManifestTable {
         } else diff(spark, path, version - 1, version)
       }
     }
+  }
+
+  /** Change rows for versions [from, to], each tagged with its
+    * `_commit_version` — Delta CDF's `table_changes` unit (the SQL TVF
+    * and the `readChangeFeed` format option both serve this). Aligns
+    * by name across schema evolution (missing columns NULL). */
+  def changesBetween(spark: SparkSession, path: String,
+                     from: Long, to: Long,
+                     updateImages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(from >= 1 && to >= from,
+      s"changesBetween needs 1 <= fromVersion <= toVersion, got [$from, $to]")
+    (from to to).map { v =>
+      changesForVersion(spark, path, v, updateImages)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row-level changes for one version keyed by STABLE ROW ID

@@ -1249,6 +1249,96 @@ object Medallion {
     }
   }
 
+  /** Declared CDF-READ-OPTIONS query (round 13, Delta's
+    * `spark.read.format(...).option("readChangeFeed", "true")` read
+    * surface over [[graft.sources.GraftFormat]]): three commits — a
+    * base load, an append, a predicate delete — read back as change
+    * rows from `startingVersion = 2`: the append's inserts tagged
+    * `_commit_version = 2` and the delete's removals tagged `3`. The
+    * delete REWRITES files spanning both earlier commits, so a hash
+    * match proves the per-version multiset diff cancels every carried
+    * row (only genuinely deleted rows surface) and the version-range
+    * union aligns schemas and tags correctly. Cost is O(touched files
+    * per version in range), never a table diff — the property that
+    * makes a CDF readable on a 100 TB table.
+    */
+  def cdfReadOptions(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_cdf_opts_", sfDir) + "/orders_cdfo"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val orders = Tables.orders(s, sfDir)
+      ManifestTable.write(
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        path, statsCols = Seq("o_orderkey"))                           // v1
+      ManifestTable.append(
+        orders.filter(col("o_orderkey") % 3 =!= 0), path)              // v2
+      ManifestTable.deleteWhere(s, path, col("o_orderkey") % 97 === 0,
+        statsCols = Seq("o_orderkey"))                                 // v3
+      s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load(path)
+        .orderBy(col("o_orderkey"), col("_commit_version"), col("_change"))
+    }
+  }
+
+  /** Declared ADD-COLUMNS query (round 13, Delta's `ALTER TABLE ...
+    * ADD COLUMNS` metadata-only evolution): the base table commits,
+    * the SQL verb adds two typed columns in ONE log entry touching
+    * ZERO data files ([[ManifestTable.addColumns]] —
+    * MergeEvolutionSpec asserts the identical file set), then an
+    * append populates them. Pre-evolution rows read the new columns
+    * as NULL through schema-on-read. The oracle recomputes both
+    * generations relationally — a hash match proves the declared
+    * schema presents uniformly across physical file generations
+    * without any rewrite, the contract that makes widening a 100 TB
+    * table's schema a metadata operation.
+    */
+  def addColumnsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_add_cols_", sfDir) + "/orders_ac"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val orders = Tables.orders(s, sfDir)
+      ManifestTable.write(orders.filter(col("o_orderkey") % 2 === 0), path)
+      s.sql(
+        s"ALTER TABLE '$path' ADD COLUMNS (o_channel STRING, o_score DOUBLE)")
+      ManifestTable.append(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_channel",
+            concat(lit("ch-"), col("o_orderkey") % 5))
+          .withColumn("o_score",
+            (col("o_orderkey") % 100).cast("double") / lit(10.0)),
+        path)
+      ManifestTable.read(s, path).orderBy(col("o_orderkey"))
+    }
+  }
+
+  /** Declared SQL-TIME-TRAVEL-ON-NAMES query (round 13): `SELECT ...
+    * FROM graft.db.t VERSION AS OF n` — Spark's native time-travel
+    * clause resolved through the V2 `loadTable(ident, version)`
+    * overload ([[graft.catalog.GraftCatalogPlugin]]); the pinned
+    * version rides the shell table into the analyzer rule, which
+    * swaps in THAT version's manifest scan under its committed
+    * schema. CTAS + INSERT build two versions by name; the declared
+    * result travels back to version 1. The oracle recomputes the v1
+    * content relationally — a hash match proves later commits never
+    * leak backward through the name-resolution path (the same
+    * guarantee `time_travel_timestamp` proves for the path API).
+    */
+  def catalogTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = scratch("graft_cat_tt_", sfDir)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      s.conf.set("spark.graft.warehouse", wh)
+      Tables.orders(s, sfDir).createOrReplaceTempView("orders_tt_src")
+      s.sql("CREATE TABLE graft.g13.orders_tt AS " +
+        "SELECT * FROM orders_tt_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft.g13.orders_tt " +
+        "SELECT * FROM orders_tt_src WHERE o_orderkey % 2 = 1")
+      s.sql("SELECT * FROM graft.g13.orders_tt VERSION AS OF 1 " +
+        "ORDER BY o_orderkey")
+    }
+  }
+
   /** Declared INCREMENTAL-CLUSTERING query
     * ([[ManifestTable.setClusterColumns]] / [[ManifestTable.optimizeClustered]]
     * — the Delta 3.x liquid-clustering shape): declare cluster columns,

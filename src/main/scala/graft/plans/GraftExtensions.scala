@@ -154,14 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else graft.pipeline.ManifestTable.currentVersion(spark, path)
             .getOrElse(throw new IllegalStateException(
               s"no committed version at $path"))
-        require(from >= 1 && to >= from,
-          s"graft_table_changes needs 1 <= fromVersion <= toVersion, " +
-            s"got [$from, $to]")
-        val lit = org.apache.spark.sql.functions.lit _
-        (from to to).map { v =>
-          graft.pipeline.ManifestTable.changesForVersion(spark, path, v)
-            .withColumn("_commit_version", lit(v))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        graft.pipeline.ManifestTable.changesBetween(spark, path, from, to)
           .queryExecution.logical
       }))
     ext.injectTableFunction((

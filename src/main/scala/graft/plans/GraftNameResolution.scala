@@ -66,8 +66,15 @@ case class GraftNameResolution(session: SparkSession)
         val shell = r.table.asInstanceOf[graft.catalog.GraftShellTable]
         val path = shell.path.getOrElse(
           GraftCatalog.tablePath(session, shell.tableName))
+        // travel precedence: SQL `VERSION/TIMESTAMP AS OF` pins on the
+        // shell (V2 loadTable overloads); else Delta's read options
         val df =
-          if (r.options.containsKey("versionAsOf"))
+          if (shell.pinnedVersion.isDefined)
+            ManifestTable.readVersion(session, path, shell.pinnedVersion.get)
+          else if (shell.pinnedTimestampMs.isDefined)
+            ManifestTable.readAsOfTimestamp(session, path,
+              shell.pinnedTimestampMs.get)
+          else if (r.options.containsKey("versionAsOf"))
             ManifestTable.readVersion(session, path,
               r.options.get("versionAsOf").toLong)
           else if (r.options.containsKey("timestampAsOf"))

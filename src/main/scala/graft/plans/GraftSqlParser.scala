@@ -175,6 +175,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+STATS\\s+COLUMNS\\s+([\\w\\s,]*?)\\s*;?\\s*$$".r
   private val identityRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$$".r
+  private val addColumnsRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$".r
   private val createLocationRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+LOCATION\\s+$P\\s*;?\\s*$$".r
   private val dropTableRe =
@@ -237,6 +239,8 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "drop_column", Seq(name)))
     case addConstraintRe(path, name, check) =>
       Some(GraftAlterCommand(path, "add_constraint", Seq(name, check.trim)))
+    case addColumnsRe(path, colsDdl) =>
+      Some(GraftAlterCommand(path, "add_columns", Seq(colsDdl.trim)))
     case dropConstraintRe(path, name) =>
       Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
     case cloneRe(dst, src, v) =>
@@ -728,6 +732,9 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.dropColumn(session, path, args(0))
       case "add_constraint" =>
         ManifestTable.addCheckConstraint(session, path, args(0), args(1))
+      case "add_columns" =>
+        ManifestTable.addColumns(session, path,
+          StructType.fromDDL(args(0)))
       case "drop_constraint" =>
         ManifestTable.dropCheckConstraint(session, path, args(0))
       case "analyze" =>

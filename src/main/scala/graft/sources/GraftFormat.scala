@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.StructType
   *     .option("timestampAsOf", "2026-01-01 00:00:00")
   *     .load(pathOrName)
   *
+  *   spark.read.format("graft")                        // Delta's CDF
+  *     .option("readChangeFeed", "true")               // read surface
+  *     .option("startingVersion", 2)
+  *     .option("endingVersion", 4)                     // default: current
+  *     .load(pathOrName)                               // + _change, _commit_version
+  *
   * One class registers every role of the name (META-INF services entry
   * ships with the jar, so the SHORT name works like `"delta"` does):
   * batch read, batch write, streaming sink
@@ -67,9 +73,40 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
     val path = GraftFormat.pathOf(spark, parameters)
     require(ManifestTable.currentVersion(spark, path).isDefined,
       s"no committed graft table at $path")
+    // Delta's CDF read surface: .option("readChangeFeed", "true") +
+    // startingVersion|startingTimestamp [+ endingVersion|endingTimestamp].
+    // Timestamps resolve against COMMIT wall-times in the log (driver
+    // metadata): starting = first version at-or-after the instant,
+    // ending = newest at-or-before it.
+    val cdf = GraftFormat.opt(parameters, "readChangeFeed")
+      .exists(_.toBoolean)
+    val from =
+      if (!cdf) None
+      else GraftFormat.opt(parameters, "startingVersion").map(_.toLong)
+        .orElse(GraftFormat.opt(parameters, "startingTimestamp").map { ts =>
+          val ms = graft.plans.GraftSqlCommands.parseTimestampMillis(ts)
+          ManifestTable.versions(spark, path)
+            .find(v => ManifestTable.commitTimestamp(spark, path, v) >= ms)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no commit at or after startingTimestamp '$ts' at $path"))
+        })
+    require(!cdf || from.isDefined,
+      "readChangeFeed needs option(\"startingVersion\", n) or " +
+        "option(\"startingTimestamp\", ts)")
+    val to =
+      if (!cdf) None
+      else GraftFormat.opt(parameters, "endingVersion").map(_.toLong)
+        .orElse(GraftFormat.opt(parameters, "endingTimestamp").map { ts =>
+          val ms = graft.plans.GraftSqlCommands.parseTimestampMillis(ts)
+          ManifestTable.versions(spark, path)
+            .filter(v => ManifestTable.commitTimestamp(spark, path, v) <= ms)
+            .lastOption.getOrElse(throw new IllegalArgumentException(
+              s"no commit at or before endingTimestamp '$ts' at $path"))
+        })
     GraftRelation(sqlContext, path,
       GraftFormat.opt(parameters, "versionAsOf").map(_.toLong),
-      GraftFormat.opt(parameters, "timestampAsOf"))
+      GraftFormat.opt(parameters, "timestampAsOf"),
+      changeFeedFrom = from, changeFeedTo = to)
   }
 
   // --- batch write ----------------------------------------------------
@@ -183,17 +220,27 @@ object GraftFormat {
   */
 case class GraftRelation(sqlContext: SQLContext, path: String,
                          versionAsOf: Option[Long],
-                         timestampAsOf: Option[String])
+                         timestampAsOf: Option[String],
+                         changeFeedFrom: Option[Long] = None,
+                         changeFeedTo: Option[Long] = None)
     extends BaseRelation with TableScan {
 
   /** The manifest-governed read this relation stands for. */
   private[graft] def frame: DataFrame = {
     val spark = sqlContext.sparkSession
-    (versionAsOf, timestampAsOf) match {
-      case (Some(v), _) => ManifestTable.readVersion(spark, path, v)
-      case (_, Some(ts)) => ManifestTable.readAsOfTimestamp(spark, path,
-        graft.plans.GraftSqlCommands.parseTimestampMillis(ts))
-      case _ => ManifestTable.read(spark, path)
+    changeFeedFrom match {
+      case Some(from) =>
+        ManifestTable.changesBetween(spark, path, from,
+          changeFeedTo.getOrElse(
+            ManifestTable.currentVersion(spark, path).getOrElse(
+              throw new IllegalStateException(
+                s"no committed version at $path"))))
+      case None => (versionAsOf, timestampAsOf) match {
+        case (Some(v), _) => ManifestTable.readVersion(spark, path, v)
+        case (_, Some(ts)) => ManifestTable.readAsOfTimestamp(spark, path,
+          graft.plans.GraftSqlCommands.parseTimestampMillis(ts))
+        case _ => ManifestTable.read(spark, path)
+      }
     }
   }
 

@@ -77,15 +77,24 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
       TableFeedSource.maxVersionsOf(parameters),
       Some(metadataPath),
       TableFeedSource.updateImagesOf(parameters),
-      TableFeedSource.rowIdsOf(parameters))
+      TableFeedSource.rowIdsOf(parameters),
+      TableFeedSource.startingVersionOf(sqlContext.sparkSession, parameters))
 }
 
+/** `startingVersion` (Delta's stream option, r13): subscribe from a
+  * chosen upstream version instead of bootstrapping the whole history
+  * — `n` delivers versions ≥ n (version n itself arrives as its
+  * change rows), `"latest"` delivers only versions committed AFTER
+  * subscription. The bound applies to a FRESH subscription; a
+  * checkpoint resume keeps its own offset.
+  */
 class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       maxVersionsPerBatch: Option[Int] = None,
                       metadataPath: Option[String] = None,
                       updateImages: Boolean = false,
-                      rowIds: Boolean = false) extends Source {
+                      rowIds: Boolean = false,
+                      startingVersion: Option[Long] = None) extends Source {
 
   override val schema: StructType =
     TableFeedSource.feedSchema(spark, path, rowIds)
@@ -145,7 +154,11 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
     }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(TableFeedSource.versionOf).getOrElse(0L)
+    // a FRESH subscription starts at the declared floor (startingVersion
+    // n ⇒ initial from = n−1, so version n is the first delivered);
+    // checkpoint resumes carry their own offset
+    val from = start.map(TableFeedSource.versionOf)
+      .getOrElse(startingVersion.map(_ - 1L).getOrElse(0L))
     val to = TableFeedSource.versionOf(end)
     if (to > lastEnd) { lastEnd = to; persistLastEnd(to) }
     val vs = ManifestTable.versions(spark, path)
@@ -219,6 +232,40 @@ object TableFeedSource {
     parameters.get("rowids").orElse(parameters.get("rowIds"))
       .exists(_.toBoolean)
 
+  /** `option("startingVersion", n | "latest")` — Delta's stream
+    * bound: n ⇒ the first delivered version is n; "latest" ⇒ only
+    * versions committed after subscription. The timestamp twin
+    * `option("startingTimestamp", ts)` resolves against commit
+    * wall-times in the log (first version at-or-after the instant —
+    * Delta's rule; an instant past the head means "latest"). The two
+    * options are mutually exclusive, like Delta's. */
+  private[graft] def startingVersionOf(
+      spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String]): Option[Long] = {
+    val byVersion = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion"))
+    val byTs = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byVersion.map {
+      case s if s.equalsIgnoreCase("latest") =>
+        ManifestTable.currentVersion(spark, pathOf(parameters))
+          .getOrElse(0L) + 1L
+      case s =>
+        val n = s.toLong
+        require(n >= 1, s"startingVersion must be >= 1, got $n")
+        n
+    }.orElse(byTs.map { ts =>
+      val ms = graft.plans.GraftSqlCommands.parseTimestampMillis(ts)
+      val path = pathOf(parameters)
+      ManifestTable.versions(spark, path)
+        .find(v => ManifestTable.commitTimestamp(spark, path, v) >= ms)
+        .getOrElse(ManifestTable.currentVersion(spark, path)
+          .getOrElse(0L) + 1L)
+    })
+  }
+
   /** Pinned feed schema: the table's committed schema plus the change
     * metadata columns.
     */
@@ -253,13 +300,15 @@ object TableFeedSource {
                  path: String,
                  maxVersionsPerBatch: Option[Int] = None,
                  updateImages: Boolean = false,
-                 rowIds: Boolean = false): DataFrame = {
+                 rowIds: Boolean = false,
+                 startingVersion: Option[String] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
     maxVersionsPerBatch.foreach(n => r.option("maxVersionsPerBatch", n.toString))
     if (updateImages) r.option("updateImages", "true")
     if (rowIds) r.option("rowIds", "true")
+    startingVersion.foreach(v => r.option("startingVersion", v))
     r.load()
   }
 
@@ -697,6 +746,48 @@ object TableFeedSource {
       path, "o_orderkey")
     val qName = s"table_feed_bounded_${System.nanoTime()}"
     val q = readStream(spark, path, maxVersionsPerBatch = Some(1))
+      .writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(qName)
+      .orderBy(col("o_orderkey"), col("_commit_version"), col("_change"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
+  /** Declared STARTING-VERSION feed query (round 13, Delta's
+    * `option("startingVersion", n)` stream bound): a three-commit
+    * history subscribed from version 2 — the bootstrap SKIPS v1
+    * entirely (its change rows never enter any micro-batch) and the
+    * drain delivers exactly v2's and v3's inserts with their commit
+    * tags. The oracle recomputes those two slices relationally; a hash
+    * match proves the declared floor bounds the FIRST offset (not a
+    * post-hoc filter — v1's data is never read) and versions at or
+    * after the floor still arrive exactly once.
+    *
+    * Scale shape: this is how a new subscriber joins a 100 TB table's
+    * feed without paying the full-history bootstrap — snapshot once by
+    * batch read, then subscribe from the snapshot version forward.
+    */
+  def streamTableFeedFrom(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_table_feed_sv_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val path = root.toString + "/orders_feed_sv"
+    val orders = graft.Tables.orders(spark, sfDir)
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)  // v1
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 1), path) // v2
+    ManifestTable.append(orders.filter(col("o_orderkey") % 3 === 2), path) // v3
+    val qName = s"table_feed_sv_${System.nanoTime()}"
+    val q = readStream(spark, path, startingVersion = Some("2"))
       .writeStream
       .format("memory").queryName(qName).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()

@@ -257,6 +257,33 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF on catalog names (r13)") {
+    withSql { s =>
+      import s.implicits._
+      GraftCatalog.saveAsTable(Seq((1L, "a")).toDF("id", "v"), "ttsql.t")
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(20)
+      GraftCatalog.saveAsTable(Seq((2L, "b")).toDF("id", "v"), "ttsql.t",
+        mode = "append")
+      assert(s.sql("SELECT * FROM graft.ttsql.t").count() === 2)
+      assert(s.sql("SELECT * FROM graft.ttsql.t VERSION AS OF 1")
+        .count() === 1)
+      val atT1 = s.sql(
+        s"SELECT * FROM graft.ttsql.t TIMESTAMP AS OF " +
+          s"'${new java.sql.Timestamp(t1)}'")
+      assert(atT1.select("id").as[Long].collect().toSeq === Seq(1L),
+        "timestamp travel on a name must pin the first commit")
+      // travel across schema evolution keeps the OLD schema
+      GraftCatalog.saveAsTable(
+        Seq((3L, "c", 9L)).toDF("id", "v", "extra"), "ttsql.t",
+        mode = "append")
+      assert(s.sql("SELECT * FROM graft.ttsql.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq === Seq("id", "v"))
+      assert(s.sql("SELECT * FROM graft.ttsql.t").schema.fieldNames.toSeq
+        === Seq("id", "v", "extra"))
+    }
+  }
+
   test("dropNamespace: non-empty refused without CASCADE; CASCADE deletes the dir and breaks same-warehouse clones (pinned hazard, r13)") {
     withSql { s =>
       GraftCatalog.saveAsTable(s.range(0, 3).toDF("id"), "dropns.t1")

@@ -137,6 +137,55 @@ class FormatSpec extends SparkSpec {
     assert(got === 21L)
   }
 
+  test("readChangeFeed options serve Delta's CDF read surface (r13)") {
+    withSql { s =>
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft_fmt6")
+        .toString + "/t"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("graft").mode("overwrite").save(path)         // v1
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("graft").mode("append").save(path)            // v2
+      ManifestTable.merge(Seq((1L, "A")).toDF("id", "v"), path, "id") // v3
+      val cdf = s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(path)
+      assert(cdf.schema.fieldNames.takeRight(2).toSeq ===
+        Seq("_change", "_commit_version"))
+      val got = cdf.select("id", "v", "_change", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got === Set(
+        (3L, "c", "insert", 2L),
+        (1L, "a", "delete", 3L),
+        (1L, "A", "insert", 3L)), s"CDF rows wrong: $got")
+      // endingVersion bounds the range; TVF parity
+      assert(s.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("endingVersion", 1)
+        .load(path).count() === 2)
+      assert(s.sql(s"SELECT * FROM graft_table_changes('$path', 2)")
+        .count() === got.size)
+      // startingVersion is required
+      intercept[IllegalArgumentException] {
+        s.read.format("graft").option("readChangeFeed", "true").load(path)
+      }
+      // timestamp bounds resolve against commit wall-times
+      val t2 = ManifestTable.commitTimestamp(s, path, 2L)
+      val byTs = s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", t2.toString)
+        .load(path)
+      assert(byTs.select("_commit_version").distinct()
+        .as[Long].collect().toSet === Set(2L, 3L))
+      assert(s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", t2.toString)
+        .option("endingTimestamp", t2.toString)
+        .load(path).select("_commit_version").distinct()
+        .as[Long].collect().toSet === Set(2L))
+    }
+  }
+
   test("readStream.format(\"graft\") subscribes to the change feed by name") {
     withSql { s =>
       import graft.catalog.GraftCatalog

@@ -89,6 +89,43 @@ class MergeEvolutionSpec extends SparkSpec {
       s"dropped-then-re-added column resurrected old data: $re")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, zero file churn, mapped resurrection guard") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mev5")
+      .toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val v1Files = ManifestTable.manifestFiles(spark, path, 1L)
+    val v2 = ManifestTable.addColumns(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "score DOUBLE, tagc STRING"))
+    // METADATA-ONLY: same file set, evolved schema, old rows NULL
+    assert(ManifestTable.manifestFiles(spark, path, v2) === v1Files,
+      "ADD COLUMNS must touch zero data files")
+    val got = ManifestTable.read(spark, path)
+      .select("k", "v", "score", "tagc")
+      .as[(Long, String, Option[Double], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", None, None), (2L, "b", None, None)))
+    // duplicates refused; time travel keeps the old schema
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, path,
+        org.apache.spark.sql.types.StructType.fromDDL("v STRING"))
+    }
+    assert(ManifestTable.readVersion(spark, path, 1L)
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    // mapped table: dropped-then-re-added via ADD COLUMNS never
+    // resurrects old file data
+    val p2 = java.nio.file.Files.createTempDirectory("graft_mev6")
+      .toString + "/t"
+    ManifestTable.write(Seq((1L, 7L)).toDF("k", "payload"), p2)
+    ManifestTable.renameColumn(spark, p2, "payload", "pay") // mapping ON
+    ManifestTable.dropColumn(spark, p2, "pay")
+    ManifestTable.addColumns(spark, p2,
+      org.apache.spark.sql.types.StructType.fromDDL("pay BIGINT"))
+    assert(ManifestTable.read(spark, p2).select("pay")
+      .as[Option[Long]].head() === None,
+      "re-added column must read NULL, not the dropped column's bytes")
+  }
+
   test("SQL: MERGE WITH SCHEMA EVOLUTION INTO ... INSERT * evolves; star-form requirement enforced") {
     val base = spark
     SparkSession.clearActiveSession()
@@ -125,6 +162,10 @@ class MergeEvolutionSpec extends SparkSpec {
               USING mev_src AS u ON t.id = u.id
               WHEN MATCHED THEN UPDATE SET v = u.v + 1""")
       }
+      // the metadata-only SQL spelling
+      s.sql(s"ALTER TABLE '$path' ADD COLUMNS (note STRING)")
+      assert(ManifestTable.read(s, path).schema.fieldNames.toSeq ===
+        Seq("id", "v", "tagc", "note"))
     } finally SparkSession.setActiveSession(base)
   }
 }

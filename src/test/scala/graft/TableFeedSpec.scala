@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.ManifestTable
-import graft.streaming.TableFeedSource
+import graft.streaming.{TableFeedProvider, TableFeedSource}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,85 @@ class TableFeedSpec extends SparkSpec {
       .select(col("day").cast("string"), col("bin"), col("n"))
       .collect().map(_.toSeq).toSet
     assert(skMaintained === skRecomputed)
+  }
+
+  test("startingVersion bounds a fresh subscription; 'latest' skips all history (r13)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_sv").toString
+    val table = s"$base/t"
+    ManifestTable.write(Seq(1L).toDF("id"), table)   // v1
+    ManifestTable.append(Seq(2L).toDF("id"), table)  // v2
+    ManifestTable.append(Seq(3L).toDF("id"), table)  // v3
+    val n1 = s"sv_${System.nanoTime()}"
+    val q1 = TableFeedSource.readStream(spark, table,
+        startingVersion = Some("2"))
+      .writeStream.format("memory").queryName(n1).outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      val got = spark.table(n1).select("id", "_commit_version")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((2L, 2L), (3L, 3L)),
+        s"startingVersion=2 must deliver v2..v3 only: $got")
+    } finally q1.stop()
+    val n2 = s"svl_${System.nanoTime()}"
+    val q2 = TableFeedSource.readStream(spark, table,
+        startingVersion = Some("latest"))
+      .writeStream.format("memory").queryName(n2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(n2).count() === 0,
+        "'latest' must deliver nothing historical")
+      ManifestTable.append(Seq(4L).toDF("id"), table) // v4, post-subscription
+      q2.processAllAvailable()
+      val got2 = spark.table(n2).select("id", "_commit_version")
+        .as[(Long, Long)].collect().toSet
+      assert(got2 === Set((4L, 4L)), s"post-subscription commit: $got2")
+    } finally q2.stop()
+    spark.catalog.dropTempView(n1)
+    spark.catalog.dropTempView(n2): Unit
+  }
+
+  test("startingTimestamp resolves against commit wall-times; exclusive with startingVersion (r13)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tf_st").toString
+    val table = s"$base/t"
+    ManifestTable.write(Seq(1L).toDF("id"), table)   // v1
+    Thread.sleep(20)
+    ManifestTable.append(Seq(2L).toDF("id"), table)  // v2
+    ManifestTable.append(Seq(3L).toDF("id"), table)  // v3
+    val t2 = ManifestTable.commitTimestamp(spark, table, 2L)
+    // an instant at v2's commit → first delivered version is v2
+    val got = TableFeedSource.startingVersionOf(spark,
+      Map("path" -> table,
+        "startingTimestamp" -> new java.sql.Timestamp(t2).toString))
+    assert(got === Some(2L), s"at-or-after resolution wrong: $got")
+    // past the head → "latest" semantics (nothing historical)
+    val head = ManifestTable.commitTimestamp(spark, table, 3L)
+    val past = TableFeedSource.startingVersionOf(spark,
+      Map("path" -> table,
+        "startingTimestamp" -> new java.sql.Timestamp(head + 60000).toString))
+    assert(past === Some(4L), s"past-head must mean latest: $past")
+    // the two bounds are mutually exclusive (Delta's rule)
+    intercept[IllegalArgumentException] {
+      TableFeedSource.startingVersionOf(spark,
+        Map("path" -> table, "startingVersion" -> "2",
+          "startingTimestamp" -> new java.sql.Timestamp(t2).toString))
+    }
+    // end-to-end: the timestamp bound drives a real drain
+    val n = s"st_${System.nanoTime()}"
+    val q = spark.readStream
+      .format(classOf[TableFeedProvider].getName)
+      .option("path", table)
+      .option("startingTimestamp", new java.sql.Timestamp(t2).toString)
+      .load()
+      .writeStream.format("memory").queryName(n).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(n).select("id", "_commit_version")
+        .as[(Long, Long)].collect().toSet
+      assert(rows === Set((2L, 2L), (3L, 3L)), s"drain from t2: $rows")
+    } finally q.stop()
+    spark.catalog.dropTempView(n): Unit
   }
 
   test("retention contract: fresh subscribers bootstrap from a vacuumed history, stale resumes fail loudly") {
