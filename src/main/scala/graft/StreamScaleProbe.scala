@@ -158,6 +158,52 @@ object StreamScaleProbe {
     (firstMean, secondMean, seq.map(_._1).sum)
   }
 
+  /** r13: startingVersion flatness probe — the 100 TB claim behind
+    * `option("startingVersion", n)` is that a FRESH subscriber joins
+    * the feed WITHOUT paying the bootstrap: drain cost must be flat
+    * in the size of the skipped history (v1 = `hist`× orders here)
+    * and linear only in the delivered tail (v2/v3, fixed slices).
+    * Sink is foreachBatch-count (the memory sink's driver copy would
+    * measure the harness, not the source — the reason the batch
+    * ScaleProbe cannot run the declared memory-sink query at 100×).
+    * Returns (drain seconds, delivered rows) — timing starts AFTER
+    * the table is built.
+    */
+  def feedFromProbe(spark: SparkSession, baseDir: String,
+                    hist: Int): (Double, Long) = {
+    import graft.pipeline.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("graft_feedfrom")
+    val table = s"$root/t"
+    val ord = Tables.orders(spark, baseDir)
+    val v1 = (0 until hist).map { k =>
+      ord.withColumn("o_orderkey",
+        col("o_orderkey") + lit(k.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+    ManifestTable.write(v1, table)                                   // v1
+    val tail = ord.filter(col("o_orderkey") % 101 === 0)
+    ManifestTable.append(                                            // v2
+      tail.withColumn("o_orderkey", -col("o_orderkey") - 1L), table)
+    ManifestTable.append(                                            // v3
+      tail.withColumn("o_orderkey",
+        -col("o_orderkey") - 1000000000L), table)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.TableFeedProvider].getName)
+      .option("path", table)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => rows.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ((System.nanoTime() - t0) / 1e9, rows.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val probeDir = if (args.length > 1) args(1) else "/tmp/graft_sf1_stream"
@@ -175,14 +221,20 @@ object StreamScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a feed-probe-only run never touches the events corpus — skip the
+    // (possibly factor-mismatched) regeneration entirely
+    val needsEvents = sys.env.get("SPARK_GRAFT_QUERIES")
+      .forall(_.split(",").map(_.trim)
+        .exists(q => q.nonEmpty && q != "stream_feed_from"))
+
     // ---- scaled events corpus (idempotent, ScaleProbe discipline) ----
     val eventsOut = s"$probeDir/events.parquet"
     val factorFile = java.nio.file.Paths.get(s"$probeDir/_factor")
     val recorded =
       try java.nio.file.Files.readString(factorFile).trim.toInt
       catch { case _: Throwable => -1 }
-    if (recorded != factor ||
-        !new java.io.File(s"$eventsOut/_SUCCESS").exists()) {
+    if (needsEvents && (recorded != factor ||
+        !new java.io.File(s"$eventsOut/_SUCCESS").exists())) {
       java.nio.file.Files.createDirectories(factorFile.getParent)
       java.nio.file.Files.deleteIfExists(factorFile)
       val ev = spark.read.parquet(s"$baseDir/events.parquet")
@@ -196,6 +248,11 @@ object StreamScaleProbe {
       java.nio.file.Files.writeString(factorFile, factor.toString)
     }
 
+    // Dev-only subset filter (the Bench/Verify/ScaleProbe convention)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     val plans: Seq[(String, DataFrame => DataFrame, Boolean)] = Seq(
       ("stream_hourly_demand",
         (src: DataFrame) => EventsStream.hourlyAgg(src), true),
@@ -204,6 +261,7 @@ object StreamScaleProbe {
       ("stream_sessionize",
         (src: DataFrame) => Sessionize.sessionStream(spark, src)
           .filter(col("user_id") =!= -1L).toDF(), true))
+      .filter(p => selected(p._1))
 
     // warm-up: JIT/codegen the streaming runtime once, untimed
     plans.foreach { case (_, plan, s) =>
@@ -220,12 +278,22 @@ object StreamScaleProbe {
 
     // r13: stream_sink_ingest flatness probe — 16 single-file batches,
     // per-batch cost must not grow with the accumulated table
-    Seq("sf01" -> s"$baseDir/events.parquet", "sfX" -> eventsOut)
-      .foreach { case (label, path) =>
-        val (first, second, rows) = sinkProbe(spark, path, splits = 16)
-        val flat = if (first > 0) second / first else Double.NaN
-        println(f"""{"query":"stream_sink_ingest","scale":"$label","rows":$rows,"first_half_batch_sec":$first%.3f,"second_half_batch_sec":$second%.3f,"flatness_ratio":$flat%.2f}""")
+    if (selected("stream_sink_ingest"))
+      Seq("sf01" -> s"$baseDir/events.parquet", "sfX" -> eventsOut)
+        .foreach { case (label, path) =>
+          val (first, second, rows) = sinkProbe(spark, path, splits = 16)
+          val flat = if (first > 0) second / first else Double.NaN
+          println(f"""{"query":"stream_sink_ingest","scale":"$label","rows":$rows,"first_half_batch_sec":$first%.3f,"second_half_batch_sec":$second%.3f,"flatness_ratio":$flat%.2f}""")
+        }
+    // r13: startingVersion flatness — drain cost flat in the skipped
+    // bootstrap's size (delivered tail fixed), warm run first untimed
+    if (selected("stream_feed_from")) {
+      try feedFromProbe(spark, baseDir, 1) catch { case _: Throwable => () }
+      Seq(1, factor).foreach { hist =>
+        val (sec, rows) = feedFromProbe(spark, baseDir, hist)
+        println(f"""{"query":"stream_feed_from","hist_factor":$hist,"drain_sec":$sec%.2f,"delivered_rows":$rows}""")
       }
+    }
     spark.stop()
   }
 }
