@@ -114,7 +114,15 @@ object ScaleProbe {
     // enters a batch, which must show as sub-proportional cost when
     // the skipped fraction grows
     "cdf_read_options", "add_columns", "catalog_time_travel",
-    "stream_feed_from")
+    "stream_feed_from",
+    // COPY INTO: per-run cost = listing + ledger diff (driver, O(dump
+    // files)) + staging the NEW files' rows — linear in the landed
+    // data, flat in the table and in the ledger's past
+    "copy_into",
+    // CONVERT: adoption is ONE manifest write (O(files) names, zero
+    // data moved) — the probe's cost is the fixture dump's own write
+    // plus the post-convert merge's touched-file CoW
+    "convert_table")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

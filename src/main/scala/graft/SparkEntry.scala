@@ -141,6 +141,8 @@ object SparkEntry {
     "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
     "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
     "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
+    "copy_into"          -> ((s, d) => graft.pipeline.Medallion.copyIntoOrders(s, d)),
+    "convert_table"      -> ((s, d) => graft.pipeline.Medallion.convertTableOrders(s, d)),
     "bm25_rank"          -> ((s, d) => Text.bm25Rank(s, d)),
     "unigram_nll"        -> ((s, d) => Text.unigramNll(s, d)),
     "doc_chunk"          -> ((s, d) => Curate.docChunkQuery(s, d)),
@@ -1642,6 +1644,32 @@ object SparkEntry {
                 o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
+    // Relational recompute of the COPY INTO lifecycle
+    // (Medallion.copyIntoOrders): base third + two first-run files +
+    // the late-landing third file; the replayed run contributed
+    // NOTHING (the require in-query enforces zero files, the hash
+    // proves zero rows).
+    "copy_into" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 700000000 AS o_orderkey, o_custkey,
+                  o_orderstatus, o_totalprice, o_orderdate,
+                  '6-COPIED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0)
+         ORDER BY o_orderkey""",
+    // Relational recompute of the CONVERT lifecycle
+    // (Medallion.convertTableOrders): the adopted dump is the whole
+    // orders table; the post-convert merge re-prioritizes the %89
+    // keys — adoption must lose nothing, the merge must land.
+    "convert_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey % 89 = 0 THEN '2-CONVERTED'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     // Relational recompute of the merge-evolution lifecycle
     // (Medallion.mergeEvolutionOrders): the base committed without
     // o_orderpriority; the evolving merge upserts every %3 key with

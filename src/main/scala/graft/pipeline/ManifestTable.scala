@@ -142,7 +142,8 @@ object ManifestTable {
                               identityCol: Option[String] = None,
                               identityStep: Long = 1L,
                               identityHighWater: Long = 0L,
-                              partitionColsDecl: Seq[String] = Nil) {
+                              partitionColsDecl: Seq[String] = Nil,
+                              copyFiles: Seq[String] = Nil) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -319,7 +320,8 @@ object ManifestTable {
       Option(n.get("identityCol")).map(_.asText()),
       Option(n.get("identityStep")).map(_.asLong()).getOrElse(1L),
       Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L),
-      strArr(n, "partitionColsDecl"))
+      strArr(n, "partitionColsDecl"),
+      strArr(n, "copyFiles"))
   }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
@@ -402,7 +404,12 @@ object ManifestTable {
       Option(n.get("identityHighWater")).map(_.asLong())
         .getOrElse(prev.identityHighWater),
       if (n.has("partitionColsDecl")) strArr(n, "partitionColsDecl")
-      else prev.partitionColsDecl)
+      else prev.partitionColsDecl,
+      // COPY INTO ledger: per-entry adds fold into the state (and into
+      // every checkpoint), so idempotency survives vacuumed manifests;
+      // copyRemoves exists for restore's exact rollback
+      prev.copyFiles.filterNot(strArr(n, "copyRemoves").toSet)
+        ++ strArr(n, "copyAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -924,7 +931,9 @@ object ManifestTable {
                         clusteredRemoves: Seq[String] = Nil,
                         identity: Option[(String, Long)] = None,
                         identityHighWater: Option[Long] = None,
-                        partitionColsDecl: Option[Seq[String]] = None): String = {
+                        partitionColsDecl: Option[Seq[String]] = None,
+                        copyAdds: Seq[String] = Nil,
+                        copyRemoves: Seq[String] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -1004,6 +1013,12 @@ object ManifestTable {
     if (ndvRemoves.nonEmpty) {
       val a = root.putArray("ndvRemoves"); ndvRemoves.foreach(a.add)
     }
+    if (copyAdds.nonEmpty) {
+      val a = root.putArray("copyAdds"); copyAdds.foreach(a.add)
+    }
+    if (copyRemoves.nonEmpty) {
+      val a = root.putArray("copyRemoves"); copyRemoves.foreach(a.add)
+    }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -1073,6 +1088,9 @@ object ManifestTable {
     if (st.partitionColsDecl.nonEmpty) {
       val a = root.putArray("partitionColsDecl")
       st.partitionColsDecl.foreach(a.add)
+    }
+    if (st.copyFiles.nonEmpty) {
+      val a = root.putArray("copyFiles"); st.copyFiles.foreach(a.add)
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1153,6 +1171,129 @@ object ManifestTable {
     committedVersionOfTag(df.sparkSession, path, tag).getOrElse(
       append(df, path, partitionCols, maxAttempts = maxAttempts,
         statsCols = statsCols, tag = Some(tag), tagHorizon = tagHorizon))
+
+  /** COPY INTO (Databricks/Delta's idempotent FILE-level ingest): load
+    * every file under `sourceDir` matching `pattern` that the table
+    * has NOT ingested before, as ONE append commit; re-runs skip
+    * already-loaded files — landing the same dump twice, or a dump
+    * that grew between runs, can never double-ingest a file. Returns
+    * (committed version, files ingested this run); zero new files =
+    * no commit.
+    *
+    * The ingested-file ledger ([[TableState.copyFiles]]) rides the
+    * commit itself — ATOMIC with the data (a crash between "load" and
+    * "remember" cannot exist) — and folds into every checkpoint, so
+    * idempotency survives [[vacuum]]ed manifests. [[restore]] rolls
+    * the ledger back WITH the state: restoring to before an ingest
+    * forgets it, so re-running the COPY re-ingests rather than
+    * silently losing the files. At 100 TB the per-run cost is
+    * O(new files) staging + one driver ledger diff — nothing scales
+    * with the table or with the history of past ingests beyond the
+    * ledger's own names.
+    *
+    * Source columns align to the table schema BY NAME with casts
+    * (Delta's rule); columns the table lacks are refused, table
+    * columns the source lacks read as NULL through schema-on-read
+    * (generated/identity columns are computed as on any append).
+    * Formats: parquet, csv (header), jsonl.
+    */
+  def copyInto(spark: SparkSession, path: String, sourceDir: String,
+               format: String = "parquet", pattern: String = "*",
+               maxAttempts: Int = 3): (Long, Int) = {
+    val fmt = format.toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO supports parquet/csv/json, got '$format'")
+    val srcFs = fs(spark, sourceDir)
+    val listed = Option(srcFs.globStatus(new Path(sourceDir, pattern)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.toUri.toString).sorted.toSeq
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"COPY INTO needs a committed table at $path — declare it " +
+            "first (CREATE TABLE schema DDL or an initial write)"))
+      val st = resolveState(spark, path, prevV)
+      val newFiles = listed.filterNot(st.copyFiles.toSet)
+      if (newFiles.isEmpty) return (prevV, 0)
+      val reader = fmt match {
+        case "parquet" => spark.read.parquet(newFiles: _*)
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(newFiles: _*)
+        case "json" => spark.read.json(newFiles: _*)
+      }
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      val extra = reader.columns.filterNot(schema.fieldNames.contains)
+      require(extra.isEmpty,
+        s"source carries columns the table lacks: ${extra.mkString(", ")}" +
+          " — evolve the table first (ADD COLUMNS) or drop them")
+      val aligned = reader.select(schema.fields
+        .filter(f => reader.columns.contains(f.name))
+        .map(f => org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)).toSeq: _*)
+      try return (commit(aligned, path, Nil, maxAttempts = 1, Nil,
+        carryForward = true, tag = None, copyAdds = newFiles),
+        newFiles.length)
+      catch {
+        // lost an OCC race — the winner may have been another COPY of
+        // overlapping files: recompute the ledger diff and retry
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("lost") =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"COPY INTO lost $maxAttempts races at $path — giving up")
+  }
+
+  /** The COPY INTO ledger at the current version — fully-qualified
+    * source file names already ingested ([[copyInto]] skips them). */
+  def copiedFiles(spark: SparkSession, path: String): Seq[String] =
+    currentVersion(spark, path)
+      .map(v => resolveState(spark, path, v).copyFiles).getOrElse(Nil)
+
+  /** CONVERT an existing plain-parquet directory into a managed table
+    * IN PLACE (Delta's `CONVERT TO DELTA parquet.`…``): version 1
+    * commits REFERENCES to the existing files — zero bytes move, the
+    * only write is one manifest. The refs are recorded fs-qualified
+    * absolute (the shallow-clone ref shape), so `k=v` partitioned
+    * dumps convert too: the external-ref read branch re-derives the
+    * partition columns per scan base. On a 100 TB dump this is the
+    * difference between adopting the data and rewriting it.
+    *
+    * After conversion the table is fully live — merge/update/OPTIMIZE
+    * rewrite touched data into managed snapshot dirs as usual. The
+    * ORIGINAL files are never deleted by [[vacuum]] (it sweeps only
+    * version-prefixed dirs — by design, it cannot distinguish an
+    * adopted file from a foreign one): after heavy churn, run
+    * [[compact]] to migrate everything managed, then remove the
+    * leftovers out of band, exactly Delta's post-CONVERT guidance.
+    */
+  def convertInPlace(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    require(currentVersion(spark, path).isEmpty,
+      s"$path is already a graft table — CONVERT only adopts plain dirs")
+    val files = listDataFiles(f, new Path(path))
+    require(files.nonEmpty, s"no parquet files under $path to convert")
+    val adds = files.map(p => f.makeQualified(p).toUri.toString).sorted
+    val schema = spark.read.parquet(path).schema
+    val json = deltaJson(1L, System.currentTimeMillis(), adds, Nil,
+      Map.empty, None, DefaultTagHorizon, Some(schema),
+      op = Some("CONVERT"))
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(path, s"${ManifestPrefix}1.json.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!conditionalCommit(f, tmp, manifestPath(path, 1L))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"CONVERT lost the commit race at $path — another writer " +
+          "created the table concurrently")
+    }
+    1L
+  }
 
   // ------------------------------------------------------------------
   // CHECK constraints (enforced at commit time)
@@ -2580,7 +2721,8 @@ object ManifestTable {
                      maxAttempts: Int, statsCols: Seq[String],
                      carryForward: Boolean, tag: Option[String],
                      tagHorizon: Int = DefaultTagHorizon,
-                     partitionColsDecl: Seq[String] = Nil): Long = {
+                     partitionColsDecl: Seq[String] = Nil,
+                     copyAdds: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -2778,11 +2920,13 @@ object ManifestTable {
         mapping = if (prevMapped) Some(newMapping) else None,
         maxColId = if (prevMapped) Some(newMaxColId) else None,
         ndvAdds = ndvAdds, ndvRemoves = ndvRemoves,
-        op = Some(if (carryForward) "APPEND" else "WRITE"),
+        op = Some(if (copyAdds.nonEmpty) "COPY"
+          else if (carryForward) "APPEND" else "WRITE"),
         rowHighWater = newHigh,
         identityHighWater = newIdentHigh,
         partitionColsDecl =
-          if (partitionColsDecl.nonEmpty) Some(partitionColsDecl) else None)
+          if (partitionColsDecl.nonEmpty) Some(partitionColsDecl) else None,
+        copyAdds = copyAdds)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -4097,7 +4241,13 @@ object ManifestTable {
         identityHighWater =
           if (cur.identityCol.isDefined || target.identityCol.isDefined)
             Some(math.max(cur.identityHighWater, target.identityHighWater))
-          else None)
+          else None,
+        // the COPY INTO ledger rolls back WITH the state (the
+        // constraints rule): restoring to before an ingest forgets it,
+        // so re-running the same COPY re-ingests and the table returns
+        // to the post-copy content — never silent data loss
+        copyAdds = target.copyFiles.filterNot(cur.copyFiles.toSet),
+        copyRemoves = cur.copyFiles.filterNot(target.copyFiles.toSet))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)

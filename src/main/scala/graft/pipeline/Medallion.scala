@@ -1339,6 +1339,75 @@ object Medallion {
     }
   }
 
+  /** Declared COPY-INTO query (round 13, Databricks/Delta's
+    * `COPY INTO` idempotent file-level ingest): a landing dump of
+    * parquet files loads through THREE [[ManifestTable.copyInto]]
+    * runs — the first ingests two files, the second is a full replay
+    * (zero new files ⇒ NO commit), the third sees one newly-landed
+    * file and ingests only it. The oracle recomputes the union of the
+    * three files' rows — a hash match proves the per-FILE exactly-once
+    * ledger: replays and grown dumps can never double-ingest. The
+    * ledger rides the commit itself (atomic with the data, folds into
+    * checkpoints — vacuum-proof, restore rolls it back; CopyIntoSpec),
+    * and the per-run cost is O(new files), never the table or the
+    * dump's history — the shape that makes continuous 100 TB landing
+    * ingestion cheap.
+    */
+  def copyIntoOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch("graft_copy_into_", sfDir)
+    val path = s"$root/orders_ci"
+    val dump = s"$root/dump"
+    val orders = Tables.orders(spark, sfDir)
+    def land(df: DataFrame, name: String): Unit = {
+      val staged = s"$root/staged_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dump))
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dump, s"$name.parquet")): Unit
+    }
+    ManifestTable.write(orders.filter(col("o_orderkey") % 3 === 0), path)
+    land(orders.filter(col("o_orderkey") % 3 === 1), "f1")
+    land(orders.filter(col("o_orderkey") % 3 === 2), "f2")
+    val (_, n1) = ManifestTable.copyInto(spark, path, dump)
+    val (_, n2) = ManifestTable.copyInto(spark, path, dump) // replay
+    require(n1 == 2 && n2 == 0,
+      s"COPY INTO exactly-once violated: first=$n1 replay=$n2")
+    land(orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(700000000L))
+      .withColumn("o_orderpriority", lit("6-COPIED")), "f3")
+    val (_, n3) = ManifestTable.copyInto(spark, path, dump)
+    require(n3 == 1, s"grown dump must ingest only the new file: $n3")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared CONVERT query (round 13, Delta's `CONVERT TO DELTA
+    * parquet.`…``): a pre-existing plain-parquet dump (four part
+    * files, no manifest) is ADOPTED in place by
+    * [[ManifestTable.convertInPlace]] — version 1 is one manifest
+    * write referencing the files where they lie, zero bytes moved
+    * (ConvertSpec asserts the identical file set; partitioned `k=v`
+    * dumps adopt through the external-ref read branch). The table is
+    * immediately live: a keyed merge then updates a sparse key slice
+    * copy-on-write. The oracle recomputes the merged content — a hash
+    * match proves adoption lost nothing and the post-convert ACID
+    * surface works over the adopted refs. At 100 TB this is adopting
+    * the data instead of rewriting it.
+    */
+  def convertTableOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_convert_", sfDir) + "/orders_cv"
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(4).write.parquet(path)       // plain dump, no manifest
+    ManifestTable.convertInPlace(spark, path)       // v1: adopt in place
+    ManifestTable.merge(                            // v2: live CoW merge
+      orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderpriority", lit("2-CONVERTED")),
+      path, "o_orderkey")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Declared INCREMENTAL-CLUSTERING query
     * ([[ManifestTable.setClusterColumns]] / [[ManifestTable.optimizeClustered]]
     * — the Delta 3.x liquid-clustering shape): declare cluster columns,

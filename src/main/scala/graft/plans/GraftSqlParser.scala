@@ -198,6 +198,12 @@ object GraftSqlStatements {
     s"(?is)^\\s*DESCRIBE\\s+EXTENDED\\s+$P\\s*;?\\s*$$".r
   private val showTablesRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft(?:\\.(\\w+))?\\s*;?\\s*$".r
+  private val copyIntoRe =
+    (s"(?is)^\\s*COPY\\s+INTO\\s+$P\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?" +
+      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$$").r
+  private val convertRe =
+    s"(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*;?\\s*$$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -261,6 +267,11 @@ object GraftSqlStatements {
       Some(GraftDropTableCommand(name, purge != null))
     case showTablesRe(db) =>
       Some(GraftShowTablesCommand(Option(db).getOrElse("default")))
+    case copyIntoRe(path, dir, fmt, pattern) =>
+      Some(GraftCopyIntoCommand(path, dir,
+        Option(fmt).getOrElse("parquet"),
+        Option(pattern).getOrElse("*")))
+    case convertRe(path) => Some(GraftConvertCommand(path))
     case insertOverwriteWhereRe(path, cond, query) =>
       Some(GraftInsertCommand(path, query.trim, overwrite = true,
         replaceCond = Some(cond.trim)))
@@ -302,7 +313,7 @@ object GraftSqlStatements {
     "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
     "DESCRIBE\\s+EXTENDED", "SHOW\\s+CREATE\\s+TABLE",
     "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
-    "SHALLOW\\s+CLONE", "DROP\\s+TABLE")
+    "SHALLOW\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO")
 
   def rewriteNames(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.")) return sqlText
@@ -591,6 +602,35 @@ case class GraftVacuumCommand(path: String, keep: Int,
       case (false, false) => ManifestTable.vacuum(session, tp, keep = keep)
     }).map(Row(_))
   }
+}
+
+/** COPY INTO '<path>' FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+  * [PATTERN = '<glob>'] — idempotent file-level ingest
+  * ([[ManifestTable.copyInto]]): files already in the table's ledger
+  * are skipped, new files land as one append commit. Returns
+  * (version, files_copied). */
+case class GraftCopyIntoCommand(path: String, sourceDir: String,
+                                format: String, pattern: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_copied", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, n) = ManifestTable.copyInto(session,
+      GraftSqlCommands.rp(session, path), sourceDir, format, pattern)
+    Seq(Row(v, n.toLong))
+  }
+}
+
+/** CONVERT TO GRAFT '<path>' — adopt a plain-parquet directory as a
+  * managed table IN PLACE ([[ManifestTable.convertInPlace]]): one
+  * manifest write referencing the existing files, zero data moved. */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.convertInPlace(session,
+      GraftSqlCommands.rp(session, path))))
 }
 
 /** SHOW PARTITIONS '<path>' — distinct partition-value tuples of the
