@@ -143,7 +143,8 @@ object ManifestTable {
                               identityStep: Long = 1L,
                               identityHighWater: Long = 0L,
                               partitionColsDecl: Seq[String] = Nil,
-                              copyFiles: Seq[String] = Nil) {
+                              copyFiles: Seq[String] = Nil,
+                              txns: Map[String, Long] = Map.empty) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -321,8 +322,20 @@ object ManifestTable {
       Option(n.get("identityStep")).map(_.asLong()).getOrElse(1L),
       Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L),
       strArr(n, "partitionColsDecl"),
-      strArr(n, "copyFiles"))
+      strArr(n, "copyFiles"),
+      longMap(n, "txns"))
   }
+
+  /** Parse a {name: long} object field into a Map (empty if absent). */
+  private def longMap(n: JsonNode, field: String): Map[String, Long] =
+    if (!n.has(field)) Map.empty
+    else {
+      val o = n.get(field)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = o.fieldNames()
+      while (it.hasNext) { val k = it.next(); out += k -> o.get(k).asLong() }
+      out.toMap
+    }
 
   private def checkReadable(n: JsonNode, where: String): Unit = {
     val mr = Option(n.get("minReader")).map(_.asInt()).getOrElse(1)
@@ -409,7 +422,16 @@ object ManifestTable {
       // every checkpoint), so idempotency survives vacuumed manifests;
       // copyRemoves exists for restore's exact rollback
       prev.copyFiles.filterNot(strArr(n, "copyRemoves").toSet)
-        ++ strArr(n, "copyAdds"))
+        ++ strArr(n, "copyAdds"),
+      // writer-transaction versions (Delta's txnAppId/txnVersion): fold
+      // MONOTONE per app — like the row-id high water, a txn version
+      // never goes backward, so a resurrected replay can't double-land
+      if (!n.has("txnApp")) prev.txns
+      else {
+        val app = n.get("txnApp").asText()
+        val ver = n.get("txnVer").asLong()
+        prev.txns + (app -> math.max(ver, prev.txns.getOrElse(app, Long.MinValue)))
+      })
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -933,7 +955,8 @@ object ManifestTable {
                         identityHighWater: Option[Long] = None,
                         partitionColsDecl: Option[Seq[String]] = None,
                         copyAdds: Seq[String] = Nil,
-                        copyRemoves: Seq[String] = Nil): String = {
+                        copyRemoves: Seq[String] = Nil,
+                        txn: Option[(String, Long)] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -1019,6 +1042,8 @@ object ManifestTable {
     if (copyRemoves.nonEmpty) {
       val a = root.putArray("copyRemoves"); copyRemoves.foreach(a.add)
     }
+    txn.foreach { case (app, ver) =>
+      root.put("txnApp", app); root.put("txnVer", ver): Unit }
     putStats(root, addStats)
     mapper.writeValueAsString(root)
   }
@@ -1092,6 +1117,10 @@ object ManifestTable {
     if (st.copyFiles.nonEmpty) {
       val a = root.putArray("copyFiles"); st.copyFiles.foreach(a.add)
     }
+    if (st.txns.nonEmpty) {
+      val t = root.putObject("txns")
+      st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
   }
@@ -1137,10 +1166,11 @@ object ManifestTable {
             partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
             statsCols: Seq[String] = Nil, tag: Option[String] = None,
             tagHorizon: Int = DefaultTagHorizon,
-            partitionColsDecl: Seq[String] = Nil): Long =
+            partitionColsDecl: Seq[String] = Nil,
+            txn: Option[(String, Long)] = None): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
       carryForward = false, tag = tag, tagHorizon = tagHorizon,
-      partitionColsDecl = partitionColsDecl)
+      partitionColsDecl = partitionColsDecl, txn = txn)
 
   /** Transactional APPEND: commit a log entry adding this batch's files
     * — O(new files) bytes, regardless of table size. Data files of
@@ -1151,9 +1181,35 @@ object ManifestTable {
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil, maxAttempts: Int = 3,
              statsCols: Seq[String] = Nil, tag: Option[String] = None,
-             tagHorizon: Int = DefaultTagHorizon): Long =
+             tagHorizon: Int = DefaultTagHorizon,
+             txn: Option[(String, Long)] = None): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
-      carryForward = true, tag = tag, tagHorizon = tagHorizon)
+      carryForward = true, tag = tag, tagHorizon = tagHorizon, txn = txn)
+
+  /** The last committed writer-transaction version for `appId`
+    * (Delta's `txnVersion(appId)` — the resume point an idempotent
+    * writer reads before producing its next batch). */
+  def txnVersion(spark: SparkSession, path: String,
+                 appId: String): Option[Long] =
+    currentVersion(spark, path)
+      .flatMap(resolveState(spark, path, _).txns.get(appId))
+
+  /** Bytes of data files a committed version ADDED (its own log
+    * entry's adds — driver metadata + one FileStatus per added file,
+    * never a data read). The byte-budget admission control of the
+    * table-feed source sizes micro-batches with this. A swept or
+    * missing file counts 0. */
+  def versionAddedBytes(spark: SparkSession, path: String,
+                        version: Long): Long = {
+    val f = fs(spark, path)
+    readNodeIfExists(f, manifestPath(path, version)) match {
+      case None => 0L
+      case Some(n) => strArr(n, "adds").map { r =>
+        try f.getFileStatus(new Path(resolveRef(path, r))).getLen
+        catch { case _: Throwable => 0L }
+      }.sum
+    }
+  }
 
   /** Idempotent tagged append for exactly-once sinks: if the table has
     * ever committed `tag` (within the tag horizon), the call is a no-op
@@ -2722,7 +2778,8 @@ object ManifestTable {
                      carryForward: Boolean, tag: Option[String],
                      tagHorizon: Int = DefaultTagHorizon,
                      partitionColsDecl: Seq[String] = Nil,
-                     copyAdds: Seq[String] = Nil): Long = {
+                     copyAdds: Seq[String] = Nil,
+                     txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -2734,6 +2791,16 @@ object ManifestTable {
       val prev = currentVersion(spark, path)
       val prevState = prev.map(resolveState(spark, path, _))
       prevState.foreach(assertWritable(_, path))
+      // writer-transaction idempotency (Delta's txnAppId/txnVersion,
+      // MONOTONE): a write whose version is at or below the app's last
+      // committed one is a stale replay — skip without committing.
+      // Checked INSIDE the retry loop, so losing an OCC race to a
+      // sibling replay of the same (app, ver) still lands exactly once.
+      txn.foreach { case (app, ver) =>
+        prevState.flatMap(_.txns.get(app)).foreach { last =>
+          if (ver <= last) return prev.get
+        }
+      }
       val version = prev.getOrElse(0L) + 1L
       // fail-fast twin of the require above: appending onto a base
       // version whose files live in k=v partition dirs would commit an
@@ -2926,7 +2993,7 @@ object ManifestTable {
         identityHighWater = newIdentHigh,
         partitionColsDecl =
           if (partitionColsDecl.nonEmpty) Some(partitionColsDecl) else None,
-        copyAdds = copyAdds)
+        copyAdds = copyAdds, txn = txn)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)

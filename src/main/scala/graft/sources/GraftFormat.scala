@@ -122,6 +122,20 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
     val replaceWhere = GraftFormat.opt(parameters, "replaceWhere")
     require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
       s"replaceWhere requires mode(\"overwrite\"), got $mode")
+    // Delta's txnAppId/txnVersion writer-transaction options: a write
+    // whose version is AT OR BELOW the app's last committed one is a
+    // stale replay — skipped monotonically (stricter than txnTag's
+    // exact-replay match; the options must arrive together)
+    val txn: Option[(String, Long)] = {
+      val app = GraftFormat.opt(parameters, "txnAppId")
+      val ver = GraftFormat.opt(parameters, "txnVersion")
+      require(app.isDefined == ver.isDefined,
+        "txnAppId and txnVersion must be set together")
+      app.map(a => (a, ver.get.toLong))
+    }
+    require(txn.isEmpty || replaceWhere.isEmpty,
+      "txnAppId/txnVersion apply to write/append modes; replaceWhere " +
+        "uses txnTag for exactly-once")
     def exists = ManifestTable.currentVersion(spark, path).isDefined
     // txnTag = exactly-once batch commits (the Delta txnAppId idiom):
     // a replayed job whose tag already committed is a SILENT no-op in
@@ -134,7 +148,7 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
           "append is unpartitioned by contract (a partitioned append would " +
             "mix layouts under one basePath) — partitionBy applies to " +
             "mode(\"overwrite\")")
-        ManifestTable.append(data, path, tag = tag): Unit
+        ManifestTable.append(data, path, tag = tag, txn = txn): Unit
       case SaveMode.Overwrite => replaceWhere match {
         case Some(cond) =>
           require(partCols.isEmpty,
@@ -143,17 +157,17 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
             org.apache.spark.sql.functions.expr(cond), tag = tag): Unit
         case None =>
           ManifestTable.write(data, path, partitionCols = partCols,
-            tag = tag): Unit
+            tag = tag, txn = txn): Unit
       }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at $path (SaveMode.ErrorIfExists)")
         ManifestTable.write(data, path, partitionCols = partCols,
-          tag = tag): Unit
+          tag = tag, txn = txn): Unit
       case SaveMode.Ignore =>
         if (!exists)
           ManifestTable.write(data, path, partitionCols = partCols,
-            tag = tag): Unit
+            tag = tag, txn = txn): Unit
     }
     GraftRelation(sqlContext, path, None, None)
   }

@@ -78,7 +78,8 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
       Some(metadataPath),
       TableFeedSource.updateImagesOf(parameters),
       TableFeedSource.rowIdsOf(parameters),
-      TableFeedSource.startingVersionOf(sqlContext.sparkSession, parameters))
+      TableFeedSource.startingVersionOf(sqlContext.sparkSession, parameters),
+      TableFeedSource.maxBytesOf(parameters))
 }
 
 /** `startingVersion` (Delta's stream option, r13): subscribe from a
@@ -94,7 +95,9 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
                       metadataPath: Option[String] = None,
                       updateImages: Boolean = false,
                       rowIds: Boolean = false,
-                      startingVersion: Option[Long] = None) extends Source {
+                      startingVersion: Option[Long] = None,
+                      maxBytesPerTrigger: Option[Long] = None)
+    extends Source {
 
   override val schema: StructType =
     TableFeedSource.feedSchema(spark, path, rowIds)
@@ -126,7 +129,8 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
     } yield v).getOrElse(0L)
 
   private def persistLastEnd(v: Long): Unit =
-    if (maxVersionsPerBatch.isDefined) metaFile.foreach { p =>
+    if (maxVersionsPerBatch.isDefined || maxBytesPerTrigger.isDefined)
+      metaFile.foreach { p =>
       try {
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         f.mkdirs(p.getParent)
@@ -138,18 +142,46 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
   /** Latest committed version — the manifest listing IS the offset
     * authority, so an uncommitted (orphan) snapshot can never be
     * offered to the engine. Capped to `lastEnd + maxVersionsPerBatch`
-    * when admission control is on (never below the oldest surviving
-    * version, so a fresh subscription can always bootstrap).
+    * and/or to the version prefix fitting `maxBytesPerTrigger` when
+    * admission control is on (both caps compose — the tighter wins;
+    * at least ONE version is always admitted so the stream can't
+    * stall on a single oversized commit; never below the oldest
+    * surviving version, so a fresh subscription can always bootstrap).
     */
   override def getOffset: Option[V1Offset] =
     ManifestTable.currentVersion(spark, path).map { cur =>
-      val capped = maxVersionsPerBatch match {
-        case Some(n) =>
-          val floor = ManifestTable.versions(spark, path)
-            .headOption.getOrElse(cur)
-          math.min(cur, math.max(floor, lastEnd + n))
-        case None => cur
+      val byCount = maxVersionsPerBatch match {
+        case Some(n) => lastEnd + n
+        case None    => cur
       }
+      // byte budget: admit pending versions in order while their OWN
+      // added bytes fit (driver metadata + FileStatus, no data read)
+      val byBytes = maxBytesPerTrigger match {
+        case None => cur
+        case Some(budget) =>
+          val pending = ManifestTable.versions(spark, path)
+            .filter(v => v > lastEnd && v <= cur)
+          // contiguous prefix: stop at the FIRST version that blows the
+          // budget (later smaller versions must not leapfrog it)
+          var spent = 0L
+          var end = lastEnd
+          var stopped = false
+          var first = true
+          pending.foreach { v =>
+            if (!stopped) {
+              val b = ManifestTable.versionAddedBytes(spark, path, v)
+              if (first || spent + b <= budget) {
+                end = v; spent += b; first = false
+              } else stopped = true
+            }
+          }
+          if (pending.isEmpty) cur else end
+      }
+      val floor = ManifestTable.versions(spark, path)
+        .headOption.getOrElse(cur)
+      val capped =
+        if (maxVersionsPerBatch.isEmpty && maxBytesPerTrigger.isEmpty) cur
+        else math.min(cur, math.max(floor, math.min(byCount, byBytes)))
       LongOffset(capped)
     }
 
@@ -216,6 +248,19 @@ object TableFeedSource {
       .orElse(parameters.get("maxVersionsPerBatch")).map { s =>
         val n = s.toInt
         require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n")
+        n
+      }
+
+  /** `option("maxBytesPerTrigger", n)` — Delta's byte-budget admission
+    * control: each micro-batch admits the longest contiguous prefix of
+    * pending versions whose own ADDED bytes fit the budget (always at
+    * least one version, so an oversized commit can't stall the
+    * stream). Composes with `maxVersionsPerBatch` — the tighter wins. */
+  private[streaming] def maxBytesOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("maxbytespertrigger")
+      .orElse(parameters.get("maxBytesPerTrigger")).map { s =>
+        val n = s.toLong
+        require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
         n
       }
 
@@ -301,7 +346,8 @@ object TableFeedSource {
                  maxVersionsPerBatch: Option[Int] = None,
                  updateImages: Boolean = false,
                  rowIds: Boolean = false,
-                 startingVersion: Option[String] = None): DataFrame = {
+                 startingVersion: Option[String] = None,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
@@ -309,6 +355,7 @@ object TableFeedSource {
     if (updateImages) r.option("updateImages", "true")
     if (rowIds) r.option("rowIds", "true")
     startingVersion.foreach(v => r.option("startingVersion", v))
+    maxBytesPerTrigger.foreach(b => r.option("maxBytesPerTrigger", b.toString))
     r.load()
   }
 

@@ -383,6 +383,44 @@ class TableFeedSpec extends SparkSpec {
     assert(nonEmpty.flatMap(_._2).toSet === (1L to 10L).toSet)
   }
 
+  test("maxBytesPerTrigger: byte budget bounds each batch to a contiguous version prefix (r13)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tf_mb").toString + "/t"
+    ManifestTable.write(Seq((1L, "v1")).toDF("id", "v"), path)
+    (2 to 6).foreach(i =>
+      ManifestTable.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    // a 1-byte budget admits exactly one version per batch (the
+    // at-least-one rule), so 6 pending versions drain in 6 batches
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = TableFeedSource.readStream(spark, path,
+        maxBytesPerTrigger = Some(1L))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += b.select($"_commit_version").as[Long].collect().toSet: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size === 6, s"1-byte budget must drain 1 version/batch: $batches")
+    assert(nonEmpty.forall(_.size === 1), s"a batch exceeded the budget: $batches")
+    assert(nonEmpty.flatten.toSet === (1L to 6L).toSet)
+    // a budget covering everything drains in one batch — content identical
+    val path2 = java.nio.file.Files.createTempDirectory("graft_tf_mb2").toString + "/t"
+    ManifestTable.write(Seq((1L, "v1")).toDF("id", "v"), path2)
+    ManifestTable.append(Seq((2L, "v2")).toDF("id", "v"), path2)
+    val big = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = TableFeedSource.readStream(spark, path2,
+        maxBytesPerTrigger = Some(Long.MaxValue / 2))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        big += b.select($"_commit_version").as[Long].collect().toSet: Unit
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(big.filter(_.nonEmpty).size === 1 &&
+      big.flatten.toSet === Set(1L, 2L),
+      s"a covering budget must drain in one batch: $big")
+  }
+
   test("offsets are commit versions and survive serialization round-trip") {
     assert(TableFeedSource.versionOf(LongOffset(7L)) === 7L)
     assert(TableFeedSource.versionOf(SerializedOffset(LongOffset(7L).json)) === 7L)
