@@ -138,6 +138,8 @@ object SparkEntry {
     "format_roundtrip"   -> ((s, d) => graft.pipeline.Medallion.formatRoundtrip(s, d)),
     "merge_evolution"    -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionOrders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
+    "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
+    "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
     "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
     "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
     "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
@@ -1733,6 +1735,20 @@ object SparkEntry {
            SELECT * FROM base
            UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    "writer_v2" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'F'
+                     THEN o_totalprice + 55.0 ELSE o_totalprice
+                END AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    "table_properties" ->
+      """SELECT key, value FROM (
+           SELECT 'graft.minReaderVersion' AS key, '1' AS value
+           UNION ALL SELECT 'graft.minWriterVersion', '1'
+           UNION ALL SELECT 'owner', 'ml-team'
+           UNION ALL SELECT 'rows', CAST(COUNT(*) AS VARCHAR) FROM orders)
+         ORDER BY key""",
     // Relational recompute of the incremental-clustering lifecycle
     // (Medallion.clusterIncrementalOrders): content is layout-invariant;
     // the touched-file arithmetic is spec-asserted (ClusteringSpec).

@@ -850,4 +850,18 @@ object GraftOps {
                              key: String): Long =
     graft.pipeline.ManifestTable.merge(updates, path, key,
       schemaEvolution = true)
+
+  /** User TBLPROPERTIES — set/unset as one metadata commit, read the
+    * current map (r13; `graft.` keys are reserved for engine
+    * features). */
+  def setTableProperties(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         props: Map[String, String]): Long =
+    graft.pipeline.ManifestTable.setProperties(spark, path, props)
+  def unsetTableProperties(spark: org.apache.spark.sql.SparkSession,
+                           path: String, keys: Seq[String]): Long =
+    graft.pipeline.ManifestTable.unsetProperties(spark, path, keys)
+  def tableProperties(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Map[String, String] =
+    graft.pipeline.ManifestTable.tableProperties(spark, path)
 }

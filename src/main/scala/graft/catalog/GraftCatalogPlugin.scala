@@ -69,7 +69,9 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
           .manifestSchema(spark, p, v)
           .getOrElse(graft.pipeline.ManifestTable.read(spark, p).schema)
         GraftShellTable((ident.namespace.toSeq :+ ident.name).mkString("."),
-          schema, Some(p))
+          schema, Some(p),
+          tableProps = graft.pipeline.ManifestTable
+            .tableProperties(spark, p))
       }
       .getOrElse(throw new NoSuchTableException(ident))
   }
@@ -215,22 +217,41 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** Metadata-only Table handed back by [[GraftCatalogPlugin]] to
-  * satisfy the TableCatalog contract (createTable's return,
-  * loadTable's claim on the identifier). It advertises NO read/write
-  * capabilities on purpose: resolution stays with the analyzer rule
-  * (one read path), and writes go through the graft verbs / format.
-  * `path` carries the resolved storage location so the rule swaps the
-  * relation without a second catalog lookup.
+/** Metadata Table handed back by [[GraftCatalogPlugin]] to satisfy
+  * the TableCatalog contract (createTable's return, loadTable's claim
+  * on the identifier). It advertises NO read capabilities on purpose —
+  * resolution stays with the analyzer rule
+  * ([[graft.plans.GraftNameResolution]]), ONE vectorized read path —
+  * but it IS writable (round 13): `V1_BATCH_WRITE` routes
+  * `df.writeTo("graft.db.t")` / V2 CTAS through Spark's V1-fallback
+  * write exec into the same [[graft.pipeline.ManifestTable]] commit
+  * paths as every other surface (see [[GraftWriteBuilder]]). `path`
+  * carries the resolved storage location so rule and writer need no
+  * second catalog lookup.
   */
 private[graft] case class GraftShellTable(
     tableName: String, tableSchema: StructType,
     path: Option[String],
     pinnedVersion: Option[Long] = None,
-    pinnedTimestampMs: Option[Long] = None) extends Table {
+    pinnedTimestampMs: Option[Long] = None,
+    tableProps: Map[String, String] = Map.empty) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  /** User TBLPROPERTIES — surfaced for third-party tooling that
+    * inspects tables through the TableCatalog API. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v): Unit }
+    m
+  }
   override def capabilities(): java.util.Set[
-    org.apache.spark.sql.connector.catalog.TableCapability] =
-    java.util.Collections.emptySet()
+    org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    java.util.EnumSet.of(V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(this)
 }

@@ -144,7 +144,8 @@ object ManifestTable {
                               identityHighWater: Long = 0L,
                               partitionColsDecl: Seq[String] = Nil,
                               copyFiles: Seq[String] = Nil,
-                              txns: Map[String, Long] = Map.empty) {
+                              txns: Map[String, Long] = Map.empty,
+                              properties: Map[String, String] = Map.empty) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -323,7 +324,8 @@ object ManifestTable {
       Option(n.get("identityHighWater")).map(_.asLong()).getOrElse(0L),
       strArr(n, "partitionColsDecl"),
       strArr(n, "copyFiles"),
-      longMap(n, "txns"))
+      longMap(n, "txns"),
+      strMap(n, "properties"))
   }
 
   /** Parse a {name: long} object field into a Map (empty if absent). */
@@ -431,7 +433,12 @@ object ManifestTable {
         val app = n.get("txnApp").asText()
         val ver = n.get("txnVer").asLong()
         prev.txns + (app -> math.max(ver, prev.txns.getOrElse(app, Long.MinValue)))
-      })
+      },
+      // user table properties: a delta carries the FULL map when a
+      // SET/UNSET TBLPROPERTIES commit changes it (O(properties),
+      // tiny); absent = inherit — the mapping rule
+      if (n.has("properties")) strMap(n, "properties")
+      else prev.properties)
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -956,7 +963,9 @@ object ManifestTable {
                         partitionColsDecl: Option[Seq[String]] = None,
                         copyAdds: Seq[String] = Nil,
                         copyRemoves: Seq[String] = Nil,
-                        txn: Option[(String, Long)] = None): String = {
+                        txn: Option[(String, Long)] = None,
+                        properties: Option[Map[String, String]] = None)
+      : String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -971,6 +980,10 @@ object ManifestTable {
     identityHighWater.foreach(root.put("identityHighWater", _))
     partitionColsDecl.foreach { cols =>
       val a = root.putArray("partitionColsDecl"); cols.foreach(a.add)
+    }
+    properties.foreach { props =>
+      val p = root.putObject("properties")
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v): Unit }
     }
     statsSchema.foreach { cols =>
       val a = root.putArray("statsSchema"); cols.foreach(a.add)
@@ -1121,6 +1134,11 @@ object ManifestTable {
       val t = root.putObject("txns")
       st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
     }
+    if (st.properties.nonEmpty) {
+      val p = root.putObject("properties")
+      st.properties.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => p.put(k, v): Unit }
+    }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
   }
@@ -1210,6 +1228,27 @@ object ManifestTable {
       }.sum
     }
   }
+
+  /** Count of data files a committed version ADDED (its own log
+    * entry's adds — pure driver metadata, not even a FileStatus). The
+    * file-count admission control of the table-feed source sizes
+    * micro-batches with this. A vacuumed manifest counts 0. */
+  def versionAddedFileCount(spark: SparkSession, path: String,
+                            version: Long): Int =
+    readNodeIfExists(fs(spark, path), manifestPath(path, version))
+      .map(strArr(_, "adds").size).getOrElse(0)
+
+  /** True when a committed version only ADDED data (no file removes,
+    * no deletion-vector adds) — the commits `skipChangeCommits`
+    * delivers; rewrite/delete/merge commits are the ones it skips
+    * (Delta's streaming-source contract for append-only consumers).
+    * Driver metadata only. A vacuumed manifest reports append-only:
+    * it is older than any live subscription can replay anyway. */
+  def versionIsAppendOnly(spark: SparkSession, path: String,
+                          version: Long): Boolean =
+    readNodeIfExists(fs(spark, path), manifestPath(path, version))
+      .forall(n => strArr(n, "removes").isEmpty &&
+        strArr(n, "dvAdds").isEmpty)
 
   /** Idempotent tagged append for exactly-once sinks: if the table has
     * ever committed `tag` (within the tag horizon), the call is a no-op
@@ -2611,6 +2650,73 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"protocol commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** SET TBLPROPERTIES (Delta's `ALTER TABLE ... SET TBLPROPERTIES`):
+    * merge `props` into the table's user property map as one metadata
+    * commit — zero data I/O at any table size. The `graft.` key prefix
+    * is RESERVED for engine-managed features (protocol versions, row
+    * tracking, identity — each has its own verb with its own
+    * invariants); free-form keys are the user's namespace, carried
+    * through checkpoints, clones and RESTORE (properties roll back
+    * with the state, Delta's rule).
+    */
+  def setProperties(spark: SparkSession, path: String,
+                    props: Map[String, String],
+                    maxAttempts: Int = 3): Long = {
+    props.keys.foreach(k => require(!k.toLowerCase.startsWith("graft."),
+      s"property key '$k' is reserved — engine features are set via " +
+        "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...)"))
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
+    propertiesCommit(spark, path, maxAttempts,
+      st => st.properties ++ props, "SET TBLPROPERTIES")
+  }
+
+  /** UNSET TBLPROPERTIES — removes keys (absent keys are a no-op, the
+    * Delta/Spark `IF EXISTS` default). */
+  def unsetProperties(spark: SparkSession, path: String,
+                      keys: Seq[String], maxAttempts: Int = 3): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    propertiesCommit(spark, path, maxAttempts,
+      st => st.properties -- keys, "UNSET TBLPROPERTIES")
+  }
+
+  /** Current user property map (SHOW TBLPROPERTIES). */
+  def tableProperties(spark: SparkSession,
+                      path: String): Map[String, String] =
+    currentVersion(spark, path)
+      .map(resolveState(spark, path, _).properties).getOrElse(Map.empty)
+
+  private def propertiesCommit(spark: SparkSession, path: String,
+                               maxAttempts: Int,
+                               change: TableState => Map[String, String],
+                               opName: String): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      assertWritable(st, path)
+      val next = change(st)
+      if (next == st.properties) return prevV // no-op change, no commit
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        op = Some(opName), properties = Some(next))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$opName commit lost $maxAttempts races at $path — giving up")
   }
 
   /** ENABLE ROW TRACKING (Delta 3.x `delta.enableRowTracking`): every
@@ -4203,7 +4309,9 @@ object ManifestTable {
       rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None,
       identity = st.identityCol.map(c => (c, st.identityStep)),
       identityHighWater =
-        if (st.identityCol.isDefined) Some(st.identityHighWater) else None)
+        if (st.identityCol.isDefined) Some(st.identityHighWater) else None,
+      properties =
+        if (st.properties.nonEmpty) Some(st.properties) else None)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -4314,7 +4422,12 @@ object ManifestTable {
         // so re-running the same COPY re-ingests and the table returns
         // to the post-copy content — never silent data loss
         copyAdds = target.copyFiles.filterNot(cur.copyFiles.toSet),
-        copyRemoves = cur.copyFiles.filterNot(target.copyFiles.toSet))
+        copyRemoves = cur.copyFiles.filterNot(target.copyFiles.toSet),
+        // user table properties roll back WITH the state (Delta's
+        // RESTORE restores metadata) — the constraints rule
+        properties =
+          if (cur.properties == target.properties) None
+          else Some(target.properties))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)

@@ -1215,6 +1215,59 @@ object Medallion {
     * manifest-governed scan as the path API. The oracle recomputes
     * the lifecycle relationally.
     */
+  /** Declared TBLPROPERTIES query (round 13): user table properties
+    * as declare-once manifest state — SET, UNSET and SHOW
+    * TBLPROPERTIES verbs over a table built from the orders fixture,
+    * with engine-reserved keys surfacing under `graft.*` the way
+    * Delta surfaces `delta.*`. The result unions the property rows
+    * with the table's row count so the oracle checks the DATA was
+    * untouched by the metadata commits (each SET/UNSET is one
+    * zero-data-I/O commit at any table size; riding
+    * checkpoints/RESTORE/clones is PropertiesSpec's job).
+    */
+  def tablePropertiesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_props_", sfDir) + "/orders_props"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(Tables.orders(s, sfDir), path)
+      s.sql(s"ALTER TABLE '$path' SET TBLPROPERTIES " +
+        "('owner' = 'ml-team', 'stage' = 'silver')")
+      s.sql(s"ALTER TABLE '$path' UNSET TBLPROPERTIES ('stage')")
+      val props = s.sql(s"SHOW TBLPROPERTIES '$path'")
+      val cnt = ManifestTable.read(s, path)
+        .agg(count(lit(1)).cast("string").as("value"))
+        .withColumn("key", lit("rows")).select("key", "value")
+      props.unionByName(cnt).orderBy("key")
+    }
+  }
+
+  /** Declared V2-WRITER query (round 13): the `DataFrameWriterV2`
+    * surface on catalog names — `df.writeTo("graft.db.t").create()`
+    * (V2 CTAS through the TableCatalog), `.append()` (transactional
+    * append), and `.overwrite(cond)` (replaceWhere: only files the
+    * predicate touches rewrite; the rest carry byte-identical —
+    * asserted in WriterV2Spec). All three land through Spark's
+    * V1-fallback write exec into the SAME ManifestTable commit paths
+    * as the path/format/SQL surfaces ([[graft.catalog.GraftWriteBuilder]]);
+    * the final read resolves by name onto the manifest-governed
+    * vectorized scan. The oracle recomputes the lifecycle relationally.
+    */
+  def writerV2Verbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = scratch("graft_wv2_", sfDir)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      s.conf.set("spark.graft.warehouse", wh)
+      val orders = Tables.orders(s, sfDir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.g13.orders_wv2").create()
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.g13.orders_wv2").append()
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 55.0)
+        .writeTo("graft.g13.orders_wv2")
+        .overwrite(col("o_orderstatus") === lit("F"))
+      s.table("graft.g13.orders_wv2").orderBy("o_orderkey")
+    }
+  }
+
   def catalogTableVerbs(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = scratch("graft_catalog_", sfDir)
     graft.GraftSession.withSqlExtensions(spark) { s =>

@@ -32,10 +32,26 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 case class GraftNameResolution(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // WRITE TARGETS stay relations: `df.writeTo("graft.db.t")` / V2
+    // CTAS puts the table under AppendData/OverwriteByExpression (and
+    // SQL INSERT under InsertIntoStatement) — swapping the TARGET for
+    // a read plan would destroy the write. The V1-fallback write exec
+    // consumes the shell relation directly (GraftWriteBuilder); only
+    // read-position relations get the manifest-scan substitution.
+    val writeTargets =
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    plan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        writeTargets.put(w.table, java.lang.Boolean.TRUE): Unit
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        writeTargets.put(i.table, java.lang.Boolean.TRUE): Unit
+      case _ => ()
+    }
+    def isWriteTarget(p: LogicalPlan): Boolean = writeTargets.containsKey(p)
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation
-          if u.multipartIdentifier.headOption
+          if !isWriteTarget(u) && u.multipartIdentifier.headOption
             .exists(_.equalsIgnoreCase(GraftCatalog.CatalogName)) =>
         GraftCatalog.resolve(session, u.multipartIdentifier) match {
           case Some(path)
@@ -62,7 +78,8 @@ case class GraftNameResolution(session: SparkSession)
       // a registered source name); swap the shell relation for the
       // manifest plan here, honoring Delta's read-option time travel.
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-          if r.table.isInstanceOf[graft.catalog.GraftShellTable] =>
+          if !isWriteTarget(r) &&
+            r.table.isInstanceOf[graft.catalog.GraftShellTable] =>
         val shell = r.table.asInstanceOf[graft.catalog.GraftShellTable]
         val path = shell.path.getOrElse(
           GraftCatalog.tablePath(session, shell.tableName))
@@ -99,4 +116,5 @@ case class GraftNameResolution(session: SparkSession)
         Project(lr.output.zip(plan.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId) }, plan)
     }
+  }
 }

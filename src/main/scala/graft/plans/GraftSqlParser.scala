@@ -43,6 +43,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<expr>)
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
   *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
+  *   ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v' [, ...])
+  *   ALTER TABLE '<path>' UNSET TBLPROPERTIES [IF EXISTS] ('k' [, ...])
+  *   SHOW TBLPROPERTIES '<path>'
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
@@ -204,6 +207,12 @@ object GraftSqlStatements {
       "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$$").r
   private val convertRe =
     s"(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P\\s*;?\\s*$$".r
+  private val setPropsRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$".r
+  private val unsetPropsRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s+)?\\((.+)\\)\\s*;?\\s*$$".r
+  private val showPropsRe =
+    s"(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*$$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -272,6 +281,12 @@ object GraftSqlStatements {
         Option(fmt).getOrElse("parquet"),
         Option(pattern).getOrElse("*")))
     case convertRe(path) => Some(GraftConvertCommand(path))
+    case setPropsRe(path, kvs) =>
+      Some(GraftSetPropertiesCommand(path, parsePropList(kvs)))
+    case unsetPropsRe(path, keys) =>
+      Some(GraftUnsetPropertiesCommand(path,
+        splitTopLevel(keys).map(unquoteProp)))
+    case showPropsRe(path) => Some(GraftShowPropertiesCommand(path))
     case insertOverwriteWhereRe(path, cond, query) =>
       Some(GraftInsertCommand(path, query.trim, overwrite = true,
         replaceCond = Some(cond.trim)))
@@ -313,7 +328,8 @@ object GraftSqlStatements {
     "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
     "DESCRIBE\\s+EXTENDED", "SHOW\\s+CREATE\\s+TABLE",
     "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
-    "SHALLOW\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO")
+    "SHALLOW\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO",
+    "SHOW\\s+TBLPROPERTIES")
 
   def rewriteNames(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.")) return sqlText
@@ -386,6 +402,32 @@ object GraftSqlStatements {
     val i = a.indexOf('=')
     require(i > 0, s"malformed SET assignment: '$a'")
     (a.take(i).trim, a.drop(i + 1).trim)
+  }
+
+  /** `'key' = 'value', ...` (keys/values single-quoted à la Spark, or
+    * bare words) → ordered pairs. splitTopLevel keeps commas inside
+    * quoted values intact; the assignment `=` is located OUTSIDE
+    * quotes so keys/values may contain `=` themselves. */
+  private def parsePropList(kvs: String): Seq[(String, String)] =
+    splitTopLevel(kvs).map { kv =>
+      var i = 0
+      var inStr = false
+      var eq = -1
+      while (i < kv.length && eq < 0) {
+        val c = kv.charAt(i)
+        if (c == '\'') inStr = !inStr
+        else if (c == '=' && !inStr) eq = i
+        i += 1
+      }
+      require(eq > 0, s"malformed TBLPROPERTIES entry: '$kv'")
+      (unquoteProp(kv.take(eq)), unquoteProp(kv.drop(eq + 1)))
+    }
+
+  private def unquoteProp(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else t
   }
 
   // The clause-boundary lookahead requires a FULL clause head —
@@ -756,6 +798,90 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
   }
 }
 
+/** ALTER TABLE ... SET TBLPROPERTIES — user keys land in the table's
+  * property map (one metadata commit, zero data I/O); RESERVED
+  * `graft.` keys route to their engine feature exactly the way
+  * delta-spark routes `delta.`-prefixed properties:
+  *
+  *   graft.minReaderVersion / graft.minWriterVersion →
+  *     [[ManifestTable.upgradeProtocol]] (set together or the current
+  *     value carries; downgrades refused there)
+  *   graft.enableRowTracking = 'true' →
+  *     [[ManifestTable.enableRowTracking]]
+  *
+  * Unknown `graft.` keys are refused loudly — a misspelled feature
+  * property silently landing as an inert user key is the Delta
+  * footgun this guards against.
+  */
+case class GraftSetPropertiesCommand(path: String,
+                                     props: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    val (reserved, user) =
+      props.partition(_._1.toLowerCase.startsWith("graft."))
+    var v = -1L
+    val rm = reserved.map { case (k, vv) => (k.toLowerCase, vv) }.toMap
+    rm.keys.foreach { k =>
+      require(Set("graft.minreaderversion", "graft.minwriterversion",
+        "graft.enablerowtracking").contains(k),
+        s"unknown reserved property '$k' — graft.* keys name engine " +
+          "features (minReaderVersion, minWriterVersion, " +
+          "enableRowTracking); user keys must not use the prefix")
+    }
+    if (rm.contains("graft.minreaderversion") ||
+        rm.contains("graft.minwriterversion")) {
+      val cur = ManifestTable.currentVersion(session, tp)
+        .map(ManifestTable.resolveState(session, tp, _))
+      v = ManifestTable.upgradeProtocol(session, tp,
+        rm.get("graft.minreaderversion").map(_.toInt)
+          .orElse(cur.map(_.minReader)).getOrElse(1),
+        rm.get("graft.minwriterversion").map(_.toInt)
+          .orElse(cur.map(_.minWriter)).getOrElse(1))
+    }
+    if (rm.get("graft.enablerowtracking").exists(_.toBoolean))
+      v = ManifestTable.enableRowTracking(session, tp)
+    if (user.nonEmpty)
+      v = ManifestTable.setProperties(session, tp, user.toMap)
+    Seq(Row(v))
+  }
+}
+
+/** ALTER TABLE ... UNSET TBLPROPERTIES [IF EXISTS] ('k', ...). */
+case class GraftUnsetPropertiesCommand(path: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.unsetProperties(session,
+      GraftSqlCommands.rp(session, path), keys)))
+}
+
+/** SHOW TBLPROPERTIES — (key, value) rows, key-sorted (deterministic;
+  * engine-managed features surface under their reserved names the way
+  * Delta surfaces `delta.*`). */
+case class GraftShowPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    val st = ManifestTable.currentVersion(session, tp)
+      .map(ManifestTable.resolveState(session, tp, _))
+    val engine = st.toSeq.flatMap { s =>
+      Seq("graft.minReaderVersion" -> s.minReader.toString,
+        "graft.minWriterVersion" -> s.minWriter.toString) ++
+        (if (s.rowTracking) Seq("graft.enableRowTracking" -> "true")
+         else Nil)
+    }
+    val user = st.map(_.properties).getOrElse(Map.empty)
+    (engine ++ user.toSeq).sortBy(_._1).map { case (k, v) => Row(k, v) }
+  }
+}
+
 /** ALTER TABLE family + ANALYZE — metadata-only verbs over one
   * dispatch (each maps 1:1 onto a ManifestTable call; the variants
   * share the version-returning shape). */
@@ -1022,7 +1148,9 @@ object GraftSqlCommands {
     val checkProps = st.constraints.toSeq
       .filterNot(_._1.startsWith(ManifestTable.NotNullPrefix))
       .sortBy(_._1)
-      .map { case (n, e) => s"  'graft.constraints.$n' = '$e'" }
+      .map { case (n, e) => s"  'graft.constraints.$n' = '$e'" } ++
+      st.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"  '$k' = '$v'" }
     val propLine =
       if (checkProps.isEmpty) ""
       else checkProps.mkString("\nTBLPROPERTIES (\n", ",\n", ")")
