@@ -79,7 +79,9 @@ class TableFeedProvider extends StreamSourceProvider with DataSourceRegister {
       TableFeedSource.updateImagesOf(parameters),
       TableFeedSource.rowIdsOf(parameters),
       TableFeedSource.startingVersionOf(sqlContext.sparkSession, parameters),
-      TableFeedSource.maxBytesOf(parameters))
+      TableFeedSource.maxBytesOf(parameters),
+      TableFeedSource.maxFilesOf(parameters),
+      TableFeedSource.skipChangesOf(parameters))
 }
 
 /** `startingVersion` (Delta's stream option, r13): subscribe from a
@@ -96,7 +98,9 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
                       updateImages: Boolean = false,
                       rowIds: Boolean = false,
                       startingVersion: Option[Long] = None,
-                      maxBytesPerTrigger: Option[Long] = None)
+                      maxBytesPerTrigger: Option[Long] = None,
+                      maxFilesPerTrigger: Option[Int] = None,
+                      skipChangeCommits: Boolean = false)
     extends Source {
 
   override val schema: StructType =
@@ -129,7 +133,8 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
     } yield v).getOrElse(0L)
 
   private def persistLastEnd(v: Long): Unit =
-    if (maxVersionsPerBatch.isDefined || maxBytesPerTrigger.isDefined)
+    if (maxVersionsPerBatch.isDefined || maxBytesPerTrigger.isDefined ||
+        maxFilesPerTrigger.isDefined)
       metaFile.foreach { p =>
       try {
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,22 +161,33 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
       }
       // byte budget: admit pending versions in order while their OWN
       // added bytes fit (driver metadata + FileStatus, no data read)
-      val byBytes = maxBytesPerTrigger match {
-        case None => cur
-        case Some(budget) =>
+      // budgeted admission (bytes and/or files): admit the longest
+      // contiguous prefix of pending versions whose OWN added cost
+      // fits — shared walk, driver metadata only, stop at the FIRST
+      // version that blows either budget (later smaller versions must
+      // not leapfrog it); always at least one version
+      val byBudget = (maxBytesPerTrigger, maxFilesPerTrigger) match {
+        case (None, None) => cur
+        case (bytesBudget, filesBudget) =>
           val pending = ManifestTable.versions(spark, path)
             .filter(v => v > lastEnd && v <= cur)
-          // contiguous prefix: stop at the FIRST version that blows the
-          // budget (later smaller versions must not leapfrog it)
-          var spent = 0L
+          var spentBytes = 0L
+          var spentFiles = 0
           var end = lastEnd
           var stopped = false
           var first = true
           pending.foreach { v =>
             if (!stopped) {
-              val b = ManifestTable.versionAddedBytes(spark, path, v)
-              if (first || spent + b <= budget) {
-                end = v; spent += b; first = false
+              val b = bytesBudget.map(_ =>
+                ManifestTable.versionAddedBytes(spark, path, v))
+                .getOrElse(0L)
+              val nf = filesBudget.map(_ =>
+                ManifestTable.versionAddedFileCount(spark, path, v))
+                .getOrElse(0)
+              val fits = bytesBudget.forall(spentBytes + b <= _) &&
+                filesBudget.forall(spentFiles + nf <= _)
+              if (first || fits) {
+                end = v; spentBytes += b; spentFiles += nf; first = false
               } else stopped = true
             }
           }
@@ -180,8 +196,9 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
       val floor = ManifestTable.versions(spark, path)
         .headOption.getOrElse(cur)
       val capped =
-        if (maxVersionsPerBatch.isEmpty && maxBytesPerTrigger.isEmpty) cur
-        else math.min(cur, math.max(floor, math.min(byCount, byBytes)))
+        if (maxVersionsPerBatch.isEmpty && maxBytesPerTrigger.isEmpty &&
+            maxFilesPerTrigger.isEmpty) cur
+        else math.min(cur, math.max(floor, math.min(byCount, byBudget)))
       LongOffset(capped)
     }
 
@@ -201,7 +218,17 @@ class TableFeedSource(spark: org.apache.spark.sql.SparkSession,
       s"resume offset $from of $path is out of retention (oldest " +
         s"surviving version ${vs.headOption.getOrElse(-1L)}) — " +
         "re-bootstrap the subscription from the current snapshot")
-    val committed = vs.filter(v => v > from && v <= to)
+    val pending = vs.filter(v => v > from && v <= to)
+    // skipChangeCommits (Delta's append-only consumer contract): a
+    // version that removed or DV-masked data is SKIPPED WHOLE — its
+    // offset still advances (the subscription stays current), its rows
+    // never deliver. The fresh-subscription bootstrap snapshot is
+    // always delivered: it is a synthetic insert set, not a rewrite.
+    val committed =
+      if (!skipChangeCommits) pending
+      else pending.filter(v =>
+        (from == 0L && v == vs.head) ||
+          ManifestTable.versionIsAppendOnly(spark, path, v))
     val tableCols = schema.fields.dropRight(1).map(f => col(f.name)).toSeq
     val batch = committed
       .map { v =>
@@ -263,6 +290,25 @@ object TableFeedSource {
         require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
         n
       }
+
+  /** `option("maxFilesPerTrigger", n)` — Delta's file-count admission
+    * control twin of the byte budget: the longest contiguous prefix of
+    * pending versions whose own ADDED file count fits (always at least
+    * one version). Composes with the other caps — the tightest wins. */
+  private[streaming] def maxFilesOf(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxfilespertrigger")
+      .orElse(parameters.get("maxFilesPerTrigger")).map { s =>
+        val n = s.toInt
+        require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n")
+        n
+      }
+
+  /** `option("skipChangeCommits", "true")` — Delta's append-only
+    * consumer contract: versions that removed or DV-masked data are
+    * skipped whole; only pure-append commits deliver rows. */
+  private[streaming] def skipChangesOf(parameters: Map[String, String]): Boolean =
+    parameters.get("skipchangecommits")
+      .orElse(parameters.get("skipChangeCommits")).exists(_.toBoolean)
 
   private[streaming] def updateImagesOf(parameters: Map[String, String]): Boolean =
     parameters.get("updateimages").orElse(parameters.get("updateImages"))
@@ -347,7 +393,9 @@ object TableFeedSource {
                  updateImages: Boolean = false,
                  rowIds: Boolean = false,
                  startingVersion: Option[String] = None,
-                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+                 maxBytesPerTrigger: Option[Long] = None,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 skipChangeCommits: Boolean = false): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableFeedProvider].getName)
       .option("path", path)
@@ -356,6 +404,8 @@ object TableFeedSource {
     if (rowIds) r.option("rowIds", "true")
     startingVersion.foreach(v => r.option("startingVersion", v))
     maxBytesPerTrigger.foreach(b => r.option("maxBytesPerTrigger", b.toString))
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    if (skipChangeCommits) r.option("skipChangeCommits", "true")
     r.load()
   }
 

@@ -421,6 +421,68 @@ class TableFeedSpec extends SparkSpec {
       s"a covering budget must drain in one batch: $big")
   }
 
+  test("maxFilesPerTrigger: file-count budget bounds each batch (r13)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tf_mf").toString + "/t"
+    // v1 = 1 file; v2..v4 = 2 files each (coalesce(2) on 4 rows)
+    ManifestTable.write(Seq((1L, "v1")).toDF("id", "v"), path)
+    (2 to 4).foreach { i =>
+      val batch = (0 until 4).map(j => (i * 10L + j, s"v$i"))
+        .toDF("id", "v").repartition(2)
+      ManifestTable.append(batch, path)
+    }
+    // budget of 2 files: v1 (1 file) + nothing more fits with v2's 2?
+    // 1+2=3 > 2 → v1 alone; then each 2-file version exactly fits.
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = TableFeedSource.readStream(spark, path,
+        maxFilesPerTrigger = Some(2))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += b.select($"_commit_version").as[Long].collect().toSet: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size === 4,
+      s"2-file budget must drain 4 versions in 4 batches: $batches")
+    assert(nonEmpty.forall(_.size === 1), s"a batch mixed versions: $batches")
+    assert(nonEmpty.flatten.toSet === (1L to 4L).toSet)
+  }
+
+  test("skipChangeCommits: rewrite/delete versions are skipped whole (r13)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tf_scc").toString + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)   // v1
+    ManifestTable.append(Seq((3L, "c")).toDF("id", "v"), path)             // v2
+    ManifestTable.deleteWhere(spark, path, $"id" === 1L)                   // v3 rewrite
+    ManifestTable.append(Seq((4L, "d")).toDF("id", "v"), path)             // v4
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = TableFeedSource.readStream(spark, path, skipChangeCommits = true)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= b.select($"id", $"_change", $"_commit_version")
+          .as[(Long, String, Long)].collect(): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // bootstrap v1 delivers (synthetic snapshot? no — fresh table, v1 IS
+    // the first commit: delivered as inserts); v2/v4 appends deliver;
+    // v3's delete NEVER surfaces — no 'delete' rows, no re-inserts
+    assert(got.forall(_._2 == "insert"), s"non-insert rows leaked: $got")
+    assert(got.map(r => (r._1, r._3)).toSet ===
+      Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L)), got.toString)
+    // the same feed WITHOUT the option delivers v3's delete row
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q2 = TableFeedSource.readStream(spark, path)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        all ++= b.select($"_change", $"_commit_version")
+          .as[(String, Long)].collect(): Unit
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(all.contains(("delete", 3L)),
+      s"default feed must deliver the delete: $all")
+  }
+
   test("offsets are commit versions and survive serialization round-trip") {
     assert(TableFeedSource.versionOf(LongOffset(7L)) === 7L)
     assert(TableFeedSource.versionOf(SerializedOffset(LongOffset(7L).json)) === 7L)
