@@ -122,7 +122,16 @@ object ScaleProbe {
     // CONVERT: adoption is ONE manifest write (O(files) names, zero
     // data moved) — the probe's cost is the fixture dump's own write
     // plus the post-convert merge's touched-file CoW
-    "convert_table")
+    "convert_table",
+    // V2 writer: the writeTo lifecycle is the SAME engine ops (empty
+    // declare + write + append + replaceWhere) behind Spark's
+    // V1-fallback write exec — shuffle must match the path-addressed
+    // equivalents; the builder adds analysis-time dispatch only
+    "writer_v2",
+    // TBLPROPERTIES: each SET/UNSET is ONE metadata commit touching
+    // zero data files — the probe's wall is the base write; property
+    // cost must be flat in data at any scale
+    "table_properties")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
