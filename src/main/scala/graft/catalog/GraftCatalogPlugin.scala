@@ -1,8 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * would force a hand-rolled row-at-a-time reader into every name
   * query — strictly slower at any scale.
   */
-class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = GraftCatalog.CatalogName
 
@@ -114,16 +115,56 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map { t =>
-      val refs = t.references()
-      require(t.name() == "identity" && refs.length == 1,
-        s"graft tables partition by plain columns only, got $t")
-      refs.head.fieldNames().mkString(".")
-    }
     val nm = (ident.namespace.toSeq :+ ident.name).mkString(".")
-    GraftCatalog.createTable(spark, nm, schema, partCols)
+    GraftCatalog.createTable(spark, nm, schema,
+      GraftCatalogPlugin.partitionColsOf(partitions))
+    val user = GraftCatalogPlugin.userProps(properties)
+    if (user.nonEmpty)
+      graft.pipeline.ManifestTable.setProperties(spark,
+        GraftCatalog.tablePath(spark, nm), user): Unit
     GraftShellTable(nm, schema, None)
   }
+
+  // --- staged CTAS / RTAS (StagingTableCatalog) -----------------------
+  //
+  // `df.writeTo(t).createOrReplace()/.replace()` and SQL
+  // `CREATE OR REPLACE TABLE graft.db.t AS SELECT`. A ManifestTable
+  // snapshot-overwrite commit IS atomic (staged files + one
+  // conditional manifest publish), so the staged table defers
+  // everything to the write itself: commit is a no-op (the manifest
+  // publish was the atomic point) and abort is a no-op (a failed
+  // write never published — orphaned staging files fall to vacuum's
+  // discipline like any crashed writer). REPLACE is therefore
+  // HISTORY-PRESERVING, the Delta semantics: the previous snapshot
+  // stays time-travelable, unlike drop-and-recreate.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
+      schema, GraftCatalogPlugin.partitionColsOf(partitions),
+      GraftCatalogPlugin.userProps(properties))
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String])
+      : StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
+      schema, GraftCatalogPlugin.partitionColsOf(partitions),
+      GraftCatalogPlugin.userProps(properties))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String])
+      : StagedTable =
+    GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
+      schema, GraftCatalogPlugin.partitionColsOf(partitions),
+      GraftCatalogPlugin.userProps(properties))
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -215,6 +256,94 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       s"${GraftCatalog.warehouse(spark)}/$d")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+}
+
+private[graft] object GraftCatalogPlugin {
+
+  /** Identity transforms only (k=v partition columns) — the layout
+    * ManifestTable's snapshot directories express. */
+  private[graft] def partitionColsOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1,
+        s"graft tables partition by plain columns only, got $t")
+      refs.head.fieldNames().mkString(".")
+    }
+
+  /** Spark routes engine-internal table options (provider, location,
+    * comment, ...) through the same properties map as user
+    * TBLPROPERTIES — keep only the user's keys. `graft.`-reserved keys
+    * flow through so [[graft.pipeline.ManifestTable.setProperties]]
+    * can refuse them loudly. */
+  private[graft] def userProps(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    val internal = Set("provider", "location", "comment", "owner",
+      "external", "is_managed_location")
+    val out = scala.collection.mutable.Map.empty[String, String]
+    properties.forEach { (k, v) =>
+      if (!internal.contains(k.toLowerCase) && !k.startsWith("option."))
+        out += k -> v
+    }
+    out.toMap
+  }
+}
+
+/** Atomic-CTAS/RTAS staged table ([[GraftCatalogPlugin.stageCreate]]
+  * family): the query result arrives through the V1-fallback write
+  * builder and lands as ONE ManifestTable snapshot commit —
+  * create = the table's first version, replace = a history-preserving
+  * overwrite commit (previous snapshots stay time-travelable, Delta's
+  * REPLACE semantics). Declared TBLPROPERTIES land right after the
+  * data commit.
+  */
+private[graft] case class GraftStagedTable(
+    tableName: String, tableSchema: StructType,
+    partitionCols: Seq[String],
+    userProps: Map[String, String]) extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    java.util.EnumSet.of(V1_BATCH_WRITE, TRUNCATE, OVERWRITE_BY_FILTER)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    // SupportsOverwrite because the RTAS exec expresses "replace the
+    // table content" as a truncate-overwrite; the filters are ignored —
+    // the staged write IS the full new snapshot either way
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                val path = GraftCatalog.tablePath(spark, tableName)
+                graft.pipeline.ManifestTable.write(data, path,
+                  partitionCols = partitionCols): Unit
+                if (userProps.nonEmpty)
+                  graft.pipeline.ManifestTable.setProperties(spark, path,
+                    userProps): Unit
+              }
+            }
+        }
+    }
+
+  /** The ManifestTable commit inside the write was the atomic point. */
+  override def commitStagedChanges(): Unit = ()
+  /** A failed write never published a manifest; staged orphans fall to
+    * vacuum's version-dir discipline like any crashed writer. */
+  override def abortStagedChanges(): Unit = ()
 }
 
 /** Metadata Table handed back by [[GraftCatalogPlugin]] to satisfy

@@ -50,9 +50,9 @@ class WriterV2Spec extends SparkSpec {
       val got = s.table("graft.wv2.t1").orderBy("id").as[(Long, Long)]
         .collect().toSeq
       assert(got === (0L until 60L).map(i => (i, i * 3)))
-      // three commits: empty declare + CTAS data + append
+      // two commits: atomic staged CTAS (one data write) + append
       val p = GraftCatalog.tablePath(s, "wv2.t1")
-      assert(ManifestTable.versions(s, p).size === 3)
+      assert(ManifestTable.versions(s, p).size === 2)
     }
   }
 
@@ -124,13 +124,58 @@ class WriterV2Spec extends SparkSpec {
     }
   }
 
+  test("createOrReplace is history-preserving: the replaced snapshot stays time-travelable") {
+    withSql { s =>
+      s.range(0, 10).toDF("id").withColumn("tag", lit("old"))
+        .writeTo("graft.wv2.t7").createOrReplace()
+      val vBefore = ManifestTable.currentVersion(s,
+        GraftCatalog.tablePath(s, "wv2.t7")).get
+      // replace with a DIFFERENT schema — RTAS commits the new snapshot
+      s.range(0, 4).toDF("id").withColumn("score", col("id") * 1.5)
+        .writeTo("graft.wv2.t7").replace()
+      val p = GraftCatalog.tablePath(s, "wv2.t7")
+      assert(s.table("graft.wv2.t7").columns.toSeq === Seq("id", "score"))
+      assert(s.table("graft.wv2.t7").count() === 4)
+      // history preserved (no drop-and-recreate): old snapshot readable
+      val old = ManifestTable.readVersion(s, p, vBefore)
+      assert(old.columns.toSeq === Seq("id", "tag") && old.count() === 10)
+      // .replace() on a missing table refuses (V2 contract)
+      intercept[Exception] {
+        s.range(0, 1).toDF("id").writeTo("graft.wv2.ghost").replace()
+      }
+    }
+  }
+
+  test("SQL CREATE OR REPLACE TABLE ... AS SELECT lands through the staging catalog") {
+    withSql { s =>
+      s.sql("CREATE OR REPLACE TABLE graft.wv2.t8 AS SELECT id FROM range(0, 6)")
+      assert(s.table("graft.wv2.t8").count() === 6)
+      s.sql("CREATE OR REPLACE TABLE graft.wv2.t8 AS " +
+        "SELECT id, id * 2 AS dbl FROM range(0, 3)")
+      assert(s.table("graft.wv2.t8").columns.toSeq === Seq("id", "dbl"))
+      assert(s.table("graft.wv2.t8").count() === 3)
+      // both snapshots live in ONE table history
+      val p = GraftCatalog.tablePath(s, "wv2.t8")
+      assert(ManifestTable.versions(s, p).size === 2)
+    }
+  }
+
+  test("TBLPROPERTIES declared at create land as user properties") {
+    withSql { s =>
+      s.sql("CREATE OR REPLACE TABLE graft.wv2.t9 " +
+        "TBLPROPERTIES ('team' = 'core') AS SELECT id FROM range(0, 2)")
+      val p = GraftCatalog.tablePath(s, "wv2.t9")
+      assert(ManifestTable.tableProperties(s, p) === Map("team" -> "core"))
+    }
+  }
+
   test("writes refuse a time-travel view; reads by name stay on the vectorized scan") {
     withSql { s =>
       s.range(0, 10).toDF("id").writeTo("graft.wv2.t6").create()
       s.range(10, 12).toDF("id").writeTo("graft.wv2.t6").append()
       // time travel read still works after the write-capability change
-      // (v1 = empty declare, v2 = CTAS data, v3 = append)
-      assert(s.sql("SELECT * FROM graft.wv2.t6 VERSION AS OF 2").count() === 10)
+      // (v1 = atomic staged CTAS, v2 = append)
+      assert(s.sql("SELECT * FROM graft.wv2.t6 VERSION AS OF 1").count() === 10)
       // the name read compiles to a parquet file scan (no V2 row reader)
       val plan = s.table("graft.wv2.t6").queryExecution.executedPlan.toString
       assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
