@@ -140,6 +140,7 @@ object SparkEntry {
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
+    "fluent_table_verbs" -> ((s, d) => graft.pipeline.Medallion.fluentTableVerbs(s, d)),
     "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
     "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
     "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
@@ -1749,6 +1750,26 @@ object SparkEntry {
            UNION ALL SELECT 'owner', 'ml-team'
            UNION ALL SELECT 'rows', CAST(COUNT(*) AS VARCHAR) FROM orders)
          ORDER BY key""",
+    "fluent_table_verbs" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 79 = 0
+                       THEN o_totalprice + 111.0 ELSE o_totalprice
+                  END AS o_totalprice,
+                  o_orderdate,
+                  CASE WHEN o_orderkey % 83 = 0
+                       THEN '8-FLUPD' ELSE o_orderpriority
+                  END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         ins AS (
+           SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                  '7-FLINS' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT * FROM (
+           SELECT * FROM base
+           UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
     // Relational recompute of the incremental-clustering lifecycle
     // (Medallion.clusterIncrementalOrders): content is layout-invariant;
     // the touched-file arithmetic is spec-asserted (ClusteringSpec).

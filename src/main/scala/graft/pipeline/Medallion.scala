@@ -1215,6 +1215,37 @@ object Medallion {
     * manifest-governed scan as the path API. The oracle recomputes
     * the lifecycle relationally.
     */
+  /** Declared FLUENT-HANDLE query (round 13): the delta-spark
+    * `DeltaTable` API shape ([[graft.api.GraftTable]]) driving a full
+    * DML lifecycle — predicate UPDATE, conditional MERGE with
+    * expression assignments, predicate DELETE, and a
+    * NOT-MATCHED-insert merge — each a thin rename into the same
+    * ManifestTable CoW operators the SQL verbs use (GraftTableSpec
+    * asserts the handle semantics; this query oracles the composed
+    * lifecycle against a relational recompute).
+    */
+  def fluentTableVerbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_fluent_", sfDir) + "/orders_fluent"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(orders, path)
+    val t = graft.api.GraftTable.forPath(spark, path)
+    t.updateExpr("o_orderkey % 83 = 0",
+      Map("o_orderpriority" -> "'8-FLUPD'"))
+    t.merge(orders.filter(col("o_orderkey") % 79 === 0)
+        .select("o_orderkey"), "o_orderkey")
+      .whenMatchedUpdateExpr(Map(
+        "o_totalprice" -> "_b_o_totalprice + 111.0"))
+      .execute()
+    t.delete(col("o_orderkey") % 97 === 0)
+    t.merge(orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 300000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("7-FLINS")), "o_orderkey")
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.toDF.orderBy("o_orderkey")
+  }
+
   /** Declared TBLPROPERTIES query (round 13): user table properties
     * as declare-once manifest state — SET, UNSET and SHOW
     * TBLPROPERTIES verbs over a table built from the orders fixture,
