@@ -141,6 +141,7 @@ object SparkEntry {
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
     "fluent_table_verbs" -> ((s, d) => graft.pipeline.Medallion.fluentTableVerbs(s, d)),
+    "symlink_manifest"   -> ((s, d) => graft.pipeline.Medallion.symlinkManifestQuery(s, d)),
     "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
     "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
     "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
@@ -1750,6 +1751,9 @@ object SparkEntry {
            UNION ALL SELECT 'owner', 'ml-team'
            UNION ALL SELECT 'rows', CAST(COUNT(*) AS VARCHAR) FROM orders)
          ORDER BY key""",
+    "symlink_manifest" ->
+      """SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+         ORDER BY o_orderkey""",
     "fluent_table_verbs" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -107,6 +107,14 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   def upgradeProtocol(minReader: Int, minWriter: Int): Long =
     ManifestTable.upgradeProtocol(spark, path, minReader, minWriter)
 
+  /** delta-spark's `generate("symlink_format_manifest")` — export the
+    * current snapshot's file list for Presto/Trino/Athena readers. */
+  def generate(mode: String): Int = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"unknown GENERATE mode '$mode' — supported: symlink_format_manifest")
+    ManifestTable.generateSymlinkManifest(spark, path)
+  }
+
   def addConstraint(name: String, check: String): Long =
     ManifestTable.addCheckConstraint(spark, path, name, check)
   def dropConstraint(name: String): Long =

@@ -2652,6 +2652,79 @@ object ManifestTable {
       s"protocol commit lost $maxAttempts races at $path — giving up")
   }
 
+  /** GENERATE symlink_format_manifest (Delta's `GENERATE` /
+    * `deltaTable.generate(...)`) — publish the CURRENT snapshot's live
+    * file list as plain text manifests under
+    * `<table>/_symlink_format_manifest/`, the layout Presto / Trino /
+    * Athena / Hive readers consume to query the table without
+    * implementing the log protocol: one `manifest` text file per
+    * partition directory (at the root for unpartitioned layouts), each
+    * line a fully-qualified file URI. Driver metadata only — O(files)
+    * names, zero data read, at any table size.
+    *
+    * Stale content from earlier generations is removed first, so the
+    * manifest NEVER references dropped partitions. Like Delta, the
+    * manifest is a point-in-time EXPORT: re-run after commits that
+    * change the file set (readers see the generated snapshot until
+    * then). Refused while deletion vectors are live — a symlink
+    * consumer cannot apply DV masks; [[compact]] the DVs away first.
+    * Returns the number of manifest files written.
+    */
+  def generateSymlinkManifest(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, v)
+    require(st.dvFiles.isEmpty,
+      s"cannot generate a symlink manifest for $path while deletion " +
+        "vectors are live — external readers cannot apply DV masks; " +
+        "compact first")
+    val f = fs(spark, path)
+    val root = new Path(path, "_symlink_format_manifest")
+    if (f.exists(root)) f.delete(root, true)
+    // group live files by their k=v partition dir chain (empty chain =
+    // unpartitioned snapshot layout)
+    val qualified = f.makeQualified(new Path(path)).toString.stripSuffix("/")
+    val byPartition = st.files.groupBy { rel =>
+      rel.split("/").dropRight(1).filter(_.contains("=")).mkString("/")
+    }
+    byPartition.toSeq.sortBy(_._1).foreach { case (part, refs) =>
+      val dir = if (part.isEmpty) root else new Path(root, part)
+      f.mkdirs(dir)
+      val body = refs.sorted.map { r =>
+        val abs = resolveRef(qualified, r)
+        if (isExternalRef(abs) && abs.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
+          abs
+        else f.makeQualified(new Path(abs)).toString
+      }.mkString("", "\n", "\n")
+      val out = f.create(new Path(dir, "manifest"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    byPartition.size
+  }
+
+  /** The file URIs a generated symlink manifest exports — what an
+    * external engine (Presto/Trino/Athena) would read. Driver-side
+    * O(manifest files). */
+  def symlinkManifestFiles(spark: SparkSession,
+                           path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = new Path(path, "_symlink_format_manifest")
+    require(f.exists(root),
+      s"no symlink manifest at $path — run generateSymlinkManifest first")
+    def walk(dir: Path): Seq[String] = {
+      f.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName == "manifest") {
+          val in = f.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        } else Nil
+      }
+    }
+    walk(root).sorted
+  }
+
   /** SET TBLPROPERTIES (Delta's `ALTER TABLE ... SET TBLPROPERTIES`):
     * merge `props` into the table's user property map as one metadata
     * commit — zero data I/O at any table size. The `graft.` key prefix

@@ -1215,6 +1215,27 @@ object Medallion {
     * manifest-governed scan as the path API. The oracle recomputes
     * the lifecycle relationally.
     */
+  /** Declared GENERATE query (round 13): Delta's
+    * `GENERATE symlink_format_manifest` — the external-reader export.
+    * The query writes orders, deletes a slice (so the manifest must
+    * track the LIVE file set, not history), generates, and reads the
+    * table back THROUGH the exported manifest URIs exactly the way a
+    * Presto/Trino/Athena reader would — the oracle recomputes the
+    * post-delete content, so a stale or over-complete manifest
+    * hash-fails. Generation is driver metadata, O(files) names.
+    */
+  def symlinkManifestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_gen_", sfDir) + "/orders_gen"
+    ManifestTable.write(Tables.orders(spark, sfDir).repartition(4), path,
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.deleteWhere(spark, path, col("o_orderkey") % 97 === 0,
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.generateSymlinkManifest(spark, path)
+    spark.read.parquet(
+        ManifestTable.symlinkManifestFiles(spark, path): _*)
+      .orderBy("o_orderkey")
+  }
+
   /** Declared FLUENT-HANDLE query (round 13): the delta-spark
     * `DeltaTable` API shape ([[graft.api.GraftTable]]) driving a full
     * DML lifecycle — predicate UPDATE, conditional MERGE with

@@ -46,6 +46,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE '<path>' UNSET TBLPROPERTIES [IF EXISTS] ('k' [, ...])
   *   SHOW TBLPROPERTIES '<path>'
+  *   GENERATE symlink_format_manifest FOR TABLE '<path>'
   *   CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]
   *   ANALYZE [TABLE] '<path>' FOR COLUMNS a, b
   *   ALTER TABLE '<path>' SET STATS COLUMNS a, b
@@ -213,6 +214,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s+)?\\((.+)\\)\\s*;?\\s*$$".r
   private val showPropsRe =
     s"(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*$$".r
+  private val generateRe =
+    s"(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$P\\s*;?\\s*$$".r
 
   /** Recognize a graft verb; None delegates to Spark's parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -287,6 +290,7 @@ object GraftSqlStatements {
       Some(GraftUnsetPropertiesCommand(path,
         splitTopLevel(keys).map(unquoteProp)))
     case showPropsRe(path) => Some(GraftShowPropertiesCommand(path))
+    case generateRe(mode, path) => Some(GraftGenerateCommand(path, mode))
     case insertOverwriteWhereRe(path, cond, query) =>
       Some(GraftInsertCommand(path, query.trim, overwrite = true,
         replaceCond = Some(cond.trim)))
@@ -329,7 +333,7 @@ object GraftSqlStatements {
     "DESCRIBE\\s+EXTENDED", "SHOW\\s+CREATE\\s+TABLE",
     "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
     "SHALLOW\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO",
-    "SHOW\\s+TBLPROPERTIES")
+    "SHOW\\s+TBLPROPERTIES", "GENERATE\\s+\\w+\\s+FOR\\s+TABLE")
 
   def rewriteNames(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.")) return sqlText
@@ -846,6 +850,21 @@ case class GraftSetPropertiesCommand(path: String,
     if (user.nonEmpty)
       v = ManifestTable.setProperties(session, tp, user.toMap)
     Seq(Row(v))
+  }
+}
+
+/** GENERATE symlink_format_manifest FOR TABLE — Delta's external-reader
+  * export verb; the mode name is validated here so a typo fails loudly
+  * instead of silently generating nothing. */
+case class GraftGenerateCommand(path: String, mode: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifests", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"unknown GENERATE mode '$mode' — supported: symlink_format_manifest")
+    Seq(Row(ManifestTable.generateSymlinkManifest(session,
+      GraftSqlCommands.rp(session, path)).toLong))
   }
 }
 
