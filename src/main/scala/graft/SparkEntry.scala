@@ -142,6 +142,7 @@ object SparkEntry {
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
     "fluent_table_verbs" -> ((s, d) => graft.pipeline.Medallion.fluentTableVerbs(s, d)),
     "symlink_manifest"   -> ((s, d) => graft.pipeline.Medallion.symlinkManifestQuery(s, d)),
+    "merge_multi_clause" -> ((s, d) => graft.pipeline.Medallion.mergeMultiClause(s, d)),
     "cdf_read_options"   -> ((s, d) => graft.pipeline.Medallion.cdfReadOptions(s, d)),
     "add_columns"        -> ((s, d) => graft.pipeline.Medallion.addColumnsOrders(s, d)),
     "catalog_time_travel" -> ((s, d) => graft.pipeline.Medallion.catalogTimeTravel(s, d)),
@@ -1753,6 +1754,20 @@ object SparkEntry {
          ORDER BY key""",
     "symlink_manifest" ->
       """SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+         ORDER BY o_orderkey""",
+    "merge_multi_clause" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 AND o_orderstatus = 'F'
+                     THEN o_totalprice + 11.0 ELSE o_totalprice
+                END AS o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey % 7 = 0 AND o_orderstatus <> 'F'
+                          AND o_totalprice > 150000.0
+                     THEN '9-BIG' ELSE o_orderpriority
+                END AS o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus <> 'F'
+                    AND o_totalprice <= 150000.0)
          ORDER BY o_orderkey""",
     "fluent_table_verbs" ->
       """WITH base AS (

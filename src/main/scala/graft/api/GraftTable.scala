@@ -148,33 +148,31 @@ object GraftTable {
     ManifestTable.currentVersion(spark, path).isDefined
 }
 
-/** MERGE builder: at most one clause of each kind, first-clause-wins
-  * semantics are the engine's (a matched row claimed by UPDATE never
-  * reaches DELETE and vice versa — order fixed by the underlying
-  * operator, conditions make the claim explicit). `execute()` runs
-  * ONE keyed copy-on-write merge commit. */
+/** MERGE builder: clauses accumulate IN CALL ORDER and evaluate
+  * first-clause-wins, exactly the SQL reading — any number of clauses
+  * per kind ([[graft.pipeline.ManifestTable.mergeMulti]], round 13); a
+  * matched row claimed by an earlier clause never reaches a later one;
+  * an unconditional clause must be the last on its match side.
+  * `execute()` runs ONE keyed copy-on-write merge commit. */
 final class GraftMergeBuilder private[api] (table: GraftTable,
                                             source: DataFrame,
                                             key: String) {
-  private var updAll: Option[Option[Column]] = None
-  private var updSet: Seq[(String, Column)] = Nil
-  private var delCond: Option[Option[Column]] = None
-  private var insAll: Option[Option[Column]] = None
-  private var insValues: Seq[(String, Column)] = Nil
+  private val matched =
+    scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeMatched]
+  private val notMatched =
+    scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeInsert]
   private var evolve: Boolean = false
 
   /** WHEN MATCHED [AND cond] THEN UPDATE SET * */
   def whenMatchedUpdateAll(condition: Option[Column] = None): this.type = {
-    require(updAll.isEmpty && updSet.isEmpty, "duplicate UPDATE clause")
-    updAll = Some(condition); this
+    matched += ManifestTable.MergeUpdate(condition); this
   }
 
   /** WHEN MATCHED [AND cond] THEN UPDATE SET c = e, ... */
   def whenMatchedUpdate(set: Map[String, Column],
                         condition: Option[Column] = None): this.type = {
-    require(updAll.isEmpty && updSet.isEmpty, "duplicate UPDATE clause")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
-    updAll = Some(condition); updSet = set.toSeq; this
+    matched += ManifestTable.MergeUpdate(condition, set.toSeq); this
   }
   def whenMatchedUpdateExpr(set: Map[String, String],
                             condition: Option[String] = None): this.type =
@@ -183,22 +181,19 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
 
   /** WHEN MATCHED [AND cond] THEN DELETE */
   def whenMatchedDelete(condition: Option[Column] = None): this.type = {
-    require(delCond.isEmpty, "duplicate DELETE clause")
-    delCond = Some(condition); this
+    matched += ManifestTable.MergeDelete(condition); this
   }
 
   /** WHEN NOT MATCHED [AND cond] THEN INSERT * */
   def whenNotMatchedInsertAll(condition: Option[Column] = None): this.type = {
-    require(insAll.isEmpty && insValues.isEmpty, "duplicate INSERT clause")
-    insAll = Some(condition); this
+    notMatched += ManifestTable.MergeInsert(condition); this
   }
 
   /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (es) */
   def whenNotMatchedInsert(values: Map[String, Column],
                            condition: Option[Column] = None): this.type = {
-    require(insAll.isEmpty && insValues.isEmpty, "duplicate INSERT clause")
     require(values.nonEmpty, "INSERT needs at least one value")
-    insAll = Some(condition); insValues = values.toSeq; this
+    notMatched += ManifestTable.MergeInsert(condition, values.toSeq); this
   }
   def whenNotMatchedInsertExpr(values: Map[String, String],
                                condition: Option[String] = None): this.type =
@@ -210,17 +205,9 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
   def withSchemaEvolution(): this.type = { evolve = true; this }
 
   /** Run the merge; returns the committed version. */
-  def execute(): Long = {
-    require(updAll.isDefined || delCond.isDefined || insAll.isDefined,
-      "merge needs at least one WHEN clause")
-    ManifestTable.mergeConditional(source, table.path, key,
-      whenMatchedUpdate = updAll.map(_.getOrElse(lit(true))),
-      whenMatchedDelete = delCond.map(_.getOrElse(lit(true))),
-      whenNotMatchedInsert = insAll.map(_.getOrElse(lit(true))),
-      updateSet = updSet,
-      insertValues = insValues,
-      schemaEvolution = evolve)
-  }
+  def execute(): Long =
+    ManifestTable.mergeMulti(source, table.path, key,
+      matched.toSeq, notMatched.toSeq, schemaEvolution = evolve)
 }
 
 /** OPTIMIZE builder (delta-spark's `DeltaOptimizeBuilder`). */

@@ -3551,68 +3551,84 @@ object ManifestTable {
     }
   }
 
-  /** Conditional keyed MERGE — delta-spark's multi-clause form
-    * (`WHEN MATCHED AND cond THEN UPDATE / DELETE`,
-    * `WHEN NOT MATCHED AND cond THEN INSERT`) layered as relational
-    * preprocessing over the unconditional [[merge]]:
+  /** One MERGE clause. `condition` is a Column over the RESOLVED frame
+    * (source columns bare, matched base columns `_b_<name>`, null when
+    * unmatched); None = unconditional. Assignment lists empty = the
+    * star form (`UPDATE SET *` / `INSERT *` — image is the source row
+    * wholesale, so the source must carry the table's columns). */
+  sealed trait MergeMatched { def condition: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = e, ... */
+  final case class MergeUpdate(condition: Option[Column] = None,
+                               set: Seq[(String, Column)] = Nil)
+      extends MergeMatched
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[Column] = None)
+      extends MergeMatched
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (es) */
+  final case class MergeInsert(condition: Option[Column] = None,
+                               values: Seq[(String, Column)] = Nil)
+
+  /** Multi-clause keyed MERGE — delta-spark's full clause surface
+    * (any number of `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`
+    * clauses, any number of `WHEN NOT MATCHED [AND cond] THEN INSERT`
+    * clauses), FIRST-CLAUSE-WINS in list order exactly like SQL: a row
+    * claimed by an earlier clause never reaches a later one, a matched
+    * row no clause claims is WITHHELD (its base row survives
+    * untouched), an unmatched row no insert clause claims is dropped.
+    * Layered as relational preprocessing over the unconditional
+    * [[merge]]:
     *
     *  1. resolve each update row's match state and current base values
     *     in ONE pruned read of the base version;
-    *  2. compile the clauses row-wise: matched + delete-condition →
-    *     delete verdict; else matched + update-condition → update row;
-    *     matched with NO firing clause → the row is WITHHELD (base row
-    *     survives untouched); unmatched + insert-condition → insert;
-    *     unmatched otherwise → dropped;
+    *  2. compile the clauses row-wise into claim flags
+    *     (`cond_i AND NOT cond_1..i-1`, NULL conditions read false)
+    *     and a per-column when-chain image;
     *  3. feed the compiled rows to a single [[mergeAttempt]] PINNED to
     *     the resolved version. If the commit loses an OCC race, the
     *     WHOLE resolution re-runs against the new current version —
     *     clause guards are always evaluated against the version the
-    *     commit lands on (the re-execute-on-conflict shape Delta runs;
-    *     closes the round-9 resolve/commit window).
+    *     commit lands on (the re-execute-on-conflict shape Delta runs).
     *
-    * Clause defaults are Delta's: an ABSENT clause is NO ACTION
-    * whenever any other clause is provided (a delete-only merge leaves
-    * non-matching matched rows untouched); only a call with NO clauses
-    * at all keeps the historical update-all/insert-all upsert reading.
-    * Conditions are Columns over the RESOLVED frame: update columns
-    * under their own names, matched base columns as `_b_<name>` (null
-    * when unmatched). Delete is evaluated before update. `updates`
-    * must be key-unique (Delta's multiple-match error otherwise).
+    * Delta's reachability rule is enforced: an unconditional clause
+    * must be LAST on its match side. `updates` must be key-unique
+    * (Delta's multiple-match error otherwise). With schema evolution,
+    * all clauses must be star forms.
     */
-  def mergeConditional(updates: DataFrame, path: String, key: String,
-                       whenMatchedUpdate: Option[Column] = None,
-                       whenMatchedDelete: Option[Column] = None,
-                       whenNotMatchedInsert: Option[Column] = None,
-                       statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
-                       tag: Option[String] = None,
-                       tagHorizon: Int = DefaultTagHorizon,
-                       sortCols: Seq[String] = Nil,
-                       deleteVectors: Boolean = false,
-                       updateSet: Seq[(String, Column)] = Nil,
-                       insertValues: Seq[(String, Column)] = Nil,
-                       schemaEvolution: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{col, lit, when, max => smax, min => smin}
+  def mergeMulti(updates: DataFrame, path: String, key: String,
+                 matched: Seq[MergeMatched],
+                 notMatched: Seq[MergeInsert],
+                 statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                 tag: Option[String] = None,
+                 tagHorizon: Int = DefaultTagHorizon,
+                 sortCols: Seq[String] = Nil,
+                 deleteVectors: Boolean = false,
+                 schemaEvolution: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => smax, min => smin}
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
+      require(matched.nonEmpty || notMatched.nonEmpty,
+        "merge needs at least one WHEN clause")
       require(updates.groupBy(col(key)).count()
           .filter(col("count") > 1).isEmpty,
         s"conditional merge requires key-unique updates on '$key' — " +
           "multiple source rows match the same target row (ambiguous clauses)")
+      // Delta's reachability rule: anything after an unconditional
+      // clause on the same match side can never fire
+      matched.dropRight(1).foreach(c => require(c.condition.isDefined,
+        "a WHEN MATCHED clause without a condition must be the last " +
+          "matched clause — later matched clauses are unreachable"))
+      notMatched.dropRight(1).foreach(c => require(c.condition.isDefined,
+        "a WHEN NOT MATCHED clause without a condition must be the " +
+          "last insert clause — later insert clauses are unreachable"))
+      val updClauses = matched.collect { case u: MergeUpdate => u }
       // Delta's WITH SCHEMA EVOLUTION applies to the star forms
-      // (UPDATE SET * / INSERT * / the clause-free upsert): an
-      // explicit assignment list targets known columns by definition
-      require(!schemaEvolution ||
-          (updateSet.isEmpty && insertValues.isEmpty),
+      // (UPDATE SET * / INSERT *): an explicit assignment list targets
+      // known columns by definition
+      require(!schemaEvolution || (updClauses.forall(_.set.isEmpty) &&
+          notMatched.forall(_.values.isEmpty)),
         "MERGE WITH SCHEMA EVOLUTION requires the star forms " +
           "(UPDATE SET * / INSERT *) — explicit assignment lists " +
           "cannot add columns")
-      val anyClause = whenMatchedUpdate.isDefined ||
-        whenMatchedDelete.isDefined || whenNotMatchedInsert.isDefined
-      val delC = whenMatchedDelete.getOrElse(lit(false))
-      val updC = whenMatchedUpdate.getOrElse(
-        if (anyClause) lit(false) else lit(true))
-      val insC = whenNotMatchedInsert.getOrElse(
-        if (anyClause) lit(false) else lit(true))
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(
@@ -3633,57 +3649,71 @@ object ManifestTable {
         val b = baseSlice.select(
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
         val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
-        val matched = col(s"_b_$key").isNotNull
-        // Per-clause expression projection (delta-spark's `SET c = expr`
-        // / `INSERT (cols) VALUES (exprs)` forms): an assigned column
-        // takes its expression (which sees source columns bare and the
-        // matched base row as `_b_<col>`); an UNASSIGNED column keeps
-        // the TARGET's current value on update and inserts NULL — the
-        // SQL MERGE defaults. Empty seqs keep the `SET *` / `INSERT *`
-        // schema-contract reading (image = the source row wholesale).
-        val updMap = updateSet.toMap
-        val insMap = insertValues.toMap
-        updateSet.foreach { case (c, _) =>
+        val isMatched = col(s"_b_$key").isNotNull
+        // FIRST-CLAUSE-WINS claims: cond_i AND NOT any earlier cond
+        // (NULL conditions read false on both sides — SQL semantics)
+        def claims(conds: Seq[Option[Column]]): Seq[Column] =
+          conds.zipWithIndex.map { case (c0, i) =>
+            val own = coalesce(c0.getOrElse(lit(true)), lit(false))
+            conds.take(i).foldLeft(own)((acc, p) =>
+              acc && !coalesce(p.getOrElse(lit(true)), lit(false)))
+          }
+        val mClaims = claims(matched.map(_.condition))
+        val iClaims = claims(notMatched.map(_.condition))
+        val anyM = mClaims.reduceOption(_ || _).getOrElse(lit(false))
+        val anyI = iClaims.reduceOption(_ || _).getOrElse(lit(false))
+        val delFlag = matched.zip(mClaims)
+          .collect { case (_: MergeDelete, cl) => cl }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        // assignment targets must exist (fail fast, not at scan time)
+        updClauses.flatMap(_.set).foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
             s"MERGE UPDATE SET targets unknown column '$c'") }
-        insertValues.foreach { case (c, _) =>
+        notMatched.flatMap(_.values).foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
             s"MERGE INSERT targets unknown column '$c'") }
-        // Defaults honor which clauses EXIST, so an expression-clause
-        // merge may use a NARROW source (just the key + referenced
-        // columns): a `SET *` update image needs the full source row,
-        // but with no update clause the matched image is the base row
-        // (`_b_`), and with no insert clause unmatched rows are all
-        // filtered — their image is never read, so it must merely
-        // typecheck.
-        val hasUpd = whenMatchedUpdate.isDefined || !anyClause
-        val hasIns = whenNotMatchedInsert.isDefined || !anyClause
-        def imageCol(c: String): Column = {
-          val dt = schema(c).dataType
-          val updV =
-            if (updateSet.nonEmpty)
-              updMap.get(c).map(_.cast(dt)).getOrElse(col(s"_b_$c"))
-            else if (hasUpd) col(c)
-            else col(s"_b_$c")
-          val insV =
-            if (insertValues.nonEmpty)
-              insMap.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt))
-            else if (hasIns) col(c)
-            else lit(null).cast(dt)
-          when(matched, updV).otherwise(insV).as(c)
-        }
-        // evolved columns ride the star-form image straight from the
-        // source; mergeAttempt commits the evolved schema
+        // Per-clause image compilation (delta-spark's `SET c = expr` /
+        // `INSERT (cols) VALUES (exprs)` forms): an assigned column
+        // takes its expression (source columns bare, matched base row
+        // as `_b_<col>`); an UNASSIGNED column keeps the TARGET's
+        // current value on update and inserts NULL — the SQL MERGE
+        // defaults. All-star clauses keep the schema-contract fast
+        // path (image = the source row wholesale); evolved columns
+        // ride it straight from the source (mergeAttempt commits the
+        // evolved schema). Delete-claimed rows carry the base image —
+        // the value is never read past the delete flag.
+        val allStar = updClauses.forall(_.set.isEmpty) &&
+          notMatched.forall(_.values.isEmpty)
         val imageNames =
           if (!schemaEvolution) schema.fieldNames.toSeq
           else evolve(schema, updates.schema).fieldNames.toSeq
         val imageCols =
-          if (updateSet.isEmpty && insertValues.isEmpty)
-            imageNames.map(col)
-          else schema.fieldNames.map(imageCol).toSeq
+          if (allStar) imageNames.map(col)
+          else schema.fieldNames.toSeq.map { c =>
+            val dt = schema(c).dataType
+            def matchedImg(cl: MergeMatched): Column = cl match {
+              case u: MergeUpdate =>
+                if (u.set.isEmpty) col(c)
+                else u.set.toMap.get(c).map(_.cast(dt))
+                  .getOrElse(col(s"_b_$c"))
+              case _: MergeDelete => col(s"_b_$c")
+            }
+            def insertImg(cl: MergeInsert): Column =
+              if (cl.values.isEmpty) col(c)
+              else cl.values.toMap.get(c).map(_.cast(dt))
+                .getOrElse(lit(null).cast(dt))
+            val mVal = matched.zip(mClaims).reverse
+              .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+                when(claim, matchedImg(cl)).otherwise(acc) }
+            val iVal = notMatched.zip(iClaims).reverse
+              .foldLeft(lit(null).cast(dt): Column) {
+                case (acc, (cl, claim)) =>
+                  when(claim, insertImg(cl)).otherwise(acc) }
+            when(isMatched, mVal).otherwise(iVal).as(c)
+          }
         val compiled = resolved
-          .withColumn("_graft_del", matched && delC)
-          .filter((matched && (delC || (!delC && updC))) || (!matched && insC))
+          .withColumn("_graft_del", isMatched && delFlag)
+          .filter((isMatched && anyM) || (!isMatched && anyI))
           .select(imageCols :+ col("_graft_del"): _*)
         mergeAttempt(compiled, path, key, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
@@ -3696,6 +3726,47 @@ object ManifestTable {
       throw new IllegalStateException(
         s"conditional merge lost $maxAttempts races at $path — giving up")
     }
+  }
+
+  /** Single-clause-per-kind conditional MERGE — the pre-multi-clause
+    * surface, now a thin mapping onto [[mergeMulti]]. Clause defaults
+    * are Delta's: an ABSENT clause is NO ACTION whenever any other
+    * clause is provided (a delete-only merge leaves non-matching
+    * matched rows untouched); only a call with NO clauses at all keeps
+    * the historical update-all/insert-all upsert reading. Delete is
+    * evaluated before update (the engine's fixed precedence at this
+    * surface — SQL statement order is the parser's job, which now
+    * passes clause lists to [[mergeMulti]] directly).
+    */
+  def mergeConditional(updates: DataFrame, path: String, key: String,
+                       whenMatchedUpdate: Option[Column] = None,
+                       whenMatchedDelete: Option[Column] = None,
+                       whenNotMatchedInsert: Option[Column] = None,
+                       statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                       tag: Option[String] = None,
+                       tagHorizon: Int = DefaultTagHorizon,
+                       sortCols: Seq[String] = Nil,
+                       deleteVectors: Boolean = false,
+                       updateSet: Seq[(String, Column)] = Nil,
+                       insertValues: Seq[(String, Column)] = Nil,
+                       schemaEvolution: Boolean = false): Long = {
+    val anyClause = whenMatchedUpdate.isDefined ||
+      whenMatchedDelete.isDefined || whenNotMatchedInsert.isDefined
+    val matched: Seq[MergeMatched] =
+      whenMatchedDelete.map(c => MergeDelete(Some(c))).toSeq ++
+        (if (whenMatchedUpdate.isDefined)
+           Seq(MergeUpdate(whenMatchedUpdate, updateSet))
+         else if (!anyClause) Seq(MergeUpdate(None, updateSet))
+         else Nil)
+    val notMatched: Seq[MergeInsert] =
+      if (whenNotMatchedInsert.isDefined)
+        Seq(MergeInsert(whenNotMatchedInsert, insertValues))
+      else if (!anyClause) Seq(MergeInsert(None, insertValues))
+      else Nil
+    mergeMulti(updates, path, key, matched, notMatched,
+      statsCols = statsCols, maxAttempts = maxAttempts, tag = tag,
+      tagHorizon = tagHorizon, sortCols = sortCols,
+      deleteVectors = deleteVectors, schemaEvolution = schemaEvolution)
   }
 
   /** The files [[merge]] would treat as candidates for these update

@@ -1215,6 +1215,35 @@ object Medallion {
     * manifest-governed scan as the path API. The oracle recomputes
     * the lifecycle relationally.
     */
+  /** Declared MULTI-CLAUSE MERGE query (round 13): Delta's full MERGE
+    * clause surface — several `WHEN MATCHED [AND cond]` clauses in one
+    * statement, evaluated FIRST-CLAUSE-WINS exactly as written
+    * ([[ManifestTable.mergeMulti]]): an F-order price bump, a
+    * big-order repriority, and a fall-through DELETE, each claiming
+    * the first rows its condition hits. The oracle recomputes the
+    * claim cascade relationally, so any clause-ordering or
+    * row-leakage bug hash-fails. One keyed CoW commit — touched files
+    * only, at any scale.
+    */
+  def mergeMultiClause(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_mmc_", sfDir) + "/orders_mmc"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(Tables.orders(s, sfDir), path)
+      Tables.orders(s, sfDir).createOrReplaceTempView("orders_mmc_src")
+      s.sql(
+        s"""MERGE INTO '$path' AS t
+            USING (SELECT o_orderkey, o_totalprice FROM orders_mmc_src
+                   WHERE o_orderkey % 7 = 0) AS u
+            ON t.o_orderkey = u.o_orderkey
+            WHEN MATCHED AND target.o_orderstatus = 'F'
+              THEN UPDATE SET o_totalprice = target.o_totalprice + 11.0
+            WHEN MATCHED AND u.o_totalprice > 150000.0
+              THEN UPDATE SET o_orderpriority = '9-BIG'
+            WHEN MATCHED THEN DELETE""")
+      ManifestTable.read(s, path).orderBy("o_orderkey")
+    }
+  }
+
   /** Declared GENERATE query (round 13): Delta's
     * `GENERATE symlink_format_manifest` — the external-reader export.
     * The query writes orders, deletes a slice (so the manifest must

@@ -72,8 +72,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   * MERGE clause order follows SQL/Delta FIRST-CLAUSE-WINS: a row
   * claimed by an earlier matched clause never reaches a later one;
-  * duplicate clauses of one kind are rejected; an unconditional
-  * matched clause must be last.
+  * any number of clauses per kind (round 13); an unconditional
+  * clause must be the last on its match side.
   *
   * Reads, including time travel, go through the injected TABLE
   * FUNCTIONS (`graft_table`, `graft_table_at` — see
@@ -477,15 +477,11 @@ object GraftSqlStatements {
           s"MERGE USING expects a table name or (subquery), got '$other'")
       }
     } match { case (e, a) => (e, a) }
-    // Clauses in STATEMENT order — SQL/Delta first-clause-wins. The
-    // engine evaluates DELETE before UPDATE (ManifestTable's fixed
-    // precedence), so when an UPDATE clause textually PRECEDES a
-    // DELETE, the delete condition is AND-NOT'ed with the update's
-    // (a row the earlier clause claims never reaches the later one);
-    // DELETE-before-UPDATE already matches engine order. Duplicate
-    // clauses of one kind are rejected, and a MATCHED clause with no
-    // condition must be the LAST matched clause (anything after it is
-    // unreachable) — both Delta's own rules.
+    // Clauses in STATEMENT order — SQL/Delta first-clause-wins,
+    // evaluated exactly as written by ManifestTable.mergeMulti (any
+    // number of clauses per kind since round 13). A clause with no
+    // condition must be the LAST on its match side (anything after it
+    // is unreachable) — Delta's own rule.
     final case class Clause(not: Boolean, cond: Option[String],
                             action: String, payload: String)
     val parsed = whenRe.findAllMatchIn(clauses).map { m =>
@@ -499,42 +495,31 @@ object GraftSqlStatements {
         action)
     }.toSeq
     require(parsed.nonEmpty, "MERGE needs at least one WHEN clause")
-    parsed.groupBy(c => (c.not, c.action)).foreach { case (k, cs) =>
-      require(cs.size == 1,
-        s"duplicate MERGE clause ${if (k._1) "WHEN NOT MATCHED" else "WHEN MATCHED"} ${k._2} — each clause kind may appear once") }
     parsed.foreach { c =>
       require(c.not == (c.action == "INSERT"),
         s"MERGE clause ${c.action} on the wrong match side " +
           "(UPDATE/DELETE need MATCHED, INSERT needs NOT MATCHED)") }
-    val matchedClauses = parsed.filter(!_.not)
-    matchedClauses.dropRight(1).foreach(c =>
+    // Delta's reachability rule, per match side (mergeMulti re-checks;
+    // failing here reports BEFORE the source query runs)
+    parsed.filter(!_.not).dropRight(1).foreach(c =>
       require(c.cond.isDefined,
         s"WHEN MATCHED THEN ${c.action} without a condition must be " +
           "the last matched clause — later matched clauses are unreachable"))
-    val updClause = parsed.find(c => !c.not && c.action == "UPDATE")
-    val delClause = parsed.find(c => !c.not && c.action == "DELETE")
-    val insClause = parsed.find(_.not)
-    // first-clause-wins: UPDATE textually before DELETE claims its rows
-    val delCond: Option[Option[String]] = delClause.map { d =>
-      val updFirst = updClause.exists(u =>
-        matchedClauses.indexOf(u) < matchedClauses.indexOf(d))
-      if (!updFirst) d.cond
-      else {
-        val u = updClause.get.cond.getOrElse("true")
-        Some(s"(${d.cond.getOrElse("true")}) AND NOT coalesce(($u), false)")
-      }
-    }
+    parsed.filter(_.not).dropRight(1).foreach(c =>
+      require(c.cond.isDefined,
+        "WHEN NOT MATCHED THEN INSERT without a condition must be the " +
+          "last insert clause — later insert clauses are unreachable"))
     val rw: String => String = rewriteRefs(_, targetAlias, srcAlias)
     // UPDATE SET payload: `*` keeps the schema-contract image; an
     // assignment list compiles per-column expressions
-    val updateSet: Seq[(String, String)] = updClause.toSeq.flatMap { c =>
+    def updateSetOf(c: Clause): Seq[(String, String)] = {
       val body = c.payload.replaceFirst("(?is)^UPDATE\\s+SET\\s*", "").trim
       if (body == "*") Nil
       else splitTopLevel(body).map(parseAssign).map { case (l, r) =>
         (stripQualifier(l, targetAlias), rw(r))
       }
     }
-    val insertValues: Seq[(String, String)] = insClause.toSeq.flatMap { c =>
+    def insertValuesOf(c: Clause): Seq[(String, String)] = {
       if (c.payload.toUpperCase.replaceAll("\\s+", " ") == "INSERT *") Nil
       else {
         val ivRe = "(?is)^INSERT\\s*\\((.+?)\\)\\s*VALUES\\s*\\((.+)\\)\\s*$".r
@@ -551,11 +536,18 @@ object GraftSqlStatements {
         }
       }
     }
-    GraftMergeCommand(path, srcSql, key,
-      updClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
-      delCond.map(rewriteMergeCond(_, targetAlias, srcAlias)),
-      insClause.map(c => rewriteMergeCond(c.cond, targetAlias, srcAlias)),
-      updateSet, insertValues, schemaEvolution)
+    // Clause lists in STATEMENT order — mergeMulti evaluates them
+    // first-clause-wins, exactly SQL's reading; any number of clauses
+    // per kind (Delta's full surface since round 13)
+    val matchedSpecs = parsed.filter(!_.not).map { c =>
+      (c.action, c.cond.map(rw),
+        if (c.action == "UPDATE") updateSetOf(c) else Nil)
+    }
+    val insertSpecs = parsed.filter(_.not).map { c =>
+      (c.cond.map(rw), insertValuesOf(c))
+    }
+    GraftMergeCommand(path, srcSql, key, matchedSpecs, insertSpecs,
+      schemaEvolution)
   }
 
   /** Strip a `target.`/alias qualifier off an assignment LHS. */
@@ -571,16 +563,15 @@ object GraftSqlStatements {
     * spellings — OUTSIDE string literals only (a literal `'target.x'`
     * is data, not a reference).
     */
-  private def rewriteMergeCond(cond: Option[String],
-                               targetAlias: Option[String],
-                               srcAlias: Option[String]): String =
-    cond.fold("true")(rewriteRefs(_, targetAlias, srcAlias))
-
   private def rewriteRefs(c: String, targetAlias: Option[String],
                           srcAlias: Option[String]): String =
     mapOutsideQuotes(c) { seg =>
+      // both spellings rewrite — the declared alias AND the literal
+      // `target.` (mirrors stripQualifier; users mix them freely)
       val t = targetAlias.getOrElse("target")
-      val withTarget = seg.replaceAll(s"(?i)\\b$t\\.", "_b_")
+      val withTarget = seg
+        .replaceAll(s"(?i)\\b$t\\.", "_b_")
+        .replaceAll("(?i)\\btarget\\.", "_b_")
       srcAlias.fold(withTarget)(s =>
         withTarget.replaceAll(s"(?i)\\b$s\\.", ""))
     }
@@ -777,11 +768,9 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
   * whatever SQL can SELECT can drive a merge.
   */
 case class GraftMergeCommand(path: String, source: Either[String, String],
-                             key: String, whenMatchedUpdate: Option[String],
-                             whenMatchedDelete: Option[String],
-                             whenNotMatchedInsert: Option[String],
-                             updateSet: Seq[(String, String)] = Nil,
-                             insertValues: Seq[(String, String)] = Nil,
+                             key: String,
+                             matched: Seq[(String, Option[String], Seq[(String, String)])],
+                             notMatched: Seq[(Option[String], Seq[(String, String)])],
                              schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -791,13 +780,19 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       case Left(subquery) => session.sql(subquery)
       case Right(table)   => session.table(table)
     }
-    Seq(Row(ManifestTable.mergeConditional(src,
-      GraftSqlCommands.rp(session, path), key,
-      whenMatchedUpdate = whenMatchedUpdate.map(expr),
-      whenMatchedDelete = whenMatchedDelete.map(expr),
-      whenNotMatchedInsert = whenNotMatchedInsert.map(expr),
-      updateSet = updateSet.map { case (c, e) => (c, expr(e)) },
-      insertValues = insertValues.map { case (c, e) => (c, expr(e)) },
+    val m: Seq[ManifestTable.MergeMatched] = matched.map {
+      case ("UPDATE", cond, set) => ManifestTable.MergeUpdate(
+        cond.map(expr), set.map { case (c, e) => (c, expr(e)) })
+      case ("DELETE", cond, _) => ManifestTable.MergeDelete(cond.map(expr))
+      case (other, _, _) => throw new IllegalStateException(
+        s"unknown matched clause kind $other")
+    }
+    val nm = notMatched.map { case (cond, values) =>
+      ManifestTable.MergeInsert(cond.map(expr),
+        values.map { case (c, e) => (c, expr(e)) })
+    }
+    Seq(Row(ManifestTable.mergeMulti(src,
+      GraftSqlCommands.rp(session, path), key, m, nm,
       schemaEvolution = schemaEvolution)))
   }
 }

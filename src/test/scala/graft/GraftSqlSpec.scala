@@ -189,7 +189,7 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
-  test("MERGE SQL clause order is first-clause-wins; duplicates and unreachable clauses rejected (r12)") {
+  test("MERGE SQL clause order is first-clause-wins; multi-clause composes, unreachable clauses rejected (r12/r13)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sql9").toString
     withSql { s =>
       s.createDataFrame(Seq((1L, 100L), (2L, 1L)))
@@ -215,13 +215,24 @@ class GraftSqlSpec extends SparkSpec {
       assert(ManifestTable.read(s, p2).select("id", "v")
         .as[(Long, Long)].collect().toSeq.sorted === Seq((2L, 1L)),
         "id=1 matches the earlier DELETE clause; id=2 updates")
-      // duplicate clause kinds are rejected, not silently dropped
-      intercept[IllegalArgumentException] {
-        s.sql(
-          s"""MERGE INTO '$p2' USING ord_src ON id
-              WHEN MATCHED AND v > 5 THEN UPDATE SET *
-              WHEN MATCHED THEN UPDATE SET v = 0""")
-      }
+      // multiple clauses of one kind compose first-clause-wins (r13 —
+      // Delta's full multi-clause surface): three matched clauses,
+      // each claiming the first row its condition hits
+      val p4 = s"$root/t4"
+      ManifestTable.write(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v"), p4)
+      s.createDataFrame(Seq((1L, 100L), (2L, 2L), (3L, 3L)))
+        .toDF("id", "v").createOrReplaceTempView("mc_src")
+      s.sql(
+        s"""MERGE INTO '$p4' USING mc_src ON id
+            WHEN MATCHED AND v > 50 THEN UPDATE SET v = 111
+            WHEN MATCHED AND target.v = 20 THEN UPDATE SET v = 222
+            WHEN MATCHED THEN DELETE""")
+      assert(ManifestTable.read(s, p4).select("id", "v")
+        .as[(Long, Long)].collect().toSeq.sorted ===
+        Seq((1L, 111L), (2L, 222L), (4L, 40L)),
+        "clause 1 claims id=1, clause 2 claims id=2, the fall-through " +
+          "DELETE claims id=3; unmatched id=4 survives untouched")
       // an unconditional matched clause must be last (Delta's rule)
       intercept[IllegalArgumentException] {
         s.sql(

@@ -71,11 +71,40 @@ class GraftTableSpec extends SparkSpec {
     val rows = t.toDF.orderBy("id").as[(Long, Double, Option[String])]
       .collect().toSeq
     assert(rows === Seq((1L, 15.0, None), (2L, 21.0, Some("x"))))
-    // duplicate clause refused
+    // Delta's reachability rule: an unconditional clause must be the
+    // LAST on its match side (a second one is unreachable)
     intercept[IllegalArgumentException] {
       t.merge(Seq((1L, 0.0, "y")).toDF("id", "v", "tag"), "id")
-        .whenMatchedUpdateAll().whenMatchedUpdateAll()
+        .whenMatchedUpdateAll().whenMatchedUpdateAll().execute()
     }
+  }
+
+  test("multi-clause merge: first-clause-wins across two updates and a delete (r13)") {
+    val p = tmp("graft_gt_mc")
+    ManifestTable.write(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v"), p)
+    val t = GraftTable.forPath(spark, p)
+    // source hits all four targets + one unmatched
+    val src = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (9L, 9.0))
+      .toDF("id", "v")
+    t.merge(src, "id")
+      // clause 1 claims id=1 (base v = 10): v := 111
+      .whenMatchedUpdateExpr(Map("v" -> "111.0"),
+        condition = Some("_b_v = 10.0"))
+      // clause 2 would ALSO match id=1 (src v <= 2) — but clause 1 won;
+      // claims id=2: v := 222
+      .whenMatchedUpdateExpr(Map("v" -> "222.0"),
+        condition = Some("v <= 2.0"))
+      // clause 3 claims id=3: delete
+      .whenMatchedDelete(condition = Some(col("_b_v") === 30.0))
+      // id=4 matches NO clause → withheld, base row survives untouched
+      // two insert clauses: first claims src v > 100 (none), second all
+      .whenNotMatchedInsert(Map("id" -> col("id"), "v" -> (col("v") * -1)),
+        condition = Some(col("v") > 100))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(t.toDF.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 111.0), (2L, 222.0), (4L, 40.0), (9L, 9.0)))
   }
 
   test("optimize builder: compaction, where-scoped compaction, zorder") {
