@@ -131,7 +131,21 @@ object ScaleProbe {
     // TBLPROPERTIES: each SET/UNSET is ONE metadata commit touching
     // zero data files — the probe's wall is the base write; property
     // cost must be flat in data at any scale
-    "table_properties")
+    "table_properties",
+    // fluent handle: the DML lifecycle (update + 2 merges + delete) is
+    // the SAME CoW engine ops as the SQL verbs — cost tracks the
+    // touched fraction like merge_upsert, never the table beyond the
+    // probe's own base write
+    "fluent_table_verbs",
+    // GENERATE: manifest export is driver metadata (O(files) names,
+    // zero data read); the probe's wall is the base write + delete
+    // rewrite + the read-back through the exported URIs (linear in
+    // DATA — the read IS the point)
+    "symlink_manifest",
+    // multi-clause MERGE: the claim cascade compiles into ONE keyed
+    // CoW merge — shuffle/cost must match sql_merge_upsert's shape
+    // (same engine; clauses are projection-level, zero extra passes)
+    "merge_multi_clause")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -3597,6 +3597,7 @@ object ManifestTable {
   def mergeMulti(updates: DataFrame, path: String, key: String,
                  matched: Seq[MergeMatched],
                  notMatched: Seq[MergeInsert],
+                 notMatchedBySource: Seq[MergeMatched] = Nil,
                  statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
                  tag: Option[String] = None,
                  tagHorizon: Int = DefaultTagHorizon,
@@ -3606,8 +3607,21 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => smax, min => smin}
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
-      require(matched.nonEmpty || notMatched.nonEmpty,
+      require(matched.nonEmpty || notMatched.nonEmpty ||
+          notMatchedBySource.nonEmpty,
         "merge needs at least one WHEN clause")
+      // BY SOURCE clauses act on TARGET rows with no source match —
+      // there is no source row, so UPDATE needs explicit assignments
+      // (Delta's own restriction) and conditions/expressions may only
+      // reference `_b_<col>` target columns
+      notMatchedBySource.collect { case u: MergeUpdate => u }.foreach(u =>
+        require(u.set.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit SET " +
+            "assignments — there is no source row to take an image from"))
+      notMatchedBySource.dropRight(1).foreach(c =>
+        require(c.condition.isDefined,
+          "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
+            "be the last on its side — later clauses are unreachable"))
       require(updates.groupBy(col(key)).count()
           .filter(col("count") > 1).isEmpty,
         s"conditional merge requires key-unique updates on '$key' — " +
@@ -3684,9 +3698,9 @@ object ManifestTable {
         // the value is never read past the delete flag.
         val allStar = updClauses.forall(_.set.isEmpty) &&
           notMatched.forall(_.values.isEmpty)
-        val imageNames =
-          if (!schemaEvolution) schema.fieldNames.toSeq
-          else evolve(schema, updates.schema).fieldNames.toSeq
+        val evolvedSchema =
+          if (!schemaEvolution) schema else evolve(schema, updates.schema)
+        val imageNames = evolvedSchema.fieldNames.toSeq
         val imageCols =
           if (allStar) imageNames.map(col)
           else schema.fieldNames.toSeq.map { c =>
@@ -3715,7 +3729,51 @@ object ManifestTable {
           .withColumn("_graft_del", isMatched && delFlag)
           .filter((isMatched && anyM) || (!isMatched && anyI))
           .select(imageCols :+ col("_graft_del"): _*)
-        mergeAttempt(compiled, path, key, deleteCol = Some("_graft_del"),
+        // BY SOURCE side: TARGET rows with no source match, claimed
+        // first-clause-wins like the matched side. The base scan is the
+        // FULL table by the semantics (any target row may be claimed);
+        // Catalyst pushes the claim conditions through the anti-join
+        // into the scan, and mergeAttempt's candidate pruning sees the
+        // claimed rows' keys through the union's bounds. Evolved
+        // columns read NULL for by-source rows — the same
+        // schema-on-read value their carried siblings get.
+        val withBySource =
+          if (notMatchedBySource.isEmpty) compiled
+          else {
+            notMatchedBySource.collect { case u: MergeUpdate => u }
+              .flatMap(_.set).foreach { case (c, _) =>
+                require(schema.fieldNames.contains(c),
+                  s"MERGE UPDATE SET targets unknown column '$c'") }
+            val b2 = readStateDf(spark, path, st).select(
+              schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+            val unmatchedBase = b2.join(
+              updates.select(col(key).as("_graft_src_key")),
+              col(s"_b_$key") === col("_graft_src_key"), "left_anti")
+            val bsClaims = claims(notMatchedBySource.map(_.condition))
+            val anyBs = bsClaims.reduceOption(_ || _).getOrElse(lit(false))
+            val bsDel = notMatchedBySource.zip(bsClaims)
+              .collect { case (_: MergeDelete, cl) => cl }
+              .reduceOption(_ || _).getOrElse(lit(false))
+            val bsCols = imageNames.map { c =>
+              if (!schema.fieldNames.contains(c))
+                lit(null).cast(evolvedSchema(c).dataType).as(c)
+              else {
+                val dt = schema(c).dataType
+                def img(cl: MergeMatched): Column = cl match {
+                  case u: MergeUpdate => u.set.toMap.get(c)
+                    .map(_.cast(dt)).getOrElse(col(s"_b_$c"))
+                  case _: MergeDelete => col(s"_b_$c")
+                }
+                notMatchedBySource.zip(bsClaims).reverse
+                  .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+                    when(claim, img(cl)).otherwise(acc) }.as(c)
+              }
+            }
+            compiled.unionByName(unmatchedBase
+              .withColumn("_graft_del", bsDel).filter(anyBs)
+              .select(bsCols :+ col("_graft_del"): _*))
+          }
+        mergeAttempt(withBySource, path, key, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
           sortCols = sortCols, deleteVectors = deleteVectors,
           prevV = prevV, schemaEvolution = schemaEvolution) match {

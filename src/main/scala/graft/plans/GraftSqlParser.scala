@@ -441,10 +441,12 @@ object GraftSqlStatements {
   // `matched`) is not truncated mid-expression: the CASE arm's THEN
   // is followed by a value, never by UPDATE SET/DELETE/INSERT.
   private val whenRe =
-    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?" +
+      "(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
       "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*|" +
       "INSERT\\s*\\(.+?\\)\\s*VALUES\\s*\\(.+?\\))\\s*" +
-      "(?=WHEN\\s+(?:NOT\\s+)?MATCHED(?:\\s+AND\\s+.+?)?\\s+THEN\\s+" +
+      "(?=WHEN\\s+(?:NOT\\s+)?MATCHED(?:\\s+BY\\s+\\w+)?" +
+      "(?:\\s+AND\\s+.+?)?\\s+THEN\\s+" +
       "(?:UPDATE\\s+SET|DELETE|INSERT)|$)").r
 
   private def parseMerge(path: String, targetAlias: Option[String],
@@ -482,33 +484,39 @@ object GraftSqlStatements {
     // number of clauses per kind since round 13). A clause with no
     // condition must be the LAST on its match side (anything after it
     // is unreachable) — Delta's own rule.
-    final case class Clause(not: Boolean, cond: Option[String],
+    final case class Clause(not: Boolean, bySource: Boolean,
+                            cond: Option[String],
                             action: String, payload: String)
     val parsed = whenRe.findAllMatchIn(clauses).map { m =>
-      val action = m.group(3).trim
+      val action = m.group(4).trim
       val up = action.toUpperCase.replaceAll("\\s+", " ")
       val kind =
         if (up.startsWith("UPDATE SET")) "UPDATE"
         else if (up == "DELETE") "DELETE"
         else "INSERT"
-      Clause(m.group(1) != null, Option(m.group(2)).map(_.trim), kind,
-        action)
+      val by = Option(m.group(2)).map(_.toUpperCase)
+      val not = m.group(1) != null
+      require(by.isEmpty || not,
+        "BY SOURCE/TARGET qualifies NOT MATCHED clauses only")
+      Clause(not, by.contains("SOURCE"),
+        Option(m.group(3)).map(_.trim), kind, action)
     }.toSeq
     require(parsed.nonEmpty, "MERGE needs at least one WHEN clause")
     parsed.foreach { c =>
-      require(c.not == (c.action == "INSERT"),
+      val wantInsert = c.not && !c.bySource
+      require(wantInsert == (c.action == "INSERT"),
         s"MERGE clause ${c.action} on the wrong match side " +
-          "(UPDATE/DELETE need MATCHED, INSERT needs NOT MATCHED)") }
+          "(UPDATE/DELETE need MATCHED or NOT MATCHED BY SOURCE, " +
+          "INSERT needs NOT MATCHED [BY TARGET])") }
     // Delta's reachability rule, per match side (mergeMulti re-checks;
     // failing here reports BEFORE the source query runs)
-    parsed.filter(!_.not).dropRight(1).foreach(c =>
+    Seq(parsed.filter(!_.not), parsed.filter(c => c.not && !c.bySource),
+        parsed.filter(_.bySource)).foreach(_.dropRight(1).foreach(c =>
       require(c.cond.isDefined,
-        s"WHEN MATCHED THEN ${c.action} without a condition must be " +
-          "the last matched clause — later matched clauses are unreachable"))
-    parsed.filter(_.not).dropRight(1).foreach(c =>
-      require(c.cond.isDefined,
-        "WHEN NOT MATCHED THEN INSERT without a condition must be the " +
-          "last insert clause — later insert clauses are unreachable"))
+        s"WHEN ${if (c.not) "NOT " else ""}MATCHED" +
+          s"${if (c.bySource) " BY SOURCE" else ""} THEN ${c.action} " +
+          "without a condition must be the last clause on its match " +
+          "side — later clauses are unreachable")))
     val rw: String => String = rewriteRefs(_, targetAlias, srcAlias)
     // UPDATE SET payload: `*` keeps the schema-contract image; an
     // assignment list compiles per-column expressions
@@ -538,16 +546,21 @@ object GraftSqlStatements {
     }
     // Clause lists in STATEMENT order — mergeMulti evaluates them
     // first-clause-wins, exactly SQL's reading; any number of clauses
-    // per kind (Delta's full surface since round 13)
+    // per kind (Delta's full surface since round 13, including
+    // WHEN NOT MATCHED BY SOURCE)
     val matchedSpecs = parsed.filter(!_.not).map { c =>
       (c.action, c.cond.map(rw),
         if (c.action == "UPDATE") updateSetOf(c) else Nil)
     }
-    val insertSpecs = parsed.filter(_.not).map { c =>
+    val insertSpecs = parsed.filter(c => c.not && !c.bySource).map { c =>
       (c.cond.map(rw), insertValuesOf(c))
     }
+    val bySourceSpecs = parsed.filter(_.bySource).map { c =>
+      (c.action, c.cond.map(rw),
+        if (c.action == "UPDATE") updateSetOf(c) else Nil)
+    }
     GraftMergeCommand(path, srcSql, key, matchedSpecs, insertSpecs,
-      schemaEvolution)
+      bySourceSpecs, schemaEvolution)
   }
 
   /** Strip a `target.`/alias qualifier off an assignment LHS. */
@@ -771,6 +784,7 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
                              key: String,
                              matched: Seq[(String, Option[String], Seq[(String, String)])],
                              notMatched: Seq[(Option[String], Seq[(String, String)])],
+                             bySource: Seq[(String, Option[String], Seq[(String, String)])] = Nil,
                              schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -780,7 +794,8 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       case Left(subquery) => session.sql(subquery)
       case Right(table)   => session.table(table)
     }
-    val m: Seq[ManifestTable.MergeMatched] = matched.map {
+    def toMatched(specs: Seq[(String, Option[String], Seq[(String, String)])])
+        : Seq[ManifestTable.MergeMatched] = specs.map {
       case ("UPDATE", cond, set) => ManifestTable.MergeUpdate(
         cond.map(expr), set.map { case (c, e) => (c, expr(e)) })
       case ("DELETE", cond, _) => ManifestTable.MergeDelete(cond.map(expr))
@@ -792,7 +807,8 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
         values.map { case (c, e) => (c, expr(e)) })
     }
     Seq(Row(ManifestTable.mergeMulti(src,
-      GraftSqlCommands.rp(session, path), key, m, nm,
+      GraftSqlCommands.rp(session, path), key, toMatched(matched), nm,
+      notMatchedBySource = toMatched(bySource),
       schemaEvolution = schemaEvolution)))
   }
 }
