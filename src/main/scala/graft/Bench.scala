@@ -348,11 +348,27 @@ object Bench {
     // the budget-bounded compact line must be the final stdout write.
     writeDetailRuns("bench_detail.json", runs, sfDir, reps, loadStart,
       loadEnd, errors, calib, quietLoad)
+    // The compact line must be the LAST output the driver sees, with
+    // nothing after it and nothing interleaved into it. Round 13's
+    // artifact failed to machine-parse because the StateStore
+    // maintenance thread woke AFTER spark.stop() and dumped a
+    // "SparkEnv not active" stack trace past the JSON line. So:
+    // stop Spark first, then the StateStore maintenance task (the one
+    // async producer that outlives SparkContext), then turn logging
+    // OFF entirely, give any in-flight appender a beat to drain, and
+    // only then print the machine artifact.
+    spark.stop()
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+    Thread.sleep(300)
     println(renderFull(medians, total, sfDir, reps, loadStart, loadEnd,
       spreads, errors, calib))
     println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,
       errors.size, calib = calib, totalMinQuiet = totalMinQuiet,
       quietLoad = quietLoad))
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -145,7 +145,20 @@ object ScaleProbe {
     // multi-clause MERGE: the claim cascade compiles into ONE keyed
     // CoW merge — shuffle/cost must match sql_merge_upsert's shape
     // (same engine; clauses are projection-level, zero extra passes)
-    "merge_multi_clause")
+    "merge_multi_clause",
+    // round-14 additions. DEEP CLONE: cost is the distributed file
+    // copy — O(data) executor I/O by definition — plus O(files)
+    // driver metadata; wall must scale ~linearly with data and carry
+    // ~ZERO shuffle growth (a copy is not an exchange)
+    "deep_clone",
+    // BY SOURCE merge: one base scan + one anti-join + the claimed
+    // rows' CoW rewrite — linear in the base, shuffle dominated by
+    // the probe's own base write like merge_upsert
+    "merge_by_source",
+    // column DEFAULTs: declaration is ONE metadata commit (flat in
+    // data); the fill is a write-side projection on the inserted
+    // slice only — cost tracks the INSERT's own rows, never the table
+    "column_defaults")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

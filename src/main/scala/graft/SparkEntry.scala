@@ -120,6 +120,9 @@ object SparkEntry {
     "change_feed_merge"  -> ((s, d) => graft.pipeline.Medallion.changeFeedMerge(s, d)),
     "constraint_enforce" -> ((s, d) => graft.pipeline.Medallion.constraintEnforceOrders(s, d)),
     "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
+    "deep_clone"         -> ((s, d) => graft.pipeline.Medallion.deepCloneOrders(s, d)),
+    "merge_by_source"    -> ((s, d) => graft.pipeline.Medallion.mergeBySourceOrders(s, d)),
+    "column_defaults"    -> ((s, d) => graft.pipeline.Medallion.columnDefaultsOrders(s, d)),
     "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
     "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
     "zorder_optimize"    -> ((s, d) => graft.pipeline.Medallion.zorderOptimizeOrders(s, d)),
@@ -1910,6 +1913,43 @@ object SparkEntry {
                   o_orderdate, o_orderpriority, 'source' AS _side
            FROM orders WHERE o_orderkey % 67 = 0)
          ORDER BY o_orderkey, _side""",
+    // Deep clone (Medallion.deepCloneOrders): the clone is read AFTER
+    // the source directory is deleted wholesale, so a hash match
+    // proves the copied files carry the full partitioned content —
+    // physical independence, not ref sharing.
+    "deep_clone" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 5 = 0
+         ORDER BY o_orderkey""",
+    // WHEN NOT MATCHED BY SOURCE sync (Medallion.mergeBySourceOrders):
+    // matched keys (%3=0) take the source price bump; unmatched 'O'
+    // rows delete; remaining unmatched rows flag stale —
+    // first-clause-wins, recomputed relationally.
+    "merge_by_source" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN o_totalprice + 5.0 ELSE o_totalprice END
+                  AS o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey % 3 <> 0
+                     THEN '9-STALE' ELSE o_orderpriority END
+                  AS o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 3 = 0 OR o_orderstatus <> 'O'
+         ORDER BY o_orderkey""",
+    // Column DEFAULT fill (Medallion.columnDefaultsOrders): base rows
+    // (%4=0) keep their priority; rows inserted through the
+    // column-list INSERT (%4=1) take the declared constant.
+    "column_defaults" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 4 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, '5-DEFAULT' AS o_orderpriority
+         FROM orders WHERE o_orderkey % 4 = 1
+         ORDER BY o_orderkey""",
     // Relational recompute of CHECK-constraint enforcement
     // (Medallion.constraintEnforceOrders): the violating append leaves
     // ZERO rows (atomic rejection), the valid append all of its rows.

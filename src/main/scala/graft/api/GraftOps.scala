@@ -691,6 +691,14 @@ object GraftOps {
     graft.pipeline.ManifestTable.cloneShallow(spark, src, dst,
       Option(version).map(_.longValue))
 
+  /** DEEP CLONE — files copied under the clone's root (distributed
+    * copy job), fully independent of the source's retention. */
+  def deepCloneTable(spark: org.apache.spark.sql.SparkSession,
+                     src: String, dst: String,
+                     version: java.lang.Long = null): Long =
+    graft.pipeline.ManifestTable.cloneDeep(spark, src, dst,
+      Option(version).map(_.longValue))
+
   /** Metadata-only RESTORE to an earlier committed version. */
   def restoreTable(spark: org.apache.spark.sql.SparkSession,
                    path: String, toVersion: Long): Long =

@@ -95,10 +95,19 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   def shallowClone(dst: String, version: Option[Long] = None): Long =
     ManifestTable.cloneShallow(spark, path, dst, version)
 
+  def deepClone(dst: String, version: Option[Long] = None): Long =
+    ManifestTable.cloneDeep(spark, path, dst, version)
+
   // --- metadata ---------------------------------------------------------
 
   def properties: Map[String, String] =
     ManifestTable.tableProperties(spark, path)
+  def columnDefaults: Map[String, String] =
+    ManifestTable.columnDefaults(spark, path)
+  def setColumnDefault(column: String, exprSql: String): Long =
+    ManifestTable.setColumnDefault(spark, path, column, exprSql)
+  def dropColumnDefault(column: String): Long =
+    ManifestTable.dropColumnDefault(spark, path, column)
   def setProperties(props: Map[String, String]): Long =
     ManifestTable.setProperties(spark, path, props)
   def unsetProperties(keys: Seq[String]): Long =

@@ -116,12 +116,17 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     val nm = (ident.namespace.toSeq :+ ident.name).mkString(".")
+    // validate the declared property set BEFORE the empty-schema commit
+    // publishes — a typo'd reserved key must not leave a half-applied
+    // table (row tracking IS declarable here: the table is empty)
+    val (reserved, user) = GraftCatalogPlugin.splitValidated(
+      GraftCatalogPlugin.userProps(properties), allowRowTracking = true)
     GraftCatalog.createTable(spark, nm, schema,
       GraftCatalogPlugin.partitionColsOf(partitions))
-    val user = GraftCatalogPlugin.userProps(properties)
+    val path = GraftCatalog.tablePath(spark, nm)
+    GraftCatalogPlugin.applyReserved(spark, path, reserved)
     if (user.nonEmpty)
-      graft.pipeline.ManifestTable.setProperties(spark,
-        GraftCatalog.tablePath(spark, nm), user): Unit
+      graft.pipeline.ManifestTable.setProperties(spark, path, user): Unit
     GraftShellTable(nm, schema, None)
   }
 
@@ -143,9 +148,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
                            properties: java.util.Map[String, String])
       : StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
-      schema, GraftCatalogPlugin.partitionColsOf(partitions),
-      GraftCatalogPlugin.userProps(properties))
+    staged(ident, schema, partitions, properties)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -153,18 +156,30 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
                             properties: java.util.Map[String, String])
       : StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
-      schema, GraftCatalogPlugin.partitionColsOf(partitions),
-      GraftCatalogPlugin.userProps(properties))
+    staged(ident, schema, partitions, properties)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: java.util.Map[String, String])
       : StagedTable =
+    staged(ident, schema, partitions, properties)
+
+  /** Declared properties validate and route at STAGE time (before the
+    * query runs, let alone commits); the staged insert then publishes
+    * the declared user map WHOLESALE — REPLACE resets metadata to the
+    * declared set (Delta's RTAS rule), it never inherits stale keys
+    * from the replaced table. */
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: java.util.Map[String, String])
+      : GraftStagedTable = {
+    val (reserved, user) = GraftCatalogPlugin.splitValidated(
+      GraftCatalogPlugin.userProps(properties), allowRowTracking = false)
     GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
       schema, GraftCatalogPlugin.partitionColsOf(partitions),
-      GraftCatalogPlugin.userProps(properties))
+      user, reservedProps = reserved)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -272,9 +287,9 @@ private[graft] object GraftCatalogPlugin {
 
   /** Spark routes engine-internal table options (provider, location,
     * comment, ...) through the same properties map as user
-    * TBLPROPERTIES — keep only the user's keys. `graft.`-reserved keys
-    * flow through so [[graft.pipeline.ManifestTable.setProperties]]
-    * can refuse them loudly. */
+    * TBLPROPERTIES — keep only the user's keys (including
+    * `graft.`-reserved ones, which [[splitValidated]] then routes to
+    * engine features or refuses BEFORE anything commits). */
   private[graft] def userProps(
       properties: java.util.Map[String, String]): Map[String, String] = {
     val internal = Set("provider", "location", "comment", "owner",
@@ -286,6 +301,76 @@ private[graft] object GraftCatalogPlugin {
     }
     out.toMap
   }
+
+  /** Engine features addressable through reserved `graft.*` property
+    * keys — the same routing the SQL `SET TBLPROPERTIES` verb applies
+    * ([[graft.plans.GraftSetPropertiesCommand]]). */
+  private[graft] val ReservedKeys: Set[String] = Set(
+    "graft.minreaderversion", "graft.minwriterversion",
+    "graft.enablerowtracking")
+
+  /** Split declared TBLPROPERTIES into (reserved engine features with
+    * lowercased keys, user keys), VALIDATING names and values up front
+    * — CREATE/CTAS must refuse a bad declaration before any commit
+    * publishes, or the failure leaves a half-applied table.
+    * `allowRowTracking = false` for CTAS/RTAS: row tracking enables on
+    * an EMPTY table only (the feature's invariant), which a staged
+    * write can never satisfy at apply time — refuse at DDL time with
+    * the workable recipe instead. */
+  private[graft] def splitValidated(props: Map[String, String],
+                                    allowRowTracking: Boolean)
+      : (Map[String, String], Map[String, String]) = {
+    val (res, user) = props.partition(_._1.toLowerCase.startsWith("graft."))
+    val rm = res.map { case (k, v) => (k.toLowerCase, v) }
+    rm.foreach { case (k, v) =>
+      require(ReservedKeys.contains(k),
+        s"unknown reserved property '$k' — graft.* keys name engine " +
+          "features (minReaderVersion, minWriterVersion, " +
+          "enableRowTracking); user keys must not use the prefix")
+      if (k == "graft.enablerowtracking") {
+        require(allowRowTracking,
+          "graft.enableRowTracking cannot be declared on CTAS/RTAS — " +
+            "row tracking enables on an EMPTY table; CREATE the table, " +
+            "set the property, then ingest")
+        require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+          s"graft.enableRowTracking expects true/false, got '$v'")
+      } else {
+        require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+          s"$k expects an integer protocol version, got '$v'")
+        // the ceiling is part of up-front validation too — a protocol
+        // this library cannot implement must refuse before the query
+        // runs, not after its data commit published
+        val ceiling =
+          if (k == "graft.minreaderversion")
+            graft.pipeline.ManifestTable.SupportedReaderVersion
+          else graft.pipeline.ManifestTable.SupportedWriterVersion
+        require(v.trim.toInt <= ceiling,
+          s"$k=$v exceeds this library's own protocol ceiling " +
+            s"($ceiling) — a client must implement the protocol it " +
+            "declares (Delta's rule)")
+      }
+    }
+    (rm, user)
+  }
+
+  /** Apply validated reserved keys to a committed table — protocol
+    * upgrade first (row tracking may require it), then the feature
+    * enables. Mirrors [[graft.plans.GraftSetPropertiesCommand]]. */
+  private[graft] def applyReserved(spark: SparkSession, path: String,
+                                   rm: Map[String, String]): Unit = {
+    if (rm.contains("graft.minreaderversion") ||
+        rm.contains("graft.minwriterversion")) {
+      val cur = graft.pipeline.ManifestTable.currentVersion(spark, path)
+        .map(graft.pipeline.ManifestTable.resolveState(spark, path, _))
+      graft.pipeline.ManifestTable.upgradeProtocol(spark, path,
+        rm.get("graft.minreaderversion").map(_.trim.toInt)
+          .orElse(cur.map(_.minReader)).getOrElse(1),
+        rm.get("graft.minwriterversion").map(_.trim.toInt)
+          .orElse(cur.map(_.minWriter)).getOrElse(1)): Unit
+    }
+    if (rm.get("graft.enablerowtracking").exists(_.toBoolean))
+      graft.pipeline.ManifestTable.enableRowTracking(spark, path): Unit
+  }
 }
 
 /** Atomic-CTAS/RTAS staged table ([[GraftCatalogPlugin.stageCreate]]
@@ -294,12 +379,15 @@ private[graft] object GraftCatalogPlugin {
   * create = the table's first version, replace = a history-preserving
   * overwrite commit (previous snapshots stay time-travelable, Delta's
   * REPLACE semantics). Declared TBLPROPERTIES land right after the
-  * data commit.
+  * data commit — as the table's ENTIRE user map (wholesale publish:
+  * REPLACE resets properties to the declared set, Delta's rule), with
+  * pre-validated reserved keys routed to their engine features.
   */
 private[graft] case class GraftStagedTable(
     tableName: String, tableSchema: StructType,
     partitionCols: Seq[String],
-    userProps: Map[String, String]) extends StagedTable
+    userProps: Map[String, String],
+    reservedProps: Map[String, String] = Map.empty) extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
@@ -331,16 +419,40 @@ private[graft] case class GraftStagedTable(
                 val path = GraftCatalog.tablePath(spark, tableName)
                 graft.pipeline.ManifestTable.write(data, path,
                   partitionCols = partitionCols): Unit
-                if (userProps.nonEmpty)
-                  graft.pipeline.ManifestTable.setProperties(spark, path,
-                    userProps): Unit
+                GraftCatalogPlugin.applyReserved(spark, path, reservedProps)
+                // wholesale, not a merge: the declared set IS the map
+                // (drops the replaced table's stale keys; no-op commit
+                // elided when already equal — fresh creates with no
+                // declared keys publish nothing extra)
+                graft.pipeline.ManifestTable.replaceProperties(spark, path,
+                  userProps): Unit
+                wroteData = true
               }
             }
         }
     }
 
-  /** The ManifestTable commit inside the write was the atomic point. */
-  override def commitStagedChanges(): Unit = ()
+  /** Whether the staged write ran — `REPLACE TABLE t (cols)` WITHOUT
+    * `AS SELECT` commits through commitStagedChanges with no insert. */
+  @volatile private var wroteData = false
+
+  /** The ManifestTable commit inside the write was the atomic point —
+    * EXCEPT for the no-query form (`[CREATE OR] REPLACE TABLE t (cols)`,
+    * Spark's AtomicReplaceTableExec calls stage + commit with no write):
+    * the declared schema replaces the content as an EMPTY
+    * history-preserving overwrite, with the declared properties
+    * published wholesale like any other replace. */
+  override def commitStagedChanges(): Unit = if (!wroteData) {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = GraftCatalog.tablePath(spark, tableName)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    graft.pipeline.ManifestTable.write(empty, path,
+      partitionColsDecl = partitionCols): Unit
+    GraftCatalogPlugin.applyReserved(spark, path, reservedProps)
+    graft.pipeline.ManifestTable.replaceProperties(spark, path,
+      userProps): Unit
+  }
   /** A failed write never published a manifest; staged orphans fall to
     * vacuum's version-dir discipline like any crashed writer. */
   override def abortStagedChanges(): Unit = ()

@@ -145,7 +145,8 @@ object ManifestTable {
                               partitionColsDecl: Seq[String] = Nil,
                               copyFiles: Seq[String] = Nil,
                               txns: Map[String, Long] = Map.empty,
-                              properties: Map[String, String] = Map.empty) {
+                              properties: Map[String, String] = Map.empty,
+                              defaults: Map[String, String] = Map.empty) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -325,7 +326,8 @@ object ManifestTable {
       strArr(n, "partitionColsDecl"),
       strArr(n, "copyFiles"),
       longMap(n, "txns"),
-      strMap(n, "properties"))
+      strMap(n, "properties"),
+      strMap(n, "defaults"))
   }
 
   /** Parse a {name: long} object field into a Map (empty if absent). */
@@ -438,7 +440,11 @@ object ManifestTable {
       // SET/UNSET TBLPROPERTIES commit changes it (O(properties),
       // tiny); absent = inherit — the mapping rule
       if (n.has("properties")) strMap(n, "properties")
-      else prev.properties)
+      else prev.properties,
+      // column DEFAULT declarations fold like generated columns:
+      // per-key adds/removes (each declaration is its own commit)
+      prev.defaults -- strArr(n, "defaultRemoves")
+        ++ strMap(n, "defaultAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -964,7 +970,9 @@ object ManifestTable {
                         copyAdds: Seq[String] = Nil,
                         copyRemoves: Seq[String] = Nil,
                         txn: Option[(String, Long)] = None,
-                        properties: Option[Map[String, String]] = None)
+                        properties: Option[Map[String, String]] = None,
+                        defaultAdds: Map[String, String] = Map.empty,
+                        defaultRemoves: Seq[String] = Nil)
       : String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -1016,6 +1024,13 @@ object ManifestTable {
     }
     if (constraintRemoves.nonEmpty) {
       val c = root.putArray("constraintRemoves"); constraintRemoves.foreach(c.add)
+    }
+    if (defaultAdds.nonEmpty) {
+      val d = root.putObject("defaultAdds")
+      defaultAdds.toSeq.sortBy(_._1).foreach { case (k, v) => d.put(k, v) }
+    }
+    if (defaultRemoves.nonEmpty) {
+      val d = root.putArray("defaultRemoves"); defaultRemoves.foreach(d.add)
     }
     if (bloomAdds.nonEmpty) {
       val a = root.putArray("bloomAdds"); bloomAdds.foreach(a.add)
@@ -1138,6 +1153,11 @@ object ManifestTable {
       val p = root.putObject("properties")
       st.properties.toSeq.sortBy(_._1)
         .foreach { case (k, v) => p.put(k, v): Unit }
+    }
+    if (st.defaults.nonEmpty) {
+      val d = root.putObject("defaults")
+      st.defaults.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => d.put(k, v): Unit }
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -2667,7 +2687,9 @@ object ManifestTable {
     * manifest is a point-in-time EXPORT: re-run after commits that
     * change the file set (readers see the generated snapshot until
     * then). Refused while deletion vectors are live — a symlink
-    * consumer cannot apply DV masks; [[compact]] the DVs away first.
+    * consumer cannot apply DV masks; [[compact]] the DVs away first —
+    * and on column-mapped tables, whose files carry physical col-N
+    * names external readers cannot resolve (delta-spark refuses both).
     * Returns the number of manifest files written.
     */
   def generateSymlinkManifest(spark: SparkSession, path: String): Int = {
@@ -2678,6 +2700,14 @@ object ManifestTable {
       s"cannot generate a symlink manifest for $path while deletion " +
         "vectors are live — external readers cannot apply DV masks; " +
         "compact first")
+    // Same export hazard as DVs: a column-mapped table's parquet files
+    // carry physical col-N names that a manifest consumer cannot map
+    // back to logical columns — delta-spark refuses GENERATE under
+    // column mapping for exactly this reason.
+    require(!st.mapped,
+      s"cannot generate a symlink manifest for $path under column " +
+        "mapping — the data files carry physical column names that " +
+        "external readers cannot resolve to the logical schema")
     val f = fs(spark, path)
     val root = new Path(path, "_symlink_format_manifest")
     if (f.exists(root)) f.delete(root, true)
@@ -2745,6 +2775,21 @@ object ManifestTable {
       st => st.properties ++ props, "SET TBLPROPERTIES")
   }
 
+  /** Commit the user property map WHOLESALE (`properties = props`,
+    * stale keys dropped) — the REPLACE TABLE contract: Delta's RTAS
+    * resets metadata to the declared set instead of merging into the
+    * replaced table's map. No-op (no commit) when the map is already
+    * exactly `props`. */
+  def replaceProperties(spark: SparkSession, path: String,
+                        props: Map[String, String],
+                        maxAttempts: Int = 3): Long = {
+    props.keys.foreach(k => require(!k.toLowerCase.startsWith("graft."),
+      s"property key '$k' is reserved — engine features are set via " +
+        "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...)"))
+    propertiesCommit(spark, path, maxAttempts,
+      _ => props, "REPLACE TBLPROPERTIES")
+  }
+
   /** UNSET TBLPROPERTIES — removes keys (absent keys are a no-op, the
     * Delta/Spark `IF EXISTS` default). */
   def unsetProperties(spark: SparkSession, path: String,
@@ -2759,6 +2804,102 @@ object ManifestTable {
                       path: String): Map[String, String] =
     currentVersion(spark, path)
       .map(resolveState(spark, path, _).properties).getOrElse(Map.empty)
+
+  /** Column DEFAULT declarations (column → SQL expression text). */
+  def columnDefaults(spark: SparkSession,
+                     path: String): Map[String, String] =
+    currentVersion(spark, path)
+      .map(resolveState(spark, path, _).defaults).getOrElse(Map.empty)
+
+  /** Declare a column DEFAULT (Delta/SQL `ALTER TABLE ... ALTER COLUMN
+    * c SET DEFAULT expr`): a metadata-only commit recording the
+    * expression that fills the column when a write DOESN'T supply it —
+    * SQL `INSERT INTO t (cols)` with the column absent, and MERGE
+    * `INSERT (cols) VALUES` clauses that leave it unassigned. Existing
+    * rows are untouched (this is write-time metadata, not a backfill —
+    * Delta's rule exactly; it refuses ADD COLUMN ... DEFAULT for the
+    * same reason).
+    *
+    * The expression must be CONSTANT (no column references — it is
+    * evaluated without a row) and castable to the column's type; both
+    * validate here, at declaration time, the way constraints do.
+    */
+  def setColumnDefault(spark: SparkSession, path: String, column: String,
+                       exprSql: String, maxAttempts: Int = 3): Long = {
+    import org.apache.spark.sql.functions.expr
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version at $path to declare a default on"))
+      val st = resolveState(spark, path, prevV)
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      require(schema.fieldNames.contains(column),
+        s"cannot declare a default on unknown column '$column' at $path")
+      val dt = schema(column).dataType
+      // constant + castable: evaluate against a one-row frame whose
+      // only column is unguessable — any table-column reference (even
+      // one named `id`) fails analysis right here, at declare time
+      val probe =
+        try spark.range(1)
+          .select(org.apache.spark.sql.functions.lit(0L)
+            .as("__graft_no_columns__"))
+          .select(expr(exprSql).cast(dt).as("d")).head()
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"DEFAULT for '$column' must be a constant expression " +
+              s"castable to $dt — ($exprSql) failed: ${e.getMessage}")
+        }
+      require(probe != null, "default probe returned no row")
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        defaultAdds = Map(column -> exprSql), op = Some("METADATA"))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"default commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT` — the column falls
+    * back to NULL fill (absent declarations are a no-op). */
+  def dropColumnDefault(spark: SparkSession, path: String, column: String,
+                        maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      if (!st.defaults.contains(column)) return prevV // no-op
+      val version = prevV + 1L
+      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        defaultRemoves = Seq(column), op = Some("METADATA"))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"default commit lost $maxAttempts races at $path — giving up")
+  }
 
   private def propertiesCommit(spark: SparkSession, path: String,
                                maxAttempts: Int,
@@ -2817,7 +2958,11 @@ object ManifestTable {
       val prevV = currentVersion(spark, path).getOrElse(0L)
       if (prevV > 0L) {
         val st = resolveState(spark, path, prevV)
-        require(st.files.isEmpty,
+        // "empty" is a ROW-level fact: the declare-schema DDL commit
+        // stages a zero-row parquet file, which must still count as
+        // empty (CREATE TABLE (cols) TBLPROPERTIES enables here)
+        require(st.files.isEmpty ||
+            readStateDf(spark, path, st).limit(1).isEmpty,
           s"cannot enable row tracking on non-empty $path — ids must " +
             "exist from the first write to be stable")
       }
@@ -3696,14 +3841,21 @@ object ManifestTable {
         // ride it straight from the source (mergeAttempt commits the
         // evolved schema). Delete-claimed rows carry the base image —
         // the value is never read past the delete flag.
-        val allStar = updClauses.forall(_.set.isEmpty) &&
+        // The fast path is only legal when some star clause actually
+        // TAKES a source image (UPDATE SET * / INSERT *) — that clause
+        // is what contracts the source frame to carry every table
+        // column. A merge whose matched/insert clauses are delete-only
+        // or absent (e.g. WHEN NOT MATCHED BY SOURCE THEN DELETE with a
+        // keys-only source — Delta's common by-source idiom) must build
+        // images from the `_b_` base columns instead, or the bare
+        // selects throw AnalysisException on narrow sources.
+        val allStar = (updClauses.nonEmpty || notMatched.nonEmpty) &&
+          updClauses.forall(_.set.isEmpty) &&
           notMatched.forall(_.values.isEmpty)
         val evolvedSchema =
           if (!schemaEvolution) schema else evolve(schema, updates.schema)
         val imageNames = evolvedSchema.fieldNames.toSeq
-        val imageCols =
-          if (allStar) imageNames.map(col)
-          else schema.fieldNames.toSeq.map { c =>
+        def imageColFor(c: String): Column = {
             val dt = schema(c).dataType
             def matchedImg(cl: MergeMatched): Column = cl match {
               case u: MergeUpdate =>
@@ -3715,7 +3867,12 @@ object ManifestTable {
             def insertImg(cl: MergeInsert): Column =
               if (cl.values.isEmpty) col(c)
               else cl.values.toMap.get(c).map(_.cast(dt))
-                .getOrElse(lit(null).cast(dt))
+                // a column the INSERT list leaves unassigned takes its
+                // declared DEFAULT (constant by declaration contract),
+                // NULL otherwise — SQL/Delta's insert semantics
+                .getOrElse(st.defaults.get(c)
+                  .map(s => org.apache.spark.sql.functions.expr(s).cast(dt))
+                  .getOrElse(lit(null).cast(dt)))
             val mVal = matched.zip(mClaims).reverse
               .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
                 when(claim, matchedImg(cl)).otherwise(acc) }
@@ -3724,6 +3881,17 @@ object ManifestTable {
                 case (acc, (cl, claim)) =>
                   when(claim, insertImg(cl)).otherwise(acc) }
             when(isMatched, mVal).otherwise(iVal).as(c)
+          }
+        val imageCols =
+          if (allStar) imageNames.map(col)
+          else imageNames.map { c =>
+            if (!schema.fieldNames.contains(c))
+              // evolved-only column off the fast path: reachable only
+              // when no star clause exists (delete-only / by-source
+              // merges under evolution) — the image is never read past
+              // the delete flag, NULL is the schema-on-read value
+              lit(null).cast(evolvedSchema(c).dataType).as(c)
+            else imageColFor(c)
           }
         val compiled = resolved
           .withColumn("_graft_del", isMatched && delFlag)
@@ -4513,8 +4681,129 @@ object ManifestTable {
       identityHighWater =
         if (st.identityCol.isDefined) Some(st.identityHighWater) else None,
       properties =
-        if (st.properties.nonEmpty) Some(st.properties) else None)
+        if (st.properties.nonEmpty) Some(st.properties) else None,
+      defaultAdds = st.defaults)
     f.mkdirs(new Path(dst))
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(conditionalCommit(f, tmp, manifestPath(dst, 1L)),
+      s"clone commit lost the race at $dst")
+    1L
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it to copy tasks
+    * through its own Writable encoding (the approach Spark uses
+    * internally) so the clone's copy job sees the session's filesystem
+    * credentials (s3a keys, endpoints), not a default-constructed
+    * Configuration. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** DEEP CLONE (Delta `CREATE TABLE ... DEEP CLONE src`): like
+    * [[cloneShallow]] but every referenced file — data, deletion
+    * vectors, bloom and NDV sidecars — is COPIED under the clone's own
+    * root, so the clone is fully independent of the source's
+    * lifecycle: vacuuming, history rewrites, or DROPPING the source
+    * can never dangle it (the shallow clone's retention contract
+    * doesn't apply).
+    *
+    * Table-relative source refs keep their EXACT relative paths — k=v
+    * partition segments included — so partition derivation, stats keys
+    * and clustering metadata carry over unchanged. External refs (a
+    * shallow-clone source being deep-cloned — the "localize a fork"
+    * move) land under `ext-<i>/<kv-chain>/<name>`, preserving the k=v
+    * chain the partition-column derivation reads.
+    *
+    * The copy itself is a DISTRIBUTED Spark job over the file list
+    * (one Hadoop-FS byte stream per file, tasks spread cluster-wide):
+    * at 100 TB copying IS the cost of a deep clone by definition, but
+    * it is parallel executor I/O bounded by aggregate bandwidth —
+    * never a driver loop. Driver work stays O(file count) metadata.
+    */
+  def cloneDeep(spark: SparkSession, src: String, dst: String,
+                version: Option[Long] = None): Long = {
+    val f = fs(spark, dst)
+    require(versions(spark, dst).isEmpty,
+      s"cannot clone into $dst — it already has committed versions")
+    val srcV = version.getOrElse(currentVersion(spark, src).getOrElse(
+      throw new IllegalStateException(s"no committed version at $src to clone")))
+    val st = resolveState(spark, src, srcV)
+    val srcFs = fs(spark, src)
+    val srcRoot =
+      srcFs.makeQualified(new Path(src)).toString.stripSuffix("/")
+    val dstRoot = f.makeQualified(new Path(dst)).toString.stripSuffix("/")
+    // one mapping for EVERY referenced file class; the index keeps
+    // synthesized external-ref names collision-free
+    def localRel(rel: String, i: Int): String =
+      if (!isExternalRef(rel)) rel
+      else {
+        val segs = rel.split("/").filter(_.nonEmpty)
+        val kv = segs.dropRight(1).filter(_.contains("="))
+        (Seq(s"ext-$i") ++ kv :+ segs.last).mkString("/")
+      }
+    val allRefs =
+      (st.files ++ st.dvFiles ++ st.bloomFiles ++ st.ndvFiles).distinct
+    val relMap = allRefs.zipWithIndex
+      .map { case (r, i) => r -> localRel(r, i) }.toMap
+    // distributed byte copy — executor tasks, session Hadoop conf
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val pairs = relMap.toSeq.map { case (rel, drel) =>
+      (resolveRef(srcRoot, rel), s"$dstRoot/$drel")
+    }
+    f.mkdirs(new Path(dst))
+    if (pairs.nonEmpty)
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size,
+          math.max(1, spark.sparkContext.defaultParallelism * 2)))
+        .foreach { case (from, to) =>
+          val c = conf.value
+          val fp = new org.apache.hadoop.fs.Path(from)
+          val tp = new org.apache.hadoop.fs.Path(to)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+            false, true, c): Unit
+        }
+    def m(rel: String): String = relMap(rel)
+    val json = deltaJson(1L, System.currentTimeMillis(),
+      st.files.map(m), Nil,
+      st.stats.map { case (k, v) => m(k) -> v },
+      None, DefaultTagHorizon, st.schema,
+      dvAdds = st.dvFiles.map(m), dvKey = st.dvKey,
+      constraintAdds = st.constraints,
+      bloomAdds = st.bloomFiles.map(m), bloomSpec = st.bloom,
+      mapping = if (st.mapped) Some(st.mapping) else None,
+      maxColId = if (st.mapped) Some(st.maxColId) else None,
+      generatedAdds = st.generated,
+      ndvCols = if (st.ndvCols.nonEmpty) Some(st.ndvCols) else None,
+      ndvAdds = st.ndvFiles.map(m),
+      statsSchema =
+        if (st.statsSchemaCols.nonEmpty) Some(st.statsSchemaCols) else None,
+      clusterCols =
+        if (st.clusterCols.nonEmpty) Some(st.clusterCols) else None,
+      clusteredAdds = st.clusteredFiles.map(m),
+      op = Some("CLONE"),
+      rowTracking = if (st.rowTracking) Some(true) else None,
+      rowHighWater = if (st.rowTracking) Some(st.rowHighWater) else None,
+      identity = st.identityCol.map(c => (c, st.identityStep)),
+      identityHighWater =
+        if (st.identityCol.isDefined) Some(st.identityHighWater) else None,
+      properties =
+        if (st.properties.nonEmpty) Some(st.properties) else None,
+      defaultAdds = st.defaults)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
     val out = f.create(tmp, true)
@@ -4629,7 +4918,12 @@ object ManifestTable {
         // RESTORE restores metadata) — the constraints rule
         properties =
           if (cur.properties == target.properties) None
-          else Some(target.properties))
+          else Some(target.properties),
+        // column DEFAULTs roll back with the state too (they are
+        // write-time metadata like constraints)
+        defaultAdds = target.defaults,
+        defaultRemoves =
+          (cur.defaults.keySet -- target.defaults.keySet).toSeq.sorted)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)

@@ -727,6 +727,83 @@ object Medallion {
       .orderBy(col("o_orderkey"), col("_side"))
   }
 
+  /** Declared DEEP CLONE query (r14, Delta `CREATE TABLE ... DEEP
+    * CLONE`): write a partitioned source, deep-clone it (files COPIED
+    * under the clone's root by the distributed copy job), then DELETE
+    * THE SOURCE WHOLESALE and read the clone — the hash match proves
+    * full physical independence, the property a shallow clone cannot
+    * offer. O(data) executor copy I/O by definition; driver work stays
+    * O(files) metadata.
+    */
+  def deepCloneOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch("graft_dclone_", sfDir)
+    val src = root + "/orders_src"
+    val dst = root + "/orders_deep"
+    ManifestTable.write(
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") % 5 === 0),
+      src, partitionCols = Seq("o_orderstatus"),
+      statsCols = Seq("o_orderkey"))
+    ManifestTable.cloneDeep(spark, src, dst)
+    // the whole point: the clone survives the source's disappearance
+    val p = new org.apache.hadoop.fs.Path(src)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
+    ManifestTable.read(spark, dst)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** Declared WHEN NOT MATCHED BY SOURCE query (r14): the Delta
+    * sync-to-source idiom — matched rows update from the source,
+    * target rows the source no longer carries are deleted or flagged,
+    * first-clause-wins. The source is NARROW (key + one column), so
+    * this also pins the narrow-source image path (r14 advice fix) in
+    * the oracle gate, not just in specs.
+    */
+  def mergeBySourceOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_mbs_", sfDir) + "/orders_mbs"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(Tables.orders(s, sfDir), path)
+      Tables.orders(s, sfDir).createOrReplaceTempView("orders_mbs_src")
+      s.sql(
+        s"""MERGE INTO '$path' AS t
+            USING (SELECT o_orderkey, o_totalprice FROM orders_mbs_src
+                   WHERE o_orderkey % 3 = 0) AS u
+            ON t.o_orderkey = u.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice + 5.0
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN DELETE
+            WHEN NOT MATCHED BY SOURCE
+              THEN UPDATE SET o_orderpriority = '9-STALE'""")
+      ManifestTable.read(s, path).orderBy("o_orderkey")
+    }
+  }
+
+  /** Declared column-DEFAULT query (r14, Delta's defaultValue
+    * feature): declare a DEFAULT on one column, then SQL
+    * `INSERT INTO t (cols)` WITHOUT that column — the inserted rows
+    * take the declared constant, the base rows keep their values. The
+    * oracle recomputes both populations, so the hash gates the whole
+    * declare → fill pipeline.
+    */
+  def columnDefaultsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_cdef_", sfDir) + "/orders_cdef"
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(
+        Tables.orders(s, sfDir).filter(col("o_orderkey") % 4 === 0), path)
+      s.sql(s"ALTER TABLE '$path' ALTER COLUMN o_orderpriority " +
+        "SET DEFAULT '5-DEFAULT'")
+      Tables.orders(s, sfDir).createOrReplaceTempView("orders_cdef_src")
+      s.sql(
+        s"""INSERT INTO '$path'
+              (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate)
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate
+            FROM orders_cdef_src WHERE o_orderkey % 4 = 1""")
+      ManifestTable.read(s, path).orderBy("o_orderkey")
+    }
+  }
+
   /** Declared RESTORE query (Delta `RESTORE TABLE ... TO VERSION AS
     * OF`): two good commits, a bad overwrite, then
     * [[ManifestTable.restore]] rolls the table back to the last good

@@ -147,6 +147,10 @@ object GraftSqlStatements {
     s"(?is)^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
   private val setNotNullRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*$$".r
+  private val setDefaultRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$".r
+  private val dropDefaultRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$".r
   private val deleteRe =
     s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
@@ -164,9 +168,15 @@ object GraftSqlStatements {
   private val dropConstraintRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
   private val cloneRe =
-    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val insertRe =
     s"(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$P\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
+  // INSERT with an explicit column list: absent columns fill from
+  // their declared DEFAULT (NULL otherwise), resolution POSITIONAL
+  // against the list — the SQL standard's reading
+  private val insertColsRe =
+    (s"(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$P\\s*\\(([\\w\\s,]+)\\)\\s+" +
+      "(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$").r
   private val insertOverwriteWhereRe =
     s"(?is)^\\s*INSERT\\s+OVERWRITE\\s+$P\\s+WHERE\\s+(.+?)\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
   private val ctasRe =
@@ -189,9 +199,20 @@ object GraftSqlStatements {
   // so the greedy column group cannot swallow the PARTITIONED BY
   // clause (column DDL may contain parens — DECIMAL(10,2) — so the
   // group must stay greedy).
+  // The TBLPROPERTIES-carrying alternatives are tried before their
+  // bare twins for the same greediness reason: the mandatory
+  // `TBLPROPERTIES (` anchor stops the greedy column group from
+  // swallowing the property list's parens.
+  private val createSchemaPartPropsRe =
+    (s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+\\s+)?" +
+      "PARTITIONED\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*" +
+      "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val createSchemaPartRe =
     (s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+\\s+)?" +
       "PARTITIONED\\s+BY\\s*\\(([\\w\\s,]+)\\)\\s*;?\\s*$").r
+  private val createSchemaPropsRe =
+    (s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+\\s+)?" +
+      "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val createSchemaRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s*\\((.+)\\)\\s*(?:USING\\s+\\w+)?\\s*;?\\s*$$".r
   private val renameTableRe =
@@ -238,6 +259,10 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path,
         if (verb.equalsIgnoreCase("SET")) "set_not_null" else "drop_not_null",
         Seq(colName)))
+    case setDefaultRe(path, colName, exprText) =>
+      Some(GraftAlterCommand(path, "set_default", Seq(colName, exprText)))
+    case dropDefaultRe(path, colName) =>
+      Some(GraftAlterCommand(path, "drop_default", Seq(colName)))
     case optimizeRe(path, n, zcols, where) =>
       Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
         Option(zcols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
@@ -261,13 +286,21 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "add_columns", Seq(colsDdl.trim)))
     case dropConstraintRe(path, name) =>
       Some(GraftAlterCommand(path, "drop_constraint", Seq(name)))
-    case cloneRe(dst, src, v) =>
-      Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong)))
+    case cloneRe(dst, kind, src, v) =>
+      Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong),
+        deep = kind.equalsIgnoreCase("DEEP")))
     case createLocationRe(name, location) =>
       Some(GraftRegisterTableCommand(name, location))
+    case createSchemaPartPropsRe(name, cols, parts, props) =>
+      Some(GraftCreateTableCommand(name, cols,
+        parts.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+        parsePropList(props)))
     case createSchemaPartRe(name, cols, parts) =>
       Some(GraftCreateTableCommand(name, cols,
         parts.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
+    case createSchemaPropsRe(name, cols, props)
+        if !cols.trim.toUpperCase.startsWith("SELECT") =>
+      Some(GraftCreateTableCommand(name, cols, Nil, parsePropList(props)))
     case createSchemaRe(name, cols)
         if !cols.trim.toUpperCase.startsWith("SELECT") =>
       Some(GraftCreateTableCommand(name, cols, Nil))
@@ -294,6 +327,10 @@ object GraftSqlStatements {
     case insertOverwriteWhereRe(path, cond, query) =>
       Some(GraftInsertCommand(path, query.trim, overwrite = true,
         replaceCond = Some(cond.trim)))
+    case insertColsRe(mode, path, cols, query) =>
+      Some(GraftInsertCommand(path, query.trim,
+        overwrite = mode.equalsIgnoreCase("OVERWRITE"),
+        cols = cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
     case insertRe(mode, path, query) =>
       Some(GraftInsertCommand(path, query.trim,
         overwrite = mode.equalsIgnoreCase("OVERWRITE")))
@@ -524,7 +561,7 @@ object GraftSqlStatements {
       val body = c.payload.replaceFirst("(?is)^UPDATE\\s+SET\\s*", "").trim
       if (body == "*") Nil
       else splitTopLevel(body).map(parseAssign).map { case (l, r) =>
-        (stripQualifier(l, targetAlias), rw(r))
+        (stripQualifier(l, targetAlias, srcAlias), rw(r))
       }
     }
     def insertValuesOf(c: Clause): Seq[(String, String)] = {
@@ -533,7 +570,8 @@ object GraftSqlStatements {
         val ivRe = "(?is)^INSERT\\s*\\((.+?)\\)\\s*VALUES\\s*\\((.+)\\)\\s*$".r
         c.payload match {
           case ivRe(cols, vals) =>
-            val cs = splitTopLevel(cols).map(stripQualifier(_, targetAlias))
+            val cs = splitTopLevel(cols)
+              .map(stripQualifier(_, targetAlias, srcAlias))
             val vs = splitTopLevel(vals).map(rw)
             require(cs.size == vs.size,
               s"INSERT column list (${cs.size}) and VALUES list " +
@@ -563,30 +601,52 @@ object GraftSqlStatements {
       bySourceSpecs, schemaEvolution)
   }
 
-  /** Strip a `target.`/alias qualifier off an assignment LHS. */
-  private def stripQualifier(name: String,
-                             targetAlias: Option[String]): String = {
-    val t = targetAlias.getOrElse("target")
-    name.trim.replaceAll(s"(?i)^(?:$t|target)\\.", "")
+  /** Strip a `target.`/alias qualifier off an assignment LHS. An LHS
+    * always names a TARGET column, so the declared alias strips; the
+    * literal `target.` convenience spelling strips only while it is
+    * unclaimed (same ownership rule as [[rewriteRefs]]). */
+  private def stripQualifier(name: String, targetAlias: Option[String],
+                             srcAlias: Option[String] = None): String = {
+    val t = java.util.regex.Pattern.quote(targetAlias.getOrElse("target"))
+    val stripped = name.trim.replaceAll(s"(?i)^$t\\.", "")
+    if (literalTargetFree(targetAlias, srcAlias))
+      stripped.replaceAll("(?i)^target\\.", "")
+    else stripped
   }
+
+  /** The literal `target.` spelling is a CONVENIENCE, not a binding: it
+    * reads as "the merge target" only while no declared name CLAIMS it.
+    * A source aliased `target` (USING s AS target) owns the prefix —
+    * rewriting it to `_b_` would silently resolve source references
+    * against the wrong side, so the convenience spelling turns off on
+    * that collision. It stays ON alongside an explicit target alias
+    * (users mix `t.col` and `target.col` freely — the pre-r14
+    * behavior every existing query relies on); a source STRUCT column
+    * literally named `target` therefore needs the source aliased to
+    * disambiguate, which is also Delta's answer. */
+  private def literalTargetFree(targetAlias: Option[String],
+                                srcAlias: Option[String]): Boolean =
+    !srcAlias.exists(_.equalsIgnoreCase("target"))
 
   /** Clause conditions run over [[ManifestTable.mergeConditional]]'s
     * resolved frame: source columns bare, target columns `_b_<col>`.
     * Users write `target.<col>` (or the declared aliases); rewrite both
     * spellings — OUTSIDE string literals only (a literal `'target.x'`
-    * is data, not a reference).
+    * is data, not a reference) — except where a declared name claims
+    * the `target.` prefix (see [[literalTargetFree]]).
     */
   private def rewriteRefs(c: String, targetAlias: Option[String],
                           srcAlias: Option[String]): String =
     mapOutsideQuotes(c) { seg =>
-      // both spellings rewrite — the declared alias AND the literal
-      // `target.` (mirrors stripQualifier; users mix them freely)
-      val t = targetAlias.getOrElse("target")
-      val withTarget = seg
-        .replaceAll(s"(?i)\\b$t\\.", "_b_")
-        .replaceAll("(?i)\\btarget\\.", "_b_")
+      val t = java.util.regex.Pattern.quote(targetAlias.getOrElse("target"))
+      val withDeclared = seg.replaceAll(s"(?i)\\b$t\\.", "_b_")
+      val withTarget =
+        if (literalTargetFree(targetAlias, srcAlias))
+          withDeclared.replaceAll("(?i)\\btarget\\.", "_b_")
+        else withDeclared
       srcAlias.fold(withTarget)(s =>
-        withTarget.replaceAll(s"(?i)\\b$s\\.", ""))
+        withTarget.replaceAll(
+          s"(?i)\\b${java.util.regex.Pattern.quote(s)}\\.", ""))
     }
 
   /** Apply `f` to the spans of `s` OUTSIDE single-quoted string
@@ -946,6 +1006,10 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         ManifestTable.setNotNull(session, path, args(0))
       case "drop_not_null" =>
         ManifestTable.dropNotNull(session, path, args(0))
+      case "set_default" =>
+        ManifestTable.setColumnDefault(session, path, args(0), args(1))
+      case "drop_default" =>
+        ManifestTable.dropColumnDefault(session, path, args(0))
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
     Seq(Row(v))
@@ -967,17 +1031,38 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
 case class GraftInsertCommand(path: String, query: String,
                               overwrite: Boolean,
                               mustBeNew: Boolean = false,
-                              replaceCond: Option[String] = None)
+                              replaceCond: Option[String] = None,
+                              cols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val tp = GraftSqlCommands.rp(session, path)
     if (mustBeNew)
       require(ManifestTable.versions(session, tp).isEmpty,
         s"CREATE TABLE AS: $tp already has committed versions " +
           "(use INSERT OVERWRITE)")
-    val df = session.sql(query)
+    val raw = session.sql(query)
+    // explicit column list: POSITIONAL resolution against the list,
+    // absent table columns fill from their declared DEFAULT, NULL
+    // otherwise — the SQL standard's INSERT (cols) semantics
+    val df = if (cols.isEmpty) raw else {
+      require(raw.columns.length == cols.length,
+        s"INSERT column list (${cols.length}) and query output " +
+          s"(${raw.columns.length}) differ in length")
+      val schema = ManifestTable.read(session, tp).schema
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"INSERT targets unknown column '$c' at $tp"))
+      val defaults = ManifestTable.columnDefaults(session, tp)
+      val renamed = raw.toDF(cols: _*)
+      renamed.select(schema.fields.toSeq.map { f =>
+        if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else defaults.get(f.name)
+          .map(s => expr(s).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }: _*)
+    }
     val v = replaceCond match {
       case Some(cond) => ManifestTable.overwriteWhere(df, tp, expr(cond))
       case None =>
@@ -988,16 +1073,20 @@ case class GraftInsertCommand(path: String, query: String,
   }
 }
 
-/** CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]. */
+/** CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF n]. */
 case class GraftCloneCommand(dst: String, src: String,
-                             version: Option[Long])
+                             version: Option[Long],
+                             deep: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.cloneShallow(session,
+  override def run(session: SparkSession): Seq[Row] = {
+    val clone = if (deep) ManifestTable.cloneDeep _
+                else ManifestTable.cloneShallow _
+    Seq(Row(clone(session,
       GraftSqlCommands.rp(session, src),
       GraftSqlCommands.rp(session, dst), version)))
+  }
 }
 
 /** CREATE TABLE graft.db.t LOCATION '<path>' — adopt an existing
@@ -1044,12 +1133,19 @@ case class GraftShowTablesCommand(db: String)
   * / clustering can be declared before the first data write.
   */
 case class GraftCreateTableCommand(nameSpec: String, colsDdl: String,
-                                   partCols: Seq[String])
+                                   partCols: Seq[String],
+                                   props: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("created", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val name = GraftSqlCommands.nameOf(nameSpec)
+    // declared TBLPROPERTIES validate BEFORE anything commits (a bad
+    // reserved key must not leave a half-created table); reserved keys
+    // route to engine features, the table being empty by construction
+    // (row tracking is declarable here)
+    val (reserved, user) = graft.catalog.GraftCatalogPlugin
+      .splitValidated(props.toMap, allowRowTracking = true)
     val notNull = scala.collection.mutable.ArrayBuffer[String]()
     val cleaned = GraftSqlStatements.splitTopLevel(colsDdl).map { e =>
       val t = e.trim
@@ -1061,6 +1157,9 @@ case class GraftCreateTableCommand(nameSpec: String, colsDdl: String,
     graft.catalog.GraftCatalog.createTable(session, name, schema, partCols)
     val path = graft.catalog.GraftCatalog.tablePath(session, name)
     notNull.foreach(c => ManifestTable.setNotNull(session, path, c): Unit)
+    graft.catalog.GraftCatalogPlugin.applyReserved(session, path, reserved)
+    if (user.nonEmpty)
+      ManifestTable.setProperties(session, path, user): Unit
     Seq(Row(name))
   }
 }
@@ -1163,7 +1262,9 @@ object GraftSqlCommands {
       }
       val genPart = gen.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)")
         .getOrElse("")
-      base + idPart + genPart +
+      val defPart = st.defaults.get(f.name).map(e => s" DEFAULT ($e)")
+        .getOrElse("")
+      base + idPart + genPart + defPart +
         (if (nn.contains(f.name)) " NOT NULL" else "")
     }.mkString(",\n")
     val partLine = Option(detail.getAs[String]("partition_columns"))
@@ -1198,7 +1299,8 @@ object GraftSqlCommands {
         ident.collect { case (c, step, _)
             if c == f.name || st.logical(c) == f.name =>
           s"identity(step=$step)" },
-        gen.get(f.name).map(e => s"generated: $e")).flatten
+        gen.get(f.name).map(e => s"generated: $e"),
+        st.defaults.get(f.name).map(e => s"default: $e")).flatten
       Row(f.name, f.dataType.simpleString, notes.mkString("; "))
     }.toSeq
     val checks = st.constraints.toSeq

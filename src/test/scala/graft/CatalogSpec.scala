@@ -344,4 +344,99 @@ class CatalogSpec extends SparkSpec {
       assert(s.sql(s"SELECT * FROM graft.'$p'").count() === 1)
     }
   }
+
+  test("CTAS TBLPROPERTIES: reserved graft.* keys route to engine features; a bad key fails BEFORE anything commits (r14)") {
+    withSql { s =>
+      // minWriterVersion=1 is the library's own ceiling — the point
+      // here is the ROUTING: the reserved key reaches the protocol
+      // path and never lands in the user map
+      s.sql("CREATE TABLE graft.props.t1 " +
+        "TBLPROPERTIES ('team'='core', 'graft.minWriterVersion'='1') " +
+        "AS SELECT id FROM range(10)")
+      val p1 = s"$warehouseRoot/props/t1"
+      assert(ManifestTable.tableProperties(s, p1) === Map("team" -> "core"),
+        "reserved keys route to the protocol, never into the user map")
+      val st = ManifestTable.resolveState(s, p1,
+        ManifestTable.currentVersion(s, p1).get)
+      assert(st.minWriter === 1)
+      assert(s.table("graft.props.t1").count() === 10)
+      // a version the library cannot implement is refused up front
+      val e0 = intercept[Exception] {
+        s.sql("CREATE TABLE graft.props.badv " +
+          "TBLPROPERTIES ('graft.minWriterVersion'='9') " +
+          "AS SELECT id FROM range(5)")
+      }
+      assert(e0.getMessage.contains("protocol"), e0.getMessage)
+      assert(!new java.io.File(s"$warehouseRoot/props/badv").exists,
+        "ceiling validates at DDL time, before any commit")
+
+      // unknown reserved key: refused at DDL time, NOTHING published
+      val e = intercept[Exception] {
+        s.sql("CREATE TABLE graft.props.bad " +
+          "TBLPROPERTIES ('graft.enableTeleport'='true') " +
+          "AS SELECT id FROM range(5)")
+      }
+      assert(e.getMessage.contains("unknown reserved property"),
+        e.getMessage)
+      assert(!new java.io.File(s"$warehouseRoot/props/bad").exists,
+        "validation precedes every commit — no half-applied CTAS")
+
+      // row tracking needs an EMPTY table — CTAS/RTAS refuse with the
+      // workable recipe, again before anything runs
+      val e2 = intercept[Exception] {
+        s.sql("CREATE TABLE graft.props.bad2 " +
+          "TBLPROPERTIES ('graft.enableRowTracking'='true') " +
+          "AS SELECT id FROM range(5)")
+      }
+      assert(e2.getMessage.contains("EMPTY table"), e2.getMessage)
+      assert(!new java.io.File(s"$warehouseRoot/props/bad2").exists)
+
+      // ...while plain empty-table DDL declares it happily
+      s.sql("CREATE TABLE graft.props.decl (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.enableRowTracking'='true', 'owner.team'='ml')")
+      val pd = s"$warehouseRoot/props/decl"
+      val std = ManifestTable.resolveState(s, pd,
+        ManifestTable.currentVersion(s, pd).get)
+      assert(std.rowTracking, "reserved key routed on empty-table DDL")
+      assert(ManifestTable.tableProperties(s, pd) === Map("owner.team" -> "ml"))
+    }
+  }
+
+  test("REPLACE resets TBLPROPERTIES to the declared set — stale keys from the replaced table drop (r14)") {
+    withSql { s =>
+      s.sql("CREATE TABLE graft.props.r " +
+        "TBLPROPERTIES ('stale'='x', 'team'='core') " +
+        "AS SELECT id FROM range(8)")
+      val p = s"$warehouseRoot/props/r"
+      assert(ManifestTable.tableProperties(s, p) ===
+        Map("stale" -> "x", "team" -> "core"))
+      s.sql("CREATE OR REPLACE TABLE graft.props.r " +
+        "TBLPROPERTIES ('team'='ml') " +
+        "AS SELECT id, id * 2 AS v FROM range(3)")
+      assert(ManifestTable.tableProperties(s, p) === Map("team" -> "ml"),
+        "REPLACE publishes the declared map WHOLESALE — no stale merge")
+      assert(s.table("graft.props.r").count() === 3)
+      // history-preserving: the replaced snapshot stays travelable
+      assert(s.sql("SELECT * FROM graft.props.r VERSION AS OF 1")
+        .count() === 8)
+      // replace with NO declared properties clears the map
+      s.sql("CREATE OR REPLACE TABLE graft.props.r AS SELECT id FROM range(2)")
+      assert(ManifestTable.tableProperties(s, p) === Map.empty)
+    }
+  }
+
+  test("REPLACE TABLE without AS SELECT: declared schema, EMPTY content, history preserved (r14)") {
+    withSql { s =>
+      s.sql("CREATE TABLE graft.props.rp AS SELECT id FROM range(6)")
+      val p = s"$warehouseRoot/props/rp"
+      s.sql("REPLACE TABLE graft.props.rp (id BIGINT, note STRING) " +
+        "TBLPROPERTIES ('k'='v')")
+      assert(s.table("graft.props.rp").count() === 0,
+        "no-query REPLACE empties the table under the declared schema")
+      assert(s.table("graft.props.rp").columns.toSeq === Seq("id", "note"))
+      assert(ManifestTable.tableProperties(s, p) === Map("k" -> "v"))
+      assert(s.sql("SELECT * FROM graft.props.rp VERSION AS OF 1")
+        .count() === 6, "the replaced snapshot stays time-travelable")
+    }
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Column DEFAULT values (r14, Delta's defaultValue feature shape):
+  * write-time metadata filling columns a write does not supply — SQL
+  * `INSERT INTO t (cols)` and MERGE `INSERT (cols) VALUES` — with the
+  * usual state lifecycle: validated at declaration, rolls back through
+  * RESTORE, rides clones and SHOW CREATE TABLE. Existing rows are
+  * never touched (declaration is not a backfill).
+  */
+class ColumnDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private lazy val sqlSession: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+  private def withSql[A](f: SparkSession => A): A = {
+    val base = spark
+    val s = sqlSession
+    SparkSession.setActiveSession(s)
+    SparkSession.setDefaultSession(s)
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("declare + SQL INSERT (cols): absent column fills DEFAULT, no default fills NULL") {
+    val path = tmp("graft_def1")
+    ManifestTable.write(
+      Seq((1L, "a", 10L)).toDF("id", "src", "score"), path)
+    ManifestTable.setColumnDefault(spark, path, "score", "42")
+    assert(ManifestTable.columnDefaults(spark, path) === Map("score" -> "42"))
+    withSql { s =>
+      s.sql(s"INSERT INTO '$path' (id, src) VALUES (2, 'b'), (3, 'c')")
+      val got = ManifestTable.read(s, path)
+        .select("id", "src", "score").as[(Long, String, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, "a", Some(10L)), (2L, "b", Some(42L)),
+        (3L, "c", Some(42L))))
+      // src has no default: leaving it out fills NULL
+      s.sql(s"INSERT INTO '$path' (id) VALUES (4)")
+      val r4 = ManifestTable.read(s, path).filter(col("id") === 4)
+        .select("src", "score").head()
+      assert(r4.isNullAt(0) && r4.getLong(1) === 42L)
+      // positional resolution: the list order wins over query aliases
+      s.sql(s"INSERT INTO '$path' (src, id) SELECT 'z', 9")
+      assert(ManifestTable.read(s, path).filter(col("id") === 9)
+        .select("src").head().getString(0) === "z")
+    }
+  }
+
+  test("MERGE INSERT (cols) VALUES: unassigned column takes the DEFAULT (Delta's rule)") {
+    val path = tmp("graft_def2")
+    ManifestTable.write(Seq((1L, 10L, "x")).toDF("id", "v", "w"), path)
+    ManifestTable.setColumnDefault(spark, path, "w", "'defaulted'")
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 11L), (5L, 50L))).toDF("id", "v")
+        .createOrReplaceTempView("def_src")
+      s.sql(
+        s"""MERGE INTO '$path' USING def_src ON id
+            WHEN MATCHED THEN UPDATE SET v = def_src.v
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (id, v)""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v", "w").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 11L, "x"), (5L, 50L, "defaulted")),
+        "the matched row keeps its value; the inserted row defaults")
+    }
+  }
+
+  test("validation at declaration: unknown column, column references, uncastable constants all refuse") {
+    val path = tmp("graft_def3")
+    ManifestTable.write(Seq((1L, 2L)).toDF("id", "v"), path)
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.setColumnDefault(spark, path, "nope", "1")
+    }
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.setColumnDefault(spark, path, "v", "id + 1")
+    }
+    assert(e2.getMessage.contains("constant"), e2.getMessage)
+    // constant expressions (not just literals) are fine
+    ManifestTable.setColumnDefault(spark, path, "v", "10 * 2 + 2")
+    assert(ManifestTable.columnDefaults(spark, path) === Map("v" -> "10 * 2 + 2"))
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT via SQL; DROP falls back to NULL; SHOW CREATE renders it") {
+    val path = tmp("graft_def4")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
+    withSql { s =>
+      s.sql(s"ALTER TABLE '$path' ALTER COLUMN n SET DEFAULT 7")
+      s.sql(s"INSERT INTO '$path' (id) VALUES (2)")
+      assert(ManifestTable.read(s, path).filter(col("id") === 2)
+        .select("n").head().getLong(0) === 7L)
+      val ddl = s.sql(s"SHOW CREATE TABLE '$path'").head().getString(0)
+      assert(ddl.contains("DEFAULT (7)"), ddl)
+      s.sql(s"ALTER TABLE '$path' ALTER COLUMN n DROP DEFAULT")
+      s.sql(s"INSERT INTO '$path' (id) VALUES (3)")
+      assert(ManifestTable.read(s, path).filter(col("id") === 3)
+        .select("n").head().isNullAt(0))
+    }
+  }
+
+  test("lifecycle: RESTORE rolls the declaration back; clones carry it") {
+    val path = tmp("graft_def5")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
+    val beforeDecl = ManifestTable.currentVersion(spark, path).get
+    ManifestTable.setColumnDefault(spark, path, "n", "99")
+    // clone AFTER the declaration: both clone flavors carry it
+    val root = java.nio.file.Files.createTempDirectory("graft_def5c").toString
+    ManifestTable.cloneShallow(spark, path, s"$root/sh")
+    ManifestTable.cloneDeep(spark, path, s"$root/dp")
+    assert(ManifestTable.columnDefaults(spark, s"$root/sh") === Map("n" -> "99"))
+    assert(ManifestTable.columnDefaults(spark, s"$root/dp") === Map("n" -> "99"))
+    // restore to before the declaration: the default is gone
+    ManifestTable.restore(spark, path, beforeDecl)
+    assert(ManifestTable.columnDefaults(spark, path) === Map.empty)
+  }
+}

@@ -90,4 +90,17 @@ class GenerateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deletion"), e.getMessage)
   }
+
+  test("column-mapped table refuses GENERATE: physical col-N names are unreadable to symlink consumers (r14)") {
+    val p = tmp("graft_gen_cm")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "amount"), p)
+    // any rename turns column mapping ON for the table's lifetime —
+    // from here the parquet files carry physical names
+    ManifestTable.renameColumn(spark, p, "amount", "price")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.generateSymlinkManifest(spark, p)
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
 }

@@ -1,0 +1,187 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import graft.pipeline.ManifestTable.{MergeDelete, MergeInsert, MergeUpdate}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** WHEN NOT MATCHED BY SOURCE coverage (round-14 advice): the common
+  * Delta idioms — by-source DELETE/UPDATE driven by a NARROW
+  * (keys-only) source frame — through both the builder and SQL, plus
+  * the `target.` prefix ownership rule when a declared alias collides
+  * with the convenience spelling.
+  *
+  * The narrow-source cases matter because the all-star fast path
+  * selects every table column bare from the source frame; a merge
+  * whose matched/insert clauses are delete-only or ABSENT must build
+  * images from the `_b_` base columns instead (ManifestTable.mergeMulti),
+  * or a keys-only source throws AnalysisException.
+  */
+class MergeBySourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private lazy val sqlSession: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+  private def withSql[A](f: SparkSession => A): A = {
+    val base = spark
+    val s = sqlSession
+    SparkSession.setActiveSession(s)
+    SparkSession.setDefaultSession(s)
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("builder: BY SOURCE DELETE with a keys-only source and no other clauses (sync-to-source delete)") {
+    val path = tmp("graft_bys1")
+    ManifestTable.write(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("id", "v", "tagc"), path)
+    // the source carries ONLY the key — the exact shape the advice
+    // flagged as throwing on the old all-star path
+    val keysOnly = Seq(1L, 3L).toDF("id")
+    ManifestTable.mergeMulti(keysOnly, path, "id",
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(MergeDelete()))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v", "tagc").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L, "a"), (3L, 30L, "c")),
+      "target rows absent from the source are deleted; matched rows " +
+        "survive untouched (no matched clause claims them)")
+  }
+
+  test("builder: conditional BY SOURCE UPDATE then DELETE, first-clause-wins, narrow source") {
+    val path = tmp("graft_bys2")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v"), path)
+    val keysOnly = Seq(1L).toDF("id")
+    // unmatched-by-source rows: 2,3,4. First clause claims v < 35
+    // (2,3 -> v = -1); the unconditional DELETE takes the rest (4).
+    ManifestTable.mergeMulti(keysOnly, path, "id",
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(
+        MergeUpdate(Some(col("_b_v") < 35), Seq("v" -> lit(-1L))),
+        MergeDelete()))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L), (2L, -1L), (3L, -1L)))
+  }
+
+  test("builder: matched DELETE only with a keys-only source (same narrow-source hazard)") {
+    val path = tmp("graft_bys3")
+    ManifestTable.write(
+      Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z"))
+        .toDF("id", "v", "w"), path)
+    ManifestTable.mergeMulti(Seq(2L).toDF("id"), path, "id",
+      matched = Seq(MergeDelete()), notMatched = Nil)
+    val got = ManifestTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("builder: BY SOURCE UPDATE requires explicit SET; by-source clauses compose with star insert") {
+    val path = tmp("graft_bys4")
+    ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMulti(Seq(1L).toDF("id"), path, "id",
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(MergeUpdate()))
+    }
+    assert(e.getMessage.contains("explicit SET"))
+    // full-width source: star insert + by-source delete in one pass
+    val src = Seq((1L, 11L), (9L, 90L)).toDF("id", "v")
+    ManifestTable.mergeMulti(src, path, "id",
+      matched = Seq(MergeUpdate()), notMatched = Seq(MergeInsert()),
+      notMatchedBySource = Seq(MergeDelete()))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 11L), (9L, 90L)),
+      "update matched, insert new, delete gone-from-source — the full sync")
+  }
+
+  test("SQL: WHEN NOT MATCHED BY SOURCE THEN DELETE with a keys-only source view") {
+    val path = tmp("graft_bys5")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), path)
+    withSql { s =>
+      s.createDataFrame(Seq(Tuple1(2L))).toDF("id")
+        .createOrReplaceTempView("bys_keys_src")
+      s.sql(
+        s"""MERGE INTO '$path' USING bys_keys_src ON id
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = ManifestTable.read(s, path)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === Seq(2L))
+    }
+  }
+
+  test("SQL: conditional BY SOURCE UPDATE with target.col condition and SET") {
+    val path = tmp("graft_bys6")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), path)
+    withSql { s =>
+      s.createDataFrame(Seq(Tuple1(1L))).toDF("id")
+        .createOrReplaceTempView("bys_upd_src")
+      s.sql(
+        s"""MERGE INTO '$path' AS t USING bys_upd_src AS u ON t.id = u.id
+            WHEN NOT MATCHED BY SOURCE AND t.v < 25 THEN UPDATE SET v = t.v + 100
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 10L), (2L, 120L)),
+        "id=2 claimed by the conditional update, id=3 by the delete, " +
+          "id=1 matched and untouched")
+    }
+  }
+
+  test("SQL: a source ALIASED `target` owns the target. prefix (r14 advice: no silent _b_ rewrite)") {
+    val path = tmp("graft_bys7")
+    ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 777L))).toDF("id", "v")
+        .createOrReplaceTempView("alias_src")
+      // with the old unconditional rewrite, `target.v` below became
+      // `_b_v` (the table's own value) and the update silently no-op'd
+      s.sql(
+        s"""MERGE INTO '$path' AS t USING alias_src AS target ON t.id = target.id
+            WHEN MATCHED THEN UPDATE SET v = target.v""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 777L), (2L, 20L)),
+        "target.v resolves against the SOURCE that declared the alias")
+    }
+  }
+
+  test("SQL: with no declared aliases, target. still reads as the merge target") {
+    val path = tmp("graft_bys8")
+    ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    withSql { s =>
+      s.createDataFrame(Seq((1L, 5L), (2L, 50L))).toDF("id", "v")
+        .createOrReplaceTempView("conv_src")
+      s.sql(
+        s"""MERGE INTO '$path' USING conv_src ON id
+            WHEN MATCHED AND v > target.v THEN UPDATE SET *""")
+      val got = ManifestTable.read(s, path)
+        .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 10L), (2L, 50L)),
+        "convenience spelling keeps working while nothing claims it")
+    }
+  }
+}
