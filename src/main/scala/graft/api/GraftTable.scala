@@ -170,6 +170,8 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
     scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeMatched]
   private val notMatched =
     scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeInsert]
+  private val bySource =
+    scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeMatched]
   private var evolve: Boolean = false
 
   /** WHEN MATCHED [AND cond] THEN UPDATE SET * */
@@ -209,6 +211,30 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
     whenNotMatchedInsert(values.map { case (c, e) => c -> expr(e) },
       condition.map(expr))
 
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, ...
+    * (delta-spark's `whenNotMatchedBySourceUpdate`): acts on TARGET
+    * rows without a source match — conditions/expressions reference
+    * the target row as `_b_<col>`; explicit SET only (there is no
+    * source row to take a star image from). */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+                                   condition: Option[Column] = None)
+      : this.type = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    bySource += ManifestTable.MergeUpdate(condition, set.toSeq); this
+  }
+  def whenNotMatchedBySourceUpdateExpr(set: Map[String, String],
+                                       condition: Option[String] = None)
+      : this.type =
+    whenNotMatchedBySourceUpdate(set.map { case (c, e) => c -> expr(e) },
+      condition.map(expr))
+
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — the
+    * sync-to-source delete; works with a keys-only source. */
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None)
+      : this.type = {
+    bySource += ManifestTable.MergeDelete(condition); this
+  }
+
   /** Delta's `withSchemaEvolution()` — additive source columns evolve
     * the table in the same commit (star forms only). */
   def withSchemaEvolution(): this.type = { evolve = true; this }
@@ -216,7 +242,8 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
   /** Run the merge; returns the committed version. */
   def execute(): Long =
     ManifestTable.mergeMulti(source, table.path, key,
-      matched.toSeq, notMatched.toSeq, schemaEvolution = evolve)
+      matched.toSeq, notMatched.toSeq,
+      notMatchedBySource = bySource.toSeq, schemaEvolution = evolve)
 }
 
 /** OPTIMIZE builder (delta-spark's `DeltaOptimizeBuilder`). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Spark `CatalogPlugin` reserving the `graft` catalog NAMESPACE so
@@ -181,10 +181,66 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       user, reservedProps = reserved)
   }
 
+  /** V2 `alterTable` — the programmatic TableCatalog path third-party
+    * tooling calls (the SQL verbs route through the injected parser
+    * and never reach here). Each change dispatches into the SAME
+    * ManifestTable operator its SQL twin uses, one metadata commit per
+    * change; unsupported change classes refuse loudly rather than
+    * half-apply. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter graft tables with the ALTER TABLE graft SQL verbs")
+                          changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.{TableChange => TC}
+    val path = GraftCatalog.resolve(spark,
+        catalogName +: ident.namespace.toSeq :+ ident.name)
+      .filter(p => graft.pipeline.ManifestTable
+        .currentVersion(spark, p).isDefined)
+      .getOrElse(throw new NoSuchTableException(ident))
+    def topLevel(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"graft tables alter top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TC.AddColumn =>
+        // existing rows read the new column as NULL (schema-on-read),
+        // so a non-nullable add can never be honest about them
+        require(a.isNullable,
+          s"cannot add non-nullable column '${topLevel(a.fieldNames)}' — " +
+            "existing rows would read NULL; add nullable, backfill, " +
+            "then SET NOT NULL")
+        graft.pipeline.ManifestTable.addColumns(spark, path,
+          StructType(Seq(StructField(topLevel(a.fieldNames),
+            a.dataType(), nullable = true)))): Unit
+      case r: TC.RenameColumn =>
+        graft.pipeline.ManifestTable.renameColumn(spark, path,
+          topLevel(r.fieldNames), r.newName): Unit
+      case d: TC.DeleteColumn =>
+        graft.pipeline.ManifestTable.dropColumn(spark, path,
+          topLevel(d.fieldNames)): Unit
+      case n: TC.UpdateColumnNullability =>
+        if (n.nullable)
+          graft.pipeline.ManifestTable.dropNotNull(spark, path,
+            topLevel(n.fieldNames)): Unit
+        else
+          graft.pipeline.ManifestTable.setNotNull(spark, path,
+            topLevel(n.fieldNames)): Unit
+      case p: TC.SetProperty =>
+        val (reserved, user) = GraftCatalogPlugin.splitValidated(
+          Map(p.property -> p.value), allowRowTracking = true)
+        GraftCatalogPlugin.applyReserved(spark, path, reserved)
+        if (user.nonEmpty)
+          graft.pipeline.ManifestTable.setProperties(spark, path,
+            user): Unit
+      case p: TC.RemoveProperty =>
+        graft.pipeline.ManifestTable.unsetProperties(spark, path,
+          Seq(p.property)): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change ${other.getClass.getSimpleName} is not supported " +
+          "on graft tables")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val nm = (ident.namespace.toSeq :+ ident.name).mkString(".")

@@ -87,6 +87,12 @@ object ManifestTable {
   val SupportedReaderVersion: Int = 1
   val SupportedWriterVersion: Int = 1
 
+  /** Source-size gate for the by-source merge strategy (rows): at or
+    * under it the base-only side resolves via a broadcast ANTI join
+    * (zero base exchange); above it via ONE fused full-outer join.
+    * Override per session with `spark.graft.bySourceBroadcastRows`. */
+  val BySourceBroadcastMaxRows: Long = 1L << 22
+
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).
     */
@@ -3795,20 +3801,64 @@ object ManifestTable {
             s"no committed version at $path to merge into"))
         val st = resolveState(spark, path, prevV)
         val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-        // match-state resolution over the pruned base slice, PINNED to prevV
+        // match-state resolution over the pruned base slice, PINNED to
+        // prevV. BY SOURCE semantics inspect EVERY target row, so the
+        // base-only side cannot prune to the update-key range; without
+        // by-source clauses the pruned slice stands (only matched rows
+        // matter).
+        val hasBySource = notMatchedBySource.nonEmpty
+        // By-source resolution strategy, sized to the SOURCE:
+        //  - a broadcastable source resolves base-only rows through a
+        //    broadcast ANTI join — ZERO base exchange, the right call
+        //    when a small tombstone/sync list meets a huge table;
+        //  - past the gate that two-join shape would hash-exchange the
+        //    full base TWICE (resolve + anti; measured 372× shuffle at
+        //    100× input in the r14 probe), so it flips to ONE
+        //    full-outer join — one base exchange, linear thereafter.
+        // Gate override: spark.graft.bySourceBroadcastRows.
+        val fused = hasBySource && {
+          val gate = spark.conf.getOption("spark.graft.bySourceBroadcastRows")
+            .flatMap(_.toLongOption).getOrElse(BySourceBroadcastMaxRows)
+          updates.limit(math.min(gate + 1, Int.MaxValue.toLong).toInt)
+            .count() > gate
+        }
         val prunable = statsPrunable(schema(key).dataType)
-        val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+        def fullBase: DataFrame = readStateDf(spark, path, st)
         val baseSlice =
-          if (bounds.isNullAt(0)) readStateDf(spark, path, st).limit(0)
-          else if (!prunable) readStateDf(spark, path, st)
-          else readStateDf(spark, path, st.copy(files =
-            pruneFilesByRange(st, key, prunable,
-              bounds.get(0).toString.toDouble,
-              bounds.get(1).toString.toDouble)))
-        val b = baseSlice.select(
+          if (fused) fullBase
+          else {
+            val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+            if (bounds.isNullAt(0)) fullBase.limit(0)
+            else if (!prunable) fullBase
+            else readStateDf(spark, path, st.copy(files =
+              pruneFilesByRange(st, key, prunable,
+                bounds.get(0).toString.toDouble,
+                bounds.get(1).toString.toDouble)))
+          }
+        val b0 = baseSlice.select(
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
-        val resolved = updates.join(b, col(key) === col(s"_b_$key"), "left")
-        val isMatched = col(s"_b_$key").isNotNull
+        // Fused shape: ONE join resolves all three match states —
+        // matched, source-only (insert), base-only (by source).
+        // Presence FLAGS, not key nullability, classify the sides:
+        // NULL keys never join, so a null-key row on either side must
+        // still land on its correct side.
+        val b =
+          if (fused) b0.withColumn("_graft_base_present", lit(true))
+          else b0
+        val src =
+          if (fused) updates.withColumn("_graft_src_present", lit(true))
+          else updates
+        val resolved = src.join(b, col(key) === col(s"_b_$key"),
+          if (fused) "full_outer" else "left")
+        val isBaseOnly =
+          if (fused) col("_graft_src_present").isNull else lit(false)
+        val isMatched =
+          if (fused)
+            col("_graft_src_present").isNotNull &&
+              col("_graft_base_present").isNotNull
+          else col(s"_b_$key").isNotNull
+        val isSourceOnly =
+          if (fused) col("_graft_base_present").isNull else !isMatched
         // FIRST-CLAUSE-WINS claims: cond_i AND NOT any earlier cond
         // (NULL conditions read false on both sides — SQL semantics)
         def claims(conds: Seq[Option[Column]]): Seq[Column] =
@@ -3824,6 +3874,13 @@ object ManifestTable {
         val delFlag = matched.zip(mClaims)
           .collect { case (_: MergeDelete, cl) => cl }
           .reduceOption(_ || _).getOrElse(lit(false))
+        // BY SOURCE claims compile the same way (empty lists fold to
+        // false, so the non-by-source path pays nothing)
+        val bsClaims = claims(notMatchedBySource.map(_.condition))
+        val anyBs = bsClaims.reduceOption(_ || _).getOrElse(lit(false))
+        val bsDel = notMatchedBySource.zip(bsClaims)
+          .collect { case (_: MergeDelete, cl) => cl }
+          .reduceOption(_ || _).getOrElse(lit(false))
         // assignment targets must exist (fail fast, not at scan time)
         updClauses.flatMap(_.set).foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
@@ -3831,6 +3888,10 @@ object ManifestTable {
         notMatched.flatMap(_.values).foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
             s"MERGE INSERT targets unknown column '$c'") }
+        notMatchedBySource.collect { case u: MergeUpdate => u }
+          .flatMap(_.set).foreach { case (c, _) =>
+            require(schema.fieldNames.contains(c),
+              s"MERGE UPDATE SET targets unknown column '$c'") }
         // Per-clause image compilation (delta-spark's `SET c = expr` /
         // `INSERT (cols) VALUES (exprs)` forms): an assigned column
         // takes its expression (source columns bare, matched base row
@@ -3880,66 +3941,67 @@ object ManifestTable {
               .foldLeft(lit(null).cast(dt): Column) {
                 case (acc, (cl, claim)) =>
                   when(claim, insertImg(cl)).otherwise(acc) }
-            when(isMatched, mVal).otherwise(iVal).as(c)
+            when(isMatched, mVal).otherwise(iVal)
           }
-        val imageCols =
-          if (allStar) imageNames.map(col)
-          else imageNames.map { c =>
-            if (!schema.fieldNames.contains(c))
+        // BY SOURCE images: TARGET rows with no source match keep their
+        // base values except where an UPDATE clause claims them; delete
+        // claims carry the base image (never read past the flag).
+        def bySourceImg(c: String): Column = {
+          val dt = schema(c).dataType
+          def img(cl: MergeMatched): Column = cl match {
+            case u: MergeUpdate => u.set.toMap.get(c)
+              .map(_.cast(dt)).getOrElse(col(s"_b_$c"))
+            case _: MergeDelete => col(s"_b_$c")
+          }
+          notMatchedBySource.zip(bsClaims).reverse
+            .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+              when(claim, img(cl)).otherwise(acc) }
+        }
+        val imageCols = imageNames.map { c =>
+          val srcSide: Column =
+            if (allStar) col(c)
+            else if (!schema.fieldNames.contains(c))
               // evolved-only column off the fast path: reachable only
               // when no star clause exists (delete-only / by-source
               // merges under evolution) — the image is never read past
               // the delete flag, NULL is the schema-on-read value
-              lit(null).cast(evolvedSchema(c).dataType).as(c)
+              lit(null).cast(evolvedSchema(c).dataType)
             else imageColFor(c)
-          }
+          // evolved-only columns skip the by-source wrap: on base-only
+          // rows the source column IS NULL through the outer join —
+          // the same schema-on-read value their carried siblings get
+          val full =
+            if (!fused || !schema.fieldNames.contains(c)) srcSide
+            else when(isBaseOnly, bySourceImg(c)).otherwise(srcSide)
+          full.as(c)
+        }
         val compiled = resolved
-          .withColumn("_graft_del", isMatched && delFlag)
-          .filter((isMatched && anyM) || (!isMatched && anyI))
+          .withColumn("_graft_del",
+            (isMatched && delFlag) || (isBaseOnly && bsDel))
+          .filter((isMatched && anyM) || (isSourceOnly && anyI) ||
+            (isBaseOnly && anyBs))
           .select(imageCols :+ col("_graft_del"): _*)
-        // BY SOURCE side: TARGET rows with no source match, claimed
-        // first-clause-wins like the matched side. The base scan is the
-        // FULL table by the semantics (any target row may be claimed);
-        // Catalyst pushes the claim conditions through the anti-join
-        // into the scan, and mergeAttempt's candidate pruning sees the
-        // claimed rows' keys through the union's bounds. Evolved
-        // columns read NULL for by-source rows — the same
-        // schema-on-read value their carried siblings get.
+        // Broadcast two-join shape for small sources: base-only rows
+        // come from a broadcast ANTI join over the full base — the
+        // base never exchanges, matched/insert rows keep the pruned
+        // slice above.
         val withBySource =
-          if (notMatchedBySource.isEmpty) compiled
+          if (!hasBySource || fused) compiled
           else {
-            notMatchedBySource.collect { case u: MergeUpdate => u }
-              .flatMap(_.set).foreach { case (c, _) =>
-                require(schema.fieldNames.contains(c),
-                  s"MERGE UPDATE SET targets unknown column '$c'") }
-            val b2 = readStateDf(spark, path, st).select(
+            val b2 = fullBase.select(
               schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
             val unmatchedBase = b2.join(
-              updates.select(col(key).as("_graft_src_key")),
+              org.apache.spark.sql.functions.broadcast(
+                updates.select(col(key).as("_graft_src_key"))),
               col(s"_b_$key") === col("_graft_src_key"), "left_anti")
-            val bsClaims = claims(notMatchedBySource.map(_.condition))
-            val anyBs = bsClaims.reduceOption(_ || _).getOrElse(lit(false))
-            val bsDel = notMatchedBySource.zip(bsClaims)
-              .collect { case (_: MergeDelete, cl) => cl }
-              .reduceOption(_ || _).getOrElse(lit(false))
-            val bsCols = imageNames.map { c =>
+            val bsAliased = imageNames.map { c =>
               if (!schema.fieldNames.contains(c))
                 lit(null).cast(evolvedSchema(c).dataType).as(c)
-              else {
-                val dt = schema(c).dataType
-                def img(cl: MergeMatched): Column = cl match {
-                  case u: MergeUpdate => u.set.toMap.get(c)
-                    .map(_.cast(dt)).getOrElse(col(s"_b_$c"))
-                  case _: MergeDelete => col(s"_b_$c")
-                }
-                notMatchedBySource.zip(bsClaims).reverse
-                  .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
-                    when(claim, img(cl)).otherwise(acc) }.as(c)
-              }
+              else bySourceImg(c).as(c)
             }
             compiled.unionByName(unmatchedBase
               .withColumn("_graft_del", bsDel).filter(anyBs)
-              .select(bsCols :+ col("_graft_del"): _*))
+              .select(bsAliased :+ col("_graft_del"): _*))
           }
         mergeAttempt(withBySource, path, key, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,

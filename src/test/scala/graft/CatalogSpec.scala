@@ -425,6 +425,49 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("V2 alterTable: the programmatic TableCatalog path routes to the same engine verbs (r14)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.types.LongType
+    withSql { s =>
+      s.sql("CREATE TABLE graft.altv2.t AS SELECT id, id * 2 AS v FROM range(10)")
+      val p = s"$warehouseRoot/altv2/t"
+      val cat = new graft.catalog.GraftCatalogPlugin()
+      cat.initialize("graft",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      val ident = Identifier.of(Array("altv2"), "t")
+      // property set/remove route exactly like SET/UNSET TBLPROPERTIES
+      cat.alterTable(ident, TableChange.setProperty("team", "core"))
+      assert(ManifestTable.tableProperties(s, p) === Map("team" -> "core"))
+      cat.alterTable(ident, TableChange.removeProperty("team"))
+      assert(ManifestTable.tableProperties(s, p) === Map.empty)
+      // add a nullable column; existing rows read NULL
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"), LongType, true))
+      assert(s.table("graft.altv2.t").columns.toSeq ===
+        Seq("id", "v", "extra"))
+      assert(s.table("graft.altv2.t").filter("extra IS NULL").count() === 10)
+      // non-nullable add refuses with the workable recipe
+      val e = intercept[IllegalArgumentException] {
+        cat.alterTable(ident,
+          TableChange.addColumn(Array("strict"), LongType, false))
+      }
+      assert(e.getMessage.contains("non-nullable"), e.getMessage)
+      // rename + drop route to the column-mapping verbs
+      cat.alterTable(ident, TableChange.renameColumn(Array("v"), "val"))
+      assert(s.table("graft.altv2.t").columns.toSeq ===
+        Seq("id", "val", "extra"))
+      cat.alterTable(ident, TableChange.deleteColumn(Array("extra"), false))
+      assert(s.table("graft.altv2.t").columns.toSeq === Seq("id", "val"))
+      // unknown change classes refuse loudly
+      val e2 = intercept[UnsupportedOperationException] {
+        cat.alterTable(ident,
+          TableChange.updateColumnType(Array("val"), LongType))
+      }
+      assert(e2.getMessage.contains("not supported"), e2.getMessage)
+    }
+  }
+
   test("REPLACE TABLE without AS SELECT: declared schema, EMPTY content, history preserved (r14)") {
     withSql { s =>
       s.sql("CREATE TABLE graft.props.rp AS SELECT id FROM range(6)")

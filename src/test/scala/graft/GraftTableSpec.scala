@@ -107,6 +107,37 @@ class GraftTableSpec extends SparkSpec {
       Seq((1L, 111.0), (2L, 222.0), (4L, 40.0), (9L, 9.0)))
   }
 
+  test("merge builder: whenNotMatchedBySource update/delete with a keys-only source (r14)") {
+    val p = tmp("graft_gt_bys")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v"), p)
+    val t = GraftTable.forPath(spark, p)
+    // the delta-spark sync idiom: update matched, flag or delete the
+    // rows the source no longer carries — narrow (keys-only) source
+    t.merge(Seq((1L, 11L)).toDF("id", "v"), "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceUpdate(Map("v" -> lit(-1L)),
+        condition = Some(col("_b_v") < 35))
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    val got = t.toDF.select("id", "v").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 11L), (2L, -1L), (3L, -1L)))
+  }
+
+  test("deep clone through the handle: survives source drop (r14)") {
+    val p = tmp("graft_gt_dc")
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)
+    val dst = java.nio.file.Files.createTempDirectory("graft_gt_dc2")
+      .toString + "/clone"
+    GraftTable.forPath(spark, p).deepClone(dst)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+    assert(GraftTable.forPath(spark, dst).toDF.count() === 2)
+  }
+
   test("optimize builder: compaction, where-scoped compaction, zorder") {
     val p = tmp("graft_gt_o")
     ManifestTable.write(

@@ -169,6 +169,39 @@ class MergeBySourceSpec extends SparkSpec {
     }
   }
 
+  test("strategy parity: fused full-outer (gate 0) ≡ broadcast anti (default gate) on twin tables") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bys9").toString
+    val rows = (1L to 400L).map(i => (i, i * 10, s"s${i % 7}"))
+    val src = Seq((2L, 0L), (5L, 0L), (399L, 0L)).toDF("id", "v")
+      .select(col("id"), col("v"))
+    def runWith(path: String, gate: String): Unit = {
+      ManifestTable.write(rows.toDF("id", "v", "w"), path)
+      spark.conf.set("spark.graft.bySourceBroadcastRows", gate)
+      try ManifestTable.mergeMulti(src.select("id"), path, "id",
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(
+          MergeUpdate(Some(col("_b_v") < 500), Seq("w" -> lit("LOW"))),
+          MergeDelete(Some(col("_b_v") > 3000)))): Unit
+      finally spark.conf.unset("spark.graft.bySourceBroadcastRows")
+    }
+    runWith(s"$root/fused", "0")        // everything over the gate -> fused
+    runWith(s"$root/bcast", "1000000")  // under the gate -> broadcast anti
+    val a = ManifestTable.read(spark, s"$root/fused")
+      .select("id", "v", "w").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val c = ManifestTable.read(spark, s"$root/bcast")
+      .select("id", "v", "w").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === c, "both strategies are the same operator")
+    val srcKeys = Set(2L, 5L, 399L)
+    assert(a.exists(_._3 == "LOW") &&
+        !a.exists(t => t._2 > 3000 && !srcKeys(t._1)),
+      "updates applied; deletes applied to UNMATCHED rows only " +
+        "(matched rows are exempt from by-source clauses)")
+    assert(a.count(_._3 == "LOW") === a.count(t =>
+      t._2 < 500 && !Set(2L, 5L, 399L).contains(t._1)))
+  }
+
   test("SQL: with no declared aliases, target. still reads as the merge target") {
     val path = tmp("graft_bys8")
     ManifestTable.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
