@@ -859,6 +859,23 @@ object GraftOps {
     graft.pipeline.ManifestTable.merge(updates, path, key,
       schemaEvolution = true)
 
+  /** Column DEFAULT declarations (r14): constant expression filling
+    * the column when a write doesn't supply it (column-list INSERT,
+    * unassigned MERGE INSERT columns, `SET c = DEFAULT`). */
+  def setColumnDefault(spark: org.apache.spark.sql.SparkSession,
+                       path: String, column: String,
+                       exprSql: String): Long =
+    graft.pipeline.ManifestTable.setColumnDefault(spark, path, column,
+      exprSql)
+
+  def dropColumnDefault(spark: org.apache.spark.sql.SparkSession,
+                        path: String, column: String): Long =
+    graft.pipeline.ManifestTable.dropColumnDefault(spark, path, column)
+
+  def columnDefaults(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Map[String, String] =
+    graft.pipeline.ManifestTable.columnDefaults(spark, path)
+
   /** User TBLPROPERTIES — set/unset as one metadata commit, read the
     * current map (r13; `graft.` keys are reserved for engine
     * features). */

@@ -829,10 +829,20 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.updateWhere(session,
-      GraftSqlCommands.rp(session, path),
-      set.map { case (c, e) => (c, expr(e)) }, expr(cond))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    // SQL's `SET c = DEFAULT` keyword: the column's declared DEFAULT
+    // (a validated constant), NULL where none is declared — the
+    // standard's reading
+    val defaults = ManifestTable.columnDefaults(session, tp)
+    def rhs(c: String, e: String) =
+      if (e.trim.equalsIgnoreCase("DEFAULT"))
+        defaults.get(c).map(expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(null))
+      else expr(e)
+    Seq(Row(ManifestTable.updateWhere(session, tp,
+      set.map { case (c, e) => (c, rhs(c, e)) }, expr(cond))))
+  }
 }
 
 /** MERGE INTO '<path>' — clause conditions are compiled with `expr()`

@@ -119,6 +119,26 @@ class ColumnDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE SET c = DEFAULT: declared constant where present, NULL otherwise (r14)") {
+    val path = tmp("graft_def6")
+    ManifestTable.write(
+      Seq((1L, 5L, "x"), (2L, 6L, "y")).toDF("id", "n", "s"), path)
+    ManifestTable.setColumnDefault(spark, path, "n", "77")
+    withSql { s =>
+      s.sql(s"UPDATE '$path' SET n = DEFAULT WHERE id = 1")
+      assert(ManifestTable.read(s, path).filter(col("id") === 1)
+        .select("n").head().getLong(0) === 77L)
+      // no default declared on s: the keyword falls back to NULL
+      s.sql(s"UPDATE '$path' SET s = DEFAULT WHERE id = 2")
+      assert(ManifestTable.read(s, path).filter(col("id") === 2)
+        .select("s").head().isNullAt(0))
+      // a column literally assigned the STRING 'DEFAULT' is data
+      s.sql(s"UPDATE '$path' SET s = 'DEFAULT' WHERE id = 1")
+      assert(ManifestTable.read(s, path).filter(col("id") === 1)
+        .select("s").head().getString(0) === "DEFAULT")
+    }
+  }
+
   test("lifecycle: RESTORE rolls the declaration back; clones carry it") {
     val path = tmp("graft_def5")
     ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
