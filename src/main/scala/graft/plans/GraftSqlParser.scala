@@ -1157,16 +1157,31 @@ case class GraftCreateTableCommand(nameSpec: String, colsDdl: String,
     val (reserved, user) = graft.catalog.GraftCatalogPlugin
       .splitValidated(props.toMap, allowRowTracking = true)
     val notNull = scala.collection.mutable.ArrayBuffer[String]()
+    val defaults = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val defaultRe = "(?is)^(.+?)\\s+DEFAULT\\s+(.+)$".r
     val cleaned = GraftSqlStatements.splitTopLevel(colsDdl).map { e =>
-      val t = e.trim
-      val stripped = t.replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
-      if (stripped != t) notNull += stripped.trim.split("\\s+").head
-      stripped
+      // column DDL suffixes in either order: [DEFAULT expr] [NOT NULL]
+      var t = e.trim
+      var nn = false
+      val afterNn = t.replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
+      if (afterNn != t) { nn = true; t = afterNn }
+      t match {
+        case defaultRe(head, dflt) =>
+          defaults += head.trim.split("\\s+").head -> dflt.trim
+          t = head.trim
+        case _ => ()
+      }
+      val afterNn2 = t.replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
+      if (afterNn2 != t) { nn = true; t = afterNn2 }
+      if (nn) notNull += t.trim.split("\\s+").head
+      t
     }
     val schema = StructType.fromDDL(cleaned.mkString(", "))
     graft.catalog.GraftCatalog.createTable(session, name, schema, partCols)
     val path = graft.catalog.GraftCatalog.tablePath(session, name)
     notNull.foreach(c => ManifestTable.setNotNull(session, path, c): Unit)
+    defaults.foreach { case (c, d) =>
+      ManifestTable.setColumnDefault(session, path, c, d): Unit }
     graft.catalog.GraftCatalogPlugin.applyReserved(session, path, reserved)
     if (user.nonEmpty)
       ManifestTable.setProperties(session, path, user): Unit

@@ -139,6 +139,77 @@ class ColumnDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("inline DEFAULT in CREATE TABLE column DDL, either suffix order with NOT NULL") {
+    withSql { s =>
+      val root = java.nio.file.Files.createTempDirectory("graft_def_ddl")
+      // the warehouse conf is session-shared: pin, then ALWAYS restore
+      val prevWh = s.conf.getOption("spark.graft.warehouse")
+      s.conf.set("spark.graft.warehouse", root.toString)
+      try {
+        val p = s"$root/defdb/t"
+        s.sql("CREATE TABLE graft.defdb.t (id BIGINT NOT NULL, " +
+          "n BIGINT DEFAULT 7 NOT NULL, tag STRING DEFAULT 'untagged')")
+        assert(ManifestTable.columnDefaults(s, p) ===
+          Map("n" -> "7", "tag" -> "'untagged'"))
+        s.sql(s"INSERT INTO '$p' (id) VALUES (1)")
+        val r = ManifestTable.read(s, p).select("id", "n", "tag").head()
+        assert(r.getLong(0) === 1L && r.getLong(1) === 7L &&
+          r.getString(2) === "untagged")
+        // NOT NULL invariants still declared on both spellings
+        val e = intercept[Exception] {
+          ManifestTable.append(
+            spark.sql(
+              "SELECT CAST(NULL AS BIGINT) AS id, 1L AS n, 'x' AS tag"),
+            p)
+        }
+        assert(e.getMessage.toLowerCase.contains("null"), e.getMessage)
+      } finally prevWh match {
+        case Some(w) => s.conf.set("spark.graft.warehouse", w)
+        case None    => s.conf.unset("spark.graft.warehouse")
+      }
+    }
+  }
+
+  test("declaration survives checkpoint-ONLY resolution (manifests below the checkpoint removed)") {
+    val path = tmp("graft_def_cp")
+    ManifestTable.write(Seq((1L, 2L)).toDF("id", "n"), path)
+    ManifestTable.setColumnDefault(spark, path, "n", "9")
+    // cross the 16-commit checkpoint boundary
+    (0 until 17).foreach(i =>
+      ManifestTable.append(Seq((100L + i, 1L)).toDF("id", "n"), path))
+    val dir = new java.io.File(path)
+    val cpVs = dir.listFiles()
+      .map(_.getName).filter(_.startsWith("_graft_checkpoint-v"))
+      .map(_.stripPrefix("_graft_checkpoint-v").stripSuffix(".json").toLong)
+    assert(cpVs.nonEmpty, "a checkpoint must exist after 18 commits")
+    val cp = cpVs.max
+    // remove every manifest at or below the checkpoint: the defaults
+    // map must come from the checkpoint's own serialization
+    dir.listFiles().filter { f =>
+      f.getName.startsWith("_graft_manifest-v") &&
+        f.getName.stripPrefix("_graft_manifest-v")
+          .stripSuffix(".json").toLong <= cp
+    }.foreach(f => assert(f.delete()))
+    // copy to a FRESH path so the in-JVM state cache cannot answer —
+    // resolution must parse the checkpoint's own serialization
+    val path2 = tmp("graft_def_cp2")
+    def cp0(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f =>
+          cp0(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+    }
+    new java.io.File(path2).delete()
+    cp0(dir, new java.io.File(path2))
+    assert(ManifestTable.columnDefaults(spark, path2) === Map("n" -> "9"))
+    withSql { s =>
+      s.sql(s"INSERT INTO '$path2' (id) VALUES (999)")
+      assert(ManifestTable.read(s, path2).filter(col("id") === 999)
+        .select("n").head().getLong(0) === 9L)
+    }
+  }
+
   test("lifecycle: RESTORE rolls the declaration back; clones carry it") {
     val path = tmp("graft_def5")
     ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
