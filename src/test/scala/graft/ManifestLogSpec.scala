@@ -865,7 +865,7 @@ class ManifestLogSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_log14").toString + "/t"
     ManifestTable.write(
       (0 until 8).map(i => (i.toLong, i.toLong, 0L)).toDF("id", "a", "b"), path)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def task(f: () => Unit): Runnable = new Runnable {
       def run(): Unit = try f() catch { case e: Throwable => failures.add(e); () }
@@ -876,6 +876,8 @@ class ManifestLogSpec extends SparkSpec {
       task(() => ManifestTable.addCheckConstraint(spark, path, "b_ok",
         "b >= 0", maxAttempts = 64)),
       task(() => ManifestTable.addGeneratedColumn(spark, path, "b",
+        "0", maxAttempts = 64)),
+      task(() => ManifestTable.setColumnDefault(spark, path, "id",
         "0", maxAttempts = 64)),
       // appenders omit the column being renamed (a batch speaking the
       // OLD name after the rename lands would legally evolve a second
@@ -897,5 +899,6 @@ class ManifestLogSpec extends SparkSpec {
     assert(st.schema.fieldNames.contains("alpha"))
     assert(ManifestTable.checkConstraints(spark, path).keySet === Set("b_ok"))
     assert(ManifestTable.generatedColumns(spark, path) === Map("b" -> "0"))
+    assert(ManifestTable.columnDefaults(spark, path) === Map("id" -> "0"))
   }
 }
