@@ -169,6 +169,37 @@ class MergeBySourceSpec extends SparkSpec {
     }
   }
 
+  test("by-source merge on a PARTITIONED layout: partition values survive both strategies") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bys10").toString
+    def runWith(path: String, gate: String): Unit = {
+      ManifestTable.write(
+        (1L to 60L).map(i => (i, i * 2, s"p${i % 3}")).toDF("id", "v", "part"),
+        path, partitionCols = Seq("part"))
+      spark.conf.set("spark.graft.bySourceBroadcastRows", gate)
+      try ManifestTable.mergeMulti(
+        (1L to 60L by 4).map(Tuple1(_)).toDF("id"), path, "id",
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(
+          MergeUpdate(Some(col("_b_part") === "p1"), Seq("v" -> lit(-7L))),
+          MergeDelete())): Unit
+      finally spark.conf.unset("spark.graft.bySourceBroadcastRows")
+    }
+    runWith(s"$root/f", "0"); runWith(s"$root/b", "1000000")
+    val expect = (1L to 60L).flatMap { i =>
+      val matched = (i - 1) % 4 == 0
+      val p = s"p${i % 3}"
+      if (matched) Some((i, i * 2, p))               // untouched (no matched clause)
+      else if (p == "p1") Some((i, -7L, p))          // by-source update
+      else None                                      // by-source delete
+    }.sortBy(_._1)
+    Seq(s"$root/f", s"$root/b").foreach { p =>
+      val got = ManifestTable.read(spark, p)
+        .select("id", "v", "part").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got === expect, s"at $p")
+    }
+  }
+
   test("strategy parity: fused full-outer (gate 0) ≡ broadcast anti (default gate) on twin tables") {
     val root = java.nio.file.Files.createTempDirectory("graft_bys9").toString
     val rows = (1L to 400L).map(i => (i, i * 10, s"s${i % 7}"))
