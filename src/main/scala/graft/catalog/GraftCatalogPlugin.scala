@@ -201,14 +201,30 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
           s"got ${fieldNames.mkString(".")}")
       fieldNames.head
     }
+    // VALIDATE the whole change list before applying any of it — each
+    // change is one commit, so a bad later change must not leave the
+    // earlier ones half-applied
     changes.foreach {
       case a: TC.AddColumn =>
-        // existing rows read the new column as NULL (schema-on-read),
-        // so a non-nullable add can never be honest about them
         require(a.isNullable,
           s"cannot add non-nullable column '${topLevel(a.fieldNames)}' — " +
             "existing rows would read NULL; add nullable, backfill, " +
             "then SET NOT NULL")
+      case r: TC.RenameColumn => topLevel(r.fieldNames): Unit
+      case d: TC.DeleteColumn => topLevel(d.fieldNames): Unit
+      case n: TC.UpdateColumnNullability => topLevel(n.fieldNames): Unit
+      case p: TC.SetProperty =>
+        GraftCatalogPlugin.splitValidated(
+          Map(p.property -> p.value), allowRowTracking = true): Unit
+      case _: TC.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change ${other.getClass.getSimpleName} is not supported " +
+          "on graft tables")
+    }
+    changes.foreach {
+      case a: TC.AddColumn =>
+        // nullable-only (validated above): existing rows read the new
+        // column as NULL through schema-on-read
         graft.pipeline.ManifestTable.addColumns(spark, path,
           StructType(Seq(StructField(topLevel(a.fieldNames),
             a.dataType(), nullable = true)))): Unit

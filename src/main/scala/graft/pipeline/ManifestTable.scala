@@ -4744,7 +4744,13 @@ object ManifestTable {
         if (st.identityCol.isDefined) Some(st.identityHighWater) else None,
       properties =
         if (st.properties.nonEmpty) Some(st.properties) else None,
-      defaultAdds = st.defaults)
+      defaultAdds = st.defaults,
+      // the declare-before-ingest partition declaration is metadata a
+      // clone must keep: an EMPTY declared-partitioned source clones
+      // into a table whose first write still inherits the layout
+      partitionColsDecl =
+        if (st.partitionColsDecl.nonEmpty) Some(st.partitionColsDecl)
+        else None)
     f.mkdirs(new Path(dst))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
@@ -4865,7 +4871,13 @@ object ManifestTable {
         if (st.identityCol.isDefined) Some(st.identityHighWater) else None,
       properties =
         if (st.properties.nonEmpty) Some(st.properties) else None,
-      defaultAdds = st.defaults)
+      defaultAdds = st.defaults,
+      // the declare-before-ingest partition declaration is metadata a
+      // clone must keep: an EMPTY declared-partitioned source clones
+      // into a table whose first write still inherits the layout
+      partitionColsDecl =
+        if (st.partitionColsDecl.nonEmpty) Some(st.partitionColsDecl)
+        else None)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dst, s"${ManifestPrefix}1.json.$token.tmp")
     val out = f.create(tmp, true)

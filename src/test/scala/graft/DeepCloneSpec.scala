@@ -107,6 +107,31 @@ class DeepCloneSpec extends SparkSpec {
     assert(e.getMessage.contains("id_nonneg"), e.getMessage)
   }
 
+  test("declared-partition metadata carries through both clone flavors (r14)") {
+    val root = tmp("graft_dc6")
+    val src = s"$root/src"
+    // empty declared-partitioned table (the CREATE TABLE ...
+    // PARTITIONED BY shape): the first write inherits the layout
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    ManifestTable.write(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      src, partitionColsDecl = Seq("p"))
+    Seq("deep", "shal").foreach { kind =>
+      val dst = s"$root/$kind"
+      if (kind == "deep") ManifestTable.cloneDeep(spark, src, dst)
+      else ManifestTable.cloneShallow(spark, src, dst)
+      ManifestTable.write(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "p"), dst)
+      assert(liveRefs(dst).nonEmpty && liveRefs(dst).forall(_.contains("p=")),
+        s"$kind clone's first write inherits the declared partitioning")
+    }
+  }
+
   test("SQL: CREATE TABLE ... DEEP CLONE ... ; shallow verb unchanged") {
     val root = tmp("graft_dc5")
     val src = s"$root/src"
