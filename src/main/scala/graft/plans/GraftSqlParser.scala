@@ -169,6 +169,8 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
   private val cloneRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
+  private val createLikeRe =
+    s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+LIKE\\s+$P\\s*;?\\s*$$".r
   private val insertRe =
     s"(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$P\\s+(SELECT\\s+.+|TABLE\\s+.+|VALUES\\s+.+|WITH\\s+.+)$$".r
   // INSERT with an explicit column list: absent columns fill from
@@ -289,6 +291,7 @@ object GraftSqlStatements {
     case cloneRe(dst, kind, src, v) =>
       Some(GraftCloneCommand(dst, src, Option(v).map(_.toLong),
         deep = kind.equalsIgnoreCase("DEEP")))
+    case createLikeRe(dst, src) => Some(GraftCreateLikeCommand(dst, src))
     case createLocationRe(name, location) =>
       Some(GraftRegisterTableCommand(name, location))
     case createSchemaPartPropsRe(name, cols, parts, props) =>
@@ -369,8 +372,12 @@ object GraftSqlStatements {
     "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
     "DESCRIBE\\s+EXTENDED", "SHOW\\s+CREATE\\s+TABLE",
     "ALTER\\s+TABLE", "CREATE\\s+TABLE", "ANALYZE(?:\\s+TABLE)?",
-    "SHALLOW\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO",
-    "SHOW\\s+TBLPROPERTIES", "GENERATE\\s+\\w+\\s+FOR\\s+TABLE")
+    "SHALLOW\\s+CLONE", "DEEP\\s+CLONE", "DROP\\s+TABLE", "COPY\\s+INTO",
+    "SHOW\\s+TBLPROPERTIES", "GENERATE\\s+\\w+\\s+FOR\\s+TABLE",
+    // the LIKE schema-template verb: `CREATE TABLE x LIKE graft.db.t`
+    // (a string-pattern LIKE never precedes a bare graft.<ident>, and
+    // quoted literals are protected by mapOutsideQuotes)
+    "LIKE")
 
   def rewriteNames(sqlText: String): String = {
     if (!sqlText.toLowerCase.contains("graft.")) return sqlText
@@ -999,6 +1006,14 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
       case "add_constraint" =>
         ManifestTable.addCheckConstraint(session, path, args(0), args(1))
       case "add_columns" =>
+        // Delta refuses ADD COLUMN ... DEFAULT: a default only governs
+        // FUTURE writes, while existing rows read NULL — silently
+        // different values for "the same default" is the trap. Refuse
+        // with the honest two-step instead of a cryptic DDL parse error.
+        require(!"(?i)\\bDEFAULT\\b".r.findFirstIn(args(0)).isDefined,
+          "ADD COLUMNS does not take DEFAULT (existing rows would read " +
+            "NULL regardless — Delta's rule): add the column, then " +
+            "ALTER COLUMN ... SET DEFAULT for future writes")
         ManifestTable.addColumns(session, path,
           StructType.fromDDL(args(0)))
       case "drop_constraint" =>
@@ -1096,6 +1111,61 @@ case class GraftCloneCommand(dst: String, src: String,
     Seq(Row(clone(session,
       GraftSqlCommands.rp(session, src),
       GraftSqlCommands.rp(session, dst), version)))
+  }
+}
+
+/** `CREATE TABLE <dst> LIKE <src>` — an EMPTY table with the source's
+  * declared surface: schema (logical names), partition layout,
+  * CHECK + NOT NULL constraints, column DEFAULTs, generated columns,
+  * clustering and stats-schema declarations, user TBLPROPERTIES.
+  * NO data, NO history — the schema-template verb (clone copies
+  * content; LIKE copies shape). Driver metadata only: one empty
+  * commit plus one commit per declaration class.
+  */
+case class GraftCreateLikeCommand(dst: String, src: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("created", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val sp = GraftSqlCommands.rp(session, src)
+    val v = ManifestTable.currentVersion(session, sp).getOrElse(
+      throw new IllegalStateException(s"no committed version at $sp"))
+    val st = ManifestTable.resolveState(session, sp, v)
+    val schema = ManifestTable.manifestSchema(session, sp, v)
+      .getOrElse(ManifestTable.read(session, sp).schema)
+    val partCols =
+      if (st.partitionColsDecl.nonEmpty) st.partitionColsDecl
+      else Option(ManifestTable.describeDetail(session, sp).head()
+          .getAs[String]("partition_columns"))
+        .filter(_.nonEmpty).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Nil)
+    val dp =
+      if (dst.startsWith(graft.catalog.GraftCatalog.PathSpecPrefix)) {
+        val name = GraftSqlCommands.nameOf(dst)
+        graft.catalog.GraftCatalog.createTable(session, name, schema,
+          partCols)
+        graft.catalog.GraftCatalog.tablePath(session, name)
+      } else {
+        require(ManifestTable.versions(session, dst).isEmpty,
+          s"CREATE TABLE LIKE: $dst already has committed versions")
+        val empty = session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], schema)
+        ManifestTable.write(empty, dst, partitionColsDecl = partCols): Unit
+        dst
+      }
+    st.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      ManifestTable.addCheckConstraint(session, dp, n, e): Unit }
+    st.defaults.toSeq.sortBy(_._1).foreach { case (c, e) =>
+      ManifestTable.setColumnDefault(session, dp, c, e): Unit }
+    st.generated.toSeq.sortBy(_._1).foreach { case (c, e) =>
+      ManifestTable.addGeneratedColumn(session, dp, c, e): Unit }
+    if (st.clusterCols.nonEmpty)
+      ManifestTable.setClusterColumns(session, dp, st.clusterCols): Unit
+    if (st.statsSchemaCols.nonEmpty)
+      ManifestTable.setStatsColumns(session, dp, st.statsSchemaCols): Unit
+    if (st.properties.nonEmpty)
+      ManifestTable.setProperties(session, dp, st.properties): Unit
+    Seq(Row(dp))
   }
 }
 

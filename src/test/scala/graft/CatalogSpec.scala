@@ -468,6 +468,41 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE LIKE: empty table with the source's declared surface, no data (r14)") {
+    withSql { s =>
+      s.sql("CREATE TABLE graft.like_src.t " +
+        "TBLPROPERTIES ('team'='core') " +
+        "AS SELECT id, CAST(id * 2 AS BIGINT) AS v, " +
+        "CONCAT('p', CAST(id % 3 AS STRING)) AS part FROM range(30)")
+      val sp = s"$warehouseRoot/like_src/t"
+      ManifestTable.addCheckConstraint(s, sp, "v_ok", "v >= 0")
+      ManifestTable.setColumnDefault(s, sp, "v", "42")
+      // by NAME
+      s.sql("CREATE TABLE graft.like_dst.t LIKE graft.like_src.t")
+      val dp = s"$warehouseRoot/like_dst/t"
+      assert(s.table("graft.like_dst.t").count() === 0, "shape, not data")
+      assert(s.table("graft.like_dst.t").columns.toSeq ===
+        Seq("id", "v", "part"))
+      assert(ManifestTable.tableProperties(s, dp) === Map("team" -> "core"))
+      assert(ManifestTable.columnDefaults(s, dp) === Map("v" -> "42"))
+      s.sql(s"INSERT INTO '$dp' (id, part) VALUES (7, 'p1')")
+      val r = ManifestTable.read(s, dp).select("id", "v", "part").head()
+      assert(r.getLong(0) === 7L && r.getLong(1) === 42L)
+      val e = intercept[Exception] {
+        ManifestTable.append(
+          s.sql("SELECT 1L AS id, CAST(-5 AS BIGINT) AS v, 'p0' AS part"),
+          dp)
+      }
+      assert(e.getMessage.contains("v_ok"), "constraints carried")
+      // by PATH target
+      val root2 = java.nio.file.Files.createTempDirectory("graft_like_p")
+      s.sql(s"CREATE TABLE '$root2/t2' LIKE graft.like_src.t")
+      assert(ManifestTable.read(s, s"$root2/t2").count() === 0)
+      assert(ManifestTable.columnDefaults(s, s"$root2/t2") ===
+        Map("v" -> "42"))
+    }
+  }
+
   test("REPLACE TABLE without AS SELECT: declared schema, EMPTY content, history preserved (r14)") {
     withSql { s =>
       s.sql("CREATE TABLE graft.props.rp AS SELECT id FROM range(6)")
