@@ -1165,6 +1165,13 @@ case class GraftCreateLikeCommand(dst: String, src: String)
       ManifestTable.setStatsColumns(session, dp, st.statsSchemaCols): Unit
     if (st.properties.nonEmpty)
       ManifestTable.setProperties(session, dp, st.properties): Unit
+    // row tracking is declarable on the empty template (ids start
+    // fresh at 0 — the clone-vs-template distinction). Identity
+    // declarations are NOT copied: the source's START WITH is not
+    // recoverable from state (only step + high water), and silently
+    // guessing it would mint colliding ids downstream.
+    if (st.rowTracking)
+      ManifestTable.enableRowTracking(session, dp): Unit
     Seq(Row(dp))
   }
 }
