@@ -203,19 +203,30 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
     // VALIDATE the whole change list before applying any of it — each
     // change is one commit, so a bad later change must not leave the
-    // earlier ones half-applied
+    // earlier ones half-applied. Every check runs EAGERLY here
+    // (topLevel is a real call, not a lazy require-message; the
+    // row-tracking emptiness invariant probes now, not at apply time).
     changes.foreach {
       case a: TC.AddColumn =>
+        val c = topLevel(a.fieldNames)
         require(a.isNullable,
-          s"cannot add non-nullable column '${topLevel(a.fieldNames)}' — " +
-            "existing rows would read NULL; add nullable, backfill, " +
-            "then SET NOT NULL")
+          s"cannot add non-nullable column '$c' — existing rows would " +
+            "read NULL; add nullable, backfill, then SET NOT NULL")
       case r: TC.RenameColumn => topLevel(r.fieldNames): Unit
       case d: TC.DeleteColumn => topLevel(d.fieldNames): Unit
       case n: TC.UpdateColumnNullability => topLevel(n.fieldNames): Unit
       case p: TC.SetProperty =>
-        GraftCatalogPlugin.splitValidated(
-          Map(p.property -> p.value), allowRowTracking = true): Unit
+        val (reserved, _) = GraftCatalogPlugin.splitValidated(
+          Map(p.property -> p.value), allowRowTracking = true)
+        if (reserved.get("graft.enablerowtracking").exists(_.toBoolean))
+          require(graft.pipeline.ManifestTable
+              .currentVersion(spark, path).forall { v =>
+            val st = graft.pipeline.ManifestTable
+              .resolveState(spark, path, v)
+            st.files.isEmpty || graft.pipeline.ManifestTable
+              .read(spark, path).limit(1).isEmpty
+          }, s"cannot enable row tracking on non-empty $path — ids " +
+            "must exist from the first write to be stable")
       case _: TC.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER change ${other.getClass.getSimpleName} is not supported " +

@@ -1900,12 +1900,17 @@ object ManifestTable {
           g -> exprText.replaceAll(identRe,
             java.util.regex.Matcher.quoteReplacement(to))
       }
+      // a column DEFAULT renames WITH its column (it is keyed by the
+      // logical name, like the generated declaration)
+      val defMove = st.defaults.get(from)
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(newMapping),
         maxColId = Some(math.max(st.maxColId, 1L)),
         generatedAdds = genMove.map(e => to -> e).toMap ++ genRewrites,
-        generatedRemoves = genMove.map(_ => from).toSeq)
+        generatedRemoves = genMove.map(_ => from).toSeq,
+        defaultAdds = defMove.map(e => to -> e).toMap,
+        defaultRemoves = defMove.map(_ => from).toSeq)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -1969,7 +1974,11 @@ object ManifestTable {
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(st.mapping - name),
         maxColId = Some(math.max(st.maxColId, 1L)),
-        generatedRemoves = if (st.generated.contains(name)) Seq(name) else Nil)
+        generatedRemoves = if (st.generated.contains(name)) Seq(name) else Nil,
+        // the DEFAULT dies with its column — a re-added same-name
+        // column must NOT resurrect the stale declaration (the same
+        // never-resurrect contract the physical mapping enforces)
+        defaultRemoves = if (st.defaults.contains(name)) Seq(name) else Nil)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2830,9 +2839,29 @@ object ManifestTable {
     * evaluated without a row) and castable to the column's type; both
     * validate here, at declaration time, the way constraints do.
     */
+  /** Validate a DEFAULT expression: CONSTANT (no column references —
+    * evaluated against a one-row frame whose only column is
+    * unguessable, so any table-column reference, even one named `id`,
+    * fails analysis) and castable to `dt`. Shared by declare time and
+    * the CREATE TABLE DDL's pre-commit validation — a bad inline
+    * DEFAULT must refuse before the empty-schema commit publishes. */
+  def validateColumnDefault(spark: SparkSession, column: String,
+                            exprSql: String,
+                            dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val probe =
+      try spark.range(1).select(lit(0L).as("__graft_no_columns__"))
+        .select(expr(exprSql).cast(dt).as("d")).head()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT for '$column' must be a constant expression " +
+            s"castable to $dt — ($exprSql) failed: ${e.getMessage}")
+      }
+    require(probe != null, "default probe returned no row")
+  }
+
   def setColumnDefault(spark: SparkSession, path: String, column: String,
                        exprSql: String, maxAttempts: Int = 3): Long = {
-    import org.apache.spark.sql.functions.expr
     val f = fs(spark, path)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2843,21 +2872,7 @@ object ManifestTable {
       val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
       require(schema.fieldNames.contains(column),
         s"cannot declare a default on unknown column '$column' at $path")
-      val dt = schema(column).dataType
-      // constant + castable: evaluate against a one-row frame whose
-      // only column is unguessable — any table-column reference (even
-      // one named `id`) fails analysis right here, at declare time
-      val probe =
-        try spark.range(1)
-          .select(org.apache.spark.sql.functions.lit(0L)
-            .as("__graft_no_columns__"))
-          .select(expr(exprSql).cast(dt).as("d")).head()
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"DEFAULT for '$column' must be a constant expression " +
-              s"castable to $dt — ($exprSql) failed: ${e.getMessage}")
-        }
-      require(probe != null, "default probe returned no row")
+      validateColumnDefault(spark, column, exprSql, schema(column).dataType)
       val version = prevV + 1L
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
@@ -3755,7 +3770,7 @@ object ManifestTable {
                  sortCols: Seq[String] = Nil,
                  deleteVectors: Boolean = false,
                  schemaEvolution: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => smax, min => smin}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when, max => smax, min => smin}
     val spark = updates.sparkSession
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -3794,6 +3809,26 @@ object ManifestTable {
         "MERGE WITH SCHEMA EVOLUTION requires the star forms " +
           "(UPDATE SET * / INSERT *) — explicit assignment lists " +
           "cannot add columns")
+      val hasBySource = notMatchedBySource.nonEmpty
+      // By-source resolution strategy, sized to the SOURCE:
+      //  - a broadcastable source resolves base-only rows through a
+      //    broadcast ANTI join — ZERO base exchange, the right call
+      //    when a small tombstone/sync list meets a huge table;
+      //  - past the gate that two-join shape would hash-exchange the
+      //    full base TWICE (resolve + anti; measured 372× shuffle at
+      //    100× input in the r14 probe), so it flips to ONE
+      //    full-outer join — one base exchange, linear thereafter.
+      // Gate override: spark.graft.bySourceBroadcastRows. Depends only
+      // on the SOURCE, so it is decided ONCE, outside the OCC retry
+      // loop; the gate clamps to the probe's addressable range (a gate
+      // past Int.MaxValue-1 rows means "never fuse" and must not
+      // overflow into a negative limit).
+      val fused = hasBySource && {
+        val gate = spark.conf.getOption("spark.graft.bySourceBroadcastRows")
+          .flatMap(_.toLongOption).getOrElse(BySourceBroadcastMaxRows)
+          .max(0L).min(Int.MaxValue.toLong - 1L)
+        updates.limit((gate + 1L).toInt).count() > gate
+      }
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(
@@ -3806,22 +3841,6 @@ object ManifestTable {
         // base-only side cannot prune to the update-key range; without
         // by-source clauses the pruned slice stands (only matched rows
         // matter).
-        val hasBySource = notMatchedBySource.nonEmpty
-        // By-source resolution strategy, sized to the SOURCE:
-        //  - a broadcastable source resolves base-only rows through a
-        //    broadcast ANTI join — ZERO base exchange, the right call
-        //    when a small tombstone/sync list meets a huge table;
-        //  - past the gate that two-join shape would hash-exchange the
-        //    full base TWICE (resolve + anti; measured 372× shuffle at
-        //    100× input in the r14 probe), so it flips to ONE
-        //    full-outer join — one base exchange, linear thereafter.
-        // Gate override: spark.graft.bySourceBroadcastRows.
-        val fused = hasBySource && {
-          val gate = spark.conf.getOption("spark.graft.bySourceBroadcastRows")
-            .flatMap(_.toLongOption).getOrElse(BySourceBroadcastMaxRows)
-          updates.limit(math.min(gate + 1, Int.MaxValue.toLong).toInt)
-            .count() > gate
-        }
         val prunable = statsPrunable(schema(key).dataType)
         def fullBase: DataFrame = readStateDf(spark, path, st)
         val baseSlice =
@@ -3975,9 +3994,23 @@ object ManifestTable {
             else when(isBaseOnly, bySourceImg(c)).otherwise(srcSide)
           full.as(c)
         }
+        // a by-source clause CLAIMING a NULL-key target row must fail
+        // loudly: the keyed copy-on-write carry joins on key equality
+        // and can never address such a row (it would duplicate on
+        // update and survive delete). Unclaimed NULL-key rows carry
+        // untouched — the guard fires only where semantics would bend.
+        def bsNullKeyGuard(del: Column): Column =
+          if (!hasBySource) del
+          else when(isBaseOnly && anyBs && col(s"_b_$key").isNull,
+            raise_error(lit(
+              "WHEN NOT MATCHED BY SOURCE cannot act on target rows " +
+                s"with a NULL merge key '$key' — the keyed " +
+                "copy-on-write carry cannot address them; scrub or " +
+                "backfill NULL keys first")).cast("boolean"))
+          .otherwise(del)
         val compiled = resolved
-          .withColumn("_graft_del",
-            (isMatched && delFlag) || (isBaseOnly && bsDel))
+          .withColumn("_graft_del", bsNullKeyGuard(
+            (isMatched && delFlag) || (isBaseOnly && bsDel)))
           .filter((isMatched && anyM) || (isSourceOnly && anyI) ||
             (isBaseOnly && anyBs))
           .select(imageCols :+ col("_graft_del"): _*)
@@ -4000,7 +4033,18 @@ object ManifestTable {
               else bySourceImg(c).as(c)
             }
             compiled.unionByName(unmatchedBase
-              .withColumn("_graft_del", bsDel).filter(anyBs)
+              .withColumn("_graft_del",
+                // same NULL-key refusal as the fused path (class doc
+                // on bsNullKeyGuard): claimed null-key rows cannot be
+                // addressed by the keyed carry
+                when(anyBs && col(s"_b_$key").isNull,
+                  raise_error(lit(
+                    "WHEN NOT MATCHED BY SOURCE cannot act on target " +
+                      s"rows with a NULL merge key '$key' — the keyed " +
+                      "copy-on-write carry cannot address them; scrub " +
+                      "or backfill NULL keys first")).cast("boolean"))
+                .otherwise(bsDel))
+              .filter(anyBs)
               .select(bsAliased :+ col("_graft_del"): _*))
           }
         mergeAttempt(withBySource, path, key, deleteCol = Some("_graft_del"),

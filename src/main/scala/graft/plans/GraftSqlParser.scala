@@ -840,15 +840,22 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
     val tp = GraftSqlCommands.rp(session, path)
     // SQL's `SET c = DEFAULT` keyword: the column's declared DEFAULT
     // (a validated constant), NULL where none is declared — the
-    // standard's reading
+    // standard's reading. Assignment targets resolve
+    // case-INSENSITIVELY like any SQL identifier (canonicalized to
+    // the schema's spelling here; unknown names pass through so the
+    // engine's own error fires).
+    val canon = ManifestTable.read(session, tp).schema.fieldNames
+      .map(n => n.toLowerCase -> n).toMap
     val defaults = ManifestTable.columnDefaults(session, tp)
+      .map { case (k, v) => k.toLowerCase -> v }
     def rhs(c: String, e: String) =
       if (e.trim.equalsIgnoreCase("DEFAULT"))
-        defaults.get(c).map(expr)
+        defaults.get(c.toLowerCase).map(expr)
           .getOrElse(org.apache.spark.sql.functions.lit(null))
       else expr(e)
     Seq(Row(ManifestTable.updateWhere(session, tp,
-      set.map { case (c, e) => (c, rhs(c, e)) }, expr(cond))))
+      set.map { case (c, e) =>
+        (canon.getOrElse(c.toLowerCase, c), rhs(c, e)) }, expr(cond))))
   }
 }
 
@@ -912,31 +919,20 @@ case class GraftSetPropertiesCommand(path: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val tp = GraftSqlCommands.rp(session, path)
-    val (reserved, user) =
-      props.partition(_._1.toLowerCase.startsWith("graft."))
+    // ONE routing for reserved graft.* keys — the same validated
+    // split the V2 catalog paths use (name set, integer-ness AND
+    // protocol ceiling checked before anything commits; the two
+    // copies had already diverged in strictness before r14 unified
+    // them here)
+    val (reserved, user) = graft.catalog.GraftCatalogPlugin
+      .splitValidated(props.toMap, allowRowTracking = true)
     var v = -1L
-    val rm = reserved.map { case (k, vv) => (k.toLowerCase, vv) }.toMap
-    rm.keys.foreach { k =>
-      require(Set("graft.minreaderversion", "graft.minwriterversion",
-        "graft.enablerowtracking").contains(k),
-        s"unknown reserved property '$k' — graft.* keys name engine " +
-          "features (minReaderVersion, minWriterVersion, " +
-          "enableRowTracking); user keys must not use the prefix")
+    if (reserved.nonEmpty) {
+      graft.catalog.GraftCatalogPlugin.applyReserved(session, tp, reserved)
+      v = ManifestTable.currentVersion(session, tp).getOrElse(-1L)
     }
-    if (rm.contains("graft.minreaderversion") ||
-        rm.contains("graft.minwriterversion")) {
-      val cur = ManifestTable.currentVersion(session, tp)
-        .map(ManifestTable.resolveState(session, tp, _))
-      v = ManifestTable.upgradeProtocol(session, tp,
-        rm.get("graft.minreaderversion").map(_.toInt)
-          .orElse(cur.map(_.minReader)).getOrElse(1),
-        rm.get("graft.minwriterversion").map(_.toInt)
-          .orElse(cur.map(_.minWriter)).getOrElse(1))
-    }
-    if (rm.get("graft.enablerowtracking").exists(_.toBoolean))
-      v = ManifestTable.enableRowTracking(session, tp)
     if (user.nonEmpty)
-      v = ManifestTable.setProperties(session, tp, user.toMap)
+      v = ManifestTable.setProperties(session, tp, user)
     Seq(Row(v))
   }
 }
@@ -1077,12 +1073,17 @@ case class GraftInsertCommand(path: String, query: String,
         s"INSERT column list (${cols.length}) and query output " +
           s"(${raw.columns.length}) differ in length")
       val schema = ManifestTable.read(session, tp).schema
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"INSERT targets unknown column '$c' at $tp"))
+      // case-INSENSITIVE resolution, like every other Spark SQL
+      // identifier: the column list canonicalizes to the schema's
+      // spelling before projection
+      val canon = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val colsC = cols.map(c => canon.getOrElse(c.toLowerCase,
+        throw new IllegalArgumentException(
+          s"INSERT targets unknown column '$c' at $tp")))
       val defaults = ManifestTable.columnDefaults(session, tp)
-      val renamed = raw.toDF(cols: _*)
+      val renamed = raw.toDF(colsC: _*)
       renamed.select(schema.fields.toSeq.map { f =>
-        if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        if (colsC.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else defaults.get(f.name)
           .map(s => expr(s).cast(f.dataType).as(f.name))
           .getOrElse(lit(null).cast(f.dataType).as(f.name))
@@ -1159,10 +1160,14 @@ case class GraftCreateLikeCommand(dst: String, src: String)
       ManifestTable.setColumnDefault(session, dp, c, e): Unit }
     st.generated.toSeq.sortBy(_._1).foreach { case (c, e) =>
       ManifestTable.addGeneratedColumn(session, dp, c, e): Unit }
+    // cluster/stats declarations store PHYSICAL names; the template is
+    // a fresh UNMAPPED table, so they carry by their LOGICAL names
     if (st.clusterCols.nonEmpty)
-      ManifestTable.setClusterColumns(session, dp, st.clusterCols): Unit
+      ManifestTable.setClusterColumns(session, dp,
+        st.clusterCols.map(st.logical)): Unit
     if (st.statsSchemaCols.nonEmpty)
-      ManifestTable.setStatsColumns(session, dp, st.statsSchemaCols): Unit
+      ManifestTable.setStatsColumns(session, dp,
+        st.statsSchemaCols.map(st.logical)): Unit
     if (st.properties.nonEmpty)
       ManifestTable.setProperties(session, dp, st.properties): Unit
     // row tracking is declarable on the empty template (ids start
@@ -1254,6 +1259,15 @@ case class GraftCreateTableCommand(nameSpec: String, colsDdl: String,
       t
     }
     val schema = StructType.fromDDL(cleaned.mkString(", "))
+    // inline DEFAULTs validate BEFORE the empty-schema commit publishes
+    // — the same no-half-created-table rule the TBLPROPERTIES
+    // validation above follows
+    defaults.foreach { case (c, d) =>
+      require(schema.fieldNames.contains(c),
+        s"DEFAULT declared on unknown column '$c'")
+      ManifestTable.validateColumnDefault(session, c, d,
+        schema(c).dataType)
+    }
     graft.catalog.GraftCatalog.createTable(session, name, schema, partCols)
     val path = graft.catalog.GraftCatalog.tablePath(session, name)
     notNull.foreach(c => ManifestTable.setNotNull(session, path, c): Unit)

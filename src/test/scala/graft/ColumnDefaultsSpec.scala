@@ -210,6 +210,68 @@ class ColumnDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("rename migrates the declaration; drop kills it — no resurrection on re-add (r14 review)") {
+    val path = tmp("graft_def_mv")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
+    ManifestTable.setColumnDefault(spark, path, "n", "7")
+    ManifestTable.renameColumn(spark, path, "n", "m")
+    assert(ManifestTable.columnDefaults(spark, path) === Map("m" -> "7"),
+      "the DEFAULT follows its column through RENAME")
+    withSql { s =>
+      s.sql(s"INSERT INTO '$path' (id) VALUES (2)")
+      assert(ManifestTable.read(s, path).filter(col("id") === 2)
+        .select("m").head().getLong(0) === 7L)
+    }
+    ManifestTable.dropColumn(spark, path, "m")
+    assert(ManifestTable.columnDefaults(spark, path) === Map.empty,
+      "the DEFAULT dies with its column")
+    ManifestTable.addColumns(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType))))
+    withSql { s =>
+      s.sql(s"INSERT INTO '$path' (id) VALUES (3)")
+      assert(ManifestTable.read(s, path).filter(col("id") === 3)
+        .select("m").head().isNullAt(0),
+        "a re-added same-name column must NOT resurrect the stale default")
+    }
+  }
+
+  test("case-insensitive resolution: INSERT column list and SET DEFAULT accept any identifier case (r14 review)") {
+    val path = tmp("graft_def_ci")
+    ManifestTable.write(Seq((1L, 5L, "x")).toDF("id", "n", "s"), path)
+    ManifestTable.setColumnDefault(spark, path, "n", "7")
+    withSql { sx =>
+      sx.sql(s"INSERT INTO '$path' (ID, S) VALUES (2, 'y')")
+      val r = ManifestTable.read(sx, path).filter(col("id") === 2)
+        .select("n", "s").head()
+      assert(r.getLong(0) === 7L && r.getString(1) === "y")
+      sx.sql(s"UPDATE '$path' SET N = DEFAULT WHERE id = 1")
+      assert(ManifestTable.read(sx, path).filter(col("id") === 1)
+        .select("n").head().getLong(0) === 7L)
+    }
+  }
+
+  test("a bad inline DEFAULT refuses BEFORE the empty-schema commit publishes (r14 review)") {
+    withSql { s =>
+      val root = java.nio.file.Files.createTempDirectory("graft_def_bad")
+      val prevWh = s.conf.getOption("spark.graft.warehouse")
+      s.conf.set("spark.graft.warehouse", root.toString)
+      try {
+        val e = intercept[Exception] {
+          s.sql("CREATE TABLE graft.baddef.t " +
+            "(a BIGINT, b BIGINT DEFAULT some_col)")
+        }
+        assert(e.getMessage.contains("constant"), e.getMessage)
+        assert(!new java.io.File(s"$root/baddef/t").exists,
+          "no half-created table")
+      } finally prevWh match {
+        case Some(w) => s.conf.set("spark.graft.warehouse", w)
+        case None    => s.conf.unset("spark.graft.warehouse")
+      }
+    }
+  }
+
   test("lifecycle: RESTORE rolls the declaration back; clones carry it") {
     val path = tmp("graft_def5")
     ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)

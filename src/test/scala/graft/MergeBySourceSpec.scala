@@ -169,6 +169,45 @@ class MergeBySourceSpec extends SparkSpec {
     }
   }
 
+  test("a by-source clause CLAIMING a NULL-key row fails loudly under both strategies; unclaimed NULL keys carry (r14 review)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bys_nk").toString
+    def write(path: String): Unit = ManifestTable.write(
+      Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+        .toDF("id", "v"), path)
+    Seq("0" -> s"$root/f", "1000000" -> s"$root/b").foreach {
+      case (gate, path) =>
+        write(path)
+        spark.conf.set("spark.graft.bySourceBroadcastRows", gate)
+        try {
+          // the unconditional delete claims the NULL-key row: the keyed
+          // carry cannot address it, so the merge must REFUSE, not
+          // silently duplicate-or-survive
+          val e = intercept[Exception] {
+            ManifestTable.mergeMulti(Seq(1L).toDF("id"), path, "id",
+              matched = Nil, notMatched = Nil,
+              notMatchedBySource = Seq(MergeDelete()))
+          }
+          assert(e.getMessage != null &&
+            (e.getMessage.contains("NULL merge key") ||
+              Option(e.getCause).exists(
+                _.getMessage.contains("NULL merge key"))),
+            s"gate=$gate: ${e.getMessage}")
+          // an UNCLAIMED null-key row carries untouched: the clause
+          // condition excludes it, so the same table merges fine
+          val v = ManifestTable.mergeMulti(Seq(1L).toDF("id"), path, "id",
+            matched = Nil, notMatched = Nil,
+            notMatchedBySource =
+              Seq(MergeDelete(Some(col("_b_v") === 30L))))
+          assert(v > 0)
+          val got = ManifestTable.read(spark, path)
+            .select("id", "v").as[(Option[Long], Long)]
+            .collect().sortBy(_._2).toSeq
+          assert(got === Seq((Some(1L), 10L), (None, 20L)),
+            s"gate=$gate: claimed row deleted, null-key row carried")
+        } finally spark.conf.unset("spark.graft.bySourceBroadcastRows")
+    }
+  }
+
   test("by-source merge on a PARTITIONED layout: partition values survive both strategies") {
     val root = java.nio.file.Files.createTempDirectory("graft_bys10").toString
     def runWith(path: String, gate: String): Unit = {
