@@ -178,7 +178,12 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       GraftCatalogPlugin.userProps(properties), allowRowTracking = false)
     GraftStagedTable((ident.namespace.toSeq :+ ident.name).mkString("."),
       schema, GraftCatalogPlugin.partitionColsOf(partitions),
-      user, reservedProps = reserved)
+      user, reservedProps = reserved,
+      // captured at STAGE time: commitStagedChanges for the no-query
+      // REPLACE form must resolve warehouse/externals through the
+      // session that staged the table, not whichever session happens
+      // to be active at commit in a multi-session application
+      stagedSession = SparkSession.active)
   }
 
   /** V2 `alterTable` — the programmatic TableCatalog path third-party
@@ -470,7 +475,8 @@ private[graft] case class GraftStagedTable(
     tableName: String, tableSchema: StructType,
     partitionCols: Seq[String],
     userProps: Map[String, String],
-    reservedProps: Map[String, String] = Map.empty) extends StagedTable
+    reservedProps: Map[String, String] = Map.empty,
+    stagedSession: SparkSession = null) extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
@@ -526,7 +532,8 @@ private[graft] case class GraftStagedTable(
     * history-preserving overwrite, with the declared properties
     * published wholesale like any other replace. */
   override def commitStagedChanges(): Unit = if (!wroteData) {
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = Option(stagedSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
     val path = GraftCatalog.tablePath(spark, tableName)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)

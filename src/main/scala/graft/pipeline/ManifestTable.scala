@@ -2849,9 +2849,27 @@ object ManifestTable {
                             exprSql: String,
                             dt: org.apache.spark.sql.types.DataType): Unit = {
     import org.apache.spark.sql.functions.{expr, lit}
-    val probe =
+    val probeDf =
       try spark.range(1).select(lit(0L).as("__graft_no_columns__"))
-        .select(expr(exprSql).cast(dt).as("d")).head()
+        .select(expr(exprSql).cast(dt).as("d"))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT for '$column' must be a constant expression " +
+            s"castable to $dt — ($exprSql) failed: ${e.getMessage}")
+      }
+    // the probe must also be DETERMINISTIC: rand()/uuid() would pass
+    // the row-less evaluation but yield a different value per inserted
+    // row and per statement — Delta/Spark require constant-foldable
+    // defaults, and a "default" that never repeats is a data bug
+    probeDf.queryExecution.analyzed.expressions.foreach(_.foreach { e =>
+      if (!e.deterministic) throw new IllegalArgumentException(
+        s"DEFAULT for '$column' must be deterministic — ($exprSql) " +
+          s"contains non-deterministic ${e.prettyName}(), which would " +
+          "yield a different value per inserted row/statement " +
+          "(Delta/Spark require constant-foldable defaults)")
+    })
+    val probe =
+      try probeDf.head()
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"DEFAULT for '$column' must be a constant expression " +
@@ -2870,13 +2888,17 @@ object ManifestTable {
           s"no committed version at $path to declare a default on"))
       val st = resolveState(spark, path, prevV)
       val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-      require(schema.fieldNames.contains(column),
-        s"cannot declare a default on unknown column '$column' at $path")
-      validateColumnDefault(spark, column, exprSql, schema(column).dataType)
+      // SQL identifiers resolve case-insensitively everywhere else the
+      // default is CONSUMED (INSERT column lists, UPDATE SET) — the
+      // declaration must match, canonicalized to the schema's spelling
+      val canon = schema.fieldNames.find(_.equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot declare a default on unknown column '$column' at $path"))
+      validateColumnDefault(spark, canon, exprSql, schema(canon).dataType)
       val version = prevV + 1L
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
-        defaultAdds = Map(column -> exprSql), op = Some("METADATA"))
+        defaultAdds = Map(canon -> exprSql), op = Some("METADATA"))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -2902,11 +2924,14 @@ object ManifestTable {
       val prevV = currentVersion(spark, path).getOrElse(
         throw new IllegalStateException(s"no committed version at $path"))
       val st = resolveState(spark, path, prevV)
-      if (!st.defaults.contains(column)) return prevV // no-op
+      // declarations are stored under the schema's spelling; drop the
+      // same way SET resolves — case-insensitively
+      val canon = st.defaults.keys.find(_.equalsIgnoreCase(column))
+        .getOrElse(return prevV) // no declaration: no-op
       val version = prevV + 1L
       val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
-        defaultRemoves = Seq(column), op = Some("METADATA"))
+        defaultRemoves = Seq(canon), op = Some("METADATA"))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -3784,6 +3809,44 @@ object ManifestTable {
         require(u.set.nonEmpty,
           "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit SET " +
             "assignments — there is no source row to take an image from"))
+      // BY SOURCE conditions and SET expressions may reference TARGET
+      // columns only (`_b_<col>`): there is no source row. Validated
+      // up front — against a probe frame carrying exactly the `_b_`
+      // columns — so BOTH size-gated strategies agree: a bare source
+      // reference would throw AnalysisException in the broadcast
+      // anti-join path (source columns absent from that frame) but
+      // silently evaluate to NULL in the fused full-outer path (the
+      // condition reads false, an update writes NULL). Delta refuses
+      // source references in by-source clauses at analysis; so do we.
+      if (notMatchedBySource.nonEmpty) {
+        import org.apache.spark.sql.functions.lit
+        val curV = currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version at $path to merge into"))
+        val st0 = resolveState(spark, path, curV)
+        val schema0 =
+          st0.schema.getOrElse(readStateDf(spark, path, st0).schema)
+        val probe = spark.range(1).select(schema0.fields.map(f =>
+          lit(null).cast(f.dataType).as(s"_b_${f.name}")).toSeq: _*)
+        notMatchedBySource.foreach { cl =>
+          val exprs = cl.condition.toSeq ++ (cl match {
+            case u: MergeUpdate => u.set.map(_._2)
+            case _              => Nil
+          })
+          exprs.foreach { e =>
+            try { probe.select(e).queryExecution.analyzed; () }
+            catch {
+              case ex: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  "WHEN NOT MATCHED BY SOURCE conditions and SET " +
+                    "expressions may only reference TARGET columns — " +
+                    "by-source clauses act on target rows with NO " +
+                    "source match (engine API: `_b_<col>`; SQL: " +
+                    s"qualify with the target alias). ${ex.getMessage}")
+            }
+          }
+        }
+      }
       notMatchedBySource.dropRight(1).foreach(c =>
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +

@@ -1005,8 +1005,12 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
         // Delta refuses ADD COLUMN ... DEFAULT: a default only governs
         // FUTURE writes, while existing rows read NULL — silently
         // different values for "the same default" is the trap. Refuse
-        // with the honest two-step instead of a cryptic DDL parse error.
-        require(!"(?i)\\bDEFAULT\\b".r.findFirstIn(args(0)).isDefined,
+        // with the honest two-step instead of a cryptic DDL parse
+        // error. Detection is positional (the keyword after a column's
+        // name/type, outside string literals and <...> type arguments),
+        // so a column literally NAMED `default` or a COMMENT containing
+        // the word is never spuriously refused.
+        require(!GraftSqlCommands.hasDefaultClause(args(0)),
           "ADD COLUMNS does not take DEFAULT (existing rows would read " +
             "NULL regardless — Delta's rule): add the column, then " +
             "ALTER COLUMN ... SET DEFAULT for future writes")
@@ -1325,6 +1329,38 @@ object GraftSqlCommands {
     * `graft:db.t` name spec maps through the catalog. */
   def rp(session: SparkSession, spec: String): String =
     graft.catalog.GraftCatalog.resolvePathSpec(session, spec)
+
+  /** Whether a column-DDL text carries a `DEFAULT` CLAUSE — the
+    * keyword in suffix position after a column's name (never the
+    * column name itself, a COMMENT string, or a struct field inside
+    * `<...>` type arguments). Used to refuse `ADD COLUMNS (c T
+    * DEFAULT e)` with the honest two-step message instead of either a
+    * cryptic parse error or a spurious refusal of a column literally
+    * named `default`. */
+  private[plans] def hasDefaultClause(ddl: String): Boolean = {
+    // drop string literals (quote-doubling collapses with them) and
+    // balanced <...> type-argument groups; neither can host a clause
+    val noStr = {
+      val sb = new StringBuilder; var inStr = false
+      ddl.foreach { ch =>
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (ch == '\'') inStr = true
+        else sb += ch }
+      sb.toString
+    }
+    val noAngle = {
+      val sb = new StringBuilder; var depth = 0
+      noStr.foreach { ch =>
+        if (ch == '<') depth += 1
+        else if (ch == '>' && depth > 0) depth -= 1
+        else if (depth == 0) sb += ch }
+      sb.toString
+    }
+    noAngle.split(",").exists { colSpec =>
+      val toks = colSpec.trim.split("\\s+").filter(_.nonEmpty)
+      toks.drop(1).exists(_.equalsIgnoreCase("default"))
+    }
+  }
 
   /** A `graft:db.t` spec → the `db.t` name; refuses plain paths where
     * a catalog NAME is required (DROP TABLE / CREATE ... LOCATION). */

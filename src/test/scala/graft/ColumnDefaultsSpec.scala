@@ -287,4 +287,63 @@ class ColumnDefaultsSpec extends SparkSpec {
     ManifestTable.restore(spark, path, beforeDecl)
     assert(ManifestTable.columnDefaults(spark, path) === Map.empty)
   }
+
+  test("non-deterministic defaults are refused at declaration (rand, uuid)") {
+    val path = tmp("graft_def6")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
+    // rand()/uuid() evaluate fine against a row-less probe but would
+    // yield a different value per inserted row/statement — Delta/Spark
+    // require constant-foldable defaults, so declaration refuses
+    Seq("rand()", "uuid()", "cast(rand() * 100 as bigint)").foreach { e =>
+      val ex = intercept[IllegalArgumentException] {
+        ManifestTable.setColumnDefault(spark, path, "n", e)
+      }
+      assert(ex.getMessage.contains("deterministic"), s"$e: ${ex.getMessage}")
+    }
+    // deterministic expressions (even non-literal ones) still pass
+    ManifestTable.setColumnDefault(spark, path, "n", "abs(-7) + 1")
+    assert(ManifestTable.columnDefaults(spark, path) === Map("n" -> "abs(-7) + 1"))
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT resolves the column case-insensitively") {
+    val path = tmp("graft_def7")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "myScore"), path)
+    // declared with different casing: canonicalized to the schema's
+    // spelling, so the INSERT consumer (case-insensitive) finds it
+    ManifestTable.setColumnDefault(spark, path, "MYSCORE", "42")
+    assert(ManifestTable.columnDefaults(spark, path) === Map("myScore" -> "42"))
+    withSql { s =>
+      s.sql(s"INSERT INTO '$path' (id) VALUES (2)")
+      val got = ManifestTable.read(s, path).filter(col("id") === 2)
+        .select("myScore").as[Option[Long]].head()
+      assert(got === Some(42L))
+    }
+    // dropped with yet another casing
+    ManifestTable.dropColumnDefault(spark, path, "myscore")
+    assert(ManifestTable.columnDefaults(spark, path) === Map.empty)
+    // unknown column still refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.setColumnDefault(spark, path, "nope", "1")
+    }
+    assert(ex.getMessage.contains("unknown column"), ex.getMessage)
+  }
+
+  test("ADD COLUMNS: a column literally named `default` is not spuriously refused") {
+    val path = tmp("graft_def8")
+    ManifestTable.write(Seq((1L, 5L)).toDF("id", "n"), path)
+    withSql { s =>
+      // a column NAMED default, and a COMMENT containing the word,
+      // must both pass — only the DEFAULT CLAUSE is refused
+      s.sql(s"ALTER TABLE '$path' ADD COLUMNS (`default` BIGINT)")
+      s.sql(s"ALTER TABLE '$path' ADD COLUMNS " +
+        "(note STRING COMMENT 'falls back to DEFAULT behavior')")
+      val names = ManifestTable.read(s, path).schema.fieldNames.toSeq
+      assert(names.contains("default") && names.contains("note"), names)
+      // the real clause still refuses with the honest two-step
+      val ex = intercept[Exception] {
+        s.sql(s"ALTER TABLE '$path' ADD COLUMNS (extra BIGINT DEFAULT 7)")
+      }
+      assert(ex.getMessage.contains("SET DEFAULT"), ex.getMessage)
+    }
+  }
 }

@@ -287,4 +287,39 @@ class MergeBySourceSpec extends SparkSpec {
         "convenience spelling keeps working while nothing claims it")
     }
   }
+
+  test("by-source clauses referencing SOURCE columns refuse loudly under BOTH strategies (r15 advice)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bys9").toString
+    val path = s"$root/t"
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    val src = Seq((1L, 99L)).toDF("id", "srcv")
+    // pre-r15 the SAME merge threw AnalysisException under the
+    // broadcast gate but silently NULL-evaluated past it; now both
+    // regimes refuse identically, before anything commits
+    Seq("0", "1000000").foreach { gate =>
+      spark.conf.set("spark.graft.bySourceBroadcastRows", gate)
+      try {
+        val e1 = intercept[IllegalArgumentException] {
+          ManifestTable.mergeMulti(src, path, "id",
+            matched = Nil, notMatched = Nil,
+            notMatchedBySource = Seq(
+              MergeDelete(Some(col("srcv") > 0)))) // bare SOURCE column
+        }
+        assert(e1.getMessage.contains("TARGET columns"), e1.getMessage)
+        val e2 = intercept[IllegalArgumentException] {
+          ManifestTable.mergeMulti(src, path, "id",
+            matched = Nil, notMatched = Nil,
+            notMatchedBySource = Seq(
+              MergeUpdate(Some(col("_b_v") > 0),
+                Seq("v" -> (col("srcv") + 1))))) // SET reads source
+        }
+        assert(e2.getMessage.contains("TARGET columns"), e2.getMessage)
+      } finally spark.conf.unset("spark.graft.bySourceBroadcastRows")
+    }
+    // nothing committed by the refused merges
+    val got = ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L)))
+  }
 }
