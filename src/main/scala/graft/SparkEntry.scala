@@ -122,6 +122,8 @@ object SparkEntry {
     "table_clone"        -> ((s, d) => graft.pipeline.Medallion.tableCloneOrders(s, d)),
     "deep_clone"         -> ((s, d) => graft.pipeline.Medallion.deepCloneOrders(s, d)),
     "merge_by_source"    -> ((s, d) => graft.pipeline.Medallion.mergeBySourceOrders(s, d)),
+    "merge_composite_key" -> ((s, d) => graft.pipeline.Medallion.mergeCompositeLineitem(s, d)),
+    "merge_residual_on"  -> ((s, d) => graft.pipeline.Medallion.mergeResidualOrders(s, d)),
     "column_defaults"    -> ((s, d) => graft.pipeline.Medallion.columnDefaultsOrders(s, d)),
     "table_restore"      -> ((s, d) => graft.pipeline.Medallion.tableRestoreOrders(s, d)),
     "point_lookup_bloom" -> ((s, d) => graft.pipeline.Medallion.pointLookupOrders(s, d)),
@@ -1938,6 +1940,64 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 = 0 OR o_orderstatus <> 'O'
          ORDER BY o_orderkey""",
+    // COMPOSITE-KEY merge (Medallion.mergeCompositeLineitem): the
+    // three clause verdicts recomputed on the FULL (l_orderkey,
+    // l_linenumber) key — per-PAIR addressing, where a single-column
+    // key would corrupt sibling lines of the same order.
+    "merge_composite_key" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+           FROM lineitem),
+         updated AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_quantity + 100.0 AS l_quantity,
+                  'MERGED' AS l_returnflag
+           FROM li WHERE l_orderkey % 37 = 0 AND l_quantity > 25.0),
+         inserted AS (
+           SELECT l_orderkey + 100000000 AS l_orderkey, l_linenumber,
+                  max(l_quantity) AS l_quantity,
+                  'INSERTED' AS l_returnflag
+           FROM li WHERE l_orderkey % 41 = 0 GROUP BY 1, 2),
+         kept AS (
+           SELECT * FROM li WHERE l_orderkey % 37 <> 0)
+         SELECT * FROM (
+           SELECT * FROM kept
+           UNION ALL SELECT * FROM updated
+           UNION ALL SELECT * FROM inserted)
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
+    // RESIDUAL-ON merge (Medallion.mergeResidualOrders): four verdicts
+    // of `ON key AND s.price > t.price` — residual passes update,
+    // residual fails insert a DUPLICATE-key source row AND leave the
+    // target row to the by-source STALE mark; untouched keys carry.
+    "merge_residual_on" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+         s AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 106 = 0
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice - 1000.0 END AS o_totalprice,
+                  'RESIDUAL' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 53 = 0),
+         updated AS (
+           SELECT s.* FROM s JOIN t USING (o_orderkey)
+           WHERE s.o_totalprice > t.o_totalprice),
+         inserted AS (
+           SELECT s.* FROM s JOIN t USING (o_orderkey)
+           WHERE NOT s.o_totalprice > t.o_totalprice),
+         stale AS (
+           SELECT t.o_orderkey, t.o_totalprice,
+                  'STALE' AS o_orderpriority
+           FROM t JOIN s USING (o_orderkey)
+           WHERE NOT s.o_totalprice > t.o_totalprice),
+         untouched AS (
+           SELECT * FROM t WHERE o_orderkey % 53 <> 0)
+         SELECT * FROM (
+           SELECT * FROM untouched
+           UNION ALL SELECT * FROM updated
+           UNION ALL SELECT * FROM inserted
+           UNION ALL SELECT * FROM stale)
+         ORDER BY o_orderkey, o_orderpriority, o_totalprice""",
     // Column DEFAULT fill (Medallion.columnDefaultsOrders): base rows
     // (%4=0) keep their priority; rows inserted through the
     // column-list INSERT (%4=1) take the declared constant.

@@ -69,7 +69,13 @@ final class GraftTable private (spark: SparkSession, val path: String) {
     * this on every sane upsert). Clause conditions reference SOURCE
     * columns bare and TARGET columns as `_b_<col>`. */
   def merge(source: DataFrame, key: String): GraftMergeBuilder =
-    new GraftMergeBuilder(this, source, key)
+    new GraftMergeBuilder(this, source, Seq(key))
+
+  /** COMPOSITE-key MERGE builder (`ON t.k1 = s.k1 AND t.k2 = s.k2`) —
+    * the common multi-column natural-key upsert. Add a non-equi ON
+    * remainder with [[GraftMergeBuilder.onResidual]]. */
+  def merge(source: DataFrame, keys: Seq[String]): GraftMergeBuilder =
+    new GraftMergeBuilder(this, source, keys)
 
   // --- layout / retention ----------------------------------------------
 
@@ -165,7 +171,7 @@ object GraftTable {
   * `execute()` runs ONE keyed copy-on-write merge commit. */
 final class GraftMergeBuilder private[api] (table: GraftTable,
                                             source: DataFrame,
-                                            key: String) {
+                                            keys: Seq[String]) {
   private val matched =
     scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeMatched]
   private val notMatched =
@@ -173,6 +179,16 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
   private val bySource =
     scala.collection.mutable.ArrayBuffer.empty[ManifestTable.MergeMatched]
   private var evolve: Boolean = false
+  private var residual: Option[Column] = None
+
+  /** Non-equi remainder of the ON condition (Delta's `ON t.k = s.k
+    * AND t.date > s.start`): a predicate over the resolved frame
+    * (source columns bare, target columns `_b_<col>`). A key-equal
+    * pair failing it is NOT matched — its source row reaches the
+    * insert clauses, its target row the by-source clauses. */
+  def onResidual(condition: Column): this.type = {
+    residual = Some(condition); this
+  }
 
   /** WHEN MATCHED [AND cond] THEN UPDATE SET * */
   def whenMatchedUpdateAll(condition: Option[Column] = None): this.type = {
@@ -241,9 +257,10 @@ final class GraftMergeBuilder private[api] (table: GraftTable,
 
   /** Run the merge; returns the committed version. */
   def execute(): Long =
-    ManifestTable.mergeMulti(source, table.path, key,
+    ManifestTable.mergeMultiKeyed(source, table.path, keys,
       matched.toSeq, notMatched.toSeq,
-      notMatchedBySource = bySource.toSeq, schemaEvolution = evolve)
+      notMatchedBySource = bySource.toSeq, schemaEvolution = evolve,
+      residual = residual)
 }
 
 /** OPTIMIZE builder (delta-spark's `DeltaOptimizeBuilder`). */

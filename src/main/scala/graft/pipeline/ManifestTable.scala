@@ -93,6 +93,14 @@ object ManifestTable {
     * Override per session with `spark.graft.bySourceBroadcastRows`. */
   val BySourceBroadcastMaxRows: Long = 1L << 22
 
+  /** Merge-source broadcast gate (rows): under it the merge's
+    * source-derived key frames (confirm scan, row-id inheritance,
+    * copy-on-write carry anti-join) BROADCAST; past it they join by
+    * shuffle, so an arbitrarily large CDC batch merges without driver
+    * or single-executor bounds. Override per session with
+    * `spark.graft.mergeBroadcastRows`. */
+  val MergeBroadcastMaxRows: Long = 1L << 22
+
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).
     */
@@ -661,11 +669,15 @@ object ManifestTable {
       // BEFORE the join (a join condition must be deterministic)
       val withF = base.withColumn("_graft_dv_f",
         element_at(split(input_file_name(), "/"), -1))
-      // dvKey is recorded PHYSICAL (rename-safe); the base frame is
-      // logical, so join under the key's current logical name
+      // dvKey is recorded PHYSICAL (rename-safe; composite keys
+      // comma-joined); the base frame is logical, so join under the
+      // keys' current logical names — one conjunct per key column
+      val dvKeys = st.dvKey.get.split(",").toSeq
+      val keyConds = dvKeys.zip(dvKeyColNames(dvKeys.size))
+        .map { case (k, n) => withF(st.logical(k)) === dv(n) }
       withF.join(broadcast(dv),
-        withF("_graft_dv_f") === dv("_graft_dv_file")
-          && withF(st.logical(st.dvKey.get)) === dv("_graft_dv_key"),
+        keyConds.foldLeft(
+          withF("_graft_dv_f") === dv("_graft_dv_file"))(_ && _),
         "left_anti")
         .drop("_graft_dv_f")
     }
@@ -1957,7 +1969,8 @@ object ManifestTable {
       require(!partitionColsOf(st.files).contains(st.phys(name)),
         s"cannot drop partition column '$name' of $path — its k=v " +
           "directories define the layout; compact unpartitioned first")
-      require(!(st.dvFiles.nonEmpty && st.dvKey.contains(st.phys(name))),
+      require(!(st.dvFiles.nonEmpty &&
+          st.dvKey.exists(_.split(",").contains(st.phys(name)))),
         s"cannot drop '$name' at $path: live deletion vectors key on it " +
           "— compact the DVs away first")
       constraintReferencing(st, name).foreach(c => throw new
@@ -3438,17 +3451,41 @@ object ManifestTable {
             tagHorizon: Int = DefaultTagHorizon,
             sortCols: Seq[String] = Nil,
             deleteVectors: Boolean = false,
-            schemaEvolution: Boolean = false): Long = {
+            schemaEvolution: Boolean = false): Long =
+    mergeKeyed(updates, path, Seq(key), deleteCol, statsCols, maxAttempts,
+      tag, tagHorizon, sortCols, deleteVectors, schemaEvolution)
+
+  /** [[merge]] on a COMPOSITE natural key — `keys` is the conjunction
+    * of equi-key columns (`t.k1 = s.k1 AND t.k2 = s.k2`), the common
+    * shape for real upserts (order_id+line_no, date+entity). All
+    * single-key machinery generalizes: file pruning intersects the
+    * per-column stats ranges of EVERY prunable key column, deletion
+    * vectors record one sidecar column per key, row tracking inherits
+    * on the full composite. NULL semantics are SQL's: a row matches
+    * only when every key column equates non-null.
+    */
+  def mergeKeyed(updates: DataFrame, path: String, keys: Seq[String],
+                 deleteCol: Option[String] = None,
+                 statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                 tag: Option[String] = None,
+                 tagHorizon: Int = DefaultTagHorizon,
+                 sortCols: Seq[String] = Nil,
+                 deleteVectors: Boolean = false,
+                 schemaEvolution: Boolean = false): Long = {
     val spark = updates.sparkSession
+    validateMergeKeys(keys)
+    // decided ONCE (depends only on the source), outside the OCC loop
+    val bcSource = !mergeSourceExceedsGate(updates)
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(
           throw new IllegalStateException(
             s"no committed version at $path to merge into"))
-        mergeAttempt(updates, path, key, deleteCol, statsCols, tag,
+        mergeAttempt(updates, path, keys, deleteCol, statsCols, tag,
           tagHorizon, sortCols, deleteVectors, prevV,
-          schemaEvolution = schemaEvolution) match {
+          schemaEvolution = schemaEvolution,
+          broadcastSource = bcSource) match {
           case Some(v) => return v
           case None    => attempt += 1
         }
@@ -3458,18 +3495,56 @@ object ManifestTable {
     }
   }
 
+  /** Whether a merge source exceeds the broadcast gate
+    * (`spark.graft.mergeBroadcastRows`, default [[MergeBroadcastMaxRows]]):
+    * under it, the confirm scan / row-id / carry joins broadcast the
+    * source-derived key frames (zero base exchange on the probe side);
+    * past it they shuffle — the source never lands whole on the driver
+    * or a single executor. The probe is a bounded `limit(gate+1)`
+    * count, clamped to the addressable range (a gate past
+    * Int.MaxValue-1 means "always broadcast" and must not overflow). */
+  private def mergeSourceExceedsGate(updates: DataFrame): Boolean = {
+    val gate = updates.sparkSession.conf
+      .getOption("spark.graft.mergeBroadcastRows")
+      .flatMap(_.toLongOption).getOrElse(MergeBroadcastMaxRows)
+      .max(0L).min(Int.MaxValue.toLong - 1L)
+    updates.limit((gate + 1L).toInt).count() > gate
+  }
+
+  /** Merge keys must be non-empty, distinct, and comma-free (the
+    * manifest records the composite dvKey/mergeKey comma-joined; a
+    * comma INSIDE a column name would corrupt that encoding, so it
+    * refuses up front — no sane schema names columns with commas). */
+  private def validateMergeKeys(keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct.size == keys.size,
+      s"merge keys must be distinct, got ${keys.mkString("(", ",", ")")}")
+    keys.foreach(k => require(!k.contains(","),
+      s"merge key column '$k' contains a comma — unsupported (the " +
+        "manifest encodes composite keys comma-joined)"))
+  }
+
+  /** Sidecar column names for an n-key deletion vector: the single-key
+    * name is the historical `_graft_dv_key` (existing tables keep
+    * reading); composite keys append `_graft_dv_key_1..n-1`. */
+  private def dvKeyColNames(n: Int): Seq[String] =
+    if (n <= 1) Seq("_graft_dv_key")
+    else "_graft_dv_key" +: (1 until n).map(i => s"_graft_dv_key_$i")
+
   /** One merge attempt pinned against base version `prevV`; returns
     * None when the conditional commit loses the race (caller retries
     * with a re-read base — which is what lets [[mergeConditional]]
     * re-resolve its clauses against the version the commit actually
     * lands on).
     */
-  private def mergeAttempt(updates: DataFrame, path: String, key: String,
+  private def mergeAttempt(updates: DataFrame, path: String,
+                           keys: Seq[String],
                            deleteCol: Option[String], statsCols: Seq[String],
                            tag: Option[String], tagHorizon: Int,
                            sortCols: Seq[String], deleteVectors: Boolean,
                            prevV: Long,
-                           schemaEvolution: Boolean = false): Option[Long] = {
+                           schemaEvolution: Boolean = false,
+                           broadcastSource: Boolean = true): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
     val spark = updates.sparkSession
     val f = fs(spark, path)
@@ -3517,61 +3592,88 @@ object ManifestTable {
     val partCols = partitionColsOf(st.files)
     val delFlag = deleteCol.map(dc => coalesce(col(dc), lit(false)))
       .getOrElse(lit(false))
-    // 1) prune: partition values + key stats vs the updates' key range
-    val prunable = statsPrunable(schema(key).dataType)
-    val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
+    // 1) prune: partition values + key stats vs the updates' key
+    // ranges — composite keys INTERSECT the per-column prunes (a file
+    // must overlap every key column's update range to hold a match)
+    val prunables: Map[String, Boolean] =
+      keys.map(k => k -> statsPrunable(schema(k).dataType)).toMap
+    val boundAggs = keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
+    val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
+    // a key column whose update values are ALL null can never equate:
+    // nothing is touched (SQL join semantics)
+    val anyKeyAllNull = keys.indices.exists(i => bounds.isNullAt(2 * i))
     val candidates: Seq[String] =
-      if (bounds.isNullAt(0)) Nil // no non-null update keys → nothing touched
-      else if (!prunable) {
-        // non-numeric key: partition-value prune by exact match when the
-        // key IS a partition column (collecting the distinct keys is
-        // bounded by the broadcast contract); else all files
-        if (partCols.contains(st.phys(key))) {
-          val keySet = updates.select(col(key)).distinct().collect()
+      if (anyKeyAllNull) Nil
+      else keys.zipWithIndex.foldLeft(st.files) { case (files, (k, i)) =>
+        if (files.isEmpty) files
+        else if (prunables(k))
+          pruneFilesByRange(st.copy(files = files), k, prunableType = true,
+            bounds.get(2 * i).toString.toDouble,
+            bounds.get(2 * i + 1).toString.toDouble)
+        else if (broadcastSource && partCols.contains(st.phys(k))) {
+          // non-numeric key that IS a partition column: prune by exact
+          // partition value (the distinct-key collect is bounded by
+          // the broadcast gate; a past-the-gate source skips this
+          // prune rather than pull its key set onto the driver)
+          val keySet = updates.select(col(k)).distinct().collect()
             .flatMap(r => Option(r.get(0)).map(_.toString)).toSet
-          st.files.filter { file =>
-            partitionValuesOf(file).get(st.phys(key)) match {
+          files.filter { file =>
+            partitionValuesOf(file).get(st.phys(k)) match {
               // escaped partition values ("%xx") are kept, not decoded
               case Some(v) => v.contains("%") || keySet.contains(v)
               case None    => true
             }
           }
-        } else st.files
-      } else pruneFilesByRange(st, key, prunable,
-        bounds.get(0).toString.toDouble, bounds.get(1).toString.toDouble)
+        } else files
+      }
     // 2) semi-join confirm over candidate files only: which files hold
-    // which matched keys, and whether each matched key updates/deletes.
-    // Bounded by matched (file, key) pairs ≤ |updates| × files-per-key —
-    // broadcast-small by the merge contract.
-    val updKeys = updates.select(col(key)).distinct()
+    // a matched key, and whether any of a file's matched keys update /
+    // delete. The driver collects ONLY per-file flags — O(candidate
+    // files), FLAT in source size (the r14 shape collected every
+    // matched (file, key) pair, which bounded the merge source by
+    // driver memory); DV key lists are written distributively below.
+    // `broadcastSource` sizes the join strategy: a source past the
+    // gate joins the confirm scan by shuffle instead of broadcast.
+    val keyCols = keys.map(col)
+    def maybeBc(df: DataFrame): DataFrame =
+      if (broadcastSource) broadcast(df) else df
+    val updKeys = updates.select(keyCols: _*).distinct()
     val keyFlags = updates
-      .select(col(key), delFlag.as("_graft_d"))
-      .groupBy(col(key))
+      .select(keyCols :+ delFlag.as("_graft_d"): _*)
+      .groupBy(keyCols: _*)
       .agg(smax(when(col("_graft_d"), 0).otherwise(1)).as("_graft_u"),
            smax(when(col("_graft_d"), 1).otherwise(0)).as("_graft_del"))
-    val matches: Array[(String, Any, Boolean, Boolean)] =
-      if (candidates.isEmpty) Array.empty
-      else readFilesMapped(spark, path, st, candidates)
-        .select(element_at(split(input_file_name(), "/"), -1).as("_graft_f"),
-          col(key))
-        .join(broadcast(keyFlags), Seq(key), "inner")
-        .select(col("_graft_f"), col(key), col("_graft_u"), col("_graft_del"))
-        .distinct()
+    // the matched (file, key, flags) frame is consumed twice in DV
+    // mode (file flags + the sidecar write) — cache it so the confirm
+    // scan runs once
+    val hits: Option[DataFrame] =
+      if (candidates.isEmpty) None
+      else {
+        val h = readFilesMapped(spark, path, st, candidates)
+          .select(element_at(split(input_file_name(), "/"), -1)
+            .as("_graft_f") +: keyCols: _*)
+          .join(maybeBc(keyFlags), keys, "inner")
+        Some(if (deleteVectors) h.cache() else h)
+      }
+    val fileFlags: Array[(String, Boolean, Boolean)] = hits match {
+      case None => Array.empty
+      case Some(h) => h.groupBy(col("_graft_f"))
+        .agg(smax(col("_graft_u")).as("_graft_u"),
+             smax(col("_graft_del")).as("_graft_del"))
         .collect()
-        .map(r => (r.getString(0), r.get(1), r.getInt(2) == 1, r.getInt(3) == 1))
-    val byBase: Map[String, String] =
-      candidates.map(c => c.split("/").last -> c).toMap
+        .map(r => (r.getString(0), r.getInt(1) == 1, r.getInt(2) == 1))
+    }
     // DV mode: only files holding an UPDATED key rewrite; delete-only
     // files keep their bytes and gain DV entries. CoW mode: any match
     // forces a rewrite.
     val touchedBase: Set[String] =
-      if (deleteVectors) matches.collect { case (b, _, u, _) if u => b }.toSet
-      else matches.map(_._1).toSet
+      if (deleteVectors) fileFlags.collect { case (b, u, _) if u => b }.toSet
+      else fileFlags.map(_._1).toSet
     val touched: Seq[String] = candidates.filter(c => touchedBase(c.split("/").last))
     val touchedSet = touched.toSet
-    val dvPairs: Array[(String, Any)] =
-      if (!deleteVectors) Array.empty
-      else matches.collect { case (b, k, _, d) if d && !touchedBase(b) => (b, k) }
+    // delete-only files (gain DV entries instead of rewriting)
+    val hasDvEntries = deleteVectors &&
+      fileFlags.exists { case (b, _, d) => d && !touchedBase(b) }
     // 3) rewrite only the touched rows (reading them DV-aware, so rows
     // already deleted by an earlier sidecar never resurrect)
     val upserts = deleteCol match {
@@ -3593,7 +3695,7 @@ object ManifestTable {
     val idSchema = st.schema.map(sc => StructType(sc.fields :+
       org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
     if (st.rowTracking) {
-      val dupKeys = updates.groupBy(col(key))
+      val dupKeys = updates.groupBy(keyCols: _*)
         .count().filter(col("count") > 1).count()
       require(dupKeys == 0L,
         s"merge with row tracking requires key-unique updates at $path " +
@@ -3607,13 +3709,13 @@ object ManifestTable {
           if (touched.isEmpty)
             spark.createDataFrame(spark.sparkContext
                 .emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(schema(key),
-                org.apache.spark.sql.types.StructField(RowIdCol, LongType))))
+              StructType(keys.map(schema(_)) :+
+                org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
           else readStateDf(spark, path,
               st.copy(files = touched, schema = idSchema))
-            .join(broadcast(updKeys), Seq(key), "left_semi")
-            .select(col(key), col(RowIdCol))
-        assignRowIds(ordered0.join(baseIds, Seq(key), "left"),
+            .join(maybeBc(updKeys), keys, "left_semi")
+            .select(keyCols :+ col(RowIdCol): _*)
+        assignRowIds(ordered0.join(baseIds, keys, "left"),
           st.rowHighWater)
       }
     val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
@@ -3636,7 +3738,7 @@ object ManifestTable {
       else carryUp(readStateDf(spark, path,
           st.copy(files = touched,
             schema = if (st.rowTracking) idSchema else st.schema))
-        .join(broadcast(updKeys), Seq(key), "left_anti"))
+        .join(maybeBc(updKeys), keys, "left_anti"))
         .unionByName(ordered)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val snapDir = s"$path/snap-$version-$token"
@@ -3665,28 +3767,48 @@ object ManifestTable {
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(snapDir)
       staged = listDataFiles(f, new Path(snapDir))
-      if (staged.isEmpty && untouched.isEmpty && dvPairs.isEmpty) {
+      if (staged.isEmpty && untouched.isEmpty && !hasDvEntries) {
         // all rows deleted: commit a readable empty version
         physOut.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
       }
     }
-    // deletion-vector sidecar for delete-only files
+    // deletion-vector sidecar for delete-only files — written
+    // DISTRIBUTIVELY from the cached confirm scan (the r14 shape
+    // collected the pairs and re-parallelized them: driver memory
+    // scaled with the merge's delete set)
     var dvAdds: Seq[String] = Nil
     val dvDir = s"$path/dv-$version-$token"
-    if (dvPairs.nonEmpty) {
-      val dvSchema = StructType(Seq(
-        org.apache.spark.sql.types.StructField("_graft_dv_file",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("_graft_dv_key",
-          schema(key).dataType)))
-      val rows = dvPairs.toSeq.map { case (b, k) =>
-        org.apache.spark.sql.Row(b, k) }
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), dvSchema)
+    if (hasDvEntries) {
+      // the read-side anti-join resolves ONE dvKey per table: adding
+      // vectors keyed differently than the live ones would corrupt it
+      // (same rule deleteWhereDV/updateWhereDV enforce)
+      st.dvKey.filter(_ => st.dvFiles.nonEmpty).foreach(dk =>
+        require(dk == keys.map(st.phys).mkString(","),
+          s"table $path has live deletion vectors keyed on '$dk' — a " +
+            s"merge keyed on '${keys.mkString(",")}' cannot add vectors " +
+            "without corrupting the read-side anti-join; compact first"))
+      // keep only delete-keyed hits in files NOT being rewritten; the
+      // touched-name frame is O(files) — always broadcast-safe
+      val touchedNames = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          touchedBase.toSeq.map(org.apache.spark.sql.Row(_)),
+          math.max(1, math.min(4, touchedBase.size))),
+        StructType(Seq(org.apache.spark.sql.types.StructField("_graft_f",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      hits.get
+        .filter(col("_graft_del") === 1)
+        .join(broadcast(touchedNames), Seq("_graft_f"), "left_anti")
+        .select(col("_graft_f").as("_graft_dv_file") +:
+          keys.zip(dvKeyColNames(keys.size)).map { case (k, n) =>
+            col(k).as(n) }: _*)
+        .distinct()
+        .coalesce(1)
         .write.mode("overwrite").parquet(dvDir)
       dvAdds = listDataFiles(f, new Path(dvDir))
         .map(p => relativize(new Path(path), p))
     }
+    if (deleteVectors) hits.foreach(_.unpersist(blocking = false))
     val stagedRel = staged.map(p => relativize(new Path(path), p))
     // explicit statsCols override; else the declared stats schema
     val mergeStatsPhys =
@@ -3709,8 +3831,13 @@ object ManifestTable {
     }
     val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
-      dvAdds = dvAdds, dvKey = if (dvAdds.nonEmpty) Some(st.phys(key)) else None,
-      mergeKey = Some(key), bloomAdds = bloomAdds, ndvAdds = ndvAdds,
+      dvAdds = dvAdds,
+      // composite keys record comma-joined (names validated comma-free)
+      dvKey =
+        if (dvAdds.nonEmpty) Some(keys.map(st.phys).mkString(","))
+        else None,
+      mergeKey = Some(keys.mkString(",")),
+      bloomAdds = bloomAdds, ndvAdds = ndvAdds,
       mapping =
         if (st.mapped && evolvedNew.nonEmpty) Some(mergeMapping) else None,
       maxColId =
@@ -3794,9 +3921,45 @@ object ManifestTable {
                  tagHorizon: Int = DefaultTagHorizon,
                  sortCols: Seq[String] = Nil,
                  deleteVectors: Boolean = false,
-                 schemaEvolution: Boolean = false): Long = {
+                 schemaEvolution: Boolean = false): Long =
+    mergeMultiKeyed(updates, path, Seq(key), matched, notMatched,
+      notMatchedBySource, statsCols = statsCols, maxAttempts = maxAttempts,
+      tag = tag, tagHorizon = tagHorizon, sortCols = sortCols,
+      deleteVectors = deleteVectors, schemaEvolution = schemaEvolution)
+
+  /** [[mergeMulti]] on a COMPOSITE key (`ON t.k1 = s.k1 AND t.k2 =
+    * s.k2`) — the clause algebra is identical; match-state resolution
+    * joins on the conjunction of all key columns (SQL equality: any
+    * NULL key component fails the match on both sides).
+    *
+    * `residual` carries the NON-equi remainder of the ON condition
+    * (Delta's `ON t.k = s.k AND t.date > s.start`), a Column over the
+    * resolved frame (source columns bare, target columns `_b_<col>`).
+    * A key-equal pair failing the residual is NOT matched: its source
+    * row reaches the insert clauses, its target row reaches the
+    * by-source clauses (or survives untouched) — Delta's reading of
+    * the full ON condition. Internally the keyed copy-on-write then
+    * CARRIES such target rows verbatim whenever their key is touched
+    * by any action, so base rows are never lost to a key collision.
+    * On row-tracked tables a residual that splits a key into an
+    * insert + a surviving target row refuses loudly (two rows cannot
+    * share one inherited row id).
+    */
+  def mergeMultiKeyed(updates: DataFrame, path: String, keys: Seq[String],
+                      matched: Seq[MergeMatched],
+                      notMatched: Seq[MergeInsert],
+                      notMatchedBySource: Seq[MergeMatched] = Nil,
+                      statsCols: Seq[String] = Nil, maxAttempts: Int = 3,
+                      tag: Option[String] = None,
+                      tagHorizon: Int = DefaultTagHorizon,
+                      sortCols: Seq[String] = Nil,
+                      deleteVectors: Boolean = false,
+                      schemaEvolution: Boolean = false,
+                      residual: Option[Column] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when, max => smax, min => smin}
     val spark = updates.sparkSession
+    validateMergeKeys(keys)
+    val keyCols = keys.map(col)
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       require(matched.nonEmpty || notMatched.nonEmpty ||
           notMatchedBySource.nonEmpty,
@@ -3851,10 +4014,11 @@ object ManifestTable {
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
             "be the last on its side — later clauses are unreachable"))
-      require(updates.groupBy(col(key)).count()
+      require(updates.groupBy(keyCols: _*).count()
           .filter(col("count") > 1).isEmpty,
-        s"conditional merge requires key-unique updates on '$key' — " +
-          "multiple source rows match the same target row (ambiguous clauses)")
+        "conditional merge requires key-unique updates on " +
+          s"'${keys.mkString(",")}' — multiple source rows match the " +
+          "same target row (ambiguous clauses)")
       // Delta's reachability rule: anything after an unconditional
       // clause on the same match side can never fire
       matched.dropRight(1).foreach(c => require(c.condition.isDefined,
@@ -3892,6 +4056,10 @@ object ManifestTable {
           .max(0L).min(Int.MaxValue.toLong - 1L)
         updates.limit((gate + 1L).toInt).count() > gate
       }
+      // the downstream keyed copy-on-write sizes ITS joins to the
+      // source too (confirm scan / row-id / carry) — same
+      // once-per-merge probe discipline, independent gate
+      val bcSource = !mergeSourceExceedsGate(updates)
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(
@@ -3904,18 +4072,29 @@ object ManifestTable {
         // base-only side cannot prune to the update-key range; without
         // by-source clauses the pruned slice stands (only matched rows
         // matter).
-        val prunable = statsPrunable(schema(key).dataType)
         def fullBase: DataFrame = readStateDf(spark, path, st)
         val baseSlice =
           if (fused) fullBase
           else {
-            val bounds = updates.agg(smin(col(key)), smax(col(key))).head()
-            if (bounds.isNullAt(0)) fullBase.limit(0)
-            else if (!prunable) fullBase
-            else readStateDf(spark, path, st.copy(files =
-              pruneFilesByRange(st, key, prunable,
-                bounds.get(0).toString.toDouble,
-                bounds.get(1).toString.toDouble)))
+            val boundAggs = keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
+            val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
+            if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
+              fullBase.limit(0) // some key column is ALL null: no match
+            else {
+              // intersect per-column stats prunes over every prunable
+              // key column (same discipline as mergeAttempt's)
+              val pruned = keys.zipWithIndex.foldLeft(st.files) {
+                case (files, (k, i)) =>
+                  if (files.isEmpty || !statsPrunable(schema(k).dataType))
+                    files
+                  else pruneFilesByRange(st.copy(files = files), k,
+                    prunableType = true,
+                    bounds.get(2 * i).toString.toDouble,
+                    bounds.get(2 * i + 1).toString.toDouble)
+              }
+              if (pruned.size == st.files.size) fullBase
+              else readStateDf(spark, path, st.copy(files = pruned))
+            }
           }
         val b0 = baseSlice.select(
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
@@ -3930,17 +4109,29 @@ object ManifestTable {
         val src =
           if (fused) updates.withColumn("_graft_src_present", lit(true))
           else updates
-        val resolved = src.join(b, col(key) === col(s"_b_$key"),
+        val keyEq = keys.map(k => col(k) === col(s"_b_$k"))
+          .reduce(_ && _)
+        val resolved = src.join(b, keyEq,
           if (fused) "full_outer" else "left")
-        val isBaseOnly =
-          if (fused) col("_graft_src_present").isNull else lit(false)
-        val isMatched =
-          if (fused)
-            col("_graft_src_present").isNotNull &&
-              col("_graft_base_present").isNotNull
-          else col(s"_b_$key").isNotNull
-        val isSourceOnly =
-          if (fused) col("_graft_base_present").isNull else !isMatched
+        // Pair classification. The join equates KEYS only; the full ON
+        // condition is keys AND `residual` — a key-equal pair failing
+        // the residual is NOT matched (its source row inserts, its
+        // target row is "not matched by source"), Delta's reading.
+        val srcP =
+          if (fused) col("_graft_src_present").isNotNull else lit(true)
+        val baseP =
+          if (fused) col("_graft_base_present").isNotNull
+          // a matched base row equated every key column non-null, so
+          // any one `_b_` key column witnesses presence
+          else col(s"_b_${keys.head}").isNotNull
+        val hasResidual = residual.isDefined
+        val pairPass = residual
+          .map(r => coalesce(r, lit(false))).getOrElse(lit(true))
+        val isMatched = srcP && baseP && pairPass
+        // target row NOT matched by source: no key match (base-only)
+        // or a key match the residual withheld
+        val isBaseNM = baseP && !(srcP && pairPass)
+        val isSourceOnly = srcP && !baseP
         // FIRST-CLAUSE-WINS claims: cond_i AND NOT any earlier cond
         // (NULL conditions read false on both sides — SQL semantics)
         def claims(conds: Seq[Option[Column]]): Seq[Column] =
@@ -3963,7 +4154,18 @@ object ManifestTable {
         val bsDel = notMatchedBySource.zip(bsClaims)
           .collect { case (_: MergeDelete, cl) => cl }
           .reduceOption(_ || _).getOrElse(lit(false))
-        // assignment targets must exist (fail fast, not at scan time)
+        // assignment targets must exist (fail fast, not at scan time);
+        // a SET may not reassign a merge KEY column — the keyed
+        // copy-on-write addresses base rows by key equality, so a
+        // re-keyed image would orphan the old row instead of replacing
+        // it (rewrite through delete + insert instead)
+        (updClauses.flatMap(_.set) ++ notMatchedBySource
+          .collect { case u: MergeUpdate => u }.flatMap(_.set))
+          .foreach { case (c, _) =>
+            require(!keys.contains(c),
+              s"MERGE UPDATE SET cannot assign merge key column '$c' " +
+                "— the keyed copy-on-write addresses rows by key " +
+                "equality; express a re-key as DELETE + INSERT") }
         updClauses.flatMap(_.set).foreach { case (c, _) =>
           require(schema.fieldNames.contains(c),
             s"MERGE UPDATE SET targets unknown column '$c'") }
@@ -3998,33 +4200,39 @@ object ManifestTable {
         val evolvedSchema =
           if (!schemaEvolution) schema else evolve(schema, updates.schema)
         val imageNames = evolvedSchema.fieldNames.toSeq
-        def imageColFor(c: String): Column = {
-            val dt = schema(c).dataType
-            def matchedImg(cl: MergeMatched): Column = cl match {
-              case u: MergeUpdate =>
-                if (u.set.isEmpty) col(c)
-                else u.set.toMap.get(c).map(_.cast(dt))
-                  .getOrElse(col(s"_b_$c"))
-              case _: MergeDelete => col(s"_b_$c")
-            }
-            def insertImg(cl: MergeInsert): Column =
-              if (cl.values.isEmpty) col(c)
-              else cl.values.toMap.get(c).map(_.cast(dt))
-                // a column the INSERT list leaves unassigned takes its
-                // declared DEFAULT (constant by declaration contract),
-                // NULL otherwise — SQL/Delta's insert semantics
-                .getOrElse(st.defaults.get(c)
-                  .map(s => org.apache.spark.sql.functions.expr(s).cast(dt))
-                  .getOrElse(lit(null).cast(dt)))
-            val mVal = matched.zip(mClaims).reverse
-              .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
-                when(claim, matchedImg(cl)).otherwise(acc) }
-            val iVal = notMatched.zip(iClaims).reverse
-              .foldLeft(lit(null).cast(dt): Column) {
-                case (acc, (cl, claim)) =>
-                  when(claim, insertImg(cl)).otherwise(acc) }
-            when(isMatched, mVal).otherwise(iVal)
+        /** Matched-claim image: the first-claiming clause's value; an
+          * UNCLAIMED matched pair folds to the base value verbatim
+          * (read only on carry rows). */
+        def matchedVal(c: String): Column = {
+          val dt = schema(c).dataType
+          def matchedImg(cl: MergeMatched): Column = cl match {
+            case u: MergeUpdate =>
+              if (u.set.isEmpty) col(c)
+              else u.set.toMap.get(c).map(_.cast(dt))
+                .getOrElse(col(s"_b_$c"))
+            case _: MergeDelete => col(s"_b_$c")
           }
+          matched.zip(mClaims).reverse
+            .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+              when(claim, matchedImg(cl)).otherwise(acc) }
+        }
+        /** Insert-claim image: the first-claiming insert clause's
+          * value; a column an explicit list leaves unassigned takes
+          * its declared DEFAULT (constant by declaration contract),
+          * NULL otherwise — SQL/Delta's insert semantics. */
+        def insertVal(c: String): Column = {
+          val dt = schema(c).dataType
+          def insertImg(cl: MergeInsert): Column =
+            if (cl.values.isEmpty) col(c)
+            else cl.values.toMap.get(c).map(_.cast(dt))
+              .getOrElse(st.defaults.get(c)
+                .map(s => org.apache.spark.sql.functions.expr(s).cast(dt))
+                .getOrElse(lit(null).cast(dt)))
+          notMatched.zip(iClaims).reverse
+            .foldLeft(lit(null).cast(dt): Column) {
+              case (acc, (cl, claim)) =>
+                when(claim, insertImg(cl)).otherwise(acc) }
+        }
         // BY SOURCE images: TARGET rows with no source match keep their
         // base values except where an UPDATE clause claims them; delete
         // claims carry the base image (never read past the flag).
@@ -4039,44 +4247,141 @@ object ManifestTable {
             .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
               when(claim, img(cl)).otherwise(acc) }
         }
-        val imageCols = imageNames.map { c =>
-          val srcSide: Column =
-            if (allStar) col(c)
-            else if (!schema.fieldNames.contains(c))
-              // evolved-only column off the fast path: reachable only
-              // when no star clause exists (delete-only / by-source
-              // merges under evolution) — the image is never read past
-              // the delete flag, NULL is the schema-on-read value
-              lit(null).cast(evolvedSchema(c).dataType)
-            else imageColFor(c)
-          // evolved-only columns skip the by-source wrap: on base-only
-          // rows the source column IS NULL through the outer join —
-          // the same schema-on-read value their carried siblings get
-          val full =
-            if (!fused || !schema.fieldNames.contains(c)) srcSide
-            else when(isBaseOnly, bySourceImg(c)).otherwise(srcSide)
-          full.as(c)
-        }
+        /** Matched/carry/by-source image for one pair (branch A of the
+          * compile): matched claims take the clause chain; everything
+          * else — by-source claims AND verbatim carries — folds
+          * through [[bySourceImg]] (whose unclaimed default IS the
+          * base value). Evolved-only columns ride the star fast path
+          * from the source on matched claims, NULL otherwise
+          * (schema-on-read). */
+        def pairImg(c: String): Column =
+          if (!schema.fieldNames.contains(c))
+            (if (allStar) when(isMatched, col(c))
+               .otherwise(lit(null).cast(evolvedSchema(c).dataType))
+             else lit(null).cast(evolvedSchema(c).dataType))
+          else when(isMatched, if (allStar) col(c) else matchedVal(c))
+            .otherwise(bySourceImg(c))
+        def insImg(c: String): Column =
+          if (!schema.fieldNames.contains(c))
+            (if (allStar) col(c)
+             else lit(null).cast(evolvedSchema(c).dataType))
+          else if (allStar) col(c)
+          else insertVal(c)
         // a by-source clause CLAIMING a NULL-key target row must fail
         // loudly: the keyed copy-on-write carry joins on key equality
         // and can never address such a row (it would duplicate on
         // update and survive delete). Unclaimed NULL-key rows carry
         // untouched — the guard fires only where semantics would bend.
+        val anyBaseKeyNull = keys.map(k => col(s"_b_$k").isNull)
+          .reduce(_ || _)
         def bsNullKeyGuard(del: Column): Column =
           if (!hasBySource) del
-          else when(isBaseOnly && anyBs && col(s"_b_$key").isNull,
+          else when(isBaseNM && anyBs && anyBaseKeyNull,
             raise_error(lit(
               "WHEN NOT MATCHED BY SOURCE cannot act on target rows " +
-                s"with a NULL merge key '$key' — the keyed " +
-                "copy-on-write carry cannot address them; scrub or " +
-                "backfill NULL keys first")).cast("boolean"))
+                s"with a NULL merge key '${keys.mkString(",")}' — the " +
+                "keyed copy-on-write carry cannot address them; scrub " +
+                "or backfill NULL keys first")).cast("boolean"))
           .otherwise(del)
-        val compiled = resolved
-          .withColumn("_graft_del", bsNullKeyGuard(
-            (isMatched && delFlag) || (isBaseOnly && bsDel)))
-          .filter((isMatched && anyM) || (isSourceOnly && anyI) ||
-            (isBaseOnly && anyBs))
-          .select(imageCols :+ col("_graft_del"): _*)
+        val delImage = bsNullKeyGuard(
+          (isMatched && delFlag) || (isBaseNM && bsDel))
+        // CARRY machinery — the keyed copy-on-write drops EVERY base
+        // row whose key appears in the compiled frame, so when a key
+        // can be partially acted (duplicate target keys with a
+        // conditional trailing clause, or a residual splitting a key
+        // into insert + surviving target row), the un-acted siblings
+        // must re-enter VERBATIM or they'd be lost. Keys with no
+        // action at all stay out of the compiled frame entirely (their
+        // files are never touched). Skipped when the clause algebra
+        // makes partial claims impossible (a trailing UNCONDITIONAL
+        // clause claims every pair on its side) — the common upsert
+        // shapes pay no window exchange.
+        val lastMatchedConditional =
+          matched.nonEmpty && matched.last.condition.isDefined
+        val lastBsConditional = hasBySource &&
+          notMatchedBySource.last.condition.isDefined
+        val needCarry =
+          hasResidual || lastMatchedConditional || lastBsConditional
+        val roleActed = (isMatched && anyM) || (isBaseNM && anyBs)
+        val compiled =
+          if (!needCarry) {
+            // cheap path: no window — every matched/by-source pair is
+            // claimed (trailing unconditional clause) or its key is
+            // wholly unclaimed and drops out
+            val images = imageNames.map { c =>
+              val srcSide: Column =
+                if (allStar) col(c)
+                else if (!schema.fieldNames.contains(c))
+                  // evolved-only column off the fast path: reachable
+                  // only when no star clause exists (delete-only /
+                  // by-source merges under evolution) — the image is
+                  // never read past the delete flag, NULL is the
+                  // schema-on-read value
+                  lit(null).cast(evolvedSchema(c).dataType)
+                else when(isMatched, matchedVal(c))
+                  .otherwise(insertVal(c))
+              // evolved-only columns skip the by-source wrap: on
+              // base-only rows the source column IS NULL through the
+              // outer join — the same schema-on-read value their
+              // carried siblings get
+              val full =
+                if (!fused || !schema.fieldNames.contains(c)) srcSide
+                else when(isBaseNM, bySourceImg(c)).otherwise(srcSide)
+              full.as(c)
+            }
+            resolved
+              .withColumn("_graft_del", delImage)
+              .filter(roleActed || (isSourceOnly && anyI))
+              .select(images :+ col("_graft_del"): _*)
+          } else {
+            import org.apache.spark.sql.expressions.Window
+            val wKeys = keys.map(k =>
+              if (fused) coalesce(col(k), col(s"_b_$k")) else col(k))
+            val w = Window.partitionBy(wKeys: _*)
+            // two stacked windows over ONE partitioning (one exchange):
+            // kap = does any pair of this key fully match; ka = is any
+            // pair of this key acted (claim or insert) — the carry
+            // trigger. row_number dedups the insert emission when a
+            // residual-failing source row key-joins several target
+            // rows (the insert image is source-only, so any pair may
+            // carry it).
+            val step1 = resolved
+              .withColumn("_graft_kap",
+                smax(when(isMatched, 1).otherwise(0)).over(w))
+              .withColumn("_graft_rn",
+                org.apache.spark.sql.functions.row_number()
+                  .over(w.orderBy(col(s"_b_${keys.head}"))))
+            val kap = col("_graft_kap") === 1
+            val insertFire = srcP && !kap && anyI &&
+              (!baseP || col("_graft_rn") === 1)
+            val step2 = step1.withColumn("_graft_ka",
+              smax(when(roleActed || insertFire, 1).otherwise(0)).over(w))
+            val keyActed = col("_graft_ka") === 1
+            // a NULL-key base row is unaddressable by the keyed carry
+            // (null never joins) — and never dropped by it either, so
+            // it must NOT carry (it would duplicate); null-key source
+            // rows insert normally
+            val carryRow =
+              baseP && !roleActed && keyActed && !anyBaseKeyNull
+            val branchA = step2
+              .withColumn("_graft_del", delImage)
+              .filter(roleActed || carryRow)
+              .select(imageNames.map(c => pairImg(c).as(c))
+                :+ col("_graft_del"): _*)
+            if (!hasResidual)
+              // inserts are disjoint from base-addressing pairs when
+              // the join is keys-only: fold them into one pass
+              branchA.unionByName(step2
+                .withColumn("_graft_del", lit(false))
+                .filter(isSourceOnly && anyI)
+                .select(imageNames.map(c => insImg(c).as(c))
+                  :+ col("_graft_del"): _*))
+            else branchA.unionByName(step2
+              .withColumn("_graft_del", lit(false))
+              .filter(insertFire)
+              .select(imageNames.map(c => insImg(c).as(c))
+                :+ col("_graft_del"): _*))
+          }
         // Broadcast two-join shape for small sources: base-only rows
         // come from a broadcast ANTI join over the full base — the
         // base never exchanges, matched/insert rows keep the pruned
@@ -4088,32 +4393,54 @@ object ManifestTable {
               schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
             val unmatchedBase = b2.join(
               org.apache.spark.sql.functions.broadcast(
-                updates.select(col(key).as("_graft_src_key"))),
-              col(s"_b_$key") === col("_graft_src_key"), "left_anti")
+                updates.select(keys.zipWithIndex.map { case (k, i) =>
+                  col(k).as(s"_graft_src_key_$i") }: _*)),
+              keys.zipWithIndex.map { case (k, i) =>
+                col(s"_b_$k") === col(s"_graft_src_key_$i") }
+                .reduce(_ && _), "left_anti")
             val bsAliased = imageNames.map { c =>
               if (!schema.fieldNames.contains(c))
                 lit(null).cast(evolvedSchema(c).dataType).as(c)
               else bySourceImg(c).as(c)
             }
-            compiled.unionByName(unmatchedBase
+            val preDel = unmatchedBase
               .withColumn("_graft_del",
                 // same NULL-key refusal as the fused path (class doc
                 // on bsNullKeyGuard): claimed null-key rows cannot be
                 // addressed by the keyed carry
-                when(anyBs && col(s"_b_$key").isNull,
+                when(anyBs && anyBaseKeyNull,
                   raise_error(lit(
                     "WHEN NOT MATCHED BY SOURCE cannot act on target " +
-                      s"rows with a NULL merge key '$key' — the keyed " +
+                      s"rows with a NULL merge key " +
+                      s"'${keys.mkString(",")}' — the keyed " +
                       "copy-on-write carry cannot address them; scrub " +
                       "or backfill NULL keys first")).cast("boolean"))
                 .otherwise(bsDel))
-              .filter(anyBs)
-              .select(bsAliased :+ col("_graft_del"): _*))
+            // duplicate target keys with a conditional trailing
+            // by-source clause can split a key into claimed +
+            // unclaimed siblings — the unclaimed ones must CARRY
+            // verbatim once the key is acted (bySourceImg's unclaimed
+            // default IS the base value, bsDel reads false there)
+            val bsEmitted =
+              if (!lastBsConditional) preDel.filter(anyBs)
+              else {
+                import org.apache.spark.sql.expressions.Window
+                val wb = Window.partitionBy(
+                  keys.map(k => col(s"_b_$k")): _*)
+                preDel
+                  .withColumn("_graft_bsact",
+                    smax(when(anyBs, 1).otherwise(0)).over(wb))
+                  .filter(anyBs || (col("_graft_bsact") === 1
+                    && !anyBaseKeyNull))
+              }
+            compiled.unionByName(
+              bsEmitted.select(bsAliased :+ col("_graft_del"): _*))
           }
-        mergeAttempt(withBySource, path, key, deleteCol = Some("_graft_del"),
+        mergeAttempt(withBySource, path, keys, deleteCol = Some("_graft_del"),
           statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
           sortCols = sortCols, deleteVectors = deleteVectors,
-          prevV = prevV, schemaEvolution = schemaEvolution) match {
+          prevV = prevV, schemaEvolution = schemaEvolution,
+          broadcastSource = bcSource) match {
           case Some(v) => return v
           case None    => attempt += 1 // lost the race: RE-RESOLVE above
         }
@@ -5444,9 +5771,14 @@ object ManifestTable {
     val withF = readStateDf(spark, path, prev.copy(files = affected))
       .withColumn("_graft_dv_f",
         element_at(split(input_file_name(), "/"), -1))
+    // keyCol is the log entry's dvKey — comma-joined physicals for a
+    // composite-key merge, one sidecar column per key
+    val dvKeys = keyCol.split(",").toSeq
+    val keyConds = dvKeys.zip(dvKeyColNames(dvKeys.size))
+      .map { case (k, n) => col(prev.logical(k)) === dvNew(n) }
     withF.join(broadcast(dvNew),
-        withF("_graft_dv_f") === dvNew("_graft_dv_file")
-          && col(prev.logical(keyCol)) === dvNew("_graft_dv_key"),
+        keyConds.foldLeft(
+          withF("_graft_dv_f") === dvNew("_graft_dv_file"))(_ && _),
         "left_semi")
       .drop("_graft_dv_f")
   }
@@ -5563,15 +5895,19 @@ object ManifestTable {
               // matched keys (appear with BOTH signs) split into
               // pre/post images; single-sign keys keep insert/delete.
               // Broadcast by the merge contract (matched ≤ |updates|).
+              // A composite-key merge records its keys comma-joined;
+              // the probe joins on the full conjunction.
+              val ks = k.split(",").toSeq
+              val kCols = ks.map(col)
               val matched = broadcast(
-                net.filter(col("_graft_n") > 0).select(col(k))
-                  .join(net.filter(col("_graft_n") < 0).select(col(k)),
-                    Seq(k), "inner")
+                net.filter(col("_graft_n") > 0).select(kCols: _*)
+                  .join(net.filter(col("_graft_n") < 0).select(kCols: _*),
+                    ks, "inner")
                   .distinct().withColumn("_graft_m", lit(1)))
               def classify(side: org.apache.spark.sql.DataFrame,
                            hit: String, miss: String) =
                 replicated(side)
-                  .join(matched, Seq(k), "left")
+                  .join(matched, ks, "left")
                   .withColumn("_change",
                     swhen(col("_graft_m").isNotNull, lit(hit))
                       .otherwise(lit(miss)))

@@ -1646,6 +1646,103 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared COMPOSITE-KEY merge query ([[ManifestTable.mergeMultiKeyed]]
+    * on `(l_orderkey, l_linenumber)` — the multi-column natural key
+    * every real line-item upsert carries, round-15's top gap): a
+    * three-clause merge against a lineitem projection where
+    *
+    *  - orders ≡ 0 (mod 37): UPDATE (quantity +100, MERGED marker)
+    *    where the BASE quantity exceeds 25, else DELETE — both clauses
+    *    address individual (order, line) pairs, so a single-column key
+    *    would corrupt every other line of the same order;
+    *  - fresh composite keys (order + 10⁸) from orders ≡ 0 (mod 41)
+    *    INSERT with their source image.
+    *
+    * The oracle recomputes all three verdicts relationally on the full
+    * composite key; the hash match proves per-PAIR addressing.
+    */
+  def mergeCompositeLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_merge_ck_", sfDir) + "/lineitem_ck"
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    ManifestTable.write(
+      li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      path, statsCols = Seq("l_orderkey", "l_linenumber"))
+    // the synthetic fixture holds DUPLICATE (orderkey, linenumber)
+    // pairs — the source aggregates to key-uniqueness (the merge
+    // contract) while the TARGET keeps its duplicates, so the clause
+    // verdicts run per PAIR: each duplicate target row takes its own
+    // update/delete by its own base values
+    val srcM = li.filter(col("l_orderkey") % 37 === 0)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(org.apache.spark.sql.functions.max(col("l_quantity"))
+          .as("l_quantity"),
+        org.apache.spark.sql.functions.max(col("l_returnflag"))
+          .as("l_returnflag"))
+    val srcI = li.filter(col("l_orderkey") % 41 === 0)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(org.apache.spark.sql.functions.max(col("l_quantity"))
+          .as("l_quantity"))
+      .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L))
+      .withColumn("l_returnflag", lit("INSERTED"))
+    ManifestTable.mergeMultiKeyed(
+      srcM.unionByName(srcI.select(srcM.columns.map(col).toSeq: _*)),
+      path, Seq("l_orderkey", "l_linenumber"),
+      matched = Seq(
+        ManifestTable.MergeUpdate(Some(col("_b_l_quantity") > 25.0),
+          Seq("l_quantity" -> (col("_b_l_quantity") + lit(100.0)),
+              "l_returnflag" -> lit("MERGED"))),
+        ManifestTable.MergeDelete()),
+      notMatched = Seq(ManifestTable.MergeInsert()),
+      statsCols = Seq("l_orderkey", "l_linenumber"))
+    ManifestTable.read(spark, path)
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+  }
+
+  /** Declared RESIDUAL-ON merge query (SQL `MERGE ... ON t.k = s.k AND
+    * s.price > t.price` — Delta's non-equi ON surface, round-15): the
+    * source re-prices every order ≡ 0 (mod 53) — half UP (mod 106,
+    * matches the residual, UPDATEs), half DOWN (fails it: the source
+    * row INSERTS as a legitimate duplicate key and the untouched
+    * target row is "not matched by source", marked STALE by a
+    * by-source clause). Exercises the keyed-carry machinery end to
+    * end: the STALE target and the inserted duplicate share one key
+    * in one rewritten file. Oracle recomputes all four verdicts.
+    */
+  def mergeResidualOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_merge_res_", sfDir) + "/orders_res"
+    val ordersSlim = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    ManifestTable.write(
+      ordersSlim.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      Tables.orders(s, sfDir)
+        .filter(col("o_orderkey") % 53 === 0)
+        .select(col("o_orderkey"),
+          org.apache.spark.sql.functions.when(col("o_orderkey") % 106 === 0,
+              col("o_totalprice") + lit(1000.0))
+            .otherwise(col("o_totalprice") - lit(1000.0))
+            .as("o_totalprice"),
+          lit("RESIDUAL").as("o_orderpriority"))
+        .createOrReplaceTempView("residual_src")
+      s.sql(
+        s"""MERGE INTO '$path' AS t USING residual_src AS s
+            ON t.o_orderkey = s.o_orderkey
+               AND s.o_totalprice > t.o_totalprice
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 53 = 0
+              THEN UPDATE SET o_orderpriority = 'STALE'""")
+    }
+    ManifestTable.read(spark, path)
+      .orderBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+  }
+
   /** Manifest-aware table read: tables written through [[ManifestTable]]
     * resolve via their committed manifest (readers never see a
     * half-written refresh); plain parquet directories read directly.

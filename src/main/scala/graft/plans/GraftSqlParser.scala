@@ -452,6 +452,32 @@ object GraftSqlStatements {
     (a.take(i).trim, a.drop(i + 1).trim)
   }
 
+  /** Split on top-level `AND` keywords (never inside parens or
+    * quotes) — the MERGE ON condition's conjunct structure. */
+  private[plans] def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; cur += c; i += 1 }
+      else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (depth == 0 && (c == 'a' || c == 'A') && i + 3 <= s.length &&
+          s.substring(i, i + 3).equalsIgnoreCase("and") &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + 3 == s.length || !isWordChar(s.charAt(i + 3)))) {
+        out += cur.toString; cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** `'key' = 'value', ...` (keys/values single-quoted à la Spark, or
     * bare words) → ordered pairs. splitTopLevel keeps commas inside
     * quoted values intact; the assignment `=` is located OUTSIDE
@@ -497,20 +523,29 @@ object GraftSqlStatements {
                          source: String, on: String,
                          clauses: String,
                          schemaEvolution: Boolean = false): LogicalPlan = {
-    // ON: `k`, `t.k = s.k`, or `k = k` — extract the shared key name
+    // ON: a conjunction of top-level AND terms. Each term is either an
+    // equi-key (`k`, `t.k = s.k`, `k = k` — the shared column name on
+    // both sides) or a RESIDUAL predicate (`t.date > s.start`,
+    // `s.amount >= 100`, ...) applied in match-state resolution —
+    // Delta's arbitrary-ON surface over the engine's keyed carry. At
+    // least one equi-key term is required (a pure theta merge has no
+    // key to address rows by).
     val onIdent = "(?s)^\\s*(?:(\\w+)\\.)?(\\w+)\\s*$".r
     val onEq =
       "(?s)^\\s*(?:(\\w+)\\.)?(\\w+)\\s*=\\s*(?:(\\w+)\\.)?(\\w+)\\s*$".r
-    val key = on match {
-      case onIdent(_, k) => k
-      case onEq(_, k1, _, k2) =>
-        require(k1 == k2, s"MERGE ON must equate one shared column " +
-          s"name on both sides, got '$on'")
-        k1
-      case other => throw new IllegalArgumentException(
-        s"MERGE ON supports a single equi-key (`t.k = s.k` or `k`), " +
-          s"got '$other'")
+    val terms = splitTopLevelAnd(on)
+    val (keyTerms, residualTerms) = terms.partition {
+      case onIdent(_, _)       => true
+      case onEq(_, k1, _, k2)  => k1 == k2
+      case _                   => false
     }
+    val keys = keyTerms.map {
+      case onIdent(_, k)    => k
+      case onEq(_, k, _, _) => k
+    }.distinct
+    require(keys.nonEmpty,
+      s"MERGE ON needs at least one equi-key conjunct equating one " +
+        s"shared column name (`t.k = s.k` or `k`), got '$on'")
     // source: bare table/view name or parenthesized subquery (run-time
     // resolution via the session — full Spark SQL inside)
     val (srcSql, srcAlias) = {
@@ -604,8 +639,13 @@ object GraftSqlStatements {
       (c.action, c.cond.map(rw),
         if (c.action == "UPDATE") updateSetOf(c) else Nil)
     }
-    GraftMergeCommand(path, srcSql, key, matchedSpecs, insertSpecs,
-      bySourceSpecs, schemaEvolution)
+    // residual ON conjuncts run over the resolved frame: the same
+    // target/source rewriting clause conditions get
+    val residual =
+      if (residualTerms.isEmpty) None
+      else Some(residualTerms.map(t => s"(${rw(t)})").mkString(" AND "))
+    GraftMergeCommand(path, srcSql, keys, matchedSpecs, insertSpecs,
+      bySourceSpecs, schemaEvolution, residual)
   }
 
   /** Strip a `target.`/alias qualifier off an assignment LHS. An LHS
@@ -865,11 +905,12 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
   * whatever SQL can SELECT can drive a merge.
   */
 case class GraftMergeCommand(path: String, source: Either[String, String],
-                             key: String,
+                             keys: Seq[String],
                              matched: Seq[(String, Option[String], Seq[(String, String)])],
                              notMatched: Seq[(Option[String], Seq[(String, String)])],
                              bySource: Seq[(String, Option[String], Seq[(String, String)])] = Nil,
-                             schemaEvolution: Boolean = false)
+                             schemaEvolution: Boolean = false,
+                             residual: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -890,10 +931,11 @@ case class GraftMergeCommand(path: String, source: Either[String, String],
       ManifestTable.MergeInsert(cond.map(expr),
         values.map { case (c, e) => (c, expr(e)) })
     }
-    Seq(Row(ManifestTable.mergeMulti(src,
-      GraftSqlCommands.rp(session, path), key, toMatched(matched), nm,
+    Seq(Row(ManifestTable.mergeMultiKeyed(src,
+      GraftSqlCommands.rp(session, path), keys, toMatched(matched), nm,
       notMatchedBySource = toMatched(bySource),
-      schemaEvolution = schemaEvolution)))
+      schemaEvolution = schemaEvolution,
+      residual = residual.map(expr))))
   }
 }
 
