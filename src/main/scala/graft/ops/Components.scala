@@ -91,11 +91,11 @@ object Components {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint() // truncate lineage: each round's plan starts here
+      .transform(Lineage.checkpoint) // truncate lineage per round (reliable via spark.graft.reliableCheckpoint)
     var round = 0
     var stable = isStarSet(e) // near-dup pair lists are often stars already
     while (!stable && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = Lineage.checkpoint(smallStar(largeStar(e)))
       stable = isStarSet(e)
       round += 1
     }

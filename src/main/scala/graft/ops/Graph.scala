@@ -50,7 +50,9 @@ object Graph {
     * needed — the same contract as GraphX's default `staticPageRank`
     * graph restriction.
     *
-    * Lineage: `ranks` is `localCheckpoint`ed every 4th round (the
+    * Lineage: `ranks` is checkpointed every 4th round via
+    * [[Lineage.checkpoint]] (reliable when
+    * `spark.graft.reliableCheckpoint` names a directory) — (the
     * every-k variant of what [[Components]] does per round), so the
     * logical plan — and Catalyst re-analysis cost — stays bounded by a
     * 4-round window regardless of `iters`, while short runs (the
@@ -79,7 +81,7 @@ object Graph {
     // doesn't recompute an unmaterialized upstream plan (measured 3.4x
     // on the declared co-purchase query).
     def pin(df: DataFrame): DataFrame =
-      if (materializeEdges) df.localCheckpoint() else df
+      if (materializeEdges) Lineage.checkpoint(df) else df
     val e = pin(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")))
     val deg = pin(e.groupBy(col("src").as("node"))
@@ -101,7 +103,7 @@ object Graph {
             expr(s"($dampNum * coalesce(m, 0L)) DIV $dampDen")).as("score"))
       // truncate lineage every 4 rounds: plan depth bounded, long runs
       // can't blow up the planner, short runs stay one job
-      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0) ranks = Lineage.checkpoint(ranks)
     }
     ranks
   }

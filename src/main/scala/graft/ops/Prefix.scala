@@ -26,7 +26,7 @@ object Prefix {
     *
     * Returns (annotated df, grand total of `weight`). The totals pass
     * collects ONE ROW PER PARTITION — not data — so the driver step is
-    * O(partitions) at any scale. localCheckpoint pins the range
+    * O(partitions) at any scale. [[Lineage.checkpoint]] pins the range
     * partitioning so the totals pass and the join pass see identical
     * partition boundaries (range sampling is not otherwise guaranteed
     * stable across re-evaluations).
@@ -45,7 +45,7 @@ object Prefix {
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(Lineage.checkpoint)
     val totals = base.groupBy(col("_pid"))
       .agg(sum(col("_w")).as("_ptotal"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

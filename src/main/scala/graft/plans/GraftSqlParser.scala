@@ -155,10 +155,14 @@ object GraftSqlStatements {
     s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
     s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
-  private val mergeRe =
+  // MERGE only matches its HEAD by regex; the USING/ON/WHEN split is
+  // done by a paren- and literal-aware scanner ([[splitMergeTail]]) —
+  // a lazy regex split at the first " ON " broke USING subqueries
+  // containing JOIN ... ON, and literals containing clause-head text
+  // broke the WHEN split (both found by ParserFuzzSpec).
+  private val mergeHeadRe =
     ("(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+" +
-      s"$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+?)\\s+ON\\s+(.+?)" +
-      "\\s+(WHEN\\s+.+?)\\s*;?\\s*$").r
+      s"$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+)$$").r
   private val renameColRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$".r
   private val dropColRe =
@@ -272,12 +276,12 @@ object GraftSqlStatements {
     // an absent WHERE is SQL's all-rows form (DELETE = truncate)
     case deleteRe(path, cond) =>
       Some(GraftDeleteCommand(path, Option(cond).getOrElse("true")))
-    case updateRe(path, setText, cond) =>
-      Some(GraftUpdateCommand(path, splitTopLevel(setText).map(parseAssign),
-        Option(cond).getOrElse("true")))
-    case mergeRe(evo, path, alias, source, on, clauses) =>
-      Some(parseMerge(path, Option(alias), source.trim, on.trim,
-        clauses.trim, schemaEvolution = evo != null))
+    case UpdateStmt(path, setPairs, cond) =>
+      Some(GraftUpdateCommand(path, setPairs, cond))
+    case mergeHeadRe(evo, path, alias, tail) =>
+      val (source, on, clauses) = splitMergeTail(tail)
+      Some(parseMerge(path, Option(alias), source, on,
+        clauses, schemaEvolution = evo != null))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -452,6 +456,87 @@ object GraftSqlStatements {
     (a.take(i).trim, a.drop(i + 1).trim)
   }
 
+  /** UPDATE's SET…WHERE split over the LITERAL-MASKED statement (a
+    * SET value containing the word ` WHERE ` is data, not a boundary —
+    * fuzz finding); groups slice the ORIGINAL text. */
+  private object UpdateStmt {
+    def unapply(sql: String): Option[(String, Seq[(String, String)], String)] = {
+      val masked = maskLiterals(sql)
+      updateRe.findFirstMatchIn(masked).map { m =>
+        def orig(g: Int): Option[String] =
+          Option(m.group(g)).map(_ => sql.substring(m.start(g), m.end(g)))
+        (orig(1).get, splitTopLevel(orig(2).get).map(parseAssign),
+          orig(3).getOrElse("true"))
+      }
+    }
+  }
+
+  /** Same-length copy of `s` with string-literal CONTENTS blanked
+    * (quotes kept): regex/keyword scans over the mask never see
+    * clause keywords inside data, and every match position slices the
+    * ORIGINAL text 1:1. */
+  private[plans] def maskLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+      else if (c == '\'') inStr = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** First index ≥ `from` where word `kw` occurs OUTSIDE parens and
+    * string literals (case-insensitive, word-bounded); -1 if none. */
+  private def topLevelKeyword(masked: String, kw: String,
+                              from: Int = 0): Int = {
+    var depth = 0
+    var i = from
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && masked.regionMatches(true, i, kw, 0, kw.length)
+          && (i == 0 || !isWordChar(masked.charAt(i - 1)))
+          && (i + kw.length == masked.length ||
+            !isWordChar(masked.charAt(i + kw.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a MERGE statement's post-USING tail into (source, on,
+    * clauses): the ON keyword is the first TOP-LEVEL one (a JOIN ...
+    * ON inside a USING subquery stays inside its parens), and the
+    * clause list starts at the first top-level `WHEN [NOT] MATCHED`
+    * head (a `CASE WHEN ... THEN` inside the ON residual, or
+    * clause-head TEXT inside a string literal, never splits). */
+  private def splitMergeTail(tail: String): (String, String, String) = {
+    val masked = maskLiterals(tail)
+    val onIdx = topLevelKeyword(masked, "ON")
+    require(onIdx > 0, "MERGE needs an ON condition after USING")
+    val afterOnStart = onIdx + 2
+    val headRe = "(?is)^WHEN\\s+(?:NOT\\s+)?MATCHED\\b".r
+    var whenIdx = -1
+    var probe = topLevelKeyword(masked, "WHEN", afterOnStart)
+    while (whenIdx < 0 && probe >= 0) {
+      if (headRe.findFirstIn(masked.substring(probe)).isDefined)
+        whenIdx = probe
+      else probe = topLevelKeyword(masked, "WHEN", probe + 4)
+    }
+    require(whenIdx > afterOnStart,
+      "MERGE needs at least one WHEN [NOT] MATCHED clause")
+    val clauses = tail.substring(whenIdx).trim
+      .replaceAll(";\\s*$", "").trim
+    (tail.substring(0, onIdx).trim,
+      tail.substring(afterOnStart, whenIdx).trim, clauses)
+  }
+
   /** Split on top-level `AND` keywords (never inside parens or
     * quotes) — the MERGE ON condition's conjunct structure. */
   private[plans] def splitTopLevelAnd(s: String): Seq[String] = {
@@ -549,8 +634,11 @@ object GraftSqlStatements {
     // source: bare table/view name or parenthesized subquery (run-time
     // resolution via the session — full Spark SQL inside)
     val (srcSql, srcAlias) = {
-      val sub = "(?s)^\\((.+)\\)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
-      val tbl = "(?s)^([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+      // (?i): `as`/`As` alias keywords are as legal as `AS` (first
+      // fuzz-spec finding — the statement-level regexes are (?is) but
+      // these two were case-sensitive, refusing lowercase aliases)
+      val sub = "(?is)^\\((.+)\\)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+      val tbl = "(?is)^([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
       source match {
         case sub(q, a) => (Left(q.trim): Either[String, String], Option(a))
         case tbl(t, a) => (Right(t): Either[String, String], Option(a))
@@ -566,9 +654,16 @@ object GraftSqlStatements {
     final case class Clause(not: Boolean, bySource: Boolean,
                             cond: Option[String],
                             action: String, payload: String)
-    val parsed = whenRe.findAllMatchIn(clauses).map { m =>
-      val action = m.group(4).trim
-      val up = action.toUpperCase.replaceAll("\\s+", " ")
+    // the clause splitter scans the LITERAL-MASKED text (clause-head
+    // words inside a string literal are data, not boundaries — fuzz
+    // finding) and slices conditions/payloads from the ORIGINAL
+    val maskedClauses = GraftSqlStatements.maskLiterals(clauses)
+    def orig(m: scala.util.matching.Regex.Match, g: Int): Option[String] =
+      Option(m.group(g)).map(_ => clauses.substring(m.start(g), m.end(g)))
+    val parsed = whenRe.findAllMatchIn(maskedClauses).map { m =>
+      val action = orig(m, 4).get.trim
+      val up = GraftSqlStatements.maskLiterals(action)
+        .toUpperCase.replaceAll("\\s+", " ").trim
       val kind =
         if (up.startsWith("UPDATE SET")) "UPDATE"
         else if (up == "DELETE") "DELETE"
@@ -578,7 +673,7 @@ object GraftSqlStatements {
       require(by.isEmpty || not,
         "BY SOURCE/TARGET qualifies NOT MATCHED clauses only")
       Clause(not, by.contains("SOURCE"),
-        Option(m.group(3)).map(_.trim), kind, action)
+        orig(m, 3).map(_.trim), kind, action)
     }.toSeq
     require(parsed.nonEmpty, "MERGE needs at least one WHEN clause")
     parsed.foreach { c =>
