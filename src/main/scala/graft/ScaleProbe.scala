@@ -158,7 +158,12 @@ object ScaleProbe {
     // column DEFAULTs: declaration is ONE metadata commit (flat in
     // data); the fill is a write-side projection on the inserted
     // slice only — cost tracks the INSERT's own rows, never the table
-    "column_defaults")
+    "column_defaults",
+    // round-15 additions: composite keys must cost no extra exchange
+    // (same confirm/carry shuffles keyed on N columns, intersected
+    // prune); the residual evaluates inside the resolution join and
+    // the keyed-carry window rides its partitioning
+    "merge_composite_key", "merge_residual_on")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -255,12 +260,17 @@ object ScaleProbe {
       // range, so the co-purchase graph becomes `factor` disjoint copies
       // — edges scale by `factor`, per-replica graph structure intact
       // (the same disjoint-replica discipline as the other tables).
+      // (r15: plus the composite-merge columns — linenumber/quantity/
+      // returnflag carry verbatim so merge_composite_key's per-pair
+      // key structure replicates per disjoint key range)
       val li = Tables.lineitem(spark, baseDir)
-        .select(col("l_orderkey"), col("l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       val scaledLi = (0 until factor).map { k =>
         li.select(
           (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
-          (col("l_partkey") + lit(k.toLong * 1000000000L)).as("l_partkey"))
+          (col("l_partkey") + lit(k.toLong * 1000000000L)).as("l_partkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       }.reduce(_ unionByName _)
       scaledLi.write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
       // orders: keys shift into disjoint ranges, dates/values unchanged —

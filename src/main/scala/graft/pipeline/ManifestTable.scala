@@ -4111,8 +4111,40 @@ object ManifestTable {
           else updates
         val keyEq = keys.map(k => col(k) === col(s"_b_$k"))
           .reduce(_ && _)
-        val resolved = src.join(b, keyEq,
-          if (fused) "full_outer" else "left")
+        // Match-state resolution, sized to the source. A LEFT OUTER
+        // preserving the small source can never broadcast-hash (the
+        // build side must be the non-outer side — the BASE), so the
+        // naive `src LEFT JOIN base` EXCHANGES the full base no matter
+        // what is hinted (measured: 72 MB of an 80 MB probe table per
+        // merge). Under the gate the outer join is therefore REBUILT
+        // from two base-streaming pieces with identical column shape:
+        //
+        //   pairs   = base INNER JOIN broadcast(src)   — base streams,
+        //             zero exchange (Delta's findTouchedFiles shape);
+        //   srcOnly = src ANTI broadcast(pair keys)    — unmatched
+        //             source rows, `_b_` columns NULL (exactly the
+        //             left-outer's null-extension).
+        //
+        // Past the gate the one sort-merge exchange is the correct
+        // linear plan; by-source merges past THEIR gate keep the fused
+        // full-outer (which cannot broadcast and shouldn't).
+        val resolved =
+          if (fused) src.join(b, keyEq, "full_outer")
+          else if (!bcSource) src.join(b, keyEq, "left")
+          else {
+            val pairs = b.join(
+              org.apache.spark.sql.functions.broadcast(src), keyEq,
+              "inner")
+            val pairsKeys = pairs.select(keyCols: _*).distinct()
+            val srcOnly = src.join(
+              org.apache.spark.sql.functions.broadcast(pairsKeys),
+              keys, "left_anti")
+              .select(src.columns.map(col) ++ schema.fields.map(f =>
+                lit(null).cast(f.dataType).as(s"_b_${f.name}")): _*)
+            pairs.select(src.columns.map(col).toSeq ++
+                schema.fieldNames.map(n => col(s"_b_$n")): _*)
+              .unionByName(srcOnly)
+          }
         // Pair classification. The join equates KEYS only; the full ON
         // condition is keys AND `residual` — a key-equal pair failing
         // the residual is NOT matched (its source row inserts, its
@@ -4285,6 +4317,44 @@ object ManifestTable {
           .otherwise(del)
         val delImage = bsNullKeyGuard(
           (isMatched && delFlag) || (isBaseNM && bsDel))
+        // GENERATED columns: a clause that does not explicitly assign
+        // one must RECOMPUTE it over the final image (Delta's
+        // generated-always semantics) — the naive `_b_`/NULL image
+        // would trip the write-time equality guard the moment an
+        // update touches a referenced column. Star forms assign ALL
+        // columns (source value enforced); explicit lists recompute
+        // the unassigned. The fill flag rides each emission's select
+        // (claims are unreadable after projection) and the recompute
+        // runs over the image columns themselves.
+        val genCols = st.generated.toSeq.sortBy(_._1)
+        def clauseLeavesUnassigned(cl: MergeMatched, g: String): Boolean =
+          cl match {
+            case u: MergeUpdate => u.set.nonEmpty && !u.set.exists(_._1 == g)
+            case _: MergeDelete => true // image unread past the flag
+          }
+        def mGenFlag(g: String): Column = matched.zip(mClaims).reverse
+          .foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
+            when(claim, lit(clauseLeavesUnassigned(cl, g))).otherwise(acc) }
+        def iGenFlag(g: String): Column = notMatched.zip(iClaims).reverse
+          .foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
+            when(claim,
+              lit(cl.values.nonEmpty && !cl.values.exists(_._1 == g)))
+              .otherwise(acc) }
+        def bsGenFlag(g: String): Column = notMatchedBySource.zip(bsClaims)
+          .reverse.foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
+            when(claim, lit(cl match {
+              case u: MergeUpdate => !u.set.exists(_._1 == g)
+              case _: MergeDelete => true })).otherwise(acc) }
+        def genFlagCols(flag: String => Column): Seq[Column] =
+          genCols.map { case (g, _) => flag(g).as(s"_graft_gf_$g") }
+        def genFill(frame: DataFrame): DataFrame =
+          if (genCols.isEmpty) frame
+          else genCols.foldLeft(frame) { case (d, (g, sql)) =>
+            d.withColumn(g, when(col(s"_graft_gf_$g"),
+                org.apache.spark.sql.functions.expr(sql)
+                  .cast(schema(g).dataType))
+              .otherwise(col(g)))
+          }.drop(genCols.map { case (g, _) => s"_graft_gf_$g" }: _*)
         // CARRY machinery — the keyed copy-on-write drops EVERY base
         // row whose key appears in the compiled frame, so when a key
         // can be partially acted (duplicate target keys with a
@@ -4332,7 +4402,11 @@ object ManifestTable {
             resolved
               .withColumn("_graft_del", delImage)
               .filter(roleActed || (isSourceOnly && anyI))
-              .select(images :+ col("_graft_del"): _*)
+              .select(images ++ genFlagCols(g =>
+                  when(isMatched, mGenFlag(g))
+                    .when(isSourceOnly, iGenFlag(g))
+                    .otherwise(bsGenFlag(g)))
+                :+ col("_graft_del"): _*)
           } else {
             import org.apache.spark.sql.expressions.Window
             val wKeys = keys.map(k =>
@@ -4367,6 +4441,8 @@ object ManifestTable {
               .withColumn("_graft_del", delImage)
               .filter(roleActed || carryRow)
               .select(imageNames.map(c => pairImg(c).as(c))
+                ++ genFlagCols(g =>
+                  when(isMatched, mGenFlag(g)).otherwise(bsGenFlag(g)))
                 :+ col("_graft_del"): _*)
             if (!hasResidual)
               // inserts are disjoint from base-addressing pairs when
@@ -4375,11 +4451,13 @@ object ManifestTable {
                 .withColumn("_graft_del", lit(false))
                 .filter(isSourceOnly && anyI)
                 .select(imageNames.map(c => insImg(c).as(c))
+                  ++ genFlagCols(iGenFlag)
                   :+ col("_graft_del"): _*))
             else branchA.unionByName(step2
               .withColumn("_graft_del", lit(false))
               .filter(insertFire)
               .select(imageNames.map(c => insImg(c).as(c))
+                ++ genFlagCols(iGenFlag)
                 :+ col("_graft_del"): _*))
           }
         // Broadcast two-join shape for small sources: base-only rows
@@ -4434,13 +4512,25 @@ object ManifestTable {
                     && !anyBaseKeyNull))
               }
             compiled.unionByName(
-              bsEmitted.select(bsAliased :+ col("_graft_del"): _*))
+              bsEmitted.select(bsAliased ++ genFlagCols(bsGenFlag)
+                :+ col("_graft_del"): _*))
           }
-        mergeAttempt(withBySource, path, keys, deleteCol = Some("_graft_del"),
-          statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
-          sortCols = sortCols, deleteVectors = deleteVectors,
-          prevV = prevV, schemaEvolution = schemaEvolution,
-          broadcastSource = bcSource) match {
+        // PIN the compiled frame: the keyed copy-on-write consumes it
+        // several times (bounds prune, key flags, confirm join, carry,
+        // staging write) and each un-cached evaluation would re-run
+        // the whole resolution join — O(source) rows, spill-safe, and
+        // released win or lose
+        val compiledPinned = genFill(withBySource)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val outcome =
+          try mergeAttempt(compiledPinned, path, keys,
+            deleteCol = Some("_graft_del"),
+            statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
+            sortCols = sortCols, deleteVectors = deleteVectors,
+            prevV = prevV, schemaEvolution = schemaEvolution,
+            broadcastSource = bcSource)
+          finally compiledPinned.unpersist(blocking = false)
+        outcome match {
           case Some(v) => return v
           case None    => attempt += 1 // lost the race: RE-RESOLVE above
         }
@@ -5275,9 +5365,32 @@ object ManifestTable {
           val c = conf.value
           val fp = new org.apache.hadoop.fs.Path(from)
           val tp = new org.apache.hadoop.fs.Path(to)
+          val sfs = fp.getFileSystem(c)
+          // VACUUM-HORIZON guard: a concurrent vacuum whose floor
+          // passed the cloned version can drop source files mid-copy.
+          // Stat-before / verify-after turns every such race into a
+          // LOUD failure naming the cause — the clone never commits a
+          // manifest over torn bytes (the commit only happens after
+          // every task returned), and the caller's recovery is to
+          // retry against a retained version.
+          val expectLen =
+            try sfs.getFileStatus(fp).getLen
+            catch {
+              case e: java.io.FileNotFoundException =>
+                throw new IllegalStateException(
+                  s"deep clone lost a race with VACUUM: source file " +
+                    s"$from vanished mid-clone — clone a version inside " +
+                    "the vacuum retention window (or pause vacuum)", e)
+            }
+          val dfs = tp.getFileSystem(c)
           org.apache.hadoop.fs.FileUtil.copy(
-            fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
-            false, true, c): Unit
+            sfs, fp, dfs, tp, false, true, c): Unit
+          val gotLen = dfs.getFileStatus(tp).getLen
+          if (gotLen != expectLen)
+            throw new IllegalStateException(
+              s"deep clone copied $gotLen of $expectLen bytes for $from " +
+                "— torn read under a concurrent writer/vacuum; retry " +
+                "against a retained version")
         }
     def m(rel: String): String = relMap(rel)
     val json = deltaJson(1L, System.currentTimeMillis(),

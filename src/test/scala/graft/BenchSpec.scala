@@ -92,6 +92,22 @@ class BenchSpec extends SparkSpec {
       "kept + omitted must cover every timed query")
     // slowest-first: the kept entries are the most expensive ones
     assert(line.contains("query_name_89"), "slowest queries must survive the trim")
+    // r15: per-query min_quiet rides the compact artifact as
+    // [median, min_quiet] pairs, still within budget, still JSON
+    val quiets = (1 to 90).filter(_ % 17 != 0)
+      .map(i => s"query_name_$i" -> i * 0.031).toMap
+    val line2 = Bench.renderCompact(medians, 12.345,
+      "/root/testdata/sf0.1", reps = 3, loadStart = 1.0, loadEnd = 2.0,
+      nErrors = 5, totalMinQuiet = 10.0, quietLoad = 4.0,
+      minQuiets = quiets)
+    assert(line2.length <= 1400, s"over budget: ${line2.length}")
+    val row2 = parseJson(line2).head()
+    assert(row2.getAs[String]("queries_format") === "[median,min_quiet]")
+    val q89 = parseJson(line2).select("queries.query_name_89").head()
+      .getSeq[Double](0)
+    assert(q89 === Seq(89 * 0.037, 89 * 0.031).map(v =>
+      math.round(v * 100) / 100.0))
+    assert(row2.getAs[Double]("total_min_quiet") === 10.0)
   }
 
   test("renderFull and writeDetail emit parseable JSON with escaped interpolations") {
