@@ -101,6 +101,14 @@ object ManifestTable {
     * `spark.graft.mergeBroadcastRows`. */
   val MergeBroadcastMaxRows: Long = 1L << 22
 
+  /** Base-slice broadcast gate (on-disk bytes): a PRUNED base slice at
+    * or under it broadcasts into the match-state resolution (one plain
+    * left-outer join, no auxiliary builds — the cheapest plan for
+    * small tables/slices); past it the base STREAMS through the
+    * inner-pairs shape instead. Override per session with
+    * `spark.graft.mergeBroadcastBaseBytes`. */
+  val MergeBroadcastBaseMaxBytes: Long = 128L << 20
+
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).
     */
@@ -3474,8 +3482,6 @@ object ManifestTable {
                  schemaEvolution: Boolean = false): Long = {
     val spark = updates.sparkSession
     validateMergeKeys(keys)
-    // decided ONCE (depends only on the source), outside the OCC loop
-    val bcSource = !mergeSourceExceedsGate(updates)
     tag.flatMap(committedVersionOfTag(spark, path, _)).getOrElse {
       var attempt = 0
       while (attempt < maxAttempts) {
@@ -3484,8 +3490,7 @@ object ManifestTable {
             s"no committed version at $path to merge into"))
         mergeAttempt(updates, path, keys, deleteCol, statsCols, tag,
           tagHorizon, sortCols, deleteVectors, prevV,
-          schemaEvolution = schemaEvolution,
-          broadcastSource = bcSource) match {
+          schemaEvolution = schemaEvolution) match {
           case Some(v) => return v
           case None    => attempt += 1
         }
@@ -3495,21 +3500,19 @@ object ManifestTable {
     }
   }
 
-  /** Whether a merge source exceeds the broadcast gate
-    * (`spark.graft.mergeBroadcastRows`, default [[MergeBroadcastMaxRows]]):
-    * under it, the confirm scan / row-id / carry joins broadcast the
-    * source-derived key frames (zero base exchange on the probe side);
-    * past it they shuffle — the source never lands whole on the driver
-    * or a single executor. The probe is a bounded `limit(gate+1)`
-    * count, clamped to the addressable range (a gate past
-    * Int.MaxValue-1 means "always broadcast" and must not overflow). */
-  private def mergeSourceExceedsGate(updates: DataFrame): Boolean = {
-    val gate = updates.sparkSession.conf
-      .getOption("spark.graft.mergeBroadcastRows")
+  /** The merge-source broadcast gate in rows
+    * (`spark.graft.mergeBroadcastRows`, default
+    * [[MergeBroadcastMaxRows]]): a source at or under it broadcasts
+    * into the confirm scan / row-id / carry joins (zero base exchange);
+    * past it those joins shuffle — the source never lands whole on the
+    * driver or a single executor. The row count itself rides jobs the
+    * merge already runs (the key-stats aggregate in
+    * [[mergeMultiKeyed]], the bounds aggregate in the keyed
+    * copy-on-write) — no dedicated probe pass. */
+  private def mergeGateRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mergeBroadcastRows")
       .flatMap(_.toLongOption).getOrElse(MergeBroadcastMaxRows)
-      .max(0L).min(Int.MaxValue.toLong - 1L)
-    updates.limit((gate + 1L).toInt).count() > gate
-  }
+      .max(0L)
 
   /** Merge keys must be non-empty, distinct, and comma-free (the
     * manifest records the composite dvKey/mergeKey comma-joined; a
@@ -3544,7 +3547,8 @@ object ManifestTable {
                            sortCols: Seq[String], deleteVectors: Boolean,
                            prevV: Long,
                            schemaEvolution: Boolean = false,
-                           broadcastSource: Boolean = true): Option[Long] = {
+                           broadcastSource: Option[Boolean] = None)
+      : Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
     val spark = updates.sparkSession
     val f = fs(spark, path)
@@ -3597,20 +3601,28 @@ object ManifestTable {
     // must overlap every key column's update range to hold a match)
     val prunables: Map[String, Boolean] =
       keys.map(k => k -> statsPrunable(schema(k).dataType)).toMap
-    val boundAggs = keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
+    // the bounds aggregate also carries the source ROW COUNT — it
+    // decides the broadcast gate without a dedicated probe pass when
+    // the caller didn't already know (mergeMultiKeyed fuses the count
+    // into its key-stats job and passes the verdict down)
+    val boundAggs = org.apache.spark.sql.functions.count(lit(1)) +:
+      keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
     val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bcSource = broadcastSource.getOrElse(
+      bounds.getLong(0) <= mergeGateRows(spark))
     // a key column whose update values are ALL null can never equate:
     // nothing is touched (SQL join semantics)
-    val anyKeyAllNull = keys.indices.exists(i => bounds.isNullAt(2 * i))
+    val anyKeyAllNull =
+      keys.indices.exists(i => bounds.isNullAt(1 + 2 * i))
     val candidates: Seq[String] =
       if (anyKeyAllNull) Nil
       else keys.zipWithIndex.foldLeft(st.files) { case (files, (k, i)) =>
         if (files.isEmpty) files
         else if (prunables(k))
           pruneFilesByRange(st.copy(files = files), k, prunableType = true,
-            bounds.get(2 * i).toString.toDouble,
-            bounds.get(2 * i + 1).toString.toDouble)
-        else if (broadcastSource && partCols.contains(st.phys(k))) {
+            bounds.get(1 + 2 * i).toString.toDouble,
+            bounds.get(2 + 2 * i).toString.toDouble)
+        else if (bcSource && partCols.contains(st.phys(k))) {
           // non-numeric key that IS a partition column: prune by exact
           // partition value (the distinct-key collect is bounded by
           // the broadcast gate; a past-the-gate source skips this
@@ -3635,8 +3647,15 @@ object ManifestTable {
     // `broadcastSource` sizes the join strategy: a source past the
     // gate joins the confirm scan by shuffle instead of broadcast.
     val keyCols = keys.map(col)
+    // source-derived key frames (updKeys / keyFlags) join with an
+    // EXPLICIT broadcast hint under the gate: AQE could convert these
+    // joins from runtime stats, but it materializes BOTH child shuffle
+    // stages before re-planning — at 100× the big side's shuffle WRITE
+    // (the full rewrite input) already executed by then (measured 222×
+    // vs 98× probe shuffle unhinted). The hint keeps the big side
+    // exchange-free; past the gate the joins shuffle by design.
     def maybeBc(df: DataFrame): DataFrame =
-      if (broadcastSource) broadcast(df) else df
+      if (bcSource) broadcast(df) else df
     val updKeys = updates.select(keyCols: _*).distinct()
     val keyFlags = updates
       .select(keyCols :+ delFlag.as("_graft_d"): _*)
@@ -4014,11 +4033,20 @@ object ManifestTable {
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
             "be the last on its side — later clauses are unreachable"))
-      require(updates.groupBy(keyCols: _*).count()
-          .filter(col("count") > 1).isEmpty,
+      // ONE source job answers three questions (key-uniqueness, the
+      // by-source fuse gate, the broadcast gate) — the r15 probes each
+      // ran their own pass over the source before this fuse
+      val keyStats = updates.groupBy(keyCols: _*).count()
+        .agg(coalesce(smax(col("count")), lit(0L)).as("_mx"),
+          coalesce(
+            org.apache.spark.sql.functions.sum(col("count")), lit(0L))
+            .as("_n"))
+        .head()
+      require(keyStats.getLong(0) <= 1L,
         "conditional merge requires key-unique updates on " +
           s"'${keys.mkString(",")}' — multiple source rows match the " +
           "same target row (ambiguous clauses)")
+      val srcRows = keyStats.getLong(1)
       // Delta's reachability rule: anything after an unconditional
       // clause on the same match side can never fire
       matched.dropRight(1).foreach(c => require(c.condition.isDefined,
@@ -4050,16 +4078,15 @@ object ManifestTable {
       // loop; the gate clamps to the probe's addressable range (a gate
       // past Int.MaxValue-1 rows means "never fuse" and must not
       // overflow into a negative limit).
-      val fused = hasBySource && {
-        val gate = spark.conf.getOption("spark.graft.bySourceBroadcastRows")
+      val fused = hasBySource && srcRows > {
+        spark.conf.getOption("spark.graft.bySourceBroadcastRows")
           .flatMap(_.toLongOption).getOrElse(BySourceBroadcastMaxRows)
-          .max(0L).min(Int.MaxValue.toLong - 1L)
-        updates.limit((gate + 1L).toInt).count() > gate
+          .max(0L)
       }
       // the downstream keyed copy-on-write sizes ITS joins to the
-      // source too (confirm scan / row-id / carry) — same
-      // once-per-merge probe discipline, independent gate
-      val bcSource = !mergeSourceExceedsGate(updates)
+      // source too (confirm scan / row-id / carry) — independent gate,
+      // same fused source-stats job
+      val bcSource = srcRows <= mergeGateRows(spark)
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(
@@ -4073,13 +4100,14 @@ object ManifestTable {
         // by-source clauses the pruned slice stands (only matched rows
         // matter).
         def fullBase: DataFrame = readStateDf(spark, path, st)
-        val baseSlice =
-          if (fused) fullBase
+        val (baseSlice, baseSliceFiles) =
+          if (fused) (fullBase, st.files)
           else {
             val boundAggs = keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
             val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
             if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
-              fullBase.limit(0) // some key column is ALL null: no match
+              // some key column is ALL null: no match
+              (fullBase.limit(0), Seq.empty[String])
             else {
               // intersect per-column stats prunes over every prunable
               // key column (same discipline as mergeAttempt's)
@@ -4092,10 +4120,18 @@ object ManifestTable {
                     bounds.get(2 * i).toString.toDouble,
                     bounds.get(2 * i + 1).toString.toDouble)
               }
-              if (pruned.size == st.files.size) fullBase
-              else readStateDf(spark, path, st.copy(files = pruned))
+              if (pruned.size == st.files.size) (fullBase, st.files)
+              else (readStateDf(spark, path, st.copy(files = pruned)), pruned)
             }
           }
+        // on-disk bytes of the base slice — driver metadata (O(files)),
+        // sizes the resolution strategy below
+        val baseSliceBytes = baseSliceFiles.map { r =>
+          val p = new Path(resolveRef(path, r))
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum
         val b0 = baseSlice.select(
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
         // Fused shape: ONE join resolves all three match states —
@@ -4128,13 +4164,33 @@ object ManifestTable {
         // Past the gate the one sort-merge exchange is the correct
         // linear plan; by-source merges past THEIR gate keep the fused
         // full-outer (which cannot broadcast and shouldn't).
+        // The pairs frame is PINNED: it feeds the pairsKeys broadcast
+        // AND the resolved union, so the base scan + source broadcast
+        // build run once per merge, not once per consumer (lifecycle
+        // merges regressed 3× on fixture scale before the pin). When
+        // the PRUNED BASE SLICE itself is broadcast-small (measured in
+        // on-disk bytes, `spark.graft.mergeBroadcastBaseBytes`), the
+        // plain left outer broadcasts the BASE instead — legal (the
+        // build side is the non-outer side) and the cheapest plan of
+        // all: one join, no auxiliary broadcast builds. The base-
+        // streaming pairs shape is for the real case: big base, small
+        // source.
+        val smallBase = !fused && baseSliceBytes <= spark.conf
+          .getOption("spark.graft.mergeBroadcastBaseBytes")
+          .flatMap(_.toLongOption).getOrElse(MergeBroadcastBaseMaxBytes)
+        var pairsPin: Option[DataFrame] = None
         val resolved =
           if (fused) src.join(b, keyEq, "full_outer")
+          else if (smallBase)
+            src.join(org.apache.spark.sql.functions.broadcast(b),
+              keyEq, "left")
           else if (!bcSource) src.join(b, keyEq, "left")
           else {
             val pairs = b.join(
               org.apache.spark.sql.functions.broadcast(src), keyEq,
               "inner")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pairsPin = Some(pairs)
             val pairsKeys = pairs.select(keyCols: _*).distinct()
             val srcOnly = src.join(
               org.apache.spark.sql.functions.broadcast(pairsKeys),
@@ -4437,28 +4493,41 @@ object ManifestTable {
             // rows insert normally
             val carryRow =
               baseP && !roleActed && keyActed && !anyBaseKeyNull
-            val branchA = step2
-              .withColumn("_graft_del", delImage)
-              .filter(roleActed || carryRow)
-              .select(imageNames.map(c => pairImg(c).as(c))
-                ++ genFlagCols(g =>
-                  when(isMatched, mGenFlag(g)).otherwise(bsGenFlag(g)))
-                :+ col("_graft_del"): _*)
             if (!hasResidual)
-              // inserts are disjoint from base-addressing pairs when
-              // the join is keys-only: fold them into one pass
+              // inserts are DISJOINT from base-addressing pairs when
+              // the join is keys-only: ONE pass over the windowed
+              // frame (a union would evaluate the window subtree once
+              // per branch)
+              step2
+                .withColumn("_graft_del",
+                  when(isSourceOnly, lit(false)).otherwise(delImage))
+                .filter(roleActed || carryRow || (isSourceOnly && anyI))
+                .select(imageNames.map(c =>
+                    when(isSourceOnly, insImg(c))
+                      .otherwise(pairImg(c)).as(c))
+                  ++ genFlagCols(g =>
+                    when(isMatched, mGenFlag(g))
+                      .when(isSourceOnly, iGenFlag(g))
+                      .otherwise(bsGenFlag(g)))
+                  :+ col("_graft_del"): _*)
+            else {
+              // residual: an insert-firing pair may ALSO carry its
+              // base row — two output rows from one input row, so the
+              // union stands (the rare path; pairs-frame-sized)
+              val branchA = step2
+                .withColumn("_graft_del", delImage)
+                .filter(roleActed || carryRow)
+                .select(imageNames.map(c => pairImg(c).as(c))
+                  ++ genFlagCols(g =>
+                    when(isMatched, mGenFlag(g)).otherwise(bsGenFlag(g)))
+                  :+ col("_graft_del"): _*)
               branchA.unionByName(step2
                 .withColumn("_graft_del", lit(false))
-                .filter(isSourceOnly && anyI)
+                .filter(insertFire)
                 .select(imageNames.map(c => insImg(c).as(c))
                   ++ genFlagCols(iGenFlag)
                   :+ col("_graft_del"): _*))
-            else branchA.unionByName(step2
-              .withColumn("_graft_del", lit(false))
-              .filter(insertFire)
-              .select(imageNames.map(c => insImg(c).as(c))
-                ++ genFlagCols(iGenFlag)
-                :+ col("_graft_del"): _*))
+            }
           }
         // Broadcast two-join shape for small sources: base-only rows
         // come from a broadcast ANTI join over the full base — the
@@ -4528,8 +4597,11 @@ object ManifestTable {
             statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
             sortCols = sortCols, deleteVectors = deleteVectors,
             prevV = prevV, schemaEvolution = schemaEvolution,
-            broadcastSource = bcSource)
-          finally compiledPinned.unpersist(blocking = false)
+            broadcastSource = Some(bcSource))
+          finally {
+            compiledPinned.unpersist(blocking = false)
+            pairsPin.foreach(_.unpersist(blocking = false))
+          }
         outcome match {
           case Some(v) => return v
           case None    => attempt += 1 // lost the race: RE-RESOLVE above
