@@ -38,21 +38,17 @@ object Bench {
       val base = attempts.take(baseReps).flatMap(_._2).sorted
       if (base.isEmpty) None else Some(base(base.length / 2))
     }
-    /** Fastest rep among those started QUIET — under
-      * max(`maxLoad`, this query's calmest observed load + 2.0). The
-      * absolute floor alone cannot work: the bench's own local[32]
-      * execution keeps the 1-min loadavg elevated for the whole run
-      * (124/124 queries read > 4 mid-run), so background contamination
-      * is visible only as WITHIN-query load variance — self-load is
-      * the same for every rep of one query and subtracts out. None
-      * only when every rep failed. */
+    /** Fastest rep among those started GENUINELY quiet — 1-min loadavg
+      * at or under the absolute `maxLoad` threshold. None when no rep
+      * started quiet (or every rep failed): the r15 artifact's
+      * relative fallback (calmest observed load + 2.0) admitted
+      * contaminated reps and printed a 32 s "quiet" value for a 3 s
+      * query — an honest absence beats a misleading number, and
+      * [[measureRuns]]' quiet-seek retries exist to make absences
+      * rare. */
     def minQuiet(maxLoad: Double): Option[Double] = {
-      val observed = attempts.collect { case (l, _) if l >= 0 => l }
-      val threshold =
-        if (observed.isEmpty) maxLoad
-        else math.max(maxLoad, observed.min + 2.0)
       val quiet = attempts.collect {
-        case (l, Some(t)) if l >= 0 && l <= threshold => t
+        case (l, Some(t)) if l >= 0 && l <= maxLoad => t
       }
       if (quiet.isEmpty) None else Some(quiet.min)
     }
@@ -64,9 +60,17 @@ object Bench {
   def measureRuns(spark: SparkSession, sfDir: String,
                   queries: Seq[(String, (SparkSession, String) => DataFrame)],
                   reps: Int, maxExtraReps: Int = 0,
-                  spreadTarget: Double = 0.3)
+                  spreadTarget: Double = 0.3,
+                  quietLoad: Double = -1.0,
+                  maxQuietRetries: Int = 0,
+                  quietWaitBudgetSec: Int = 0)
       : (Seq[QueryRun], Map[String, String]) = {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // shared across the whole run: total seconds the quiet-seek may
+    // SLEEP waiting for a transient co-tenant spike to decay (the 1-min
+    // loadavg is an EMA — an immediate retry under sustained load would
+    // just re-read the same number)
+    var waitBudget = quietWaitBudgetSec
     val results = queries.map { case (name, fn) =>
       val attempts =
         scala.collection.mutable.ArrayBuffer.empty[(Double, Option[Double])]
@@ -96,6 +100,23 @@ object Bench {
       while (extra < maxExtraReps && noisy) {
         oneRep()
         extra += 1
+      }
+      // QUIET-SEEK: min_quiet is only reported from reps that STARTED
+      // under the threshold; when none did, spend bounded extra reps
+      // (preceded by a bounded shared wait for the loadavg to decay)
+      // hunting one — otherwise the query honestly reports no quiet
+      // rep instead of a fallback number (r15 verdict finding #1).
+      def hasQuiet: Boolean = attempts.exists {
+        case (l, t) => l >= 0 && l <= quietLoad && t.isDefined
+      }
+      var quietTries = 0
+      while (quietLoad > 0 && quietTries < maxQuietRetries && !hasQuiet &&
+          times.nonEmpty) {
+        while (waitBudget > 0 && loadAvg1m() > quietLoad) {
+          Thread.sleep(2000); waitBudget -= 2
+        }
+        oneRep()
+        quietTries += 1
       }
       // release storage leaked by finished queries (localCheckpoint
       // blocks are otherwise freed only on driver GC) so later queries
@@ -217,7 +238,8 @@ object Bench {
                     calib: Double = -1.0,
                     totalMinQuiet: Double = -1.0,
                     quietLoad: Double = -1.0,
-                    minQuiets: Map[String, Double] = Map.empty): String = {
+                    minQuiets: Map[String, Double] = Map.empty,
+                    noQuietN: Int = -1): String = {
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // per-query value is [median, min_quiet] when the quiet number is
     // known (round-15: cross-round judging reads quiet numbers from
@@ -230,10 +252,12 @@ object Bench {
         }
       }
     // total over per-query quiet minima (median fallback where no rep
-    // ran quiet): the host-load-robust twin of the adaptive-median total
+    // ran quiet — `no_quiet_n` counts those honestly): the
+    // host-load-robust twin of the adaptive-median total
     val quietJson =
       if (totalMinQuiet < 0) ""
-      else s""""total_min_quiet":${fmt(totalMinQuiet)},"quiet_load":${fmt(quietLoad, 2)},"""
+      else s""""total_min_quiet":${fmt(totalMinQuiet)},"quiet_load":${fmt(quietLoad, 2)},""" +
+        (if (noQuietN < 0) "" else s""""no_quiet_n":$noQuietN,""")
     val fmtJson =
       if (minQuiets.isEmpty) ""
       else """"queries_format":"[median,min_quiet]","""
@@ -340,8 +364,18 @@ object Bench {
     // reps under ~4 tracked the quiet-host numbers.
     val quietLoad = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(4.0)
+    // Quiet-seek bounds: up to 1 extra rep per no-quiet query, drawing
+    // on a SHARED 120 s sleep budget for transient spikes to decay —
+    // bounded so a sustained co-tenant can cost at most one extra rep
+    // per query plus two minutes total, never an unbounded stall.
+    val quietRetries = sys.env.get("SPARK_GRAFT_QUIET_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(1)
+    val quietWait = sys.env.get("SPARK_GRAFT_QUIET_WAIT")
+      .flatMap(_.toIntOption).getOrElse(120)
     val (runs, errors) =
-      measureRuns(spark, sfDir, selected.toSeq, reps, maxExtraReps = maxExtra)
+      measureRuns(spark, sfDir, selected.toSeq, reps, maxExtraReps = maxExtra,
+        quietLoad = quietLoad, maxQuietRetries = quietRetries,
+        quietWaitBudgetSec = quietWait)
     val medians = runs.map(r => r.name -> r.median)
     // Per-rep spread (max-min seconds over successful reps): a noisy run
     // shows wide spreads and is self-identifying, so a slow median can be
@@ -382,7 +416,9 @@ object Bench {
       errors.size, calib = calib, totalMinQuiet = totalMinQuiet,
       quietLoad = quietLoad,
       minQuiets = runs.flatMap(r =>
-        r.minQuiet(quietLoad).map(r.name -> _)).toMap))
+        r.minQuiet(quietLoad).map(r.name -> _)).toMap,
+      noQuietN = runs.count(r =>
+        r.times.nonEmpty && r.minQuiet(quietLoad).isEmpty)))
     System.out.flush()
   }
 }

@@ -85,6 +85,7 @@ object SparkEntry {
     "multimodal_meta"    -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "multimodal_image_meta" -> ((s, d) => Multimodal.multimodalImageMeta(s, d)),
     "multimodal_blob_ingest" -> ((s, d) => Multimodal.multimodalBlobIngest(s, d)),
+    "multimodal_audio_meta" -> ((s, d) => Multimodal.multimodalAudioMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -142,6 +143,8 @@ object SparkEntry {
     "replace_where"      -> ((s, d) => graft.pipeline.Medallion.replaceWhereOrders(s, d)),
     "format_roundtrip"   -> ((s, d) => graft.pipeline.Medallion.formatRoundtrip(s, d)),
     "merge_evolution"    -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionOrders(s, d)),
+    "merge_evolution_assign" -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionAssignOrders(s, d)),
+    "auto_optimize"      -> ((s, d) => graft.pipeline.Medallion.autoOptimizeOrders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -786,6 +789,40 @@ object SparkEntry {
          CAST(doc_id % 37 + 1 AS INTEGER) AS width,
          CAST(doc_id % 23 + 1 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels
+         FROM documents ORDER BY doc_id""",
+    // real WAV/MP3 byte synthesis (audioTable) + real header parsing
+    // (AudioCodec: RIFF chunk walk, MPEG-1 L3 frame fields); every
+    // parameter is a fixed function of doc_id, so the oracle recomputes
+    // the generating arithmetic — a wrong header offset, bitrate-table
+    // entry, or duration estimate hash-mismatches
+    "multimodal_audio_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS container,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END
+              ELSE
+                CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END
+              END AS INTEGER) AS sample_rate,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+                   WHEN doc_id % 4 = 3 THEN 1 ELSE 2
+              END AS INTEGER) AS channels,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INTEGER)
+           AS bit_depth,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN
+                ((doc_id % 97 + 1) * 10 * 1000) //
+                (CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 22050 ELSE 44100 END)
+              ELSE
+                ((4 + (doc_id % 50 + 1) * 13) * 8 * 1000) //
+                ((CASE doc_id % 14 + 1
+                    WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                    WHEN 13 THEN 256 ELSE 320 END) * 1000)
+              END AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
     "sessionize" ->
       """WITH t AS (
@@ -1694,6 +1731,29 @@ object SparkEntry {
                   o_orderdate, o_orderpriority
            FROM orders WHERE o_orderkey % 3 = 0)
          ORDER BY o_orderkey""",
+    // Relational recompute of the assignment-list evolution lifecycle
+    // (Medallion.mergeEvolutionAssignOrders): a conditional UPDATE SET
+    // assigns the NEW o_audit column (and bumps the price) on %6 keys
+    // only; every other row — unmatched, and matched-but-unclaimed %3
+    // carries — reads o_audit as NULL with its original price.
+    "merge_evolution_assign" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.1
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority,
+                CASE WHEN o_orderkey % 6 = 0 THEN 'm6:' || o_orderstatus
+                     END AS o_audit
+         FROM orders ORDER BY o_orderkey""",
+    // Relational recompute of the auto-optimize lifecycle
+    // (Medallion.autoOptimizeOrders): the even half written, the odd
+    // half appended in 8 slivers — optimizeWrite/autoCompact are
+    // layout-only, so the content is exactly the orders table (the
+    // file-count collapse and COMPACT commit are require-asserted
+    // in-query).
+    "auto_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     // Relational recompute of the named-format lifecycle
     // (Medallion.formatRoundtrip — write.format("graft") overwrite +
     // replayed tagged append + replaceWhere option, read back via

@@ -34,10 +34,18 @@ object Lineage {
       .map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir is idempotent for the same dir; honor a
-        // caller-set dir only when it matches the declared one, so
-        // two sessions' configs don't silently cross
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores qualified(dir)/<random UUID>, so
+        // equality against `dir` never holds — compare the PARENT of
+        // the stored path to the qualified dir, or every truncation
+        // would mint a fresh UUID directory (mkdirs RPC per round)
+        val already = sc.getCheckpointDir.exists { d =>
+          val parent = Option(new org.apache.hadoop.fs.Path(d).getParent)
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val qualified =
+            target.getFileSystem(sc.hadoopConfiguration).makeQualified(target)
+          parent.contains(qualified)
+        }
+        if (!already) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

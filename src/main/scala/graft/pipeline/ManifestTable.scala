@@ -105,9 +105,42 @@ object ManifestTable {
     * or under it broadcasts into the match-state resolution (one plain
     * left-outer join, no auxiliary builds — the cheapest plan for
     * small tables/slices); past it the base STREAMS through the
-    * inner-pairs shape instead. Override per session with
-    * `spark.graft.mergeBroadcastBaseBytes`. */
-  val MergeBroadcastBaseMaxBytes: Long = 128L << 20
+    * inner-pairs shape instead. Sized to ON-DISK parquet bytes, which
+    * commonly expand 3–10× decoded — 32 MB on disk keeps the broadcast
+    * build in the low hundreds of MB on default executors. Override
+    * per session with `spark.graft.mergeBroadcastBaseBytes`. */
+  val MergeBroadcastBaseMaxBytes: Long = 32L << 20
+
+  /** Table property: write-time small-file control. When `true`, every
+    * write/append/sink commit COALESCES its staged batch toward
+    * [[AutoOptimizeTargetBytes]] (override with
+    * `graft.autoOptimize.targetFileSize`) instead of committing one
+    * sliver per shuffle partition — delta's
+    * `delta.autoOptimize.optimizeWrite` shape. */
+  val OptimizeWriteProp: String = "graft.autoOptimize.optimizeWrite"
+
+  /** Table property: post-commit small-file compaction. When `true`, a
+    * commit that leaves at least [[AutoCompactMinNumFiles]] files
+    * (override `graft.autoCompact.minNumFiles`) under HALF the target
+    * size triggers a bin-pack of ONLY those small files — big files
+    * never rewrite, so the cost is O(small bytes), not O(table). */
+  val AutoCompactProp: String = "graft.autoOptimize.autoCompact"
+
+  /** Target file size (bytes) for both auto-optimize properties;
+    * property `graft.autoOptimize.targetFileSize` overrides. */
+  val AutoOptimizeTargetBytes: Long = 128L << 20
+
+  /** Small-file count that trips auto-compaction (delta's default). */
+  val AutoCompactMinNumFiles: Int = 50
+
+  /** The `graft.`-prefixed keys settable via TBLPROPERTIES: value-only
+    * tuning knobs with no protocol invariants (delta exposes its
+    * `delta.autoOptimize.*` twins the same way). Every other `graft.`
+    * key stays verb-managed (UPGRADE PROTOCOL, ENABLE ROW TRACKING,
+    * ...). */
+  val TunableProps: Set[String] = Set(
+    OptimizeWriteProp, AutoCompactProp,
+    "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles")
 
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).
@@ -2803,9 +2836,11 @@ object ManifestTable {
   def setProperties(spark: SparkSession, path: String,
                     props: Map[String, String],
                     maxAttempts: Int = 3): Long = {
-    props.keys.foreach(k => require(!k.toLowerCase.startsWith("graft."),
-      s"property key '$k' is reserved — engine features are set via " +
-        "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...)"))
+    props.keys.foreach(k =>
+      require(!k.toLowerCase.startsWith("graft.") || TunableProps.contains(k),
+        s"property key '$k' is reserved — engine features are set via " +
+          "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...); " +
+          s"settable graft.* tuning knobs: ${TunableProps.mkString(", ")}"))
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
     propertiesCommit(spark, path, maxAttempts,
       st => st.properties ++ props, "SET TBLPROPERTIES")
@@ -2819,9 +2854,11 @@ object ManifestTable {
   def replaceProperties(spark: SparkSession, path: String,
                         props: Map[String, String],
                         maxAttempts: Int = 3): Long = {
-    props.keys.foreach(k => require(!k.toLowerCase.startsWith("graft."),
-      s"property key '$k' is reserved — engine features are set via " +
-        "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...)"))
+    props.keys.foreach(k =>
+      require(!k.toLowerCase.startsWith("graft.") || TunableProps.contains(k),
+        s"property key '$k' is reserved — engine features are set via " +
+          "their own verbs (UPGRADE PROTOCOL, ENABLE ROW TRACKING, ...); " +
+          s"settable graft.* tuning knobs: ${TunableProps.mkString(", ")}"))
     propertiesCommit(spark, path, maxAttempts,
       _ => props, "REPLACE TBLPROPERTIES")
   }
@@ -3319,10 +3356,32 @@ object ManifestTable {
       require(clusterPhys.isEmpty || partColsPhys.isEmpty,
         s"table $path has cluster columns declared — clustering " +
           "replaces partitioning (write without partitionBy)")
-      val toStage =
+      val toStage0 =
         if (clusterPhys.isEmpty) stagedDf
         else stagedDf.sortWithinPartitions(
           clusterPhys.map(org.apache.spark.sql.functions.col): _*)
+      // OPTIMIZED WRITE (`graft.autoOptimize.optimizeWrite`): coalesce
+      // the staged batch toward the target file size instead of
+      // committing one sliver per shuffle partition — the write-time
+      // small-file control a streaming ingest needs (delta's
+      // optimizeWrite shape). Shuffle-free: coalesce only MERGES
+      // partitions, so a batch under the target stages as ONE file
+      // while a big batch keeps its write parallelism. Sized from the
+      // optimizer's byte estimate (plan stats — on-disk bytes for
+      // scan-shaped inputs, a row-size model elsewhere).
+      val tableProps = prevState.map(_.properties).getOrElse(Map.empty)
+      val toStage =
+        if (!tableProps.get(OptimizeWriteProp)
+            .exists(_.equalsIgnoreCase("true"))) toStage0
+        else {
+          val target = tableProps.get("graft.autoOptimize.targetFileSize")
+            .flatMap(_.toLongOption).filter(_ > 0L)
+            .getOrElse(AutoOptimizeTargetBytes)
+          val est = toStage0.queryExecution.optimizedPlan.stats.sizeInBytes
+          val n = ((est + target - 1) / target)
+            .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+          toStage0.coalesce(n)
+        }
       val w = toStage.write.mode("overwrite")
       (if (partColsPhys.nonEmpty) w.partitionBy(partColsPhys: _*) else w)
         .parquet(snapDir)
@@ -3391,6 +3450,7 @@ object ManifestTable {
       try out.write(json.getBytes("UTF-8")) finally out.close()
       if (conditionalCommit(f, tmp, manifest)) {
         maybeCheckpoint(spark, path, version)
+        maybeAutoCompact(spark, path, tableProps)
         return version
       }
       // lost the race — drop this attempt's staging, re-stage on next N
@@ -4056,14 +4116,12 @@ object ManifestTable {
         "a WHEN NOT MATCHED clause without a condition must be the " +
           "last insert clause — later insert clauses are unreachable"))
       val updClauses = matched.collect { case u: MergeUpdate => u }
-      // Delta's WITH SCHEMA EVOLUTION applies to the star forms
-      // (UPDATE SET * / INSERT *): an explicit assignment list targets
-      // known columns by definition
-      require(!schemaEvolution || (updClauses.forall(_.set.isEmpty) &&
-          notMatched.forall(_.values.isEmpty)),
-        "MERGE WITH SCHEMA EVOLUTION requires the star forms " +
-          "(UPDATE SET * / INSERT *) — explicit assignment lists " +
-          "cannot add columns")
+      // Delta's WITH SCHEMA EVOLUTION covers BOTH forms: star clauses
+      // (UPDATE SET * / INSERT *) evolve by the source's additive
+      // columns, and explicit assignment lists evolve by the columns
+      // they ASSIGN that the target lacks (`UPDATE SET t.newcol = ...`
+      // adds `newcol`) — the evolved set is computed per-attempt below
+      // once the committed schema is known.
       val hasBySource = notMatchedBySource.nonEmpty
       // By-source resolution strategy, sized to the SOURCE:
       //  - a broadcastable source resolves base-only rows through a
@@ -4124,14 +4182,29 @@ object ManifestTable {
               else (readStateDf(spark, path, st.copy(files = pruned)), pruned)
             }
           }
-        // on-disk bytes of the base slice — driver metadata (O(files)),
-        // sizes the resolution strategy below
-        val baseSliceBytes = baseSliceFiles.map { r =>
-          val p = new Path(resolveRef(path, r))
-          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getFileStatus(p).getLen
-          catch { case _: java.io.IOException => 0L }
-        }.sum
+        // on-disk bytes of the base slice — driver metadata, summed
+        // with EARLY EXIT at the broadcast gate (the exact total is
+        // irrelevant past it, so the per-file getFileStatus RPCs are
+        // bounded by gate/avg-file-size, not O(files)); a stat failure
+        // DISQUALIFIES the broadcast instead of counting 0 (which
+        // would bias a flaky store toward broadcasting the base).
+        // Skipped when fused (unused there).
+        val smallBaseGate = spark.conf
+          .getOption("spark.graft.mergeBroadcastBaseBytes")
+          .flatMap(_.toLongOption).getOrElse(MergeBroadcastBaseMaxBytes)
+        def baseSliceUnderGate: Boolean = {
+          var sum = 0L
+          val it = baseSliceFiles.iterator
+          var ok = true
+          while (ok && sum <= smallBaseGate && it.hasNext) {
+            val p = new Path(resolveRef(path, it.next()))
+            try sum += p.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(p).getLen
+            catch { case _: java.io.IOException => ok = false }
+          }
+          ok && sum <= smallBaseGate
+        }
         val b0 = baseSlice.select(
           schema.fieldNames.map(c => col(c).as(s"_b_$c")).toSeq: _*)
         // Fused shape: ONE join resolves all three match states —
@@ -4175,9 +4248,7 @@ object ManifestTable {
         // all: one join, no auxiliary broadcast builds. The base-
         // streaming pairs shape is for the real case: big base, small
         // source.
-        val smallBase = !fused && baseSliceBytes <= spark.conf
-          .getOption("spark.graft.mergeBroadcastBaseBytes")
-          .flatMap(_.toLongOption).getOrElse(MergeBroadcastBaseMaxBytes)
+        val smallBase = !fused && baseSliceUnderGate
         var pairsPin: Option[DataFrame] = None
         val resolved =
           if (fused) src.join(b, keyEq, "full_outer")
@@ -4249,21 +4320,22 @@ object ManifestTable {
         // it (rewrite through delete + insert instead)
         (updClauses.flatMap(_.set) ++ notMatchedBySource
           .collect { case u: MergeUpdate => u }.flatMap(_.set))
-          .foreach { case (c, _) =>
-            require(!keys.contains(c),
-              s"MERGE UPDATE SET cannot assign merge key column '$c' " +
+          .foreach { case (c, e) =>
+            // the TRIVIAL re-assignments tooling emits — `SET k = s.k`
+            // (the source key, equal to the base key by the ON clause)
+            // and `SET k = t.k` (the base value, `_b_k` here) — are
+            // no-ops Delta accepts; only genuinely RE-KEYING
+            // expressions are refused (the keyed copy-on-write
+            // addresses base rows by key equality, so a re-keyed
+            // image would orphan the old row instead of replacing it)
+            val trivialNoOp = org.apache.spark.sql.graftshim.PlanShim
+              .bareAttribute(e).exists(parts =>
+                parts.lastOption.contains(c) ||
+                  parts.lastOption.contains(s"_b_$c"))
+            require(!keys.contains(c) || trivialNoOp,
+              s"MERGE UPDATE SET cannot re-key merge key column '$c' " +
                 "— the keyed copy-on-write addresses rows by key " +
                 "equality; express a re-key as DELETE + INSERT") }
-        updClauses.flatMap(_.set).foreach { case (c, _) =>
-          require(schema.fieldNames.contains(c),
-            s"MERGE UPDATE SET targets unknown column '$c'") }
-        notMatched.flatMap(_.values).foreach { case (c, _) =>
-          require(schema.fieldNames.contains(c),
-            s"MERGE INSERT targets unknown column '$c'") }
-        notMatchedBySource.collect { case u: MergeUpdate => u }
-          .flatMap(_.set).foreach { case (c, _) =>
-            require(schema.fieldNames.contains(c),
-              s"MERGE UPDATE SET targets unknown column '$c'") }
         // Per-clause image compilation (delta-spark's `SET c = expr` /
         // `INSERT (cols) VALUES (exprs)` forms): an assigned column
         // takes its expression (source columns bare, matched base row
@@ -4285,23 +4357,86 @@ object ManifestTable {
         val allStar = (updClauses.nonEmpty || notMatched.nonEmpty) &&
           updClauses.forall(_.set.isEmpty) &&
           notMatched.forall(_.values.isEmpty)
-        val evolvedSchema =
-          if (!schemaEvolution) schema else evolve(schema, updates.schema)
+        val hasStar = updClauses.exists(_.set.isEmpty) ||
+          notMatched.exists(_.values.isEmpty)
+        // Schema evolution, delta-spark's reading of both forms:
+        //  - any STAR clause evolves by the source's additive columns
+        //    (and lossless widenings);
+        //  - explicit assignment lists evolve by the columns they
+        //    ASSIGN that the target lacks (`SET t.newcol = expr` adds
+        //    `newcol`); the new column's type resolves from the
+        //    assignment expression against a row-less probe (analysis
+        //    only, no job). First assignment wins when several clauses
+        //    assign the same new column; later ones cast to it.
+        val evolvedSchema: StructType =
+          if (!schemaEvolution) schema
+          else {
+            val fromSource =
+              if (hasStar) evolve(schema, updates.schema) else schema
+            val assignedNew = {
+              val seen =
+                scala.collection.mutable.LinkedHashMap.empty[String, Column]
+              (updClauses.flatMap(_.set) ++ notMatched.flatMap(_.values) ++
+                notMatchedBySource.collect { case u: MergeUpdate => u }
+                  .flatMap(_.set))
+                .filterNot { case (c, _) =>
+                  fromSource.fieldNames.contains(c) }
+                .foreach { case (c, e) =>
+                  if (!seen.contains(c)) seen.update(c, e) }
+              seen.toSeq
+            }
+            if (assignedNew.isEmpty) fromSource
+            else {
+              val probe = updates.limit(0).select(
+                updates.columns.map(col) ++ schema.fields.map(fd =>
+                  lit(null).cast(fd.dataType).as(s"_b_${fd.name}")): _*)
+              StructType(fromSource.fields ++ assignedNew.map {
+                case (c, e) =>
+                  org.apache.spark.sql.types.StructField(c,
+                    probe.select(e.as(c)).schema.head.dataType)
+              })
+            }
+          }
+        // assignment targets must exist in the (possibly evolved)
+        // schema — under evolution an unknown target BECOMES a new
+        // column by construction, so this fails fast only without it
+        val targetable = evolvedSchema.fieldNames
+        updClauses.flatMap(_.set).foreach { case (c, _) =>
+          require(targetable.contains(c),
+            s"MERGE UPDATE SET targets unknown column '$c'") }
+        notMatched.flatMap(_.values).foreach { case (c, _) =>
+          require(targetable.contains(c),
+            s"MERGE INSERT targets unknown column '$c'") }
+        notMatchedBySource.collect { case u: MergeUpdate => u }
+          .flatMap(_.set).foreach { case (c, _) =>
+            require(targetable.contains(c),
+              s"MERGE UPDATE SET targets unknown column '$c'") }
         val imageNames = evolvedSchema.fieldNames.toSeq
+        val srcHas: Set[String] = updates.columns.toSet
+        def imgType(c: String) =
+          if (schema.fieldNames.contains(c)) schema(c).dataType
+          else evolvedSchema(c).dataType
+        /** Base-row value of column `c` — the `_b_` column for table
+          * columns, NULL (schema-on-read) for evolved-only ones. */
+        def baseVal(c: String): Column =
+          if (schema.fieldNames.contains(c)) col(s"_b_$c")
+          else lit(null).cast(imgType(c))
         /** Matched-claim image: the first-claiming clause's value; an
           * UNCLAIMED matched pair folds to the base value verbatim
-          * (read only on carry rows). */
+          * (read only on carry rows). Star clauses take the bare
+          * source column — a source missing a table column fails at
+          * analysis, delta's own star-form contract. */
         def matchedVal(c: String): Column = {
-          val dt = schema(c).dataType
+          val dt = imgType(c)
           def matchedImg(cl: MergeMatched): Column = cl match {
             case u: MergeUpdate =>
               if (u.set.isEmpty) col(c)
               else u.set.toMap.get(c).map(_.cast(dt))
-                .getOrElse(col(s"_b_$c"))
-            case _: MergeDelete => col(s"_b_$c")
+                .getOrElse(baseVal(c))
+            case _: MergeDelete => baseVal(c)
           }
           matched.zip(mClaims).reverse
-            .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+            .foldLeft(baseVal(c)) { case (acc, (cl, claim)) =>
               when(claim, matchedImg(cl)).otherwise(acc) }
         }
         /** Insert-claim image: the first-claiming insert clause's
@@ -4309,7 +4444,7 @@ object ManifestTable {
           * its declared DEFAULT (constant by declaration contract),
           * NULL otherwise — SQL/Delta's insert semantics. */
         def insertVal(c: String): Column = {
-          val dt = schema(c).dataType
+          val dt = imgType(c)
           def insertImg(cl: MergeInsert): Column =
             if (cl.values.isEmpty) col(c)
             else cl.values.toMap.get(c).map(_.cast(dt))
@@ -4325,35 +4460,30 @@ object ManifestTable {
         // base values except where an UPDATE clause claims them; delete
         // claims carry the base image (never read past the flag).
         def bySourceImg(c: String): Column = {
-          val dt = schema(c).dataType
+          val dt = imgType(c)
           def img(cl: MergeMatched): Column = cl match {
             case u: MergeUpdate => u.set.toMap.get(c)
-              .map(_.cast(dt)).getOrElse(col(s"_b_$c"))
-            case _: MergeDelete => col(s"_b_$c")
+              .map(_.cast(dt)).getOrElse(baseVal(c))
+            case _: MergeDelete => baseVal(c)
           }
           notMatchedBySource.zip(bsClaims).reverse
-            .foldLeft(col(s"_b_$c")) { case (acc, (cl, claim)) =>
+            .foldLeft(baseVal(c)) { case (acc, (cl, claim)) =>
               when(claim, img(cl)).otherwise(acc) }
         }
         /** Matched/carry/by-source image for one pair (branch A of the
           * compile): matched claims take the clause chain; everything
           * else — by-source claims AND verbatim carries — folds
           * through [[bySourceImg]] (whose unclaimed default IS the
-          * base value). Evolved-only columns ride the star fast path
-          * from the source on matched claims, NULL otherwise
-          * (schema-on-read). */
+          * base value, NULL for evolved-only columns unless a by-source
+          * SET assigns them). */
         def pairImg(c: String): Column =
-          if (!schema.fieldNames.contains(c))
-            (if (allStar) when(isMatched, col(c))
-               .otherwise(lit(null).cast(evolvedSchema(c).dataType))
-             else lit(null).cast(evolvedSchema(c).dataType))
+          if (allStar && !schema.fieldNames.contains(c))
+            when(isMatched, col(c))
+              .otherwise(lit(null).cast(evolvedSchema(c).dataType))
           else when(isMatched, if (allStar) col(c) else matchedVal(c))
             .otherwise(bySourceImg(c))
         def insImg(c: String): Column =
-          if (!schema.fieldNames.contains(c))
-            (if (allStar) col(c)
-             else lit(null).cast(evolvedSchema(c).dataType))
-          else if (allStar) col(c)
+          if (allStar) (if (srcHas(c)) col(c) else lit(null).cast(imgType(c)))
           else insertVal(c)
         // a by-source clause CLAIMING a NULL-key target row must fail
         // loudly: the keyed copy-on-write carry joins on key equality
@@ -4426,8 +4556,30 @@ object ManifestTable {
           matched.nonEmpty && matched.last.condition.isDefined
         val lastBsConditional = hasBySource &&
           notMatchedBySource.last.condition.isDefined
-        val needCarry =
-          hasResidual || lastMatchedConditional || lastBsConditional
+        // Claim-completeness shortcut: with KEY-UNIQUE targets and no
+        // residual, every matched pair is either claimed (its image
+        // replaces the base row) or wholly unclaimed (its key never
+        // enters the compiled frame — the file-level carry keeps it):
+        // partial claims are impossible and the window is pure cost.
+        // Proven by one tiny max-count agg over the PINNED pairs frame
+        // (zero extra scans) or, under the small-base broadcast, over
+        // the broadcast-small slice; unknown elsewhere → conservative.
+        def targetKeysUnique: Boolean = {
+          val grouped = pairsPin match {
+            case Some(pairs) => Some(pairs.groupBy(keyCols: _*))
+            case None if smallBase =>
+              Some(b.groupBy(keys.map(k => col(s"_b_$k")): _*))
+            case None => None
+          }
+          grouped.exists(_.count()
+            .agg(coalesce(smax(col("count")), lit(0L)))
+            .head().getLong(0) <= 1L)
+        }
+        // a conditional trailing BY SOURCE clause forces the carry in
+        // THIS frame only when fused — the broadcast-anti path runs
+        // its own window over bsEmitted below
+        val needCarry = hasResidual || (fused && lastBsConditional) ||
+          (lastMatchedConditional && !targetKeysUnique)
         val roleActed = (isMatched && anyM) || (isBaseNM && anyBs)
         val compiled =
           if (!needCarry) {
@@ -4435,23 +4587,17 @@ object ManifestTable {
             // claimed (trailing unconditional clause) or its key is
             // wholly unclaimed and drops out
             val images = imageNames.map { c =>
+              // evolved-only columns compile through the SAME clause
+              // chains as table columns (matchedVal/insertVal read
+              // their explicit assignments and fold to NULL where
+              // unassigned — the schema-on-read value); only the
+              // all-star fast path takes the source column wholesale
               val srcSide: Column =
                 if (allStar) col(c)
-                else if (!schema.fieldNames.contains(c))
-                  // evolved-only column off the fast path: reachable
-                  // only when no star clause exists (delete-only /
-                  // by-source merges under evolution) — the image is
-                  // never read past the delete flag, NULL is the
-                  // schema-on-read value
-                  lit(null).cast(evolvedSchema(c).dataType)
                 else when(isMatched, matchedVal(c))
                   .otherwise(insertVal(c))
-              // evolved-only columns skip the by-source wrap: on
-              // base-only rows the source column IS NULL through the
-              // outer join — the same schema-on-read value their
-              // carried siblings get
               val full =
-                if (!fused || !schema.fieldNames.contains(c)) srcSide
+                if (!fused) srcSide
                 else when(isBaseNM, bySourceImg(c)).otherwise(srcSide)
               full.as(c)
             }
@@ -4597,7 +4743,13 @@ object ManifestTable {
             statsCols = statsCols, tag = tag, tagHorizon = tagHorizon,
             sortCols = sortCols, deleteVectors = deleteVectors,
             prevV = prevV, schemaEvolution = schemaEvolution,
-            broadcastSource = Some(bcSource))
+            // a by-source clause can grow the COMPILED frame to base
+            // size (every base-only acted/carried row joins it) no
+            // matter how small the original source was — let
+            // mergeAttempt re-measure the frame it actually joins
+            // (its bounds aggregate carries the count for free)
+            // instead of inheriting a verdict sized to the source
+            broadcastSource = if (hasBySource) None else Some(bcSource))
           finally {
             compiledPinned.unpersist(blocking = false)
             pairsPin.foreach(_.unpersist(blocking = false))
@@ -6455,6 +6607,125 @@ object ManifestTable {
     }
     throw new IllegalStateException(
       s"compactWhere commit lost $maxAttempts races at $path — giving up")
+  }
+
+  // reentrancy guard: the auto-compaction's OWN commit must never
+  // re-trigger evaluation (it converges anyway — a compacted state
+  // holds few small files — but the guard makes that a non-property)
+  private val inAutoCompact = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Post-commit AUTO COMPACT (table property [[AutoCompactProp]]):
+    * when the just-committed state holds at least
+    * `graft.autoCompact.minNumFiles` (default
+    * [[AutoCompactMinNumFiles]]) files under HALF the target size,
+    * bin-pack ONLY those small files into ~target-size files in one
+    * subset-rewrite commit — large files are never touched, so the
+    * cost is O(small bytes), not O(table); a 100 TB table ingesting
+    * micro-batches pays for exactly the slivers it created. Best
+    * effort: losing the OCC race (or any failure) leaves the data
+    * commit intact and the small files for the next trigger.
+    * Partitioned layouts (use [[compactWhere]] maintenance) and
+    * DV-bearing states (compact folds them explicitly) skip.
+    */
+  private def maybeAutoCompact(spark: SparkSession, path: String,
+                               props: Map[String, String]): Unit = {
+    if (inAutoCompact.get) return
+    if (!props.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) return
+    val target = props.get("graft.autoOptimize.targetFileSize")
+      .flatMap(_.toLongOption).filter(_ > 0L)
+      .getOrElse(AutoOptimizeTargetBytes)
+    val minN = props.get("graft.autoCompact.minNumFiles")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(AutoCompactMinNumFiles)
+    val v = currentVersion(spark, path).getOrElse(return)
+    val st = resolveState(spark, path, v)
+    if (st.dvFiles.nonEmpty || partitionColsOf(st.files).nonEmpty) return
+    val f = fs(spark, path)
+    val small = st.files.filter { r =>
+      try f.getFileStatus(new Path(resolveRef(path, r))).getLen < target / 2
+      catch { case _: java.io.IOException => false }
+    }
+    if (small.size < minN) return
+    inAutoCompact.set(java.lang.Boolean.TRUE)
+    try { compactFiles(spark, path, small, target); () }
+    catch { case scala.util.control.NonFatal(_) => () } // best effort
+    finally inAutoCompact.set(java.lang.Boolean.FALSE)
+  }
+
+  /** Bin-pack a SUBSET of the current version's files into
+    * ~`targetBytes` files; untouched files carry verbatim (same
+    * subset-rewrite commit shape as [[compactWhere]], flat layouts).
+    * Single attempt: the caller treats a lost race as "next trigger's
+    * problem". Returns the committed version (current one when the
+    * subset is stale/empty or the race was lost). */
+  private def compactFiles(spark: SparkSession, path: String,
+                           subset: Seq[String], targetBytes: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, path)
+    val prevV = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val st = resolveState(spark, path, prevV)
+    assertWritable(st, path)
+    val live = st.files.toSet
+    val chosen = subset.filter(live)
+    if (chosen.isEmpty) return prevV
+    val bytes = chosen.map { r =>
+      try f.getFileStatus(new Path(resolveRef(path, r))).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val n = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    val version = prevV + 1L
+    val idSchema = st.schema.map(sc => StructType(sc.fields :+
+      org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
+    val rows = readStateDf(spark, path, st.copy(files = chosen,
+      schema = if (st.rowTracking) idSchema else st.schema))
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val snapDir = s"$path/snap-$version-$token"
+    val packed = rows.coalesce(n)
+    val physOut =
+      if (!st.mapped) packed
+      else packed.select(packed.schema.fieldNames.map(nm =>
+        col(nm).as(st.phys(nm))).toSeq: _*)
+    physOut.write.mode("overwrite").parquet(snapDir)
+    val staged = listDataFiles(f, new Path(snapDir))
+    val stagedRel = staged.map(p => relativize(new Path(path), p))
+    val physStats =
+      if (st.statsSchemaCols.nonEmpty) st.statsSchemaCols
+      else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+    val newStats: Map[String, Map[String, ColStats]] =
+      if (physStats.isEmpty) Map.empty
+      else staged.map(p => relativize(new Path(path), p) ->
+        footerStats(spark, p, physStats)).toMap
+    val bloomAdds = st.bloom match {
+      case Some(spec) if spec.cols.nonEmpty =>
+        buildBloomSidecar(spark, path, staged, spec, version, token)
+      case _ => Nil
+    }
+    val ndvAdds = st.ndvCols match {
+      case Nil  => Nil
+      case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
+    }
+    val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+    val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+      chosen, newStats, None, DefaultTagHorizon, Some(schema),
+      bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("COMPACT"))
+    val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+      maybeCheckpoint(spark, path, version)
+      version
+    } else {
+      f.delete(tmp, false)
+      f.delete(new Path(snapDir), true)
+      if (bloomAdds.nonEmpty)
+        f.delete(new Path(s"$path/bloom-$version-$token"), true)
+      if (ndvAdds.nonEmpty)
+        f.delete(new Path(s"$path/ndv-$version-$token"), true)
+      prevV
+    }
   }
 
   /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS`

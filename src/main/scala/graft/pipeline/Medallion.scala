@@ -1240,6 +1240,86 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared ASSIGNMENT-LIST schema evolution query (round 16):
+    * delta-spark also evolves when an EXPLICIT `UPDATE SET` clause
+    * assigns a column the target lacks — `SET t.o_audit = <expr>` adds
+    * `o_audit` in the merge commit itself (type resolved from the
+    * assignment expression), while unassigned columns keep their
+    * target values and every un-matched row reads the new column as
+    * NULL through schema-on-read. The clause is CONDITIONAL, so the
+    * query also pins the carry interplay: unclaimed matched siblings
+    * survive via the file-level carry with the evolved column NULL.
+    * The oracle recomputes the evolved table relationally.
+    */
+  def mergeEvolutionAssignOrders(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val path = scratch("graft_meva_", sfDir) + "/orders_eva"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    val src = orders.filter(col("o_orderkey") % 3 === 0)
+    ManifestTable.mergeMultiKeyed(src, path, Seq("o_orderkey"),
+      matched = Seq(ManifestTable.MergeUpdate(
+        Some(col("o_orderkey") % 6 === 0),
+        Seq(
+          "o_audit" -> concat(lit("m6:"), col("o_orderstatus")),
+          "o_totalprice" -> (col("_b_o_totalprice") * lit(1.1))))),
+      notMatched = Nil,
+      schemaEvolution = true)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
+  /** Declared AUTO-OPTIMIZE query (round 16): the write-time
+    * small-file controls delta exposes as
+    * `delta.autoOptimize.optimizeWrite` / `autoCompact` table
+    * properties — the knob pair a streaming ingest needs so a 100 TB
+    * table doesn't accrete one sliver per shuffle partition per
+    * micro-batch. Eight 16-partition sliver appends land on a table
+    * with both properties set: optimizeWrite coalesces each batch
+    * toward the target size at staging, and crossing the small-file
+    * threshold triggers bin-packs of ONLY the small files (big files
+    * carry verbatim — AutoOptimizeSpec pins that). The query
+    * require-asserts the file-count collapse and a COMPACT commit in
+    * the history, then returns the full content — the oracle proves
+    * the maintenance machinery never loses or duplicates a row.
+    */
+  def autoOptimizeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_ao_", sfDir) + "/orders_ao"
+    val orders = Tables.orders(spark, sfDir)
+    ManifestTable.write(
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      path, statsCols = Seq("o_orderkey"))
+    ManifestTable.setProperties(spark, path, Map(
+      ManifestTable.OptimizeWriteProp -> "true",
+      ManifestTable.AutoCompactProp -> "true",
+      "graft.autoOptimize.targetFileSize" -> (1L << 20).toString,
+      "graft.autoCompact.minNumFiles" -> "6"))
+    // the 8 odd residues mod 16 partition the odd keys exactly
+    (0 until 8).foreach { i =>
+      ManifestTable.append(
+        orders.filter(col("o_orderkey") % 16 === (2 * i + 1))
+          .repartition(16),
+        path)
+    }
+    val st = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    // without the properties this lifecycle leaves 4 + 8×16 files;
+    // with them each append stages ≤a few files and the bin-packs
+    // keep the table near-compact
+    require(st.files.size <= 8,
+      s"auto-optimize left ${st.files.size} files — small-file " +
+        "control not engaging")
+    val ops = ManifestTable.history(spark, path)
+      .select("operation").collect().map(_.getString(0))
+    require(ops.contains("COMPACT"),
+      s"expected an auto-compact commit in the history: ${ops.toSeq}")
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Declared NAMED-FORMAT query (round 13): the reference's LITERAL
     * I/O surface — `df.write.format(...).mode(...).save(p)` and
     * `spark.read.format(...).load(p)`

@@ -412,7 +412,10 @@ object GraftSqlStatements {
     val n = sqlText.length
     while (i < n) {
       val c = sqlText.charAt(i)
-      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < n) { sb += c; sb += sqlText.charAt(i + 1); i += 2 }
+        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (sqlText.regionMatches(true, i, "graft.'", 0, 7)) {
         val rest = sqlText.substring(i)
         val hit = ts.findPrefixMatchOf(rest).map(m =>
@@ -436,8 +439,13 @@ object GraftSqlStatements {
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
+    var esc = false
     s.foreach { c =>
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      if (esc) { cur += c; esc = false }
+      else if (inStr) {
+        cur += c
+        if (c == '\\') esc = true else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true; cur += c
         case '(' => depth += 1; cur += c
@@ -474,14 +482,22 @@ object GraftSqlStatements {
   /** Same-length copy of `s` with string-literal CONTENTS blanked
     * (quotes kept): regex/keyword scans over the mask never see
     * clause keywords inside data, and every match position slices the
-    * ORIGINAL text 1:1. */
+    * ORIGINAL text 1:1. Spark's default literal syntax
+    * (escapedStringLiterals=false) treats backslash as an escape, so
+    * `\'` stays INSIDE the literal — both chars are blanked; `''`
+    * doubling composes as two adjacent literal spans. */
   private[plans] def maskLiterals(s: String): String = {
     val sb = new StringBuilder(s)
     var inStr = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false else sb.setCharAt(i, ' ') }
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+        } else if (c == '\'') inStr = false
+        else sb.setCharAt(i, ' ')
+      }
       else if (c == '\'') inStr = true
       i += 1
     }
@@ -548,7 +564,10 @@ object GraftSqlStatements {
     def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { cur += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) { cur += c; cur += s.charAt(i + 1); i += 2 }
+        else { cur += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (c == '\'') { inStr = true; cur += c; i += 1 }
       else if (c == '(') { depth += 1; cur += c; i += 1 }
       else if (c == ')') { depth -= 1; cur += c; i += 1 }
@@ -574,7 +593,8 @@ object GraftSqlStatements {
       var eq = -1
       while (i < kv.length && eq < 0) {
         val c = kv.charAt(i)
-        if (c == '\'') inStr = !inStr
+        if (inStr && c == '\\') i += 1
+        else if (c == '\'') inStr = !inStr
         else if (c == '=' && !inStr) eq = i
         i += 1
       }
@@ -798,8 +818,13 @@ object GraftSqlStatements {
     val out = new StringBuilder
     val seg = new StringBuilder
     var inStr = false
+    var esc = false
     s.foreach { ch =>
-      if (inStr) { out += ch; if (ch == '\'') inStr = false }
+      if (esc) { out += ch; esc = false }
+      else if (inStr) {
+        out += ch
+        if (ch == '\\') esc = true else if (ch == '\'') inStr = false
+      }
       else if (ch == '\'') {
         out ++= f(seg.toString); seg.clear(); out += ch; inStr = true
       } else seg += ch
@@ -1478,9 +1503,12 @@ object GraftSqlCommands {
     // drop string literals (quote-doubling collapses with them) and
     // balanced <...> type-argument groups; neither can host a clause
     val noStr = {
-      val sb = new StringBuilder; var inStr = false
+      val sb = new StringBuilder; var inStr = false; var esc = false
       ddl.foreach { ch =>
-        if (inStr) { if (ch == '\'') inStr = false }
+        if (esc) esc = false
+        else if (inStr) {
+          if (ch == '\\') esc = true else if (ch == '\'') inStr = false
+        }
         else if (ch == '\'') inStr = true
         else sb += ch }
       sb.toString

@@ -39,6 +39,17 @@ object PlanShim {
     }
   }
 
+  /** The name parts of a Column that is a BARE attribute reference
+    * (`col("a")`, `col("t.a")`), None for any computed expression —
+    * lets callers recognize trivial no-op assignments. ColumnNode is
+    * private[sql], hence this shim. */
+  def bareAttribute(c: org.apache.spark.sql.Column): Option[Seq[String]] =
+    c.node match {
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        Some(a.nameParts)
+      case _ => None
+    }
+
   /** Re-tag a fully-planned BATCH frame as a streaming micro-batch —
     * what a V1 streaming `Source.getBatch` must hand the engine (the
     * same `internalCreateDataFrame(isStreaming = true)` call Spark's

@@ -139,12 +139,14 @@ class BenchSpec extends SparkSpec {
     assert(run.baseMedian === Some(8.0))
     // adaptive median over all 5 sorted times
     assert(run.median === Some(1.2))
-    // quiet threshold = max(4.0, calmest load 1.5 + 2.0) = 4.0:
-    // reps at loads {2.0, 1.5, 3.9} qualify -> fastest is 1.0
+    // absolute threshold 4.0: reps at loads {2.0, 1.5, 3.9} qualify
+    // -> fastest is 1.0
     assert(run.minQuiet(4.0) === Some(1.0))
-    // a tiny absolute floor self-calibrates to calmest+2.0 = 3.5, so
-    // the loaded reps (12, 11) stay excluded but quiet ones remain
-    assert(run.minQuiet(0.5) === Some(1.0))
+    // r16: the threshold is ABSOLUTE — no relative calmest+2.0
+    // fallback (r15's fallback admitted contaminated reps and printed
+    // a 32 s "quiet" value for a 3 s query). No rep under 0.5 ->
+    // honest None, and measureRuns' quiet-seek is what makes that rare
+    assert(run.minQuiet(0.5) === None)
     // failed attempts never contribute even when quiet
     val failing = Bench.QueryRun("f", Seq.empty,
       Seq(1.0 -> None, 2.0 -> None), 2)

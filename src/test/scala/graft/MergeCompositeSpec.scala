@@ -311,4 +311,45 @@ class MergeCompositeSpec extends SparkSpec {
       s"got $ch — (1,a) carried verbatim cancels; a single-column " +
         "classifier would have mis-paired the k1=1 rows")
   }
+
+  test("SET k = s.k no-op re-assignment is permitted (delta/tooling parity); genuine re-keys refuse") {
+    val path = tmp("graft_ck12")
+    ManifestTable.write(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    // auto-generated SET lists commonly include the key verbatim —
+    // `SET id = s.id` is a no-op (keys are equal by the ON clause)
+    ManifestTable.mergeMultiKeyed(
+      Seq((2L, 99L)).toDF("id", "v"), path, Seq("id"),
+      matched = Seq(MergeUpdate(None,
+        Seq("id" -> col("id"), "v" -> col("v")))),
+      notMatched = Nil)
+    assert(ManifestTable.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ===
+      Seq((1L, 10L), (2L, 99L)))
+    // the base-value spelling is a no-op too
+    ManifestTable.mergeMultiKeyed(
+      Seq((2L, 77L)).toDF("id", "v"), path, Seq("id"),
+      matched = Seq(MergeUpdate(None,
+        Seq("id" -> col("_b_id"), "v" -> col("v")))),
+      notMatched = Nil)
+    assert(ManifestTable.read(spark, path).filter($"id" === 2L)
+      .select("v").as[Long].head() === 77L)
+    // a genuinely RE-KEYING expression still refuses loudly
+    val ex = intercept[Exception] {
+      ManifestTable.mergeMultiKeyed(
+        Seq((2L, 5L)).toDF("id", "v"), path, Seq("id"),
+        matched = Seq(MergeUpdate(None,
+          Seq("id" -> (col("id") + 1L), "v" -> col("v")))),
+        notMatched = Nil)
+    }
+    assert(ex.getMessage.contains("re-key"), ex.getMessage)
+    // assigning a DIFFERENT column's value to the key refuses too
+    val ex2 = intercept[Exception] {
+      ManifestTable.mergeMultiKeyed(
+        Seq((2L, 5L)).toDF("id", "v"), path, Seq("id"),
+        matched = Seq(MergeUpdate(None, Seq("id" -> col("v")))),
+        notMatched = Nil)
+    }
+    assert(ex2.getMessage.contains("re-key"), ex2.getMessage)
+  }
 }

@@ -155,17 +155,41 @@ class MergeEvolutionSpec extends SparkSpec {
         .collect().sortBy(_._1).toSeq
       assert(got === Seq((1L, 10L, None), (2L, 21L, Some("x")),
         (3L, 30L, Some("y"))), s"SQL evolution wrong: $got")
-      // explicit assignment list + evolution: refused (star forms only)
+      // explicit assignment list + evolution, no new targets: plain
+      // update, schema unchanged (r16: the star-forms-only refusal is
+      // lifted — delta evolves on explicit lists too)
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO '$path' AS t
+            USING mev_src AS u ON t.id = u.id
+            WHEN MATCHED THEN UPDATE SET v = u.v + 1""")
+      assert(ManifestTable.read(s, path).schema.fieldNames.toSeq ===
+        Seq("id", "v", "tagc"))
+      assert(ManifestTable.read(s, path).filter($"id" === 2L)
+        .select("v").as[Long].head() === 22L)
+      // explicit assignment to a column the target LACKS evolves the
+      // schema in the merge commit — delta's assignment-list evolution
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO '$path' AS t
+            USING mev_src AS u ON t.id = u.id
+            WHEN MATCHED AND u.id = 2 THEN UPDATE SET src_tag = u.tagc""")
+      val evolved = ManifestTable.read(s, path)
+      assert(evolved.schema.fieldNames.toSeq ===
+        Seq("id", "v", "tagc", "src_tag"))
+      val tags = evolved.select("id", "src_tag")
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+      assert(tags === Seq((1L, None), (2L, Some("x")), (3L, None)),
+        s"assignment-list evolution wrong: $tags")
+      // WITHOUT the evolution keyword the same statement still refuses
       intercept[Exception] {
         s.sql(
-          s"""MERGE WITH SCHEMA EVOLUTION INTO '$path' AS t
+          s"""MERGE INTO '$path' AS t
               USING mev_src AS u ON t.id = u.id
-              WHEN MATCHED THEN UPDATE SET v = u.v + 1""")
+              WHEN MATCHED THEN UPDATE SET brand_new = u.tagc""")
       }
       // the metadata-only SQL spelling
       s.sql(s"ALTER TABLE '$path' ADD COLUMNS (note STRING)")
       assert(ManifestTable.read(s, path).schema.fieldNames.toSeq ===
-        Seq("id", "v", "tagc", "note"))
+        Seq("id", "v", "tagc", "src_tag", "note"))
     } finally SparkSession.setActiveSession(base)
   }
 }

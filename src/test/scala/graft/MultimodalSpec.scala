@@ -129,4 +129,72 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter(col("width") < 1 || col("height") < 1).count() === 0)
     r.unpersist()
   }
+
+  test("AudioCodec: WAV round-trip — synthesized RIFF bytes parse back to their parameters") {
+    val p = Multimodal.wavBytes(sampleRate = 22050, channels = 2, nSamples = 441)
+    val m = Multimodal.AudioCodec.decode(7L, p).get
+    assert(m.container === "wav")
+    assert(m.sample_rate === 22050 && m.channels === 2 && m.bit_depth === 16)
+    // 441 samples at 22050 Hz = 20 ms
+    assert(m.duration_ms === 20L)
+    // the bytes are a REAL wav: the JDK's own sound framework agrees
+    val af = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(p))
+    assert(af.getFormat.getSampleRate === 22050.0f)
+    assert(af.getFormat.getChannels === 2)
+    assert(af.getFormat.getSampleSizeInBits === 16)
+  }
+
+  test("AudioCodec: MP3 first-frame fields decode against the MPEG-1 tables") {
+    // bitrate index 9 = 128 kbps, samplerate index 0 = 44100, mode 3 = mono
+    val p = Multimodal.mp3Bytes(bitrateIdx = 9, srIdx = 0, mode = 3,
+      fillerLen = 1596)
+    val m = Multimodal.AudioCodec.decode(11L, p).get
+    assert(m.container === "mp3")
+    assert(m.sample_rate === 44100 && m.channels === 1 && m.bit_depth === 0)
+    // 1600 bytes at 128 kbps -> 1600*8*1000/128000 = 100 ms
+    assert(m.duration_ms === 100L)
+    // stereo mode
+    val st = Multimodal.AudioCodec.decode(12L,
+      Multimodal.mp3Bytes(1, 2, 0, 10)).get
+    assert(st.channels === 2 && st.sample_rate === 32000)
+  }
+
+  test("AudioCodec: malformed payloads refuse (None), never fake metadata") {
+    val codec = Multimodal.AudioCodec
+    assert(codec.decode(1L, "not audio at all".getBytes).isEmpty)
+    // RIFF magic but truncated before fmt
+    assert(codec.decode(2L, "RIFFxxxxWAVE".getBytes).isEmpty)
+    // non-PCM wav (audioFormat != 1) refuses
+    val p = Multimodal.wavBytes(8000, 1, 10)
+    p(20) = 3 // IEEE float format code
+    assert(codec.decode(3L, p).isEmpty)
+    // mp3 sync but reserved samplerate index (3) refuses
+    val bad = Multimodal.mp3Bytes(9, 0, 0, 8)
+    bad(2) = ((9 << 4) | (3 << 2)).toByte
+    assert(codec.decode(4L, bad).isEmpty)
+    // free-format bitrate (index 0) refuses — no duration estimate
+    val free = Multimodal.mp3Bytes(1, 0, 0, 8)
+    free(2) = 0.toByte
+    assert(codec.decode(5L, free).isEmpty)
+  }
+
+  test("multimodal_audio_meta: decoded metadata equals the generating arithmetic") {
+    val got = Multimodal.multimodalAudioMeta(spark, sfTiny)
+    assert(got.count() > 0)
+    // parser-vs-generator parity is the oracle's job at sf0.01; here
+    // pin a couple of exact rows: even id -> wav with the id-derived
+    // rate, odd id -> mp3 with the id-derived bitrate duration
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    byId.get(2L).foreach { r =>
+      assert(r.getString(1) === "wav")
+      assert(r.getInt(2) === 16000) // (2/2) % 4 = 1
+      assert(r.getInt(3) === 2)     // (2/2) % 2 + 1
+    }
+    byId.get(3L).foreach { r =>
+      assert(r.getString(1) === "mp3")
+      assert(r.getInt(2) === 44100) // 3 % 3 = 0
+      assert(r.getInt(3) === 1)     // mode 3 % 4 = 3 -> mono
+    }
+  }
 }

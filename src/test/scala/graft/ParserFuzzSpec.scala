@@ -330,4 +330,37 @@ class ParserFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("backslash-escaped quotes inside literals never desynchronize the mask (r15 advice)") {
+    // Spark's default literal syntax (escapedStringLiterals=false)
+    // keeps \' INSIDE the literal — a naive quote-toggle scanner
+    // reads the remainder of the value as top-level text and
+    // mis-splits on the embedded clause keywords
+    val sql =
+      """MERGE INTO '/tmp/bs t' AS t USING src AS s ON t.k = s.k
+         WHEN MATCHED AND s.name = 'O\'Brien WHEN MATCHED THEN DELETE'
+           THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT *"""
+    val cmd = parse(sql).get.asInstanceOf[GraftMergeCommand]
+    assert(cmd.matched.size === 1 && cmd.matched.head._1.equalsIgnoreCase("update"),
+      s"matched clauses corrupted: ${cmd.matched}")
+    assert(cmd.notMatched.size === 1)
+    assert(cmd.matched.head._2.get.contains("O\\'Brien"),
+      s"condition must carry the escaped literal: ${cmd.matched.head._2}")
+    // UPDATE ... SET with an escaped quote + ' WHERE ' inside the value
+    val upd = parse(
+      """UPDATE '/tmp/bs t' SET note = 'it\'s WHERE clauses hide'
+         WHERE k = 1""").get.asInstanceOf[GraftUpdateCommand]
+    assert(upd.cond.trim === "k = 1",
+      s"SET/WHERE split corrupted by the escaped quote: '${upd.cond}'")
+    assert(upd.set === Seq("note" -> "'it\\'s WHERE clauses hide'"),
+      s"SET value corrupted: ${upd.set}")
+    // doubled-quote escaping still composes with backslashes
+    val cmd2 = parse(
+      """MERGE INTO '/tmp/bs t' AS t USING src AS s ON t.k = s.k
+         WHEN MATCHED AND s.a = 'x''y\'z WHEN MATCHED' THEN DELETE"""
+    ).get.asInstanceOf[GraftMergeCommand]
+    assert(cmd2.matched.size === 1 && cmd2.matched.head._1.equalsIgnoreCase("delete"),
+      s"got ${cmd2.matched}")
+  }
 }
