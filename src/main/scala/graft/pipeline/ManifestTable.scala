@@ -3611,6 +3611,20 @@ object ManifestTable {
       : Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
     val spark = updates.sparkSession
+    // MATERIALIZE the source once per attempt: the body evaluates
+    // `updates` several times (bounds aggregate, confirm-scan key
+    // frames, row-id inheritance, the staging write) — unpinned, each
+    // consumer re-runs the source's whole plan, and a
+    // non-deterministic source could even yield DIFFERENT rows per
+    // pass (delta-spark materializes merge sources for exactly this
+    // reason). MEMORY_AND_DISK spills instead of OOMing at any source
+    // size; released win or lose. Skipped when the caller already
+    // pinned (mergeMulti's compiled frame arrives persisted).
+    val ownPin =
+      updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPin)
+      updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val f = fs(spark, path)
     val st = resolveState(spark, path, prevV)
     assertWritable(st, path)
@@ -3945,6 +3959,9 @@ object ManifestTable {
       if (ndvAdds.nonEmpty)
         f.delete(new Path(s"$path/ndv-$version-$token"), true)
       None
+    }
+    } finally {
+      if (ownPin) updates.unpersist(blocking = false)
     }
   }
 
