@@ -86,6 +86,7 @@ object SparkEntry {
     "multimodal_image_meta" -> ((s, d) => Multimodal.multimodalImageMeta(s, d)),
     "multimodal_blob_ingest" -> ((s, d) => Multimodal.multimodalBlobIngest(s, d)),
     "multimodal_audio_meta" -> ((s, d) => Multimodal.multimodalAudioMeta(s, d)),
+    "dedup_image_phash"  -> ((s, d) => Multimodal.dedupImagePhash(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -790,6 +791,14 @@ object SparkEntry {
          CAST(doc_id % 23 + 1 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
+    // perceptual image dedup: the corpus renders class doc_id % 41
+    // patterns with a uniform per-id brightness shift — bytes all
+    // differ, dHash groups recover exactly the classes, so keeper and
+    // group size are pure id arithmetic
+    "dedup_image_phash" ->
+      """SELECT MIN(doc_id) AS keeper_id,
+                COUNT(*) AS n_dups
+         FROM documents GROUP BY doc_id % 41 ORDER BY keeper_id""",
     // real WAV/MP3 byte synthesis (audioTable) + real header parsing
     // (AudioCodec: RIFF chunk walk, MPEG-1 L3 frame fields); every
     // parameter is a fixed function of doc_id, so the oracle recomputes

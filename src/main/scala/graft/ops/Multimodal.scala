@@ -487,6 +487,112 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** 64-bit difference hash (dHash) over DECODED pixels — the standard
+    * perceptual image fingerprint: downsample to 9×8 grayscale, emit
+    * one bit per horizontal luminance gradient sign. Invariant under
+    * uniform brightness shifts and re-encoding (the property that
+    * makes it a DEDUP key where byte hashes fail: the same photo
+    * saved twice rarely shares a byte). Full pixel decode — O(pixels)
+    * per image, partition-local, the unavoidable cost of perceptual
+    * hashing; at 100 TB this is the same narrow pass as feature
+    * extraction, and the hash (8 bytes/row) is all that shuffles.
+    * None for undecodable payloads. */
+  def imageDHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try g.drawImage(img, 0, 0, 9, 8, null): Unit
+        finally g.dispose()
+        def lum(px: Int): Int = {
+          val r = (px >> 16) & 0xFF; val gg = (px >> 8) & 0xFF
+          val b = px & 0xFF
+          (r * 299 + gg * 587 + b * 114) / 1000
+        }
+        var bits = 0L
+        var i = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(small.getRGB(x, y)) > lum(small.getRGB(x + 1, y)))
+              bits |= 1L << i
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic near-duplicate IMAGE corpus: every doc_id renders
+    * the pattern of its class `doc_id % 41` (41 distinct images) PLUS
+    * a uniform per-id brightness offset (uniform shifts commute with
+    * the downsample average, so every gradient SIGN — hence the dHash
+    * — is preserved exactly; gray values stay ≤ 241, the offset can
+    * never clamp) and an 8-byte id trailer after IEND (decoders stop
+    * at IEND — the trailer stands in for the EXIF/encoder variance
+    * that makes real-world re-encodes byte-distinct). Result:
+    * duplicates of a class NEVER share a byte fingerprint, while
+    * their perceptual hash is identical. */
+  def nearDupImageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val bos = new java.io.ByteArrayOutputStream()
+        it.map { id =>
+          val k = (id % 41).toInt
+          val shift = (id / 41 % 39).toInt // uniform: dHash-invariant
+          val bi = new java.awt.image.BufferedImage(
+            36, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 24) {
+            var x = 0
+            while (x < 36) {
+              val v = (((k + 3) * (x * x + 7) + (k * k + 11) * y +
+                (k + 1) * x * y) % 203) + shift
+              bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          bos.reset()
+          javax.imageio.ImageIO.write(bi, "png", bos)
+          val trailer = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+          bos.write(trailer)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Declared query `dedup_image_phash`: perceptual image dedup end to
+    * end — decode → dHash (partition-local, 8 bytes/row shuffle) →
+    * one hash-group aggregate keeps the first writer and counts the
+    * near-dups. The corpus is built so the byte fingerprints are ALL
+    * DISTINCT (the spec asserts it): only the perceptual hash can
+    * find these duplicates, and because the duplicate classes are a
+    * fixed function of doc_id, the oracle recomputes keeper and group
+    * size from id arithmetic — a collision or a gradient drift in the
+    * decode/hash path hash-mismatches. */
+  def dedupImagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearDupImageTable(spark, sfDir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        imageDHash(p).map(h => (id, h)) })
+      .toDF("doc_id", "dhash")
+      .groupBy(col("dhash"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper_id"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n_dups"))
+      .select(col("keeper_id"), col("n_dups"))
+      .orderBy(col("keeper_id"))
+  }
+
   /** Declared query `multimodal_audio_meta`: REAL WAV/MP3 payloads
     * ([[audioTable]]) parsed by the REAL [[AudioCodec]] — and because
     * every audio parameter is a fixed function of doc_id, the oracle

@@ -3370,15 +3370,16 @@ object ManifestTable {
       // optimizer's byte estimate (plan stats — on-disk bytes for
       // scan-shaped inputs, a row-size model elsewhere).
       val tableProps = prevState.map(_.properties).getOrElse(Map.empty)
+      val optimizeWrite = tableProps.get(OptimizeWriteProp)
+        .exists(_.equalsIgnoreCase("true"))
+      val owTarget = tableProps.get("graft.autoOptimize.targetFileSize")
+        .flatMap(_.toLongOption).filter(_ > 0L)
+        .getOrElse(AutoOptimizeTargetBytes)
       val toStage =
-        if (!tableProps.get(OptimizeWriteProp)
-            .exists(_.equalsIgnoreCase("true"))) toStage0
+        if (!optimizeWrite) toStage0
         else {
-          val target = tableProps.get("graft.autoOptimize.targetFileSize")
-            .flatMap(_.toLongOption).filter(_ > 0L)
-            .getOrElse(AutoOptimizeTargetBytes)
           val est = toStage0.queryExecution.optimizedPlan.stats.sizeInBytes
-          val n = ((est + target - 1) / target)
+          val n = ((est + owTarget - 1) / owTarget)
             .min(BigInt(1 << 20)).max(BigInt(1)).toInt
           toStage0.coalesce(n)
         }
@@ -3393,6 +3394,41 @@ object ManifestTable {
         // file (partition columns become ordinary empty columns).
         stagedDf.limit(0).coalesce(1).write.mode("overwrite").parquet(snapDir)
         staged = listDataFiles(f, new Path(snapDir))
+      }
+      // OPTIMIZED WRITE, post-hoc exactness pass: the plan-stats
+      // estimate above can be UNKNOWN (RDD-backed frames — the
+      // streaming sink's rebased micro-batches — default to
+      // Long.MaxValue, leaving the coalesce a no-op) or simply off.
+      // When the STAGED layout holds more files than its MEASURED
+      // bytes warrant, repack the staged output before anything reads
+      // it — cost bounded by the sliver bytes themselves (it can only
+      // trigger when average file size is under the target), the
+      // commit still lands exactly once. The repack read pins the
+      // staged schema (partition dirs re-read under their written
+      // types, never re-inferred) and restores the cluster sort.
+      if (optimizeWrite && staged.size > 1) {
+        val stagedBytes = staged.map { p =>
+          try f.getFileStatus(p).getLen
+          catch { case _: java.io.IOException => owTarget } // conservative
+        }.sum
+        val want = math.max(1L, (stagedBytes + owTarget - 1L) / owTarget)
+        if (want < staged.size) {
+          val snapDir2 = s"$path/snap-$version-$token-r"
+          val back0 = spark.read.schema(toStage0.schema).parquet(snapDir)
+            .coalesce(want.toInt)
+          val back =
+            if (clusterPhys.isEmpty) back0
+            else back0.sortWithinPartitions(
+              clusterPhys.map(org.apache.spark.sql.functions.col): _*)
+          val w2 = back.write.mode("overwrite")
+          (if (partColsPhys.nonEmpty) w2.partitionBy(partColsPhys: _*)
+           else w2).parquet(snapDir2)
+          val repacked = listDataFiles(f, new Path(snapDir2))
+          if (repacked.nonEmpty) {
+            f.delete(new Path(snapDir), true)
+            staged = repacked
+          } else f.delete(new Path(snapDir2), true)
+        }
       }
       val adds = staged.map(p => relativize(new Path(path), p))
       val newStats: Map[String, Map[String, ColStats]] =
@@ -3456,6 +3492,7 @@ object ManifestTable {
       // lost the race — drop this attempt's staging, re-stage on next N
       f.delete(tmp, false)
       f.delete(new Path(snapDir), true)
+      f.delete(new Path(s"$snapDir-r"), true)
       if (bloomAdds.nonEmpty)
         f.delete(new Path(s"$path/bloom-$version-$token"), true)
       if (ndvAdds.nonEmpty)

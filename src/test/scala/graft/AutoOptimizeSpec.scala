@@ -99,6 +99,38 @@ class AutoOptimizeSpec extends SparkSpec {
       .filter($"id" > 1000000L).count() === 5L)
   }
 
+  test("streaming sink inherits optimizeWrite: one file per micro-batch, not one per partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ows").toString
+    val srcDir = s"$root/src"
+    val path = s"$root/t"
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    ManifestTable.write((-1L to -1L).toDF("id"), path)
+    ManifestTable.setProperties(spark, path,
+      Map("graft.autoOptimize.optimizeWrite" -> "true"))
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .repartition(8) // sliver batches that would stage 8 files each
+      .writeStream
+      .format(classOf[graft.streaming.GraftSinkProvider].getName)
+      .option("path", path)
+      .option("tagPrefix", "ows")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 1 (initial) + 3 micro-batches × 1 coalesced file each
+    assert(fileCount(path) === 4,
+      s"sink batches must stage one file each, got ${fileCount(path)}")
+    assert(ManifestTable.read(spark, path).count() === 301L)
+  }
+
   test("autoCompact is best-effort and converges (no re-trigger loop)") {
     val path = tmp("graft_ac2")
     ManifestTable.write((1L to 10L).toDF("id"), path)

@@ -130,6 +130,32 @@ class MultimodalSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("dHash: invariant under uniform brightness shift; near-dup corpus bytes are ALL distinct") {
+    import spark.implicits._
+    val corpus = Multimodal.nearDupImageTable(spark, sfTiny).cache()
+    try {
+      val n = corpus.count()
+      // the POINT of the perceptual corpus: a byte/md5 dedup finds
+      // NOTHING (every payload distinct) ...
+      val distinctBytes = corpus
+        .select(md5(col("payload"))).distinct().count()
+      assert(distinctBytes === n,
+        s"corpus must be byte-distinct: $distinctBytes of $n")
+      // ... while dHash recovers exactly the doc_id % 41 classes
+      val pairs = corpus.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])].collect()
+        .map { case (id, p) => (id, Multimodal.imageDHash(p).get) }
+      val byClass = pairs.groupBy(_._1 % 41)
+        .map { case (_, xs) => xs.map(_._2).distinct.length }
+      assert(byClass.forall(_ === 1),
+        "duplicates of one class must share ONE dHash")
+      val classHashes = pairs.groupBy(_._1 % 41)
+        .map { case (k, xs) => k -> xs.head._2 }
+      assert(classHashes.values.toSeq.distinct.size === classHashes.size,
+        "distinct patterns must not collide in dHash")
+    } finally corpus.unpersist(): Unit
+  }
+
   test("AudioCodec: WAV round-trip — synthesized RIFF bytes parse back to their parameters") {
     val p = Multimodal.wavBytes(sampleRate = 22050, channels = 2, nSamples = 441)
     val m = Multimodal.AudioCodec.decode(7L, p).get
