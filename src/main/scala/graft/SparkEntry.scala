@@ -146,6 +146,7 @@ object SparkEntry {
     "merge_evolution"    -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionOrders(s, d)),
     "merge_evolution_assign" -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionAssignOrders(s, d)),
     "auto_optimize"      -> ((s, d) => graft.pipeline.Medallion.autoOptimizeOrders(s, d)),
+    "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1763,6 +1764,28 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    // Relational recompute of the SCD2 history (Medallion.scd2Orders):
+    // every key opens at 0; %5 keys close at 1 and reopen at x2; at
+    // ts=2 only the %10 half changes again (close at 2, reopen at x3)
+    // — the %5-not-%10 half arrived UNCHANGED and contributes nothing.
+    "scd2_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                _valid_from, _valid_to FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(0 AS BIGINT) AS _valid_from,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1 END AS BIGINT)
+                    AS _valid_to
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice * 2,
+                  CAST(1 AS BIGINT),
+                  CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 END AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice * 3,
+                  CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+           FROM orders WHERE o_orderkey % 10 = 0)
+         ORDER BY o_orderkey, _valid_from""",
     // Relational recompute of the named-format lifecycle
     // (Medallion.formatRoundtrip — write.format("graft") overwrite +
     // replayed tagged append + replaceWhere option, read back via

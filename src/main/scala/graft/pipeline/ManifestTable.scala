@@ -3825,7 +3825,11 @@ object ManifestTable {
     val idSchema = st.schema.map(sc => StructType(sc.fields :+
       org.apache.spark.sql.types.StructField(RowIdCol, LongType)))
     if (st.rowTracking) {
-      val dupKeys = updates.groupBy(keyCols: _*)
+      // null-keyed rows never match a base row (they insert with a
+      // FRESH id), so they are exempt from the uniqueness contract
+      val dupKeys = updates
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keyCols: _*)
         .count().filter(col("count") > 1).count()
       require(dupKeys == 0L,
         s"merge with row tracking requires key-unique updates at $path " +
@@ -4149,9 +4153,17 @@ object ManifestTable {
             "be the last on its side — later clauses are unreachable"))
       // ONE source job answers three questions (key-uniqueness, the
       // by-source fuse gate, the broadcast gate) — the r15 probes each
-      // ran their own pass over the source before this fuse
-      val keyStats = updates.groupBy(keyCols: _*).count()
-        .agg(coalesce(smax(col("count")), lit(0L)).as("_mx"),
+      // ran their own pass over the source before this fuse.
+      // NULL-keyed source rows are EXCLUDED from the uniqueness check
+      // (SQL join semantics: they can never match a target row, so
+      // several of them are never ambiguous — they just insert); they
+      // still count toward the size gates.
+      val keyNotNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
+      val keyStats = updates.groupBy(keyCols: _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"),
+          smax(keyNotNull).as("_nn"))
+        .agg(coalesce(smax(when(col("_nn"), col("count"))), lit(0L))
+            .as("_mx"),
           coalesce(
             org.apache.spark.sql.functions.sum(col("count")), lit(0L))
             .as("_n"))

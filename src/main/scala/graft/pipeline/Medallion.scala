@@ -1320,6 +1320,37 @@ object Medallion {
     ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
   }
 
+  /** Declared SCD TYPE 2 query (round 16): the canonical lakehouse
+    * CDC→dimension pattern ([[Scd2]] — delta's documented SCD2 MERGE
+    * recipe / DLT's APPLY CHANGES STORED AS SCD TYPE 2). Initialize
+    * the dimension at ts=0, apply two batches: ts=1 re-prices every
+    * %5 key (all change → close + reopen); ts=2 sends every %5 key
+    * again but only the %10 half actually changed — the other half
+    * arrives at its CURRENT price and must be a NO-OP (no new
+    * version row, no closed row). Each apply is ONE atomic MERGE
+    * with a residual `_valid_to IS NULL` ON clause; closed history
+    * rows ride the keyed carry verbatim. The oracle rebuilds the full
+    * validity-ranged history from id arithmetic.
+    */
+  def scd2Orders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_scd2_", sfDir) + "/dim_orders"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Scd2.initialize(orders, path, 0L, statsCols = Seq("o_orderkey"))
+    Scd2.applyChanges(spark, path, "o_orderkey",
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+      tracked = Seq("o_totalprice"), ts = 1L)
+    Scd2.applyChanges(spark, path, "o_orderkey",
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 3.0)
+            .otherwise(col("o_totalprice") * 2.0)),
+      tracked = Seq("o_totalprice"), ts = 2L)
+    ManifestTable.read(spark, path)
+      .orderBy(col("o_orderkey"), col("_valid_from"))
+  }
+
   /** Declared NAMED-FORMAT query (round 13): the reference's LITERAL
     * I/O surface — `df.write.format(...).mode(...).save(p)` and
     * `spark.read.format(...).load(p)`

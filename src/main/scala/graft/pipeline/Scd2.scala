@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SLOWLY-CHANGING DIMENSION Type 2 maintenance — the canonical
+  * lakehouse CDC→dimension pattern (delta's documented SCD2 MERGE
+  * recipe, DLT's APPLY CHANGES ... STORED AS SCD TYPE 2): each
+  * business key keeps its full attribute HISTORY as validity-ranged
+  * rows (`_valid_from`, `_valid_to`; `_valid_to IS NULL` = the open
+  * row), and one batch of upserts closes the superseded open rows and
+  * inserts their replacements in ONE atomic MERGE commit.
+  *
+  * The single-MERGE shape (no read-modify-overwrite of the
+  * dimension): the staged source is the batch UNION a second copy of
+  * exactly the CHANGED rows with a NULL merge key —
+  *
+  *  - the keyed copy holds the real business key: it matches the
+  *    key's OPEN row (the residual `t._valid_to IS NULL` withholds
+  *    closed history) and the conditional UPDATE closes it only when
+  *    a tracked attribute actually changed; an unchanged batch row
+  *    claims nothing and costs nothing;
+  *  - the NULL-keyed copy can never match (SQL join semantics) and
+  *    reaches the insert clause, writing the replacement open row
+  *    (the real key rides a side column into the insert image);
+  *  - a brand-new business key has only the keyed copy, matches
+  *    nothing, and inserts its first open row;
+  *  - closed history rows of a changed key are key-matched but
+  *    residual-withheld — the keyed carry re-emits them VERBATIM.
+  *
+  * Scale shape: the change detection is one join of the batch against
+  * the OPEN slice only (`_valid_to IS NULL` filter pushes to the
+  * scan), the merge's copy-on-write touches only files holding
+  * matched keys, and everything else is the merge machinery's
+  * existing cost model. History grows per CHANGE, never per batch.
+  */
+object Scd2 {
+
+  val ValidFrom = "_valid_from"
+  val ValidTo = "_valid_to"
+
+  /** Create the dimension from an initial snapshot: every row opens
+    * at `ts` (`_valid_from = ts`, `_valid_to = NULL`). */
+  def initialize(snapshot: DataFrame, path: String, ts: Long,
+                 statsCols: Seq[String] = Nil): Long =
+    ManifestTable.write(
+      snapshot.withColumn(ValidFrom, lit(ts))
+        .withColumn(ValidTo, lit(null).cast("long")),
+      path, statsCols = statsCols)
+
+  /** Apply one batch of upserts at logical time `ts`. `tracked` are
+    * the attribute columns whose change opens a new version; other
+    * columns ride along on the new row but never trigger one. The
+    * batch must be key-unique (the merge's own contract). Returns the
+    * committed version. */
+  def applyChanges(spark: SparkSession, path: String, key: String,
+                   batch: DataFrame, tracked: Seq[String],
+                   ts: Long, tag: Option[String] = None): Long = {
+    require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
+    val dimCols = ManifestTable.read(spark, path).schema
+    val bizCols = dimCols.fieldNames
+      .filterNot(n => n == ValidFrom || n == ValidTo)
+    require(bizCols.forall(batch.columns.contains),
+      s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
+    val keyType = dimCols(key).dataType
+    // changed = batch rows whose tracked attrs differ from the OPEN row
+    val open = ManifestTable.read(spark, path)
+      .filter(col(ValidTo).isNull)
+      .select(bizCols.map(c => col(c).as(s"_c_$c")).toSeq: _*)
+    val changedCond = tracked
+      .map(a => !(col(a) <=> col(s"_c_$a"))).reduce(_ || _)
+    val changed = batch.join(open, col(key) === col(s"_c_$key"), "inner")
+      .filter(changedCond)
+      .select(batch.columns.map(col).toSeq: _*)
+    // staged source: keyed copies (match/close or first-insert) UNION
+    // null-keyed copies of the changed rows (replacement inserts);
+    // the real key rides `_scd_key` into the insert image
+    val staged = batch.withColumn("_scd_key", col(key))
+      .unionByName(changed.withColumn("_scd_key", col(key))
+        .withColumn(key, lit(null).cast(keyType)))
+    val pairChanged: Column = tracked
+      .map(a => !(col(a) <=> col(s"_b_$a"))).reduce(_ || _)
+    ManifestTable.mergeMultiKeyed(
+      staged, path, Seq(key),
+      matched = Seq(ManifestTable.MergeUpdate(
+        Some(pairChanged), Seq(ValidTo -> lit(ts)))),
+      notMatched = Seq(ManifestTable.MergeInsert(None,
+        (key -> col("_scd_key")) +:
+          bizCols.filterNot(_ == key).map(c => c -> col(c)).toSeq :+
+          (ValidFrom -> lit(ts)) :+
+          (ValidTo -> lit(null).cast("long")))),
+      residual = Some(col(s"_b_$ValidTo").isNull),
+      tag = tag)
+  }
+
+  /** Point-in-time view of the dimension: the rows whose validity
+    * range covers `ts` — the SCD2 read idiom. */
+  def asOf(spark: SparkSession, path: String, ts: Long): DataFrame =
+    ManifestTable.read(spark, path)
+      .filter(col(ValidFrom) <= ts &&
+        (col(ValidTo).isNull || col(ValidTo) > ts))
+}
