@@ -87,6 +87,7 @@ object SparkEntry {
     "multimodal_blob_ingest" -> ((s, d) => Multimodal.multimodalBlobIngest(s, d)),
     "multimodal_audio_meta" -> ((s, d) => Multimodal.multimodalAudioMeta(s, d)),
     "dedup_image_phash"  -> ((s, d) => Multimodal.dedupImagePhash(s, d)),
+    "dedup_audio_fp"     -> ((s, d) => Multimodal.dedupAudioFp(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -800,6 +801,13 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keeper_id,
                 COUNT(*) AS n_dups
          FROM documents GROUP BY doc_id % 41 ORDER BY keeper_id""",
+    // perceptual audio dedup: volume-scaled re-encodes of doc_id % 29
+    // waveform classes — bytes all differ, the energy-envelope
+    // fingerprint recovers exactly the classes
+    "dedup_audio_fp" ->
+      """SELECT MIN(doc_id) AS keeper_id,
+                COUNT(*) AS n_dups
+         FROM documents GROUP BY doc_id % 29 ORDER BY keeper_id""",
     // real WAV/MP3 byte synthesis (audioTable) + real header parsing
     // (AudioCodec: RIFF chunk walk, MPEG-1 L3 frame fields); every
     // parameter is a fixed function of doc_id, so the oracle recomputes

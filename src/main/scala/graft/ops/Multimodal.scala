@@ -424,12 +424,14 @@ object Multimodal {
       decodeWav(id, p).orElse(decodeMp3(id, p))
   }
 
-  /** Build a REAL PCM WAV payload (RIFF+fmt+data) — deterministic
-    * bytes from the parameters, a standard file any tool can play. */
-  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+  /** Build a REAL PCM WAV payload (RIFF+fmt+data) from explicit
+    * 16-bit samples — deterministic bytes, a standard file any tool
+    * can play. */
+  def wavBytesOf(sampleRate: Int, channels: Int,
+                 samples: Array[Short]): Array[Byte] = {
     val bits = 16
     val blockAlign = channels * bits / 8
-    val dataLen = nSamples * blockAlign
+    val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -441,13 +443,15 @@ object Multimodal {
       .putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nSamples * channels) {
-      // fixed function of position: a small deterministic sawtooth
-      bb.putShort(((i * 257) % 32768).toShort)
-      i += 1
-    }
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
     bb.array()
   }
+
+  /** [[wavBytesOf]] with a fixed deterministic sawtooth — the
+    * parameter-only form the metadata queries use. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] =
+    wavBytesOf(sampleRate, channels,
+      Array.tabulate(nSamples * channels)(i => ((i * 257) % 32768).toShort))
 
   /** Build an MP3 payload whose FIRST FRAME HEADER is valid MPEG-1
     * Layer III with the given field indices; filler bytes stand in
@@ -587,6 +591,100 @@ object Multimodal {
         imageDHash(p).map(h => (id, h)) })
       .toDF("doc_id", "dhash")
       .groupBy(col("dhash"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper_id"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n_dups"))
+      .select(col("keeper_id"), col("n_dups"))
+      .orderBy(col("keeper_id"))
+  }
+
+  /** 32-bit energy-envelope fingerprint over decoded PCM samples —
+    * the audio analog of [[imageDHash]]: the data chunk splits into
+    * 33 equal frames, each frame's summed |amplitude| is its energy,
+    * and one bit per adjacent-frame energy gradient sign forms the
+    * fingerprint. Invariant under VOLUME scaling (|g·s| sums scale by
+    * g, preserving every comparison) and re-encoding — the
+    * perceptual-dedup property a byte hash lacks. Partition-local
+    * O(samples) decode; 8 bytes/row shuffle. None for non-PCM-WAV
+    * payloads. */
+  def audioEnvelopeFingerprint(payload: Array[Byte]): Option[Long] = {
+    // locate the data chunk through the same RIFF walk as AudioCodec
+    if (payload.length < 44) return None
+    def tag(o: Int, s: String): Boolean =
+      payload.length >= o + 4 &&
+        (0 until 4).forall(i => payload(o + i) == s.charAt(i))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    def le16(o: Int): Int =
+      (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long = le16(o).toLong | (le16(o + 2).toLong << 16)
+    var off = 12
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= payload.length && dataOff < 0) {
+      val size = le32(off + 4)
+      if (tag(off, "data")) { dataOff = off + 8; dataLen = size }
+      if (size < 0 || size > payload.length) return None
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (dataOff < 0 || dataOff + dataLen > payload.length) return None
+    val n = (dataLen / 2).toInt
+    if (n < 33) return None
+    val energies = new Array[Long](33)
+    var i = 0
+    while (i < n) {
+      val s = le16(dataOff + 2 * i).toShort.toInt
+      energies(i * 33 / n) += math.abs(s)
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 32) {
+      if (energies(j + 1) > energies(j)) bits |= 1L << j
+      j += 1
+    }
+    Some(bits)
+  }
+
+  /** Deterministic near-duplicate AUDIO corpus: class `doc_id % 29`
+    * fixes the waveform SHAPE (33 blocks of 50 samples, block
+    * amplitude a quadratic function of the class), while each id gets
+    * its own VOLUME gain (envelope-fingerprint-invariant) and an
+    * 8-byte id trailer after the data chunk (decoders walk chunks and
+    * ignore it — the stand-in for the LIST/INFO metadata variance of
+    * real-world re-encodes). Duplicates of a class never share a byte
+    * fingerprint; their envelope fingerprint is identical. */
+  def nearDupAudioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (id % 29).toInt
+        val gain = (id / 29 % 7 + 1).toInt
+        val samples = Array.tabulate(33 * 50) { i =>
+          val blk = i / 50
+          val amp = 100 + ((k + 2) * blk * blk + (k * k + 1) * blk) % 1900
+          val v = amp * gain // <= 1999*7 — clamp-free
+          (if (i % 2 == 0) v else -v).toShort
+        }
+        val wav = wavBytesOf(8000, 1, samples)
+        val out = java.util.Arrays.copyOf(wav, wav.length + 8)
+        java.nio.ByteBuffer.wrap(out, wav.length, 8).putLong(id)
+        (id, out)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Declared query `dedup_audio_fp`: perceptual AUDIO dedup end to
+    * end — PCM decode → envelope fingerprint → one hash-group
+    * aggregate keeps the first writer and counts the near-dups. Bytes
+    * are all distinct (volume gains + metadata trailer; spec-asserted
+    * like the image twin), the duplicate classes are doc_id % 29
+    * arithmetic, so the oracle recomputes keeper/group-size exactly. */
+  def dedupAudioFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearDupAudioTable(spark, sfDir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        audioEnvelopeFingerprint(p).map(h => (id, h)) })
+      .toDF("doc_id", "fp")
+      .groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper_id"),
         org.apache.spark.sql.functions.count(col("doc_id")).as("n_dups"))
       .select(col("keeper_id"), col("n_dups"))

@@ -156,6 +156,33 @@ class MultimodalSpec extends SparkSpec {
     } finally corpus.unpersist(): Unit
   }
 
+  test("audio envelope fingerprint: volume-invariant; near-dup corpus bytes all distinct, classes recovered") {
+    import spark.implicits._
+    val corpus = Multimodal.nearDupAudioTable(spark, sfTiny).cache()
+    try {
+      val n = corpus.count()
+      val distinctBytes = corpus
+        .select(md5(col("payload"))).distinct().count()
+      assert(distinctBytes === n,
+        s"corpus must be byte-distinct: $distinctBytes of $n")
+      val pairs = corpus.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])].collect()
+        .map { case (id, p) =>
+          (id, Multimodal.audioEnvelopeFingerprint(p).get) }
+      val byClass = pairs.groupBy(_._1 % 29)
+        .map { case (_, xs) => xs.map(_._2).distinct.length }
+      assert(byClass.forall(_ === 1),
+        "volume-scaled duplicates must share ONE fingerprint")
+      val classFps = pairs.groupBy(_._1 % 29)
+        .map { case (k, xs) => k -> xs.head._2 }
+      assert(classFps.values.toSeq.distinct.size === classFps.size,
+        "distinct waveform classes must not collide")
+      // the trailer-bearing WAVs still parse as audio metadata
+      val one = corpus.select(col("payload")).as[Array[Byte]].head()
+      assert(Multimodal.AudioCodec.decode(0L, one).exists(_.container == "wav"))
+    } finally corpus.unpersist(): Unit
+  }
+
   test("AudioCodec: WAV round-trip — synthesized RIFF bytes parse back to their parameters") {
     val p = Multimodal.wavBytes(sampleRate = 22050, channels = 2, nSamples = 441)
     val m = Multimodal.AudioCodec.decode(7L, p).get
