@@ -131,6 +131,39 @@ class AutoOptimizeSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 301L)
   }
 
+  test("autoCompact racing concurrent ingest never loses or duplicates rows") {
+    val path = tmp("graft_acr")
+    ManifestTable.write(Seq(0L).toDF("id"), path)
+    ManifestTable.setProperties(spark, path, Map(
+      "graft.autoOptimize.autoCompact" -> "true",
+      "graft.autoOptimize.targetFileSize" -> (1L << 20).toString,
+      "graft.autoCompact.minNumFiles" -> "3"))
+    // two appenders storm the table; every append past the threshold
+    // ALSO fires a best-effort compaction, so compactions race both
+    // the sibling's appends and the sibling's compactions
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fs = (0 until 2).map { w =>
+      Future {
+        (1 to 8).foreach { i =>
+          ManifestTable.append(
+            Seq(w * 1000L + i).toDF("id"), path, maxAttempts = 30)
+        }
+      }(ec)
+    }
+    try fs.foreach(Await.result(_, 180.seconds))
+    finally pool.shutdown()
+    val got = ManifestTable.read(spark, path).as[Long]
+      .collect().sorted.toSeq
+    val want = (Seq(0L) ++ (1 to 8).flatMap(i =>
+      Seq(i.toLong, 1000L + i))).sorted
+    assert(got === want,
+      s"rows lost/duplicated under compaction races: got ${got.size}")
+    assert(fileCount(path) < 17, "compactions must have engaged")
+  }
+
   test("autoCompact is best-effort and converges (no re-trigger loop)") {
     val path = tmp("graft_ac2")
     ManifestTable.write((1L to 10L).toDF("id"), path)
