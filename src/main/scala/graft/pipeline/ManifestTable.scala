@@ -6709,10 +6709,18 @@ object ManifestTable {
     val st = resolveState(spark, path, v)
     if (st.dvFiles.nonEmpty || partitionColsOf(st.files).nonEmpty) return
     val f = fs(spark, path)
-    val small = st.files.filter { r =>
+    // BOUNDED trigger scan: slivers accrete at the NEW end of the file
+    // list (manifest replay order is commit order), and every firing
+    // compaction clears them — so examining a bounded newest window
+    // finds exactly the accreted smalls while a million-file table
+    // never pays a million stat RPCs per commit. A small file older
+    // than the window is the previous trigger's leftover at worst
+    // (best-effort contract); manual OPTIMIZE covers archaeology.
+    val window = math.max(4 * minN, 200)
+    val small = st.files.reverseIterator.take(window).filter { r =>
       try f.getFileStatus(new Path(resolveRef(path, r))).getLen < target / 2
       catch { case _: java.io.IOException => false }
-    }
+    }.toSeq
     if (small.size < minN) return
     inAutoCompact.set(java.lang.Boolean.TRUE)
     try { compactFiles(spark, path, small, target); () }
