@@ -88,6 +88,7 @@ object SparkEntry {
     "multimodal_audio_meta" -> ((s, d) => Multimodal.multimodalAudioMeta(s, d)),
     "dedup_image_phash"  -> ((s, d) => Multimodal.dedupImagePhash(s, d)),
     "dedup_audio_fp"     -> ((s, d) => Multimodal.dedupAudioFp(s, d)),
+    "multimodal_video_meta" -> ((s, d) => Multimodal.multimodalVideoMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
     "skew_join_salted"   -> ((s, d) => Skew.skewJoinSalted(s, d)),
@@ -808,6 +809,21 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keeper_id,
                 COUNT(*) AS n_dups
          FROM documents GROUP BY doc_id % 29 ORDER BY keeper_id""",
+    // real MP4 box synthesis + real ISO-BMFF box-walk parsing
+    // (VideoCodec: ftyp leader, moov/mvhd timescale+duration,
+    // trak/tkhd 16.16 dimensions); params are fixed functions of
+    // doc_id, the oracle recomputes them
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+         'mp4' AS container,
+         CAST((doc_id % 64 + 1) * 16 AS INTEGER) AS width,
+         CAST((doc_id % 36 + 1) * 16 AS INTEGER) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              ELSE 90000 END AS INTEGER) AS timescale,
+         CAST(((doc_id % 120 + 1) * 100 * 1000) //
+              (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+               ELSE 90000 END) AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
     // real WAV/MP3 byte synthesis (audioTable) + real header parsing
     // (AudioCodec: RIFF chunk walk, MPEG-1 L3 frame fields); every
     // parameter is a fixed function of doc_id, so the oracle recomputes

@@ -213,6 +213,28 @@ class MultimodalSpec extends SparkSpec {
     assert(st.channels === 2 && st.sample_rate === 32000)
   }
 
+  test("VideoCodec: MP4 box walk recovers mvhd/tkhd fields; malformed boxes refuse") {
+    val p = Multimodal.mp4Bytes(
+      width = 1920, height = 1080, timescale = 90000, duration = 450000L)
+    val m = Multimodal.VideoCodec.decode(5L, p).get
+    assert(m.container === "mp4")
+    assert(m.width === 1920 && m.height === 1080)
+    assert(m.timescale === 90000)
+    assert(m.duration_ms === 5000L) // 450000/90000 s
+    // non-MP4 refuses
+    assert(Multimodal.VideoCodec.decode(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
+    // a truncated moov (box size past the payload) refuses, never reads
+    // out of bounds
+    val torn = java.util.Arrays.copyOf(p, p.length - 40)
+    assert(Multimodal.VideoCodec.decode(2L, torn).isEmpty)
+    // zero timescale refuses (no division)
+    val z = Multimodal.mp4Bytes(16, 16, 1, 1L)
+    // timescale offset: ftyp(16) + moov hdr(8) + mvhd hdr(8) +
+    // verflags(4) + ctime(4) + mtime(4) -> absolute 44..47
+    z(44) = 0; z(45) = 0; z(46) = 0; z(47) = 0
+    assert(Multimodal.VideoCodec.decode(3L, z).isEmpty)
+  }
+
   test("AudioCodec: malformed payloads refuse (None), never fake metadata") {
     val codec = Multimodal.AudioCodec
     assert(codec.decode(1L, "not audio at all".getBytes).isEmpty)
