@@ -9,21 +9,32 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the decode/feature-extract plumbing a training
   * pipeline needs.
   *
-  * IMAGE decode is REAL since round 5: [[MediaCodec]] parses PNG / JPEG
-  * / GIF / BMP dimensions+channels through the JDK's own `javax.imageio`
-  * readers — header-only (`getWidth/getHeight/getImageTypes` read
-  * metadata, never pixel data), zero new dependencies. Payloads that are
-  * not a recognized image (the text fixtures, audio, video — this
-  * container ships no codecs for those) fall back to the
-  * clearly-marked deterministic [[StubCodec]], so non-image rows keep
-  * flowing with stable fake dimensions; feature-extract / frame-sample
-  * / resample kernels remain stubs with real Spark-side contracts.
+  * ALL THREE metadata classes parse REAL formats with zero new
+  * dependencies:
+  *
+  *  - IMAGE (round 5): [[MediaCodec]] parses PNG / JPEG / GIF / BMP
+  *    dimensions+channels through the JDK's own `javax.imageio`
+  *    readers — header-only (`getWidth/getHeight/getImageTypes` read
+  *    metadata, never pixel data);
+  *  - AUDIO (round 16): [[AudioCodec]] walks RIFF/WAV chunk lists and
+  *    MP3 MPEG-1 Layer III frame headers (pure byte arithmetic);
+  *  - VIDEO (round 16): [[VideoCodec]] walks MP4/ISO-BMFF boxes
+  *    (ftyp/moov/mvhd/tkhd), never touching `mdat` sample data.
+  *
+  * Perceptual DEDUP fingerprints run over decoded content:
+  * [[imageDHash]] (gradient signs of the downsampled image) and
+  * [[audioEnvelopeFingerprint]] (gradient signs of the PCM energy
+  * envelope) find duplicates that share no bytes. Payloads no codec
+  * recognizes fall back to the clearly-marked deterministic
+  * [[StubCodec]] so rows keep flowing; the feature-extract /
+  * frame-sample / resample KERNELS remain stubs with real Spark-side
+  * contracts (a deployment swaps the kernel, not the plumbing).
   *
   * Scale notes: decode runs in `mapPartitions` (the Scala analog of
   * `mapInPandas` batch UDFs) so per-partition setup — the
   * [[MediaCodec]] reader instances — is paid once per task, not per
-  * row; binary payloads never shuffle — metadata is extracted first,
-  * and only the narrow typed columns flow downstream.
+  * row; binary payloads never shuffle — metadata/fingerprints are
+  * extracted first, and only the narrow typed columns flow downstream.
   */
 object Multimodal {
 
