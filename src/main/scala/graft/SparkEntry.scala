@@ -34,6 +34,7 @@ object SparkEntry {
     "moving_avg_revenue" -> ((s, d) => Aggregates.movingAvgRevenue(s, d)),
     "star_join"          -> ((s, d) => Star.starJoin(s, d)),
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
+    "variant_props"      -> ((s, d) => Star.variantProps(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
     "grouped_topk"       -> ((s, d) => {
       // the custom bounded-heap operator (graft.plans.GroupedTopK);
@@ -401,6 +402,20 @@ object SparkEntry {
          MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // VARIANT parse-once/extract-many twin of json_props: k buckets
+    // with exact-decimal value sums; the missing-path extraction must
+    // contribute zero non-nulls
+    "variant_props" ->
+      """SELECT CAST(k % 7 AS BIGINT) AS k_bucket,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                  AS value_sum,
+                MIN(k) AS k_min, MAX(k) AS k_max,
+                CAST(0 AS BIGINT) AS missing_nonnull
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS k, value
+               FROM events)
+         GROUP BY 1 ORDER BY k_bucket""",
     "window_topk" ->
       """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice, priority_revenue
          FROM (

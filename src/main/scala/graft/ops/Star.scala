@@ -59,6 +59,34 @@ object Star {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** VARIANT semi-structured extraction (round 16, Spark 4's native
+    * `VariantType` — the lakehouse semi-structured column type delta
+    * ships as `delta.feature.variantType`): `parse_json` parses each
+    * props payload ONCE into the binary variant encoding, then every
+    * `variant_get` path walks the PARSED value — the
+    * parse-once/extract-many shape that beats per-path
+    * `get_json_object` re-parsing as soon as a row serves two paths.
+    * Typed extraction (`'long'`) casts inside the variant reader;
+    * `try_variant_get` on a missing path yields NULL, exercised by
+    * the `$.missing` column. Codegen-friendly: both expressions are
+    * native Catalyst, no UDFs.
+    */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"), col("value"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("m"))
+      .groupBy(pmod(col("k"), lit(7L)).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("value")).as("value_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(col("m")).as("missing_nonnull"))
+      .orderBy(col("k_bucket"))
+
   /** Window functions: top-3 orders by value per priority class
     * (row_number partitioned by o_orderpriority), plus the priority-level
     * total each row contributes to (a second, unbounded window over the
