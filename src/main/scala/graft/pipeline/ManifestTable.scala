@@ -593,6 +593,21 @@ object ManifestTable {
     versions(spark, path).reverseIterator
       .find(v => commitTimestamp(spark, path, v) <= tsMillis)
 
+  /** Monotone commit timestamp (delta's in-commit-timestamps
+    * rationale): wall-clock now, clamped STRICTLY AFTER the previous
+    * version's recorded ts — so timestamp time travel, retention
+    * horizons, and history ordering stay correct even when racing
+    * writers carry skewed clocks (without the clamp, a behind-clock
+    * writer would record a commit "before" its predecessor and
+    * `TIMESTAMP AS OF` would silently skip it). One tiny manifest
+    * read per commit; no predecessor → plain now. */
+  private def commitTs(spark: SparkSession, path: String,
+                       version: Long): Long = {
+    val prev =
+      if (version <= 1L) 0L else commitTimestamp(spark, path, version - 1)
+    math.max(System.currentTimeMillis(), prev + 1)
+  }
+
   /** Wall-clock commit time recorded by a version (0 on pre-round-10
     * manifests, which carried no timestamp).
     */
@@ -1556,7 +1571,7 @@ object ManifestTable {
         }
       }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         generatedAdds = Map(name -> exprSql))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1589,7 +1604,7 @@ object ManifestTable {
         s"no generated column '$name' at $path (live: " +
           s"${st.generated.keys.toSeq.sorted.mkString(", ")})")
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         generatedRemoves = Seq(name))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1637,7 +1652,7 @@ object ManifestTable {
         s"cannot add CHECK constraint '$name' ($exprSql) at $path: " +
           s"$violations existing rows violate it")
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         constraintAdds = Map(name -> exprSql))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1688,7 +1703,7 @@ object ManifestTable {
           (Some(st.mapping ++ fresh), Some(id))
         }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = mapOpt, maxColId = maxIdOpt, op = Some("SCHEMA"))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1798,7 +1813,7 @@ object ManifestTable {
       val version = prevV + 1L
       val st0 = if (prevV > 0L) Some(resolveState(spark, path, prevV)) else None
       val physCol = st0.map(_.phys(column)).getOrElse(column)
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         op = Some("METADATA"),
         identity = Some((physCol, step)),
@@ -1841,7 +1856,7 @@ object ManifestTable {
         s"no CHECK constraint '$name' at $path (live: " +
           s"${st.constraints.keys.toSeq.sorted.mkString(", ")})")
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         constraintRemoves = Seq(name))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -1956,7 +1971,7 @@ object ManifestTable {
       // a column DEFAULT renames WITH its column (it is keyed by the
       // logical name, like the generated declaration)
       val defMove = st.defaults.get(from)
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(newMapping),
         maxColId = Some(math.max(st.maxColId, 1L)),
@@ -2024,7 +2039,7 @@ object ManifestTable {
             s"references it (${st.generated(g)}) — drop it first"))
       val newSchema = StructType(schema.fields.filterNot(_.name == name))
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, Some(newSchema),
         mapping = Some(st.mapping - name),
         maxColId = Some(math.max(st.maxColId, 1L)),
@@ -2084,7 +2099,7 @@ object ManifestTable {
         if (prevV == 0L) cols
         else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         bloomSpec = Some(BloomSpec(physCols, items, fpp)))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -2271,7 +2286,7 @@ object ManifestTable {
         if (prevV == 0L) cols
         else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         op = Some("SET_STATS"), statsSchema = Some(physCols))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -2331,7 +2346,7 @@ object ManifestTable {
           (pc, (st.statsSchemaCols ++ pc).distinct)
         }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         op = Some("CLUSTER_BY"), clusterCols = Some(physCols),
         statsSchema = Some(statsUnion))
@@ -2500,7 +2515,7 @@ object ManifestTable {
         case Nil  => Nil
         case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
       }
-      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+      val json = deltaJson(version, commitTs(spark, path, version), stagedRel,
         rewrite, newStats, None, DefaultTagHorizon, Some(schema),
         bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("CLUSTER"),
         clusteredAdds = stagedRel)
@@ -2535,7 +2550,7 @@ object ManifestTable {
         if (prevV == 0L) cols
         else { val st = resolveState(spark, path, prevV); cols.map(st.phys) }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         ndvCols = Some(physCols))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -2723,7 +2738,7 @@ object ManifestTable {
           s"requested ($minReader, $minWriter) — a client must " +
           "implement the protocol it declares (Delta's rule)")
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         protocol = Some((minReader, minWriter)), op = Some("PROTOCOL"))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -2954,7 +2969,7 @@ object ManifestTable {
           s"cannot declare a default on unknown column '$column' at $path"))
       validateColumnDefault(spark, canon, exprSql, schema(canon).dataType)
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         defaultAdds = Map(canon -> exprSql), op = Some("METADATA"))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -2987,7 +3002,7 @@ object ManifestTable {
       val canon = st.defaults.keys.find(_.equalsIgnoreCase(column))
         .getOrElse(return prevV) // no declaration: no-op
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         defaultRemoves = Seq(canon), op = Some("METADATA"))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -3019,7 +3034,7 @@ object ManifestTable {
       val next = change(st)
       if (next == st.properties) return prevV // no-op change, no commit
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         op = Some(opName), properties = Some(next))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -3071,7 +3086,7 @@ object ManifestTable {
             "exist from the first write to be stable")
       }
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
         Map.empty, None, DefaultTagHorizon, None,
         rowTracking = Some(true), rowHighWater = Some(0L))
       val token = java.util.UUID.randomUUID.toString.take(8)
@@ -3467,7 +3482,7 @@ object ManifestTable {
       // it too
       val newIdentHigh = identDecl.map { case (_, physCol, _, hw) =>
         stagedColMax(spark, staged, physCol, hw) }
-      val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
+      val json = deltaJson(version, commitTs(spark, path, version), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
         mapping = if (prevMapped) Some(newMapping) else None,
@@ -3963,7 +3978,7 @@ object ManifestTable {
       case Nil  => Nil
       case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
     }
-    val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+    val json = deltaJson(version, commitTs(spark, path, version), stagedRel,
       touched, newStats, tag, tagHorizon, Some(schema),
       dvAdds = dvAdds,
       // composite keys record comma-joined (names validated comma-free)
@@ -5150,7 +5165,7 @@ object ManifestTable {
           pairs.coalesce(1).write.mode("overwrite").parquet(dvDir)
           val dvAdds = listDataFiles(f, new Path(dvDir))
             .map(p => relativize(new Path(path), p))
-          val json = deltaJson(version, System.currentTimeMillis(), Nil, Nil,
+          val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
             Map.empty, tag, tagHorizon, Some(schema),
             dvAdds = dvAdds, dvKey = Some(st.phys(key)), op = Some("DELETE_DV"))
           val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
@@ -5313,7 +5328,7 @@ object ManifestTable {
             case cols => buildNdvSidecar(spark, path, staged, cols,
               version, token)
           }
-          val json = deltaJson(version, System.currentTimeMillis(),
+          val json = deltaJson(version, commitTs(spark, path, version),
             stagedRel, Nil, newStats, tag, tagHorizon, Some(schema),
             dvAdds = dvAdds, dvKey = Some(st.phys(key)),
             bloomAdds = bloomAdds, ndvAdds = ndvAdds,
@@ -5451,7 +5466,7 @@ object ManifestTable {
         case Nil  => Nil
         case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
       }
-      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+      val json = deltaJson(version, commitTs(spark, path, version), stagedRel,
         touched, newStats, tag, tagHorizon, Some(schema),
         bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some(op),
         rowHighWater =
@@ -5757,7 +5772,7 @@ object ManifestTable {
       val addSet = adds.toSet
       val addStats = target.stats.view.filterKeys(addSet).toMap
       val version = prevV + 1L
-      val json = deltaJson(version, System.currentTimeMillis(), adds, removes,
+      val json = deltaJson(version, commitTs(spark, path, version), adds, removes,
         addStats, None, DefaultTagHorizon, target.schema,
         dvAdds = target.dvFiles.filterNot(cur.dvFiles.toSet),
         dvRemoves = cur.dvFiles.filterNot(target.dvFiles.toSet),
@@ -6653,7 +6668,7 @@ object ManifestTable {
         case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
       }
       val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-      val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+      val json = deltaJson(version, commitTs(spark, path, version), stagedRel,
         selected, newStats, None, DefaultTagHorizon, Some(schema),
         bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("COMPACT"))
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
@@ -6782,7 +6797,7 @@ object ManifestTable {
       case cols => buildNdvSidecar(spark, path, staged, cols, version, token)
     }
     val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-    val json = deltaJson(version, System.currentTimeMillis(), stagedRel,
+    val json = deltaJson(version, commitTs(spark, path, version), stagedRel,
       chosen, newStats, None, DefaultTagHorizon, Some(schema),
       bloomAdds = bloomAdds, ndvAdds = ndvAdds, op = Some("COMPACT"))
     val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")

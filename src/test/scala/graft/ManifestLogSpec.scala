@@ -901,4 +901,24 @@ class ManifestLogSpec extends SparkSpec {
     assert(ManifestTable.generatedColumns(spark, path) === Map("b" -> "0"))
     assert(ManifestTable.columnDefaults(spark, path) === Map("id" -> "0"))
   }
+
+  test("commit timestamps are STRICTLY monotone — timestamp travel resolves every version (r16 in-commit-timestamps)") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ict").toString + "/t"
+    // rapid-fire commits: without the write-side clamp several land in
+    // the SAME millisecond, making `TIMESTAMP AS OF` ambiguous (and a
+    // behind-clock racer could even record ts going BACKWARD)
+    ManifestTable.write(Seq(1L).toDF("id"), path)
+    (2 to 6).foreach(i => ManifestTable.append(Seq(i.toLong).toDF("id"), path))
+    val vs = ManifestTable.versions(spark, path)
+    val ts = vs.map(v => ManifestTable.commitTimestamp(spark, path, v))
+    assert(ts.sliding(2).forall(p => p(1) > p.head),
+      s"timestamps must STRICTLY increase, got $ts")
+    // each version's own ts resolves exactly that version
+    vs.zip(ts).foreach { case (v, t) =>
+      assert(ManifestTable.versionAsOfTimestamp(spark, path, t)
+        === Some(v), s"ts=$t must resolve v$v")
+    }
+  }
 }
