@@ -3439,7 +3439,9 @@ object ManifestTable {
           (if (partColsPhys.nonEmpty) w2.partitionBy(partColsPhys: _*)
            else w2).parquet(snapDir2)
           val repacked = listDataFiles(f, new Path(snapDir2))
-          if (repacked.nonEmpty) {
+          // a PARTITIONED repack re-splits by partition value and may
+          // not shrink — keep whichever layout holds fewer files
+          if (repacked.nonEmpty && repacked.size < staged.size) {
             f.delete(new Path(snapDir), true)
             staged = repacked
           } else f.delete(new Path(snapDir2), true)
