@@ -35,6 +35,7 @@ object SparkEntry {
     "star_join"          -> ((s, d) => Star.starJoin(s, d)),
     "json_props"         -> ((s, d) => Star.jsonProps(s, d)),
     "variant_props"      -> ((s, d) => Star.variantProps(s, d)),
+    "variant_explode"    -> ((s, d) => Star.variantExplode(s, d)),
     "window_topk"        -> ((s, d) => Star.windowTopk(s, d)),
     "grouped_topk"       -> ((s, d) => {
       // the custom bounded-heap operator (graft.plans.GroupedTopK);
@@ -89,6 +90,7 @@ object SparkEntry {
     "multimodal_audio_meta" -> ((s, d) => Multimodal.multimodalAudioMeta(s, d)),
     "dedup_image_phash"  -> ((s, d) => Multimodal.dedupImagePhash(s, d)),
     "dedup_audio_fp"     -> ((s, d) => Multimodal.dedupAudioFp(s, d)),
+    "dedup_video_fp"     -> ((s, d) => Multimodal.dedupVideoFp(s, d)),
     "multimodal_video_meta" -> ((s, d) => Multimodal.multimodalVideoMeta(s, d)),
     "ml_train"           -> ((s, d) => graft.ml.RevenueModel.trainEvalChecked(s, d)),
     "term_relevance"     -> ((s, d) => Text.termRelevance(s, d)),
@@ -416,6 +418,21 @@ object SparkEntry {
                  AS k, value
                FROM events)
          GROUP BY 1 ORDER BY k_bucket""",
+    // VARIANT array explode: the synthesized payload's elements are
+    // pure event_id arithmetic (e%4+1 elements, element i = e%97+7i),
+    // so the oracle re-derives the explode via generate_series; key
+    // is NULL for array elements -> key_nonnull pinned at 0
+    "variant_explode" ->
+      """SELECT CAST((event_id % 97 + i * 7) % 10 AS BIGINT) AS bucket,
+                COUNT(*) AS n,
+                CAST(SUM(event_id % 97 + i * 7) AS BIGINT) AS elem_sum,
+                CAST(MAX(i) AS BIGINT) AS pos_max,
+                CAST(0 AS BIGINT) AS key_nonnull
+         FROM (SELECT event_id,
+                      unnest(generate_series(0,
+                        CAST(event_id % 4 AS BIGINT))) AS i
+               FROM events)
+         GROUP BY 1 ORDER BY bucket""",
     "window_topk" ->
       """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice, priority_revenue
          FROM (
@@ -824,6 +841,13 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keeper_id,
                 COUNT(*) AS n_dups
          FROM documents GROUP BY doc_id % 29 ORDER BY keeper_id""",
+    // perceptual video dedup: brightness-scaled, frame-rate-resampled
+    // re-encodes of doc_id % 23 content classes — bytes all differ,
+    // the frame-luma envelope fingerprint recovers exactly the classes
+    "dedup_video_fp" ->
+      """SELECT MIN(doc_id) AS keeper_id,
+                COUNT(*) AS n_dups
+         FROM documents GROUP BY doc_id % 23 ORDER BY keeper_id""",
     // real MP4 box synthesis + real ISO-BMFF box-walk parsing
     // (VideoCodec: ftyp leader, moov/mvhd timescale+duration,
     // trak/tkhd 16.16 dimensions); params are fixed functions of

@@ -643,7 +643,9 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val s = le16(dataOff + 2 * i).toShort.toInt
-      energies(i * 33 / n) += math.abs(s)
+      // Long arithmetic: i * 33 overflows Int past ~65M samples (a
+      // ~2-hour 8 kHz mono file), indexing negative in the executor
+      energies((i.toLong * 33 / n).toInt) += math.abs(s)
       i += 1
     }
     var bits = 0L
@@ -767,6 +769,52 @@ object Multimodal {
       Some(VideoMeta(id, "mp4", w, h, timescale.toInt,
         duration * 1000L / timescale))
     }
+
+    /** 32-bit frame-luma envelope fingerprint — the VIDEO member of
+      * the perceptual-dedup class ([[imageDHash]] for images,
+      * [[audioEnvelopeFingerprint]] for audio): walk the real box
+      * structure for the track dimensions and the `mdat` payload
+      * (raw 8-bit luma frames of width×height bytes here — the
+      * deterministic stand-in for a decoded frame stream; a real
+      * deployment swaps the frame decode behind this same shape),
+      * bucket the frame sequence into 33 equal temporal windows,
+      * sum each window's luma energy, and take one bit per
+      * adjacent-window gradient sign. Invariant under global
+      * BRIGHTNESS/contrast gain (energies scale uniformly) and under
+      * FRAME-RATE resampling by frame repetition (each window's
+      * count scales uniformly) — the two re-encode axes a byte hash
+      * cannot see through. Partition-local O(pixels) work, 8
+      * bytes/row shuffle. None for malformed/non-MP4 payloads or
+      * fewer than 33 frames. */
+    def lumaEnvelopeFingerprint(p: Array[Byte]): Option[Long] = {
+      val meta = decode(0L, p).getOrElse(return None)
+      val w = meta.width
+      val h = meta.height
+      if (w <= 0 || h <= 0) return None
+      val (mdatOff, mdatSize) = findBox(p, 0, p.length, "mdat")
+      if (mdatOff < 0) return None
+      val frameBytes = w * h
+      val n = ((mdatSize - 8) / frameBytes).toInt
+      if (n < 33) return None
+      val energies = new Array[Long](33)
+      var f = 0
+      while (f < n) {
+        val base = mdatOff + 8 + f * frameBytes
+        var s = 0L
+        var i = 0
+        while (i < frameBytes) { s += p(base + i) & 0xFF; i += 1 }
+        // Long bucket index: f * 33 overflows Int past ~65M frames
+        energies((f.toLong * 33 / n).toInt) += s
+        f += 1
+      }
+      var bits = 0L
+      var j = 0
+      while (j < 32) {
+        if (energies(j + 1) > energies(j)) bits |= 1L << j
+        j += 1
+      }
+      Some(bits)
+    }
   }
 
   /** Build a minimal REAL MP4: ftyp + moov(mvhd + trak(tkhd)) —
@@ -802,6 +850,83 @@ object Multimodal {
       .foreach(bb.putInt)
     bb.putInt(width << 16).putInt(height << 16)
     bb.array()
+  }
+
+  /** [[mp4Bytes]] plus a raw-luma `mdat` (frame stream) and an
+    * id-bearing `free` box — both standard top-level boxes every
+    * demuxer walks past, so [[VideoCodec.decode]] still parses the
+    * result; the `free` box is the stand-in for the per-encode
+    * metadata variance of real-world re-encodes (it makes every
+    * payload byte-distinct without touching any frame). */
+  def mp4BytesWithFrames(width: Int, height: Int, timescale: Int,
+                         duration: Long, frames: Array[Byte],
+                         trailerId: Long): Array[Byte] = {
+    val head = mp4Bytes(width, height, timescale, duration)
+    val bb = java.nio.ByteBuffer
+      .allocate(head.length + 8 + frames.length + 16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(head)
+    bb.putInt(8 + frames.length).put("mdat".getBytes("US-ASCII"))
+      .put(frames)
+    bb.putInt(16).put("free".getBytes("US-ASCII")).putLong(trailerId)
+    bb.array()
+  }
+
+  /** Deterministic near-duplicate VIDEO corpus: class `doc_id % 23`
+    * fixes the CONTENT (33 logical frames of 16×12 luma, per-frame
+    * mean a quadratic of the class — sign patterns verified distinct
+    * across all 23 classes), while each id gets its own brightness
+    * GAIN (×1–5), its own frame-rate RESAMPLE (each frame repeated
+    * 1–3×) and an id-bearing `free` box — so every payload is
+    * byte-distinct (spec-asserted) and only the luma-envelope
+    * fingerprint can recover the duplicate classes. */
+  def nearDupVideoTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (id % 23).toInt
+        val gain = (id / 23 % 5 + 1).toInt
+        val rep = (id / 115 % 3 + 1).toInt
+        val w = 16
+        val h = 12
+        val frames = new Array[Byte](33 * rep * w * h)
+        var f = 0
+        while (f < 33 * rep) {
+          val j = f / rep // logical frame
+          val m = ((k + 2) * j * j + (k * k + 1) * j) % 37 + 1
+          var pix = 0
+          while (pix < w * h) {
+            // gain scales every pixel: max (37+1+2)*5 = 200 < 255
+            frames(f * w * h + pix) = ((m + pix % 3) * gain).toByte
+            pix += 1
+          }
+          f += 1
+        }
+        (id, mp4BytesWithFrames(w, h, 1000, 33L * rep, frames, id))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Declared query `dedup_video_fp`: perceptual VIDEO dedup end to
+    * end — real ISO-BMFF box walk → frame-luma envelope fingerprint →
+    * one hash-group aggregate keeps the first writer and counts the
+    * near-dups. Bytes are all distinct (gain × frame-rate × free-box
+    * trailer; spec-asserted like the image/audio twins), the
+    * duplicate classes are doc_id % 23 arithmetic, so the oracle
+    * recomputes keeper/group-size exactly. Completes the perceptual
+    * dedup class: image dHash (r16) + audio envelope (r16) + video
+    * luma envelope (r17). */
+  def dedupVideoFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearDupVideoTable(spark, sfDir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        VideoCodec.lumaEnvelopeFingerprint(p).map(h => (id, h)) })
+      .toDF("doc_id", "fp")
+      .groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper_id"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n_dups"))
+      .select(col("keeper_id"), col("n_dups"))
+      .orderBy(col("keeper_id"))
   }
 
   /** Declared query `multimodal_video_meta`: REAL MP4 payloads

@@ -87,6 +87,43 @@ object Star {
         count(col("m")).as("missing_nonnull"))
       .orderBy(col("k_bucket"))
 
+  /** VARIANT array explode (round 17 — the second half of Spark 4's
+    * variant surface after [[variantProps]]' typed path extraction):
+    * an ARRAY-bearing JSON payload parses ONCE into the binary
+    * variant encoding, then the native `variant_explode` GENERATOR
+    * (Catalyst `VariantExplode`, no UDF) unnests it to
+    * (pos, key, value) rows — `key` is NULL for array elements (it
+    * names object fields only; `key_nonnull` pins that contract) and
+    * `value` is itself a VARIANT, cast to BIGINT inside the variant
+    * reader. The payload is synthesized from `event_id` arithmetic
+    * (element i of event e = e%97 + 7i, e%4+1 elements), so the
+    * DuckDB oracle recomputes the whole explode with
+    * `unnest(generate_series(...))` — a wrong element, order, or
+    * count hash-mismatches. Scale shape: parse + explode are
+    * partition-local; the only shuffle is the final 10-bucket agg. */
+  def variantExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    // `variant_explode` registers as a table-valued GENERATOR (Spark's
+    // TableFunctionRegistry), so it lives in the FROM clause via
+    // LATERAL — the SQL shape delta documents for variant arrays
+    Tables.events(spark, sfDir)
+      .withColumn("v", expr(
+        "parse_json(to_json(transform(" +
+          "sequence(0, cast(event_id % 4 as int)), " +
+          "i -> event_id % 97 + i * 7)))"))
+      .createOrReplaceTempView("variant_explode_src")
+    spark.sql(
+      """SELECT CAST(elem % 10 AS BIGINT) AS bucket,
+                COUNT(*) AS n,
+                SUM(elem) AS elem_sum,
+                CAST(MAX(pos) AS BIGINT) AS pos_max,
+                COUNT(key) AS key_nonnull
+         FROM (SELECT e.event_id, ve.pos, ve.key,
+                      CAST(ve.value AS BIGINT) AS elem
+               FROM variant_explode_src e,
+                    LATERAL variant_explode(e.v) AS ve)
+         GROUP BY 1 ORDER BY bucket""")
+  }
+
   /** Window functions: top-3 orders by value per priority class
     * (row_number partitioned by o_orderpriority), plus the priority-level
     * total each row contributes to (a second, unbounded window over the

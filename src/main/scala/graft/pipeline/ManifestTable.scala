@@ -3393,10 +3393,18 @@ object ManifestTable {
       val toStage =
         if (!optimizeWrite) toStage0
         else {
-          val est = toStage0.queryExecution.optimizedPlan.stats.sizeInBytes
+          val est = stagedDf.queryExecution.optimizedPlan.stats.sizeInBytes
           val n = ((est + owTarget - 1) / owTarget)
             .min(BigInt(1 << 20)).max(BigInt(1)).toInt
-          toStage0.coalesce(n)
+          // coalesce FIRST, then the cluster sort: coalesce on top of
+          // sortWithinPartitions concatenates sorted runs, silently
+          // degrading clustered layout whenever optimizeWrite merges
+          // partitions (the repack path below already orders it this
+          // way)
+          val merged = stagedDf.coalesce(n)
+          if (clusterPhys.isEmpty) merged
+          else merged.sortWithinPartitions(
+            clusterPhys.map(org.apache.spark.sql.functions.col): _*)
         }
       val w = toStage.write.mode("overwrite")
       (if (partColsPhys.nonEmpty) w.partitionBy(partColsPhys: _*) else w)
@@ -4007,6 +4015,10 @@ object ManifestTable {
     try out.write(json.getBytes("UTF-8")) finally out.close()
     if (conditionalCommit(f, tmp, manifest)) {
       maybeCheckpoint(spark, path, version)
+      // merge commits stage small files per batch exactly like appends
+      // — evaluate auto-compaction here too (delta's post-commit hook
+      // fires after ANY write), same reentrancy guard
+      maybeAutoCompact(spark, path, st.properties)
       Some(version)
     } else {
       f.delete(tmp, false)
@@ -4401,24 +4413,32 @@ object ManifestTable {
         // copy-on-write addresses base rows by key equality, so a
         // re-keyed image would orphan the old row instead of replacing
         // it (rewrite through delete + insert instead)
-        (updClauses.flatMap(_.set) ++ notMatchedBySource
-          .collect { case u: MergeUpdate => u }.flatMap(_.set))
-          .foreach { case (c, e) =>
-            // the TRIVIAL re-assignments tooling emits — `SET k = s.k`
-            // (the source key, equal to the base key by the ON clause)
-            // and `SET k = t.k` (the base value, `_b_k` here) — are
-            // no-ops Delta accepts; only genuinely RE-KEYING
-            // expressions are refused (the keyed copy-on-write
-            // addresses base rows by key equality, so a re-keyed
-            // image would orphan the old row instead of replacing it)
+        // the TRIVIAL re-assignments tooling emits — `SET k = s.k`
+        // (the source key, equal to the base key by the ON clause)
+        // and `SET k = t.k` (the base value, `_b_k` here) — are
+        // no-ops Delta accepts; only genuinely RE-KEYING
+        // expressions are refused (the keyed copy-on-write
+        // addresses base rows by key equality, so a re-keyed
+        // image would orphan the old row instead of replacing it).
+        // In BY SOURCE clauses there IS no source row — bare `s.k`
+        // reads NULL on base-only rows, so only the base spelling
+        // (`t.k` = `_b_k`) is a no-op there; `SET k = s.k` would
+        // null the key and orphan the row, and stays refused.
+        def checkReKey(set: Seq[(String, Column)],
+                       okSpellings: String => Set[String]): Unit =
+          set.foreach { case (c, e) =>
             val trivialNoOp = org.apache.spark.sql.graftshim.PlanShim
               .bareAttribute(e).exists(parts =>
-                parts.lastOption.contains(c) ||
-                  parts.lastOption.contains(s"_b_$c"))
+                parts.lastOption.exists(okSpellings(c)))
             require(!keys.contains(c) || trivialNoOp,
-              s"MERGE UPDATE SET cannot re-key merge key column '$c' " +
-                "— the keyed copy-on-write addresses rows by key " +
-                "equality; express a re-key as DELETE + INSERT") }
+              s"MERGE UPDATE SET cannot re-key merge key column " +
+                s"'$c' — the keyed copy-on-write addresses rows by " +
+                "key equality; express a re-key as DELETE + INSERT") }
+        checkReKey(updClauses.flatMap(_.set),
+          c => Set(c, s"_b_$c"))
+        checkReKey(notMatchedBySource
+          .collect { case u: MergeUpdate => u }.flatMap(_.set),
+          c => Set(s"_b_$c"))
         // Per-clause image compilation (delta-spark's `SET c = expr` /
         // `INSERT (cols) VALUES (exprs)` forms): an assigned column
         // takes its expression (source columns bare, matched base row
@@ -5484,6 +5504,10 @@ object ManifestTable {
       try out.write(json.getBytes("UTF-8")) finally out.close()
       if (conditionalCommit(f, tmp, manifestPath(path, version))) {
         maybeCheckpoint(spark, path, version)
+        // UPDATE/DELETE/replaceWhere rewrites stage small files per
+        // commit just like appends — evaluate auto-compaction after
+        // any successful write (delta's post-commit hook shape)
+        maybeAutoCompact(spark, path, st.properties)
         return version
       }
       f.delete(tmp, false)

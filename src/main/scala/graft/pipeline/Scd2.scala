@@ -63,21 +63,40 @@ object Scd2 {
     require(bizCols.forall(batch.columns.contains),
       s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
     val keyType = dimCols(key).dataType
-    // changed = batch rows whose tracked attrs differ from the OPEN row
+    // Change detection: ONE left join of the batch against the OPEN
+    // slice (filter-pushed scan, key + tracked columns only). A batch
+    // row is NEW (no open row) or CHANGED (tracked attrs differ);
+    // everything else — the bulk of a mostly-unchanged snapshot —
+    // claims no merge clause and is dropped HERE, so the merge's
+    // stats prune + confirm scan pay only for changed∪new keys'
+    // candidate files, not every batch key's.
+    val detectCols = (key +: tracked).distinct
     val open = ManifestTable.read(spark, path)
       .filter(col(ValidTo).isNull)
-      .select(bizCols.map(c => col(c).as(s"_c_$c")).toSeq: _*)
+      .select(detectCols.map(c => col(c).as(s"_c_$c")): _*)
     val changedCond = tracked
       .map(a => !(col(a) <=> col(s"_c_$a"))).reduce(_ || _)
-    val changed = batch.join(open, col(key) === col(s"_c_$key"), "inner")
-      .filter(changedCond)
-      .select(batch.columns.map(col).toSeq: _*)
-    // staged source: keyed copies (match/close or first-insert) UNION
-    // null-keyed copies of the changed rows (replacement inserts);
-    // the real key rides `_scd_key` into the insert image
-    val staged = batch.withColumn("_scd_key", col(key))
-      .unionByName(changed.withColumn("_scd_key", col(key))
-        .withColumn(key, lit(null).cast(keyType)))
+    val flagged = batch
+      .join(open, col(key) === col(s"_c_$key"), "left")
+      .withColumn("_scd_chg",
+        col(s"_c_$key").isNotNull && changedCond)
+      .filter(col(s"_c_$key").isNull || col("_scd_chg"))
+      .select(batch.columns.map(col) :+ col("_scd_chg"): _*)
+    // staged source: keyed copies (close-the-open-row for changed
+    // keys, first-insert for new keys) plus null-keyed copies of the
+    // CHANGED rows only (replacement inserts — a null key can never
+    // match, so it reaches the insert clause); the real key rides
+    // `_scd_key` into the insert image. Built by exploding each row
+    // into its 1 or 2 copies — one pass over the detection join, no
+    // self-union re-evaluation.
+    val staged = flagged
+      .select(col("*"),
+        explode(when(col("_scd_chg"), array(lit(false), lit(true)))
+          .otherwise(array(lit(false)))).as("_scd_nullkey"))
+      .withColumn("_scd_key", col(key))
+      .withColumn(key, when(col("_scd_nullkey"), lit(null).cast(keyType))
+        .otherwise(col(key)))
+      .drop("_scd_chg", "_scd_nullkey")
     val pairChanged: Column = tracked
       .map(a => !(col(a) <=> col(s"_b_$a"))).reduce(_ || _)
     ManifestTable.mergeMultiKeyed(

@@ -140,8 +140,22 @@ class BenchSpec extends SparkSpec {
     // adaptive median over all 5 sorted times
     assert(run.median === Some(1.2))
     // absolute threshold 4.0: reps at loads {2.0, 1.5, 3.9} qualify
-    // -> fastest is 1.0
+    // (none is attempt #1, so all stay eligible) -> fastest is 1.0
     assert(run.minQuiet(4.0) === Some(1.0))
+    // r17: the COLD first attempt is never quiet-eligible — r16's
+    // min_quiet printed the 68.5 s cold rep for a 17 s-warm query
+    // because only attempt #1 started under threshold
+    val coldOnly = Bench.QueryRun("c",
+      times = Seq(17.0, 17.5, 68.5).sorted,
+      attempts = Seq(1.0 -> Some(68.5), 9.0 -> Some(17.0),
+        8.5 -> Some(17.5)),
+      baseReps = 3)
+    assert(coldOnly.minQuiet(4.0) === None)
+    // ...but a LATER quiet rep reports normally
+    val warmQuiet = coldOnly.copy(
+      attempts = coldOnly.attempts :+ (2.0 -> Some(16.8)),
+      times = (coldOnly.times :+ 16.8).sorted)
+    assert(warmQuiet.minQuiet(4.0) === Some(16.8))
     // r16: the threshold is ABSOLUTE — no relative calmest+2.0
     // fallback (r15's fallback admitted contaminated reps and printed
     // a 32 s "quiet" value for a 3 s query). No rep under 0.5 ->
@@ -159,5 +173,30 @@ class BenchSpec extends SparkSpec {
     assert(d.select("queries.q.min_quiet").head().getDouble(0) === 1.0)
     assert(d.select("queries.q.base_median").head().getDouble(0) === 8.0)
     assert(d.select("quiet_load").head().getDouble(0) === 4.0)
+    // r17: the detail dump carries ATTEMPT-ALIGNED [ext,raw,secs]
+    // triples — r16 paired sorted times against attempt-order loads
+    // and read as a broken min_quiet. With rawLoads absent, raw==ext.
+    val att = d.select("queries.q.attempts").head()
+      .getSeq[Seq[Double]](0)
+    assert(att.length === 5)
+    assert(att.head === Seq(12.0, 12.0, 9.0))
+    assert(att(3) === Seq(1.5, 1.5, 1.0))
+    assert(d.select("queries.q.attempts_format").head().getString(0)
+      === "[ext_load,raw_load,secs]")
+  }
+
+  test("measureRuns subtracts the self-load estimate for quiet gating and keeps raw loads") {
+    val ok: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(10).toDF("x")
+    val (runs, errs) = Bench.measureRuns(spark, "unused",
+      Seq("g" -> ok), reps = 3,
+      // estimator claims the bench itself generates huge load: external
+      // load must clamp at 0, never go negative
+      selfLoad = () => 1000.0)
+    assert(errs.isEmpty)
+    val r = runs.head
+    assert(r.attempts.forall { case (l, _) => l === 0.0 })
+    assert(r.rawLoads.length === r.attempts.length)
+    assert(r.rawLoads.forall(_ > 0.0)) // a live host reads some loadavg
   }
 }

@@ -183,6 +183,60 @@ class MultimodalSpec extends SparkSpec {
     } finally corpus.unpersist(): Unit
   }
 
+  test("video luma-envelope fingerprint: gain- and framerate-invariant; corpus bytes all distinct, classes recovered") {
+    import spark.implicits._
+    val corpus = Multimodal.nearDupVideoTable(spark, sfTiny).cache()
+    try {
+      val n = corpus.count()
+      val distinctBytes = corpus
+        .select(md5(col("payload"))).distinct().count()
+      assert(distinctBytes === n,
+        s"corpus must be byte-distinct: $distinctBytes of $n")
+      val pairs = corpus.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])].collect()
+        .map { case (id, p) =>
+          (id, Multimodal.VideoCodec.lumaEnvelopeFingerprint(p).get) }
+      val byClass = pairs.groupBy(_._1 % 23)
+        .map { case (_, xs) => xs.map(_._2).distinct.length }
+      assert(byClass.forall(_ === 1),
+        "brightness-scaled, framerate-resampled duplicates must share ONE fingerprint")
+      val classFps = pairs.groupBy(_._1 % 23)
+        .map { case (k, xs) => k -> xs.head._2 }
+      assert(classFps.values.toSeq.distinct.size === classFps.size,
+        "distinct content classes must not collide")
+      // the frame-bearing MP4s still parse as video metadata — the
+      // mdat/free boxes ride the standard top-level walk
+      val one = corpus.select(col("payload")).as[Array[Byte]].head()
+      val meta = Multimodal.VideoCodec.decode(0L, one).get
+      assert(meta.container === "mp4" && meta.width === 16 &&
+        meta.height === 12)
+    } finally corpus.unpersist(): Unit
+  }
+
+  test("video fingerprint: direct gain/framerate invariance and malformed refusal") {
+    // one content class rendered three ways: base, 3x brightness,
+    // 2x frame-repeat — one fingerprint
+    def render(gain: Int, rep: Int): Array[Byte] = {
+      val w = 16; val h = 12
+      val frames = Array.tabulate(33 * rep * w * h) { idx =>
+        val f = idx / (w * h); val pix = idx % (w * h); val j = f / rep
+        val m = (5 * j * j + 10 * j) % 37 + 1
+        ((m + pix % 3) * gain).toByte
+      }
+      Multimodal.mp4BytesWithFrames(w, h, 1000, 33L * rep, frames, 0L)
+    }
+    val base = Multimodal.VideoCodec.lumaEnvelopeFingerprint(render(1, 1))
+    assert(base.isDefined)
+    assert(Multimodal.VideoCodec.lumaEnvelopeFingerprint(render(3, 1)) === base)
+    assert(Multimodal.VideoCodec.lumaEnvelopeFingerprint(render(1, 2)) === base)
+    assert(Multimodal.VideoCodec.lumaEnvelopeFingerprint(render(4, 3)) === base)
+    // header-only MP4 (no mdat) and garbage refuse with None
+    assert(Multimodal.VideoCodec.lumaEnvelopeFingerprint(
+      Multimodal.mp4Bytes(16, 12, 1000, 33L)) === None)
+    assert(Multimodal.VideoCodec.lumaEnvelopeFingerprint(
+      Array.fill[Byte](64)(0x41)) === None)
+  }
+
   test("AudioCodec: WAV round-trip — synthesized RIFF bytes parse back to their parameters") {
     val p = Multimodal.wavBytes(sampleRate = 22050, channels = 2, nSamples = 441)
     val m = Multimodal.AudioCodec.decode(7L, p).get
