@@ -152,6 +152,7 @@ object SparkEntry {
     "merge_evolution_assign" -> ((s, d) => graft.pipeline.Medallion.mergeEvolutionAssignOrders(s, d)),
     "auto_optimize"      -> ((s, d) => graft.pipeline.Medallion.autoOptimizeOrders(s, d)),
     "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
+    "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1849,6 +1850,25 @@ object SparkEntry {
                   CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
            FROM orders WHERE o_orderkey % 10 = 0)
          ORDER BY o_orderkey, _valid_from""",
+    // Relational recompute of the APPLY CHANGES SCD1 lifecycle
+    // (Medallion.applyChangesScd1Orders): per key-class the SURVIVING
+    // state after sequence-ordered CDC — %5==0 and %5==4 deleted
+    // (delete outranks the same-batch update at seq 2), %5==1 the
+    // fresh seq-10 image (+1000; the stale seq -5 and the LATE
+    // batch-2 seq-1 event both ignored), %5==2 the seq-7 image
+    // (+7000, over the in-batch seq-3), %5==3 the batch-2 seq-1
+    // image (+77, over the initial seq 0)
+    "apply_changes_scd1" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE o_orderkey % 5
+                  WHEN 1 THEN o_totalprice + 1000.0
+                  WHEN 2 THEN o_totalprice + 7000.0
+                  ELSE o_totalprice + 77.0 END AS o_totalprice,
+                CAST(CASE o_orderkey % 5
+                  WHEN 1 THEN 10 WHEN 2 THEN 7 ELSE 1 END AS BIGINT)
+                  AS _seq
+         FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
+         ORDER BY o_orderkey""",
     // Relational recompute of the named-format lifecycle
     // (Medallion.formatRoundtrip — write.format("graft") overwrite +
     // replayed tagged append + replaceWhere option, read back via

@@ -1,0 +1,102 @@
+package graft
+
+import graft.pipeline.{ApplyChanges, ManifestTable, Scd2}
+import org.apache.spark.sql.functions._
+
+/** Declarative CDC apply (round 17 — the DLT APPLY CHANGES verb over
+  * the engine MERGE): sequence-ordered SCD1 with in-batch
+  * latest-event reduction, cross-batch late-arrival guard, delete
+  * events, and the SCD2 delegation.
+  */
+class ApplyChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/dim"
+
+  private def state(path: String): Seq[(Long, String, Long)] =
+    ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("_seq"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+  private def cdc(rows: (Long, String, Long, Boolean)*) =
+    rows.toDF("id", "attr", "seq", "del")
+
+  test("SCD1: in-batch out-of-order events reduce to the latest per key") {
+    val path = tmp("graft_ac_a")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
+    // id=1 receives seq 7 then (listed first) seq 3 — 7 must win;
+    // id=2 receives a single seq 5 update; id=9 is a NEW key whose
+    // stale and fresh inserts race — fresh wins
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc((1L, "a_stale", 3L, false), (1L, "a_fresh", 7L, false),
+        (2L, "b2", 5L, false),
+        (9L, "i_stale", 1L, false), (9L, "i_fresh", 4L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(state(path) === Seq(
+      (1L, "a_fresh", 7L), (2L, "b2", 5L), (9L, "i_fresh", 4L)))
+  }
+
+  test("SCD1: cross-batch late arrivals are ignored; newer ones apply") {
+    val path = tmp("graft_ac_b")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc((1L, "a10", 10L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    // the LATE batch: seq 4 for id=1 (already at 10: ignored) and
+    // id=2 (at 0: applies)
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc((1L, "a_late", 4L, false), (2L, "b4", 4L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(state(path) === Seq((1L, "a10", 10L), (2L, "b4", 4L)))
+    // an EQUAL sequence does not re-apply either (strictly-newer
+    // contract — replays are idempotent)
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc((2L, "b_replay", 4L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(state(path) === Seq((1L, "a10", 10L), (2L, "b4", 4L)))
+  }
+
+  test("SCD1: deletes — latest-op delete removes, delete outranks same-seq update, absent-key delete no-ops") {
+    val path = tmp("graft_ac_c")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), path, 0L)
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc(
+        // id=1: update seq 2 then delete seq 9 — delete wins
+        (1L, "a2", 2L, false), (1L, "a2", 9L, true),
+        // id=2: update and delete at the SAME seq — delete outranks
+        (2L, "b2", 5L, false), (2L, "b2", 5L, true),
+        // id=8: delete for a key the target never had — no-op
+        (8L, "x", 3L, true)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(state(path) === Seq((3L, "c", 0L)))
+    // a LATE update for a deleted key re-inserts only if newer than
+    // nothing — the key is gone, so any upsert recreates it (DLT's
+    // SCD1 reading: the target holds no tombstone)
+    ApplyChanges.applyScd1(spark, path, "id",
+      cdc((1L, "a_back", 1L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(state(path) === Seq((1L, "a_back", 1L), (3L, "c", 0L)))
+  }
+
+  test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
+    val path = tmp("graft_ac_d")
+    Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
+    // id=1's stale (seq 1) and fresh (seq 6) changes arrive in one
+    // batch: only the fresh image may open a version; id=2 unchanged
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a_stale", 1L, false), (1L, "a_fresh", 6L, false),
+        (2L, "b", 2L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    val rows = ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("_valid_from"), col("_valid_to"))
+      .as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a_fresh", 1L, None),
+      (2L, "b", 0L, None)))
+  }
+}
