@@ -153,6 +153,7 @@ object SparkEntry {
     "auto_optimize"      -> ((s, d) => graft.pipeline.Medallion.autoOptimizeOrders(s, d)),
     "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
     "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
+    "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1869,6 +1870,22 @@ object SparkEntry {
                   AS _seq
          FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
          ORDER BY o_orderkey""",
+    // Relational recompute of the shredded-variant range read: the
+    // file-pruning layout is invisible to content, so the oracle is
+    // the plain events recompute over the k range; the unshredded
+    // $.missing path must contribute zero non-nulls
+    "variant_shredded" ->
+      """SELECT CAST(k % 4 AS BIGINT) AS kb,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                  AS value_sum,
+                MIN(k) AS k_min, MAX(k) AS k_max,
+                CAST(0 AS BIGINT) AS missing_nonnull
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS k, value
+               FROM events)
+         WHERE k BETWEEN 10 AND 29
+         GROUP BY 1 ORDER BY kb""",
     // Relational recompute of the named-format lifecycle
     // (Medallion.formatRoundtrip — write.format("graft") overwrite +
     // replayed tagged append + replaceWhere option, read back via

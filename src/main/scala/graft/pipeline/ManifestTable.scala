@@ -140,7 +140,10 @@ object ManifestTable {
     * ...). */
   val TunableProps: Set[String] = Set(
     OptimizeWriteProp, AutoCompactProp,
-    "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles")
+    "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles",
+    // variant shred spec (pipeline/VariantShred) — declarative
+    // metadata, not an engine-managed protocol feature
+    "graft.variant.shredPaths")
 
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).

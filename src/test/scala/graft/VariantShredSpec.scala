@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.{ManifestTable, VariantShred}
+import org.apache.spark.sql.functions._
+
+/** Variant shredding (round 17): declared typed paths materialize at
+  * write time with footer stats — shredded-path reads skip the
+  * variant walk, range predicates prune files, unshredded paths stay
+  * readable from the stored variant.
+  */
+class VariantShredSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def fixture = spark.range(200).toDF("id")
+    .withColumn("v", expr(
+      """parse_json(concat('{"k":', id % 50, ',"s":"x', id, '"}'))"""))
+
+  test("shreds equal the variant walk row-for-row; spec recorded; variant stays whole") {
+    val path = tmp("graft_vs_a")
+    VariantShred.write(fixture, path, "v",
+      Seq("$.k" -> "long", "$.s" -> "string"))
+    assert(VariantShred.shreddedPaths(spark, path) ===
+      Map("$.k" -> "long", "$.s" -> "string"))
+    val back = ManifestTable.read(spark, path)
+    assert(back.columns.toSet.contains("_shred_k"))
+    // every shred equals the live variant extraction of the same row
+    val mismatched = back.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")) ||
+        !(col("_shred_s") <=> expr("variant_get(v, '$.s', 'string')")))
+      .count()
+    assert(mismatched === 0L)
+    // unshredded paths still walk the stored variant
+    assert(back.selectExpr("count(try_variant_get(v, '$.zzz', 'long'))")
+      .as[Long].head() === 0L)
+  }
+
+  test("range layout + footer stats prune files; pruned read is content-complete") {
+    val path = tmp("graft_vs_b")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"),
+      rangeLayoutOn = Some("$.k"), rangePartitions = 8)
+    val (touched, total) = VariantShred.pruneCount(spark, path, "$.k", 5, 9)
+    assert(total >= 8 - 1, s"range layout should stage ~8 files, got $total")
+    assert(touched < total, s"stats must prune: $touched/$total")
+    val pruned = VariantShred.readPathRange(spark, path, "$.k", 5, 9)
+      .filter(col("_shred_k").between(5, 9))
+    // 200 ids over k = id % 50 -> 4 rows per k, 5 k-values in range
+    assert(pruned.count() === 20L)
+    // identical to the unpruned filter (pruning never drops content)
+    val full = ManifestTable.read(spark, path)
+      .filter(col("_shred_k").between(5, 9))
+    assert(pruned.select(sum(col("id"))).as[Long].head() ===
+      full.select(sum(col("id"))).as[Long].head())
+  }
+
+  test("pathCol serves the shred when present, falls back to variant_get when not") {
+    val path = tmp("graft_vs_c")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    val back = ManifestTable.read(spark, path)
+    // shredded: resolves to the materialized column
+    val viaShred = back.select(
+      VariantShred.pathCol(back, "v", "$.k", "long").as("k"))
+    // not shredded: same values through the variant walk
+    val viaWalk = back.select(
+      VariantShred.pathCol(back, "v", "$.s", "string").as("s"))
+    assert(viaShred.agg(sum(col("k"))).as[Long].head() ===
+      back.selectExpr("sum(variant_get(v, '$.k', 'long'))").as[Long].head())
+    assert(viaWalk.filter(col("s").startsWith("x")).count() === 200L)
+  }
+}
