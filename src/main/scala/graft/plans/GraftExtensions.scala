@@ -122,6 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.catalog.GraftCatalogPlugin].getName)
       GraftNameResolution(session)
     }
+    // --- shred substitution (round 17): `variant_get(v,'$.p',t)` over
+    // a shredded table silently reads the materialized `_shred_p`
+    // column — standard variant SQL gets row-group + file pruning for
+    // free (see ShredSubstitution's soundness contract) ---
+    ext.injectResolutionRule(session => ShredSubstitution(session))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table"),
       new ExpressionInfo(classOf[GraftSqlParser].getName, "graft_table"),

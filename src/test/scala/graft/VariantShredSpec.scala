@@ -55,6 +55,50 @@ class VariantShredSpec extends SparkSpec {
       full.select(sum(col("id"))).as[Long].head())
   }
 
+  test("ShredSubstitution: variant_get over a shredded table reads the shred column and pushes the filter") {
+    val path = tmp("graft_vs_d")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"),
+      rangeLayoutOn = Some("$.k"), rangePartitions = 4)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val q = ManifestTable.read(s, path)
+        .filter(expr("variant_get(v, '$.k', 'long')").between(5, 9))
+        .agg(sum(expr("variant_get(v, '$.k', 'long')")).as("ksum"),
+          count(lit(1)).as("n"))
+      // every variant_get was substituted by the materialized shred AT
+      // ANALYSIS (the optimizer plan is checked via the pushed filter
+      // below — Spark's own PushVariantIntoScan rewrites any RESIDUAL
+      // variant_get there, so the analyzed plan is where this rule's
+      // effect is observable)
+      val survivors = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+        })
+      }.flatten
+      assert(survivors.isEmpty,
+        s"variant_get must substitute to _shred_k, found: $survivors")
+      // the substituted predicate reaches the parquet scan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_shred_k"),
+        s"pushed filter must reference the shred column:\n$plan")
+      // 200 ids, k = id % 50 -> 4 rows per k; k in [5,9] -> 20 rows
+      val row = q.head()
+      assert(row.getLong(1) === 20L)
+      assert(row.getLong(0) === 4L * (5 + 6 + 7 + 8 + 9))
+      // a NON-shredded path with the same spelling stays a live
+      // variant access (kept as VariantGet at analysis; the optimizer
+      // may then serve it via its own scan-level variant pushdown)
+      val untouched = ManifestTable.read(s, path)
+        .select(expr("variant_get(v, '$.s', 'string')").as("s"))
+      val walks = untouched.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+        })
+      }.flatten
+      assert(walks.nonEmpty, "unshredded path must keep the variant walk")
+      assert(untouched.filter(col("s").startsWith("x")).count() === 200L)
+    }
+  }
+
   test("pathCol serves the shred when present, falls back to variant_get when not") {
     val path = tmp("graft_vs_c")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
