@@ -1393,11 +1393,25 @@ object Medallion {
       .unionByName(ev(k % 5 === 4, col("o_totalprice"), 9L, del = true))
     ApplyChanges.applyScd1(spark, path, "o_orderkey", batch1,
       sequenceBy = "change_seq", deleteWhen = Some("is_delete"))
-    val batch2 = ev(k % 5 === 1 || k % 5 === 3,
-      col("o_totalprice") + 77.0, 1L, del = false)
-    ApplyChanges.applyScd1(spark, path, "o_orderkey", batch2,
-      sequenceBy = "change_seq", deleteWhen = Some("is_delete"))
-    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+    // batch 2 drives the SQL spelling of the same verb (DLT's
+    // statement shape, GraftSqlParser round 17) — one query, both
+    // surfaces under one oracle. The view must register on the
+    // EXTENDED session (temp views are session-scoped), so the frame
+    // rebuilds from `s`.
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(k % 5 === 1 || k % 5 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 77.0).as("o_totalprice"),
+          lit(1L).as("change_seq"), lit(false).as("is_delete"))
+        .createOrReplaceTempView("ac1_batch2_src")
+      s.sql(s"""APPLY CHANGES INTO '$path' FROM ac1_batch2_src
+                KEYS (o_orderkey) SEQUENCE BY change_seq
+                APPLY AS DELETE WHEN is_delete
+                STORED AS SCD TYPE 1""").collect()
+      ManifestTable.read(s, path).orderBy(col("o_orderkey"))
+    }
   }
 
   /** Declared VARIANT SHREDDING query (round 17 — the storage half of

@@ -38,6 +38,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET *|SET c = e [, ...]]
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *|(cols) VALUES (es)]
+  *   APPLY CHANGES INTO '<path>' FROM <table|(subquery)> KEYS (k)
+  *     SEQUENCE BY seq [APPLY AS DELETE WHEN <expr>]
+  *     [STORED AS SCD TYPE 1|2] [TRACK HISTORY ON (c1, c2)] [AT n]
   *   ALTER TABLE '<path>' RENAME COLUMN a TO b
   *   ALTER TABLE '<path>' DROP COLUMN a
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<expr>)
@@ -155,6 +158,23 @@ object GraftSqlStatements {
     s"(?is)^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   private val updateRe =
     s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
+  // APPLY CHANGES INTO '<path>' FROM <table|(subquery)> KEYS (k)
+  // SEQUENCE BY seq [APPLY AS DELETE WHEN <expr>]
+  // [STORED AS SCD TYPE 1|2] [TRACK HISTORY ON (c1, c2)] [AT n] —
+  // DLT's declarative CDC verb over pipeline/ApplyChanges. The FROM
+  // part is lazy up to the mandatory KEYS; the DELETE WHEN expression
+  // is lazy up to the next optional clause head or end.
+  private val applyChangesRe =
+    ("(?is)^\\s*APPLY\\s+CHANGES\\s+INTO\\s+" + P +
+      "\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\((\\w+)\\)" +
+      "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
+      "(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+" +
+      "(.+?(?=\\s+STORED\\s+AS|\\s+TRACK\\s+HISTORY|\\s+AT\\s+\\d|\\s*;?\\s*$)))?" +
+      "(?:\\s+STORED\\s+AS\\s+SCD\\s+TYPE\\s+(1|2))?" +
+      "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+AT\\s+(\\d+))?" +
+      "\\s*;?\\s*$").r
+
   // MERGE only matches its HEAD by regex; the USING/ON/WHEN split is
   // done by a paren- and literal-aware scanner ([[splitMergeTail]]) —
   // a lazy regex split at the first " ON " broke USING subqueries
@@ -282,6 +302,14 @@ object GraftSqlStatements {
       val (source, on, clauses) = splitMergeTail(tail)
       Some(parseMerge(path, Option(alias), source, on,
         clauses, schemaEvolution = evo != null))
+    case applyChangesRe(path, source, key, seqCol, delWhen, scdType,
+        tracked, at) =>
+      Some(GraftApplyChangesCommand(path, source.trim, key, seqCol,
+        Option(delWhen).map(_.trim),
+        Option(scdType).map(_.toInt).getOrElse(1),
+        Option(tracked).map(_.split(",").map(_.trim).toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil),
+        Option(at).map(_.toLong)))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -371,6 +399,7 @@ object GraftSqlStatements {
     */
   private val targetKeywords = Seq(
     "MERGE\\s+INTO", "MERGE\\s+WITH\\s+SCHEMA\\s+EVOLUTION\\s+INTO",
+    "APPLY\\s+CHANGES\\s+INTO",
     "INSERT\\s+INTO", "INSERT\\s+OVERWRITE", "UPDATE",
     "DELETE\\s+FROM", "OPTIMIZE", "RESTORE(?:\\s+TABLE)?", "VACUUM",
     "DESCRIBE\\s+HISTORY", "DESCRIBE\\s+DETAIL", "SHOW\\s+PARTITIONS",
@@ -1016,6 +1045,59 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
     Seq(Row(ManifestTable.updateWhere(session, tp,
       set.map { case (c, e) =>
         (canon.getOrElse(c.toLowerCase, c), rhs(c, e)) }, expr(cond))))
+  }
+}
+
+/** APPLY CHANGES INTO '<path>' — DLT's declarative CDC verb over
+  * [[graft.pipeline.ApplyChanges]]: FROM a table name or (subquery),
+  * KEYS (k), SEQUENCE BY seq ordering, optional APPLY AS DELETE WHEN
+  * expression (any Spark boolean expression over the source), STORED
+  * AS SCD TYPE 1 (default) or 2 (requires TRACK HISTORY ON (cols)
+  * for the tracked attributes and AT n for the validity timestamp —
+  * deletes are the SCD1/engine-merge surface, refused here like the
+  * fluent API). Returns the committed version.
+  */
+case class GraftApplyChangesCommand(path: String, source: String,
+                                    key: String, seqCol: String,
+                                    deleteWhen: Option[String],
+                                    scdType: Int, tracked: Seq[String],
+                                    at: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    val sub = "(?is)^\\((.+)\\)\\s*$".r
+    val src = source match {
+      case sub(q) => session.sql(q.trim)
+      case t if t.matches("(?s)[\\w.]+") => session.table(t)
+      case other => throw new IllegalArgumentException(
+        s"APPLY CHANGES FROM expects a table name or (subquery), got '$other'")
+    }
+    val version = scdType match {
+      case 1 =>
+        val (df, delCol) = deleteWhen match {
+          case Some(e) =>
+            (src.withColumn("_ac_sql_delete", expr(e)),
+              Some("_ac_sql_delete"))
+          case None => (src, None)
+        }
+        graft.pipeline.ApplyChanges.applyScd1(session, tp, key, df,
+          sequenceBy = seqCol, deleteWhen = delCol)
+      case 2 =>
+        require(deleteWhen.isEmpty,
+          "APPLY AS DELETE composes with SCD TYPE 1 only (an SCD2 " +
+            "close-without-replace is the engine MERGE's surface)")
+        require(tracked.nonEmpty,
+          "SCD TYPE 2 needs TRACK HISTORY ON (col, ...) — the tracked " +
+            "attribute columns")
+        val ts = at.getOrElse(throw new IllegalArgumentException(
+          "SCD TYPE 2 needs AT <n> — the validity timestamp the batch " +
+            "opens/closes at"))
+        graft.pipeline.ApplyChanges.applyScd2(session, tp, key, src,
+          tracked, sequenceBy = seqCol, ts = ts)
+    }
+    Seq(Row(version))
   }
 }
 

@@ -82,6 +82,54 @@ class ApplyChangesSpec extends SparkSpec {
     assert(state(path) === Seq((1L, "a_back", 1L), (3L, "c", 0L)))
   }
 
+  test("SQL verb: APPLY CHANGES INTO parses and applies — SCD1 with DELETE WHEN, SCD2 with TRACK HISTORY") {
+    val p1 = tmp("graft_ac_sql1")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), p1, 0L)
+    GraftSession.withSqlExtensions(spark) { s =>
+      // temp views are SESSION-scoped: frames must bind to the
+      // extended sibling, not the outer test session
+      def cdcOn(rows: Seq[(Long, String, Long, Boolean)]) =
+        s.createDataFrame(rows).toDF("id", "attr", "seq", "del")
+      cdcOn(Seq((1L, "a9", 9L, false), (1L, "a3", 3L, false),
+        (2L, "b", 5L, true))).createOrReplaceTempView("ac_sql_src")
+      val v = s.sql(s"""APPLY CHANGES INTO '$p1' FROM ac_sql_src
+                        KEYS (id) SEQUENCE BY seq
+                        APPLY AS DELETE WHEN del
+                        STORED AS SCD TYPE 1""").collect()
+      assert(v.head.getLong(0) >= 1L)
+      assert(state(p1) === Seq((1L, "a9", 9L)))
+      // subquery source + default storage (SCD TYPE 1 implied)
+      s.sql(s"""APPLY CHANGES INTO '$p1'
+                FROM (SELECT 7 AS id, 'g' AS attr, 2 AS seq,
+                             false AS del)
+                KEYS (id) SEQUENCE BY seq""").collect()
+      assert(state(p1) === Seq((1L, "a9", 9L), (7L, "g", 2L)))
+      // SCD TYPE 2 spelling delegates to the history engine
+      val p2 = tmp("graft_ac_sql2")
+      Scd2.initialize(Seq((1L, "a")).toDF("id", "attr"), p2, 0L)
+      cdcOn(Seq((1L, "a_old", 1L, false), (1L, "a_new", 8L, false)))
+        .drop("del").createOrReplaceTempView("ac_sql_src2")
+      s.sql(s"""APPLY CHANGES INTO '$p2' FROM ac_sql_src2
+                KEYS (id) SEQUENCE BY seq
+                STORED AS SCD TYPE 2 TRACK HISTORY ON (attr) AT 1""")
+        .collect()
+      val hist = ManifestTable.read(s, p2)
+        .select(col("id"), col("attr"), col("_valid_from"), col("_valid_to"))
+        .as[(Long, String, Long, Option[Long])]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(hist === Seq(
+        (1L, "a", 0L, Some(1L)), (1L, "a_new", 1L, None)))
+      // SCD TYPE 2 without TRACK HISTORY / AT refuses loudly
+      val e = intercept[Exception] {
+        s.sql(s"""APPLY CHANGES INTO '$p2' FROM ac_sql_src2
+                  KEYS (id) SEQUENCE BY seq
+                  STORED AS SCD TYPE 2""").collect()
+      }
+      assert(e.getMessage.contains("TRACK HISTORY"))
+    }
+  }
+
   test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
     val path = tmp("graft_ac_d")
     Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
