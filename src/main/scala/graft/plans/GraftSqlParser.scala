@@ -302,14 +302,14 @@ object GraftSqlStatements {
       val (source, on, clauses) = splitMergeTail(tail)
       Some(parseMerge(path, Option(alias), source, on,
         clauses, schemaEvolution = evo != null))
-    case applyChangesRe(path, source, key, seqCol, delWhen, scdType,
+    case ApplyChangesStmt(path, source, key, seqCol, delWhen, scdType,
         tracked, at) =>
       Some(GraftApplyChangesCommand(path, source.trim, key, seqCol,
-        Option(delWhen).map(_.trim),
-        Option(scdType).map(_.toInt).getOrElse(1),
-        Option(tracked).map(_.split(",").map(_.trim).toSeq
+        delWhen.map(_.trim),
+        scdType.map(_.toInt).getOrElse(1),
+        tracked.map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil),
-        Option(at).map(_.toLong)))
+        at.map(_.toLong)))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -496,6 +496,22 @@ object GraftSqlStatements {
   /** UPDATE's SET…WHERE split over the LITERAL-MASKED statement (a
     * SET value containing the word ` WHERE ` is data, not a boundary —
     * fuzz finding); groups slice the ORIGINAL text. */
+  /** APPLY CHANGES matched over the LITERAL-MASKED text (clause-head
+    * words inside a string literal — `DELETE WHEN op = 'STORED AS'` —
+    * are data, not boundaries), groups sliced from the ORIGINAL. */
+  private object ApplyChangesStmt {
+    def unapply(sql: String): Option[(String, String, String, String,
+        Option[String], Option[String], Option[String], Option[String])] = {
+      val masked = maskLiterals(sql)
+      applyChangesRe.findFirstMatchIn(masked).map { m =>
+        def orig(g: Int): Option[String] =
+          Option(m.group(g)).map(_ => sql.substring(m.start(g), m.end(g)))
+        (orig(1).get, orig(2).get, orig(3).get, orig(4).get,
+          orig(5), orig(6), orig(7), orig(8))
+      }
+    }
+  }
+
   private object UpdateStmt {
     def unapply(sql: String): Option[(String, Seq[(String, String)], String)] = {
       val masked = maskLiterals(sql)

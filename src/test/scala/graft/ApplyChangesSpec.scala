@@ -120,6 +120,22 @@ class ApplyChangesSpec extends SparkSpec {
         .collect().sortBy(r => (r._1, r._3)).toSeq
       assert(hist === Seq(
         (1L, "a", 0L, Some(1L)), (1L, "a_new", 1L, None)))
+      // clause-head words INSIDE string literals are data, not
+      // boundaries: DELETE WHEN compares against a literal that
+      // spells 'STORED AS SCD TYPE 1' and the statement still parses
+      // with the real STORED AS clause intact
+      val p3 = tmp("graft_ac_sql3")
+      ApplyChanges.initializeScd1(
+        s.createDataFrame(Seq((1L, "keep"), (2L, "STORED AS SCD TYPE 1")))
+          .toDF("id", "attr"), p3, 0L)
+      cdcOn(Seq((1L, "keep", 3L, false),
+        (2L, "STORED AS SCD TYPE 1", 3L, false)))
+        .createOrReplaceTempView("ac_sql_src3")
+      s.sql(s"""APPLY CHANGES INTO '$p3' FROM ac_sql_src3
+                KEYS (id) SEQUENCE BY seq
+                APPLY AS DELETE WHEN attr = 'STORED AS SCD TYPE 1'
+                STORED AS SCD TYPE 1""").collect()
+      assert(state(p3) === Seq((1L, "keep", 3L)))
       // SCD TYPE 2 without TRACK HISTORY / AT refuses loudly
       val e = intercept[Exception] {
         s.sql(s"""APPLY CHANGES INTO '$p2' FROM ac_sql_src2
