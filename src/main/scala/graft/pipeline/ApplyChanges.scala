@@ -109,16 +109,18 @@ object ApplyChanges {
 
   /** APPLY CHANGES ... STORED AS SCD TYPE 2: history-keeping variant —
     * the in-batch latest-event reduction (same ordering contract as
-    * SCD1), then [[Scd2.applyChanges]] does the one-MERGE validity-
-    * range maintenance at logical time `ts`. Delete events are not
-    * part of this wrapper's surface (a [[Scd2]] close-without-replace
-    * is a different clause shape); feeds with deletes use SCD1 or the
-    * engine MERGE directly. */
+    * SCD1, a delete outranking a same-sequence upsert), then
+    * [[Scd2.applyChanges]] does the one-MERGE validity-range
+    * maintenance at logical time `ts`. A delete event CLOSES the
+    * key's open row at `ts` without a replacement (history retained —
+    * DLT's SCD2 delete reading); a delete for an absent key no-ops. */
   def applyScd2(spark: SparkSession, path: String, key: String,
                 cdc: DataFrame, tracked: Seq[String], sequenceBy: String,
-                ts: Long, tag: Option[String] = None): Long = {
-    val latest = latestPerKey(cdc, key, sequenceBy, deleteCol = None)
+                ts: Long, tag: Option[String] = None,
+                deleteWhen: Option[String] = None): Long = {
+    val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
       .drop(sequenceBy)
-    Scd2.applyChanges(spark, path, key, latest, tracked, ts, tag)
+    Scd2.applyChanges(spark, path, key, latest, tracked, ts, tag,
+      deleteWhen)
   }
 }

@@ -51,11 +51,16 @@ object Scd2 {
   /** Apply one batch of upserts at logical time `ts`. `tracked` are
     * the attribute columns whose change opens a new version; other
     * columns ride along on the new row but never trigger one. The
-    * batch must be key-unique (the merge's own contract). Returns the
-    * committed version. */
+    * batch must be key-unique (the merge's own contract).
+    * `deleteWhen` optionally names a boolean batch column marking
+    * DELETE events: a delete CLOSES the key's open row at `ts`
+    * without a replacement (history retained, no open row remains —
+    * DLT's SCD2 delete reading); a delete for a key with no open row
+    * is a no-op. Returns the committed version. */
   def applyChanges(spark: SparkSession, path: String, key: String,
                    batch: DataFrame, tracked: Seq[String],
-                   ts: Long, tag: Option[String] = None): Long = {
+                   ts: Long, tag: Option[String] = None,
+                   deleteWhen: Option[String] = None): Long = {
     require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
     val dimCols = ManifestTable.read(spark, path).schema
     val bizCols = dimCols.fieldNames
@@ -63,13 +68,16 @@ object Scd2 {
     require(bizCols.forall(batch.columns.contains),
       s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
     val keyType = dimCols(key).dataType
+    val isDel: Column = deleteWhen
+      .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
     // Change detection: ONE left join of the batch against the OPEN
     // slice (filter-pushed scan, key + tracked columns only). A batch
-    // row is NEW (no open row) or CHANGED (tracked attrs differ);
-    // everything else — the bulk of a mostly-unchanged snapshot —
-    // claims no merge clause and is dropped HERE, so the merge's
-    // stats prune + confirm scan pay only for changed∪new keys'
-    // candidate files, not every batch key's.
+    // row survives as NEW (no open row, not a delete), CHANGED
+    // (tracked attrs differ, not a delete), or a MATCHED DELETE
+    // (close-only); everything else — the bulk of a mostly-unchanged
+    // snapshot, and deletes of absent keys — claims no merge clause
+    // and is dropped HERE, so the merge's stats prune + confirm scan
+    // pay only for touched keys' candidate files.
     val detectCols = (key +: tracked).distinct
     val open = ManifestTable.read(spark, path)
       .filter(col(ValidTo).isNull)
@@ -78,17 +86,20 @@ object Scd2 {
       .map(a => !(col(a) <=> col(s"_c_$a"))).reduce(_ || _)
     val flagged = batch
       .join(open, col(key) === col(s"_c_$key"), "left")
+      .withColumn("_scd_del", isDel && col(s"_c_$key").isNotNull)
       .withColumn("_scd_chg",
-        col(s"_c_$key").isNotNull && changedCond)
-      .filter(col(s"_c_$key").isNull || col("_scd_chg"))
-      .select(batch.columns.map(col) :+ col("_scd_chg"): _*)
-    // staged source: keyed copies (close-the-open-row for changed
-    // keys, first-insert for new keys) plus null-keyed copies of the
-    // CHANGED rows only (replacement inserts — a null key can never
-    // match, so it reaches the insert clause); the real key rides
-    // `_scd_key` into the insert image. Built by exploding each row
-    // into its 1 or 2 copies — one pass over the detection join, no
-    // self-union re-evaluation.
+        !isDel && col(s"_c_$key").isNotNull && changedCond)
+      .withColumn("_scd_new", !isDel && col(s"_c_$key").isNull)
+      .filter(col("_scd_del") || col("_scd_chg") || col("_scd_new"))
+      .select(batch.columns.map(col) ++
+        Seq(col("_scd_chg"), col("_scd_del")): _*)
+    // staged source: keyed copies (close-the-open-row for changed and
+    // deleted keys, first-insert for new keys) plus null-keyed copies
+    // of the CHANGED rows only (replacement inserts — a null key can
+    // never match, so it reaches the insert clause; deletes emit no
+    // replacement); the real key rides `_scd_key` into the insert
+    // image. Built by exploding each row into its 1 or 2 copies —
+    // one pass over the detection join, no self-union re-evaluation.
     val staged = flagged
       .select(col("*"),
         explode(when(col("_scd_chg"), array(lit(false), lit(true)))
@@ -102,8 +113,12 @@ object Scd2 {
     ManifestTable.mergeMultiKeyed(
       staged, path, Seq(key),
       matched = Seq(ManifestTable.MergeUpdate(
-        Some(pairChanged), Seq(ValidTo -> lit(ts)))),
-      notMatched = Seq(ManifestTable.MergeInsert(None,
+        Some(col("_scd_del") || pairChanged),
+        Seq(ValidTo -> lit(ts)))),
+      notMatched = Seq(ManifestTable.MergeInsert(
+        // a keyed delete copy always matches (classification required
+        // an open row) — the guard is belt-and-braces against races
+        Some(!col("_scd_del")),
         (key -> col("_scd_key")) +:
           bizCols.filterNot(_ == key).map(c => c -> col(c)).toSeq :+
           (ValidFrom -> lit(ts)) :+

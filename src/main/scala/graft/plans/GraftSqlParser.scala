@@ -1067,11 +1067,12 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
 /** APPLY CHANGES INTO '<path>' — DLT's declarative CDC verb over
   * [[graft.pipeline.ApplyChanges]]: FROM a table name or (subquery),
   * KEYS (k), SEQUENCE BY seq ordering, optional APPLY AS DELETE WHEN
-  * expression (any Spark boolean expression over the source), STORED
-  * AS SCD TYPE 1 (default) or 2 (requires TRACK HISTORY ON (cols)
-  * for the tracked attributes and AT n for the validity timestamp —
-  * deletes are the SCD1/engine-merge surface, refused here like the
-  * fluent API). Returns the committed version.
+  * expression (any Spark boolean expression over the source; under
+  * SCD TYPE 1 a delete removes the row, under TYPE 2 it closes the
+  * open row with history retained), STORED AS SCD TYPE 1 (default)
+  * or 2 (requires TRACK HISTORY ON (cols) for the tracked attributes
+  * and AT n for the validity timestamp). Returns the committed
+  * version.
   */
 case class GraftApplyChangesCommand(path: String, source: String,
                                     key: String, seqCol: String,
@@ -1101,17 +1102,20 @@ case class GraftApplyChangesCommand(path: String, source: String,
         graft.pipeline.ApplyChanges.applyScd1(session, tp, key, df,
           sequenceBy = seqCol, deleteWhen = delCol)
       case 2 =>
-        require(deleteWhen.isEmpty,
-          "APPLY AS DELETE composes with SCD TYPE 1 only (an SCD2 " +
-            "close-without-replace is the engine MERGE's surface)")
         require(tracked.nonEmpty,
           "SCD TYPE 2 needs TRACK HISTORY ON (col, ...) — the tracked " +
             "attribute columns")
         val ts = at.getOrElse(throw new IllegalArgumentException(
           "SCD TYPE 2 needs AT <n> — the validity timestamp the batch " +
             "opens/closes at"))
-        graft.pipeline.ApplyChanges.applyScd2(session, tp, key, src,
-          tracked, sequenceBy = seqCol, ts = ts)
+        val (df, delCol) = deleteWhen match {
+          case Some(e) =>
+            (src.withColumn("_ac_sql_delete", expr(e)),
+              Some("_ac_sql_delete"))
+          case None => (src, None)
+        }
+        graft.pipeline.ApplyChanges.applyScd2(session, tp, key, df,
+          tracked, sequenceBy = seqCol, ts = ts, deleteWhen = delCol)
     }
     Seq(Row(version))
   }

@@ -146,6 +146,52 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 deletes: a delete event closes the open row with history retained; absent-key delete no-ops") {
+    val path = tmp("graft_ac_e")
+    Scd2.initialize(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), path, 0L)
+    // id=1 changes at ts=1 (opens v2); id=2 unchanged
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a2", 5L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    // ts=2: delete id=1 (its v2 closes, v1 history carries), a stale
+    // update for id=1 loses the in-batch race to the delete, delete
+    // id=9 (absent) no-ops, id=3 unchanged rides along
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a2", 3L, false), (1L, "a2", 7L, true),
+        (9L, "x", 1L, true), (3L, "c", 1L, false)),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 2L,
+      deleteWhen = Some("del"))
+    val rows = ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("_valid_from"), col("_valid_to"))
+      .as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, Some(2L)),
+      (2L, "b", 0L, None),
+      (3L, "c", 0L, None)))
+    // asOf(1) still reconstructs the pre-delete snapshot
+    val at1 = Scd2.asOf(spark, path, 1L)
+      .select(col("id"), col("attr")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(at1 === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    // SQL spelling: TYPE 2 with APPLY AS DELETE WHEN closes id=2
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.createDataFrame(Seq((2L, "b", 4L, true)))
+        .toDF("id", "attr", "seq", "del")
+        .createOrReplaceTempView("ac_scd2_del_src")
+      s.sql(s"""APPLY CHANGES INTO '$path' FROM ac_scd2_del_src
+                KEYS (id) SEQUENCE BY seq
+                APPLY AS DELETE WHEN del
+                STORED AS SCD TYPE 2 TRACK HISTORY ON (attr) AT 3""")
+        .collect()
+      val openKeys = ManifestTable.read(s, path)
+        .filter(col("_valid_to").isNull)
+        .select(col("id")).as[Long].collect().sorted.toSeq
+      assert(openKeys === Seq(3L))
+    }
+  }
+
   test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
     val path = tmp("graft_ac_d")
     Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
