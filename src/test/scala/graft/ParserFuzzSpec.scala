@@ -293,6 +293,51 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("APPLY CHANGES fuzz: 40 seeded cases — optional clauses, hazard literals, random case/whitespace") {
+    val r = new Random(77017L)
+    (1 to 40).foreach { i =>
+      val path = s"/tmp/fz ac$i"
+      val key = keyPool(r.nextInt(keyPool.size))
+      val seqc = normalIds(r.nextInt(normalIds.size))
+      val src =
+        if (r.nextBoolean()) "cdc_src"
+        else "(SELECT * FROM cdc_src WHERE op <> 'KEYS (x)')"
+      // DELETE WHEN payload sometimes carries clause-head text as DATA
+      val delWhen = r.nextInt(3) match {
+        case 0 => None
+        case 1 => Some("flag")
+        case _ => Some("op = 'STORED AS SCD TYPE 2'")
+      }
+      val scd2 = r.nextInt(3) == 0
+      val sql = s"${kc(r, "APPLY CHANGES INTO")}${ws(r)}'$path'${ws(r)}" +
+        s"${kc(r, "FROM")}${ws(r)}$src${ws(r)}" +
+        s"${kc(r, "KEYS")}${ws(r)}($key)${ws(r)}" +
+        s"${kc(r, "SEQUENCE BY")} $seqc" +
+        delWhen.map(d =>
+          s"${ws(r)}${kc(r, "APPLY AS DELETE WHEN")} $d").getOrElse("") +
+        (if (scd2)
+          s"${ws(r)}${kc(r, "STORED AS SCD TYPE")} 2" +
+            s"${ws(r)}${kc(r, "TRACK HISTORY ON")}${ws(r)}(v, w)" +
+            s"${ws(r)}${kc(r, "AT")} ${i % 9}"
+        else if (r.nextBoolean())
+          s"${ws(r)}${kc(r, "STORED AS SCD TYPE")} 1"
+        else "") + (if (r.nextBoolean()) ";" else "")
+      parse(sql).get match {
+        case a: GraftApplyChangesCommand =>
+          assert(a.path === path, s"case $i path: ${a.path}")
+          assert(a.key === key && a.seqCol === seqc)
+          assert(a.deleteWhen === delWhen, s"case $i del: ${a.deleteWhen}")
+          assert(a.scdType === (if (scd2) 2 else 1))
+          if (scd2) {
+            assert(a.tracked === Seq("v", "w"))
+            assert(a.at.contains((i % 9).toLong))
+          }
+          assert(a.source === src.trim)
+        case o => fail(s"case $i misrouted: $o")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------
   // Negative cases: loud refusal, never silent misroute
   // ---------------------------------------------------------------
