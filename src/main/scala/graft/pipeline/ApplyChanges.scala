@@ -83,10 +83,27 @@ object ApplyChanges {
     val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    // NO-CLAIM PRUNE (the SCD2 staging lesson, r16 verdict #1, applied
+    // to SCD1): events that cannot fire any clause — late/equal-
+    // sequence events for keys the target already applied past, and
+    // deletes of absent keys — are dropped BEFORE the merge, so its
+    // stats prune + confirm scan pay only for keys that actually
+    // change. One column-pruned (key, _seq) scan of the target per
+    // batch buys that; for the common mostly-late CDC replay the
+    // merge source shrinks to nearly nothing.
+    val cur = ManifestTable.read(spark, path)
+      .select(col(key).as("_ac_k"), col(SeqCol).as("_ac_seq"))
+    val relevant = latest
+      .join(cur, col(key) === col("_ac_k"), "left")
+      .filter(
+        (col("_ac_k").isNull && !isDel) ||
+          (col("_ac_k").isNotNull &&
+            col(sequenceBy).cast("long") > col("_ac_seq")))
+      .select(latest.columns.map(col): _*)
     // the staged source carries exactly the target schema's columns
     // (business + the sequence landing in `_seq`) plus the delete
     // flag for clause conditions
-    val staged = latest.select(
+    val staged = relevant.select(
       bizCols.map(col).toSeq ++
         Seq(col(sequenceBy).cast("long").as(SeqCol),
           isDel.as("_ac_delete")): _*)
