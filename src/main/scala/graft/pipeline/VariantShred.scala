@@ -75,6 +75,29 @@ object VariantShred {
 
   private def quoted(c: String): String = s"`$c`"
 
+  /** Append a batch to an already-shredded table: the shred columns
+    * recompute HERE from the recorded spec (the writer's contract —
+    * callers hand over the raw variant batch and never maintain the
+    * shreds by hand), then the ordinary append commits with the same
+    * stats columns. Refuses when the batch already carries a
+    * `_shred_` column (hand-built shreds could silently disagree
+    * with the spec — recompute is the only sound path). */
+  def append(df: DataFrame, path: String, vCol: String,
+             tag: Option[String] = None): Long = {
+    require(!df.columns.exists(_.startsWith("_shred_")),
+      "the batch must carry the RAW variant column only — shred " +
+        "columns recompute from the table's recorded spec")
+    val spec = shreddedPaths(df.sparkSession, path)
+    require(spec.nonEmpty, s"table $path has no recorded shred spec " +
+      s"($ShredProp) — use VariantShred.write to create it")
+    val shredded = spec.foldLeft(df) { case (d, (p, t)) =>
+      d.withColumn(shredName(p),
+        expr(s"variant_get(${quoted(vCol)}, '$p', '$t')"))
+    }
+    ManifestTable.append(shredded, path,
+      statsCols = spec.keys.map(shredName).toSeq, tag = tag)
+  }
+
   /** The shred spec recorded at `path` (jsonPath → sqlType). */
   def shreddedPaths(spark: SparkSession, path: String): Map[String, String] =
     ManifestTable.tableProperties(spark, path).get(ShredProp) match {

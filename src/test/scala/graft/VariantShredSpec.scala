@@ -99,6 +99,33 @@ class VariantShredSpec extends SparkSpec {
     }
   }
 
+  test("append recomputes shreds from the recorded spec; hand-built shreds refuse") {
+    val path = tmp("graft_vs_e")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    // a raw batch (no shred columns) appends and gets its shreds
+    val batch = spark.range(200, 250).toDF("id")
+      .withColumn("v", expr(
+        """parse_json(concat('{"k":', id % 50, ',"s":"x', id, '"}'))"""))
+    VariantShred.append(batch, path, "v")
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 250L)
+    val mismatched = back.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')"))).count()
+    assert(mismatched === 0L)
+    // hand-built shred columns are refused (they could disagree)
+    val e = intercept[IllegalArgumentException] {
+      VariantShred.append(batch.withColumn("_shred_k", lit(0L)), path, "v")
+    }
+    assert(e.getMessage.contains("RAW variant column"))
+    // an unshredded table refuses append-with-recompute loudly
+    val plain = tmp("graft_vs_f")
+    ManifestTable.write(fixture, plain)
+    val e2 = intercept[IllegalArgumentException] {
+      VariantShred.append(batch, plain, "v")
+    }
+    assert(e2.getMessage.contains("no recorded shred spec"))
+  }
+
   test("pathCol serves the shred when present, falls back to variant_get when not") {
     val path = tmp("graft_vs_c")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
