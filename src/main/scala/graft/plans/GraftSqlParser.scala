@@ -1104,7 +1104,17 @@ case class GraftApplyChangesCommand(path: String, source: String,
       case 2 =>
         require(tracked.nonEmpty,
           "SCD TYPE 2 needs TRACK HISTORY ON (col, ...) — the tracked " +
-            "attribute columns")
+            "attribute columns (or ON (*) for every non-key column, " +
+            "DLT's default)")
+        // TRACK HISTORY ON (*): every business column except the key
+        // (and the validity range) tracks — DLT's default spelling
+        val trackedCols =
+          if (tracked == Seq("*"))
+            graft.pipeline.ManifestTable.read(session, tp)
+              .schema.fieldNames.filterNot(n =>
+                n == key || n == graft.pipeline.Scd2.ValidFrom ||
+                  n == graft.pipeline.Scd2.ValidTo).toSeq
+          else tracked
         val ts = at.getOrElse(throw new IllegalArgumentException(
           "SCD TYPE 2 needs AT <n> — the validity timestamp the batch " +
             "opens/closes at"))
@@ -1115,7 +1125,7 @@ case class GraftApplyChangesCommand(path: String, source: String,
           case None => (src, None)
         }
         graft.pipeline.ApplyChanges.applyScd2(session, tp, key, df,
-          tracked, sequenceBy = seqCol, ts = ts, deleteWhen = delCol)
+          trackedCols, sequenceBy = seqCol, ts = ts, deleteWhen = delCol)
     }
     Seq(Row(version))
   }

@@ -189,6 +189,21 @@ class ApplyChangesSpec extends SparkSpec {
         .filter(col("_valid_to").isNull)
         .select(col("id")).as[Long].collect().sorted.toSeq
       assert(openKeys === Seq(3L))
+      // TRACK HISTORY ON (*) — DLT's default: every non-key business
+      // column tracks; id=3's attr change opens a version
+      s.createDataFrame(Seq((3L, "c2", 9L, false)))
+        .toDF("id", "attr", "seq", "del")
+        .createOrReplaceTempView("ac_scd2_star_src")
+      s.sql(s"""APPLY CHANGES INTO '$path' FROM ac_scd2_star_src
+                KEYS (id) SEQUENCE BY seq
+                STORED AS SCD TYPE 2 TRACK HISTORY ON (*) AT 4""")
+        .collect()
+      val v3 = ManifestTable.read(s, path)
+        .filter(col("id") === 3L)
+        .select(col("attr"), col("_valid_from"), col("_valid_to"))
+        .as[(String, Long, Option[Long])]
+        .collect().sortBy(_._2).toSeq
+      assert(v3 === Seq(("c", 0L, Some(4L)), ("c2", 4L, None)))
     }
   }
 
