@@ -126,6 +126,40 @@ class VariantShredSpec extends SparkSpec {
     assert(e2.getMessage.contains("no recorded shred spec"))
   }
 
+  test("ShredSubstitution soundness: ambiguous shred names and type mismatches never substitute") {
+    val pa = tmp("graft_vs_g")
+    val pb = tmp("graft_vs_h")
+    VariantShred.write(fixture, pa, "v", Seq("$.k" -> "long"))
+    VariantShred.write(fixture, pb, "v", Seq("$.k" -> "long"))
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      def gets(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collect {
+          case n => n.expressions.flatMap(_.collect {
+            case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+          })
+        }.flatten
+      // a self-join scope carries TWO _shred_k attributes — the rule
+      // must leave variant_get untouched (unique-match guard), and
+      // the query still answers correctly through the live walk
+      val a = ManifestTable.read(s, pa).as("a")
+      val b = ManifestTable.read(s, pb).as("b")
+      val joined = a.join(b, col("a.id") === col("b.id"))
+        .select(col("a.id"),
+          expr("variant_get(a.v, '$.k', 'long')").as("k"))
+      assert(gets(joined).nonEmpty,
+        "ambiguous shred scope must NOT substitute")
+      assert(joined.agg(sum(col("k"))).head().getLong(0) ===
+        (0 until 200).map(_ % 50).sum.toLong)
+      // a type-mismatched accessor (string read of a long shred)
+      // must keep the variant walk
+      val typed = ManifestTable.read(s, pa)
+        .select(expr("variant_get(v, '$.k', 'string')").as("ks"))
+      assert(gets(typed).nonEmpty,
+        "type-mismatched accessor must NOT substitute")
+      assert(typed.filter(col("ks") === "7").count() === 4L)
+    }
+  }
+
   test("pathCol serves the shred when present, falls back to variant_get when not") {
     val path = tmp("graft_vs_c")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
