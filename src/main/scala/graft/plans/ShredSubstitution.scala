@@ -31,26 +31,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * namespace ([[VariantShred.shredName]]) — each shred was computed
   * at write time by EXACTLY the expression being substituted, over
   * the same rows. The rule requires (a) the accessor's path is a
-  * literal, (b) a UNIQUE in-scope attribute carries the shred name,
-  * (c) its type equals the accessor's target type — anything else
-  * leaves the expression untouched.
+  * literal, (b) the substituting attribute comes from the SAME child
+  * that produces the variant attribute (a join of a shredded table
+  * with an unshredded variant-bearing one must never serve one
+  * table's shred for the other's rows — and with same-child scoping
+  * each side of a self-join substitutes its own shred), (c) it is
+  * UNIQUE there, (d) its type equals the accessor's target type —
+  * anything else leaves the expression untouched.
   */
 case class ShredSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case node if node.childrenResolved =>
-        val childOut = node.children.flatMap(_.output)
-        if (childOut.isEmpty) node
-        else node.transformExpressionsUp {
-          case vg @ VariantGet(_: AttributeReference,
-              Literal(p: UTF8String, StringType), _, _, _) if vg.resolved =>
-            val name = VariantShred.shredName(p.toString)
-            childOut.filter(a =>
-              a.name == name && a.dataType == vg.dataType) match {
-              case Seq(shred) => shred
-              case _ => vg
-            }
+        if (node.children.isEmpty) node
+        else {
+          val inScope = node.children.flatMap(_.output)
+          node.transformExpressionsUp {
+            case vg @ VariantGet(a: AttributeReference,
+                Literal(p: UTF8String, StringType), _, _, _)
+                if vg.resolved =>
+              val name = VariantShred.shredName(p.toString)
+              // descend to the subtree that PRODUCES the variant
+              // attribute (through joins/aliases — exprIds are
+              // preserved) so only ITS shred can substitute: row-
+              // source identity is the contract, and each side of a
+              // self-join resolves to its own copy
+              @scala.annotation.tailrec
+              def producer(pl: LogicalPlan): LogicalPlan =
+                pl.children.find(_.outputSet.contains(a)) match {
+                  case Some(c) => producer(c)
+                  case None => pl
+                }
+              val cands = producer(node).output
+                .filter(o => o.name == name && o.dataType == vg.dataType)
+              cands match {
+                // the producer's shred must still be VISIBLE in this
+                // node's scope (an intermediate projection may have
+                // dropped it — substituting then would dangle)
+                case Seq(shred)
+                    if inScope.exists(_.exprId == shred.exprId) => shred
+                case _ => vg
+              }
+          }
         }
     }
 }

@@ -126,7 +126,7 @@ class VariantShredSpec extends SparkSpec {
     assert(e2.getMessage.contains("no recorded shred spec"))
   }
 
-  test("ShredSubstitution soundness: ambiguous shred names and type mismatches never substitute") {
+  test("ShredSubstitution soundness: same-child scoping — self-joins substitute per side, cross-table never borrows a shred, type mismatches walk") {
     val pa = tmp("graft_vs_g")
     val pb = tmp("graft_vs_h")
     VariantShred.write(fixture, pa, "v", Seq("$.k" -> "long"))
@@ -138,18 +138,33 @@ class VariantShredSpec extends SparkSpec {
             case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
           })
         }.flatten
-      // a self-join scope carries TWO _shred_k attributes — the rule
-      // must leave variant_get untouched (unique-match guard), and
-      // the query still answers correctly through the live walk
+      // a self-join carries TWO _shred_k attributes, one per side —
+      // same-child scoping resolves each accessor to ITS side's shred
       val a = ManifestTable.read(s, pa).as("a")
       val b = ManifestTable.read(s, pb).as("b")
       val joined = a.join(b, col("a.id") === col("b.id"))
         .select(col("a.id"),
           expr("variant_get(a.v, '$.k', 'long')").as("k"))
-      assert(gets(joined).nonEmpty,
-        "ambiguous shred scope must NOT substitute")
+      assert(gets(joined).isEmpty,
+        "self-join sides must substitute their own shred")
       assert(joined.agg(sum(col("k"))).head().getLong(0) ===
         (0 until 200).map(_ % 50).sum.toLong)
+      // a join of a SHREDDED table with an UNSHREDDED variant-bearing
+      // frame: the accessor over the unshredded side must NOT borrow
+      // the shredded side's (unique in scope!) _shred_k — row-source
+      // identity. The raw side's k values are shifted (+1) so a wrong
+      // substitution changes the answer, not just the plan.
+      val raw = s.range(200).toDF("id")
+        .withColumn("w", expr(
+          """parse_json(concat('{"k":', (id + 1) % 50, '}'))"""))
+        .as("r")
+      val crossed = ManifestTable.read(s, pa).as("a2")
+        .join(raw, col("a2.id") === col("r.id"))
+        .select(expr("variant_get(r.w, '$.k', 'long')").as("rk"))
+      assert(gets(crossed).nonEmpty,
+        "unshredded side must keep its variant walk")
+      assert(crossed.agg(sum(col("rk"))).head().getLong(0) ===
+        (0 until 200).map(i => (i + 1) % 50).sum.toLong)
       // a type-mismatched accessor (string read of a long shred)
       // must keep the variant walk
       val typed = ManifestTable.read(s, pa)
@@ -157,6 +172,14 @@ class VariantShredSpec extends SparkSpec {
       assert(gets(typed).nonEmpty,
         "type-mismatched accessor must NOT substitute")
       assert(typed.filter(col("ks") === "7").count() === 4L)
+      // a projection that DROPPED the shred: the producer still has
+      // it, but substituting would dangle — the visibility guard
+      // keeps the walk and the query answers
+      val dropped = ManifestTable.read(s, pa).select(col("id"), col("v"))
+        .filter(expr("variant_get(v, '$.k', 'long')") === 7L)
+      assert(gets(dropped).nonEmpty,
+        "dropped-shred scope must NOT substitute")
+      assert(dropped.count() === 4L)
     }
   }
 
