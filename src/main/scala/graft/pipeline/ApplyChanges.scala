@@ -102,9 +102,16 @@ object ApplyChanges {
       .select(latest.columns.map(col): _*)
     // the staged source carries exactly the target schema's columns
     // (business + the sequence landing in `_seq`) plus the delete
-    // flag for clause conditions
+    // flag for clause conditions. The key rides a NULL guard: a
+    // null-keyed event can never match (SQL join semantics), so every
+    // replay would RE-INSERT it — silent, unbounded duplication; the
+    // guard fails the batch loudly at execution with zero extra jobs.
     val staged = relevant.select(
-      bizCols.map(col).toSeq ++
+      Seq(when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
+        s"APPLY CHANGES batch carries a NULL '$key' — a null key " +
+          "can never match and would re-insert on every replay")))
+        .as(key)) ++
+        bizCols.filterNot(_ == key).map(col) ++
         Seq(col(sequenceBy).cast("long").as(SeqCol),
           isDel.as("_ac_delete")): _*)
     ManifestTable.mergeMultiKeyed(

@@ -100,11 +100,19 @@ object Scd2 {
     // replacement); the real key rides `_scd_key` into the insert
     // image. Built by exploding each row into its 1 or 2 copies —
     // one pass over the detection join, no self-union re-evaluation.
+    // `_scd_key` rides a NULL guard: a null-keyed batch row can never
+    // match (SQL join semantics), so every apply would re-insert it —
+    // silent, unbounded duplication; the guard fails the batch loudly
+    // at execution with zero extra jobs. (A null-keyed DELETE already
+    // dropped at classification — a no-op like any absent key.)
     val staged = flagged
       .select(col("*"),
         explode(when(col("_scd_chg"), array(lit(false), lit(true)))
           .otherwise(array(lit(false)))).as("_scd_nullkey"))
-      .withColumn("_scd_key", col(key))
+      .withColumn("_scd_key",
+        when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
+          s"SCD2 batch carries a NULL '$key' — a null key can never " +
+            "match and would re-insert on every apply"))))
       .withColumn(key, when(col("_scd_nullkey"), lit(null).cast(keyType))
         .otherwise(col(key)))
       .drop("_scd_chg", "_scd_nullkey")

@@ -207,6 +207,36 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("NULL business keys refuse loudly in both SCD forms — they can never match and would re-insert on every replay") {
+    val nullKeyed = spark.sql(
+      "SELECT CAST(null AS BIGINT) AS id, 'x' AS attr, " +
+        "CAST(5 AS BIGINT) AS seq, false AS del")
+    val p1 = tmp("graft_ac_nk1")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a")).toDF("id", "attr"), p1, 0L)
+    val e1 = intercept[Exception] {
+      ApplyChanges.applyScd1(spark, p1, "id", nullKeyed,
+        sequenceBy = "seq", deleteWhen = Some("del"))
+    }
+    assert(e1.getMessage.contains("NULL 'id'") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL 'id'")))
+    assert(state(p1) === Seq((1L, "a", 0L)), "failed batch commits nothing")
+    val p2 = tmp("graft_ac_nk2")
+    Scd2.initialize(Seq((1L, "a")).toDF("id", "attr"), p2, 0L)
+    val e2 = intercept[Exception] {
+      ApplyChanges.applyScd2(spark, p2, "id", nullKeyed.drop("del"),
+        tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    }
+    assert(e2.getMessage.contains("NULL 'id'") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL 'id'")))
+    // a null-keyed DELETE is a no-op like any absent key — no error
+    ApplyChanges.applyScd2(spark, p2, "id",
+      spark.sql("SELECT CAST(null AS BIGINT) AS id, 'x' AS attr, " +
+        "CAST(5 AS BIGINT) AS seq, true AS del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 2L,
+      deleteWhen = Some("del"))
+  }
+
   test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
     val path = tmp("graft_ac_d")
     Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
