@@ -1872,8 +1872,11 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     // Relational recompute of the shredded-variant range read: the
     // file-pruning layout is invisible to content, so the oracle is
-    // the plain events recompute over the k range; the unshredded
-    // $.missing path must contribute zero non-nulls
+    // the plain events recompute over the k range — DOUBLED, because
+    // the lifecycle plain-appends a shifted raw copy (the auto-shred
+    // soundness leg: an unshredded or mis-shredded append would break
+    // the doubling); the unshredded $.missing path must contribute
+    // zero non-nulls
     "variant_shredded" ->
       """SELECT CAST(k % 4 AS BIGINT) AS kb,
                 COUNT(*) AS n,
@@ -1883,7 +1886,8 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS missing_nonnull
          FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
                  AS k, value
-               FROM events)
+               FROM (SELECT props, value FROM events
+                     UNION ALL SELECT props, value FROM events))
          WHERE k BETWEEN 10 AND 29
          GROUP BY 1 ORDER BY kb""",
     // Relational recompute of the named-format lifecycle

@@ -50,12 +50,31 @@ object ApplyChanges {
       .filter(col("_ac_rn") === 1).drop("_ac_rn")
   }
 
+  /** The sequence column with a loud NULL guard (original type kept —
+    * callers cast where they persist it). */
+  private def guardedSeq(cdc: DataFrame, seqCol: String): Column =
+    when(col(seqCol).isNotNull, col(seqCol))
+      .otherwise(raise_error(lit(
+        s"APPLY CHANGES batch carries a NULL '$seqCol' — a NULL " +
+          "sequence neither orders nor gates and would poison the " +
+          "key's high-water")).cast(cdc.schema(seqCol).dataType))
+
   /** Create an SCD1 target from an initial snapshot: every row's
     * applied sequence starts at `seq0`. */
   def initializeScd1(snapshot: DataFrame, path: String, seq0: Long,
                      statsCols: Seq[String] = Nil): Long =
     ManifestTable.write(snapshot.withColumn(SeqCol, lit(seq0)),
       path, statsCols = statsCols)
+
+  /** Create an SCD2 target from an initial snapshot: every row opens
+    * at `ts` with applied sequence `seq0` persisted — the cross-batch
+    * ordering guard of [[applyScd2]] gates on it from the first
+    * batch. (A target created by [[Scd2.initialize]] without the
+    * sequence column still upgrades: the first seq-aware apply
+    * evolves `_seq` in its own commit.) */
+  def initializeScd2(snapshot: DataFrame, path: String, ts: Long,
+                     seq0: Long, statsCols: Seq[String] = Nil): Long =
+    Scd2.initialize(snapshot, path, ts, statsCols, seq0 = Some(seq0))
 
   /** APPLY CHANGES ... STORED AS SCD TYPE 1: the target keeps each
     * key's LATEST state. `cdc` carries the business columns plus
@@ -70,17 +89,54 @@ object ApplyChanges {
     *  - not matched + not delete-flagged  → INSERT (a delete for an
     *    absent key is a no-op, DLT's semantics).
     *
+    * `truncateWhen` (DLT's `APPLY AS TRUNCATE WHEN`, SCD TYPE 1 only)
+    * names a boolean event column marking FULL-TABLE truncates: when
+    * any event in the batch fires it, the whole target truncates at
+    * the highest truncate sequence, then only the batch's events
+    * STRICTLY NEWER than that sequence apply on the emptied table
+    * (truncate events themselves are consumed, never applied as
+    * rows). Re-running the batch reproduces the same state —
+    * truncate-then-reapply is idempotent by value.
+    *
     * Returns the committed version. */
   def applyScd1(spark: SparkSession, path: String, key: String,
                 cdc: DataFrame, sequenceBy: String,
                 deleteWhen: Option[String] = None,
-                tag: Option[String] = None): Long = {
+                tag: Option[String] = None,
+                truncateWhen: Option[String] = None): Long = {
+    // ONE target read serves schema check and no-claim prune — same
+    // manifest resolve, same snapshot version (a concurrent commit
+    // between two reads can no longer split them)
     val dim = ManifestTable.read(spark, path)
     val bizCols = dim.schema.fieldNames.filterNot(_ == SeqCol)
     require(bizCols.forall(cdc.columns.contains),
       s"APPLY CHANGES batch must carry the business columns " +
         bizCols.mkString(","))
-    val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
+    // APPLY AS TRUNCATE WHEN: the truncate high-water is the largest
+    // truncate-flagged sequence in the batch (one bounded agg); the
+    // target truncates wholesale, truncate events are consumed, and
+    // only strictly-newer events survive into the ordinary apply
+    val events = truncateWhen match {
+      case None => cdc
+      case Some(tw) =>
+        val isTrunc = coalesce(col(tw), lit(false))
+        val r = cdc.agg(max(when(isTrunc,
+          col(sequenceBy).cast("long"))).as("m")).head()
+        if (r.isNullAt(0)) cdc.filter(!isTrunc)
+        else {
+          val truncSeq = r.getLong(0)
+          ManifestTable.deleteWhere(spark, path, lit(true))
+          cdc.filter(!isTrunc &&
+            col(sequenceBy).cast("long") > truncSeq)
+        }
+    }
+    // the SEQUENCE rides a NULL guard BEFORE the prune: a NULL
+    // sequence neither orders (the reduction window can't place it)
+    // nor gates (every `>` against it reads NULL, silently dropping
+    // the key's events forever if it ever persisted) — fail the batch
+    // loudly instead
+    val latest = latestPerKey(events, key, sequenceBy, deleteWhen)
+      .withColumn(sequenceBy, guardedSeq(events, sequenceBy))
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
     // NO-CLAIM PRUNE (the SCD2 staging lesson, r16 verdict #1, applied
@@ -90,8 +146,11 @@ object ApplyChanges {
     // stats prune + confirm scan pay only for keys that actually
     // change. One column-pruned (key, _seq) scan of the target per
     // batch buys that; for the common mostly-late CDC replay the
-    // merge source shrinks to nearly nothing.
-    val cur = ManifestTable.read(spark, path)
+    // merge source shrinks to nearly nothing. (Post-truncate the
+    // slice re-reads the emptied version — `cur` must not observe the
+    // pre-truncate rows.)
+    val cur = (if (truncateWhen.isEmpty) dim
+               else ManifestTable.read(spark, path))
       .select(col(key).as("_ac_k"), col(SeqCol).as("_ac_seq"))
     val relevant = latest
       .join(cur, col(key) === col("_ac_k"), "left")
@@ -135,16 +194,49 @@ object ApplyChanges {
     * the in-batch latest-event reduction (same ordering contract as
     * SCD1, a delete outranking a same-sequence upsert), then
     * [[Scd2.applyChanges]] does the one-MERGE validity-range
-    * maintenance at logical time `ts`. A delete event CLOSES the
-    * key's open row at `ts` without a replacement (history retained —
-    * DLT's SCD2 delete reading); a delete for an absent key no-ops. */
+    * maintenance at logical time `ts`, PERSISTING each key's applied
+    * sequence in the dimension's `_seq` column. A delete event CLOSES
+    * the key's open row at `ts` without a replacement (history
+    * retained — DLT's SCD2 delete reading) and records the delete's
+    * sequence on the closed row; a delete for an absent key no-ops.
+    *
+    * CROSS-BATCH ordering (round 18 — the same strictly-newer
+    * contract SCD1 enforces): before the merge, events at or below
+    * the key's persisted sequence HIGH-WATER (max `_seq` over the
+    * key's history — the open row's opening sequence, or the closing
+    * delete's) are pruned, so a late or replayed batch can neither
+    * close the current open row with a stale version nor resurrect a
+    * deleted key. One column-pruned (key, `_seq`) scan per batch buys
+    * the guard. Rows predating the sequence upgrade (a target created
+    * by [[Scd2.initialize]] without `_seq` — the column evolves on
+    * the first seq-aware apply) read NULL = no recorded high-water,
+    * so their keys accept any sequence, exactly the pre-upgrade
+    * behavior. Residual contract: the high-water advances only when
+    * an event APPLIES (opens, closes or inserts a row) — an event
+    * whose tracked attributes are unchanged claims nothing and does
+    * not advance it, so callers replaying interleaved no-op snapshots
+    * out of order should order batches coarsely by `ts` as before. */
   def applyScd2(spark: SparkSession, path: String, key: String,
                 cdc: DataFrame, tracked: Seq[String], sequenceBy: String,
                 ts: Long, tag: Option[String] = None,
                 deleteWhen: Option[String] = None): Long = {
     val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
-      .drop(sequenceBy)
-    Scd2.applyChanges(spark, path, key, latest, tracked, ts, tag,
-      deleteWhen)
+      .withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
+    val dim = ManifestTable.read(spark, path)
+    val pruned =
+      if (!dim.schema.fieldNames.contains(SeqCol)) latest
+      else {
+        // per-key sequence high-water: one (key, _seq) column-pruned
+        // scan + partial agg; keys absent from the target (or with no
+        // recorded sequence) pass through
+        val hw = dim.groupBy(col(key).as("_ac_k"))
+          .agg(max(col(SeqCol)).as("_ac_hw"))
+        latest.join(hw, col(key) === col("_ac_k"), "left")
+          .filter(col("_ac_hw").isNull ||
+            col(sequenceBy).cast("long") > col("_ac_hw"))
+          .select(latest.columns.map(col): _*)
+      }
+    Scd2.applyChanges(spark, path, key, pruned, tracked, ts, tag,
+      deleteWhen, seqCol = Some(sequenceBy))
   }
 }

@@ -143,7 +143,7 @@ object ManifestTable {
     "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles",
     // variant shred spec (pipeline/VariantShred) — declarative
     // metadata, not an engine-managed protocol feature
-    "graft.variant.shredPaths")
+    "graft.variant.shredPaths", "graft.variant.shredColumn")
 
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).
@@ -1282,10 +1282,15 @@ object ManifestTable {
             statsCols: Seq[String] = Nil, tag: Option[String] = None,
             tagHorizon: Int = DefaultTagHorizon,
             partitionColsDecl: Seq[String] = Nil,
-            txn: Option[(String, Long)] = None): Long =
+            txn: Option[(String, Long)] = None,
+            generatedAdds: Map[String, String] = Map.empty,
+            propertiesFull: Option[Map[String, String]] = None,
+            statsSchemaDecl: Option[Seq[String]] = None): Long =
     commit(df, path, partitionCols, maxAttempts, statsCols,
       carryForward = false, tag = tag, tagHorizon = tagHorizon,
-      partitionColsDecl = partitionColsDecl, txn = txn)
+      partitionColsDecl = partitionColsDecl, txn = txn,
+      generatedAdds = generatedAdds, propertiesFull = propertiesFull,
+      statsSchemaDecl = statsSchemaDecl)
 
   /** Transactional APPEND: commit a log entry adding this batch's files
     * — O(new files) bytes, regardless of table size. Data files of
@@ -3225,7 +3230,10 @@ object ManifestTable {
                      tagHorizon: Int = DefaultTagHorizon,
                      partitionColsDecl: Seq[String] = Nil,
                      copyAdds: Seq[String] = Nil,
-                     txn: Option[(String, Long)] = None): Long = {
+                     txn: Option[(String, Long)] = None,
+                     generatedAdds: Map[String, String] = Map.empty,
+                     propertiesFull: Option[Map[String, String]] = None,
+                     statsSchemaDecl: Option[Seq[String]] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -3262,9 +3270,11 @@ object ManifestTable {
       // leaving no orphan files.
       // generated columns first: an omitted generated column is computed
       // (it must exist before schema/mapping/stats are derived), a
-      // present one is enforced inside the staging pass
+      // present one is enforced inside the staging pass. `generatedAdds`
+      // (declarations landing WITH this commit — the shred writer's
+      // one-commit contract) participate immediately.
       val genApplied0 = generatedGuard(df,
-        prevState.map(_.generated).getOrElse(Map.empty))
+        prevState.map(_.generated).getOrElse(Map.empty) ++ generatedAdds)
       // IDENTITY column: assigned when the batch omits it (BY DEFAULT
       // semantics — a present column keeps its values and the high
       // water advances past them after staging). Values are unique by
@@ -3280,10 +3290,18 @@ object ManifestTable {
                 + 1L) * step).cast(LongType))
         case _ => genApplied0
       }
+      // shred binding metadata: on a shred-spec'd table, re-tag the
+      // shred columns (writer-of/path binding) and the variant column
+      // (shredded marker) so the committed schema carries the identity
+      // ShredSubstitution requires — projection only, no recompute;
+      // a no-op on tables without a spec
+      val genTagged = VariantShred.retag(genApplied,
+        propertiesFull.orElse(prevState.map(_.properties))
+          .getOrElse(Map.empty))
       val tracked = prevState.exists(_.rowTracking)
       // the row id is PHYSICAL only — never part of the logical schema
       val logicalIn = StructType(
-        genApplied.schema.fields.filterNot(_.name == RowIdCol))
+        genTagged.schema.fields.filterNot(_.name == RowIdCol))
       val schema =
         if (carryForward)
           prevState.flatMap(_.schema).map(evolve(_, logicalIn))
@@ -3309,18 +3327,20 @@ object ManifestTable {
             .map { n => id += 1; n -> s"col-$id" }
           (keep ++ fresh, id)
         }
-      // stats columns: per-commit argument overrides; else the table's
-      // declared stats schema (stored physical — rename-safe)
+      // stats columns: per-commit argument overrides; else a stats
+      // schema DECLARED with this commit; else the table's declared
+      // stats schema (stored physical — rename-safe)
       val statsColsPhys =
         if (statsCols.nonEmpty) {
           if (!prevMapped) statsCols
           else statsCols.map(c => newMapping.getOrElse(c, c))
-        } else prevState.map(_.statsSchemaCols).getOrElse(Nil)
+        } else statsSchemaDecl
+          .getOrElse(prevState.map(_.statsSchemaCols).getOrElse(Nil))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
       // CHECK constraints enforce inside the staging pass: a violating
       // row fails the write job, no manifest lands, readers see nothing
-      val guarded0 = constraintGuard(genApplied,
+      val guarded0 = constraintGuard(genTagged,
         prevState.map(_.constraints).getOrElse(Map.empty))
       // row ids: fresh above the high-water mark for rows lacking one;
       // rewrite paths (compact/zorder via readWithRowIds) keep theirs
@@ -3507,7 +3527,10 @@ object ManifestTable {
         identityHighWater = newIdentHigh,
         partitionColsDecl =
           if (partitionColsDecl.nonEmpty) Some(partitionColsDecl) else None,
-        copyAdds = copyAdds, txn = txn)
+        copyAdds = copyAdds, txn = txn,
+        generatedAdds = generatedAdds,
+        properties = propertiesFull,
+        statsSchema = statsSchemaDecl)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -3705,11 +3728,18 @@ object ManifestTable {
     // withSchemaEvolution() semantics).
     val schema =
       if (!schemaEvolution) {
+        // GENERATED columns (variant shreds included) may be OMITTED
+        // by the source — they recompute inside the staging guard, the
+        // same contract as write/append
+        val required = tableSchema.fields.filter(fd =>
+          updCols.exists(_.name == fd.name) ||
+            !st.generated.contains(fd.name))
         require(updCols.map(fd => fd.name -> fd.dataType).sortBy(_._1).toSeq ==
-            tableSchema.fields.map(fd => fd.name -> fd.dataType)
+            required.map(fd => fd.name -> fd.dataType)
               .sortBy(_._1).toSeq,
           s"merge updates schema ${updCols.map(_.name).mkString("(", ",", ")")} " +
-            s"must carry exactly the table columns ${tableSchema.fieldNames.mkString("(", ",", ")")}")
+            s"must carry exactly the table columns ${tableSchema.fieldNames.mkString("(", ",", ")")}" +
+            " (generated columns may be omitted)")
         tableSchema
       } else {
         require(tableSchema.fieldNames
@@ -3841,11 +3871,18 @@ object ManifestTable {
     // CHECK constraints enforce on the merge's upsert rows (carried
     // rows were validated by the commit that wrote them); the cast is
     // the identity without evolution and lifts narrow update batches
-    // onto a widened committed type with it
+    // onto a widened committed type with it. A batch may OMIT generated
+    // columns — they recompute in the guard (the write/append contract;
+    // a shredded table's raw-variant batch merges without hand-building
+    // shreds); present ones are enforced.
+    val upsertsCast = upserts.select(schema.fields.flatMap { fd =>
+      if (!upserts.columns.contains(fd.name) &&
+          st.generated.contains(fd.name)) None
+      else Some(col(fd.name).cast(fd.dataType).as(fd.name))
+    }.toSeq: _*)
     val ordered0 = constraintGuard(
-      generatedGuard(upserts.select(schema.fields.map(fd =>
-          col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*),
-        st.generated), st.constraints)
+      generatedGuard(upsertsCast, st.generated), st.constraints)
+      .select(schema.fieldNames.map(col).toSeq: _*)
     // row tracking: an updated row KEEPS its base row's stable id (the
     // Delta 3.x row-tracking contract); inserts draw fresh ids above
     // the high-water mark. Requires key-unique updates — two update
@@ -5027,18 +5064,27 @@ object ManifestTable {
           s"no committed version at $path to overwrite into"))
       val st = resolveState(spark, path, prevV)
       val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
-      require(batch.schema.fieldNames.sorted.toSeq ==
-          schema.fieldNames.sorted.toSeq,
+      // the batch must carry exactly the table columns, except that
+      // GENERATED columns may be omitted — they recompute in the guard
+      // (the write/append contract)
+      val rwMissing = schema.fieldNames.filterNot(batch.columns.contains)
+      require(rwMissing.forall(st.generated.contains) &&
+          batch.schema.fieldNames.sorted.toSeq ==
+            schema.fieldNames.filterNot(rwMissing.contains).sorted.toSeq,
         s"replaceWhere batch columns ${batch.schema.fieldNames.mkString("(", ",", ")")} " +
-          s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}")
+          s"must carry exactly the table columns ${schema.fieldNames.mkString("(", ",", ")")}" +
+          " (generated columns may be omitted)")
       val offenders = batch.filter(!coalesce(cond, lit(false))).count()
       require(offenders == 0L,
         s"replaceWhere batch violates its own predicate: $offenders rows " +
           "do not satisfy the WHERE condition (Delta's replaceWhere rule)")
       val guarded = constraintGuard(
-        generatedGuard(batch.select(schema.fieldNames.map(
-          org.apache.spark.sql.functions.col).toSeq: _*), st.generated),
+        generatedGuard(batch.select(schema.fieldNames
+          .filterNot(rwMissing.contains).map(
+            org.apache.spark.sql.functions.col).toSeq: _*), st.generated),
         st.constraints)
+        .select(schema.fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*)
       rewriteWhere(spark, path, cond, op = "REPLACE_WHERE",
         statsCols, maxAttempts, tag, tagHorizon,
         transform = (df, _) => df.filter(!coalesce(cond, lit(false))),

@@ -1433,6 +1433,15 @@ object Medallion {
         expr("parse_json(props)").as("v"))
     VariantShred.write(src, path, "v", Seq("$.k" -> "long"),
       rangeLayoutOn = Some("$.k"))
+    // the soundness half (round 18): a PLAIN ManifestTable.append of a
+    // RAW-variant batch — no VariantShred API — must land correctly
+    // shredded (the shreds are GENERATED columns recomputed inside the
+    // commit) with footer stats from the persistent stats schema. The
+    // batch doubles every row (ids shifted clear of the originals), so
+    // a silently unshredded or mis-shredded append hash-fails the
+    // doubled oracle.
+    ManifestTable.append(
+      src.withColumn("event_id", col("event_id") + lit(1000000000L)), path)
     val (touched, total) = VariantShred.pruneCount(spark, path, "$.k", 10, 29)
     require(touched < total,
       s"shredded stats must prune the range read: $touched/$total files")

@@ -40,13 +40,21 @@ object Scd2 {
   val ValidTo = "_valid_to"
 
   /** Create the dimension from an initial snapshot: every row opens
-    * at `ts` (`_valid_from = ts`, `_valid_to = NULL`). */
+    * at `ts` (`_valid_from = ts`, `_valid_to = NULL`). `seq0`
+    * optionally persists an initial applied SEQUENCE per row (the
+    * [[ApplyChanges.applyScd2]] cross-batch ordering guard reads it;
+    * a seq-aware apply onto a dimension created WITHOUT it evolves
+    * the column in its first commit). */
   def initialize(snapshot: DataFrame, path: String, ts: Long,
-                 statsCols: Seq[String] = Nil): Long =
+                 statsCols: Seq[String] = Nil,
+                 seq0: Option[Long] = None): Long = {
+    val base = snapshot.withColumn(ValidFrom, lit(ts))
+      .withColumn(ValidTo, lit(null).cast("long"))
     ManifestTable.write(
-      snapshot.withColumn(ValidFrom, lit(ts))
-        .withColumn(ValidTo, lit(null).cast("long")),
+      seq0.map(s0 => base.withColumn(ApplyChanges.SeqCol, lit(s0)))
+        .getOrElse(base),
       path, statsCols = statsCols)
+  }
 
   /** Apply one batch of upserts at logical time `ts`. `tracked` are
     * the attribute columns whose change opens a new version; other
@@ -56,17 +64,30 @@ object Scd2 {
     * DELETE events: a delete CLOSES the key's open row at `ts`
     * without a replacement (history retained, no open row remains —
     * DLT's SCD2 delete reading); a delete for a key with no open row
-    * is a no-op. Returns the committed version. */
+    * is a no-op. `seqCol` optionally names the batch column carrying
+    * each event's SEQUENCE: the dimension then PERSISTS the applied
+    * sequence in `_seq` — a replacement open row records its event's
+    * sequence, a delete-close records the delete's sequence on the
+    * closed row — so [[ApplyChanges.applyScd2]]'s cross-batch
+    * late-arrival guard has a high-water to gate on (a target lacking
+    * `_seq` evolves it in this commit; pre-existing rows read NULL =
+    * "no recorded sequence", which the guard treats as
+    * always-applicable). Returns the committed version. */
   def applyChanges(spark: SparkSession, path: String, key: String,
                    batch: DataFrame, tracked: Seq[String],
                    ts: Long, tag: Option[String] = None,
-                   deleteWhen: Option[String] = None): Long = {
+                   deleteWhen: Option[String] = None,
+                   seqCol: Option[String] = None): Long = {
     require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
     val dimCols = ManifestTable.read(spark, path).schema
+    val seqName = ApplyChanges.SeqCol
     val bizCols = dimCols.fieldNames
-      .filterNot(n => n == ValidFrom || n == ValidTo)
+      .filterNot(n => n == ValidFrom || n == ValidTo || n == seqName)
     require(bizCols.forall(batch.columns.contains),
       s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
+    seqCol.foreach(sc => require(batch.columns.contains(sc),
+      s"SCD2 batch has no sequence column '$sc'"))
+    val dimHasSeq = dimCols.fieldNames.contains(seqName)
     val keyType = dimCols(key).dataType
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
@@ -118,20 +139,40 @@ object Scd2 {
       .drop("_scd_chg", "_scd_nullkey")
     val pairChanged: Column = tracked
       .map(a => !(col(a) <=> col(s"_b_$a"))).reduce(_ || _)
+    // sequence persistence: a delete-close records the DELETE's
+    // sequence on the closed row (so the key's high-water survives
+    // losing its open row — a late update can never resurrect it); a
+    // change-close keeps the closed row's own opening sequence; the
+    // replacement/new open row records its event's sequence. A target
+    // without `_seq` evolves it in this merge commit (old rows read
+    // NULL through schema-on-read).
+    val updSet: Seq[(String, Column)] = seqCol match {
+      case Some(sc) =>
+        val carried =
+          if (dimHasSeq) col(s"_b_$seqName")
+          else lit(null).cast("long")
+        Seq(ValidTo -> lit(ts),
+          seqName -> when(col("_scd_del"), col(sc).cast("long"))
+            .otherwise(carried))
+      case None => Seq(ValidTo -> lit(ts))
+    }
+    val insSeq: Seq[(String, Column)] =
+      seqCol.map(sc => seqName -> col(sc).cast("long")).toSeq
     ManifestTable.mergeMultiKeyed(
       staged, path, Seq(key),
       matched = Seq(ManifestTable.MergeUpdate(
-        Some(col("_scd_del") || pairChanged),
-        Seq(ValidTo -> lit(ts)))),
+        Some(col("_scd_del") || pairChanged), updSet)),
       notMatched = Seq(ManifestTable.MergeInsert(
         // a keyed delete copy always matches (classification required
         // an open row) — the guard is belt-and-braces against races
         Some(!col("_scd_del")),
         (key -> col("_scd_key")) +:
-          bizCols.filterNot(_ == key).map(c => c -> col(c)).toSeq :+
+          bizCols.filterNot(_ == key).map(c => c -> col(c)).toSeq ++:
+          insSeq :+
           (ValidFrom -> lit(ts)) :+
           (ValidTo -> lit(null).cast("long")))),
       residual = Some(col(s"_b_$ValidTo").isNull),
+      schemaEvolution = seqCol.isDefined && !dimHasSeq,
       tag = tag)
   }
 

@@ -1113,7 +1113,8 @@ case class GraftApplyChangesCommand(path: String, source: String,
             graft.pipeline.ManifestTable.read(session, tp)
               .schema.fieldNames.filterNot(n =>
                 n == key || n == graft.pipeline.Scd2.ValidFrom ||
-                  n == graft.pipeline.Scd2.ValidTo).toSeq
+                  n == graft.pipeline.Scd2.ValidTo ||
+                  n == graft.pipeline.ApplyChanges.SeqCol).toSeq
           else tracked
         val ts = at.getOrElse(throw new IllegalArgumentException(
           "SCD TYPE 2 needs AT <n> — the validity timestamp the batch " +

@@ -27,17 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * substitution then lets Catalyst's own ColumnPruning drop the
   * variant column when nothing else needs it.
   *
-  * Soundness contract: `_shred_<path>` is the writer-reserved
-  * namespace ([[VariantShred.shredName]]) — each shred was computed
-  * at write time by EXACTLY the expression being substituted, over
-  * the same rows. The rule requires (a) the accessor's path is a
-  * literal, (b) the substituting attribute comes from the SAME child
-  * that produces the variant attribute (a join of a shredded table
-  * with an unshredded variant-bearing one must never serve one
-  * table's shred for the other's rows — and with same-child scoping
-  * each side of a self-join substitutes its own shred), (c) it is
-  * UNIQUE there, (d) its type equals the accessor's target type —
-  * anything else leaves the expression untouched.
+  * Soundness contract — WRITER-BOUND, not name-bound (round 18): the
+  * rule substitutes only when the written schema's METADATA proves
+  * the identity, never on the `_shred_` name alone. Required:
+  *
+  *  (a) the accessor's path is a literal;
+  *  (b) the VARIANT attribute itself carries the writer's shredded
+  *      marker naming the path ([[VariantShred.MarkerKey]] — set by
+  *      the commit staging pass, carried by the committed schema into
+  *      every read). A frame that RE-DERIVES the variant
+  *      (`withColumn("v", transform(v))`) mints a fresh attribute with
+  *      EMPTY metadata, so stale pre-transform shreds in the same
+  *      scope can never substitute; a user-minted
+  *      `withColumn("_shred_k", ...)` has no binding metadata and is
+  *      never a candidate;
+  *  (c) the candidate's binding metadata names THIS variant column
+  *      and THIS path ([[VariantShred.ShredOfKey]] /
+  *      [[VariantShred.ShredPathKey]]);
+  *  (d) the candidate comes from the SAME child subtree that produces
+  *      the variant attribute (a join of two shredded tables — or a
+  *      self-join — must never serve one side's shred for the other's
+  *      rows) and is UNIQUE there;
+  *  (e) it is still VISIBLE in this node's scope;
+  *  (f) its type equals the accessor's target type.
+  *
+  * Anything else leaves the expression untouched — the live variant
+  * walk is always correct, just slower.
   */
 case class ShredSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -51,27 +66,42 @@ case class ShredSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
             case vg @ VariantGet(a: AttributeReference,
                 Literal(p: UTF8String, StringType), _, _, _)
                 if vg.resolved =>
-              val name = VariantShred.shredName(p.toString)
-              // descend to the subtree that PRODUCES the variant
-              // attribute (through joins/aliases — exprIds are
-              // preserved) so only ITS shred can substitute: row-
-              // source identity is the contract, and each side of a
-              // self-join resolves to its own copy
-              @scala.annotation.tailrec
-              def producer(pl: LogicalPlan): LogicalPlan =
-                pl.children.find(_.outputSet.contains(a)) match {
-                  case Some(c) => producer(c)
-                  case None => pl
+              val pathStr = p.toString
+              // (b) writer's marker on the variant attribute itself —
+              // the proof this is the column the shreds were computed
+              // from, not a later re-derivation of it
+              val markerOk = a.metadata.contains(VariantShred.MarkerKey) &&
+                a.metadata.getString(VariantShred.MarkerKey)
+                  .split(";").contains(pathStr)
+              if (!markerOk) vg
+              else {
+                // (d) descend to the subtree that PRODUCES the variant
+                // attribute (through joins/aliases — exprIds are
+                // preserved) so only ITS shred can substitute: row-
+                // source identity is the contract, and each side of a
+                // self-join resolves to its own copy
+                @scala.annotation.tailrec
+                def producer(pl: LogicalPlan): LogicalPlan =
+                  pl.children.find(_.outputSet.contains(a)) match {
+                    case Some(c) => producer(c)
+                    case None => pl
+                  }
+                // (c) + (f): binding metadata names this variant
+                // column and path, type matches the accessor's target
+                val cands = producer(node).output.filter { o =>
+                  o.dataType == vg.dataType &&
+                    o.metadata.contains(VariantShred.ShredOfKey) &&
+                    o.metadata.getString(VariantShred.ShredOfKey) == a.name &&
+                    o.metadata.getString(VariantShred.ShredPathKey) == pathStr
                 }
-              val cands = producer(node).output
-                .filter(o => o.name == name && o.dataType == vg.dataType)
-              cands match {
-                // the producer's shred must still be VISIBLE in this
-                // node's scope (an intermediate projection may have
-                // dropped it — substituting then would dangle)
-                case Seq(shred)
-                    if inScope.exists(_.exprId == shred.exprId) => shred
-                case _ => vg
+                cands match {
+                  // (e) the producer's shred must still be VISIBLE in
+                  // this node's scope (an intermediate projection may
+                  // have dropped it — substituting then would dangle)
+                  case Seq(shred)
+                      if inScope.exists(_.exprId == shred.exprId) => shred
+                  case _ => vg
+                }
               }
           }
         }

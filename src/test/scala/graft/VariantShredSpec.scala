@@ -183,6 +183,177 @@ class VariantShredSpec extends SparkSpec {
     }
   }
 
+  test("SOUNDNESS: plain ManifestTable.append of a raw-variant batch lands correctly shredded files WITH stats — in ONE commit lifecycle") {
+    val path = tmp("graft_vs_i")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"),
+      rangeLayoutOn = Some("$.k"), rangePartitions = 4)
+    // the initial write is ONE commit: data + generated declarations +
+    // spec properties + stats schema all at v1 (no crash window
+    // between "data landed" and "spec recorded")
+    assert(ManifestTable.currentVersion(spark, path) === Some(1L))
+    assert(ManifestTable.generatedColumns(spark, path)
+      .contains("_shred_k"))
+    assert(ManifestTable.tableProperties(spark, path)
+      .get(VariantShred.ShredColProp) === Some("v"))
+    val (_, totalBefore) = VariantShred.pruneCount(spark, path, "$.k", 60, 70)
+    // a PLAIN append (no VariantShred API in sight) of a raw batch:
+    // the generated-column guard computes the shreds inside the commit
+    val batch = spark.range(1000, 1050).toDF("id")
+      .withColumn("v", expr(
+        """parse_json(concat('{"k":', 60 + id % 10, ',"s":"y', id, '"}'))"""))
+    ManifestTable.append(batch, path)
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 250L)
+    assert(back.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")))
+      .count() === 0L)
+    // the appended files carry footer stats on the shred (persistent
+    // stats schema — no caller passed statsCols): the k∈[60,70] read
+    // touches ONLY the appended files, pruning every original file
+    val (touched, total) = VariantShred.pruneCount(spark, path, "$.k", 60, 70)
+    assert(total > totalBefore, "append must add files")
+    assert(touched === total - totalBefore,
+      s"appended-file stats must confine the range read: $touched of " +
+        s"$total files (original $totalBefore must all prune)")
+    // and substitution still fires on the grown table
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val q = ManifestTable.read(s, path)
+        .filter(expr("variant_get(v, '$.k', 'long')") >= 60)
+      val walks = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+        })
+      }.flatten
+      assert(walks.isEmpty, "substitution must survive plain appends")
+      assert(q.count() === 50L)
+    }
+  }
+
+  test("SOUNDNESS: a DIVERGENT hand-built shred on a plain append fails the write loudly; a correct one is accepted") {
+    val path = tmp("graft_vs_j")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    val batch = spark.range(300, 320).toDF("id")
+      .withColumn("v", expr("""parse_json(concat('{"k":', id % 50, '}'))"""))
+    // wrong values: the generated-column equality guard kills the job
+    // BEFORE any file lands — a wrong shred can never be committed
+    val vBefore = ManifestTable.currentVersion(spark, path)
+    val e = intercept[Exception] {
+      ManifestTable.append(batch.withColumn("_shred_k", lit(-1L)), path)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("_shred_k"),
+      s"divergent shred must name the column: ${e.getMessage}")
+    assert(ManifestTable.currentVersion(spark, path) === vBefore,
+      "a refused batch must not commit")
+    // byte-equal values pass the enforcement (a faithful table copy)
+    ManifestTable.append(
+      batch.withColumn("_shred_k", expr("variant_get(v, '$.k', 'long')")),
+      path)
+    assert(ManifestTable.read(spark, path).count() === 220L)
+  }
+
+  test("SOUNDNESS: UPDATE on the variant recomputes the shred; UPDATE SET on a shred column refuses; MERGE of a raw source recomputes") {
+    val path = tmp("graft_vs_k")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    // predicate UPDATE rewrites v for ids < 10: the stripped+recomputed
+    // shred must track the NEW variant, not the old one
+    ManifestTable.updateWhere(spark, path,
+      Seq("v" -> expr("""parse_json(concat('{"k":', id + 500, '}'))""")),
+      col("id") < 10)
+    val upd = ManifestTable.read(spark, path).filter(col("id") < 10)
+    assert(upd.filter(col("_shred_k") =!= col("id") + 500).count() === 0L)
+    assert(upd.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")))
+      .count() === 0L)
+    // a shred column is generated — direct SET refuses
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, path,
+        Seq("_shred_k" -> lit(0L)), col("id") < 5)
+    }
+    assert(e.getMessage.contains("generated"))
+    // keyed MERGE with a RAW source (id + v only, no shred columns):
+    // the staging pass computes the shred for upserted rows
+    val src = spark.range(5, 15).toDF("id")
+      .withColumn("v", expr("""parse_json(concat('{"k":', id + 900, '}'))"""))
+    ManifestTable.merge(src, path, "id")
+    val merged = ManifestTable.read(spark, path)
+      .filter(col("id") >= 5 && col("id") < 15)
+    assert(merged.filter(col("_shred_k") =!= col("id") + 900).count() === 0L)
+  }
+
+  test("SOUNDNESS: substitution is WRITER-BOUND — user-minted _shred_ columns and re-derived variants never substitute") {
+    val path = tmp("graft_vs_l")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      def gets(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collect {
+          case n => n.expressions.flatMap(_.collect {
+            case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+          })
+        }.flatten
+      // (1) a user MINTS a _shred_k over a plain frame: name+type match
+      // the old convention, but there is no binding metadata — the
+      // accessor must keep the live walk and answer from the variant
+      val minted = s.range(100).toDF("id")
+        .withColumn("v", expr("""parse_json(concat('{"k":', id, '}'))"""))
+        .withColumn("_shred_k", lit(-7L))
+        .filter(expr("variant_get(v, '$.k', 'long')") === 3L)
+      assert(gets(minted).nonEmpty,
+        "user-minted _shred_ column must never substitute")
+      assert(minted.count() === 1L)
+      // (2) the ADVICE r17 stale-value scenario: re-derive the variant
+      // while the real shreds stay in scope — the new v carries no
+      // writer marker, so the accessor walks the NEW variant and sees
+      // the post-transform values, never the stale shred
+      val rederived = ManifestTable.read(s, path)
+        .withColumn("v",
+          expr("""parse_json(concat('{"k":', id + 10000, '}'))"""))
+      val q = rederived.select(
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      assert(gets(q).nonEmpty,
+        "re-derived variant must NOT serve the stale shred")
+      assert(q.agg(min(col("k"))).head().getLong(0) === 10000L)
+      // (3) the genuine attribute still substitutes through an
+      // explicit projection that KEEPS the shred (and a rename of the
+      // shred falls back to the walk — conservative, still correct)
+      val projected = ManifestTable.read(s, path)
+        .select(col("id"), col("v"), col("_shred_k"))
+        .filter(expr("variant_get(v, '$.k', 'long')") === 3L)
+      assert(gets(projected).isEmpty,
+        "binding metadata must survive an explicit projection")
+      assert(projected.count() === 4L)
+      val renamed = ManifestTable.read(s, path)
+        .select(col("id"), col("v"), col("_shred_k").as("kk"))
+        .filter(expr("variant_get(v, '$.k', 'long')") === 3L)
+      assert(renamed.count() === 4L,
+        "a renamed shred must still answer correctly (via the walk)")
+    }
+  }
+
+  test("spec validation: name-encoding collisions, delimiter characters, and _shred_ inputs refuse at write") {
+    val path = tmp("graft_vs_m")
+    // $.a.b and $.a_b encode to the same _shred_a_b — silent
+    // overwrite refused loudly
+    val e1 = intercept[IllegalArgumentException] {
+      VariantShred.write(fixture, path, "v",
+        Seq("$.a.b" -> "long", "$.a_b" -> "long"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      VariantShred.write(fixture, path, "v", Seq("$.a;b" -> "long"))
+    }
+    assert(e2.getMessage.contains("delimiter"))
+    val e3 = intercept[IllegalArgumentException] {
+      VariantShred.write(fixture.withColumn("_shred_x", lit(1)),
+        path, "v", Seq("$.k" -> "long"))
+    }
+    assert(e3.getMessage.contains("RAW variant"))
+    // types with commas (decimal precision) round-trip through the
+    // ';'-delimited spec
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "decimal(10,2)"))
+    assert(VariantShred.shreddedPaths(spark, path) ===
+      Map("$.k" -> "decimal(10,2)"))
+  }
+
   test("pathCol serves the shred when present, falls back to variant_get when not") {
     val path = tmp("graft_vs_c")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
