@@ -160,15 +160,18 @@ object GraftSqlStatements {
     s"(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$".r
   // APPLY CHANGES INTO '<path>' FROM <table|(subquery)> KEYS (k)
   // SEQUENCE BY seq [APPLY AS DELETE WHEN <expr>]
+  // [APPLY AS TRUNCATE WHEN <expr>]
   // [STORED AS SCD TYPE 1|2] [TRACK HISTORY ON (c1, c2)] [AT n] —
   // DLT's declarative CDC verb over pipeline/ApplyChanges. The FROM
-  // part is lazy up to the mandatory KEYS; the DELETE WHEN expression
-  // is lazy up to the next optional clause head or end.
+  // part is lazy up to the mandatory KEYS; the DELETE/TRUNCATE WHEN
+  // expressions are lazy up to the next optional clause head or end.
   private val applyChangesRe =
     ("(?is)^\\s*APPLY\\s+CHANGES\\s+INTO\\s+" + P +
       "\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\((\\w+)\\)" +
       "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
       "(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+" +
+      "(.+?(?=\\s+APPLY\\s+AS\\s+TRUNCATE|\\s+STORED\\s+AS|\\s+TRACK\\s+HISTORY|\\s+AT\\s+\\d|\\s*;?\\s*$)))?" +
+      "(?:\\s+APPLY\\s+AS\\s+TRUNCATE\\s+WHEN\\s+" +
       "(.+?(?=\\s+STORED\\s+AS|\\s+TRACK\\s+HISTORY|\\s+AT\\s+\\d|\\s*;?\\s*$)))?" +
       "(?:\\s+STORED\\s+AS\\s+SCD\\s+TYPE\\s+(1|2))?" +
       "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([^)]*)\\))?" +
@@ -302,14 +305,15 @@ object GraftSqlStatements {
       val (source, on, clauses) = splitMergeTail(tail)
       Some(parseMerge(path, Option(alias), source, on,
         clauses, schemaEvolution = evo != null))
-    case ApplyChangesStmt(path, source, key, seqCol, delWhen, scdType,
-        tracked, at) =>
+    case ApplyChangesStmt(path, source, key, seqCol, delWhen, truncWhen,
+        scdType, tracked, at) =>
       Some(GraftApplyChangesCommand(path, source.trim, key, seqCol,
         delWhen.map(_.trim),
         scdType.map(_.toInt).getOrElse(1),
         tracked.map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil),
-        at.map(_.toLong)))
+        at.map(_.toLong),
+        truncateWhen = truncWhen.map(_.trim)))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -501,13 +505,14 @@ object GraftSqlStatements {
     * are data, not boundaries), groups sliced from the ORIGINAL. */
   private object ApplyChangesStmt {
     def unapply(sql: String): Option[(String, String, String, String,
-        Option[String], Option[String], Option[String], Option[String])] = {
+        Option[String], Option[String], Option[String], Option[String],
+        Option[String])] = {
       val masked = maskLiterals(sql)
       applyChangesRe.findFirstMatchIn(masked).map { m =>
         def orig(g: Int): Option[String] =
           Option(m.group(g)).map(_ => sql.substring(m.start(g), m.end(g)))
         (orig(1).get, orig(2).get, orig(3).get, orig(4).get,
-          orig(5), orig(6), orig(7), orig(8))
+          orig(5), orig(6), orig(7), orig(8), orig(9))
       }
     }
   }
@@ -1069,7 +1074,9 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
   * KEYS (k), SEQUENCE BY seq ordering, optional APPLY AS DELETE WHEN
   * expression (any Spark boolean expression over the source; under
   * SCD TYPE 1 a delete removes the row, under TYPE 2 it closes the
-  * open row with history retained), STORED AS SCD TYPE 1 (default)
+  * open row with history retained), optional APPLY AS TRUNCATE WHEN
+  * (full-table truncate at the highest truncate-flagged sequence —
+  * DLT's rule: SCD TYPE 1 only), STORED AS SCD TYPE 1 (default)
   * or 2 (requires TRACK HISTORY ON (cols) for the tracked attributes
   * and AT n for the validity timestamp). Returns the committed
   * version.
@@ -1078,12 +1085,16 @@ case class GraftApplyChangesCommand(path: String, source: String,
                                     key: String, seqCol: String,
                                     deleteWhen: Option[String],
                                     scdType: Int, tracked: Seq[String],
-                                    at: Option[Long])
+                                    at: Option[Long],
+                                    truncateWhen: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val tp = GraftSqlCommands.rp(session, path)
+    require(truncateWhen.isEmpty || scdType == 1,
+      "APPLY AS TRUNCATE WHEN is supported for SCD TYPE 1 only " +
+        "(DLT's rule — SCD TYPE 2 retains history)")
     val sub = "(?is)^\\((.+)\\)\\s*$".r
     val src = source match {
       case sub(q) => session.sql(q.trim)
@@ -1099,8 +1110,15 @@ case class GraftApplyChangesCommand(path: String, source: String,
               Some("_ac_sql_delete"))
           case None => (src, None)
         }
-        graft.pipeline.ApplyChanges.applyScd1(session, tp, key, df,
-          sequenceBy = seqCol, deleteWhen = delCol)
+        val (df2, truncCol) = truncateWhen match {
+          case Some(e) =>
+            (df.withColumn("_ac_sql_truncate", expr(e)),
+              Some("_ac_sql_truncate"))
+          case None => (df, None)
+        }
+        graft.pipeline.ApplyChanges.applyScd1(session, tp, key, df2,
+          sequenceBy = seqCol, deleteWhen = delCol,
+          truncateWhen = truncCol)
       case 2 =>
         require(tracked.nonEmpty,
           "SCD TYPE 2 needs TRACK HISTORY ON (col, ...) — the tracked " +

@@ -237,6 +237,151 @@ class ApplyChangesSpec extends SparkSpec {
       deleteWhen = Some("del"))
   }
 
+  test("SCD2 cross-batch ordering: late/replayed batches can neither open stale versions nor resurrect deleted keys") {
+    val path = tmp("graft_ac_f")
+    ApplyChanges.initializeScd2(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, ts = 0L, seq0 = 0L)
+    // batch 1: id=1 advances to seq 10 at ts=1
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a10", 10L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    // batch 2 is LATE (seq 4 < the persisted high-water 10): it must
+    // NOT close the open a10 row with a stale version — the ADVICE
+    // r17 silent-history-corruption scenario; id=2 (high-water 0)
+    // legitimately applies
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a_stale", 4L, false), (2L, "b4", 4L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 2L)
+    def hist() = ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("_valid_from"), col("_valid_to"))
+      .as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(hist() === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a10", 1L, None),
+      (2L, "b", 0L, Some(2L)), (2L, "b4", 2L, None)))
+    // a REPLAY of batch 1 (equal sequence) is idempotent — no new
+    // version, no re-close
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a10", 10L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 3L)
+    assert(hist() === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a10", 1L, None),
+      (2L, "b", 0L, Some(2L)), (2L, "b4", 2L, None)))
+    // delete id=1 at seq 20: the closed row RECORDS the delete's
+    // sequence, so a late post-delete update (seq 15) cannot
+    // resurrect the key
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a10", 20L, true)),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 4L,
+      deleteWhen = Some("del"))
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a_zombie", 15L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 5L)
+    assert(hist() === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a10", 1L, Some(4L)),
+      (2L, "b", 0L, Some(2L)), (2L, "b4", 2L, None)),
+      "a deleted key must not resurrect from a pre-delete sequence")
+    // a GENUINELY newer event re-inserts the key (seq 25 > 20)
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((1L, "a_back", 25L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 6L)
+    assert(hist().contains((1L, "a_back", 6L, None)))
+    // a legacy target (Scd2.initialize, no _seq) upgrades on its
+    // first seq-aware apply: the column evolves, pre-upgrade rows
+    // read NULL high-water and stay open to any sequence
+    val legacy = tmp("graft_ac_g")
+    Scd2.initialize(Seq((7L, "x")).toDF("id", "attr"), legacy, 0L)
+    ApplyChanges.applyScd2(spark, legacy, "id",
+      cdc((7L, "x2", 3L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    assert(ManifestTable.read(spark, legacy).columns.contains("_seq"))
+    ApplyChanges.applyScd2(spark, legacy, "id",
+      cdc((7L, "x_stale", 1L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 2L)
+    val leg = ManifestTable.read(spark, legacy)
+      .filter(col("_valid_to").isNull)
+      .select(col("attr")).as[String].collect().toSeq
+    assert(leg === Seq("x2"), "post-upgrade high-water must gate")
+  }
+
+  test("NULL sequenceBy values refuse loudly in both SCD forms") {
+    val p1 = tmp("graft_ac_ns1")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a")).toDF("id", "attr"), p1, 0L)
+    val nullSeq = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, 'x' AS attr, " +
+        "CAST(null AS BIGINT) AS seq, false AS del")
+    val e1 = intercept[Exception] {
+      ApplyChanges.applyScd1(spark, p1, "id", nullSeq,
+        sequenceBy = "seq", deleteWhen = Some("del"))
+    }
+    assert(e1.getMessage.contains("NULL 'seq'") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL 'seq'")))
+    assert(state(p1) === Seq((1L, "a", 0L)))
+    val p2 = tmp("graft_ac_ns2")
+    ApplyChanges.initializeScd2(
+      Seq((1L, "a")).toDF("id", "attr"), p2, ts = 0L, seq0 = 0L)
+    val e2 = intercept[Exception] {
+      ApplyChanges.applyScd2(spark, p2, "id", nullSeq.drop("del"),
+        tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    }
+    assert(e2.getMessage.contains("NULL 'seq'") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL 'seq'")))
+  }
+
+  test("APPLY AS TRUNCATE WHEN: full truncate at the truncate sequence, strictly-newer events reapply, replay idempotent — SCD1 only") {
+    val path = tmp("graft_ac_t")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), path, 0L)
+    // one batch: truncate at seq 5; id=1's seq-3 update predates the
+    // truncate (consumed by it), id=2's seq-8 update survives, a
+    // truncate event's own row never applies as data
+    val batch = Seq(
+      (1L, "a3", 3L, false, false),
+      (9L, "trunc", 5L, false, true),
+      (2L, "b8", 8L, false, false))
+      .toDF("id", "attr", "seq", "del", "trunc")
+    ApplyChanges.applyScd1(spark, path, "id", batch,
+      sequenceBy = "seq", deleteWhen = Some("del"),
+      truncateWhen = Some("trunc"))
+    assert(state(path) === Seq((2L, "b8", 8L)))
+    // replaying the same batch reproduces the same state (idempotent
+    // by value: re-truncate + re-apply)
+    ApplyChanges.applyScd1(spark, path, "id", batch,
+      sequenceBy = "seq", deleteWhen = Some("del"),
+      truncateWhen = Some("trunc"))
+    assert(state(path) === Seq((2L, "b8", 8L)))
+    // a batch with the flag column but NO firing event applies
+    // normally — no truncate
+    ApplyChanges.applyScd1(spark, path, "id",
+      Seq((3L, "c9", 9L, false, false))
+        .toDF("id", "attr", "seq", "del", "trunc"),
+      sequenceBy = "seq", deleteWhen = Some("del"),
+      truncateWhen = Some("trunc"))
+    assert(state(path) === Seq((2L, "b8", 8L), (3L, "c9", 9L)))
+    // SQL spelling, and the SCD TYPE 2 refusal
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.createDataFrame(Seq((5L, "e", 20L, false, true)))
+        .toDF("id", "attr", "seq", "del", "trunc")
+        .createOrReplaceTempView("ac_trunc_src")
+      s.sql(s"""APPLY CHANGES INTO '$path' FROM ac_trunc_src
+                KEYS (id) SEQUENCE BY seq
+                APPLY AS DELETE WHEN del
+                APPLY AS TRUNCATE WHEN trunc
+                STORED AS SCD TYPE 1""").collect()
+      assert(state(path) === Seq.empty,
+        "a truncate with no newer events leaves the table empty")
+      val e = intercept[Exception] {
+        s.sql(s"""APPLY CHANGES INTO '$path' FROM ac_trunc_src
+                  KEYS (id) SEQUENCE BY seq
+                  APPLY AS TRUNCATE WHEN trunc
+                  STORED AS SCD TYPE 2 TRACK HISTORY ON (attr) AT 9""")
+          .collect()
+      }
+      assert(e.getMessage.contains("SCD TYPE 1 only"))
+    }
+  }
+
   test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
     val path = tmp("graft_ac_d")
     Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)

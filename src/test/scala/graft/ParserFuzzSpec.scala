@@ -309,12 +309,24 @@ class ParserFuzzSpec extends AnyFunSuite {
         case _ => Some("op = 'STORED AS SCD TYPE 2'")
       }
       val scd2 = r.nextInt(3) == 0
+      // TRUNCATE WHEN only composes with SCD TYPE 1 (the command
+      // refuses it under TYPE 2 at run time; here we fuzz the parse);
+      // its payload sometimes carries clause-head text as DATA too
+      val truncWhen =
+        if (scd2) None
+        else r.nextInt(3) match {
+          case 0 => None
+          case 1 => Some("op = 'TRUNCATE'")
+          case _ => Some("op = 'STORED AS SCD TYPE 1'")
+        }
       val sql = s"${kc(r, "APPLY CHANGES INTO")}${ws(r)}'$path'${ws(r)}" +
         s"${kc(r, "FROM")}${ws(r)}$src${ws(r)}" +
         s"${kc(r, "KEYS")}${ws(r)}($key)${ws(r)}" +
         s"${kc(r, "SEQUENCE BY")} $seqc" +
         delWhen.map(d =>
           s"${ws(r)}${kc(r, "APPLY AS DELETE WHEN")} $d").getOrElse("") +
+        truncWhen.map(t =>
+          s"${ws(r)}${kc(r, "APPLY AS TRUNCATE WHEN")} $t").getOrElse("") +
         (if (scd2)
           s"${ws(r)}${kc(r, "STORED AS SCD TYPE")} 2" +
             s"${ws(r)}${kc(r, "TRACK HISTORY ON")}${ws(r)}(v, w)" +
@@ -327,6 +339,8 @@ class ParserFuzzSpec extends AnyFunSuite {
           assert(a.path === path, s"case $i path: ${a.path}")
           assert(a.key === key && a.seqCol === seqc)
           assert(a.deleteWhen === delWhen, s"case $i del: ${a.deleteWhen}")
+          assert(a.truncateWhen === truncWhen,
+            s"case $i trunc: ${a.truncateWhen}")
           assert(a.scdType === (if (scd2) 2 else 1))
           if (scd2) {
             assert(a.tracked === Seq("v", "w"))
