@@ -153,6 +153,7 @@ object SparkEntry {
     "auto_optimize"      -> ((s, d) => graft.pipeline.Medallion.autoOptimizeOrders(s, d)),
     "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
     "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
+    "stream_apply_changes" -> ((s, d) => graft.pipeline.Medallion.streamApplyChanges(s, d)),
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
@@ -1860,6 +1861,22 @@ object SparkEntry {
     // (+7000, over the in-batch seq-3), %5==3 the batch-2 seq-1
     // image (+77, over the initial seq 0)
     "apply_changes_scd1" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE o_orderkey % 5
+                  WHEN 1 THEN o_totalprice + 1000.0
+                  WHEN 2 THEN o_totalprice + 7000.0
+                  ELSE o_totalprice + 77.0 END AS o_totalprice,
+                CAST(CASE o_orderkey % 5
+                  WHEN 1 THEN 10 WHEN 2 THEN 7 ELSE 1 END AS BIGINT)
+                  AS _seq
+         FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
+         ORDER BY o_orderkey""",
+    // Streaming APPLY CHANGES (Medallion.streamApplyChanges): the SAME
+    // event history as apply_changes_scd1 delivered as a CDC stream
+    // (one feed version per micro-batch) and drained TWICE from fresh
+    // checkpoints — the per-batch idempotency tags must no-op the
+    // replay, so the oracle is the identical arithmetic recompute
+    "stream_apply_changes" ->
       """SELECT o_orderkey, o_custkey,
                 CASE o_orderkey % 5
                   WHEN 1 THEN o_totalprice + 1000.0

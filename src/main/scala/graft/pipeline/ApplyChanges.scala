@@ -104,6 +104,12 @@ object ApplyChanges {
                 deleteWhen: Option[String] = None,
                 tag: Option[String] = None,
                 truncateWhen: Option[String] = None): Long = {
+    // REPLAY fast path: an already-committed tag exits before ANY
+    // work — critically BEFORE a truncate (a replayed truncate batch
+    // must not re-wipe a table whose merge will then tag-no-op) and
+    // before the prune scan
+    tag.flatMap(ManifestTable.committedVersionOfTag(spark, path, _))
+      .foreach(v => return v)
     // ONE target read serves schema check and no-claim prune — same
     // manifest resolve, same snapshot version (a concurrent commit
     // between two reads can no longer split them)
@@ -220,6 +226,10 @@ object ApplyChanges {
                 cdc: DataFrame, tracked: Seq[String], sequenceBy: String,
                 ts: Long, tag: Option[String] = None,
                 deleteWhen: Option[String] = None): Long = {
+    // replay fast path: an already-committed tag skips the prune scan
+    // too (the merge itself would no-op on the tag anyway)
+    tag.flatMap(ManifestTable.committedVersionOfTag(spark, path, _))
+      .foreach(v => return v)
     val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
       .withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
     val dim = ManifestTable.read(spark, path)
@@ -238,5 +248,62 @@ object ApplyChanges {
       }
     Scd2.applyChanges(spark, path, key, pruned, tracked, ts, tag,
       deleteWhen, seqCol = Some(sequenceBy))
+  }
+
+  /** STREAMING APPLY CHANGES — DLT's native habitat for the verb: a
+    * CDC *stream* (any streaming DataFrame — a
+    * [[graft.streaming.TableFeedSource]] subscription, a file/socket
+    * source, a rate-shaped feed) applies to the SCD1 target one
+    * micro-batch at a time through [[applyScd1]]. EXACTLY-ONCE by
+    * construction: each batch commits under the idempotency tag
+    * `<queryTag>-b<batchId>`, so a restart that replays a batch (the
+    * foreachBatch at-least-once contract) exits before any work —
+    * including before a truncate — and the ordering contract degrades
+    * gracefully across replays because the per-key `_seq` high-water
+    * makes every strictly-older event a no-op anyway (belt and
+    * braces: tags make replays free, sequences make them harmless).
+    *
+    * Scale shape: per micro-batch the cost is [[applyScd1]]'s — one
+    * column-pruned (key, `_seq`) scan plus an O(touched-files) merge;
+    * the stream never rereads the dimension's history.
+    */
+  def streamScd1(cdcStream: DataFrame, path: String, key: String,
+                 sequenceBy: String,
+                 deleteWhen: Option[String] = None,
+                 truncateWhen: Option[String] = None,
+                 queryTag: String = "apply-changes",
+                 checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = cdcStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd1(batch.sparkSession, path, key, batch, sequenceBy,
+          deleteWhen, tag = Some(s"$queryTag-b$batchId"),
+          truncateWhen = truncateWhen): Unit
+      }
+    checkpoint.map(w.option("checkpointLocation", _)).getOrElse(w).start()
+  }
+
+  /** Streaming APPLY CHANGES, SCD TYPE 2: like [[streamScd1]] but
+    * each micro-batch maintains validity-ranged history through
+    * [[applyScd2]] at logical time `tsOf(batchId)` (default: the
+    * batch id itself — callers with a real event-time notion pass
+    * their own). Same exactly-once tagging; the persisted per-key
+    * sequence high-water keeps replayed/late batches from opening
+    * stale versions or resurrecting deletes. */
+  def streamScd2(cdcStream: DataFrame, path: String, key: String,
+                 tracked: Seq[String], sequenceBy: String,
+                 deleteWhen: Option[String] = None,
+                 tsOf: Long => Long = identity,
+                 queryTag: String = "apply-changes-scd2",
+                 checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = cdcStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2(batch.sparkSession, path, key, batch, tracked,
+          sequenceBy, ts = tsOf(batchId),
+          tag = Some(s"$queryTag-b$batchId"),
+          deleteWhen = deleteWhen): Unit
+      }
+    checkpoint.map(w.option("checkpointLocation", _)).getOrElse(w).start()
   }
 }

@@ -1414,6 +1414,68 @@ object Medallion {
     }
   }
 
+  /** Declared STREAMING APPLY CHANGES query (round 18 — DLT's verb in
+    * its native habitat): the SAME event history as
+    * [[applyChangesScd1Orders]] lands as a two-commit CDC FEED table,
+    * a [[graft.streaming.TableFeedSource]] subscription replays it
+    * one version per micro-batch (admission control pins the batch
+    * boundaries), and [[ApplyChanges.streamScd1]] maintains the SCD1
+    * dimension — in-batch reduction, cross-batch `_seq` gating, and
+    * delete events all riding the per-batch idempotent MERGE. The
+    * drain then RESTARTS from a fresh checkpoint, re-delivering every
+    * batch: the `<tag>-b<n>` idempotency tags must no-op both
+    * replays, so the oracle (the same arithmetic recompute as the
+    * batch verb's) hash-gates exactly-once end to end.
+    *
+    * Scale shape: per micro-batch the feed reads only the version's
+    * appended files and the apply pays one column-pruned (key, _seq)
+    * scan plus an O(touched-files) merge — a CDC stream tails into a
+    * 100 TB dimension at the cost of its own events.
+    */
+  def streamApplyChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch("graft_ac_stream_", sfDir)
+    val dim = root + "/dim_orders_stream"
+    val feed = root + "/cdc_feed"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ApplyChanges.initializeScd1(orders, dim, 0L,
+      statsCols = Seq("o_orderkey"))
+    val k = col("o_orderkey")
+    def ev(filter: org.apache.spark.sql.Column,
+           price: org.apache.spark.sql.Column, seq: Long, del: Boolean) =
+      orders.filter(filter).select(
+        col("o_orderkey"), col("o_custkey"),
+        price.as("o_totalprice"),
+        lit(seq).as("change_seq"), lit(del).as("is_delete"))
+    val batch1 = ev(k % 5 === 0, col("o_totalprice"), 10L, del = true)
+      .unionByName(ev(k % 5 === 1, col("o_totalprice") - 555.0, -5L, del = false))
+      .unionByName(ev(k % 5 === 1, col("o_totalprice") + 1000.0, 10L, del = false))
+      .unionByName(ev(k % 5 === 2, col("o_totalprice") + 300.0, 3L, del = false))
+      .unionByName(ev(k % 5 === 2, col("o_totalprice") + 7000.0, 7L, del = false))
+      .unionByName(ev(k % 5 === 4, col("o_totalprice") + 400.0, 2L, del = false))
+      .unionByName(ev(k % 5 === 4, col("o_totalprice"), 9L, del = true))
+    val batch2 = ev(k % 5 === 1 || k % 5 === 3,
+      col("o_totalprice") + 77.0, 1L, del = false)
+    ManifestTable.write(batch1, feed)   // feed v1 → micro-batch 0
+    ManifestTable.append(batch2, feed)  // feed v2 → micro-batch 1
+    def drain(ckpt: String): Unit = {
+      val q = ApplyChanges.streamScd1(
+        graft.streaming.TableFeedSource
+          .readStream(spark, feed, maxVersionsPerBatch = Some(1))
+          .drop("_change", "_commit_version"),
+        dim, "o_orderkey", sequenceBy = "change_seq",
+        deleteWhen = Some("is_delete"), queryTag = "ac-stream",
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(root + "/ckpt1")
+    // restart from a FRESH checkpoint: both batches re-deliver and
+    // must no-op on their tags — a double-applied delete-and-reinsert
+    // or doubled update breaks the hash
+    drain(root + "/ckpt2")
+    ManifestTable.read(spark, dim).orderBy(col("o_orderkey"))
+  }
+
   /** Declared VARIANT SHREDDING query (round 17 — the storage half of
     * the verdict's variant-depth item, after `variant_explode` covered
     * the query half): the events JSON payloads parse once into a
