@@ -155,6 +155,7 @@ object SparkEntry {
     "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
     "stream_apply_changes" -> ((s, d) => graft.pipeline.Medallion.streamApplyChanges(s, d)),
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
+    "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1907,6 +1908,20 @@ object SparkEntry {
                      UNION ALL SELECT props, value FROM events))
          WHERE k BETWEEN 10 AND 29
          GROUP BY 1 ORDER BY kb""",
+    // ARRAY shredding (Medallion.variantArrayShred): k and the tags
+    // array are pure event_id arithmetic, so the oracle re-derives
+    // the scalar-filtered explode via unnest(generate_series) —
+    // element values, order, count and the k-filter all hash-gated
+    "variant_array_shred" ->
+      """SELECT CAST((event_id % 97 + i * 7) % 10 AS BIGINT) AS bucket,
+                COUNT(*) AS n,
+                CAST(SUM(event_id % 97 + i * 7) AS BIGINT) AS elem_sum,
+                CAST(MAX(i) AS BIGINT) AS pos_max
+         FROM (SELECT event_id,
+                      unnest(generate_series(0,
+                        CAST(event_id % 4 AS BIGINT))) AS i
+               FROM events WHERE event_id % 5 = 0)
+         GROUP BY 1 ORDER BY bucket""",
     // Relational recompute of the named-format lifecycle
     // (Medallion.formatRoundtrip — write.format("graft") overwrite +
     // replayed tagged append + replaceWhere option, read back via

@@ -1522,6 +1522,58 @@ object Medallion {
       .orderBy(col("kb"))
   }
 
+  /** Declared ARRAY SHREDDING query (round 18 — the last unexplored
+    * corner of the variant surface): an ARRAY-valued path
+    * (`$.tags`) shreds as a real `array<long>` column next to a
+    * scalar path, and BOTH accessors substitute at analysis — the
+    * in-query require proves the analyzed plan carries ZERO
+    * `variant_get` walks, so the explode runs over the typed array
+    * column (Spark's codegen'd generator), never re-walking the
+    * variant encoding per row. Payload synthesized from `event_id`
+    * arithmetic (element i of event e = e%97+7i, e%4+1 elements;
+    * k = e%50), so the DuckDB oracle re-derives the whole
+    * filter+explode via `unnest(generate_series(...))`.
+    *
+    * Scale shape: the shred compute is per-row at write; the read is
+    * a column-pruned typed scan + partition-local explode; the only
+    * shuffle is the final 10-bucket agg. Array shreds carry no
+    * footer stats (min/max over arrays is meaningless) — the scalar
+    * sibling keeps the stats schema. */
+  def variantArrayShred(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("graft_vashred_", sfDir) + "/events_arr"
+    val src = Tables.events(spark, sfDir).select(col("event_id"),
+      expr("parse_json(to_json(named_struct(" +
+        "'k', event_id % 50, " +
+        "'tags', transform(sequence(0, cast(event_id % 4 as int)), " +
+        "i -> event_id % 97 + i * 7))))").as("v"))
+    VariantShred.write(src, path, "v",
+      Seq("$.k" -> "long", "$.tags" -> "array<long>"))
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val t = ManifestTable.read(s, path)
+      val q = t
+        .filter(expr("variant_get(v, '$.k', 'long')") % 5 === 0)
+        .select(col("event_id"),
+          posexplode(expr("variant_get(v, '$.tags', 'array<long>')")))
+        .groupBy(pmod(col("col"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col")).as("elem_sum"),
+          max(col("pos")).cast("long").as("pos_max"))
+        .orderBy(col("bucket"))
+      // the observable contract: BOTH the scalar filter and the array
+      // explode read materialized shreds — zero variant walks survive
+      // analysis
+      val walks = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant
+            .VariantGet => vg
+        })
+      }.flatten
+      require(walks.isEmpty,
+        s"scalar AND array accessors must substitute to shreds: $walks")
+      q
+    }
+  }
+
   /** Declared NAMED-FORMAT query (round 13): the reference's LITERAL
     * I/O surface — `df.write.format(...).mode(...).save(p)` and
     * `spark.read.format(...).load(p)`

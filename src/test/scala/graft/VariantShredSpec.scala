@@ -354,6 +354,53 @@ class VariantShredSpec extends SparkSpec {
       Map("$.k" -> "decimal(10,2)"))
   }
 
+  test("ARRAY shredding: an array path materializes as array<T>, substitutes for the typed accessor, and recomputes on plain appends") {
+    val path = tmp("graft_vs_arr")
+    val arrFixture = spark.range(100).toDF("id")
+      .withColumn("v", expr(
+        "parse_json(to_json(named_struct('k', id % 10, " +
+          "'tags', transform(sequence(0, cast(id % 3 as int)), " +
+          "i -> id + i))))"))
+    VariantShred.write(arrFixture, path, "v",
+      Seq("$.k" -> "long", "$.tags" -> "array<long>"))
+    // the array shred equals the live walk row-for-row
+    val back = ManifestTable.read(spark, path)
+    assert(back.schema("_shred_tags").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    assert(back.filter(!(col("_shred_tags") <=>
+      expr("variant_get(v, '$.tags', 'array<long>')"))).count() === 0L)
+    // array shreds carry NO footer stats (min/max is meaningless);
+    // the scalar sibling keeps the stats schema
+    val stCols = ManifestTable.resolveState(spark, path,
+      ManifestTable.currentVersion(spark, path).get).statsSchemaCols
+    assert(stCols.contains("_shred_k") && !stCols.contains("_shred_tags"),
+      s"stats schema: $stCols")
+    // substitution serves the typed array; explode runs over it
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val q = ManifestTable.read(s, path)
+        .select(explode(
+          expr("variant_get(v, '$.tags', 'array<long>')")).as("e"))
+      val walks = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+        })
+      }.flatten
+      assert(walks.isEmpty, "array accessor must substitute")
+      assert(q.count() === (0 until 100).map(_ % 3 + 1).sum.toLong)
+    }
+    // a plain append recomputes the array shred too
+    ManifestTable.append(spark.range(100, 120).toDF("id")
+      .withColumn("v", expr(
+        "parse_json(to_json(named_struct('k', id % 10, " +
+          "'tags', transform(sequence(0, cast(id % 3 as int)), " +
+          "i -> id + i))))")), path)
+    val grown = ManifestTable.read(spark, path)
+    assert(grown.count() === 120L)
+    assert(grown.filter(!(col("_shred_tags") <=>
+      expr("variant_get(v, '$.tags', 'array<long>')"))).count() === 0L)
+  }
+
   test("pathCol serves the shred when present, falls back to variant_get when not") {
     val path = tmp("graft_vs_c")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
