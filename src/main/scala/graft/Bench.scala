@@ -62,6 +62,17 @@ object Bench {
       }
       if (quiet.isEmpty) None else Some(quiet.min)
     }
+    /** [[minQuiet]] with an OUTLIER guard: suppressed (None) when the
+      * quiet rep exceeds 1.5× the base median — a rep can start under
+      * the load threshold and still be contaminated mid-run (r17's
+      * `ml_train` printed a 19.5 s "quiet" value against a 3.55 s
+      * median because the ONLY eligible attempt was an outlier). A
+      * quiet value that can't beat 1.5× the ordinary median carries
+      * no information the median doesn't; an honest absence (counted
+      * by `no_quiet_n`) beats a misleading number. */
+    def minQuietGuarded(maxLoad: Double): Option[Double] =
+      minQuiet(maxLoad).filter(q =>
+        baseMedian.orElse(median).forall(m => q <= 1.5 * m))
   }
 
   /** Background estimator of THIS JVM's contribution to the system
@@ -355,7 +366,7 @@ object Bench {
       val att = r.attempts.zip(raws).map { case ((l, t), raw) =>
         s"[${fmt(l, 2)},${fmt(raw, 2)},${opt(t)}]"
       }.mkString("[", ",", "]")
-      s"""${jstr(r.name)}:{"median":${opt(r.median)},"base_median":${opt(r.baseMedian)},"min_quiet":${opt(r.minQuiet(quietLoad))},"spread":${fmt(r.spread)},"reps":[${r.times.map(fmt(_)).mkString(",")}],"attempts_format":"[ext_load,raw_load,secs]","attempts":$att}"""
+      s"""${jstr(r.name)}:{"median":${opt(r.median)},"base_median":${opt(r.baseMedian)},"min_quiet":${opt(r.minQuietGuarded(quietLoad))},"min_quiet_raw":${opt(r.minQuiet(quietLoad))},"spread":${fmt(r.spread)},"reps":[${r.times.map(fmt(_)).mkString(",")}],"attempts_format":"[ext_load,raw_load,secs]","attempts":$att}"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
@@ -462,7 +473,7 @@ object Bench {
     // host-load-robust total: per query the fastest QUIET rep, falling
     // back to the median where no rep ran under the threshold
     val totalMinQuiet = runs.flatMap(r =>
-      r.minQuiet(quietLoad).orElse(r.median)).sum
+      r.minQuietGuarded(quietLoad).orElse(r.median)).sum
     val loadEnd = loadAvg1m()
     // Full fidelity to a file, full line for humans, compact line LAST:
     // the driver's artifact keeps only the tail of the run output, so
@@ -491,9 +502,9 @@ object Bench {
       errors.size, calib = calib, totalMinQuiet = totalMinQuiet,
       quietLoad = quietLoad,
       minQuiets = runs.flatMap(r =>
-        r.minQuiet(quietLoad).map(r.name -> _)).toMap,
+        r.minQuietGuarded(quietLoad).map(r.name -> _)).toMap,
       noQuietN = runs.count(r =>
-        r.times.nonEmpty && r.minQuiet(quietLoad).isEmpty)))
+        r.times.nonEmpty && r.minQuietGuarded(quietLoad).isEmpty)))
     System.out.flush()
   }
 }

@@ -185,6 +185,25 @@ class BenchSpec extends SparkSpec {
       === "[ext_load,raw_load,secs]")
   }
 
+  test("minQuietGuarded suppresses loaded-host outliers: a quiet rep past 1.5x base median reads as an honest absence") {
+    // the r17 ml_train artifact: the ONLY quiet-eligible attempt was a
+    // 19.5 s outlier against a 3.55 s median — the guarded statistic
+    // must suppress it (raw keeps it for the detail dump)
+    val outlier = Bench.QueryRun("q",
+      times = Seq(3.4, 3.55, 3.6, 19.49),
+      attempts = Seq((5.0, Some(3.55)), (4.3, Some(3.4)),
+        (5.1, Some(3.6)), (3.75, Some(19.49))),
+      baseReps = 4)
+    assert(outlier.minQuiet(4.0) === Some(19.49))
+    assert(outlier.minQuietGuarded(4.0) === None,
+      "an outlier quiet rep must suppress, not mislead")
+    // a genuine quiet rep under the bound passes through unguarded
+    val sane = outlier.copy(attempts = Seq((5.0, Some(3.55)),
+      (4.3, Some(3.4)), (3.0, Some(3.2)), (3.75, Some(19.49))),
+      times = Seq(3.2, 3.4, 3.55, 19.49))
+    assert(sane.minQuietGuarded(4.0) === Some(3.2))
+  }
+
   test("measureRuns subtracts the self-load estimate for quiet gating and keeps raw loads") {
     val ok: (SparkSession, String) => DataFrame =
       (s, _) => s.range(10).toDF("x")
