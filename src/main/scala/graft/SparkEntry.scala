@@ -156,6 +156,7 @@ object SparkEntry {
     "stream_apply_changes" -> ((s, d) => graft.pipeline.Medallion.streamApplyChanges(s, d)),
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
+    "expectations_gate"  -> ((s, d) => graft.pipeline.Expectations.expectationsGate(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1908,6 +1909,37 @@ object SparkEntry {
                      UNION ALL SELECT props, value FROM events))
          WHERE k BETWEEN 10 AND 29
          GROUP BY 1 ORDER BY kb""",
+    // DLT-style expectations (Expectations.expectationsGate): per-rule
+    // violation/pass counts over orders plus the DROP-gated slice's
+    // count and key checksum — the oracle recomputes every rule
+    // relationally (NULL condition = violation, DLT's reading)
+    "expectations_gate" ->
+      """SELECT * FROM (
+           SELECT 'reasonable_price' AS rule, 'warn' AS action,
+                  CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice <= 400000.0,
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violated,
+                  CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 400000.0,
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS passed
+           FROM orders
+           UNION ALL
+           SELECT 'not_pending', 'drop',
+                  CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus <> 'P',
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN COALESCE(o_orderstatus <> 'P',
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'key_present', 'fail',
+                  CAST(SUM(CASE WHEN o_orderkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT '_gated_', 'kept', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(o_orderkey) AS BIGINT)
+           FROM orders WHERE o_orderstatus <> 'P')
+         ORDER BY rule""",
     // ARRAY shredding (Medallion.variantArrayShred): k and the tags
     // array are pure event_id arithmetic, so the oracle re-derives
     // the scalar-filtered explode via unnest(generate_series) —

@@ -140,10 +140,13 @@ object ManifestTable {
     * ...). */
   val TunableProps: Set[String] = Set(
     OptimizeWriteProp, AutoCompactProp,
-    "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles",
-    // variant shred spec (pipeline/VariantShred) — declarative
-    // metadata, not an engine-managed protocol feature
-    "graft.variant.shredPaths", "graft.variant.shredColumn")
+    "graft.autoOptimize.targetFileSize", "graft.autoCompact.minNumFiles")
+  // NOTE: the variant shred keys (graft.variant.shredPaths /
+  // .shredColumn) were TunableProps in r17 but are VERB-MANAGED since
+  // r18: a bare SET TBLPROPERTIES could record a spec whose generated
+  // shred columns were never declared — a spec plain writes would not
+  // honor, the exact seam the generated-column gate closed. They land
+  // only through VariantShred.write's single data+decls+props commit.
 
   /** Physical column carrying the stable row id on row-tracked tables
     * (hidden from the logical schema; see [[enableRowTracking]]).

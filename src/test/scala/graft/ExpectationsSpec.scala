@@ -1,0 +1,80 @@
+package graft
+
+import graft.pipeline.Expectations
+import graft.pipeline.Expectations._
+import org.apache.spark.sql.functions._
+
+/** DLT-style expectations (round 18): warn keeps + counts, drop
+  * removes + counts, fail kills the job; NULL conditions violate;
+  * observe-path metrics equal the relational twin in one action.
+  */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, 10.0, "ok"), (2L, -5.0, "ok"), (3L, 100.0, "bad"),
+    (4L, Double.NaN, "ok"), (5L, 7.0, null.asInstanceOf[String]))
+    .toDF("id", "price", "status")
+
+  test("warn keeps rows and counts; drop removes rows; NULL condition is a violation") {
+    val rules = Seq(
+      expect("positive_price", "price > 0"),
+      expectOrDrop("status_known", "status IS NOT NULL AND status <> 'bad'"))
+    val (kept, obs) = gate(fixture, rules)
+    val keptIds = kept.select("id").as[Long].collect().sorted.toSeq
+    // drop removes id=3 (bad) and id=5 (NULL status -> violation);
+    // the warn violation (id=2 negative) stays; NaN > 0 is TRUE under
+    // Spark's NaN-is-greatest ordering, so id=4 PASSES the warn rule
+    assert(keptIds === Seq(1L, 2L, 4L))
+    val m = obs.get
+    assert(m("positive_price_violations") === 1L)
+    assert(m("positive_price_passed") === 4L)
+    assert(m("status_known_violations") === 2L)
+    assert(m("rows_observed") === 5L)
+    // the relational twin agrees row-for-row
+    val rel2 = Expectations.metrics(fixture, rules).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(rel2("positive_price") === (("warn", 1L, 4L)))
+    assert(rel2("status_known") === (("drop", 2L, 3L)))
+  }
+
+  test("fail kills the job on the first violating row — nothing is consumable") {
+    val rules = Seq(expectOrFail("id_present", "id IS NOT NULL"))
+    val bad = fixture.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], 1.0, "x"))
+        .toDF("id", "price", "status")
+        .select(col("id").cast("long"), col("price"), col("status")))
+    val (gated, _) = gate(bad, rules)
+    val e = intercept[Exception] { gated.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("id_present")),
+      s"failure must name the expectation: ${msgs(e)}")
+    // a fully-passing fail rule gates through untouched
+    val (ok, _) = gate(fixture, rules)
+    assert(ok.count() === 5L)
+  }
+
+  test("a dropped row still fails a FAIL rule it violates (independent evaluation, DLT's reading)") {
+    val rules = Seq(
+      expectOrDrop("drop_bad", "status <> 'bad'"),
+      expectOrFail("price_small", "price < 50"))
+    // id=3 is 'bad' (would drop) AND price=100 (fails) — the batch
+    // must FAIL, not silently drop the offender
+    val (gated, _) = gate(fixture, rules)
+    val e = intercept[Exception] { gated.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("price_small")))
+  }
+
+  test("duplicate rule names and empty rule sets refuse") {
+    intercept[IllegalArgumentException] {
+      gate(fixture, Seq(expect("a", "true"), expect("a", "false")))
+    }
+    intercept[IllegalArgumentException] { gate(fixture, Nil) }
+  }
+}

@@ -352,6 +352,14 @@ class VariantShredSpec extends SparkSpec {
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "decimal(10,2)"))
     assert(VariantShred.shreddedPaths(spark, path) ===
       Map("$.k" -> "decimal(10,2)"))
+    // the shred keys are VERB-MANAGED: a bare SET TBLPROPERTIES could
+    // record a spec whose generated shreds were never declared — a
+    // spec plain writes would not honor — so it refuses loudly
+    val e4 = intercept[IllegalArgumentException] {
+      ManifestTable.setProperties(spark, path,
+        Map(VariantShred.ShredProp -> "$.z:long"))
+    }
+    assert(e4.getMessage.contains("reserved"))
   }
 
   test("ARRAY shredding: an array path materializes as array<T>, substitutes for the typed accessor, and recomputes on plain appends") {
