@@ -4482,6 +4482,19 @@ object ManifestTable {
         checkReKey(notMatchedBySource
           .collect { case u: MergeUpdate => u }.flatMap(_.set),
           c => Set(s"_b_$c"))
+        // GENERATED columns may not be assigned by any clause (Delta's
+        // rule): they recompute from their declaration over the final
+        // image (genFill below) — a hand-assigned value could silently
+        // disagree with it (for variant shreds, the exact
+        // wrong-answer-shaped seam the generated-column gate closed)
+        (updClauses.flatMap(_.set) ++ notMatched.flatMap(_.values) ++
+          notMatchedBySource.collect { case u: MergeUpdate => u }
+            .flatMap(_.set)).foreach { case (c, _) =>
+          require(!st.generated.contains(c),
+            s"MERGE cannot assign generated column '$c' — it " +
+              s"recomputes from its declaration " +
+              s"(${st.generated.getOrElse(c, "")})")
+        }
         // Per-clause image compilation (delta-spark's `SET c = expr` /
         // `INSERT (cols) VALUES (exprs)` forms): an assigned column
         // takes its expression (source columns bare, matched base row

@@ -280,6 +280,36 @@ class VariantShredSpec extends SparkSpec {
     assert(merged.filter(col("_shred_k") =!= col("id") + 900).count() === 0L)
   }
 
+  test("SOUNDNESS: clause merges (mergeMulti) recompute unassigned shreds — an UPDATE SET on the variant cannot strand a stale shred") {
+    val path = tmp("graft_vs_mm")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    // clause merge assigns the VARIANT but not the shred: the
+    // generated-column fill must recompute _shred_k from the NEW v
+    val src = spark.range(0, 20).toDF("id")
+      .withColumn("nv", expr("""parse_json(concat('{"k":', id + 700, '}'))"""))
+    ManifestTable.mergeMulti(src, path, "id",
+      matched = Seq(ManifestTable.MergeUpdate(None,
+        Seq("v" -> col("nv")))),
+      notMatched = Nil)
+    val merged = ManifestTable.read(spark, path).filter(col("id") < 20)
+    assert(merged.count() === 20L)
+    assert(merged.filter(col("_shred_k") =!= col("id") + 700).count() === 0L)
+    assert(merged.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")))
+      .count() === 0L)
+    // untouched rows keep their original shreds
+    val rest = ManifestTable.read(spark, path).filter(col("id") >= 20)
+    assert(rest.filter(col("_shred_k") =!= col("id") % 50).count() === 0L)
+    // direct SET on the shred column refuses (generated — Delta's
+    // no-assigning-generated-columns merge rule)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMulti(src, path, "id",
+        matched = Seq(ManifestTable.MergeUpdate(None,
+          Seq("_shred_k" -> lit(0L)))), notMatched = Nil)
+    }
+    assert(e.getMessage.contains("generated"))
+  }
+
   test("SOUNDNESS: substitution is WRITER-BOUND — user-minted _shred_ columns and re-derived variants never substitute") {
     val path = tmp("graft_vs_l")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
