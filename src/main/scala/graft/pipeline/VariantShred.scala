@@ -126,6 +126,18 @@ object VariantShred {
     validateSpec(paths)
     require(df.columns.contains(vCol),
       s"batch has no variant column '$vCol'")
+    // already-shredded check FIRST: a re-shred attempt reads the live
+    // snapshot (which legitimately carries `_shred_` columns) — it
+    // must refuse for the right reason, not the raw-batch contract
+    val spark0 = df.sparkSession
+    val props0 =
+      if (ManifestTable.currentVersion(spark0, path).isEmpty)
+        Map.empty[String, String]
+      else ManifestTable.tableProperties(spark0, path)
+    require(!props0.contains(ShredProp),
+      s"table $path already has a shred spec " +
+        s"(${props0.getOrElse(ShredProp, "")}) — shred declarations are " +
+        "immutable once written (create a new table to re-shred)")
     require(!df.columns.exists(_.startsWith("_shred_")),
       "the batch must carry the RAW variant column only — `_shred_` is " +
         "the writer-reserved namespace; shreds compute from the declared " +
@@ -141,11 +153,20 @@ object VariantShred {
     val spec = paths.map { case (p, t) => s"$p:$t" }.mkString(";")
     val gen = paths.map { case (p, t) =>
       shredName(p) -> shredExprSql(vCol, p, t) }.toMap
-    val statDecl = (statsCols ++ paths.collect {
+    // MERGE into any pre-existing properties / stats schema (the
+    // commit's propertiesFull field replaces the whole map — an
+    // overwrite of a live table must not wipe its other properties)
+    val spark = df.sparkSession
+    val prevProps = props0
+    val prevStats = ManifestTable.currentVersion(spark, path)
+      .map(v => ManifestTable.resolveState(spark, path, v).statsSchemaCols)
+      .getOrElse(Nil)
+    val statDecl = (prevStats ++ statsCols ++ paths.collect {
       case (p, t) if statsEligible(t) => shredName(p) }).distinct
     ManifestTable.write(laidOut, path,
       generatedAdds = gen,
-      propertiesFull = Some(Map(ShredProp -> spec, ShredColProp -> vCol)),
+      propertiesFull = Some(prevProps ++
+        Map(ShredProp -> spec, ShredColProp -> vCol)),
       statsSchemaDecl = Some(statDecl))
   }
 

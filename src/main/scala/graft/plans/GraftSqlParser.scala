@@ -186,6 +186,20 @@ object GraftSqlStatements {
   private val mergeHeadRe =
     ("(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+" +
       s"$P(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+(.+)$$").r
+  // ALTER TABLE '<path>' SHRED VARIANT v ON ('$.k' 'long', ...)
+  // [RANGE LAYOUT ON '$.k' [PARTITIONS n]] — declares variant
+  // shredding on an existing table: ONE rewrite commit lands the
+  // recomputed snapshot + generated-column declarations + spec
+  // properties + stats schema (pipeline/VariantShred.write). The SQL
+  // surface for the verb-managed shred keys (a bare SET TBLPROPERTIES
+  // refuses them — see ManifestTable.TunableProps).
+  private val shredRe =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SHRED\\s+VARIANT\\s+(\\w+)" +
+      "\\s+ON\\s*\\((.+?)\\)" +
+      "(?:\\s+RANGE\\s+LAYOUT\\s+ON\\s+'([^']+)'" +
+      "(?:\\s+PARTITIONS\\s+(\\d+))?)?" +
+      "\\s*;?\\s*$").r
+  private val shredPairRe = "'([^']+)'\\s+'([^']+)'".r
   private val renameColRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$".r
   private val dropColRe =
@@ -314,6 +328,19 @@ object GraftSqlStatements {
           .filter(_.nonEmpty)).getOrElse(Nil),
         at.map(_.toLong),
         truncateWhen = truncWhen.map(_.trim)))
+    case shredRe(path, vCol, pairsRaw, rangeOn, parts) =>
+      val pairs = shredPairRe.findAllMatchIn(pairsRaw)
+        .map(m => m.group(1) -> m.group(2)).toSeq
+      // loud refusal on malformed entries: stripping the matched
+      // pairs must leave only separators — a bare-word type or an
+      // unquoted path would silently drop otherwise
+      val residue = shredPairRe.replaceAllIn(pairsRaw, "")
+        .replaceAll("[,\\s]", "")
+      require(pairs.nonEmpty && residue.isEmpty,
+        s"SHRED VARIANT ON expects ('<path>' '<type>', ...) pairs, " +
+          s"got: $pairsRaw")
+      Some(GraftShredCommand(path, vCol, pairs, Option(rangeOn),
+        Option(parts).map(_.toInt)))
     case renameColRe(path, from, to) =>
       Some(GraftAlterCommand(path, "rename", Seq(from, to)))
     case dropColRe(path, name) =>
@@ -1066,6 +1093,32 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
     Seq(Row(ManifestTable.updateWhere(session, tp,
       set.map { case (c, e) =>
         (canon.getOrElse(c.toLowerCase, c), rhs(c, e)) }, expr(cond))))
+  }
+}
+
+/** ALTER TABLE '<path>' SHRED VARIANT v ON ('<path>' '<type>', ...)
+  * — the SQL spelling of [[graft.pipeline.VariantShred.write]]: ONE
+  * rewrite commit lands the current snapshot with materialized shred
+  * columns, their generated-column declarations, the spec
+  * properties, and the stats schema. The rewrite is the honest cost
+  * of retrofitting a layout (same class as OPTIMIZE ZORDER); tables
+  * built shredded from the start pay nothing extra. Already-shredded
+  * tables refuse (declarations are immutable). Returns the committed
+  * version.
+  */
+case class GraftShredCommand(path: String, vCol: String,
+                             paths: Seq[(String, String)],
+                             rangeLayoutOn: Option[String],
+                             rangePartitions: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val tp = GraftSqlCommands.rp(session, path)
+    val snapshot = graft.pipeline.ManifestTable.read(session, tp)
+    Seq(Row(graft.pipeline.VariantShred.write(snapshot, tp, vCol, paths,
+      rangeLayoutOn = rangeLayoutOn,
+      rangePartitions = rangePartitions.getOrElse(8))))
   }
 }
 

@@ -280,6 +280,26 @@ class VariantShredSpec extends SparkSpec {
     assert(merged.filter(col("_shred_k") =!= col("id") + 900).count() === 0L)
   }
 
+  test("SOUNDNESS: COPY INTO a shredded table computes shreds for ingested files (schema alignment leaves them absent, the guard fills them)") {
+    val path = tmp("graft_vs_ci")
+    VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
+    // an external dump: raw variant rows, NO shred columns
+    val dump = java.nio.file.Files.createTempDirectory("graft_vs_dump").toString
+    spark.range(500, 530).toDF("id")
+      .withColumn("v", expr("""parse_json(concat('{"k":', id % 50, '}'))"""))
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    val (_, n) = ManifestTable.copyInto(spark, path, dump)
+    assert(n >= 1)
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 230L)
+    assert(back.filter(
+      !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")))
+      .count() === 0L, "COPY INTO must land computed shreds")
+    // re-run is the file-level no-op it always was
+    val (_, n2) = ManifestTable.copyInto(spark, path, dump)
+    assert(n2 === 0)
+  }
+
   test("SOUNDNESS: clause merges (mergeMulti) recompute unassigned shreds — an UPDATE SET on the variant cannot strand a stale shred") {
     val path = tmp("graft_vs_mm")
     VariantShred.write(fixture, path, "v", Seq("$.k" -> "long"))
@@ -437,6 +457,55 @@ class VariantShredSpec extends SparkSpec {
     assert(grown.count() === 120L)
     assert(grown.filter(!(col("_shred_tags") <=>
       expr("variant_get(v, '$.tags', 'array<long>')"))).count() === 0L)
+  }
+
+  test("SQL verb: ALTER TABLE ... SHRED VARIANT retrofits shredding in one rewrite commit; malformed pairs and re-shredding refuse") {
+    val path = tmp("graft_vs_sql")
+    ManifestTable.write(fixture, path)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      val v = s.sql(s"""ALTER TABLE '$path' SHRED VARIANT v
+                        ON ('$$.k' 'long', '$$.s' 'string')
+                        RANGE LAYOUT ON '$$.k' PARTITIONS 4""").collect()
+      assert(v.head.getLong(0) === 2L, "one rewrite commit on v1")
+      assert(VariantShred.shreddedPaths(s, path) ===
+        Map("$.k" -> "long", "$.s" -> "string"))
+      assert(ManifestTable.generatedColumns(s, path).keySet ===
+        Set("_shred_k", "_shred_s"))
+      val back = ManifestTable.read(s, path)
+      assert(back.filter(
+        !(col("_shred_k") <=> expr("variant_get(v, '$.k', 'long')")))
+        .count() === 0L)
+      // the range layout landed: the k range read prunes files
+      val (touched, total) = VariantShred.pruneCount(s, path, "$.k", 5, 9)
+      assert(touched < total, s"$touched/$total")
+      // substitution fires on the retrofitted table
+      val q = ManifestTable.read(s, path)
+        .filter(expr("variant_get(v, '$.k', 'long')") === 7L)
+      val walks = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => vg
+        })
+      }.flatten
+      assert(walks.isEmpty && q.count() === 4L)
+      // plain append onto the retrofitted table auto-shreds
+      ManifestTable.append(s.range(200, 210).toDF("id")
+        .withColumn("v", expr(
+          """parse_json(concat('{"k":', id % 50, ',"s":"x', id, '"}'))""")),
+        path)
+      assert(ManifestTable.read(s, path).count() === 210L)
+      // re-shredding refuses (declarations immutable)
+      val e1 = intercept[Exception] {
+        s.sql(s"ALTER TABLE '$path' SHRED VARIANT v ON ('$$.z' 'long')")
+          .collect()
+      }
+      assert(e1.getMessage.contains("already has a shred spec"))
+      // malformed pair list refuses loudly
+      val e2 = intercept[Exception] {
+        s.sql(s"ALTER TABLE '$path' SHRED VARIANT v ON ('$$.k' long)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("pairs"))
+    }
   }
 
   test("pathCol serves the shred when present, falls back to variant_get when not") {
