@@ -154,6 +154,7 @@ object SparkEntry {
     "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
     "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
     "stream_apply_changes" -> ((s, d) => graft.pipeline.Medallion.streamApplyChanges(s, d)),
+    "apply_changes_snapshot" -> ((s, d) => graft.pipeline.Medallion.applyChangesSnapshotOrders(s, d)),
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
     "expectations_gate"  -> ((s, d) => graft.pipeline.Expectations.expectationsGate(s, d)),
@@ -1872,6 +1873,25 @@ object SparkEntry {
                   WHEN 1 THEN 10 WHEN 2 THEN 7 ELSE 1 END AS BIGINT)
                   AS _seq
          FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
+         ORDER BY o_orderkey""",
+    // APPLY CHANGES FROM SNAPSHOT (Medallion.applyChangesSnapshotOrders):
+    // the surviving state after one snapshot diff-apply — %7==0 keys
+    // deleted (left the snapshot), %7==1 updated (+100, seq 1), new
+    // +500M keys inserted (seq 1), everything else untouched (seq 0);
+    // the replayed identical snapshot must change nothing
+    "apply_changes_snapshot" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 7 = 1
+                       THEN o_totalprice + 100.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  CAST(CASE WHEN o_orderkey % 7 = 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS _seq
+           FROM orders WHERE o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 500000000, o_custkey, o_totalprice,
+                  CAST(1 AS BIGINT)
+           FROM orders WHERE o_orderkey % 97 = 0)
          ORDER BY o_orderkey""",
     // Streaming APPLY CHANGES (Medallion.streamApplyChanges): the SAME
     // event history as apply_changes_scd1 delivered as a CDC stream

@@ -250,6 +250,89 @@ object ApplyChanges {
       deleteWhen, seqCol = Some(sequenceBy))
   }
 
+  /** The snapshot-vs-target CHANGE SET: full-outer join on the key,
+    * classify — snapshot-only INSERTs, both-sides-with-any-difference
+    * UPDATEs, target-only DELETEs (the snapshot is authoritative for
+    * the whole key population, DLT's FROM SNAPSHOT reading). Keys
+    * equal on every business column emit NOTHING, so the apply's
+    * merge pays only for keys that actually moved. Returns events
+    * shaped for [[applyScd1]]/[[applyScd2]] with `_snap_seq` /
+    * `_snap_del` columns. */
+  private def snapshotEvents(target: DataFrame, snapshot: DataFrame,
+                             key: String, bizCols: Seq[String],
+                             snapshotSeq: Long): DataFrame = {
+    val t = target.select(bizCols.map(c => col(c).as(s"_t_$c")): _*)
+    val s = snapshot.select(bizCols.map(col): _*)
+      .withColumn("_s_present", lit(true))
+    val joined = s.join(t, col(key) === col(s"_t_$key"), "full_outer")
+    val sPresent = col("_s_present").isNotNull
+    val tPresent = col(s"_t_$key").isNotNull
+    val differs = bizCols.filterNot(_ == key)
+      .map(c => !(col(c) <=> col(s"_t_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.filter(
+      (sPresent && !tPresent) ||            // insert
+        (sPresent && tPresent && differs) ||// update
+        (!sPresent && tPresent))            // delete
+      .select(
+        bizCols.map(c =>
+          when(sPresent, col(c)).otherwise(col(s"_t_$c")).as(c)) ++
+          Seq(lit(snapshotSeq).as("_snap_seq"),
+            (!sPresent).as("_snap_del")): _*)
+  }
+
+  /** APPLY CHANGES FROM SNAPSHOT, SCD TYPE 1 (DLT's snapshot-CDC
+    * verb — `apply_changes_from_snapshot` / the auto-CDC snapshot
+    * flow): the source is a periodic FULL snapshot, not an event
+    * feed — the change set derives by diffing it against the
+    * target's current state, then applies through the ordinary
+    * [[applyScd1]] machinery at sequence `snapshotSeq` (callers pass
+    * snapshot versions in increasing order — DLT's contract; a
+    * REPLAYED snapshot derives an EMPTY change set against the
+    * already-applied state, so re-runs are idempotent by
+    * construction AND gated by the `_seq` high-water).
+    *
+    * Scale shape: the diff is one full-outer join of snapshot vs a
+    * column-pruned target scan — O(snapshot ∪ target), inherent to
+    * snapshot diffing — but only CHANGED keys reach the merge, so
+    * the write side stays O(touched files). */
+  def applyScd1FromSnapshot(spark: SparkSession, path: String,
+                            key: String, snapshot: DataFrame,
+                            snapshotSeq: Long,
+                            tag: Option[String] = None): Long = {
+    val dim = ManifestTable.read(spark, path)
+    val bizCols = dim.schema.fieldNames.filterNot(_ == SeqCol).toSeq
+    require(bizCols.forall(snapshot.columns.contains),
+      s"snapshot must carry the business columns ${bizCols.mkString(",")}")
+    val events = snapshotEvents(dim, snapshot, key, bizCols, snapshotSeq)
+    applyScd1(spark, path, key, events, sequenceBy = "_snap_seq",
+      deleteWhen = Some("_snap_del"), tag = tag)
+  }
+
+  /** APPLY CHANGES FROM SNAPSHOT, SCD TYPE 2: the same derived
+    * change set maintains validity-ranged history at logical time
+    * `ts` — a key that left the snapshot closes its open row
+    * (history retained), a changed key closes+reopens, a new key
+    * opens; sequence high-water rides `snapshotSeq` as in the event
+    * form. */
+  def applyScd2FromSnapshot(spark: SparkSession, path: String,
+                            key: String, snapshot: DataFrame,
+                            tracked: Seq[String], snapshotSeq: Long,
+                            ts: Long, tag: Option[String] = None): Long = {
+    val dim = ManifestTable.read(spark, path)
+    val bizCols = dim.schema.fieldNames.filterNot(n =>
+      n == SeqCol || n == Scd2.ValidFrom || n == Scd2.ValidTo).toSeq
+    require(bizCols.forall(snapshot.columns.contains),
+      s"snapshot must carry the business columns ${bizCols.mkString(",")}")
+    // diff against the OPEN slice only — closed history is not part
+    // of the key population a snapshot asserts
+    val open = dim.filter(col(Scd2.ValidTo).isNull)
+    val events = snapshotEvents(open, snapshot, key, bizCols, snapshotSeq)
+    applyScd2(spark, path, key, events, tracked,
+      sequenceBy = "_snap_seq", ts = ts, tag = tag,
+      deleteWhen = Some("_snap_del"))
+  }
+
   /** STREAMING APPLY CHANGES — DLT's native habitat for the verb: a
     * CDC *stream* (any streaming DataFrame — a
     * [[graft.streaming.TableFeedSource]] subscription, a file/socket

@@ -1414,6 +1414,40 @@ object Medallion {
     }
   }
 
+  /** Declared APPLY CHANGES FROM SNAPSHOT query (round 18 — DLT's
+    * snapshot-CDC verb, the event verb's sibling): no event feed
+    * exists — a periodic FULL snapshot diffs against the target's
+    * current state (full-outer join, changed keys only reach the
+    * merge) and applies as inserts (+500M-keyed rows), updates
+    * (%7==1 gets +100), and deletes (%7==0 left the snapshot).
+    * The SAME snapshot then re-applies at the same sequence: the
+    * diff against the already-applied state is EMPTY, so the replay
+    * is a no-op by construction — hash-gated by the oracle. */
+  def applyChangesSnapshotOrders(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val path = scratch("graft_acs_", sfDir) + "/dim_orders_snap"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ApplyChanges.initializeScd1(orders, path, 0L,
+      statsCols = Seq("o_orderkey"))
+    val k = col("o_orderkey")
+    val snap = orders.filter(k % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(k % 7 === 1, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(k % 97 === 0).select(
+        (k + lit(500000000L)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+    ApplyChanges.applyScd1FromSnapshot(spark, path, "o_orderkey",
+      snap, snapshotSeq = 1L)
+    // replay: identical snapshot, identical sequence — empty change
+    // set, state byte-identical (a re-derived delete or re-insert
+    // would break the hash)
+    ApplyChanges.applyScd1FromSnapshot(spark, path, "o_orderkey",
+      snap, snapshotSeq = 1L)
+    ManifestTable.read(spark, path).orderBy(col("o_orderkey"))
+  }
+
   /** Declared STREAMING APPLY CHANGES query (round 18 — DLT's verb in
     * its native habitat): the SAME event history as
     * [[applyChangesScd1Orders]] lands as a two-commit CDC FEED table,

@@ -382,6 +382,52 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("FROM SNAPSHOT, SCD1: diff-derived inserts/updates/deletes apply; unchanged keys emit nothing; replay and stale snapshots no-op") {
+    val path = tmp("graft_acfs1")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), path, 0L)
+    // snapshot 1: id=1 changed, id=2 unchanged, id=3 GONE, id=9 new
+    val snap1 = Seq((1L, "a2"), (2L, "b"), (9L, "i")).toDF("id", "attr")
+    ApplyChanges.applyScd1FromSnapshot(spark, path, "id", snap1, 1L)
+    assert(state(path) === Seq((1L, "a2", 1L), (2L, "b", 0L), (9L, "i", 1L)))
+    // replaying the SAME snapshot derives an EMPTY change set
+    ApplyChanges.applyScd1FromSnapshot(spark, path, "id", snap1, 1L)
+    assert(state(path) === Seq((1L, "a2", 1L), (2L, "b", 0L), (9L, "i", 1L)))
+    // a STALE snapshot (an older version arriving late) is gated by
+    // the sequence high-water for keys it would move backward
+    ApplyChanges.applyScd1FromSnapshot(spark, path, "id",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), 0L)
+    assert(state(path).filter(_._1 == 1L) === Seq((1L, "a2", 1L)),
+      "a late stale snapshot must not roll a key backward")
+  }
+
+  test("FROM SNAPSHOT, SCD2: departures close open rows with history; changes close+reopen; diff runs against the OPEN slice only") {
+    val path = tmp("graft_acfs2")
+    ApplyChanges.initializeScd2(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, ts = 0L, seq0 = 0L)
+    // snapshot 1 at ts=1: id=1 changes, id=2 leaves, id=5 arrives
+    ApplyChanges.applyScd2FromSnapshot(spark, path, "id",
+      Seq((1L, "a2"), (5L, "e")).toDF("id", "attr"),
+      tracked = Seq("attr"), snapshotSeq = 1L, ts = 1L)
+    def hist() = ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("_valid_from"), col("_valid_to"))
+      .as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(hist() === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, Some(1L)),
+      (5L, "e", 1L, None)))
+    // snapshot 2 at ts=2: identical population — closed history must
+    // NOT re-enter the diff (id=2's closed row is not "present")
+    ApplyChanges.applyScd2FromSnapshot(spark, path, "id",
+      Seq((1L, "a2"), (5L, "e")).toDF("id", "attr"),
+      tracked = Seq("attr"), snapshotSeq = 2L, ts = 2L)
+    assert(hist() === Seq(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, Some(1L)),
+      (5L, "e", 1L, None)), "an identical snapshot must change nothing")
+  }
+
   test("SCD2 delegation: the reduction feeds Scd2.applyChanges — out-of-order events open ONE version") {
     val path = tmp("graft_ac_d")
     Scd2.initialize(Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
