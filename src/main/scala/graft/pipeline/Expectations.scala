@@ -63,35 +63,59 @@ object Expectations {
     * second scan. FAIL rules arm a per-row `assert_true` (the first
     * violating row kills the job, nothing lands); WARN/DROP counts
     * observe BEFORE drop filtering, so dropped rows are counted. */
-  def gate(df: DataFrame, rules: Seq[Expectation],
-           observationName: String = "expectations")
-      : (DataFrame, Observation) = {
+  private def validated(rules: Seq[Expectation]): Unit = {
     require(rules.nonEmpty, "expectations gate needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "expectation names must be distinct")
-    // FAIL rules first: a batch that fails must fail even for rows a
-    // DROP rule would have removed? No — DLT evaluates each row
-    // against all expectations independently; a dropped row still
-    // fails a FAIL rule it violates. Arming fail before drop keeps
-    // that reading.
-    val failGuarded = rules.filter(_.action == Fail).foldLeft(df) {
-      (d, r) =>
-        d.filter(assert_true(r.passCol,
-          concat(lit(s"EXPECT '${r.name}' (${r.condSql}) ON VIOLATION " +
-            "FAIL UPDATE violated by row: "),
-            to_json(struct(df.columns.map(col).toSeq: _*)))).isNull)
+  }
+
+  private def failGuard(df: DataFrame,
+                        rules: Seq[Expectation]): DataFrame =
+    rules.filter(_.action == Fail).foldLeft(df) { (d, r) =>
+      d.filter(assert_true(r.passCol,
+        concat(lit(s"EXPECT '${r.name}' (${r.condSql}) ON VIOLATION " +
+          "FAIL UPDATE violated by row: "),
+          to_json(struct(df.columns.map(col).toSeq: _*)))).isNull)
     }
-    val obs = new Observation(observationName)
-    val metricCols = rules.flatMap { r =>
+
+  private def metricCols(rules: Seq[Expectation]): Seq[Column] =
+    rules.flatMap { r =>
       Seq(sum(when(!r.passCol, 1L).otherwise(0L))
             .as(s"${r.name}_violations"),
         sum(when(r.passCol, 1L).otherwise(0L)).as(s"${r.name}_passed"))
     } :+ count(lit(1)).as("rows_observed")
-    val observed = failGuarded.observe(obs, metricCols.head,
-      metricCols.tail: _*)
-    val kept = rules.filter(_.action == Drop)
-      .foldLeft(observed)((d, r) => d.filter(r.passCol))
-    (kept, obs)
+
+  private def dropFilter(df: DataFrame,
+                         rules: Seq[Expectation]): DataFrame =
+    rules.filter(_.action == Drop).foldLeft(df)((d, r) => d.filter(r.passCol))
+
+  def gate(df: DataFrame, rules: Seq[Expectation],
+           observationName: String = "expectations")
+      : (DataFrame, Observation) = {
+    validated(rules)
+    // FAIL rules first: DLT evaluates each row against all
+    // expectations independently — a dropped row still fails a FAIL
+    // rule it violates. Arming fail before drop keeps that reading.
+    val failGuarded = failGuard(df, rules)
+    val obs = new Observation(observationName)
+    val mc = metricCols(rules)
+    val observed = failGuarded.observe(obs, mc.head, mc.tail: _*)
+    (dropFilter(observed, rules), obs)
+  }
+
+  /** Streaming twin of [[gate]]: `Observation` is batch-only in
+    * Spark, so the streaming spelling attaches the SAME metric
+    * columns via the string-named `observe` — per-micro-batch values
+    * surface through each `StreamingQueryProgress.observedMetrics
+    * (name)`, exactly DLT's per-flow expectation metrics. FAIL and
+    * DROP rules behave identically to the batch gate. */
+  def gateStream(df: DataFrame, rules: Seq[Expectation],
+                 observationName: String = "expectations"): DataFrame = {
+    validated(rules)
+    val mc = metricCols(rules)
+    dropFilter(
+      failGuard(df, rules).observe(observationName, mc.head, mc.tail: _*),
+      rules)
   }
 
   /** Relational metrics twin: per rule one row

@@ -71,6 +71,42 @@ class ExpectationsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("price_small")))
   }
 
+  test("streaming: the gate composes per micro-batch — drop filters each batch, metrics surface through observedMetrics") {
+    val root = java.nio.file.Files.createTempDirectory("graft_exp_s").toString
+    val src = s"$root/src"
+    Seq((1L, 5.0, "ok"), (2L, -1.0, "ok")).toDF("id", "price", "status")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((3L, 2.0, "bad"), (4L, 9.0, "ok")).toDF("id", "price", "status")
+      .coalesce(1).write.mode("append").parquet(src)
+    val rules = Seq(
+      expect("positive_price", "price > 0"),
+      expectOrDrop("status_ok", "status <> 'bad'"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val gated = Expectations.gateStream(stream, rules)
+    val keptTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = gated.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        keptTotal.addAndGet(b.count()): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the 'bad' row dropped per-batch; warn rows kept
+    assert(keptTotal.get() === 3L)
+    val progress = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("expectations")))
+    val viol = progress.map(r => r.getAs[Long]("positive_price_violations")).sum
+    val dropped = progress.map(r => r.getAs[Long]("status_ok_violations")).sum
+    assert(viol === 1L, s"one negative price across batches, got $viol")
+    assert(dropped === 1L, s"one 'bad' row across batches, got $dropped")
+  }
+
   test("duplicate rule names and empty rule sets refuse") {
     intercept[IllegalArgumentException] {
       gate(fixture, Seq(expect("a", "true"), expect("a", "false")))
