@@ -103,7 +103,8 @@ object ApplyChanges {
                 cdc: DataFrame, sequenceBy: String,
                 deleteWhen: Option[String] = None,
                 tag: Option[String] = None,
-                truncateWhen: Option[String] = None): Long = {
+                truncateWhen: Option[String] = None,
+                schemaEvolution: Boolean = false): Long = {
     // REPLAY fast path: an already-committed tag exits before ANY
     // work — critically BEFORE a truncate (a replayed truncate batch
     // must not re-wipe a table whose merge will then tag-no-op) and
@@ -114,10 +115,21 @@ object ApplyChanges {
     // manifest resolve, same snapshot version (a concurrent commit
     // between two reads can no longer split them)
     val dim = ManifestTable.read(spark, path)
-    val bizCols = dim.schema.fieldNames.filterNot(_ == SeqCol)
-    require(bizCols.forall(cdc.columns.contains),
+    val bizCols0 = dim.schema.fieldNames.filterNot(_ == SeqCol)
+    require(bizCols0.forall(cdc.columns.contains),
       s"APPLY CHANGES batch must carry the business columns " +
-        bizCols.mkString(","))
+        bizCols0.mkString(","))
+    // SCHEMA EVOLUTION (DLT's automatic CDC evolution, opt-in here
+    // like MERGE's WITH SCHEMA EVOLUTION): business columns the feed
+    // gained evolve the target through the merge commit; existing
+    // rows read them as NULL through schema-on-read. Control columns
+    // (sequence/delete/truncate flags) never become business columns.
+    val reserved = Set(sequenceBy) ++ deleteWhen ++ truncateWhen
+    val bizCols =
+      if (!schemaEvolution) bizCols0
+      else bizCols0 ++ cdc.columns.filterNot(c =>
+        bizCols0.contains(c) || reserved.contains(c) ||
+          c.startsWith("_ac_"))
     // APPLY AS TRUNCATE WHEN: the truncate high-water is the largest
     // truncate-flagged sequence in the batch (one bounded agg); the
     // target truncates wholesale, truncate events are consumed, and
@@ -193,6 +205,7 @@ object ApplyChanges {
         (key -> col(key)) +:
           bizCols.filterNot(_ == key).map(c => c -> col(c)).toSeq :+
           (SeqCol -> col(SeqCol)))),
+      schemaEvolution = schemaEvolution && bizCols.size > bizCols0.size,
       tag = tag)
   }
 

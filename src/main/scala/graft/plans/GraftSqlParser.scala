@@ -166,7 +166,7 @@ object GraftSqlStatements {
   // part is lazy up to the mandatory KEYS; the DELETE/TRUNCATE WHEN
   // expressions are lazy up to the next optional clause head or end.
   private val applyChangesRe =
-    ("(?is)^\\s*APPLY\\s+CHANGES\\s+INTO\\s+" + P +
+    ("(?is)^\\s*APPLY\\s+CHANGES\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+" + P +
       "\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\((\\w+)\\)" +
       "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
       "(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+" +
@@ -319,15 +319,16 @@ object GraftSqlStatements {
       val (source, on, clauses) = splitMergeTail(tail)
       Some(parseMerge(path, Option(alias), source, on,
         clauses, schemaEvolution = evo != null))
-    case ApplyChangesStmt(path, source, key, seqCol, delWhen, truncWhen,
-        scdType, tracked, at) =>
+    case ApplyChangesStmt(evolve, path, source, key, seqCol, delWhen,
+        truncWhen, scdType, tracked, at) =>
       Some(GraftApplyChangesCommand(path, source.trim, key, seqCol,
         delWhen.map(_.trim),
         scdType.map(_.toInt).getOrElse(1),
         tracked.map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil),
         at.map(_.toLong),
-        truncateWhen = truncWhen.map(_.trim)))
+        truncateWhen = truncWhen.map(_.trim),
+        schemaEvolution = evolve))
     case shredRe(path, vCol, pairsRaw, rangeOn, parts) =>
       val pairs = shredPairRe.findAllMatchIn(pairsRaw)
         .map(m => m.group(1) -> m.group(2)).toSeq
@@ -531,15 +532,15 @@ object GraftSqlStatements {
     * words inside a string literal — `DELETE WHEN op = 'STORED AS'` —
     * are data, not boundaries), groups sliced from the ORIGINAL. */
   private object ApplyChangesStmt {
-    def unapply(sql: String): Option[(String, String, String, String,
-        Option[String], Option[String], Option[String], Option[String],
-        Option[String])] = {
+    def unapply(sql: String): Option[(Boolean, String, String, String,
+        String, Option[String], Option[String], Option[String],
+        Option[String], Option[String])] = {
       val masked = maskLiterals(sql)
       applyChangesRe.findFirstMatchIn(masked).map { m =>
         def orig(g: Int): Option[String] =
           Option(m.group(g)).map(_ => sql.substring(m.start(g), m.end(g)))
-        (orig(1).get, orig(2).get, orig(3).get, orig(4).get,
-          orig(5), orig(6), orig(7), orig(8), orig(9))
+        (m.group(1) != null, orig(2).get, orig(3).get, orig(4).get,
+          orig(5).get, orig(6), orig(7), orig(8), orig(9), orig(10))
       }
     }
   }
@@ -1139,7 +1140,8 @@ case class GraftApplyChangesCommand(path: String, source: String,
                                     deleteWhen: Option[String],
                                     scdType: Int, tracked: Seq[String],
                                     at: Option[Long],
-                                    truncateWhen: Option[String] = None)
+                                    truncateWhen: Option[String] = None,
+                                    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -1148,6 +1150,9 @@ case class GraftApplyChangesCommand(path: String, source: String,
     require(truncateWhen.isEmpty || scdType == 1,
       "APPLY AS TRUNCATE WHEN is supported for SCD TYPE 1 only " +
         "(DLT's rule — SCD TYPE 2 retains history)")
+    require(!schemaEvolution || scdType == 1,
+      "WITH SCHEMA EVOLUTION is supported for SCD TYPE 1 only — the " +
+        "SCD TYPE 2 tracked-column set is declared, not inferred")
     val sub = "(?is)^\\((.+)\\)\\s*$".r
     val src = source match {
       case sub(q) => session.sql(q.trim)
@@ -1171,7 +1176,7 @@ case class GraftApplyChangesCommand(path: String, source: String,
         }
         graft.pipeline.ApplyChanges.applyScd1(session, tp, key, df2,
           sequenceBy = seqCol, deleteWhen = delCol,
-          truncateWhen = truncCol)
+          truncateWhen = truncCol, schemaEvolution = schemaEvolution)
       case 2 =>
         require(tracked.nonEmpty,
           "SCD TYPE 2 needs TRACK HISTORY ON (col, ...) — the tracked " +

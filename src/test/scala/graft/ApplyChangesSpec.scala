@@ -382,6 +382,55 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("SCHEMA EVOLUTION: a CDC feed that gained a column evolves the SCD1 target; control columns never become business columns") {
+    val path = tmp("graft_acse")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
+    // the feed gains 'city': without evolution the extra column is
+    // ignored (target schema unchanged)
+    val withCity = Seq((1L, "a1", 1L, false, "nyc"))
+      .toDF("id", "attr", "seq", "del", "city")
+    ApplyChanges.applyScd1(spark, path, "id", withCity,
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    assert(!ManifestTable.read(spark, path).columns.contains("city"))
+    // with evolution the column lands; untouched rows read NULL
+    ApplyChanges.applyScd1(spark, path, "id",
+      Seq((1L, "a2", 2L, false, "sf"), (9L, "i", 2L, false, "la"))
+        .toDF("id", "attr", "seq", "del", "city"),
+      sequenceBy = "seq", deleteWhen = Some("del"),
+      schemaEvolution = true)
+    val got = ManifestTable.read(spark, path)
+      .select(col("id"), col("attr"), col("city"))
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a2", Some("sf")), (2L, "b", None),
+      (9L, "i", Some("la"))))
+    // the sequence/delete control columns never evolved in
+    assert(!ManifestTable.read(spark, path).columns.contains("seq"))
+    assert(!ManifestTable.read(spark, path).columns.contains("del"))
+    // SQL spelling + the TYPE 2 refusal
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.createDataFrame(Seq((2L, "b9", 9L, false, "chi", 7.5)))
+        .toDF("id", "attr", "seq", "del", "city", "score")
+        .createOrReplaceTempView("ac_se_src")
+      s.sql(s"""APPLY CHANGES WITH SCHEMA EVOLUTION INTO '$path'
+                FROM ac_se_src KEYS (id) SEQUENCE BY seq
+                APPLY AS DELETE WHEN del
+                STORED AS SCD TYPE 1""").collect()
+      val r2 = ManifestTable.read(s, path).filter(col("id") === 2L)
+        .select(col("attr"), col("city"), col("score"))
+        .head()
+      assert(r2.getString(0) === "b9" && r2.getString(1) === "chi" &&
+        r2.getDouble(2) === 7.5)
+      val e = intercept[Exception] {
+        s.sql(s"""APPLY CHANGES WITH SCHEMA EVOLUTION INTO '$path'
+                  FROM ac_se_src KEYS (id) SEQUENCE BY seq
+                  STORED AS SCD TYPE 2 TRACK HISTORY ON (attr) AT 1""")
+          .collect()
+      }
+      assert(e.getMessage.contains("SCD TYPE 1 only"))
+    }
+  }
+
   test("FROM SNAPSHOT, SCD1: diff-derived inserts/updates/deletes apply; unchanged keys emit nothing; replay and stale snapshots no-op") {
     val path = tmp("graft_acfs1")
     ApplyChanges.initializeScd1(
