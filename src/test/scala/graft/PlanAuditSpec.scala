@@ -502,6 +502,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("expectations gate: observe + fail-arm + drop fuse into ONE scan of the input") {
+    import graft.pipeline.Expectations
+    import graft.pipeline.Expectations._
+    val (kept, _) = Expectations.gate(Tables.orders(spark, sfTiny), Seq(
+      expect("warn_price", "o_totalprice <= 400000.0"),
+      expectOrDrop("drop_pending", "o_orderstatus <> 'P'"),
+      expectOrFail("key_present", "o_orderkey IS NOT NULL")))
+    val p = kept.queryExecution.explainString(FormattedMode)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the gate must not add scans — got $scans:\n${p.take(1500)}")
+    assert(p.contains("CollectMetrics"),
+      "observe metrics must ride the gated plan itself")
+  }
+
+  test("variant_array_shred: substitution + pruning drop the VARIANT column from the scan entirely") {
+    // the 100 TB property in one line: both accessors read shreds, so
+    // ColumnPruning removes the (expensive, unprunable) variant blob
+    // from the parquet read schema
+    val p = planOf("variant_array_shred")
+    assert(p.contains("_shred_tags") && p.contains("_shred_k"),
+      s"scan must read the shreds:\n${p.take(1500)}")
+    assert(!p.contains("v:variant"),
+      "the variant column must be pruned from the read schema " +
+        "(no accessor needs it after substitution)")
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
