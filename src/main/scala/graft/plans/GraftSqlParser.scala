@@ -194,8 +194,11 @@ object GraftSqlStatements {
   // surface for the verb-managed shred keys (a bare SET TBLPROPERTIES
   // refuses them — see ManifestTable.TunableProps).
   private val shredRe =
+    // the pairs group is GREEDY: a quoted type may itself contain
+    // parens (decimal(10,2)) — the closing paren that ends the list
+    // is the LAST one before the optional RANGE clause / end
     (s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+SHRED\\s+VARIANT\\s+(\\w+)" +
-      "\\s+ON\\s*\\((.+?)\\)" +
+      "\\s+ON\\s*\\((.+)\\)" +
       "(?:\\s+RANGE\\s+LAYOUT\\s+ON\\s+'([^']+)'" +
       "(?:\\s+PARTITIONS\\s+(\\d+))?)?" +
       "\\s*;?\\s*$").r

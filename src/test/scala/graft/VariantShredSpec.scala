@@ -505,6 +505,13 @@ class VariantShredSpec extends SparkSpec {
           .collect()
       }
       assert(e2.getMessage.contains("pairs"))
+      // paren-bearing quoted types parse (the pairs group is greedy)
+      val p2 = tmp("graft_vs_sql2")
+      ManifestTable.write(fixture, p2)
+      s.sql(s"""ALTER TABLE '$p2' SHRED VARIANT v
+                ON ('$$.k' 'decimal(10,2)')""").collect()
+      assert(VariantShred.shreddedPaths(s, p2) ===
+        Map("$.k" -> "decimal(10,2)"))
     }
   }
 
