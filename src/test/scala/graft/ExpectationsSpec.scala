@@ -107,6 +107,22 @@ class ExpectationsSpec extends SparkSpec {
     assert(dropped === 1L, s"one 'bad' row across batches, got $dropped")
   }
 
+  test("the gate composes with a table write: ONE write action lands the gated rows AND materializes the metrics") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_exp_w").toString + "/t"
+    val rules = Seq(
+      expect("positive_price", "price > 0"),
+      expectOrDrop("status_known",
+        "status IS NOT NULL AND status <> 'bad'"))
+    val (kept, obs) = gate(fixture, rules)
+    graft.pipeline.ManifestTable.write(kept, path)
+    // the write job WAS the action — the metrics are already there
+    val m = obs.get
+    assert(m("status_known_violations") === 2L)
+    assert(m("rows_observed") === 5L)
+    assert(graft.pipeline.ManifestTable.read(spark, path).count() === 3L)
+  }
+
   test("duplicate rule names and empty rule sets refuse") {
     intercept[IllegalArgumentException] {
       gate(fixture, Seq(expect("a", "true"), expect("a", "false")))
