@@ -96,7 +96,21 @@ object ApplyChanges {
     * STRICTLY NEWER than that sequence apply on the emptied table
     * (truncate events themselves are consumed, never applied as
     * rows). Re-running the batch reproduces the same state —
-    * truncate-then-reapply is idempotent by value.
+    * truncate-then-reapply is idempotent by value. A firing truncate
+    * commits as ONE atomic selective overwrite (truncate + surviving
+    * events together): no reader ever observes an empty intermediate
+    * version and no crash window separates the wipe from the reapply.
+    *
+    * GENERATED columns of the target are never business columns: the
+    * batch must not carry them (the engine recomputes them from their
+    * declarations inside the commit, MERGE refuses assigning them) —
+    * APPLY CHANGES into a shredded-variant or otherwise generated
+    * table composes transparently.
+    *
+    * `target`, when supplied, is the ALREADY-READ target frame (the
+    * snapshot verb threads its diff read here, so ONE manifest
+    * resolve serves diff + schema + prune — a concurrent commit
+    * cannot split them).
     *
     * Returns the committed version. */
   def applyScd1(spark: SparkSession, path: String, key: String,
@@ -104,7 +118,8 @@ object ApplyChanges {
                 deleteWhen: Option[String] = None,
                 tag: Option[String] = None,
                 truncateWhen: Option[String] = None,
-                schemaEvolution: Boolean = false): Long = {
+                schemaEvolution: Boolean = false,
+                target: Option[DataFrame] = None): Long = {
     // REPLAY fast path: an already-committed tag exits before ANY
     // work — critically BEFORE a truncate (a replayed truncate batch
     // must not re-wipe a table whose merge will then tag-no-op) and
@@ -114,8 +129,13 @@ object ApplyChanges {
     // ONE target read serves schema check and no-claim prune — same
     // manifest resolve, same snapshot version (a concurrent commit
     // between two reads can no longer split them)
-    val dim = ManifestTable.read(spark, path)
-    val bizCols0 = dim.schema.fieldNames.filterNot(_ == SeqCol)
+    val dim = target.getOrElse(ManifestTable.read(spark, path))
+    // generated columns recompute inside the commit from their
+    // declarations — they are not business columns and a batch
+    // carrying one would trip MERGE's no-assigning-generated rule
+    val genCols = ManifestTable.generatedColumns(spark, path).keySet
+    val bizCols0 = dim.schema.fieldNames
+      .filterNot(c => c == SeqCol || genCols.contains(c))
     require(bizCols0.forall(cdc.columns.contains),
       s"APPLY CHANGES batch must carry the business columns " +
         bizCols0.mkString(","))
@@ -129,34 +149,61 @@ object ApplyChanges {
       if (!schemaEvolution) bizCols0
       else bizCols0 ++ cdc.columns.filterNot(c =>
         bizCols0.contains(c) || reserved.contains(c) ||
-          c.startsWith("_ac_"))
-    // APPLY AS TRUNCATE WHEN: the truncate high-water is the largest
-    // truncate-flagged sequence in the batch (one bounded agg); the
-    // target truncates wholesale, truncate events are consumed, and
-    // only strictly-newer events survive into the ordinary apply
-    val events = truncateWhen match {
-      case None => cdc
-      case Some(tw) =>
-        val isTrunc = coalesce(col(tw), lit(false))
-        val r = cdc.agg(max(when(isTrunc,
-          col(sequenceBy).cast("long"))).as("m")).head()
-        if (r.isNullAt(0)) cdc.filter(!isTrunc)
-        else {
-          val truncSeq = r.getLong(0)
-          ManifestTable.deleteWhere(spark, path, lit(true))
-          cdc.filter(!isTrunc &&
-            col(sequenceBy).cast("long") > truncSeq)
-        }
-    }
-    // the SEQUENCE rides a NULL guard BEFORE the prune: a NULL
-    // sequence neither orders (the reduction window can't place it)
-    // nor gates (every `>` against it reads NULL, silently dropping
-    // the key's events forever if it ever persisted) — fail the batch
-    // loudly instead
-    val latest = latestPerKey(events, key, sequenceBy, deleteWhen)
-      .withColumn(sequenceBy, guardedSeq(events, sequenceBy))
+          genCols.contains(c) || c.startsWith("_ac_"))
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    // a null-keyed event can never match (SQL join semantics), so
+    // every replay would RE-INSERT it — silent, unbounded
+    // duplication; the guard fails the batch loudly at execution
+    val guardedKey: Column =
+      when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
+        s"APPLY CHANGES batch carries a NULL '$key' — a null key " +
+          "can never match and would re-insert on every replay")))
+    // the SEQUENCE rides its NULL guard UP FRONT — before the
+    // truncate filter and before the per-key reduction: a NULL
+    // sequence neither orders (the reduction window can't place it —
+    // a desc sort parks it LAST, silently discarding the event
+    // whenever the key has any non-NULL sibling) nor gates (every `>`
+    // against it reads NULL, silently dropping the event) — EVERY
+    // NULL sequence fails the batch loudly instead
+    val guarded = cdc.withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
+    // APPLY AS TRUNCATE WHEN: the truncate high-water is the largest
+    // truncate-flagged sequence in the batch (one bounded agg). A
+    // firing truncate compiles truncate + surviving-events-reapply
+    // into ONE atomic selective-overwrite commit — the emptied table
+    // is never a committed version, so concurrent readers can't
+    // observe it and a crash leaves the previous state intact.
+    val events = truncateWhen match {
+      case None => guarded
+      case Some(tw) =>
+        val isTrunc = coalesce(col(tw), lit(false))
+        val r = guarded.agg(max(when(isTrunc,
+          col(sequenceBy).cast("long"))).as("m")).head()
+        if (r.isNullAt(0)) guarded.filter(!isTrunc)
+        else {
+          val truncSeq = r.getLong(0)
+          require(bizCols.size == bizCols0.size,
+            "APPLY AS TRUNCATE WHEN fired in a schema-evolving batch" +
+              " — evolve the target first (ALTER TABLE ADD COLUMNS)," +
+              " then apply: the atomic truncate-overwrite commits" +
+              " exactly the current table schema")
+          // survivors: strictly-newer events, reduced to the latest
+          // per key, minus deletes (a delete on the emptied table is
+          // a no-op) — the exact state the old truncate-then-merge
+          // produced, in one commit
+          val survivors = guarded.filter(!isTrunc &&
+            col(sequenceBy).cast("long") > truncSeq)
+          val latestT = latestPerKey(survivors, key, sequenceBy,
+            deleteWhen).filter(!isDel)
+          val stagedT = latestT.select(
+            Seq(guardedKey.as(key)) ++
+              bizCols.filterNot(_ == key).map(col) ++
+              Seq(col(sequenceBy).cast("long").as(SeqCol)): _*)
+          return ManifestTable.overwriteWhere(stagedT, path, lit(true),
+            tag = tag)
+        }
+    }
+    val latest = latestPerKey(events, key, sequenceBy, deleteWhen)
     // NO-CLAIM PRUNE (the SCD2 staging lesson, r16 verdict #1, applied
     // to SCD1): events that cannot fire any clause — late/equal-
     // sequence events for keys the target already applied past, and
@@ -164,11 +211,10 @@ object ApplyChanges {
     // stats prune + confirm scan pay only for keys that actually
     // change. One column-pruned (key, _seq) scan of the target per
     // batch buys that; for the common mostly-late CDC replay the
-    // merge source shrinks to nearly nothing. (Post-truncate the
-    // slice re-reads the emptied version — `cur` must not observe the
-    // pre-truncate rows.)
-    val cur = (if (truncateWhen.isEmpty) dim
-               else ManifestTable.read(spark, path))
+    // merge source shrinks to nearly nothing. (A FIRING truncate
+    // returned above as one atomic overwrite, so reaching here means
+    // the target is untouched — `dim` is current.)
+    val cur = dim
       .select(col(key).as("_ac_k"), col(SeqCol).as("_ac_seq"))
     val relevant = latest
       .join(cur, col(key) === col("_ac_k"), "left")
@@ -177,17 +223,13 @@ object ApplyChanges {
           (col("_ac_k").isNotNull &&
             col(sequenceBy).cast("long") > col("_ac_seq")))
       .select(latest.columns.map(col): _*)
-    // the staged source carries exactly the target schema's columns
-    // (business + the sequence landing in `_seq`) plus the delete
-    // flag for clause conditions. The key rides a NULL guard: a
-    // null-keyed event can never match (SQL join semantics), so every
-    // replay would RE-INSERT it — silent, unbounded duplication; the
-    // guard fails the batch loudly at execution with zero extra jobs.
+    // the staged source carries exactly the target schema's
+    // NON-GENERATED columns (business + the sequence landing in
+    // `_seq`) plus the delete flag for clause conditions — generated
+    // columns recompute in the merge's own staging pass. The key
+    // rides its NULL guard (zero extra jobs).
     val staged = relevant.select(
-      Seq(when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
-        s"APPLY CHANGES batch carries a NULL '$key' — a null key " +
-          "can never match and would re-insert on every replay")))
-        .as(key)) ++
+      Seq(guardedKey.as(key)) ++
         bizCols.filterNot(_ == key).map(col) ++
         Seq(col(sequenceBy).cast("long").as(SeqCol),
           isDel.as("_ac_delete")): _*)
@@ -243,8 +285,11 @@ object ApplyChanges {
     // too (the merge itself would no-op on the tag anyway)
     tag.flatMap(ManifestTable.committedVersionOfTag(spark, path, _))
       .foreach(v => return v)
-    val latest = latestPerKey(cdc, key, sequenceBy, deleteWhen)
-      .withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
+    // NULL-sequence guard BEFORE the reduction (same reading as SCD1:
+    // a desc sort parks NULL last and silently discards the event
+    // whenever the key has a non-NULL sibling — every NULL fails)
+    val guarded = cdc.withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
+    val latest = latestPerKey(guarded, key, sequenceBy, deleteWhen)
     val dim = ManifestTable.read(spark, path)
     val pruned =
       if (!dim.schema.fieldNames.contains(SeqCol)) latest
@@ -313,13 +358,18 @@ object ApplyChanges {
                             key: String, snapshot: DataFrame,
                             snapshotSeq: Long,
                             tag: Option[String] = None): Long = {
+    // ONE target read serves the diff AND (threaded through) the
+    // apply's schema check + no-claim prune — a concurrent commit
+    // cannot split the diff and the prune onto different versions
     val dim = ManifestTable.read(spark, path)
-    val bizCols = dim.schema.fieldNames.filterNot(_ == SeqCol).toSeq
+    val genCols = ManifestTable.generatedColumns(spark, path).keySet
+    val bizCols = dim.schema.fieldNames
+      .filterNot(c => c == SeqCol || genCols.contains(c)).toSeq
     require(bizCols.forall(snapshot.columns.contains),
       s"snapshot must carry the business columns ${bizCols.mkString(",")}")
     val events = snapshotEvents(dim, snapshot, key, bizCols, snapshotSeq)
     applyScd1(spark, path, key, events, sequenceBy = "_snap_seq",
-      deleteWhen = Some("_snap_del"), tag = tag)
+      deleteWhen = Some("_snap_del"), tag = tag, target = Some(dim))
   }
 
   /** APPLY CHANGES FROM SNAPSHOT, SCD TYPE 2: the same derived
@@ -333,8 +383,10 @@ object ApplyChanges {
                             tracked: Seq[String], snapshotSeq: Long,
                             ts: Long, tag: Option[String] = None): Long = {
     val dim = ManifestTable.read(spark, path)
+    val genCols = ManifestTable.generatedColumns(spark, path).keySet
     val bizCols = dim.schema.fieldNames.filterNot(n =>
-      n == SeqCol || n == Scd2.ValidFrom || n == Scd2.ValidTo).toSeq
+      n == SeqCol || n == Scd2.ValidFrom || n == Scd2.ValidTo ||
+        genCols.contains(n)).toSeq
     require(bizCols.forall(snapshot.columns.contains),
       s"snapshot must carry the business columns ${bizCols.mkString(",")}")
     // diff against the OPEN slice only — closed history is not part

@@ -81,8 +81,14 @@ object Scd2 {
     require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
     val dimCols = ManifestTable.read(spark, path).schema
     val seqName = ApplyChanges.SeqCol
+    // GENERATED columns are not business columns: the batch must not
+    // carry them (MERGE refuses assigning them; the merge staging pass
+    // recomputes omitted ones from their declarations), so an SCD2
+    // dimension with generated columns composes transparently
+    val genCols = ManifestTable.generatedColumns(spark, path).keySet
     val bizCols = dimCols.fieldNames
-      .filterNot(n => n == ValidFrom || n == ValidTo || n == seqName)
+      .filterNot(n => n == ValidFrom || n == ValidTo || n == seqName ||
+        genCols.contains(n))
     require(bizCols.forall(batch.columns.contains),
       s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
     seqCol.foreach(sc => require(batch.columns.contains(sc),

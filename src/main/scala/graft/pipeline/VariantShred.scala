@@ -196,10 +196,36 @@ object VariantShred {
   def shreddedPaths(spark: SparkSession, path: String): Map[String, String] =
     specOf(ManifestTable.tableProperties(spark, path)).toMap
 
-  private def specOf(props: Map[String, String]): Seq[(String, String)] =
+  /** Split a legacy ','-delimited spec at TOP-LEVEL commas only —
+    * a comma inside parens belongs to a type (`decimal(10,2)`), not
+    * to the entry list. */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  private[graft] def specOf(props: Map[String, String]): Seq[(String, String)] =
     props.get(ShredProp) match {
       case Some(s) if s.nonEmpty =>
-        s.split(";").toSeq.map { e =>
+        // ';' is the recorded delimiter since the generated-column
+        // rewrite; tables written by the earlier format recorded ','.
+        // Bridge both on read (a ';'-free spec with commas can only
+        // be the legacy form — the writer refuses delimiter chars in
+        // paths, so ';' presence is authoritative), splitting legacy
+        // commas OUTSIDE parens only so `decimal(10,2)` stays whole.
+        val entries =
+          if (s.contains(";") || !s.contains(",")) s.split(";").toSeq
+          else splitTopLevelCommas(s)
+        entries.map { e =>
           val Array(p, t) = e.split(":", 2); p -> t
         }
       case _ => Seq.empty

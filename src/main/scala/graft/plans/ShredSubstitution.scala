@@ -91,6 +91,12 @@ case class ShredSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
                 val cands = producer(node).output.filter { o =>
                   o.dataType == vg.dataType &&
                     o.metadata.contains(VariantShred.ShredOfKey) &&
+                    // BOTH binding keys must be present — a column
+                    // carrying only one (foreign metadata, a partial
+                    // copy) is simply not a candidate; the rule's
+                    // contract is to leave expressions untouched, not
+                    // to throw during analysis
+                    o.metadata.contains(VariantShred.ShredPathKey) &&
                     o.metadata.getString(VariantShred.ShredOfKey) == a.name &&
                     o.metadata.getString(VariantShred.ShredPathKey) == pathStr
                 }

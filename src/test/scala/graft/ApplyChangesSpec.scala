@@ -494,4 +494,106 @@ class ApplyChangesSpec extends SparkSpec {
       (1L, "a", 0L, Some(1L)), (1L, "a_fresh", 1L, None),
       (2L, "b", 0L, None)))
   }
+
+  test("generated columns compose: APPLY CHANGES into a generated-column target recomputes, never assigns — both SCD types") {
+    // SCD1: target carries attr_up GENERATED AS upper(attr); the CDC
+    // feed carries only the business columns — the merge must
+    // recompute the generated column on update and insert (r18's
+    // no-assigning rule would refuse a feed-enumerated assignment)
+    val p1 = tmp("graft_ac_gen1")
+    ManifestTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr")
+        .withColumn("attr_up", expr("upper(attr)"))
+        .withColumn("_seq", lit(0L)),
+      p1, generatedAdds = Map("attr_up" -> "upper(attr)"))
+    ApplyChanges.applyScd1(spark, p1, "id",
+      cdc((1L, "fresh", 5L, false), (9L, "new", 5L, false)),
+      sequenceBy = "seq", deleteWhen = Some("del"))
+    val got1 = ManifestTable.read(spark, p1)
+      .select(col("id"), col("attr"), col("attr_up"), col("_seq"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got1 === Seq((1L, "fresh", "FRESH", 5L),
+      (2L, "b", "B", 0L), (9L, "new", "NEW", 5L)))
+    // SCD2: same composition through the history-keeping verb — the
+    // replacement open row and the brand-new key both recompute
+    val p2 = tmp("graft_ac_gen2")
+    ManifestTable.write(
+      Seq((1L, "a")).toDF("id", "attr")
+        .withColumn("attr_up", expr("upper(attr)"))
+        .withColumn(Scd2.ValidFrom, lit(0L))
+        .withColumn(Scd2.ValidTo, lit(null).cast("long"))
+        .withColumn("_seq", lit(0L)),
+      p2, generatedAdds = Map("attr_up" -> "upper(attr)"))
+    ApplyChanges.applyScd2(spark, p2, "id",
+      cdc((1L, "a2", 3L, false), (7L, "n", 3L, false)),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L,
+      deleteWhen = Some("del"))
+    val got2 = ManifestTable.read(spark, p2)
+      .select(col("id"), col("attr"), col("attr_up"),
+        col(Scd2.ValidTo))
+      .as[(Long, String, String, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4.getOrElse(Long.MaxValue))).toSeq
+    assert(got2 === Seq(
+      (1L, "a", "A", Some(1L)), (1L, "a2", "A2", None),
+      (7L, "n", "N", None)))
+  }
+
+  test("NULL sequence fails loudly on the truncate path and beside a non-NULL sibling of the same key") {
+    // sibling case: the desc sort parks NULL last — pre-r19 the
+    // NULL-seq event silently vanished whenever the key had any
+    // non-NULL event; now EVERY NULL fails the batch
+    val p1 = tmp("graft_ac_nsib")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a")).toDF("id", "attr"), p1, 0L)
+    val sib = Seq((1L, "x", Some(5L), false),
+      (1L, "y", None: Option[Long], false))
+      .toDF("id", "attr", "seq", "del")
+    val e1 = intercept[Exception] {
+      ApplyChanges.applyScd1(spark, p1, "id", sib,
+        sequenceBy = "seq", deleteWhen = Some("del"))
+    }
+    assert(e1.getMessage.contains("NULL 'seq'") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL 'seq'")))
+    assert(state(p1) === Seq((1L, "a", 0L)))
+    // truncate path: pre-r19 the `> truncSeq` filter evaluated NULL
+    // and silently dropped the event before any guard fired
+    val p2 = tmp("graft_ac_ntr")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a")).toDF("id", "attr"), p2, 0L)
+    val tb = Seq((9L, "t", Some(5L), false, true),
+      (1L, "x", None: Option[Long], false, false))
+      .toDF("id", "attr", "seq", "del", "trunc")
+    val e2 = intercept[Exception] {
+      ApplyChanges.applyScd1(spark, p2, "id", tb,
+        sequenceBy = "seq", deleteWhen = Some("del"),
+        truncateWhen = Some("trunc"))
+    }
+    assert(e2.getMessage.contains("NULL 'seq'") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL 'seq'")))
+    // and the failed atomic truncate left the table UNTOUCHED — no
+    // intermediate empty version ever committed
+    assert(state(p2) === Seq((1L, "a", 0L)))
+  }
+
+  test("APPLY AS TRUNCATE WHEN is ONE atomic commit — exactly one new version, no empty intermediate state") {
+    val path = tmp("graft_ac_t1c")
+    ApplyChanges.initializeScd1(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), path, 0L)
+    val before = ManifestTable.currentVersion(spark, path).get
+    ApplyChanges.applyScd1(spark, path, "id",
+      Seq((9L, "t", 5L, false, true), (2L, "b8", 8L, false, false))
+        .toDF("id", "attr", "seq", "del", "trunc"),
+      sequenceBy = "seq", deleteWhen = Some("del"),
+      truncateWhen = Some("trunc"))
+    val after = ManifestTable.currentVersion(spark, path).get
+    assert(after === before + 1L,
+      "truncate + reapply must land as ONE commit — a reader between " +
+        "two commits would observe an empty dimension")
+    assert(state(path) === Seq((2L, "b8", 8L)))
+    // the version chain has no empty intermediate: the PREVIOUS
+    // version still reads the pre-truncate state in full
+    val prev = ManifestTable.readVersion(spark, path, before)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(prev === Seq(1L, 2L))
+  }
 }

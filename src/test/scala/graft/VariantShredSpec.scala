@@ -529,4 +529,24 @@ class VariantShredSpec extends SparkSpec {
       back.selectExpr("sum(variant_get(v, '$.k', 'long'))").as[Long].head())
     assert(viaWalk.filter(col("s").startsWith("x")).count() === 200L)
   }
+
+  test("legacy ','-delimited spec bridges on read — paren-bearing types stay whole") {
+    import graft.pipeline.VariantShred
+    // r17 tables recorded "$.a:long,$.b:string"; the r18 writer
+    // switched to ';' — reading the old format must parse each entry
+    // (not one entry with a comma-bearing type), and a legacy
+    // decimal(p,s) type must not split at its own precision comma
+    val legacy = Map(VariantShred.ShredProp ->
+      "$.a:long,$.b:decimal(10,2),$.c:string")
+    assert(VariantShred.specOf(legacy) === Seq(
+      "$.a" -> "long", "$.b" -> "decimal(10,2)", "$.c" -> "string"))
+    // the current ';' format is authoritative when present
+    val cur = Map(VariantShred.ShredProp ->
+      "$.a:long;$.b:decimal(10,2)")
+    assert(VariantShred.specOf(cur) === Seq(
+      "$.a" -> "long", "$.b" -> "decimal(10,2)"))
+    // single-entry specs (no delimiter at all) parse in both eras
+    assert(VariantShred.specOf(Map(VariantShred.ShredProp ->
+      "$.only:decimal(10,2)")) === Seq("$.only" -> "decimal(10,2)"))
+  }
 }
