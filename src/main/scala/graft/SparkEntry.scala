@@ -154,6 +154,7 @@ object SparkEntry {
     "scd2_orders"        -> ((s, d) => graft.pipeline.Medallion.scd2Orders(s, d)),
     "apply_changes_scd1" -> ((s, d) => graft.pipeline.Medallion.applyChangesScd1Orders(s, d)),
     "stream_apply_changes" -> ((s, d) => graft.pipeline.Medallion.streamApplyChanges(s, d)),
+    "stream_apply_changes_scd2" -> ((s, d) => graft.pipeline.Medallion.streamApplyChangesScd2(s, d)),
     "apply_changes_snapshot" -> ((s, d) => graft.pipeline.Medallion.applyChangesSnapshotOrders(s, d)),
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
@@ -1909,6 +1910,45 @@ object SparkEntry {
                   AS _seq
          FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
          ORDER BY o_orderkey""",
+    // Streaming APPLY CHANGES SCD TYPE 2
+    // (Medallion.streamApplyChangesScd2): the full validity-ranged
+    // history after the same CDC feed drained twice — closed initial
+    // rows (change-closes keep seq 0, delete-closes record the
+    // delete's sequence), replacement open rows, and the late batch-2
+    // event pruned by the %5==1 high-water but applied for %5==3
+    "stream_apply_changes_scd2" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(0 AS BIGINT) AS _valid_from,
+                  CAST(1 AS BIGINT) AS _valid_to,
+                  CAST(0 AS BIGINT) AS _seq
+           FROM orders WHERE o_orderkey % 5 IN (1, 2)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 9 END
+                    AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 IN (0, 4)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 3
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+                  CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(10 AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 7000.0,
+                  CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(7 AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 2
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 77.0,
+                  CAST(2 AS BIGINT), CAST(NULL AS BIGINT),
+                  CAST(1 AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 3)
+         ORDER BY o_orderkey, _valid_from""",
     // Relational recompute of the shredded-variant range read: the
     // file-pruning layout is invisible to content, so the oracle is
     // the plain events recompute over the k range — DOUBLED, because

