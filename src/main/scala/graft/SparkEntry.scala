@@ -159,6 +159,7 @@ object SparkEntry {
     "variant_shredded"   -> ((s, d) => graft.pipeline.Medallion.variantShredded(s, d)),
     "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
     "expectations_gate"  -> ((s, d) => graft.pipeline.Expectations.expectationsGate(s, d)),
+    "expectations_persisted" -> ((s, d) => graft.pipeline.Medallion.expectationsPersisted(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -1999,6 +2000,38 @@ object SparkEntry {
            SELECT '_gated_', 'kept', CAST(COUNT(*) AS BIGINT),
                   CAST(SUM(o_orderkey) AS BIGINT)
            FROM orders WHERE o_orderstatus <> 'P')
+         ORDER BY rule""",
+    // PERSISTED expectations (Medallion.expectationsPersisted): rules
+    // declared via SQL DDL land in the manifest, gate the odd-slice
+    // append, and record per-rule counts in that commit's log entry —
+    // the oracle recomputes the counts relationally over the gated
+    // batch (pre-drop, the observed reading) and the final table's
+    // count/key-checksum after the DROP rule filtered the 'P' rows
+    "expectations_persisted" ->
+      """SELECT * FROM (
+           SELECT '_table_' AS rule,
+                  CAST(COUNT(*) AS BIGINT) AS violated,
+                  CAST(SUM(o_orderkey) AS BIGINT) AS passed
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderstatus <> 'P'
+           UNION ALL
+           SELECT 'key_present', CAST(0 AS BIGINT),
+                  CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT 'not_pending',
+                  CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus <> 'P',
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN COALESCE(o_orderstatus <> 'P',
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT 'reasonable_price',
+                  CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice <= 400000.0,
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 400000.0,
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders WHERE o_orderkey % 2 = 1)
          ORDER BY rule""",
     // ARRAY shredding (Medallion.variantArrayShred): k and the tags
     // array are pure event_id arithmetic, so the oracle re-derives

@@ -118,6 +118,62 @@ object Expectations {
       rules)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted (table-bound) expectations — the manifest wire format and
+  // the commit staging-pass gate ManifestTable applies to every
+  // write/append/COPY INTO on a table with declared rules.
+  // ------------------------------------------------------------------
+
+  /** Wire format of one persisted rule (the manifest `expectations`
+    * map value): `<action>:<condSql>` — action names never contain
+    * ':', the condition may. */
+  private[pipeline] def encode(action: String, condSql: String): String = {
+    require(Set("warn", "drop", "fail").contains(action),
+      s"expectation action must be warn|drop|fail, got '$action'")
+    s"$action:$condSql"
+  }
+
+  private[pipeline] def fromPersisted(
+      persisted: Map[String, String]): Seq[Expectation] =
+    persisted.toSeq.sortBy(_._1).map { case (name, v) =>
+      val i = v.indexOf(':')
+      require(i > 0, s"malformed persisted expectation '$name': '$v'")
+      val action = v.substring(0, i) match {
+        case "warn" => Warn
+        case "drop" => Drop
+        case "fail" => Fail
+        case other => throw new IllegalArgumentException(
+          s"unknown expectation action '$other' for rule '$name'")
+      }
+      Expectation(name, v.substring(i + 1), action)
+    }
+
+  /** The commit staging-pass gate over persisted rules: the gated
+    * frame, the observation (metrics materialize with the staging
+    * write itself), and the rule names for metric extraction. */
+  private[pipeline] def commitGate(df: DataFrame,
+                                   persisted: Map[String, String],
+                                   obsName: String)
+      : (DataFrame, Observation, Seq[String]) = {
+    val rules = fromPersisted(persisted)
+    val (gated, obs) = gate(df, rules, obsName)
+    (gated, obs, rules.map(_.name))
+  }
+
+  /** Per-rule (violated, passed) counts from a completed observation —
+    * an empty batch observes NULL sums, which read as 0. */
+  private[pipeline] def metricsOf(obs: Observation,
+                                  names: Seq[String])
+      : Map[String, (Long, Long)] = {
+    val got = obs.get
+    def l(k: String): Long = got.get(k) match {
+      case Some(v: Number) => v.longValue()
+      case _ => 0L
+    }
+    names.map(n =>
+      n -> (l(s"${n}_violations"), l(s"${n}_passed"))).toMap
+  }
+
   /** Relational metrics twin: per rule one row
     * (rule, action, violated, passed) from a single agg over `df` —
     * the deterministic form oracles and quality reports consume. */
@@ -168,7 +224,12 @@ object Expectations {
         s"observe metrics diverge from relational for '${r.name}': " +
           s"$o vs ${rel(r.name)}")
     }
-    metrics(orders, rules)
+    // output built from the ALREADY-collected twin rows — exactly two
+    // scans total (the gated action + one relational agg); r18 re-ran
+    // the relational agg a second time for the output
+    spark.createDataFrame(rules.map(r =>
+        (r.name, r.action.name, rel(r.name)._1, rel(r.name)._2)))
+      .toDF("rule", "action", "violated", "passed")
       .unionByName(spark.range(1).select(
         lit("_gated_").as("rule"), lit("kept").as("action"),
         lit(keptRow.getLong(0)).as("violated"),

@@ -207,7 +207,8 @@ object ManifestTable {
                               copyFiles: Seq[String] = Nil,
                               txns: Map[String, Long] = Map.empty,
                               properties: Map[String, String] = Map.empty,
-                              defaults: Map[String, String] = Map.empty) {
+                              defaults: Map[String, String] = Map.empty,
+                              expectations: Map[String, String] = Map.empty) {
     /** Column mapping is ON once [[renameColumn]]/[[dropColumn]] ever
       * ran — from then on `schema` holds LOGICAL names, data files /
       * stats / bloom / DV keys hold PHYSICAL names, and NEW columns get
@@ -388,7 +389,8 @@ object ManifestTable {
       strArr(n, "copyFiles"),
       longMap(n, "txns"),
       strMap(n, "properties"),
-      strMap(n, "defaults"))
+      strMap(n, "defaults"),
+      strMap(n, "expectations"))
   }
 
   /** Parse a {name: long} object field into a Map (empty if absent). */
@@ -505,7 +507,11 @@ object ManifestTable {
       // column DEFAULT declarations fold like generated columns:
       // per-key adds/removes (each declaration is its own commit)
       prev.defaults -- strArr(n, "defaultRemoves")
-        ++ strMap(n, "defaultAdds"))
+        ++ strMap(n, "defaultAdds"),
+      // EXPECTATIONS (DLT's quality rules) fold like constraints:
+      // per-key adds/removes, riding checkpoints
+      prev.expectations -- strArr(n, "expectationRemoves")
+        ++ strMap(n, "expectationAdds"))
   }
 
   /** Resolve the full metadata of a committed version: walk back from
@@ -1052,7 +1058,10 @@ object ManifestTable {
                         txn: Option[(String, Long)] = None,
                         properties: Option[Map[String, String]] = None,
                         defaultAdds: Map[String, String] = Map.empty,
-                        defaultRemoves: Seq[String] = Nil)
+                        defaultRemoves: Seq[String] = Nil,
+                        expectationAdds: Map[String, String] = Map.empty,
+                        expectationRemoves: Seq[String] = Nil,
+                        expectMetrics: Map[String, (Long, Long)] = Map.empty)
       : String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -1111,6 +1120,23 @@ object ManifestTable {
     }
     if (defaultRemoves.nonEmpty) {
       val d = root.putArray("defaultRemoves"); defaultRemoves.foreach(d.add)
+    }
+    if (expectationAdds.nonEmpty) {
+      val e = root.putObject("expectationAdds")
+      expectationAdds.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
+    }
+    if (expectationRemoves.nonEmpty) {
+      val e = root.putArray("expectationRemoves")
+      expectationRemoves.foreach(e.add)
+    }
+    // per-rule violation/pass counts of THIS commit's gated batch —
+    // DLT's event-log expectation metrics, readable via DESCRIBE
+    // HISTORY. Not part of resolved state (pure audit record).
+    if (expectMetrics.nonEmpty) {
+      val e = root.putObject("expectMetrics")
+      expectMetrics.toSeq.sortBy(_._1).foreach { case (k, (v, p)) =>
+        val o = e.putObject(k); o.put("violated", v); o.put("passed", p)
+      }
     }
     if (bloomAdds.nonEmpty) {
       val a = root.putArray("bloomAdds"); bloomAdds.foreach(a.add)
@@ -1238,6 +1264,11 @@ object ManifestTable {
       val d = root.putObject("defaults")
       st.defaults.toSeq.sortBy(_._1)
         .foreach { case (k, v) => d.put(k, v): Unit }
+    }
+    if (st.expectations.nonEmpty) {
+      val e = root.putObject("expectations")
+      st.expectations.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => e.put(k, v): Unit }
     }
     putStats(root, st.stats)
     mapper.writeValueAsString(root)
@@ -1731,6 +1762,103 @@ object ManifestTable {
     throw new IllegalStateException(
       s"ADD COLUMNS commit lost $maxAttempts races at $path — giving up")
   }
+
+  /** Declare a table-bound EXPECTATION (DLT's `CONSTRAINT name EXPECT
+    * (cond) ON VIOLATION ...`): a METADATA-ONLY commit after which
+    * EVERY write/append/COPY INTO gates its batch through the rule —
+    * `fail` aborts the write on the first violating row (nothing
+    * lands), `drop` filters violating rows out, `warn` keeps them —
+    * and the per-rule violation/pass counts of each gated batch land
+    * in that commit's own log entry (DLT's event log; readable via
+    * [[history]] / `DESCRIBE HISTORY`). Unlike a CHECK constraint,
+    * declaring an expectation does NOT validate existing rows — DLT's
+    * reading: expectations gate INCOMING data, history is out of
+    * scope (use [[addCheckConstraint]] for a table-wide invariant).
+    * The condition is analyzed against the current schema up front so
+    * a typo refuses here, not at the next write. Rules ride
+    * checkpoints and survive restore/clone like constraints.
+    */
+  def addExpectation(spark: SparkSession, path: String, name: String,
+                     condSql: String, onViolation: String = "warn",
+                     maxAttempts: Int = 3): Long = {
+    require(name.nonEmpty, "expectation name must be non-empty")
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version at $path to declare an expectation on"))
+      val st = resolveState(spark, path, prevV)
+      // fail-fast analysis probe: the condition must resolve against
+      // the table's logical schema (zero data read — one empty frame)
+      val schema = st.schema.getOrElse(readStateDf(spark, path, st).schema)
+      val probe = spark.range(1).select(schema.fields.map(fd =>
+        org.apache.spark.sql.functions.lit(null).cast(fd.dataType)
+          .as(st.logical(fd.name))).toSeq: _*)
+      try { probe.select(org.apache.spark.sql.functions.expr(condSql))
+        .queryExecution.analyzed; () }
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"expectation '$name' condition ($condSql) does not " +
+              s"resolve against the table schema: ${ex.getMessage}")
+      }
+      val version = prevV + 1L
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        expectationAdds =
+          Map(name -> Expectations.encode(onViolation, condSql)))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"expectation commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** Un-declare an expectation (metadata-only commit). */
+  def dropExpectation(spark: SparkSession, path: String, name: String,
+                      maxAttempts: Int = 3): Long = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prevV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val st = resolveState(spark, path, prevV)
+      require(st.expectations.contains(name),
+        s"no expectation '$name' at $path (live: " +
+          s"${st.expectations.keys.toSeq.sorted.mkString(", ")})")
+      val version = prevV + 1L
+      val json = deltaJson(version, commitTs(spark, path, version), Nil, Nil,
+        Map.empty, None, DefaultTagHorizon, None,
+        expectationRemoves = Seq(name))
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (conditionalCommit(f, tmp, manifestPath(path, version))) {
+        maybeCheckpoint(spark, path, version)
+        return version
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"expectation commit lost $maxAttempts races at $path — giving up")
+  }
+
+  /** The table's live expectations (name → `<action>:<condSql>`). */
+  def tableExpectations(spark: SparkSession,
+                        path: String): Map[String, String] =
+    currentVersion(spark, path)
+      .map(resolveState(spark, path, _).expectations).getOrElse(Map.empty)
 
   /** Reserved CHECK-constraint name prefix carrying the NOT NULL
     * column invariants (see [[setNotNull]]). */
@@ -3341,9 +3469,21 @@ object ManifestTable {
           .getOrElse(prevState.map(_.statsSchemaCols).getOrElse(Nil))
       val token = java.util.UUID.randomUUID.toString.take(8)
       val snapDir = s"$path/snap-$version-$token"
+      // persisted EXPECTATIONS (DLT's table-bound quality rules) gate
+      // the batch in the SAME staging pass: FAIL rules abort the write
+      // job (nothing lands), DROP rules filter violating rows, WARN
+      // rules keep them — and per-rule violation/pass counts observe
+      // DURING the staging write itself (one pass, zero extra scans),
+      // landing in this commit's log entry below (DLT's event log)
+      val expectRules = prevState.map(_.expectations).getOrElse(Map.empty)
+      val expectGate =
+        if (expectRules.isEmpty) None
+        else Some(Expectations.commitGate(genTagged, expectRules,
+          s"graft-expect-$version-$token"))
+      val expectGated = expectGate.map(_._1).getOrElse(genTagged)
       // CHECK constraints enforce inside the staging pass: a violating
       // row fails the write job, no manifest lands, readers see nothing
-      val guarded0 = constraintGuard(genTagged,
+      val guarded0 = constraintGuard(expectGated,
         prevState.map(_.constraints).getOrElse(Map.empty))
       // row ids: fresh above the high-water mark for rows lacking one;
       // rewrite paths (compact/zorder via readWithRowIds) keep theirs
@@ -3518,6 +3658,11 @@ object ManifestTable {
       // it too
       val newIdentHigh = identDecl.map { case (_, physCol, _, hw) =>
         stagedColMax(spark, staged, physCol, hw) }
+      // expectation metrics materialized with the staging write above
+      // (the observe fired inside that action — no extra job here)
+      val expectCounts: Map[String, (Long, Long)] =
+        expectGate.map { case (_, obs, names) =>
+          Expectations.metricsOf(obs, names) }.getOrElse(Map.empty)
       val json = deltaJson(version, commitTs(spark, path, version), adds, removes,
         newStats, tag, tagHorizon, Some(schema), dvRemoves = dvRemoves,
         bloomAdds = bloomAdds, bloomRemoves = bloomRemoves,
@@ -3533,7 +3678,8 @@ object ManifestTable {
         copyAdds = copyAdds, txn = txn,
         generatedAdds = generatedAdds,
         properties = propertiesFull,
-        statsSchema = statsSchemaDecl)
+        statsSchema = statsSchemaDecl,
+        expectMetrics = expectCounts)
       val manifest = manifestPath(path, version)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -5665,6 +5811,7 @@ object ManifestTable {
       properties =
         if (st.properties.nonEmpty) Some(st.properties) else None,
       defaultAdds = st.defaults,
+      expectationAdds = st.expectations,
       // the declare-before-ingest partition declaration is metadata a
       // clone must keep: an EMPTY declared-partitioned source clones
       // into a table whose first write still inherits the layout
@@ -5815,6 +5962,7 @@ object ManifestTable {
       properties =
         if (st.properties.nonEmpty) Some(st.properties) else None,
       defaultAdds = st.defaults,
+      expectationAdds = st.expectations,
       // the declare-before-ingest partition declaration is metadata a
       // clone must keep: an EMPTY declared-partitioned source clones
       // into a table whose first write still inherits the layout
@@ -5940,7 +6088,13 @@ object ManifestTable {
         // write-time metadata like constraints)
         defaultAdds = target.defaults,
         defaultRemoves =
-          (cur.defaults.keySet -- target.defaults.keySet).toSeq.sorted)
+          (cur.defaults.keySet -- target.defaults.keySet).toSeq.sorted,
+        // EXPECTATIONS roll back with the state (write-time gates,
+        // the constraints rule)
+        expectationAdds = target.expectations,
+        expectationRemoves =
+          (cur.expectations.keySet -- target.expectations.keySet)
+            .toSeq.sorted)
       val token = java.util.UUID.randomUUID.toString.take(8)
       val tmp = new Path(path, s"$ManifestPrefix$version.json.$token.tmp")
       val out = f.create(tmp, true)
@@ -5982,7 +6136,7 @@ object ManifestTable {
     val rows = versions(spark, path).sorted(Ordering[Long].reverse).map { v =>
       readNodeIfExists(f, manifestPath(path, v)) match {
         case None => (v, commitTimestamp(spark, path, v), "METADATA",
-          0, 0, 0, null: String)
+          0, 0, 0, null: String, null: String)
         case Some(n) =>
           val adds = strArr(n, "adds").size
           val removes = strArr(n, "removes").size
@@ -5993,6 +6147,8 @@ object ManifestTable {
             else if (adds == 0 && removes == 0 && dvAdds == 0) {
               if (n.has("constraintAdds") || n.has("constraintRemoves"))
                 "CONSTRAINT"
+              else if (n.has("expectationAdds")
+                || n.has("expectationRemoves")) "EXPECTATION"
               else if (n.has("mapping") || n.has("generatedAdds")
                 || n.has("generatedRemoves")) "SCHEMA"
               else if (n.has("bloomCols") || n.has("ndvCols")
@@ -6005,11 +6161,14 @@ object ManifestTable {
             else "WRITE"
           (v, Option(n.get("ts")).map(_.asLong()).getOrElse(0L), op,
             adds, removes, dvAdds,
-            Option(n.get("tag")).map(_.asText()).orNull)
+            Option(n.get("tag")).map(_.asText()).orNull,
+            // per-rule expectation metrics of the gated batch, as the
+            // log entry's canonical JSON (DLT's event-log counters)
+            Option(n.get("expectMetrics")).map(_.toString).orNull)
       }
     }
     rows.toDF("version", "ts", "operation", "adds", "removes", "dv_adds",
-      "tag")
+      "tag", "expect_metrics")
   }
 
   /** The fixed schema of [[history]] — the SQL command surface
@@ -6028,6 +6187,8 @@ object ManifestTable {
     org.apache.spark.sql.types.StructField("dv_adds", IntegerType,
       nullable = false),
     org.apache.spark.sql.types.StructField("tag",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("expect_metrics",
       org.apache.spark.sql.types.StringType, nullable = true)))
 
   /** OPTIMIZE to a target FILE SIZE (Delta's `optimize.targetFileSize`

@@ -1585,6 +1585,68 @@ object Medallion {
       .orderBy(col("o_orderkey"), col(Scd2.ValidFrom))
   }
 
+  /** Declared PERSISTED-EXPECTATIONS query (round 19 — DLT's
+    * table-bound quality rules, the persistence half of round 18's
+    * [[Expectations]] gate): three rules declare through the SQL DDL
+    * (`ALTER TABLE ... ADD EXPECTATION name EXPECT (cond) ON
+    * VIOLATION ...`) and land in the MANIFEST — from then on EVERY
+    * write gates its batch with zero caller code. One gated append
+    * (the odd-key orders slice) then:
+    *
+    *  - the DROP rule filters its 'P' rows out of the landed data;
+    *  - the WARN rule counts >400k prices but keeps the rows;
+    *  - the FAIL rule passes (keys present);
+    *  - the per-rule violation/pass counts land in THAT COMMIT's own
+    *    log entry (DLT's event log), read back here via the history
+    *    surface and hash-gated against the oracle's relational
+    *    recompute — so a gate that under-drops, over-drops, or
+    *    miscounts fails, as does an event-log entry that records the
+    *    post-drop counts instead of the observed pre-drop ones.
+    *
+    * Output: one row per rule (rule, violated, passed) plus a
+    * `_table_` row carrying the final table's row count and key
+    * checksum (the drop-semantics witness). */
+  def expectationsPersisted(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    val path = scratch("graft_expp_", sfDir) + "/orders_gated"
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val k = col("o_orderkey")
+    // seed: the even slice, UNGATED (rules don't exist yet — history
+    // is out of an expectation's scope, DLT's reading)
+    ManifestTable.write(orders.filter(k % 2 === 0), path,
+      statsCols = Seq("o_orderkey"))
+    val gatedVersion = graft.GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(s"""ALTER TABLE '$path' ADD EXPECTATION not_pending
+                EXPECT (o_orderstatus <> 'P')
+                ON VIOLATION DROP ROW""").collect()
+      s.sql(s"""ALTER TABLE '$path' ADD EXPECTATION reasonable_price
+                EXPECT (o_totalprice <= 400000.0)""").collect()
+      s.sql(s"""ALTER TABLE '$path' ADD EXPECTATION key_present
+                EXPECT (o_orderkey IS NOT NULL)
+                ON VIOLATION FAIL UPDATE""").collect()
+      // the gated append — plain table write, zero gate code here
+      ManifestTable.append(orders.filter(k % 2 === 1), path)
+    }
+    // DLT's event log: the commit's own entry carries the counts
+    val metrics = ManifestTable.history(spark, path)
+      .filter(col("version") === lit(gatedVersion))
+      .select(from_json(col("expect_metrics"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "map<string,struct<violated:bigint,passed:bigint>>")).as("m"))
+      .select(explode(col("m")).as(Seq("rule", "c")))
+      .select(col("rule"), col("c.violated").as("violated"),
+        col("c.passed").as("passed"))
+    val tableRow = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum")).head()
+    metrics.unionByName(spark.range(1).select(
+        lit("_table_").as("rule"),
+        lit(tableRow.getLong(0)).as("violated"),
+        lit(tableRow.getLong(1)).as("passed")))
+      .orderBy(col("rule"))
+  }
+
   /** Declared VARIANT SHREDDING query (round 17 — the storage half of
     * the verdict's variant-depth item, after `variant_explode` covered
     * the query half): the events JSON payloads parse once into a

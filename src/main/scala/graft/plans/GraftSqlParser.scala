@@ -45,6 +45,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE '<path>' DROP COLUMN a
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<expr>)
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
+  *   ALTER TABLE '<path>' ADD EXPECTATION name EXPECT (<expr>)
+  *                        [ON VIOLATION WARN | DROP ROW | FAIL UPDATE]
+  *   ALTER TABLE '<path>' DROP EXPECTATION name
   *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
   *   ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE '<path>' UNSET TBLPROPERTIES [IF EXISTS] ('k' [, ...])
@@ -211,6 +214,16 @@ object GraftSqlStatements {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$".r
   private val dropConstraintRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
+  // DLT's expectation DDL (`CONSTRAINT name EXPECT (cond) ON
+  // VIOLATION DROP ROW | FAIL UPDATE`), spelled as an ALTER verb:
+  // bare (no ON VIOLATION) = WARN, DLT's `expect`
+  private val addExpectationRe =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+EXPECTATION\\s+(\\w+)" +
+      "\\s+EXPECT\\s*\\((.+)\\)" +
+      "(?:\\s+ON\\s+VIOLATION\\s+(WARN|DROP\\s+ROW|FAIL\\s+UPDATE))?" +
+      "\\s*;?\\s*$").r
+  private val dropExpectationRe =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+EXPECTATION\\s+(\\w+)\\s*;?\\s*$$".r
   private val cloneRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val createLikeRe =
@@ -351,6 +364,13 @@ object GraftSqlStatements {
       Some(GraftAlterCommand(path, "drop_column", Seq(name)))
     case addConstraintRe(path, name, check) =>
       Some(GraftAlterCommand(path, "add_constraint", Seq(name, check.trim)))
+    case addExpectationRe(path, name, cond, action) =>
+      val act = Option(action)
+        .map(_.trim.split("\\s+")(0).toLowerCase).getOrElse("warn")
+      Some(GraftAlterCommand(path, "add_expectation",
+        Seq(name, cond.trim, act)))
+    case dropExpectationRe(path, name) =>
+      Some(GraftAlterCommand(path, "drop_expectation", Seq(name)))
     case addColumnsRe(path, colsDdl) =>
       Some(GraftAlterCommand(path, "add_columns", Seq(colsDdl.trim)))
     case dropConstraintRe(path, name) =>
@@ -1372,6 +1392,11 @@ case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
           StructType.fromDDL(args(0)))
       case "drop_constraint" =>
         ManifestTable.dropCheckConstraint(session, path, args(0))
+      case "add_expectation" =>
+        ManifestTable.addExpectation(session, path, args(0), args(1),
+          onViolation = args(2))
+      case "drop_expectation" =>
+        ManifestTable.dropExpectation(session, path, args(0))
       case "analyze" =>
         ManifestTable.setNdvStats(session, path, args)
       case "set_stats" =>

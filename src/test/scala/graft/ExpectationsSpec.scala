@@ -129,4 +129,97 @@ class ExpectationsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { gate(fixture, Nil) }
   }
+
+  test("PERSISTED expectations gate every write: DROP filters an append, counts land in the commit log entry, FAIL aborts, drop-rule lifecycle") {
+    import graft.pipeline.ManifestTable
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_expq").toString + "/t"
+    ManifestTable.write(fixture.filter(col("id") === 1L), path)
+    // declare: DROP bad/NULL statuses, WARN on non-positive price
+    ManifestTable.addExpectation(spark, path, "status_known",
+      "status IS NOT NULL AND status <> 'bad'", onViolation = "drop")
+    ManifestTable.addExpectation(spark, path, "positive_price",
+      "price > 0", onViolation = "warn")
+    assert(ManifestTable.tableExpectations(spark, path) === Map(
+      "status_known" -> "drop:status IS NOT NULL AND status <> 'bad'",
+      "positive_price" -> "warn:price > 0"))
+    // a condition that doesn't resolve refuses at DECLARE time
+    val bad = intercept[IllegalArgumentException] {
+      ManifestTable.addExpectation(spark, path, "typo", "no_such > 0")
+    }
+    assert(bad.getMessage.contains("does not resolve"))
+    // the gated append: ids 2..5 — DROP removes 3 (bad) and 5 (NULL),
+    // WARN counts id=2 (negative) but keeps it; NaN > 0 is true
+    val v = ManifestTable.append(fixture.filter(col("id") > 1L), path)
+    val ids = ManifestTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L),
+      "DROP rows must not land; WARN rows must")
+    // the commit's own log entry carries per-rule counts (DLT's
+    // event log) — violations observed BEFORE drop filtering
+    val hm = ManifestTable.history(spark, path)
+      .filter(col("version") === v)
+      .select("expect_metrics").as[String].head()
+    assert(hm.contains("\"status_known\":{\"violated\":2,\"passed\":2}"),
+      s"log entry metrics: $hm")
+    assert(hm.contains("\"positive_price\":{\"violated\":1,\"passed\":3}"),
+      s"log entry metrics: $hm")
+    // FAIL rule: the next batch carries a NULL id -> nothing lands
+    ManifestTable.addExpectation(spark, path, "id_present",
+      "id IS NOT NULL", onViolation = "fail")
+    val before = ManifestTable.currentVersion(spark, path).get
+    intercept[Exception] {
+      ManifestTable.append(
+        Seq((Option.empty[Long], 1.0, "ok"), (Some(9L), 2.0, "ok"))
+          .toDF("id", "price", "status"), path)
+    }
+    assert(ManifestTable.currentVersion(spark, path).get === before,
+      "a FAIL violation must abort the whole commit")
+    // dropExpectation stops gating: the same DROP-worthy row lands
+    ManifestTable.dropExpectation(spark, path, "status_known")
+    ManifestTable.dropExpectation(spark, path, "id_present")
+    ManifestTable.append(
+      Seq((7L, 1.0, "bad")).toDF("id", "price", "status"), path)
+    assert(ManifestTable.read(spark, path).filter(col("id") === 7L)
+      .count() === 1L)
+  }
+
+  test("SQL DDL: ADD/DROP EXPECTATION and DESCRIBE HISTORY metrics; rules roll back with RESTORE") {
+    import graft.pipeline.ManifestTable
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_expsql").toString + "/t"
+    ManifestTable.write(fixture.filter(col("id") === 1L), path) // v1
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(s"""ALTER TABLE '$path' ADD EXPECTATION status_known
+                EXPECT (status IS NOT NULL AND status <> 'bad')
+                ON VIOLATION DROP ROW""").collect()          // v2
+      s.sql(s"ALTER TABLE '$path' ADD EXPECTATION pos " +
+        "EXPECT (coalesce(price, 0.0) > 0)").collect()       // v3 (warn)
+      assert(ManifestTable.tableExpectations(s, path).keySet ===
+        Set("status_known", "pos"))
+      // gated SQL append with real rows (the temp view registers on
+      // the EXTENDED session)
+      s.createDataFrame(
+        Seq((2L, -5.0, "ok"), (3L, 100.0, "bad"), (4L, 4.0, "ok")))
+        .toDF("id", "price", "status").createOrReplaceTempView("exp_src")
+      s.sql(s"INSERT INTO '$path' SELECT * FROM exp_src").collect()
+      val hist = s.sql(s"DESCRIBE HISTORY '$path'")
+      assert(hist.columns.contains("expect_metrics"))
+      val withMetrics = hist
+        .filter(col("expect_metrics").isNotNull).count()
+      assert(withMetrics >= 1L, "the gated INSERT must record metrics")
+      s.sql(s"ALTER TABLE '$path' DROP EXPECTATION pos").collect()
+      assert(ManifestTable.tableExpectations(s, path).keySet ===
+        Set("status_known"))
+    }
+    // RESTORE to v1 (before any declaration) forgets the rules
+    ManifestTable.restore(spark, path, 1L)
+    assert(ManifestTable.tableExpectations(spark, path) === Map.empty)
+    val all = ManifestTable.append(
+      Seq((8L, -1.0, "bad")).toDF("id", "price", "status"), path)
+    assert(ManifestTable.history(spark, path)
+      .filter(col("version") === all)
+      .select("expect_metrics").as[String].head() == null,
+      "post-restore writes are ungated")
+  }
 }

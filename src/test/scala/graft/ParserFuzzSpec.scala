@@ -293,6 +293,43 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPECTATION DDL fuzz: 24 seeded cases — paren-bearing conditions, optional ON VIOLATION, random case/whitespace") {
+    val r = new Random(77019L)
+    val actions = Seq(
+      None -> "warn",
+      Some("ON VIOLATION WARN") -> "warn",
+      Some("ON VIOLATION DROP ROW") -> "drop",
+      Some("ON VIOLATION FAIL UPDATE") -> "fail")
+    (1 to 24).foreach { i =>
+      val path = s"/tmp/fz e$i"
+      val name = s"rule_$i"
+      // conditions with nested parens and commas — the greedy capture
+      // must keep them whole
+      val cond = Seq("v > 0", "coalesce(v, 0) > 0 AND w <> 'P'",
+        "round(v, 2) <= 400000.0")(i % 3)
+      val (clause, want) = actions(i % 4)
+      val sql = s"${kc(r, "ALTER TABLE")}${ws(r)}'$path'${ws(r)}" +
+        s"${kc(r, "ADD EXPECTATION")} $name${ws(r)}" +
+        s"${kc(r, "EXPECT")}${ws(r)}($cond)" +
+        clause.map(c => s"${ws(r)}${kc(r, c)}").getOrElse("") +
+        (if (r.nextBoolean()) ";" else "")
+      parse(sql).get match {
+        case a: GraftAlterCommand =>
+          assert(a.verb === "add_expectation", s"case $i: $a")
+          assert(a.args === Seq(name, cond, want),
+            s"case $i structure: ${a.args}")
+        case o => fail(s"case $i misrouted: $o")
+      }
+      val drop = s"${kc(r, "ALTER TABLE")}${ws(r)}'$path'${ws(r)}" +
+        s"${kc(r, "DROP EXPECTATION")} $name"
+      parse(drop).get match {
+        case a: GraftAlterCommand =>
+          assert(a.verb === "drop_expectation" && a.args === Seq(name))
+        case o => fail(s"case $i drop misrouted: $o")
+      }
+    }
+  }
+
   test("APPLY CHANGES fuzz: 40 seeded cases — optional clauses, hazard literals, random case/whitespace") {
     val r = new Random(77017L)
     (1 to 40).foreach { i =>
