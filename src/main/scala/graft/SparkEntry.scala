@@ -160,6 +160,7 @@ object SparkEntry {
     "variant_array_shred" -> ((s, d) => graft.pipeline.Medallion.variantArrayShred(s, d)),
     "expectations_gate"  -> ((s, d) => graft.pipeline.Expectations.expectationsGate(s, d)),
     "expectations_persisted" -> ((s, d) => graft.pipeline.Medallion.expectationsPersisted(s, d)),
+    "pipeline_dag"       -> ((s, d) => graft.pipeline.Dag.pipelineDagQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2001,6 +2002,21 @@ object SparkEntry {
                   CAST(SUM(o_orderkey) AS BIGINT)
            FROM orders WHERE o_orderstatus <> 'P')
          ORDER BY rule""",
+    // Declarative pipeline DAG (Dag.pipelineDagQuery): bronze→silver
+    // (expectations: 'P' rows DROP)→gold daily-revenue state, two
+    // incremental refreshes over both ingest batches (= all orders);
+    // the oracle recomputes the final gold relationally — silver is
+    // orders minus the dropped 'P' rows, gold the exact decimal daily
+    // aggregate in the engine's presentation schema
+    "pipeline_dag" ->
+      """SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS daily_revenue,
+                COUNT(*) AS order_count,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  / COUNT(o_totalprice) AS avg_order_value
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY 1, 2 ORDER BY o_custkey, day""",
     // PERSISTED expectations (Medallion.expectationsPersisted): rules
     // declared via SQL DDL land in the manifest, gate the odd-slice
     // append, and record per-rule counts in that commit's log entry —

@@ -596,6 +596,24 @@ object TableFeedSource {
     (m, s)
   }
 
+  /** Generalized retraction-aware feed fold — the
+    * [[graft.pipeline.Dag]] Aggregate flow's engine: maintain ANY
+    * mergeable state at `statePath` from `tablePath`'s change feed
+    * (the exact [[feedGoldDaily]] machinery with caller-supplied
+    * state functions). Exactly-once via per-range tags
+    * `<tagPrefix>-v<upstreamVersion>`; image-aware cancellation;
+    * returns (merged, skipped, unchanged). */
+  def feedFold(spark: org.apache.spark.sql.SparkSession,
+               tablePath: String, statePath: String, tagPrefix: String,
+               stateOf: DataFrame => DataFrame,
+               negate: DataFrame => DataFrame,
+               merge: (DataFrame, DataFrame) => DataFrame,
+               live: org.apache.spark.sql.Column,
+               keyCols: Seq[String],
+               checkpointLocation: String = null): (Long, Long, Long) =
+    feedMergeableGoldImages(spark, tablePath, statePath,
+      checkpointLocation, tagPrefix, stateOf, negate, merge, live, keyCols)
+
   /** UPDATE-IMAGE-AWARE gold maintenance: the same closed CDC loop as
     * [[feedGoldDaily]], consuming the feed with `updateImages = true`
     * so a MERGE's matched keys arrive as update_preimage/postimage
