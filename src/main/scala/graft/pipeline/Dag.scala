@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   *    image-cancelling, committing at most one state version;
   *  - [[Dag.Materialize]] — full recompute over any number of
   *    upstreams (the always-correct fallback for flows that are
-  *    neither row-wise nor mergeable).
+  *    neither row-wise nor mergeable);
+  *  - [[Dag.Cdc]] — APPLY CHANGES as a pipeline edge: the upstream
+  *    is an append-only CDC event feed; each refresh applies the new
+  *    versions through the SCD1/SCD2 verb (sequence ordering,
+  *    deletes, `_seq` high-water all inherited), creating the target
+  *    on first refresh.
   *
   * Every refresh appends one row per table to the pipeline EVENT LOG
   * (a [[ManifestTable]]): run id, flow kind, outcome, upstream
@@ -82,6 +87,22 @@ object Dag {
                                compute: Map[String, DataFrame] => DataFrame)
       extends Flow {
     val kind = "materialize"
+  }
+
+  /** APPLY CHANGES as a pipeline edge (DLT's CDC flow): the upstream
+    * table is an append-only CDC EVENT FEED; each refresh applies the
+    * versions past the flow's high-water through
+    * [[ApplyChanges.applyScd1]] (or [[ApplyChanges.applyScd2]] when
+    * `scd2Tracked` names the history-tracked columns, at logical time
+    * = the upstream version) — in-batch reduction, cross-batch `_seq`
+    * ordering, deletes, all inherited. A missing target initializes
+    * EMPTY with the feed's business schema (DLT creates the target).
+    * Expectations gate the EVENT batch before the apply. */
+  final case class Cdc(of: String, key: String, sequenceBy: String,
+                       deleteWhen: Option[String] = None,
+                       scd2Tracked: Option[Seq[String]] = None)
+      extends Flow {
+    def inputs: Seq[String] = Seq(of); val kind = "cdc"
   }
 
   final case class TableDef(name: String, path: String, flow: Flow,
@@ -269,6 +290,38 @@ final case class Dag(defs: Seq[Dag.TableDef],
       .getOrElse(Iterable.empty)
       .foldLeft(0L)(math.max)
 
+  /** Change rows of every `upPath` version in (water, cur] plus the
+    * (versions, filesRead) audit — the shared incremental read of the
+    * Transform and Cdc flows. Refuses non-append upstream commits
+    * (both flows are row/event shaped and cannot retract). */
+  private def newRows(spark: SparkSession, flowName: String, of: String,
+                      upPath: String, water: Long, cur: Long)
+      : (DataFrame, Long, Long) = {
+    val allVs = ManifestTable.versions(spark, upPath)
+    require(water == 0L || allVs.isEmpty || water + 1 >= allVs.head,
+      s"flow '$flowName' resume point $water of '$of' is out of " +
+        "retention — re-bootstrap the flow")
+    val vs = allVs.filter(v => v > water && v <= cur)
+    val batch = vs.map { v =>
+      // vacuumed-history bootstrap: the oldest surviving version of a
+      // fresh flow reads as a snapshot of inserts (the feed source's
+      // rule)
+      val bootstrap = water == 0L && v == vs.head && v != 1L
+      require(bootstrap || v == 1L ||
+          ManifestTable.commitAddsOnly(spark, upPath, v),
+        s"row-wise flow '$flowName' saw a NON-APPEND commit v$v on " +
+          s"'$of' — a row-wise flow cannot retract; use an Aggregate " +
+          "flow or a Materialize")
+      if (bootstrap) ManifestTable.readVersion(spark, upPath, v)
+      else ManifestTable.changesForVersion(spark, upPath, v)
+        .drop("_change")
+    }.reduce(_.unionByName(_))
+    val filesRead =
+      vs.map(ManifestTable.versionAddedFileCount(spark, upPath, _))
+        .sum.toLong
+    (batch, vs.size.toLong, filesRead)
+  }
+
   /** Run ONE refresh pass over the whole graph in topological order.
     * Idempotent per `runId`: every commit carries a tag derived from
     * the run or the upstream version range, so replaying a run (or
@@ -309,35 +362,60 @@ final case class Dag(defs: Seq[Dag.TableDef],
               0L, ManifestTable.currentVersion(spark, d.path)
                 .getOrElse(-1L), null)
           else {
-            val allVs = ManifestTable.versions(spark, upPath)
-            require(water == 0L || allVs.isEmpty || water + 1 >= allVs.head,
-              s"flow '${d.name}' resume point $water of '$of' is out " +
-                "of retention — re-bootstrap the flow")
-            val vs = allVs.filter(v => v > water && v <= cur)
-            val batch = vs.map { v =>
-              // vacuumed-history bootstrap: the oldest surviving
-              // version of a fresh flow reads as a snapshot of
-              // inserts (the feed source's rule)
-              val bootstrap = water == 0L && v == vs.head && v != 1L
-              require(bootstrap || v == 1L ||
-                  ManifestTable.commitAddsOnly(spark, upPath, v),
-                s"row-wise flow '${d.name}' saw a NON-APPEND commit " +
-                  s"v$v on '$of' — a row-wise transform cannot " +
-                  "retract; use an Aggregate flow or a Materialize")
-              if (bootstrap) ManifestTable.readVersion(spark, upPath, v)
-              else ManifestTable.changesForVersion(spark, upPath, v)
-                .drop("_change")
-            }.reduce(_.unionByName(_))
-            val filesRead =
-              vs.map(ManifestTable.versionAddedFileCount(spark, upPath, _))
-                .sum.toLong
+            val (batch, nVs, filesRead) =
+              newRows(spark, d.name, of, upPath, water, cur)
             val (gated, obs, names) =
               gateFlow(rowFlow(batch), d, s"$prefix$cur-obs")
             val v = ManifestTable.append(gated, d.path,
               statsCols = d.statsCols, tag = Some(s"$prefix$cur"))
             val (rows, mj) = metricsJson(obs, names)
-            Refreshed(d.name, "transform", "landed", cur, vs.size.toLong,
+            Refreshed(d.name, "transform", "landed", cur, nVs,
               filesRead, rows, v, mj)
+          }
+
+        case Cdc(of, key, seqBy, delWhen, tracked) =>
+          val upPath = pathOf(of)
+          val prefix = s"dag-${d.name}-v"
+          val cur = ManifestTable.currentVersion(spark, upPath)
+            .getOrElse(0L)
+          val water = tagWater(spark, d.path, prefix)
+          if (cur <= water)
+            Refreshed(d.name, "cdc", "no_new_data", cur, 0L, 0L, 0L,
+              ManifestTable.currentVersion(spark, d.path)
+                .getOrElse(-1L), null)
+          else {
+            val (batch, nVs, filesRead) =
+              newRows(spark, d.name, of, upPath, water, cur)
+            // DLT creates the target: first refresh initializes an
+            // EMPTY dimension with the feed's business schema
+            if (ManifestTable.currentVersion(spark, d.path).isEmpty) {
+              val biz = batch.columns.filterNot(c =>
+                c == seqBy || delWhen.contains(c))
+              val empty = batch.select(biz.map(col).toSeq: _*).limit(0)
+              if (tracked.isEmpty)
+                ApplyChanges.initializeScd1(empty, d.path, 0L,
+                  statsCols = d.statsCols): Unit
+              else
+                ApplyChanges.initializeScd2(empty, d.path, ts = 0L,
+                  seq0 = 0L, statsCols = d.statsCols): Unit
+            }
+            val (gated, obs, names) =
+              gateFlow(batch, d, s"$prefix$cur-obs")
+            // SCD2 history granularity is the REFRESH (logical time =
+            // the upstream version applied), DLT's per-flow-update
+            // reading; sequence ordering inside stays per-event
+            val v = tracked match {
+              case None =>
+                ApplyChanges.applyScd1(spark, d.path, key, gated,
+                  seqBy, delWhen, tag = Some(s"$prefix$cur"))
+              case Some(tr) =>
+                ApplyChanges.applyScd2(spark, d.path, key, gated, tr,
+                  seqBy, ts = cur, tag = Some(s"$prefix$cur"),
+                  deleteWhen = delWhen)
+            }
+            val (rows, mj) = metricsJson(obs, names)
+            Refreshed(d.name, "cdc", "applied", cur, nVs, filesRead,
+              rows, v, mj)
           }
 
         case Aggregate(of, stateOf, negate, mergeF, live, keys) =>
@@ -397,6 +475,18 @@ final case class Dag(defs: Seq[Dag.TableDef],
         ep, tag = s"dag-events-run$runId"): Unit
     }
     results
+  }
+
+  /** DESCRIBE PIPELINE: the declared graph as a table — one row per
+    * table in refresh order (name, flow kind, storage path, inputs,
+    * expectations with their actions). */
+  def describe(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ordered.map(d => (d.name, d.flow.kind, d.path,
+        d.flow.inputs.mkString(","),
+        d.expectations.map(e => s"${e.name}:${e.action.name}")
+          .mkString(",")))
+      .toDF("table", "flow", "path", "inputs", "expectations")
   }
 
   /** The pipeline event log as a table (DLT's event log surface). */

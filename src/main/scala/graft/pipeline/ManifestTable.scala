@@ -1326,6 +1326,19 @@ object ManifestTable {
       generatedAdds = generatedAdds, propertiesFull = propertiesFull,
       statsSchemaDecl = statsSchemaDecl)
 
+  /** MAINTENANCE overwrite (compact / Z-order): the same commit as
+    * [[write]] but with the expectations gate OFF — a rewrite
+    * re-stages EXISTING rows, and a DROP rule declared after those
+    * rows landed must not silently delete them during an OPTIMIZE
+    * (expectations gate incoming batches; history belongs to CHECK
+    * constraints). Generated columns and constraints still enforce —
+    * they ARE table-wide invariants. */
+  private def writeRewrite(df: DataFrame, path: String,
+                           partitionCols: Seq[String] = Nil,
+                           statsCols: Seq[String] = Nil): Long =
+    commit(df, path, partitionCols, maxAttempts = 3, statsCols,
+      carryForward = false, tag = None, gateExpectations = false)
+
   /** Transactional APPEND: commit a log entry adding this batch's files
     * — O(new files) bytes, regardless of table size. Data files of
     * previous versions are never touched; an appender dying mid-stage
@@ -3364,7 +3377,8 @@ object ManifestTable {
                      txn: Option[(String, Long)] = None,
                      generatedAdds: Map[String, String] = Map.empty,
                      propertiesFull: Option[Map[String, String]] = None,
-                     statsSchemaDecl: Option[Seq[String]] = None): Long = {
+                     statsSchemaDecl: Option[Seq[String]] = None,
+                     gateExpectations: Boolean = true): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     require(!carryForward || partitionCols.isEmpty,
@@ -3475,7 +3489,14 @@ object ManifestTable {
       // rules keep them — and per-rule violation/pass counts observe
       // DURING the staging write itself (one pass, zero extra scans),
       // landing in this commit's log entry below (DLT's event log)
-      val expectRules = prevState.map(_.expectations).getOrElse(Map.empty)
+      // MAINTENANCE rewrites (compact / Z-order / auto-compact) bypass
+      // the gate: they re-stage EXISTING rows — rows that landed
+      // before a rule was declared would be silently DROPPED by an
+      // OPTIMIZE, data loss via maintenance (expectations gate
+      // INCOMING batches only; history is CHECK constraints' job)
+      val expectRules =
+        if (!gateExpectations) Map.empty[String, String]
+        else prevState.map(_.expectations).getOrElse(Map.empty)
       val expectGate =
         if (expectRules.isEmpty) None
         else Some(Expectations.commitGate(genTagged, expectRules,
@@ -6231,7 +6252,7 @@ object ManifestTable {
           .sortWithinPartitions(
             sortCols.map(org.apache.spark.sql.functions.col): _*)
       else cur.coalesce(targetFiles)
-    write(packed, path, partitionCols, statsCols = statsCols)
+    writeRewrite(packed, path, partitionCols, statsCols = statsCols)
   }
 
   /** OPTIMIZE ZORDER BY (c1, c2): rewrite the table clustered along
@@ -6290,7 +6311,7 @@ object ManifestTable {
     val clustered = graft.functions.ZOrderKey
       .clusterBy(keyed, "_graft_z1", "_graft_z2", targetFiles)
       .drop("_graft_z1", "_graft_z2")
-    write(clustered, path,
+    writeRewrite(clustered, path,
       statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
   }
 
@@ -6337,7 +6358,7 @@ object ManifestTable {
     val clustered = graft.functions.ZOrderKey
       .clusterBy(keyed, "_graft_z1", "_graft_z2", targetFiles)
       .drop("_graft_z1", "_graft_z2")
-    write(clustered, path,
+    writeRewrite(clustered, path,
       statsCols = (Seq(c1, c2) ++ extraStatsCols).distinct)
   }
 
@@ -6379,7 +6400,7 @@ object ManifestTable {
     val clustered = graft.functions.ZOrderKeyN
       .clusterByN(keyed, zNames, targetFiles)
       .drop(zNames: _*)
-    write(clustered, path,
+    writeRewrite(clustered, path,
       statsCols = (cols ++ extraStatsCols).distinct)
   }
 

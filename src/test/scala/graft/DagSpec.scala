@@ -99,6 +99,43 @@ class DagSpec extends SparkSpec {
       "versions_processed", "expect_metrics").subsetOf(cols))
   }
 
+  test("Cdc flow: APPLY CHANGES as a pipeline edge — target created on first refresh, sequence ordering and deletes inherited, replay no-ops") {
+    val root = tmp("graft_dag_cdc")
+    val feedP = s"$root/feed"; val dimP = s"$root/dim"
+    def events(run: Long): DataFrame =
+      if (run == 1L) Seq(
+        (1L, "a1", 1L, false), (1L, "a2", 5L, false), // in-batch race
+        (2L, "b", 3L, false))
+        .toDF("id", "attr", "seq", "del")
+      else Seq(
+        (1L, "late", 2L, false),                      // pruned (< 5)
+        (2L, "b", 9L, true),                          // delete
+        (3L, "c", 1L, false))
+        .toDF("id", "attr", "seq", "del")
+    val dag = Dag(Seq(
+      TableDef("feed", feedP, Ingest((_, run) => events(run))),
+      TableDef("dim", dimP, Cdc("feed", "id", "seq",
+        deleteWhen = Some("del")))))
+    val r1 = dag.refresh(spark, 1L)
+    assert(r1.map(_.outcome) === Seq("landed", "applied"))
+    val s1 = ManifestTable.read(spark, dimP)
+      .select("id", "attr", "_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(s1 === Seq((1L, "a2", 5L), (2L, "b", 3L)))
+    dag.refresh(spark, 2L)
+    val s2 = ManifestTable.read(spark, dimP)
+      .select("id", "attr", "_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(s2 === Seq((1L, "a2", 5L), (3L, "c", 1L)),
+      "late event pruned, delete applied, new key inserted")
+    val r2b = dag.refresh(spark, 2L)
+    assert(r2b.map(_.outcome) === Seq("skipped", "no_new_data"))
+    // describe() lists the graph in refresh order
+    val desc = dag.describe(spark)
+      .select("table", "flow").as[(String, String)].collect().toSeq
+    assert(desc === Seq(("feed", "ingest"), ("dim", "cdc")))
+  }
+
   test("row-wise Transform refuses a non-append upstream commit loudly") {
     val root = tmp("graft_dag_na")
     val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"

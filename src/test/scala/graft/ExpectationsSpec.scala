@@ -184,6 +184,34 @@ class ExpectationsSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("maintenance rewrites NEVER re-gate history: a DROP rule declared after ungated rows landed must not delete them in an OPTIMIZE") {
+    import graft.pipeline.ManifestTable
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_expmnt").toString + "/t"
+    // ungated history including a 'bad' row (no NaN — the Z-order
+    // rank cast is ANSI and would overflow on it, unrelated to the
+    // property under test)
+    ManifestTable.write(fixture.filter(!isnan(col("price"))), path)
+    ManifestTable.addExpectation(spark, path, "status_known",
+      "status IS NOT NULL AND status <> 'bad'", onViolation = "drop")
+    val before = ManifestTable.read(spark, path).count()
+    // compact and Z-order both re-stage EXISTING rows — the gate must
+    // not fire (data loss via maintenance otherwise)
+    ManifestTable.compact(spark, path, targetFiles = 1)
+    assert(ManifestTable.read(spark, path).count() === before,
+      "compact must not drop rows that predate the rule")
+    ManifestTable.optimizeZOrder(spark, path, "id", "price",
+      targetFiles = 1)
+    assert(ManifestTable.read(spark, path).count() === before,
+      "Z-order must not drop rows that predate the rule")
+    // while a genuine APPEND still gates
+    ManifestTable.append(
+      Seq((9L, 1.0, "bad"), (10L, 1.0, "ok"))
+        .toDF("id", "price", "status"), path)
+    assert(ManifestTable.read(spark, path).count() === before + 1L,
+      "the append's 'bad' row must still drop")
+  }
+
   test("SQL DDL: ADD/DROP EXPECTATION and DESCRIBE HISTORY metrics; rules roll back with RESTORE") {
     import graft.pipeline.ManifestTable
     val path = java.nio.file.Files
