@@ -161,6 +161,7 @@ object SparkEntry {
     "expectations_gate"  -> ((s, d) => graft.pipeline.Expectations.expectationsGate(s, d)),
     "expectations_persisted" -> ((s, d) => graft.pipeline.Medallion.expectationsPersisted(s, d)),
     "pipeline_dag"       -> ((s, d) => graft.pipeline.Dag.pipelineDagQuery(s, d)),
+    "pipeline_cdc"       -> ((s, d) => graft.pipeline.Dag.pipelineCdcQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2017,6 +2018,22 @@ object SparkEntry {
                   / COUNT(o_totalprice) AS avg_order_value
          FROM orders WHERE o_orderstatus <> 'P'
          GROUP BY 1, 2 ORDER BY o_custkey, day""",
+    // Pipeline CDC edge (Dag.pipelineCdcQuery): the dim is CREATED by
+    // the first refresh and maintained by APPLY CHANGES — %5==0
+    // inserted then deleted (absent), %5==1 keeps the in-batch seq-5
+    // winner (+555; the run-2 seq-2 late update prunes on the
+    // high-water), %5==2 updates to seq 7 (+777), %5==3 inserts at
+    // seq 4 (+444), %5==4 never existed
+    "pipeline_cdc" ->
+      """SELECT o_orderkey, o_custkey,
+                o_totalprice + CASE o_orderkey % 5
+                  WHEN 1 THEN 555.0 WHEN 2 THEN 777.0
+                  ELSE 444.0 END AS o_totalprice,
+                CAST(CASE o_orderkey % 5
+                  WHEN 1 THEN 5 WHEN 2 THEN 7 ELSE 4 END AS BIGINT)
+                  AS _seq
+         FROM orders WHERE o_orderkey % 5 IN (1, 2, 3)
+         ORDER BY o_orderkey""",
     // PERSISTED expectations (Medallion.expectationsPersisted): rules
     // declared via SQL DDL land in the manifest, gate the odd-slice
     // append, and record per-rule counts in that commit's log entry —

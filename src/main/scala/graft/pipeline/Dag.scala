@@ -212,6 +212,58 @@ object Dag {
     Incremental.presentDaily(ManifestTable.read(spark, goldP))
   }
 
+  /** Declared PIPELINE CDC query (round 19 — the [[Cdc]] flow's own
+    * oracle row): a 2-table graph — feed (ingest of CDC events) →
+    * dim (APPLY CHANGES as a pipeline edge) — refreshed twice. The
+    * target is CREATED by the first refresh (DLT's contract; no
+    * initialize call anywhere), the in-batch seq race resolves in
+    * run 1, run 2 delivers a delete, a LATE update (pruned by the
+    * `_seq` high-water), a fresh update, and a new key; a replayed
+    * refresh must no-op. Oracle recomputes the surviving dimension
+    * per key class. */
+  def pipelineCdcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagcdc_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val feedP = root.toString + "/cdc_feed"
+    val dimP = root.toString + "/dim_orders"
+    val k = col("o_orderkey")
+    def ev(s: SparkSession, filter: Column, delta: Double, seq: Long,
+           del: Boolean) = graft.Tables.orders(s, sfDir)
+      .filter(filter).select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + delta).as("o_totalprice"),
+        lit(seq).as("change_seq"), lit(del).as("is_delete"))
+    def batchOf(s: SparkSession, run: Long): DataFrame =
+      if (run == 1L)
+        ev(s, k % 5 === 0, 10.0, 1L, del = false)
+          .unionByName(ev(s, k % 5 === 1, 111.0, 1L, del = false))
+          .unionByName(ev(s, k % 5 === 1, 555.0, 5L, del = false))
+          .unionByName(ev(s, k % 5 === 2, 333.0, 3L, del = false))
+      else
+        ev(s, k % 5 === 0, 0.0, 9L, del = true)
+          .unionByName(ev(s, k % 5 === 1, 222.0, 2L, del = false))
+          .unionByName(ev(s, k % 5 === 2, 777.0, 7L, del = false))
+          .unionByName(ev(s, k % 5 === 3, 444.0, 4L, del = false))
+    val dag = Dag(Seq(
+      TableDef("feed", feedP, Ingest(batchOf)),
+      TableDef("dim", dimP, Cdc("feed", "o_orderkey", "change_seq",
+        deleteWhen = Some("is_delete")),
+        statsCols = Seq("o_orderkey"))))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    val r2b = dag.refresh(spark, 2L)
+    require(r2b.map(_.outcome) == Seq("skipped", "no_new_data"),
+      s"replayed CDC refresh must no-op: ${r2b.map(_.outcome)}")
+    ManifestTable.read(spark, dimP).orderBy(col("o_orderkey"))
+  }
+
   /** Topological order of `defs` (Kahn), refusing unknown inputs,
     * duplicate names, and cycles at CONSTRUCTION time. */
   private[pipeline] def topoSort(defs: Seq[TableDef]): Seq[TableDef] = {
