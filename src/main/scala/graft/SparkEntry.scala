@@ -162,6 +162,7 @@ object SparkEntry {
     "expectations_persisted" -> ((s, d) => graft.pipeline.Medallion.expectationsPersisted(s, d)),
     "pipeline_dag"       -> ((s, d) => graft.pipeline.Dag.pipelineDagQuery(s, d)),
     "pipeline_cdc"       -> ((s, d) => graft.pipeline.Dag.pipelineCdcQuery(s, d)),
+    "pipeline_sql"       -> ((s, d) => graft.pipeline.Dag.pipelineSqlQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2010,6 +2011,21 @@ object SparkEntry {
     // orders minus the dropped 'P' rows, gold the exact decimal daily
     // aggregate in the engine's presentation schema
     "pipeline_dag" ->
+      """SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS daily_revenue,
+                COUNT(*) AS order_count,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  / COUNT(o_totalprice) AS avg_order_value
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY 1, 2 ORDER BY o_custkey, day""",
+    // SQL pipeline spelling (Dag.pipelineSqlQuery): CREATE PIPELINE
+    // declares the same bronze→silver(DROP 'P')→gold graph in one
+    // statement, fed by raw parquet files landing in a directory
+    // (copy-ledger ingest); the oracle is the same relational gold
+    // recompute as pipeline_dag's — layout and refresh machinery are
+    // content-invisible
+    "pipeline_sql" ->
       """SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
                   AS daily_revenue,

@@ -89,6 +89,20 @@ object Dag {
     val kind = "materialize"
   }
 
+  /** File-ledger ingest edge (`AS COPY FROM` in the SQL spelling):
+    * each refresh COPY-INTOs the source directory — only files never
+    * ingested before land (the table's copy LEDGER is the watermark,
+    * no run id needed), so the edge is incremental and idempotent by
+    * construction. A missing target is created empty from the source
+    * schema. Flow-level expectations refuse here: COPY INTO already
+    * gates through the table's PERSISTED rules — declare them with
+    * `ALTER TABLE ... ADD EXPECTATION` and the counts land in the
+    * copy commit's own log entry. */
+  final case class CopyFrom(dir: String, format: String = "parquet",
+                            pattern: String = "*") extends Flow {
+    val inputs: Seq[String] = Nil; val kind = "copy"
+  }
+
   /** APPLY CHANGES as a pipeline edge (DLT's CDC flow): the upstream
     * table is an append-only CDC EVENT FEED; each refresh applies the
     * versions past the flow's high-water through
@@ -115,6 +129,11 @@ object Dag {
         "— a state DELTA is not row output, so drop/fail semantics " +
         "would silently differ from DLT's; attach the rules to the " +
         "row-wise flow upstream")
+    require(flow.kind != "copy" || expectations.isEmpty,
+      s"table '$name': flow-level expectations on a CopyFrom edge are " +
+        "refused — COPY INTO gates through the table's PERSISTED " +
+        "rules (ALTER TABLE ... ADD EXPECTATION), which also records " +
+        "the counts in the copy commit's log entry")
   }
 
   /** One table's refresh outcome within a run. */
@@ -210,6 +229,90 @@ object Dag {
       "event log must carry 2 runs x 3 tables (the replay no-ops " +
         "its tagged append)")
     Incremental.presentDaily(ManifestTable.read(spark, goldP))
+  }
+
+  /** Declared SQL-PIPELINE query (round 19 — the SQL spelling of
+    * [[pipelineDagQuery]]'s graph, DLT's `CREATE PIPELINE` shape):
+    * ONE statement declares bronze (ledger-driven COPY FROM a raw
+    * landing directory) → silver (INCREMENTAL SELECT over each
+    * refresh's NEW bronze rows, with EXPECT rules: 'P' orders DROP,
+    * big prices WARN) → gold (MATERIALIZED daily-revenue SELECT);
+    * `REFRESH PIPELINE` runs it. New FILES land in the source
+    * directory between runs — run 2 must ingest exactly those files
+    * (copy ledger) and silver must process exactly one new bronze
+    * version; a replayed RUN must no-op end to end. Oracle recomputes
+    * the final gold relationally over both batches minus the DROPped
+    * rows. */
+  def pipelineSqlQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagsql_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val src = root.toString + "/landing"
+    val k = col("o_orderkey")
+    def ordersOf(s: SparkSession) = graft.Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    // landing batch 1: raw parquet files in a plain directory
+    ordersOf(spark).filter(k % 3 =!= 2)
+      .coalesce(4).write.mode("append").parquet(src)
+    graft.GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(
+        s"""CREATE PIPELINE dag_sql EVENT LOG AT '$root/_events' AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src'
+              PATTERN '*.parquet' ;
+            TABLE silver AT '$root/silver'
+              EXPECT not_pending (o_orderstatus <> 'P')
+                ON VIOLATION DROP ROW
+              EXPECT reasonable_price (o_totalprice <= 400000.0)
+              INCREMENTAL FROM bronze AS
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate
+                FROM bronze ;
+            TABLE gold AT '$root/gold' MATERIALIZED FROM silver AS
+              SELECT o_custkey,
+                     date_trunc('DAY', o_orderdate) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                       AS DOUBLE) AS daily_revenue,
+                     COUNT(*) AS order_count,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                       AS DOUBLE) / COUNT(o_totalprice)
+                       AS avg_order_value
+              FROM silver
+              GROUP BY o_custkey, date_trunc('DAY', o_orderdate)"""
+      ).collect()
+      s.sql("REFRESH PIPELINE dag_sql RUN 1").collect()
+      // new FILES land in the source directory between runs
+      val before = new java.io.File(src).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      ordersOf(s).filter(k % 3 === 2)
+        .coalesce(4).write.mode("append").parquet(src)
+      val newFiles = new java.io.File(src).listFiles()
+        .count(f => f.getName.endsWith(".parquet")) - before
+      val r2 = s.sql("REFRESH PIPELINE dag_sql RUN 2").collect()
+        .map(r => r.getString(0) ->
+          ((r.getString(2), r.getLong(4), r.getLong(5)))).toMap
+      require(r2("bronze")._1 == "ingested" &&
+          r2("bronze")._3 == newFiles.toLong,
+        s"run-2 copy must ingest exactly the $newFiles new files, " +
+          s"got ${r2("bronze")}")
+      require(r2("silver")._1 == "landed" && r2("silver")._2 == 1L,
+        s"run-2 silver must process exactly one new bronze version, " +
+          s"got ${r2("silver")}")
+      // replayed RUN: ledger, watermark, and run tag all no-op
+      val r2b = s.sql("REFRESH PIPELINE dag_sql RUN 2").collect()
+        .map(_.getString(2)).toSeq
+      require(r2b == Seq("no_new_files", "no_new_data", "skipped"),
+        s"replayed run must no-op end to end: $r2b")
+      s.sql("DROP PIPELINE dag_sql").collect()
+      ManifestTable.read(s, root.toString + "/gold")
+        .orderBy(col("o_custkey"), col("day"))
+    }
   }
 
   /** Declared PIPELINE CDC query (round 19 — the [[Cdc]] flow's own
@@ -403,6 +506,28 @@ final case class Dag(defs: Seq[Dag.TableDef],
                 v, mj)
           }
 
+        case CopyFrom(dir, fmtS, pat) =>
+          // DLT creates the target: first refresh declares it EMPTY
+          // with the source's schema, then the ledger-driven copy
+          // ingests everything new
+          if (ManifestTable.currentVersion(spark, d.path).isEmpty) {
+            val empty = (fmtS.toLowerCase match {
+              case "parquet" => spark.read.parquet(dir)
+              case "csv" => spark.read.option("header", "true")
+                .option("inferSchema", "true").csv(dir)
+              case "json" => spark.read.json(dir)
+              case other => throw new IllegalArgumentException(
+                s"CopyFrom supports parquet/csv/json, got '$other'")
+            }).limit(0)
+            ManifestTable.write(empty, d.path,
+              statsCols = d.statsCols): Unit
+          }
+          val (v, n) =
+            ManifestTable.copyInto(spark, d.path, dir, fmtS, pat)
+          Refreshed(d.name, "copy",
+            if (n == 0) "no_new_files" else "ingested",
+            -1L, 0L, n.toLong, 0L, v, null)
+
         case Transform(of, rowFlow) =>
           val upPath = pathOf(of)
           val prefix = s"dag-${d.name}-v"
@@ -546,5 +671,42 @@ final case class Dag(defs: Seq[Dag.TableDef],
     val ep = eventLog.getOrElse(throw new IllegalStateException(
       "this pipeline declared no event log path"))
     ManifestTable.read(spark, ep)
+  }
+}
+
+/** Named-pipeline registry backing the SQL surface (`CREATE PIPELINE`
+  * / `REFRESH PIPELINE` / `DESCRIBE PIPELINE` / `DROP PIPELINE`).
+  * JVM-scoped (DLT's model too: the pipeline DEFINITION lives in
+  * source, only the tables and the event log are durable) — the
+  * per-name auto run counter restarts with the JVM, so a re-created
+  * pipeline refreshed with an ALREADY-USED explicit run id no-ops its
+  * run-tagged flows (that is the idempotency contract working, not a
+  * bug; pass a fresh RUN id, or rely on ledger/watermark-driven flows
+  * which need no run id at all). */
+object Pipelines {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    String, (Dag, java.util.concurrent.atomic.AtomicLong)]()
+
+  def register(name: String, dag: Dag): Unit = {
+    reg.put(name,
+      (dag, new java.util.concurrent.atomic.AtomicLong(0L))): Unit
+  }
+
+  def get(name: String): Dag = Option(reg.get(name)).map(_._1)
+    .getOrElse(throw new IllegalArgumentException(
+      s"no pipeline '$name' registered (live: " +
+        s"${names.mkString(", ")})"))
+
+  /** Next auto run id for `name` (used when REFRESH names no RUN). */
+  def nextRun(name: String): Long =
+    Option(reg.get(name)).map(_._2.incrementAndGet())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no pipeline '$name' registered"))
+
+  def drop(name: String): Boolean = reg.remove(name) != null
+
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    reg.keys.asScala.toSeq.sorted
   }
 }

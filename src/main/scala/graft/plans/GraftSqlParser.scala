@@ -48,6 +48,16 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   ALTER TABLE '<path>' ADD EXPECTATION name EXPECT (<expr>)
   *                        [ON VIOLATION WARN | DROP ROW | FAIL UPDATE]
   *   ALTER TABLE '<path>' DROP EXPECTATION name
+  *   CREATE PIPELINE name [EVENT LOG AT '<path>'] AS
+  *     TABLE t1 AT '<path>' AS COPY FROM '<dir>' [FORMAT f] [PATTERN 'g'] ;
+  *     TABLE t2 AT '<path>' [EXPECT r (<cond>) [ON VIOLATION ...]]...
+  *       INCREMENTAL FROM t1 AS SELECT ... ;
+  *     TABLE t3 AT '<path>' MATERIALIZED FROM t2 [, tN] AS SELECT ... ;
+  *     TABLE t4 AT '<path>' APPLY CHANGES FROM t1 KEYS (k) SEQUENCE BY s
+  *       [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1 [, c2])]
+  *   REFRESH PIPELINE name [RUN n]
+  *   DESCRIBE PIPELINE name
+  *   DROP PIPELINE name
   *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
   *   ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE '<path>' UNSET TBLPROPERTIES [IF EXISTS] ('k' [, ...])
@@ -224,6 +234,116 @@ object GraftSqlStatements {
       "\\s*;?\\s*$").r
   private val dropExpectationRe =
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+EXPECTATION\\s+(\\w+)\\s*;?\\s*$$".r
+  // Declarative pipeline (DLT's product shape, SQL spelling): one
+  // statement declares the whole graph — ';'-separated TABLE defs,
+  // each naming its storage path, optional EXPECT rules, and a flow:
+  //   AS COPY FROM '<dir>'            (ledger-driven file ingest)
+  //   INCREMENTAL FROM <up> AS SELECT (row-wise over NEW upstream rows
+  //                                    — the upstream name denotes the
+  //                                    change batch inside the SELECT)
+  //   MATERIALIZED FROM <a[, b]> AS SELECT   (full recompute)
+  //   APPLY CHANGES FROM <up> KEYS (k) SEQUENCE BY s
+  //     [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1[, c2])]
+  private val createPipelineRe =
+    (s"(?is)^\\s*CREATE\\s+PIPELINE\\s+(\\w+)" +
+      s"(?:\\s+EVENT\\s+LOG\\s+AT\\s+$P)?\\s+AS\\s+(.+)$$").r
+  private val refreshPipelineRe =
+    "(?is)^\\s*REFRESH\\s+PIPELINE\\s+(\\w+)(?:\\s+RUN\\s+(\\d+))?\\s*;?\\s*$".r
+  private val describePipelineRe =
+    "(?is)^\\s*DESCRIBE\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
+  private val dropPipelineRe =
+    "(?is)^\\s*DROP\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
+  private val pipeDefHeadRe =
+    s"(?is)^\\s*TABLE\\s+(\\w+)\\s+AT\\s+$P\\s+(.+)$$".r
+  private val pipeCopyRe =
+    ("(?is)^AS\\s+COPY\\s+FROM\\s+'([^']+)'(?:\\s+FORMAT\\s+(\\w+))?" +
+      "(?:\\s+PATTERN\\s+'([^']+)')?\\s*$").r
+  private val pipeIncrRe =
+    "(?is)^INCREMENTAL\\s+FROM\\s+(\\w+)\\s+AS\\s+((?:SELECT|WITH)\\s+.+)$".r
+  private val pipeMatRe =
+    "(?is)^MATERIALIZED\\s+FROM\\s+([\\w\\s,]+?)\\s+AS\\s+((?:SELECT|WITH)\\s+.+)$".r
+  private val pipeCdcRe =
+    ("(?is)^APPLY\\s+CHANGES\\s+FROM\\s+(\\w+)\\s+KEYS\\s*\\((\\w+)\\)" +
+      "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
+      "(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(\\w+))?" +
+      "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([\\w\\s,]+)\\))?\\s*$").r
+  private val pipeExpectHeadRe = "(?is)^\\s*EXPECT\\s+(\\w+)\\s*\\(".r
+  private val pipeViolRe =
+    "(?is)^\\s*ON\\s+VIOLATION\\s+(WARN|DROP\\s+ROW|FAIL\\s+UPDATE)".r
+
+  /** Split the CREATE PIPELINE body at top-level ';' (a ';' inside a
+    * string literal never splits). */
+  private def splitPipeDefs(body: String): Seq[String] = {
+    val masked = maskLiterals(body)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      if (masked.charAt(i) == ';') {
+        out += body.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    out += body.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parsePipeDef(s: String): PipeDef = s match {
+    case pipeDefHeadRe(name, path, rest0) =>
+      var rest = rest0.trim
+      val exps = scala.collection.mutable
+        .ArrayBuffer.empty[(String, String, String)]
+      var m = pipeExpectHeadRe.findPrefixMatchOf(rest)
+      while (m.isDefined) {
+        val open = m.get.end - 1 // the '(' the head regex ends on
+        val masked = maskLiterals(rest)
+        var depth = 0; var close = -1; var i = open
+        while (i < rest.length && close < 0) {
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(close > open,
+          s"unbalanced EXPECT condition in pipeline table '$name'")
+        val cond = rest.substring(open + 1, close).trim
+        var tail = rest.substring(close + 1)
+        val act = pipeViolRe.findPrefixMatchOf(tail) match {
+          case Some(vm) =>
+            tail = tail.substring(vm.end)
+            vm.group(1).trim.split("\\s+")(0).toLowerCase
+          case None => "warn"
+        }
+        exps += ((m.get.group(1), cond, act))
+        rest = tail.trim
+        m = pipeExpectHeadRe.findPrefixMatchOf(rest)
+      }
+      val flow = rest match {
+        case pipeCopyRe(dir, fmt, pat) =>
+          PipeCopy(dir, Option(fmt).map(_.toLowerCase)
+            .getOrElse("parquet"), Option(pat).getOrElse("*"))
+        case pipeIncrRe(up, sel) => PipeIncr(up, sel.trim)
+        case pipeMatRe(ups, sel) =>
+          val ins = ups.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(ins.nonEmpty,
+            s"MATERIALIZED FROM needs at least one input in '$name'")
+          PipeMat(ins, sel.trim)
+        case pipeCdcRe(up, key, seqBy, del, tracked) =>
+          PipeCdc(up, key, seqBy, Option(del),
+            Option(tracked).map(_.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq))
+        case other => throw new IllegalArgumentException(
+          s"pipeline table '$name' has no recognizable flow — " +
+            "expected AS COPY FROM / INCREMENTAL FROM / MATERIALIZED " +
+            s"FROM / APPLY CHANGES FROM, got: ${other.take(80)}")
+      }
+      PipeDef(name, path, exps.toSeq, flow)
+    case other => throw new IllegalArgumentException(
+      "malformed pipeline TABLE definition (want TABLE <name> AT " +
+        s"'<path>' ...): ${other.take(80)}")
+  }
   private val cloneRe =
     s"(?is)^\\s*CREATE\\s+TABLE\\s+$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$".r
   private val createLikeRe =
@@ -371,6 +491,16 @@ object GraftSqlStatements {
         Seq(name, cond.trim, act)))
     case dropExpectationRe(path, name) =>
       Some(GraftAlterCommand(path, "drop_expectation", Seq(name)))
+    case createPipelineRe(name, eventLog, body) =>
+      val defs = splitPipeDefs(body).map(parsePipeDef)
+      require(defs.nonEmpty, "CREATE PIPELINE needs at least one TABLE")
+      Some(GraftCreatePipelineCommand(name, Option(eventLog), defs))
+    case refreshPipelineRe(name, run) =>
+      Some(GraftRefreshPipelineCommand(name, Option(run).map(_.toLong)))
+    case describePipelineRe(name) =>
+      Some(GraftDescribePipelineCommand(name))
+    case dropPipelineRe(name) =>
+      Some(GraftDropPipelineCommand(name))
     case addColumnsRe(path, colsDdl) =>
       Some(GraftAlterCommand(path, "add_columns", Seq(colsDdl.trim)))
     case dropConstraintRe(path, name) =>
@@ -1362,6 +1492,121 @@ case class GraftShowPropertiesCommand(path: String)
 /** ALTER TABLE family + ANALYZE — metadata-only verbs over one
   * dispatch (each maps 1:1 onto a ManifestTable call; the variants
   * share the version-returning shape). */
+/** Parsed flow of one CREATE PIPELINE table definition. */
+sealed trait PipeFlowSpec
+final case class PipeCopy(dir: String, format: String,
+                          pattern: String) extends PipeFlowSpec
+final case class PipeIncr(of: String, select: String) extends PipeFlowSpec
+final case class PipeMat(of: Seq[String], select: String)
+    extends PipeFlowSpec
+final case class PipeCdc(of: String, key: String, seqBy: String,
+                         deleteWhen: Option[String],
+                         tracked: Option[Seq[String]]) extends PipeFlowSpec
+
+/** One parsed CREATE PIPELINE table definition: name, storage path,
+  * EXPECT rules as (name, condition, warn|drop|fail), and the flow. */
+final case class PipeDef(name: String, path: String,
+                         expectations: Seq[(String, String, String)],
+                         flow: PipeFlowSpec)
+
+/** CREATE PIPELINE — compile the parsed graph to a
+  * [[graft.pipeline.Dag]] and register it under `name`
+  * ([[graft.pipeline.Pipelines]]). SQL SELECTs bind by TEMP VIEW: an
+  * INCREMENTAL definition's upstream name denotes the NEW-ROWS batch
+  * of that refresh; a MATERIALIZED definition's inputs denote full
+  * table reads. Graph validation (cycles, unknown inputs, duplicate
+  * names, expectation placement) happens here, at CREATE time. */
+case class GraftCreatePipelineCommand(name: String,
+                                      eventLog: Option[String],
+                                      defs: Seq[PipeDef])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pipeline", StringType, nullable = false)(),
+    AttributeReference("tables", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.pipeline.{Dag, Expectations}
+    val tdefs = defs.map { pd =>
+      val exps = pd.expectations.map { case (n, c, a) => a match {
+        case "warn" => Expectations.expect(n, c)
+        case "drop" => Expectations.expectOrDrop(n, c)
+        case _      => Expectations.expectOrFail(n, c)
+      }}
+      val flow: Dag.Flow = pd.flow match {
+        case PipeCopy(dir, fmt, pat) => Dag.CopyFrom(dir, fmt, pat)
+        case PipeIncr(up, sel) => Dag.Transform(up, batch => {
+          batch.createOrReplaceTempView(up)
+          batch.sparkSession.sql(sel)
+        })
+        case PipeMat(ups, sel) => Dag.Materialize(ups, inputs => {
+          inputs.foreach { case (n, df) =>
+            df.createOrReplaceTempView(n) }
+          inputs.valuesIterator.next().sparkSession.sql(sel)
+        })
+        case PipeCdc(up, key, seqBy, del, tracked) =>
+          Dag.Cdc(up, key, seqBy, del, tracked)
+      }
+      Dag.TableDef(pd.name, GraftSqlCommands.rp(session, pd.path),
+        flow, exps)
+    }
+    val dag = Dag(tdefs, eventLog.map(GraftSqlCommands.rp(session, _)))
+    graft.pipeline.Pipelines.register(name, dag)
+    Seq(Row(name, defs.size.toLong))
+  }
+}
+
+/** REFRESH PIPELINE — one topological refresh pass; returns one row
+  * per table (the [[graft.pipeline.Dag.Refreshed]] audit record).
+  * Without RUN, an auto-incrementing per-registration id is used;
+  * replaying an explicit RUN id no-ops the run-tagged flows. */
+case class GraftRefreshPipelineCommand(name: String,
+                                       runId: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("flow", StringType, nullable = false)(),
+    AttributeReference("outcome", StringType, nullable = false)(),
+    AttributeReference("upstream_version", LongType, nullable = false)(),
+    AttributeReference("versions_processed", LongType, nullable = false)(),
+    AttributeReference("files_read", LongType, nullable = false)(),
+    AttributeReference("rows_observed", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)(),
+    AttributeReference("expect_metrics", StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val run = runId.getOrElse(graft.pipeline.Pipelines.nextRun(name))
+    graft.pipeline.Pipelines.get(name).refresh(session, run).map(r =>
+      Row(r.table, r.flowKind, r.outcome, r.upstreamVersion,
+        r.versionsProcessed, r.filesRead, r.rowsObserved,
+        r.committedVersion, r.expectMetrics))
+  }
+}
+
+/** DESCRIBE PIPELINE — the declared graph, one row per table in
+  * refresh order. */
+case class GraftDescribePipelineCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("flow", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("inputs", StringType, nullable = false)(),
+    AttributeReference("expectations", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.pipeline.Pipelines.get(name).ordered.map(d =>
+      Row(d.name, d.flow.kind, d.path, d.flow.inputs.mkString(","),
+        d.expectations.map(e => s"${e.name}:${e.action.name}")
+          .mkString(",")))
+}
+
+/** DROP PIPELINE — unregister (tables and event log stay on disk). */
+case class GraftDropPipelineCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(graft.pipeline.Pipelines.drop(name)))
+}
+
 case class GraftAlterCommand(path: String, verb: String, args: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

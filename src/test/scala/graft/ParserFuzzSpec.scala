@@ -330,6 +330,49 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE PIPELINE fuzz: 20 seeded cases — ';' inside literals never splits defs, paren-bearing EXPECT conditions stay whole") {
+    val r = new Random(77023L)
+    (1 to 20).foreach { i =>
+      val root = s"/tmp/fz p$i"
+      // the SELECT carries a ';' and an EXPECT-shaped word inside a
+      // string literal — the def split and the expect scan must both
+      // ignore them; the EXPECT condition nests parens and commas
+      val sql =
+        s"""${kc(r, "CREATE PIPELINE")} pz$i ${kc(r, "AS")}
+            ${kc(r, "TABLE")} b ${kc(r, "AT")} '$root/b'
+              ${kc(r, "AS COPY FROM")} '$root/src;dir' ;
+            ${kc(r, "TABLE")} s ${kc(r, "AT")} '$root/s'
+              ${kc(r, "EXPECT")} ok (coalesce(v, round(x, 2)) > 0)
+                ${kc(r, "ON VIOLATION DROP ROW")}
+              ${kc(r, "INCREMENTAL FROM")} b ${kc(r, "AS")}
+                SELECT id, 'a;EXPECT z(' AS tagx, v FROM b ;
+            ${kc(r, "TABLE")} g ${kc(r, "AT")} '$root/g'
+              ${kc(r, "MATERIALIZED FROM")} s ${kc(r, "AS")}
+                SELECT tagx, COUNT(*) AS n FROM s GROUP BY tagx"""
+      parse(sql).get match {
+        case c: GraftCreatePipelineCommand =>
+          assert(c.defs.size === 3, s"case $i def split: ${c.defs.map(_.name)}")
+          assert(c.defs.map(_.name) === Seq("b", "s", "g"))
+          assert(c.defs.head.flow ===
+            PipeCopy(s"$root/src;dir", "parquet", "*"))
+          val sdef = c.defs(1)
+          assert(sdef.expectations ===
+            Seq(("ok", "coalesce(v, round(x, 2)) > 0", "drop")),
+            s"case $i expectations: ${sdef.expectations}")
+          assert(sdef.flow.asInstanceOf[PipeIncr].select
+            .contains("'a;EXPECT z('"), s"case $i literal mangled")
+          assert(c.defs(2).flow.asInstanceOf[PipeMat].of === Seq("s"))
+        case o => fail(s"case $i misrouted: $o")
+      }
+      val rr = s"${kc(r, "REFRESH PIPELINE")} pz$i ${kc(r, "RUN")} $i"
+      parse(rr).get match {
+        case cmd: GraftRefreshPipelineCommand =>
+          assert(cmd.name === s"pz$i" && cmd.runId.contains(i.toLong))
+        case o => fail(s"case $i refresh misrouted: $o")
+      }
+    }
+  }
+
   test("APPLY CHANGES fuzz: 40 seeded cases — optional clauses, hazard literals, random case/whitespace") {
     val r = new Random(77017L)
     (1 to 40).foreach { i =>

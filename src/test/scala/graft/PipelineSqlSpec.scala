@@ -1,0 +1,137 @@
+package graft
+
+import graft.pipeline.{ManifestTable, Pipelines}
+import org.apache.spark.sql.functions._
+
+/** SQL spelling of the declarative pipeline (round 19): CREATE
+  * PIPELINE parses the whole graph in one statement, REFRESH runs it
+  * topologically (COPY ledger ingest, incremental SELECT over new
+  * rows, materialized SELECT, APPLY CHANGES edge), DESCRIBE/DROP
+  * manage the registry.
+  */
+class PipelineSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("CREATE/REFRESH/DESCRIBE/DROP PIPELINE end to end: copy ingest, incremental with EXPECT, materialized gold") {
+    val root = tmp("graft_psql")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // source files, batch 1 (raw parquet dir — a landing zone)
+    Seq((1L, "a", 10.0), (2L, "P", 20.0), (3L, "a", 30.0))
+      .toDF("id", "status", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    GraftSession.withSqlExtensions(spark) { s =>
+      val created = s.sql(
+        s"""CREATE PIPELINE psql EVENT LOG AT '$root/_events' AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src'
+              PATTERN '*.parquet' ;
+            TABLE silver AT '$root/silver'
+              EXPECT no_p (status <> 'P') ON VIOLATION DROP ROW
+              EXPECT pos_v (v > 0)
+              INCREMENTAL FROM bronze AS
+                SELECT id, status, v + 1.0 AS v FROM bronze ;
+            TABLE gold AT '$root/gold' MATERIALIZED FROM silver AS
+              SELECT status, CAST(SUM(CAST(v AS DECIMAL(30,6)))
+                AS DOUBLE) AS sv, COUNT(*) AS n
+              FROM silver GROUP BY status""").collect()
+      assert(created.head.getString(0) === "psql" &&
+        created.head.getLong(1) === 3L)
+      // DESCRIBE lists the graph in refresh order with expectations
+      val desc = s.sql("DESCRIBE PIPELINE psql").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+      assert(desc === Array(
+        ("bronze", "copy", ""),
+        ("silver", "transform", "no_p:drop,pos_v:warn"),
+        ("gold", "materialize", "")))
+      // run 1
+      val r1 = s.sql("REFRESH PIPELINE psql RUN 1").collect()
+      assert(r1.map(r => (r.getString(0), r.getString(2))).toSeq ===
+        Seq(("bronze", "ingested"), ("silver", "landed"),
+          ("gold", "landed")))
+      assert(ManifestTable.read(s, s"$root/silver")
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq === Seq(1L, 3L),
+        "the DROP expectation must filter the 'P' row")
+      // batch 2 lands in the SOURCE DIR; refresh ingests ONLY the new
+      // file (copy ledger) and silver processes ONLY bronze v2
+      Seq((4L, "a", 40.0), (5L, "P", 50.0)).toDF("id", "status", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val r2 = s.sql("REFRESH PIPELINE psql RUN 2").collect()
+      val bronze2 = r2.find(_.getString(0) == "bronze").get
+      assert(bronze2.getString(2) === "ingested" &&
+        bronze2.getLong(5) === 1L, "exactly ONE new file ingested")
+      val silver2 = r2.find(_.getString(0) == "silver").get
+      assert(silver2.getLong(4) === 1L,
+        "silver must process exactly one new bronze version")
+      // gold is a full recompute over silver = kept rows of both runs
+      val gold = ManifestTable.read(s, s"$root/gold")
+        .select("status", "sv", "n").collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      assert(gold("a") === ((11.0 + 31.0 + 41.0, 3L)))
+      assert(!gold.contains("P"))
+      // replayed run: copy no-ops on the ledger, silver on the
+      // watermark, gold on the run tag
+      val r2b = s.sql("REFRESH PIPELINE psql RUN 2").collect()
+      assert(r2b.map(_.getString(2)).toSeq ===
+        Seq("no_new_files", "no_new_data", "skipped"))
+      // event log recorded 3 runs x 3 tables minus the replay's
+      // idempotent append (runs 1 and 2 only)
+      assert(ManifestTable.read(s, s"$root/_events").count() === 6L)
+      // unknown pipeline and DROP
+      val e = intercept[Exception] {
+        s.sql("REFRESH PIPELINE nope").collect()
+      }
+      assert(e.getMessage.contains("no pipeline"))
+      assert(s.sql("DROP PIPELINE psql").collect().head.getBoolean(0))
+      assert(!Pipelines.names.contains("psql"))
+    }
+  }
+
+  test("CREATE PIPELINE parses the APPLY CHANGES edge and refuses malformed flows at CREATE time") {
+    val root = tmp("graft_psql2")
+    GraftSession.withSqlExtensions(spark) { s =>
+      // CDC edge parse + run: feed ingested from files, dim applied
+      val src = s"$root/cdc_src"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(src))
+      Seq((1L, "x", 1L, false), (1L, "y", 5L, false),
+        (2L, "z", 2L, true))
+        .toDF("id", "attr", "seq", "del")
+        .coalesce(1).write.mode("append").parquet(src)
+      s.sql(
+        s"""CREATE PIPELINE pcdc AS
+            TABLE feed AT '$root/feed' AS COPY FROM '$src' ;
+            TABLE dim AT '$root/dim' APPLY CHANGES FROM feed
+              KEYS (id) SEQUENCE BY seq
+              APPLY AS DELETE WHEN del""").collect()
+      val r1 = s.sql("REFRESH PIPELINE pcdc RUN 1").collect()
+      assert(r1.map(_.getString(2)).toSeq ===
+        Seq("ingested", "applied"))
+      val dim = ManifestTable.read(s, s"$root/dim")
+        .select("id", "attr", "_seq")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).sorted.toSeq
+      assert(dim === Seq((1L, "y", 5L)),
+        "in-batch race resolves, absent-key delete no-ops")
+      s.sql("DROP PIPELINE pcdc").collect()
+      // a def with no recognizable flow refuses at CREATE (parse) time
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE PIPELINE bad AS
+                  TABLE t AT '$root/t' FULL JOIN nonsense""").collect()
+      }
+      assert(e.getMessage.contains("no recognizable flow"))
+      // a cycle refuses at CREATE time (Dag construction)
+      val e2 = intercept[Exception] {
+        s.sql(s"""CREATE PIPELINE cyc AS
+                  TABLE a AT '$root/a' INCREMENTAL FROM b AS SELECT * FROM b ;
+                  TABLE b AT '$root/b' INCREMENTAL FROM a AS SELECT * FROM a""")
+          .collect()
+      }
+      assert(e2.getMessage.contains("cycle"))
+    }
+  }
+}
