@@ -481,9 +481,66 @@ final case class Dag(defs: Seq[Dag.TableDef],
     * Idempotent per `runId`: every commit carries a tag derived from
     * the run or the upstream version range, so replaying a run (or
     * resuming a crashed one) re-derives only no-ops. Returns one
-    * [[Dag.Refreshed]] per table and appends them to the event log. */
+    * [[Dag.Refreshed]] per table and appends them to the event log.
+    *
+    * FAILURE containment (DLT's reading): a failing flow stops the
+    * graph — downstream flows do NOT run against a half-refreshed
+    * upstream — but everything already committed STAYS committed,
+    * the event log records every completed flow plus a `failed` row
+    * for the broken one (error message in its metrics column), and a
+    * re-refresh with the SAME run id resumes: completed flows no-op
+    * on their tags, only the failed flow and its downstream re-run. */
   def refresh(spark: SparkSession, runId: Long): Seq[Refreshed] = {
-    val results = ordered.map { d =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[Refreshed]
+    var failure: Option[Throwable] = None
+    val it = ordered.iterator
+    while (it.hasNext && failure.isEmpty) {
+      val d = it.next()
+      try results += refreshOne(spark, runId, d)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\n\\r\\t]", " ").take(300)
+          results += Refreshed(d.name, d.flow.kind, "failed", -1L, 0L,
+            0L, 0L,
+            ManifestTable.currentVersion(spark, d.path).getOrElse(-1L),
+            s"""{"error":"$msg"}""")
+          failure = Some(e)
+      }
+    }
+    logEvents(spark, runId, results.toSeq, failed = failure.isDefined)
+    failure.foreach(e => throw new IllegalStateException(
+      s"pipeline refresh (run $runId) failed at table " +
+        s"'${results.last.table}' — completed flows are committed, " +
+        "downstream flows did not run, the event log records the " +
+        "attempt; fix and re-refresh with the SAME run id (completed " +
+        "flows no-op on their tags)", e))
+    results.toSeq
+  }
+
+  private def logEvents(spark: SparkSession, runId: Long,
+                        rs: Seq[Refreshed], failed: Boolean): Unit =
+    eventLog.foreach { ep =>
+      import spark.implicits._
+      val df = rs.map(r => (runId, r.table, r.flowKind,
+          r.outcome, r.upstreamVersion, r.versionsProcessed,
+          r.filesRead, r.rowsObserved, r.committedVersion,
+          r.expectMetrics))
+        .toDF("run_id", "table", "flow", "outcome",
+          "upstream_version", "versions_processed", "files_read",
+          "rows_observed", "committed_version", "expect_metrics")
+      // successful runs log idempotently under the run tag (a
+      // replayed all-no-op run must not re-append); FAILED attempts
+      // log unconditionally — each attempt is a distinct event, and
+      // the run tag must stay free for the eventual successful retry
+      if (failed) ManifestTable.append(df, ep): Unit
+      else ManifestTable.appendIdempotent(df, ep,
+        tag = s"dag-events-run$runId"): Unit
+    }
+
+  private def refreshOne(spark: SparkSession, runId: Long,
+                         d: TableDef): Refreshed = {
       d.flow match {
         case Ingest(batchOf) =>
           val tag = s"dag-${d.name}-run$runId"
@@ -637,21 +694,6 @@ final case class Dag(defs: Seq[Dag.TableDef],
                 rows, v, mj)
           }
       }
-    }
-    eventLog.foreach { ep =>
-      import spark.implicits._
-      val rows = results.map(r => (runId, r.table, r.flowKind,
-        r.outcome, r.upstreamVersion, r.versionsProcessed, r.filesRead,
-        r.rowsObserved, r.committedVersion, r.expectMetrics))
-      // idempotent: a replayed run (whose flows all tag-no-op'd) must
-      // not re-append its event rows either
-      ManifestTable.appendIdempotent(
-        rows.toDF("run_id", "table", "flow", "outcome",
-          "upstream_version", "versions_processed", "files_read",
-          "rows_observed", "committed_version", "expect_metrics"),
-        ep, tag = s"dag-events-run$runId"): Unit
-    }
-    results
   }
 
   /** DESCRIBE PIPELINE: the declared graph as a table — one row per

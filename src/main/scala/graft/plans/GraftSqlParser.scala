@@ -253,6 +253,8 @@ object GraftSqlStatements {
     "(?is)^\\s*DESCRIBE\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
   private val dropPipelineRe =
     "(?is)^\\s*DROP\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
+  private val showPipelinesRe =
+    "(?is)^\\s*SHOW\\s+PIPELINES\\s*;?\\s*$".r
   private val pipeDefHeadRe =
     s"(?is)^\\s*TABLE\\s+(\\w+)\\s+AT\\s+$P\\s+(.+)$$".r
   private val pipeCopyRe =
@@ -501,6 +503,8 @@ object GraftSqlStatements {
       Some(GraftDescribePipelineCommand(name))
     case dropPipelineRe(name) =>
       Some(GraftDropPipelineCommand(name))
+    case showPipelinesRe() =>
+      Some(GraftShowPipelinesCommand())
     case addColumnsRe(path, colsDdl) =>
       Some(GraftAlterCommand(path, "add_columns", Seq(colsDdl.trim)))
     case dropConstraintRe(path, name) =>
@@ -1595,6 +1599,21 @@ case class GraftDescribePipelineCommand(name: String)
       Row(d.name, d.flow.kind, d.path, d.flow.inputs.mkString(","),
         d.expectations.map(e => s"${e.name}:${e.action.name}")
           .mkString(",")))
+}
+
+/** SHOW PIPELINES — every registered pipeline with its table count
+  * and event-log location. */
+case class GraftShowPipelinesCommand()
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pipeline", StringType, nullable = false)(),
+    AttributeReference("tables", LongType, nullable = false)(),
+    AttributeReference("event_log", StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.pipeline.Pipelines.names.map { n =>
+      val dag = graft.pipeline.Pipelines.get(n)
+      Row(n, dag.defs.size.toLong, dag.eventLog.orNull)
+    }
 }
 
 /** DROP PIPELINE — unregister (tables and event log stay on disk). */

@@ -136,6 +136,44 @@ class DagSpec extends SparkSpec {
     assert(desc === Seq(("feed", "ingest"), ("dim", "cdc")))
   }
 
+  test("FAILURE containment: a failing flow stops downstream, logs a failed event row, and a same-run retry resumes from the failure") {
+    val root = tmp("graft_dag_fail")
+    val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
+    val goldP = s"$root/gold"; val eventsP = s"$root/_events"
+    @volatile var boom = true
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP,
+        Ingest((_, run) => Seq((run, 1.0)).toDF("id", "v"))),
+      TableDef("silver", silverP, Transform("bronze", df =>
+        if (boom) sys.error("transform exploded") else df)),
+      TableDef("gold", goldP, Materialize(Seq("silver"),
+        m => m("silver").groupBy().agg(sum("v").as("sv"))))),
+      eventLog = Some(eventsP))
+    val e = intercept[IllegalStateException] { dag.refresh(spark, 1L) }
+    assert(e.getMessage.contains("failed at table 'silver'"))
+    // bronze committed and logged; silver logged as failed with the
+    // error in its metrics column; gold never ran
+    assert(ManifestTable.read(spark, bronzeP).count() === 1L)
+    val ev1 = dag.events(spark)
+      .select("table", "outcome", "expect_metrics").collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2))))).toMap
+    assert(ev1("bronze")._1 === "landed")
+    assert(ev1("silver")._1 === "failed" &&
+      ev1("silver")._2.exists(_.contains("transform exploded")))
+    assert(!ev1.contains("gold"), "downstream must not run")
+    assert(ManifestTable.currentVersion(spark, goldP).isEmpty)
+    // same-run retry: bronze no-ops on its tag, silver and gold land
+    boom = false
+    val r = dag.refresh(spark, 1L)
+    assert(r.map(x => (x.table, x.outcome)) === Seq(
+      ("bronze", "skipped"), ("silver", "landed"), ("gold", "landed")))
+    // the retry's events logged under the run tag (the failed attempt
+    // left it free)
+    assert(dag.events(spark).filter(col("outcome") === "landed")
+      .count() >= 3L)
+  }
+
   test("row-wise Transform refuses a non-append upstream commit loudly") {
     val root = tmp("graft_dag_na")
     val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
@@ -148,9 +186,10 @@ class DagSpec extends SparkSpec {
     // an upstream MERGE (rewrite commit) breaks the row-wise contract
     ManifestTable.merge(
       Seq((1L, "y")).toDF("id", "s"), bronzeP, "id")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       dag.refresh(spark, 2L)
     }
-    assert(e.getMessage.contains("NON-APPEND"))
+    assert(e.getMessage.contains("failed at table 'silver'") &&
+      Option(e.getCause).exists(_.getMessage.contains("NON-APPEND")))
   }
 }
