@@ -163,6 +163,7 @@ object SparkEntry {
     "pipeline_dag"       -> ((s, d) => graft.pipeline.Dag.pipelineDagQuery(s, d)),
     "pipeline_cdc"       -> ((s, d) => graft.pipeline.Dag.pipelineCdcQuery(s, d)),
     "pipeline_sql"       -> ((s, d) => graft.pipeline.Dag.pipelineSqlQuery(s, d)),
+    "pipeline_agg"       -> ((s, d) => graft.pipeline.Dag.pipelineAggQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2034,6 +2035,18 @@ object SparkEntry {
                   / COUNT(o_totalprice) AS avg_order_value
          FROM orders WHERE o_orderstatus <> 'P'
          GROUP BY 1, 2 ORDER BY o_custkey, day""",
+    // Compiled-aggregate pipeline flow (Dag.pipelineAggQuery): gold is
+    // the AGGREGATE FROM facts fold — run 1 ingests even keys, a
+    // keyed DELETE retracts the %10 slice between runs, run 2 ingests
+    // odd keys; the oracle recomputes the surviving per-customer
+    // aggregate (exact decimal state -> double presentation)
+    "pipeline_agg" ->
+      """SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n
+         FROM orders WHERE o_orderkey % 10 <> 0
+         GROUP BY 1 ORDER BY o_custkey""",
     // Pipeline CDC edge (Dag.pipelineCdcQuery): the dim is CREATED by
     // the first refresh and maintained by APPLY CHANGES — %5==0
     // inserted then deleted (absent), %5==1 keeps the in-batch seq-5

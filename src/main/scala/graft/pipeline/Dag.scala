@@ -82,6 +82,49 @@ object Dag {
     def inputs: Seq[String] = Seq(of); val kind = "aggregate"
   }
 
+  /** COMPILE a restricted SQL-shaped aggregate into the mergeable-
+    * state triple (the `AGGREGATE FROM ... GROUP BY ... AGG (...)`
+    * SQL flow): each agg is (fn, argExpr, name) with fn ∈ SUM|COUNT.
+    * SUM compiles to an exact `DECIMAL(30,6)` sum (decimal addition
+    * is associative, so the fold merges and NEGATES bit-exactly —
+    * the [[Incremental]] contract; a double sum would drift by
+    * accumulation order), COUNT(*)/COUNT(expr) to long counts. An
+    * implicit `_rows` row count rides along as the liveness column —
+    * a fully retracted group leaves no tombstone. AVG is a READ-side
+    * derivation (SUM/COUNT) by design: averages don't merge. */
+  def aggregateOf(of: String, groupBy: Seq[String],
+                  aggs: Seq[(String, String, String)]): Aggregate = {
+    require(groupBy.nonEmpty, "AGGREGATE needs at least one GROUP BY column")
+    require(aggs.nonEmpty, "AGGREGATE needs at least one AGG entry")
+    val names = aggs.map(_._3)
+    require(names.distinct.size == names.size &&
+        !names.exists(n => n == "_rows" || groupBy.contains(n)),
+      s"AGG output names must be distinct, not '_rows', and not " +
+        s"collide with GROUP BY columns: $names")
+    val stateCols = aggs.map {
+      case ("sum", e, n)   => sum(expr(e).cast("decimal(30,6)")).as(n)
+      case ("count", "*", n) => count(lit(1)).as(n)
+      case ("count", e, n) => count(expr(e)).as(n)
+      case (fn, _, n) => throw new IllegalArgumentException(
+        s"AGGREGATE supports SUM and COUNT (got $fn AS $n) — AVG is " +
+          "a read-side SUM/COUNT derivation; other aggregates need " +
+          "the Scala Aggregate flow with explicit state functions")
+    } :+ count(lit(1)).as("_rows")
+    val stateNames = names :+ "_rows"
+    val keyCols = groupBy
+    Aggregate(of,
+      stateOf = df => df.groupBy(keyCols.map(col): _*)
+        .agg(stateCols.head, stateCols.tail: _*),
+      negate = df => df.select(keyCols.map(col) ++
+        stateNames.map(n => (-col(n)).as(n)): _*),
+      merge = (a, b) => a.unionByName(b)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(stateNames.head)).as(stateNames.head),
+          stateNames.tail.map(n => sum(col(n)).as(n)): _*),
+      live = col("_rows") > 0,
+      keyCols = keyCols)
+  }
+
   /** Full recompute over any upstreams — the fallback shape. */
   final case class Materialize(inputs: Seq[String],
                                compute: Map[String, DataFrame] => DataFrame)
@@ -313,6 +356,58 @@ object Dag {
       ManifestTable.read(s, root.toString + "/gold")
         .orderBy(col("o_custkey"), col("day"))
     }
+  }
+
+  /** Declared COMPILED-AGGREGATE pipeline query (round 19 — the
+    * `AGGREGATE FROM ... GROUP BY ... AGG (...)` SQL flow, closing
+    * the SQL/Scala asymmetry for sum/count-shaped gold tables): the
+    * facts edge ingests the even-key orders in run 1; a DELETE lands
+    * on the facts table between runs (an out-of-band retraction —
+    * exactly what a full-recompute MATERIALIZED view absorbs for free
+    * and an incremental fold must NEGATE exactly); run 2 ingests the
+    * odd keys and folds BOTH the delete and the new batch through the
+    * compiled decimal-exact state. A replayed run no-ops. Oracle
+    * recomputes the surviving aggregate relationally — a drifting
+    * negation (double state), a tombstoned group, or a rescan-shaped
+    * wrong fold all hash-fail. */
+  def pipelineAggQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagagg_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val factsP = root.toString + "/facts"
+    val goldP = root.toString + "/gold_rev"
+    val k = col("o_orderkey")
+    def ordersOf(s: SparkSession) = graft.Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dag = Dag(Seq(
+      TableDef("facts", factsP, Ingest((s, run) =>
+        if (run == 1L) ordersOf(s).filter(k % 2 === 0)
+        else ordersOf(s).filter(k % 2 === 1)),
+        statsCols = Seq("o_orderkey")),
+      TableDef("gold", goldP, aggregateOf("facts",
+        groupBy = Seq("o_custkey"),
+        aggs = Seq(("sum", "o_totalprice", "revenue"),
+          ("count", "*", "n"))))))
+    dag.refresh(spark, 1L)
+    // out-of-band RETRACTION between runs: a keyed delete on facts —
+    // the fold must negate those rows' contributions bit-exactly
+    ManifestTable.deleteWhere(spark, factsP, k % 10 === 0)
+    val r2 = dag.refresh(spark, 2L)
+    require(r2.map(_.outcome) == Seq("landed", "merged"),
+      s"run 2 must ingest and fold: ${r2.map(_.outcome)}")
+    val r2b = dag.refresh(spark, 2L)
+    require(r2b.map(_.outcome) == Seq("skipped", "no_new_data"),
+      s"replayed run must no-op: ${r2b.map(_.outcome)}")
+    ManifestTable.read(spark, goldP)
+      .select(col("o_custkey"),
+        col("revenue").cast("double").as("revenue"), col("n"))
+      .orderBy(col("o_custkey"))
   }
 
   /** Declared PIPELINE CDC query (round 19 — the [[Cdc]] flow's own

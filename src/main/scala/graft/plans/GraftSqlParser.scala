@@ -54,7 +54,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *       INCREMENTAL FROM t1 AS SELECT ... ;
   *     TABLE t3 AT '<path>' MATERIALIZED FROM t2 [, tN] AS SELECT ... ;
   *     TABLE t4 AT '<path>' APPLY CHANGES FROM t1 KEYS (k) SEQUENCE BY s
-  *       [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1 [, c2])]
+  *       [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1 [, c2])] ;
+  *     TABLE t5 AT '<path>' AGGREGATE FROM t2 GROUP BY (k1 [, k2])
+  *       AGG (SUM(expr) AS a, COUNT(*) AS n [, COUNT(expr) AS m])
+  *       -- compiles to the exact mergeable-state incremental fold
   *   REFRESH PIPELINE name [RUN n]
   *   DESCRIBE PIPELINE name
   *   DROP PIPELINE name
@@ -245,7 +248,7 @@ object GraftSqlStatements {
   //   APPLY CHANGES FROM <up> KEYS (k) SEQUENCE BY s
   //     [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1[, c2])]
   private val createPipelineRe =
-    (s"(?is)^\\s*CREATE\\s+PIPELINE\\s+(\\w+)" +
+    (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?PIPELINE\\s+(\\w+)" +
       s"(?:\\s+EVENT\\s+LOG\\s+AT\\s+$P)?\\s+AS\\s+(.+)$$").r
   private val refreshPipelineRe =
     "(?is)^\\s*REFRESH\\s+PIPELINE\\s+(\\w+)(?:\\s+RUN\\s+(\\d+))?\\s*;?\\s*$".r
@@ -264,6 +267,11 @@ object GraftSqlStatements {
     "(?is)^INCREMENTAL\\s+FROM\\s+(\\w+)\\s+AS\\s+((?:SELECT|WITH)\\s+.+)$".r
   private val pipeMatRe =
     "(?is)^MATERIALIZED\\s+FROM\\s+([\\w\\s,]+?)\\s+AS\\s+((?:SELECT|WITH)\\s+.+)$".r
+  private val pipeAggRe =
+    ("(?is)^AGGREGATE\\s+FROM\\s+(\\w+)\\s+GROUP\\s+BY\\s*" +
+      "\\(([\\w\\s,]+)\\)\\s+AGG\\s*\\((.+)\\)\\s*$").r
+  private val pipeAggItemRe =
+    "(?is)^(SUM|COUNT)\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val pipeCdcRe =
     ("(?is)^APPLY\\s+CHANGES\\s+FROM\\s+(\\w+)\\s+KEYS\\s*\\((\\w+)\\)" +
       "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
@@ -332,6 +340,16 @@ object GraftSqlStatements {
           require(ins.nonEmpty,
             s"MATERIALIZED FROM needs at least one input in '$name'")
           PipeMat(ins, sel.trim)
+        case pipeAggRe(up, keys, aggList) =>
+          val items = splitTopLevel(aggList).map {
+            case pipeAggItemRe(fn, arg, alias) =>
+              (fn.toLowerCase, arg.trim, alias)
+            case bad => throw new IllegalArgumentException(
+              s"AGG entry must be SUM(expr)|COUNT(*)|COUNT(expr) AS " +
+                s"name, got: $bad")
+          }
+          PipeAgg(up,
+            keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, items)
         case pipeCdcRe(up, key, seqBy, del, tracked) =>
           PipeCdc(up, key, seqBy, Option(del),
             Option(tracked).map(_.split(",").map(_.trim)
@@ -1506,6 +1524,9 @@ final case class PipeMat(of: Seq[String], select: String)
 final case class PipeCdc(of: String, key: String, seqBy: String,
                          deleteWhen: Option[String],
                          tracked: Option[Seq[String]]) extends PipeFlowSpec
+final case class PipeAgg(of: String, groupBy: Seq[String],
+                         aggs: Seq[(String, String, String)])
+    extends PipeFlowSpec
 
 /** One parsed CREATE PIPELINE table definition: name, storage path,
   * EXPECT rules as (name, condition, warn|drop|fail), and the flow. */
@@ -1548,6 +1569,8 @@ case class GraftCreatePipelineCommand(name: String,
         })
         case PipeCdc(up, key, seqBy, del, tracked) =>
           Dag.Cdc(up, key, seqBy, del, tracked)
+        case PipeAgg(up, keys, aggs) =>
+          Dag.aggregateOf(up, keys, aggs)
       }
       Dag.TableDef(pd.name, GraftSqlCommands.rp(session, pd.path),
         flow, exps)

@@ -91,6 +91,61 @@ class PipelineSqlSpec extends SparkSpec {
     }
   }
 
+  test("AGGREGATE flow compiles SQL SUM/COUNT to the exact mergeable-state fold — incremental, retraction-aware, no tombstones") {
+    val root = tmp("graft_psql_agg")
+    // the upstream is a MANAGED table written outside the pipeline —
+    // the aggregate edge folds its change feed directly
+    val up = s"$root/facts"
+    ManifestTable.write(
+      Seq(("a", 1.5), ("a", 2.25), ("b", 10.0)).toDF("grp", "v"), up)
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(s"""CREATE PIPELINE pagg AS
+                TABLE facts AT '$up' AS COPY FROM '$root/nowhere_empty' ;
+                TABLE gold AT '$root/gold' AGGREGATE FROM facts
+                  GROUP BY (grp)
+                  AGG (SUM(v * 2) AS dv, COUNT(*) AS n)""").collect()
+      // note: the copy edge points at an empty dir on purpose — the
+      // upstream data was loaded directly; the edge just no-ops
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/nowhere_empty"))
+      def gold() = ManifestTable.read(s, s"$root/gold")
+        .select("grp", "dv", "n").collect()
+        .map(r => r.getString(0) ->
+          ((r.getDecimal(1).doubleValue(), r.getLong(2)))).toMap
+      s.sql("REFRESH PIPELINE pagg RUN 1").collect()
+      assert(gold() === Map("a" -> ((7.5, 2L)), "b" -> ((20.0, 1L))))
+      // retraction: a DELETE of one 'a' fact must negate exactly; a
+      // full delete of 'b' must drop the group (no tombstone)
+      ManifestTable.deleteWhere(s, up,
+        col("v") === 2.25 || col("grp") === "b")
+      s.sql("REFRESH PIPELINE pagg RUN 2").collect()
+      assert(gold() === Map("a" -> ((3.0, 1L))),
+        "negation must be exact and the emptied group must vanish")
+      // replay no-ops
+      val r = s.sql("REFRESH PIPELINE pagg RUN 2").collect()
+        .map(_.getString(2)).toSeq
+      assert(r(1) === "no_new_data")
+      s.sql("DROP PIPELINE pagg").collect()
+      // EXPECT on an aggregate edge refuses at CREATE
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE PIPELINE bad2 AS
+                  TABLE facts AT '$up' AS COPY FROM '$root/nowhere_empty' ;
+                  TABLE g AT '$root/g' EXPECT r (n > 0)
+                    AGGREGATE FROM facts GROUP BY (grp)
+                    AGG (COUNT(*) AS n)""").collect()
+      }
+      assert(e.getMessage.contains("Aggregate flow"))
+      // unsupported aggregate function refuses at CREATE
+      val e2 = intercept[Exception] {
+        s.sql(s"""CREATE PIPELINE bad3 AS
+                  TABLE facts AT '$up' AS COPY FROM '$root/nowhere_empty' ;
+                  TABLE g AT '$root/g' AGGREGATE FROM facts
+                    GROUP BY (grp) AGG (MAX(v) AS m)""").collect()
+      }
+      assert(e2.getMessage.contains("SUM(expr)|COUNT"))
+    }
+  }
+
   test("CREATE PIPELINE parses the APPLY CHANGES edge and refuses malformed flows at CREATE time") {
     val root = tmp("graft_psql2")
     GraftSession.withSqlExtensions(spark) { s =>
