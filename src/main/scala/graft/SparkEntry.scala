@@ -164,6 +164,8 @@ object SparkEntry {
     "pipeline_cdc"       -> ((s, d) => graft.pipeline.Dag.pipelineCdcQuery(s, d)),
     "pipeline_sql"       -> ((s, d) => graft.pipeline.Dag.pipelineSqlQuery(s, d)),
     "pipeline_agg"       -> ((s, d) => graft.pipeline.Dag.pipelineAggQuery(s, d)),
+    "pipeline_full"      -> ((s, d) => graft.pipeline.Dag.pipelineFullQuery(s, d)),
+    "pipeline_quarantine" -> ((s, d) => graft.pipeline.Dag.pipelineQuarantineQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2047,6 +2049,32 @@ object SparkEntry {
                 COUNT(*) AS n
          FROM orders WHERE o_orderkey % 10 <> 0
          GROUP BY 1 ORDER BY o_custkey""",
+    // Selective FULL refresh (Dag.pipelineFullQuery): a persisted
+    // DROP rule lands on silver AFTER both ingest runs; the full
+    // refresh rebuilds silver under the now-current rules (the 'P'
+    // rows drop retroactively) and gold follows INCREMENTALLY,
+    // folding the rebuild as exact decimal retractions — the oracle
+    // recomputes the surviving per-customer aggregate
+    "pipeline_full" ->
+      """SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY 1 ORDER BY o_custkey""",
+    // Quarantine pipeline (Dag.pipelineQuarantineQuery): rows the
+    // silver DROP rule rejects land in the quarantine table with the
+    // rule name and the rejecting run (even keys ingest in run 1, odd
+    // in run 2); kept rows read back from silver — the oracle
+    // classifies all orders three ways
+    "pipeline_quarantine" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'P' THEN 'not_pending'
+                     ELSE 'kept' END AS _violated,
+                CAST(CASE WHEN o_orderstatus <> 'P' THEN 0
+                          WHEN o_orderkey % 2 = 0 THEN 1
+                          ELSE 2 END AS BIGINT) AS _run_id
+         FROM orders ORDER BY o_orderkey""",
     // Pipeline CDC edge (Dag.pipelineCdcQuery): the dim is CREATED by
     // the first refresh and maintained by APPLY CHANGES — %5==0
     // inserted then deleted (absent), %5==1 keeps the in-batch seq-5

@@ -398,6 +398,90 @@ object ApplyChanges {
       deleteWhen = Some("_snap_del"))
   }
 
+  /** FULL-REFRESH rebuild of an SCD1 dimension (DLT's full refresh
+    * applied to an APPLY CHANGES flow): reprocess the ENTIRE event
+    * feed as ONE batch — the engine's in-batch latest-per-key
+    * reduction (delete outranking a same-sequence upsert) picks each
+    * key's final state, delete-final keys vanish — and commit it as
+    * ONE atomic overwrite carrying the caller's watermark tag.
+    * Exactly what a fresh target would hold after one incremental
+    * bootstrap over the same feed; because the table REWRITES, the
+    * target's persisted expectations re-gate every rebuilt row — a
+    * rule declared after history landed applies retroactively, the
+    * thing incremental refresh can never do. The target may not exist
+    * yet (a full refresh of a fresh graph): business columns then
+    * derive from the feed minus the control columns. */
+  def rebuildScd1(spark: SparkSession, path: String, key: String,
+                  cdc: DataFrame, sequenceBy: String,
+                  deleteWhen: Option[String] = None,
+                  tag: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Long = {
+    val staged = rebuildStaged(spark, path, key, cdc, sequenceBy,
+      deleteWhen, extraControl = Nil)
+    ManifestTable.write(staged, path, statsCols = statsCols, tag = tag)
+  }
+
+  /** FULL-REFRESH rebuild of an SCD2 dimension: same one-batch
+    * reprocess as [[rebuildScd1]], committed as ONE atomic overwrite.
+    * History COLLAPSES by construction — validity ranges derive from
+    * refresh boundaries, and a rebuild has exactly one: every
+    * surviving key opens at `ts` with its final image and sequence
+    * (identical to what a fresh target would hold after one
+    * incremental bootstrap — the engine's documented in-batch
+    * reduction keeps each key's latest event). Callers who need the
+    * accumulated history intact should not full-refresh an SCD2 edge;
+    * the verb is for rebuilding the CURRENT dimension under changed
+    * rules. */
+  def rebuildScd2(spark: SparkSession, path: String, key: String,
+                  cdc: DataFrame, sequenceBy: String, ts: Long,
+                  deleteWhen: Option[String] = None,
+                  tag: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Long = {
+    val staged = rebuildStaged(spark, path, key, cdc, sequenceBy,
+      deleteWhen,
+      extraControl = Seq(Scd2.ValidFrom, Scd2.ValidTo))
+      .withColumn(Scd2.ValidFrom, lit(ts))
+      .withColumn(Scd2.ValidTo, lit(null).cast("long"))
+    ManifestTable.write(staged, path, statsCols = statsCols, tag = tag)
+  }
+
+  /** The shared rebuild staging: NULL guards up front, latest-per-key
+    * over the whole feed, delete-final keys dropped, business columns
+    * + `_seq` (generated columns recompute in the write's own staging
+    * pass). */
+  private def rebuildStaged(spark: SparkSession, path: String,
+                            key: String, cdc: DataFrame,
+                            sequenceBy: String,
+                            deleteWhen: Option[String],
+                            extraControl: Seq[String]): DataFrame = {
+    val bizCols: Seq[String] =
+      ManifestTable.currentVersion(spark, path) match {
+        case Some(_) =>
+          val genCols = ManifestTable.generatedColumns(spark, path).keySet
+          ManifestTable.read(spark, path).schema.fieldNames
+            .filterNot(c => c == SeqCol || genCols.contains(c) ||
+              extraControl.contains(c)).toSeq
+        case None =>
+          cdc.columns.filterNot(c =>
+            c == sequenceBy || deleteWhen.contains(c)).toSeq
+      }
+    require(bizCols.forall(cdc.columns.contains),
+      s"rebuild feed must carry the business columns " +
+        bizCols.mkString(","))
+    val guarded = cdc.withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
+    val latest = latestPerKey(guarded, key, sequenceBy, deleteWhen)
+    val isDel: Column = deleteWhen
+      .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    val guardedKey: Column =
+      when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
+        s"rebuild feed carries a NULL '$key' — a null key has no " +
+          "dimension identity")))
+    latest.filter(!isDel).select(
+      Seq(guardedKey.as(key)) ++
+        bizCols.filterNot(_ == key).map(col) ++
+        Seq(col(sequenceBy).cast("long").as(SeqCol)): _*)
+  }
+
   /** STREAMING APPLY CHANGES — DLT's native habitat for the verb: a
     * CDC *stream* (any streaming DataFrame — a
     * [[graft.streaming.TableFeedSource]] subscription, a file/socket

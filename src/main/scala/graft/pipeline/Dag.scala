@@ -164,7 +164,8 @@ object Dag {
 
   final case class TableDef(name: String, path: String, flow: Flow,
                             expectations: Seq[Expectations.Expectation] = Nil,
-                            statsCols: Seq[String] = Nil) {
+                            statsCols: Seq[String] = Nil,
+                            quarantineAt: Option[String] = None) {
     require(name.nonEmpty && !name.contains(";"),
       s"table name '$name' must be non-empty without ';'")
     require(flow.kind != "aggregate" || expectations.isEmpty,
@@ -177,6 +178,17 @@ object Dag {
         "refused — COPY INTO gates through the table's PERSISTED " +
         "rules (ALTER TABLE ... ADD EXPECTATION), which also records " +
         "the counts in the copy commit's log entry")
+    // QUARANTINE (DLT's documented invalid-record pattern as a verb):
+    // rows the flow's DROP rules filter land in a side table instead
+    // of vanishing — triage without blocking the pipeline
+    require(quarantineAt.isEmpty ||
+        (Set("ingest", "transform").contains(flow.kind) &&
+          expectations.exists(_.action == Expectations.Drop)),
+      s"table '$name': QUARANTINE needs a landing flow (ingest/" +
+        "transform) carrying at least one ON VIOLATION DROP ROW rule " +
+        "— recompute flows re-derive their violations every run and " +
+        "would duplicate the quarantine; WARN keeps rows, FAIL kills " +
+        "the update")
   }
 
   /** One table's refresh outcome within a run. */
@@ -462,6 +474,145 @@ object Dag {
     ManifestTable.read(spark, dimP).orderBy(col("o_orderkey"))
   }
 
+  /** Declared FULL-REFRESH pipeline query (round 19 — DLT's second
+    * button, selective form): bronze (ingest) → silver (row-wise) →
+    * gold (compiled sum/count fold) refreshes twice incrementally;
+    * THEN the quality bar moves — a persisted DROP expectation lands
+    * on silver AFTER its history did (`ALTER TABLE ... ADD
+    * EXPECTATION` machinery) — and a SELECTIVE full refresh rebuilds
+    * ONLY silver under the now-current rules while gold follows
+    * INCREMENTALLY in the same pass, folding the rebuild as exact
+    * retractions (negation-exact decimal state; fully-retracted
+    * customers leave no tombstone). In-query requires assert the
+    * rebuild's audit row (recomputed, whole-upstream file
+    * arithmetic), the incremental gold outcome (merged, not
+    * recomputed), and the retroactive drop (silver shrank). Oracle
+    * recomputes the surviving aggregate over ALL orders minus the
+    * dropped class — an un-applied rule, a drifting negation, or a
+    * tombstoned group hash-fails. */
+  def pipelineFullQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagfull_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val bronzeP = root.toString + "/bronze"
+    val silverP = root.toString + "/silver"
+    val goldP = root.toString + "/gold"
+    val eventsP = root.toString + "/_events"
+    val k = col("o_orderkey")
+    def ordersOf(s: SparkSession) = graft.Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((s, run) =>
+        if (run == 1L) ordersOf(s).filter(k % 3 =!= 2)
+        else if (run == 2L) ordersOf(s).filter(k % 3 === 2)
+        else ordersOf(s).filter(lit(false))),
+        statsCols = Seq("o_orderkey")),
+      TableDef("silver", silverP,
+        Transform("bronze", df => df.select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))),
+        statsCols = Seq("o_orderkey")),
+      TableDef("gold", goldP, aggregateOf("silver",
+        groupBy = Seq("o_custkey"),
+        aggs = Seq(("sum", "o_totalprice", "revenue"),
+          ("count", "*", "n"))))),
+      eventLog = Some(eventsP))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    // the quality bar moves AFTER history landed: incremental refresh
+    // correctly never re-reads history, so the rule reaches it only
+    // through a rebuild
+    ManifestTable.addExpectation(spark, silverP, "not_pending",
+      "o_orderstatus <> 'P'", onViolation = "drop")
+    val before = ManifestTable.read(spark, silverP).count()
+    val bronzeFiles = ManifestTable.resolveState(spark, bronzeP,
+      ManifestTable.currentVersion(spark, bronzeP).get).files.size.toLong
+    val r3 = dag.refreshFull(spark, 3L, tables = Set("silver"))
+    val s3 = r3.find(_.table == "silver").get
+    require(s3.outcome == "recomputed" && s3.filesRead >= bronzeFiles,
+      s"silver must rebuild from the whole upstream (got ${s3.outcome}" +
+        s", read ${s3.filesRead} of $bronzeFiles bronze files)")
+    val g3 = r3.find(_.table == "gold").get
+    require(g3.outcome == "merged",
+      s"gold must fold the rebuild INCREMENTALLY (exact retraction), " +
+        s"got '${g3.outcome}'")
+    val after = ManifestTable.read(spark, silverP).count()
+    require(after < before,
+      s"the persisted DROP rule must apply retroactively through the " +
+        s"rebuild ($before rows before, $after after)")
+    // the event log carries 2 idempotent runs + the imperative full
+    // pass, 3 tables each
+    require(dag.events(spark).count() == 9L,
+      "event log must carry 3 passes x 3 tables")
+    ManifestTable.read(spark, goldP)
+      .select(col("o_custkey"),
+        col("revenue").cast("double").as("revenue"), col("n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Declared QUARANTINE pipeline query (round 19 — DLT's documented
+    * invalid-record pattern as a first-class verb): rows a flow's
+    * DROP rules filter land in a QUARANTINE table instead of
+    * vanishing — triage without blocking the pipeline. The graph
+    * ingests all orders over two runs; silver's DROP rule rejects 'P'
+    * orders, which land in the quarantine table tagged with the rule
+    * they broke and the run that rejected them, exactly-once (the
+    * quarantine append commits BEFORE the main one under a derived
+    * tag, so a replayed run re-derives only no-ops — require-asserted
+    * by a third replay run). Oracle recomputes the three-way
+    * classification (kept / quarantined-by-run) over all orders. */
+  def pipelineQuarantineQuery(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagquar_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val bronzeP = root.toString + "/bronze"
+    val silverP = root.toString + "/silver"
+    val quarP = root.toString + "/silver_quarantine"
+    val k = col("o_orderkey")
+    def ordersOf(s: SparkSession) = graft.Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((s, run) =>
+        if (run == 1L) ordersOf(s).filter(k % 2 === 0)
+        else if (run == 2L) ordersOf(s).filter(k % 2 === 1)
+        else ordersOf(s).filter(lit(false))),
+        statsCols = Seq("o_orderkey")),
+      TableDef("silver", silverP,
+        Transform("bronze", df => df),
+        expectations = Seq(Expectations.expectOrDrop("not_pending",
+          "o_orderstatus <> 'P'")),
+        statsCols = Seq("o_orderkey"),
+        quarantineAt = Some(quarP))))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    val qCount = ManifestTable.read(spark, quarP).count()
+    // replayed run: the quarantine append no-ops on its derived tag
+    dag.refresh(spark, 2L)
+    require(ManifestTable.read(spark, quarP).count() == qCount,
+      "a replayed run must not re-quarantine (the -q tag no-ops)")
+    val q = ManifestTable.read(spark, quarP)
+      .select(col("o_orderkey"), col("_violated"), col("_run_id"))
+    val s = ManifestTable.read(spark, silverP)
+      .select(col("o_orderkey"), lit("kept").as("_violated"),
+        lit(0L).as("_run_id"))
+    q.unionByName(s).orderBy(col("o_orderkey"))
+  }
+
   /** Topological order of `defs` (Kahn), refusing unknown inputs,
     * duplicate names, and cycles at CONSTRUCTION time. */
   private[pipeline] def topoSort(defs: Seq[TableDef]): Seq[TableDef] = {
@@ -528,6 +679,24 @@ final case class Dag(defs: Seq[Dag.TableDef],
     }
   }
 
+  /** Land the batch's DROP-rule violations in the flow's quarantine
+    * table BEFORE the main commit, under `<mainTag>-q`: a crash
+    * between the two commits replays only the main one (the
+    * quarantine append no-ops on its tag), so the pair is
+    * exactly-once without a transaction spanning two tables. Each row
+    * carries `_violated` (the drop rules it broke) and `_run_id`. One
+    * extra pass over the batch — the flows' inputs are file-backed
+    * reads, so the pass re-reads the same data (documented cost; the
+    * gated main write stays one fused scan). */
+  private def quarantineBatch(spark: SparkSession, d: TableDef,
+                              batch: DataFrame, runId: Long,
+                              mainTag: String): Unit =
+    d.quarantineAt.foreach { qp =>
+      val bad = Expectations.quarantined(batch, d.expectations)
+        .withColumn("_run_id", lit(runId))
+      ManifestTable.appendIdempotent(bad, qp, tag = s"$mainTag-q"): Unit
+    }
+
   /** Highest upstream version a tagged incremental flow has applied
     * (the `<prefix><N>` tag suffixes on the flow's OWN table — the
     * same watermark rule as the feed fold's). */
@@ -585,13 +754,68 @@ final case class Dag(defs: Seq[Dag.TableDef],
     * for the broken one (error message in its metrics column), and a
     * re-refresh with the SAME run id resumes: completed flows no-op
     * on their tags, only the failed flow and its downstream re-run. */
-  def refresh(spark: SparkSession, runId: Long): Seq[Refreshed] = {
+  def refresh(spark: SparkSession, runId: Long): Seq[Refreshed] =
+    refreshPass(spark, runId, full = Set.empty)
+
+  /** The table names FULL REFRESH rebuilds by default: every DERIVED
+    * table (Transform / Aggregate / Cdc / Materialize). Source edges
+    * (Ingest, CopyFrom) are excluded — they are their own source of
+    * truth (a run-driven batch or an already-ingested file is not
+    * re-derivable; wiping them would be data loss, the hazard DLT
+    * documents for full refresh against limited-retention sources). */
+  def derivedTables: Set[String] =
+    defs.filter(d => d.flow.kind != "ingest" && d.flow.kind != "copy")
+      .map(_.name).toSet
+
+  /** FULL REFRESH (DLT's second button, optionally SELECTIVE): the
+    * named tables — default: every derived table — REBUILD from their
+    * upstreams' CURRENT content under the CURRENT rules (flow logic,
+    * flow-level AND table-persisted expectations), while every other
+    * table refreshes incrementally in the same topological pass.
+    * That retroactivity is the verb's whole point: an expectation or
+    * transform changed AFTER history landed applies to the history
+    * only through a rebuild — the incremental path, correctly, never
+    * re-reads it. Each rebuild is ONE atomic overwrite carrying the
+    * flow's watermark tag at the upstream's current version, so the
+    * next incremental refresh resumes exactly past the rebuild
+    * (downstream flows may consume the rebuild incrementally — the
+    * Aggregate fold absorbs an upstream rewrite as exact
+    * retractions). Unlike [[refresh]], a full refresh is IMPERATIVE:
+    * replaying it rebuilds again (recompute is the request, not a
+    * landing to deduplicate); the failure-containment contract is
+    * [[refresh]]'s. Naming a source edge (Ingest / CopyFrom) refuses
+    * loudly. Cdc edges rebuild per [[ApplyChanges.rebuildScd1]] /
+    * [[ApplyChanges.rebuildScd2]] (SCD2 history collapses to the
+    * rebuilt open slice — documented there). */
+  def refreshFull(spark: SparkSession, runId: Long,
+                  tables: Set[String] = Set.empty): Seq[Refreshed] = {
+    val full = if (tables.isEmpty) derivedTables else tables
+    val known = defs.map(_.name).toSet
+    require((full -- known).isEmpty,
+      s"full refresh names undeclared tables: " +
+        s"${(full -- known).toSeq.sorted.mkString(", ")}")
+    full.foreach { t =>
+      val k = defs.find(_.name == t).get.flow.kind
+      require(k != "ingest" && k != "copy",
+        s"full refresh of source edge '$t' ($k) refused — a " +
+          "run-driven or ledger-driven source edge is its own source " +
+          "of truth; past batches cannot be re-derived, so a rebuild " +
+          "is data loss (DLT's limited-retention-source hazard). " +
+          "Name only derived tables, or omit TABLES for all of them")
+    }
+    refreshPass(spark, runId, full)
+  }
+
+  private def refreshPass(spark: SparkSession, runId: Long,
+                          full: Set[String]): Seq[Refreshed] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[Refreshed]
     var failure: Option[Throwable] = None
     val it = ordered.iterator
     while (it.hasNext && failure.isEmpty) {
       val d = it.next()
-      try results += refreshOne(spark, runId, d)
+      try results += (if (full.contains(d.name))
+        refreshOneFull(spark, runId, d)
+      else refreshOne(spark, runId, d))
       catch {
         case scala.util.control.NonFatal(e) =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -604,7 +828,8 @@ final case class Dag(defs: Seq[Dag.TableDef],
           failure = Some(e)
       }
     }
-    logEvents(spark, runId, results.toSeq, failed = failure.isDefined)
+    logEvents(spark, runId, results.toSeq, failed = failure.isDefined,
+      fullRefresh = full.nonEmpty)
     failure.foreach(e => throw new IllegalStateException(
       s"pipeline refresh (run $runId) failed at table " +
         s"'${results.last.table}' — completed flows are committed, " +
@@ -615,7 +840,8 @@ final case class Dag(defs: Seq[Dag.TableDef],
   }
 
   private def logEvents(spark: SparkSession, runId: Long,
-                        rs: Seq[Refreshed], failed: Boolean): Unit =
+                        rs: Seq[Refreshed], failed: Boolean,
+                        fullRefresh: Boolean = false): Unit =
     eventLog.foreach { ep =>
       import spark.implicits._
       val df = rs.map(r => (runId, r.table, r.flowKind,
@@ -627,9 +853,11 @@ final case class Dag(defs: Seq[Dag.TableDef],
           "rows_observed", "committed_version", "expect_metrics")
       // successful runs log idempotently under the run tag (a
       // replayed all-no-op run must not re-append); FAILED attempts
-      // log unconditionally — each attempt is a distinct event, and
-      // the run tag must stay free for the eventual successful retry
-      if (failed) ManifestTable.append(df, ep): Unit
+      // and FULL refreshes log unconditionally — each is a distinct
+      // imperative event (a full refresh may legitimately reuse a run
+      // id whose incremental pass already logged), and the run tag
+      // must stay free for a failed run's eventual successful retry
+      if (failed || fullRefresh) ManifestTable.append(df, ep): Unit
       else ManifestTable.appendIdempotent(df, ep,
         tag = s"dag-events-run$runId"): Unit
     }
@@ -644,8 +872,9 @@ final case class Dag(defs: Seq[Dag.TableDef],
               Refreshed(d.name, "ingest", "skipped", -1L, 0L, 0L, 0L,
                 v, null)
             case None =>
-              val (gated, obs, names) =
-                gateFlow(batchOf(spark, runId), d, s"$tag-obs")
+              val batch = batchOf(spark, runId)
+              quarantineBatch(spark, d, batch, runId, tag)
+              val (gated, obs, names) = gateFlow(batch, d, s"$tag-obs")
               val exists =
                 ManifestTable.currentVersion(spark, d.path).isDefined
               val v =
@@ -693,8 +922,10 @@ final case class Dag(defs: Seq[Dag.TableDef],
           else {
             val (batch, nVs, filesRead) =
               newRows(spark, d.name, of, upPath, water, cur)
+            val flowed = rowFlow(batch)
+            quarantineBatch(spark, d, flowed, runId, s"$prefix$cur")
             val (gated, obs, names) =
-              gateFlow(rowFlow(batch), d, s"$prefix$cur-obs")
+              gateFlow(flowed, d, s"$prefix$cur-obs")
             val v = ManifestTable.append(gated, d.path,
               statsCols = d.statsCols, tag = Some(s"$prefix$cur"))
             val (rows, mj) = metricsJson(obs, names)
@@ -789,6 +1020,102 @@ final case class Dag(defs: Seq[Dag.TableDef],
                 rows, v, mj)
           }
       }
+  }
+
+  /** One table's FULL refresh: rebuild from the upstream's CURRENT
+    * content under the CURRENT rules, committed as ONE atomic
+    * overwrite carrying the flow's watermark tag at the upstream's
+    * current version (so incremental refresh resumes past the
+    * rebuild). The audit row reports the rebuild's honest cost:
+    * `versions_processed` = every surviving upstream version,
+    * `files_read` = the upstream's full live file count. */
+  private def refreshOneFull(spark: SparkSession, runId: Long,
+                             d: TableDef): Refreshed = {
+    def upstreamFull(of: String): Option[(String, Long, Long, Long)] = {
+      val upPath = pathOf(of)
+      ManifestTable.currentVersion(spark, upPath).map { cur =>
+        val st = ManifestTable.resolveState(spark, upPath, cur)
+        (upPath, cur,
+          ManifestTable.versions(spark, upPath).count(_ <= cur).toLong,
+          st.files.size.toLong)
+      }
+    }
+    d.flow match {
+      case Transform(of, rowFlow) => upstreamFull(of) match {
+        case None =>
+          Refreshed(d.name, "transform", "no_new_data", 0L, 0L, 0L, 0L,
+            ManifestTable.currentVersion(spark, d.path).getOrElse(-1L),
+            null)
+        case Some((upPath, cur, nVs, files)) =>
+          val (gated, obs, names) = gateFlow(
+            rowFlow(ManifestTable.read(spark, upPath)), d,
+            s"dag-${d.name}-full$runId-obs")
+          val v = ManifestTable.write(gated, d.path,
+            statsCols = d.statsCols, tag = Some(s"dag-${d.name}-v$cur"))
+          val (rows, mj) = metricsJson(obs, names)
+          Refreshed(d.name, "transform", "recomputed", cur, nVs, files,
+            rows, v, mj)
+      }
+
+      case Aggregate(of, stateOf, _, _, live, keys) =>
+        upstreamFull(of) match {
+          case None =>
+            Refreshed(d.name, "aggregate", "no_new_data", 0L, 0L, 0L,
+              0L, ManifestTable.currentVersion(spark, d.path)
+                .getOrElse(-1L), null)
+          case Some((upPath, cur, nVs, files)) =>
+            graft.streaming.TableFeedSource.feedFoldFull(spark, upPath,
+              d.path, s"dag-${d.name}", stateOf, live, keys): Unit
+            Refreshed(d.name, "aggregate", "recomputed", cur, nVs,
+              files, 0L,
+              ManifestTable.currentVersion(spark, d.path)
+                .getOrElse(-1L), null)
+        }
+
+      case Cdc(of, key, seqBy, delWhen, tracked) =>
+        upstreamFull(of) match {
+          case None =>
+            Refreshed(d.name, "cdc", "no_new_data", 0L, 0L, 0L, 0L,
+              ManifestTable.currentVersion(spark, d.path)
+                .getOrElse(-1L), null)
+          case Some((upPath, cur, nVs, files)) =>
+            // the feed is append-only (the incremental path enforces
+            // it per commit), so its CURRENT content IS the whole
+            // event history — one snapshot scan replaces the
+            // version walk
+            val (gated, obs, names) = gateFlow(
+              ManifestTable.read(spark, upPath), d,
+              s"dag-${d.name}-full$runId-obs")
+            val tag = Some(s"dag-${d.name}-v$cur")
+            val v = tracked match {
+              case None => ApplyChanges.rebuildScd1(spark, d.path, key,
+                gated, seqBy, delWhen, tag, d.statsCols)
+              case Some(_) => ApplyChanges.rebuildScd2(spark, d.path,
+                key, gated, seqBy, ts = cur, deleteWhen = delWhen,
+                tag = tag, statsCols = d.statsCols)
+            }
+            val (rows, mj) = metricsJson(obs, names)
+            Refreshed(d.name, "cdc", "recomputed", cur, nVs, files,
+              rows, v, mj)
+        }
+
+      case Materialize(inputs, compute) =>
+        // same recompute as the incremental path, minus the run-tag
+        // skip: full refresh is imperative — recompute IS the request
+        val frames = inputs.map(i =>
+          i -> ManifestTable.read(spark, pathOf(i))).toMap
+        val (gated, obs, names) = gateFlow(compute(frames), d,
+          s"dag-${d.name}-full$runId-obs")
+        val v = ManifestTable.write(gated, d.path,
+          statsCols = d.statsCols, tag = Some(s"dag-${d.name}-run$runId"))
+        val (rows, mj) = metricsJson(obs, names)
+        Refreshed(d.name, "materialize", "recomputed", -1L, 0L, 0L,
+          rows, v, mj)
+
+      case other => throw new IllegalStateException(
+        s"full refresh reached a source edge '${d.name}' " +
+          s"(${other.kind}) — refreshFull validates this earlier")
+    }
   }
 
   /** DESCRIBE PIPELINE: the declared graph as a table — one row per

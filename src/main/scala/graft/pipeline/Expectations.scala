@@ -118,6 +118,26 @@ object Expectations {
       rules)
   }
 
+  /** The rows the DROP subset of `rules` would filter, each tagged
+    * with `_violated` = the comma-joined names of every DROP rule it
+    * violates (NULL condition = violation, the gate's reading) — the
+    * quarantine feed of DLT's documented invalid-record pattern. One
+    * filter over `df`, no shuffle; the caller lands it next to the
+    * gated write. Refuses when no DROP rule exists (nothing could
+    * ever quarantine — a dead table declared is a mistake). */
+  def quarantined(df: DataFrame,
+                  rules: Seq[Expectation]): DataFrame = {
+    val drops = rules.filter(_.action == Drop)
+    require(drops.nonEmpty,
+      "quarantine needs at least one ON VIOLATION DROP ROW rule — " +
+        "WARN keeps rows and FAIL kills the update; neither feeds a " +
+        "quarantine")
+    val flags = drops.map(r => r.name -> !r.passCol)
+    df.filter(flags.map(_._2).reduce(_ || _))
+      .withColumn("_violated", concat_ws(",",
+        flags.map { case (n, c) => when(c, lit(n)) }: _*))
+  }
+
   // ------------------------------------------------------------------
   // Persisted (table-bound) expectations — the manifest wire format and
   // the commit staging-pass gate ManifestTable applies to every

@@ -51,14 +51,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CREATE PIPELINE name [EVENT LOG AT '<path>'] AS
   *     TABLE t1 AT '<path>' AS COPY FROM '<dir>' [FORMAT f] [PATTERN 'g'] ;
   *     TABLE t2 AT '<path>' [EXPECT r (<cond>) [ON VIOLATION ...]]...
-  *       INCREMENTAL FROM t1 AS SELECT ... ;
+  *       [QUARANTINE AT '<path>'] INCREMENTAL FROM t1 AS SELECT ... ;
   *     TABLE t3 AT '<path>' MATERIALIZED FROM t2 [, tN] AS SELECT ... ;
   *     TABLE t4 AT '<path>' APPLY CHANGES FROM t1 KEYS (k) SEQUENCE BY s
   *       [APPLY AS DELETE WHEN d] [TRACK HISTORY ON (c1 [, c2])] ;
   *     TABLE t5 AT '<path>' AGGREGATE FROM t2 GROUP BY (k1 [, k2])
   *       AGG (SUM(expr) AS a, COUNT(*) AS n [, COUNT(expr) AS m])
   *       -- compiles to the exact mergeable-state incremental fold
-  *   REFRESH PIPELINE name [RUN n]
+  *   REFRESH PIPELINE name [FULL [TABLES (a [, b])]] [RUN n]
   *   DESCRIBE PIPELINE name
   *   DROP PIPELINE name
   *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
@@ -251,7 +251,9 @@ object GraftSqlStatements {
     (s"(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?PIPELINE\\s+(\\w+)" +
       s"(?:\\s+EVENT\\s+LOG\\s+AT\\s+$P)?\\s+AS\\s+(.+)$$").r
   private val refreshPipelineRe =
-    "(?is)^\\s*REFRESH\\s+PIPELINE\\s+(\\w+)(?:\\s+RUN\\s+(\\d+))?\\s*;?\\s*$".r
+    ("(?is)^\\s*REFRESH\\s+PIPELINE\\s+(\\w+)" +
+      "(?:\\s+(FULL)(?:\\s+TABLES\\s*\\(([\\w\\s,]+)\\))?)?" +
+      "(?:\\s+RUN\\s+(\\d+))?\\s*;?\\s*$").r
   private val describePipelineRe =
     "(?is)^\\s*DESCRIBE\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
   private val dropPipelineRe =
@@ -280,6 +282,8 @@ object GraftSqlStatements {
   private val pipeExpectHeadRe = "(?is)^\\s*EXPECT\\s+(\\w+)\\s*\\(".r
   private val pipeViolRe =
     "(?is)^\\s*ON\\s+VIOLATION\\s+(WARN|DROP\\s+ROW|FAIL\\s+UPDATE)".r
+  private val pipeQuarRe =
+    "(?is)^QUARANTINE\\s+AT\\s+'([^']+)'\\s+(.+)$".r
 
   /** Split the CREATE PIPELINE body at top-level ';' (a ';' inside a
     * string literal never splits). */
@@ -330,6 +334,11 @@ object GraftSqlStatements {
         rest = tail.trim
         m = pipeExpectHeadRe.findPrefixMatchOf(rest)
       }
+      // optional quarantine landing for the DROP rules' rejects
+      val quarantine = rest match {
+        case pipeQuarRe(qp, tail2) => rest = tail2.trim; Some(qp)
+        case _ => None
+      }
       val flow = rest match {
         case pipeCopyRe(dir, fmt, pat) =>
           PipeCopy(dir, Option(fmt).map(_.toLowerCase)
@@ -359,7 +368,7 @@ object GraftSqlStatements {
             "expected AS COPY FROM / INCREMENTAL FROM / MATERIALIZED " +
             s"FROM / APPLY CHANGES FROM, got: ${other.take(80)}")
       }
-      PipeDef(name, path, exps.toSeq, flow)
+      PipeDef(name, path, exps.toSeq, flow, quarantine)
     case other => throw new IllegalArgumentException(
       "malformed pipeline TABLE definition (want TABLE <name> AT " +
         s"'<path>' ...): ${other.take(80)}")
@@ -515,8 +524,11 @@ object GraftSqlStatements {
       val defs = splitPipeDefs(body).map(parsePipeDef)
       require(defs.nonEmpty, "CREATE PIPELINE needs at least one TABLE")
       Some(GraftCreatePipelineCommand(name, Option(eventLog), defs))
-    case refreshPipelineRe(name, run) =>
-      Some(GraftRefreshPipelineCommand(name, Option(run).map(_.toLong)))
+    case refreshPipelineRe(name, full, fullTables, run) =>
+      Some(GraftRefreshPipelineCommand(name, Option(run).map(_.toLong),
+        full = full != null,
+        fullTables = Option(fullTables).map(_.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)))
     case describePipelineRe(name) =>
       Some(GraftDescribePipelineCommand(name))
     case dropPipelineRe(name) =>
@@ -1529,10 +1541,13 @@ final case class PipeAgg(of: String, groupBy: Seq[String],
     extends PipeFlowSpec
 
 /** One parsed CREATE PIPELINE table definition: name, storage path,
-  * EXPECT rules as (name, condition, warn|drop|fail), and the flow. */
+  * EXPECT rules as (name, condition, warn|drop|fail), the flow, and
+  * the optional `QUARANTINE AT '<path>'` landing for the DROP rules'
+  * rejects. */
 final case class PipeDef(name: String, path: String,
                          expectations: Seq[(String, String, String)],
-                         flow: PipeFlowSpec)
+                         flow: PipeFlowSpec,
+                         quarantine: Option[String] = None)
 
 /** CREATE PIPELINE — compile the parsed graph to a
   * [[graft.pipeline.Dag]] and register it under `name`
@@ -1573,7 +1588,8 @@ case class GraftCreatePipelineCommand(name: String,
           Dag.aggregateOf(up, keys, aggs)
       }
       Dag.TableDef(pd.name, GraftSqlCommands.rp(session, pd.path),
-        flow, exps)
+        flow, exps,
+        quarantineAt = pd.quarantine.map(GraftSqlCommands.rp(session, _)))
     }
     val dag = Dag(tdefs, eventLog.map(GraftSqlCommands.rp(session, _)))
     graft.pipeline.Pipelines.register(name, dag)
@@ -1584,9 +1600,16 @@ case class GraftCreatePipelineCommand(name: String,
 /** REFRESH PIPELINE — one topological refresh pass; returns one row
   * per table (the [[graft.pipeline.Dag.Refreshed]] audit record).
   * Without RUN, an auto-incrementing per-registration id is used;
-  * replaying an explicit RUN id no-ops the run-tagged flows. */
+  * replaying an explicit RUN id no-ops the run-tagged flows. With
+  * FULL (optionally `FULL TABLES (a, b)`), the named derived tables —
+  * default all of them — REBUILD from their upstreams' current
+  * content under the current rules while the rest refresh
+  * incrementally in the same pass ([[graft.pipeline.Dag.refreshFull]]
+  * — imperative: replaying a FULL refresh rebuilds again). */
 case class GraftRefreshPipelineCommand(name: String,
-                                       runId: Option[Long])
+                                       runId: Option[Long],
+                                       full: Boolean = false,
+                                       fullTables: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
@@ -1600,7 +1623,11 @@ case class GraftRefreshPipelineCommand(name: String,
     AttributeReference("expect_metrics", StringType, nullable = true)())
   override def run(session: SparkSession): Seq[Row] = {
     val run = runId.getOrElse(graft.pipeline.Pipelines.nextRun(name))
-    graft.pipeline.Pipelines.get(name).refresh(session, run).map(r =>
+    val dag = graft.pipeline.Pipelines.get(name)
+    val rs =
+      if (full) dag.refreshFull(session, run, fullTables.toSet)
+      else dag.refresh(session, run)
+    rs.map(r =>
       Row(r.table, r.flowKind, r.outcome, r.upstreamVersion,
         r.versionsProcessed, r.filesRead, r.rowsObserved,
         r.committedVersion, r.expectMetrics))

@@ -504,25 +504,30 @@ object TableFeedSource {
     */
   val DefaultStateMergeBytes: Long = 256L * 1024 * 1024
 
+  /** Collision-safe group-key encoding: each key value becomes a
+    * LENGTH-PREFIXED segment `v<len>:<value>` (self-delimiting, so a
+    * value containing any separator character cannot fuse two
+    * segments), and NULL becomes the sentinel `n;` — distinct from
+    * every `v...` segment and from the empty string (`v0:`). A plain
+    * concat_ws would conflate ("a|b") with ("a","b") and silently
+    * DROP nulls, merging unrelated state groups. */
+  private[streaming] def stateKeyed(df: DataFrame,
+                                    keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, length, lit, when}
+    df.withColumn("_gkey", concat(keyCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n;"))
+        .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+    }: _*))
+  }
+
   private[streaming] def commitStateDelta(sp: org.apache.spark.sql.SparkSession,
       statePath: String, delta0: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
       live: org.apache.spark.sql.Column,
       keyCols: Seq[String], tag: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, concat, length, lit, not, when}
-    // Collision-safe group-key encoding: each key value becomes a
-    // LENGTH-PREFIXED segment `v<len>:<value>` (self-delimiting, so a
-    // value containing any separator character cannot fuse two
-    // segments), and NULL becomes the sentinel `n;` — distinct from
-    // every `v...` segment and from the empty string (`v0:`). A plain
-    // concat_ws would conflate ("a|b") with ("a","b") and silently
-    // DROP nulls, merging unrelated state groups.
-    def withKey(df: DataFrame): DataFrame =
-      df.withColumn("_gkey", concat(keyCols.map { c =>
-        val s = col(c).cast("string")
-        when(s.isNull, lit("n;"))
-          .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
-      }: _*))
+    import org.apache.spark.sql.functions.{broadcast, lit, not}
+    def withKey(df: DataFrame): DataFrame = stateKeyed(df, keyCols)
     ManifestTable.currentVersion(sp, statePath) match {
       case None =>
         ManifestTable.write(withKey(delta0.filter(live)), statePath,
@@ -613,6 +618,32 @@ object TableFeedSource {
                checkpointLocation: String = null): (Long, Long, Long) =
     feedMergeableGoldImages(spark, tablePath, statePath,
       checkpointLocation, tagPrefix, stateOf, negate, merge, live, keyCols)
+
+  /** FULL-REFRESH twin of [[feedFold]] (the [[graft.pipeline.Dag]]
+    * Aggregate flow's full-refresh engine): recompute the ENTIRE
+    * state from the upstream table's CURRENT content — one aggregate
+    * over one snapshot scan, no change feed — and commit it as ONE
+    * atomic overwrite carrying the fold's own watermark tag
+    * (`<tagPrefix>-v<upstreamVersion>`), so the NEXT incremental fold
+    * resumes exactly past the rebuild. O(table) by definition (a full
+    * refresh IS the recompute); the incremental fold stays the
+    * per-refresh path. Returns the upstream version the rebuild
+    * covered (0 when the upstream has no committed version — nothing
+    * written). */
+  def feedFoldFull(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String, statePath: String,
+                   tagPrefix: String,
+                   stateOf: DataFrame => DataFrame,
+                   live: org.apache.spark.sql.Column,
+                   keyCols: Seq[String]): Long = {
+    val cur = ManifestTable.currentVersion(spark, tablePath)
+      .getOrElse(return 0L)
+    val state = stateKeyed(
+      stateOf(ManifestTable.read(spark, tablePath)).filter(live), keyCols)
+    ManifestTable.write(state, statePath,
+      tag = Some(s"$tagPrefix-v$cur")): Unit
+    cur
+  }
 
   /** UPDATE-IMAGE-AWARE gold maintenance: the same closed CDC loop as
     * [[feedGoldDaily]], consuming the feed with `updateImages = true`

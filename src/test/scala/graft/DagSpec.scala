@@ -174,6 +174,195 @@ class DagSpec extends SparkSpec {
       .count() >= 3L)
   }
 
+  test("FULL refresh (selective): a rule landing after history applies retroactively, the aggregate folds the rebuild exactly, and the watermark holds") {
+    val root = tmp("graft_dag_full")
+    val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
+    val goldP = s"$root/gold"
+    def batch(run: Long): DataFrame =
+      if (run == 1L) Seq((1L, "a", 10.0), (2L, "P", 20.0), (3L, "a", 30.0))
+        .toDF("id", "status", "v")
+      else if (run == 2L) Seq((4L, "P", 40.0), (5L, "b", 50.0))
+        .toDF("id", "status", "v")
+      else Seq.empty[(Long, String, Double)].toDF("id", "status", "v")
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((_, run) => batch(run))),
+      TableDef("silver", silverP, Transform("bronze", df => df)),
+      TableDef("gold", goldP, Dag.aggregateOf("silver",
+        groupBy = Seq("status"),
+        aggs = Seq(("sum", "v", "sv"), ("count", "*", "n"))))))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    assert(ManifestTable.read(spark, silverP).count() === 5L)
+    // the quality bar moves AFTER history landed
+    ManifestTable.addExpectation(spark, silverP, "no_p",
+      "status <> 'P'", onViolation = "drop")
+    val r3 = dag.refreshFull(spark, 3L, tables = Set("silver"))
+    assert(r3.find(_.table == "silver").get.outcome === "recomputed")
+    assert(r3.find(_.table == "gold").get.outcome === "merged",
+      "gold must fold the rebuild incrementally")
+    assert(ManifestTable.read(spark, silverP).count() === 3L,
+      "the DROP rule must apply retroactively through the rebuild")
+    val gold = ManifestTable.read(spark, goldP)
+      .select(col("status"), col("sv").cast("double"), col("n"))
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gold === Map("a" -> ((40.0, 2L)), "b" -> ((50.0, 1L))),
+      "the 'P' group must fully retract, others reduce exactly")
+    // watermark holds: the next incremental pass processes ONLY the
+    // versions the rebuild did not cover
+    val r4 = dag.refresh(spark, 4L)
+    val s4 = r4.find(_.table == "silver").get
+    assert(s4.versionsProcessed === 1L,
+      s"rebuild watermark must hold (processed ${s4.versionsProcessed})")
+  }
+
+  test("FULL refresh: default set rebuilds every derived table; naming a source edge refuses") {
+    val root = tmp("graft_dag_fulldef")
+    val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
+    val goldP = s"$root/gold"
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((_, run) =>
+        if (run == 1L) Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+        else Seq.empty[(Long, Double)].toDF("id", "v"))),
+      TableDef("silver", silverP, Transform("bronze", df => df)),
+      TableDef("gold", goldP, Materialize(Seq("silver"),
+        m => m("silver").groupBy().agg(sum("v").as("sv"))))))
+    dag.refresh(spark, 1L)
+    assert(dag.derivedTables === Set("silver", "gold"))
+    val r = dag.refreshFull(spark, 2L)
+    assert(r.map(x => (x.table, x.outcome)) === Seq(
+      ("bronze", "landed"), ("silver", "recomputed"),
+      ("gold", "recomputed")))
+    // a full refresh is imperative: replaying it rebuilds again
+    val r2 = dag.refreshFull(spark, 2L)
+    assert(r2.find(_.table == "gold").get.outcome === "recomputed")
+    intercept[IllegalArgumentException] {
+      dag.refreshFull(spark, 3L, tables = Set("bronze"))
+    }
+    intercept[IllegalArgumentException] {
+      dag.refreshFull(spark, 3L, tables = Set("nope"))
+    }
+  }
+
+  test("FULL refresh of a Cdc edge: SCD1 rebuild equals the incremental dimension; SCD2 collapses to the rebuilt open slice") {
+    val root = tmp("graft_dag_fullcdc")
+    val feedP = s"$root/feed"; val dimP = s"$root/dim"
+    val dim2P = s"$root/dim2"
+    def events(run: Long): DataFrame =
+      if (run == 1L) Seq(
+        (1L, "a1", 1L, false), (1L, "a2", 5L, false),
+        (2L, "b", 3L, false)).toDF("id", "attr", "seq", "del")
+      else if (run == 2L) Seq(
+        (1L, "late", 2L, false), (2L, "b", 9L, true),
+        (3L, "c", 1L, false)).toDF("id", "attr", "seq", "del")
+      else Seq.empty[(Long, String, Long, Boolean)]
+        .toDF("id", "attr", "seq", "del")
+    val dag = Dag(Seq(
+      TableDef("feed", feedP, Ingest((_, run) => events(run))),
+      TableDef("dim", dimP, Cdc("feed", "id", "seq",
+        deleteWhen = Some("del"))),
+      TableDef("dim2", dim2P, Cdc("feed", "id", "seq",
+        deleteWhen = Some("del"), scd2Tracked = Some(Seq("attr"))))))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    val incr = ManifestTable.read(spark, dimP)
+      .select("id", "attr", "_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val openIncr = ManifestTable.read(spark, dim2P)
+      .filter(col(graft.pipeline.Scd2.ValidTo).isNull)
+      .select("id", "attr", "_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(ManifestTable.read(spark, dim2P).count() > openIncr.size.toLong,
+      "incremental SCD2 must have accumulated closed history")
+    val r = dag.refreshFull(spark, 3L)
+    assert(r.filter(x => Set("dim", "dim2")(x.table))
+      .forall(_.outcome == "recomputed"))
+    val rebuilt = ManifestTable.read(spark, dimP)
+      .select("id", "attr", "_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rebuilt === incr,
+      "SCD1 rebuild must equal the incrementally-built dimension")
+    // SCD2: history collapses by construction — every surviving key
+    // open at the rebuild's logical time with its final image
+    val d2 = ManifestTable.read(spark, dim2P)
+    assert(d2.filter(col(graft.pipeline.Scd2.ValidTo).isNotNull)
+      .count() === 0L, "rebuild holds no closed rows")
+    val open2 = d2.select("id", "attr", "_seq")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(open2 === openIncr,
+      "the rebuilt open slice must equal the incremental open slice")
+    // watermark holds on both: a plain refresh no-ops
+    val r4 = dag.refresh(spark, 3L)
+    assert(r4.filter(x => Set("dim", "dim2")(x.table))
+      .forall(x => x.outcome == "no_new_data"))
+  }
+
+  test("QUARANTINE: DROP-rule rejects land in the side table with rule names and run id, exactly-once; construction refusals") {
+    val root = tmp("graft_dag_quar")
+    val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
+    val quarP = s"$root/quar"
+    def batch(run: Long): DataFrame =
+      if (run == 1L) Seq((1L, "a", 10.0), (2L, "P", -5.0), (3L, "P", 30.0))
+        .toDF("id", "status", "v")
+      else Seq((4L, "a", -1.0), (5L, "b", 50.0)).toDF("id", "status", "v")
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((_, run) => batch(run))),
+      TableDef("silver", silverP, Transform("bronze", df => df),
+        expectations = Seq(
+          Expectations.expectOrDrop("no_p", "status <> 'P'"),
+          Expectations.expectOrDrop("pos_v", "v > 0"),
+          Expectations.expect("small", "v < 100")),
+        quarantineAt = Some(quarP))))
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    assert(ManifestTable.read(spark, silverP)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 5L))
+    val q = ManifestTable.read(spark, quarP)
+      .select("id", "_violated", "_run_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(q === Seq(
+      (2L, "no_p,pos_v", 1L), (3L, "no_p", 1L), (4L, "pos_v", 2L)),
+      s"quarantine must carry every violated DROP rule, got $q")
+    // crash window between quarantine and main commit: the quarantine
+    // append already landed under its derived tag — a replay must
+    // no-op it while the main commit proceeds. Simulate by
+    // pre-landing run-3's quarantine rows under the derived tag.
+    def b3 = Seq((6L, "P", 6.0)).toDF("id", "status", "v")
+    val dag3 = Dag(Seq(
+      TableDef("bronze", bronzeP, Ingest((_, _) => b3)),
+      TableDef("silver", silverP, Transform("bronze", df => df),
+        expectations = Seq(
+          Expectations.expectOrDrop("no_p", "status <> 'P'")),
+        quarantineAt = Some(quarP))))
+    // bronze lands v3 through run 3, then silver crashes mid-pair:
+    // quarantine committed, main not
+    val bronzeV = ManifestTable.append(b3, bronzeP,
+      tag = Some("dag-bronze-run3"))
+    ManifestTable.appendIdempotent(
+      Expectations.quarantined(b3,
+        Seq(Expectations.expectOrDrop("no_p", "status <> 'P'")))
+        .withColumn("_run_id", lit(3L)),
+      quarP, tag = s"dag-silver-v$bronzeV-q")
+    val qBefore = ManifestTable.read(spark, quarP).count()
+    val r3 = dag3.refresh(spark, 3L)
+    assert(r3.map(_.outcome) === Seq("skipped", "landed"))
+    assert(ManifestTable.read(spark, quarP).count() === qBefore,
+      "the retry must not re-quarantine (tag no-ops)")
+    assert(ManifestTable.read(spark, silverP).count() === 2L,
+      "the retry's main commit must land (id 6 drops)")
+    // construction refusals: recompute flows and drop-less rule sets
+    intercept[IllegalArgumentException] {
+      TableDef("m", "/x/m", Materialize(Seq("s"), m => m.values.head),
+        expectations = Seq(Expectations.expectOrDrop("r", "true")),
+        quarantineAt = Some("/x/q"))
+    }
+    intercept[IllegalArgumentException] {
+      TableDef("t", "/x/t", Transform("s", df => df),
+        expectations = Seq(Expectations.expect("warn_only", "true")),
+        quarantineAt = Some("/x/q"))
+    }
+  }
+
   test("row-wise Transform refuses a non-append upstream commit loudly") {
     val root = tmp("graft_dag_na")
     val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"

@@ -367,8 +367,25 @@ class ParserFuzzSpec extends AnyFunSuite {
       val rr = s"${kc(r, "REFRESH PIPELINE")} pz$i ${kc(r, "RUN")} $i"
       parse(rr).get match {
         case cmd: GraftRefreshPipelineCommand =>
-          assert(cmd.name === s"pz$i" && cmd.runId.contains(i.toLong))
+          assert(cmd.name === s"pz$i" && cmd.runId.contains(i.toLong) &&
+            !cmd.full)
         case o => fail(s"case $i refresh misrouted: $o")
+      }
+      // the FULL form, with and without a TABLES subset / RUN
+      val rf = r.nextInt(3) match {
+        case 0 => s"${kc(r, "REFRESH PIPELINE")} pz$i ${kc(r, "FULL")}"
+        case 1 => s"${kc(r, "REFRESH PIPELINE")} pz$i " +
+          s"${kc(r, "FULL TABLES")} ( s , g ) ${kc(r, "RUN")} $i"
+        case _ => s"${kc(r, "REFRESH PIPELINE")} pz$i " +
+          s"${kc(r, "FULL")} ${kc(r, "RUN")} $i"
+      }
+      parse(rf).get match {
+        case cmd: GraftRefreshPipelineCommand =>
+          assert(cmd.full, s"case $i FULL lost: $rf")
+          assert(cmd.fullTables.isEmpty ||
+            cmd.fullTables === Seq("s", "g"),
+            s"case $i tables: ${cmd.fullTables}")
+        case o => fail(s"case $i full refresh misrouted: $o")
       }
     }
   }

@@ -146,6 +146,97 @@ class PipelineSqlSpec extends SparkSpec {
     }
   }
 
+  test("REFRESH PIPELINE ... FULL: selective rebuild through SQL — the rule lands after history, the rebuild drops it retroactively") {
+    val root = tmp("graft_psql_full")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, "a", 10.0), (2L, "P", 20.0), (3L, "b", 30.0))
+      .toDF("id", "status", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(
+        s"""CREATE PIPELINE psqlf AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src'
+              PATTERN '*.parquet' ;
+            TABLE silver AT '$root/silver' INCREMENTAL FROM bronze AS
+              SELECT id, status, v FROM bronze ;
+            TABLE gold AT '$root/gold' AGGREGATE FROM silver
+              GROUP BY (status) AGG (SUM(v) AS sv, COUNT(*) AS n)"""
+      ).collect()
+      s.sql("REFRESH PIPELINE psqlf RUN 1").collect()
+      // the quality bar moves AFTER history landed
+      s.sql(s"""ALTER TABLE '$root/silver' ADD EXPECTATION no_p
+        EXPECT (status <> 'P') ON VIOLATION DROP ROW""").collect()
+      val r = s.sql("REFRESH PIPELINE psqlf FULL TABLES (silver) RUN 2")
+        .collect().map(x => x.getString(0) -> x.getString(2)).toMap
+      assert(r("silver") === "recomputed" && r("gold") === "merged")
+      assert(ManifestTable.read(s, s"$root/silver").count() === 2L,
+        "the persisted DROP rule must apply retroactively")
+      val gold = ManifestTable.read(s, s"$root/gold")
+        .select(col("status"), col("sv").cast("double"), col("n"))
+        .as[(String, Double, Long)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(gold === Map("a" -> ((10.0, 1L)), "b" -> ((30.0, 1L))),
+        "the 'P' group must fully retract through the incremental fold")
+      // bare FULL rebuilds every derived table
+      val r2 = s.sql("REFRESH PIPELINE psqlf FULL RUN 3").collect()
+        .map(x => x.getString(0) -> x.getString(2)).toMap
+      assert(r2("silver") === "recomputed" && r2("gold") === "recomputed")
+      // incremental refresh resumes PAST the rebuild: a new source
+      // file folds in on top of the rebuilt state, one version only
+      Seq((6L, "a", 5.0), (7L, "P", 7.0)).toDF("id", "status", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val r3 = s.sql("REFRESH PIPELINE psqlf RUN 5").collect()
+        .map(x => (x.getString(0), x.getString(2), x.getLong(4)))
+      assert(r3.find(_._1 == "silver").get._3 === 1L,
+        "silver must process only the post-rebuild bronze version")
+      assert(r3.find(_._1 == "gold").get._2 === "merged")
+      val gold2 = ManifestTable.read(s, s"$root/gold")
+        .select(col("status"), col("sv").cast("double"), col("n"))
+        .as[(String, Double, Long)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(gold2 === Map("a" -> ((15.0, 2L)), "b" -> ((30.0, 1L))),
+        "the fold must resume exactly past the rebuild (no double-" +
+          "count, the persisted rule still gating the new batch)")
+      // naming a source edge refuses
+      val e = intercept[IllegalArgumentException] {
+        s.sql("REFRESH PIPELINE psqlf FULL TABLES (bronze) RUN 4")
+          .collect()
+      }
+      assert(e.getMessage.contains("source edge"))
+      s.sql("DROP PIPELINE psqlf").collect()
+    }
+  }
+
+  test("QUARANTINE AT in SQL: the DROP rule's rejects land beside the table") {
+    val root = tmp("graft_psql_quar")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, "a", 10.0), (2L, "P", 20.0), (3L, "b", 30.0))
+      .toDF("id", "status", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(
+        s"""CREATE PIPELINE psqlq AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src'
+              PATTERN '*.parquet' ;
+            TABLE silver AT '$root/silver'
+              EXPECT no_p (status <> 'P') ON VIOLATION DROP ROW
+              QUARANTINE AT '$root/quar'
+              INCREMENTAL FROM bronze AS
+                SELECT id, status, v FROM bronze""").collect()
+      s.sql("REFRESH PIPELINE psqlq RUN 1").collect()
+      assert(ManifestTable.read(s, s"$root/silver")
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq === Seq(1L, 3L))
+      val q = ManifestTable.read(s, s"$root/quar")
+        .select("id", "_violated").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(q === Seq((2L, "no_p")))
+      s.sql("DROP PIPELINE psqlq").collect()
+    }
+  }
+
   test("CREATE PIPELINE parses the APPLY CHANGES edge and refuses malformed flows at CREATE time") {
     val root = tmp("graft_psql2")
     GraftSession.withSqlExtensions(spark) { s =>
