@@ -166,6 +166,7 @@ object SparkEntry {
     "pipeline_agg"       -> ((s, d) => graft.pipeline.Dag.pipelineAggQuery(s, d)),
     "pipeline_full"      -> ((s, d) => graft.pipeline.Dag.pipelineFullQuery(s, d)),
     "pipeline_quarantine" -> ((s, d) => graft.pipeline.Dag.pipelineQuarantineQuery(s, d)),
+    "pipeline_snapshot"  -> ((s, d) => graft.pipeline.Dag.pipelineSnapshotQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2075,6 +2076,20 @@ object SparkEntry {
                           WHEN o_orderkey % 2 = 0 THEN 1
                           ELSE 2 END AS BIGINT) AS _run_id
          FROM orders ORDER BY o_orderkey""",
+    // Snapshot-CDC pipeline edge (Dag.pipelineSnapshotQuery): the
+    // external source is replaced between refreshes — snapshot 1 =
+    // %4 in (0,1,2), snapshot 2 = %4 in (1,2,3) with %4=2 prices
+    // doubled; the dimension diffs at sequence = upstream version, so
+    // %4=0 deletes, %4=1 keeps _seq 1 (untouched — the O(changed)
+    // proof), %4=2 updates and %4=3 inserts at _seq 2
+    "pipeline_snapshot" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 4 = 2 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(CASE WHEN o_orderkey % 4 = 1 THEN 1
+                          ELSE 2 END AS BIGINT) AS _seq
+         FROM orders WHERE o_orderkey % 4 > 0
+         ORDER BY o_orderkey""",
     // Pipeline CDC edge (Dag.pipelineCdcQuery): the dim is CREATED by
     // the first refresh and maintained by APPLY CHANGES — %5==0
     // inserted then deleted (absent), %5==1 keeps the in-batch seq-5

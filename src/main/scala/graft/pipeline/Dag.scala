@@ -162,6 +162,37 @@ object Dag {
     def inputs: Seq[String] = Seq(of); val kind = "cdc"
   }
 
+  /** A SOURCE the pipeline reads but does not manage (`EXTERNAL` in
+    * the SQL spelling): registers the table's path under its name so
+    * downstream edges can reference it; refresh never writes it — the
+    * outcome row reports the source's current version. The natural
+    * upstream for a [[SnapshotCdc]] edge, whose source is REPLACED
+    * out-of-band between refreshes (an overwritten upstream would
+    * refuse under [[Transform]]'s append-only contract). */
+  final case class External() extends Flow {
+    val inputs: Seq[String] = Nil; val kind = "external"
+  }
+
+  /** APPLY CHANGES FROM SNAPSHOT as a pipeline edge (DLT's
+    * `apply_changes_from_snapshot` flow): the upstream's CURRENT
+    * content is a full SNAPSHOT asserting the key population — each
+    * refresh diffs it against the dimension through
+    * [[ApplyChanges.applyScd1FromSnapshot]] (or the SCD2 sibling when
+    * `scd2Tracked` names the history-tracked columns), at snapshot
+    * sequence = the upstream version: absent keys delete, changed
+    * keys update, new keys insert, unchanged keys emit NOTHING (the
+    * merge stays O(changed)). No SEQUENCE BY — the upstream version
+    * IS the sequence, DLT's shape. A missing target initializes EMPTY
+    * from the snapshot's schema. The upstream may be [[External]] or
+    * any managed table; overwrites upstream are fine (the edge reads
+    * content, not a change feed). Each applied upstream version tags
+    * the dimension, so a replayed refresh no-ops. */
+  final case class SnapshotCdc(of: String, key: String,
+                               scd2Tracked: Option[Seq[String]] = None)
+      extends Flow {
+    def inputs: Seq[String] = Seq(of); val kind = "snapshot_cdc"
+  }
+
   final case class TableDef(name: String, path: String, flow: Flow,
                             expectations: Seq[Expectations.Expectation] = Nil,
                             statsCols: Seq[String] = Nil,
@@ -189,6 +220,10 @@ object Dag {
         "— recompute flows re-derive their violations every run and " +
         "would duplicate the quarantine; WARN keeps rows, FAIL kills " +
         "the update")
+    require(flow.kind != "external" || expectations.isEmpty,
+      s"table '$name': expectations on an EXTERNAL source are refused " +
+        "— the pipeline never writes it, so there is no flow to gate; " +
+        "attach the rules to the first managed flow that reads it")
   }
 
   /** One table's refresh outcome within a run. */
@@ -613,6 +648,63 @@ object Dag {
     q.unionByName(s).orderBy(col("o_orderkey"))
   }
 
+  /** Declared SNAPSHOT-CDC pipeline query (round 19 — DLT's
+    * `apply_changes_from_snapshot` as a declarative edge): an
+    * EXTERNAL source table is REPLACED out-of-band between refreshes
+    * — snapshot 1 holds the %4∈{0,1,2} orders, snapshot 2 the
+    * %4∈{1,2,3} orders with the %4=2 prices doubled — and the
+    * dimension follows by full-outer diff at snapshot sequence = the
+    * upstream version: %4=0 deletes, %4=1 stays UNTOUCHED (its `_seq`
+    * stays 1 — the hash-gated proof unchanged keys emit nothing and
+    * the merge is O(changed)), %4=2 updates, %4=3 inserts (both at
+    * `_seq` 2). In-query requires assert one atomic commit per
+    * applied snapshot and that a replayed refresh no-ops on the
+    * version watermark. Oracle recomputes the surviving dimension
+    * with its per-class sequence. */
+  def pipelineSnapshotQuery(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dagsnap_" + Integer.toHexString(sfDir.hashCode))
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    val srcP = root.toString + "/src"
+    val dimP = root.toString + "/dim"
+    val k = col("o_orderkey")
+    def ordersOf(s: SparkSession) = graft.Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val dag = Dag(Seq(
+      TableDef("src", srcP, External()),
+      TableDef("dim", dimP, SnapshotCdc("src", "o_orderkey"),
+        statsCols = Seq("o_orderkey"))))
+    ManifestTable.write(ordersOf(spark).filter(k % 4 < 3), srcP): Unit
+    dag.refresh(spark, 1L)
+    val v1 = ManifestTable.currentVersion(spark, dimP).get
+    ManifestTable.write(ordersOf(spark).filter(k % 4 > 0)
+      .withColumn("o_totalprice",
+        when(k % 4 === 2, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), srcP): Unit
+    val r2 = dag.refresh(spark, 2L)
+    require(r2.find(_.table == "dim").get.outcome == "applied",
+      "snapshot 2 must apply")
+    val v2 = ManifestTable.currentVersion(spark, dimP).get
+    require(v2 == v1 + 1L,
+      s"each applied snapshot is ONE atomic merge commit (dim went " +
+        s"$v1 -> $v2)")
+    val r3 = dag.refresh(spark, 3L)
+    require(r3.find(_.table == "dim").get.outcome == "no_new_data",
+      "a replayed refresh must no-op on the version watermark")
+    ManifestTable.read(spark, dimP)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("_seq"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Topological order of `defs` (Kahn), refusing unknown inputs,
     * duplicate names, and cycles at CONSTRUCTION time. */
   private[pipeline] def topoSort(defs: Seq[TableDef]): Seq[TableDef] = {
@@ -764,7 +856,8 @@ final case class Dag(defs: Seq[Dag.TableDef],
     * re-derivable; wiping them would be data loss, the hazard DLT
     * documents for full refresh against limited-retention sources). */
   def derivedTables: Set[String] =
-    defs.filter(d => d.flow.kind != "ingest" && d.flow.kind != "copy")
+    defs.filterNot(d =>
+      Set("ingest", "copy", "external").contains(d.flow.kind))
       .map(_.name).toSet
 
   /** FULL REFRESH (DLT's second button, optionally SELECTIVE): the
@@ -796,12 +889,14 @@ final case class Dag(defs: Seq[Dag.TableDef],
         s"${(full -- known).toSeq.sorted.mkString(", ")}")
     full.foreach { t =>
       val k = defs.find(_.name == t).get.flow.kind
-      require(k != "ingest" && k != "copy",
+      require(k != "ingest" && k != "copy" && k != "external",
         s"full refresh of source edge '$t' ($k) refused — a " +
           "run-driven or ledger-driven source edge is its own source " +
-          "of truth; past batches cannot be re-derived, so a rebuild " +
-          "is data loss (DLT's limited-retention-source hazard). " +
-          "Name only derived tables, or omit TABLES for all of them")
+          "of truth (and an EXTERNAL source is not the pipeline's to " +
+          "write at all); past batches cannot be re-derived, so a " +
+          "rebuild is data loss (DLT's limited-retention-source " +
+          "hazard). Name only derived tables, or omit TABLES for all " +
+          "of them")
     }
     refreshPass(spark, runId, full)
   }
@@ -978,6 +1073,54 @@ final case class Dag(defs: Seq[Dag.TableDef],
               rows, v, mj)
           }
 
+        case External() =>
+          Refreshed(d.name, "external", "source", -1L, 0L, 0L, 0L,
+            ManifestTable.currentVersion(spark, d.path).getOrElse(-1L),
+            null)
+
+        case SnapshotCdc(of, key, tracked) =>
+          val upPath = pathOf(of)
+          val prefix = s"dag-${d.name}-v"
+          val cur = ManifestTable.currentVersion(spark, upPath)
+            .getOrElse(0L)
+          val water = tagWater(spark, d.path, prefix)
+          if (cur <= water)
+            Refreshed(d.name, "snapshot_cdc", "no_new_data", cur, 0L,
+              0L, 0L, ManifestTable.currentVersion(spark, d.path)
+                .getOrElse(-1L), null)
+          else {
+            val snap = ManifestTable.read(spark, upPath)
+            // DLT creates the target: a snapshot feed is ALL business
+            // columns (no sequence/delete controls)
+            if (ManifestTable.currentVersion(spark, d.path).isEmpty) {
+              if (tracked.isEmpty)
+                ApplyChanges.initializeScd1(snap.limit(0), d.path, 0L,
+                  statsCols = d.statsCols): Unit
+              else
+                ApplyChanges.initializeScd2(snap.limit(0), d.path,
+                  ts = 0L, seq0 = 0L, statsCols = d.statsCols): Unit
+            }
+            val (gated, obs, names) =
+              gateFlow(snap, d, s"$prefix$cur-obs")
+            // the upstream version IS the snapshot sequence (and the
+            // SCD2 logical time) — DLT's apply_changes_from_snapshot
+            val v = tracked match {
+              case None =>
+                ApplyChanges.applyScd1FromSnapshot(spark, d.path, key,
+                  gated, snapshotSeq = cur, tag = Some(s"$prefix$cur"))
+              case Some(tr) =>
+                ApplyChanges.applyScd2FromSnapshot(spark, d.path, key,
+                  gated, tr, snapshotSeq = cur, ts = cur,
+                  tag = Some(s"$prefix$cur"))
+            }
+            // a snapshot diff honestly reads the whole upstream
+            val filesRead = ManifestTable
+              .resolveState(spark, upPath, cur).files.size.toLong
+            val (rows, mj) = metricsJson(obs, names)
+            Refreshed(d.name, "snapshot_cdc", "applied", cur,
+              cur - water, filesRead, rows, v, mj)
+          }
+
         case Aggregate(of, stateOf, negate, mergeF, live, keys) =>
           val upPath = pathOf(of)
           val prefix = s"dag-${d.name}-v"
@@ -1099,6 +1242,34 @@ final case class Dag(defs: Seq[Dag.TableDef],
               rows, v, mj)
         }
 
+      case SnapshotCdc(of, key, tracked) => upstreamFull(of) match {
+        case None =>
+          Refreshed(d.name, "snapshot_cdc", "no_new_data", 0L, 0L, 0L,
+            0L, ManifestTable.currentVersion(spark, d.path)
+              .getOrElse(-1L), null)
+        case Some((upPath, cur, nVs, files)) =>
+          // the upstream's current content IS the whole population a
+          // snapshot asserts — the rebuild is the snapshot itself,
+          // committed at snapshot sequence = the upstream version
+          // (SCD2 history collapses to the rebuilt open slice, the
+          // documented full-refresh contract for CDC edges)
+          val (gated, obs, names) = gateFlow(
+            ManifestTable.read(spark, upPath), d,
+            s"dag-${d.name}-full$runId-obs")
+          val seqed = gated.withColumn("_snap_seq", lit(cur))
+          val tag = Some(s"dag-${d.name}-v$cur")
+          val v = tracked match {
+            case None => ApplyChanges.rebuildScd1(spark, d.path, key,
+              seqed, "_snap_seq", None, tag, d.statsCols)
+            case Some(_) => ApplyChanges.rebuildScd2(spark, d.path,
+              key, seqed, "_snap_seq", ts = cur, deleteWhen = None,
+              tag = tag, statsCols = d.statsCols)
+          }
+          val (rows, mj) = metricsJson(obs, names)
+          Refreshed(d.name, "snapshot_cdc", "recomputed", cur, nVs,
+            files, rows, v, mj)
+      }
+
       case Materialize(inputs, compute) =>
         // same recompute as the incremental path, minus the run-tag
         // skip: full refresh is imperative — recompute IS the request
@@ -1130,6 +1301,72 @@ final case class Dag(defs: Seq[Dag.TableDef],
       .toDF("table", "flow", "path", "inputs", "expectations")
   }
 
+  /** DESCRIBE PIPELINE EXTENDED: [[describe]]'s graph rows joined
+    * with each table's LAST event-log record (highest run id; ties —
+    * a failed attempt retried, a full refresh reusing a run id —
+    * resolve to the highest committed version). Tables the log has no
+    * row for (never refreshed, or vacuumed past retention) report
+    * NULLs. Driver-side collect of the event log — bounded metadata
+    * (runs × tables), the same class as DESCRIBE HISTORY. */
+  def describeExtended(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val last: Map[String, (Long, String, Long, String)] =
+      eventLog.filter(ManifestTable.currentVersion(spark, _).isDefined)
+        .map { ep =>
+          ManifestTable.read(spark, ep)
+            .select(col("table"), col("run_id"), col("outcome"),
+              col("committed_version"), col("expect_metrics"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (t, rows) =>
+              val r = rows.maxBy(r => (r.getLong(1), r.getLong(3)))
+              t -> (r.getLong(1), r.getString(2), r.getLong(3),
+                r.getString(4))
+            }
+        }.getOrElse(Map.empty)
+    ordered.map { d =>
+      val e = last.get(d.name)
+      (d.name, d.flow.kind, d.path, d.flow.inputs.mkString(","),
+        d.expectations.map(x => s"${x.name}:${x.action.name}")
+          .mkString(","),
+        e.map(_._1).map(java.lang.Long.valueOf).orNull,
+        e.map(_._2).orNull,
+        e.map(_._3).map(java.lang.Long.valueOf).orNull,
+        e.map(_._4).orNull)
+    }.toDF("table", "flow", "path", "inputs", "expectations",
+      "last_run", "last_outcome", "last_version", "last_metrics")
+  }
+
+  /** Create the declared event-log table EMPTY when absent, so verbs
+    * can persist pipeline metadata on it before any refresh has
+    * logged. Returns the path (None when no event log is declared). */
+  def ensureEventLog(spark: SparkSession): Option[String] =
+    eventLog.map { ep =>
+      if (ManifestTable.currentVersion(spark, ep).isEmpty) {
+        import spark.implicits._
+        val empty = Seq.empty[(Long, String, String, String, Long,
+            Long, Long, Long, Long, String)]
+          .toDF("run_id", "table", "flow", "outcome",
+            "upstream_version", "versions_processed", "files_read",
+            "rows_observed", "committed_version", "expect_metrics")
+        ManifestTable.write(empty, ep): Unit
+      }
+      ep
+    }
+
+  /** Highest run id the event log records — 0 when no event log is
+    * declared, the table is absent, or it is empty. The floor a
+    * re-registered pipeline's auto run counter resumes from: a fresh
+    * JVM re-running the same CREATE DDL must not restart at run 1,
+    * whose tags would silently no-op every flow. */
+  def maxLoggedRun(spark: SparkSession): Long =
+    eventLog.filter(ManifestTable.currentVersion(spark, _).isDefined)
+      .map { ep =>
+        val r = ManifestTable.read(spark, ep)
+          .agg(max(col("run_id"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
+
   /** The pipeline event log as a table (DLT's event log surface). */
   def events(spark: SparkSession): DataFrame = {
     val ep = eventLog.getOrElse(throw new IllegalStateException(
@@ -1151,9 +1388,14 @@ object Pipelines {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     String, (Dag, java.util.concurrent.atomic.AtomicLong)]()
 
-  def register(name: String, dag: Dag): Unit = {
+  /** Register (or replace) `name`. `runFloor` seeds the auto run
+    * counter — pass the event log's [[Dag.maxLoggedRun]] when
+    * re-registering a pipeline whose runs already landed (a counter
+    * restarting at 1 would re-issue run ids whose idempotency tags
+    * silently no-op every flow). */
+  def register(name: String, dag: Dag, runFloor: Long = 0L): Unit = {
     reg.put(name,
-      (dag, new java.util.concurrent.atomic.AtomicLong(0L))): Unit
+      (dag, new java.util.concurrent.atomic.AtomicLong(runFloor))): Unit
   }
 
   def get(name: String): Dag = Option(reg.get(name)).map(_._1)

@@ -3045,6 +3045,36 @@ object ManifestTable {
     currentVersion(spark, path)
       .map(resolveState(spark, path, _).properties).getOrElse(Map.empty)
 
+  /** Pipeline-definition property keys on an EVENT-LOG table — verb-
+    * managed (`CREATE PIPELINE` writes them, [[setProperties]]'s
+    * reserved-prefix guard keeps users out): the pipeline's name and
+    * its FULL original `CREATE PIPELINE` SQL text, the persisted
+    * definition a fresh session restores the registration from
+    * (`RESTORE PIPELINE FROM '<event log>'`). ACID like any property
+    * commit; travels with clones and survives RESTORE. */
+  val PipelineNameKey = "graft.pipeline.name"
+  val PipelineDefKey = "graft.pipeline.definition"
+
+  /** Persist the pipeline's definition on its event-log table (the
+    * `CREATE PIPELINE` verb's managed metadata commit). */
+  def setPipelineDefinition(spark: SparkSession, path: String,
+                            name: String, sql: String): Long =
+    propertiesCommit(spark, path, maxAttempts = 3,
+      st => st.properties ++
+        Map(PipelineNameKey -> name, PipelineDefKey -> sql),
+      "CREATE PIPELINE (definition)")
+
+  /** The persisted (name, CREATE PIPELINE sql) pair on an event-log
+    * table — None when absent or the table carries no definition. */
+  def pipelineDefinition(spark: SparkSession,
+                         path: String): Option[(String, String)] = {
+    val props = tableProperties(spark, path)
+    for {
+      n <- props.get(PipelineNameKey)
+      s <- props.get(PipelineDefKey)
+    } yield (n, s)
+  }
+
   /** Column DEFAULT declarations (column → SQL expression text). */
   def columnDefaults(spark: SparkSession,
                      path: String): Map[String, String] =

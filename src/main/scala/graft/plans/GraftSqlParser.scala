@@ -58,8 +58,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     TABLE t5 AT '<path>' AGGREGATE FROM t2 GROUP BY (k1 [, k2])
   *       AGG (SUM(expr) AS a, COUNT(*) AS n [, COUNT(expr) AS m])
   *       -- compiles to the exact mergeable-state incremental fold
+  *     TABLE t6 AT '<path>' EXTERNAL ;  -- unmanaged source location
+  *     TABLE t7 AT '<path>' APPLY CHANGES FROM SNAPSHOT t6 KEYS (k)
+  *       [TRACK HISTORY ON (c1 [, c2])]  -- upstream version = sequence
   *   REFRESH PIPELINE name [FULL [TABLES (a [, b])]] [RUN n]
-  *   DESCRIBE PIPELINE name
+  *   DESCRIBE PIPELINE [EXTENDED] name
+  *   RESTORE PIPELINE FROM '<event log path>'
+  *   VACUUM PIPELINE name EVENTS KEEP n RUNS
   *   DROP PIPELINE name
   *   ALTER TABLE '<path>' ALTER COLUMN c SET|DROP NOT NULL
   *   ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v' [, ...])
@@ -256,10 +261,17 @@ object GraftSqlStatements {
       "(?:\\s+RUN\\s+(\\d+))?\\s*;?\\s*$").r
   private val describePipelineRe =
     "(?is)^\\s*DESCRIBE\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
+  private val describePipelineExtRe =
+    "(?is)^\\s*DESCRIBE\\s+PIPELINE\\s+EXTENDED\\s+(\\w+)\\s*;?\\s*$".r
   private val dropPipelineRe =
     "(?is)^\\s*DROP\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
   private val showPipelinesRe =
     "(?is)^\\s*SHOW\\s+PIPELINES\\s*;?\\s*$".r
+  private val restorePipelineRe =
+    s"(?is)^\\s*RESTORE\\s+PIPELINE\\s+FROM\\s+$P\\s*;?\\s*$$".r
+  private val vacuumPipelineEventsRe =
+    ("(?is)^\\s*VACUUM\\s+PIPELINE\\s+(\\w+)\\s+EVENTS\\s+KEEP\\s+" +
+      "(\\d+)\\s+RUNS\\s*;?\\s*$").r
   private val pipeDefHeadRe =
     s"(?is)^\\s*TABLE\\s+(\\w+)\\s+AT\\s+$P\\s+(.+)$$".r
   private val pipeCopyRe =
@@ -279,6 +291,11 @@ object GraftSqlStatements {
       "\\s+SEQUENCE\\s+BY\\s+(\\w+)" +
       "(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(\\w+))?" +
       "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([\\w\\s,]+)\\))?\\s*$").r
+  private val pipeSnapCdcRe =
+    ("(?is)^APPLY\\s+CHANGES\\s+FROM\\s+SNAPSHOT\\s+(\\w+)\\s+KEYS" +
+      "\\s*\\((\\w+)\\)" +
+      "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([\\w\\s,]+)\\))?\\s*$").r
+  private val pipeExternalRe = "(?is)^EXTERNAL\\s*$".r
   private val pipeExpectHeadRe = "(?is)^\\s*EXPECT\\s+(\\w+)\\s*\\(".r
   private val pipeViolRe =
     "(?is)^\\s*ON\\s+VIOLATION\\s+(WARN|DROP\\s+ROW|FAIL\\s+UPDATE)".r
@@ -359,14 +376,20 @@ object GraftSqlStatements {
           }
           PipeAgg(up,
             keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, items)
+        case pipeSnapCdcRe(up, key, tracked) =>
+          PipeSnapCdc(up, key,
+            Option(tracked).map(_.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq))
         case pipeCdcRe(up, key, seqBy, del, tracked) =>
           PipeCdc(up, key, seqBy, Option(del),
             Option(tracked).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq))
+        case pipeExternalRe() => PipeExternal
         case other => throw new IllegalArgumentException(
           s"pipeline table '$name' has no recognizable flow — " +
             "expected AS COPY FROM / INCREMENTAL FROM / MATERIALIZED " +
-            s"FROM / APPLY CHANGES FROM, got: ${other.take(80)}")
+            "FROM / APPLY CHANGES FROM [SNAPSHOT] / AGGREGATE FROM / " +
+            s"EXTERNAL, got: ${other.take(80)}")
       }
       PipeDef(name, path, exps.toSeq, flow, quarantine)
     case other => throw new IllegalArgumentException(
@@ -523,14 +546,21 @@ object GraftSqlStatements {
     case createPipelineRe(name, eventLog, body) =>
       val defs = splitPipeDefs(body).map(parsePipeDef)
       require(defs.nonEmpty, "CREATE PIPELINE needs at least one TABLE")
-      Some(GraftCreatePipelineCommand(name, Option(eventLog), defs))
+      Some(GraftCreatePipelineCommand(name, Option(eventLog), defs,
+        rawSql = sqlText))
     case refreshPipelineRe(name, full, fullTables, run) =>
       Some(GraftRefreshPipelineCommand(name, Option(run).map(_.toLong),
         full = full != null,
         fullTables = Option(fullTables).map(_.split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+    case describePipelineExtRe(name) =>
+      Some(GraftDescribePipelineCommand(name, extended = true))
     case describePipelineRe(name) =>
       Some(GraftDescribePipelineCommand(name))
+    case restorePipelineRe(path) =>
+      Some(GraftRestorePipelineCommand(path))
+    case vacuumPipelineEventsRe(name, keep) =>
+      Some(GraftVacuumPipelineEventsCommand(name, keep.toLong))
     case dropPipelineRe(name) =>
       Some(GraftDropPipelineCommand(name))
     case showPipelinesRe() =>
@@ -1539,6 +1569,10 @@ final case class PipeCdc(of: String, key: String, seqBy: String,
 final case class PipeAgg(of: String, groupBy: Seq[String],
                          aggs: Seq[(String, String, String)])
     extends PipeFlowSpec
+final case class PipeSnapCdc(of: String, key: String,
+                             tracked: Option[Seq[String]])
+    extends PipeFlowSpec
+case object PipeExternal extends PipeFlowSpec
 
 /** One parsed CREATE PIPELINE table definition: name, storage path,
   * EXPECT rules as (name, condition, warn|drop|fail), the flow, and
@@ -1558,7 +1592,8 @@ final case class PipeDef(name: String, path: String,
   * names, expectation placement) happens here, at CREATE time. */
 case class GraftCreatePipelineCommand(name: String,
                                       eventLog: Option[String],
-                                      defs: Seq[PipeDef])
+                                      defs: Seq[PipeDef],
+                                      rawSql: String = "")
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("pipeline", StringType, nullable = false)(),
@@ -1584,6 +1619,9 @@ case class GraftCreatePipelineCommand(name: String,
         })
         case PipeCdc(up, key, seqBy, del, tracked) =>
           Dag.Cdc(up, key, seqBy, del, tracked)
+        case PipeSnapCdc(up, key, tracked) =>
+          Dag.SnapshotCdc(up, key, tracked)
+        case PipeExternal => Dag.External()
         case PipeAgg(up, keys, aggs) =>
           Dag.aggregateOf(up, keys, aggs)
       }
@@ -1592,7 +1630,22 @@ case class GraftCreatePipelineCommand(name: String,
         quarantineAt = pd.quarantine.map(GraftSqlCommands.rp(session, _)))
     }
     val dag = Dag(tdefs, eventLog.map(GraftSqlCommands.rp(session, _)))
-    graft.pipeline.Pipelines.register(name, dag)
+    // with an event log the definition PERSISTS beside the runs (the
+    // event-log table is created empty so there is somewhere to put
+    // it before any refresh) and the auto run counter resumes from
+    // the log's high run — a fresh JVM re-running the same CREATE
+    // DDL (or RESTORE PIPELINE) must not restart at run 1, whose
+    // idempotency tags would silently no-op every flow
+    val floor = dag.ensureEventLog(session) match {
+      case Some(ep) =>
+        val mt = graft.pipeline.ManifestTable
+        if (rawSql.nonEmpty &&
+            !mt.pipelineDefinition(session, ep).contains((name, rawSql)))
+          mt.setPipelineDefinition(session, ep, name, rawSql): Unit
+        dag.maxLoggedRun(session)
+      case None => 0L
+    }
+    graft.pipeline.Pipelines.register(name, dag, runFloor = floor)
     Seq(Row(name, defs.size.toLong))
   }
 }
@@ -1635,20 +1688,92 @@ case class GraftRefreshPipelineCommand(name: String,
 }
 
 /** DESCRIBE PIPELINE — the declared graph, one row per table in
-  * refresh order. */
-case class GraftDescribePipelineCommand(name: String)
+  * refresh order. EXTENDED joins each table's LAST event-log record
+  * (run, outcome, committed version, expectation metrics; NULLs when
+  * the log has no row for it) — the pipeline console's status view,
+  * [[graft.pipeline.Dag.describeExtended]]. */
+case class GraftDescribePipelineCommand(name: String,
+                                        extended: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("flow", StringType, nullable = false)(),
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("inputs", StringType, nullable = false)(),
-    AttributeReference("expectations", StringType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    graft.pipeline.Pipelines.get(name).ordered.map(d =>
-      Row(d.name, d.flow.kind, d.path, d.flow.inputs.mkString(","),
-        d.expectations.map(e => s"${e.name}:${e.action.name}")
-          .mkString(",")))
+    AttributeReference("expectations", StringType, nullable = false)()) ++
+    (if (extended) Seq(
+      AttributeReference("last_run", LongType, nullable = true)(),
+      AttributeReference("last_outcome", StringType, nullable = true)(),
+      AttributeReference("last_version", LongType, nullable = true)(),
+      AttributeReference("last_metrics", StringType, nullable = true)())
+    else Nil)
+  override def run(session: SparkSession): Seq[Row] = {
+    val dag = graft.pipeline.Pipelines.get(name)
+    if (extended)
+      dag.describeExtended(session).collect().toSeq
+    else
+      dag.ordered.map(d =>
+        Row(d.name, d.flow.kind, d.path, d.flow.inputs.mkString(","),
+          d.expectations.map(e => s"${e.name}:${e.action.name}")
+            .mkString(",")))
+  }
+}
+
+/** RESTORE PIPELINE FROM '<event log>' — re-register a pipeline from
+  * the definition `CREATE PIPELINE` persisted on its event-log table
+  * ([[graft.pipeline.ManifestTable.pipelineDefinition]]): the stored
+  * SQL re-parses and re-runs, so a fresh session recovers the graph
+  * without the DDL at hand, and the auto run counter resumes from the
+  * log's high run (the CREATE path's floor). */
+case class GraftRestorePipelineCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pipeline", StringType, nullable = false)(),
+    AttributeReference("tables", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val ep = GraftSqlCommands.rp(session, path)
+    val (nm, sql) = graft.pipeline.ManifestTable
+      .pipelineDefinition(session, ep).getOrElse(
+        throw new IllegalArgumentException(
+          s"no pipeline definition persisted at '$path' — only " +
+            "pipelines CREATEd with EVENT LOG AT carry one"))
+    GraftSqlStatements.parse(sql) match {
+      case Some(c: GraftCreatePipelineCommand) => c.run(session)
+      case other => throw new IllegalStateException(
+        s"persisted definition for pipeline '$nm' no longer parses " +
+          s"as CREATE PIPELINE (got $other) — the stored SQL may " +
+          "predate a grammar change; re-run the original DDL")
+    }
+  }
+}
+
+/** VACUUM PIPELINE ... EVENTS KEEP n RUNS — event-log retention:
+  * deletes event rows more than `n` runs behind the log's high run
+  * (one ACID DELETE commit on the events table; the rows of the kept
+  * runs and the table's own history semantics are untouched).
+  * DESCRIBE PIPELINE EXTENDED reports NULLs for tables whose last
+  * event fell past the horizon. */
+case class GraftVacuumPipelineEventsCommand(name: String,
+                                            keepRuns: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pipeline", StringType, nullable = false)(),
+    AttributeReference("kept_from_run", LongType, nullable = false)(),
+    AttributeReference("events_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(keepRuns >= 1, "KEEP needs at least 1 run")
+    val dag = graft.pipeline.Pipelines.get(name)
+    val ep = dag.eventLog.getOrElse(throw new IllegalStateException(
+      s"pipeline '$name' declared no event log — nothing to vacuum"))
+    val from = math.max(1L, dag.maxLoggedRun(session) - keepRuns + 1L)
+    val v =
+      if (from > 1L)
+        graft.pipeline.ManifestTable.deleteWhere(session, ep,
+          org.apache.spark.sql.functions.col("run_id") < from)
+      else graft.pipeline.ManifestTable
+        .currentVersion(session, ep).getOrElse(-1L)
+    Seq(Row(name, from, v))
+  }
 }
 
 /** SHOW PIPELINES — every registered pipeline with its table count

@@ -381,4 +381,85 @@ class DagSpec extends SparkSpec {
     assert(e.getMessage.contains("failed at table 'silver'") &&
       Option(e.getCause).exists(_.getMessage.contains("NON-APPEND")))
   }
+
+  test("SnapshotCdc flow: external upstream replaced between refreshes — deletes/updates/inserts apply, unchanged keys untouched, replay no-ops, SCD2 tracks history") {
+    val root = tmp("graft_dag_snap")
+    val srcP = s"$root/src"; val dimP = s"$root/dim"
+    val dim2P = s"$root/dim2"
+    val dag = Dag(Seq(
+      TableDef("src", srcP, External()),
+      TableDef("dim", dimP, SnapshotCdc("src", "id")),
+      TableDef("dim2", dim2P,
+        SnapshotCdc("src", "id", scd2Tracked = Some(Seq("v"))))))
+    // snapshot 1: keys 1-3
+    ManifestTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "s", "v"), srcP)
+    val r1 = dag.refresh(spark, 1L)
+    assert(r1.map(_.outcome) === Seq("source", "applied", "applied"))
+    // snapshot 2 REPLACES the source: 1 deleted, 2 unchanged,
+    // 3 updated, 4 inserted
+    ManifestTable.write(
+      Seq((2L, "b", 20.0), (3L, "c", 33.0), (4L, "d", 40.0))
+        .toDF("id", "s", "v"), srcP)
+    val r2 = dag.refresh(spark, 2L)
+    assert(r2.find(_.table == "dim").get.outcome === "applied")
+    val dim = ManifestTable.read(spark, dimP)
+      .select("id", "s", "v", "_seq").as[(Long, String, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(dim.toSeq === Seq((2L, "b", 20.0, 1L), (3L, "c", 33.0, 2L),
+      (4L, "d", 40.0, 2L)),
+      "unchanged key 2 keeps _seq 1 — the merge touched only changes")
+    // SCD2 sibling: key 3's tracked change closed the old row
+    val h = ManifestTable.read(spark, dim2P)
+      .select("id", "v", graft.pipeline.Scd2.ValidTo)
+      .as[(Long, Double, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(h.count(_._1 == 3L) === 2)
+    assert(h.filter(_._1 == 3L).map(r => (r._2, r._3.isEmpty)).toSeq
+      === Seq((30.0, false), (33.0, true)))
+    assert(h.filter(_._1 == 1L).forall(_._3.nonEmpty),
+      "deleted key 1 has only closed rows")
+    // replay: the version watermark no-ops both dimensions
+    val r3 = dag.refresh(spark, 3L)
+    assert(r3.filter(_.flowKind == "snapshot_cdc")
+      .forall(_.outcome == "no_new_data"))
+    // FULL refresh: the dimension rebuilds from the current snapshot;
+    // the EXTERNAL source itself refuses
+    val rf = dag.refreshFull(spark, 4L, tables = Set("dim"))
+    assert(rf.find(_.table == "dim").get.outcome === "recomputed")
+    val rebuilt = ManifestTable.read(spark, dimP)
+      .select("id", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rebuilt.toSeq === Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)))
+    intercept[IllegalArgumentException] {
+      dag.refreshFull(spark, 5L, tables = Set("src"))
+    }
+    intercept[IllegalArgumentException] {
+      TableDef("x", "/x/x", External(),
+        expectations = Seq(Expectations.expect("r", "true")))
+    }
+    assert(!dag.derivedTables.contains("src"))
+  }
+
+  test("describeExtended joins each table's last event-log record; NULLs before any refresh and past vacuumed retention") {
+    val root = tmp("graft_dag_dx")
+    val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
+    val eventsP = s"$root/_events"
+    val dag = Dag(Seq(
+      TableDef("bronze", bronzeP,
+        Ingest((_, run) => Seq((run, "x")).toDF("id", "s"))),
+      TableDef("silver", silverP, Transform("bronze", df => df))),
+      eventLog = Some(eventsP))
+    dag.ensureEventLog(spark)
+    // no refresh yet: graph rows with NULL event columns
+    val d0 = dag.describeExtended(spark).collect()
+    assert(d0.length === 2 && d0.forall(_.isNullAt(5)))
+    assert(dag.maxLoggedRun(spark) === 0L)
+    dag.refresh(spark, 1L)
+    dag.refresh(spark, 2L)
+    val d2 = dag.describeExtended(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getString(6)))).toMap
+    assert(d2("bronze") === ((2L, "landed")))
+    assert(d2("silver") === ((2L, "landed")))
+    assert(dag.maxLoggedRun(spark) === 2L)
+  }
 }

@@ -280,4 +280,118 @@ class PipelineSqlSpec extends SparkSpec {
       assert(e2.getMessage.contains("cycle"))
     }
   }
+
+  test("RESTORE PIPELINE: the definition persists on the event log, a dropped registration restores, and the auto run counter resumes past logged runs") {
+    val root = tmp("graft_psql_restore")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, 10.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(
+        s"""CREATE PIPELINE prest EVENT LOG AT '$root/_events' AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src' ;
+            TABLE gold AT '$root/gold' MATERIALIZED FROM bronze AS
+              SELECT CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE)
+                AS sv FROM bronze""").collect()
+      // the definition landed as verb-managed properties on the
+      // (created-empty) event-log table
+      val persisted =
+        ManifestTable.pipelineDefinition(s, s"$root/_events")
+      assert(persisted.exists(_._1 == "prest") &&
+        persisted.exists(_._2.contains("CREATE PIPELINE prest")))
+      // auto run (no RUN clause) = run 1
+      s.sql("REFRESH PIPELINE prest").collect()
+      assert(ManifestTable.read(s, s"$root/gold")
+        .head().getDouble(0) === 10.0)
+      // a fresh session: registration gone, definition on disk
+      Pipelines.drop("prest")
+      val e = intercept[Exception] {
+        s.sql("REFRESH PIPELINE prest").collect()
+      }
+      assert(e.getMessage.contains("no pipeline"))
+      val restored =
+        s.sql(s"RESTORE PIPELINE FROM '$root/_events'").collect()
+      assert(restored.head.getString(0) === "prest" &&
+        restored.head.getLong(1) === 2L)
+      // new data lands; the restored AUTO counter must continue at
+      // run 2 — a counter restarted at 1 would hit run 1's
+      // materialize tag and SKIP the recompute, serving stale gold
+      Seq((2L, 32.0)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val r2 = s.sql("REFRESH PIPELINE prest").collect()
+      assert(r2.find(_.getString(0) == "gold").get.getString(2)
+        === "landed",
+        "the restored run counter must resume past logged runs")
+      assert(ManifestTable.read(s, s"$root/gold")
+        .head().getDouble(0) === 42.0)
+      // restoring from a table with no definition refuses loudly
+      val e2 = intercept[Exception] {
+        s.sql(s"RESTORE PIPELINE FROM '$root/gold'").collect()
+      }
+      assert(e2.getMessage.contains("no pipeline definition"))
+      s.sql("DROP PIPELINE prest").collect()
+    }
+  }
+
+  test("DESCRIBE PIPELINE EXTENDED joins last outcomes; VACUUM PIPELINE EVENTS trims runs past retention") {
+    val root = tmp("graft_psql_dx")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1L, 1.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    GraftSession.withSqlExtensions(spark) { s =>
+      s.sql(
+        s"""CREATE PIPELINE pdx EVENT LOG AT '$root/_events' AS
+            TABLE bronze AT '$root/bronze' AS COPY FROM '$src' ;
+            TABLE silver AT '$root/silver' INCREMENTAL FROM bronze AS
+              SELECT id, v FROM bronze""").collect()
+      // before any refresh: graph rows with NULL event columns
+      val d0 = s.sql("DESCRIBE PIPELINE EXTENDED pdx").collect()
+      assert(d0.length === 2 && d0.forall(_.isNullAt(5)))
+      s.sql("REFRESH PIPELINE pdx RUN 1").collect()
+      s.sql("REFRESH PIPELINE pdx RUN 2").collect()
+      s.sql("REFRESH PIPELINE pdx RUN 3").collect()
+      val dx = s.sql("DESCRIBE PIPELINE EXTENDED pdx").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(5), r.getString(6)))).toMap
+      assert(dx("bronze") === ((3L, "no_new_files")))
+      assert(dx("silver") === ((3L, "no_new_data")))
+      assert(ManifestTable.read(s, s"$root/_events")
+        .select("run_id").distinct().count() === 3L)
+      // retention: keep the last 2 runs
+      val vac = s.sql(
+        "VACUUM PIPELINE pdx EVENTS KEEP 2 RUNS").collect()
+      assert(vac.head.getLong(1) === 2L)
+      val runs = ManifestTable.read(s, s"$root/_events")
+        .select("run_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(runs === Seq(2L, 3L))
+      s.sql("DROP PIPELINE pdx").collect()
+    }
+  }
+
+  test("EXTERNAL source + APPLY CHANGES FROM SNAPSHOT edge through SQL") {
+    val root = tmp("graft_psql_snap")
+    GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "attr"), s"$root/src")
+      s.sql(
+        s"""CREATE PIPELINE psnap AS
+            TABLE src AT '$root/src' EXTERNAL ;
+            TABLE dim AT '$root/dim'
+              APPLY CHANGES FROM SNAPSHOT src KEYS (id)""").collect()
+      val r1 = s.sql("REFRESH PIPELINE psnap RUN 1").collect()
+      assert(r1.map(_.getString(2)).toSeq === Seq("source", "applied"))
+      // the source is REPLACED out-of-band: 1 deleted, 3 inserted
+      ManifestTable.write(
+        Seq((2L, "b"), (3L, "c")).toDF("id", "attr"), s"$root/src")
+      s.sql("REFRESH PIPELINE psnap RUN 2").collect()
+      val dim = ManifestTable.read(s, s"$root/dim")
+        .select("id", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(dim === Seq((2L, "b"), (3L, "c")))
+      s.sql("DROP PIPELINE psnap").collect()
+    }
+  }
 }
