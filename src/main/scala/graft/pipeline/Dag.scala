@@ -54,7 +54,15 @@ object Dag {
 
   /** Entry edge: `batchOf(spark, runId)` produces the rows this run
     * lands (a source-directory read, an upstream export, a fixture
-    * slice). Appends exactly once per run id. */
+    * slice). Appends exactly once per run id.
+    *
+    * Determinism contract: the run tag makes replays idempotent by
+    * FIRST COMMIT WINS, not by value — a replayed run id whose closure
+    * would now produce different rows (a non-deterministic read, a
+    * mutated source) no-ops against the tag, so the ORIGINAL batch
+    * stands and the variant is discarded. That is the safe reading
+    * (exactly-once per run id either way); callers who need the new
+    * rows must land them under a NEW run id. */
   final case class Ingest(batchOf: (SparkSession, Long) => DataFrame)
       extends Flow {
     val inputs: Seq[String] = Nil; val kind = "ingest"

@@ -293,7 +293,7 @@ object GraftSqlStatements {
       "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([\\w\\s,]+)\\))?\\s*$").r
   private val pipeSnapCdcRe =
     ("(?is)^APPLY\\s+CHANGES\\s+FROM\\s+SNAPSHOT\\s+(\\w+)\\s+KEYS" +
-      "\\s*\\((\\w+)\\)" +
+      "\\s*\\(\\s*(\\w+)\\s*\\)" +
       "(?:\\s+TRACK\\s+HISTORY\\s+ON\\s*\\(([\\w\\s,]+)\\))?\\s*$").r
   private val pipeExternalRe = "(?is)^EXTERNAL\\s*$".r
   private val pipeExpectHeadRe = "(?is)^\\s*EXPECT\\s+(\\w+)\\s*\\(".r

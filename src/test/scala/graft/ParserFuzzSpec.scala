@@ -390,6 +390,62 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline console-verb fuzz: 24 seeded cases — EXTERNAL/SNAPSHOT defs, DESCRIBE EXTENDED, RESTORE FROM, VACUUM EVENTS") {
+    val r = new Random(88031L)
+    (1 to 24).foreach { i =>
+      val root = s"/tmp/fz c$i"
+      // EXTERNAL source + snapshot edge, optional TRACK HISTORY
+      val tracked = r.nextBoolean()
+      val sql =
+        s"""${kc(r, "CREATE PIPELINE")} pc$i
+            ${kc(r, "EVENT LOG AT")} '$root/_ev' ${kc(r, "AS")}
+            ${kc(r, "TABLE")} src ${kc(r, "AT")} '$root/src'
+              ${kc(r, "EXTERNAL")} ;
+            ${kc(r, "TABLE")} dim ${kc(r, "AT")} '$root/dim'
+              ${kc(r, "APPLY CHANGES FROM SNAPSHOT")} src
+              ${kc(r, "KEYS")} ( id )""" +
+          (if (tracked) s" ${kc(r, "TRACK HISTORY ON")} ( a , b )"
+           else "")
+      parse(sql).get match {
+        case c: GraftCreatePipelineCommand =>
+          assert(c.defs.map(_.name) === Seq("src", "dim"),
+            s"case $i defs: ${c.defs.map(_.name)}")
+          assert(c.defs.head.flow === PipeExternal)
+          val snap = c.defs(1).flow.asInstanceOf[PipeSnapCdc]
+          assert(snap.of === "src" && snap.key === "id")
+          assert(snap.tracked ===
+            (if (tracked) Some(Seq("a", "b")) else None),
+            s"case $i tracked: ${snap.tracked}")
+          assert(c.rawSql === sql,
+            s"case $i must persist the verbatim DDL")
+        case o => fail(s"case $i misrouted: $o")
+      }
+      parse(s"${kc(r, "DESCRIBE PIPELINE EXTENDED")} pc$i").get match {
+        case cmd: GraftDescribePipelineCommand =>
+          assert(cmd.name === s"pc$i" && cmd.extended)
+        case o => fail(s"case $i describe-ext misrouted: $o")
+      }
+      parse(s"${kc(r, "DESCRIBE PIPELINE")} pc$i").get match {
+        case cmd: GraftDescribePipelineCommand =>
+          assert(cmd.name === s"pc$i" && !cmd.extended)
+        case o => fail(s"case $i describe misrouted: $o")
+      }
+      parse(s"${kc(r, "RESTORE PIPELINE FROM")} '$root/_ev'").get match {
+        case cmd: GraftRestorePipelineCommand =>
+          assert(cmd.path === s"$root/_ev")
+        case o => fail(s"case $i restore misrouted: $o")
+      }
+      parse(s"${kc(r, "VACUUM PIPELINE")} pc$i " +
+          s"${kc(r, "EVENTS KEEP")} ${i % 9 + 1} ${kc(r, "RUNS")}")
+        .get match {
+        case cmd: GraftVacuumPipelineEventsCommand =>
+          assert(cmd.name === s"pc$i" &&
+            cmd.keepRuns === (i % 9 + 1).toLong)
+        case o => fail(s"case $i vacuum misrouted: $o")
+      }
+    }
+  }
+
   test("APPLY CHANGES fuzz: 40 seeded cases — optional clauses, hazard literals, random case/whitespace") {
     val r = new Random(77017L)
     (1 to 40).foreach { i =>
