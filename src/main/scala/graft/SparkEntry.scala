@@ -167,6 +167,7 @@ object SparkEntry {
     "pipeline_full"      -> ((s, d) => graft.pipeline.Dag.pipelineFullQuery(s, d)),
     "pipeline_quarantine" -> ((s, d) => graft.pipeline.Dag.pipelineQuarantineQuery(s, d)),
     "pipeline_snapshot"  -> ((s, d) => graft.pipeline.Dag.pipelineSnapshotQuery(s, d)),
+    "pipeline_continuous" -> ((s, d) => graft.pipeline.Dag.pipelineContinuousQuery(s, d)),
     "catalog_table_verbs" -> ((s, d) => graft.pipeline.Medallion.catalogTableVerbs(s, d)),
     "writer_v2"          -> ((s, d) => graft.pipeline.Medallion.writerV2Verbs(s, d)),
     "table_properties"   -> ((s, d) => graft.pipeline.Medallion.tablePropertiesQuery(s, d)),
@@ -2090,6 +2091,18 @@ object SparkEntry {
                           ELSE 2 END AS BIGINT) AS _seq
          FROM orders WHERE o_orderkey % 4 > 0
          ORDER BY o_orderkey""",
+    // Continuous pipeline (Dag.pipelineContinuousQuery): batches land
+    // before start / while running / while stopped; the continuous
+    // graph (feed-subscribed silver with a DROP gate, mergeable-state
+    // gold) must fold all three exactly once across bootstrap, live
+    // stream, and checkpoint restart
+    "pipeline_continuous" ->
+      """SELECT o_custkey, o_orderstatus,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY 1, 2 ORDER BY o_custkey, o_orderstatus""",
     // Pipeline CDC edge (Dag.pipelineCdcQuery): the dim is CREATED by
     // the first refresh and maintained by APPLY CHANGES — %5==0
     // inserted then deleted (absent), %5==1 keeps the in-batch seq-5

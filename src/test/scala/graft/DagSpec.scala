@@ -440,6 +440,65 @@ class DagSpec extends SparkSpec {
     assert(!dag.derivedTables.contains("src"))
   }
 
+  test("CONTINUOUS mode: feed-triggered cascade shares the triggered watermarks, resumes from checkpoints, refuses non-watermark edges") {
+    val root = tmp("graft_dag_cont")
+    val srcP = s"$root/src"; val silverP = s"$root/silver"
+    val goldP = s"$root/gold"; val ckpt = s"$root/_ckpt"
+    val dag = Dag(Seq(
+      TableDef("src", srcP, External()),
+      TableDef("silver", silverP,
+        Transform("src", df => df.filter(col("grp") =!= "drop"))),
+      TableDef("gold", goldP, Dag.aggregateOf("silver", Seq("grp"),
+        Seq(("sum", "v", "sv"), ("count", "*", "n"))))))
+    def gold(): Map[String, (Double, Long)] =
+      ManifestTable.read(spark, goldP)
+        .select(col("grp"), col("sv").cast("double"), col("n"))
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch 1 lands BEFORE start — the bootstrap pass catches it
+    ManifestTable.write(
+      Seq(("a", 10.0), ("b", 20.0), ("drop", 99.0)).toDF("grp", "v"),
+      srcP)
+    val qs = dag.continuous(spark, ckpt)
+    try {
+      assert(qs.map(_.name) === Seq("dag-silver", "dag-gold"))
+      assert(ManifestTable.currentVersion(spark, silverP)
+        .contains(1L), "bootstrap must create and fill silver")
+      assert(gold() === Map("a" -> ((10.0, 1L)), "b" -> ((20.0, 1L))))
+      // batch 2 lands WHILE RUNNING — src's commit cascades through
+      ManifestTable.append(Seq(("a", 5.0)).toDF("grp", "v"), srcP)
+      qs.foreach(_.processAllAvailable())
+      assert(ManifestTable.currentVersion(spark, silverP)
+        .contains(2L), "the live stream must apply batch 2")
+      assert(gold() === Map("a" -> ((15.0, 2L)), "b" -> ((20.0, 1L))))
+    } finally qs.foreach(_.stop())
+    // the modes COMPOSE on shared watermarks: a triggered refresh on
+    // the caught-up graph no-ops every derived edge
+    assert(dag.refresh(spark, 99L)
+      .filter(d => Set("transform", "aggregate")(d.flowKind))
+      .forall(r => Set("no_new_data", "unchanged")(r.outcome)))
+    // batch 3 lands while STOPPED — the restart resumes and catches up
+    ManifestTable.append(Seq(("b", 7.0)).toDF("grp", "v"), srcP)
+    val qs2 = dag.continuous(spark, ckpt)
+    try {
+      qs2.foreach(_.processAllAvailable())
+      assert(gold() === Map("a" -> ((15.0, 2L)), "b" -> ((27.0, 2L))))
+      // idle drain: nothing new must commit nothing
+      val v = ManifestTable.currentVersion(spark, goldP).get
+      qs2.foreach(_.processAllAvailable())
+      assert(ManifestTable.currentVersion(spark, goldP).get === v)
+    } finally qs2.foreach(_.stop())
+    // non-watermark edges refuse loudly
+    val mDag = Dag(Seq(
+      TableDef("src", srcP, External()),
+      TableDef("m", s"$root/m",
+        Materialize(Seq("src"), fs => fs.values.head))))
+    val e = intercept[IllegalArgumentException] {
+      mDag.continuous(spark, s"$root/_ckpt2")
+    }
+    assert(e.getMessage.contains("cannot run continuously"))
+  }
+
   test("describeExtended joins each table's last event-log record; NULLs before any refresh and past vacuumed retention") {
     val root = tmp("graft_dag_dx")
     val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
