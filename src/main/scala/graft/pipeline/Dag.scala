@@ -1534,6 +1534,35 @@ final case class Dag(defs: Seq[Dag.TableDef],
 object Pipelines {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     String, (Dag, java.util.concurrent.atomic.AtomicLong)]()
+  private val running = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.streaming.StreamingQuery]]()
+
+  /** START PIPELINE: run `name` continuously ([[Dag.continuous]]),
+    * tracking the started queries so STOP can find them. Refuses when
+    * already started (stop first — two subscriptions per edge would
+    * race their checkpoints). */
+  def start(name: String, spark: SparkSession,
+            checkpointRoot: String): Seq[String] = {
+    val dag = get(name)
+    running.compute(name, (_, prev) => {
+      require(prev == null || prev.forall(!_.isActive),
+        s"pipeline '$name' is already running — STOP PIPELINE first")
+      dag.continuous(spark, checkpointRoot)
+    }).map(_.name)
+  }
+
+  /** STOP PIPELINE: stop `name`'s running continuous queries (no-op
+    * list when none). Returns the stopped query names. */
+  def stop(name: String): Seq[String] =
+    Option(running.remove(name)).getOrElse(Nil).map { q =>
+      if (q.isActive) q.stop()
+      q.name
+    }
+
+  /** The live continuous queries of `name` (empty when not started). */
+  def runningQueries(name: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    Option(running.get(name)).getOrElse(Nil).filter(_.isActive)
 
   /** Register (or replace) `name`. `runFloor` seeds the auto run
     * counter — pass the event log's [[Dag.maxLoggedRun]] when
@@ -1556,7 +1585,11 @@ object Pipelines {
       .getOrElse(throw new IllegalArgumentException(
         s"no pipeline '$name' registered"))
 
-  def drop(name: String): Boolean = reg.remove(name) != null
+  /** Unregister (stopping any running continuous queries first). */
+  def drop(name: String): Boolean = {
+    stop(name): Unit
+    reg.remove(name) != null
+  }
 
   def names: Seq[String] = {
     import scala.jdk.CollectionConverters._

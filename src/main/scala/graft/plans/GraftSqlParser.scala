@@ -62,6 +62,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     TABLE t7 AT '<path>' APPLY CHANGES FROM SNAPSHOT t6 KEYS (k)
   *       [TRACK HISTORY ON (c1 [, c2])]  -- upstream version = sequence
   *   REFRESH PIPELINE name [FULL [TABLES (a [, b])]] [RUN n]
+  *   START PIPELINE name CHECKPOINT AT '<root>'  -- continuous mode
+  *   STOP PIPELINE name
   *   DESCRIBE PIPELINE [EXTENDED] name
   *   RESTORE PIPELINE FROM '<event log path>'
   *   VACUUM PIPELINE name EVENTS KEEP n RUNS
@@ -269,6 +271,11 @@ object GraftSqlStatements {
     "(?is)^\\s*SHOW\\s+PIPELINES\\s*;?\\s*$".r
   private val restorePipelineRe =
     s"(?is)^\\s*RESTORE\\s+PIPELINE\\s+FROM\\s+$P\\s*;?\\s*$$".r
+  private val startPipelineRe =
+    ("(?is)^\\s*START\\s+PIPELINE\\s+(\\w+)\\s+CHECKPOINT\\s+AT\\s+" +
+      "'([^']+)'\\s*;?\\s*$").r
+  private val stopPipelineRe =
+    "(?is)^\\s*STOP\\s+PIPELINE\\s+(\\w+)\\s*;?\\s*$".r
   private val vacuumPipelineEventsRe =
     ("(?is)^\\s*VACUUM\\s+PIPELINE\\s+(\\w+)\\s+EVENTS\\s+KEEP\\s+" +
       "(\\d+)\\s+RUNS\\s*;?\\s*$").r
@@ -561,6 +568,10 @@ object GraftSqlStatements {
       Some(GraftRestorePipelineCommand(path))
     case vacuumPipelineEventsRe(name, keep) =>
       Some(GraftVacuumPipelineEventsCommand(name, keep.toLong))
+    case startPipelineRe(name, ckpt) =>
+      Some(GraftStartPipelineCommand(name, ckpt))
+    case stopPipelineRe(name) =>
+      Some(GraftStopPipelineCommand(name))
     case dropPipelineRe(name) =>
       Some(GraftDropPipelineCommand(name))
     case showPipelinesRe() =>
@@ -1745,6 +1756,31 @@ case class GraftRestorePipelineCommand(path: String)
           "predate a grammar change; re-run the original DDL")
     }
   }
+}
+
+/** START PIPELINE name CHECKPOINT AT '<root>' — run the pipeline
+  * CONTINUOUSLY ([[graft.pipeline.Dag.continuous]]): one streaming
+  * query per watermark-driven derived edge, returned one row per
+  * started query. The registry tracks them so STOP PIPELINE (and
+  * DROP PIPELINE) can find them; starting an already-running pipeline
+  * refuses. */
+case class GraftStartPipelineCommand(name: String, checkpoint: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.pipeline.Pipelines.start(name, session,
+      GraftSqlCommands.rp(session, checkpoint)).map(Row(_))
+}
+
+/** STOP PIPELINE name — stop the running continuous queries (empty
+  * result when none were running). */
+case class GraftStopPipelineCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("stopped", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.pipeline.Pipelines.stop(name).map(Row(_))
 }
 
 /** VACUUM PIPELINE ... EVENTS KEEP n RUNS — event-log retention:

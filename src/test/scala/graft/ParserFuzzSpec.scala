@@ -443,6 +443,18 @@ class ParserFuzzSpec extends AnyFunSuite {
             cmd.keepRuns === (i % 9 + 1).toLong)
         case o => fail(s"case $i vacuum misrouted: $o")
       }
+      parse(s"${kc(r, "START PIPELINE")} pc$i " +
+          s"${kc(r, "CHECKPOINT AT")} '$root/_ck'").get match {
+        case cmd: GraftStartPipelineCommand =>
+          assert(cmd.name === s"pc$i" &&
+            cmd.checkpoint === s"$root/_ck")
+        case o => fail(s"case $i start misrouted: $o")
+      }
+      parse(s"${kc(r, "STOP PIPELINE")} pc$i").get match {
+        case cmd: GraftStopPipelineCommand =>
+          assert(cmd.name === s"pc$i")
+        case o => fail(s"case $i stop misrouted: $o")
+      }
     }
   }
 

@@ -371,6 +371,46 @@ class PipelineSqlSpec extends SparkSpec {
     }
   }
 
+  test("START/STOP PIPELINE: continuous mode through SQL — live propagation, double-start refusal, stop idempotent") {
+    val root = tmp("graft_psql_cont")
+    GraftSession.withSqlExtensions(spark) { s =>
+      ManifestTable.write(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), s"$root/src")
+      s.sql(
+        s"""CREATE PIPELINE pcont AS
+            TABLE src AT '$root/src' EXTERNAL ;
+            TABLE silver AT '$root/silver' INCREMENTAL FROM src AS
+              SELECT id, v * 2 AS v2 FROM src""").collect()
+      val started =
+        s.sql(s"START PIPELINE pcont CHECKPOINT AT '$root/_ckpt'")
+          .collect().map(_.getString(0)).toSeq
+      assert(started === Seq("dag-silver"))
+      try {
+        // double start refuses while running
+        val e = intercept[Exception] {
+          s.sql(s"START PIPELINE pcont CHECKPOINT AT '$root/_ckpt'")
+            .collect()
+        }
+        assert(e.getMessage.contains("already running"))
+        // a source commit propagates through the live stream
+        ManifestTable.append(Seq((3L, 30.0)).toDF("id", "v"),
+          s"$root/src")
+        Pipelines.runningQueries("pcont").foreach(_.processAllAvailable())
+        assert(ManifestTable.read(s, s"$root/silver")
+          .select("v2").as[Double](org.apache.spark.sql.Encoders
+            .scalaDouble).collect().sorted.toSeq
+          === Seq(20.0, 40.0, 60.0))
+      } finally {
+        val stopped = s.sql("STOP PIPELINE pcont").collect()
+          .map(_.getString(0)).toSeq
+        assert(stopped === Seq("dag-silver"))
+      }
+      assert(s.sql("STOP PIPELINE pcont").collect().isEmpty,
+        "stop is idempotent")
+      s.sql("DROP PIPELINE pcont").collect()
+    }
+  }
+
   test("EXTERNAL source + APPLY CHANGES FROM SNAPSHOT edge through SQL") {
     val root = tmp("graft_psql_snap")
     GraftSession.withSqlExtensions(spark) { s =>
