@@ -1812,18 +1812,21 @@ case class GraftVacuumPipelineEventsCommand(name: String,
   }
 }
 
-/** SHOW PIPELINES — every registered pipeline with its table count
-  * and event-log location. */
+/** SHOW PIPELINES — every registered pipeline with its table count,
+  * event-log location, and the count of live continuous queries
+  * (0 = triggered-only / stopped). */
 case class GraftShowPipelinesCommand()
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("pipeline", StringType, nullable = false)(),
     AttributeReference("tables", LongType, nullable = false)(),
-    AttributeReference("event_log", StringType, nullable = true)())
+    AttributeReference("event_log", StringType, nullable = true)(),
+    AttributeReference("running_queries", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     graft.pipeline.Pipelines.names.map { n =>
       val dag = graft.pipeline.Pipelines.get(n)
-      Row(n, dag.defs.size.toLong, dag.eventLog.orNull)
+      Row(n, dag.defs.size.toLong, dag.eventLog.orNull,
+        graft.pipeline.Pipelines.runningQueries(n).size.toLong)
     }
 }
 

@@ -392,6 +392,10 @@ class PipelineSqlSpec extends SparkSpec {
             .collect()
         }
         assert(e.getMessage.contains("already running"))
+        // SHOW PIPELINES reports the live query count
+        val shown = s.sql("SHOW PIPELINES").collect()
+          .find(_.getString(0) == "pcont").get
+        assert(shown.getLong(3) === 1L)
         // a source commit propagates through the live stream
         ManifestTable.append(Seq((3L, 30.0)).toDF("id", "v"),
           s"$root/src")
@@ -407,6 +411,9 @@ class PipelineSqlSpec extends SparkSpec {
       }
       assert(s.sql("STOP PIPELINE pcont").collect().isEmpty,
         "stop is idempotent")
+      assert(s.sql("SHOW PIPELINES").collect()
+        .find(_.getString(0) == "pcont").get.getLong(3) === 0L,
+        "stopped pipeline shows zero running queries")
       s.sql("DROP PIPELINE pcont").collect()
     }
   }
