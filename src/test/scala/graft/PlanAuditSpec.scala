@@ -529,6 +529,24 @@ class PlanAuditSpec extends SparkSpec {
         "(no accessor needs it after substitution)")
   }
 
+  test("quarantine feed: one filter pass over the batch — no exchange, no extra scan, pruned to referenced columns") {
+    import graft.pipeline.Expectations
+    import graft.pipeline.Expectations._
+    val bad = Expectations.quarantined(Tables.orders(spark, sfTiny),
+      Seq(expectOrDrop("not_pending", "o_orderstatus <> 'P'"),
+        expect("warn_only", "o_totalprice <= 400000.0")))
+    val p = bad.queryExecution.explainString(FormattedMode)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the quarantine feed is ONE filter over the batch — got $scans " +
+        s"scans:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      "a row-local filter+tag must never shuffle")
+    // only the DROP rule feeds the quarantine; WARN rules don't
+    assert(p.contains("not_pending") && !p.contains("warn_only"),
+      "_violated must name only DROP rules")
+  }
+
   test("rolling_users: cell explode never touches the log; bounds from a pruned scan") {
     val p = planOf("rolling_users")
     // two scans by design: (user_id, ts) for cells + ts-only for bounds
