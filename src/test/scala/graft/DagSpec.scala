@@ -499,6 +499,36 @@ class DagSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot run continuously"))
   }
 
+  test("CONTINUOUS Cdc edge: a live CDC feed maintains the dimension through the stream, sequence semantics intact") {
+    val root = tmp("graft_dag_contcdc")
+    val feedP = s"$root/feed"; val dimP = s"$root/dim"
+    val dag = Dag(Seq(
+      TableDef("feed", feedP, External()),
+      TableDef("dim", dimP,
+        Cdc("feed", "id", "seq", deleteWhen = Some("del")))))
+    // bootstrap batch: key 1 inserted, key 2 insert+delete race
+    ManifestTable.write(
+      Seq((1L, "a", 1L, false), (2L, "x", 1L, false),
+        (2L, "x", 2L, true)).toDF("id", "attr", "seq", "del"), feedP)
+    val qs = dag.continuous(spark, ckptRootOf(root))
+    try {
+      // live events: late update for 1 (ignored), newer update for 1,
+      // fresh key 3
+      ManifestTable.append(
+        Seq((1L, "stale", 0L, false), (1L, "b", 5L, false),
+          (3L, "c", 1L, false)).toDF("id", "attr", "seq", "del"),
+        feedP)
+      qs.foreach(_.processAllAvailable())
+      val dim = ManifestTable.read(spark, dimP)
+        .select("id", "attr", "_seq").as[(Long, String, Long)]
+        .collect().sortBy(_._1)
+      assert(dim.toSeq === Seq((1L, "b", 5L), (3L, "c", 1L)),
+        "delete wins the race, late event ignored, newest survives")
+    } finally qs.foreach(_.stop())
+  }
+
+  private def ckptRootOf(root: String): String = s"$root/_ckpt"
+
   test("describeExtended joins each table's last event-log record; NULLs before any refresh and past vacuumed retention") {
     val root = tmp("graft_dag_dx")
     val bronzeP = s"$root/bronze"; val silverP = s"$root/silver"
