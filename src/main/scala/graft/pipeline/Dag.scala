@@ -983,16 +983,29 @@ final case class Dag(defs: Seq[Dag.TableDef],
     // bootstrap (DLT's initial update): create targets, catch up
     cont.foreach(d => refreshOne(spark, 0L, d): Unit)
     val root = checkpointRoot.stripSuffix("/")
-    cont.map { d =>
-      graft.streaming.TableFeedSource
-        .readStream(spark, pathOf(d.flow.inputs.head))
-        .writeStream
-        .queryName(s"dag-${d.name}")
-        .option("checkpointLocation", s"$root/${d.name}")
-        .foreachBatch { (_: DataFrame, _: Long) =>
-          refreshOne(spark, 0L, d): Unit
-        }
-        .start()
+    val started = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      cont.foreach { d =>
+        started += graft.streaming.TableFeedSource
+          .readStream(spark, pathOf(d.flow.inputs.head))
+          .writeStream
+          .queryName(s"dag-${d.name}")
+          .option("checkpointLocation", s"$root/${d.name}")
+          .foreachBatch { (_: DataFrame, _: Long) =>
+            refreshOne(spark, 0L, d): Unit
+          }
+          .start()
+      }
+      started.toSeq
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a failed Nth start must not leak the first N-1 as running,
+        // untracked queries
+        started.foreach(q => try q.stop() catch {
+          case scala.util.control.NonFatal(_) => ()
+        })
+        throw e
     }
   }
 
