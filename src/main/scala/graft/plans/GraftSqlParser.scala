@@ -556,10 +556,15 @@ object GraftSqlStatements {
       Some(GraftCreatePipelineCommand(name, Option(eventLog), defs,
         rawSql = sqlText))
     case refreshPipelineRe(name, full, fullTables, run) =>
+      val tables = Option(fullTables).map(_.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq)
+      // an empty-but-PRESENT TABLES list must not silently widen to
+      // "rebuild everything" (the no-TABLES default) — refuse
+      require(tables.forall(_.nonEmpty),
+        "FULL TABLES (...) names no tables — omit the TABLES clause " +
+          "to rebuild every derived table, or name at least one")
       Some(GraftRefreshPipelineCommand(name, Option(run).map(_.toLong),
-        full = full != null,
-        fullTables = Option(fullTables).map(_.split(",")
-          .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+        full = full != null, fullTables = tables.getOrElse(Nil)))
     case describePipelineExtRe(name) =>
       Some(GraftDescribePipelineCommand(name, extended = true))
     case describePipelineRe(name) =>

@@ -456,6 +456,12 @@ class ParserFuzzSpec extends AnyFunSuite {
         case o => fail(s"case $i stop misrouted: $o")
       }
     }
+    // an empty-but-present TABLES list must refuse, not silently
+    // widen to the rebuild-everything default
+    val e = intercept[IllegalArgumentException] {
+      parse("REFRESH PIPELINE p FULL TABLES ( )")
+    }
+    assert(e.getMessage.contains("names no tables"))
   }
 
   test("APPLY CHANGES fuzz: 40 seeded cases — optional clauses, hazard literals, random case/whitespace") {
