@@ -856,14 +856,26 @@ final case class Dag(defs: Seq[Dag.TableDef],
     * carries `_violated` (the drop rules it broke) and `_run_id`. One
     * extra pass over the batch — the flows' inputs are file-backed
     * reads, so the pass re-reads the same data (documented cost; the
-    * gated main write stays one fused scan). */
+    * gated main write stays one fused scan). A VIOLATION-FREE batch
+    * commits NOTHING: the emptiness probe costs the same single pass
+    * the empty append would, and skipping is idempotent by vacuity
+    * (a replay re-derives the same empty set) — without it every
+    * clean refresh would grow the quarantine table by one empty
+    * version, unbounded churn on an always-clean pipeline. */
   private def quarantineBatch(spark: SparkSession, d: TableDef,
                               batch: DataFrame, runId: Long,
                               mainTag: String): Unit =
     d.quarantineAt.foreach { qp =>
+      // cached: the emptiness probe and the append must not each
+      // re-filter the batch (violations are small — the kept side
+      // never caches)
       val bad = Expectations.quarantined(batch, d.expectations)
-        .withColumn("_run_id", lit(runId))
-      ManifestTable.appendIdempotent(bad, qp, tag = s"$mainTag-q"): Unit
+        .withColumn("_run_id", lit(runId)).cache()
+      try {
+        if (!bad.isEmpty)
+          ManifestTable.appendIdempotent(bad, qp,
+            tag = s"$mainTag-q"): Unit
+      } finally bad.unpersist(blocking = false): Unit
     }
 
   /** Highest upstream version a tagged incremental flow has applied

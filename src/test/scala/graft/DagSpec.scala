@@ -350,6 +350,21 @@ class DagSpec extends SparkSpec {
       "the retry must not re-quarantine (tag no-ops)")
     assert(ManifestTable.read(spark, silverP).count() === 2L,
       "the retry's main commit must land (id 6 drops)")
+    // a violation-free batch commits NOTHING to the quarantine table —
+    // without the emptiness skip every clean refresh would grow it by
+    // one empty version forever
+    val qVer = ManifestTable.currentVersion(spark, quarP).get
+    val dag4 = Dag(Seq(
+      TableDef("bronze", bronzeP,
+        Ingest((_, _) => Seq((7L, "clean", 7.0)).toDF("id", "status", "v"))),
+      TableDef("silver", silverP, Transform("bronze", df => df),
+        expectations = Seq(
+          Expectations.expectOrDrop("no_p", "status <> 'P'")),
+        quarantineAt = Some(quarP))))
+    dag4.refresh(spark, 4L)
+    assert(ManifestTable.currentVersion(spark, quarP).get === qVer,
+      "a clean batch must not add a quarantine version")
+    assert(ManifestTable.read(spark, silverP).count() === 3L)
     // construction refusals: recompute flows and drop-less rule sets
     intercept[IllegalArgumentException] {
       TableDef("m", "/x/m", Materialize(Seq("s"), m => m.values.head),
