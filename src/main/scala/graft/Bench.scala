@@ -145,6 +145,11 @@ object Bench {
       def oneRep(): Unit = {
         val raw = loadAvg1m()
         val load = if (raw < 0) raw else math.max(0.0, raw - selfLoad())
+        // label every job with its query (guide §1.5): the Spark UI /
+        // event log can then attribute each job and the driver-side
+        // gaps between jobs to the query that paid for them — the
+        // attribution the optimization rounds profile against
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).count()
@@ -158,6 +163,7 @@ object Bench {
         }
         attempts += ((load, t))
         rawLoads += raw
+        spark.sparkContext.setJobDescription(null)
       }
       (1 to reps).foreach(_ => oneRep())
       def times = attempts.flatMap(_._2).toSeq.sorted
@@ -422,6 +428,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE inside CACHED plans (off by default in Spark for plan-reuse
+      // conservatism): the engine pins merge sources / feed deltas with
+      // persist(), and with this off every shuffle INSIDE a cached plan
+      // runs at the full spark.sql.shuffle.partitions with no runtime
+      // coalescing — measured 10 32-task slivers per apply_changes_scd1
+      // rep collapsing to <1 with it on (optimization round 19). The
+      // coalescing stays size-adaptive (AQE advisory bytes), so the
+      // setting is scale-neutral, not a local-mode constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,6 +33,12 @@ object GraftSession {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // AQE inside cached plans: the engine pins merge sources and feed
+      // deltas with persist(); Spark's default (false) disables AQE for
+      // the whole cached subtree, leaving every inner shuffle at the
+      // static partition count with no runtime coalescing. Coalescing
+      // under this flag stays advisory-size-driven — scale-adaptive.
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")

@@ -13,9 +13,44 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Plain parquet scan. Filters/pruning push down via Catalyst. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Fixture-schema cache. `spark.read.parquet(path)` with no declared
+    * schema runs a schema-inference JOB (footer read) on EVERY call —
+    * the full bench run paid 866 such jobs (~27 s of stage wall, event
+    * log, optimization round 19) re-inferring the same static fixture
+    * schemas. Caching the inferred StructType per path and passing it
+    * back via `.schema(...)` keeps every later call metadata-only.
+    * This caches SCHEMA (catalog metadata), never data or results:
+    * each action still scans the parquet fresh. The cache key carries
+    * the file's (mtime, length) signature so a regenerated fixture
+    * re-infers instead of serving a stale schema.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+
+  private def pathSig(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      st.getModificationTime * 31L + st.getLen
+    } catch { case _: Throwable => -1L }
+
+  /** Plain parquet scan. Filters/pruning push down via Catalyst.
+    * Schema served from [[schemaCache]] after the first inference. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(cachedSchema(spark, path)).parquet(path)
+  }
+
+  private def cachedSchema(spark: SparkSession, path: String): StructType = {
+    val key = (path, pathSig(spark, path))
+    var sc = schemaCache.get(key)
+    if (sc == null) {
+      sc = spark.read.parquet(path).schema
+      schemaCache.put(key, sc)
+    }
+    sc
+  }
 
   /** The events feed's `ts` physical type is NOT under the engine's
     * control — fixture generations have shipped it as INT64
@@ -42,14 +77,19 @@ object Tables {
     * around their own read, e.g. the streaming queries' withConf).
     */
   def rawSchemaOf(spark: SparkSession, path: String): StructType = {
+    val cacheKey = (s"raw:$path", pathSig(spark, path))
+    val hit = schemaCache.get(cacheKey)
+    if (hit != null) return hit
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try spark.read.parquet(path).schema
+    val sc = try spark.read.parquet(path).schema
     finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+    schemaCache.put(cacheKey, sc)
+    sc
   }
 
   /** Normalize a raw `ts` column to microsecond TIMESTAMP_NTZ — the

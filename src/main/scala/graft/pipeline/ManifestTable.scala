@@ -3973,24 +3973,29 @@ object ManifestTable {
     // the bounds aggregate also carries the source ROW COUNT — it
     // decides the broadcast gate without a dedicated probe pass when
     // the caller didn't already know (mergeMultiKeyed fuses the count
-    // into its key-stats job and passes the verdict down)
+    // into its key-stats job and passes the verdict down) — AND the
+    // UPSERT row count (rows not flagged for delete), which used to be
+    // a separate `!upserts.isEmpty` action per delete-capable merge
+    // (optimization round 19: one fused agg, one fewer job per merge)
     val boundAggs = org.apache.spark.sql.functions.count(lit(1)) +:
+      org.apache.spark.sql.functions.count(when(!delFlag, lit(1))) +:
       keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
     val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
     val bcSource = broadcastSource.getOrElse(
       bounds.getLong(0) <= mergeGateRows(spark))
+    val upsertRows = bounds.getLong(1)
     // a key column whose update values are ALL null can never equate:
     // nothing is touched (SQL join semantics)
     val anyKeyAllNull =
-      keys.indices.exists(i => bounds.isNullAt(1 + 2 * i))
+      keys.indices.exists(i => bounds.isNullAt(2 + 2 * i))
     val candidates: Seq[String] =
       if (anyKeyAllNull) Nil
       else keys.zipWithIndex.foldLeft(st.files) { case (files, (k, i)) =>
         if (files.isEmpty) files
         else if (prunables(k))
           pruneFilesByRange(st.copy(files = files), k, prunableType = true,
-            bounds.get(1 + 2 * i).toString.toDouble,
-            bounds.get(2 + 2 * i).toString.toDouble)
+            bounds.get(2 + 2 * i).toString.toDouble,
+            bounds.get(3 + 2 * i).toString.toDouble)
         else if (bcSource && partCols.contains(st.phys(k))) {
           // non-numeric key that IS a partition column: prune by exact
           // partition value (the distinct-key collect is bounded by
@@ -4117,7 +4122,8 @@ object ManifestTable {
         assignRowIds(ordered0.join(baseIds, keys, "left"),
           st.rowHighWater)
       }
-    val hasUpserts = deleteCol.isEmpty || !upserts.isEmpty
+    // upsert presence rode the bounds aggregate above — no extra action
+    val hasUpserts = deleteCol.isEmpty || upsertRows > 0L
     val carrySchema =
       if (st.rowTracking) schema.fieldNames :+ RowIdCol
       else schema.fieldNames
@@ -4420,22 +4426,29 @@ object ManifestTable {
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
             "be the last on its side — later clauses are unreachable"))
-      // ONE source job answers three questions (key-uniqueness, the
-      // by-source fuse gate, the broadcast gate) — the r15 probes each
-      // ran their own pass over the source before this fuse.
+      // ONE source job answers four questions (key-uniqueness, the
+      // by-source fuse gate, the broadcast gate, and — fused in
+      // optimization round 19 — the per-key-column MIN/MAX bounds the
+      // per-attempt base prune needs, which used to be its own
+      // aggregate pass over the source inside the retry loop).
       // NULL-keyed source rows are EXCLUDED from the uniqueness check
       // (SQL join semantics: they can never match a target row, so
       // several of them are never ambiguous — they just insert); they
-      // still count toward the size gates.
+      // still count toward the size gates. min/max over the distinct
+      // key rollup equal min/max over the raw rows exactly (and both
+      // ignore NULLs).
       val keyNotNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
-      val keyStats = updates.groupBy(keyCols: _*)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"),
-          smax(keyNotNull).as("_nn"))
-        .agg(coalesce(smax(when(col("_nn"), col("count"))), lit(0L))
+      val keyStatsAggs =
+        Seq(coalesce(smax(when(col("_nn"), col("count"))), lit(0L))
             .as("_mx"),
           coalesce(
             org.apache.spark.sql.functions.sum(col("count")), lit(0L))
-            .as("_n"))
+            .as("_n")) ++
+          keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
+      val keyStats = updates.groupBy(keyCols: _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"),
+          smax(keyNotNull).as("_nn"))
+        .agg(keyStatsAggs.head, keyStatsAggs.tail: _*)
         .head()
       require(keyStats.getLong(0) <= 1L,
         "conditional merge requires key-unique updates on " +
@@ -4496,9 +4509,9 @@ object ManifestTable {
         val (baseSlice, baseSliceFiles) =
           if (fused) (fullBase, st.files)
           else {
-            val boundAggs = keys.flatMap(k => Seq(smin(col(k)), smax(col(k))))
-            val bounds = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
-            if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
+            // source key bounds ride the fused keyStats job above —
+            // offsets 2+2i/3+2i after (_mx, _n); no per-attempt pass
+            if (keys.indices.exists(i => keyStats.isNullAt(2 + 2 * i)))
               // some key column is ALL null: no match
               (fullBase.limit(0), Seq.empty[String])
             else {
@@ -4510,8 +4523,8 @@ object ManifestTable {
                     files
                   else pruneFilesByRange(st.copy(files = files), k,
                     prunableType = true,
-                    bounds.get(2 * i).toString.toDouble,
-                    bounds.get(2 * i + 1).toString.toDouble)
+                    keyStats.get(2 + 2 * i).toString.toDouble,
+                    keyStats.get(3 + 2 * i).toString.toDouble)
               }
               if (pruned.size == st.files.size) (fullBase, st.files)
               else (readStateDf(spark, path, st.copy(files = pruned)), pruned)

@@ -59,7 +59,9 @@ object EventsStream {
     * the raw ts type — sentinel placement needs an absolute horizon.
     */
   private[graft] def maxEventMicros(spark: SparkSession, path: String): Long = {
-    val df = spark.read.parquet(path)
+    // schema served from the fixture-schema cache (no inference job)
+    val df = spark.read.schema(graft.Tables.rawSchemaOf(spark, path))
+      .parquet(path)
     df.schema("ts").dataType match {
       case LongType => df.agg(max(col("ts"))).head.getLong(0) / 1000L
       case _ => df.agg(max(unix_micros(col("ts").cast(TimestampType))))
@@ -280,7 +282,8 @@ object EventsStream {
     val ckpt =
       if (checkpointLocation != null) checkpointLocation
       else statePath.stripSuffix("/") + "_ckpt"
-    val schema = spark.read.parquet(srcDir).schema
+    // cached footer sniff (no per-call inference job)
+    val schema = graft.Tables.rawSchemaOf(spark, srcDir)
     val src = spark.readStream.schema(schema).parquet(srcDir)
     val merged = new java.util.concurrent.atomic.AtomicLong(0)
     val skipped = new java.util.concurrent.atomic.AtomicLong(0)
