@@ -204,31 +204,25 @@ object ApplyChanges {
         }
     }
     val latest = latestPerKey(events, key, sequenceBy, deleteWhen)
-    // NO-CLAIM PRUNE (the SCD2 staging lesson, r16 verdict #1, applied
-    // to SCD1): events that cannot fire any clause — late/equal-
-    // sequence events for keys the target already applied past, and
-    // deletes of absent keys — are dropped BEFORE the merge, so its
-    // stats prune + confirm scan pay only for keys that actually
-    // change. One column-pruned (key, _seq) scan of the target per
-    // batch buys that; for the common mostly-late CDC replay the
-    // merge source shrinks to nearly nothing. (A FIRING truncate
-    // returned above as one atomic overwrite, so reaching here means
-    // the target is untouched — `dim` is current.)
-    val cur = dim
-      .select(col(key).as("_ac_k"), col(SeqCol).as("_ac_seq"))
-    val relevant = latest
-      .join(cur, col(key) === col("_ac_k"), "left")
-      .filter(
-        (col("_ac_k").isNull && !isDel) ||
-          (col("_ac_k").isNotNull &&
-            col(sequenceBy).cast("long") > col("_ac_seq")))
-      .select(latest.columns.map(col): _*)
+    // No separate no-claim prune join here (optimization round 19,
+    // removed): the clause conditions below carry the strictly-newer
+    // gate (`_seq > _b__seq`) and the insert gate (`!_ac_delete`), and
+    // mergeMultiKeyed's compile drops every row that claims NO clause
+    // BEFORE the keyed copy-on-write runs — late/equal-sequence events
+    // and deletes of absent keys never reach the confirm scan or the
+    // candidate-file bounds (those are computed over the post-claim
+    // compiled frame). The r16-era pre-join against a (key, _seq)
+    // target scan re-derived exactly that set at the cost of one extra
+    // dim scan + shuffle join per batch — pure overhead at any scale.
+    // (A FIRING truncate returned above as one atomic overwrite, so
+    // reaching here means the target is untouched.)
+    //
     // the staged source carries exactly the target schema's
     // NON-GENERATED columns (business + the sequence landing in
     // `_seq`) plus the delete flag for clause conditions — generated
     // columns recompute in the merge's own staging pass. The key
     // rides its NULL guard (zero extra jobs).
-    val staged = relevant.select(
+    val staged = latest.select(
       Seq(guardedKey.as(key)) ++
         bizCols.filterNot(_ == key).map(col) ++
         Seq(col(sequenceBy).cast("long").as(SeqCol),
@@ -291,21 +285,50 @@ object ApplyChanges {
     val guarded = cdc.withColumn(sequenceBy, guardedSeq(cdc, sequenceBy))
     val latest = latestPerKey(guarded, key, sequenceBy, deleteWhen)
     val dim = ManifestTable.read(spark, path)
-    val pruned =
-      if (!dim.schema.fieldNames.contains(SeqCol)) latest
-      else {
-        // per-key sequence high-water: one (key, _seq) column-pruned
-        // scan + partial agg; keys absent from the target (or with no
-        // recorded sequence) pass through
-        val hw = dim.groupBy(col(key).as("_ac_k"))
-          .agg(max(col(SeqCol)).as("_ac_hw"))
-        latest.join(hw, col(key) === col("_ac_k"), "left")
-          .filter(col("_ac_hw").isNull ||
-            col(sequenceBy).cast("long") > col("_ac_hw"))
-          .select(latest.columns.map(col): _*)
-      }
-    Scd2.applyChanges(spark, path, key, pruned, tracked, ts, tag,
-      deleteWhen, seqCol = Some(sequenceBy))
+    val dimHasSeq = dim.schema.fieldNames.contains(SeqCol)
+    require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
+    // ONE pass over the dimension serves BOTH per-batch questions
+    // (optimization round 19 — these used to be two scans + two
+    // joins): the per-key sequence HIGH-WATER (max `_seq` over the
+    // key's whole history — late-arrival gate) and the OPEN row's
+    // tracked attributes (change detection). The rollup groups one
+    // column-pruned (key, _seq, _valid_to, tracked…) scan by key;
+    // `first(when(open, struct(tracked)), ignoreNulls)` is
+    // deterministic because a key has at most ONE open row. One left
+    // join of the (small) reduced batch against the rollup then
+    // classifies every event: late (pruned), delete-with-open-row
+    // (close), changed (close+reopen), new (insert) — unchanged keys
+    // and deletes of absent keys drop here, exactly the old
+    // two-join semantics.
+    val trackedFields = tracked.distinct
+    val openStruct = struct(trackedFields.map(col): _*)
+    val hwAgg: Column =
+      if (dimHasSeq) max(col(SeqCol)).as("_ac_hw")
+      else max(lit(null).cast("long")).as("_ac_hw")
+    val rollup = dim.groupBy(col(key).as("_ac_k"))
+      .agg(hwAgg,
+        first(when(col(Scd2.ValidTo).isNull, openStruct),
+          ignoreNulls = true).as("_ac_open"))
+    val isDel: Column = deleteWhen
+      .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    val joined = latest.join(rollup, col(key) === col("_ac_k"), "left")
+      // high-water gate: keys absent from the target (or with no
+      // recorded sequence — pre-upgrade rows) accept any sequence
+      .filter(col("_ac_hw").isNull ||
+        col(sequenceBy).cast("long") > col("_ac_hw"))
+    val openPresent = col("_ac_open").isNotNull
+    val changedCond = trackedFields
+      .map(a => !(col(a) <=> col("_ac_open").getField(a)))
+      .reduce(_ || _)
+    val flagged = joined
+      .withColumn("_scd_del", isDel && openPresent)
+      .withColumn("_scd_chg", !isDel && openPresent && changedCond)
+      .withColumn("_scd_new", !isDel && !openPresent)
+      .filter(col("_scd_del") || col("_scd_chg") || col("_scd_new"))
+      .select(latest.columns.map(col) ++
+        Seq(col("_scd_chg"), col("_scd_del")): _*)
+    Scd2.applyFlagged(spark, path, key, latest.columns.toSeq, flagged,
+      tracked, ts, tag, seqCol = Some(sequenceBy))
   }
 
   /** The snapshot-vs-target CHANGE SET: full-outer join on the key,

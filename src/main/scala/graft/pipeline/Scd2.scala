@@ -79,22 +79,6 @@ object Scd2 {
                    deleteWhen: Option[String] = None,
                    seqCol: Option[String] = None): Long = {
     require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
-    val dimCols = ManifestTable.read(spark, path).schema
-    val seqName = ApplyChanges.SeqCol
-    // GENERATED columns are not business columns: the batch must not
-    // carry them (MERGE refuses assigning them; the merge staging pass
-    // recomputes omitted ones from their declarations), so an SCD2
-    // dimension with generated columns composes transparently
-    val genCols = ManifestTable.generatedColumns(spark, path).keySet
-    val bizCols = dimCols.fieldNames
-      .filterNot(n => n == ValidFrom || n == ValidTo || n == seqName ||
-        genCols.contains(n))
-    require(bizCols.forall(batch.columns.contains),
-      s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
-    seqCol.foreach(sc => require(batch.columns.contains(sc),
-      s"SCD2 batch has no sequence column '$sc'"))
-    val dimHasSeq = dimCols.fieldNames.contains(seqName)
-    val keyType = dimCols(key).dataType
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
     // Change detection: ONE left join of the batch against the OPEN
@@ -120,6 +104,42 @@ object Scd2 {
       .filter(col("_scd_del") || col("_scd_chg") || col("_scd_new"))
       .select(batch.columns.map(col) ++
         Seq(col("_scd_chg"), col("_scd_del")): _*)
+    applyFlagged(spark, path, key, batch.columns.toSeq, flagged, tracked,
+      ts, tag, seqCol)
+  }
+
+  /** The merge half of [[applyChanges]], taking an ALREADY-CLASSIFIED
+    * batch: `flagged` carries the batch's columns plus `_scd_chg`
+    * (tracked attributes differ from the key's open row) and
+    * `_scd_del` (a delete event with an open row to close), with
+    * no-claim rows (unchanged keys, deletes of absent keys) already
+    * dropped. Split out in optimization round 19 so
+    * [[ApplyChanges.applyScd2]] can classify and high-water-prune in
+    * ONE pass over the dimension instead of two (its sequence rollup
+    * and this detection used to be separate scans + joins). */
+  private[pipeline] def applyFlagged(spark: SparkSession, path: String,
+                                     key: String, batchCols: Seq[String],
+                                     flagged: DataFrame,
+                                     tracked: Seq[String],
+                                     ts: Long, tag: Option[String],
+                                     seqCol: Option[String]): Long = {
+    require(tracked.nonEmpty, "SCD2 needs at least one tracked column")
+    val dimCols = ManifestTable.read(spark, path).schema
+    val seqName = ApplyChanges.SeqCol
+    // GENERATED columns are not business columns: the batch must not
+    // carry them (MERGE refuses assigning them; the merge staging pass
+    // recomputes omitted ones from their declarations), so an SCD2
+    // dimension with generated columns composes transparently
+    val genCols = ManifestTable.generatedColumns(spark, path).keySet
+    val bizCols = dimCols.fieldNames
+      .filterNot(n => n == ValidFrom || n == ValidTo || n == seqName ||
+        genCols.contains(n))
+    require(bizCols.forall(batchCols.contains),
+      s"SCD2 batch must carry the business columns ${bizCols.mkString(",")}")
+    seqCol.foreach(sc => require(batchCols.contains(sc),
+      s"SCD2 batch has no sequence column '$sc'"))
+    val dimHasSeq = dimCols.fieldNames.contains(seqName)
+    val keyType = dimCols(key).dataType
     // staged source: keyed copies (close-the-open-row for changed and
     // deleted keys, first-insert for new keys) plus null-keyed copies
     // of the CHANGED rows only (replacement inserts — a null key can
