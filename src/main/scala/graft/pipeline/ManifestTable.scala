@@ -611,12 +611,19 @@ object ManifestTable {
     * horizons, and history ordering stay correct even when racing
     * writers carry skewed clocks (without the clamp, a behind-clock
     * writer would record a commit "before" its predecessor and
-    * `TIMESTAMP AS OF` would silently skip it). One tiny manifest
-    * read per commit; no predecessor → plain now. */
+    * `TIMESTAMP AS OF` would silently skip it). The predecessor's ts
+    * comes from the LRU-cached resolved state (every commit site just
+    * resolved it anyway — `TableState.ts` mirrors the manifest `ts`
+    * field exactly, checkpoint fallback included), so no commit pays a
+    * fresh manifest read + JSON parse for one long; the raw read
+    * remains as the fallback for an unresolvable predecessor. No
+    * predecessor → plain now. */
   private def commitTs(spark: SparkSession, path: String,
                        version: Long): Long = {
     val prev =
-      if (version <= 1L) 0L else commitTimestamp(spark, path, version - 1)
+      if (version <= 1L) 0L
+      else try resolveState(spark, path, version - 1).ts
+      catch { case _: Throwable => commitTimestamp(spark, path, version - 1) }
     math.max(System.currentTimeMillis(), prev + 1)
   }
 
@@ -932,6 +939,33 @@ object ManifestTable {
       acc.toMap
     } finally reader.close()
   }
+
+  /** Per-file footer stats for a whole STAGED file set, keyed by
+    * table-relative ref. The footer reads are independent driver-side
+    * I/O (one open + footer parse per file), so they fan out across a
+    * bounded thread pool instead of running serially (optimization
+    * round 20) — a few ms per local commit, and on a remote object
+    * store a many-file rewrite's O(files) round-trip CHAIN becomes
+    * O(files / pool). Values identical to the serial loop. */
+  private def stagedFooterStats(spark: SparkSession, path: String,
+                                staged: Seq[Path], cols: Seq[String])
+      : Map[String, Map[String, ColStats]] =
+    if (cols.isEmpty || staged.isEmpty) Map.empty
+    else if (staged.size == 1)
+      Map(relativize(new Path(path), staged.head) ->
+        footerStats(spark, staged.head, cols))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, staged.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Map[String, ColStats])]] =
+          staged.map { p =>
+            () => relativize(new Path(path), p) -> footerStats(spark, p, cols)
+          }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
 
   private def minOf(typ: String, a: Any, b: Any): Any = typ match {
     case "long"   => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -2656,8 +2690,7 @@ object ManifestTable {
       val stagedRel = staged.map(p => relativize(new Path(path), p))
       val physStats = (st.statsSchemaCols ++ st.clusterCols).distinct
       val newStats: Map[String, Map[String, ColStats]] =
-        staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, physStats)).toMap
+        stagedFooterStats(spark, path, staged, physStats)
       val bloomAdds = st.bloom match {
         case Some(spec) if spec.cols.nonEmpty =>
           buildBloomSidecar(spark, path, staged, spec, version, token)
@@ -3675,8 +3708,7 @@ object ManifestTable {
       val adds = staged.map(p => relativize(new Path(path), p))
       val newStats: Map[String, Map[String, ColStats]] =
         if (statsColsPhys.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, statsColsPhys)).toMap
+        else stagedFooterStats(spark, path, staged, statsColsPhys)
       // overwrite: every previous file (and deletion vector) leaves the
       // state; append: nothing leaves. Carried stats survive appends by
       // construction — a stats-less streaming append only leaves its
@@ -4221,8 +4253,7 @@ object ManifestTable {
       else st.statsSchemaCols
     val newStats: Map[String, Map[String, ColStats]] =
       if (mergeStatsPhys.isEmpty) Map.empty
-      else staged.map(p => relativize(new Path(path), p) ->
-        footerStats(spark, p, mergeStatsPhys)).toMap
+      else stagedFooterStats(spark, path, staged, mergeStatsPhys)
     // bloom index: rewritten files get fresh filters (stale entries for
     // the removed files are dead weight until compact retires them)
     val bloomAdds = st.bloom match {
@@ -4426,6 +4457,26 @@ object ManifestTable {
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
             "be the last on its side — later clauses are unreachable"))
+      // PIN the merge SOURCE for the whole merge (optimization round
+      // 20): it is consumed by up to four separate actions — the
+      // key-stats aggregate below, the broadcast-pairs build, the
+      // source-only anti-join (or the fused full-outer's source side),
+      // and the compiled frame's cache fill. Unpinned, EACH consumer
+      // re-ran the source's whole plan — and a CDC apply's source
+      // embeds a dimension scan + join (SCD2's change-detection join,
+      // the snapshot verb's full-outer diff), so every extra
+      // evaluation was a full dimension pass. The pin also makes the
+      // key-stats (uniqueness + bounds) provably consistent with the
+      // rows later attempts resolve: a non-deterministic source can no
+      // longer yield different rows to a retry than the bounds were
+      // computed over. MEMORY_AND_DISK spills instead of OOMing at any
+      // source size; released win or lose; skipped when the caller
+      // already pinned.
+      val ownSrcPin =
+        updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (ownSrcPin) updates.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // ONE source job answers four questions (key-uniqueness, the
       // by-source fuse gate, the broadcast gate, and — fused in
       // optimization round 19 — the per-key-column MIN/MAX bounds the
@@ -5130,6 +5181,9 @@ object ManifestTable {
       }
       throw new IllegalStateException(
         s"conditional merge lost $maxAttempts races at $path — giving up")
+      } finally {
+        if (ownSrcPin) updates.unpersist(blocking = false)
+      }
     }
   }
 
@@ -5613,8 +5667,7 @@ object ManifestTable {
               .getOrElse(Nil)
           val newStats: Map[String, Map[String, ColStats]] =
             if (physStats.isEmpty) Map.empty
-            else staged.map(p => relativize(new Path(path), p) ->
-              footerStats(spark, p, physStats)).toMap
+            else stagedFooterStats(spark, path, staged, physStats)
           val bloomAdds = st.bloom match {
             case Some(spec) if spec.cols.nonEmpty =>
               buildBloomSidecar(spark, path, staged, spec, version, token)
@@ -5752,8 +5805,7 @@ object ManifestTable {
         else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
       val newStats: Map[String, Map[String, ColStats]] =
         if (physStats.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, physStats)).toMap
+        else stagedFooterStats(spark, path, staged, physStats)
       val bloomAdds = st.bloom match {
         case Some(spec) if spec.cols.nonEmpty =>
           buildBloomSidecar(spark, path, staged, spec, version, token)
@@ -6972,8 +7024,7 @@ object ManifestTable {
         else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
       val newStats: Map[String, Map[String, ColStats]] =
         if (physStats.isEmpty) Map.empty
-        else staged.map(p => relativize(new Path(path), p) ->
-          footerStats(spark, p, physStats)).toMap
+        else stagedFooterStats(spark, path, staged, physStats)
       val bloomAdds = st.bloom match {
         case Some(spec) if spec.cols.nonEmpty =>
           buildBloomSidecar(spark, path, staged, spec, version, token)
@@ -7101,8 +7152,7 @@ object ManifestTable {
       else st.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
     val newStats: Map[String, Map[String, ColStats]] =
       if (physStats.isEmpty) Map.empty
-      else staged.map(p => relativize(new Path(path), p) ->
-        footerStats(spark, p, physStats)).toMap
+      else stagedFooterStats(spark, path, staged, physStats)
     val bloomAdds = st.bloom match {
       case Some(spec) if spec.cols.nonEmpty =>
         buildBloomSidecar(spark, path, staged, spec, version, token)
