@@ -64,8 +64,14 @@ def main(path, outdir, suffix, queries):
         t0 = first[q]
         later = [t for t, name in order if t > t0]
         t1 = min(later) if later else float("inf")
+        # window start: small lookback for executions submitted just
+        # before their first job, CLAMPED to the previous query's first
+        # labeled job so a trailing execution of the previous query (or
+        # a pre-label warm-up) is never attributed to this one
+        earlier = [t for t, name in order if t < t0]
+        w0 = max(t0 - 2000, max(earlier) + 1) if earlier else t0 - 2000
         picked = [(t, i, d, updates.get(i, pl))
-                  for (t, i, d, pl) in execs if t0 - 2000 <= t < t1]
+                  for (t, i, d, pl) in execs if w0 <= t < t1]
         # the window spans every rep of the query — the lifecycle is
         # deterministic, so executions-per-rep is constant: keep the
         # first 1/nreps slice (nreps from the run's bench_detail.json,

@@ -25,14 +25,33 @@ object Tables {
     * re-infers instead of serving a stale schema.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
-  private def pathSig(spark: SparkSession, path: String): Long =
+  /** Content signature of a fixture path. Directory-shaped parquet
+    * fixtures fold the CHILD statuses in (count + max child mtime +
+    * total child length): an in-place part-file rewrite does not
+    * necessarily touch the directory's own mtime/length, so the root
+    * status alone would serve a stale schema. -1 = unstattable (the
+    * caller must NOT cache under it — a transient FS error would pin
+    * whatever schema happened to be inferred). */
+  private[graft] def pathSig(spark: SparkSession, path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
-      st.getModificationTime * 31L + st.getLen
+      if (!st.isDirectory) st.getModificationTime * 31L + st.getLen
+      else {
+        val kids = fs.listStatus(p)
+        var sig = 17L + kids.length
+        var i = 0
+        while (i < kids.length) {
+          val k = kids(i)
+          sig = sig * 31L + k.getModificationTime
+          sig = sig * 31L + k.getLen
+          i += 1
+        }
+        if (sig == -1L) -2L else sig // -1 is reserved for "unstattable"
+      }
     } catch { case _: Throwable => -1L }
 
   /** Plain parquet scan. Filters/pruning push down via Catalyst.
@@ -42,14 +61,19 @@ object Tables {
     spark.read.schema(cachedSchema(spark, path)).parquet(path)
   }
 
+  /** One cache entry per path, replaced whenever the signature moves —
+    * superseded signatures never accumulate. A -1 (unstattable) sig
+    * bypasses the cache entirely: infer fresh, serve, cache nothing. */
   private def cachedSchema(spark: SparkSession, path: String): StructType = {
-    val key = (path, pathSig(spark, path))
-    var sc = schemaCache.get(key)
-    if (sc == null) {
-      sc = spark.read.parquet(path).schema
-      schemaCache.put(key, sc)
+    val sig = pathSig(spark, path)
+    if (sig == -1L) return spark.read.parquet(path).schema
+    val hit = schemaCache.get(path)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val sc = spark.read.parquet(path).schema
+      schemaCache.put(path, (sig, sc))
+      sc
     }
-    sc
   }
 
   /** The events feed's `ts` physical type is NOT under the engine's
@@ -77,9 +101,12 @@ object Tables {
     * around their own read, e.g. the streaming queries' withConf).
     */
   def rawSchemaOf(spark: SparkSession, path: String): StructType = {
-    val cacheKey = (s"raw:$path", pathSig(spark, path))
-    val hit = schemaCache.get(cacheKey)
-    if (hit != null) return hit
+    val sig = pathSig(spark, path)
+    val cacheKey = s"raw:$path"
+    if (sig != -1L) {
+      val hit = schemaCache.get(cacheKey)
+      if (hit != null && hit._1 == sig) return hit._2
+    }
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "true")
@@ -88,7 +115,7 @@ object Tables {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
-    schemaCache.put(cacheKey, sc)
+    if (sig != -1L) schemaCache.put(cacheKey, (sig, sc))
     sc
   }
 

@@ -126,9 +126,11 @@ object ApplyChanges {
     // before the prune scan
     tag.flatMap(ManifestTable.committedVersionOfTag(spark, path, _))
       .foreach(v => return v)
-    // ONE target read serves schema check and no-claim prune — same
-    // manifest resolve, same snapshot version (a concurrent commit
-    // between two reads can no longer split them)
+    // the threaded target read serves the SCHEMA/generated-columns
+    // check only (the r16-era no-claim pre-join is gone — the prune
+    // now happens inside mergeMultiKeyed's clause compile); snapshot
+    // callers still thread their diff read here so diff and schema
+    // check share one manifest resolve
     val dim = target.getOrElse(ManifestTable.read(spark, path))
     // generated columns recompute inside the commit from their
     // declarations — they are not business columns and a batch
@@ -308,7 +310,12 @@ object ApplyChanges {
     val rollup = dim.groupBy(col(key).as("_ac_k"))
       .agg(hwAgg,
         first(when(col(Scd2.ValidTo).isNull, openStruct),
-          ignoreNulls = true).as("_ac_open"))
+          ignoreNulls = true).as("_ac_open"),
+        // invariant witness, same pass: a key with MORE than one open
+        // row (corrupted dimension) would make the `first(...)` pick
+        // arbitrary and change detection nondeterministic — fail loudly
+        // on any such key the batch touches instead
+        count(when(col(Scd2.ValidTo).isNull, lit(1))).as("_ac_nopen"))
     val isDel: Column = deleteWhen
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
     val joined = latest.join(rollup, col(key) === col("_ac_k"), "left")
@@ -316,7 +323,13 @@ object ApplyChanges {
       // recorded sequence — pre-upgrade rows) accept any sequence
       .filter(col("_ac_hw").isNull ||
         col(sequenceBy).cast("long") > col("_ac_hw"))
-    val openPresent = col("_ac_open").isNotNull
+    // NULL `_ac_nopen` (unmatched key) reads false — only corrupted
+    // keys the batch actually references raise
+    val openPresent = when(col("_ac_nopen") > 1, raise_error(lit(
+        s"SCD2 dimension at $path is corrupt — a key has more than " +
+          "one open row (_valid_to IS NULL); change detection would " +
+          "be nondeterministic")).cast("boolean"))
+      .otherwise(col("_ac_open").isNotNull)
     val changedCond = trackedFields
       .map(a => !(col(a) <=> col("_ac_open").getField(a)))
       .reduce(_ || _)
@@ -382,8 +395,9 @@ object ApplyChanges {
                             snapshotSeq: Long,
                             tag: Option[String] = None): Long = {
     // ONE target read serves the diff AND (threaded through) the
-    // apply's schema check + no-claim prune — a concurrent commit
-    // cannot split the diff and the prune onto different versions
+    // apply's schema/generated-columns check — a concurrent commit
+    // cannot split them onto different versions (the no-claim prune
+    // itself lives in mergeMultiKeyed's clause compile since r19)
     val dim = ManifestTable.read(spark, path)
     val genCols = ManifestTable.generatedColumns(spark, path).keySet
     val bizCols = dim.schema.fieldNames

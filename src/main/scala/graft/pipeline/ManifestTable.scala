@@ -4544,6 +4544,52 @@ object ManifestTable {
       // source too (confirm scan / row-id / carry) — independent gate,
       // same fused source-stats job
       val bcSource = srcRows <= mergeGateRows(spark)
+      // EMPTY-SOURCE fast path (optimization round 20): zero source
+      // rows with no BY SOURCE clauses and no schema evolution means
+      // the compiled frame is empty by construction — the resolution
+      // join, claim compile, bounds aggregate, uniqueness probe and
+      // confirm machinery would all run (≈5 jobs) only to stage
+      // nothing. Commit the SAME empty delta mergeAttempt would have
+      // committed: a version still lands (observable history
+      // unchanged), the tag still records (replay idempotency), and
+      // the resolved state is identical (empty adds/removes; absent
+      // high-water fields inherit). The snapshot verbs' replay proof —
+      // a second apply deriving an empty change set — is the common
+      // caller. BY SOURCE merges can act on target rows with zero
+      // source rows and schema evolution evolves the schema from the
+      // source's COLUMNS even when empty, so both keep the full path.
+      if (srcRows == 0L && !hasBySource && !schemaEvolution) {
+        var emptyAttempt = 0
+        while (emptyAttempt < maxAttempts) {
+          val prevV = currentVersion(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"no committed version at $path to merge into"))
+          val st = resolveState(spark, path, prevV)
+          assertWritable(st, path)
+          val schema =
+            st.schema.getOrElse(readStateDf(spark, path, st).schema)
+          val version = prevV + 1L
+          val f = fs(spark, path)
+          val json = deltaJson(version, commitTs(spark, path, version),
+            Nil, Nil, Map.empty, tag, tagHorizon, Some(schema),
+            mergeKey = Some(keys.mkString(",")))
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          val manifest = manifestPath(path, version)
+          val tmpP = new Path(path,
+            s"$ManifestPrefix$version.json.$token.tmp")
+          val out = f.create(tmpP, true)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+          if (conditionalCommit(f, tmpP, manifest)) {
+            maybeCheckpoint(spark, path, version)
+            maybeAutoCompact(spark, path, st.properties)
+            return version
+          }
+          f.delete(tmpP, false)
+          emptyAttempt += 1
+        }
+        throw new IllegalStateException(
+          s"conditional merge lost $maxAttempts races at $path — giving up")
+      }
       var attempt = 0
       while (attempt < maxAttempts) {
         val prevV = currentVersion(spark, path).getOrElse(

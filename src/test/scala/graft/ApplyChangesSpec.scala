@@ -207,6 +207,36 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("SCD2: a corrupted dimension with two open rows for one key fails loudly instead of picking one arbitrarily") {
+    val path = tmp("graft_ac_corrupt")
+    // two OPEN rows for id=1 — an invariant violation no apply could
+    // produce; plant it directly (simulating external corruption)
+    ManifestTable.write(
+      Seq((1L, "a", Option.empty[Long], 0L, 0L),
+          (1L, "b", Option.empty[Long], 0L, 0L),
+          (2L, "c", Option.empty[Long], 0L, 0L))
+        .toDF("id", "attr", Scd2.ValidTo, Scd2.ValidFrom, "_seq")
+        .select(col("id"), col("attr"), col(Scd2.ValidFrom),
+          col(Scd2.ValidTo).cast("long").as(Scd2.ValidTo), col("_seq")),
+      path)
+    val ex = intercept[Exception] {
+      ApplyChanges.applyScd2(spark, path, "id",
+        cdc((1L, "z", 9L, false)).drop("del"),
+        tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    }
+    assert(ex.getMessage.contains("more than one open row") ||
+      Option(ex.getCause).exists(_.getMessage.contains("more than one open row")))
+    // untouched keys don't trip the witness: a batch referencing only
+    // the healthy key applies normally
+    ApplyChanges.applyScd2(spark, path, "id",
+      cdc((2L, "c2", 9L, false)).drop("del"),
+      tracked = Seq("attr"), sequenceBy = "seq", ts = 1L)
+    val open2 = ManifestTable.read(spark, path)
+      .filter(col("id") === 2L && col(Scd2.ValidTo).isNull)
+      .select(col("attr")).as[String].collect().toSeq
+    assert(open2 === Seq("c2"))
+  }
+
   test("NULL business keys refuse loudly in both SCD forms — they can never match and would re-insert on every replay") {
     val nullKeyed = spark.sql(
       "SELECT CAST(null AS BIGINT) AS id, 'x' AS attr, " +

@@ -102,4 +102,25 @@ class TablesAdaptiveSpec extends SparkSpec {
       assert(all.count() === micros.length + 1)
     }
   }
+
+  test("schema cache: regenerated fixture re-infers even when the root " +
+      "directory's own mtime/length are unchanged (child signature)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigcache").toString
+    val p = s"$dir/orders.parquet"
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(p)
+    val root = new java.io.File(p)
+    val mtime0 = root.lastModified()
+    assert(Tables.t(spark, dir, "orders").schema("v").dataType === StringType)
+    // regenerate with a DIFFERENT schema, then pin the root directory's
+    // mtime back — the old root-status signature would now collide
+    Seq((1L, 2.5)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    root.setLastModified(mtime0)
+    assert(Tables.t(spark, dir, "orders").schema("v").dataType === DoubleType,
+      "stale cached schema served after an in-place fixture rewrite")
+  }
+
+  test("schema cache: an unstattable path signs -1 and is never cached") {
+    assert(Tables.pathSig(spark, "/nonexistent/graft_no_such.parquet") === -1L)
+  }
 }
