@@ -3931,20 +3931,27 @@ object ManifestTable {
       : Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, input_file_name, lit, split, when, max => smax, min => smin}
     val spark = updates.sparkSession
-    // MATERIALIZE the source once per attempt: the body evaluates
-    // `updates` several times (bounds aggregate, confirm-scan key
-    // frames, row-id inheritance, the staging write) — unpinned, each
-    // consumer re-runs the source's whole plan, and a
-    // non-deterministic source could even yield DIFFERENT rows per
-    // pass (delta-spark materializes merge sources for exactly this
-    // reason). MEMORY_AND_DISK spills instead of OOMing at any source
-    // size; released win or lose. Skipped when the caller already
-    // pinned (mergeMulti's compiled frame arrives persisted).
+    // MATERIALIZE the source once per attempt (eager local checkpoint,
+    // lineage truncated — see mergeMultiKeyed's source note): the body
+    // evaluates `updates` several times (bounds aggregate, confirm-scan
+    // key frames, row-id inheritance, the staging write) — unpinned,
+    // each consumer re-runs the source's whole plan AND re-analyzes it
+    // through Catalyst, and a non-deterministic source could even yield
+    // DIFFERENT rows per pass (delta-spark materializes merge sources
+    // for exactly this reason). MEMORY_AND_DISK blocks; released win or
+    // lose. Skipped when the caller already pinned or materialized
+    // (mergeMulti's compiled frame arrives checkpointed).
     val ownPin =
-      updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (ownPin)
-      updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        !org.apache.spark.sql.graftshim.PlanShim.isMaterializedRdd(updates)
+    val (srcMat, releaseSrc) =
+      if (ownPin)
+        org.apache.spark.sql.graftshim.PlanShim
+          .localCheckpointReleasable(updates)
+      else (updates, () => ())
     try {
+    // every body reference below binds to the materialized frame
+    val updates = srcMat
     val f = fs(spark, path)
     val st = resolveState(spark, path, prevV)
     assertWritable(st, path)
@@ -4308,7 +4315,7 @@ object ManifestTable {
       None
     }
     } finally {
-      if (ownPin) updates.unpersist(blocking = false)
+      releaseSrc()
     }
   }
 
@@ -4457,26 +4464,40 @@ object ManifestTable {
         require(c.condition.isDefined,
           "a WHEN NOT MATCHED BY SOURCE clause without a condition must " +
             "be the last on its side — later clauses are unreachable"))
-      // PIN the merge SOURCE for the whole merge (optimization round
-      // 20): it is consumed by up to four separate actions — the
+      // MATERIALIZE the merge SOURCE for the whole merge (optimization
+      // round 20): it is consumed by up to four separate actions — the
       // key-stats aggregate below, the broadcast-pairs build, the
       // source-only anti-join (or the fused full-outer's source side),
-      // and the compiled frame's cache fill. Unpinned, EACH consumer
-      // re-ran the source's whole plan — and a CDC apply's source
-      // embeds a dimension scan + join (SCD2's change-detection join,
-      // the snapshot verb's full-outer diff), so every extra
-      // evaluation was a full dimension pass. The pin also makes the
-      // key-stats (uniqueness + bounds) provably consistent with the
-      // rows later attempts resolve: a non-deterministic source can no
-      // longer yield different rows to a retry than the bounds were
-      // computed over. MEMORY_AND_DISK spills instead of OOMing at any
-      // source size; released win or lose; skipped when the caller
-      // already pinned.
+      // and the compiled frame's fill. Unpinned, EACH consumer re-ran
+      // the source's whole plan — and a CDC apply's source embeds a
+      // dimension scan + join (SCD2's change-detection join, the
+      // snapshot verb's full-outer diff), so every extra evaluation
+      // was a full dimension pass. An EAGER LOCAL CHECKPOINT (delta-
+      // spark's own merge-source materialization) beats a persist()
+      // here: besides single evaluation it TRUNCATES the lineage, so
+      // every downstream action analyzes a shallow RDD scan instead of
+      // re-walking the whole CDC plan through Catalyst (~10 actions ×
+      // deep plan per merge — measured driver-gap cost). It also makes
+      // the key-stats (uniqueness + bounds) provably consistent with
+      // the rows later attempts resolve: a non-deterministic source
+      // CANNOT yield different rows to a retry. MEMORY_AND_DISK blocks
+      // (spill, not OOM, at any source size), released win or lose via
+      // the shim's explicit unpersist; skipped when the caller already
+      // pinned or materialized. Trade-off vs persist: lost blocks fail
+      // the job instead of recomputing — the contract delta accepts
+      // for merge sources (and strictly better for non-deterministic
+      // ones, where silent recompute is a correctness bug).
       val ownSrcPin =
-        updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-      if (ownSrcPin) updates.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+          !org.apache.spark.sql.graftshim.PlanShim.isMaterializedRdd(updates)
+      val (srcMat, releaseSrc) =
+        if (ownSrcPin)
+          org.apache.spark.sql.graftshim.PlanShim
+            .localCheckpointReleasable(updates)
+        else (updates, () => ())
       try {
+      // every body reference below binds to the materialized frame
+      val updates = srcMat
       // ONE source job answers four questions (key-uniqueness, the
       // by-source fuse gate, the broadcast gate, and — fused in
       // optimization round 19 — the per-key-column MIN/MAX bounds the
@@ -4695,6 +4716,7 @@ object ManifestTable {
         // source.
         val smallBase = !fused && baseSliceUnderGate
         var pairsPin: Option[DataFrame] = None
+        var releasePairs: () => Unit = () => ()
         val resolved =
           if (fused) src.join(b, keyEq, "full_outer")
           else if (smallBase)
@@ -4702,10 +4724,14 @@ object ManifestTable {
               keyEq, "left")
           else if (!bcSource) src.join(b, keyEq, "left")
           else {
-            val pairs = b.join(
-              org.apache.spark.sql.functions.broadcast(src), keyEq,
-              "inner")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // materialized like the source (lineage-truncating local
+            // checkpoint): three consumers — pairsKeys broadcast, the
+            // resolved union, the claim-completeness probe
+            val (pairs, rel) = org.apache.spark.sql.graftshim.PlanShim
+              .localCheckpointReleasable(b.join(
+                org.apache.spark.sql.functions.broadcast(src), keyEq,
+                "inner"))
+            releasePairs = rel
             pairsPin = Some(pairs)
             val pairsKeys = pairs.select(keyCols: _*).distinct()
             val srcOnly = src.join(
@@ -4901,7 +4927,20 @@ object ManifestTable {
                 .getOrElse(baseVal(c))
             case _: MergeDelete => baseVal(c)
           }
-          matched.zip(mClaims).reverse
+          // claims are pairwise DISJOINT by construction (each carries
+          // "not any earlier cond"), so branch order is irrelevant and
+          // a branch whose image IS the fold seed (baseVal) can be
+          // omitted outright: deletes (image never read past the flag)
+          // and updates that don't assign this column. The common
+          // delete+update CDC merge compiles to ONE when per column
+          // instead of a chain over every clause (smaller trees for
+          // Catalyst and codegen on every per-column image).
+          def isBase(cl: MergeMatched): Boolean = cl match {
+            case u: MergeUpdate => u.set.nonEmpty && !u.set.exists(_._1 == c)
+            case _: MergeDelete => true
+          }
+          matched.zip(mClaims).filterNot { case (cl, _) => isBase(cl) }
+            .reverse
             .foldLeft(baseVal(c)) { case (acc, (cl, claim)) =>
               when(claim, matchedImg(cl)).otherwise(acc) }
         }
@@ -4917,7 +4956,14 @@ object ManifestTable {
               .getOrElse(st.defaults.get(c)
                 .map(s => org.apache.spark.sql.functions.expr(s).cast(dt))
                 .getOrElse(lit(null).cast(dt)))
-          notMatched.zip(iClaims).reverse
+          // disjoint claims (see matchedVal): explicit-list clauses
+          // that neither assign this column nor inherit a declared
+          // DEFAULT fold to the NULL seed — omit their branch
+          def isNull(cl: MergeInsert): Boolean =
+            cl.values.nonEmpty && !cl.values.exists(_._1 == c) &&
+              !st.defaults.contains(c)
+          notMatched.zip(iClaims).filterNot { case (cl, _) => isNull(cl) }
+            .reverse
             .foldLeft(lit(null).cast(dt): Column) {
               case (acc, (cl, claim)) =>
                 when(claim, insertImg(cl)).otherwise(acc) }
@@ -4932,7 +4978,14 @@ object ManifestTable {
               .map(_.cast(dt)).getOrElse(baseVal(c))
             case _: MergeDelete => baseVal(c)
           }
-          notMatchedBySource.zip(bsClaims).reverse
+          // disjoint claims (see matchedVal): branches folding to the
+          // base seed — deletes and non-assigning updates — drop out
+          def isBase(cl: MergeMatched): Boolean = cl match {
+            case u: MergeUpdate => !u.set.exists(_._1 == c)
+            case _: MergeDelete => true
+          }
+          notMatchedBySource.zip(bsClaims)
+            .filterNot { case (cl, _) => isBase(cl) }.reverse
             .foldLeft(baseVal(c)) { case (acc, (cl, claim)) =>
               when(claim, img(cl)).otherwise(acc) }
         }
@@ -4984,19 +5037,31 @@ object ManifestTable {
             case u: MergeUpdate => u.set.nonEmpty && !u.set.exists(_._1 == g)
             case _: MergeDelete => true // image unread past the flag
           }
-        def mGenFlag(g: String): Column = matched.zip(mClaims).reverse
+        // disjoint claims (see matchedVal): branches whose flag equals
+        // the TRUE seed drop out of each chain
+        def mGenFlag(g: String): Column = matched.zip(mClaims)
+          .filterNot { case (cl, _) => clauseLeavesUnassigned(cl, g) }
+          .reverse
           .foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
             when(claim, lit(clauseLeavesUnassigned(cl, g))).otherwise(acc) }
-        def iGenFlag(g: String): Column = notMatched.zip(iClaims).reverse
+        def iGenFlag(g: String): Column = notMatched.zip(iClaims)
+          .filterNot { case (cl, _) =>
+            cl.values.nonEmpty && !cl.values.exists(_._1 == g) }
+          .reverse
           .foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
             when(claim,
               lit(cl.values.nonEmpty && !cl.values.exists(_._1 == g)))
               .otherwise(acc) }
-        def bsGenFlag(g: String): Column = notMatchedBySource.zip(bsClaims)
-          .reverse.foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
-            when(claim, lit(cl match {
-              case u: MergeUpdate => !u.set.exists(_._1 == g)
-              case _: MergeDelete => true })).otherwise(acc) }
+        def bsGenFlag(g: String): Column = {
+          def leaves(cl: MergeMatched): Boolean = cl match {
+            case u: MergeUpdate => !u.set.exists(_._1 == g)
+            case _: MergeDelete => true
+          }
+          notMatchedBySource.zip(bsClaims)
+            .filterNot { case (cl, _) => leaves(cl) }
+            .reverse.foldLeft(lit(true): Column) { case (acc, (cl, claim)) =>
+              when(claim, lit(leaves(cl))).otherwise(acc) }
+        }
         def genFlagCols(flag: String => Column): Seq[Column] =
           genCols.map { case (g, _) => flag(g).as(s"_graft_gf_$g") }
         def genFill(frame: DataFrame): DataFrame =
@@ -5196,13 +5261,15 @@ object ManifestTable {
               bsEmitted.select(bsAliased ++ genFlagCols(bsGenFlag)
                 :+ col("_graft_del"): _*))
           }
-        // PIN the compiled frame: the keyed copy-on-write consumes it
-        // several times (bounds prune, key flags, confirm join, carry,
-        // staging write) and each un-cached evaluation would re-run
-        // the whole resolution join — O(source) rows, spill-safe, and
+        // MATERIALIZE the compiled frame (same lineage-truncating
+        // local checkpoint as the source): the keyed copy-on-write
+        // consumes it several times (bounds prune, key flags, confirm
+        // join, carry, staging write) — single evaluation AND shallow
+        // plans for every consumer; O(source) rows, spill-safe, and
         // released win or lose
-        val compiledPinned = genFill(withBySource)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (compiledPinned, releaseCompiled) =
+          org.apache.spark.sql.graftshim.PlanShim
+            .localCheckpointReleasable(genFill(withBySource))
         val outcome =
           try mergeAttempt(compiledPinned, path, keys,
             deleteCol = Some("_graft_del"),
@@ -5217,8 +5284,8 @@ object ManifestTable {
             // instead of inheriting a verdict sized to the source
             broadcastSource = if (hasBySource) None else Some(bcSource))
           finally {
-            compiledPinned.unpersist(blocking = false)
-            pairsPin.foreach(_.unpersist(blocking = false))
+            releaseCompiled()
+            releasePairs()
           }
         outcome match {
           case Some(v) => return v
@@ -5228,7 +5295,7 @@ object ManifestTable {
       throw new IllegalStateException(
         s"conditional merge lost $maxAttempts races at $path — giving up")
       } finally {
-        if (ownSrcPin) updates.unpersist(blocking = false)
+        releaseSrc()
       }
     }
   }

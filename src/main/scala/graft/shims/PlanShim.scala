@@ -50,6 +50,33 @@ object PlanShim {
       case _ => None
     }
 
+  /** Materialize a frame with TRUNCATED lineage (eager local
+    * checkpoint, MEMORY_AND_DISK): downstream consumers analyze a
+    * shallow LogicalRDD instead of re-walking the full source plan on
+    * every action — the same mechanism delta-spark uses to materialize
+    * MERGE sources. Returns the truncated frame plus a release thunk
+    * that unpersists the checkpoint blocks (localCheckpoint has no
+    * public unpersist; the blocks otherwise live until GC). The RDD
+    * lookup is private[sql], hence this shim.
+    */
+  def localCheckpointReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint()
+    val release: () => Unit = () =>
+      cp.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
+    (cp, release)
+  }
+
+  /** True when the frame is already a materialized RDD scan (e.g. the
+    * result of [[localCheckpointReleasable]]) — re-pinning it would be
+    * pure overhead. */
+  def isMaterializedRdd(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   /** Re-tag a fully-planned BATCH frame as a streaming micro-batch —
     * what a V1 streaming `Source.getBatch` must hand the engine (the
     * same `internalCreateDataFrame(isStreaming = true)` call Spark's
