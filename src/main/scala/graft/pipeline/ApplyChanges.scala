@@ -205,17 +205,51 @@ object ApplyChanges {
             tag = tag)
         }
     }
-    val latest = latestPerKey(events, key, sequenceBy, deleteWhen)
-    // No separate no-claim prune join here (optimization round 19,
-    // removed): the clause conditions below carry the strictly-newer
-    // gate (`_seq > _b__seq`) and the insert gate (`!_ac_delete`), and
-    // mergeMultiKeyed's compile drops every row that claims NO clause
-    // BEFORE the keyed copy-on-write runs — late/equal-sequence events
-    // and deletes of absent keys never reach the confirm scan or the
-    // candidate-file bounds (those are computed over the post-claim
-    // compiled frame). The r16-era pre-join against a (key, _seq)
-    // target scan re-derived exactly that set at the cost of one extra
-    // dim scan + shuffle join per batch — pure overhead at any scale.
+    val latest0 = latestPerKey(events, key, sequenceBy, deleteWhen)
+    // No unconditional no-claim prune join here (optimization round
+    // 19, removed): the clause conditions below carry the
+    // strictly-newer gate (`_seq > _b__seq`) and the insert gate
+    // (`!_ac_delete`), and mergeMultiKeyed's compile drops every row
+    // that claims NO clause BEFORE the keyed copy-on-write runs —
+    // late/equal-sequence events and deletes of absent keys never
+    // reach the confirm scan or the REWRITE candidate bounds (those
+    // are computed over the post-claim compiled frame). The r16-era
+    // pre-join against a (key, _seq) target scan re-derived exactly
+    // that set at the cost of one extra dim scan + shuffle join per
+    // batch — pure overhead on fixture-scale dims.
+    //
+    // SCALE GATE (optimization round 20 — the r19 verdict's
+    // adversarial late-replay question, measured in DevLateReplay):
+    // the merge's RESOLUTION scan is pruned by the PRE-claim batch key
+    // bounds, so a mostly-late replay over a wide table reads base
+    // files the claim compile then discards (measured 7× the ideal
+    // input on a 95%-late batch). On a dimension with many files the
+    // one column-pruned (key, _seq) scan + high-water semi-prune is
+    // far cheaper than a widened full-width read, so the pre-join
+    // returns CONDITIONALLY: only past
+    // `spark.graft.applyChanges.latePruneMinFiles` data files
+    // (default 64 — fixture-scale dims of a handful of files never
+    // pay it; a 100 TB dimension always does). Semantics are identical
+    // either way: events at-or-below the key's high-water claim no
+    // clause and deletes of absent keys no-op — the pre-join merely
+    // drops them before the resolution scan instead of after it
+    // (r19 verdict proved the equivalence; SCD2 already prunes
+    // pre-merge via its rollup's high-water gate).
+    val latePruneMinFiles = spark.conf
+      .getOption("spark.graft.applyChanges.latePruneMinFiles")
+      .flatMap(_.toIntOption).getOrElse(64)
+    val dimFiles = ManifestTable.currentVersion(spark, path)
+      .map(v => ManifestTable.fileCountOf(spark, path, v)).getOrElse(0)
+    val latest =
+      if (dimFiles < latePruneMinFiles) latest0
+      else {
+        val hw = dim.groupBy(col(key).as("_ac_hwk"))
+          .agg(max(col(SeqCol)).as("_ac_hw"))
+        latest0.join(hw, col(key) === col("_ac_hwk"), "left")
+          .filter(col("_ac_hw").isNull ||
+            col(sequenceBy).cast("long") > col("_ac_hw"))
+          .drop("_ac_hwk", "_ac_hw")
+      }
     // (A FIRING truncate returned above as one atomic overwrite, so
     // reaching here means the target is untouched.)
     //

@@ -275,6 +275,13 @@ object ManifestTable {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** Data-file count of a committed version — driver-side metadata off
+    * the (LRU-cached) resolved state; no job. Scale gates (e.g. the
+    * APPLY CHANGES late-prune) key off it. */
+  private[graft] def fileCountOf(spark: SparkSession, path: String,
+                                 version: Long): Int =
+    resolveState(spark, path, version).files.size
+
   // ------------------------------------------------------------------
   // State resolution (checkpoint + delta replay, LRU-cached)
   // ------------------------------------------------------------------

@@ -207,6 +207,29 @@ class ApplyChangesSpec extends SparkSpec {
     }
   }
 
+  test("SCD1 late-prune scale gate: forced on, a late-heavy batch produces byte-identical state to the gated-off path") {
+    def applyAll(path: String): Unit = {
+      ApplyChanges.initializeScd1(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr"), path, 5L)
+      // late update (seq 3 < 5), fresh update, late delete, fresh
+      // delete, delete of absent key, insert of new key
+      ApplyChanges.applyScd1(spark, path, "id",
+        cdc((1L, "late", 3L, false), (2L, "fresh", 9L, false),
+          (1L, "x", 2L, true), (3L, "y", 8L, true),
+          (9L, "z", 7L, true), (4L, "d", 6L, false)),
+        sequenceBy = "seq", deleteWhen = Some("del"))
+    }
+    val pOff = tmp("graft_lp_off")
+    applyAll(pOff)
+    val pOn = tmp("graft_lp_on")
+    spark.conf.set("spark.graft.applyChanges.latePruneMinFiles", "1")
+    try applyAll(pOn)
+    finally spark.conf.unset("spark.graft.applyChanges.latePruneMinFiles")
+    assert(state(pOn) === state(pOff))
+    assert(state(pOn) === Seq((1L, "a", 5L), (2L, "fresh", 9L),
+      (4L, "d", 6L)))
+  }
+
   test("SCD2: a corrupted dimension with two open rows for one key fails loudly instead of picking one arbitrarily") {
     val path = tmp("graft_ac_corrupt")
     // two OPEN rows for id=1 — an invariant violation no apply could

@@ -113,6 +113,20 @@ object DevLateReplay {
       pipeline.ApplyChanges.applyScd1(spark, p4, "id", allFresh,
         sequenceBy = "seq")
     }
+    // (5) the r20 scale gate forced ON: conditional (key,_seq)
+    // high-water pre-join drops late events before the resolution scan
+    spark.conf.set("spark.graft.applyChanges.latePruneMinFiles", "1")
+    val p5 = freshDim("d5")
+    measured("replay-95pct-late (gated pre-join)") {
+      pipeline.ApplyChanges.applyScd1(spark, p5, "id", batch,
+        sequenceBy = "seq")
+    }
+    val p6 = freshDim("d6")
+    measured("all-fresh full-range (gated pre-join)") {
+      pipeline.ApplyChanges.applyScd1(spark, p6, "id", allFresh,
+        sequenceBy = "seq")
+    }
+    spark.conf.unset("spark.graft.applyChanges.latePruneMinFiles")
     spark.stop()
   }
 }
