@@ -41,7 +41,12 @@ object Tables {
       val st = fs.getFileStatus(p)
       if (!st.isDirectory) st.getModificationTime * 31L + st.getLen
       else {
-        val kids = fs.listStatus(p)
+        // sorted by name: listStatus order is filesystem-dependent, and
+        // an order-sensitive fold would re-infer spuriously on an
+        // unchanged directory. Depth-one only — the flat fixture layout
+        // (dir of part files); a nested/partitioned layout would need a
+        // recursive walk, which no Tables loader reads.
+        val kids = fs.listStatus(p).sortBy(_.getPath.getName)
         var sig = 17L + kids.length
         var i = 0
         while (i < kids.length) {

@@ -230,11 +230,19 @@ object ApplyChanges {
     // `spark.graft.applyChanges.latePruneMinFiles` data files
     // (default 64 — fixture-scale dims of a handful of files never
     // pay it; a 100 TB dimension always does). Semantics are identical
-    // either way: events at-or-below the key's high-water claim no
-    // clause and deletes of absent keys no-op — the pre-join merely
-    // drops them before the resolution scan instead of after it
-    // (r19 verdict proved the equivalence; SCD2 already prunes
-    // pre-merge via its rollup's high-water gate).
+    // either way under the verb's single-CDC-writer contract: events
+    // at-or-below the key's high-water claim no clause and deletes of
+    // absent keys no-op — the pre-join merely drops them before the
+    // resolution scan instead of after it (r19 verdict proved the
+    // equivalence; SCD2 already prunes pre-merge via its rollup's
+    // high-water gate). Caveat, same exposure the r16 pre-join shape
+    // carried: the gate evaluates against THIS read's snapshot, so if
+    // a CONCURRENT non-CDC writer rewrites the key's history (raw
+    // delete of the row and its `_seq`) between this read and a merge
+    // OCC retry, a pre-dropped event stays dropped where the ungated
+    // clause compile would re-classify it against the new state.
+    // Late-vs-vanished-high-water is ambiguous CDC semantics either
+    // way; the gate picks the pre-join's historical reading.
     val latePruneMinFiles = spark.conf
       .getOption("spark.graft.applyChanges.latePruneMinFiles")
       .flatMap(_.toIntOption).getOrElse(64)

@@ -970,7 +970,16 @@ object ManifestTable {
           staged.map { p =>
             () => relativize(new Path(path), p) -> footerStats(spark, p, cols)
           }
-        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        pool.invokeAll(tasks.asJava).asScala.map { f =>
+          // surface the footer reader's own exception, not the pool's
+          // ExecutionException wrapper — same failure type as the
+          // single-file path
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }.toMap
       } finally pool.shutdown()
     }
 
@@ -4596,6 +4605,33 @@ object ManifestTable {
           assertWritable(st, path)
           val schema =
             st.schema.getOrElse(readStateDf(spark, path, st).schema)
+          // fail-fast PARITY with the full path (all driver-only):
+          // clause-structure errors must not depend on whether the
+          // batch happens to be empty — a typo'd SET target, a
+          // generated-column assignment or a re-keying SET fails here
+          // exactly as it would on the first non-empty batch
+          val setsAndValues =
+            matched.collect { case u: MergeUpdate => u }.flatMap(_.set)
+              .map(("MERGE UPDATE SET", _)) ++
+            notMatched.flatMap(_.values).map(("MERGE INSERT", _))
+          setsAndValues.foreach { case (what, (c, _)) =>
+            require(schema.fieldNames.contains(c),
+              s"$what targets unknown column '$c'")
+            require(!st.generated.contains(c),
+              s"MERGE cannot assign generated column '$c' — it " +
+                s"recomputes from its declaration " +
+                s"(${st.generated.getOrElse(c, "")})")
+          }
+          matched.collect { case u: MergeUpdate => u }.flatMap(_.set)
+            .foreach { case (c, e) =>
+              val trivialNoOp = org.apache.spark.sql.graftshim.PlanShim
+                .bareAttribute(e).exists(parts =>
+                  parts.lastOption.exists(Set(c, s"_b_$c")))
+              require(!keys.contains(c) || trivialNoOp,
+                s"MERGE UPDATE SET cannot re-key merge key column " +
+                  s"'$c' — the keyed copy-on-write addresses rows by " +
+                  "key equality; express a re-key as DELETE + INSERT")
+            }
           val version = prevV + 1L
           val f = fs(spark, path)
           val json = deltaJson(version, commitTs(spark, path, version),

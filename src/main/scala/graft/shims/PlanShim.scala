@@ -72,10 +72,16 @@ object PlanShim {
 
   /** True when the frame is already a materialized RDD scan (e.g. the
     * result of [[localCheckpointReleasable]]) — re-pinning it would be
-    * pure overhead. */
+    * pure overhead. A plan-shape check alone is NOT enough: a caller's
+    * own `createDataFrame(rdd, schema)` is also a LogicalRDD but its
+    * RDD may be unpersisted (and non-deterministic) — only a STORED
+    * RDD counts as materialized. */
   def isMaterializedRdd(df: DataFrame): Boolean =
-    df.queryExecution.analyzed
-      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
 
   /** Re-tag a fully-planned BATCH frame as a streaming micro-batch —
     * what a V1 streaming `Source.getBatch` must hand the engine (the
